@@ -1,0 +1,6 @@
+"""lucene_spark — a PySpark-native inverted-index build + BM25 top-k query
+engine with the text-search capabilities of Apache Lucene's core, designed
+Spark-first (DataFrames, vectorized Arrow UDFs, explicit partitioning/shuffle/
+skew handling), not a port of the reference's Java execution engine."""
+
+__version__ = "0.1.0"

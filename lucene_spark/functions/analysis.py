@@ -1,0 +1,85 @@
+"""StandardAnalyzer-equivalent text analysis, vectorized.
+
+A from-scratch ASCII/Latin-1 subset of UAX#29 word-break segmentation matching
+the reference's default analysis chain (public Apache Lucene source):
+
+  - StandardTokenizer (UAX#29, JFlex-generated) —
+    ``core/analysis/standard/StandardTokenizer.java:49-76,152-175``; pinned
+    behaviors from ``core/src/test/.../standard/TestStandardAnalyzer.java:394-431``:
+    keeps internal apostrophes (``O'Reilly``, ``you're``, ``O'Reilly's``), keeps
+    ``21.35``, ``216.239.63.104``, ``B2B``, ``2B``; splits on ``-``, ``/``, ``,``
+    between letters; ``_`` (ExtendNumLet) joins runs.
+  - LowerCaseFilter — ``core/analysis/LowerCaseFilter.java:38`` (per-codepoint
+    lowercase; we use str.lower(), pinned to ASCII/Latin-1 fixtures).
+  - StandardAnalyzer default stop set is EMPTY
+    (``core/analysis/standard/StandardAnalyzer.java:50-53``) — stopwords are
+    indexed. maxTokenLength default 255: longer tokens are skipped but the
+    position still increments (``StandardTokenizer.java:152-175``).
+
+Documented gaps vs full UAX#29 (fixtures avoid these): CJK/emoji scripts,
+MidLetter chars (U+00B7 etc.), Turkish dotted-I casing.
+
+Word-break classes used (ASCII/Latin-1):
+  ALetter      = [A-Za-zÀ-ÖØ-öø-ÿ]
+  Numeric      = [0-9]
+  ExtendNumLet = [_]
+  MidNumLet    = [.']  joins letter.letter / letter'letter and digit.digit
+  MidNum       = [,;]  joins digit,digit only (e.g. "1,000")
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+MAX_TOKEN_LENGTH = 255
+
+_L = "A-Za-zÀ-ÖØ-öø-ÿ"
+_RUN = f"[{_L}0-9_]+"
+# joiner between two letters: ' or . ; between two digits: ' . , ;
+_JOIN = f"(?:(?<=[{_L}])['.](?=[{_L}])|(?<=[0-9])['.,;](?=[0-9]))"
+TOKEN_RE = re.compile(f"{_RUN}(?:{_JOIN}{_RUN})*")
+
+
+def tokenize_one(text: str) -> list[str]:
+    """Scalar tokenizer (oracle path). Returns surface tokens, pre-lowercase,
+    including >255-char tokens (caller applies skip semantics)."""
+    if not text:
+        return []
+    return TOKEN_RE.findall(text)
+
+
+def analyze_one(text: str) -> tuple[list[str], int]:
+    """Scalar analyzer: (lowercased tokens after max-length skip, field_len).
+
+    field_len is the number of surviving tokens (num_overlap is always 0 here:
+    no synonym/zero-posIncr filters in the default chain).
+    """
+    toks = [t.lower() for t in tokenize_one(text) if len(t) <= MAX_TOKEN_LENGTH]
+    return toks, len(toks)
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized analyzer over a pandas Series of strings.
+
+    Returns a Series of list[str] (lowercased, length-filtered). Uses
+    pandas' C-level str ops: lower + regex findall; the length filter is the
+    only Python-level comprehension and touches token lists, not rows of text.
+    """
+    s = texts.fillna("")
+    # lowercase AFTER tokenization is the reference order (tokenizer sees raw
+    # text), but for our ASCII/Latin-1 classes the token boundaries are
+    # case-insensitive, so lowercasing first is equivalent and lets findall
+    # run once. (Boundary classes contain both cases.)
+    toks = s.str.lower().str.findall(TOKEN_RE)
+    return toks.map(
+        lambda ts: [t for t in ts if len(t) <= MAX_TOKEN_LENGTH]
+        if any(len(t) > MAX_TOKEN_LENGTH for t in ts)
+        else ts
+    )
+
+
+def field_lengths(token_lists: pd.Series) -> np.ndarray:
+    return token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)

@@ -1,0 +1,90 @@
+"""BM25 scoring with bit-exact float32 semantics.
+
+Reimplements the arithmetic of the reference's BM25 similarity (public Apache
+Lucene source, ``core/search/similarities/BM25Similarity.java``):
+
+  - ``idf``      :101-104  — double math ``log(1 + (docCount - df + 0.5)/(df + 0.5))``,
+                  cast to float32.
+  - ``avgdl``    :106-109  — ``(float)(sumTotalTermFreq / (double) docCount)``.
+  - norm cache   :215-221  — 256-entry float32 table
+                  ``cache[i] = 1f / (k1 * ((1-b) + b * LENGTH_TABLE[i] / avgdl))``
+                  with every intermediate op in float32.
+  - per-hit score :255-264 — ``weight - weight / (1f + freq * normInverse)`` in
+                  float32, where ``weight = boost * idf`` (float32 multiply,
+                  :244-252) and ``freq`` is the raw term frequency widened to f32.
+  - defaults     :97-99    — k1=1.2, b=0.75, discountOverlaps=true.
+
+Multi-clause accumulation (conjunction/disjunction) sums per-clause float32
+scores in float64 and casts the total back to float32
+(``ConjunctionScorer.java:57-63``, ``DisjunctionSumScorer.java:40-41``) — see
+:func:`sum_clause_scores`.
+
+All functions are numpy-vectorized; the same code path serves the pure-Python
+oracle and the Spark (Arrow UDF) executor, so they agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+K1_DEFAULT = np.float32(1.2)
+B_DEFAULT = np.float32(0.75)
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """float32 idf; inner math in float64 exactly as the reference."""
+    return np.float32(math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_inverse_cache(
+    avgdl_f32: np.float32,
+    k1: np.float32 = K1_DEFAULT,
+    b: np.float32 = B_DEFAULT,
+) -> np.ndarray:
+    """256-entry float32 table of 1 / (k1 * ((1-b) + b*len/avgdl)).
+
+    Every intermediate stays float32 (Java evaluation order:
+    ``b * LENGTH_TABLE[i]`` then ``/ avgdl`` then ``(1-b) + ...`` then ``k1 *``
+    then ``1f /``).
+    """
+    one = np.float32(1.0)
+    lt = LENGTH_TABLE.astype(np.float32)  # (float) byte4ToInt(i)
+    t = np.float32(b) * lt
+    t = t / np.float32(avgdl_f32)
+    t = (one - np.float32(b)) + t
+    t = np.float32(k1) * t
+    return (one / t).astype(np.float32)
+
+
+def weight(boost: float, idf_f32: np.float32) -> np.float32:
+    """weight = boost * idf, float32 multiply."""
+    return np.float32(np.float32(boost) * np.float32(idf_f32))
+
+
+def score(
+    freqs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight_f32: np.float32,
+    cache: np.ndarray,
+) -> np.ndarray:
+    """Vectorized ``weight - weight / (1f + freq * normInverse)`` in float32."""
+    inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    f = np.asarray(freqs, dtype=np.float32)
+    one = np.float32(1.0)
+    return (weight_f32 - weight_f32 / (one + f * inv)).astype(np.float32)
+
+
+def sum_clause_scores(per_clause: list[np.ndarray]) -> np.ndarray:
+    """Sum float32 clause scores in float64, cast to float32 (Lucene semantics)."""
+    acc = np.zeros_like(per_clause[0], dtype=np.float64)
+    for s in per_clause:
+        acc += s.astype(np.float64)
+    return acc.astype(np.float32)

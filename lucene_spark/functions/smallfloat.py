@@ -1,0 +1,89 @@
+"""Norm quantization: Lucene ``SmallFloat`` int4/byte4 encoding.
+
+Reimplements (from public Apache Lucene source, for score identity):
+  - ``longToInt4`` / ``int4ToLong``  — lucene/core/.../util/SmallFloat.java:103-138
+  - ``intToByte4`` / ``byte4ToInt``  — lucene/core/.../util/SmallFloat.java:140-167
+
+``intToByte4(i)``: values ``i < NUM_FREE_VALUES`` (=24) are stored exactly; larger
+values get a float-like 4-significant-bit encoding, order-preserving. BM25 norms
+(field lengths) are stored as this 1 byte per doc — reproducing it bit-exactly is
+mandatory for rank identity with the reference.
+
+Both scalar and vectorized (numpy) forms are provided; the numpy forms are used in
+the Spark build path, the scalar forms in the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# longToInt4(Integer.MAX_VALUE) = ((2^31-1) >>> 27) & 7 | ((27+1) << 3) = 231
+MAX_INT4 = 231
+NUM_FREE_VALUES = 255 - MAX_INT4  # 24
+
+
+def long_to_int4(i: int) -> int:
+    if i < 0:
+        raise ValueError(f"Only supports positive values, got {i}")
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07
+    return encoded | ((shift + 1) << 3)
+
+
+def int4_to_long(i: int) -> int:
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    if shift == -1:
+        return bits
+    return (bits | 0x08) << shift
+
+
+def int_to_byte4(i: int) -> int:
+    """Encode a non-negative int to one byte (returned as 0..255)."""
+    if i < 0:
+        raise ValueError(f"Only supports positive values, got {i}")
+    if i < NUM_FREE_VALUES:
+        return i
+    return NUM_FREE_VALUES + long_to_int4(i - NUM_FREE_VALUES)
+
+
+def byte4_to_int(b: int) -> int:
+    """Decode a byte (0..255) encoded with int_to_byte4."""
+    i = b & 0xFF
+    if i < NUM_FREE_VALUES:
+        return i
+    return NUM_FREE_VALUES + int4_to_long(i - NUM_FREE_VALUES)
+
+
+def int_to_byte4_np(values: np.ndarray) -> np.ndarray:
+    """Vectorized intToByte4 over a non-negative int array -> uint8 array."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size and v.min() < 0:
+        raise ValueError("Only supports positive values")
+    shifted = v - NUM_FREE_VALUES
+    # bit_length via frexp exponent (exact for ints < 2^53)
+    safe = np.maximum(shifted, 1).astype(np.float64)
+    num_bits = np.frexp(safe)[1]  # frexp(8) -> (0.5, 4); bit_length(8)==4
+    num_bits = np.where(shifted <= 0, 0, num_bits)
+    shift = np.maximum(num_bits - 4, 0)
+    encoded_norm = ((shifted >> shift) & 0x07) | ((shift + 1) << 3)
+    encoded = np.where(num_bits < 4, shifted, encoded_norm)
+    out = np.where(v < NUM_FREE_VALUES, v, NUM_FREE_VALUES + encoded)
+    return out.astype(np.uint8)
+
+
+def byte4_to_int_np(values: np.ndarray) -> np.ndarray:
+    """Vectorized byte4ToInt over a uint8 array -> int32 array."""
+    i = np.asarray(values, dtype=np.int64) & 0xFF
+    j = i - NUM_FREE_VALUES
+    bits = j & 0x07
+    shift = (j >> 3) - 1
+    decoded = np.where(shift == -1, bits, (bits | 0x08) << np.maximum(shift, 0))
+    return np.where(i < NUM_FREE_VALUES, i, NUM_FREE_VALUES + decoded).astype(np.int64)
+
+
+# 256-entry decode table (Lucene BM25Similarity.LENGTH_TABLE analog)
+LENGTH_TABLE: np.ndarray = byte4_to_int_np(np.arange(256))

@@ -1,0 +1,275 @@
+"""Query AST + rewrite rules (BooleanQuery normalization).
+
+A tiny from-scratch query algebra mirroring the reference's query model
+(public Apache Lucene source):
+
+  - clause kinds MUST / FILTER / SHOULD / MUST_NOT with
+    minimumNumberShouldMatch (``core/search/BooleanQuery.java:125-167``).
+  - SHOULD/MUST are multisets (duplicates kept, they score twice);
+    FILTER/MUST_NOT are sets (``BooleanQuery.java:134-138``).
+  - rewrite rules (``BooleanQuery.java:269-647`` + ``IndexSearcher`` rewrite
+    fixpoint): empty boolean -> MatchNoDocs; pure-negative -> MatchNoDocs;
+    single-MUST inlining; SHOULD -> MUST when minShouldMatch == #SHOULD;
+    nested-disjunction flattening; duplicate FILTER dedup; MatchAll FILTER
+    elision; msm > #SHOULD -> MatchNoDocs.
+  - BoostQuery folds multiplicatively into the leaf weight
+    (``BoostQuery.java:29``, weight = boost * idf at
+    ``BM25Similarity.java:244-252``).
+  - PrefixQuery / WildcardQuery / TermRangeQuery / TermInSetQuery rewrite to a
+    constant-score-free OR over terms found in the term dictionary
+    (``MultiTermQuery.java`` rewrite framework; we use the SHOULD expansion).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+from dataclasses import dataclass, field as dc_field
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    def __repr__(self) -> str:
+        return f"Term({self.term!r})"
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    def __repr__(self) -> str:
+        return "MatchAll()"
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    def __repr__(self) -> str:
+        return "MatchNone()"
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+    def rewrite(self) -> Query:
+        inner = self.query.rewrite()
+        if self.boost == 1.0:
+            return inner
+        if isinstance(inner, BoostQuery):
+            return BoostQuery(inner.query, self.boost * inner.boost)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        return BoostQuery(inner, self.boost)
+
+    def __repr__(self) -> str:
+        return f"Boost({self.query!r},{self.boost})"
+
+
+# multi-term queries: expanded against the term dictionary before execution
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    def __repr__(self) -> str:
+        return f"Prefix({self.prefix!r})"
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # fnmatch-style * and ?
+    def __repr__(self) -> str:
+        return f"Wildcard({self.pattern!r})"
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    def __repr__(self) -> str:
+        return f"TermRange({self.lower!r},{self.upper!r},{self.include_lower},{self.include_upper})"
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple[str, ...]
+    def __repr__(self) -> str:
+        return f"TermInSet({sorted(self.terms)!r})"
+
+
+@dataclass
+class BooleanQuery(Query):
+    must: list[Query] = dc_field(default_factory=list)
+    should: list[Query] = dc_field(default_factory=list)
+    filter: list[Query] = dc_field(default_factory=list)
+    must_not: list[Query] = dc_field(default_factory=list)
+    min_should_match: int = 0
+
+    def __repr__(self) -> str:
+        return (
+            f"Bool(must={self.must!r},should={self.should!r},filter={sorted(map(repr, self.filter))!r},"
+            f"not={sorted(map(repr, self.must_not))!r},msm={self.min_should_match})"
+        )
+
+    def rewrite(self) -> Query:
+        must = [q.rewrite() for q in self.must]
+        should = [q.rewrite() for q in self.should]
+        filt = [q.rewrite() for q in self.filter]
+        must_not = [q.rewrite() for q in self.must_not]
+        msm = self.min_should_match
+
+        # SHOULD -> MUST when minShouldMatch == number of SHOULD clauses
+        if should and msm == len(should):
+            must, should, msm = must + should, [], 0
+        if msm > len(should):
+            return MatchNoDocsQuery()
+
+        # MatchNone propagation
+        if any(isinstance(q, MatchNoDocsQuery) for q in must + filt):
+            return MatchNoDocsQuery()
+        should = [q for q in should if not isinstance(q, MatchNoDocsQuery)]
+        must_not = [q for q in must_not if not isinstance(q, MatchNoDocsQuery)]
+        # MatchAll FILTER is a no-op when other positive clauses exist
+        if (must or should) and any(isinstance(q, MatchAllDocsQuery) for q in filt):
+            filt = [q for q in filt if not isinstance(q, MatchAllDocsQuery)]
+        # MatchAll MUST_NOT kills everything
+        if any(isinstance(q, MatchAllDocsQuery) for q in must_not):
+            return MatchNoDocsQuery()
+
+        # dedup FILTER / MUST_NOT (sets); keep MUST/SHOULD multisets
+        filt = _dedup(filt)
+        must_not = _dedup(must_not)
+
+        # flatten nested pure disjunctions into SHOULD (msm<=1 both levels)
+        if msm <= 1:
+            flat: list[Query] = []
+            for q in should:
+                if (
+                    isinstance(q, BooleanQuery)
+                    and not q.must and not q.filter and not q.must_not
+                    and q.min_should_match <= 1
+                ):
+                    flat.extend(q.should)
+                else:
+                    flat.append(q)
+            should = flat
+
+        if not must and not should and not filt:
+            return MatchNoDocsQuery()  # empty or pure-negative
+
+        # single-clause inlining
+        if len(must) == 1 and not should and not filt and not must_not:
+            return must[0]
+        if len(should) == 1 and msm <= 1 and not must and not filt and not must_not:
+            return should[0]
+
+        return BooleanQuery(must, should, filt, must_not, msm)
+
+
+def _dedup(qs: list[Query]) -> list[Query]:
+    seen: set[str] = set()
+    out: list[Query] = []
+    for q in qs:
+        k = repr(q)
+        if k not in seen:
+            seen.add(k)
+            out.append(q)
+    return out
+
+
+def rewrite_fixpoint(q: Query, max_iter: int = 16) -> Query:
+    """IndexSearcher.rewrite analog: rewrite until fixpoint."""
+    for _ in range(max_iter):
+        nq = q.rewrite()
+        if repr(nq) == repr(q):
+            return nq
+        q = nq
+    return q
+
+
+def expand_multi_term(q: Query, terms_sorted: list[str]) -> Query:
+    """Rewrite Prefix/Wildcard/Range/InSet nodes to OR-of-terms against a term
+    dictionary (MultiTermQuery rewrite analog). `terms_sorted` is the sorted
+    term list (or any iterable of candidate terms)."""
+    if isinstance(q, PrefixQuery):
+        hits = [t for t in terms_sorted if t.startswith(q.prefix)]
+        return _or_terms(hits)
+    if isinstance(q, WildcardQuery):
+        hits = fnmatch.filter(terms_sorted, q.pattern)
+        return _or_terms(hits)
+    if isinstance(q, TermRangeQuery):
+        def ok(t: str) -> bool:
+            if q.lower is not None:
+                if t < q.lower or (t == q.lower and not q.include_lower):
+                    return False
+            if q.upper is not None:
+                if t > q.upper or (t == q.upper and not q.include_upper):
+                    return False
+            return True
+        return _or_terms([t for t in terms_sorted if ok(t)])
+    if isinstance(q, TermInSetQuery):
+        s = set(q.terms)
+        return _or_terms([t for t in terms_sorted if t in s])
+    if isinstance(q, BoostQuery):
+        return BoostQuery(expand_multi_term(q.query, terms_sorted), q.boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            [expand_multi_term(c, terms_sorted) for c in q.must],
+            [expand_multi_term(c, terms_sorted) for c in q.should],
+            [expand_multi_term(c, terms_sorted) for c in q.filter],
+            [expand_multi_term(c, terms_sorted) for c in q.must_not],
+            q.min_should_match,
+        )
+    return q
+
+
+def _or_terms(terms: list[str]) -> Query:
+    if not terms:
+        return MatchNoDocsQuery()
+    if len(terms) == 1:
+        return TermQuery(terms[0])
+    return BooleanQuery(should=[TermQuery(t) for t in terms], min_should_match=1)
+
+
+# ---------------------------------------------------------------- JSON parse
+
+def parse_query(obj: str | dict) -> Query:
+    """Parse the FIXTURES.md F2 JSON query-AST format."""
+    if isinstance(obj, str):
+        obj = json.loads(obj)
+    if "term" in obj:
+        q: Query = TermQuery(obj["term"])
+    elif "prefix" in obj:
+        q = PrefixQuery(obj["prefix"])
+    elif "wildcard" in obj:
+        q = WildcardQuery(obj["wildcard"])
+    elif "range" in obj:
+        r = obj["range"]
+        q = TermRangeQuery(r.get("lower"), r.get("upper"),
+                           r.get("include_lower", True), r.get("include_upper", True))
+    elif "in" in obj:
+        q = TermInSetQuery(tuple(obj["in"]))
+    elif "match_all" in obj:
+        q = MatchAllDocsQuery()
+    elif "match_none" in obj:
+        q = MatchNoDocsQuery()
+    elif "bool" in obj:
+        b = obj["bool"]
+        q = BooleanQuery(
+            [parse_query(c) for c in b.get("must", [])],
+            [parse_query(c) for c in b.get("should", [])],
+            [parse_query(c) for c in b.get("filter", [])],
+            [parse_query(c) for c in b.get("must_not", [])],
+            b.get("min_should_match", 0),
+        )
+    else:
+        raise ValueError(f"unrecognized query node: {obj}")
+    boost = obj.get("boost")
+    if boost is not None and boost != 1.0:
+        q = BoostQuery(q, float(boost))
+    return q

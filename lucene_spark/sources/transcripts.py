@@ -1,0 +1,174 @@
+"""Deterministic synthetic transcripts source (input-hint shape).
+
+Generates the multi-turn conversation/agent transcript corpus the engine
+indexes: schema ``(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)`` — exactly BASELINE.json's input_hint. Seeded and
+order-stable so every run (and the pure-Python oracle) sees identical rows.
+
+Text is English-like sentences over a Zipf-distributed vocabulary, salted with
+the analyzer edge cases pinned by the reference's tokenizer tests
+(``TestStandardAnalyzer.java:394-431``): internal apostrophes, decimals,
+alphanumerics, dashed/slashed/comma-delimited phrases, mixed case, empty
+strings, and one >255-char token (skip semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["search", "code", "browser", "calculator", "none"])
+
+_EDGE_SNIPPETS = [
+    "O'Reilly wrote you're guide",
+    "version 21.35 of B2B and R2D2 shipped",
+    "visit 216.239.63.104 today",
+    "some-dashed-phrase appears ac/dc style",
+    "dogs,chase,cats wildly",
+    "David has 5000 bones",
+    "C embedded developers wanted",
+    '"QUOTED" word here',
+    "don't stop O'Reilly's work",
+    "",
+    "x" * 300 + " after the long token",
+]
+
+
+def _vocab(n_terms: int) -> np.ndarray:
+    # deterministic pseudo-words: cv syllables
+    cons = "bcdfghjklmnprstvwz"
+    vow = "aeiou"
+    words = []
+    i = 0
+    while len(words) < n_terms:
+        w = ""
+        x = i
+        for _ in range(1 + (x % 3)):
+            w += cons[x % len(cons)] + vow[(x // 7) % len(vow)]
+            x //= 5
+        words.append(w + str(i % 10) if i % 17 == 0 else w)
+        i += 1
+    return np.unique(np.array(words))[:n_terms]
+
+
+def generate_pandas(
+    n_convs: int = 200,
+    seed: int = 42,
+    vocab_size: int = 5000,
+    max_turns: int = 30,
+    zipf_a: float = 1.3,
+    edge_cases: bool = True,
+) -> pd.DataFrame:
+    """Deterministic transcript corpus as pandas (small-scale test path)."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(vocab_size)
+    v = len(vocab)
+
+    conv_ids = []
+    turn_idxs = []
+    n_turns = rng.integers(3, max_turns + 1, size=n_convs)
+    for i, nt in enumerate(n_turns):
+        conv_ids.extend([f"conv-{i:06d}"] * int(nt))
+        turn_idxs.extend(range(int(nt)))
+    n = len(conv_ids)
+
+    lens = rng.integers(4, 40, size=n)
+    total = int(lens.sum())
+    ranks = (rng.zipf(zipf_a, size=total) - 1) % v
+    words = vocab[ranks]
+    # mixed case: ~7% of words upper/title-cased
+    case_sel = rng.random(total)
+    words = np.where(case_sel < 0.04, np.char.capitalize(words), words)
+    words = np.where(case_sel > 0.985, np.char.upper(words), words)
+
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = [" ".join(words[offs[i]: offs[i + 1]]) for i in range(n)]
+
+    if edge_cases:
+        # deterministically splice edge-case snippets into ~5% of turns
+        edge_rows = rng.choice(n, size=max(n // 20, len(_EDGE_SNIPPETS)), replace=False)
+        for j, r in enumerate(edge_rows):
+            snip = _EDGE_SNIPPETS[j % len(_EDGE_SNIPPETS)]
+            texts[r] = (texts[r] + " " + snip).strip()
+
+    roles = ROLES[rng.integers(0, len(ROLES), size=n)]
+    tools = TOOLS[rng.integers(0, len(TOOLS), size=n)]
+    tool_col = pd.Series(tools).where(pd.Series(roles) == "tool", other=None)
+
+    base = pd.Timestamp("2026-01-01")
+    ts = base + pd.to_timedelta(np.arange(n) * 13, unit="s")
+
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": np.array(turn_idxs, dtype=np.int32),
+            "role": roles,
+            "text": texts,
+            "tool": tool_col,
+            "ts": ts,
+        }
+    )
+    return df
+
+
+def generate_spark(spark, n_convs: int = 200, seed: int = 42, **kw):
+    """Same corpus as a Spark DataFrame (schema per input hint)."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    pdf = generate_pandas(n_convs=n_convs, seed=seed, **kw)
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def generate_distributed(spark, n_convs: int, seed: int = 42, partitions: int = 32,
+                         vocab_size: int = 5000, max_turns: int = 30):
+    """Cluster-scale generator: each Spark task synthesizes a disjoint slice of
+    conversations with a derived seed — no driver-side materialization, so the
+    same recipe scales to arbitrarily large corpora (used by bench.py).
+    """
+    import pandas as pd  # noqa: F811 (executor import)
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    bounds = np.linspace(0, n_convs, partitions + 1).astype(int)
+    slices = [(int(bounds[i]), int(bounds[i + 1]), i) for i in range(partitions)]
+    sdf = spark.createDataFrame(pd.DataFrame(slices, columns=["lo", "hi", "pid"]))
+
+    def gen(iterator):
+        for pdf in iterator:
+            for lo, hi, pid in pdf.itertuples(index=False):
+                if hi <= lo:
+                    continue
+                part = generate_pandas(
+                    n_convs=hi - lo, seed=seed + 100003 * pid,
+                    vocab_size=vocab_size, max_turns=max_turns, edge_cases=True,
+                )
+                # shift conv ids into this slice's range
+                idx = part["conv_id"].str.slice(5).astype(int) + lo
+                part["conv_id"] = "conv-" + idx.astype(str).str.zfill(9)
+                yield part
+
+    return sdf.repartition(partitions, "pid").mapInPandas(gen, schema=schema)

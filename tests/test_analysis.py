@@ -1,0 +1,77 @@
+"""Analyzer golden tests mirroring TestStandardAnalyzer.java:394-431
+(ASCII subset: alphanumerics, apostrophes, numerics, delimiters)."""
+
+import pandas as pd
+import pytest
+
+from lucene_spark.functions.analysis import (
+    MAX_TOKEN_LENGTH,
+    analyze_one,
+    analyze_series,
+    tokenize_one,
+)
+
+GOLDENS = [
+    # testAlphanumericSA
+    ("B2B", ["B2B"]),
+    ("2B", ["2B"]),
+    # testDelimitersSA
+    ("some-dashed-phrase", ["some", "dashed", "phrase"]),
+    ("dogs,chase,cats", ["dogs", "chase", "cats"]),
+    ("ac/dc", ["ac", "dc"]),
+    # testApostrophesSA
+    ("O'Reilly", ["O'Reilly"]),
+    ("you're", ["you're"]),
+    ("she's", ["she's"]),
+    ("Jim's", ["Jim's"]),
+    ("don't", ["don't"]),
+    ("O'Reilly's", ["O'Reilly's"]),
+    # testNumericSA
+    ("21.35", ["21.35"]),
+    ("R2D2 C3PO", ["R2D2", "C3PO"]),
+    ("216.239.63.104", ["216.239.63.104"]),
+    # testTextWithNumbersSA
+    ("David has 5000 bones", ["David", "has", "5000", "bones"]),
+    # testVariousTextSA
+    ("C embedded developers wanted", ["C", "embedded", "developers", "wanted"]),
+    ("foo bar FOO BAR", ["foo", "bar", "FOO", "BAR"]),
+    ("foo      bar .  FOO <> BAR", ["foo", "bar", "FOO", "BAR"]),
+    ('"QUOTED" word', ["QUOTED", "word"]),
+    # UAX#29 extras within our subset
+    ("1,000 items", ["1,000", "items"]),
+    ("snake_case stays_together", ["snake_case", "stays_together"]),
+    ("mixed_1_2 a-b", ["mixed_1_2", "a", "b"]),
+    ("trailing' 'leading", ["trailing", "leading"]),
+    ("a.5", ["a", "5"]),  # '.' needs same class on both sides
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS, ids=[g[0][:20] or "empty" for g in GOLDENS])
+def test_tokenize_goldens(text, expected):
+    assert tokenize_one(text) == expected
+
+
+def test_analyze_lowercases_and_counts():
+    toks, flen = analyze_one("Foo BAR O'Reilly's 21.35")
+    assert toks == ["foo", "bar", "o'reilly's", "21.35"]
+    assert flen == 4
+
+
+def test_max_token_length_skip():
+    long_tok = "x" * (MAX_TOKEN_LENGTH + 45)
+    toks, flen = analyze_one(f"before {long_tok} after")
+    assert toks == ["before", "after"]
+    assert flen == 2
+    # exactly 255 survives
+    ok = "y" * MAX_TOKEN_LENGTH
+    toks2, flen2 = analyze_one(ok)
+    assert toks2 == [ok] and flen2 == 1
+
+
+def test_series_matches_scalar():
+    texts = [g[0] for g in GOLDENS] + [None, "x" * 300 + " tail"]
+    s = analyze_series(pd.Series(texts))
+    for i, t in enumerate(texts):
+        expected = [w.lower() for w in tokenize_one(t or "") if len(w) <= MAX_TOKEN_LENGTH]
+        assert list(s.iloc[i]) == expected, f"row {i}: {t!r}"

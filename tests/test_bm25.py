@@ -1,0 +1,65 @@
+"""BM25 float32 arithmetic: golden values + monotonicity properties
+(mirrors BaseSimilarityTestCase invariants: non-negative, finite, score
+non-increasing in norm, non-decreasing in freq)."""
+
+import math
+
+import numpy as np
+
+from lucene_spark.functions import bm25
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4
+
+
+def test_idf_golden():
+    # log(1 + (100 - 10 + 0.5)/(10 + 0.5)) computed in float64, cast f32
+    expected = np.float32(math.log(1 + 90.5 / 10.5))
+    assert bm25.idf(10, 100) == expected
+    assert bm25.idf(0, 0) == np.float32(math.log(1 + 0.5 / 0.5))  # degenerate
+    assert isinstance(bm25.idf(1, 2), np.float32)
+
+
+def test_avgdl_is_float32_of_double_div():
+    assert bm25.avgdl(7, 3) == np.float32(7 / 3.0)
+
+
+def test_cache_formula_float32_order():
+    avg = bm25.avgdl(1000, 100)
+    cache = bm25.norm_inverse_cache(avg)
+    assert cache.dtype == np.float32
+    k1, b, one = np.float32(1.2), np.float32(0.75), np.float32(1.0)
+    for i in [0, 1, 24, 100, 255]:
+        lt = np.float32(LENGTH_TABLE[i])
+        expect = one / (k1 * ((one - b) + b * lt / np.float32(avg)))
+        assert cache[i] == np.float32(expect), i
+
+
+def test_score_shape_and_monotonicity():
+    avg = bm25.avgdl(5000, 500)
+    cache = bm25.norm_inverse_cache(avg)
+    w = bm25.weight(1.0, bm25.idf(25, 500))
+    freqs = np.arange(1, 200)
+    norm = np.full(freqs.shape, int_to_byte4(10))
+    s = bm25.score(freqs, norm, w, cache)
+    assert s.dtype == np.float32
+    assert (s >= 0).all() and np.isfinite(s).all()
+    assert (np.diff(s) >= 0).all()  # non-decreasing in freq
+    assert (s < float(w)).all()  # bounded by weight
+    # non-increasing in encoded length: same freq, growing norm byte
+    norms = np.arange(256)
+    s2 = bm25.score(np.full(256, 3), norms, w, cache)
+    # LENGTH_TABLE is non-decreasing, so score must be non-increasing
+    assert (np.diff(s2) <= 0).all()
+
+
+def test_sum_clause_scores_double_accum():
+    a = np.array([0.1, 0.2], dtype=np.float32)
+    b = np.array([0.3, 0.4], dtype=np.float32)
+    out = bm25.sum_clause_scores([a, b])
+    assert out.dtype == np.float32
+    expect = (a.astype(np.float64) + b.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_weight_float32_multiply():
+    idf = bm25.idf(3, 1000)
+    assert bm25.weight(2.5, idf) == np.float32(np.float32(2.5) * idf)

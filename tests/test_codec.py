@@ -1,0 +1,99 @@
+"""Block codec round-trips (mirrors BasePostingsFormatTestCase randomized
+round-trip strategy, ``tf/index/BasePostingsFormatTestCase.java:106-166``)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.codec import (
+    BLOCK_SIZE,
+    competitive_impacts,
+    decode_block,
+    decode_postings,
+    encode_block,
+    encode_postings,
+    for_pack,
+    for_unpack,
+    vint_decode,
+    vint_encode,
+)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_vint_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 2**40, size=1000).astype(np.uint64)
+    vals[:10] = [0, 1, 127, 128, 129, 16383, 16384, 2**21 - 1, 2**21, 2**35]
+    buf = vint_encode(vals)
+    out = vint_decode(buf)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_vint_empty():
+    assert vint_decode(vint_encode(np.array([], dtype=np.uint64))).size == 0
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 20, 32])
+def test_for_roundtrip(width):
+    rng = np.random.default_rng(width)
+    n = 256
+    vals = rng.integers(0, 2**width if width else 1, size=n).astype(np.uint64)
+    buf = for_pack(vals, width)
+    out = for_unpack(buf, width, n)
+    np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("n", [1, 2, 255, 256])
+def test_block_roundtrip(n):
+    rng = np.random.default_rng(n)
+    docs = np.sort(rng.choice(10**6, size=n, replace=False))
+    freqs = rng.integers(1, 50, size=n)
+    freqs[rng.random(n) < 0.6] = 1  # mostly freq==1 (freq-folding path)
+    data = encode_block(docs, freqs, prev_last_doc=0)
+    d, f = decode_block(data, n, prev_last_doc=0)
+    np.testing.assert_array_equal(d, docs)
+    np.testing.assert_array_equal(f, freqs)
+
+
+@pytest.mark.parametrize("n", [1, 100, 256, 257, 1000, 5000])
+def test_postings_roundtrip(n):
+    rng = np.random.default_rng(n)
+    docs = np.sort(rng.choice(10**7, size=n, replace=False))
+    freqs = rng.integers(1, 100, size=n)
+    norms = rng.integers(0, 256, size=n)
+    blocks = encode_postings(docs, freqs, norms)
+    assert len(blocks) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    d, f = decode_postings(blocks)
+    np.testing.assert_array_equal(d, docs)
+    np.testing.assert_array_equal(f, freqs)
+    # block metadata is exact
+    for blk in blocks:
+        lo, hi = blk["block_id"] * BLOCK_SIZE, min(n, (blk["block_id"] + 1) * BLOCK_SIZE)
+        assert blk["first_doc"] == docs[lo]
+        assert blk["last_doc"] == docs[hi - 1]
+        assert blk["num_docs"] == hi - lo
+
+
+def test_competitive_impacts_skyline():
+    freqs = np.array([5, 3, 5, 9, 2])
+    norms = np.array([10, 4, 10, 200, 4])
+    fs, ns = competitive_impacts(freqs, norms)
+    # norm 4 -> max freq 3; norm 10 -> 5 (>3 keep); norm 200 -> 9 (>5 keep)
+    assert ns == [4, 10, 200]
+    assert fs == [3, 5, 9]
+    # dominated pair dropped: same freq at higher norm
+    fs2, ns2 = competitive_impacts(np.array([5, 5]), np.array([3, 77]))
+    assert ns2 == [3] and fs2 == [5]
+
+
+def test_impacts_upper_bound_property():
+    rng = np.random.default_rng(0)
+    freqs = rng.integers(1, 60, size=500)
+    norms = rng.integers(0, 256, size=500)
+    fs, ns = competitive_impacts(freqs, norms)
+    # every (freq, norm) in the block is dominated by some skyline pair with
+    # freq >= f and norm <= n (so max over skyline pairs upper-bounds any score)
+    for f, n in zip(freqs.tolist(), norms.tolist()):
+        assert any(sf >= f and sn <= n for sf, sn in zip(fs, ns))
+    # skyline is strictly increasing in both coords
+    assert all(fs[i] < fs[i + 1] for i in range(len(fs) - 1))
+    assert all(ns[i] < ns[i + 1] for i in range(len(ns) - 1))

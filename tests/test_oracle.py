@@ -1,0 +1,157 @@
+"""Pure-Python oracle: hand-computed goldens on a tiny corpus + Boolean
+semantics (CheckHits / TestBoolean2-style dual checks come later against the
+Spark engine; here we pin the oracle itself)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions import bm25
+from lucene_spark.functions.smallfloat import int_to_byte4
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    MatchAllDocsQuery,
+    TermQuery,
+    parse_query,
+    rewrite_fixpoint,
+)
+
+ROWS = [
+    ("c1", 0, "the quick brown fox"),
+    ("c1", 1, "the lazy dog"),
+    ("c2", 0, "quick quick fox"),
+    ("c2", 1, "brown dog barks"),
+    ("c0", 0, "fox and dog together"),  # c0 sorts first -> doc 0
+]
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return OracleIndex.build(ROWS)
+
+
+def test_docid_assignment_stable_order(idx):
+    # sorted by (conv_id, turn_idx): c0/0, c1/0, c1/1, c2/0, c2/1
+    assert idx.doc_count == 5
+    assert idx.tokens_per_doc[0] == ["fox", "and", "dog", "together"]
+    assert idx.tokens_per_doc[1] == ["the", "quick", "brown", "fox"]
+    assert idx.tokens_per_doc[4] == ["brown", "dog", "barks"]
+
+
+def test_postings_and_stats(idx):
+    assert idx.doc_freq("fox") == 3
+    assert idx.postings["quick"] == {1: 1, 3: 2}
+    assert idx.total_term_freq("quick") == 3
+    assert idx.sum_total_term_freq == sum(idx.field_lens) == 4 + 4 + 3 + 3 + 3
+    assert idx.norm_bytes == [int_to_byte4(n) for n in idx.field_lens]
+
+
+def test_term_score_golden(idx):
+    # manual BM25 for term 'quick' in doc 3 (freq=2, len=3)
+    hits = idx.search(TermQuery("quick"), 10)
+    w = bm25.weight(1.0, bm25.idf(2, 5))
+    cache = bm25.norm_inverse_cache(bm25.avgdl(17, 5))
+    inv = cache[int_to_byte4(3)]
+    expect3 = np.float32(w - w / (np.float32(1) + np.float32(2) * inv))
+    assert hits[0][0] == 3
+    assert hits[0][1] == expect3
+    assert {d for d, _ in hits} == {1, 3}
+
+
+def test_tie_break_doc_asc(idx):
+    # 'dog' appears once in docs 0,2,4; docs 2 and 4 have same length (3)
+    hits = idx.search(TermQuery("dog"), 10)
+    scores = [float(s) for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+    same = [d for d, s in hits if s == hits[0][1]]
+    assert same == sorted(same)
+
+
+def test_boolean_conjunction(idx):
+    q = BooleanQuery(must=[TermQuery("quick"), TermQuery("fox")])
+    hits = idx.search(q, 10)
+    assert {d for d, _ in hits} == {1, 3}
+    # score = double-sum of the two term scores, cast f32
+    tq = dict(idx.search(TermQuery("quick"), 10))
+    tf = dict(idx.search(TermQuery("fox"), 10))
+    for d, s in hits:
+        assert s == np.float32(float(tq[d]) + float(tf[d]))
+
+
+def test_boolean_must_not_and_filter(idx):
+    q = BooleanQuery(must=[TermQuery("dog")], must_not=[TermQuery("lazy")])
+    assert {d for d, _ in idx.search(q, 10)} == {0, 4}
+    qf = BooleanQuery(must=[TermQuery("dog")], filter=[TermQuery("barks")])
+    hits = idx.search(qf, 10)
+    assert [d for d, _ in hits] == [4]
+    # FILTER does not contribute to score
+    tq = dict(idx.search(TermQuery("dog"), 10))
+    assert hits[0][1] == np.float32(float(tq[4]))
+
+
+def test_min_should_match(idx):
+    q = BooleanQuery(
+        should=[TermQuery("quick"), TermQuery("brown"), TermQuery("barks")],
+        min_should_match=2,
+    )
+    # doc1 has quick+brown; doc4 has brown+barks; doc3 only quick
+    assert {d for d, _ in idx.search(q, 10)} == {1, 4}
+
+
+def test_duplicate_should_scores_twice(idx):
+    q1 = idx.search(BooleanQuery(should=[TermQuery("fox")]), 10)
+    q2 = idx.search(BooleanQuery(should=[TermQuery("fox"), TermQuery("fox")]), 10)
+    for (d1, s1), (d2, s2) in zip(q1, q2):
+        assert d1 == d2
+        assert s2 == np.float32(float(s1) + float(s1))
+
+
+def test_boost(idx):
+    plain = idx.search(TermQuery("fox"), 10)
+    boosted = idx.search(BoostQuery(TermQuery("fox"), 2.0), 10)
+    w1 = bm25.weight(1.0, bm25.idf(3, 5))
+    w2 = bm25.weight(2.0, bm25.idf(3, 5))
+    cache = bm25.norm_inverse_cache(idx.avgdl())
+    for (d1, s1), (d2, s2) in zip(plain, boosted):
+        assert d1 == d2
+        inv = cache[idx.norm_bytes[d1]]
+        assert s2 == np.float32(
+            w2 - w2 / (np.float32(1) + np.float32(idx.postings["fox"][d1]) * inv)
+        )
+
+
+def test_match_all(idx):
+    hits = idx.search(MatchAllDocsQuery(), 10)
+    assert len(hits) == 5
+    assert all(s == np.float32(1.0) for _, s in hits)
+
+
+def test_absent_term(idx):
+    assert idx.search(TermQuery("zzzmissing"), 10) == []
+
+
+def test_parse_and_rewrite_roundtrip(idx):
+    q = parse_query(
+        '{"bool": {"must": [{"term": "dog"}], "must_not": [{"term": "lazy"}]}}'
+    )
+    q = rewrite_fixpoint(q)
+    assert {d for d, _ in idx.search(q, 10)} == {0, 4}
+
+
+def test_rewrite_rules():
+    assert repr(rewrite_fixpoint(BooleanQuery())) == "MatchNone()"
+    assert repr(rewrite_fixpoint(BooleanQuery(must_not=[TermQuery("x")]))) == "MatchNone()"
+    inlined = rewrite_fixpoint(BooleanQuery(must=[TermQuery("x")]))
+    assert repr(inlined) == "Term('x')"
+    # msm == #should promotes to MUST (conjunction)
+    q = rewrite_fixpoint(
+        BooleanQuery(should=[TermQuery("a"), TermQuery("b")], min_should_match=2)
+    )
+    assert isinstance(q, BooleanQuery) and len(q.must) == 2 and not q.should
+    # msm > #should -> none
+    assert repr(
+        rewrite_fixpoint(BooleanQuery(should=[TermQuery("a")], min_should_match=3))
+    ) == "MatchNone()"

@@ -1,0 +1,91 @@
+"""SmallFloat int4/byte4 quantization — bit-exact parity with the reference.
+
+Golden values computed by hand from ``SmallFloat.java:103-167`` semantics;
+property tests cover encoding-class boundaries (SURVEY.md §7 R5).
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.smallfloat import (
+    LENGTH_TABLE,
+    MAX_INT4,
+    NUM_FREE_VALUES,
+    byte4_to_int,
+    byte4_to_int_np,
+    int4_to_long,
+    int_to_byte4,
+    int_to_byte4_np,
+    long_to_int4,
+)
+
+
+def test_constants():
+    assert long_to_int4(2**31 - 1) == MAX_INT4 == 231
+    assert NUM_FREE_VALUES == 24
+
+
+def test_free_values_exact():
+    for i in range(NUM_FREE_VALUES):
+        assert int_to_byte4(i) == i
+        assert byte4_to_int(i) == i
+
+
+def test_long_to_int4_goldens():
+    # subnormal region
+    for i in range(8):
+        assert long_to_int4(i) == i
+        assert int4_to_long(i) == i
+    # normal: 8..15 encode exactly (numBits=4, shift=0)
+    for i in range(8, 16):
+        assert int4_to_long(long_to_int4(i)) == i
+    # 4 significant bits: 17 -> 16
+    assert int4_to_long(long_to_int4(17)) == 16
+    assert int4_to_long(long_to_int4(31)) == 30  # 31 = 0b11111 -> keep 0b1111<<1
+    assert int4_to_long(long_to_int4(100)) == 96
+
+
+def test_order_preserving_and_idempotent():
+    vals = np.unique(np.concatenate([
+        np.arange(0, 4100),
+        (2 ** np.arange(4, 31)).astype(np.int64),
+        (2 ** np.arange(4, 31)).astype(np.int64) - 1,
+        (2 ** np.arange(4, 31)).astype(np.int64) + 1,
+        np.array([2**31 - 1]),
+    ]))
+    enc = np.array([int_to_byte4(int(v)) for v in vals])
+    # order-preserving (non-decreasing)
+    assert (np.diff(enc) >= 0).all()
+    dec = np.array([byte4_to_int(int(e)) for e in enc])
+    # decode <= original, and re-encode is stable
+    assert (dec <= vals).all()
+    for d, e in zip(dec.tolist(), enc.tolist()):
+        assert int_to_byte4(d) == e
+
+
+def test_numpy_matches_scalar():
+    vals = np.unique(np.concatenate([
+        np.arange(0, 5000),
+        np.random.default_rng(7).integers(0, 2**31 - 1, size=20000),
+        np.array([0, 1, 23, 24, 25, 2**31 - 1]),
+    ]))
+    enc_np = int_to_byte4_np(vals)
+    enc_sc = np.array([int_to_byte4(int(v)) for v in vals], dtype=np.uint8)
+    np.testing.assert_array_equal(enc_np, enc_sc)
+    dec_np = byte4_to_int_np(np.arange(256))
+    dec_sc = np.array([byte4_to_int(i) for i in range(256)])
+    np.testing.assert_array_equal(dec_np, dec_sc)
+
+
+def test_length_table():
+    assert LENGTH_TABLE.shape == (256,)
+    assert LENGTH_TABLE[0] == 0
+    assert (np.diff(LENGTH_TABLE) >= 0).all()
+    assert LENGTH_TABLE[255] == byte4_to_int(255)
+
+
+def test_negative_raises():
+    with pytest.raises(ValueError):
+        int_to_byte4(-1)
+    with pytest.raises(ValueError):
+        long_to_int4(-5)
