@@ -94,11 +94,28 @@ def _bit_width(vals: np.ndarray) -> int:
 
 # ---------------------------------------------------------------- blocks
 
-def encode_block(doc_ids: np.ndarray, freqs: np.ndarray, prev_last_doc: int) -> bytes:
-    """Encode one block (<=256 postings, sorted doc_ids, freqs>=1)."""
+def encode_block(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    prev_last_doc: int,
+    norm_bytes: np.ndarray,
+) -> bytes:
+    """Encode one block (<=256 postings, sorted doc_ids, freqs>=1).
+
+    Unlike the reference (norms in a separate per-segment file read locally,
+    ``Lucene90NormsFormat``), we colocate the 1-byte norm with each posting:
+    on a distributed engine a query-time doc_id->norm join would shuffle the
+    full norms table per query, which does not survive a 100x scale-up. The
+    cost is <=1 byte/posting, FOR-packed.
+    """
     docs = np.asarray(doc_ids, dtype=np.int64)
     fr = np.asarray(freqs, dtype=np.int64)
+    nb = (np.asarray(norm_bytes, dtype=np.int64) & 0xFF)
     deltas = np.diff(docs, prepend=prev_last_doc)
+    wn = _bit_width(nb.astype(np.uint64))
+    norm_part = np.concatenate(
+        [np.array([wn], dtype=np.uint8), for_pack(nb.astype(np.uint64), wn)]
+    )
     if docs.size == BLOCK_SIZE:
         wd = _bit_width(deltas.astype(np.uint64))
         wf = _bit_width(fr.astype(np.uint64))
@@ -107,6 +124,7 @@ def encode_block(doc_ids: np.ndarray, freqs: np.ndarray, prev_last_doc: int) -> 
             for_pack(deltas.astype(np.uint64), wd),
             np.array([wf], dtype=np.uint8),
             for_pack(fr.astype(np.uint64), wf),
+            norm_part,
         ]
         return b"".join(p.tobytes() for p in parts)
     # tail: interleaved VInt with freq folding
@@ -118,26 +136,38 @@ def encode_block(doc_ids: np.ndarray, freqs: np.ndarray, prev_last_doc: int) -> 
             codes.append(d << 1)
             codes.append(f)
     body = vint_encode(np.array(codes, dtype=np.uint64))
-    return bytes([_TAIL_MARKER]) + body.tobytes()
+    return bytes([_TAIL_MARKER]) + body.tobytes() + norm_part.tobytes()
 
 
-def decode_block(data: bytes, num_docs: int, prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one block -> (doc_ids int64, freqs int64)."""
+def decode_block(
+    data: bytes, num_docs: int, prev_last_doc: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block -> (doc_ids, freqs, norm_bytes) int64 arrays."""
     buf = np.frombuffer(data, dtype=np.uint8)
+
+    def _norms(off: int) -> np.ndarray:
+        wn = int(buf[off])
+        return for_unpack(buf[off + 1 :], wn, num_docs).astype(np.int64)
+
     if buf.size and buf[0] == _TAIL_MARKER:
-        flat = vint_decode(buf[1:]).astype(np.int64)
+        # vint stream is self-delimiting per value; find its byte length by
+        # counting terminator bytes (high bit clear) until we have all values
+        body = buf[1:]
+        ends = np.flatnonzero((body & 0x80) == 0)
+        flat_all = vint_decode(body[: ends[-1] + 1]) if ends.size else np.zeros(0, np.uint64)
         deltas = np.empty(num_docs, dtype=np.int64)
         freqs = np.empty(num_docs, dtype=np.int64)
         i = 0
         for k in range(num_docs):
-            code = int(flat[i]); i += 1
+            code = int(flat_all[i]); i += 1
             deltas[k] = code >> 1
             if code & 1:
                 freqs[k] = 1
             else:
-                freqs[k] = int(flat[i]); i += 1
+                freqs[k] = int(flat_all[i]); i += 1
+        vint_len = int(ends[i - 1]) + 1 if i > 0 else 0
         docs = np.cumsum(deltas) + prev_last_doc
-        return docs, freqs
+        return docs, freqs, _norms(1 + vint_len)
     wd = int(buf[0])
     nd = (num_docs * wd + 7) // 8
     deltas = for_unpack(buf[1 : 1 + nd], wd, num_docs).astype(np.int64)
@@ -145,7 +175,7 @@ def decode_block(data: bytes, num_docs: int, prev_last_doc: int) -> tuple[np.nda
     nf = (num_docs * wf + 7) // 8
     freqs = for_unpack(buf[2 + nd : 2 + nd + nf], wf, num_docs).astype(np.int64)
     docs = np.cumsum(deltas) + prev_last_doc
-    return docs, freqs
+    return docs, freqs, _norms(2 + nd + nf)
 
 
 def competitive_impacts(freqs: np.ndarray, norm_bytes: np.ndarray) -> tuple[list[int], list[int]]:
@@ -182,7 +212,6 @@ def encode_postings(
     fr = np.asarray(freqs, dtype=np.int64)
     nb = np.asarray(norm_bytes, dtype=np.int64)
     out = []
-    prev_last = 0
     for bi in range(0, docs.size, BLOCK_SIZE):
         d = docs[bi : bi + BLOCK_SIZE]
         f = fr[bi : bi + BLOCK_SIZE]
@@ -194,25 +223,36 @@ def encode_postings(
                 "first_doc": int(d[0]),
                 "last_doc": int(d[-1]),
                 "num_docs": int(d.size),
-                "data": encode_block(d, f, prev_last),
+                "ttf": int(f.sum()),
+                # delta base = own first_doc, NOT the previous block's last doc
+                # (Lucene chains blocks sequentially in one file,
+                # Lucene104PostingsFormat.java:180-190; a distributed scan
+                # needs every block independently decodable because Arrow
+                # batches split a term's blocks across tasks)
+                "data": encode_block(d, f, int(d[0]), n),
                 "impact_freqs": imp_f,
                 "impact_norms": imp_n,
             }
         )
-        prev_last = int(d[-1])
     return out
 
 
-def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of encode_postings over an ordered block list."""
+def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of encode_postings over an ordered block list ->
+    (doc_ids, freqs, norm_bytes)."""
     docs_all: list[np.ndarray] = []
     freqs_all: list[np.ndarray] = []
-    prev_last = 0
+    norms_all: list[np.ndarray] = []
     for blk in sorted(blocks, key=lambda x: x["block_id"]):
-        d, f = decode_block(blk["data"], blk["num_docs"], prev_last)
+        d, f, n = decode_block(blk["data"], blk["num_docs"], blk["first_doc"])
         docs_all.append(d)
         freqs_all.append(f)
-        prev_last = int(d[-1])
+        norms_all.append(n)
     if not docs_all:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    return np.concatenate(docs_all), np.concatenate(freqs_all)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(docs_all),
+        np.concatenate(freqs_all),
+        np.concatenate(norms_all),
+    )

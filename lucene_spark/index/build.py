@@ -1,0 +1,366 @@
+"""Distributed index build: per-partition segment construction + manifest.
+
+Spark-first re-expression of the reference's indexing chain (public Apache
+Lucene source, for semantics only):
+
+  - one Spark task builds one segment, like one DWPT builds an in-memory
+    segment with no cross-thread sync (``DocumentsWriterPerThread.java:52``);
+    we use ``groupBy(shard).applyInPandas`` so a whole shard arrives as one
+    pandas frame.
+  - docIDs are dense, 0-based, assigned in stable (conv_id, turn_idx) order
+    (insertion-order analog of ``IndexingChain.java:552``); shard doc-ranges
+    are disjoint and ordered, so docIDs are globally dense with no remap at
+    merge time (vs ``DocIDMerger.java:73-99``).
+  - per-field norms: ``SmallFloat.intToByte4(field_len)`` with
+    discountOverlaps (``Similarity.java:153-164``).
+  - flush -> codec: terms sorted, postings delta-block-encoded with impact
+    skylines (``FreqProxTermsWriter.java:83-131`` ->
+    ``Lucene104PostingsWriter``), here via lucene_spark.functions.codec.
+  - commit: a generational manifest written atomically LAST
+    (``SegmentInfos.java:124-135`` ``segments_N`` analog) records per-segment
+    lineage + metrics; a rerun skips completed segments (resumable build).
+
+Scale notes (the design must survive 10^12 turns / 1000 executors):
+  - shard boundaries are computed ONCE over the sorted conv_id domain and
+    persisted in the manifest, so resume re-derives the identical partitioning
+    (at sandbox scale we sort the distinct conv_ids exactly; at 10^12 turns the
+    same slot takes persisted approx-quantile boundaries — the contract is
+    only "boundaries are frozen in the manifest at first run").
+  - no global window/row_number (single-partition bottleneck): dense docIDs
+    come from per-shard counts + cumulative offsets, one tiny collect.
+  - all row work is vectorized pandas/numpy inside Arrow UDFs; segment files
+    are written executor-side with pyarrow (fixed per-segment filenames, so
+    task retries overwrite idempotently), only O(num_segments) metadata rows
+    return to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+
+POSTINGS_FIELDS = [
+    ("term", "string"),
+    ("segment_id", "int"),
+    ("block_id", "int"),
+    ("first_doc", "long"),
+    ("last_doc", "long"),
+    ("num_docs", "int"),
+    ("ttf", "long"),
+    ("data", "binary"),
+    ("impact_freqs", "array<int>"),
+    ("impact_norms", "array<int>"),
+]
+
+SEGMENT_META_SCHEMA = (
+    "segment_id int, doc_lo long, num_docs long, sum_field_len long, "
+    "num_terms long, num_postings long, num_blocks long, postings_bytes long, "
+    "input_rows long, conv_lo string, conv_hi string, checksum long, wall_s double"
+)
+
+
+@dataclass
+class IndexConfig:
+    num_segments: int = 8
+    term_buckets: int = 16
+    # terms with global df >= this are "hot": kept segment-blocked in the
+    # merge (salted pass-through) instead of being re-gathered in one task
+    hot_term_df: int = 1 << 16
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+
+# ------------------------------------------------------------------ manifest
+
+def load_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic publish: write tmp, fsync, rename (SegmentInfos commit analog)."""
+    os.makedirs(index_dir, exist_ok=True)
+    p = os.path.join(index_dir, MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+
+
+# ------------------------------------------------------------------ build
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the inverted index for a transcripts DataFrame.
+
+    Returns the final manifest. Artifacts under ``index_dir``:
+      docmap/segment=K/         doc_id -> (conv_id, turn_idx, role, tool, ts,
+                                field_len, norm_byte)   [doc_norms included]
+      postings_local/segment=K/ per-segment posting blocks
+      manifest.json             config + boundaries + per-segment lineage
+    """
+    config = config or IndexConfig()
+    manifest = load_manifest(index_dir) if resume else None
+
+    if manifest is None:
+        boundaries = _compute_boundaries(transcripts, config.num_segments)
+        manifest = {
+            "version": 1,
+            "generation": 0,
+            "config": config.to_json(),
+            "boundaries": boundaries,
+            "shards": {},
+            "completed": {},
+            "merged": False,
+        }
+        write_manifest(index_dir, manifest)
+    else:
+        boundaries = manifest["boundaries"]
+        config = IndexConfig(**manifest["config"])
+
+    n_shards = len(boundaries) + 1
+    assigned = _assign_shards(transcripts, boundaries)
+
+    # shard -> row count (tiny collect; derives the dense docID offsets)
+    counts_rows = assigned.groupBy("shard_id").count().collect()
+    counts = {int(r["shard_id"]): int(r["count"]) for r in counts_rows}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for sid in range(n_shards):
+        offsets[sid] = acc
+        acc += counts.get(sid, 0)
+
+    if manifest["shards"]:
+        prev = {int(k): v for k, v in manifest["shards"].items()}
+        if {k: v["count"] for k, v in prev.items()} != {
+            k: counts.get(k, 0) for k in range(n_shards)
+        }:
+            raise ValueError(
+                "input changed since last build (shard counts differ); "
+                "pass resume=False to rebuild"
+            )
+    manifest["shards"] = {
+        str(sid): {"offset": offsets[sid], "count": counts.get(sid, 0)}
+        for sid in range(n_shards)
+    }
+    write_manifest(index_dir, manifest)
+
+    done = {int(k) for k in manifest["completed"]}
+    pending = [s for s in range(n_shards) if s not in done and counts.get(s, 0) > 0]
+    if pending:
+        part = assigned.filter(F.col("shard_id").isin(pending))
+        meta = part.groupBy("shard_id").applyInPandas(
+            _make_segment_builder(index_dir, offsets), schema=SEGMENT_META_SCHEMA
+        )
+        rows = meta.collect()
+        for r in rows:
+            d = r.asDict()
+            manifest["completed"][str(int(d["segment_id"]))] = {
+                k: (int(v) if isinstance(v, (int, np.integer)) else v)
+                for k, v in d.items()
+                if k != "segment_id"
+            }
+        manifest["generation"] += 1
+        write_manifest(index_dir, manifest)
+
+    return manifest
+
+
+def _compute_boundaries(transcripts: DataFrame, num_segments: int) -> list[str]:
+    """Split the sorted conv_id domain into num_segments contiguous ranges.
+
+    Exact distinct-sort here (sandbox scale); at 10^12 turns substitute
+    persisted approx-quantiles of conv_id — the manifest freezes whatever
+    boundaries the first run chose, which is all resume needs.
+    """
+    convs = [r[0] for r in transcripts.select("conv_id").distinct().orderBy("conv_id").collect()]
+    if not convs:
+        return []
+    n = min(num_segments, len(convs))
+    bounds = []
+    for i in range(1, n):
+        bounds.append(convs[(len(convs) * i) // n])
+    return sorted(set(bounds))
+
+
+def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
+    """Add shard_id via vectorized searchsorted over the frozen boundaries."""
+    bnd = np.array(boundaries, dtype=object)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def shard_of(conv: pd.Series) -> pd.Series:
+        if bnd.size == 0:
+            return pd.Series(np.zeros(len(conv), dtype=np.int32))
+        idx = np.searchsorted(bnd, conv.to_numpy(dtype=object), side="right")
+        return pd.Series(idx.astype(np.int32))
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    return transcripts.select(*cols).withColumn("shard_id", shard_of(F.col("conv_id")))
+
+
+def _make_segment_builder(index_dir: str, offsets: dict[int, int]):
+    """Returns the applyInPandas function building one segment per shard."""
+
+    def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_spark.functions.analysis import analyze_series
+        from lucene_spark.functions.codec import encode_postings
+        from lucene_spark.functions.smallfloat import int_to_byte4_np
+
+        t0 = time.time()
+        sid = int(key[0])
+        offset = offsets[sid]
+
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        doc_ids = offset + np.arange(n, dtype=np.int64)
+
+        tokens = analyze_series(pdf["text"])
+        flen = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+        norm_bytes = int_to_byte4_np(flen).astype(np.int64)
+
+        # ---- docmap (+ norms)
+        seg_dir = os.path.join(index_dir, "docmap", f"segment={sid}")
+        os.makedirs(seg_dir, exist_ok=True)
+        docmap = pa.table(
+            {
+                "doc_id": doc_ids,
+                "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+                "turn_idx": pdf["turn_idx"].to_numpy(dtype=np.int32),
+                "role": pdf["role"].to_numpy(dtype=object),
+                "tool": pdf["tool"].to_numpy(dtype=object),
+                # Spark cannot read TIMESTAMP(NANOS) parquet; store micros
+                "ts": pa.array(pdf["ts"]).cast(pa.timestamp("us")),
+                "field_len": flen.astype(np.int32),
+                "norm_byte": norm_bytes.astype(np.int32),
+            }
+        )
+        pq.write_table(docmap, os.path.join(seg_dir, "data.parquet"))
+
+        # ---- in-memory postings: explode -> (term, doc) freq -> sort
+        exploded = tokens.explode().dropna()
+        term_arr = exploded.to_numpy(dtype=object)
+        doc_arr = doc_ids[exploded.index.to_numpy(dtype=np.int64)]
+        tp = pd.DataFrame({"term": term_arr, "doc": doc_arr})
+        grouped = (
+            tp.groupby(["term", "doc"], sort=True).size().rename("freq").reset_index()
+        )
+
+        # per-term slices (terms sorted; docs sorted within term)
+        terms = grouped["term"].to_numpy(dtype=object)
+        docs = grouped["doc"].to_numpy(dtype=np.int64)
+        freqs = grouped["freq"].to_numpy(dtype=np.int64)
+        norm_of_doc = norm_bytes[docs - offset]
+
+        rows: dict[str, list] = {k: [] for k, _ in POSTINGS_FIELDS}
+        if terms.size:
+            starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+            ends = np.concatenate((starts[1:], [terms.size]))
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+            ends = np.zeros(0, dtype=np.int64)
+        num_postings = 0
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            blocks = encode_postings(docs[s:e], freqs[s:e], norm_of_doc[s:e])
+            num_postings += e - s
+            for blk in blocks:
+                rows["term"].append(terms[s])
+                rows["segment_id"].append(sid)
+                rows["block_id"].append(blk["block_id"])
+                rows["first_doc"].append(blk["first_doc"])
+                rows["last_doc"].append(blk["last_doc"])
+                rows["num_docs"].append(blk["num_docs"])
+                rows["ttf"].append(blk["ttf"])
+                rows["data"].append(blk["data"])
+                rows["impact_freqs"].append(blk["impact_freqs"])
+                rows["impact_norms"].append(blk["impact_norms"])
+
+        post_dir = os.path.join(index_dir, "postings_local", f"segment={sid}")
+        os.makedirs(post_dir, exist_ok=True)
+        ptable = pa.table(
+            {
+                "term": pa.array(rows["term"], type=pa.string()),
+                "segment_id": pa.array(rows["segment_id"], type=pa.int32()),
+                "block_id": pa.array(rows["block_id"], type=pa.int32()),
+                "first_doc": pa.array(rows["first_doc"], type=pa.int64()),
+                "last_doc": pa.array(rows["last_doc"], type=pa.int64()),
+                "num_docs": pa.array(rows["num_docs"], type=pa.int32()),
+                "ttf": pa.array(rows["ttf"], type=pa.int64()),
+                "data": pa.array(rows["data"], type=pa.binary()),
+                "impact_freqs": pa.array(rows["impact_freqs"], type=pa.list_(pa.int32())),
+                "impact_norms": pa.array(rows["impact_norms"], type=pa.list_(pa.int32())),
+            }
+        )
+        pq.write_table(ptable, os.path.join(post_dir, "data.parquet"))
+
+        checksum = (
+            int(pd.util.hash_pandas_object(pdf[["conv_id", "turn_idx"]], index=False).sum())
+            & 0x7FFFFFFFFFFFFFFF
+        )
+        meta = pd.DataFrame(
+            [
+                {
+                    "segment_id": sid,
+                    "doc_lo": int(offset),
+                    "num_docs": int(n),
+                    "sum_field_len": int(flen.sum()),
+                    "num_terms": int(starts.size),
+                    "num_postings": int(num_postings),
+                    "num_blocks": int(len(rows["term"])),
+                    "postings_bytes": int(sum(len(b) for b in rows["data"])),
+                    "input_rows": int(n),
+                    "conv_lo": str(pdf["conv_id"].iloc[0]),
+                    "conv_hi": str(pdf["conv_id"].iloc[-1]),
+                    "checksum": checksum,
+                    "wall_s": float(time.time() - t0),
+                }
+            ]
+        )
+        return meta
+
+    return build_segment
+
+
+# ------------------------------------------------------------------ readers
+
+def collection_stats(manifest: dict) -> tuple[int, int]:
+    """(doc_count, sum_total_term_freq) — summed over all segments, the
+    CollectionStatistics analog (IndexSearcher.java:1134-1149)."""
+    doc_count = sum(int(v["num_docs"]) for v in manifest["completed"].values())
+    sum_ttf = sum(int(v["sum_field_len"]) for v in manifest["completed"].values())
+    return doc_count, sum_ttf
+
+
+def read_postings_local(spark: SparkSession, index_dir: str) -> DataFrame:
+    # drop the hive-partition column derived from segment=K dirs
+    # (segment_id is stored explicitly in the rows)
+    return spark.read.parquet(os.path.join(index_dir, "postings_local")).drop("segment")
+
+
+def read_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "docmap"))

@@ -1,0 +1,171 @@
+"""Global merge: term-partitioned shuffle with hot-term salting + term_dict.
+
+The Spark analog of the reference's segment merge (public Apache Lucene
+source, semantics only): ``SegmentMerger.mergeTerms`` does a k-way sorted-term
+union with docID remapping (``SegmentMerger.java:114-182``,
+``FieldsConsumer.java:72``). Our docIDs are already global and per-segment doc
+ranges are disjoint & ordered, so "merge" is a layout + stats job, not a
+remap:
+
+  1. ``term_dict``: global (doc_freq, total_term_freq) per term via a plain
+     groupBy-sum — map-side partial aggregation makes Zipf skew harmless here.
+  2. ``postings``: the query-facing table, hash-partitioned into
+     ``term_bucket`` directories and sorted by term within files so a term
+     lookup prunes both partitions and parquet row groups.
+     - cold terms (df < hot_term_df): all blocks of a term are re-gathered in
+       one applyInPandas group and re-encoded into dense 256-doc blocks
+       (tiny tail blocks from many segments collapse into full blocks).
+     - hot terms (df >= hot_term_df — the Zipf head; StandardAnalyzer keeps
+       stopwords!): NEVER gathered into one task. Their per-segment blocks are
+       already globally ordered (disjoint doc ranges), so they pass through
+       unchanged and the shuffle spreads them by (term, segment) — this is the
+       explicit skew-salting stage (SURVEY.md §7 R3). At 10^12 turns a
+       stopword's posting list is ~10^11 entries; any design that funnels it
+       through one task is dead on arrival.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import (
+    IndexConfig,
+    load_manifest,
+    read_postings_local,
+    write_manifest,
+)
+
+MERGED_SEGMENT_ID = -1
+
+_POSTINGS_SCHEMA = (
+    "term string, segment_id int, block_id int, first_doc long, last_doc long, "
+    "num_docs int, ttf long, data binary, "
+    "impact_freqs array<int>, impact_norms array<int>"
+)
+
+
+def merge_index(spark: SparkSession, index_dir: str) -> dict:
+    """Produce ``term_dict/`` and query-facing ``postings/`` from
+    ``postings_local/``; marks the manifest merged."""
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f"no manifest at {index_dir}; build first")
+    config = IndexConfig(**manifest["config"])
+    local = read_postings_local(spark, index_dir)
+
+    # ---- 1. term_dict (map-side combine handles skew)
+    term_dict = (
+        local.groupBy("term")
+        .agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("ttf").cast("long").alias("total_term_freq"),
+            F.count("*").cast("long").alias("num_blocks"),
+        )
+    )
+    td_path = os.path.join(index_dir, "term_dict")
+    (
+        term_dict.repartitionByRange(max(spark.sparkContext.defaultParallelism // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(td_path)
+    )
+    term_dict = spark.read.parquet(td_path)
+
+    # ---- 2. global postings
+    hot = config.hot_term_df
+    df_of_term = term_dict.select("term", "doc_freq")
+    tagged = local.join(F.broadcast(df_of_term.filter(F.col("doc_freq") >= hot)),
+                        on="term", how="left")
+    # (broadcast of the hot-term list: Zipf head is tiny by construction)
+    cold = tagged.filter(F.col("doc_freq").isNull()).drop("doc_freq")
+    hot_rows = tagged.filter(F.col("doc_freq").isNotNull()).drop("doc_freq")
+
+    merged_cold = cold.groupBy("term").applyInPandas(_remerge_term, _POSTINGS_SCHEMA)
+
+    buckets = config.term_buckets
+    out = merged_cold.unionByName(hot_rows).withColumn(
+        "term_bucket", term_bucket_col(buckets)
+    )
+    post_path = os.path.join(index_dir, "postings")
+    (
+        out.repartition(buckets, "term_bucket")
+        .sortWithinPartitions("term", "segment_id", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(post_path)
+    )
+
+    manifest["merged"] = True
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def _remerge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Re-encode one cold term's blocks from all segments into dense blocks.
+
+    Segment doc ranges are disjoint and ascending in segment_id, so ordering
+    by (segment_id, block_id) yields globally sorted docIDs — concatenate and
+    re-block, no remap (contrast DocIDMerger.java:73-99).
+    """
+    from lucene_spark.functions.codec import decode_block, encode_postings
+
+    term = key[0]
+    pdf = pdf.sort_values(["segment_id", "block_id"])
+    parts = [
+        decode_block(r.data, int(r.num_docs), int(r.first_doc))
+        for r in pdf.itertuples(index=False)
+    ]
+    docs = np.concatenate([p[0] for p in parts])
+    freqs = np.concatenate([p[1] for p in parts])
+    norms = np.concatenate([p[2] for p in parts])
+    out_rows = []
+    for blk in encode_postings(docs, freqs, norms):
+        out_rows.append(
+            {
+                "term": term,
+                "segment_id": MERGED_SEGMENT_ID,
+                "block_id": blk["block_id"],
+                "first_doc": blk["first_doc"],
+                "last_doc": blk["last_doc"],
+                "num_docs": blk["num_docs"],
+                "ttf": blk["ttf"],
+                "data": blk["data"],
+                "impact_freqs": blk["impact_freqs"],
+                "impact_norms": blk["impact_norms"],
+            }
+        )
+    return pd.DataFrame(out_rows)
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "postings"))
+
+
+def read_term_dict(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "term_dict"))
+
+
+def term_bucket_col(buckets: int):
+    """Bucket expression: first 8 hex chars of md5(term) mod buckets.
+
+    md5 is identical in Spark, DuckDB and Python hashlib, so the driver can
+    compute a term's bucket locally (partition pruning without a Spark job)
+    and oracle SQL can reproduce it."""
+    return (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % F.lit(buckets)
+    ).cast("int")
+
+
+def term_bucket_of(term: str, buckets: int) -> int:
+    """Driver-side bucket of a term (must match term_bucket_col)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % buckets

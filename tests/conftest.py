@@ -1,0 +1,46 @@
+import os
+import shutil
+
+import pytest
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from lucene_spark.session import get_spark
+
+    s = get_spark(app_name="lucene_spark-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """Deterministic transcript corpus shared by Spark/oracle parity tests."""
+    from lucene_spark.sources.transcripts import generate_pandas
+
+    return generate_pandas(n_convs=60, seed=42, vocab_size=800, max_turns=12)
+
+
+@pytest.fixture(scope="session")
+def built_index(spark, small_corpus, tmp_path_factory):
+    """Build + merge the small corpus once per session."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.sources.transcripts import generate_spark
+
+    index_dir = str(tmp_path_factory.mktemp("index") / "idx")
+    sdf = spark.createDataFrame(small_corpus)
+    cfg = IndexConfig(num_segments=5, term_buckets=8, hot_term_df=64)
+    build_index(spark, sdf, index_dir, cfg)
+    merge_index(spark, index_dir)
+    return index_dir
+
+
+@pytest.fixture(scope="session")
+def oracle_index(small_corpus):
+    from lucene_spark.oracle import OracleIndex
+
+    rows = list(zip(small_corpus.conv_id, small_corpus.turn_idx, small_corpus.text))
+    return OracleIndex.build(rows)

@@ -48,10 +48,12 @@ def test_block_roundtrip(n):
     docs = np.sort(rng.choice(10**6, size=n, replace=False))
     freqs = rng.integers(1, 50, size=n)
     freqs[rng.random(n) < 0.6] = 1  # mostly freq==1 (freq-folding path)
-    data = encode_block(docs, freqs, prev_last_doc=0)
-    d, f = decode_block(data, n, prev_last_doc=0)
+    norms = rng.integers(0, 256, size=n)
+    data = encode_block(docs, freqs, prev_last_doc=0, norm_bytes=norms)
+    d, f, nb = decode_block(data, n, prev_last_doc=0)
     np.testing.assert_array_equal(d, docs)
     np.testing.assert_array_equal(f, freqs)
+    np.testing.assert_array_equal(nb, norms)
 
 
 @pytest.mark.parametrize("n", [1, 100, 256, 257, 1000, 5000])
@@ -62,9 +64,11 @@ def test_postings_roundtrip(n):
     norms = rng.integers(0, 256, size=n)
     blocks = encode_postings(docs, freqs, norms)
     assert len(blocks) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    d, f = decode_postings(blocks)
+    d, f, nb = decode_postings(blocks)
     np.testing.assert_array_equal(d, docs)
     np.testing.assert_array_equal(f, freqs)
+    np.testing.assert_array_equal(nb, norms)
+    assert sum(b["ttf"] for b in blocks) == int(freqs.sum())
     # block metadata is exact
     for blk in blocks:
         lo, hi = blk["block_id"] * BLOCK_SIZE, min(n, (blk["block_id"] + 1) * BLOCK_SIZE)

@@ -1,0 +1,187 @@
+"""End-to-end Spark engine tests: build -> merge -> check -> search, with
+rank identity (docIDs + bit-exact float32 scores) against the pure-Python
+oracle — the CheckHits/TestBoolean2 dual-execution idiom."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+
+def _spark_hits(searcher, q, k):
+    rows = searcher.search(rewrite_fixpoint(parse_query(q)), k).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+def _oracle_hits(oracle, q, k):
+    from lucene_spark.query.ast import expand_multi_term
+    qq = rewrite_fixpoint(parse_query(q))
+    qq = expand_multi_term(qq, sorted(oracle.postings))
+    return oracle.search(rewrite_fixpoint(qq), k)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    from lucene_spark.query.search import IndexSearcher
+
+    return IndexSearcher(spark, built_index)
+
+
+def test_manifest_and_stats(built_index, oracle_index, searcher):
+    from lucene_spark.index.build import load_manifest
+
+    m = load_manifest(built_index)
+    assert m["merged"] is True
+    assert searcher.doc_count == oracle_index.doc_count
+    assert searcher.sum_ttf == oracle_index.sum_total_term_freq
+    # per-segment lineage present
+    for seg in m["completed"].values():
+        for key in ("doc_lo", "num_docs", "sum_field_len", "conv_lo", "conv_hi", "checksum"):
+            assert key in seg
+
+
+def test_check_index(spark, built_index):
+    from lucene_spark.index.check import check_index
+
+    report = check_index(spark, built_index)
+    assert report["doc_count"] > 0
+    assert report["terms"] > 0
+
+
+def test_term_dict_matches_oracle(spark, built_index, oracle_index):
+    from lucene_spark.index.merge import read_term_dict
+
+    td = {
+        r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+        for r in read_term_dict(spark, built_index).collect()
+    }
+    assert set(td) == set(oracle_index.postings)
+    for t, (df, ttf) in td.items():
+        assert df == oracle_index.doc_freq(t), t
+        assert ttf == oracle_index.total_term_freq(t), t
+
+
+def test_norms_match_oracle(spark, built_index, oracle_index):
+    from lucene_spark.index.build import read_docmap
+
+    rows = read_docmap(spark, built_index).select("doc_id", "field_len", "norm_byte").collect()
+    assert len(rows) == oracle_index.doc_count
+    for r in rows:
+        d = int(r["doc_id"])
+        assert int(r["field_len"]) == oracle_index.field_lens[d], d
+        assert int(r["norm_byte"]) == oracle_index.norm_bytes[d], d
+
+
+def _pick_terms(oracle_index):
+    by_df = sorted(oracle_index.postings.items(), key=lambda kv: -len(kv[1]))
+    hot = by_df[0][0]
+    mid = by_df[len(by_df) // 10][0]
+    rare = next(t for t, p in by_df if len(p) == 1)
+    multi = next(
+        (t for t, p in by_df if any(f > 1 for f in p.values()) and 3 < len(p) < 50), mid
+    )
+    return hot, mid, rare, multi
+
+
+def test_rank_identity_term_queries(searcher, oracle_index):
+    hot, mid, rare, multi = _pick_terms(oracle_index)
+    for term in (hot, mid, rare, multi, "zzz-absent"):
+        q = json.dumps({"term": term})
+        s_hits = _spark_hits(searcher, q, 20)
+        o_hits = _oracle_hits(oracle_index, q, 20)
+        assert [d for d, _ in s_hits] == [d for d, _ in o_hits], term
+        for (sd, ss), (od, os_) in zip(s_hits, o_hits):
+            assert ss == os_, (term, sd, ss.tobytes().hex(), os_.tobytes().hex())
+
+
+BOOL_QUERIES = [
+    {"bool": {"must": [{"term": "{hot}"}, {"term": "{mid}"}]}},
+    {"bool": {"should": [{"term": "{mid}"}, {"term": "{multi}"}, {"term": "{rare}"}]}},
+    {"bool": {"must": [{"term": "{hot}"}], "must_not": [{"term": "{mid}"}]}},
+    {"bool": {"must": [{"term": "{hot}"}], "filter": [{"term": "{mid}"}]}},
+    {"bool": {"should": [{"term": "{hot}"}, {"term": "{mid}"}, {"term": "{multi}"}],
+              "min_should_match": 2}},
+    {"bool": {"must": [{"term": "{mid}"}],
+              "should": [{"term": "{hot}"}, {"term": "{rare}"}]}},
+    {"bool": {"should": [{"term": "{mid}"}, {"term": "{mid}"}]}},  # duplicate SHOULD
+    {"bool": {"must": [{"term": "{hot}", "boost": 2.0}],
+              "should": [{"term": "{mid}", "boost": 0.5}]}},
+]
+
+
+@pytest.mark.parametrize("tmpl", range(len(BOOL_QUERIES)))
+def test_rank_identity_boolean(searcher, oracle_index, tmpl):
+    hot, mid, rare, multi = _pick_terms(oracle_index)
+    q = json.dumps(BOOL_QUERIES[tmpl]).replace("{hot}", hot).replace("{mid}", mid)
+    q = q.replace("{rare}", rare).replace("{multi}", multi)
+    for k in (10, 100):
+        s_hits = _spark_hits(searcher, q, k)
+        o_hits = _oracle_hits(oracle_index, q, k)
+        assert [d for d, _ in s_hits] == [d for d, _ in o_hits], (tmpl, k)
+        for (sd, ss), (od, os_) in zip(s_hits, o_hits):
+            assert ss == os_, (tmpl, sd)
+
+
+def test_rank_identity_prefix_and_range(searcher, oracle_index):
+    hot, mid, _, _ = _pick_terms(oracle_index)
+    queries = [
+        json.dumps({"prefix": mid[:2]}),
+        json.dumps({"wildcard": mid[:1] + "*" + mid[-1]}),
+        json.dumps({"range": {"lower": mid[:1], "upper": mid[:1] + "zzz"}}),
+        json.dumps({"in": [hot, mid, "zz-none"]}),
+    ]
+    for q in queries:
+        s_hits = _spark_hits(searcher, q, 25)
+        o_hits = _oracle_hits(oracle_index, q, 25)
+        assert [d for d, _ in s_hits] == [d for d, _ in o_hits], q
+        for (sd, ss), (od, os_) in zip(s_hits, o_hits):
+            assert ss == os_, (q, sd)
+
+
+def test_stored_fields_join(searcher, small_corpus, oracle_index):
+    hot = _pick_terms(oracle_index)[0]
+    rows = searcher.search_with_fields(
+        rewrite_fixpoint(parse_query(json.dumps({"term": hot}))), 5
+    ).collect()
+    assert len(rows) == 5
+    corpus_sorted = small_corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for r in rows:
+        src = corpus_sorted.iloc[int(r["doc_id"])]
+        assert r["conv_id"] == src["conv_id"]
+        assert int(r["turn_idx"]) == int(src["turn_idx"])
+
+
+def test_resume_skips_completed(spark, small_corpus, tmp_path):
+    """Partial build -> resume -> identical index (FIXTURES.md F6)."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+
+    index_dir = str(tmp_path / "idx2")
+    sdf = spark.createDataFrame(small_corpus)
+    cfg = IndexConfig(num_segments=4, term_buckets=4, hot_term_df=64)
+    build_index(spark, sdf, index_dir, cfg)
+    m1 = load_manifest(index_dir)
+    assert len(m1["completed"]) == 4
+
+    # simulate a crashed build: drop two segments from the manifest
+    import shutil
+    for sid in ("1", "2"):
+        del m1["completed"][sid]
+        shutil.rmtree(os.path.join(index_dir, "postings_local", f"segment={sid}"))
+        shutil.rmtree(os.path.join(index_dir, "docmap", f"segment={sid}"))
+    from lucene_spark.index.build import write_manifest
+    write_manifest(index_dir, m1)
+
+    m2 = build_index(spark, sdf, index_dir, cfg)  # resume
+    assert len(m2["completed"]) == 4
+    # untouched segments keep their original metrics; rebuilt ones identical
+    full = load_manifest(index_dir)
+    for sid, seg in full["completed"].items():
+        assert seg["checksum"] == m2["completed"][sid]["checksum"]
+
+    # changing the input is detected
+    mutated = spark.createDataFrame(small_corpus.head(100))
+    with pytest.raises(ValueError, match="input changed"):
+        build_index(spark, mutated, index_dir, cfg)
