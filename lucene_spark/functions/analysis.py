@@ -83,3 +83,29 @@ def analyze_series(texts: pd.Series) -> pd.Series:
 
 def field_lengths(token_lists: pd.Series) -> np.ndarray:
     return token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+
+
+# ---------------------------------------------------------------- registry
+
+SIMPLE_RE = re.compile(r"[a-z0-9]+")
+SIMPLE_RE_SQL = "[a-z0-9]+"  # same pattern for DuckDB regexp_extract_all
+
+
+def analyze_series_simple(texts: pd.Series) -> pd.Series:
+    """`simple` analyzer: lowercase + [a-z0-9]+ runs. The pluggable-Analyzer
+    slot (Lucene custom Analyzer analog); chosen for the cross-engine oracle
+    because DuckDB can reproduce it exactly in SQL."""
+    return texts.fillna("").str.lower().str.findall(SIMPLE_RE)
+
+
+ANALYZERS = {
+    "standard": analyze_series,
+    "simple": analyze_series_simple,
+}
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}") from None

@@ -76,6 +76,8 @@ class IndexConfig:
     # terms with global df >= this are "hot": kept segment-blocked in the
     # merge (salted pass-through) instead of being re-gathered in one task
     hot_term_df: int = 1 << 16
+    # analysis chain (lucene_spark.functions.analysis.ANALYZERS)
+    analyzer: str = "standard"
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -171,7 +173,8 @@ def build_index(
     if pending:
         part = assigned.filter(F.col("shard_id").isin(pending))
         meta = part.groupBy("shard_id").applyInPandas(
-            _make_segment_builder(index_dir, offsets), schema=SEGMENT_META_SCHEMA
+            _make_segment_builder(index_dir, offsets, config.analyzer),
+            schema=SEGMENT_META_SCHEMA,
         )
         rows = meta.collect()
         for r in rows:
@@ -221,14 +224,14 @@ def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
     return transcripts.select(*cols).withColumn("shard_id", shard_of(F.col("conv_id")))
 
 
-def _make_segment_builder(index_dir: str, offsets: dict[int, int]):
+def _make_segment_builder(index_dir: str, offsets: dict[int, int], analyzer: str = "standard"):
     """Returns the applyInPandas function building one segment per shard."""
 
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from lucene_spark.functions.analysis import analyze_series
+        from lucene_spark.functions.analysis import get_analyzer
         from lucene_spark.functions.codec import encode_postings
         from lucene_spark.functions.smallfloat import int_to_byte4_np
 
@@ -240,7 +243,7 @@ def _make_segment_builder(index_dir: str, offsets: dict[int, int]):
         n = len(pdf)
         doc_ids = offset + np.arange(n, dtype=np.int64)
 
-        tokens = analyze_series(pdf["text"])
+        tokens = get_analyzer(analyzer)(pdf["text"])
         flen = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
         norm_bytes = int_to_byte4_np(flen).astype(np.int64)
 

@@ -1,0 +1,230 @@
+"""Compile flat Boolean BM25 queries to ANSI/DuckDB SQL.
+
+Dual-execution oracle generator: the emitted SQL recomputes the engine's
+exact result — including bit-identical float32 scores — on the raw corpus
+table, using only portable SQL (REAL casts for float32 ops, the `simple`
+[a-z0-9]+ analyzer that regexp_extract_all reproduces, and a closed-form
+SmallFloat intToByte4/byte4ToInt in CASE expressions).
+
+This is the engine's answer to the reference's CheckHits/TestBoolean2 idiom
+(optimized execution cross-checked against a dumb independent one), and it is
+what the driver's DuckDB correctness gate runs.
+
+Float32 discipline (verified bit-exact against numpy float32):
+  - DuckDB REAL op REAL evaluates in C float; every intermediate is CAST to
+    REAL exactly where the engine keeps float32.
+  - idf/avgdl computed in DOUBLE then CAST REAL (BM25Similarity.java:101-109).
+  - clause sum in DOUBLE, final CAST REAL (ConjunctionScorer.java:57-63).
+"""
+
+from __future__ import annotations
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    rewrite_fixpoint,
+)
+
+# SmallFloat.intToByte4 (closed form; {i} must be a non-negative int expr)
+B4_ENC = (
+    "CASE WHEN {i} < 24 THEN {i} ELSE 24 + ("
+    "CASE WHEN ({i}-24) < 8 THEN ({i}-24) "
+    "ELSE (((({i}-24) >> (CAST(floor(log2({i}-24)) AS INT) - 3)) & 7) "
+    "| ((CAST(floor(log2({i}-24)) AS INT) - 2) << 3)) END) END"
+)
+# SmallFloat.byte4ToInt
+B4_DEC = (
+    "CASE WHEN {b} < 24 THEN {b} ELSE 24 + ("
+    "CASE WHEN (({b}-24) >> 3) = 0 THEN ({b}-24) & 7 "
+    "ELSE ((({b}-24) & 7) | 8) << ((({b}-24) >> 3) - 1) END) END"
+)
+
+TOKEN_SQL = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+def _quantized_len(dl_expr: str) -> str:
+    """byte4ToInt(intToByte4(dl)) — the norm round-trip the scorer sees."""
+    return B4_DEC.format(b="(" + B4_ENC.format(i=dl_expr) + ")")
+
+
+def corpus_ctes(table: str, id_col: str, text_col: str) -> str:
+    """Shared CTEs: tokens, per-doc length, collection stats."""
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
+  FROM {table}
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) t
+    ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+
+
+def _norm_inv(dl_q: str) -> str:
+    """1f / (k1 * ((1-b) + b*len/avgdl)) in pure REAL ops (BM25Similarity
+    cache formula; avgdl comes from consts c)."""
+    return (
+        "(CAST(1 AS REAL) / (CAST(1.2 AS REAL) * ((CAST(1 AS REAL) - CAST(0.75 AS REAL)) + "
+        f"(CAST(0.75 AS REAL) * CAST({dl_q} AS REAL)) / c.avgdl)))"
+    )
+
+
+def _leaf_score(weight_expr: str, freq_expr: str, dl_expr: str) -> str:
+    inv = _norm_inv(_quantized_len(dl_expr))
+    return (
+        f"({weight_expr} - {weight_expr} / "
+        f"(CAST(1 AS REAL) + CAST({freq_expr} AS REAL) * {inv}))"
+    )
+
+
+def _idf_expr() -> str:
+    # ln in double, cast REAL; df/dc from joined tables
+    return "CAST(ln(1 + (c.dc - ldf.df + 0.5) / (ldf.df + 0.5)) AS REAL)"
+
+
+def _flat_clauses(q: Query) -> tuple[list[tuple[int, str, str, float]], int]:
+    """(clause_id, kind, term, boost) list + min_should_match; raises on
+    non-flat input (nested booleans not SQL-compiled)."""
+    q = rewrite_fixpoint(q)
+    if isinstance(q, (TermQuery, BoostQuery)):
+        q = BooleanQuery(must=[q])
+    if not isinstance(q, BooleanQuery):
+        raise ValueError(f"cannot compile {type(q).__name__}")
+    clauses = []
+    cid = 0
+    for kind, group in (
+        ("must", q.must), ("should", q.should),
+        ("filter", q.filter), ("must_not", q.must_not),
+    ):
+        for c in group:
+            boost = 1.0
+            if isinstance(c, BoostQuery):
+                boost, c = float(c.boost), c.query
+            if not isinstance(c, TermQuery):
+                raise ValueError("only flat term clauses are SQL-compiled")
+            clauses.append((cid, kind, c.term, boost))
+            cid += 1
+    return clauses, q.min_should_match
+
+
+def topk_sql(
+    q: Query,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Full top-k BM25 SQL for a flat Boolean query: (doc_id, score REAL),
+    score desc / doc_id asc, LIMIT k."""
+    clauses, msm = _flat_clauses(q)
+    n_must = sum(1 for c in clauses if c[1] == "must")
+    n_filter = sum(1 for c in clauses if c[1] == "filter")
+    values = ", ".join(
+        f"({cid}, '{kind}', '{term}', CAST({boost} AS REAL))"
+        for cid, kind, term, boost in clauses
+    )
+    if n_must + n_filter == 0:
+        msm_cond = f"should_n >= {max(msm, 1)}"
+    elif msm > 0:
+        msm_cond = f"should_n >= {msm}"
+    else:
+        msm_cond = "TRUE"
+    score = _leaf_score("(cl.boost * ldf.idf)", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+clauses(clause_id, kind, term, boost) AS (VALUES {values}),
+leaf_df AS (
+  SELECT cl.clause_id, cl.kind, cl.term, cl.boost,
+         {_idf_expr().replace('ldf.df', 'coalesce(df.df, 0)')} AS idf,
+         coalesce(df.df, 0) AS df
+  FROM clauses cl LEFT JOIN df ON df.term = cl.term, consts c
+),
+scored AS (
+  SELECT tf.doc_id, cl.clause_id, cl.kind,
+         {score.replace('ldf.idf', 'cl.idf')} AS score
+  FROM tf
+  JOIN (SELECT clause_id, kind, term, boost, idf FROM leaf_df) cl ON cl.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, consts c
+),
+agg AS (
+  SELECT doc_id,
+    sum(CASE WHEN kind = 'must' THEN CAST(score AS DOUBLE) END) AS must_s,
+    count(CASE WHEN kind = 'must' THEN 1 END) AS must_n,
+    sum(CASE WHEN kind = 'should' THEN CAST(score AS DOUBLE) END) AS should_s,
+    count(CASE WHEN kind = 'should' THEN 1 END) AS should_n,
+    count(CASE WHEN kind = 'filter' THEN 1 END) AS filter_n,
+    count(CASE WHEN kind = 'must_not' THEN 1 END) AS not_n
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(coalesce(must_s, 0) + coalesce(should_s, 0) AS REAL) AS score
+FROM agg
+WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def prefix_topk_sql(
+    prefix: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Top-k for a PrefixQuery: dynamic OR over all matching terms (pure
+    disjunction, msm=1), per-term idf — MultiTermQuery SHOULD-expansion."""
+    score = _leaf_score("ldf.idf", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+ldf AS (
+  SELECT term, df, {_idf_expr()} AS idf FROM df ldf, consts c
+  WHERE term LIKE '{prefix}%'
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf JOIN ldf ON ldf.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id, consts c
+)
+SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS REAL) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def term_stats_sql(terms: list[str], table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """doc_freq / total_term_freq per term (pure ints)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)}
+SELECT tf.term AS term, CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf.freq) AS BIGINT) AS total_term_freq
+FROM tf WHERE tf.term IN ({inlist})
+GROUP BY tf.term ORDER BY term
+""".strip()
+
+
+def norms_sql(table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """Per-doc field_len + norm_byte (int quantization parity)."""
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)}
+SELECT doc_id, CAST(dl AS INT) AS field_len,
+       CAST({B4_ENC.format(i='dl')} AS INT) AS norm_byte
+FROM dl ORDER BY doc_id
+""".strip()

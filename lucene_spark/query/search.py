@@ -129,6 +129,37 @@ class IndexSearcher:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def term_postings(self, term: str) -> DataFrame:
+        """Decoded posting list of one term: DF(doc_id long, freq int) —
+        the raw DocIdSetIterator surface (postings scan + block decode)."""
+        bucket = term_bucket_of(term, self.buckets)
+        scan = self.postings.filter(
+            (F.col("term_bucket") == bucket) & (F.col("term") == term)
+        ).select("num_docs", "first_doc", "data")
+
+        def decode(batches):
+            from lucene_spark.functions.codec import decode_block
+
+            for pdf in batches:
+                docs_out, freqs_out = [], []
+                for nd, fd, data in zip(
+                    pdf["num_docs"].to_numpy(np.int64),
+                    pdf["first_doc"].to_numpy(np.int64),
+                    pdf["data"].to_numpy(object),
+                ):
+                    docs, freqs, _ = decode_block(data, int(nd), int(fd))
+                    docs_out.append(docs)
+                    freqs_out.append(freqs)
+                if docs_out:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_out),
+                            "freq": np.concatenate(freqs_out).astype(np.int32),
+                        }
+                    )
+
+        return scan.mapInPandas(decode, schema="doc_id long, freq int")
+
     # ------------------------------------------------------------ expansion
 
     def _expand_multi_term(self, q: Query) -> Query:

@@ -1,0 +1,104 @@
+"""Replicates the driver's correctness gate locally: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at the given sf, compare
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/validate_entries.py [sf_dir] [entry ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def compare(name: str, spark_df, duck_df) -> list[str]:
+    problems = []
+    s = spark_df.toPandas()
+    d = duck_df
+    if len(s) != len(d):
+        problems.append(f"rowcount spark={len(s)} duck={len(d)}")
+    sc, dc = sorted(s.columns), sorted(d.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    s = s[sc].sort_values(sc).reset_index(drop=True)
+    d = d[sc].sort_values(sc).reset_index(drop=True)
+    if len(s) == len(d):
+        for c in sc:
+            a, b = s[c].to_numpy(), d[c].to_numpy()
+            if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(
+                pd.Series(d[c]).dtype, np.floating
+            ):
+                af, bf = a.astype(np.float32), b.astype(np.float32)
+                bad = ~(
+                    (af == bf) | (np.isnan(af) & np.isnan(bf))
+                )
+                if bad.any():
+                    i = int(np.flatnonzero(bad)[0])
+                    problems.append(
+                        f"col {c}: {int(bad.sum())} float32 mismatches, first row {i}: "
+                        f"{af[i]!r} vs {bf[i]!r}"
+                    )
+            else:
+                bad = ~(pd.Series(a).fillna("<NA>").astype(str).to_numpy()
+                        == pd.Series(b).fillna("<NA>").astype(str).to_numpy())
+                if bad.any():
+                    i = int(np.flatnonzero(bad)[0])
+                    problems.append(
+                        f"col {c}: {int(bad.sum())} mismatches, first row {i}: "
+                        f"{a[i]!r} vs {b[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    import __spark_entry__ as entry_mod
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(app_name="validate-entries", master="local[4]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+    failed = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in sqls:
+                ddf = con.execute(sqls[name]).df()
+                problems = compare(name, sdf, ddf)
+            else:
+                n = sdf.count()
+                problems = [] if n >= 0 else ["negative count?"]
+                print(f"  (rows-only) {name}: {n} rows")
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION {type(e).__name__}: {e}"]
+        status = "OK " if not problems else "FAIL"
+        print(f"[{status}] {name}" + ("".join(f"\n       - {p}" for p in problems)))
+        if problems:
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} entries OK")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
