@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract): index-build + BM25 query suite.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <float>, ...extras}
+
+Timed stages:
+  - ``index_build``   fresh distributed index build over the sf documents
+                      table (per-partition segments, resumable manifest)
+  - ``index_merge``   term-partitioned global merge + term_dict
+  - ``transcripts_build``  north-star metric: index-build over a synthetic
+                      multi-turn transcript corpus (input-hint shape),
+                      reported as ``turns_per_sec``
+  - ``bm25_*`` / ``prefix``  top-k BM25 query suite (same ASTs as
+                      __spark_entry__.py), each forced with a collect
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` and recorded in BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 20
+
+BM25_QUERIES: dict[str, dict] = {
+    "bm25_term": {"bool": {"must": [{"term": "scan"}]}},
+    "bm25_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
+    "bm25_disj_msm2": {
+        "bool": {
+            "should": [{"term": "scan"}, {"term": "merge"}, {"term": "dup"}],
+            "min_should_match": 2,
+        }
+    },
+    "bm25_must_not": {
+        "bool": {"must": [{"term": "dup"}], "must_not": [{"term": "merge"}]}
+    },
+    "bm25_boost": {
+        "bool": {
+            "must": [{"term": "scan", "boost": 2.0}],
+            "should": [{"term": "dup", "boost": 0.5}],
+        }
+    },
+    "bm25_mixed": {
+        "bool": {
+            "must": [{"term": "hash"}],
+            "should": [{"term": "dup"}, {"term": "scan"}],
+            "must_not": [{"term": "vector"}],
+        }
+    },
+}
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(os.path.normpath(path))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+    from lucene_spark.sources.transcripts import generate_distributed
+
+    sf = sf_of(SF_DIR)
+    spark = get_spark("lucene_spark_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    work = f"/tmp/lucene_spark_bench/{os.path.basename(os.path.normpath(SF_DIR))}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    # ---- stage 1: documents index build (fresh) + merge
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    tdf = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    n_docs = docs.count()
+    idx_docs = os.path.join(work, "documents_idx")
+    cfg = IndexConfig(num_segments=max(8, CPUS), term_buckets=16,
+                      hot_term_df=1 << 14, analyzer="simple")
+    t0 = time.time()
+    build_index(spark, tdf, idx_docs, cfg)
+    queries["index_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    merge_index(spark, idx_docs)
+    queries["index_merge"] = round(time.time() - t0, 4)
+    extras["docs_per_sec"] = round(
+        n_docs / (queries["index_build"] + queries["index_merge"]), 2
+    )
+
+    # ---- stage 2: north-star — synthetic transcripts indexing (turns/sec)
+    n_convs = max(400, int(40_000 * sf)) if sf > 0 else 400
+    trans = generate_distributed(spark, n_convs=n_convs, seed=7,
+                                 partitions=max(CPUS, 8))
+    trans = trans.persist()
+    n_turns = trans.count()  # materialize generation outside the timed region
+    idx_trans = os.path.join(work, "transcripts_idx")
+    tcfg = IndexConfig(num_segments=max(16, 2 * CPUS), term_buckets=32,
+                       hot_term_df=1 << 14, analyzer="standard")
+    t0 = time.time()
+    build_index(spark, trans, idx_trans, tcfg)
+    merge_index(spark, idx_trans)
+    dt = time.time() - t0
+    queries["transcripts_build"] = round(dt, 4)
+    extras["turns"] = n_turns
+    extras["turns_per_sec"] = round(n_turns / dt, 2)
+    trans.unpersist()
+
+    # ---- stage 3: BM25 query suite over the documents index
+    searcher = IndexSearcher(spark, idx_docs)
+    for name, ast in BM25_QUERIES.items():
+        q = rewrite_fixpoint(parse_query(_json.dumps(ast)))
+        t0 = time.time()
+        searcher.search(q, K).collect()
+        queries[name] = round(time.time() - t0, 4)
+    from lucene_spark.query.ast import PrefixQuery
+
+    t0 = time.time()
+    searcher.search(PrefixQuery("s"), K).collect()
+    queries["bm25_prefix"] = round(time.time() - t0, 4)
+
+    total = round(sum(queries.values()), 4)
+    print(json.dumps({
+        "metric": "index_build_and_bm25_topk_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()
