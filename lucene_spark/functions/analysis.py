@@ -103,6 +103,34 @@ ANALYZERS = {
     "simple": analyze_series_simple,
 }
 
+# raw tokenization without lowercasing or the max-token-length filter, plus
+# whether the chain applies that filter. The index build tokenizes with
+# these and applies BOTH lowercase and the length filter at the UNIQUE-term
+# level (vectorized over the vocabulary instead of per-token/per-char work
+# on the corpus — same result, because (a) both depend only on the token
+# string and (b) the tokenizers' boundary classes are case-symmetric, so
+# tokenize-then-lower == lower-then-tokenize).
+_SIMPLE_RAW_RE = re.compile(r"[A-Za-z0-9]+")
+
+RAW_TOKENIZERS = {
+    "standard": (
+        lambda s: s.fillna("").str.findall(TOKEN_RE),
+        MAX_TOKEN_LENGTH,
+    ),
+    "simple": (
+        lambda s: s.fillna("").str.findall(_SIMPLE_RAW_RE),
+        None,
+    ),
+}
+
+
+def get_raw_tokenizer(name: str):
+    """(tokenize_fn, max_token_length_or_None) for an analyzer name."""
+    try:
+        return RAW_TOKENIZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; have {sorted(RAW_TOKENIZERS)}") from None
+
 
 def get_analyzer(name: str):
     try:

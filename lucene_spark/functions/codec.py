@@ -237,6 +237,130 @@ def encode_postings(
     return out
 
 
+def _vint_sizes(vals: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (must mirror vint_encode)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    nbits = np.frexp(np.maximum(v, 1).astype(np.float64))[1]
+    return np.maximum((nbits + 6) // 7, 1).astype(np.int64)
+
+
+def encode_postings_batch(
+    docs: np.ndarray,
+    freqs: np.ndarray,
+    norm_bytes: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> dict[str, list]:
+    """Encode MANY terms' postings in ONE vectorized pass.
+
+    ``docs/freqs/norm_bytes`` are the concatenated per-term postings (term
+    ranges given by ``starts[i]:ends[i]``, docs sorted within each term).
+    Every term's range is first split into <=BLOCK_SIZE chunks (block
+    boundaries are materialized up front, vectorized), then ALL blocks are
+    VInt-tail encoded with freq folding in a single numpy pass — the only
+    Python-level work is byte slicing per block.
+
+    Differences vs the scalar ``encode_postings`` path (both decode
+    identically via ``decode_block``):
+      - every block is the VInt-tail layout (marker 0xFF), including full
+        256-doc blocks that the scalar path FOR-packs;
+      - the norm part always uses width 8 (raw bytes);
+      - impacts collapse to one (max_freq, min_norm) pair per block — a
+        looser but still valid score upper bound (see inline comment), so
+        block-max pruning stays score-safe.
+
+    Returns dict of parallel lists: term_idx, block_id, first_doc, last_doc,
+    num_docs, ttf, data, impact_freqs, impact_norms.
+    """
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    nb = np.asarray(norm_bytes, dtype=np.int64) & 0xFF
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    sizes = ends - starts
+    n_terms = starts.size
+
+    out: dict[str, list] = {
+        k: []
+        for k in (
+            "term_idx", "block_id", "first_doc", "last_doc", "num_docs",
+            "ttf", "data", "impact_freqs", "impact_norms",
+        )
+    }
+    if docs.size == 0 or n_terms == 0:
+        return out
+
+    # ---- split every term range into <=256-doc blocks (vectorized)
+    nbpt = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE  # blocks per term
+    total_blocks = int(nbpt.sum())
+    term_of_block = np.repeat(np.arange(n_terms, dtype=np.int64), nbpt)
+    # within-term block ordinal: arange per term
+    first_block_of_term = np.concatenate(([0], np.cumsum(nbpt)[:-1]))
+    block_ord = np.arange(total_blocks, dtype=np.int64) - first_block_of_term[term_of_block]
+    bstarts = starts[term_of_block] + block_ord * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE, ends[term_of_block])
+    bsizes = bends - bstarts
+
+    # rows are already contiguous per block in term order? Only if blocks of a
+    # term tile its range in order — they do, and terms are contiguous, so the
+    # concatenation of [bstarts[i]:bends[i]] is exactly 0..N in order.
+    # Therefore per-row block index:
+    row_block = np.repeat(np.arange(total_blocks, dtype=np.int64), bsizes)
+    bs_row = np.concatenate(([0], np.cumsum(bsizes)[:-1]))  # first row of block
+
+    # ---- VInt body with freq folding, one pass over all rows
+    delta = docs.copy()
+    delta[1:] -= docs[:-1]
+    delta[bs_row] = 0  # each block's delta base is its own first_doc
+    fold = freqs == 1
+    extra = ~fold
+    code = (delta.astype(np.uint64) << np.uint64(1)) | fold.astype(np.uint64)
+    npos = np.arange(docs.size, dtype=np.int64) + np.concatenate(
+        ([0], np.cumsum(extra.astype(np.int64))[:-1])
+    )
+    vals = np.zeros(docs.size + int(extra.sum()), dtype=np.uint64)
+    vals[npos] = code
+    vals[npos[extra] + 1] = freqs[extra].astype(np.uint64)
+    body = vint_encode(vals).tobytes()
+    boff = np.concatenate(([0], np.cumsum(_vint_sizes(vals))))
+    vstart = npos[bs_row]
+    vend = np.concatenate((vstart[1:], [vals.size]))
+    byte_lo = boff[vstart]
+    byte_hi = boff[vend]
+    norm_raw = nb.astype(np.uint8).tobytes()
+
+    # ---- per-block impact bound: single (max_freq, min_norm_byte) pair.
+    # BM25 score rises with freq and falls with norm (longer doc), so this
+    # pair upper-bounds every posting in the block — looser than the
+    # reference's co-occurring skyline but computed with two reduceats
+    # instead of a second full sort; pruning stays score-safe either way.
+    gmax = np.maximum.reduceat(freqs, bs_row)
+    gmin_norm = np.minimum.reduceat(nb, bs_row)
+
+    ttfs = np.add.reduceat(freqs, bs_row)
+    firsts = docs[bs_row]
+    lasts = docs[bends - 1]
+    tm = bytes([_TAIL_MARKER])
+    w8 = bytes([8])
+
+    out["term_idx"] = term_of_block.tolist()
+    out["block_id"] = block_ord.tolist()
+    out["first_doc"] = firsts.tolist()
+    out["last_doc"] = lasts.tolist()
+    out["num_docs"] = bsizes.tolist()
+    out["ttf"] = ttfs.tolist()
+    out["impact_freqs"] = [[int(x)] for x in gmax]
+    out["impact_norms"] = [[int(x)] for x in gmin_norm]
+    data = out["data"]
+    blo = byte_lo.tolist()
+    bhi = byte_hi.tolist()
+    rlo = bstarts.tolist()
+    rhi = bends.tolist()
+    for j in range(total_blocks):
+        data.append(tm + body[blo[j]:bhi[j]] + w8 + norm_raw[rlo[j]:rhi[j]])
+    return out
+
+
 def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Inverse of encode_postings over an ordered block list ->
     (doc_ids, freqs, norm_bytes)."""

@@ -228,125 +228,297 @@ def _make_segment_builder(index_dir: str, offsets: dict[int, int], analyzer: str
     """Returns the applyInPandas function building one segment per shard."""
 
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from lucene_spark.functions.analysis import get_analyzer
-        from lucene_spark.functions.codec import encode_postings
-        from lucene_spark.functions.smallfloat import int_to_byte4_np
-
-        t0 = time.time()
         sid = int(key[0])
-        offset = offsets[sid]
-
-        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
-        doc_ids = offset + np.arange(n, dtype=np.int64)
-
-        tokens = get_analyzer(analyzer)(pdf["text"])
-        flen = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
-        norm_bytes = int_to_byte4_np(flen).astype(np.int64)
-
-        # ---- docmap (+ norms)
-        seg_dir = os.path.join(index_dir, "docmap", f"segment={sid}")
-        os.makedirs(seg_dir, exist_ok=True)
-        docmap = pa.table(
-            {
-                "doc_id": doc_ids,
-                "conv_id": pdf["conv_id"].to_numpy(dtype=object),
-                "turn_idx": pdf["turn_idx"].to_numpy(dtype=np.int32),
-                "role": pdf["role"].to_numpy(dtype=object),
-                "tool": pdf["tool"].to_numpy(dtype=object),
-                # Spark cannot read TIMESTAMP(NANOS) parquet; store micros
-                "ts": pa.array(pdf["ts"]).cast(pa.timestamp("us")),
-                "field_len": flen.astype(np.int32),
-                "norm_byte": norm_bytes.astype(np.int32),
-            }
-        )
-        pq.write_table(docmap, os.path.join(seg_dir, "data.parquet"))
-
-        # ---- in-memory postings: explode -> (term, doc) freq -> sort
-        exploded = tokens.explode().dropna()
-        term_arr = exploded.to_numpy(dtype=object)
-        doc_arr = doc_ids[exploded.index.to_numpy(dtype=np.int64)]
-        tp = pd.DataFrame({"term": term_arr, "doc": doc_arr})
-        grouped = (
-            tp.groupby(["term", "doc"], sort=True).size().rename("freq").reset_index()
-        )
-
-        # per-term slices (terms sorted; docs sorted within term)
-        terms = grouped["term"].to_numpy(dtype=object)
-        docs = grouped["doc"].to_numpy(dtype=np.int64)
-        freqs = grouped["freq"].to_numpy(dtype=np.int64)
-        norm_of_doc = norm_bytes[docs - offset]
-
-        rows: dict[str, list] = {k: [] for k, _ in POSTINGS_FIELDS}
-        if terms.size:
-            starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
-            ends = np.concatenate((starts[1:], [terms.size]))
-        else:
-            starts = np.zeros(0, dtype=np.int64)
-            ends = np.zeros(0, dtype=np.int64)
-        num_postings = 0
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            blocks = encode_postings(docs[s:e], freqs[s:e], norm_of_doc[s:e])
-            num_postings += e - s
-            for blk in blocks:
-                rows["term"].append(terms[s])
-                rows["segment_id"].append(sid)
-                rows["block_id"].append(blk["block_id"])
-                rows["first_doc"].append(blk["first_doc"])
-                rows["last_doc"].append(blk["last_doc"])
-                rows["num_docs"].append(blk["num_docs"])
-                rows["ttf"].append(blk["ttf"])
-                rows["data"].append(blk["data"])
-                rows["impact_freqs"].append(blk["impact_freqs"])
-                rows["impact_norms"].append(blk["impact_norms"])
-
-        post_dir = os.path.join(index_dir, "postings_local", f"segment={sid}")
-        os.makedirs(post_dir, exist_ok=True)
-        ptable = pa.table(
-            {
-                "term": pa.array(rows["term"], type=pa.string()),
-                "segment_id": pa.array(rows["segment_id"], type=pa.int32()),
-                "block_id": pa.array(rows["block_id"], type=pa.int32()),
-                "first_doc": pa.array(rows["first_doc"], type=pa.int64()),
-                "last_doc": pa.array(rows["last_doc"], type=pa.int64()),
-                "num_docs": pa.array(rows["num_docs"], type=pa.int32()),
-                "ttf": pa.array(rows["ttf"], type=pa.int64()),
-                "data": pa.array(rows["data"], type=pa.binary()),
-                "impact_freqs": pa.array(rows["impact_freqs"], type=pa.list_(pa.int32())),
-                "impact_norms": pa.array(rows["impact_norms"], type=pa.list_(pa.int32())),
-            }
-        )
-        pq.write_table(ptable, os.path.join(post_dir, "data.parquet"))
-
-        checksum = (
-            int(pd.util.hash_pandas_object(pdf[["conv_id", "turn_idx"]], index=False).sum())
-            & 0x7FFFFFFFFFFFFFFF
-        )
-        meta = pd.DataFrame(
-            [
-                {
-                    "segment_id": sid,
-                    "doc_lo": int(offset),
-                    "num_docs": int(n),
-                    "sum_field_len": int(flen.sum()),
-                    "num_terms": int(starts.size),
-                    "num_postings": int(num_postings),
-                    "num_blocks": int(len(rows["term"])),
-                    "postings_bytes": int(sum(len(b) for b in rows["data"])),
-                    "input_rows": int(n),
-                    "conv_lo": str(pdf["conv_id"].iloc[0]),
-                    "conv_hi": str(pdf["conv_id"].iloc[-1]),
-                    "checksum": checksum,
-                    "wall_s": float(time.time() - t0),
-                }
-            ]
-        )
-        return meta
+        return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir)
 
     return build_segment
+
+
+def _build_segment_frame(
+    pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str
+) -> pd.DataFrame:
+    """Build one segment from an in-memory frame of transcript rows (the DWPT
+    flush analog): tokenize, norms, docmap + block-encoded postings written
+    executor-side; returns the 1-row segment-meta frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_spark.functions.analysis import get_raw_tokenizer
+    from lucene_spark.functions.codec import encode_postings_batch
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+
+    t0 = time.time()
+
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    doc_ids = offset + np.arange(n, dtype=np.int64)
+
+    # tokenize raw, then explode+factorize; the max-token-length filter is
+    # applied on the UNIQUE terms (it only depends on the token string), so
+    # the per-token work stays in C. field_len = surviving tokens per row,
+    # via bincount — identical to the scalar analyze_one semantics.
+    tokenize, max_len = get_raw_tokenizer(analyzer)
+    tokens = tokenize(pdf["text"])
+    exploded = tokens.explode().dropna()
+    codes, uniques = pd.factorize(exploded.to_numpy(dtype=object), sort=False)
+    row_of = exploded.index.to_numpy(dtype=np.int64)
+    if codes.size:
+        # lowercase + length-filter on the vocabulary, not the corpus
+        lowered = pd.Series(uniques).str.lower()
+        remap, uniques = pd.factorize(lowered.to_numpy(dtype=object), sort=True)
+        codes = remap[codes]
+    if max_len is not None and codes.size:
+        too_long = pd.Series(uniques).str.len().to_numpy(np.int64) > max_len
+        if too_long.any():
+            keep = ~too_long[codes]
+            codes = codes[keep]
+            row_of = row_of[keep]
+    flen = np.bincount(row_of, minlength=n).astype(np.int64)
+    norm_bytes = int_to_byte4_np(flen).astype(np.int64)
+
+    # ---- docmap (+ norms)
+    seg_dir = os.path.join(index_dir, "docmap", f"segment={sid}")
+    os.makedirs(seg_dir, exist_ok=True)
+    docmap = pa.table(
+        {
+            "doc_id": doc_ids,
+            "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+            "turn_idx": pdf["turn_idx"].to_numpy(dtype=np.int32),
+            "role": pdf["role"].to_numpy(dtype=object),
+            "tool": pdf["tool"].to_numpy(dtype=object),
+            # Spark cannot read TIMESTAMP(NANOS) parquet; store micros
+            "ts": pa.array(pdf["ts"]).cast(pa.timestamp("us")),
+            "field_len": flen.astype(np.int32),
+            "norm_byte": norm_bytes.astype(np.int32),
+        }
+    )
+    pq.write_table(docmap, os.path.join(seg_dir, "data.parquet"))
+
+    # ---- in-memory postings, int-keyed end to end (TermsHashPerField analog:
+    # the reference also hashes term bytes to ints and defers string work;
+    # object-dtype pandas groupbys thrash the allocator under many
+    # concurrent workers, so strings appear exactly twice: factorize above +
+    # the final term column). One int64 key sort -> batch block encode.
+    num_postings = 0
+    if codes.size:
+        key = codes.astype(np.int64) * n + row_of
+        ukey, freqs = np.unique(key, return_counts=True)
+        code_u = ukey // n
+        row_u = ukey % n
+        docs = row_u + offset
+        freqs = freqs.astype(np.int64)
+        norm_of_doc = norm_bytes[row_u]
+        starts = np.flatnonzero(np.concatenate(([True], code_u[1:] != code_u[:-1])))
+        ends = np.concatenate((starts[1:], [code_u.size]))
+        num_postings = int(ukey.size)
+        batch = encode_postings_batch(docs, freqs, norm_of_doc, starts, ends)
+        term_of_block = uniques[code_u[starts]][batch["term_idx"]]
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+        batch = {k: [] for k in (
+            "term_idx", "block_id", "first_doc", "last_doc", "num_docs",
+            "ttf", "data", "impact_freqs", "impact_norms")}
+        term_of_block = np.zeros(0, dtype=object)
+
+    rows: dict[str, list] = {
+        "term": term_of_block,
+        "segment_id": np.full(len(batch["block_id"]), sid, dtype=np.int32),
+        "block_id": batch["block_id"],
+        "first_doc": batch["first_doc"],
+        "last_doc": batch["last_doc"],
+        "num_docs": batch["num_docs"],
+        "ttf": batch["ttf"],
+        "data": batch["data"],
+        "impact_freqs": batch["impact_freqs"],
+        "impact_norms": batch["impact_norms"],
+    }
+
+    post_dir = os.path.join(index_dir, "postings_local", f"segment={sid}")
+    os.makedirs(post_dir, exist_ok=True)
+    ptable = pa.table(
+        {
+            "term": pa.array(rows["term"], type=pa.string()),
+            "segment_id": pa.array(rows["segment_id"], type=pa.int32()),
+            "block_id": pa.array(rows["block_id"], type=pa.int32()),
+            "first_doc": pa.array(rows["first_doc"], type=pa.int64()),
+            "last_doc": pa.array(rows["last_doc"], type=pa.int64()),
+            "num_docs": pa.array(rows["num_docs"], type=pa.int32()),
+            "ttf": pa.array(rows["ttf"], type=pa.int64()),
+            "data": pa.array(rows["data"], type=pa.binary()),
+            "impact_freqs": pa.array(rows["impact_freqs"], type=pa.list_(pa.int32())),
+            "impact_norms": pa.array(rows["impact_norms"], type=pa.list_(pa.int32())),
+        }
+    )
+    pq.write_table(ptable, os.path.join(post_dir, "data.parquet"))
+
+    checksum = (
+        int(pd.util.hash_pandas_object(pdf[["conv_id", "turn_idx"]], index=False).sum())
+        & 0x7FFFFFFFFFFFFFFF
+    )
+    meta = pd.DataFrame(
+        [
+            {
+                "segment_id": sid,
+                "doc_lo": int(offset),
+                "num_docs": int(n),
+                "sum_field_len": int(flen.sum()),
+                "num_terms": int(starts.size),
+                "num_postings": int(num_postings),
+                "num_blocks": int(len(rows["term"])),
+                "postings_bytes": int(sum(len(b) for b in rows["data"])),
+                "input_rows": int(n),
+                "conv_lo": str(pdf["conv_id"].iloc[0]),
+                "conv_hi": str(pdf["conv_id"].iloc[-1]),
+                "checksum": checksum,
+                "wall_s": float(time.time() - t0),
+            }
+        ]
+    )
+    return meta
+
+
+# ------------------------------------------------------------ file-aligned build
+
+def plan_input_files(input_dir: str) -> list[dict]:
+    """Metadata-only scan plan: one entry per parquet data file with
+    (path, rows, conv_lo, conv_hi) from the footer — the Iceberg-manifest
+    analog (at 10^12 turns this list comes from the table's manifest files,
+    never from opening data files).
+
+    Returns entries sorted by conv_lo. Raises if footer statistics are
+    missing (caller falls back to the shuffle path)."""
+    import pyarrow.parquet as pq
+
+    plan = []
+    names = sorted(
+        f for f in os.listdir(input_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    for name in names:
+        path = os.path.join(input_dir, name)
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            continue
+        conv_idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(conv_idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"{path}: no conv_id min/max statistics")
+            los.append(st.min)
+            his.append(st.max)
+        plan.append(
+            {"path": path, "rows": md.num_rows,
+             "conv_lo": min(los), "conv_hi": max(his)}
+        )
+    plan.sort(key=lambda e: (e["conv_lo"], e["conv_hi"], e["path"]))
+    return plan
+
+
+def files_are_aligned(plan: list[dict]) -> bool:
+    """True iff file conv-ranges are strictly disjoint (no conversation spans
+    two files), so file order == global (conv_id, turn_idx) order."""
+    for a, b in zip(plan, plan[1:]):
+        if not a["conv_hi"] < b["conv_lo"]:
+            return False
+    return True
+
+
+def build_index_files(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """No-shuffle index build: one task per input parquet file = one segment
+    (the DWPT analog, ``DocumentsWriterPerThread.java:52`` — thread-private,
+    no cross-task sync). Raw text is never shuffled; docID offsets come from
+    footer row counts alone.
+
+    This is the scale path: at 10^12 turns the shuffle-based ``build_index``
+    moves the whole corpus across the network before tokenizing, while this
+    path reads each split exactly once and writes only index artifacts. It
+    requires the input files to be range-partitioned by conv_id (true for any
+    Iceberg table sorted/partitioned on conv_id); falls back via ValueError
+    when footer stats show overlapping ranges.
+
+    ``config.num_segments`` is ignored — the file layout decides.
+    """
+    config = config or IndexConfig()
+    manifest = load_manifest(index_dir) if resume else None
+
+    if manifest is None:
+        plan = plan_input_files(input_dir)
+        if not files_are_aligned(plan):
+            raise ValueError(
+                f"{input_dir}: file conv_id ranges overlap; use build_index()"
+            )
+        acc = 0
+        for sid, e in enumerate(plan):
+            e["segment_id"] = sid
+            e["offset"] = acc
+            acc += e["rows"]
+        manifest = {
+            "version": 1,
+            "generation": 0,
+            "mode": "files",
+            "config": config.to_json(),
+            "input_dir": input_dir,
+            "plan": plan,
+            "boundaries": [e["conv_lo"] for e in plan[1:]],
+            "shards": {
+                str(e["segment_id"]): {"offset": e["offset"], "count": e["rows"]}
+                for e in plan
+            },
+            "completed": {},
+            "merged": False,
+        }
+        write_manifest(index_dir, manifest)
+    else:
+        config = IndexConfig(**manifest["config"])
+        plan = manifest["plan"]
+
+    done = {int(k) for k in manifest["completed"]}
+    pending = [e for e in plan if e["segment_id"] not in done]
+    if pending:
+        analyzer = config.analyzer
+        idx_dir = index_dir
+        pending_pdf = pd.DataFrame(
+            [(e["path"], e["segment_id"], e["offset"]) for e in pending],
+            columns=["path", "segment_id", "offset"],
+        )
+        # round-robin: exactly one file per task (hash-by-key could collide)
+        tasks = spark.createDataFrame(pending_pdf).repartition(len(pending))
+
+        def run_file(batches):
+            import pyarrow as pa2
+            import pyarrow.parquet as pq2
+
+            # each worker is one of N concurrent processes on this host; a
+            # per-worker arrow thread pool (default = all cores) would run
+            # N*cores threads and thrash — the task itself IS the parallelism
+            pa2.set_cpu_count(1)
+            for pdf in batches:
+                for path, sid, offset in pdf.itertuples(index=False):
+                    frame = pq2.read_table(
+                        path,
+                        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+                        use_threads=False,
+                    ).to_pandas(use_threads=False)
+                    yield _build_segment_frame(frame, int(sid), int(offset), analyzer, idx_dir)
+
+        rows = tasks.mapInPandas(run_file, schema=SEGMENT_META_SCHEMA).collect()
+        for r in rows:
+            d = r.asDict()
+            manifest["completed"][str(int(d["segment_id"]))] = {
+                k: (int(v) if isinstance(v, (int, np.integer)) else v)
+                for k, v in d.items()
+                if k != "segment_id"
+            }
+        manifest["generation"] += 1
+        write_manifest(index_dir, manifest)
+    return manifest
 
 
 # ------------------------------------------------------------------ readers

@@ -151,4 +151,5 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
 
     report["doc_count"] = doc_count
     report["sum_ttf"] = sum_ttf
+    report["ok"] = True  # every invariant above would have raised otherwise
     return report

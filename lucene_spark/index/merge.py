@@ -86,7 +86,16 @@ def merge_index(spark: SparkSession, index_dir: str) -> dict:
     cold = tagged.filter(F.col("doc_freq").isNull()).drop("doc_freq")
     hot_rows = tagged.filter(F.col("doc_freq").isNotNull()).drop("doc_freq")
 
-    merged_cold = cold.groupBy("term").applyInPandas(_remerge_term, _POSTINGS_SCHEMA)
+    # re-merge cold terms BUCKET-at-a-time: one pandas group per term would
+    # mean one Arrow round-trip per term (tens of thousands); per-bucket
+    # groups amortize that and let the vectorized batch encoder re-block
+    # every term in the bucket in one numpy pass.
+    n_buckets = max(config.term_buckets, spark.sparkContext.defaultParallelism)
+    merged_cold = (
+        cold.withColumn("merge_bucket", term_bucket_col(n_buckets))
+        .groupBy("merge_bucket")
+        .applyInPandas(_remerge_bucket, _POSTINGS_SCHEMA)
+    )
 
     buckets = config.term_buckets
     out = merged_cold.unionByName(hot_rows).withColumn(
@@ -105,6 +114,65 @@ def merge_index(spark: SparkSession, index_dir: str) -> dict:
     manifest["generation"] += 1
     write_manifest(index_dir, manifest)
     return manifest
+
+
+def _remerge_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Re-encode ALL cold terms of one bucket into dense merged blocks.
+
+    Rows arrive as (term, segment) blocks from every segment; segment doc
+    ranges are disjoint and ascending in segment_id, so per term the
+    (segment_id, block_id) order yields globally sorted docIDs — concatenate
+    and re-block with the vectorized batch encoder, no docID remap
+    (contrast ``DocIDMerger.java:73-99``).
+    """
+    from lucene_spark.functions.codec import decode_block, encode_postings_batch
+
+    if not len(pdf):
+        return pd.DataFrame(
+            columns=["term", "segment_id", "block_id", "first_doc", "last_doc",
+                     "num_docs", "ttf", "data", "impact_freqs", "impact_norms"]
+        )
+    pdf = pdf.sort_values(["term", "segment_id", "block_id"], kind="mergesort")
+    docs_l, freqs_l, norms_l = [], [], []
+    for nd, fd, data in zip(
+        pdf["num_docs"].to_numpy(np.int64),
+        pdf["first_doc"].to_numpy(np.int64),
+        pdf["data"].to_numpy(object),
+    ):
+        d, f, nb = decode_block(data, int(nd), int(fd))
+        docs_l.append(d)
+        freqs_l.append(f)
+        norms_l.append(nb)
+    docs = np.concatenate(docs_l)
+    freqs = np.concatenate(freqs_l)
+    norms = np.concatenate(norms_l)
+
+    terms = pdf["term"].to_numpy(object)
+    sizes = pdf["num_docs"].to_numpy(np.int64)
+    # per-term posting ranges in the concatenated arrays
+    tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
+    row_ends = np.cumsum(sizes)
+    row_starts = row_ends - sizes
+    starts = row_starts[tchange]
+    term_of = terms[tchange]
+    ends = np.concatenate((starts[1:], [docs.size]))
+
+    batch = encode_postings_batch(docs, freqs, norms, starts, ends)
+    out = pd.DataFrame(
+        {
+            "term": term_of[batch["term_idx"]],
+            "segment_id": np.full(len(batch["block_id"]), MERGED_SEGMENT_ID, dtype=np.int32),
+            "block_id": batch["block_id"],
+            "first_doc": batch["first_doc"],
+            "last_doc": batch["last_doc"],
+            "num_docs": batch["num_docs"],
+            "ttf": batch["ttf"],
+            "data": batch["data"],
+            "impact_freqs": batch["impact_freqs"],
+            "impact_norms": batch["impact_norms"],
+        }
+    )
+    return out
 
 
 def _remerge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -171,4 +171,8 @@ def generate_distributed(spark, n_convs: int, seed: int = 42, partitions: int = 
                 part["conv_id"] = "conv-" + idx.astype(str).str.zfill(9)
                 yield part
 
-    return sdf.repartition(partitions, "pid").mapInPandas(gen, schema=schema)
+    # range-partition by slice start: slices that share a task are ADJACENT,
+    # so each output file covers one contiguous, disjoint conv range — the
+    # alignment build_index_files needs. (Round-robin/hash can mix
+    # non-adjacent slices into one file.)
+    return sdf.repartitionByRange(partitions, "lo").mapInPandas(gen, schema=schema)
