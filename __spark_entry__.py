@@ -170,6 +170,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return _topk_df(spark, "/root/testdata/sf0.001", _BM25_QUERIES["bm25_mixed"])
 
 
+# ------------------------------------------------- pipeline operators
+
+_JACCARD_N, _JACCARD_T = 3, 0.2
+_MINHASH = dict(num_perm=64, bands=16, shingle_n=3, threshold=0.2)
+_SIMHASH_K = 3
+_EMB_T = 0.35
+_ANN_QUERY_ID, _ANN_K = 0, 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _dedup_exact(spark, sf_dir):
+    from lucene_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _dedup_jaccard(spark, sf_dir):
+    from lucene_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), _JACCARD_N, _JACCARD_T).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _dedup_minhash(spark, sf_dir):
+    from lucene_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), **_MINHASH).orderBy("doc_a", "doc_b")
+
+
+def _dedup_simhash(spark, sf_dir):
+    from lucene_spark.operators.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), _SIMHASH_K).orderBy("doc_a", "doc_b")
+
+
+def _dedup_embedding(spark, sf_dir):
+    from lucene_spark.operators.dedup import embedding_dup_pairs
+    return embedding_dup_pairs(_embs(spark, sf_dir), _EMB_T).orderBy("vec_a", "vec_b")
+
+
+def _ann_brute(spark, sf_dir):
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+    e = _embs(spark, sf_dir)
+    return cosine_topk(e, query_vector(e, _ANN_QUERY_ID), _ANN_K)
+
+
+def _ann_lsh(spark, sf_dir):
+    from lucene_spark.operators.similarity import lsh_ann_topk, query_vector
+    e = _embs(spark, sf_dir)
+    return lsh_ann_topk(e, query_vector(e, _ANN_QUERY_ID), _ANN_K)
+
+
+def _token_count(spark, sf_dir):
+    from lucene_spark.operators.textstats import token_count
+    return token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _quality(spark, sf_dir):
+    from lucene_spark.operators.textstats import quality_scores
+    return quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _lang_id(spark, sf_dir):
+    from lucene_spark.operators.textstats import language_id
+    return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _fingerprint(spark, sf_dir):
+    from lucene_spark.operators.textstats import fingerprints
+    return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _media_meta(spark, sf_dir):
+    from lucene_spark.operators.multimodal import synth_media
+    m = synth_media(_docs(spark, sf_dir))
+    return m.select(
+        "media_id", "kind", "fmt", "width", "height", "n_frames",
+        F.length("content").alias("n_bytes"),
+        F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
+    ).orderBy("media_id")
+
+
+def _media_features(spark, sf_dir):
+    from lucene_spark.operators.multimodal import media_features, synth_media
+    return media_features(synth_media(_docs(spark, sf_dir))).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -183,6 +274,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
     out["postings_term"] = _postings_df
+    # training-data pipeline operators
+    out["dedup_exact"] = _dedup_exact
+    out["dedup_ngram_jaccard"] = _dedup_jaccard
+    out["dedup_minhash_lsh"] = _dedup_minhash
+    out["dedup_simhash"] = _dedup_simhash
+    out["dedup_embedding"] = _dedup_embedding
+    out["ann_cosine_topk"] = _ann_brute
+    out["ann_lsh_topk"] = _ann_lsh
+    out["text_token_count"] = _token_count
+    out["text_quality"] = _quality
+    out["text_lang_id"] = _lang_id
+    out["text_fingerprint"] = _fingerprint
+    out["media_meta"] = _media_meta
+    out["media_features"] = _media_features
     return out
 
 
@@ -209,4 +314,20 @@ WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}
 SELECT doc_id, CAST(freq AS INT) AS freq FROM tf
 WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
 """.strip()
+
+    from lucene_spark.operators import dedup, multimodal, similarity, textstats
+
+    out["dedup_exact"] = dedup.exact_duplicates_sql()
+    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql(_JACCARD_N, _JACCARD_T)
+    out["dedup_minhash_lsh"] = dedup.minhash_lsh_sql(**_MINHASH)
+    out["dedup_simhash"] = dedup.simhash_pairs_sql(_SIMHASH_K)
+    out["dedup_embedding"] = dedup.embedding_dup_sql(_EMB_T)
+    out["ann_cosine_topk"] = similarity.cosine_topk_sql(_ANN_QUERY_ID, _ANN_K)
+    out["text_token_count"] = textstats.token_count_sql()
+    out["text_quality"] = textstats.quality_scores_sql()
+    out["text_lang_id"] = textstats.language_id_sql()
+    out["text_fingerprint"] = textstats.fingerprints_sql()
+    out["media_meta"] = multimodal.media_meta_sql()
+    # ann_lsh_topk, media_features: rows-only (stub decode / LSH bucketing
+    # verified in pytest against the brute-force baseline instead)
     return out

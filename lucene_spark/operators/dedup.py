@@ -1,0 +1,515 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are DataFrame-in/DataFrame-out, built from Spark built-ins
+plus dictionary-level (unique-token) hashing — no per-row Python on the
+corpus. Algorithms are the standard public ones:
+
+  - exact dedup: content-hash groupBy (md5 — identical in Spark, DuckDB,
+    hashlib, so oracles can reproduce it bit-for-bit).
+  - n-gram Jaccard: exact pairwise Jaccard via a shingle inverted index
+    (candidate pairs share >=1 shingle; |A ∩ B| from the join, |A|,|B| from
+    per-doc distinct-shingle counts). The join IS the scale path: no O(n^2)
+    comparison, shuffle keyed on shingle.
+  - MinHash + LSH (Broder 1997; banding per Leskovec/Rajaraman/Ullman
+    "Mining of Massive Datasets" ch. 3): signatures via the double-hashing
+    trick h_i(x) = h1(x) + i*h2(x) mod 2^64 with (h1, h2) = two md5 halves,
+    so DuckDB can replay signatures exactly (HUGEINT modular arithmetic).
+    Bands hash to buckets; candidates verified with exact Jaccard.
+  - SimHash (Charikar 2002): 64-bit sign-of-weighted-sum fingerprint over
+    token hashes; near-dup = Hamming distance <= k, found at scale by the
+    pigeonhole blocking trick (k<=3 => some 16-bit chunk is identical).
+  - embedding cosine near-dup: exact pairs above a cosine threshold;
+    at scale the same verification runs behind an LSH/IVF candidate
+    generator (see operators/similarity.py).
+
+Spark analyzer parity: token shingles use the engine's `simple` analyzer
+regex ([a-z0-9]+ on lowercased text) so every oracle is expressible with
+DuckDB regexp_extract_all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE_SQL = "[a-z0-9]+"
+U64 = np.uint64
+_MOD = 1 << 64
+
+
+def tokens_col(text_col: str = "text"):
+    """array<string> of simple-analyzer tokens (JVM-side regex)."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE_SQL), 0)
+
+
+def shingles_col(tok_col, n: int):
+    """array<string> of space-joined token n-grams (JVM-side transform).
+
+    Guarded for size < n: Spark's sequence(1, 0) counts DOWN ([1, 0]), so
+    the sequence only exists when at least one shingle fits."""
+    if n == 1:
+        return tok_col
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.array_join(F.slice(tok_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate mapping: DF(doc_id, dup_of) for every doc whose text
+    md5 collides with an earlier (lower-id) doc. One shuffle on the hash."""
+    h = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+    canon = h.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
+    return (
+        h.join(canon, "h")
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+    )
+
+
+# ------------------------------------------------------------------ jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-n-gram Jaccard near-dup pairs (a < b, J >= threshold).
+
+    Inverted-index join: explode distinct shingles, self-join on shingle to
+    count intersections, combine with per-doc set sizes. Shuffles are keyed
+    on shingle / doc pairs — no quadratic comparison. At 10^12 docs add a
+    document-frequency cutoff on shingles (ultra-common shingles contribute
+    candidates without discriminating; the verify step is unchanged).
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles_col(tokens_col(text_col), n))).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("ix"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "da").join(sb, "db")
+        .withColumn(
+            "jaccard",
+            (F.col("ix") / (F.col("sza") + F.col("szb") - F.col("ix"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def _md5_u64_pair(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 halves of md5 over a unique-string array.
+
+    Dictionary-level hashing: the Python loop runs over UNIQUE shingles of a
+    partition (hashlib.md5 is C), never over corpus rows — the same budget
+    Lucene spends hashing terms into the TermsHash."""
+    h1 = np.empty(values.size, dtype=U64)
+    h2 = np.empty(values.size, dtype=U64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(v.encode("utf-8")).hexdigest()
+        h1[i] = int(d[:16], 16)
+        h2[i] = int(d[16:32], 16)
+    return h1, h2
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DF(doc_id, sig array<bigint>[num_perm]) MinHash signatures.
+
+    h_i(x) = (h1(x) + i*h2(x)) mod 2^64, minimized per doc — vectorized
+    numpy over an (unique shingles x num_perm) grid per Arrow batch.
+    Signature values are reinterpreted as signed int64 (Spark has no u64);
+    DuckDB replays the same arithmetic in HUGEINT to verify.
+    """
+    with_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)).alias("sh"),
+    )
+
+    def sig_batches(batches):
+        perms = np.arange(num_perm, dtype=U64)
+        for pdf in batches:
+            out_id, out_sig = [], []
+            for doc_id, sh in zip(pdf["doc_id"].to_numpy(), pdf["sh"].to_numpy(object)):
+                sh = np.asarray(sh, dtype=object)
+                if sh.size == 0:
+                    sig = np.full(num_perm, _MOD - 1, dtype=U64)
+                else:
+                    h1, h2 = _md5_u64_pair(sh)
+                    grid = h1[:, None] + h2[:, None] * perms[None, :]  # u64 wraps
+                    sig = grid.min(axis=0)
+                out_id.append(doc_id)
+                out_sig.append(sig.astype(np.int64))
+            yield pd.DataFrame({"doc_id": out_id, "sig": out_sig})
+
+    return with_sh.mapInPandas(sig_batches, schema="doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with EXACT Jaccard.
+
+    Signatures band into ``bands`` groups of num_perm/bands rows; docs
+    sharing any band bucket become candidates (shuffle keyed on band hash —
+    the LSH scale path); candidates are verified against exact shingle-set
+    Jaccard so the output has no false positives (false-negative rate is
+    the standard 1-(1-s^r)^b curve).
+    Returns DF(doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, shingle_n, 0.0, id_col, text_col).select(
+        F.col("doc_a"), F.col("doc_b"), "jaccard"
+    )
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DF(doc_id, simhash long): Charikar sign-fingerprint over unique-token
+    md5 hashes weighted by term frequency."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+
+    def sh_batches(batches):
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, t in zip(pdf["doc_id"].to_numpy(), pdf["t"].to_numpy(object)):
+                t = np.asarray(t, dtype=object)
+                if t.size == 0:
+                    ids.append(doc_id)
+                    out.append(0)
+                    continue
+                uniq, counts = np.unique(t, return_counts=True)
+                h1, _ = _md5_u64_pair(uniq)
+                bits = (h1[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
+                contrib = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
+                sums = contrib.sum(axis=0)
+                sig = U64(0)
+                for bpos in np.flatnonzero(sums > 0):
+                    sig |= U64(1) << U64(bpos)
+                ids.append(doc_id)
+                out.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": np.array(out, dtype=np.int64)})
+
+    return toks.mapInPandas(sh_batches, schema="doc_id long, simhash long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into max_hamming+1
+    chunks; any qualifying pair matches exactly on >=1 chunk, so the join is
+    keyed on (chunk_idx, chunk_value) — never all-pairs. Exact Hamming
+    verification follows. Returns DF(doc_a, doc_b, hamming)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sigs = simhash64(docs, id_col, text_col)
+    chunked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        % F.lit(1 << width).cast("long")
+                    ).cast("long")
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def _shingles_cte(table: str, id_col: str, text_col: str, n: int) -> str:
+    """CTEs: base(doc_id, sh list) distinct shingles; shing exploded; sizes."""
+    if n == 1:
+        sh = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}')"
+    else:
+        sh = (
+            f"list_transform(range(1, greatest(len(regexp_extract_all(lower({text_col}), "
+            f"'{TOKEN_RE_SQL}')) - {n} + 2, 1)), "
+            f"i -> array_to_string((regexp_extract_all(lower({text_col}), "
+            f"'{TOKEN_RE_SQL}'))[i:i+{n - 1}], ' '))"
+        )
+    return f"""base AS (
+  SELECT {id_col} AS doc_id, list_distinct({sh}) AS sh FROM {table}
+), shing AS (
+  SELECT doc_id, unnest(sh) AS s FROM base
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id
+)"""
+
+
+_JACCARD_TAIL = """inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)"""
+
+
+def exact_duplicates_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    return f"""
+WITH h AS (SELECT {id_col} AS doc_id, md5({text_col}) AS h FROM {table}),
+c AS (SELECT h, min(doc_id) AS dup_of FROM h GROUP BY h)
+SELECT doc_id, dup_of FROM h JOIN c USING (h)
+WHERE doc_id <> dup_of ORDER BY doc_id
+""".strip()
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col, n)},
+{_JACCARD_TAIL}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {threshold!r}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+_U64 = "18446744073709551616"
+
+
+def _h64(expr: str, lo: int) -> str:
+    """uint64 (as HUGEINT) from md5-hex substring [lo, lo+16)."""
+    return f"('0x' || substr(md5({expr}), {lo}, 16))::UBIGINT::HUGEINT"
+
+
+def minhash_lsh_sql(num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
+                    threshold: float = 0.5, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """SQL twin of minhash_lsh_pairs: replays signatures (same double-hash
+    modular arithmetic), banding (same md5 over comma-joined int64 values),
+    candidate join, and exact-Jaccard verification."""
+    r = num_perm // bands
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col, shingle_n)},
+hashes AS (
+  SELECT doc_id, {_h64('s', 1)} AS h1, {_h64('s', 17)} AS h2 FROM shing
+), perms AS (
+  SELECT unnest(range({num_perm})) AS i
+), sig AS (
+  SELECT doc_id, i,
+         min((h1 + i * h2) % {_U64}) AS u
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, i
+), sig64 AS (
+  SELECT doc_id, i,
+         (u - CASE WHEN u > 9223372036854775807 THEN {_U64} ELSE 0 END)::BIGINT AS v
+  FROM sig
+), band AS (
+  SELECT doc_id, i // {r} AS band,
+         md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS bh
+  FROM sig64 GROUP BY doc_id, i // {r}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, j.jaccard AS jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {threshold!r}
+ORDER BY c.doc_a, c.doc_b
+""".strip()
+
+
+def simhash_pairs_sql(max_hamming: int = 3, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """SQL twin of simhash_pairs: exhaustive pairwise Hamming check (the
+    Spark pigeonhole blocking finds exactly the same pairs)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(c * (((h1 % {_U64})::UBIGINT >> {b}) & 1)::HUGEINT * 2 - c) > 0 "
+        f"THEN 1::HUGEINT << {b} ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}')) AS s
+  FROM {table}
+), cnt AS (
+  SELECT doc_id, s, count(*)::HUGEINT AS c FROM toks GROUP BY doc_id, s
+), h AS (
+  SELECT doc_id, c, {_h64('s', 1)} AS h1 FROM cnt
+), sig AS (
+  SELECT doc_id, ({bit_terms}) AS u FROM h GROUP BY doc_id
+), sig64 AS (
+  SELECT doc_id, (u % {_U64})::UBIGINT AS u FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.u, b.u))::INT AS hamming
+FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.u, b.u)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+def embedding_dup_sql(threshold: float = 0.95, table: str = "embeddings",
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), n AS (
+  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v
+)
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vid < b.vid
+WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        / (a.nrm * b.nrm) >= {threshold!r}
+ORDER BY vec_a, vec_b
+""".strip()
+
+
+# ------------------------------------------------------------------ embeddings
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine(a, b) >= threshold, a < b.
+
+    Exact all-pairs via a cross join at verification scale; at 10^12 rows
+    the identical verification runs on candidates from the LSH bucketing in
+    operators/similarity.py. Cosine is computed JVM-side in float64
+    (aggregate over zip_with) — no Python in the loop."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.col("cosine").cast("double"))
+    )

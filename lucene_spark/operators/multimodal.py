@@ -1,0 +1,190 @@
+"""Multimodal (image/audio/video) column plumbing for training pipelines.
+
+Media travel as opaque ``binary`` columns plus typed metadata — the layout
+a 100 TB multimodal corpus actually uses (bytes inline for small media or
+object-store references; metadata columns drive partition pruning). All the
+Spark-side machinery here is real and tested: schemas, deterministic blob
+synthesis, Arrow-batched ``mapInPandas`` decode/feature/resize/frame-sample
+operators with stable output schemas and bounded batch memory.
+
+The codec step itself (JPEG/PNG/opus decode) is STUBBED: the sandbox image
+has no image/audio libraries, so ``decode_stub`` derives deterministic fake
+pixel/sample arrays from the blob bytes (or raises NotImplementedError in
+``strict`` mode where a real pipeline would plug Pillow/av). Swapping the
+stub for a real decoder changes only the inner function — the distributed
+plumbing (batching, schema, memory shape) is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = (
+    "media_id long, kind string, fmt string, width int, height int, "
+    "n_frames int, content binary"
+)
+
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table derived from an id column: blob bytes
+    are an md5 chain over the id (reproducible in SQL via repeated
+    md5/unhex), metadata cycles through formats. DF(BLOB_SCHEMA)."""
+    i = F.col(id_col).cast("long")
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int"))
+    fmt = F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")), (i % 3 + 1).cast("int"))
+    # content = unhex(md5(id) || md5(id+1)) -> 32 deterministic bytes
+    content = F.unhex(
+        F.concat(F.md5(i.cast("string")), F.md5((i + 1).cast("string")))
+    )
+    return docs.select(
+        i.alias("media_id"),
+        kind.alias("kind"),
+        fmt.alias("fmt"),
+        (F.lit(16) + (i % 16)).cast("int").alias("width"),
+        (F.lit(16) + (i % 8)).cast("int").alias("height"),
+        (F.lit(1) + (i % 4)).cast("int").alias("n_frames"),
+        content.alias("content"),
+    )
+
+
+def _fake_pixels(blob: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder: deterministic uint8 (height, width) array from blob
+    bytes (tiled md5 keystream). A real pipeline decodes here instead."""
+    need = width * height
+    out = np.empty(need, dtype=np.uint8)
+    seed = blob or b"\x00"
+    pos = 0
+    counter = 0
+    while pos < need:
+        h = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        take = min(16, need - pos)
+        out[pos : pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
+        pos += take
+        counter += 1
+    return out.reshape(height, width)
+
+
+def decode_stub(blob: bytes, width: int, height: int, strict: bool = False) -> np.ndarray:
+    if strict:
+        raise NotImplementedError(
+            "real image/audio decoding requires Pillow/av, not present in this "
+            "environment; deterministic fake decode is used instead"
+        )
+    return _fake_pixels(blob, width, height)
+
+
+def media_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-blob feature extraction via Arrow-batched mapInPandas:
+    DF(media_id, n_bytes, mean_px double, std_px double, phash long).
+
+    The decode is the stub above; everything around it — column pruning
+    (only content+dims reach Python), batch iteration, fixed output schema —
+    is the production plumbing."""
+    sel = media.select("media_id", "width", "height", "content")
+
+    def feats(batches):
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy(np.int64)
+            n_bytes = np.empty(ids.size, dtype=np.int64)
+            mean_px = np.empty(ids.size, dtype=np.float64)
+            std_px = np.empty(ids.size, dtype=np.float64)
+            phash = np.empty(ids.size, dtype=np.int64)
+            for j, (blob, w, h) in enumerate(
+                zip(pdf["content"], pdf["width"].to_numpy(), pdf["height"].to_numpy())
+            ):
+                px = decode_stub(bytes(blob), int(w), int(h), strict)
+                n_bytes[j] = len(blob)
+                mean_px[j] = float(px.mean())
+                std_px[j] = float(px.std())
+                # 64-bit average-hash: first 64 pixels vs their mean
+                flat = px.ravel()[:64]
+                bits = (flat > flat.mean()).astype(np.uint64)
+                phash[j] = int(
+                    np.int64((bits << np.arange(bits.size, dtype=np.uint64)).sum().astype(np.uint64).astype(np.int64))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": n_bytes,
+                    "mean_px": np.round(mean_px, 6),
+                    "std_px": np.round(std_px, 6),
+                    "phash": phash,
+                }
+            )
+
+    return sel.mapInPandas(
+        feats,
+        schema="media_id long, n_bytes long, mean_px double, std_px double, phash long",
+    )
+
+
+def resize_stub(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor 'resize' over stub-decoded pixels: returns blobs of
+    exactly out_w*out_h bytes — exercises the binary-out UDF path and the
+    fact that row size changes between input and output."""
+    sel = media.select("media_id", "width", "height", "content")
+
+    def rsz(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, blob, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"].to_numpy(), pdf["height"].to_numpy()
+            ):
+                px = decode_stub(bytes(blob), int(w), int(h))
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                ids.append(mid)
+                blobs.append(px[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return sel.mapInPandas(rsz, schema="media_id long, content binary")
+
+
+def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling plumbing: one output row per kept frame index
+    (row explosion inside mapInPandas; frames are stub-decoded)."""
+    sel = media.filter(F.col("kind") == "video").select(
+        "media_id", "width", "height", "n_frames", "content"
+    )
+
+    def frames(batches):
+        for pdf in batches:
+            ids, fidx, blobs = [], [], []
+            for mid, w, h, nf, blob in zip(
+                pdf["media_id"], pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+                pdf["n_frames"].to_numpy(), pdf["content"],
+            ):
+                for f in range(0, int(nf), every):
+                    px = decode_stub(bytes(blob) + f.to_bytes(2, "big"), int(w), int(h))
+                    ids.append(mid)
+                    fidx.append(f)
+                    blobs.append(px.tobytes())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": fidx, "content": blobs})
+
+    return sel.mapInPandas(frames, schema="media_id long, frame_idx int, content binary")
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def media_meta_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """SQL twin of synth_media metadata + blob length (DuckDB replays the
+    md5-chain content, proving the binary column round-trips)."""
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS media_id,
+       (['image','audio','video'])[CAST({id_col} % 3 AS INT) + 1] AS kind,
+       (['png','wav','mp4'])[CAST({id_col} % 3 AS INT) + 1] AS fmt,
+       CAST(16 + {id_col} % 16 AS INT) AS width,
+       CAST(16 + {id_col} % 8 AS INT) AS height,
+       CAST(1 + {id_col} % 4 AS INT) AS n_frames,
+       octet_length(unhex(md5(CAST({id_col} AS VARCHAR))
+                    || md5(CAST({id_col} + 1 AS VARCHAR)))) AS n_bytes,
+       md5(lower(to_hex(unhex(md5(CAST({id_col} AS VARCHAR))
+                    || md5(CAST({id_col} + 1 AS VARCHAR)))))) AS content_md5
+FROM {table} ORDER BY media_id
+""".strip()

@@ -1,0 +1,158 @@
+"""Approximate/exact nearest-neighbor search over embedding columns.
+
+Baseline: brute-force cosine top-k — one broadcast of the query vector, one
+JVM-side map (aggregate over zip_with, float64), one TakeOrderedAndProject.
+Scale path: random-hyperplane LSH bucketing (Charikar 2002): sign bits of
+<v, plane_p> form a code; neighbors are searched within the query's bucket
+(optionally multi-probe = Hamming-1 neighbors). Planes are derived
+deterministically from md5, so results are reproducible everywhere and the
+bucketing is expressible in SQL for the oracle.
+
+An IVF variant (k-means coarse quantizer) is the other standard scale path;
+LSH is chosen here because its codes are derivable without trained state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: DF(vec_id, cosine double), ordered
+    (cosine desc, vec_id asc). The query vector is a literal (broadcast);
+    the scan maps each row once — no shuffle before the top-k."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            (_dot(v, qcol) / (_norm(v) * F.lit(qn))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------ LSH
+
+def hyperplanes(num_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: component (p, d) derives
+    from md5(f"plane:{p}:{d}") mapped to [-1, 1). Public-trick determinism —
+    reproducible across Spark, numpy, and SQL."""
+    out = np.empty((num_planes, dim), dtype=np.float64)
+    for p in range(num_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+            out[p, d] = h / float(1 << 31) - 1.0
+    return out
+
+
+def lsh_codes(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF(vec_id, code int): sign-bit LSH bucket code per vector (JVM-side;
+    planes are literals broadcast with the plan)."""
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    planes = hyperplanes(num_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return embeddings.select(F.col(id_col).alias("vec_id"), code.cast("int").alias("code"))
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 16,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose LSH code equals the
+    query's code (or differs in one bit with multiprobe). Same output shape
+    as cosine_topk; recall/latency trade is the standard LSH curve (recall
+    measured against the brute-force baseline in tests)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = q.size
+    planes = hyperplanes(num_planes, dim)
+    qcode = 0
+    for p in range(num_planes):
+        if float(planes[p] @ q) > 0:
+            qcode |= 1 << p
+    probes = [qcode] + ([qcode ^ (1 << p) for p in range(num_planes)] if multiprobe else [])
+    codes = lsh_codes(embeddings, num_planes, id_col, vec_col)
+    cand = embeddings.join(
+        codes.filter(F.col("code").isin(probes)).select(F.col("vec_id").alias(id_col)),
+        id_col,
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def query_vector(embeddings: DataFrame, query_id: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> list[float]:
+    """Fetch one stored vector to use as the query (tiny driver collect)."""
+    row = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise KeyError(f"{id_col}={query_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def cosine_topk_sql(
+    query_id: int,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: identical float64 cosine against the stored vector
+    ``{id_col} = query_id`` (self-contained — no literals needed)."""
+    return f"""
+WITH q AS (
+  SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qv
+  FROM {table} WHERE {id_col} = {query_id}
+), p AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+)
+SELECT vec_id,
+       list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+       / (sqrt(list_sum(list_transform(v, x -> x * x)))
+          * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+FROM p CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+""".strip()

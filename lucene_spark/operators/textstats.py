@@ -1,0 +1,180 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-profile heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Spark built-ins (JVM-side regex /
+aggregates; no Python in the row path), each reproducible in ANSI-ish SQL
+so the DuckDB oracle can dual-execute them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.dedup import TOKEN_RE_SQL, tokens_col
+
+# tiny built-in stopword profiles (top function words; public knowledge)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "pour", "que", "dans"],
+    "es": ["el", "la", "que", "de", "los", "es", "por", "con", "para", "una"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DF(doc_id, n_tokens, n_unique_tokens) via the simple analyzer."""
+    t = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + scalar score per doc.
+
+    Features (all double, deterministic):
+      n_chars, n_tokens, mean_token_len, uniq_ratio (distinct/total tokens),
+      alnum_ratio (alphanumeric chars / chars), stopword_ratio (English
+      function words / tokens).
+    score = uniq_ratio * alnum_ratio * least(1, n_tokens/32) — a simple
+    monotone combination; pipelines filter on score or on raw features.
+    """
+    t = tokens_col(text_col)
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    n_tokens = F.size(t)
+    alnum = F.length(F.regexp_replace(F.lower(txt), "[^a-z0-9]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    d = lambda c: c.cast("double")  # noqa: E731
+    uniq_ratio = F.when(n_tokens > 0, d(F.size(F.array_distinct(t))) / d(n_tokens)).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(n_chars > 0, d(alnum) / d(n_chars)).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tokens > 0, d(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))) / d(n_tokens)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, d(n_stop) / d(n_tokens)).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        d(n_chars).alias("n_chars"),
+        d(n_tokens).alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            uniq_ratio * alnum_ratio * F.least(F.lit(1.0), d(n_tokens) / F.lit(32.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DF(doc_id, lang, lang_hits): argmax of stopword-profile hit counts
+    (n-gram-free heuristic; ties and zero hits fall back to 'und'
+    deterministically via (hits desc, lang asc))."""
+    t = tokens_col(text_col)
+    hit_cols = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in sorted(set(words))])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max over structs orders by first field then second; we want hits desc,
+    # lang ASC on ties -> compare (hits, negated lang) is awkward, so sort
+    # the small fixed array instead and take the first element
+    best = F.sort_array(F.array(*hit_cols), asc=False)[0]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DF(doc_id, fingerprint): md5 of the sorted distinct token set —
+    word-order/duplication-insensitive content fingerprint (the classic
+    "fingerprint clustering" normalization)."""
+    t = F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))), " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(t).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def token_count_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       len(regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}'))) AS n_unique_tokens
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
+def quality_scores_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    stop = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         {text_col} AS txt,
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}') AS toks
+  FROM {table}
+), f AS (
+  SELECT doc_id,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+         CAST(length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS n_alnum,
+         CAST(len(list_filter(toks, x -> list_contains([{stop}], x))) AS DOUBLE) AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sum_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN sum_len / n_tokens ELSE 0 END, 6) AS mean_token_len,
+       round(CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0 END, 6) AS uniq_ratio,
+       round(CASE WHEN n_chars > 0 THEN n_alnum / n_chars ELSE 0 END, 6) AS alnum_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+       round((CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0 END)
+             * (CASE WHEN n_chars > 0 THEN n_alnum / n_chars ELSE 0 END)
+             * least(1.0, n_tokens / 32.0), 6) AS quality_score
+FROM f ORDER BY doc_id
+""".strip()
+
+
+def language_id_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    structs = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        lst = ",".join(f"'{w}'" for w in sorted(set(words)))
+        structs.append(
+            f"{{'hits': len(list_filter(toks, x -> list_contains([{lst}], x))), 'lang': '{lang}'}}"
+        )
+    arr = ", ".join(structs)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}') AS toks
+  FROM {table}
+), s AS (
+  SELECT doc_id, list_reverse_sort([{arr}]) AS cand FROM t
+)
+SELECT doc_id,
+       CASE WHEN cand[1].hits > 0 THEN cand[1].lang ELSE 'und' END AS lang,
+       cand[1].hits AS lang_hits
+FROM s ORDER BY doc_id
+""".strip()
+
+
+def fingerprints_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}'))), ' ')) AS fingerprint
+FROM {table} ORDER BY doc_id
+""".strip()

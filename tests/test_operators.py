@@ -1,0 +1,231 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal): algorithmic invariants + scalar cross-checks.
+Engine-vs-DuckDB dual execution runs in tools/validate_entries.py; these
+tests pin the algorithm semantics themselves."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(SF_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(SF_EMB).cache()
+
+
+# ------------------------------------------------------------------ shingles
+
+def test_shingles_short_doc(spark):
+    from lucene_spark.operators.dedup import shingles_col, tokens_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["a b", "a b c d", "", "one"]})
+    ).select(shingles_col(tokens_col("text"), 3).alias("sh"))
+    got = [r["sh"] for r in df.collect()]
+    assert got[0] == []  # fewer tokens than n -> no shingles, not junk
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []
+    assert got[3] == []
+
+
+# ------------------------------------------------------------------ exact dedup
+
+def test_exact_duplicates(spark):
+    from lucene_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["x y", "z", "x y", "x y"]})
+    )
+    got = {(r["doc_id"], r["dup_of"]) for r in exact_duplicates(df).collect()}
+    assert got == {(3, 1), (4, 1)}
+
+
+# ------------------------------------------------------------------ jaccard
+
+def test_ngram_jaccard_scalar_crosscheck(spark, docs):
+    from lucene_spark.operators.dedup import ngram_jaccard_pairs
+
+    pdf = docs.toPandas()
+    # scalar reference
+    import re
+    def sh(t):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    sets = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    expect = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sets[a] | sets[b]
+            if not u:
+                continue
+            j = len(sets[a] & sets[b]) / len(u)
+            if j >= 0.2:
+                expect.add((a, b, round(j, 9)))
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------------------------ minhash
+
+def test_minhash_subset_of_jaccard_and_high_recall(spark, docs):
+    from lucene_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, 64, 16, 3, 0.2).collect()
+    }
+    assert lsh <= exact  # exact-verify step guarantees no false positives
+    high = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, 3, 0.7).collect()
+    }
+    # 16 bands of 4 rows: P(catch | J=0.7) = 1-(1-0.7^4)^16 ~ 0.99
+    assert high <= lsh or len(high - lsh) <= max(1, len(high) // 10)
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    from lucene_spark.operators.dedup import minhash_signatures
+
+    a = minhash_signatures(docs.limit(20), 16, 3).toPandas().set_index("doc_id")
+    b = minhash_signatures(docs.limit(20), 16, 3).toPandas().set_index("doc_id")
+    for i in a.index:
+        assert list(a.loc[i, "sig"]) == list(b.loc[i, "sig"])
+
+
+# ------------------------------------------------------------------ simhash
+
+def test_simhash_blocking_equals_exhaustive(spark, docs):
+    from lucene_spark.operators.dedup import simhash64, simhash_pairs
+
+    sigs = simhash64(docs).toPandas()
+    u = sigs["simhash"].to_numpy(np.int64).astype(np.uint64)
+    ids = sigs["doc_id"].to_numpy(np.int64)
+    expect = set()
+    for i in range(len(ids)):
+        x = u[i] ^ u
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.flatnonzero((ham <= 3) & (ids > ids[i])):
+            expect.add((int(ids[i]), int(ids[j]), int(ham[j])))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, 3).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------------------------ similarity
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    q = np.array(query_vector(embs, 0), dtype=np.float64)
+    pdf = embs.toPandas()
+    vids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((vids, -cos))[:10]
+    expect = [int(vids[i]) for i in order]
+    got = [r["vec_id"] for r in cosine_topk(embs, list(q), 10).collect()]
+    assert got == expect
+
+
+def test_lsh_ann_recall(spark, embs):
+    from lucene_spark.operators.similarity import (
+        cosine_topk, lsh_ann_topk, query_vector,
+    )
+
+    q = query_vector(embs, 0)
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, 10).collect()]
+    approx = [r["vec_id"] for r in lsh_ann_topk(embs, q, 10, num_planes=8).collect()]
+    assert exact[0] in approx  # the query's own bucket holds itself
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.2  # 8-plane multiprobe floor on 100 vectors
+
+
+# ------------------------------------------------------------------ textstats
+
+def test_textstats_handmade(spark):
+    from lucene_spark.operators.textstats import (
+        fingerprints, language_id, quality_scores, token_count,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog",
+                    "der hund und die katze ist nicht da",
+                    "!!!",
+                ],
+            }
+        )
+    )
+    tc = {r["doc_id"]: (r["n_tokens"], r["n_unique_tokens"]) for r in token_count(df).collect()}
+    assert tc == {1: (5, 4), 2: (8, 8), 3: (0, 0)}
+
+    li = {r["doc_id"]: r["lang"] for r in language_id(df).collect()}
+    assert li[1] == "en" and li[2] == "de" and li[3] == "und"
+
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert q[1]["uniq_ratio"] == 0.8
+    assert q[3]["quality_score"] == 0.0
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    import hashlib
+    assert fp[1] == hashlib.md5(b"and cat dog the").hexdigest()
+
+
+# ------------------------------------------------------------------ multimodal
+
+def test_media_pipeline(spark, docs):
+    from lucene_spark.operators.multimodal import (
+        decode_stub, frame_sample, media_features, resize_stub, synth_media,
+    )
+
+    m = synth_media(docs.limit(30)).cache()
+    rows = m.collect()
+    assert all(len(r["content"]) == 32 for r in rows)
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+
+    f = media_features(m).collect()
+    assert len(f) == 30
+    for r in f:
+        assert r["n_bytes"] == 32
+        assert 0.0 <= r["mean_px"] <= 255.0
+
+    rz = resize_stub(m, 8, 8).collect()
+    assert all(len(r["content"]) == 64 for r in rz)
+
+    fs = frame_sample(m, every=2).toPandas()
+    vids = {r["media_id"] for r in rows if r["kind"] == "video"}
+    assert set(fs["media_id"]) == vids
+    # deterministic: same media twice -> same frames
+    fs2 = frame_sample(m, every=2).toPandas()
+    assert fs.sort_values(["media_id", "frame_idx"]).equals(
+        fs2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).set_index(fs.sort_values(["media_id", "frame_idx"]).index)
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", 4, 4, strict=True)
