@@ -55,6 +55,9 @@ _BM25_QUERIES: dict[str, dict] = {
     },
 }
 _PREFIX = "s"  # scan/sort/small/spark/stream/slow...
+_PHRASE = ["scan", "merge"]
+_SYNONYM = ["scan", "merge", "dup"]
+_DISMAX = (["scan", "merge", "dup"], 0.3)
 _STATS_TERMS = ["scan", "merge", "hash", "dup", "zzz-absent"]
 _POSTINGS_TERM = "dup"
 
@@ -63,7 +66,7 @@ _POSTINGS_TERM = "dup"
 
 def _index_dir_for(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join("/tmp/lucene_spark_entry", tag, "documents_idx")
+    return os.path.join("/tmp/lucene_spark_entry_v2", tag, "documents_idx")
 
 
 def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +117,48 @@ def _prefix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _searcher(spark, sf_dir)
     hits = s.search(PrefixQuery(_PREFIX), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import PhraseQuery
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search(PhraseQuery(tuple(_PHRASE)), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _synonym_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import SynonymQuery
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search(SynonymQuery(tuple(_SYNONYM)), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _dismax_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import DisjunctionMaxQuery, TermQuery
+
+    terms, tb = _DISMAX
+    s = _searcher(spark, sf_dir)
+    hits = s.search(
+        DisjunctionMaxQuery(tuple(TermQuery(t) for t in terms), tb), _QUERY_K
+    )
     dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
     return (
         hits.join(dm, "doc_id")
@@ -270,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, ast in _BM25_QUERIES.items():
         out[name] = _mk(ast)
     out["bm25_prefix"] = _prefix_df
+    out["bm25_phrase"] = _phrase_df
+    out["bm25_synonym"] = _synonym_df
+    out["bm25_dismax"] = _dismax_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
@@ -299,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
     for name, ast in _BM25_QUERIES.items():
         out[name] = sqlgen.topk_sql(parse_query(json.dumps(ast)), _QUERY_K)
     out["bm25_prefix"] = sqlgen.prefix_topk_sql(_PREFIX, _QUERY_K)
+    out["bm25_phrase"] = sqlgen.phrase_topk_sql(_PHRASE, _QUERY_K)
+    out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
+    out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)
     out["term_stats"] = sqlgen.term_stats_sql(
         [t for t in _STATS_TERMS if t != "zzz-absent"] + ["zzz-absent"]
     )

@@ -78,6 +78,9 @@ class IndexConfig:
     hot_term_df: int = 1 << 16
     # analysis chain (lucene_spark.functions.analysis.ANALYZERS)
     analyzer: str = "standard"
+    # store per-(term, doc) token positions (PhraseQuery support) — the
+    # reference default IndexOptions for text fields includes positions
+    positions: bool = True
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -173,7 +176,8 @@ def build_index(
     if pending:
         part = assigned.filter(F.col("shard_id").isin(pending))
         meta = part.groupBy("shard_id").applyInPandas(
-            _make_segment_builder(index_dir, offsets, config.analyzer),
+            _make_segment_builder(index_dir, offsets, config.analyzer,
+                                  config.positions),
             schema=SEGMENT_META_SCHEMA,
         )
         rows = meta.collect()
@@ -224,18 +228,21 @@ def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
     return transcripts.select(*cols).withColumn("shard_id", shard_of(F.col("conv_id")))
 
 
-def _make_segment_builder(index_dir: str, offsets: dict[int, int], analyzer: str = "standard"):
+def _make_segment_builder(index_dir: str, offsets: dict[int, int],
+                          analyzer: str = "standard", positions: bool = False):
     """Returns the applyInPandas function building one segment per shard."""
 
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
-        return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir)
+        return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir,
+                                    positions)
 
     return build_segment
 
 
 def _build_segment_frame(
-    pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str
+    pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str,
+    positions: bool = False,
 ) -> pd.DataFrame:
     """Build one segment from an in-memory frame of transcript rows (the DWPT
     flush analog): tokenize, norms, docmap + block-encoded postings written
@@ -262,6 +269,10 @@ def _build_segment_frame(
     exploded = tokens.explode().dropna()
     codes, uniques = pd.factorize(exploded.to_numpy(dtype=object), sort=False)
     row_of = exploded.index.to_numpy(dtype=np.int64)
+    # raw token position per occurrence (explode is row-major, row_of sorted)
+    counts_raw = np.bincount(row_of, minlength=n)
+    row_start = np.concatenate(([0], np.cumsum(counts_raw)[:-1]))
+    pos_raw = np.arange(row_of.size, dtype=np.int64) - row_start[row_of]
     if codes.size:
         # lowercase + length-filter on the vocabulary, not the corpus
         lowered = pd.Series(uniques).str.lower()
@@ -270,9 +281,11 @@ def _build_segment_frame(
     if max_len is not None and codes.size:
         too_long = pd.Series(uniques).str.len().to_numpy(np.int64) > max_len
         if too_long.any():
+            # dropped tokens keep incrementing positions (skip semantics)
             keep = ~too_long[codes]
             codes = codes[keep]
             row_of = row_of[keep]
+            pos_raw = pos_raw[keep]
     flen = np.bincount(row_of, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4_np(flen).astype(np.int64)
 
@@ -302,17 +315,44 @@ def _build_segment_frame(
     num_postings = 0
     if codes.size:
         key = codes.astype(np.int64) * n + row_of
-        ukey, freqs = np.unique(key, return_counts=True)
+        # stable argsort instead of np.unique: same grouped keys, but the
+        # within-group order preserves explode order == token position order,
+        # which yields per-(term, doc) position lists for free
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        gst = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+        ukey = sk[gst]
+        freqs = np.diff(np.concatenate((gst, [sk.size]))).astype(np.int64)
         code_u = ukey // n
         row_u = ukey % n
         docs = row_u + offset
-        freqs = freqs.astype(np.int64)
         norm_of_doc = norm_bytes[row_u]
         starts = np.flatnonzero(np.concatenate(([True], code_u[1:] != code_u[:-1])))
         ends = np.concatenate((starts[1:], [code_u.size]))
         num_postings = int(ukey.size)
         batch = encode_postings_batch(docs, freqs, norm_of_doc, starts, ends)
         term_of_block = uniques[code_u[starts]][batch["term_idx"]]
+
+        if positions:
+            # position = raw token ordinal in the doc (skipped over-long
+            # tokens still increment it, StandardTokenizer.java:152-175)
+            pos_of = (pos_raw[order]).astype(np.int32)
+            plist = pa.ListArray.from_arrays(
+                np.concatenate((gst, [sk.size])).astype(np.int32),
+                pa.array(pos_of, type=pa.int32()),
+            )
+            pos_dir = os.path.join(index_dir, "positions_local", f"segment={sid}")
+            os.makedirs(pos_dir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": pa.array(uniques[code_u], type=pa.string()),
+                        "doc_id": pa.array(docs, type=pa.int64()),
+                        "positions": plist,
+                    }
+                ),
+                os.path.join(pos_dir, "data.parquet"),
+            )
     else:
         starts = np.zeros(0, dtype=np.int64)
         batch = {k: [] for k in (
@@ -491,6 +531,8 @@ def build_index_files(
         # round-robin: exactly one file per task (hash-by-key could collide)
         tasks = spark.createDataFrame(pending_pdf).repartition(len(pending))
 
+        store_pos = config.positions
+
         def run_file(batches):
             import pyarrow as pa2
             import pyarrow.parquet as pq2
@@ -506,7 +548,8 @@ def build_index_files(
                         columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
                         use_threads=False,
                     ).to_pandas(use_threads=False)
-                    yield _build_segment_frame(frame, int(sid), int(offset), analyzer, idx_dir)
+                    yield _build_segment_frame(frame, int(sid), int(offset),
+                                               analyzer, idx_dir, store_pos)
 
         rows = tasks.mapInPandas(run_file, schema=SEGMENT_META_SCHEMA).collect()
         for r in rows:

@@ -110,6 +110,24 @@ def merge_index(spark: SparkSession, index_dir: str) -> dict:
         .parquet(post_path)
     )
 
+    # ---- 3. global positions (PhraseQuery support): pass-through relayout
+    # into term_bucket dirs sorted by term — docIDs are already global, so
+    # "merging" positions is pure partitioning (the .pos-file analog of the
+    # reference's column split, Lucene104PostingsFormat.java:64-79: queries
+    # that don't need positions never touch this table)
+    pos_local = os.path.join(index_dir, "positions_local")
+    if os.path.exists(pos_local):
+        (
+            spark.read.parquet(pos_local)
+            .drop("segment")
+            .withColumn("term_bucket", term_bucket_col(buckets))
+            .repartition(buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(index_dir, "positions"))
+        )
+
     manifest["merged"] = True
     manifest["generation"] += 1
     write_manifest(index_dir, manifest)

@@ -206,6 +206,121 @@ LIMIT {k}
 """.strip()
 
 
+def phrase_topk_sql(
+    terms: list[str],
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Top-k for an exact-adjacency PhraseQuery: phrase freq by scanning the
+    token array for consecutive matches; idf = REAL cast of the DOUBLE sum
+    of per-term REAL idfs (BM25Similarity.java:161-170)."""
+    L = len(terms)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    df_joins = ", ".join(
+        f"(SELECT coalesce(max(df), 0) AS df FROM df WHERE term = '{t}') d{j}"
+        for j, t in enumerate(terms)
+    )
+    idf_sum = " + ".join(
+        f"CAST(CAST(ln(1 + (c.dc - d{j}.df + 0.5) / (d{j}.df + 0.5)) AS REAL) AS DOUBLE)"
+        for j in range(L)
+    )
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, greatest(len(toks) - {L} + 2, 1)),
+                         i -> {conds})) AS freq
+  FROM tokarr
+),
+w AS (
+  SELECT CAST({idf_sum} AS REAL) AS v FROM consts c, {df_joins}
+)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def synonym_topk_sql(
+    terms: list[str],
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """SynonymQuery twin: freq = per-doc sum over terms, idf from blended
+    doc_freq = max over terms (SynonymQuery.java:211-228)."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    score = _leaf_score("w.v", "sf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+sf AS (
+  SELECT doc_id, CAST(sum(freq) AS BIGINT) AS freq
+  FROM tf WHERE term IN ({inlist}) GROUP BY doc_id
+),
+w AS (
+  SELECT CAST(ln(1 + (c.dc - b.df + 0.5) / (b.df + 0.5)) AS REAL) AS v
+  FROM consts c, (SELECT max(df) AS df FROM df WHERE term IN ({inlist})) b
+)
+SELECT sf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM sf JOIN dl ON dl.doc_id = sf.doc_id, consts c, w
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def dismax_topk_sql(
+    terms: list[str],
+    tie_breaker: float,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DisjunctionMaxQuery twin over term disjuncts: per-doc
+    max + tieBreaker*(sum - max) of clause scores, DOUBLE accumulate,
+    REAL cast (DisjunctionMaxScorer.java:24-27)."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    score = _leaf_score("ldf.idf", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+ldf AS (
+  SELECT term, df, {_idf_expr()} AS idf FROM df ldf, consts c
+  WHERE term IN ({inlist})
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf JOIN ldf ON ldf.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id, consts c
+)
+SELECT doc_id,
+       CAST(max(CAST(score AS DOUBLE))
+            + {tie_breaker!r} * (sum(CAST(score AS DOUBLE)) - max(CAST(score AS DOUBLE)))
+            AS REAL) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def term_stats_sql(terms: list[str], table: str = "documents",
                    id_col: str = "doc_id", text_col: str = "text") -> str:
     """doc_freq / total_term_freq per term (pure ints)."""

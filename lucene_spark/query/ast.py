@@ -70,6 +70,64 @@ class BoostQuery(Query):
         return f"Boost({self.query!r},{self.boost})"
 
 
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact-adjacency phrase (slop=0 subset of ``PhraseQuery.java:71``):
+    matches docs where terms occur at consecutive positions; scored by BM25
+    with freq = number of phrase occurrences and idf = float32 cast of the
+    double sum of per-term float32 idfs (``BM25Similarity.java:161-170``)."""
+    terms: tuple[str, ...]
+    def __repr__(self) -> str:
+        return f"Phrase({list(self.terms)!r})"
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Terms scored as one pseudo-term: doc_freq = max over terms,
+    total_term_freq = sum, per-doc freq = sum (``SynonymQuery.java:211-228``)."""
+    terms: tuple[str, ...]
+    def __repr__(self) -> str:
+        return f"Synonym({sorted(self.terms)!r})"
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max(clause scores) + tie_breaker * sum(other scores)
+    (``DisjunctionMaxScorer.java:24-27``)."""
+    disjuncts: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def rewrite(self) -> Query:
+        inner = tuple(q.rewrite() for q in self.disjuncts)
+        live = tuple(q for q in inner if not isinstance(q, MatchNoDocsQuery))
+        if not live:
+            return MatchNoDocsQuery()
+        if len(live) == 1:
+            return live[0]
+        return DisjunctionMaxQuery(live, self.tie_breaker)
+
+    def __repr__(self) -> str:
+        return f"DisMax({list(self.disjuncts)!r},{self.tie_breaker})"
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Matches of the wrapped query, all scored boost (score pinning,
+    ``ConstantScoreQuery.java:28``)."""
+    query: Query
+
+    def rewrite(self) -> Query:
+        inner = self.query.rewrite()
+        if isinstance(inner, (MatchNoDocsQuery, MatchAllDocsQuery)):
+            return inner if isinstance(inner, MatchNoDocsQuery) else MatchAllDocsQuery()
+        if isinstance(inner, ConstantScoreQuery):
+            return inner
+        return ConstantScoreQuery(inner)
+
+    def __repr__(self) -> str:
+        return f"Const({self.query!r})"
+
+
 # multi-term queries: expanded against the term dictionary before execution
 @dataclass(frozen=True)
 class PrefixQuery(Query):
@@ -254,6 +312,18 @@ def parse_query(obj: str | dict) -> Query:
                            r.get("include_lower", True), r.get("include_upper", True))
     elif "in" in obj:
         q = TermInSetQuery(tuple(obj["in"]))
+    elif "phrase" in obj:
+        q = PhraseQuery(tuple(obj["phrase"]))
+    elif "synonym" in obj:
+        q = SynonymQuery(tuple(obj["synonym"]))
+    elif "dismax" in obj:
+        d = obj["dismax"]
+        q = DisjunctionMaxQuery(
+            tuple(parse_query(c) for c in d["queries"]),
+            float(d.get("tie_breaker", 0.0)),
+        )
+    elif "constant_score" in obj:
+        q = ConstantScoreQuery(parse_query(obj["constant_score"]))
     elif "match_all" in obj:
         q = MatchAllDocsQuery()
     elif "match_none" in obj:

@@ -46,10 +46,14 @@ from lucene_spark.index.merge import term_bucket_of
 from lucene_spark.query.ast import (
     BooleanQuery,
     BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
+    SynonymQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -85,6 +89,7 @@ class IndexSearcher:
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self._docmap: DataFrame | None = None
+        self._positions: DataFrame | None = None
 
     # ------------------------------------------------------------ stats
 
@@ -185,6 +190,12 @@ class IndexSearcher:
             cond = F.col("term").isin(list(q.terms))
         elif isinstance(q, BoostQuery):
             return BoostQuery(self._expand_multi_term(q.query), q.boost)
+        elif isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._expand_multi_term(q.query))
+        elif isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self._expand_multi_term(c) for c in q.disjuncts), q.tie_breaker
+            )
         elif isinstance(q, BooleanQuery):
             return BooleanQuery(
                 [self._expand_multi_term(c) for c in q.must],
@@ -218,11 +229,179 @@ class IndexSearcher:
         if isinstance(q, TermQuery):
             df = self._flat_boolean(BooleanQuery(must=[q]), boost)
             return df
+        if isinstance(q, PhraseQuery):
+            return self._phrase(q, boost)
+        if isinstance(q, SynonymQuery):
+            return self._synonym(q, boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._dismax(q, boost)
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._execute(q.query, np.float32(1.0))
+            if inner is None:
+                return None
+            return inner.select(
+                "doc_id", F.lit(float(boost)).cast("float").alias("score")
+            )
         if isinstance(q, BooleanQuery):
             if self._is_flat(q):
                 return self._flat_boolean(q, boost)
             return self._nested_boolean(q, boost)
         raise TypeError(f"cannot execute {type(q).__name__}")
+
+    # ------------------------------------------------------------ phrase
+
+    def positions_table(self) -> DataFrame:
+        p = os.path.join(self.index_dir, "positions")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"{self.index_dir}: index built without positions "
+                "(IndexConfig.positions=False) — PhraseQuery unavailable"
+            )
+        if self._positions is None:
+            self._positions = self.spark.read.parquet(p)
+        return self._positions
+
+    def _multi_term_weight(self, boost: np.float32, idfs: list[np.float32]) -> np.float32:
+        """float32(boost * float32(Σ_double f32-idfs)) — the phrase/synonym
+        idf accumulation (BM25Similarity.java:161-170)."""
+        acc = np.float64(0.0)
+        for v in idfs:
+            acc += np.float64(v)
+        return np.float32(np.float32(boost) * np.float32(acc))
+
+    def _score_freq_frame(self, matched: DataFrame, w: np.float32) -> DataFrame:
+        """(doc_id, freq) + norms join -> (doc_id, score) with exact float32
+        BM25 arithmetic (vectorized Arrow UDF, cache semantics)."""
+        cache = self.cache
+        norms = self.docmap().select("doc_id", "norm_byte")
+        j = matched.join(norms, "doc_id").select("doc_id", "freq", "norm_byte")
+
+        def score_batches(batches):
+            from lucene_spark.functions import bm25
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                        "score": bm25.score(
+                            pdf["freq"].to_numpy(np.int64),
+                            pdf["norm_byte"].to_numpy(np.int64),
+                            w,
+                            cache,
+                        ),
+                    }
+                )
+
+        return j.mapInPandas(score_batches, schema="doc_id long, score float")
+
+    def _phrase(self, q: PhraseQuery, boost: np.float32) -> DataFrame | None:
+        """Exact-adjacency phrase: positions join + JVM-side adjacency filter.
+
+        One positions scan serves all slots (term IN (...) pushdown); slot
+        frames join on doc_id (conjunction — a doc must contain every word);
+        phrase freq = #start positions whose i-th successor position holds
+        the i-th word (PhraseQuery.java:71 exact case)."""
+        terms = list(q.terms)
+        if not terms:
+            return None
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return None
+        w = self._multi_term_weight(
+            boost, [bm25.idf(stats[t][0], self.doc_count) for t in terms]
+        )
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
+        scan = (
+            self.positions_table()
+            .filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(sorted(set(terms)))
+            )
+            .select("term", "doc_id", "positions")
+        )
+        j: DataFrame | None = None
+        for i, t in enumerate(terms):
+            s = scan.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+            j = s if j is None else j.join(s, "doc_id")
+        if len(terms) == 1:
+            freq = F.size(F.col("p0"))
+        else:
+            def adjacency(x):  # single-arg: pyspark inspects the arity
+                c = F.array_contains(F.col("p1"), x + 1)
+                for i in range(2, len(terms)):
+                    c = c & F.array_contains(F.col(f"p{i}"), x + i)
+                return c
+
+            freq = F.size(F.filter(F.col("p0"), adjacency))
+        matched = j.select("doc_id", freq.alias("freq")).filter(F.col("freq") > 0)
+        return self._score_freq_frame(matched, w)
+
+    def _synonym(self, q: SynonymQuery, boost: np.float32) -> DataFrame | None:
+        """Blended pseudo-term: df = max, per-doc freq = sum over terms
+        (SynonymQuery.java:211-228); ONE postings scan, freqs summed by doc."""
+        terms = sorted(set(q.terms))
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return None
+        df_blend = max(stats[t][0] for t in present)
+        w = np.float32(np.float32(boost) * bm25.idf(df_blend, self.doc_count))
+        # one postings scan; FREQS (not scores) summed per doc
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in present})
+        scan = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+        ).select("num_docs", "first_doc", "data")
+
+        def decode(batches):
+            from lucene_spark.functions.codec import decode_block
+
+            for pdf in batches:
+                docs_out, freqs_out = [], []
+                for nd, fd, data in zip(
+                    pdf["num_docs"].to_numpy(np.int64),
+                    pdf["first_doc"].to_numpy(np.int64),
+                    pdf["data"].to_numpy(object),
+                ):
+                    d, f, _ = decode_block(data, int(nd), int(fd))
+                    docs_out.append(d)
+                    freqs_out.append(f)
+                if docs_out:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_out),
+                            "freq": np.concatenate(freqs_out),
+                        }
+                    )
+
+        per_doc = (
+            scan.mapInPandas(decode, schema="doc_id long, freq long")
+            .groupBy("doc_id")
+            .agg(F.sum("freq").alias("freq"))
+        )
+        return self._score_freq_frame(per_doc, w)
+
+    def _dismax(self, q: DisjunctionMaxQuery, boost: np.float32) -> DataFrame | None:
+        """max + tieBreaker * (sum - max) over clause scores, accumulated in
+        double and cast to float (DisjunctionMaxScorer.java:24-56)."""
+        frames = [self._execute(c, boost) for c in q.disjuncts]
+        frames = [f for f in frames if f is not None]
+        if not frames:
+            return None
+        u = frames[0].select("doc_id", "score")
+        for f in frames[1:]:
+            u = u.unionAll(f.select("doc_id", "score"))
+        tb = float(q.tie_breaker)
+        agg = u.groupBy("doc_id").agg(
+            F.max(F.col("score").cast("double")).alias("mx"),
+            F.sum(F.col("score").cast("double")).alias("sm"),
+        )
+        return agg.select(
+            "doc_id",
+            (F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx")))
+            .cast("float")
+            .alias("score"),
+        )
 
     @staticmethod
     def _is_flat(q: BooleanQuery) -> bool:

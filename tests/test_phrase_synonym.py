@@ -1,0 +1,158 @@
+"""PhraseQuery / SynonymQuery / DisjunctionMaxQuery / ConstantScoreQuery
+semantics against a scalar Python reference on the shared small corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions import bm25
+from lucene_spark.functions.analysis import MAX_TOKEN_LENGTH, tokenize_one
+from lucene_spark.functions.smallfloat import int_to_byte4_np
+from lucene_spark.query.ast import (
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    SynonymQuery,
+    TermQuery,
+)
+from lucene_spark.query.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    return IndexSearcher(spark, built_index)
+
+
+@pytest.fixture(scope="module")
+def ref(small_corpus):
+    """Scalar reference: per doc (in stable order) -> positioned tokens,
+    field_len, norm_byte; plus collection stats."""
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    docs = []
+    for text in rows["text"]:
+        raw = tokenize_one(text or "")
+        pos_tokens = [
+            (t.lower(), i) for i, t in enumerate(raw) if len(t) <= MAX_TOKEN_LENGTH
+        ]
+        docs.append(pos_tokens)
+    flen = np.array([len(d) for d in docs], dtype=np.int64)
+    norm = int_to_byte4_np(flen)
+    return {
+        "docs": docs,
+        "norm": norm,
+        "dc": len(docs),
+        "sttf": int(flen.sum()),
+    }
+
+
+def _cache(ref):
+    return bm25.norm_inverse_cache(bm25.avgdl(ref["sttf"], ref["dc"]))
+
+
+def _df(ref, term):
+    return sum(1 for d in ref["docs"] if any(t == term for t, _ in d))
+
+
+def test_phrase_matches_and_scores(searcher, ref):
+    # pick a bigram that actually occurs
+    big = {}
+    for did, d in enumerate(ref["docs"]):
+        pos_of = {}
+        for t, p in d:
+            pos_of.setdefault(t, set()).add(p)
+        for t, p in d:
+            for u in pos_of:
+                if p + 1 in pos_of[u]:
+                    big.setdefault((t, u), {}).setdefault(did, 0)
+        # count freq properly below
+    (w0, w1), _ = max(big.items(), key=lambda kv: len(kv[1]))
+
+    expect = {}
+    for did, d in enumerate(ref["docs"]):
+        pos_of = {}
+        for t, p in d:
+            pos_of.setdefault(t, set()).add(p)
+        if w0 not in pos_of or w1 not in pos_of:
+            continue
+        freq = sum(1 for p in pos_of[w0] if p + 1 in pos_of[w1])
+        if freq:
+            expect[did] = freq
+
+    idfs = [
+        bm25.idf(_df(ref, w0), ref["dc"]),
+        bm25.idf(_df(ref, w1), ref["dc"]),
+    ]
+    acc = np.float64(0.0)
+    for v in idfs:
+        acc += np.float64(v)
+    w = np.float32(np.float32(1.0) * np.float32(acc))
+    cache = _cache(ref)
+
+    got = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in searcher.search(PhraseQuery((w0, w1)), 1000).collect()
+    }
+    assert set(got) == set(expect)
+    for did, freq in expect.items():
+        s = bm25.score(np.array([freq]), np.array([ref["norm"][did]]), w, cache)[0]
+        assert got[did] == s
+
+
+def test_phrase_absent_term_is_empty(searcher):
+    assert searcher.search(PhraseQuery(("zzzz-nope", "scan")), 10).count() == 0
+
+
+def test_synonym_blended(searcher, ref):
+    # two fairly common terms
+    from collections import Counter
+    cnt = Counter(t for d in ref["docs"] for t, _ in set(d))
+    (t1, _), (t2, _) = cnt.most_common(2)
+
+    expect = {}
+    for did, d in enumerate(ref["docs"]):
+        freq = sum(1 for t, _ in d if t in (t1, t2))
+        if freq:
+            expect[did] = freq
+    dfb = max(_df(ref, t1), _df(ref, t2))
+    w = np.float32(np.float32(1.0) * bm25.idf(dfb, ref["dc"]))
+    cache = _cache(ref)
+
+    got = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in searcher.search(SynonymQuery((t1, t2)), 10000).collect()
+    }
+    assert set(got) == set(expect)
+    for did, freq in expect.items():
+        s = bm25.score(np.array([freq]), np.array([ref["norm"][did]]), w, cache)[0]
+        assert got[did] == s
+
+
+def test_dismax_formula(searcher, ref):
+    from collections import Counter
+    cnt = Counter(t for d in ref["docs"] for t, _ in set(d))
+    (t1, _), (t2, _) = cnt.most_common(2)
+    tb = 0.4
+
+    s1 = {r["doc_id"]: r["score"] for r in searcher.search(TermQuery(t1), 10000).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in searcher.search(TermQuery(t2), 10000).collect()}
+    got = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in searcher.search(
+            DisjunctionMaxQuery((TermQuery(t1), TermQuery(t2)), tb), 10000
+        ).collect()
+    }
+    assert set(got) == set(s1) | set(s2)
+    for did in got:
+        vals = [np.float64(s[did]) for s in (s1, s2) if did in s]
+        mx, sm = max(vals), sum(vals)
+        assert got[did] == np.float32(mx + tb * (sm - mx))
+
+
+def test_constant_score(searcher, ref):
+    from collections import Counter
+    cnt = Counter(t for d in ref["docs"] for t, _ in set(d))
+    (t1, _), = cnt.most_common(1)
+    hits = searcher.search(ConstantScoreQuery(TermQuery(t1)), 10000).collect()
+    assert len(hits) == _df(ref, t1)
+    assert all(r["score"] == 1.0 for r in hits)

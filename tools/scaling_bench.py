@@ -50,7 +50,7 @@ def run_one(cpus: int, input_dir: str, work: str) -> None:
     idx = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
     cfg = IndexConfig(term_buckets=32, hot_term_df=1 << 14,
-                      analyzer="standard")
+                      analyzer="standard", positions=False)
     t0 = time.time()
     build_index_files(spark, input_dir, idx, cfg)
     build_s = time.time() - t0
