@@ -46,21 +46,27 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     assert agg["sfl"] == sum_ttf, "sum_field_len mismatch vs manifest"
 
     # stable-order assignment: (conv_id, turn_idx) ascending in doc_id order
+    # — a property of the initial bulk build only; streaming appends assign
+    # docIDs in arrival order (Lucene insertion-order semantics) and set
+    # manifest["ordered"] = False
     from pyspark.sql.window import Window
     w = Window.orderBy("doc_id")  # audit-only job; fine on a single pass
-    viol = (
-        docmap.select("doc_id", "conv_id", "turn_idx")
-        .withColumn("pc", F.lag("conv_id").over(w))
-        .withColumn("pt", F.lag("turn_idx").over(w))
-        .filter(
-            F.col("pc").isNotNull()
-            & ~(
-                (F.col("conv_id") > F.col("pc"))
-                | ((F.col("conv_id") == F.col("pc")) & (F.col("turn_idx") > F.col("pt")))
+    if not manifest.get("ordered", True):
+        viol = 0
+    else:
+        viol = (
+            docmap.select("doc_id", "conv_id", "turn_idx")
+            .withColumn("pc", F.lag("conv_id").over(w))
+            .withColumn("pt", F.lag("turn_idx").over(w))
+            .filter(
+                F.col("pc").isNotNull()
+                & ~(
+                    (F.col("conv_id") > F.col("pc"))
+                    | ((F.col("conv_id") == F.col("pc")) & (F.col("turn_idx") > F.col("pt")))
+                )
             )
+            .count()
         )
-        .count()
-    )
     assert viol == 0, f"{viol} docmap rows out of stable order"
 
     # norm quantization

@@ -1,0 +1,170 @@
+"""Structured-Streaming incremental index append — the NRT refresh analog.
+
+Reference semantics mirrored (public Apache Lucene source):
+  - new docs land in NEW segments; committed segments are immutable
+    (``DocumentsWriterPerThread`` flush -> ``SegmentInfos`` generation bump).
+  - appended docIDs are assigned in ARRIVAL order after the current maximum
+    (Lucene docIDs are insertion-ordered; the initial bulk build's global
+    (conv_id, turn_idx) ordering is a property of that one batch, not of the
+    index — the manifest records ``ordered: false`` once appends happen and
+    ``check_index`` skips the global-order audit).
+  - a refreshed searcher sees base + appended segments
+    (``DirectoryReader.openIfChanged``, ``SearcherManager`` analog) simply by
+    re-opening: appended posting blocks are extra rows in the same
+    term-bucketed table, no reader-side merge needed.
+  - exactly-once: Spark's streaming checkpoint dedupes micro-batches and the
+    per-segment filenames are deterministic, so a replayed batch overwrites
+    its own files idempotently (sequence-number analog of
+    ``IndexWriter.java:1488`` seqNo).
+
+Scale note: appends write per-batch segment files + pass-through bucket rows;
+nothing re-reads old segments. term_dict is recomputed with one groupBy over
+block metadata (not postings!) per commit — at 10^12 turns swap in the
+delta-aggregation (old term_dict UNION new-segment stats, groupBy-sum), which
+is the same job keyed the same way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import (
+    IndexConfig,
+    SEGMENT_META_SCHEMA,
+    _make_segment_builder,
+    load_manifest,
+    read_postings_local,
+    write_manifest,
+)
+from lucene_spark.index.merge import term_bucket_col
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def append_batch(
+    spark: SparkSession, batch_df: DataFrame, index_dir: str, batch_id: int | None = None
+) -> dict:
+    """Append one (micro-)batch as new segment(s); returns the new manifest.
+
+    Safe to call directly (batch mode) or from foreachBatch (streaming)."""
+    manifest = load_manifest(index_dir)
+    if manifest is None or not manifest.get("merged"):
+        raise ValueError(f"{index_dir}: base index must be built+merged first")
+    config = IndexConfig(**manifest["config"])
+
+    next_sid = max(int(k) for k in manifest["completed"]) + 1
+    doc_base = sum(int(v["num_docs"]) for v in manifest["completed"].values())
+
+    n = batch_df.count()
+    if n == 0:
+        return manifest
+    # one new segment per micro-batch (FlushByRamOrCountsPolicy analog:
+    # batch == flush unit); large batches could repartition into several
+    assigned = batch_df.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "text"
+    ).withColumn("shard_id", F.lit(next_sid))
+    meta = assigned.groupBy("shard_id").applyInPandas(
+        _make_segment_builder(
+            index_dir, {next_sid: doc_base}, config.analyzer, config.positions
+        ),
+        schema=SEGMENT_META_SCHEMA,
+    )
+    rows = meta.collect()
+
+    # pass-through publish of the new segment's blocks into the bucketed
+    # query table (hot-term-style append; no re-gather of old segments)
+    new_local = read_postings_local(spark, index_dir).filter(
+        F.col("segment_id") == next_sid
+    )
+    (
+        new_local.withColumn("term_bucket", term_bucket_col(config.term_buckets))
+        .repartition(config.term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "segment_id", "block_id")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    pos_local = os.path.join(index_dir, "positions_local")
+    if config.positions and os.path.exists(
+        os.path.join(pos_local, f"segment={next_sid}")
+    ):
+        (
+            spark.read.parquet(os.path.join(pos_local, f"segment={next_sid}"))
+            .withColumn("term_bucket", term_bucket_col(config.term_buckets))
+            .repartition(config.term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(index_dir, "positions"))
+        )
+
+    # refresh global term stats from block metadata (no postings decode)
+    td_path = os.path.join(index_dir, "term_dict")
+    (
+        read_postings_local(spark, index_dir)
+        .groupBy("term")
+        .agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("ttf").cast("long").alias("total_term_freq"),
+            F.count("*").cast("long").alias("num_blocks"),
+        )
+        .repartitionByRange(max(spark.sparkContext.defaultParallelism // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(td_path)
+    )
+
+    for r in rows:
+        d = r.asDict()
+        manifest["completed"][str(int(d["segment_id"]))] = {
+            **{
+                k: (int(v) if isinstance(v, (int, np.integer)) else v)
+                for k, v in d.items()
+                if k != "segment_id"
+            },
+            "appended": True,
+            "batch_id": batch_id,
+        }
+    manifest["shards"][str(next_sid)] = {"offset": doc_base, "count": int(n)}
+    manifest["ordered"] = False  # appended docIDs are arrival-ordered
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def stream_append(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """readStream(parquet transcripts) -> foreachBatch(append_batch).
+
+    ``available_now=True`` drains what's there and stops (NRT catch-up /
+    testable); False runs continuously with the default trigger."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(spark, batch_df, index_dir, batch_id)
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,81 @@
+"""Structured-Streaming incremental append: NRT semantics, exactly-once,
+rank identity of the refreshed searcher vs the scalar oracle."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+from lucene_spark.index.check import check_index
+from lucene_spark.index.merge import merge_index
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.query.ast import TermQuery
+from lucene_spark.query.search import IndexSearcher
+from lucene_spark.sources.transcripts import generate_pandas
+from lucene_spark.streaming.append import stream_append
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    idx = str(root / "idx")
+    src = str(root / "incoming")
+    ckpt = str(root / "ckpt")
+    os.makedirs(src)
+
+    base = generate_pandas(n_convs=40, seed=1, vocab_size=500, max_turns=8)
+    extra = generate_pandas(n_convs=15, seed=2, vocab_size=500, max_turns=8)
+    extra["conv_id"] = "zz-" + extra["conv_id"]  # disjoint id space
+
+    cfg = IndexConfig(num_segments=3, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+
+    # oracle over base (stable sorted) + appended batch (sorted within batch)
+    base_s = base.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    extra_s = extra.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    oracle = OracleIndex.build(
+        list(zip(base_s.conv_id, base_s.turn_idx, base_s.text))
+        + list(zip(extra_s.conv_id, extra_s.turn_idx, extra_s.text))
+    )
+
+    # drop the appended rows as ONE parquet file -> one micro-batch
+    spark.createDataFrame(extra).coalesce(1).write.parquet(src, mode="append")
+    stream_append(spark, src, idx, ckpt, available_now=True)
+    return {"idx": idx, "src": src, "ckpt": ckpt, "oracle": oracle,
+            "n_base": len(base), "n_extra": len(extra), "spark": spark}
+
+
+def test_append_doc_count_and_integrity(spark, setup):
+    m = load_manifest(setup["idx"])
+    assert m["ordered"] is False
+    total = sum(int(v["num_docs"]) for v in m["completed"].values())
+    assert total == setup["n_base"] + setup["n_extra"]
+    assert any(v.get("appended") for v in m["completed"].values())
+    assert check_index(spark, setup["idx"])["ok"]
+
+
+def test_refreshed_searcher_rank_identity(spark, setup):
+    s = IndexSearcher(spark, setup["idx"])  # re-open = refresh
+    oracle = setup["oracle"]
+    assert s.doc_count == oracle.doc_count
+    for term in ["ba", "be", "zo", "da"]:
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in s.search(TermQuery(term), 15).collect()
+        ]
+        exp = [(d, np.float32(sc)) for d, sc in oracle.search(TermQuery(term), 15)]
+        assert got == exp, term
+
+
+def test_exactly_once_on_restart(spark, setup):
+    before = load_manifest(setup["idx"])["generation"]
+    n_seg = len(load_manifest(setup["idx"])["completed"])
+    # same checkpoint: the drained batch must NOT be reprocessed
+    stream_append(spark, setup["src"], setup["idx"], setup["ckpt"], available_now=True)
+    after = load_manifest(setup["idx"])
+    assert len(after["completed"]) == n_seg
+    assert after["generation"] == before
