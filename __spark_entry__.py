@@ -58,6 +58,9 @@ _PREFIX = "s"  # scan/sort/small/spark/stream/slow...
 _PHRASE = ["scan", "merge"]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
+_FUZZY = ("scan", 1)
+_COUNT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "dup"}, {"term": "merge"}], "min_should_match": 1}}
+_AFTER_TERM = "scan"
 _STATS_TERMS = ["scan", "merge", "hash", "dup", "zzz-absent"]
 _POSTINGS_TERM = "dup"
 
@@ -158,6 +161,48 @@ def _dismax_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     hits = s.search(
         DisjunctionMaxQuery(tuple(TermQuery(t) for t in terms), tb), _QUERY_K
+    )
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _fuzzy_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import FuzzyQuery
+
+    term, ed = _FUZZY
+    s = _searcher(spark, sf_dir)
+    hits = s.search(FuzzyQuery(term, ed), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _count_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    n = s.count(rewrite_fixpoint(parse_query(json.dumps(_COUNT_AST))))
+    return spark.createDataFrame([(int(n),)], "hits long")
+
+
+def _search_after_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the bm25_term query (searchAfter floor from page 1)."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    page1 = s.search(TermQuery(_AFTER_TERM), _QUERY_K).collect()
+    if len(page1) < _QUERY_K:
+        return spark.createDataFrame([], "doc_id long, score float")
+    last = page1[-1]
+    hits = s.search_after(
+        TermQuery(_AFTER_TERM), _QUERY_K, (float(last["score"]), int(last["doc_id"]))
     )
     dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
     return (
@@ -318,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phrase"] = _phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
+    out["bm25_fuzzy"] = _fuzzy_df
+    out["hits_count"] = _count_df
+    out["bm25_search_after"] = _search_after_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
@@ -350,6 +398,14 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_phrase"] = sqlgen.phrase_topk_sql(_PHRASE, _QUERY_K)
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
     out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)
+    out["bm25_fuzzy"] = sqlgen.fuzzy_topk_sql(_FUZZY[0], _FUZZY[1], _QUERY_K)
+    out["hits_count"] = sqlgen.count_sql(parse_query(json.dumps(_COUNT_AST)))
+    out["bm25_search_after"] = (
+        "SELECT * FROM (\n"
+        + sqlgen.topk_sql(parse_query(json.dumps({"term": _AFTER_TERM})), 2 * _QUERY_K)
+        + "\n) t ORDER BY score DESC, doc_id ASC LIMIT "
+        + str(_QUERY_K) + " OFFSET " + str(_QUERY_K)
+    )
     out["term_stats"] = sqlgen.term_stats_sql(
         [t for t in _STATS_TERMS if t != "zzz-absent"] + ["zzz-absent"]
     )

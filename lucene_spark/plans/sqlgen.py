@@ -321,6 +321,80 @@ LIMIT {k}
 """.strip()
 
 
+def fuzzy_topk_sql(
+    term: str,
+    max_edits: int,
+    k: int,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """FuzzyQuery twin: levenshtein expansion over the vocabulary with the
+    engine's boost = 1 - edits/min(len) (see FuzzyQuery AST docstring for
+    the documented simplifications vs the reference's blended rewrite);
+    scored as a boosted disjunction."""
+    score = _leaf_score("(CAST(ldf.boost AS REAL) * ldf.idf)", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+ldf AS (
+  SELECT term, df, {_idf_expr()} AS idf,
+         1.0 - levenshtein(term, '{term}')
+               / CAST(least(length(term), {len(term)}) AS DOUBLE) AS boost
+  FROM df ldf, consts c
+  WHERE length(term) BETWEEN {len(term) - max_edits} AND {len(term) + max_edits}
+    AND levenshtein(term, '{term}') <= {max_edits}
+  ORDER BY boost DESC, term ASC
+  LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf JOIN ldf ON ldf.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id, consts c
+)
+SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS REAL) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def count_sql(q: Query, table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """Hit count of a flat Boolean query (TotalHitCountCollector twin)."""
+    clauses, msm = _flat_clauses(q)
+    n_must = sum(1 for c in clauses if c[1] == "must")
+    n_filter = sum(1 for c in clauses if c[1] == "filter")
+    values = ", ".join(
+        f"({cid}, '{kind}', '{term}')" for cid, kind, term, _ in clauses
+    )
+    if n_must + n_filter == 0:
+        msm_cond = f"should_n >= {max(msm, 1)}"
+    elif msm > 0:
+        msm_cond = f"should_n >= {msm}"
+    else:
+        msm_cond = "TRUE"
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+clauses(clause_id, kind, term) AS (VALUES {values}),
+matched AS (
+  SELECT tf.doc_id, cl.kind FROM tf JOIN clauses cl ON cl.term = tf.term
+),
+agg AS (
+  SELECT doc_id,
+    count(CASE WHEN kind = 'must' THEN 1 END) AS must_n,
+    count(CASE WHEN kind = 'should' THEN 1 END) AS should_n,
+    count(CASE WHEN kind = 'filter' THEN 1 END) AS filter_n,
+    count(CASE WHEN kind = 'must_not' THEN 1 END) AS not_n
+  FROM matched GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS hits FROM agg
+WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
+""".strip()
+
+
 def term_stats_sql(terms: list[str], table: str = "documents",
                    id_col: str = "doc_id", text_col: str = "text") -> str:
     """doc_freq / total_term_freq per term (pure ints)."""

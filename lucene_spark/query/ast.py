@@ -154,6 +154,25 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Edit-distance term expansion (``FuzzyQuery.java:52``): terms within
+    ``max_edits`` Levenshtein of ``term`` (sharing ``prefix_length`` leading
+    chars) OR'd with per-term boost ``1 - edits/min(|term|,|candidate|)``.
+
+    Documented simplification vs the reference: candidates keep their own
+    term statistics (no TopTermsBlendedFreqScoringRewrite df-blending), and
+    the candidate set is capped at ``max_expansions`` by (boost desc, term
+    asc) instead of a priority queue over the automaton enumeration."""
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    max_expansions: int = 50
+    def __repr__(self) -> str:
+        return (f"Fuzzy({self.term!r},{self.max_edits},{self.prefix_length},"
+                f"{self.max_expansions})")
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     terms: tuple[str, ...]
     def __repr__(self) -> str:
@@ -312,6 +331,12 @@ def parse_query(obj: str | dict) -> Query:
                            r.get("include_lower", True), r.get("include_upper", True))
     elif "in" in obj:
         q = TermInSetQuery(tuple(obj["in"]))
+    elif "fuzzy" in obj:
+        f = obj["fuzzy"]
+        if isinstance(f, str):
+            f = {"term": f}
+        q = FuzzyQuery(f["term"], f.get("max_edits", 2),
+                       f.get("prefix_length", 0), f.get("max_expansions", 50))
     elif "phrase" in obj:
         q = PhraseQuery(tuple(obj["phrase"]))
     elif "synonym" in obj:

@@ -1,0 +1,225 @@
+"""Classic query-string parser -> Query AST.
+
+From-scratch recursive-descent mini parser covering the core of the
+reference's classic QueryParser surface (public grammar,
+``lucene/queryparser/.../classic/QueryParser.jj``; driver usage
+``demo/SearchFiles.java:109-146``):
+
+    hello world              -> OR (default operator, SHOULD)
+    +must -not term          -> required / prohibited clauses
+    "exact phrase"           -> PhraseQuery (slop 0)
+    wild* / wi?d             -> Prefix / Wildcard
+    fuzzy~  fuzzy~1          -> FuzzyQuery (default max_edits 2)
+    [aaa TO bbb] / {a TO b}  -> TermRangeQuery (inclusive / exclusive)
+    (a b) AND c / OR / NOT   -> grouping + boolean operators
+    term^2.5                 -> BoostQuery
+
+Single-field engine: ``field:`` prefixes are accepted and ignored (the only
+indexed field is ``text``). Terms are run through the engine's analyzer
+(each term must analyze to one token, as the reference does per-term).
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.functions.analysis import analyze_one
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermRangeQuery,
+    WildcardQuery,
+    TermQuery,
+)
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()|(?P<rparen>\))|
+        (?P<plus>\+)|(?P<minus>-)|
+        (?P<and>AND\b)|(?P<or>OR\b)|(?P<not>NOT\b)|
+        (?P<phrase>"(?P<phrase_body>[^"]*)")|
+        (?P<range>[\[{](?P<range_lo>\S+)\s+TO\s+(?P<range_hi>\S+)[\]}])|
+        (?P<word>[^\s()+"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _analyze_term(raw: str, analyzer: str) -> str | None:
+    toks, _ = analyze_one(raw) if analyzer == "standard" else (
+        re.findall(r"[a-z0-9]+", raw.lower()), 0
+    )
+    return toks[0] if toks else None
+
+
+class QueryParser:
+    def __init__(self, analyzer: str = "simple", default_operator: str = "OR"):
+        self.analyzer = analyzer
+        self.default_and = default_operator.upper() == "AND"
+
+    def parse(self, s: str) -> Query:
+        toks = self._lex(s)
+        q, pos = self._parse_bool(toks, 0)
+        if pos != len(toks):
+            raise ValueError(f"unparsed input at token {pos}: {toks[pos:]}")
+        return q
+
+    # ---------------------------------------------------------------- lexer
+
+    def _lex(self, s: str) -> list[tuple[str, object]]:
+        out: list[tuple[str, object]] = []
+        i = 0
+        while i < len(s):
+            m = _TOKEN.match(s, i)
+            if not m or m.end() == m.start():
+                if s[i:].strip() == "":
+                    break
+                raise ValueError(f"cannot lex query at: {s[i:]!r}")
+            i = m.end()
+            kind = m.lastgroup
+            if kind == "phrase":
+                out.append(("phrase", m.group("phrase_body")))
+            elif kind == "range":
+                inclusive = m.group("range").startswith("[")
+                out.append(
+                    ("range", (m.group("range_lo"), m.group("range_hi"), inclusive))
+                )
+            elif kind == "word":
+                out.append(("word", m.group("word")))
+            else:
+                out.append((kind, m.group(0).strip()))
+        return out
+
+    # --------------------------------------------------------------- parser
+
+    def _parse_bool(self, toks, pos) -> tuple[Query, int]:
+        """clauses with +/-/AND/OR/NOT; default operator joins bare clauses."""
+        must: list[Query] = []
+        should: list[Query] = []
+        must_not: list[Query] = []
+        pending_op: str | None = None
+
+        while pos < len(toks):
+            kind, val = toks[pos]
+            if kind == "rparen":
+                break
+            if kind == "and":
+                pending_op = "AND"
+                pos += 1
+                continue
+            if kind == "or":
+                pending_op = "OR"
+                pos += 1
+                continue
+            if kind == "not":
+                pos += 1
+                q, pos = self._parse_clause(toks, pos)
+                if q is not None:
+                    must_not.append(q)
+                pending_op = None
+                continue
+            if kind == "plus":
+                pos += 1
+                q, pos = self._parse_clause(toks, pos)
+                if q is not None:
+                    must.append(q)
+                pending_op = None
+                continue
+            if kind == "minus":
+                pos += 1
+                q, pos = self._parse_clause(toks, pos)
+                if q is not None:
+                    must_not.append(q)
+                pending_op = None
+                continue
+            q, pos = self._parse_clause(toks, pos)
+            if q is None:
+                continue
+            if pending_op == "AND" or (pending_op is None and self.default_and):
+                # AND binds the previous bare clause too (classic behavior)
+                if pending_op == "AND" and should:
+                    must.append(should.pop())
+                must.append(q)
+            else:
+                should.append(q)
+            pending_op = None
+
+        if len(must) == 1 and not should and not must_not:
+            return must[0], pos
+        if len(should) == 1 and not must and not must_not:
+            return should[0], pos
+        if not must and not should and not must_not:
+            return MatchNoDocsQuery(), pos
+        # msm 0: with MUST present, SHOULD is optional; with SHOULD only,
+        # the executor already requires >= 1 SHOULD match (Lucene semantics)
+        return BooleanQuery(must, should, [], must_not, 0), pos
+
+    def _parse_clause(self, toks, pos) -> tuple[Query | None, int]:
+        if pos >= len(toks):
+            return None, pos
+        kind, val = toks[pos]
+        if kind == "lparen":
+            q, pos = self._parse_bool(toks, pos + 1)
+            if pos < len(toks) and toks[pos][0] == "rparen":
+                pos += 1
+            return self._maybe_boost(q, toks, pos)
+        if kind == "phrase":
+            words = []
+            raw_words = str(val).split()
+            for w in raw_words:
+                t = _analyze_term(w, self.analyzer)
+                if t is not None:
+                    words.append(t)
+            q: Query = (
+                MatchNoDocsQuery() if not words
+                else TermQuery(words[0]) if len(words) == 1
+                else PhraseQuery(tuple(words))
+            )
+            return self._maybe_boost(q, toks, pos + 1)
+        if kind == "range":
+            lo, hi, inc = val
+            lo_t = _analyze_term(lo, self.analyzer) if lo != "*" else None
+            hi_t = _analyze_term(hi, self.analyzer) if hi != "*" else None
+            return self._maybe_boost(
+                TermRangeQuery(lo_t, hi_t, inc, inc), toks, pos + 1
+            )
+        if kind == "word":
+            return self._maybe_boost(self._word_query(str(val)), toks, pos + 1)
+        raise ValueError(f"unexpected token {toks[pos]}")
+
+    def _word_query(self, w: str) -> Query:
+        if ":" in w:  # single-field engine: strip field prefixes
+            w = w.split(":", 1)[1]
+        boost = None
+        if "^" in w:
+            w, b = w.rsplit("^", 1)
+            boost = float(b)
+        m = re.fullmatch(r"(?P<base>[^~]+)~(?P<ed>\d)?", w)
+        if m:
+            t = _analyze_term(m.group("base"), self.analyzer)
+            q: Query = (
+                MatchNoDocsQuery() if t is None
+                else FuzzyQuery(t, int(m.group("ed") or 2))
+            )
+        elif "*" in w or "?" in w:
+            low = w.lower()
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                q = PrefixQuery(low[:-1])
+            else:
+                q = WildcardQuery(low)
+        else:
+            t = _analyze_term(w, self.analyzer)
+            q = MatchNoDocsQuery() if t is None else TermQuery(t)
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        return q
+
+    def _maybe_boost(self, q: Query, toks, pos) -> tuple[Query, int]:
+        # boosts on words are handled inside _word_query; grouped boosts
+        # ("(a b)^2") arrive as a word token "^2" — not supported, kept simple
+        return q, pos

@@ -48,6 +48,7 @@ from lucene_spark.query.ast import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     PhraseQuery,
@@ -124,6 +125,36 @@ class IndexSearcher:
             return self.spark.createDataFrame([], "doc_id long, score float")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def count(self, query: Query) -> int:
+        """Total hit count (TotalHitCountCollector.java:27). Bare TermQuery
+        short-circuits to the term_dict doc_freq — the sub-linear
+        ``Weight#count`` shortcut; everything else counts matches."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        if isinstance(q, TermQuery):
+            stats = self.term_stats([q.term])
+            return stats.get(q.term, (0, 0))[0]
+        if isinstance(q, MatchAllDocsQuery):
+            return self.doc_count
+        if isinstance(q, MatchNoDocsQuery):
+            return 0
+        scored = self._execute(q, np.float32(1.0))
+        return 0 if scored is None else scored.count()
+
+    def search_after(
+        self, query: Query, k: int, after: tuple[float, int]
+    ) -> DataFrame:
+        """Pagination floor (IndexSearcher.java:576-588): hits strictly after
+        (after_score, after_doc) in (score desc, doc asc) order."""
+        a_score, a_doc = np.float32(after[0]), int(after[1])
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._execute(q, np.float32(1.0))
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        cond = (F.col("score") < float(a_score)) | (
+            (F.col("score") == float(a_score)) & (F.col("doc_id") > a_doc)
+        )
+        return scored.filter(cond).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_with_fields(self, query: Query, k: int = 10) -> DataFrame:
         """Top-k joined back to (conv_id, turn_idx, role, ts) — the stored-
         fields retrieval analog (source table is the store; docmap maps)."""
@@ -188,6 +219,8 @@ class IndexSearcher:
                 )
         elif isinstance(q, TermInSetQuery):
             cond = F.col("term").isin(list(q.terms))
+        elif isinstance(q, FuzzyQuery):
+            return self._expand_fuzzy(q)
         elif isinstance(q, BoostQuery):
             return BoostQuery(self._expand_multi_term(q.query), q.boost)
         elif isinstance(q, ConstantScoreQuery):
@@ -213,6 +246,41 @@ class IndexSearcher:
         if len(terms) == 1:
             return TermQuery(terms[0])
         return BooleanQuery(should=[TermQuery(t) for t in terms], min_should_match=1)
+
+    def _expand_fuzzy(self, q: FuzzyQuery) -> Query:
+        """FuzzyQuery -> SHOULD of boosted terms within max_edits Levenshtein
+        (term_dict scan with prefix pushdown + JVM levenshtein; see the
+        FuzzyQuery AST docstring for the documented simplifications)."""
+        cand = self.term_dict.select("term")
+        if q.prefix_length > 0:
+            cand = cand.filter(F.col("term").startswith(q.term[: q.prefix_length]))
+        # cheap length pre-filter, then exact edit distance (both JVM-side)
+        tlen = len(q.term)
+        cand = cand.filter(
+            (F.length("term") >= tlen - q.max_edits)
+            & (F.length("term") <= tlen + q.max_edits)
+        ).withColumn("ed", F.levenshtein(F.col("term"), F.lit(q.term)))
+        rows = (
+            cand.filter(F.col("ed") <= q.max_edits)
+            .withColumn(
+                "boost",
+                F.lit(1.0)
+                - F.col("ed") / F.least(F.length("term"), F.lit(tlen)).cast("double"),
+            )
+            .orderBy(F.desc("boost"), F.asc("term"))
+            .limit(q.max_expansions)
+            .collect()
+        )
+        if not rows:
+            return MatchNoDocsQuery()
+        clauses: list[Query] = [
+            TermQuery(r["term"]) if float(r["boost"]) == 1.0
+            else BoostQuery(TermQuery(r["term"]), float(r["boost"]))
+            for r in rows
+        ]
+        if len(clauses) == 1:
+            return clauses[0]
+        return BooleanQuery(should=clauses, min_should_match=1)
 
     # ------------------------------------------------------------ execution
 
@@ -247,6 +315,89 @@ class IndexSearcher:
                 return self._flat_boolean(q, boost)
             return self._nested_boolean(q, boost)
         raise TypeError(f"cannot execute {type(q).__name__}")
+
+    # ------------------------------------------------------------ pruning
+
+    def search_term_pruned(self, term: str, k: int = 10,
+                           probe_blocks: int = 8) -> DataFrame:
+        """Top-k for one term with block-max pruning (ImpactsDISI /
+        MaxScoreCache analog, ``ImpactsDISI.java:67-90``): score-safe and
+        rank-identical to the exhaustive path by construction.
+
+        Pass 1 (metadata only): per-block score upper bound from the stored
+        (max_freq, min_norm) impacts; decode just the ``probe_blocks``
+        highest-bound blocks (TakeOrdered on block metadata — never a
+        driver-side scan of the posting list) and take the kth actual score
+        as threshold θ (a lower bound of the final kth score).
+        Pass 2: decode only blocks whose upper bound ≥ θ.
+
+        The bound is computed in float64 with a safety margin so float32
+        rounding can never push a real score above it."""
+        stats = self.term_stats([term])
+        if term not in stats:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        w = bm25.weight(1.0, bm25.idf(stats[term][0], self.doc_count))
+        bucket = term_bucket_of(term, self.buckets)
+        blocks = self.postings.filter(
+            (F.col("term_bucket") == bucket) & (F.col("term") == term)
+        ).select("block_id", "segment_id", "num_docs", "first_doc", "data",
+                 "impact_freqs", "impact_norms")
+
+        inv_lit = F.array(*[F.lit(float(x)) for x in self.cache])
+        wd = float(w)
+        ub_pair = F.zip_with(
+            F.col("impact_freqs").cast("array<double>"),
+            F.transform(
+                F.col("impact_norms"),
+                lambda nb: F.element_at(inv_lit, (nb.bitwiseAND(F.lit(255))) + 1),
+            ).cast("array<double>"),
+            lambda f, i: F.lit(wd) - F.lit(wd) / (F.lit(1.0) + f * i),
+        )
+        ub = (
+            F.aggregate(ub_pair, F.lit(0.0), lambda a, x: F.greatest(a, x))
+            * F.lit(1.0 + 1e-5) + F.lit(1e-6)
+        ).alias("ub")
+        with_ub = blocks.select("*", ub)
+
+        probe = with_ub.orderBy(F.desc("ub")).limit(probe_blocks)
+        probed = self._decode_score_blocks(probe, w)
+        top = probed.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        if len(top) >= k:
+            theta = float(top[-1]["score"])
+            survivors = with_ub.filter(F.col("ub") >= F.lit(theta))
+        else:
+            survivors = with_ub  # not enough probed docs: exhaustive fallback
+        return (
+            self._decode_score_blocks(survivors, w)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _decode_score_blocks(self, blocks: DataFrame, w: np.float32) -> DataFrame:
+        cache = self.cache
+
+        def ds(batches):
+            from lucene_spark.functions.codec import decode_block
+
+            for pdf in batches:
+                out_d, out_s = [], []
+                for nd, fd, data in zip(
+                    pdf["num_docs"].to_numpy(np.int64),
+                    pdf["first_doc"].to_numpy(np.int64),
+                    pdf["data"].to_numpy(object),
+                ):
+                    d, f, nb = decode_block(data, int(nd), int(fd))
+                    out_d.append(d)
+                    out_s.append(bm25.score(f, nb, w, cache))
+                if out_d:
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(out_d),
+                         "score": np.concatenate(out_s)}
+                    )
+
+        return blocks.select("num_docs", "first_doc", "data").mapInPandas(
+            ds, schema="doc_id long, score float"
+        )
 
     # ------------------------------------------------------------ phrase
 

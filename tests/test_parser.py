@@ -1,0 +1,76 @@
+"""QueryParser: syntax -> AST shapes, and end-to-end equivalence with
+hand-built ASTs on the engine."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite_fixpoint,
+)
+from lucene_spark.query.parser import QueryParser
+from lucene_spark.query.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def p():
+    return QueryParser()
+
+
+def test_shapes(p):
+    q = p.parse("+req -bad opt")
+    assert isinstance(q, BooleanQuery)
+    assert q.must == [TermQuery("req")]
+    assert q.must_not == [TermQuery("bad")]
+    assert q.should == [TermQuery("opt")]
+
+    assert p.parse('"a b c"') == PhraseQuery(("a", "b", "c"))
+    assert p.parse("pre*") == PrefixQuery("pre")
+    assert p.parse("w?ld") == WildcardQuery("w?ld")
+    assert p.parse("fz~1") == FuzzyQuery("fz", 1)
+    assert p.parse("fz~") == FuzzyQuery("fz", 2)
+    assert p.parse("[a TO b]") == TermRangeQuery("a", "b", True, True)
+    assert p.parse("{a TO b}") == TermRangeQuery("a", "b", False, False)
+    assert p.parse("t^2.5") == BoostQuery(TermQuery("t"), 2.5)
+    assert p.parse("body:word") == TermQuery("word")
+
+    q = p.parse("a AND b AND c")
+    assert q.must == [TermQuery("a"), TermQuery("b"), TermQuery("c")]
+
+    q = p.parse("(a b) AND c")
+    assert q.must[1] == TermQuery("c")
+    assert isinstance(q.must[0], BooleanQuery)
+
+
+def test_default_and_operator():
+    q = QueryParser(default_operator="AND").parse("a b c")
+    assert q.must == [TermQuery("a"), TermQuery("b"), TermQuery("c")]
+
+
+def test_analyzer_normalizes(p):
+    assert p.parse("HeLLo") == TermQuery("hello")
+
+
+def test_end_to_end_equivalence(spark, built_index, p):
+    s = IndexSearcher(spark, built_index)
+    # pick two common terms from the index
+    import pyspark.sql.functions as F
+    rows = s.term_dict.orderBy(F.desc("doc_freq")).limit(2).collect()
+    t1, t2 = rows[0]["term"], rows[1]["term"]
+
+    parsed = p.parse(f"+{t1} {t2}")
+    manual = BooleanQuery(must=[TermQuery(t1)], should=[TermQuery(t2)])
+    got = [(r["doc_id"], r["score"]) for r in s.search(parsed, 20).collect()]
+    exp = [(r["doc_id"], r["score"]) for r in s.search(manual, 20).collect()]
+    assert got == exp
+
+    parsed_phrase = p.parse(f'"{t1} {t2}"')
+    assert rewrite_fixpoint(parsed_phrase) == PhraseQuery((t1, t2))

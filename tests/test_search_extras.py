@@ -1,0 +1,121 @@
+"""Block-max pruning (rank identity vs exhaustive), count, searchAfter,
+FuzzyQuery expansion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    TermQuery,
+)
+from lucene_spark.query.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    return IndexSearcher(spark, built_index)
+
+
+@pytest.fixture(scope="module")
+def common_terms(searcher):
+    rows = (
+        searcher.term_dict.orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(8)
+        .collect()
+    )
+    return [(r["term"], int(r["doc_freq"])) for r in rows]
+
+
+def test_pruned_equals_exhaustive(searcher, common_terms):
+    for term, _df in common_terms[:4]:
+        for k in (1, 5, 20):
+            exact = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in searcher.search(TermQuery(term), k).collect()
+            ]
+            pruned = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in searcher.search_term_pruned(term, k).collect()
+            ]
+            assert pruned == exact, (term, k)
+
+
+def test_pruned_absent_term(searcher):
+    assert searcher.search_term_pruned("zz-not-a-term", 5).count() == 0
+
+
+def test_count(searcher, common_terms):
+    term, df = common_terms[0]
+    assert searcher.count(TermQuery(term)) == df
+    assert searcher.count(MatchAllDocsQuery()) == searcher.doc_count
+    assert searcher.count(TermQuery("zz-not-a-term")) == 0
+    t2 = common_terms[1][0]
+    n = searcher.count(BooleanQuery(must=[TermQuery(term), TermQuery(t2)]))
+    # conjunction count == exhaustive matches
+    full = searcher.search(
+        BooleanQuery(must=[TermQuery(term), TermQuery(t2)]), searcher.doc_count
+    ).count()
+    assert n == full
+
+
+def test_search_after_paginates(searcher, common_terms):
+    term = common_terms[0][0]
+    full = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(TermQuery(term), 30).collect()
+    ]
+    assert len(full) >= 10
+    page1 = full[:10]
+    after = (float(page1[-1][1]), int(page1[-1][0]))
+    page2 = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search_after(TermQuery(term), 10, after).collect()
+    ]
+    assert page2 == full[10:20]
+
+
+def test_fuzzy_expansion(searcher, common_terms):
+    term = common_terms[0][0]
+    # exact term always matches itself at boost 1 -> same docs as TermQuery
+    exact_docs = {r["doc_id"] for r in searcher.search(TermQuery(term), 10000).collect()}
+    fuzzy_docs = {
+        r["doc_id"]
+        for r in searcher.search(FuzzyQuery(term, max_edits=1), 100000).collect()
+    }
+    assert exact_docs <= fuzzy_docs
+    # absent, far-away term
+    assert searcher.search(FuzzyQuery("qqqqqqqqqqqq", max_edits=1), 10).count() == 0
+    # expansion respects the edit bound: every matched doc contains a term
+    # within distance 1 (validated on the expansion itself)
+    q = searcher._expand_fuzzy(FuzzyQuery(term, max_edits=1))
+    from lucene_spark.query.ast import BoostQuery
+
+    def leaf_terms(node):
+        if isinstance(node, TermQuery):
+            return [node.term]
+        if isinstance(node, BoostQuery):
+            return leaf_terms(node.query)
+        if isinstance(node, BooleanQuery):
+            out = []
+            for c in node.should:
+                out += leaf_terms(c)
+            return out
+        return []
+
+    def edits(a, b):
+        import itertools
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    for t in leaf_terms(q):
+        assert edits(t, term) <= 1, t
