@@ -116,22 +116,27 @@ def main() -> None:
     )
 
     # ---- stage 2: north-star — synthetic transcripts indexing (turns/sec)
-    n_convs = max(400, int(40_000 * sf)) if sf > 0 else 400
-    trans = generate_distributed(spark, n_convs=n_convs, seed=7,
-                                 partitions=max(CPUS, 8))
-    trans = trans.persist()
-    n_turns = trans.count()  # materialize generation outside the timed region
+    # corpus is generated + written to parquet OUTSIDE the timed region; the
+    # timed job is the production path: file-aligned no-shuffle build + merge
+    from lucene_spark.index.build import build_index_files
+
+    n_convs = max(2_000, int(400_000 * sf)) if sf > 0 else 2_000
+    corpus = os.path.join(work, "transcripts_corpus")
+    generate_distributed(
+        spark, n_convs=n_convs, seed=7, partitions=max(2 * CPUS, 8),
+        vocab_size=20_000,
+    ).write.mode("overwrite").parquet(corpus)
+    n_turns = spark.read.parquet(corpus).count()
     idx_trans = os.path.join(work, "transcripts_idx")
-    tcfg = IndexConfig(num_segments=max(16, 2 * CPUS), term_buckets=32,
-                       hot_term_df=1 << 14, analyzer="standard")
+    tcfg = IndexConfig(term_buckets=32, hot_term_df=1 << 14,
+                       analyzer="standard", positions=False)
     t0 = time.time()
-    build_index(spark, trans, idx_trans, tcfg)
+    build_index_files(spark, corpus, idx_trans, tcfg)
     merge_index(spark, idx_trans)
     dt = time.time() - t0
     queries["transcripts_build"] = round(dt, 4)
     extras["turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / dt, 2)
-    trans.unpersist()
 
     # ---- stage 3: BM25 query suite over the documents index
     searcher = IndexSearcher(spark, idx_docs)
