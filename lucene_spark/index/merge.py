@@ -193,43 +193,6 @@ def _remerge_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def _remerge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Re-encode one cold term's blocks from all segments into dense blocks.
-
-    Segment doc ranges are disjoint and ascending in segment_id, so ordering
-    by (segment_id, block_id) yields globally sorted docIDs — concatenate and
-    re-block, no remap (contrast DocIDMerger.java:73-99).
-    """
-    from lucene_spark.functions.codec import decode_block, encode_postings
-
-    term = key[0]
-    pdf = pdf.sort_values(["segment_id", "block_id"])
-    parts = [
-        decode_block(r.data, int(r.num_docs), int(r.first_doc))
-        for r in pdf.itertuples(index=False)
-    ]
-    docs = np.concatenate([p[0] for p in parts])
-    freqs = np.concatenate([p[1] for p in parts])
-    norms = np.concatenate([p[2] for p in parts])
-    out_rows = []
-    for blk in encode_postings(docs, freqs, norms):
-        out_rows.append(
-            {
-                "term": term,
-                "segment_id": MERGED_SEGMENT_ID,
-                "block_id": blk["block_id"],
-                "first_doc": blk["first_doc"],
-                "last_doc": blk["last_doc"],
-                "num_docs": blk["num_docs"],
-                "ttf": blk["ttf"],
-                "data": blk["data"],
-                "impact_freqs": blk["impact_freqs"],
-                "impact_norms": blk["impact_norms"],
-            }
-        )
-    return pd.DataFrame(out_rows)
-
-
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "postings"))
 

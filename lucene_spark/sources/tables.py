@@ -1,0 +1,52 @@
+"""Input-table adapter: Iceberg tables (production) or parquet paths (sandbox).
+
+The engine's contract with its input is minimal — a DataFrame with the
+input-hint schema ``(conv_id, turn_idx, role, text, tool, ts)`` — so the
+storage layer is a thin dispatch:
+
+  - Iceberg catalog table (``db.transcripts``): ``spark.read.format("iceberg")``;
+    ``snapshot_id`` pins a point-in-time read (the ``DirectoryReader.open``
+    commit-point analog — an index build over a pinned snapshot is
+    reproducible no matter what lands in the table afterwards), and the
+    table's sort/partition spec on conv_id is what makes
+    ``build_index_files``'s range-alignment hold at 10^12 turns.
+  - parquet directory: what this sandbox exercises (no Iceberg runtime jar
+    here); same columns, same downstream code.
+
+``expected`` columns are validated either way so schema drift fails fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(
+    spark: SparkSession,
+    source: str,
+    fmt: str = "auto",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Load the transcripts table from an Iceberg identifier or parquet path.
+
+    fmt: "iceberg" | "parquet" | "auto" (auto = iceberg for dotted
+    identifiers without a path separator, else parquet)."""
+    if fmt == "auto":
+        fmt = "iceberg" if ("/" not in source and "." in source) else "parquet"
+    if fmt == "iceberg":
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        df = reader.load(source)
+    elif fmt == "parquet":
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id requires an Iceberg table")
+        df = spark.read.parquet(source)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    missing = [c for c in TRANSCRIPT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"{source}: missing transcript columns {missing}")
+    return df.select(*TRANSCRIPT_COLUMNS)
