@@ -58,6 +58,9 @@ _PREFIX = "s"  # scan/sort/small/spark/stream/slow...
 _PHRASE = ["scan", "merge"]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
+_WILDCARD = "s?an"       # scan, span...
+_RANGE = ("taa", "tzz")  # table..tuple region of the vocabulary
+_INSET = ["scan", "merge", "zzz-absent", "hash"]
 _FUZZY = ("scan", 1)
 _COUNT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "dup"}, {"term": "merge"}], "min_should_match": 1}}
 _AFTER_TERM = "scan"
@@ -168,6 +171,32 @@ def _dismax_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("orig_id").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _multiterm_df(spark: SparkSession, sf_dir: str, q) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    hits = s.search(q, _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _wildcard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import WildcardQuery
+    return _multiterm_df(spark, sf_dir, WildcardQuery(_WILDCARD))
+
+
+def _range_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import TermRangeQuery
+    return _multiterm_df(spark, sf_dir, TermRangeQuery(_RANGE[0], _RANGE[1]))
+
+
+def _inset_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import TermInSetQuery
+    return _multiterm_df(spark, sf_dir, TermInSetQuery(tuple(_INSET)))
 
 
 def _fuzzy_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +365,17 @@ def _fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _clean_corpus(spark, sf_dir):
+    from lucene_spark.operators.pipeline import clean_corpus
+    return clean_corpus(_docs(spark, sf_dir), 3, 0.5, 0.3)
+
+
+def _ann_ivf(spark, sf_dir):
+    from lucene_spark.operators.similarity import ivf_ann_topk, query_vector
+    e = _embs(spark, sf_dir)
+    return ivf_ann_topk(e, query_vector(e, _ANN_QUERY_ID), _ANN_K)
+
+
 def _media_meta(spark, sf_dir):
     from lucene_spark.operators.multimodal import synth_media
     m = synth_media(_docs(spark, sf_dir))
@@ -364,6 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
     out["bm25_fuzzy"] = _fuzzy_df
+    out["bm25_wildcard"] = _wildcard_df
+    out["bm25_range"] = _range_df
+    out["bm25_inset"] = _inset_df
     out["hits_count"] = _count_df
     out["bm25_search_after"] = _search_after_df
     out["term_stats"] = _term_stats_df
@@ -382,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_quality"] = _quality
     out["text_lang_id"] = _lang_id
     out["text_fingerprint"] = _fingerprint
+    out["clean_corpus"] = _clean_corpus
+    out["ann_ivf_topk"] = _ann_ivf
     out["media_meta"] = _media_meta
     out["media_features"] = _media_features
     return out
@@ -399,6 +444,15 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
     out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)
     out["bm25_fuzzy"] = sqlgen.fuzzy_topk_sql(_FUZZY[0], _FUZZY[1], _QUERY_K)
+    wc_regex = _WILDCARD.replace("?", ".").replace("*", ".*")
+    out["bm25_wildcard"] = sqlgen.expansion_topk_sql(
+        f"regexp_full_match(term, '{wc_regex}')", _QUERY_K
+    )
+    out["bm25_range"] = sqlgen.expansion_topk_sql(
+        f"term BETWEEN '{_RANGE[0]}' AND '{_RANGE[1]}'", _QUERY_K
+    )
+    inset = ", ".join(f"'{t}'" for t in _INSET)
+    out["bm25_inset"] = sqlgen.expansion_topk_sql(f"term IN ({inset})", _QUERY_K)
     out["hits_count"] = sqlgen.count_sql(parse_query(json.dumps(_COUNT_AST)))
     out["bm25_search_after"] = (
         "SELECT * FROM (\n"
@@ -435,6 +489,9 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["text_lang_id"] = textstats.language_id_sql()
     out["text_fingerprint"] = textstats.fingerprints_sql()
     out["media_meta"] = multimodal.media_meta_sql()
+    from lucene_spark.operators.pipeline import clean_corpus_sql
+    out["clean_corpus"] = clean_corpus_sql(3, 0.5, 0.3)
+    # ann_ivf_topk: rows-only (KMeans centroids are model state, not SQL)
     # ann_lsh_topk, media_features: rows-only (stub decode / LSH bucketing
     # verified in pytest against the brute-force baseline instead)
     return out

@@ -1,0 +1,107 @@
+"""Composed training-corpus cleaning pipeline.
+
+The canonical pretraining-data shape: exact-dedup -> near-dedup -> quality /
+language filtering, composed from the primitive operators so the whole thing
+stays one declarative Spark plan (Catalyst fuses the scans; the dedup joins
+are the only shuffles). A 100 TB run materializes the drop-lists instead of
+recomputing them per filter — the structure below is identical, with each
+stage writing its table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    _shingles_cte,
+    _JACCARD_TAIL,
+)
+from lucene_spark.operators.textstats import quality_scores, language_id, LANG_PROFILES
+
+
+def clean_corpus(
+    docs: DataFrame,
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving doc_ids after the standard cleaning cascade:
+
+    1. exact duplicates dropped (lowest doc_id canonical survives);
+    2. near-duplicates (token-n-gram Jaccard >= threshold) dropped — the
+       HIGHER doc_id of each pair (so transitive chains keep their minimum);
+    3. quality_score >= min_quality;
+    4. optional language allow-list.
+
+    Returns DF(doc_id) sorted ascending."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    exact_drop = exact_duplicates(docs, id_col, text_col).select("doc_id")
+    near_drop = (
+        ngram_jaccard_pairs(docs, jaccard_n, jaccard_threshold, id_col, text_col)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    keep = ids.join(exact_drop, "doc_id", "left_anti").join(
+        near_drop, "doc_id", "left_anti"
+    )
+    q = quality_scores(docs, id_col, text_col).filter(
+        F.col("quality_score") >= min_quality
+    ).select("doc_id")
+    keep = keep.join(q, "doc_id", "left_semi")
+    if langs is not None:
+        lg = language_id(docs, id_col, text_col).filter(
+            F.col("lang").isin(list(langs))
+        ).select("doc_id")
+        keep = keep.join(lg, "doc_id", "left_semi")
+    return keep.orderBy("doc_id")
+
+
+def clean_corpus_sql(
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of clean_corpus (no language filter variant)."""
+    from lucene_spark.operators.textstats import EN_STOPWORDS
+
+    stop = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col, jaccard_n)},
+{_JACCARD_TAIL},
+hdup AS (
+  SELECT h.doc_id FROM (
+    SELECT {id_col} AS doc_id, md5({text_col}) AS h FROM {table}
+  ) h JOIN (
+    SELECT md5({text_col}) AS h, min({id_col}) AS dup_of FROM {table} GROUP BY 1
+  ) c USING (h) WHERE h.doc_id <> c.dup_of
+),
+ndup AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {jaccard_threshold!r}
+),
+q AS (
+  SELECT {id_col} AS doc_id,
+         round((CASE WHEN len(toks) > 0
+                THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END)
+               * (CASE WHEN length({text_col}) > 0
+                  THEN length(regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g'))::DOUBLE
+                       / length({text_col}) ELSE 0 END)
+               * least(1.0, len(toks) / 32.0), 6) AS quality_score
+  FROM (SELECT {id_col}, {text_col},
+               regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+        FROM {table})
+)
+SELECT d.{id_col} AS doc_id FROM {table} d
+WHERE d.{id_col} NOT IN (SELECT doc_id FROM hdup)
+  AND d.{id_col} NOT IN (SELECT doc_id FROM ndup)
+  AND d.{id_col} IN (SELECT doc_id FROM q WHERE quality_score >= {min_quality!r})
+ORDER BY doc_id
+""".strip()

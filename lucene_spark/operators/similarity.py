@@ -121,6 +121,43 @@ def lsh_ann_topk(
 
 # --------------------------------------------------------------- oracle SQL
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> search only the
+    ``n_probe`` cells nearest the query (the other standard ANN scale path
+    next to LSH; the trained centroids are the per-index state an IVF index
+    persists). Uses Spark ML KMeans with a fixed seed; exact cosine within
+    the probed cells, same output shape as cosine_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(np.asarray(c) - q)) for c in centers])
+    probe = [int(c) for c in order[:n_probe]]
+    cand = assigned.filter(F.col("cell").isin(probe)).select(
+        F.col("vec_id").alias(id_col), F.col("emb").alias(vec_col)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def query_vector(embeddings: DataFrame, query_id: int,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> list[float]:
     """Fetch one stored vector to use as the query (tiny driver collect)."""

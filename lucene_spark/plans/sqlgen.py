@@ -176,15 +176,22 @@ LIMIT {k}
 """.strip()
 
 
-def prefix_topk_sql(
-    prefix: str,
+def prefix_topk_sql(prefix: str, k: int, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Top-k for a PrefixQuery (MultiTermQuery SHOULD-expansion)."""
+    return expansion_topk_sql(f"term LIKE '{prefix}%'", k, table, id_col, text_col)
+
+
+def expansion_topk_sql(
+    term_cond_sql: str,
     k: int,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """Top-k for a PrefixQuery: dynamic OR over all matching terms (pure
-    disjunction, msm=1), per-term idf — MultiTermQuery SHOULD-expansion."""
+    """Top-k for any term-dictionary expansion (prefix/wildcard/range/in-set):
+    dynamic OR over terms matching ``term_cond_sql`` (pure disjunction,
+    msm=1), per-term idf — the MultiTermQuery rewrite framework twin."""
     score = _leaf_score("ldf.idf", "tf.freq", "dl.dl")
     return f"""
 WITH {corpus_ctes(table, id_col, text_col)},
@@ -193,7 +200,7 @@ consts AS (
 ),
 ldf AS (
   SELECT term, df, {_idf_expr()} AS idf FROM df ldf, consts c
-  WHERE term LIKE '{prefix}%'
+  WHERE {term_cond_sql}
 ),
 scored AS (
   SELECT tf.doc_id, {score} AS score

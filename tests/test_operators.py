@@ -162,6 +162,44 @@ def test_lsh_ann_recall(spark, embs):
     assert recall >= 0.2  # 8-plane multiprobe floor on 100 vectors
 
 
+def test_ivf_ann_recall(spark, embs):
+    from lucene_spark.operators.similarity import (
+        cosine_topk, ivf_ann_topk, query_vector,
+    )
+
+    q = query_vector(embs, 0)
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_ann_topk(embs, q, 10, n_centroids=4,
+                                                n_probe=2).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3
+    # probing ALL cells must recover the exact result
+    full = [r["vec_id"] for r in ivf_ann_topk(embs, q, 10, n_centroids=4,
+                                              n_probe=4).collect()]
+    assert full == exact
+
+
+def test_clean_corpus_pipeline(spark):
+    from lucene_spark.operators.pipeline import clean_corpus
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",   # keeper
+                    "alpha beta gamma delta epsilon zeta",   # exact dup of 1
+                    "alpha beta gamma delta epsilon eta",    # near dup of 1
+                    "!!! ???",                               # low quality
+                    "one two three four five six seven",     # keeper
+                ],
+            }
+        )
+    )
+    kept = [r["doc_id"] for r in clean_corpus(df, 3, 0.5, 0.1).collect()]
+    assert kept == [1, 5]
+
+
 # ------------------------------------------------------------------ textstats
 
 def test_textstats_handmade(spark):
