@@ -184,6 +184,18 @@ def _multiterm_df(spark: SparkSession, sf_dir: str, q) -> DataFrame:
     )
 
 
+def _field_filter_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 MUST term + metadata FILTER: conv_id (zero-padded doc id) range
+    — the PointRangeQuery-as-FILTER composition."""
+    from lucene_spark.query.ast import BooleanQuery, FieldRangeQuery, TermQuery
+
+    q = BooleanQuery(
+        must=[TermQuery("scan")],
+        filter=[FieldRangeQuery("conv_id", "000000000050", "000000000300")],
+    )
+    return _multiterm_df(spark, sf_dir, q)
+
+
 def _wildcard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.query.ast import WildcardQuery
     return _multiterm_df(spark, sf_dir, WildcardQuery(_WILDCARD))
@@ -405,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_dismax"] = _dismax_df
     out["bm25_fuzzy"] = _fuzzy_df
     out["bm25_wildcard"] = _wildcard_df
+    out["bm25_field_filter"] = _field_filter_df
     out["bm25_range"] = _range_df
     out["bm25_inset"] = _inset_df
     out["hits_count"] = _count_df
@@ -453,6 +466,13 @@ def oracle_sql() -> dict[str, str]:
     )
     inset = ", ".join(f"'{t}'" for t in _INSET)
     out["bm25_inset"] = sqlgen.expansion_topk_sql(f"term IN ({inset})", _QUERY_K)
+    # field filter: the docmap conv_id range maps back to a doc_id range
+    base = sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 10_000_000)
+    out["bm25_field_filter"] = (
+        "SELECT * FROM (\n" + base + "\n) t\n"
+        "WHERE doc_id BETWEEN 50 AND 300\n"
+        "ORDER BY score DESC, doc_id ASC LIMIT " + str(_QUERY_K)
+    )
     out["hits_count"] = sqlgen.count_sql(parse_query(json.dumps(_COUNT_AST)))
     out["bm25_search_after"] = (
         "SELECT * FROM (\n"

@@ -154,6 +154,32 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldRangeQuery(Query):
+    """Constant-score range over a stored metadata column (docmap) — the
+    PointRangeQuery / NumericDocValuesRangeQuery analog
+    (``PointRangeQuery.java:54``): numeric/temporal/string predicates stay
+    plain Spark filters on columnar metadata, composed as FILTER clauses."""
+    field: str  # conv_id | turn_idx | role | tool | ts
+    lower: object = None
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
+    def __repr__(self) -> str:
+        return (f"FieldRange({self.field},{self.lower!r},{self.upper!r},"
+                f"{self.include_lower},{self.include_upper})")
+
+
+@dataclass(frozen=True)
+class FieldEqualsQuery(Query):
+    """Constant-score equality on a stored metadata column; value None means
+    IS NOT NULL (the FieldExistsQuery analog, ``FieldExistsQuery.java:41``)."""
+    field: str
+    value: object = None
+    def __repr__(self) -> str:
+        return f"FieldEq({self.field},{self.value!r})"
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     """Edit-distance term expansion (``FuzzyQuery.java:52``): terms within
     ``max_edits`` Levenshtein of ``term`` (sharing ``prefix_length`` leading
@@ -331,6 +357,13 @@ def parse_query(obj: str | dict) -> Query:
                            r.get("include_lower", True), r.get("include_upper", True))
     elif "in" in obj:
         q = TermInSetQuery(tuple(obj["in"]))
+    elif "field_range" in obj:
+        r = obj["field_range"]
+        q = FieldRangeQuery(r["field"], r.get("lower"), r.get("upper"),
+                            r.get("include_lower", True), r.get("include_upper", True))
+    elif "field_eq" in obj:
+        r = obj["field_eq"]
+        q = FieldEqualsQuery(r["field"], r.get("value"))
     elif "fuzzy" in obj:
         f = obj["fuzzy"]
         if isinstance(f, str):

@@ -48,6 +48,8 @@ from lucene_spark.query.ast import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FieldEqualsQuery,
+    FieldRangeQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -297,6 +299,8 @@ class IndexSearcher:
         if isinstance(q, TermQuery):
             df = self._flat_boolean(BooleanQuery(must=[q]), boost)
             return df
+        if isinstance(q, (FieldRangeQuery, FieldEqualsQuery)):
+            return self._field_filter(q, boost)
         if isinstance(q, PhraseQuery):
             return self._phrase(q, boost)
         if isinstance(q, SynonymQuery):
@@ -315,6 +319,26 @@ class IndexSearcher:
                 return self._flat_boolean(q, boost)
             return self._nested_boolean(q, boost)
         raise TypeError(f"cannot execute {type(q).__name__}")
+
+    def _field_filter(self, q, boost: np.float32) -> DataFrame | None:
+        """Metadata predicate over the docmap -> constant-score doc set
+        (PointRangeQuery / FieldExistsQuery analog; plain columnar filter,
+        pushed to parquet by Catalyst)."""
+        dm = self.docmap()
+        if q.field not in dm.columns:
+            raise ValueError(f"unknown metadata field {q.field!r}")
+        c = F.col(q.field)
+        if isinstance(q, FieldEqualsQuery):
+            cond = c.isNotNull() if q.value is None else (c == q.value)
+        else:
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                cond = cond & (c <= q.upper if q.include_upper else c < q.upper)
+        return dm.filter(cond).select(
+            "doc_id", F.lit(float(boost)).cast("float").alias("score")
+        )
 
     # ------------------------------------------------------------ pruning
 

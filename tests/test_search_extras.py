@@ -80,6 +80,38 @@ def test_search_after_paginates(searcher, common_terms):
     assert page2 == full[10:20]
 
 
+def test_field_filter_queries(searcher, common_terms):
+    from lucene_spark.query.ast import FieldEqualsQuery, FieldRangeQuery
+
+    term = common_terms[0][0]
+    all_hits = {r["doc_id"]: r["score"]
+                for r in searcher.search(TermQuery(term), 100000).collect()}
+    dm = searcher.docmap().select("doc_id", "role").collect()
+    role_of = {r["doc_id"]: r["role"] for r in dm}
+
+    q = BooleanQuery(must=[TermQuery(term)],
+                     filter=[FieldEqualsQuery("role", "user")])
+    got = {r["doc_id"]: r["score"] for r in searcher.search(q, 100000).collect()}
+    expect = {d: s for d, s in all_hits.items() if role_of[d] == "user"}
+    assert got == expect  # FILTER never changes scores, only the doc set
+
+    # existence: tool IS NOT NULL
+    q2 = BooleanQuery(must=[TermQuery(term)],
+                      filter=[FieldEqualsQuery("tool")])
+    n2 = searcher.search(q2, 100000).count()
+    tool_of = {r["doc_id"]: r["tool"]
+               for r in searcher.docmap().select("doc_id", "tool").collect()}
+    assert n2 == sum(1 for d in all_hits if tool_of[d] is not None)
+
+    # range on turn_idx
+    q3 = BooleanQuery(must=[TermQuery(term)],
+                      filter=[FieldRangeQuery("turn_idx", 0, 3)])
+    got3 = {r["doc_id"] for r in searcher.search(q3, 100000).collect()}
+    ti = {r["doc_id"]: r["turn_idx"]
+          for r in searcher.docmap().select("doc_id", "turn_idx").collect()}
+    assert got3 == {d for d in all_hits if 0 <= ti[d] <= 3}
+
+
 def test_fuzzy_expansion(searcher, common_terms):
     term = common_terms[0][0]
     # exact term always matches itself at boost 1 -> same docs as TermQuery
