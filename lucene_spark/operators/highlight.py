@@ -1,0 +1,81 @@
+"""Snippet highlighting for search hits — the highlighter-module analog
+(``lucene/highlighter``: best-fragment extraction + term tagging).
+
+Operates on the tiny top-k result set joined back to the source text
+(stored-fields retrieval), so the Python work is O(k), never corpus-scale:
+each hit's text is scanned for query terms, the best window (most distinct
+matched terms, then earliest) is cut on token boundaries, and matches are
+wrapped in ``<em>..</em>``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _best_snippet(text: str, terms: list[str], window: int) -> str:
+    if not text:
+        return ""
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True)) + r")\b",
+        re.IGNORECASE,
+    )
+    hits = list(pat.finditer(text))
+    if not hits:
+        return text[:window]
+    # best window: most distinct terms covered, earliest start wins ties
+    best = (0, 0, hits[0].start())
+    for h in hits:
+        lo = max(0, h.start() - window // 4)
+        hi = lo + window
+        covered = {m.group(0).lower() for m in hits if lo <= m.start() < hi}
+        key = (len(covered), -lo)
+        if key > (best[0], -best[2]):
+            best = (len(covered), 0, lo)
+    lo = best[2]
+    hi = min(len(text), lo + window)
+    # snap to whitespace boundaries
+    if lo > 0:
+        nxt = text.find(" ", lo)
+        if 0 <= nxt < hi:
+            lo = nxt + 1
+    snippet = text[lo:hi]
+    return pat.sub(lambda m: f"<em>{m.group(0)}</em>", snippet)
+
+
+def highlight_hits(
+    searcher,
+    hits: DataFrame,
+    source: DataFrame,
+    terms: list[str],
+    window: int = 80,
+) -> DataFrame:
+    """hits(doc_id, score) -> DF(doc_id, score, conv_id, turn_idx, snippet).
+
+    The top-k frame is broadcast against docmap + source (both scans prune
+    on the joined keys); snippet extraction runs on the k joined rows."""
+    dm = searcher.docmap().select("doc_id", "conv_id", "turn_idx")
+    src = source.select("conv_id", "turn_idx", "text")
+    joined = (
+        F.broadcast(hits.select("doc_id", "score"))
+        .join(dm, "doc_id")
+        .join(src, ["conv_id", "turn_idx"])
+    )
+
+    def snip(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "score", "conv_id", "turn_idx"]].copy()
+            out["snippet"] = [
+                _best_snippet(t or "", terms, window) for t in pdf["text"]
+            ]
+            yield out
+
+    return joined.mapInPandas(
+        snip,
+        schema="doc_id long, score float, conv_id string, turn_idx int, snippet string",
+    ).orderBy(F.desc("score"), F.asc("doc_id"))

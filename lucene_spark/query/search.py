@@ -167,6 +167,112 @@ class IndexSearcher:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def facet_counts(self, query: Query, field: str) -> DataFrame:
+        """Hit counts grouped by a metadata field — the facet-module analog
+        (``lucene/facet`` taxonomy counts ≅ groupBy().count() over matches).
+        DF(value string, count long) ordered count desc, value asc."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._execute(q, np.float32(1.0))
+        if scored is None:
+            return self.spark.createDataFrame([], "value string, count long")
+        dm = self.docmap().select("doc_id", F.col(field).cast("string").alias("value"))
+        return (
+            scored.select("doc_id").join(dm, "doc_id")
+            .groupBy("value").count()
+            .orderBy(F.desc("count"), F.asc("value"))
+        )
+
+    def search_grouped(self, query: Query, field: str, k_per_group: int = 3) -> DataFrame:
+        """Top-k hits per metadata-field group — the grouping-module analog
+        (``lucene/grouping`` ≅ window rank per group). DF(value, doc_id,
+        score, rank), ordered (value, rank)."""
+        from pyspark.sql.window import Window
+
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._execute(q, np.float32(1.0))
+        if scored is None:
+            return self.spark.createDataFrame(
+                [], "value string, doc_id long, score float, rank int")
+        dm = self.docmap().select("doc_id", F.col(field).cast("string").alias("value"))
+        w = Window.partitionBy("value").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.join(dm, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_per_group)
+            .select("value", "doc_id", "score", "rank")
+            .orderBy("value", "rank")
+        )
+
+    def search_sorted(self, query: Query, sort_field: str, k: int = 10,
+                      ascending: bool = True) -> DataFrame:
+        """Top-k by a metadata field instead of relevance — the
+        TopFieldCollector / Sort analog (``TopFieldCollector.java:37``);
+        doc_id breaks ties. DF(doc_id, <sort_field>, score)."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._execute(q, np.float32(1.0))
+        if scored is None:
+            return self.spark.createDataFrame([], f"doc_id long, score float")
+        dm = self.docmap().select("doc_id", sort_field)
+        key = F.asc(sort_field) if ascending else F.desc(sort_field)
+        return (
+            scored.join(dm, "doc_id")
+            .orderBy(key, F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", sort_field, "score")
+        )
+
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Score breakdown for one (query, doc) — the ``Weight#explain`` /
+        CheckHits idiom (``CheckHits.java:181-333``): returns the recomputed
+        total plus per-clause components; ``explain(...)['value']`` must
+        equal the score the search produced (asserted in tests)."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        if not isinstance(q, (TermQuery, BooleanQuery)):
+            raise TypeError("explain supports flat term/boolean queries")
+        if isinstance(q, TermQuery):
+            q = BooleanQuery(must=[q])
+        clauses = self._clauses_of(q, np.float32(1.0))
+        norm_row = self.docmap().filter(F.col("doc_id") == doc_id).select(
+            "norm_byte", "field_len").collect()
+        if not norm_row:
+            return {"match": False, "value": 0.0, "details": []}
+        nb = int(norm_row[0]["norm_byte"])
+        details = []
+        acc = np.float64(0.0)
+        for c in clauses:
+            rows = (
+                self.term_postings(c.term)
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            freq = int(rows[0]["freq"]) if rows else 0
+            s = (
+                float(bm25.score(np.array([freq]), np.array([nb]), c.weight, self.cache)[0])
+                if freq else 0.0
+            )
+            if c.kind in ("must", "should") and freq:
+                acc += np.float64(np.float32(s))
+            details.append({
+                "kind": c.kind, "term": c.term, "freq": freq,
+                "weight": float(c.weight), "norm_byte": nb,
+                "field_len": int(norm_row[0]["field_len"]),
+                "score": s,
+            })
+        matches = all(d["freq"] > 0 for d in details if d["kind"] in ("must", "filter"))
+        matches = matches and not any(
+            d["freq"] > 0 for d in details if d["kind"] == "must_not"
+        )
+        n_should = sum(1 for d in details if d["kind"] == "should" and d["freq"] > 0)
+        has_pos = any(d["kind"] in ("must", "filter") for d in details)
+        msm = q.min_should_match if isinstance(q, BooleanQuery) else 0
+        matches = matches and (n_should >= (msm if has_pos else max(msm, 1))
+                               or (has_pos and msm == 0))
+        return {
+            "match": bool(matches),
+            "value": float(np.float32(acc)) if matches else 0.0,
+            "details": details,
+        }
+
     def term_postings(self, term: str) -> DataFrame:
         """Decoded posting list of one term: DF(doc_id long, freq int) —
         the raw DocIdSetIterator surface (postings scan + block decode)."""
