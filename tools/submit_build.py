@@ -1,0 +1,94 @@
+"""spark-submit entry point for the index build + merge pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    zip -r lucene_spark.zip lucene_spark
+    spark-submit --py-files lucene_spark.zip tools/submit_build.py \
+        --input db.transcripts --format iceberg \
+        --index-dir s3://bucket/indexes/transcripts_v1 \
+        --mode files --analyzer standard --term-buckets 512 \
+        --hot-term-df 1048576
+
+Local smoke (what this sandbox runs):
+
+    python tools/submit_build.py --input /root/testdata/sf0.001 \
+        --input-file documents.parquet --index-dir /tmp/submit_idx
+
+The job is resumable: re-submitting with the same --index-dir skips
+completed segments (generational manifest); add --check to run the
+CheckIndex audit after the merge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="Iceberg table identifier or parquet path")
+    ap.add_argument("--format", default="auto", choices=["auto", "iceberg", "parquet"])
+    ap.add_argument("--snapshot-id", type=int, default=None)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--mode", default="auto", choices=["auto", "files", "shuffle"],
+                    help="files = no-shuffle aligned build; shuffle = generic; "
+                         "auto tries files, falls back on overlap")
+    ap.add_argument("--analyzer", default="standard")
+    ap.add_argument("--num-segments", type=int, default=64)
+    ap.add_argument("--term-buckets", type=int, default=32)
+    ap.add_argument("--hot-term-df", type=int, default=1 << 16)
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--input-file", default=None,
+                    help="optional file name appended to --input (sandbox)")
+    a = ap.parse_args()
+
+    from lucene_spark.index.build import IndexConfig, build_index, build_index_files
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.session import get_spark
+    from lucene_spark.sources.tables import read_transcripts
+
+    spark = get_spark("lucene_spark_build")
+    cfg = IndexConfig(
+        num_segments=a.num_segments,
+        term_buckets=a.term_buckets,
+        hot_term_df=a.hot_term_df,
+        analyzer=a.analyzer,
+        positions=not a.no_positions,
+    )
+    source = os.path.join(a.input, a.input_file) if a.input_file else a.input
+
+    manifest = None
+    if a.mode in ("auto", "files") and a.format != "iceberg" and os.path.isdir(a.input):
+        try:
+            manifest = build_index_files(spark, a.input, a.index_dir, cfg)
+        except ValueError as e:
+            if a.mode == "files":
+                raise
+            print(f"aligned build unavailable ({e}); falling back to shuffle",
+                  file=sys.stderr)
+    if manifest is None:
+        df = read_transcripts(spark, source, a.format, a.snapshot_id)
+        manifest = build_index(spark, df, a.index_dir, cfg)
+    manifest = merge_index(spark, a.index_dir)
+
+    out = {
+        "index_dir": a.index_dir,
+        "generation": manifest["generation"],
+        "segments": len(manifest["completed"]),
+        "docs": sum(int(v["num_docs"]) for v in manifest["completed"].values()),
+    }
+    if a.check:
+        from lucene_spark.index.check import check_index
+        out["check"] = check_index(spark, a.index_dir)["ok"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
