@@ -277,9 +277,13 @@ class IndexSearcher:
         """Decoded posting list of one term: DF(doc_id long, freq int) —
         the raw DocIdSetIterator surface (postings scan + block decode)."""
         bucket = term_bucket_of(term, self.buckets)
-        scan = self.postings.filter(
-            (F.col("term_bucket") == bucket) & (F.col("term") == term)
-        ).select("num_docs", "first_doc", "data")
+        scan = (
+            self.postings.filter(
+                (F.col("term_bucket") == bucket) & (F.col("term") == term)
+            )
+            .select("num_docs", "first_doc", "data")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+        )
 
         def decode(batches):
             from lucene_spark.functions.codec import decode_block
@@ -525,8 +529,10 @@ class IndexSearcher:
                          "score": np.concatenate(out_s)}
                     )
 
-        return blocks.select("num_docs", "first_doc", "data").mapInPandas(
-            ds, schema="doc_id long, score float"
+        return (
+            blocks.select("num_docs", "first_doc", "data")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+            .mapInPandas(ds, schema="doc_id long, score float")
         )
 
     # ------------------------------------------------------------ phrase
@@ -630,9 +636,13 @@ class IndexSearcher:
         w = np.float32(np.float32(boost) * bm25.idf(df_blend, self.doc_count))
         # one postings scan; FREQS (not scores) summed per doc
         buckets = sorted({term_bucket_of(t, self.buckets) for t in present})
-        scan = self.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
-        ).select("num_docs", "first_doc", "data")
+        scan = (
+            self.postings.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+            )
+            .select("num_docs", "first_doc", "data")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+        )
 
         def decode(batches):
             from lucene_spark.functions.codec import decode_block
@@ -732,6 +742,12 @@ class IndexSearcher:
         scan = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         ).select("term", "num_docs", "first_doc", "data")
+        # spread the (compressed) blocks across the cluster before decoding:
+        # one term's blocks are contiguous in one bucket file, so without
+        # this a hot term's entire posting list decodes in 1-2 tasks.
+        # Shuffling undecoded blocks is ~256x cheaper than shuffling
+        # postings; a cold term's handful of rows costs microseconds.
+        scan = scan.repartition(self.spark.sparkContext.defaultParallelism)
 
         def decode_score(batches):
             from lucene_spark.functions.codec import decode_block
@@ -772,6 +788,12 @@ class IndexSearcher:
         n_filter = sum(1 for c in clauses if c.kind == "filter")
         n_should = sum(1 for c in clauses if c.kind == "should")
         msm = q.min_should_match
+        # single scoring clause: each doc appears exactly once in the scan,
+        # so clause combination is a no-op — skip the groupBy entirely
+        # (TermQuery never needs a BooleanScorer; at 10^7+ matched docs the
+        # avoided shuffle dominates query latency)
+        if len(clauses) == 1 and clauses[0].kind in ("must", "should"):
+            return self._scan_and_score(clauses).select("doc_id", "score")
         matched = self._scan_and_score(clauses)
 
         kinds = {c.clause_id: c.kind for c in clauses}

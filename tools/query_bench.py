@@ -1,0 +1,86 @@
+"""Query-latency benchmark over a large built index.
+
+Usage: python tools/query_bench.py [index_dir] [cpus]
+Defaults to the 16.5M-turn scaling index at /tmp/lucene_spark_scaling/idx_32.
+Reports per-query wall times (warm session) for representative shapes:
+hot/cold term, conjunction, disjunction msm, must_not, pruned-vs-exhaustive
+single term. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    index_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lucene_spark_scaling/idx_32"
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "32"
+    from pyspark.sql import functions as F
+
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+
+    spark = get_spark("query_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    s = IndexSearcher(spark, index_dir)
+
+    hot = [r["term"] for r in s.term_dict.orderBy(F.desc("doc_freq")).limit(3).collect()]
+    n_terms = s.term_dict.count()
+    mid = [
+        r["term"]
+        for r in s.term_dict.orderBy(F.desc("doc_freq"))
+        .limit(n_terms // 2).orderBy(F.asc("doc_freq")).limit(3).collect()
+    ]
+    cold = [
+        r["term"]
+        for r in s.term_dict.orderBy(F.asc("doc_freq"), F.asc("term")).limit(3).collect()
+    ]
+
+    def t(fn):
+        t0 = time.time()
+        n = fn().count()
+        return round(time.time() - t0, 3), n
+
+    out: dict = {"doc_count": s.doc_count}
+    q: dict = {}
+    q["term_hot"], out["term_hot_hits"] = t(lambda: s.search(TermQuery(hot[0]), 10))
+    q["term_hot_pruned"], _ = t(lambda: s.search_term_pruned(hot[0], 10))
+    q["term_mid"], _ = t(lambda: s.search(TermQuery(mid[0]), 10))
+    q["term_cold"], _ = t(lambda: s.search(TermQuery(cold[0]), 10))
+    q["conj_hot_hot"], _ = t(
+        lambda: s.search(BooleanQuery(must=[TermQuery(hot[0]), TermQuery(hot[1])]), 10)
+    )
+    q["conj_hot_cold"], _ = t(
+        lambda: s.search(BooleanQuery(must=[TermQuery(hot[0]), TermQuery(cold[0])]), 10)
+    )
+    q["disj_msm2"], _ = t(
+        lambda: s.search(
+            BooleanQuery(
+                should=[TermQuery(hot[0]), TermQuery(mid[0]), TermQuery(cold[0])],
+                min_should_match=2,
+            ),
+            10,
+        )
+    )
+    q["must_not"], _ = t(
+        lambda: s.search(
+            BooleanQuery(must=[TermQuery(mid[0])], must_not=[TermQuery(hot[0])]), 10
+        )
+    )
+    # rank identity of pruned vs exhaustive on this corpus
+    exact = [(r["doc_id"], r["score"]) for r in s.search(TermQuery(hot[0]), 10).collect()]
+    pruned = [(r["doc_id"], r["score"]) for r in s.search_term_pruned(hot[0], 10).collect()]
+    out["pruned_rank_identical"] = exact == pruned
+    out["queries"] = q
+    out["cpus"] = int(cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
