@@ -59,6 +59,7 @@ _PHRASE = ["scan", "merge"]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
 _WILDCARD = "s?an"       # scan, span...
+_REGEXP = "s.an|m[ae]rge"
 _RANGE = ("taa", "tzz")  # table..tuple region of the vocabulary
 _INSET = ["scan", "merge", "zzz-absent", "hash"]
 _FUZZY = ("scan", 1)
@@ -199,6 +200,11 @@ def _field_filter_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _wildcard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.query.ast import WildcardQuery
     return _multiterm_df(spark, sf_dir, WildcardQuery(_WILDCARD))
+
+
+def _regexp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import RegexpQuery
+    return _multiterm_df(spark, sf_dir, RegexpQuery(_REGEXP))
 
 
 def _range_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_fuzzy"] = _fuzzy_df
     out["bm25_wildcard"] = _wildcard_df
     out["bm25_field_filter"] = _field_filter_df
+    out["bm25_regexp"] = _regexp_df
     out["bm25_range"] = _range_df
     out["bm25_inset"] = _inset_df
     out["hits_count"] = _count_df
@@ -460,6 +467,9 @@ def oracle_sql() -> dict[str, str]:
     wc_regex = _WILDCARD.replace("?", ".").replace("*", ".*")
     out["bm25_wildcard"] = sqlgen.expansion_topk_sql(
         f"regexp_full_match(term, '{wc_regex}')", _QUERY_K
+    )
+    out["bm25_regexp"] = sqlgen.expansion_topk_sql(
+        f"regexp_full_match(term, '{_REGEXP}')", _QUERY_K
     )
     out["bm25_range"] = sqlgen.expansion_topk_sql(
         f"term BETWEEN '{_RANGE[0]}' AND '{_RANGE[1]}'", _QUERY_K

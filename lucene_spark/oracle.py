@@ -147,15 +147,34 @@ class OracleIndex:
         for docs in nots:
             candidates -= docs
 
+        # combine with the reference's exact float boundaries (scorer tree,
+        # mirrored by the engine's _combine_req_opt):
+        #   required-only / optional-only: (float) double-sum
+        #   req + opt, msm == 0: ReqOptSumScorer float32 addition
+        #   req + opt, msm > 0: WAND(should) float joins the conjunction's
+        #   double sum
+        # every boolean node emits a float32 score (Scorer.score() boundary)
+        has_req = bool(must) or bool(filt)
         scores: dict[int, float] = {}
         for d in candidates:
-            acc = 0.0
+            req = np.float64(0.0)
             for docs, sc in must:
-                acc += sc[d]
+                req += sc[d]
+            opt = np.float64(0.0)
+            opt_matched = False
             for docs, sc in should:
                 if d in docs:
-                    acc += sc[d]
-            scores[d] = acc
+                    opt += sc[d]
+                    opt_matched = True
+            if not should or not has_req:
+                total = np.float32(req + opt) if (must or not has_req) else np.float32(opt)
+            elif msm > 0:
+                total = np.float32(req + np.float64(np.float32(opt)))
+            else:
+                total = np.float32(
+                    np.float64(np.float32(req)) + np.float64(np.float32(opt))
+                )
+            scores[d] = float(total)
         return candidates, scores
 
     def search(self, q: Query, k: int) -> list[tuple[int, np.float32]]:

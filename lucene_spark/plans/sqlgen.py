@@ -138,6 +138,20 @@ def topk_sql(
         msm_cond = f"should_n >= {msm}"
     else:
         msm_cond = "TRUE"
+    # final combination mirrors the engine's _combine_req_opt (the scorer
+    # tree's float boundaries: ConjunctionScorer / DisjunctionSumScorer /
+    # ReqOptSumScorer.java:242-258 / WAND-under-conjunction)
+    n_should = sum(1 for c in clauses if c[1] == "should")
+    if n_should == 0:
+        final = "CAST(coalesce(must_s, 0) AS REAL)"
+    elif n_must == 0:
+        final = "CAST(coalesce(should_s, 0) AS REAL)"
+    elif msm > 0:
+        final = ("CAST(must_s + CAST(CAST(coalesce(should_s, 0) AS REAL) AS DOUBLE)"
+                 " AS REAL)")
+    else:
+        final = ("CAST(CAST(CAST(coalesce(must_s, 0) AS REAL) AS DOUBLE)"
+                 " + CAST(CAST(coalesce(should_s, 0) AS REAL) AS DOUBLE) AS REAL)")
     score = _leaf_score("(cl.boost * ldf.idf)", "tf.freq", "dl.dl")
     return f"""
 WITH {corpus_ctes(table, id_col, text_col)},
@@ -168,7 +182,7 @@ agg AS (
     count(CASE WHEN kind = 'must_not' THEN 1 END) AS not_n
   FROM scored GROUP BY doc_id
 )
-SELECT doc_id, CAST(coalesce(must_s, 0) + coalesce(should_s, 0) AS REAL) AS score
+SELECT doc_id, {final} AS score
 FROM agg
 WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
 ORDER BY score DESC, doc_id ASC

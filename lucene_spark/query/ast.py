@@ -144,6 +144,16 @@ class WildcardQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Regular-expression term expansion (``RegexpQuery.java:44``): terms
+    matching the anchored pattern OR'd (automaton-intersect-term-dict analog;
+    here the term dictionary scan applies the regex directly)."""
+    pattern: str
+    def __repr__(self) -> str:
+        return f"Regexp({self.pattern!r})"
+
+
+@dataclass(frozen=True)
 class TermRangeQuery(Query):
     lower: str | None
     upper: str | None
@@ -305,6 +315,10 @@ def expand_multi_term(q: Query, terms_sorted: list[str]) -> Query:
     if isinstance(q, WildcardQuery):
         hits = fnmatch.filter(terms_sorted, q.pattern)
         return _or_terms(hits)
+    if isinstance(q, RegexpQuery):
+        import re as _re
+        pat = _re.compile("^(?:" + q.pattern + ")$")
+        return _or_terms([t for t in terms_sorted if pat.match(t)])
     if isinstance(q, TermRangeQuery):
         def ok(t: str) -> bool:
             if q.lower is not None:
@@ -351,6 +365,8 @@ def parse_query(obj: str | dict) -> Query:
         q = PrefixQuery(obj["prefix"])
     elif "wildcard" in obj:
         q = WildcardQuery(obj["wildcard"])
+    elif "regexp" in obj:
+        q = RegexpQuery(obj["regexp"])
     elif "range" in obj:
         r = obj["range"]
         q = TermRangeQuery(r.get("lower"), r.get("upper"),

@@ -56,6 +56,7 @@ from lucene_spark.query.ast import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -65,6 +66,40 @@ from lucene_spark.query.ast import (
 )
 
 _CLAUSE_SCHEMA = "clause_id int, doc_id long, score float"
+
+
+def _f32(col):
+    return col.cast("float")
+
+
+def _combine_req_opt(n_must: int, n_should: int, msm: int, must_s, should_s):
+    """Combine required/optional double-sum accumulators with the reference's
+    exact float boundaries (scorer-tree semantics, NOT one flat double sum):
+
+      - required-only (ConjunctionScorer.java:57-63): (float) double-sum.
+      - optional-only (DisjunctionSumScorer.java:40-46 / WANDScorer): same.
+      - required + optional, msm == 0 (ReqOptSumScorer.java:242-258):
+        ``float score = req; score += opt;`` — a FLOAT32 addition of the two
+        float-cast sums. (double-add of two exact f32 values then f32-cast
+        is bit-identical to the f32 addition.)
+      - required + optional, msm > 0: the SHOULD group becomes a required
+        WAND sub-scorer — its float-cast sum joins the conjunction's DOUBLE
+        sum (BooleanScorerSupplier.java:546-553 -> ConjunctionScorer).
+    """
+    if n_should == 0:
+        return _f32(must_s)
+    if n_must == 0:
+        # filters (if any) contribute no score; absent should-sum means the
+        # optional side simply didn't match -> 0
+        return _f32(F.coalesce(should_s, F.lit(0.0)))
+    if msm > 0:
+        return _f32(
+            must_s + _f32(F.coalesce(should_s, F.lit(0.0))).cast("double")
+        )
+    return _f32(
+        _f32(must_s).cast("double")
+        + _f32(F.coalesce(should_s, F.lit(0.0))).cast("double")
+    )
 
 
 @dataclass
@@ -319,6 +354,9 @@ class IndexSearcher:
         elif isinstance(q, WildcardQuery):
             import fnmatch
             cond = F.col("term").rlike("^" + fnmatch.translate(q.pattern).replace("\\Z", "$"))
+        elif isinstance(q, RegexpQuery):
+            # Lucene regexps are anchored (whole-term match)
+            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
         elif isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
@@ -815,11 +853,9 @@ class IndexSearcher:
             cond = cond & (F.col("should_n") >= max(msm, 1))
         elif msm > 0:
             cond = cond & (F.col("should_n") >= msm)
-        score = (
-            (F.coalesce(F.col("must_s"), F.lit(0.0)) + F.coalesce(F.col("should_s"), F.lit(0.0)))
-            .cast("float")
-            .alias("score")
-        )
+        score = _combine_req_opt(
+            n_must, n_should, msm, F.col("must_s"), F.col("should_s")
+        ).alias("score")
         return agg.filter(cond).select("doc_id", score)
 
     def _nested_boolean(self, q: BooleanQuery, boost: np.float32) -> DataFrame | None:
@@ -857,21 +893,29 @@ class IndexSearcher:
                 F.count("*").alias("s_n"),
             )
 
+        # combination uses the same reference float boundaries as the flat
+        # path (see _combine_req_opt); `acc` carries the required DOUBLE sum,
+        # `s_acc` the optional DOUBLE sum
+        n_must_scoring = len(must_dfs)
         if base is None:
             if should_agg is None:
                 return None
             res = should_agg.filter(F.col("s_n") >= max(msm, 1)).select(
-                "doc_id", F.col("s_acc").alias("acc")
+                "doc_id",
+                _combine_req_opt(0, 1, msm, F.lit(None), F.col("s_acc")).alias("score"),
             )
         elif should_agg is not None:
             joined = base.join(should_agg, "doc_id", "left")
             if msm > 0:
                 joined = joined.filter(F.coalesce(F.col("s_n"), F.lit(0)) >= msm)
             res = joined.select(
-                "doc_id", (F.col("acc") + F.coalesce(F.col("s_acc"), F.lit(0.0))).alias("acc")
+                "doc_id",
+                _combine_req_opt(
+                    max(n_must_scoring, 1), 1, msm, F.col("acc"), F.col("s_acc")
+                ).alias("score"),
             )
         else:
-            res = base
+            res = base.select("doc_id", _f32(F.col("acc")).alias("score"))
         for d in not_dfs:
             res = res.join(d.select("doc_id"), "doc_id", "left_anti")
-        return res.select("doc_id", F.col("acc").cast("float").alias("score"))
+        return res.select("doc_id", "score")

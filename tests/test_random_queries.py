@@ -1,0 +1,73 @@
+"""Randomized query property test — the RandomizedRunner / TestBoolean2
+idiom: seeded random Boolean trees executed on the Spark engine AND the
+scalar oracle, asserting identical top-k docIDs and float32 scores.
+
+Uses a fixed seed so runs are reproducible (Lucene prints its seed for
+repro; ours is pinned)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    PrefixQuery,
+    TermQuery,
+    expand_multi_term,
+    rewrite_fixpoint,
+)
+from lucene_spark.query.search import IndexSearcher
+
+SEED = 20260817
+N_QUERIES = 25
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    return IndexSearcher(spark, built_index)
+
+
+def _random_query(rng: random.Random, vocab: list[str], depth: int = 0):
+    roll = rng.random()
+    if depth >= 2 or roll < 0.45:
+        t = TermQuery(rng.choice(vocab))
+        if rng.random() < 0.25:
+            return BoostQuery(t, round(rng.uniform(0.25, 3.0), 2))
+        return t
+    if roll < 0.55:
+        return PrefixQuery(rng.choice(vocab)[:2])
+    must = [_random_query(rng, vocab, depth + 1) for _ in range(rng.randint(0, 2))]
+    should = [_random_query(rng, vocab, depth + 1) for _ in range(rng.randint(0, 3))]
+    filt = [TermQuery(rng.choice(vocab))] if rng.random() < 0.3 else []
+    must_not = [TermQuery(rng.choice(vocab))] if rng.random() < 0.3 else []
+    msm = rng.randint(0, max(len(should), 1)) if should and rng.random() < 0.4 else 0
+    if not (must or should or filt):
+        should = [TermQuery(rng.choice(vocab))]
+    return BooleanQuery(must, should, filt, must_not, msm)
+
+
+def test_random_boolean_trees_rank_identical(searcher, oracle_index):
+    rng = random.Random(SEED)
+    vocab = sorted(oracle_index.postings)
+    common = sorted(vocab, key=lambda t: -oracle_index.doc_freq(t))[:40]
+    pool = common + [rng.choice(vocab) for _ in range(40)] + ["zz-absent-term"]
+
+    checked = 0
+    for i in range(N_QUERIES):
+        q = _random_query(rng, pool)
+        k = rng.choice([3, 10, 50])
+        oq = expand_multi_term(rewrite_fixpoint(q), vocab)
+        expect = [
+            (d, np.float32(s)) for d, s in oracle_index.search(rewrite_fixpoint(oq), k)
+        ]
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search(q, k).collect()
+        ]
+        assert got == expect, f"query {i} (seed {SEED}): {q!r}"
+        checked += 1
+    assert checked == N_QUERIES
