@@ -4,3 +4,34 @@ Spark-first (DataFrames, vectorized Arrow UDFs, explicit partitioning/shuffle/
 skew handling), not a port of the reference's Java execution engine."""
 
 __version__ = "0.1.0"
+
+# public API surface (lazy imports keep pyspark out of module import time
+# for tools that only need the pure-Python pieces)
+
+
+def __getattr__(name):
+    if name in ("IndexConfig", "build_index", "build_index_files"):
+        from lucene_spark.index import build as _b
+        return getattr(_b, name)
+    if name == "merge_index":
+        from lucene_spark.index.merge import merge_index
+        return merge_index
+    if name == "check_index":
+        from lucene_spark.index.check import check_index
+        return check_index
+    if name == "IndexSearcher":
+        from lucene_spark.query.search import IndexSearcher
+        return IndexSearcher
+    if name == "QueryParser":
+        from lucene_spark.query.parser import QueryParser
+        return QueryParser
+    if name == "get_spark":
+        from lucene_spark.session import get_spark
+        return get_spark
+    raise AttributeError(name)
+
+
+__all__ = [
+    "IndexConfig", "build_index", "build_index_files", "merge_index",
+    "check_index", "IndexSearcher", "QueryParser", "get_spark",
+]
