@@ -275,6 +275,57 @@ LIMIT {k}
 """.strip()
 
 
+def multi_phrase_topk_sql(
+    slots: list[list[str]],
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """MultiPhraseQuery twin: slot i matches any of its terms; idf = REAL
+    cast of the DOUBLE sum over ALL existing terms, slot-then-term order
+    (absent terms contribute 0 = skipped, MultiPhraseQuery.java:219-238)."""
+    L = len(slots)
+    conds = " AND ".join(
+        "toks[i + {j}] IN ({alts})".format(
+            j=j, alts=", ".join(f"'{t}'" for t in sl)
+        )
+        for j, sl in enumerate(slots)
+    )
+    idf_terms = []
+    for sl in slots:
+        for t in sl:
+            idf_terms.append(
+                "coalesce((SELECT CAST(CAST(ln(1 + (c.dc - df.df + 0.5) / (df.df + 0.5)) AS REAL) AS DOUBLE)"
+                f" FROM df WHERE df.term = '{t}'), 0)"
+            )
+    idf_sum = " + ".join(idf_terms)
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, greatest(len(toks) - {L} + 2, 1)),
+                         i -> {conds})) AS freq
+  FROM tokarr
+),
+w AS (
+  SELECT CAST({idf_sum} AS REAL) AS v FROM consts c
+)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def synonym_topk_sql(
     terms: list[str],
     k: int,

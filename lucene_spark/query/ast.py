@@ -82,6 +82,17 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with per-position alternatives (``MultiPhraseQuery.java:54``):
+    slot i matches ANY of its terms; idf = float32 cast of the double sum of
+    idfs over ALL existing terms, slot-then-term order
+    (``MultiPhraseQuery.java:219-238``)."""
+    slots: tuple[tuple[str, ...], ...]
+    def __repr__(self) -> str:
+        return f"MultiPhrase({[sorted(s) for s in self.slots]!r})"
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: doc_freq = max over terms,
     total_term_freq = sum, per-doc freq = sum (``SynonymQuery.java:211-228``)."""
@@ -388,6 +399,8 @@ def parse_query(obj: str | dict) -> Query:
                        f.get("prefix_length", 0), f.get("max_expansions", 50))
     elif "phrase" in obj:
         q = PhraseQuery(tuple(obj["phrase"]))
+    elif "multi_phrase" in obj:
+        q = MultiPhraseQuery(tuple(tuple(s) for s in obj["multi_phrase"]))
     elif "synonym" in obj:
         q = SynonymQuery(tuple(obj["synonym"]))
     elif "dismax" in obj:

@@ -53,6 +53,7 @@ from lucene_spark.query.ast import (
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -451,6 +452,8 @@ class IndexSearcher:
             return self._field_filter(q, boost)
         if isinstance(q, PhraseQuery):
             return self._phrase(q, boost)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase(q, boost)
         if isinstance(q, SynonymQuery):
             return self._synonym(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
@@ -655,6 +658,60 @@ class IndexSearcher:
             def adjacency(x):  # single-arg: pyspark inspects the arity
                 c = F.array_contains(F.col("p1"), x + 1)
                 for i in range(2, len(terms)):
+                    c = c & F.array_contains(F.col(f"p{i}"), x + i)
+                return c
+
+            freq = F.size(F.filter(F.col("p0"), adjacency))
+        matched = j.select("doc_id", freq.alias("freq")).filter(F.col("freq") > 0)
+        return self._score_freq_frame(matched, w)
+
+    def _multi_phrase(self, q: MultiPhraseQuery, boost: np.float32) -> DataFrame | None:
+        """Per-slot alternatives: slot positions = distinct union of the
+        alternatives' position lists (UnionPostingsEnum analog), then the
+        same adjacency filter as the exact phrase."""
+        slots = [tuple(sl) for sl in q.slots]
+        if not slots:
+            return None
+        all_terms = [t for sl in slots for t in sl]
+        stats = self.term_stats(all_terms)
+        present_slots = [[t for t in sl if t in stats] for sl in slots]
+        if any(not sl for sl in present_slots):
+            return None  # a slot with no existing alternative kills the phrase
+        # idf sum over ALL existing terms, slot-then-term order, skipping
+        # absent and counting duplicates once per occurrence in the arrays
+        idfs = [
+            bm25.idf(stats[t][0], self.doc_count)
+            for sl in slots
+            for t in sl
+            if t in stats
+        ]
+        w = self._multi_term_weight(boost, idfs)
+        uniq_terms = sorted({t for sl in present_slots for t in sl})
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in uniq_terms})
+        scan = (
+            self.positions_table()
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(uniq_terms))
+            .select("term", "doc_id", "positions")
+        )
+        j: DataFrame | None = None
+        for i, sl in enumerate(present_slots):
+            s = (
+                scan.filter(F.col("term").isin(list(sl)))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("positions")))
+                    ).alias(f"p{i}")
+                )
+            )
+            j = s if j is None else j.join(s, "doc_id")
+        n_slots = len(present_slots)
+        if n_slots == 1:
+            freq = F.size(F.col("p0"))
+        else:
+            def adjacency(x):
+                c = F.array_contains(F.col("p1"), x + 1)
+                for i in range(2, n_slots):
                     c = c & F.array_contains(F.col(f"p{i}"), x + i)
                 return c
 

@@ -99,6 +99,54 @@ def test_phrase_matches_and_scores(searcher, ref):
         assert got[did] == s
 
 
+def test_multi_phrase(searcher, ref):
+    from lucene_spark.query.ast import MultiPhraseQuery
+
+    # find a word with two distinct successors -> slots [(w0,), (a, b)]
+    succ: dict[str, set[str]] = {}
+    for d in ref["docs"]:
+        pos_of = {}
+        for t, p in d:
+            pos_of[p] = t
+        for p, t in pos_of.items():
+            if p + 1 in pos_of:
+                succ.setdefault(t, set()).add(pos_of[p + 1])
+    w0 = max(succ, key=lambda t: len(succ[t]))
+    a, b = sorted(succ[w0])[:2]
+
+    expect = {}
+    for did, d in enumerate(ref["docs"]):
+        pos_of = {}
+        for t, p in d:
+            pos_of.setdefault(t, set()).add(p)
+        p0 = pos_of.get(w0, set())
+        p1 = pos_of.get(a, set()) | pos_of.get(b, set())
+        freq = sum(1 for p in p0 if p + 1 in p1)
+        if freq:
+            expect[did] = freq
+
+    idfs = [bm25.idf(_df(ref, t), ref["dc"]) for t in (w0, a, b)]
+    acc = np.float64(0.0)
+    for v in idfs:
+        acc += np.float64(v)
+    w = np.float32(np.float32(1.0) * np.float32(acc))
+    cache = _cache(ref)
+
+    q = MultiPhraseQuery(((w0,), (a, b)))
+    got = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in searcher.search(q, 100000).collect()
+    }
+    assert set(got) == set(expect)
+    for did, freq in expect.items():
+        s = bm25.score(np.array([freq]), np.array([ref["norm"][did]]), w, cache)[0]
+        assert got[did] == s
+
+    # slot whose only alternatives are absent -> no matches; absent
+    # alternatives alongside real ones are skipped in idf
+    assert searcher.search(MultiPhraseQuery(((w0,), ("zz-nope",))), 5).count() == 0
+
+
 def test_phrase_absent_term_is_empty(searcher):
     assert searcher.search(PhraseQuery(("zzzz-nope", "scan")), 10).count() == 0
 
