@@ -71,6 +71,58 @@ def test_refreshed_searcher_rank_identity(spark, setup):
         assert got == exp, term
 
 
+def test_multi_batch_append_on_aligned_base(spark, tmp_path_factory):
+    """Several micro-batches (maxFilesPerTrigger=4, 8 incoming files) onto a
+    base built with the no-shuffle file-aligned path."""
+    import pandas as pd
+
+    root = tmp_path_factory.mktemp("ms")
+    idx = str(root / "idx")
+    src = str(root / "in")
+    corpus = str(root / "base")
+    os.makedirs(src)
+
+    from lucene_spark.index.build import build_index_files
+    from lucene_spark.sources.transcripts import generate_distributed
+
+    generate_distributed(spark, n_convs=60, seed=5, partitions=3).write.parquet(corpus)
+    build_index_files(spark, corpus, idx,
+                      IndexConfig(term_buckets=4, hot_term_df=64))
+    merge_index(spark, idx)
+    base_docs = sum(
+        int(v["num_docs"]) for v in load_manifest(idx)["completed"].values()
+    )
+
+    extra = generate_pandas(n_convs=24, seed=6, vocab_size=400, max_turns=6)
+    extra["conv_id"] = "zz-" + extra["conv_id"]
+    # 8 single-slice files -> 2 micro-batches at maxFilesPerTrigger=4
+    bounds = [0, 3, 6, 9, 12, 15, 18, 21, 24]
+    convs = sorted(extra["conv_id"].unique())
+    for i in range(8):
+        sel = extra[extra["conv_id"].isin(convs[bounds[i]:bounds[i + 1]])]
+        spark.createDataFrame(sel).coalesce(1).write.parquet(src, mode="append")
+
+    stream_append(spark, src, idx, str(root / "ckpt"), available_now=True)
+
+    m = load_manifest(idx)
+    appended = [v for v in m["completed"].values() if v.get("appended")]
+    assert len(appended) >= 2  # at least two micro-batch segments
+    total = sum(int(v["num_docs"]) for v in m["completed"].values())
+    assert total == base_docs + len(extra)
+    assert check_index(spark, idx)["ok"]
+
+    s = IndexSearcher(spark, idx)
+    assert s.doc_count == total
+    # appended docs are searchable
+    tok = extra["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+    some_term = tok.value_counts().index[0]
+    dm = s.docmap().filter(F.col("conv_id").startswith("zz-")).count()
+    assert dm == len(extra)
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
 def test_exactly_once_on_restart(spark, setup):
     before = load_manifest(setup["idx"])["generation"]
     n_seg = len(load_manifest(setup["idx"])["completed"])
