@@ -318,6 +318,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------- pipeline operators
 
 _JACCARD_N, _JACCARD_T = 3, 0.2
+_JACCARD_MAX_DF = 16  # shingle-df candidate cutoff (binding at sf0.1+)
 _MINHASH = dict(num_perm=64, bands=16, shingle_n=3, threshold=0.2)
 _SIMHASH_K = 3
 _EMB_T = 0.35
@@ -339,9 +340,10 @@ def _dedup_exact(spark, sf_dir):
 
 def _dedup_jaccard(spark, sf_dir):
     from lucene_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), _JACCARD_N, _JACCARD_T).orderBy(
-        "doc_a", "doc_b"
-    )
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), _JACCARD_N, _JACCARD_T,
+        max_shingle_df=_JACCARD_MAX_DF,
+    ).orderBy("doc_a", "doc_b")
 
 
 def _dedup_minhash(spark, sf_dir):
@@ -519,7 +521,9 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     from lucene_spark.operators import dedup, multimodal, similarity, textstats
 
     out["dedup_exact"] = dedup.exact_duplicates_sql()
-    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql(_JACCARD_N, _JACCARD_T)
+    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql(
+        _JACCARD_N, _JACCARD_T, max_shingle_df=_JACCARD_MAX_DF
+    )
     out["dedup_minhash_lsh"] = dedup.minhash_lsh_sql(**_MINHASH)
     out["dedup_simhash"] = dedup.simhash_pairs_sql(_SIMHASH_K)
     out["dedup_embedding"] = dedup.embedding_dup_sql(_EMB_T)

@@ -18,9 +18,10 @@ corpus. Algorithms are the standard public ones:
   - SimHash (Charikar 2002): 64-bit sign-of-weighted-sum fingerprint over
     token hashes; near-dup = Hamming distance <= k, found at scale by the
     pigeonhole blocking trick (k<=3 => some 16-bit chunk is identical).
-  - embedding cosine near-dup: exact pairs above a cosine threshold;
-    at scale the same verification runs behind an LSH/IVF candidate
-    generator (see operators/similarity.py).
+  - embedding cosine near-dup: exact pairs above a cosine threshold via
+    blocked float64 GEMM over block pairs (no row-level cross join; see
+    embedding_dup_pairs for why exact beats LSH candidates at the
+    thresholds this corpus needs).
 
 Spark analyzer parity: token shingles use the engine's `simple` analyzer
 regex ([a-z0-9]+ on lowercased text) so every oracle is expressible with
@@ -79,45 +80,107 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 # ------------------------------------------------------------------ jaccard
 
+def _doc_shingle_sets(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """DF(doc_id, sh array<string>) — distinct token n-gram set per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_col(tokens_col(text_col), n)).alias("sh"),
+    )
+
+
+def candidate_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard restricted to candidate pairs — the LSH verify contract.
+
+    ``cand`` is DF(doc_a, doc_b); ``sets`` is DF(doc_id, sh). Two joins keyed
+    on doc_id bring each pair's full shingle sets together; the intersection
+    is a JVM ``array_intersect`` per pair. Work is O(candidates), never the
+    full shingle self-join — at 10^12 docs the candidate set (LSH/banded) is
+    ~linear while the shingle self-join is quadratic in hot-shingle df."""
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.size("sh").alias("sza"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.size("sh").alias("szb"),
+    )
+    ix = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.col("sza") + F.col("szb") - ix
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.when(union > 0, (ix / union).cast("double"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard near-dup pairs (a < b, J >= threshold).
 
     Inverted-index join: explode distinct shingles, self-join on shingle to
-    count intersections, combine with per-doc set sizes. Shuffles are keyed
-    on shingle / doc pairs — no quadratic comparison. At 10^12 docs add a
-    document-frequency cutoff on shingles (ultra-common shingles contribute
-    candidates without discriminating; the verify step is unchanged).
+    find candidate pairs (sharing >=1 shingle), combine with per-doc set
+    sizes. Shuffles are keyed on shingle / doc pairs — no quadratic
+    comparison.
+
+    ``max_shingle_df``: document-frequency cutoff on shingles for CANDIDATE
+    GENERATION — a shingle shared by more than this many docs is dropped
+    before the self-join (an ultra-common shingle contributes ~df^2 candidate
+    rows without discriminating; one stopword shingle shared by 1M docs would
+    otherwise emit ~10^12 join rows). Verification still uses the FULL
+    shingle sets (candidate-restricted ``array_intersect``), so reported
+    Jaccard values are exact; pairs sharing ONLY above-cutoff shingles are
+    not discovered (documented recall trade, the standard df-cut contract).
     """
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(shingles_col(tokens_col(text_col), n))).alias("s"),
+    sets = _doc_shingle_sets(docs, n, id_col, text_col)
+    sh = sets.select("doc_id", F.explode("sh").alias("s"))
+    if max_shingle_df is None:
+        # no cutoff: the self-join count IS the exact intersection size
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .agg(F.count("*").alias("ix"))
         )
+        sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+        sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+        return (
+            inter.join(sa, "da").join(sb, "db")
+            .withColumn(
+                "jaccard",
+                (F.col("ix") / (F.col("sza") + F.col("szb") - F.col("ix"))).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "jaccard")
+        )
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_df
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    kept = sh.join(rare.select("s"), "s")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("ix"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
     return (
-        inter.join(sa, "da").join(sb, "db")
-        .withColumn(
-            "jaccard",
-            (F.col("ix") / (F.col("sza") + F.col("szb") - F.col("ix"))).cast("double"),
-        )
+        candidate_jaccard(cand, sets)
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "jaccard")
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -189,9 +252,14 @@ def minhash_lsh_pairs(
 
     Signatures band into ``bands`` groups of num_perm/bands rows; docs
     sharing any band bucket become candidates (shuffle keyed on band hash —
-    the LSH scale path); candidates are verified against exact shingle-set
-    Jaccard so the output has no false positives (false-negative rate is
-    the standard 1-(1-s^r)^b curve).
+    the LSH scale path); candidates are verified with CANDIDATE-RESTRICTED
+    exact Jaccard (``candidate_jaccard``: two doc_id-keyed joins bring each
+    candidate pair's full shingle sets together, intersection via JVM
+    ``array_intersect``) so the output has no false positives
+    (false-negative rate is the standard 1-(1-s^r)^b curve). The verify work
+    is O(candidate pairs) — the plan contains NO shingle-keyed self-join,
+    which is the entire LSH contract at 10^12 docs (asserted on the physical
+    plan in tests/test_dedup.py).
     Returns DF(doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     r = num_perm // bands
@@ -219,11 +287,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, shingle_n, 0.0, id_col, text_col).select(
-        F.col("doc_a"), F.col("doc_b"), "jaccard"
-    )
+    sets = _doc_shingle_sets(docs, shingle_n, id_col, text_col)
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        candidate_jaccard(cand, sets)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -363,13 +429,34 @@ WHERE doc_id <> dup_of ORDER BY doc_id
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5,
                       table: str = "documents", id_col: str = "doc_id",
-                      text_col: str = "text") -> str:
-    return f"""
+                      text_col: str = "text",
+                      max_shingle_df: int | None = None) -> str:
+    if max_shingle_df is None:
+        return f"""
 WITH {_shingles_cte(table, id_col, text_col, n)},
 {_JACCARD_TAIL}
 SELECT doc_a, doc_b, jaccard FROM jac
 WHERE jaccard >= {threshold!r}
 ORDER BY doc_a, doc_b
+""".strip()
+    # df-cutoff twin: candidates come only from shingles with df <= cutoff;
+    # Jaccard itself is still over the FULL sets (restricted to candidates)
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col, n)},
+sdf AS (
+  SELECT s, count(*) AS c FROM shing GROUP BY s
+), kept AS (
+  SELECT shing.doc_id, shing.s FROM shing JOIN sdf USING (s)
+  WHERE sdf.c <= {max_shingle_df}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, j.jaccard AS jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {threshold!r}
+ORDER BY c.doc_a, c.doc_b
 """.strip()
 
 
@@ -478,38 +565,99 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine(a, b) >= threshold, a < b.
+    """Embedding near-dup pairs: cosine(a, b) >= threshold, a < b. EXACT.
 
-    Exact all-pairs via a cross join at verification scale; at 10^12 rows
-    the identical verification runs on candidates from the LSH bucketing in
-    operators/similarity.py. Cosine is computed JVM-side in float64
-    (aggregate over zip_with) — no Python in the loop."""
+    Blocked all-pairs GEMM — the scale shape for an exact low-threshold
+    cosine join (which is inherently O(n^2) comparisons; LSH candidate
+    generation cannot reach recall 1 when qualifying cosines sit close to
+    the background distribution, as they do in this corpus: qualifying pairs
+    start at exactly the threshold). Vectors hash into ``num_blocks`` row
+    blocks; each of the B(B+1)/2 block PAIRS is one independent task that
+    runs a float64 matrix product over its two blocks and emits only
+    qualifying pairs. vs the row-level cross join this (a) materializes no
+    n^2 Spark rows — candidate selection happens inside numpy GEMM at
+    memory-bandwidth speed, (b) parallelizes over B(B+1)/2 even tasks,
+    (c) replicates each vector only B times (choose B ~ sqrt(2 * cluster
+    cores) so tasks ~ cores). Qualifying pairs get their cosine recomputed
+    with strict left-to-right float64 summation so the value is
+    bit-identical to the SQL oracle's sequential list_sum (GEMM's SIMD
+    summation order differs in the last ulp; selection uses a 1e-9 margin so
+    the boundary cannot flip).
+    """
+    B = int(num_blocks)
     v = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(B)).cast("int").alias("blk"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # each vector joins every block-pair (bi, bj) it participates in:
+    # side L when it is the lower block, R when the higher (bi == bj -> L)
+    rep = v.select(
+        "vid", "v", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("o"),
+    ).select(
+        F.least("blk", "o").alias("bi"),
+        F.greatest("blk", "o").alias("bj"),
+        F.when(F.col("blk") <= F.col("o"), F.lit("L")).otherwise(F.lit("R")).alias("side"),
+        "vid", "v",
     )
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", F.col("cosine").cast("double"))
+    thr = float(threshold)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        bi, bj = int(key[0]), int(key[1])
+        lm = pdf[pdf["side"] == "L"]
+        left_ids = lm["vid"].to_numpy(np.int64)
+        ml = (np.stack(lm["v"].to_numpy(object)).astype(np.float64)
+              if len(lm) else np.zeros((0, 0)))
+        if bi == bj:
+            right_ids, mr = left_ids, ml
+        else:
+            rm = pdf[pdf["side"] == "R"]
+            right_ids = rm["vid"].to_numpy(np.int64)
+            mr = (np.stack(rm["v"].to_numpy(object)).astype(np.float64)
+                  if len(rm) else np.zeros((0, 0)))
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                              "vec_b": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if ml.shape[0] == 0 or mr.shape[0] == 0:
+            return empty
+        nl = np.sqrt((ml * ml).sum(axis=1))
+        nr = np.sqrt((mr * mr).sum(axis=1))
+        nl[nl == 0] = np.inf
+        nr[nr == 0] = np.inf
+        sim = (ml / nl[:, None]) @ (mr / nr[:, None]).T
+        hits = sim >= thr - 1e-9
+        if bi == bj:
+            hits &= left_ids[:, None] < right_ids[None, :]  # dedupe self-pairs
+        ii, jj = np.nonzero(hits)
+        if ii.size == 0:
+            return empty
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a_v, b_v = ml[i], mr[j]
+            dot = 0.0
+            na = 0.0
+            nb2 = 0.0
+            for k in range(a_v.size):  # strict sequential order == SQL list_sum
+                dot += a_v[k] * b_v[k]
+                na += a_v[k] * a_v[k]
+                nb2 += b_v[k] * b_v[k]
+            c = dot / (math.sqrt(na) * math.sqrt(nb2))
+            if c >= thr:
+                va, vb = int(left_ids[i]), int(right_ids[j])
+                if va > vb:
+                    va, vb = vb, va  # cross-block: orient as (min, max)
+                out_a.append(va)
+                out_b.append(vb)
+                out_c.append(c)
+        return pd.DataFrame({"vec_a": np.array(out_a, dtype=np.int64),
+                             "vec_b": np.array(out_b, dtype=np.int64),
+                             "cosine": np.array(out_c, dtype=np.float64)})
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="vec_a long, vec_b long, cosine double"
     )

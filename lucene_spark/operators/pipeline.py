@@ -30,6 +30,7 @@ def clean_corpus(
     langs: tuple[str, ...] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Surviving doc_ids after the standard cleaning cascade:
 
@@ -43,7 +44,8 @@ def clean_corpus(
     ids = docs.select(F.col(id_col).alias("doc_id"))
     exact_drop = exact_duplicates(docs, id_col, text_col).select("doc_id")
     near_drop = (
-        ngram_jaccard_pairs(docs, jaccard_n, jaccard_threshold, id_col, text_col)
+        ngram_jaccard_pairs(docs, jaccard_n, jaccard_threshold, id_col, text_col,
+                            max_shingle_df=max_shingle_df)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -267,3 +267,64 @@ def test_media_pipeline(spark, docs):
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"x", 4, 4, strict=True)
+
+
+# --------------------------------------------------- scale-plan regressions
+
+def test_minhash_plan_has_no_shingle_self_join(spark, docs):
+    """The LSH contract: verification is candidate-restricted. The physical
+    plan must contain the array_intersect verify and NO join keyed on an
+    exploded shingle column (the round-1 plan re-ran the full shingle
+    self-join, defeating the banding)."""
+    import re
+
+    from lucene_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(docs, 16, 4, 3, 0.2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+    # a shingle self-join shows up as an equi-join condition s#N = s#M
+    assert not re.search(r"\bs#\d+ = s#\d+", plan), plan
+
+
+def test_jaccard_df_cutoff(spark, docs):
+    from lucene_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    # non-binding cutoff: identical output through the candidate/verify path
+    hi = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, 3, 0.2, max_shingle_df=10**6).collect()
+    }
+    assert hi == base
+    # binding cutoff: subset, with EXACT jaccard values (full-set verify)
+    lo = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, 3, 0.2, max_shingle_df=2).collect()
+    }
+    assert lo <= base
+
+
+def test_embedding_gemm_matches_bruteforce(spark, embs):
+    from lucene_spark.operators.dedup import embedding_dup_pairs
+
+    pdf = embs.toPandas()
+    vids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    nrm = np.linalg.norm(mat, axis=1)
+    sim = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
+    thr = 0.35
+    expect = set()
+    for i in range(len(vids)):
+        for j in range(len(vids)):
+            if vids[i] < vids[j] and sim[i, j] >= thr - 1e-12:
+                expect.add((int(vids[i]), int(vids[j])))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dup_pairs(embs, thr, num_blocks=4).collect()
+    }
+    # boundary values within 1e-9 of thr may legitimately differ; none exist
+    assert got == expect
