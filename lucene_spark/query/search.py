@@ -69,6 +69,14 @@ from lucene_spark.query.ast import (
 _CLAUSE_SCHEMA = "clause_id int, doc_id long, score float"
 
 
+class TooManyClauses(RuntimeError):
+    """Multi-term expansion exceeded max_clause_count — the reference's
+    ``IndexSearcher.TooManyClauses`` guard (``IndexSearcher.java:80``
+    maxClauseCount=1024, enforced at ``:898``). Raised only on the
+    clause-materializing (scoring-Boolean) rewrite; the join-based path never
+    materializes clauses and has no cap, like Lucene's filter rewrites."""
+
+
 def _f32(col):
     return col.cast("float")
 
@@ -114,6 +122,9 @@ class _Clause:
 class IndexSearcher:
     """Searcher over a built+merged index directory."""
 
+    #: cap on materialized multi-term expansions (IndexSearcher.java:80)
+    max_clause_count: int = 1024
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
@@ -154,8 +165,20 @@ class IndexSearcher:
     # ------------------------------------------------------------ search
 
     def search(self, query: Query, k: int = 10) -> DataFrame:
-        """Top-k DataFrame (doc_id long, score float), exact Lucene order."""
+        """Top-k DataFrame (doc_id long, score float), exact Lucene order.
+
+        Bare multi-term queries (Prefix/Wildcard/Regexp/TermRange/TermInSet,
+        optionally Boost-wrapped) run through the JOIN-based expansion
+        (``_scored_expansion_join``): the term predicate is pushed into the
+        postings scan itself, per-term df comes from a metadata-only groupBy
+        over the matched blocks, and no term list ever reaches the driver —
+        result-identical to the SHOULD-of-TermQueries rewrite but unbounded
+        and fully distributed."""
         q = rewrite_fixpoint(query)
+        jp = self._as_multi_term_cond(q)
+        if jp is not None:
+            scored = self._scored_expansion_join(*jp)
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         q = self._expand_multi_term(q)
         q = rewrite_fixpoint(q)
         scored = self._execute(q, np.float32(1.0))
@@ -346,19 +369,21 @@ class IndexSearcher:
 
     # ------------------------------------------------------------ expansion
 
-    def _expand_multi_term(self, q: Query) -> Query:
-        """MultiTermQuery rewrite against term_dict with predicate pushdown
-        (PrefixQuery/WildcardQuery/TermRangeQuery/TermInSetQuery ->
-        OR-of-terms; MultiTermQuery.java rewrite framework analog)."""
+    @staticmethod
+    def _multi_term_cond(q: Query):
+        """Term-column predicate for a multi-term query, or None. The same
+        expression serves the term_dict scan (collect rewrite) and the
+        postings scan (join path) — prefix/range push down to parquet
+        row-group min/max on the sorted term column."""
         if isinstance(q, PrefixQuery):
-            cond = F.col("term").startswith(q.prefix)
-        elif isinstance(q, WildcardQuery):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
             import fnmatch
-            cond = F.col("term").rlike("^" + fnmatch.translate(q.pattern).replace("\\Z", "$"))
-        elif isinstance(q, RegexpQuery):
+            return F.col("term").rlike("^" + fnmatch.translate(q.pattern).replace("\\Z", "$"))
+        if isinstance(q, RegexpQuery):
             # Lucene regexps are anchored (whole-term match)
-            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
-        elif isinstance(q, TermRangeQuery):
+            return F.col("term").rlike("^(?:" + q.pattern + ")$")
+        if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
                 cond = cond & (
@@ -368,8 +393,94 @@ class IndexSearcher:
                 cond = cond & (
                     F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
                 )
-        elif isinstance(q, TermInSetQuery):
-            cond = F.col("term").isin(list(q.terms))
+            return cond
+        if isinstance(q, TermInSetQuery):
+            return F.col("term").isin(list(q.terms))
+        return None
+
+    def _as_multi_term_cond(self, q: Query):
+        """(cond, boost) when q is a bare (possibly Boost-wrapped) multi-term
+        query eligible for the join-based expansion, else None."""
+        boost = np.float32(1.0)
+        if isinstance(q, BoostQuery) and not isinstance(q.query, BoostQuery):
+            inner = q.query
+            boost = np.float32(q.boost)
+        else:
+            inner = q
+        cond = self._multi_term_cond(inner)
+        if cond is None:
+            return None
+        return cond, boost
+
+    def _scored_expansion_join(self, cond, boost: np.float32) -> DataFrame:
+        """Score a multi-term expansion WITHOUT materializing terms on the
+        driver (VERDICT r1 item 3; reference contrast: Lucene's scoring
+        rewrite materializes clauses and trips TooManyClauses,
+        ``IndexSearcher.java:898`` — the join path is the distributed analog
+        of its filter rewrites, which have no cap).
+
+        Plan: push ``cond`` into the postings scan (row-group pruning on the
+        sorted term column for prefix/range); per-term df = metadata-only
+        groupBy(sum(num_docs)) over the matched blocks (no postings decode);
+        broadcast-join df back; decode+score each block with its term's
+        weight (idf computed in the UDF with the exact float32 op order);
+        one groupBy(doc_id) sums clause scores in double and casts to f32 —
+        bit-identical to the SHOULD-of-TermQueries rewrite."""
+        blocks = self.postings.filter(cond).select(
+            "term", "num_docs", "first_doc", "data"
+        )
+        df_by_term = blocks.groupBy("term").agg(
+            F.sum("num_docs").cast("long").alias("df")
+        )
+        scan = (
+            blocks.join(F.broadcast(df_by_term), "term")
+            .select("num_docs", "first_doc", "data", "df")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+        )
+        cache = self.cache
+        n_docs = self.doc_count
+        boost_f = np.float32(boost)
+
+        def decode_score(batches):
+            import math as _math
+
+            from lucene_spark.functions.codec import decode_block
+
+            for pdf in batches:
+                out_d, out_s = [], []
+                for nd, fd, data, dfv in zip(
+                    pdf["num_docs"].to_numpy(np.int64),
+                    pdf["first_doc"].to_numpy(np.int64),
+                    pdf["data"].to_numpy(object),
+                    pdf["df"].to_numpy(np.int64),
+                ):
+                    d, f, nb = decode_block(data, int(nd), int(fd))
+                    idf_t = np.float32(_math.log(
+                        1.0 + (n_docs - int(dfv) + 0.5) / (int(dfv) + 0.5)
+                    ))
+                    w = np.float32(boost_f * idf_t)
+                    out_d.append(d)
+                    out_s.append(bm25.score(f, nb, w, cache))
+                if out_d:
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(out_d),
+                         "score": np.concatenate(out_s)}
+                    )
+
+        per_clause = scan.mapInPandas(decode_score, schema="doc_id long, score float")
+        return per_clause.groupBy("doc_id").agg(
+            _f32(F.sum(F.col("score").cast("double"))).alias("score")
+        )
+
+    def _expand_multi_term(self, q: Query) -> Query:
+        """MultiTermQuery rewrite against term_dict with predicate pushdown
+        (PrefixQuery/WildcardQuery/TermRangeQuery/TermInSetQuery ->
+        OR-of-terms; MultiTermQuery.java rewrite framework analog). The
+        driver-side term list is bounded by ``max_clause_count``
+        (TooManyClauses, ``IndexSearcher.java:80,898``)."""
+        cond = self._multi_term_cond(q)
+        if cond is not None:
+            pass
         elif isinstance(q, FuzzyQuery):
             return self._expand_fuzzy(q)
         elif isinstance(q, BoostQuery):
@@ -390,8 +501,16 @@ class IndexSearcher:
             )
         else:
             return q
-        terms = [r[0] for r in self.term_dict.filter(cond).select("term").collect()]
-        terms.sort()
+        cap = self.max_clause_count
+        rows = (
+            self.term_dict.filter(cond).select("term").limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            raise TooManyClauses(
+                f"{type(q).__name__} expands to more than {cap} terms "
+                "(max_clause_count); use the join-based search() path"
+            )
+        terms = sorted(r[0] for r in rows)
         if not terms:
             return MatchNoDocsQuery()
         if len(terms) == 1:

@@ -151,3 +151,61 @@ def test_fuzzy_expansion(searcher, common_terms):
 
     for t in leaf_terms(q):
         assert edits(t, term) <= 1, t
+
+
+# ------------------------------------------------ join-based expansion path
+
+def test_join_expansion_equals_boolean_rewrite(searcher, common_terms):
+    """search() routes bare multi-term queries through the postings-join
+    path; it must be result-identical (ids AND float32 scores) to the
+    SHOULD-of-TermQueries rewrite executed via _expand_multi_term."""
+    from lucene_spark.query.ast import (
+        PrefixQuery, TermInSetQuery, TermRangeQuery, WildcardQuery,
+        rewrite_fixpoint,
+    )
+
+    prefix = common_terms[0][0][:2]
+    queries = [
+        PrefixQuery(prefix),
+        TermRangeQuery(common_terms[0][0], common_terms[1][0]
+                       if common_terms[1][0] > common_terms[0][0]
+                       else common_terms[0][0] + "zzz"),
+        TermInSetQuery(tuple(t for t, _ in common_terms[:3])),
+        WildcardQuery(common_terms[0][0][:1] + "*"),
+    ]
+    for q in queries:
+        join_hits = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search(q, 25).collect()
+        ]
+        expanded = rewrite_fixpoint(searcher._expand_multi_term(q))
+        scored = searcher._execute(expanded, np.float32(1.0))
+        exp_hits = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(25).collect()
+        ]
+        assert join_hits == exp_hits, q
+
+
+def test_too_many_clauses_guard(searcher):
+    """A >cap expansion through the clause-materializing rewrite raises the
+    TooManyClauses analog; the join path stays unbounded."""
+    from lucene_spark.query.ast import PrefixQuery
+    from lucene_spark.query.search import TooManyClauses
+
+    old = searcher.max_clause_count
+    searcher.max_clause_count = 2
+    try:
+        with pytest.raises(TooManyClauses):
+            searcher._expand_multi_term(PrefixQuery(""))  # matches everything
+        # join-based search() is uncapped and still answers
+        assert searcher.search(PrefixQuery(""), 5).count() == 5
+    finally:
+        searcher.max_clause_count = old
+
+
+def test_join_expansion_empty_match(searcher):
+    from lucene_spark.query.ast import PrefixQuery
+
+    assert searcher.search(PrefixQuery("zzzz-not-a-prefix"), 5).count() == 0
