@@ -308,6 +308,173 @@ def _postings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- collector / module operators
+
+_FACET_TERM = "scan"          # facet/group/sort base query
+_GROUP_K = 3
+_SORT_K = 20
+_CS_BOOST = 1.5
+_HL_TERMS = ["scan", "merge"]
+_HL_K = 5
+_PARSER_QUERY = "+scan merge dup -vector"
+_APPEND_TERM = "scan"
+
+
+def _orig(s, hits: DataFrame) -> DataFrame:
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return hits.join(dm, "doc_id").drop("doc_id").withColumnRenamed("orig_id", "doc_id")
+
+
+def _match_all_df(spark, sf_dir):
+    from lucene_spark.query.ast import MatchAllDocsQuery
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search(MatchAllDocsQuery(), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy("doc_id")
+
+
+def _constant_score_df(spark, sf_dir):
+    from lucene_spark.query.ast import BoostQuery, ConstantScoreQuery, TermQuery
+
+    s = _searcher(spark, sf_dir)
+    q = BoostQuery(ConstantScoreQuery(TermQuery(_FACET_TERM)), _CS_BOOST)
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy("doc_id")
+
+
+def _facet_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.facet_counts(TermQuery(_FACET_TERM), "field_len").select(
+        "value", F.col("count").cast("long").alias("count")
+    )
+
+
+def _grouped_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    g = s.search_grouped(TermQuery(_FACET_TERM), "field_len", _GROUP_K)
+    return _orig(s, g).select("value", "doc_id", "score",
+                              F.col("rank").cast("int").alias("rank"))
+
+
+def _sorted_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    out = s.search_sorted(TermQuery(_FACET_TERM), "field_len", _SORT_K,
+                          ascending=False)
+    return _orig(s, out).select("doc_id", F.col("field_len").cast("int")
+                                .alias("field_len"), "score")
+
+
+def _explain_df(spark, sf_dir):
+    """explain() of the top-1 hit must reproduce the search score exactly
+    (Weight#explain / CheckHits contract)."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])))
+    top = s.search(q, 1).collect()
+    if not top:
+        return spark.createDataFrame([], "doc_id long, score float")
+    doc = int(top[0]["doc_id"])
+    ex = s.explain(q, doc)
+    orig = int(
+        s.docmap().filter(F.col("doc_id") == doc).select("conv_id").first()[0]
+    )
+    return spark.createDataFrame([(orig, float(ex["value"]))],
+                                 "doc_id long, score float")
+
+
+def _highlight_df(spark, sf_dir):
+    """Whole-text highlight (window >= len): deterministic term tagging the
+    SQL oracle replays with regexp_replace."""
+    from lucene_spark.operators.highlight import highlight_hits
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery(must=[TermQuery(t) for t in _HL_TERMS])
+    hits = s.search(q, _HL_K)
+    src = _documents_as_transcripts(spark, sf_dir)
+    hl = highlight_hits(s, hits, src, _HL_TERMS, window=1_000_000)
+    return hl.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "score", "snippet"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _query_parser_df(spark, sf_dir):
+    from lucene_spark.query.parser import QueryParser
+
+    q = QueryParser("simple").parse(_PARSER_QUERY)
+    return _multiterm_df(spark, sf_dir, q)
+
+
+def _pruned_df(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    hits = s.search_term_pruned(_FACET_TERM, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _stored_fields_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    out = s.search_with_fields(TermQuery(_FACET_TERM), 10)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "score", "conv_id", "turn_idx", "role",
+    )
+
+
+def _append_searcher(spark: SparkSession, sf_dir: str):
+    """Base index over the low half of the corpus + append_batch of the high
+    half (NRT refresh analog); a re-opened searcher must answer over BOTH."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.streaming.append import append_batch
+
+    index_dir = os.path.join(
+        "/tmp/lucene_spark_entry_v2",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        "documents_append_idx",
+    )
+    m = load_manifest(index_dir)
+    if m is None or not m.get("appended_entry_done"):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        mx = tdf.agg(F.max(F.col("conv_id").cast("long"))).first()[0]
+        split = int(mx) // 2
+        base = tdf.filter(F.col("conv_id").cast("long") < split)
+        tail = tdf.filter(F.col("conv_id").cast("long") >= split)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple")
+        build_index(spark, base, index_dir, cfg)
+        merge_index(spark, index_dir)
+        append_batch(spark, tail, index_dir, batch_id=0)
+        m = load_manifest(index_dir)
+        m["appended_entry_done"] = True
+        from lucene_spark.index.build import write_manifest
+        write_manifest(index_dir, m)
+    return IndexSearcher(spark, index_dir)
+
+
+def _append_search_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _append_searcher(spark, sf_dir)
+    hits = s.search(TermQuery(_APPEND_TERM), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -440,6 +607,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_inset"] = _inset_df
     out["hits_count"] = _count_df
     out["bm25_search_after"] = _search_after_df
+    out["match_all"] = _match_all_df
+    out["constant_score"] = _constant_score_df
+    out["facet_counts"] = _facet_df
+    out["search_grouped"] = _grouped_df
+    out["search_sorted"] = _sorted_df
+    out["explain_score"] = _explain_df
+    out["highlight"] = _highlight_df
+    out["query_parser"] = _query_parser_df
+    out["bm25_term_pruned"] = _pruned_df
+    out["stored_fields"] = _stored_fields_df
+    out["streaming_append_search"] = _append_search_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
@@ -501,6 +679,72 @@ def oracle_sql() -> dict[str, str]:
         + sqlgen.topk_sql(parse_query(json.dumps({"term": _AFTER_TERM})), 2 * _QUERY_K)
         + "\n) t ORDER BY score DESC, doc_id ASC LIMIT "
         + str(_QUERY_K) + " OFFSET " + str(_QUERY_K)
+    )
+    out["match_all"] = f"""
+SELECT doc_id, CAST(1.0 AS REAL) AS score FROM documents
+ORDER BY doc_id ASC LIMIT {_QUERY_K}
+""".strip()
+    out["constant_score"] = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term = '{_FACET_TERM}'
+)
+SELECT doc_id, CAST({_CS_BOOST} AS REAL) AS score FROM m
+ORDER BY doc_id ASC LIMIT {_QUERY_K}
+""".strip()
+    _big = 1_000_000_000
+    _base = sqlgen.topk_sql(parse_query(json.dumps({"term": _FACET_TERM})), _big)
+    _fl = ("SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS fl "
+           "FROM documents")
+    out["facet_counts"] = f"""
+SELECT CAST(d.fl AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS count
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+GROUP BY d.fl ORDER BY count DESC, value ASC
+""".strip()
+    out["search_grouped"] = f"""
+SELECT CAST(fl AS VARCHAR) AS value, doc_id, score, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT d.fl, t.doc_id, t.score,
+         row_number() OVER (PARTITION BY d.fl
+                            ORDER BY t.score DESC, t.doc_id ASC) AS rnk
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+) WHERE rnk <= {_GROUP_K}
+ORDER BY value, rank
+""".strip()
+    out["search_sorted"] = f"""
+SELECT t.doc_id AS doc_id, CAST(d.fl AS INT) AS field_len, t.score AS score
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+ORDER BY d.fl DESC, t.doc_id ASC LIMIT {_SORT_K}
+""".strip()
+    out["explain_score"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), 1
+    )
+    _hl_ast = {"bool": {"must": [{"term": t} for t in _HL_TERMS]}}
+    _hl_base = sqlgen.topk_sql(parse_query(json.dumps(_hl_ast)), _HL_K)
+    _hl_pat = r"\b(" + "|".join(sorted(_HL_TERMS, key=len, reverse=True)) + r")\b"
+    out["highlight"] = f"""
+SELECT t.doc_id AS doc_id, t.score AS score,
+       regexp_replace(d.text, '(?i){_hl_pat}', '<em>\\0</em>', 'g') AS snippet
+FROM ({_hl_base}) t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
+""".strip()
+    from lucene_spark.query.parser import QueryParser as _QP
+    out["query_parser"] = sqlgen.topk_sql(_QP("simple").parse(_PARSER_QUERY),
+                                          _QUERY_K)
+    out["bm25_term_pruned"] = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": _FACET_TERM})), _QUERY_K
+    )
+    out["stored_fields"] = f"""
+SELECT t.doc_id AS doc_id, t.score AS score,
+       lpad(CAST(t.doc_id AS VARCHAR), 12, '0') AS conv_id,
+       CAST(0 AS INT) AS turn_idx, 'doc' AS role
+FROM ({sqlgen.topk_sql(parse_query(json.dumps({"term": _FACET_TERM})), 10)}) t
+ORDER BY t.score DESC, t.doc_id ASC
+""".strip()
+    out["streaming_append_search"] = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": _APPEND_TERM})), _QUERY_K
     )
     out["term_stats"] = sqlgen.term_stats_sql(
         [t for t in _STATS_TERMS if t != "zzz-absent"] + ["zzz-absent"]

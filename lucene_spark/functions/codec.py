@@ -260,11 +260,16 @@ def encode_postings_batch(
     VInt-tail encoded with freq folding in a single numpy pass — the only
     Python-level work is byte slicing per block.
 
+    Full 256-doc blocks are FOR-packed exactly like the scalar
+    ``encode_block`` layout ([wd] deltas [wf] freqs [wn] norms at max-needed
+    bit width, ``ForUtil.java:31-90``); packing is vectorized ACROSS blocks
+    grouped by bit width (256 values * w bits = exactly 32w bytes, so
+    concatenated packbits slices per block with no alignment fixup). Tail
+    blocks (<256) are the VInt layout with freq folding.
+
     Differences vs the scalar ``encode_postings`` path (both decode
     identically via ``decode_block``):
-      - every block is the VInt-tail layout (marker 0xFF), including full
-        256-doc blocks that the scalar path FOR-packs;
-      - the norm part always uses width 8 (raw bytes);
+      - tail-block norms are written width-8 raw (scalar packs them);
       - impacts collapse to one (max_freq, min_norm) pair per block — a
         looser but still valid score upper bound (see inline comment), so
         block-max pruning stays score-safe.
@@ -308,25 +313,77 @@ def encode_postings_batch(
     row_block = np.repeat(np.arange(total_blocks, dtype=np.int64), bsizes)
     bs_row = np.concatenate(([0], np.cumsum(bsizes)[:-1]))  # first row of block
 
-    # ---- VInt body with freq folding, one pass over all rows
     delta = docs.copy()
     delta[1:] -= docs[:-1]
     delta[bs_row] = 0  # each block's delta base is its own first_doc
-    fold = freqs == 1
+
+    full_blk = bsizes == BLOCK_SIZE
+    row_is_full = np.repeat(full_blk, bsizes)
+
+    # ---- FOR-packed full blocks, vectorized across blocks per bit width
+    # (scalar encode_block layout: [wd] deltas [wf] freqs [wn] norms)
+    full_payload: dict[int, bytes] = {}
+    if full_blk.any():
+        fd = delta[row_is_full].astype(np.uint64).reshape(-1, BLOCK_SIZE)
+        ff = freqs[row_is_full].astype(np.uint64).reshape(-1, BLOCK_SIZE)
+        fn = nb[row_is_full].astype(np.uint64).reshape(-1, BLOCK_SIZE)
+        fb_ids = np.flatnonzero(full_blk)
+
+        def _widths(mat: np.ndarray) -> np.ndarray:
+            mx = mat.max(axis=1)
+            w = np.zeros(mx.size, dtype=np.int64)
+            nz = mx > 0
+            w[nz] = np.floor(np.log2(mx[nz].astype(np.float64))).astype(np.int64) + 1
+            return w
+
+        def _pack_rows(mat: np.ndarray, widths: np.ndarray) -> list[bytes]:
+            out: list[bytes] = [b""] * mat.shape[0]
+            for w in np.unique(widths):
+                rows = np.flatnonzero(widths == w)
+                if w == 0:
+                    continue  # width 0 packs to zero bytes
+                packed = for_pack(mat[rows].ravel(), int(w)).tobytes()
+                per = BLOCK_SIZE * int(w) // 8  # exact: 256*w bits = 32w bytes
+                for k, r in enumerate(rows.tolist()):
+                    out[r] = packed[k * per : (k + 1) * per]
+            return out
+
+        wd_a, wf_a, wn_a = _widths(fd), _widths(ff), _widths(fn)
+        dparts = _pack_rows(fd, wd_a)
+        fparts = _pack_rows(ff, wf_a)
+        nparts = _pack_rows(fn, wn_a)
+        for k, bid in enumerate(fb_ids.tolist()):
+            full_payload[bid] = (
+                bytes([int(wd_a[k])]) + dparts[k]
+                + bytes([int(wf_a[k])]) + fparts[k]
+                + bytes([int(wn_a[k])]) + nparts[k]
+            )
+
+    # ---- VInt body with freq folding over TAIL-block rows only
+    trows = ~row_is_full
+    t_delta = delta[trows]
+    t_freqs = freqs[trows]
+    tsizes = bsizes[~full_blk]
+    t_bs_row = np.concatenate(([0], np.cumsum(tsizes)[:-1])) if tsizes.size else np.zeros(0, np.int64)
+    fold = t_freqs == 1
     extra = ~fold
-    code = (delta.astype(np.uint64) << np.uint64(1)) | fold.astype(np.uint64)
-    npos = np.arange(docs.size, dtype=np.int64) + np.concatenate(
+    code = (t_delta.astype(np.uint64) << np.uint64(1)) | fold.astype(np.uint64)
+    npos = np.arange(t_delta.size, dtype=np.int64) + np.concatenate(
         ([0], np.cumsum(extra.astype(np.int64))[:-1])
     )
-    vals = np.zeros(docs.size + int(extra.sum()), dtype=np.uint64)
-    vals[npos] = code
-    vals[npos[extra] + 1] = freqs[extra].astype(np.uint64)
+    vals = np.zeros(t_delta.size + int(extra.sum()), dtype=np.uint64)
+    if vals.size:
+        vals[npos] = code
+        vals[npos[extra] + 1] = t_freqs[extra].astype(np.uint64)
     body = vint_encode(vals).tobytes()
     boff = np.concatenate(([0], np.cumsum(_vint_sizes(vals))))
-    vstart = npos[bs_row]
-    vend = np.concatenate((vstart[1:], [vals.size]))
-    byte_lo = boff[vstart]
-    byte_hi = boff[vend]
+    if tsizes.size:
+        vstart = npos[t_bs_row]
+        vend = np.concatenate((vstart[1:], [vals.size]))
+        byte_lo = boff[vstart]
+        byte_hi = boff[vend]
+    else:
+        byte_lo = byte_hi = np.zeros(0, dtype=np.int64)
     norm_raw = nb.astype(np.uint8).tobytes()
 
     # ---- per-block impact bound: single (max_freq, min_norm_byte) pair.
@@ -352,12 +409,18 @@ def encode_postings_batch(
     out["impact_freqs"] = [[int(x)] for x in gmax]
     out["impact_norms"] = [[int(x)] for x in gmin_norm]
     data = out["data"]
+    tail_ord = (np.cumsum(~full_blk) - 1).tolist()
     blo = byte_lo.tolist()
     bhi = byte_hi.tolist()
     rlo = bstarts.tolist()
     rhi = bends.tolist()
+    is_full = full_blk.tolist()
     for j in range(total_blocks):
-        data.append(tm + body[blo[j]:bhi[j]] + w8 + norm_raw[rlo[j]:rhi[j]])
+        if is_full[j]:
+            data.append(full_payload[j])
+        else:
+            t = tail_ord[j]
+            data.append(tm + body[blo[t]:bhi[t]] + w8 + norm_raw[rlo[j]:rhi[j]])
     return out
 
 
