@@ -91,17 +91,19 @@ def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _searcher(spark: SparkSession, sf_dir: str):
+def _searcher(spark: SparkSession, sf_dir: str, analyzer: str = "simple"):
     from lucene_spark.index.build import IndexConfig, build_index, load_manifest
     from lucene_spark.index.merge import merge_index
     from lucene_spark.query.search import IndexSearcher
 
     index_dir = _index_dir_for(sf_dir)
+    if analyzer != "simple":
+        index_dir += "_" + analyzer
     m = load_manifest(index_dir)
     if m is None or not m.get("merged"):
         tdf = _documents_as_transcripts(spark, sf_dir)
         cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
-                          analyzer="simple")
+                          analyzer=analyzer)
         build_index(spark, tdf, index_dir, cfg)
         merge_index(spark, index_dir)
     return IndexSearcher(spark, index_dir)
@@ -465,6 +467,23 @@ def _append_searcher(spark: SparkSession, sf_dir: str):
     return IndexSearcher(spark, index_dir)
 
 
+_STOP_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
+
+
+def _stop_chain_df(spark, sf_dir):
+    """BM25 over an index built with the simple_stop chain (StopFilter):
+    stopwords are unindexed and excluded from field_len/avgdl, so scores
+    shift vs the plain index — the SQL twin replays the same stop set."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir, analyzer="simple_stop")
+    q = rewrite_fixpoint(parse_query(json.dumps(_STOP_AST)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 def _append_search_df(spark, sf_dir):
     from lucene_spark.query.ast import TermQuery
 
@@ -618,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_term_pruned"] = _pruned_df
     out["stored_fields"] = _stored_fields_df
     out["streaming_append_search"] = _append_search_df
+    out["bm25_stop_chain"] = _stop_chain_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
@@ -745,6 +765,11 @@ ORDER BY t.score DESC, t.doc_id ASC
 """.strip()
     out["streaming_append_search"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": _APPEND_TERM})), _QUERY_K
+    )
+    from lucene_spark.functions.analysis import EN_STOP_SET
+    out["bm25_stop_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_STOP_AST)), _QUERY_K,
+        stop=tuple(sorted(EN_STOP_SET)),
     )
     out["term_stats"] = sqlgen.term_stats_sql(
         [t for t in _STATS_TERMS if t != "zzz-absent"] + ["zzz-absent"]

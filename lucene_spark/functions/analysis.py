@@ -103,6 +103,78 @@ ANALYZERS = {
     "simple": analyze_series_simple,
 }
 
+# ------------------------------------------------------------- filter chains
+
+#: classic English stop set — the reference's
+#: ``EnglishAnalyzer.ENGLISH_STOP_WORDS_SET`` (33 words,
+#: ``analysis-common/.../en/EnglishAnalyzer.java:45-50``)
+EN_STOP_SET = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+_APOSTROPHES = ("'", "’", "＇")
+
+
+def strip_possessive(token: str) -> str:
+    """EnglishPossessiveFilter: drop a trailing 's
+    (``analysis-common/.../en/EnglishPossessiveFilter.java:39-55``; applied
+    here on lowercased tokens — equivalent, since the filter matches s/S)."""
+    if len(token) >= 2 and token[-1] == "s" and token[-2] in _APOSTROPHES:
+        return token[:-2]
+    return token
+
+
+def english_vocab_transform(token: str) -> str:
+    """Possessive strip + Porter stem — the EnglishAnalyzer tail
+    (``EnglishAnalyzer.java:108-115``: EnglishPossessiveFilter ->
+    LowerCaseFilter -> StopFilter -> PorterStemFilter; lowercase and stop
+    are handled by the build before this transform runs)."""
+    from lucene_spark.functions.porter import stem
+
+    return stem(strip_possessive(token))
+
+
+#: per-chain vocabulary-level filters applied AFTER lowercase + max-length:
+#: (stop_set or None, vocab_transform or None). Stop removal preserves
+#: position increments (dropped tokens leave position gaps and do not count
+#: toward field_len — StopFilter semantics, ``core/analysis/StopFilter.java``
+#: + FieldInvertState length counting).
+CHAIN_FILTERS: dict[str, tuple[frozenset | None, object]] = {
+    "standard": (None, None),
+    "simple": (None, None),
+    "simple_stop": (EN_STOP_SET, None),
+    "english": (EN_STOP_SET, english_vocab_transform),
+}
+
+
+def get_chain_filters(name: str):
+    try:
+        return CHAIN_FILTERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; have {sorted(CHAIN_FILTERS)}"
+        ) from None
+
+
+def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], int]:
+    """Scalar full-chain analyzer (oracle path for any registered chain):
+    returns (tokens, positions, field_len). Positions are the raw token
+    ordinals BEFORE stop removal (position-increment preservation)."""
+    if analyzer in ("standard", "english"):
+        raw = [t for t in tokenize_one(text)]
+        keep = [(i, t.lower()) for i, t in enumerate(raw)
+                if len(t) <= MAX_TOKEN_LENGTH]
+    else:
+        raw = SIMPLE_RE.findall((text or "").lower())
+        keep = list(enumerate(raw))
+    stop_set, xform = get_chain_filters(analyzer)
+    if stop_set:
+        keep = [(i, t) for i, t in keep if t not in stop_set]
+    if xform:
+        keep = [(i, xform(t)) for i, t in keep]
+    return [t for _, t in keep], [i for i, _ in keep], len(keep)
+
 # raw tokenization without lowercasing or the max-token-length filter, plus
 # whether the chain applies that filter. The index build tokenizes with
 # these and applies BOTH lowercase and the length filter at the UNIQUE-term
@@ -120,6 +192,16 @@ RAW_TOKENIZERS = {
     "simple": (
         lambda s: s.fillna("").str.findall(_SIMPLE_RAW_RE),
         None,
+    ),
+    # chain variants share their base tokenizer; stop/stem are vocab-level
+    # filters applied by the build via CHAIN_FILTERS
+    "simple_stop": (
+        lambda s: s.fillna("").str.findall(_SIMPLE_RAW_RE),
+        None,
+    ),
+    "english": (
+        lambda s: s.fillna("").str.findall(TOKEN_RE),
+        MAX_TOKEN_LENGTH,
     ),
 }
 

@@ -1,0 +1,170 @@
+"""Porter stemmer — from-scratch implementation of the published algorithm
+(M.F. Porter, "An algorithm for suffix stripping", Program 14(3) 1980),
+including the author's maintained revisions that Lucene's PorterStemFilter
+also follows (reference semantics: ``analysis-common/.../en/PorterStemFilter.java``
+wrapping ``PorterStemmer.java``): step 2 uses ``bli -> ble`` (not the paper's
+``abli -> able``) and adds ``logi -> log``.
+
+Operates on lowercase ASCII words; words of length <= 2 are returned
+unchanged (the algorithm's own guard). Vocabulary-level usage: the index
+build stems UNIQUE terms only, so per-token cost never touches corpus rows.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in the [C](VC)^m[V] form of the stem."""
+    n = len(stem)
+    i = 0
+    while i < n and _is_cons(stem, i):
+        i += 1
+    m = 0
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def _replace(w: str, suffix: str, repl: str, min_m: int) -> str | None:
+    """Replace suffix when present and measure(stem) > min_m-1; None if the
+    suffix does not match (condition failures return w unchanged)."""
+    if not w.endswith(suffix):
+        return None
+    stem = w[: len(w) - len(suffix)]
+    if _measure(stem) >= min_m:
+        return stem + repl
+    return w
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # ---- step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # ---- step 1b
+    fired = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        fired = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        fired = True
+    if fired:
+        if w.endswith(("at", "bl", "iz")):
+            w = w + "e"
+        elif _double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w = w + "e"
+
+    # ---- step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # ---- step 2 (longest-match per ending letter; the table order here
+    # is safe because no listed suffix is a suffix of another with a
+    # different mapping outcome)
+    for sfx, repl in _STEP2:
+        if w.endswith(sfx):
+            r = _replace(w, sfx, repl, 1)
+            if r is not None:
+                w = r
+            break
+
+    # ---- step 3
+    for sfx, repl in _STEP3:
+        if w.endswith(sfx):
+            r = _replace(w, sfx, repl, 1)
+            if r is not None:
+                w = r
+            break
+
+    # ---- step 4
+    for sfx in _STEP4:
+        if w.endswith(sfx):
+            stem_ = w[: len(w) - len(sfx)]
+            if _measure(stem_) > 1:
+                if sfx == "ion" and not stem_.endswith(("s", "t")):
+                    break
+                w = stem_
+            break
+
+    # ---- step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+
+    # ---- step 5b
+    if _measure(w) > 1 and _double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w

@@ -293,6 +293,25 @@ def _build_segment_frame(
             codes = codes[keep]
             row_of = row_of[keep]
             pos_raw = pos_raw[keep]
+    # chain filters (stop / stem), applied at the VOCABULARY level like the
+    # lowercase+length steps above: stop-ness and the stem depend only on the
+    # token string. Dropped stopwords keep incrementing positions and do NOT
+    # count toward field_len (StopFilter + FieldInvertState semantics);
+    # stemming merges vocabulary entries, so per-(term, doc) groups downstream
+    # fold the merged occurrences' freqs and positions automatically.
+    from lucene_spark.functions.analysis import get_chain_filters
+    stop_set, vocab_xform = get_chain_filters(analyzer)
+    if stop_set is not None and codes.size:
+        is_stop = np.array([u in stop_set for u in uniques], dtype=bool)
+        if is_stop.any():
+            keep = ~is_stop[codes]
+            codes = codes[keep]
+            row_of = row_of[keep]
+            pos_raw = pos_raw[keep]
+    if vocab_xform is not None and codes.size:
+        xformed = np.array([vocab_xform(u) for u in uniques], dtype=object)
+        remap, uniques = pd.factorize(xformed, sort=True)
+        codes = remap[codes]
     flen = np.bincount(row_of, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4_np(flen).astype(np.int64)
 

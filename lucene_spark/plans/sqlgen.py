@@ -50,12 +50,21 @@ def _quantized_len(dl_expr: str) -> str:
     return B4_DEC.format(b="(" + B4_ENC.format(i=dl_expr) + ")")
 
 
-def corpus_ctes(table: str, id_col: str, text_col: str) -> str:
-    """Shared CTEs: tokens, per-doc length, collection stats."""
+def corpus_ctes(table: str, id_col: str, text_col: str,
+                stop: tuple[str, ...] = ()) -> str:
+    """Shared CTEs: tokens, per-doc length, collection stats. ``stop``
+    replays a StopFilter chain: stopped tokens are excluded from tf/df AND
+    from the per-doc length (field_len counts surviving tokens only)."""
+    stop_where = (
+        "WHERE term NOT IN (" + ", ".join(f"'{w}'" for w in sorted(stop)) + ")"
+        if stop else ""
+    )
     return f"""
 toks AS (
-  SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
-  FROM {table}
+  SELECT doc_id, term FROM (
+    SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
+    FROM {table}
+  ) {stop_where}
 ),
 dl AS (
   SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
@@ -122,9 +131,11 @@ def topk_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    stop: tuple[str, ...] = (),
 ) -> str:
     """Full top-k BM25 SQL for a flat Boolean query: (doc_id, score REAL),
-    score desc / doc_id asc, LIMIT k."""
+    score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
+    analysis chain (see corpus_ctes)."""
     clauses, msm = _flat_clauses(q)
     n_must = sum(1 for c in clauses if c[1] == "must")
     n_filter = sum(1 for c in clauses if c[1] == "filter")
@@ -154,7 +165,7 @@ def topk_sql(
                  " + CAST(CAST(coalesce(should_s, 0) AS REAL) AS DOUBLE) AS REAL)")
     score = _leaf_score("(cl.boost * ldf.idf)", "tf.freq", "dl.dl")
     return f"""
-WITH {corpus_ctes(table, id_col, text_col)},
+WITH {corpus_ctes(table, id_col, text_col, stop)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),

@@ -75,3 +75,121 @@ def test_series_matches_scalar():
     for i, t in enumerate(texts):
         expected = [w.lower() for w in tokenize_one(t or "") if len(w) <= MAX_TOKEN_LENGTH]
         assert list(s.iloc[i]) == expected, f"row {i}: {t!r}"
+
+
+# --------------------------------------------------------- filter chains
+
+PORTER_GOLDEN = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "fizzed": "fizz", "failing": "fail", "filing": "file", "happy": "happi",
+    "sky": "sky", "relational": "relat", "conditional": "condit",
+    "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+    "digitizer": "digit", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler", "running": "run", "flies": "fli",
+    "apologies": "apolog", "conformabli": "conform", "archaeology": "archaeolog",
+}
+
+
+def test_porter_golden_vectors():
+    from lucene_spark.functions.porter import stem
+
+    bad = {w: (stem(w), e) for w, e in PORTER_GOLDEN.items() if stem(w) != e}
+    assert not bad, bad
+
+
+def test_possessive_strip():
+    from lucene_spark.functions.analysis import strip_possessive
+
+    assert strip_possessive("o'reilly's") == "o'reilly"
+    assert strip_possessive("dog's") == "dog"
+    assert strip_possessive("its") == "its"
+    assert strip_possessive("'s") == ""
+
+
+def test_analyze_one_chain_stop_positions():
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    toks, pos, flen = analyze_one_chain("the cat and the hat", "simple_stop")
+    # stopwords removed, positions keep the gaps, field_len counts survivors
+    assert toks == ["cat", "hat"]
+    assert pos == [1, 4]
+    assert flen == 2
+
+
+def test_analyze_one_chain_english():
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    toks, pos, flen = analyze_one_chain(
+        "The runners' shoes are running quickly", "english")
+    # runners' -> runners (tokenizer keeps inner apostrophe only when inner);
+    # stop 'the'/'are' dropped; porter stems
+    assert "run" in toks
+    assert flen == len(toks) == len(pos)
+    assert all(t not in ("the", "are") for t in toks)
+
+
+def test_build_matches_scalar_chain(spark, tmp_path):
+    """Index built with simple_stop / english must agree with the scalar
+    chain on field_len, per-(term,doc) freq, and position lists."""
+    import os
+
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import analyze_one_chain
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "the cat sat on the mat",
+        "a dog's day and the dogs run quickly",
+        "running runner ran the races",
+        "scan merge scan the index files",
+        "no stopwords here whatsoever",
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i:03d}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts),
+        "role": ["doc"] * len(texts),
+        "text": texts,
+        "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    for analyzer in ("simple_stop", "english"):
+        tdf = spark.createDataFrame(rows)
+        idx = str(tmp_path / f"idx_{analyzer}")
+        build_index(spark, tdf, idx,
+                    IndexConfig(num_segments=2, term_buckets=2,
+                                analyzer=analyzer))
+        merge_index(spark, idx)
+        s = IndexSearcher(spark, idx)
+        dm = {r["conv_id"]: (r["doc_id"], r["field_len"])
+              for r in s.docmap().collect()}
+        pos_tbl = {}
+        for r in s.positions_table().collect():
+            pos_tbl[(r["term"], r["doc_id"])] = list(r["positions"])
+        for i, text in enumerate(texts):
+            toks, pos, flen = analyze_one_chain(text, analyzer)
+            doc_id, got_flen = dm[f"c{i:03d}"]
+            assert got_flen == flen, (analyzer, text)
+            expect_pos: dict[str, list[int]] = {}
+            for t, p in zip(toks, pos):
+                expect_pos.setdefault(t, []).append(p)
+            for t, plist in expect_pos.items():
+                assert pos_tbl[(t, doc_id)] == plist, (analyzer, t, text)
