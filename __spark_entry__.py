@@ -56,6 +56,7 @@ _BM25_QUERIES: dict[str, dict] = {
 }
 _PREFIX = "s"  # scan/sort/small/spark/stream/slow...
 _PHRASE = ["scan", "merge"]
+_PHRASE_SLOP = (["scan", "merge"], 2)
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
@@ -146,6 +147,13 @@ def _phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("orig_id").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _phrase_slop_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import PhraseQuery
+
+    terms, slop = _PHRASE_SLOP
+    return _multiterm_df(spark, sf_dir, PhraseQuery(tuple(terms), slop))
 
 
 def _multi_phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mk(ast)
     out["bm25_prefix"] = _prefix_df
     out["bm25_phrase"] = _phrase_df
+    out["bm25_phrase_slop"] = _phrase_slop_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -670,6 +679,9 @@ def oracle_sql() -> dict[str, str]:
         out[name] = sqlgen.topk_sql(parse_query(json.dumps(ast)), _QUERY_K)
     out["bm25_prefix"] = sqlgen.prefix_topk_sql(_PREFIX, _QUERY_K)
     out["bm25_phrase"] = sqlgen.phrase_topk_sql(_PHRASE, _QUERY_K)
+    out["bm25_phrase_slop"] = sqlgen.sloppy_phrase_topk_sql(
+        _PHRASE_SLOP[0], _PHRASE_SLOP[1], _QUERY_K
+    )
     out["bm25_multi_phrase"] = sqlgen.multi_phrase_topk_sql(_MULTI_PHRASE, _QUERY_K)
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
     out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)

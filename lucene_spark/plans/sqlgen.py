@@ -286,6 +286,64 @@ LIMIT {k}
 """.strip()
 
 
+def sloppy_phrase_topk_sql(
+    terms: list[str],
+    slop: int,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Two-term sloppy phrase twin (ordered greedy semantics, see
+    PhraseQuery AST docstring): for each occurrence a of term0, b = the
+    NEXT occurrence of term1 after a; a match with gap b-a-1 <= slop
+    contributes sloppyFreq = 1/(b-a). Same idf/weight as the exact phrase."""
+    if len(terms) != 2:
+        raise ValueError("SQL twin implemented for 2-term sloppy phrases")
+    t0, t1 = terms
+    df_joins = ", ".join(
+        f"(SELECT coalesce(max(df), 0) AS df FROM df WHERE term = '{t}') d{j}"
+        for j, t in enumerate(terms)
+    )
+    idf_sum = " + ".join(
+        f"CAST(CAST(ln(1 + (c.dc - d{j}.df + 0.5) / (d{j}.df + 0.5)) AS REAL) AS DOUBLE)"
+        for j in range(2)
+    )
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS p FROM tokarr
+),
+nxt AS (
+  SELECT a.doc_id, a.p AS pa, min(b.p) AS pb
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{t0}') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = '{t1}') b
+    ON b.doc_id = a.doc_id AND b.p > a.p
+  GROUP BY a.doc_id, a.p
+),
+pf AS (
+  SELECT doc_id,
+         sum(CASE WHEN pb - pa - 1 <= {slop} THEN 1.0 / (pb - pa) END) AS freq
+  FROM nxt GROUP BY doc_id
+),
+w AS (
+  SELECT CAST({idf_sum} AS REAL) AS v FROM consts c, {df_joins}
+)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def multi_phrase_topk_sql(
     slots: list[list[str]],
     k: int,

@@ -72,13 +72,21 @@ class BoostQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact-adjacency phrase (slop=0 subset of ``PhraseQuery.java:71``):
-    matches docs where terms occur at consecutive positions; scored by BM25
-    with freq = number of phrase occurrences and idf = float32 cast of the
-    double sum of per-term float32 idfs (``BM25Similarity.java:161-170``)."""
+    """Phrase query (``PhraseQuery.java:71``). slop=0 is exact adjacency
+    (freq = number of phrase occurrences). slop>0 uses ORDERED greedy
+    matching: for each start position of slot 0, each later slot takes its
+    smallest position after the previous one; a match with total gap
+    matchLength <= slop contributes sloppyFreq = 1/(1+matchLength)
+    (``PhraseScorer``/``SloppyPhraseMatcher.java:52`` weighting; documented
+    divergence: the reference also accepts out-of-order matches within the
+    edit budget — this engine is ordered-only, the common case). idf =
+    float32 cast of the double sum of per-term float32 idfs
+    (``BM25Similarity.java:161-170``)."""
     terms: tuple[str, ...]
+    slop: int = 0
     def __repr__(self) -> str:
-        return f"Phrase({list(self.terms)!r})"
+        s = f"~{self.slop}" if self.slop else ""
+        return f"Phrase({list(self.terms)!r}{s})"
 
 
 @dataclass(frozen=True)
@@ -398,7 +406,11 @@ def parse_query(obj: str | dict) -> Query:
         q = FuzzyQuery(f["term"], f.get("max_edits", 2),
                        f.get("prefix_length", 0), f.get("max_expansions", 50))
     elif "phrase" in obj:
-        q = PhraseQuery(tuple(obj["phrase"]))
+        p = obj["phrase"]
+        if isinstance(p, dict):
+            q = PhraseQuery(tuple(p["terms"]), int(p.get("slop", 0)))
+        else:
+            q = PhraseQuery(tuple(p))
     elif "multi_phrase" in obj:
         q = MultiPhraseQuery(tuple(tuple(s) for s in obj["multi_phrase"]))
     elif "synonym" in obj:

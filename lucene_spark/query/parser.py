@@ -175,12 +175,20 @@ class QueryParser:
                 t = _analyze_term(w, self.analyzer)
                 if t is not None:
                     words.append(t)
+            pos += 1
+            slop = 0
+            # '"a b"~2' lexes as phrase then word '~2' (classic slop syntax)
+            if pos < len(toks) and toks[pos][0] == "word":
+                m = re.fullmatch(r"~(\d+)", str(toks[pos][1]))
+                if m:
+                    slop = int(m.group(1))
+                    pos += 1
             q: Query = (
                 MatchNoDocsQuery() if not words
                 else TermQuery(words[0]) if len(words) == 1
-                else PhraseQuery(tuple(words))
+                else PhraseQuery(tuple(words), slop)
             )
-            return self._maybe_boost(q, toks, pos + 1)
+            return self._maybe_boost(q, toks, pos)
         if kind == "range":
             lo, hi, inc = val
             lo_t = _analyze_term(lo, self.analyzer) if lo != "*" else None

@@ -731,7 +731,8 @@ class IndexSearcher:
                     {
                         "doc_id": pdf["doc_id"].to_numpy(np.int64),
                         "score": bm25.score(
-                            pdf["freq"].to_numpy(np.int64),
+                            # float64: sloppy-phrase freqs are fractional
+                            pdf["freq"].to_numpy(np.float64),
                             pdf["norm_byte"].to_numpy(np.int64),
                             w,
                             cache,
@@ -742,12 +743,6 @@ class IndexSearcher:
         return j.mapInPandas(score_batches, schema="doc_id long, score float")
 
     def _phrase(self, q: PhraseQuery, boost: np.float32) -> DataFrame | None:
-        """Exact-adjacency phrase: positions join + JVM-side adjacency filter.
-
-        One positions scan serves all slots (term IN (...) pushdown); slot
-        frames join on doc_id (conjunction — a doc must contain every word);
-        phrase freq = #start positions whose i-th successor position holds
-        the i-th word (PhraseQuery.java:71 exact case)."""
         terms = list(q.terms)
         if not terms:
             return None
@@ -757,43 +752,17 @@ class IndexSearcher:
         w = self._multi_term_weight(
             boost, [bm25.idf(stats[t][0], self.doc_count) for t in terms]
         )
-        buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
-        scan = (
-            self.positions_table()
-            .filter(
-                F.col("term_bucket").isin(buckets) & F.col("term").isin(sorted(set(terms)))
-            )
-            .select("term", "doc_id", "positions")
-        )
-        j: DataFrame | None = None
-        for i, t in enumerate(terms):
-            s = scan.filter(F.col("term") == t).select(
-                "doc_id", F.col("positions").alias(f"p{i}")
-            )
-            j = s if j is None else j.join(s, "doc_id")
-        if len(terms) == 1:
-            freq = F.size(F.col("p0"))
-        else:
-            def adjacency(x):  # single-arg: pyspark inspects the arity
-                c = F.array_contains(F.col("p1"), x + 1)
-                for i in range(2, len(terms)):
-                    c = c & F.array_contains(F.col(f"p{i}"), x + i)
-                return c
-
-            freq = F.size(F.filter(F.col("p0"), adjacency))
-        matched = j.select("doc_id", freq.alias("freq")).filter(F.col("freq") > 0)
-        return self._score_freq_frame(matched, w)
+        return self._phrase_core([(t,) for t in terms], int(q.slop), w)
 
     def _multi_phrase(self, q: MultiPhraseQuery, boost: np.float32) -> DataFrame | None:
         """Per-slot alternatives: slot positions = distinct union of the
-        alternatives' position lists (UnionPostingsEnum analog), then the
-        same adjacency filter as the exact phrase."""
+        alternatives' position lists (UnionPostingsEnum analog)."""
         slots = [tuple(sl) for sl in q.slots]
         if not slots:
             return None
         all_terms = [t for sl in slots for t in sl]
         stats = self.term_stats(all_terms)
-        present_slots = [[t for t in sl if t in stats] for sl in slots]
+        present_slots = [tuple(t for t in sl if t in stats) for sl in slots]
         if any(not sl for sl in present_slots):
             return None  # a slot with no existing alternative kills the phrase
         # idf sum over ALL existing terms, slot-then-term order, skipping
@@ -805,37 +774,105 @@ class IndexSearcher:
             if t in stats
         ]
         w = self._multi_term_weight(boost, idfs)
-        uniq_terms = sorted({t for sl in present_slots for t in sl})
+        return self._phrase_core(present_slots, 0, w)
+
+    def _phrase_core(
+        self, slots: list[tuple[str, ...]], slop: int, w: np.float32
+    ) -> DataFrame | None:
+        """Shared phrase engine: ONE positions scan and ONE groupBy(doc_id)
+        regardless of phrase length (the round-1 plan chained N-1 shuffle
+        joins on doc_id). Each scanned row is tagged with the slot(s) its
+        term fills (literal term->slots map, exploded), then a single
+        aggregation assembles per-slot position arrays (union of
+        alternatives, distinct+sorted). slop=0 applies the JVM adjacency
+        filter; slop>0 runs the ordered greedy sloppy matcher (see
+        PhraseQuery docstring) in a vectorized UDF over the tiny matched
+        frame."""
+        n_slots = len(slots)
+        term_slots: dict[str, list[int]] = {}
+        for i, sl in enumerate(slots):
+            for t in sl:
+                term_slots.setdefault(t, []).append(i)
+        uniq_terms = sorted(term_slots)
         buckets = sorted({term_bucket_of(t, self.buckets) for t in uniq_terms})
         scan = (
             self.positions_table()
             .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(uniq_terms))
             .select("term", "doc_id", "positions")
         )
-        j: DataFrame | None = None
-        for i, sl in enumerate(present_slots):
-            s = (
-                scan.filter(F.col("term").isin(list(sl)))
-                .groupBy("doc_id")
-                .agg(
-                    F.array_sort(
-                        F.array_distinct(F.flatten(F.collect_list("positions")))
-                    ).alias(f"p{i}")
+        entries = []
+        for t in uniq_terms:
+            entries.append(F.lit(t))
+            entries.append(F.array(*[F.lit(i) for i in term_slots[t]]))
+        slot_map = F.create_map(*entries)
+        tagged = scan.select(
+            "doc_id",
+            F.explode(slot_map[F.col("term")]).alias("slot"),
+            "positions",
+        )
+        aggs = [
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.coalesce(
+                            F.collect_list(
+                                F.when(F.col("slot") == i, F.col("positions"))
+                            ),
+                            F.array().cast("array<array<int>>"),
+                        )
+                    )
                 )
-            )
-            j = s if j is None else j.join(s, "doc_id")
-        n_slots = len(present_slots)
-        if n_slots == 1:
-            freq = F.size(F.col("p0"))
-        else:
-            def adjacency(x):
+            ).alias(f"p{i}")
+            for i in range(n_slots)
+        ]
+        j = tagged.groupBy("doc_id").agg(*aggs)
+        present = F.size(F.col("p0")) > 0
+        for i in range(1, n_slots):
+            present = present & (F.size(F.col(f"p{i}")) > 0)
+        j = j.filter(present)
+        if slop == 0 and n_slots == 1:
+            freq = F.size(F.col("p0")).cast("double")
+            matched = j.select("doc_id", freq.alias("freq"))
+        elif slop == 0:
+            def adjacency(x):  # single-arg: pyspark inspects the arity
                 c = F.array_contains(F.col("p1"), x + 1)
                 for i in range(2, n_slots):
                     c = c & F.array_contains(F.col(f"p{i}"), x + i)
                 return c
 
-            freq = F.size(F.filter(F.col("p0"), adjacency))
-        matched = j.select("doc_id", freq.alias("freq")).filter(F.col("freq") > 0)
+            freq = F.size(F.filter(F.col("p0"), adjacency)).cast("double")
+            matched = j.select("doc_id", freq.alias("freq")).filter(
+                F.col("freq") > 0
+            )
+        else:
+            n_s, sl_budget = n_slots, int(slop)
+
+            def sloppy(batches):
+                for pdf in batches:
+                    docs_out = pdf["doc_id"].to_numpy(np.int64)
+                    freqs = np.zeros(len(pdf), dtype=np.float64)
+                    cols = [pdf[f"p{i}"].to_numpy(object) for i in range(n_s)]
+                    for r in range(len(pdf)):
+                        arrays = [np.asarray(cols[i][r], dtype=np.int64)
+                                  for i in range(n_s)]
+                        acc = 0.0
+                        for p in arrays[0].tolist():
+                            cur, ml, ok = p, 0, True
+                            for a in arrays[1:]:
+                                kk = int(np.searchsorted(a, cur, side="right"))
+                                if kk == a.size:
+                                    ok = False
+                                    break
+                                ml += int(a[kk]) - cur - 1
+                                cur = int(a[kk])
+                            if ok and ml <= sl_budget:
+                                acc += 1.0 / (1.0 + ml)
+                        freqs[r] = acc
+                    yield pd.DataFrame({"doc_id": docs_out, "freq": freqs})
+
+            matched = j.mapInPandas(
+                sloppy, schema="doc_id long, freq double"
+            ).filter(F.col("freq") > 0)
         return self._score_freq_frame(matched, w)
 
     def _synonym(self, q: SynonymQuery, boost: np.float32) -> DataFrame | None:

@@ -204,3 +204,74 @@ def test_constant_score(searcher, ref):
     hits = searcher.search(ConstantScoreQuery(TermQuery(t1)), 10000).collect()
     assert len(hits) == _df(ref, t1)
     assert all(r["score"] == 1.0 for r in hits)
+
+
+# ------------------------------------------------------------ sloppy phrase
+
+def test_sloppy_phrase_semantics(spark, tmp_path):
+    """Ordered greedy sloppy matching with 1/(1+matchLength) freq weights,
+    checked against hand-computed scores on a constructed corpus."""
+    import pandas as pd
+
+    from lucene_spark.functions import bm25
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import PhraseQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "alpha beta junk",          # adjacent: ml=0 -> 1.0
+        "alpha filler beta",        # gap 1 -> slop1 gives 1/2
+        "alpha x y beta",           # gap 2 -> only slop>=2, 1/3
+        "beta alpha",               # wrong order -> never (ordered-only)
+        "alpha beta alpha filler beta junk",  # 1.0 (a0->b1) + 1/2 (a2->b4)
+        "nothing relevant here",
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts),
+        "role": ["doc"] * len(texts),
+        "text": texts,
+        "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "sloppy_idx")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2, analyzer="simple"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+
+    def hits(slop):
+        return {
+            int(r["doc_id"]): np.float32(r["score"])
+            for r in s.search(PhraseQuery(("alpha", "beta"), slop), 10).collect()
+        }
+
+    h0, h1, h2 = hits(0), hits(1), hits(2)
+    assert set(h0) == {0, 4}
+    assert set(h1) == {0, 1, 4}
+    assert set(h2) == {0, 1, 2, 4}
+    # doc4 at slop>=1 scores with freq 1.0 + 0.5; verify exact float32 score
+    stats = s.term_stats(["alpha", "beta"])
+    import numpy as _np
+    w = s._multi_term_weight(
+        _np.float32(1.0),
+        [bm25.idf(stats[t][0], s.doc_count) for t in ("alpha", "beta")],
+    )
+    flen4 = 6
+    nb = int(int_to_byte4_np(_np.array([flen4]))[0])
+    expect = bm25.score(_np.array([1.5]), _np.array([nb]), w, s.cache)[0]
+    assert h1[4] == np.float32(expect)
+    # slop=0 via the same core equals the legacy exact-adjacency semantics
+    assert h0[0] == hits(0)[0]
+
+
+def test_parser_phrase_slop():
+    from lucene_spark.query.ast import PhraseQuery
+    from lucene_spark.query.parser import QueryParser
+
+    q = QueryParser("simple").parse('"scan merge"~2')
+    assert isinstance(q, PhraseQuery) and q.slop == 2 and q.terms == ("scan", "merge")
+    q0 = QueryParser("simple").parse('"scan merge"')
+    assert isinstance(q0, PhraseQuery) and q0.slop == 0
