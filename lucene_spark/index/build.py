@@ -194,14 +194,39 @@ def build_index(
     return manifest
 
 
-def _compute_boundaries(transcripts: DataFrame, num_segments: int) -> list[str]:
+def _compute_boundaries(transcripts: DataFrame, num_segments: int,
+                        sample_target: int = 200) -> list[str]:
     """Split the sorted conv_id domain into num_segments contiguous ranges.
 
-    Exact distinct-sort here (sandbox scale); at 10^12 turns substitute
-    persisted approx-quantiles of conv_id — the manifest freezes whatever
+    Scale path: approx_count_distinct sizes the domain, then a DETERMINISTIC
+    hash sample (xxhash64(conv_id) % rate == 0) of ~num_segments *
+    sample_target conv_ids is collected and its quantiles become the
+    boundaries — driver memory is bounded by the sample size, never
+    O(distinct conv_ids). Small corpora (where the sample would be
+    degenerate) use the exact distinct sort. Boundary placement only affects
+    partition balance, never results; the manifest freezes whatever
     boundaries the first run chose, which is all resume needs.
     """
-    convs = [r[0] for r in transcripts.select("conv_id").distinct().orderBy("conv_id").collect()]
+    approx = int(
+        transcripts.select(
+            F.approx_count_distinct("conv_id").alias("n")
+        ).first()["n"]
+    )
+    rate = approx // max(num_segments * sample_target, 1)
+    if rate <= 1:
+        convs = [
+            r[0]
+            for r in transcripts.select("conv_id").distinct().orderBy("conv_id").collect()
+        ]
+    else:
+        convs = [
+            r[0]
+            for r in transcripts.select("conv_id")
+            .filter(F.pmod(F.xxhash64("conv_id"), F.lit(rate)) == 0)
+            .distinct()
+            .orderBy("conv_id")
+            .collect()
+        ]
     if not convs:
         return []
     n = min(num_segments, len(convs))

@@ -667,6 +667,112 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def _impact_ub_unit(self):
+        """Per-block WEIGHT-FREE score upper bound from the stored impacts:
+        max over (freq, norm) pairs of ``1 - 1/(1 + f * inv)`` (the BM25
+        per-hit shape without the weight factor, so one expression serves
+        clauses with different boosts: clause ub = weight * ubu). Computed
+        in float64 with a safety margin so float32 rounding can never push a
+        real score above it."""
+        inv_lit = F.array(*[F.lit(float(x)) for x in self.cache])
+        pair = F.zip_with(
+            F.col("impact_freqs").cast("array<double>"),
+            F.transform(
+                F.col("impact_norms"),
+                lambda nb: F.element_at(inv_lit, (nb.bitwiseAND(F.lit(255))) + 1),
+            ).cast("array<double>"),
+            lambda f, i: F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + f * i),
+        )
+        return (
+            F.aggregate(pair, F.lit(0.0), lambda a, x: F.greatest(a, x))
+            * F.lit(1.0 + 1e-5) + F.lit(1e-6)
+        )
+
+    def search_pruned(self, query: Query, k: int = 10,
+                      probe_blocks: int = 8) -> DataFrame:
+        """Top-k with Boolean-level block-max pruning — the BlockMaxConjunction
+        / WANDScorer / MaxScoreBulkScorer analog (``WANDScorer.java:55``,
+        ``BlockMaxConjunctionBulkScorer.java``, ``MaxScoreBulkScorer.java:26``),
+        rank-identical to search() by construction.
+
+        Pass 1 (probe): decode only the ``probe_blocks`` highest-upper-bound
+        blocks per scoring clause (metadata-only ranking; FILTER/MUST_NOT
+        clauses stay exhaustive — pruning them is never score-safe) and run
+        the full combination; any doc that fully matches there has computed
+        score <= its true score, so the kth probe score θ lower-bounds the
+        true kth score. Pass 2: a block of clause c survives iff
+        ``w_c * ubu + Σ_{c'≠c} max_ub_{c'} >= θ`` — a doc whose block is
+        dropped cannot reach θ, hence cannot displace the top-k. Exhaustive
+        fallback when the probe matches fewer than k docs."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        if isinstance(q, TermQuery):
+            return self.search_term_pruned(q.term, k, probe_blocks)
+        if not (isinstance(q, BooleanQuery) and self._is_flat(q)):
+            return self.search(q, k)
+        clauses = self._clauses_of(q, np.float32(1.0))
+        scoring = [c for c in clauses
+                   if c.kind in ("must", "should") and float(c.weight) > 0]
+        if not scoring:
+            return self.search(q, k)
+        sterms = sorted({c.term for c in scoring})
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in sterms})
+        meta = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(sterms)
+        ).select(
+            "term", "segment_id", "block_id", "impact_freqs", "impact_norms"
+        ).withColumn("ubu", self._impact_ub_unit())
+
+        # tiny collects: per-term max bound (|terms| rows) + probe block keys
+        # (probe_blocks * |terms| rows) — metadata only, no posting data read
+        maxima = {
+            r["term"]: float(r["mx"])
+            for r in meta.groupBy("term").agg(F.max("ubu").alias("mx")).collect()
+        }
+        clause_max = {
+            c.clause_id: float(c.weight) * maxima.get(c.term, 0.0)
+            for c in scoring
+        }
+        total_max = sum(clause_max.values())
+
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("term").orderBy(
+            F.desc("ubu"), F.asc("segment_id"), F.asc("block_id")
+        )
+        probe_keys = {
+            (r["term"], int(r["segment_id"]), int(r["block_id"]))
+            for r in meta.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= probe_blocks)
+            .select("term", "segment_id", "block_id").collect()
+        }
+        key_col = F.concat_ws(
+            "|", F.col("term"), F.col("segment_id"), F.col("block_id")
+        )
+        key_lits = [f"{t}|{s}|{b}" for t, s, b in probe_keys]
+        in_scoring = F.col("term").isin(sterms)
+        probe_pred = (~in_scoring) | key_col.isin(key_lits)
+        probed = self._flat_boolean(q, np.float32(1.0), block_pred=probe_pred)
+        top = (
+            probed.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        if len(top) < k:
+            scored = self._flat_boolean(q, np.float32(1.0))
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        theta = float(top[-1]["score"])
+        # per-term survivor threshold on the weight-free bound: keep a block
+        # iff ANY clause on its term could still contribute a θ-beating doc
+        thr_entries = []
+        for t in sterms:
+            thr = min(
+                (theta - (total_max - clause_max[c.clause_id])) / float(c.weight)
+                for c in scoring if c.term == t
+            )
+            thr_entries += [F.lit(t), F.lit(float(thr))]
+        thr_map = F.create_map(*thr_entries)
+        surv_pred = (~in_scoring) | (F.col("ubu") >= thr_map[F.col("term")])
+        scored = self._flat_boolean(q, np.float32(1.0), block_pred=surv_pred)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _decode_score_blocks(self, blocks: DataFrame, w: np.float32) -> DataFrame:
         cache = self.cache
 
@@ -979,9 +1085,12 @@ class IndexSearcher:
                 cid += 1
         return clauses
 
-    def _scan_and_score(self, clauses: list[_Clause]) -> DataFrame:
+    def _scan_and_score(self, clauses: list[_Clause], block_pred=None) -> DataFrame:
         """ONE postings scan scoring every clause: emits
-        (clause_id, doc_id, score float32)."""
+        (clause_id, doc_id, score float32). ``block_pred`` (optional) is a
+        Column predicate over block metadata — including the per-block
+        impact upper bound ``ubu`` — used by search_pruned to skip decoding
+        blocks that cannot reach the top-k threshold."""
         present = [c for c in clauses]
         terms = sorted({c.term for c in present})
         buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
@@ -992,7 +1101,10 @@ class IndexSearcher:
 
         scan = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        ).select("term", "num_docs", "first_doc", "data")
+        )
+        if block_pred is not None:
+            scan = scan.withColumn("ubu", self._impact_ub_unit()).filter(block_pred)
+        scan = scan.select("term", "num_docs", "first_doc", "data")
         # spread the (compressed) blocks across the cluster before decoding:
         # one term's blocks are contiguous in one bucket file, so without
         # this a hot term's entire posting list decodes in 1-2 tasks.
@@ -1033,7 +1145,8 @@ class IndexSearcher:
 
         return scan.mapInPandas(decode_score, schema=_CLAUSE_SCHEMA)
 
-    def _flat_boolean(self, q: BooleanQuery, boost: np.float32) -> DataFrame | None:
+    def _flat_boolean(self, q: BooleanQuery, boost: np.float32,
+                      block_pred=None) -> DataFrame | None:
         clauses = self._clauses_of(q, boost)
         n_must = sum(1 for c in clauses if c.kind == "must")
         n_filter = sum(1 for c in clauses if c.kind == "filter")
@@ -1044,8 +1157,8 @@ class IndexSearcher:
         # (TermQuery never needs a BooleanScorer; at 10^7+ matched docs the
         # avoided shuffle dominates query latency)
         if len(clauses) == 1 and clauses[0].kind in ("must", "should"):
-            return self._scan_and_score(clauses).select("doc_id", "score")
-        matched = self._scan_and_score(clauses)
+            return self._scan_and_score(clauses, block_pred).select("doc_id", "score")
+        matched = self._scan_and_score(clauses, block_pred)
 
         kinds = {c.clause_id: c.kind for c in clauses}
         kind_expr = F.create_map(

@@ -106,21 +106,43 @@ def append_batch(
             .parquet(os.path.join(index_dir, "positions"))
         )
 
-    # refresh global term stats from block metadata (no postings decode)
+    # DELTA term-stats refresh: old term_dict ∪ THIS batch's block metadata,
+    # one groupBy-sum — never re-aggregates prior segments (at 10^12 turns
+    # the full recompute scans every segment's metadata per micro-batch).
+    # Written to a generation-suffixed dir then swapped in, because Spark
+    # cannot safely overwrite a path it is lazily reading from.
     td_path = os.path.join(index_dir, "term_dict")
-    (
-        read_postings_local(spark, index_dir)
-        .groupBy("term")
+    new_stats = (
+        new_local.groupBy("term")
         .agg(
             F.sum("num_docs").cast("long").alias("doc_freq"),
             F.sum("ttf").cast("long").alias("total_term_freq"),
             F.count("*").cast("long").alias("num_blocks"),
         )
+    )
+    old_stats = spark.read.parquet(td_path).select(
+        "term", "doc_freq", "total_term_freq", "num_blocks"
+    )
+    merged = (
+        old_stats.unionByName(new_stats)
+        .groupBy("term")
+        .agg(
+            F.sum("doc_freq").cast("long").alias("doc_freq"),
+            F.sum("total_term_freq").cast("long").alias("total_term_freq"),
+            F.sum("num_blocks").cast("long").alias("num_blocks"),
+        )
+    )
+    tmp_td = td_path + f".g{int(manifest['generation']) + 1}"
+    (
+        merged
         .repartitionByRange(max(spark.sparkContext.defaultParallelism // 4, 1), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .parquet(td_path)
+        .parquet(tmp_td)
     )
+    import shutil
+    shutil.rmtree(td_path)
+    os.rename(tmp_td, td_path)
 
     for r in rows:
         d = r.asDict()

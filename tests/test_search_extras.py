@@ -209,3 +209,46 @@ def test_join_expansion_empty_match(searcher):
     from lucene_spark.query.ast import PrefixQuery
 
     assert searcher.search(PrefixQuery("zzzz-not-a-prefix"), 5).count() == 0
+
+
+# -------------------------------------------------- boolean block-max pruning
+
+def test_boolean_pruned_rank_identity(searcher, common_terms):
+    """search_pruned must be rank- AND score-identical to the exhaustive
+    path for conjunctions, disjunctions, msm, boosts, and must_not."""
+    from lucene_spark.query.ast import BoostQuery
+
+    t0, t1, t2 = (common_terms[i][0] for i in range(3))
+    rare = common_terms[-1][0]
+    queries = [
+        BooleanQuery(must=[TermQuery(t0), TermQuery(t1)]),                # hot∧hot
+        BooleanQuery(should=[TermQuery(t0), TermQuery(t1), TermQuery(t2)]),
+        BooleanQuery(should=[TermQuery(t0), TermQuery(t1), TermQuery(rare)],
+                     min_should_match=2),
+        BooleanQuery(must=[BoostQuery(TermQuery(t0), 2.0)],
+                     should=[TermQuery(rare)]),
+        BooleanQuery(must=[TermQuery(t0)], must_not=[TermQuery(rare)]),
+        BooleanQuery(must=[TermQuery(t0)], filter=[TermQuery(t1)]),
+    ]
+    for q in queries:
+        for k in (3, 10):
+            exact = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in searcher.search(q, k).collect()
+            ]
+            pruned = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in searcher.search_pruned(q, k, probe_blocks=2).collect()
+            ]
+            assert pruned == exact, (q, k)
+
+
+def test_pruned_fallback_small_result(searcher, common_terms):
+    """Fewer matches than k -> exhaustive fallback returns everything."""
+    rare = common_terms[-1][0]
+    q = BooleanQuery(must=[TermQuery(rare), TermQuery(common_terms[0][0])])
+    exact = [(r["doc_id"], np.float32(r["score"]))
+             for r in searcher.search(q, 500).collect()]
+    pruned = [(r["doc_id"], np.float32(r["score"]))
+              for r in searcher.search_pruned(q, 500).collect()]
+    assert pruned == exact

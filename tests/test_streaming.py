@@ -131,3 +131,57 @@ def test_exactly_once_on_restart(spark, setup):
     after = load_manifest(setup["idx"])
     assert len(after["completed"]) == n_seg
     assert after["generation"] == before
+
+
+def test_delta_term_dict_equals_full_recompute(spark, setup):
+    """The append path maintains term_dict incrementally (old ∪ new batch,
+    groupBy-sum); it must equal a from-scratch aggregation over ALL
+    segments' block metadata."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import read_postings_local
+
+    index_dir = setup["idx"]
+    got = (
+        spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        .select("term", "doc_freq", "total_term_freq", "num_blocks")
+        .orderBy("term")
+        .collect()
+    )
+    expect = (
+        read_postings_local(spark, index_dir)
+        .groupBy("term")
+        .agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("ttf").cast("long").alias("total_term_freq"),
+            F.count("*").cast("long").alias("num_blocks"),
+        )
+        .orderBy("term")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def test_sampled_boundaries(spark):
+    """Forcing the hash-sampled boundary path must produce valid frozen
+    boundaries (sorted, unique) and a complete, disjoint shard assignment."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import _assign_shards, _compute_boundaries
+    from lucene_spark.sources.transcripts import generate_pandas
+
+    pdf = generate_pandas(n_convs=400, seed=11)
+    tdf = spark.createDataFrame(pdf)
+    bounds = _compute_boundaries(tdf, 8, sample_target=4)  # forces sampling
+    assert bounds == sorted(set(bounds)) and len(bounds) <= 7
+    assigned = _assign_shards(tdf, bounds)
+    n = assigned.count()
+    assert n == len(pdf)
+    # every shard's conv range must respect the frozen boundaries
+    rng = assigned.groupBy("shard_id").agg(
+        F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi")
+    ).orderBy("shard_id").collect()
+    for a, b in zip(rng, rng[1:]):
+        assert a["hi"] <= b["lo"]

@@ -56,11 +56,25 @@ def main() -> None:
     q["conj_hot_hot"], _ = t(
         lambda: s.search(BooleanQuery(must=[TermQuery(hot[0]), TermQuery(hot[1])]), 10)
     )
+    q["conj_hot_hot_pruned"], _ = t(
+        lambda: s.search_pruned(
+            BooleanQuery(must=[TermQuery(hot[0]), TermQuery(hot[1])]), 10
+        )
+    )
     q["conj_hot_cold"], _ = t(
         lambda: s.search(BooleanQuery(must=[TermQuery(hot[0]), TermQuery(cold[0])]), 10)
     )
     q["disj_msm2"], _ = t(
         lambda: s.search(
+            BooleanQuery(
+                should=[TermQuery(hot[0]), TermQuery(mid[0]), TermQuery(cold[0])],
+                min_should_match=2,
+            ),
+            10,
+        )
+    )
+    q["disj_msm2_pruned"], _ = t(
+        lambda: s.search_pruned(
             BooleanQuery(
                 should=[TermQuery(hot[0]), TermQuery(mid[0]), TermQuery(cold[0])],
                 min_should_match=2,
@@ -77,6 +91,10 @@ def main() -> None:
     exact = [(r["doc_id"], r["score"]) for r in s.search(TermQuery(hot[0]), 10).collect()]
     pruned = [(r["doc_id"], r["score"]) for r in s.search_term_pruned(hot[0], 10).collect()]
     out["pruned_rank_identical"] = exact == pruned
+    bq = BooleanQuery(must=[TermQuery(hot[0]), TermQuery(hot[1])])
+    exact_b = [(r["doc_id"], r["score"]) for r in s.search(bq, 10).collect()]
+    pruned_b = [(r["doc_id"], r["score"]) for r in s.search_pruned(bq, 10).collect()]
+    out["bool_pruned_rank_identical"] = exact_b == pruned_b
     out["queries"] = q
     out["cpus"] = int(cpus)
     print(json.dumps(out))
