@@ -561,10 +561,25 @@ def _ann_brute(spark, sf_dir):
     return cosine_topk(e, query_vector(e, _ANN_QUERY_ID), _ANN_K)
 
 
+def _ann_dir(sf_dir: str) -> str:
+    return os.path.join(
+        "/tmp/lucene_spark_entry_v2",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf", "ann_idx",
+    )
+
+
 def _ann_lsh(spark, sf_dir):
-    from lucene_spark.operators.similarity import lsh_ann_topk, query_vector
+    """LSH ANN over PERSISTED codes (build_ann_index artifacts on disk)."""
+    from lucene_spark.operators.similarity import (
+        build_ann_index, lsh_ann_topk_indexed, query_vector,
+    )
     e = _embs(spark, sf_dir)
-    return lsh_ann_topk(e, query_vector(e, _ANN_QUERY_ID), _ANN_K)
+    d = _ann_dir(sf_dir)
+    # 6 planes = 64 buckets: sized so the multiprobe candidate set stays
+    # around the top-k at entry scale (2^16 buckets over 500 vectors would
+    # leave the query nearly alone in its bucket)
+    build_ann_index(e, d, num_planes=6)
+    return lsh_ann_topk_indexed(spark, e, d, query_vector(e, _ANN_QUERY_ID), _ANN_K)
 
 
 def _token_count(spark, sf_dir):
@@ -593,9 +608,14 @@ def _clean_corpus(spark, sf_dir):
 
 
 def _ann_ivf(spark, sf_dir):
-    from lucene_spark.operators.similarity import ivf_ann_topk, query_vector
+    """IVF ANN over PERSISTED centroids + cell assignments."""
+    from lucene_spark.operators.similarity import (
+        build_ann_index, ivf_ann_topk_indexed, query_vector,
+    )
     e = _embs(spark, sf_dir)
-    return ivf_ann_topk(e, query_vector(e, _ANN_QUERY_ID), _ANN_K)
+    d = _ann_dir(sf_dir)
+    build_ann_index(e, d, num_planes=6)
+    return ivf_ann_topk_indexed(spark, e, d, query_vector(e, _ANN_QUERY_ID), _ANN_K)
 
 
 def _media_meta(spark, sf_dir):

@@ -119,6 +119,147 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------- persisted index
+
+def build_ann_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    num_planes: int = 16,
+    n_centroids: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the vector-index state as on-disk artifacts — the analog of
+    the reference treating the vector index as a persisted per-segment
+    artifact (``Lucene99HnswVectorsFormat.java:82``) rather than
+    query-time-derived state:
+
+      lsh_codes/   parquet DF(vec_id, code)      — hyperplane sign codes
+      ivf_cells/   parquet DF(vec_id, cell)      — KMeans cell assignments
+      manifest.json (written atomically LAST)    — planes, centroids, params
+
+    Queries then read bucket-pruned candidates from disk instead of
+    recomputing codes/centroids per call (round-1 gap). Idempotent: an
+    existing manifest with matching params short-circuits."""
+    import json
+    import os
+
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if (m.get("num_planes") == num_planes
+                and m.get("n_centroids") == n_centroids
+                and m.get("seed") == seed):
+            return m
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    os.makedirs(index_dir, exist_ok=True)
+    codes = lsh_codes(embeddings, num_planes, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "lsh_codes"))
+
+    feats = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    model.transform(feats).select(
+        "vec_id", F.col("prediction").cast("int").alias("cell")
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "ivf_cells"))
+
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    manifest = {
+        "num_planes": num_planes,
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "dim": dim,
+        "centroids": [[float(x) for x in c] for c in model.clusterCenters()],
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def lsh_ann_topk_indexed(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH ANN over PERSISTED codes: the query's bucket (+ Hamming-1 probes)
+    filters the on-disk code table (predicate pushdown on the small code
+    column), and only those candidates join back to the vectors."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    num_planes = int(m["num_planes"])
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(num_planes, q.size)
+    qcode = 0
+    for p in range(num_planes):
+        if float(planes[p] @ q) > 0:
+            qcode |= 1 << p
+    probes = [qcode] + (
+        [qcode ^ (1 << p) for p in range(num_planes)] if multiprobe else []
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "lsh_codes"))
+    cand = embeddings.join(
+        F.broadcast(
+            codes.filter(F.col("code").isin(probes))
+            .select(F.col("vec_id").alias(id_col))
+        ),
+        id_col,
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_ann_topk_indexed(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over PERSISTED centroids + cell assignments: nearest n_probe
+    centroids come from the manifest (driver-side, tiny), candidates from
+    the on-disk cell table."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([
+        float(np.linalg.norm(np.asarray(c) - q)) for c in m["centroids"]
+    ])
+    probe = [int(c) for c in order[:n_probe]]
+    cells = spark.read.parquet(os.path.join(index_dir, "ivf_cells"))
+    cand = embeddings.join(
+        F.broadcast(
+            cells.filter(F.col("cell").isin(probe))
+            .select(F.col("vec_id").alias(id_col))
+        ),
+        id_col,
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 # --------------------------------------------------------------- oracle SQL
 
 def ivf_ann_topk(

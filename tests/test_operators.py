@@ -328,3 +328,39 @@ def test_embedding_gemm_matches_bruteforce(spark, embs):
     }
     # boundary values within 1e-9 of thr may legitimately differ; none exist
     assert got == expect
+
+
+# --------------------------------------------------- persisted ANN index
+
+def test_persisted_ann_matches_inline(spark, embs, tmp_path):
+    """Indexed (on-disk codes/cells) ANN must return exactly what the
+    inline-recompute variants return, and the artifacts must exist."""
+    import os
+
+    from lucene_spark.operators.similarity import (
+        build_ann_index, ivf_ann_topk, ivf_ann_topk_indexed, lsh_ann_topk,
+        lsh_ann_topk_indexed, query_vector,
+    )
+
+    d = str(tmp_path / "ann_idx")
+    m = build_ann_index(embs, d, num_planes=16, n_centroids=4, seed=7)
+    assert os.path.exists(os.path.join(d, "manifest.json"))
+    assert os.path.exists(os.path.join(d, "lsh_codes"))
+    assert os.path.exists(os.path.join(d, "ivf_cells"))
+    assert len(m["centroids"]) == 4
+    q = query_vector(embs, 0)
+    inline_lsh = [(r["vec_id"], np.float32(r["cosine"]))
+                  for r in lsh_ann_topk(embs, q, 10, 16).collect()]
+    disk_lsh = [(r["vec_id"], np.float32(r["cosine"]))
+                for r in lsh_ann_topk_indexed(spark, embs, d, q, 10).collect()]
+    assert disk_lsh == inline_lsh
+    inline_ivf = [(r["vec_id"], np.float32(r["cosine"]))
+                  for r in ivf_ann_topk(embs, q, 10, n_centroids=4,
+                                        n_probe=2).collect()]
+    disk_ivf = [(r["vec_id"], np.float32(r["cosine"]))
+                for r in ivf_ann_topk_indexed(spark, embs, d, q, 10,
+                                              n_probe=2).collect()]
+    assert disk_ivf == inline_ivf
+    # idempotent rebuild short-circuits on matching params
+    m2 = build_ann_index(embs, d, num_planes=16, n_centroids=4, seed=7)
+    assert m2["centroids"] == m["centroids"]
