@@ -475,6 +475,24 @@ def _append_searcher(spark: SparkSession, sf_dir: str):
     return IndexSearcher(spark, index_dir)
 
 
+_CUSTOM_K1, _CUSTOM_B = 0.9, 0.4
+
+
+def _custom_sim_df(spark, sf_dir):
+    """BM25 with non-default k1/b (the pluggable-Similarity surface): same
+    index, different norm-inverse cache; oracle replays the constants."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    base = _searcher(spark, sf_dir)
+    s = IndexSearcher(spark, base.index_dir, k1=_CUSTOM_K1, b=_CUSTOM_B)
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _STOP_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 
 
@@ -667,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stored_fields"] = _stored_fields_df
     out["streaming_append_search"] = _append_search_df
     out["bm25_stop_chain"] = _stop_chain_df
+    out["bm25_custom_sim"] = _custom_sim_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
@@ -802,6 +821,10 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_stop_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_STOP_AST)), _QUERY_K,
         stop=tuple(sorted(EN_STOP_SET)),
+    )
+    out["bm25_custom_sim"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,
+        k1=_CUSTOM_K1, b=_CUSTOM_B,
     )
     out["term_stats"] = sqlgen.term_stats_sql(
         [t for t in _STATS_TERMS if t != "zzz-absent"] + ["zzz-absent"]

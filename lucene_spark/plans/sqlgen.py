@@ -78,17 +78,18 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """.strip()
 
 
-def _norm_inv(dl_q: str) -> str:
+def _norm_inv(dl_q: str, k1: float = 1.2, b: float = 0.75) -> str:
     """1f / (k1 * ((1-b) + b*len/avgdl)) in pure REAL ops (BM25Similarity
     cache formula; avgdl comes from consts c)."""
     return (
-        "(CAST(1 AS REAL) / (CAST(1.2 AS REAL) * ((CAST(1 AS REAL) - CAST(0.75 AS REAL)) + "
-        f"(CAST(0.75 AS REAL) * CAST({dl_q} AS REAL)) / c.avgdl)))"
+        f"(CAST(1 AS REAL) / (CAST({k1!r} AS REAL) * ((CAST(1 AS REAL) - CAST({b!r} AS REAL)) + "
+        f"(CAST({b!r} AS REAL) * CAST({dl_q} AS REAL)) / c.avgdl)))"
     )
 
 
-def _leaf_score(weight_expr: str, freq_expr: str, dl_expr: str) -> str:
-    inv = _norm_inv(_quantized_len(dl_expr))
+def _leaf_score(weight_expr: str, freq_expr: str, dl_expr: str,
+                k1: float = 1.2, b: float = 0.75) -> str:
+    inv = _norm_inv(_quantized_len(dl_expr), k1, b)
     return (
         f"({weight_expr} - {weight_expr} / "
         f"(CAST(1 AS REAL) + CAST({freq_expr} AS REAL) * {inv}))"
@@ -132,10 +133,13 @@ def topk_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     stop: tuple[str, ...] = (),
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> str:
     """Full top-k BM25 SQL for a flat Boolean query: (doc_id, score REAL),
     score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
-    analysis chain (see corpus_ctes)."""
+    analysis chain (see corpus_ctes); ``k1``/``b`` the BM25Similarity
+    constructor parameters."""
     clauses, msm = _flat_clauses(q)
     n_must = sum(1 for c in clauses if c[1] == "must")
     n_filter = sum(1 for c in clauses if c[1] == "filter")
@@ -163,7 +167,7 @@ def topk_sql(
     else:
         final = ("CAST(CAST(CAST(coalesce(must_s, 0) AS REAL) AS DOUBLE)"
                  " + CAST(CAST(coalesce(should_s, 0) AS REAL) AS DOUBLE) AS REAL)")
-    score = _leaf_score("(cl.boost * ldf.idf)", "tf.freq", "dl.dl")
+    score = _leaf_score("(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b)
     return f"""
 WITH {corpus_ctes(table, id_col, text_col, stop)},
 consts AS (

@@ -125,7 +125,12 @@ class IndexSearcher:
     #: cap on materialized multi-term expansions (IndexSearcher.java:80)
     max_clause_count: int = 1024
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 k1: float | None = None, b: float | None = None):
+        """``k1``/``b`` expose the BM25Similarity constructor parameters
+        (``BM25Similarity.java:97`` — the pluggable-Similarity surface):
+        they only shape the 256-entry norm-inverse cache, exactly as in the
+        reference, so every query path picks them up transparently."""
         self.spark = spark
         self.index_dir = index_dir
         manifest = load_manifest(index_dir)
@@ -135,7 +140,9 @@ class IndexSearcher:
         self.buckets = int(manifest["config"]["term_buckets"])
         self.doc_count, self.sum_ttf = collection_stats(manifest)
         self.avgdl = bm25.avgdl(self.sum_ttf, self.doc_count)
-        self.cache = bm25.norm_inverse_cache(self.avgdl)
+        self.k1 = np.float32(bm25.K1_DEFAULT if k1 is None else k1)
+        self.b = np.float32(bm25.B_DEFAULT if b is None else b)
+        self.cache = bm25.norm_inverse_cache(self.avgdl, self.k1, self.b)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self._docmap: DataFrame | None = None
@@ -189,7 +196,9 @@ class IndexSearcher:
     def count(self, query: Query) -> int:
         """Total hit count (TotalHitCountCollector.java:27). Bare TermQuery
         short-circuits to the term_dict doc_freq — the sub-linear
-        ``Weight#count`` shortcut; everything else counts matches."""
+        ``Weight#count`` shortcut; flat Booleans use FILTER semantics (no
+        stats collect, no norm reads, no score arithmetic — counting never
+        pays for scoring); everything else counts scored matches."""
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
         if isinstance(q, TermQuery):
             stats = self.term_stats([q.term])
@@ -198,8 +207,82 @@ class IndexSearcher:
             return self.doc_count
         if isinstance(q, MatchNoDocsQuery):
             return 0
+        if isinstance(q, BooleanQuery) and self._is_flat(q):
+            return self._match_count(q)
         scored = self._execute(q, np.float32(1.0))
         return 0 if scored is None else scored.count()
+
+    def _match_count(self, q: BooleanQuery) -> int:
+        """Match-only count for flat Booleans: decode doc ids per clause
+        (no freqs used, no norms, no weights — so no driver-side stats job
+        either) and apply the Boolean membership conditions."""
+        clauses: list[tuple[int, str, str]] = []
+        cid = 0
+        for kind, group in (
+            ("must", q.must), ("should", q.should),
+            ("filter", q.filter), ("must_not", q.must_not),
+        ):
+            for c in group:
+                term = c.query.term if isinstance(c, BoostQuery) else c.term
+                clauses.append((cid, kind, term))
+                cid += 1
+        n_must = sum(1 for c in clauses if c[1] == "must")
+        n_filter = sum(1 for c in clauses if c[1] == "filter")
+        msm = q.min_should_match
+        terms = sorted({c[2] for c in clauses})
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
+        term_cids: dict[str, list[int]] = {}
+        for c in clauses:
+            term_cids.setdefault(c[2], []).append(c[0])
+        scan = (
+            self.postings.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .select("term", "num_docs", "first_doc", "data")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+        )
+
+        def decode_ids(batches):
+            from lucene_spark.functions.codec import decode_block
+
+            for pdf in batches:
+                out_cid, out_doc = [], []
+                for term, nd, fd, data in zip(
+                    pdf["term"].to_numpy(object),
+                    pdf["num_docs"].to_numpy(np.int64),
+                    pdf["first_doc"].to_numpy(np.int64),
+                    pdf["data"].to_numpy(object),
+                ):
+                    docs, _, _ = decode_block(data, int(nd), int(fd))
+                    for one_cid in term_cids[term]:
+                        out_cid.append(np.full(docs.size, one_cid, dtype=np.int32))
+                        out_doc.append(docs)
+                if out_doc:
+                    yield pd.DataFrame(
+                        {"clause_id": np.concatenate(out_cid),
+                         "doc_id": np.concatenate(out_doc)}
+                    )
+
+        matched = scan.mapInPandas(decode_ids, schema="clause_id int, doc_id long")
+        kind_expr = F.create_map(
+            *[x for one_cid, kd, _ in clauses for x in (F.lit(one_cid), F.lit(kd))]
+        )[F.col("clause_id")]
+        agg = matched.withColumn("kind", kind_expr).groupBy("doc_id").agg(
+            F.count(F.when(F.col("kind") == "must", 1)).alias("must_n"),
+            F.count(F.when(F.col("kind") == "should", 1)).alias("should_n"),
+            F.count(F.when(F.col("kind") == "filter", 1)).alias("filter_n"),
+            F.count(F.when(F.col("kind") == "must_not", 1)).alias("not_n"),
+        )
+        cond = (
+            (F.col("must_n") == n_must)
+            & (F.col("filter_n") == n_filter)
+            & (F.col("not_n") == 0)
+        )
+        if n_must + n_filter == 0:
+            cond = cond & (F.col("should_n") >= max(msm, 1))
+        elif msm > 0:
+            cond = cond & (F.col("should_n") >= msm)
+        return agg.filter(cond).count()
 
     def search_after(
         self, query: Query, k: int, after: tuple[float, int]

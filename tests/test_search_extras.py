@@ -252,3 +252,51 @@ def test_pruned_fallback_small_result(searcher, common_terms):
     pruned = [(r["doc_id"], np.float32(r["score"]))
               for r in searcher.search_pruned(q, 500).collect()]
     assert pruned == exact
+
+
+# ------------------------------------------------ count fast path + k1/b
+
+def test_match_count_equals_scored_count(searcher, common_terms):
+    """FILTER-semantics count (no scoring plan) must equal the scored
+    path's match count for every flat Boolean shape."""
+    t0, t1 = common_terms[0][0], common_terms[1][0]
+    rare = common_terms[-1][0]
+    shapes = [
+        BooleanQuery(must=[TermQuery(t0), TermQuery(t1)]),
+        BooleanQuery(should=[TermQuery(t0), TermQuery(rare)],
+                     min_should_match=1),
+        BooleanQuery(should=[TermQuery(t0), TermQuery(t1), TermQuery(rare)],
+                     min_should_match=2),
+        BooleanQuery(must=[TermQuery(t0)], must_not=[TermQuery(t1)]),
+        BooleanQuery(must=[TermQuery(t0)], filter=[TermQuery(rare)]),
+        BooleanQuery(must=[TermQuery(t0), TermQuery("zz-absent")]),
+    ]
+    for q in shapes:
+        scored = searcher._execute(q, np.float32(1.0))
+        expect = 0 if scored is None else scored.count()
+        assert searcher.count(q) == expect, q
+
+
+def test_custom_similarity_k1_b(spark, built_index, searcher, common_terms):
+    """k1/b change the norm cache exactly like BM25Similarity(k1, b);
+    scores must differ from the defaults and reproduce the formula."""
+    from lucene_spark.functions import bm25
+    from lucene_spark.query.search import IndexSearcher
+
+    t = common_terms[0][0]
+    s2 = IndexSearcher(spark, built_index, k1=0.9, b=0.4)
+    default_hits = {r["doc_id"]: np.float32(r["score"])
+                    for r in searcher.search(TermQuery(t), 5).collect()}
+    custom_hits = {r["doc_id"]: np.float32(r["score"])
+                   for r in s2.search(TermQuery(t), 5).collect()}
+    assert default_hits != custom_hits
+    # recompute one custom score from first principles
+    doc = next(iter(custom_hits))
+    stats = s2.term_stats([t])
+    w = bm25.weight(1.0, bm25.idf(stats[t][0], s2.doc_count))
+    row = s2.docmap().filter(F.col("doc_id") == doc).select("norm_byte").first()
+    freq_row = s2.term_postings(t).filter(F.col("doc_id") == doc).first()
+    cache = bm25.norm_inverse_cache(s2.avgdl, np.float32(0.9), np.float32(0.4))
+    expect = bm25.score(np.array([freq_row["freq"]]),
+                        np.array([row["norm_byte"]]), w, cache)[0]
+    assert custom_hits[doc] == np.float32(expect)
