@@ -476,6 +476,51 @@ def _append_searcher(spark: SparkSession, sf_dir: str):
 
 
 _CUSTOM_K1, _CUSTOM_B = 0.9, 0.4
+_CF_TERMS = ["scan", "merge"]
+_CF_FIELDS = {"title": ("substring(text, 1, 80)", 2.0), "body": ("text", 1.0)}
+
+
+def _cf_searcher(spark: SparkSession, sf_dir: str, field: str):
+    """Per-field index for BM25F: same source ordering => same docIDs."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + f"_cf_{field}"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        tdf = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("doc").alias("role"),
+            F.expr(_CF_FIELDS[field][0]).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _combined_field_df(spark, sf_dir):
+    """BM25F / CombinedFieldQuery analog: title (first 80 chars, weight 2)
+    + body (full text, weight 1) scored as one merged pseudo-field."""
+    from lucene_spark.query.combined import combined_field_search
+
+    st = _cf_searcher(spark, sf_dir, "title")
+    sb = _cf_searcher(spark, sf_dir, "body")
+    hits = combined_field_search(
+        spark,
+        {"title": (st, _CF_FIELDS["title"][1]),
+         "body": (sb, _CF_FIELDS["body"][1])},
+        _CF_TERMS, _QUERY_K,
+    )
+    return _orig(sb, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
 
 
 def _custom_sim_df(spark, sf_dir):
@@ -686,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_append_search"] = _append_search_df
     out["bm25_stop_chain"] = _stop_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
+    out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
     out["collection_stats"] = _collection_stats_df
@@ -825,6 +871,10 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,
         k1=_CUSTOM_K1, b=_CUSTOM_B,
+    )
+    from lucene_spark.query.combined import combined_field_sql
+    out["bm25_combined_field"] = combined_field_sql(
+        _CF_FIELDS, _CF_TERMS, _QUERY_K
     )
     out["term_stats"] = sqlgen.term_stats_sql(
         [t for t in _STATS_TERMS if t != "zzz-absent"] + ["zzz-absent"]

@@ -70,12 +70,39 @@ def vint_decode(buf: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- FOR packing
 
 def for_pack(vals: np.ndarray, width: int) -> np.ndarray:
-    """Pack uint values at fixed bit width (little-endian bit order) -> uint8."""
+    """Pack uint values at fixed bit width (little-endian bit order) -> uint8.
+
+    Byte-lane algorithm: every 8 consecutive values span exactly ``width``
+    output bytes; output byte p of a group is assembled from the <=2-3
+    values whose bit ranges overlap [8p, 8p+8). That is <= width+8 shift/
+    mask ops over n/8-sized arrays — no n x width bit matrix (the naive
+    unpack-to-bits layout is O(n*width) memory and went superlinear on
+    segment-scale inputs from allocator pressure)."""
     if width == 0:
         return np.zeros(0, dtype=np.uint8)
     v = np.asarray(vals, dtype=np.uint64)
-    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little")
+    n = v.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    out_len = (n * width + 7) // 8
+    ngroups = (n + 7) // 8
+    if n % 8:
+        v = np.concatenate([v, np.zeros(8 - n % 8, dtype=np.uint64)])
+    g = v.reshape(ngroups, 8)
+    out = np.zeros((ngroups, width), dtype=np.uint8)
+    for p in range(width):
+        lo_bit = 8 * p
+        j0 = lo_bit // width
+        j1 = min((lo_bit + 7) // width, 7)
+        acc = np.zeros(ngroups, dtype=np.uint64)
+        for j in range(j0, j1 + 1):
+            start = j * width
+            if start >= lo_bit:
+                acc |= (g[:, j] << np.uint64(start - lo_bit))
+            else:
+                acc |= (g[:, j] >> np.uint64(lo_bit - start))
+        out[:, p] = (acc & np.uint64(0xFF)).astype(np.uint8)
+    return out.reshape(-1)[:out_len]
 
 
 def for_unpack(buf: np.ndarray, width: int, n: int) -> np.ndarray:
@@ -324,9 +351,10 @@ def encode_postings_batch(
     # (scalar encode_block layout: [wd] deltas [wf] freqs [wn] norms)
     full_payload: dict[int, bytes] = {}
     if full_blk.any():
-        fd = delta[row_is_full].astype(np.uint64).reshape(-1, BLOCK_SIZE)
-        ff = freqs[row_is_full].astype(np.uint64).reshape(-1, BLOCK_SIZE)
-        fn = nb[row_is_full].astype(np.uint64).reshape(-1, BLOCK_SIZE)
+        # int64 -> uint64 is a zero-copy reinterpret (values are nonnegative)
+        fd = delta[row_is_full].view(np.uint64).reshape(-1, BLOCK_SIZE)
+        ff = freqs[row_is_full].view(np.uint64).reshape(-1, BLOCK_SIZE)
+        fn = nb[row_is_full].view(np.uint64).reshape(-1, BLOCK_SIZE)
         fb_ids = np.flatnonzero(full_blk)
 
         def _widths(mat: np.ndarray) -> np.ndarray:
@@ -338,13 +366,20 @@ def encode_postings_batch(
 
         def _pack_rows(mat: np.ndarray, widths: np.ndarray) -> list[bytes]:
             out: list[bytes] = [b""] * mat.shape[0]
-            for w in np.unique(widths):
-                rows = np.flatnonzero(widths == w)
+            uniq = np.unique(widths)
+            for w in uniq:
                 if w == 0:
                     continue  # width 0 packs to zero bytes
-                packed = for_pack(mat[rows].ravel(), int(w)).tobytes()
+                if uniq.size == 1:
+                    flat = mat.reshape(-1)  # view: skip the fancy-index copy
+                    rows = range(mat.shape[0])
+                else:
+                    idx = np.flatnonzero(widths == w)
+                    flat = mat[idx].reshape(-1)
+                    rows = idx.tolist()
+                packed = for_pack(flat, int(w)).tobytes()
                 per = BLOCK_SIZE * int(w) // 8  # exact: 256*w bits = 32w bytes
-                for k, r in enumerate(rows.tolist()):
+                for k, r in enumerate(rows):
                     out[r] = packed[k * per : (k + 1) * per]
             return out
 

@@ -300,3 +300,27 @@ def test_custom_similarity_k1_b(spark, built_index, searcher, common_terms):
     expect = bm25.score(np.array([freq_row["freq"]]),
                         np.array([row["norm_byte"]]), w, cache)[0]
     assert custom_hits[doc] == np.float32(expect)
+
+
+def test_combined_field_degenerates_to_bm25(spark, built_index, searcher,
+                                            common_terms):
+    """BM25F over ONE field with weight 1.0 must equal the plain BM25
+    SHOULD-of-terms disjunction over that field (same stats, same freqs,
+    same norms) — pinning the combined arithmetic to the scored path."""
+    from lucene_spark.query.combined import combined_field_search
+
+    terms = [common_terms[0][0], common_terms[2][0]]
+    plain = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(
+            BooleanQuery(should=[TermQuery(t) for t in terms],
+                         min_should_match=1), 15
+        ).collect()
+    ]
+    combined = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in combined_field_search(
+            spark, {"text": (searcher, 1.0)}, terms, 15
+        ).collect()
+    ]
+    assert combined == plain
