@@ -182,17 +182,27 @@ def decode_block(
         body = buf[1:]
         ends = np.flatnonzero((body & 0x80) == 0)
         flat_all = vint_decode(body[: ends[-1] + 1]) if ends.size else np.zeros(0, np.uint64)
-        deltas = np.empty(num_docs, dtype=np.int64)
-        freqs = np.empty(num_docs, dtype=np.int64)
-        i = 0
-        for k in range(num_docs):
-            code = int(flat_all[i]); i += 1
-            deltas[k] = code >> 1
-            if code & 1:
-                freqs[k] = 1
-            else:
-                freqs[k] = int(flat_all[i]); i += 1
-        vint_len = int(ends[i - 1]) + 1 if i > 0 else 0
+        lowbit = (flat_all & np.uint64(1)).astype(np.int64)
+        fold_all = lowbit == 1
+        if fold_all.all() or num_docs == 0:
+            # common fast path: every freq folded -> values are all codes
+            code_idx = np.arange(num_docs, dtype=np.int64)
+        else:
+            # walk the code/freq structure (tiny: <256 steps, minimal body)
+            step = (2 - lowbit).tolist()
+            code_idx = np.empty(num_docs, dtype=np.int64)
+            i = 0
+            for k in range(num_docs):
+                code_idx[k] = i
+                i += step[i]
+        deltas = (flat_all[code_idx] >> np.uint64(1)).astype(np.int64)
+        folded = fold_all[code_idx]
+        freqs = np.ones(num_docs, dtype=np.int64)
+        nf = ~folded
+        if nf.any():
+            freqs[nf] = flat_all[code_idx[nf] + 1].astype(np.int64)
+        last = int(code_idx[-1]) + (1 if folded[-1] else 2) if num_docs else 0
+        vint_len = int(ends[last - 1]) + 1 if last > 0 else 0
         docs = np.cumsum(deltas) + prev_last_doc
         return docs, freqs, _norms(1 + vint_len)
     wd = int(buf[0])
