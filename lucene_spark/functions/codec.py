@@ -119,6 +119,67 @@ def _bit_width(vals: np.ndarray) -> int:
     return m.bit_length()
 
 
+_PFOR_FLAG = 0x80
+MAX_PFOR_EXCEPTIONS = 7
+
+
+def pfor_encode_freqs(fr: np.ndarray) -> bytes:
+    """PFOR freq section of a full block (``PForUtil.java:29-70`` semantics:
+    base width covers all but <= 7 patched exceptions, whose high bits are
+    stored out-of-band). Layout:
+
+      plain  : [width]            [FOR lows]
+      patched: [base | 0x80]      [FOR lows] [n_exc] [pos u8 ...] [high VInt ...]
+
+    The width byte's high bit flags the patched form (widths are <= 64, so
+    the bit is free); returns the plain FOR layout when patching would not
+    help (no exceptions at the minimal base)."""
+    v = np.asarray(fr, dtype=np.uint64)
+    widths = np.frexp(np.maximum(v, 1).astype(np.float64))[1].astype(np.int64)
+    wmax = int(widths.max()) if v.size else 0
+    # base = smallest width leaving <= MAX_PFOR_EXCEPTIONS exceptions
+    srt = np.sort(widths)
+    base = int(srt[max(srt.size - 1 - MAX_PFOR_EXCEPTIONS, 0)])
+    if base >= wmax:
+        return bytes([wmax]) + for_pack(v, wmax).tobytes()
+    exc = np.flatnonzero(widths > base)
+    lows = v & np.uint64((1 << base) - 1)
+    highs = (v[exc] >> np.uint64(base)).astype(np.uint64)
+    return (
+        bytes([base | _PFOR_FLAG])
+        + for_pack(lows, base).tobytes()
+        + bytes([exc.size])
+        + exc.astype(np.uint8).tobytes()
+        + vint_encode(highs).tobytes()
+    )
+
+
+def pfor_decode_freqs(buf: np.ndarray, off: int, n: int) -> tuple[np.ndarray, int]:
+    """Inverse of pfor_encode_freqs; returns (freqs int64, next offset)."""
+    wbyte = int(buf[off])
+    base = wbyte & 0x7F
+    nb = (n * base + 7) // 8
+    lows = for_unpack(buf[off + 1 : off + 1 + nb], base, n).astype(np.int64)
+    off = off + 1 + nb
+    if not wbyte & _PFOR_FLAG:
+        return lows, off
+    n_exc = int(buf[off])
+    off += 1
+    pos = buf[off : off + n_exc].astype(np.int64)
+    off += n_exc
+    # n_exc self-delimiting VInts: scan terminator bytes
+    terms_found = 0
+    j = off
+    while terms_found < n_exc:
+        if not buf[j] & 0x80:
+            terms_found += 1
+        j += 1
+    highs = vint_decode(buf[off:j]).astype(np.int64)
+    off = j
+    lows[pos] |= highs << base
+    return lows, off
+
+
 # ---------------------------------------------------------------- blocks
 
 def encode_block(
@@ -145,15 +206,12 @@ def encode_block(
     )
     if docs.size == BLOCK_SIZE:
         wd = _bit_width(deltas.astype(np.uint64))
-        wf = _bit_width(fr.astype(np.uint64))
-        parts = [
-            np.array([wd], dtype=np.uint8),
-            for_pack(deltas.astype(np.uint64), wd),
-            np.array([wf], dtype=np.uint8),
-            for_pack(fr.astype(np.uint64), wf),
-            norm_part,
-        ]
-        return b"".join(p.tobytes() for p in parts)
+        return (
+            bytes([wd])
+            + for_pack(deltas.astype(np.uint64), wd).tobytes()
+            + pfor_encode_freqs(fr)
+            + norm_part.tobytes()
+        )
     # tail: interleaved VInt with freq folding
     codes: list[int] = []
     for d, f in zip(deltas.tolist(), fr.tolist()):
@@ -208,11 +266,9 @@ def decode_block(
     wd = int(buf[0])
     nd = (num_docs * wd + 7) // 8
     deltas = for_unpack(buf[1 : 1 + nd], wd, num_docs).astype(np.int64)
-    wf = int(buf[1 + nd])
-    nf = (num_docs * wf + 7) // 8
-    freqs = for_unpack(buf[2 + nd : 2 + nd + nf], wf, num_docs).astype(np.int64)
+    freqs, off = pfor_decode_freqs(buf, 1 + nd, num_docs)
     docs = np.cumsum(deltas) + prev_last_doc
-    return docs, freqs, _norms(2 + nd + nf)
+    return docs, freqs, _norms(off)
 
 
 def competitive_impacts(freqs: np.ndarray, norm_bytes: np.ndarray) -> tuple[list[int], list[int]]:
@@ -393,14 +449,45 @@ def encode_postings_batch(
                     out[r] = packed[k * per : (k + 1) * per]
             return out
 
-        wd_a, wf_a, wn_a = _widths(fd), _widths(ff), _widths(fn)
+        wd_a, wn_a = _widths(fd), _widths(fn)
         dparts = _pack_rows(fd, wd_a)
-        fparts = _pack_rows(ff, wf_a)
         nparts = _pack_rows(fn, wn_a)
+
+        # PFOR freqs (PForUtil.java semantics, vectorized across blocks):
+        # base width = 8th-largest per-block bit length -> <= 7 exceptions,
+        # whose high bits go out-of-band as VInts
+        fw_all = np.frexp(np.maximum(ff, 1).astype(np.float64))[1].astype(np.int64)
+        wmax_b = fw_all.max(axis=1)
+        kidx = BLOCK_SIZE - 1 - MAX_PFOR_EXCEPTIONS
+        base_b = np.partition(fw_all, kidx, axis=1)[:, kidx]
+        patched = base_b < wmax_b
+        eff_w = np.where(patched, base_b, wmax_b)
+        lows = ff & (((np.uint64(1) << eff_w.astype(np.uint64))
+                      - np.uint64(1))[:, None])
+        fparts = _pack_rows(lows, eff_w)
+        er, ec = np.nonzero(fw_all > eff_w[:, None])
+        highs = ff[er, ec] >> eff_w[er].astype(np.uint64)
+        hbytes = vint_encode(highs).tobytes()
+        hoff = np.concatenate(([0], np.cumsum(_vint_sizes(highs))))
+        nblk_full = ff.shape[0]
+        e_lo = np.searchsorted(er, np.arange(nblk_full))
+        e_hi = np.searchsorted(er, np.arange(nblk_full), side="right")
+        ec_u8 = ec.astype(np.uint8).tobytes()
+
+        patched_l = patched.tolist()
         for k, bid in enumerate(fb_ids.tolist()):
+            if patched_l[k]:
+                a, b2 = int(e_lo[k]), int(e_hi[k])
+                fsec = (
+                    bytes([int(eff_w[k]) | _PFOR_FLAG]) + fparts[k]
+                    + bytes([b2 - a]) + ec_u8[a:b2]
+                    + hbytes[hoff[a]:hoff[b2]]
+                )
+            else:
+                fsec = bytes([int(eff_w[k])]) + fparts[k]
             full_payload[bid] = (
                 bytes([int(wd_a[k])]) + dparts[k]
-                + bytes([int(wf_a[k])]) + fparts[k]
+                + fsec
                 + bytes([int(wn_a[k])]) + nparts[k]
             )
 
