@@ -28,10 +28,27 @@ def __getattr__(name):
     if name == "get_spark":
         from lucene_spark.session import get_spark
         return get_spark
+    if name == "combined_field_search":
+        from lucene_spark.query.combined import combined_field_search
+        return combined_field_search
+    if name == "TooManyClauses":
+        from lucene_spark.query.search import TooManyClauses
+        return TooManyClauses
+    if name == "append_batch":
+        from lucene_spark.streaming.append import append_batch
+        return append_batch
+    if name == "stream_append":
+        from lucene_spark.streaming.append import stream_append
+        return stream_append
+    if name == "build_ann_index":
+        from lucene_spark.operators.similarity import build_ann_index
+        return build_ann_index
     raise AttributeError(name)
 
 
 __all__ = [
     "IndexConfig", "build_index", "build_index_files", "merge_index",
     "check_index", "IndexSearcher", "QueryParser", "get_spark",
+    "combined_field_search", "TooManyClauses", "append_batch",
+    "stream_append", "build_ann_index",
 ]
