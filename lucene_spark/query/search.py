@@ -750,6 +750,47 @@ class IndexSearcher:
             .limit(k)
         )
 
+    #: zone width for the interval-binned block/candidate join
+    _ZONE = 8192
+    #: blocks spanning more zones than this skip the bin join (auto-survive)
+    _WIDE_ZONES = 64
+
+    def _range_pruned_keys(self, terms: list[str], cand: DataFrame) -> DataFrame:
+        """Block keys (term, segment_id, block_id) of ``terms`` whose
+        [first_doc, last_doc] range contains >= 1 candidate doc — the
+        docID-driven skip of BlockMaxConjunction/DenseConjunction
+        (``BlockMaxConjunctionBulkScorer.java``): in a conjunction, docs
+        absent from the rarest required clause can never match, so blocks
+        of the other clauses that contain none of its docs never need
+        decoding. Distributed as an interval join binned by doc-id zones
+        (no driver-side metadata collect); blocks spanning many zones
+        (sparse terms) auto-survive instead of exploding bins."""
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
+        meta = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", "segment_id", "block_id", "first_doc", "last_doc")
+        z_lo = F.expr(f"first_doc div {self._ZONE}")
+        z_hi = F.expr(f"last_doc div {self._ZONE}")
+        wide = meta.filter(z_hi - z_lo > self._WIDE_ZONES).select(
+            "term", "segment_id", "block_id"
+        )
+        narrow = meta.filter(z_hi - z_lo <= self._WIDE_ZONES)
+        zb = narrow.withColumn("z", F.explode(F.sequence(z_lo, z_hi)))
+        zc = cand.select(
+            F.expr(f"doc_id div {self._ZONE}").alias("z"),
+            F.col("doc_id").alias("cand_doc"),
+        )
+        hit = (
+            zb.join(zc, "z")
+            .filter(
+                (F.col("cand_doc") >= F.col("first_doc"))
+                & (F.col("cand_doc") <= F.col("last_doc"))
+            )
+            .select("term", "segment_id", "block_id")
+            .distinct()
+        )
+        return hit.unionByName(wide)
+
     def _impact_ub_unit(self):
         """Per-block WEIGHT-FREE score upper bound from the stored impacts:
         max over (freq, norm) pairs of ``1 - 1/(1 + f * inv)`` (the BM25
@@ -797,6 +838,35 @@ class IndexSearcher:
                    if c.kind in ("must", "should") and float(c.weight) > 0]
         if not scoring:
             return self.search(q, k)
+
+        # strategy 1 — docID-driven conjunction skipping (EXACT, no probe):
+        # when a required clause is much rarer than everything else, its doc
+        # set bounds the match set; only blocks of the OTHER clauses that
+        # range-contain one of its docs ever need decoding (must_not stays
+        # exhaustive — skipping exclusions is never safe).
+        stats = self.term_stats(sorted({c.term for c in clauses}))
+        req = [c for c in clauses if c.kind in ("must", "filter")
+               and c.term in stats]
+        if req:
+            rare = min(req, key=lambda c: stats[c.term][0])
+            df_r = stats[rare.term][0]
+            others = sorted({
+                c.term for c in clauses
+                if c.kind != "must_not" and c.term != rare.term
+                and c.term in stats
+            })
+            min_other = min(
+                (stats[t][0] for t in others), default=0
+            )
+            if others and df_r * 16 <= self.doc_count and df_r * 4 <= min_other:
+                cand = self.term_postings(rare.term).select("doc_id")
+                keys = self._range_pruned_keys(others, cand)
+                scored = self._flat_boolean(
+                    q, np.float32(1.0), block_keys=keys, keyed_terms=others
+                )
+                return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+        # strategy 2 — score-bound (block-max) pruning with probe θ
         sterms = sorted({c.term for c in scoring})
         buckets = sorted({term_bucket_of(t, self.buckets) for t in sterms})
         meta = self.postings.filter(
@@ -1168,12 +1238,17 @@ class IndexSearcher:
                 cid += 1
         return clauses
 
-    def _scan_and_score(self, clauses: list[_Clause], block_pred=None) -> DataFrame:
+    def _scan_and_score(self, clauses: list[_Clause], block_pred=None,
+                        block_keys: DataFrame | None = None,
+                        keyed_terms: list[str] | None = None) -> DataFrame:
         """ONE postings scan scoring every clause: emits
         (clause_id, doc_id, score float32). ``block_pred`` (optional) is a
         Column predicate over block metadata — including the per-block
         impact upper bound ``ubu`` — used by search_pruned to skip decoding
-        blocks that cannot reach the top-k threshold."""
+        blocks that cannot reach the top-k threshold. ``block_keys`` +
+        ``keyed_terms`` (optional) restrict the listed terms to the given
+        (term, segment_id, block_id) keys via a semi join (docID-driven
+        conjunction skipping); other terms scan in full."""
         present = [c for c in clauses]
         terms = sorted({c.term for c in present})
         buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
@@ -1185,6 +1260,12 @@ class IndexSearcher:
         scan = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
+        if block_keys is not None:
+            pruned = scan.filter(F.col("term").isin(keyed_terms)).join(
+                block_keys, ["term", "segment_id", "block_id"], "left_semi"
+            )
+            rest = scan.filter(~F.col("term").isin(keyed_terms))
+            scan = pruned.unionByName(rest)
         if block_pred is not None:
             scan = scan.withColumn("ubu", self._impact_ub_unit()).filter(block_pred)
         scan = scan.select("term", "num_docs", "first_doc", "data")
@@ -1229,7 +1310,8 @@ class IndexSearcher:
         return scan.mapInPandas(decode_score, schema=_CLAUSE_SCHEMA)
 
     def _flat_boolean(self, q: BooleanQuery, boost: np.float32,
-                      block_pred=None) -> DataFrame | None:
+                      block_pred=None, block_keys: DataFrame | None = None,
+                      keyed_terms: list[str] | None = None) -> DataFrame | None:
         clauses = self._clauses_of(q, boost)
         n_must = sum(1 for c in clauses if c.kind == "must")
         n_filter = sum(1 for c in clauses if c.kind == "filter")
@@ -1240,8 +1322,10 @@ class IndexSearcher:
         # (TermQuery never needs a BooleanScorer; at 10^7+ matched docs the
         # avoided shuffle dominates query latency)
         if len(clauses) == 1 and clauses[0].kind in ("must", "should"):
-            return self._scan_and_score(clauses, block_pred).select("doc_id", "score")
-        matched = self._scan_and_score(clauses, block_pred)
+            return self._scan_and_score(
+                clauses, block_pred, block_keys, keyed_terms
+            ).select("doc_id", "score")
+        matched = self._scan_and_score(clauses, block_pred, block_keys, keyed_terms)
 
         kinds = {c.clause_id: c.kind for c in clauses}
         kind_expr = F.create_map(

@@ -324,3 +324,24 @@ def test_combined_field_degenerates_to_bm25(spark, built_index, searcher,
         ).collect()
     ]
     assert combined == plain
+
+
+def test_docid_driven_conjunction_pruning(searcher, common_terms):
+    """A rare required clause triggers the docID-driven block-skip path;
+    results must be rank- and score-identical, for must and filter."""
+    hot = common_terms[0][0]
+    rare = common_terms[-1][0]
+    shapes = [
+        BooleanQuery(must=[TermQuery(hot), TermQuery(rare)]),
+        BooleanQuery(must=[TermQuery(hot)], filter=[TermQuery(rare)]),
+        BooleanQuery(must=[TermQuery(hot), TermQuery(rare)],
+                     should=[TermQuery(common_terms[1][0])]),
+        BooleanQuery(must=[TermQuery(hot), TermQuery(rare)],
+                     must_not=[TermQuery(common_terms[2][0])]),
+    ]
+    for q in shapes:
+        exact = [(r["doc_id"], np.float32(r["score"]))
+                 for r in searcher.search(q, 20).collect()]
+        pruned = [(r["doc_id"], np.float32(r["score"]))
+                  for r in searcher.search_pruned(q, 20).collect()]
+        assert pruned == exact, q

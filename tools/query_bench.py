@@ -64,6 +64,11 @@ def main() -> None:
     q["conj_hot_cold"], _ = t(
         lambda: s.search(BooleanQuery(must=[TermQuery(hot[0]), TermQuery(cold[0])]), 10)
     )
+    q["conj_hot_cold_pruned"], _ = t(
+        lambda: s.search_pruned(
+            BooleanQuery(must=[TermQuery(hot[0]), TermQuery(cold[0])]), 10
+        )
+    )
     q["disj_msm2"], _ = t(
         lambda: s.search(
             BooleanQuery(
