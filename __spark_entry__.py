@@ -57,6 +57,8 @@ _BM25_QUERIES: dict[str, dict] = {
 _PREFIX = "s"  # scan/sort/small/spark/stream/slow...
 _PHRASE = ["scan", "merge"]
 _PHRASE_SLOP = (["scan", "merge"], 2)
+_SPAN_NEAR = (["scan", "merge"], 3)
+_SUGGEST_PREFIX, _SUGGEST_K = "s", 15
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
@@ -154,6 +156,19 @@ def _phrase_slop_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms, slop = _PHRASE_SLOP
     return _multiterm_df(spark, sf_dir, PhraseQuery(tuple(terms), slop))
+
+
+def _span_near_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import SpanNearQuery
+
+    terms, slop = _SPAN_NEAR
+    q = SpanNearQuery(tuple(terms), slop, in_order=False)
+    return _multiterm_df(spark, sf_dir, q)
+
+
+def _suggest_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    return s.suggest(_SUGGEST_PREFIX, _SUGGEST_K)
 
 
 def _multi_phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_prefix"] = _prefix_df
     out["bm25_phrase"] = _phrase_df
     out["bm25_phrase_slop"] = _phrase_slop_df
+    out["bm25_span_near_unord"] = _span_near_df
+    out["suggest_prefix"] = _suggest_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -767,6 +784,15 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_phrase_slop"] = sqlgen.sloppy_phrase_topk_sql(
         _PHRASE_SLOP[0], _PHRASE_SLOP[1], _QUERY_K
     )
+    out["bm25_span_near_unord"] = sqlgen.span_near_unordered_sql(
+        _SPAN_NEAR[0], _SPAN_NEAR[1], _QUERY_K
+    )
+    out["suggest_prefix"] = f"""
+WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}
+SELECT term, CAST(sum(freq) AS BIGINT) AS weight FROM tf
+WHERE term LIKE '{_SUGGEST_PREFIX}%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT {_SUGGEST_K}
+""".strip()
     out["bm25_multi_phrase"] = sqlgen.multi_phrase_topk_sql(_MULTI_PHRASE, _QUERY_K)
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
     out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)

@@ -348,6 +348,64 @@ LIMIT {k}
 """.strip()
 
 
+def span_near_unordered_sql(
+    terms: list[str],
+    slop: int,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Two-term UNORDERED span-near twin (nearest-occurrence semantics, see
+    SpanNearQuery AST docstring): for each occurrence of term0, d = distance
+    to the nearest term1 occurrence; match when d-1 <= slop with weight
+    1/(1+(d-1)). Same idf/weight as the phrase family."""
+    if len(terms) != 2:
+        raise ValueError("SQL twin implemented for 2-term span_near")
+    t0, t1 = terms
+    df_joins = ", ".join(
+        f"(SELECT coalesce(max(df), 0) AS df FROM df WHERE term = '{t}') d{j}"
+        for j, t in enumerate(terms)
+    )
+    idf_sum = " + ".join(
+        f"CAST(CAST(ln(1 + (c.dc - d{j}.df + 0.5) / (d{j}.df + 0.5)) AS REAL) AS DOUBLE)"
+        for j in range(2)
+    )
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS p FROM tokarr
+),
+nearest AS (
+  SELECT a.doc_id, a.p AS pa, min(abs(b.p - a.p)) AS d
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{t0}') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = '{t1}') b
+    ON b.doc_id = a.doc_id
+  GROUP BY a.doc_id, a.p
+),
+pf AS (
+  SELECT doc_id,
+         sum(CASE WHEN d - 1 <= {slop} THEN 1.0 / (1.0 + (d - 1)) END) AS freq
+  FROM nearest GROUP BY doc_id
+),
+w AS (
+  SELECT CAST({idf_sum} AS REAL) AS v FROM consts c, {df_joins}
+)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def multi_phrase_topk_sql(
     slots: list[list[str]],
     k: int,

@@ -101,6 +101,24 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Span proximity (``queries/.../spans/SpanNearQuery.java`` surface,
+    simplified): terms within ``slop`` positional gap. ``in_order=True`` is
+    exactly the sloppy-phrase semantics (ordered greedy, sloppyFreq
+    1/(1+gap)). ``in_order=False`` is defined for two terms: for each
+    occurrence p of term0, the NEAREST occurrence q of term1 (either side)
+    matches when |q-p|-1 <= slop, contributing 1/(1+(|q-p|-1)) — a
+    documented simplification of the reference's NearSpansUnordered window
+    enumeration, chosen because it is independently SQL-replayable."""
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    def __repr__(self) -> str:
+        o = "ord" if self.in_order else "unord"
+        return f"SpanNear({list(self.terms)!r},{self.slop},{o})"
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: doc_freq = max over terms,
     total_term_freq = sum, per-doc freq = sum (``SynonymQuery.java:211-228``)."""
@@ -413,6 +431,10 @@ def parse_query(obj: str | dict) -> Query:
             q = PhraseQuery(tuple(p))
     elif "multi_phrase" in obj:
         q = MultiPhraseQuery(tuple(tuple(s) for s in obj["multi_phrase"]))
+    elif "span_near" in obj:
+        sn = obj["span_near"]
+        q = SpanNearQuery(tuple(sn["terms"]), int(sn.get("slop", 0)),
+                          bool(sn.get("in_order", True)))
     elif "synonym" in obj:
         q = SynonymQuery(tuple(obj["synonym"]))
     elif "dismax" in obj:

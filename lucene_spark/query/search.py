@@ -58,6 +58,7 @@ from lucene_spark.query.ast import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -415,6 +416,21 @@ class IndexSearcher:
             "details": details,
         }
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Prefix completion from the term dictionary — the suggest-module
+        analog (``lucene/suggest`` FST completion ≅ a pruned dictionary
+        range scan ranked by corpus weight): DF(term, weight long) of the
+        top-k terms starting with ``prefix``, ranked by total_term_freq
+        desc then term asc (the module's default weight is a corpus
+        frequency). The sorted term column makes the scan a row-group-pruned
+        range read, never a full dictionary pass."""
+        return (
+            self.term_dict.filter(F.col("term").startswith(prefix))
+            .select("term", F.col("total_term_freq").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(k)
+        )
+
     def term_postings(self, term: str) -> DataFrame:
         """Decoded posting list of one term: DF(doc_id long, freq int) —
         the raw DocIdSetIterator surface (postings scan + block decode)."""
@@ -656,6 +672,8 @@ class IndexSearcher:
             return self._phrase(q, boost)
         if isinstance(q, MultiPhraseQuery):
             return self._multi_phrase(q, boost)
+        if isinstance(q, SpanNearQuery):
+            return self._span_near(q, boost)
         if isinstance(q, SynonymQuery):
             return self._synonym(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
@@ -1035,18 +1053,10 @@ class IndexSearcher:
         w = self._multi_term_weight(boost, idfs)
         return self._phrase_core(present_slots, 0, w)
 
-    def _phrase_core(
-        self, slots: list[tuple[str, ...]], slop: int, w: np.float32
-    ) -> DataFrame | None:
-        """Shared phrase engine: ONE positions scan and ONE groupBy(doc_id)
-        regardless of phrase length (the round-1 plan chained N-1 shuffle
-        joins on doc_id). Each scanned row is tagged with the slot(s) its
-        term fills (literal term->slots map, exploded), then a single
-        aggregation assembles per-slot position arrays (union of
-        alternatives, distinct+sorted). slop=0 applies the JVM adjacency
-        filter; slop>0 runs the ordered greedy sloppy matcher (see
-        PhraseQuery docstring) in a vectorized UDF over the tiny matched
-        frame."""
+    def _slot_position_frame(self, slots: list[tuple[str, ...]]) -> DataFrame:
+        """ONE positions scan + ONE groupBy(doc_id) assembling per-slot
+        position arrays p0..p{n-1} (union of slot alternatives,
+        distinct+sorted), filtered to docs where every slot matched."""
         n_slots = len(slots)
         term_slots: dict[str, list[int]] = {}
         for i, sl in enumerate(slots):
@@ -1088,7 +1098,18 @@ class IndexSearcher:
         present = F.size(F.col("p0")) > 0
         for i in range(1, n_slots):
             present = present & (F.size(F.col(f"p{i}")) > 0)
-        j = j.filter(present)
+        return j.filter(present)
+
+    def _phrase_core(
+        self, slots: list[tuple[str, ...]], slop: int, w: np.float32
+    ) -> DataFrame | None:
+        """Shared phrase engine: slot-position assembly (ONE shuffle — the
+        round-1 plan chained N-1 joins on doc_id) followed by matching.
+        slop=0 applies the JVM adjacency filter; slop>0 runs the ordered
+        greedy sloppy matcher (see PhraseQuery docstring) in a vectorized
+        UDF over the tiny matched frame."""
+        n_slots = len(slots)
+        j = self._slot_position_frame(slots)
         if slop == 0 and n_slots == 1:
             freq = F.size(F.col("p0")).cast("double")
             matched = j.select("doc_id", freq.alias("freq"))
@@ -1132,6 +1153,55 @@ class IndexSearcher:
             matched = j.mapInPandas(
                 sloppy, schema="doc_id long, freq double"
             ).filter(F.col("freq") > 0)
+        return self._score_freq_frame(matched, w)
+
+    def _span_near(self, q, boost: np.float32) -> DataFrame | None:
+        """SpanNearQuery execution (see the AST docstring for semantics):
+        ordered = the sloppy-phrase core; unordered (2 terms) = nearest-
+        occurrence matching, both over the single-shuffle slot frame."""
+        terms = list(q.terms)
+        if not terms:
+            return None
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return None
+        w = self._multi_term_weight(
+            boost, [bm25.idf(stats[t][0], self.doc_count) for t in terms]
+        )
+        if q.in_order:
+            return self._phrase_core([(t,) for t in terms], int(q.slop), w)
+        if len(terms) != 2:
+            raise ValueError("unordered span_near supports exactly 2 terms")
+        j = self._slot_position_frame([(terms[0],), (terms[1],)])
+        slop = int(q.slop)
+
+        def nearest(batches):
+            for pdf in batches:
+                docs_out = pdf["doc_id"].to_numpy(np.int64)
+                freqs = np.zeros(len(pdf), dtype=np.float64)
+                c0 = pdf["p0"].to_numpy(object)
+                c1 = pdf["p1"].to_numpy(object)
+                for r in range(len(pdf)):
+                    a = np.asarray(c0[r], dtype=np.int64)
+                    b = np.asarray(c1[r], dtype=np.int64)
+                    acc = 0.0
+                    idx = np.searchsorted(b, a)
+                    for i, p in enumerate(a.tolist()):
+                        d = None
+                        if idx[i] < b.size:
+                            d = int(b[idx[i]]) - p
+                        if idx[i] > 0:
+                            d2 = p - int(b[idx[i] - 1])
+                            d = d2 if d is None or d2 < d else d
+                        ml = d - 1
+                        if ml <= slop:
+                            acc += 1.0 / (1.0 + ml)
+                    freqs[r] = acc
+                yield pd.DataFrame({"doc_id": docs_out, "freq": freqs})
+
+        matched = j.mapInPandas(nearest, schema="doc_id long, freq double").filter(
+            F.col("freq") > 0
+        )
         return self._score_freq_frame(matched, w)
 
     def _synonym(self, q: SynonymQuery, boost: np.float32) -> DataFrame | None:

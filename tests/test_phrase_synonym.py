@@ -275,3 +275,59 @@ def test_parser_phrase_slop():
     assert isinstance(q, PhraseQuery) and q.slop == 2 and q.terms == ("scan", "merge")
     q0 = QueryParser("simple").parse('"scan merge"')
     assert isinstance(q0, PhraseQuery) and q0.slop == 0
+
+
+def test_span_near_semantics(spark, tmp_path):
+    """Unordered span-near: nearest-occurrence matching either side;
+    ordered variant equals the sloppy phrase."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import PhraseQuery, SpanNearQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "alpha beta x",            # adjacent forward
+        "beta alpha x",            # adjacent REVERSED — only unordered
+        "alpha x y beta",          # gap 2
+        "beta x y z alpha",        # reversed gap 3
+        "alpha only here",
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "span_idx")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2, analyzer="simple"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+
+    unord = {int(r["doc_id"]) for r in s.search(
+        SpanNearQuery(("alpha", "beta"), 2, in_order=False), 10).collect()}
+    assert unord == {0, 1, 2}  # reversed-adjacent matches; gap-3 does not
+    ordered = {int(r["doc_id"]) for r in s.search(
+        SpanNearQuery(("alpha", "beta"), 2, in_order=True), 10).collect()}
+    assert ordered == {0, 2}  # ordered excludes the reversed docs
+    # ordered span == sloppy phrase, bit-exact
+    a = [(r["doc_id"], np.float32(r["score"])) for r in s.search(
+        SpanNearQuery(("alpha", "beta"), 2, in_order=True), 10).collect()]
+    b = [(r["doc_id"], np.float32(r["score"])) for r in s.search(
+        PhraseQuery(("alpha", "beta"), 2), 10).collect()]
+    assert a == b
+
+
+def test_suggest(spark, built_index):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    rows = s.suggest("b", 5).collect()
+    assert 0 < len(rows) <= 5
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    assert all(r["term"].startswith("b") for r in rows)
