@@ -553,6 +553,65 @@ def _custom_sim_df(spark, sf_dir):
     )
 
 
+_PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
+_PARENT_K, _PARENT_CHUNK = 15, 20
+
+
+def _parent_searcher(spark: SparkSession, sf_dir: str):
+    """Index where each document is split into 20-token child 'turns' —
+    the parent/child block structure for the join-module entry."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_turns"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        n_chunks = F.greatest(
+            F.ceil(F.size(toks) / F.lit(_PARENT_CHUNK)), F.lit(1)
+        ).cast("int")
+        tdf = (
+            docs.select(F.col("doc_id"), toks.alias("toks"), n_chunks.alias("nc"))
+            .select(
+                "doc_id", "toks",
+                F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("turn_idx"),
+            )
+            .select(
+                F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+                F.col("turn_idx").cast("int"),
+                F.lit("doc").alias("role"),
+                F.array_join(
+                    F.slice(F.col("toks"),
+                            F.col("turn_idx") * _PARENT_CHUNK + 1,
+                            _PARENT_CHUNK),
+                    " ",
+                ).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+        )
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _parent_join_df(spark, sf_dir):
+    """ToParentBlockJoinQuery analog: child (turn) BM25 hits aggregated to
+    conversations with ScoreMode.Max."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _parent_searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_PARENT_AST)))
+    out = s.search_parents(q, _PARENT_K, score_mode="max")
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "score"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 _STOP_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 
 
@@ -724,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phrase_slop"] = _phrase_slop_df
     out["bm25_span_near_unord"] = _span_near_df
     out["suggest_prefix"] = _suggest_df
+    out["parent_block_join"] = _parent_join_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -792,6 +852,25 @@ WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}
 SELECT term, CAST(sum(freq) AS BIGINT) AS weight FROM tf
 WHERE term LIKE '{_SUGGEST_PREFIX}%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT {_SUGGEST_K}
+""".strip()
+    # parent block join: children = 20-token chunks, scored per child with
+    # child-level collection stats, max-aggregated to the parent doc
+    _childs = (
+        "(SELECT doc_id * 100000 + i AS cid, "
+        f"array_to_string(toks[i * {_PARENT_CHUNK} + 1 : (i + 1) * {_PARENT_CHUNK}], ' ') AS ctext "
+        "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks, "
+        "unnest(range(greatest(CAST(ceil(len(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        f"/ {_PARENT_CHUNK}.0) AS BIGINT), 1))) AS i FROM documents))"
+    )
+    _child_topk = sqlgen.topk_sql(
+        parse_query(json.dumps(_PARENT_AST)), 1_000_000_000,
+        table=_childs, id_col="cid", text_col="ctext",
+    )
+    out["parent_block_join"] = f"""
+SELECT t.doc_id // 100000 AS doc_id, CAST(max(t.score) AS REAL) AS score
+FROM ({_child_topk}) t
+GROUP BY t.doc_id // 100000
+ORDER BY score DESC, doc_id ASC LIMIT {_PARENT_K}
 """.strip()
     out["bm25_multi_phrase"] = sqlgen.multi_phrase_topk_sql(_MULTI_PHRASE, _QUERY_K)
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)

@@ -416,6 +416,38 @@ class IndexSearcher:
             "details": details,
         }
 
+    def search_parents(self, query: Query, k: int = 10,
+                       score_mode: str = "max") -> DataFrame:
+        """Parent-level top-k — the join-module analog
+        (``join/.../ToParentBlockJoinQuery.java``: children indexed in the
+        parent's block, child hits aggregated up with a ScoreMode). Here a
+        conversation is the parent and its turns are the children, so the
+        block-join is a groupBy(conv_id) over child matches with the
+        ScoreMode aggregate (max | total | avg — ``ScoreMode.java``), then
+        (score desc, conv_id asc) LIMIT k. Ties and float behavior: the
+        aggregation is over float32 child scores in float64, cast back
+        (total/avg); max is exact."""
+        if score_mode not in ("max", "total", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._execute(q, np.float32(1.0))
+        if scored is None:
+            return self.spark.createDataFrame([], "conv_id string, score float")
+        dm = self.docmap().select("doc_id", "conv_id")
+        per_child = scored.join(dm, "doc_id")
+        if score_mode == "max":
+            agg = per_child.groupBy("conv_id").agg(F.max("score").alias("score"))
+        elif score_mode == "total":
+            agg = per_child.groupBy("conv_id").agg(
+                F.sum(F.col("score").cast("double")).cast("float").alias("score")
+            )
+        else:
+            agg = per_child.groupBy("conv_id").agg(
+                (F.sum(F.col("score").cast("double")) / F.count("*"))
+                .cast("float").alias("score")
+            )
+        return agg.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion from the term dictionary — the suggest-module
         analog (``lucene/suggest`` FST completion ≅ a pruned dictionary

@@ -345,3 +345,30 @@ def test_docid_driven_conjunction_pruning(searcher, common_terms):
         pruned = [(r["doc_id"], np.float32(r["score"]))
                   for r in searcher.search_pruned(q, 20).collect()]
         assert pruned == exact, q
+
+
+def test_parent_block_join_modes(searcher, common_terms):
+    """search_parents: ScoreMode.Max equals per-parent max of child scores;
+    total equals f32(double sum); avg consistent with total/count."""
+    from collections import defaultdict
+
+    t = common_terms[0][0]
+    child = searcher._execute(TermQuery(t), np.float32(1.0))
+    dm = searcher.docmap().select("doc_id", "conv_id")
+    rows = child.join(dm, "doc_id").collect()
+    by_parent = defaultdict(list)
+    for r in rows:
+        by_parent[r["conv_id"]].append(np.float32(r["score"]))
+    def top(mode):
+        return [(r["conv_id"], np.float32(r["score"]))
+                for r in searcher.search_parents(TermQuery(t), 8, mode).collect()]
+    exp_max = sorted(
+        ((c, max(v)) for c, v in by_parent.items()),
+        key=lambda x: (-x[1], x[0]))[:8]
+    assert top("max") == [(c, np.float32(s)) for c, s in exp_max]
+    exp_tot = sorted(
+        ((c, np.float32(sum(np.float64(x) for x in v)))
+         for c, v in by_parent.items()),
+        key=lambda x: (-x[1], x[0]))[:8]
+    assert top("total") == [(c, np.float32(s)) for c, s in exp_tot]
+    assert len(top("avg")) == min(8, len(by_parent))
