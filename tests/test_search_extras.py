@@ -372,3 +372,24 @@ def test_parent_block_join_modes(searcher, common_terms):
         key=lambda x: (-x[1], x[0]))[:8]
     assert top("total") == [(c, np.float32(s)) for c, s in exp_tot]
     assert len(top("avg")) == min(8, len(by_parent))
+
+
+def test_predicate_pushdown_reaches_parquet(searcher, common_terms):
+    """Plans must push term predicates into the parquet scan (PushedFilters)
+    — the 100TB property that a query reads row groups, not the table."""
+    import re
+
+    from lucene_spark.query.ast import PrefixQuery
+
+    def pushed(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+
+    t = common_terms[0][0]
+    assert f"EqualTo(term,{t})" in pushed(searcher.search(TermQuery(t), 3))
+    assert "StringStartsWith(term," in pushed(
+        searcher.search(PrefixQuery(t[:2]), 3)
+    )
+    t2 = common_terms[1][0]
+    q = BooleanQuery(must=[TermQuery(t), TermQuery(t2)])
+    assert "In(term" in pushed(searcher.search(q, 3))
