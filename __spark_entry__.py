@@ -612,6 +612,32 @@ def _parent_join_df(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+_WORKLOAD = {
+    "w_term": {"bool": {"must": [{"term": "dup"}]}},
+    "w_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
+    "w_msm": {"bool": {"should": [{"term": "scan"}, {"term": "hash"},
+                                  {"term": "dup"}], "min_should_match": 2}},
+}
+
+
+def _search_many_df(spark, sf_dir):
+    """Batched workload execution: ONE postings scan answers every query."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    queries = {
+        name: rewrite_fixpoint(parse_query(json.dumps(ast)))
+        for name, ast in _WORKLOAD.items()
+    }
+    out = s.search_many(queries, _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        out.join(dm, "doc_id")
+        .select("query", F.col("orig_id").alias("doc_id"), "score")
+        .orderBy("query", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 _STOP_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 
 
@@ -784,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_span_near_unord"] = _span_near_df
     out["suggest_prefix"] = _suggest_df
     out["parent_block_join"] = _parent_join_df
+    out["search_many_batch"] = _search_many_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -977,6 +1004,12 @@ ORDER BY t.score DESC, t.doc_id ASC
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,
         k1=_CUSTOM_K1, b=_CUSTOM_B,
     )
+    out["search_many_batch"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query, t.* FROM (\n"
+        + sqlgen.topk_sql(parse_query(json.dumps(ast)), _QUERY_K)
+        + "\n) t"
+        for name, ast in _WORKLOAD.items()
+    ) + "\nORDER BY query, score DESC, doc_id ASC"
     from lucene_spark.query.combined import combined_field_sql
     out["bm25_combined_field"] = combined_field_sql(
         _CF_FIELDS, _CF_TERMS, _QUERY_K

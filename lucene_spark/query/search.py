@@ -416,6 +416,105 @@ class IndexSearcher:
             "details": details,
         }
 
+    def search_many(self, queries: dict[str, Query], k: int = 10) -> DataFrame:
+        """Batched top-k for a WORKLOAD of flat Boolean/term queries in ONE
+        postings scan — a capability the reference has no analog for (its
+        searcher executes one query at a time): all queries' terms go into
+        one pushed-down scan, each decoded block is scored once per
+        (query, clause) pair, and a single groupBy((query, doc)) + per-query
+        rank window produces every query's top-k. At corpus scale this
+        amortizes the dominant cost (scan + decode) across the workload —
+        the shape a training-data pipeline needs when probing one corpus
+        with hundreds of labeling queries.
+
+        Returns DF(query string, doc_id long, score float) with exactly k
+        rows per matching query in (score desc, doc_id asc) rank order.
+        Results are bit-identical to running search() per query (asserted
+        in tests). Queries that are not flat Boolean/term raise ValueError.
+        """
+        from pyspark.sql.window import Window
+
+        per_query: dict[str, tuple[list[_Clause], BooleanQuery]] = {}
+        for name, query in queries.items():
+            q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+            if isinstance(q, TermQuery):
+                q = BooleanQuery(must=[q])
+            if not (isinstance(q, BooleanQuery) and self._is_flat(q)):
+                raise ValueError(f"{name}: search_many supports flat queries")
+            per_query[name] = (self._clauses_of(q, np.float32(1.0)), q)
+
+        # global clause table: clause_id space is shared across queries
+        all_clauses: list[_Clause] = []
+        meta: list[tuple[str, str, int]] = []  # (query, kind, msm) per clause
+        offset = 0
+        for name, (clauses, q) in per_query.items():
+            for c in clauses:
+                all_clauses.append(
+                    _Clause(offset + c.clause_id, c.kind, c.term, c.weight)
+                )
+                meta.append((name, c.kind, q.min_should_match))
+            offset += len(clauses)
+
+        matched = self._scan_and_score(all_clauses)
+        qmap = F.create_map(*[
+            x for cid, (nm, _, _) in enumerate(meta) for x in (F.lit(cid), F.lit(nm))
+        ])
+        kmap = F.create_map(*[
+            x for cid, (_, kd, _) in enumerate(meta) for x in (F.lit(cid), F.lit(kd))
+        ])
+        m = matched.select(
+            qmap[F.col("clause_id")].alias("query"),
+            kmap[F.col("clause_id")].alias("kind"),
+            "doc_id", "score",
+        )
+        agg = m.groupBy("query", "doc_id").agg(
+            F.sum(F.when(F.col("kind") == "must", F.col("score").cast("double"))).alias("must_s"),
+            F.count(F.when(F.col("kind") == "must", 1)).alias("must_n"),
+            F.sum(F.when(F.col("kind") == "should", F.col("score").cast("double"))).alias("should_s"),
+            F.count(F.when(F.col("kind") == "should", 1)).alias("should_n"),
+            F.count(F.when(F.col("kind") == "filter", 1)).alias("filter_n"),
+            F.count(F.when(F.col("kind") == "must_not", 1)).alias("not_n"),
+        )
+        # per-query membership constants joined in via literal maps
+        def _imap(fn):
+            return F.create_map(*[
+                x for name, (clauses, q) in per_query.items()
+                for x in (F.lit(name), F.lit(fn(clauses, q)))
+            ])[F.col("query")]
+
+        n_must_m = _imap(lambda cl, q: sum(1 for c in cl if c.kind == "must"))
+        n_filter_m = _imap(lambda cl, q: sum(1 for c in cl if c.kind == "filter"))
+        n_should_m = _imap(lambda cl, q: sum(1 for c in cl if c.kind == "should"))
+        msm_m = _imap(lambda cl, q: q.min_should_match)
+        cond = (
+            (F.col("must_n") == n_must_m)
+            & (F.col("filter_n") == n_filter_m)
+            & (F.col("not_n") == 0)
+            & F.when(n_must_m + n_filter_m == 0,
+                     F.col("should_n") >= F.greatest(msm_m, F.lit(1)))
+               .otherwise(
+                   F.when(msm_m > 0, F.col("should_n") >= msm_m).otherwise(F.lit(True))
+               )
+        )
+        # the scorer-tree float boundaries per query shape (same rules as
+        # _combine_req_opt, expressed with the per-query constants)
+        must_f = _f32(F.col("must_s"))
+        should_f = _f32(F.coalesce(F.col("should_s"), F.lit(0.0)))
+        score = (
+            F.when(n_should_m == 0, must_f)
+            .when(n_must_m == 0, should_f)
+            .when(msm_m > 0, _f32(F.col("must_s") + should_f.cast("double")))
+            .otherwise(_f32(must_f.cast("double") + should_f.cast("double")))
+        ).alias("score")
+        ranked = agg.filter(cond).select("query", "doc_id", score)
+        w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query", "doc_id", "score")
+            .orderBy("query", F.desc("score"), F.asc("doc_id"))
+        )
+
     def search_parents(self, query: Query, k: int = 10,
                        score_mode: str = "max") -> DataFrame:
         """Parent-level top-k — the join-module analog

@@ -393,3 +393,31 @@ def test_predicate_pushdown_reaches_parquet(searcher, common_terms):
     t2 = common_terms[1][0]
     q = BooleanQuery(must=[TermQuery(t), TermQuery(t2)])
     assert "In(term" in pushed(searcher.search(q, 3))
+
+
+def test_search_many_equals_individual(searcher, common_terms):
+    """One-scan batched execution must be bit-identical to per-query
+    search() for every query in the workload."""
+    from lucene_spark.query.ast import BoostQuery
+
+    t0, t1, t2 = (common_terms[i][0] for i in range(3))
+    rare = common_terms[-1][0]
+    workload = {
+        "q_term": TermQuery(t0),
+        "q_conj": BooleanQuery(must=[TermQuery(t0), TermQuery(t1)]),
+        "q_msm": BooleanQuery(should=[TermQuery(t0), TermQuery(t1), TermQuery(rare)],
+                              min_should_match=2),
+        "q_not": BooleanQuery(must=[TermQuery(t1)], must_not=[TermQuery(rare)]),
+        "q_boost": BooleanQuery(must=[BoostQuery(TermQuery(t2), 2.0)],
+                                should=[TermQuery(rare)]),
+        "q_filter": BooleanQuery(must=[TermQuery(t0)], filter=[TermQuery(t1)]),
+    }
+    batched = {}
+    for r in searcher.search_many(workload, 12).collect():
+        batched.setdefault(r["query"], []).append(
+            (r["doc_id"], np.float32(r["score"]))
+        )
+    for name, q in workload.items():
+        solo = [(r["doc_id"], np.float32(r["score"]))
+                for r in searcher.search(q, 12).collect()]
+        assert batched.get(name, []) == solo, name
