@@ -361,11 +361,10 @@ def encode_postings_batch(
     blocks (<256) are the VInt layout with freq folding.
 
     Differences vs the scalar ``encode_postings`` path (both decode
-    identically via ``decode_block``):
-      - tail-block norms are written width-8 raw (scalar packs them);
-      - impacts collapse to one (max_freq, min_norm) pair per block — a
-        looser but still valid score upper bound (see inline comment), so
-        block-max pruning stays score-safe.
+    identically via ``decode_block``): tail-block norms are written width-8
+    raw (scalar packs them). Impacts are the full competitive skyline
+    (identical to the scalar ``competitive_impacts``), vectorized across
+    all blocks.
 
     Returns dict of parallel lists: term_idx, block_id, first_doc, last_doc,
     num_docs, ttf, data, impact_freqs, impact_norms.
@@ -518,13 +517,39 @@ def encode_postings_batch(
         byte_lo = byte_hi = np.zeros(0, dtype=np.int64)
     norm_raw = nb.astype(np.uint8).tobytes()
 
-    # ---- per-block impact bound: single (max_freq, min_norm_byte) pair.
-    # BM25 score rises with freq and falls with norm (longer doc), so this
-    # pair upper-bounds every posting in the block — looser than the
-    # reference's co-occurring skyline but computed with two reduceats
-    # instead of a second full sort; pruning stays score-safe either way.
-    gmax = np.maximum.reduceat(freqs, bs_row)
-    gmin_norm = np.minimum.reduceat(nb, bs_row)
+    # ---- per-block competitive impact SKYLINE (CompetitiveImpactAccumulator
+    # semantics, matching the scalar competitive_impacts): per distinct norm
+    # byte the max freq, then entries dominated by a lower-norm pair with
+    # >= freq are pruned — vectorized across ALL blocks with one lexsort +
+    # reduceat + a Hillis-Steele segmented prefix-max (<= 8 doubling passes).
+    order_i = np.lexsort((nb, row_block))
+    rb_s = row_block[order_i]
+    nb_s = nb[order_i]
+    fr_s = freqs[order_i]
+    new_grp = np.concatenate(
+        ([True], (rb_s[1:] != rb_s[:-1]) | (nb_s[1:] != nb_s[:-1]))
+    )
+    g_start = np.flatnonzero(new_grp)
+    g_block = rb_s[g_start]
+    g_norm = nb_s[g_start]
+    g_freq = np.maximum.reduceat(fr_s, g_start)
+    # exclusive prefix max of g_freq within each block segment
+    prev = np.full(g_freq.size, -1, dtype=np.int64)
+    prev[1:] = g_freq[:-1]
+    prev[np.concatenate(([True], g_block[1:] != g_block[:-1]))] = -1
+    d = 1
+    while d < g_freq.size:
+        cand = prev[:-d]
+        same = g_block[d:] == g_block[:-d]
+        np.maximum(prev[d:], np.where(same, cand, -1), out=prev[d:])
+        if d >= BLOCK_SIZE:
+            break
+        d *= 2
+    keep = g_freq > prev
+    sk_block = g_block[keep]
+    sk_norm = g_norm[keep]
+    sk_freq = g_freq[keep]
+    sk_bounds = np.searchsorted(sk_block, np.arange(total_blocks + 1))
 
     ttfs = np.add.reduceat(freqs, bs_row)
     firsts = docs[bs_row]
@@ -538,8 +563,15 @@ def encode_postings_batch(
     out["last_doc"] = lasts.tolist()
     out["num_docs"] = bsizes.tolist()
     out["ttf"] = ttfs.tolist()
-    out["impact_freqs"] = [[int(x)] for x in gmax]
-    out["impact_norms"] = [[int(x)] for x in gmin_norm]
+    sk_f_l = sk_freq.tolist()
+    sk_n_l = sk_norm.tolist()
+    sk_b_l = sk_bounds.tolist()
+    out["impact_freqs"] = [
+        sk_f_l[sk_b_l[j]:sk_b_l[j + 1]] for j in range(total_blocks)
+    ]
+    out["impact_norms"] = [
+        sk_n_l[sk_b_l[j]:sk_b_l[j + 1]] for j in range(total_blocks)
+    ]
     data = out["data"]
     tail_ord = (np.cumsum(~full_blk) - 1).tolist()
     blo = byte_lo.tolist()

@@ -101,3 +101,35 @@ def test_impacts_upper_bound_property():
     # skyline is strictly increasing in both coords
     assert all(fs[i] < fs[i + 1] for i in range(len(fs) - 1))
     assert all(ns[i] < ns[i + 1] for i in range(len(ns) - 1))
+
+
+def test_batch_skyline_matches_scalar():
+    """Batch encoder impact skylines must equal the scalar
+    competitive_impacts per block (CompetitiveImpactAccumulator parity)."""
+    import numpy as np
+
+    from lucene_spark.functions.codec import (
+        BLOCK_SIZE, competitive_impacts, encode_postings_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    sizes = [700, 256, 255, 13, 1]
+    total = sum(sizes)
+    ends = np.cumsum(sizes)
+    starts = ends - np.asarray(sizes)
+    docs = np.empty(total, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        docs[s:e] = np.sort(rng.choice(10**6, e - s, replace=False))
+    freqs = rng.integers(1, 50, total)
+    norms = rng.integers(1, 255, total)
+    out = encode_postings_batch(docs, freqs, norms, starts, ends)
+    # reconstruct per-block row ranges and compare skylines
+    j = 0
+    for ti, (s, e) in enumerate(zip(starts, ends)):
+        for lo in range(s, e, BLOCK_SIZE):
+            hi = min(lo + BLOCK_SIZE, e)
+            exp_f, exp_n = competitive_impacts(freqs[lo:hi], norms[lo:hi])
+            assert out["impact_freqs"][j] == exp_f, (ti, j)
+            assert out["impact_norms"][j] == exp_n, (ti, j)
+            j += 1
+    assert j == len(out["impact_freqs"])
