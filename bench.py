@@ -151,6 +151,19 @@ def main() -> None:
     searcher.search(PrefixQuery("s"), K).collect()
     queries["bm25_prefix"] = round(time.time() - t0, 4)
 
+    # batched workload: the same 6 Boolean queries in ONE postings scan
+    # (extras only — the headline metric stays comparable across rounds)
+    workload = {
+        name: rewrite_fixpoint(parse_query(_json.dumps(ast)))
+        for name, ast in BM25_QUERIES.items()
+    }
+    t0 = time.time()
+    searcher.search_many(workload, K).collect()
+    extras["workload_batched_sec"] = round(time.time() - t0, 4)
+    extras["workload_individual_sec"] = round(
+        sum(queries[n] for n in BM25_QUERIES), 4
+    )
+
     total = round(sum(queries.values()), 4)
     print(json.dumps({
         "metric": "index_build_and_bm25_topk_wall",
