@@ -612,6 +612,46 @@ def _parent_join_df(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+_DELETE_MOD, _DELETE_REM = 7, 3
+
+
+def _deleted_searcher(spark: SparkSession, sf_dir: str):
+    """Fresh index copy with docs (doc_id % 7 == 3) tombstoned — the
+    PendingDeletes entry (stats keep counting deleted docs until merge, so
+    survivor scores are identical; the oracle filters ids only)."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_del"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("has_deletes"):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        s0 = IndexSearcher(spark, index_dir)
+        victims = s0.docmap().select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig")
+        ).filter(F.pmod(F.col("orig"), F.lit(_DELETE_MOD)) == _DELETE_REM)
+        delete_docs(spark, index_dir, victims.select("doc_id"))
+    return IndexSearcher(spark, index_dir)
+
+
+def _deletes_df_entry(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _deleted_searcher(spark, sf_dir)
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _WORKLOAD = {
     "w_term": {"bool": {"must": [{"term": "dup"}]}},
     "w_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
@@ -811,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_prefix"] = _suggest_df
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
+    out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -1003,6 +1044,12 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,
         k1=_CUSTOM_K1, b=_CUSTOM_B,
+    )
+    out["bm25_with_deletes"] = (
+        "SELECT * FROM (\n"
+        + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)
+        + f"\n) t WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM}\n"
+        f"ORDER BY score DESC, doc_id ASC LIMIT {_QUERY_K}"
     )
     out["search_many_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query, t.* FROM (\n"

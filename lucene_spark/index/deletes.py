@@ -1,0 +1,53 @@
+"""Document deletes — the PendingDeletes / liveDocs analog.
+
+Reference semantics mirrored (``core/index/PendingDeletes.java``,
+``LiveDocsFormat``): a delete is a TOMBSTONE — the doc drops out of every
+query result immediately, but postings stay on disk and collection/term
+statistics keep counting the deleted doc until a merge rewrites the
+segments (Lucene's docFreq/sumTotalTermFreq likewise ignore deletes; its
+``Weight#count`` shortcut refuses to answer when deletes exist). Scores of
+surviving docs are therefore IDENTICAL before and after a delete, exactly
+as in the reference.
+
+Layout: ``deletes/`` parquet of doc_ids under the index dir (append-mode,
+distinct on read), manifest flag ``has_deletes`` + generation bump written
+last. Deletes are idempotent and replayable; a batch re-delivery appends
+the same ids and the distinct collapses them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import load_manifest, write_manifest
+
+DELETES_DIR = "deletes"
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
+    """Tombstone the given docs (DF with a ``doc_id`` column); returns the
+    updated manifest. Docs unknown to the index are ignored harmlessly."""
+    manifest = load_manifest(index_dir)
+    if manifest is None or not manifest.get("merged"):
+        raise ValueError(f"{index_dir}: index not built+merged")
+    (
+        doc_ids.select(F.col("doc_id").cast("long"))
+        .distinct()
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, DELETES_DIR))
+    )
+    manifest["has_deletes"] = True
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def read_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """DF(doc_id) of tombstones, or None when the index has none."""
+    p = os.path.join(index_dir, DELETES_DIR)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()

@@ -148,6 +148,25 @@ class IndexSearcher:
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self._docmap: DataFrame | None = None
         self._positions: DataFrame | None = None
+        #: tombstone deletes (PendingDeletes analog): stats keep counting
+        #: deleted docs until merge (reference semantics), results drop them
+        self.has_deletes = bool(manifest.get("has_deletes"))
+        self._deletes_df: DataFrame | None = None
+
+    def _live(self, df: DataFrame | None) -> DataFrame | None:
+        """Anti-join tombstoned docs out of a (doc_id, ...) frame. The
+        tombstone set is broadcast (sized for operational delete volumes;
+        a merge is the answer once deletes grow large, as in the
+        reference)."""
+        if df is None or not self.has_deletes:
+            return df
+        if self._deletes_df is None:
+            from lucene_spark.index.deletes import read_deletes
+            self._deletes_df = read_deletes(self.spark, self.index_dir)
+            if self._deletes_df is None:
+                self.has_deletes = False
+                return df
+        return df.join(F.broadcast(self._deletes_df), "doc_id", "left_anti")
 
     # ------------------------------------------------------------ stats
 
@@ -185,11 +204,11 @@ class IndexSearcher:
         q = rewrite_fixpoint(query)
         jp = self._as_multi_term_cond(q)
         if jp is not None:
-            scored = self._scored_expansion_join(*jp)
+            scored = self._live(self._scored_expansion_join(*jp))
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         q = self._expand_multi_term(q)
         q = rewrite_fixpoint(q)
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -201,16 +220,22 @@ class IndexSearcher:
         stats collect, no norm reads, no score arithmetic — counting never
         pays for scoring); everything else counts scored matches."""
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        if isinstance(q, TermQuery):
+        if isinstance(q, TermQuery) and not self.has_deletes:
+            # the sub-linear shortcut is unavailable with live deletes —
+            # exactly the reference's Weight#count contract
             stats = self.term_stats([q.term])
             return stats.get(q.term, (0, 0))[0]
         if isinstance(q, MatchAllDocsQuery):
-            return self.doc_count
+            if not self.has_deletes:
+                return self.doc_count
+            return self._live(self.docmap().select("doc_id")).count()
         if isinstance(q, MatchNoDocsQuery):
             return 0
+        if isinstance(q, TermQuery):
+            q = BooleanQuery(must=[q])
         if isinstance(q, BooleanQuery) and self._is_flat(q):
             return self._match_count(q)
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         return 0 if scored is None else scored.count()
 
     def _match_count(self, q: BooleanQuery) -> int:
@@ -283,7 +308,7 @@ class IndexSearcher:
             cond = cond & (F.col("should_n") >= max(msm, 1))
         elif msm > 0:
             cond = cond & (F.col("should_n") >= msm)
-        return agg.filter(cond).count()
+        return self._live(agg.filter(cond)).count()
 
     def search_after(
         self, query: Query, k: int, after: tuple[float, int]
@@ -292,7 +317,7 @@ class IndexSearcher:
         (after_score, after_doc) in (score desc, doc asc) order."""
         a_score, a_doc = np.float32(after[0]), int(after[1])
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
         cond = (F.col("score") < float(a_score)) | (
@@ -315,7 +340,7 @@ class IndexSearcher:
         (``lucene/facet`` taxonomy counts ≅ groupBy().count() over matches).
         DF(value string, count long) ordered count desc, value asc."""
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], "value string, count long")
         dm = self.docmap().select("doc_id", F.col(field).cast("string").alias("value"))
@@ -332,7 +357,7 @@ class IndexSearcher:
         from pyspark.sql.window import Window
 
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame(
                 [], "value string, doc_id long, score float, rank int")
@@ -352,7 +377,7 @@ class IndexSearcher:
         TopFieldCollector / Sort analog (``TopFieldCollector.java:37``);
         doc_id breaks ties. DF(doc_id, <sort_field>, score)."""
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], f"doc_id long, score float")
         dm = self.docmap().select("doc_id", sort_field)
@@ -379,6 +404,12 @@ class IndexSearcher:
             "norm_byte", "field_len").collect()
         if not norm_row:
             return {"match": False, "value": 0.0, "details": []}
+        live = self._live(
+            self.docmap().filter(F.col("doc_id") == doc_id).select("doc_id")
+        )
+        if live is not None and self.has_deletes and live.count() == 0:
+            return {"match": False, "value": 0.0, "details": [],
+                    "deleted": True}
         nb = int(norm_row[0]["norm_byte"])
         details = []
         acc = np.float64(0.0)
@@ -506,7 +537,7 @@ class IndexSearcher:
             .when(msm_m > 0, _f32(F.col("must_s") + should_f.cast("double")))
             .otherwise(_f32(must_f.cast("double") + should_f.cast("double")))
         ).alias("score")
-        ranked = agg.filter(cond).select("query", "doc_id", score)
+        ranked = self._live(agg.filter(cond).select("query", "doc_id", score))
         w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             ranked.withColumn("rn", F.row_number().over(w))
@@ -529,7 +560,7 @@ class IndexSearcher:
         if score_mode not in ("max", "total", "avg"):
             raise ValueError(f"unknown score_mode {score_mode!r}")
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._execute(q, np.float32(1.0))
+        scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], "conv_id string, score float")
         dm = self.docmap().select("doc_id", "conv_id")
@@ -886,7 +917,7 @@ class IndexSearcher:
         with_ub = blocks.select("*", ub)
 
         probe = with_ub.orderBy(F.desc("ub")).limit(probe_blocks)
-        probed = self._decode_score_blocks(probe, w)
+        probed = self._live(self._decode_score_blocks(probe, w))
         top = probed.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         if len(top) >= k:
             theta = float(top[-1]["score"])
@@ -894,7 +925,7 @@ class IndexSearcher:
         else:
             survivors = with_ub  # not enough probed docs: exhaustive fallback
         return (
-            self._decode_score_blocks(survivors, w)
+            self._live(self._decode_score_blocks(survivors, w))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
@@ -1010,9 +1041,9 @@ class IndexSearcher:
             if others and df_r * 16 <= self.doc_count and df_r * 4 <= min_other:
                 cand = self.term_postings(rare.term).select("doc_id")
                 keys = self._range_pruned_keys(others, cand)
-                scored = self._flat_boolean(
+                scored = self._live(self._flat_boolean(
                     q, np.float32(1.0), block_keys=keys, keyed_terms=others
-                )
+                ))
                 return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         # strategy 2 — score-bound (block-max) pruning with probe θ
@@ -1053,12 +1084,13 @@ class IndexSearcher:
         key_lits = [f"{t}|{s}|{b}" for t, s, b in probe_keys]
         in_scoring = F.col("term").isin(sterms)
         probe_pred = (~in_scoring) | key_col.isin(key_lits)
-        probed = self._flat_boolean(q, np.float32(1.0), block_pred=probe_pred)
+        probed = self._live(self._flat_boolean(q, np.float32(1.0),
+                                               block_pred=probe_pred))
         top = (
             probed.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         )
         if len(top) < k:
-            scored = self._flat_boolean(q, np.float32(1.0))
+            scored = self._live(self._flat_boolean(q, np.float32(1.0)))
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         theta = float(top[-1]["score"])
         # per-term survivor threshold on the weight-free bound: keep a block
@@ -1072,7 +1104,8 @@ class IndexSearcher:
             thr_entries += [F.lit(t), F.lit(float(thr))]
         thr_map = F.create_map(*thr_entries)
         surv_pred = (~in_scoring) | (F.col("ubu") >= thr_map[F.col("term")])
-        scored = self._flat_boolean(q, np.float32(1.0), block_pred=surv_pred)
+        scored = self._live(self._flat_boolean(q, np.float32(1.0),
+                                               block_pred=surv_pred))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _decode_score_blocks(self, blocks: DataFrame, w: np.float32) -> DataFrame:

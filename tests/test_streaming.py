@@ -185,3 +185,60 @@ def test_sampled_boundaries(spark):
     ).orderBy("shard_id").collect()
     for a, b in zip(rng, rng[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_deletes_tombstone_semantics(spark, tmp_path_factory):
+    """PendingDeletes analog: deleted docs vanish from every surface;
+    surviving docs keep IDENTICAL scores (stats count deletes until merge,
+    reference semantics); Weight#count shortcut is disabled under deletes."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import BooleanQuery, MatchAllDocsQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.sources.transcripts import generate_pandas
+
+    work = tmp_path_factory.mktemp("deltest")
+    idx = str(work / "idx")
+    pdf = generate_pandas(n_convs=40, seed=5)
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(num_segments=3, term_buckets=4))
+    merge_index(spark, idx)
+    s0 = IndexSearcher(spark, idx)
+    term = s0.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    before = [(r["doc_id"], np.float32(r["score"]))
+              for r in s0.search(TermQuery(term), 30).collect()]
+    n_before = s0.count(TermQuery(term))
+    victims = [d for d, _ in before[:3]]
+
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(int(d),) for d in victims], "doc_id long"))
+    s = IndexSearcher(spark, idx)
+    assert s.has_deletes
+    after = [(r["doc_id"], np.float32(r["score"]))
+             for r in s.search(TermQuery(term), 30).collect()]
+    assert all(d not in {x[0] for x in after} for d in victims)
+    # survivors keep bit-identical scores (stats unchanged until merge);
+    # ranks 31+ may enter the post-delete top-30, so compare the prefix
+    exp = [x for x in before if x[0] not in set(victims)]
+    assert after[: len(exp)] == exp
+    # counts reflect live docs only; the df shortcut is off
+    assert s.count(TermQuery(term)) == n_before - len(victims)
+    assert s.count(MatchAllDocsQuery()) == s.doc_count - len(victims)
+    # boolean + pruned paths also drop tombstones
+    q = BooleanQuery(must=[TermQuery(term)])
+    for fn in (lambda: s.search(q, 30), lambda: s.search_pruned(q, 30)):
+        got = {r["doc_id"] for r in fn().collect()}
+        assert not (got & set(victims))
+    # explain reports deleted
+    ex = s.explain(TermQuery(term), victims[0])
+    assert ex["match"] is False
+    # idempotent re-delete
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(int(victims[0]),)], "doc_id long"))
+    s2 = IndexSearcher(spark, idx)
+    assert s2.count(MatchAllDocsQuery()) == s.doc_count - len(victims)
