@@ -43,6 +43,9 @@ def __getattr__(name):
     if name == "build_ann_index":
         from lucene_spark.operators.similarity import build_ann_index
         return build_ann_index
+    if name in ("delete_docs", "expunge_deletes"):
+        from lucene_spark.index import deletes as _d
+        return getattr(_d, name)
     raise AttributeError(name)
 
 
@@ -50,5 +53,5 @@ __all__ = [
     "IndexConfig", "build_index", "build_index_files", "merge_index",
     "check_index", "IndexSearcher", "QueryParser", "get_spark",
     "combined_field_search", "TooManyClauses", "append_batch",
-    "stream_append", "build_ann_index",
+    "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
 ]

@@ -51,3 +51,270 @@ def read_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
     if not os.path.exists(p):
         return None
     return spark.read.parquet(p).select("doc_id").distinct()
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """forceMerge/expungeDeletes analog: rewrite the index WITHOUT the
+    tombstoned docs, remapping docIDs densely like the reference's merge
+    (``DocIDMerger.java:73-99``). The remap is order-preserving and
+    closed-form — new_id = old_id - |{deleted < old_id}| — evaluated
+    executor-side against the broadcast sorted tombstone array, so no
+    shuffle exists beyond the rewrites themselves:
+
+      docmap      filter + remap, per-row
+      postings    per-block decode -> drop deleted -> remap -> re-encode
+                  (remap monotonicity preserves block-range disjointness;
+                  emptied blocks drop out)
+      positions   filter + remap (plain columns, no decode)
+      term_dict   recomputed from the new block metadata
+      manifest    per-segment doc counts/lengths refreshed, has_deletes
+                  cleared, generation bumped — written atomically LAST
+
+    After expunge, collection/term statistics EXCLUDE the deleted docs (the
+    reference behaves identically after a merge), so scores equal a fresh
+    build over the surviving corpus — asserted bit-exactly in tests."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.index.build import load_manifest as _lm
+
+    manifest = _lm(index_dir)
+    if manifest is None or not manifest.get("merged"):
+        raise ValueError(f"{index_dir}: index not built+merged")
+    dd = read_deletes(spark, index_dir)
+    if dd is None or not manifest.get("has_deletes"):
+        return manifest
+    dels = np.array(sorted(r["doc_id"] for r in dd.collect()), dtype=np.int64)
+    if dels.size == 0:
+        return manifest
+
+    def _swap(tmp: str, final: str) -> None:
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        # Spark caches file listings per path; the swap invalidates them
+        spark.catalog.refreshByPath(final)
+
+    # ---- docmap: filter + remap (keeps the segment hive-partitioning)
+    dm_path = os.path.join(index_dir, "docmap")
+    dm = spark.read.parquet(dm_path)
+    dm_cols = [c for c in dm.columns if c != "segment"]
+
+    def remap_docmap(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            keep = np.ones(ids.size, dtype=bool)
+            pos = np.searchsorted(dels, ids)
+            hit = (pos < dels.size) & (dels[np.minimum(pos, dels.size - 1)] == ids)
+            keep &= ~hit
+            out = pdf[keep].copy()
+            kid = out["doc_id"].to_numpy(np.int64)
+            out["doc_id"] = kid - np.searchsorted(dels, kid)
+            yield out
+
+    tmp = dm_path + ".expunge"
+    (
+        dm.select(*dm_cols, F.col("segment"))
+        .mapInPandas(remap_docmap, schema=dm.select(*dm_cols, "segment").schema)
+        .write.mode("overwrite").partitionBy("segment").parquet(tmp)
+    )
+    _swap(tmp, dm_path)
+
+    # ---- postings: per-block filter + remap + re-encode
+    post_path = os.path.join(index_dir, "postings")
+    post = spark.read.parquet(post_path)
+
+    def rewrite_blocks(batches):
+        from lucene_spark.functions.codec import (
+            competitive_impacts, decode_block, encode_block,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d, f, nb = decode_block(r.data, int(r.num_docs), int(r.first_doc))
+                pos = np.searchsorted(dels, d)
+                hit = (pos < dels.size) & (dels[np.minimum(pos, dels.size - 1)] == d)
+                if hit.all():
+                    continue
+                d2 = d[~hit] - np.searchsorted(dels, d[~hit])
+                f2, n2 = f[~hit], nb[~hit]
+                imp_f, imp_n = competitive_impacts(f2, n2)
+                rows.append({
+                    "term": r.term, "segment_id": r.segment_id,
+                    "block_id": r.block_id, "first_doc": int(d2[0]),
+                    "last_doc": int(d2[-1]), "num_docs": int(d2.size),
+                    "ttf": int(f2.sum()),
+                    "data": encode_block(d2, f2, int(d2[0]), n2),
+                    "impact_freqs": imp_f, "impact_norms": imp_n,
+                    "term_bucket": r.term_bucket,
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in (
+                    ("term", object), ("segment_id", np.int32),
+                    ("block_id", np.int32), ("first_doc", np.int64),
+                    ("last_doc", np.int64), ("num_docs", np.int32),
+                    ("ttf", np.int64), ("data", object),
+                    ("impact_freqs", object), ("impact_norms", object),
+                    ("term_bucket", np.int32),
+                )}
+            )
+
+    schema = ("term string, segment_id int, block_id int, first_doc long, "
+              "last_doc long, num_docs int, ttf long, data binary, "
+              "impact_freqs array<int>, impact_norms array<int>, term_bucket int")
+    tmp = post_path + ".expunge"
+    (
+        post.mapInPandas(rewrite_blocks, schema=schema)
+        .repartition(int(manifest["config"]["term_buckets"]), "term_bucket")
+        .sortWithinPartitions("term", "segment_id", "block_id")
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    )
+    _swap(tmp, post_path)
+
+    # ---- postings_local (pre-merge per-segment table): same rewrite, so
+    # check_index / append / re-merge all see a consistent artifact set
+    local_path = os.path.join(index_dir, "postings_local")
+    if os.path.exists(local_path):
+        loc = spark.read.parquet(local_path).withColumnRenamed(
+            "segment", "part_segment"
+        )
+        loc_schema = ("term string, segment_id int, block_id int, "
+                      "first_doc long, last_doc long, num_docs int, ttf long, "
+                      "data binary, impact_freqs array<int>, "
+                      "impact_norms array<int>, part_segment int")
+
+        def rewrite_local(batches):
+            from lucene_spark.functions.codec import (
+                competitive_impacts, decode_block, encode_block,
+            )
+
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    d, f, nb = decode_block(r.data, int(r.num_docs),
+                                            int(r.first_doc))
+                    pos = np.searchsorted(dels, d)
+                    hit = (pos < dels.size) & (
+                        dels[np.minimum(pos, dels.size - 1)] == d
+                    )
+                    if hit.all():
+                        continue
+                    d2 = d[~hit] - np.searchsorted(dels, d[~hit])
+                    f2, n2 = f[~hit], nb[~hit]
+                    imp_f, imp_n = competitive_impacts(f2, n2)
+                    rows.append({
+                        "term": r.term, "segment_id": r.segment_id,
+                        "block_id": r.block_id, "first_doc": int(d2[0]),
+                        "last_doc": int(d2[-1]), "num_docs": int(d2.size),
+                        "ttf": int(f2.sum()),
+                        "data": encode_block(d2, f2, int(d2[0]), n2),
+                        "impact_freqs": imp_f, "impact_norms": imp_n,
+                        "part_segment": r.part_segment,
+                    })
+                yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in (
+                        "term", "segment_id", "block_id", "first_doc",
+                        "last_doc", "num_docs", "ttf", "data",
+                        "impact_freqs", "impact_norms", "part_segment")}
+                )
+
+        tmp = local_path + ".expunge"
+        (
+            loc.mapInPandas(rewrite_local, schema=loc_schema)
+            .withColumnRenamed("part_segment", "segment")
+            .write.mode("overwrite").partitionBy("segment").parquet(tmp)
+        )
+        _swap(tmp, local_path)
+
+    pos_local = os.path.join(index_dir, "positions_local")
+    if os.path.exists(pos_local):
+        pl = spark.read.parquet(pos_local)
+
+        def remap_pos_local(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy(np.int64)
+                pos_ = np.searchsorted(dels, ids)
+                hit = (pos_ < dels.size) & (
+                    dels[np.minimum(pos_, dels.size - 1)] == ids
+                )
+                out = pdf[~hit].copy()
+                kid = out["doc_id"].to_numpy(np.int64)
+                out["doc_id"] = kid - np.searchsorted(dels, kid)
+                yield out
+
+        tmp = pos_local + ".expunge"
+        (
+            pl.mapInPandas(remap_pos_local, schema=pl.schema)
+            .write.mode("overwrite").partitionBy("segment").parquet(tmp)
+        )
+        _swap(tmp, pos_local)
+
+    # ---- positions: plain filter + remap
+    pos_path = os.path.join(index_dir, "positions")
+    if os.path.exists(pos_path):
+        ptab = spark.read.parquet(pos_path)
+
+        def remap_pos(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy(np.int64)
+                pos_ = np.searchsorted(dels, ids)
+                hit = (pos_ < dels.size) & (dels[np.minimum(pos_, dels.size - 1)] == ids)
+                out = pdf[~hit].copy()
+                kid = out["doc_id"].to_numpy(np.int64)
+                out["doc_id"] = kid - np.searchsorted(dels, kid)
+                yield out
+
+        tmp = pos_path + ".expunge"
+        (
+            ptab.mapInPandas(remap_pos, schema=ptab.schema)
+            .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+        )
+        _swap(tmp, pos_path)
+
+    # ---- term_dict from the new block metadata
+    td_path = os.path.join(index_dir, "term_dict")
+    new_post = spark.read.parquet(post_path)
+    tmp = td_path + ".expunge"
+    (
+        new_post.groupBy("term")
+        .agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("ttf").cast("long").alias("total_term_freq"),
+            F.count("*").cast("long").alias("num_blocks"),
+        )
+        .repartitionByRange(
+            max(spark.sparkContext.defaultParallelism // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    _swap(tmp, td_path)
+
+    # ---- manifest: per-segment stats from the new docmap
+    seg_stats = {
+        int(r["segment"]): r
+        for r in spark.read.parquet(dm_path)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.sum("field_len").alias("sfl"),
+        )
+        .collect()
+    }
+    for sid, entry in manifest["completed"].items():
+        st = seg_stats.get(int(sid))
+        if st is None:
+            entry["num_docs"] = 0
+            entry["sum_field_len"] = 0
+        else:
+            entry["num_docs"] = int(st["n"])
+            entry["doc_lo"] = int(st["lo"])
+            entry["sum_field_len"] = int(st["sfl"])
+    shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
+    manifest["has_deletes"] = False
+    manifest["expunged"] = True
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    return manifest

@@ -242,3 +242,62 @@ def test_deletes_tombstone_semantics(spark, tmp_path_factory):
         [(int(victims[0]),)], "doc_id long"))
     s2 = IndexSearcher(spark, idx)
     assert s2.count(MatchAllDocsQuery()) == s.doc_count - len(victims)
+
+
+def test_expunge_deletes_equals_fresh_build(spark, tmp_path_factory):
+    """After expunge_deletes, the index must be indistinguishable from a
+    FRESH build over the surviving corpus: check_index green, dense
+    remapped docIDs, and bit-identical scores (stats now exclude the
+    deleted docs, as after a reference merge)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.check import check_index
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import BooleanQuery, PhraseQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.sources.transcripts import generate_pandas
+
+    work = tmp_path_factory.mktemp("expunge")
+    pdf = generate_pandas(n_convs=40, seed=9)
+    cfg = IndexConfig(num_segments=3, term_buckets=4)
+
+    idx = str(work / "idx")
+    build_index(spark, spark.createDataFrame(pdf), idx, cfg)
+    merge_index(spark, idx)
+    s0 = IndexSearcher(spark, idx)
+    victims = [int(r["doc_id"]) for r in s0.docmap()
+               .filter(F.pmod(F.col("doc_id"), F.lit(5)) == 2)
+               .select("doc_id").collect()]
+    # materialize the old id->(conv, turn) mapping BEFORE the rewrite
+    keymap = s0.docmap().select("doc_id", "conv_id", "turn_idx").collect()
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(d,) for d in victims], "doc_id long"))
+    expunge_deletes(spark, idx)
+    assert check_index(spark, idx)["ok"]
+    victim_keys = {(r["conv_id"], r["turn_idx"]) for r in keymap
+                   if r["doc_id"] in set(victims)}
+    surv = pdf[~pdf.apply(
+        lambda r: (r["conv_id"], r["turn_idx"]) in victim_keys, axis=1)]
+    fresh = str(work / "fresh")
+    build_index(spark, spark.createDataFrame(surv), fresh, cfg)
+    merge_index(spark, fresh)
+
+    se = IndexSearcher(spark, idx)
+    sf = IndexSearcher(spark, fresh)
+    assert not se.has_deletes
+    assert se.doc_count == sf.doc_count == len(surv)
+    term = sf.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    t2 = sf.term_dict.orderBy(F.asc("doc_freq"), F.asc("term")).first()["term"]
+    for q in (TermQuery(term),
+              BooleanQuery(must=[TermQuery(term)], should=[TermQuery(t2)]),
+              PhraseQuery((term,), 0)):
+        a = [(r["doc_id"], np.float32(r["score"]))
+             for r in se.search(q, 25).collect()]
+        b = [(r["doc_id"], np.float32(r["score"]))
+             for r in sf.search(q, 25).collect()]
+        assert a == b, q
+    assert se.count(TermQuery(term)) == sf.count(TermQuery(term))
