@@ -652,6 +652,45 @@ def _deletes_df_entry(spark, sf_dir):
     )
 
 
+def _expunged_searcher(spark: SparkSession, sf_dir: str):
+    """Index built fresh, tombstoned (doc_id % 7 == 3), then EXPUNGED:
+    docIDs remapped densely, stats now exclude deleted docs — must equal a
+    fresh build over the surviving corpus, which the oracle expresses as a
+    filtered source table."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_expunged"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("expunged"):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        s0 = IndexSearcher(spark, index_dir)
+        victims = s0.docmap().select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig")
+        ).filter(F.pmod(F.col("orig"), F.lit(_DELETE_MOD)) == _DELETE_REM)
+        delete_docs(spark, index_dir, victims.select("doc_id"))
+        expunge_deletes(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _expunged_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _expunged_searcher(spark, sf_dir)
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _WORKLOAD = {
     "w_term": {"bool": {"must": [{"term": "dup"}]}},
     "w_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
@@ -852,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
     out["bm25_with_deletes"] = _deletes_df_entry
+    out["bm25_post_expunge"] = _expunged_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -1050,6 +1090,13 @@ ORDER BY t.score DESC, t.doc_id ASC
         + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)
         + f"\n) t WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM}\n"
         f"ORDER BY score DESC, doc_id ASC LIMIT {_QUERY_K}"
+    )
+    # post-expunge == fresh build over survivors: the oracle recomputes
+    # EVERYTHING (stats included) over the filtered corpus
+    _surv = (f"(SELECT doc_id, text FROM documents "
+             f"WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM})")
+    out["bm25_post_expunge"] = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": "scan"})), _QUERY_K, table=_surv,
     )
     out["search_many_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query, t.* FROM (\n"
