@@ -43,6 +43,9 @@ def __getattr__(name):
     if name == "build_ann_index":
         from lucene_spark.operators.similarity import build_ann_index
         return build_ann_index
+    if name == "build_doc_partitioned":
+        from lucene_spark.index.doclayout import build_doc_partitioned
+        return build_doc_partitioned
     if name in ("delete_docs", "expunge_deletes"):
         from lucene_spark.index import deletes as _d
         return getattr(_d, name)
@@ -53,5 +56,5 @@ __all__ = [
     "IndexConfig", "build_index", "build_index_files", "merge_index",
     "check_index", "IndexSearcher", "QueryParser", "get_spark",
     "combined_field_search", "TooManyClauses", "append_batch",
-    "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
+    "stream_append", "build_ann_index", "delete_docs", "expunge_deletes", "build_doc_partitioned",
 ]

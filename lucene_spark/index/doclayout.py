@@ -1,0 +1,85 @@
+"""Doc-range co-located postings layout — doc-at-a-time Boolean execution.
+
+The default layout partitions postings by TERM (term-at-a-time: one scan
+per query, clause combination in a groupBy(doc_id) shuffle). This module
+builds an OPTIONAL second layout partitioned by DOC RANGE, the Spark
+re-expression of the reference's per-segment leaf search
+(``IndexSearcher.java:576-708``: independent LeafReaderContext collectors,
+merged top-k): every doc-range partition holds ALL terms' blocks that
+overlap its range, so a flat Boolean query executes entirely WITHIN each
+partition (decode + per-doc clause combination in numpy) and only the
+per-partition top-k candidates leave the executors — zero shuffle of
+postings, ever.
+
+Block placement: a block lands in every partition its [first_doc,
+last_doc] range overlaps (decoded postings are range-filtered per
+partition, so replicated blocks never double-count). Hot-term blocks are
+doc-dense — ~1 partition each; sparse terms' blocks span wide ranges and
+replicate to many partitions, which is exactly the broadcast you want for
+tiny posting lists. Storage overhead is therefore bounded by the SPARSE
+tail, measured in the build report.
+
+At 10^12 turns this is the latency lever for hot∧hot conjunctions: the
+term-partitioned plan shuffles every decoded posting into the combination
+groupBy, while this layout's shuffle volume is P * k candidate rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import load_manifest, write_manifest
+
+LAYOUT_DIR = "postings_by_doc"
+
+
+def build_doc_partitioned(
+    spark: SparkSession, index_dir: str, num_parts: int | None = None
+) -> dict:
+    """Materialize the doc-range layout from the merged postings table.
+    Idempotent: an existing layout with the same partition count is kept.
+    Returns {num_parts, range_size, blocks, replicated_blocks}."""
+    manifest = load_manifest(index_dir)
+    if manifest is None or not manifest.get("merged"):
+        raise ValueError(f"{index_dir}: index not built+merged")
+    doc_count = sum(int(v["num_docs"]) for v in manifest["completed"].values())
+    if num_parts is None:
+        num_parts = max(spark.sparkContext.defaultParallelism, 1)
+    rng = max((doc_count + num_parts - 1) // num_parts, 1)
+    existing = manifest.get("doc_layout")
+    if existing and existing.get("num_parts") == num_parts and os.path.exists(
+        os.path.join(index_dir, LAYOUT_DIR)
+    ):
+        return existing
+
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).drop(
+        "term_bucket"
+    )
+    lo = F.expr(f"first_doc div {rng}")
+    hi = F.expr(f"last_doc div {rng}")
+    exploded = post.withColumn(
+        "doc_part", F.explode(F.sequence(lo, hi))
+    ).withColumn("doc_part", F.col("doc_part").cast("int"))
+    out_path = os.path.join(index_dir, LAYOUT_DIR)
+    (
+        exploded.repartition(num_parts, "doc_part")
+        .sortWithinPartitions("term", "segment_id", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_part")
+        .parquet(out_path)
+    )
+    n_blocks = post.count()
+    n_rows = spark.read.parquet(out_path).count()
+    layout = {
+        "num_parts": int(num_parts),
+        "range_size": int(rng),
+        "blocks": int(n_blocks),
+        "replicated_blocks": int(n_rows),
+    }
+    manifest["doc_layout"] = layout
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    return layout

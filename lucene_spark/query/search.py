@@ -546,6 +546,133 @@ class IndexSearcher:
             .orderBy("query", F.desc("score"), F.asc("doc_id"))
         )
 
+    def search_colocated(self, query: Query, k: int = 10) -> DataFrame:
+        """Doc-at-a-time flat-Boolean search over the doc-range co-located
+        layout (build it once with
+        ``lucene_spark.index.doclayout.build_doc_partitioned``) — the
+        per-segment leaf-searcher model (``IndexSearcher.java:576-708``):
+        each doc-range partition decodes its local blocks and combines
+        clauses per doc IN NUMPY, emitting only its top-k candidates; the
+        only shuffle in the whole query is the P*k-row final merge. Since
+        every doc's postings live in exactly one partition (blocks are
+        range-replicated, decoded postings range-filtered), local top-ks
+        merge exactly. Results are bit-identical to search() (double sums
+        of <=dozens of float32-valued terms are order-exact; asserted)."""
+        layout = self.manifest.get("doc_layout")
+        if not layout:
+            raise ValueError(
+                "no doc-range layout: run doclayout.build_doc_partitioned first"
+            )
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        if isinstance(q, TermQuery):
+            q = BooleanQuery(must=[q])
+        if not (isinstance(q, BooleanQuery) and self._is_flat(q)):
+            raise ValueError("search_colocated supports flat Boolean queries")
+        clauses = self._clauses_of(q, np.float32(1.0))
+        n_must = sum(1 for c in clauses if c.kind == "must")
+        n_filter = sum(1 for c in clauses if c.kind == "filter")
+        n_should = sum(1 for c in clauses if c.kind == "should")
+        if n_must + n_should == 0:
+            raise ValueError("filter/not-only queries have no scoring clause")
+        msm = q.min_should_match
+        terms = sorted({c.term for c in clauses})
+        term_clauses: dict[str, list[tuple[str, np.float32]]] = {}
+        for c in clauses:
+            term_clauses.setdefault(c.term, []).append((c.kind, c.weight))
+        rng_sz = int(layout["range_size"])
+        cache = self.cache
+        kk = int(k)
+
+        table = (
+            self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings_by_doc")
+            )
+            .filter(F.col("term").isin(terms))
+            .select("doc_part", "term", "num_docs", "first_doc", "data")
+        )
+
+        def leaf(key, pdf):
+            from lucene_spark.functions.codec import decode_block
+
+            part = int(key[0])
+            lo, hi = part * rng_sz, (part + 1) * rng_sz
+            docs_l, kind_l, score_l = [], [], []
+            for term, nd, fd, data in zip(
+                pdf["term"].to_numpy(object),
+                pdf["num_docs"].to_numpy(np.int64),
+                pdf["first_doc"].to_numpy(np.int64),
+                pdf["data"].to_numpy(object),
+            ):
+                d, f, nb = decode_block(data, int(nd), int(fd))
+                m = (d >= lo) & (d < hi)
+                if not m.any():
+                    continue
+                d, f, nb = d[m], f[m], nb[m]
+                inv = cache[nb & 0xFF]
+                f32 = f.astype(np.float32)
+                one = np.float32(1.0)
+                denom = one + f32 * inv
+                for kind, w in term_clauses[term]:
+                    docs_l.append(d)
+                    kind_l.append(np.full(
+                        d.size,
+                        {"must": 0, "should": 1, "filter": 2, "must_not": 3}[kind],
+                        dtype=np.int8,
+                    ))
+                    score_l.append((w - w / denom).astype(np.float32))
+            if not docs_l:
+                return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                     "score": pd.Series(dtype=np.float32)})
+            docs_a = np.concatenate(docs_l)
+            kinds_a = np.concatenate(kind_l)
+            scores_a = np.concatenate(score_l)
+            uniq, invx = np.unique(docs_a, return_inverse=True)
+            nu = uniq.size
+            must_s = np.zeros(nu, dtype=np.float64)
+            should_s = np.zeros(nu, dtype=np.float64)
+            cnt = np.zeros((4, nu), dtype=np.int32)
+            for kd in range(4):
+                sel = kinds_a == kd
+                if not sel.any():
+                    continue
+                np.add.at(cnt[kd], invx[sel], 1)
+                if kd == 0:
+                    np.add.at(must_s, invx[sel], scores_a[sel].astype(np.float64))
+                elif kd == 1:
+                    np.add.at(should_s, invx[sel], scores_a[sel].astype(np.float64))
+            ok = (cnt[0] == n_must) & (cnt[2] == n_filter) & (cnt[3] == 0)
+            if n_must + n_filter == 0:
+                ok &= cnt[1] >= max(msm, 1)
+            elif msm > 0:
+                ok &= cnt[1] >= msm
+            # scorer-tree float boundaries (_combine_req_opt semantics)
+            if n_should == 0:
+                sc = must_s.astype(np.float32)
+            elif n_must == 0:
+                sc = should_s.astype(np.float32)
+            elif msm > 0:
+                sc = (must_s
+                      + should_s.astype(np.float32).astype(np.float64)
+                      ).astype(np.float32)
+            else:
+                sc = (must_s.astype(np.float32).astype(np.float64)
+                      + should_s.astype(np.float32).astype(np.float64)
+                      ).astype(np.float32)
+            udocs, usc = uniq[ok], sc[ok]
+            if udocs.size > kk:
+                top = np.lexsort((udocs, -usc.astype(np.float64)))[:kk]
+                udocs, usc = udocs[top], usc[top]
+            return pd.DataFrame({"doc_id": udocs, "score": usc})
+
+        local = table.groupBy("doc_part").applyInPandas(
+            leaf, schema="doc_id long, score float"
+        )
+        return (
+            self._live(local)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_parents(self, query: Query, k: int = 10,
                        score_mode: str = "max") -> DataFrame:
         """Parent-level top-k — the join-module analog

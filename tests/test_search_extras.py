@@ -421,3 +421,36 @@ def test_search_many_equals_individual(searcher, common_terms):
         solo = [(r["doc_id"], np.float32(r["score"]))
                 for r in searcher.search(q, 12).collect()]
         assert batched.get(name, []) == solo, name
+
+
+def test_colocated_search_rank_identity(spark, built_index, searcher,
+                                        common_terms):
+    """Doc-at-a-time execution over the doc-range layout must be bit-
+    identical to the term-at-a-time search() for every flat shape."""
+    from lucene_spark.index.doclayout import build_doc_partitioned
+
+    layout = build_doc_partitioned(spark, built_index, num_parts=4)
+    assert layout["num_parts"] == 4
+    # re-open so the searcher sees the layout manifest entry
+    from lucene_spark.query.search import IndexSearcher
+    s = IndexSearcher(spark, built_index)
+    t0, t1, t2 = (common_terms[i][0] for i in range(3))
+    rare = common_terms[-1][0]
+    from lucene_spark.query.ast import BoostQuery
+    shapes = [
+        TermQuery(t0),
+        BooleanQuery(must=[TermQuery(t0), TermQuery(t1)]),
+        BooleanQuery(should=[TermQuery(t0), TermQuery(t1), TermQuery(rare)],
+                     min_should_match=2),
+        BooleanQuery(must=[TermQuery(t0)], must_not=[TermQuery(rare)]),
+        BooleanQuery(must=[BoostQuery(TermQuery(t2), 2.0)],
+                     should=[TermQuery(rare)]),
+        BooleanQuery(must=[TermQuery(t0)], filter=[TermQuery(t1)]),
+    ]
+    for q in shapes:
+        for k in (3, 15):
+            exact = [(r["doc_id"], np.float32(r["score"]))
+                     for r in s.search(q, k).collect()]
+            coloc = [(r["doc_id"], np.float32(r["score"]))
+                     for r in s.search_colocated(q, k).collect()]
+            assert coloc == exact, (q, k)

@@ -61,6 +61,14 @@ def main() -> None:
             BooleanQuery(must=[TermQuery(hot[0]), TermQuery(hot[1])]), 10
         )
     )
+    from lucene_spark.index.doclayout import build_doc_partitioned
+    build_doc_partitioned(spark, index_dir)  # idempotent one-time layout
+    s = IndexSearcher(spark, index_dir)  # re-open: manifest gained the layout
+    q["conj_hot_hot_colocated"], _ = t(
+        lambda: s.search_colocated(
+            BooleanQuery(must=[TermQuery(hot[0]), TermQuery(hot[1])]), 10
+        )
+    )
     q["conj_hot_cold"], _ = t(
         lambda: s.search(BooleanQuery(must=[TermQuery(hot[0]), TermQuery(cold[0])]), 10)
     )
