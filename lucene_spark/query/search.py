@@ -208,6 +208,17 @@ class IndexSearcher:
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         q = self._expand_multi_term(q)
         q = rewrite_fixpoint(q)
+        # planner: multi-clause flat Booleans route to the doc-at-a-time
+        # co-located layout when it exists (bit-identical results, no
+        # combination shuffle — BENCH.md); single-clause queries stay
+        # term-at-a-time, where one scan with no groupBy is already optimal
+        if (
+            self.manifest.get("doc_layout")
+            and isinstance(q, BooleanQuery)
+            and self._is_flat(q)
+            and len(q.must) + len(q.should) >= 2
+        ):
+            return self.search_colocated(q, k)
         scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")

@@ -454,3 +454,22 @@ def test_colocated_search_rank_identity(spark, built_index, searcher,
             coloc = [(r["doc_id"], np.float32(r["score"]))
                      for r in s.search_colocated(q, k).collect()]
             assert coloc == exact, (q, k)
+
+
+def test_planner_routes_to_colocated(spark, built_index, common_terms):
+    """With the doc-range layout present, multi-clause flat Booleans route
+    through search_colocated automatically (single-clause stays put)."""
+    from unittest.mock import patch
+
+    from lucene_spark.index.doclayout import build_doc_partitioned
+    from lucene_spark.query.search import IndexSearcher
+
+    build_doc_partitioned(spark, built_index, num_parts=4)
+    s = IndexSearcher(spark, built_index)
+    t0, t1 = common_terms[0][0], common_terms[1][0]
+    with patch.object(IndexSearcher, "search_colocated",
+                      wraps=s.search_colocated) as spy:
+        s.search(BooleanQuery(must=[TermQuery(t0), TermQuery(t1)]), 5).collect()
+        assert spy.call_count == 1
+        s.search(TermQuery(t0), 5).collect()  # single clause: not routed
+        assert spy.call_count == 1
