@@ -860,6 +860,18 @@ def _ann_ivf(spark, sf_dir):
     return ivf_ann_topk_indexed(spark, e, d, query_vector(e, _ANN_QUERY_ID), _ANN_K)
 
 
+def _ann_hnsw(spark, sf_dir):
+    """Per-partition HNSW graphs (Lucene per-segment HNSW analog), persisted
+    on disk; deterministic build (md5-derived levels) so rows-only replays
+    are stable. Recall vs brute force pinned in pytest."""
+    from lucene_spark.operators.hnsw import build_hnsw_index, hnsw_ann_topk_indexed
+    from lucene_spark.operators.similarity import query_vector
+    e = _embs(spark, sf_dir)
+    d = _ann_dir(sf_dir) + "_hnsw"
+    build_hnsw_index(e, d, num_parts=4, m=8, ef_construction=64)
+    return hnsw_ann_topk_indexed(spark, d, query_vector(e, _ANN_QUERY_ID), _ANN_K)
+
+
 def _media_meta(spark, sf_dir):
     from lucene_spark.operators.multimodal import synth_media
     m = synth_media(_docs(spark, sf_dir))
@@ -935,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_fingerprint"] = _fingerprint
     out["clean_corpus"] = _clean_corpus
     out["ann_ivf_topk"] = _ann_ivf
+    out["ann_hnsw_topk"] = _ann_hnsw
     out["media_meta"] = _media_meta
     out["media_features"] = _media_features
     return out
@@ -1142,6 +1155,8 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     from lucene_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql(3, 0.5, 0.3)
     # ann_ivf_topk: rows-only (KMeans centroids are model state, not SQL)
+    # ann_hnsw_topk: rows-only (graph construction is not SQL-expressible;
+    # recall + bit-reproducibility pinned in pytest)
     # ann_lsh_topk, media_features: rows-only (stub decode / LSH bucketing
     # verified in pytest against the brute-force baseline instead)
     return out

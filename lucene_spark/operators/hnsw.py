@@ -1,0 +1,294 @@
+"""Per-partition HNSW graph ANN — the Spark-native analog of Lucene's
+per-segment HNSW vector index.
+
+Reference semantics mirrored (public Apache Lucene source):
+  - Lucene builds ONE HNSW graph PER SEGMENT with sequential inserts
+    (``lucene/core/.../lucene99/Lucene99HnswVectorsFormat.java:82``,
+    ``lucene/core/.../hnsw/HnswGraphBuilder.java``) — graph construction is
+    inherently sequential *within* an index, but segments build concurrently.
+  - a KNN query searches EVERY segment's graph independently and merges the
+    per-leaf top-k (``KnnFloatVectorQuery`` collect-per-leaf + TopDocs.merge).
+
+The Spark shape is the same decomposition: vectors are hash-partitioned into
+``num_parts`` independent sub-indexes; each partition builds its graph
+sequentially inside one ``applyInPandas`` task (embarrassingly parallel
+across partitions, no shuffle beyond the initial partitioning); a query
+beam-searches all partition graphs in parallel and only the P×k candidate
+rows move to the global top-k merge — the same "only the merge shuffles"
+shape as the text engine's ``search_colocated``.
+
+Graph algorithm: Malkov & Yashunin 2016 (public paper), with Lucene's
+diversity-based neighbor selection (a candidate is kept only if it is closer
+to the query node than to every already-selected neighbor —
+``HnswGraphBuilder.diversityCheck`` semantics). Level 0 keeps 2·M neighbors,
+upper levels M, as in both the paper and Lucene.
+
+Determinism (so results reproduce across runs, core counts, and the test
+suite): level assignment derives from ``md5("hnsw:<vec_id>")`` instead of RNG
+state, insertion order is ascending vec_id, and every distance tie breaks on
+vec_id. Distances are float64 numpy — identical on every platform here.
+
+At 10^12-row scale: partitions should be sized like segments (~1-10M vectors
+each); build cost is one task per partition with O(n·log n·M·ef) local work
+and zero cross-task traffic; query cost is one graph walk per partition
+(each O(ef·M·log n) distance evaluations against a memory-mapped local
+graph) — the fan-out-per-query is the price Lucene itself pays per segment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAPH_SCHEMA = (
+    "part int, vec_id long, embedding array<float>, neighbors array<array<long>>"
+)
+
+
+def _level_for(vec_id: int, ml: float) -> int:
+    """Deterministic HNSW level: u ~ md5("hnsw:<id>") mapped to (0, 1],
+    level = floor(-ln(u) * mL) (the paper's exponential distribution with a
+    content-derived, not RNG-state-derived, uniform)."""
+    h = int(hashlib.md5(f"hnsw:{vec_id}".encode()).hexdigest()[:16], 16)
+    u = (h + 1) / float(1 << 64)  # (0, 1]
+    return int(-math.log(u) * ml)
+
+
+def _search_layer(vecs, adj, q, eps, ef, lc):
+    """Greedy beam search on one layer (paper Alg. 2). ``eps`` is a list of
+    entry node indexes; returns the ef nearest (dist, idx) pairs, sorted.
+    All heap entries are (dist, idx) so ties break on insertion index
+    (ascending vec_id by construction)."""
+    visited = set(eps)
+    cand = [(float(1.0 - vecs[e] @ q), e) for e in eps]
+    heapq.heapify(cand)
+    best = [(-d, e) for d, e in cand]
+    heapq.heapify(best)
+    while cand:
+        d, c = heapq.heappop(cand)
+        if d > -best[0][0]:
+            break
+        for nb in adj[c][lc]:
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = float(1.0 - vecs[nb] @ q)
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(best, (-dn, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-nd, e) for nd, e in best)
+
+
+def _select_diverse(vecs, q, candidates, m):
+    """Lucene's diversity heuristic: scan candidates nearest-first, keep c
+    only if c is closer to q than to every already-kept neighbor."""
+    out = []
+    for d, c in candidates:
+        ok = True
+        for _, s in out:
+            if float(1.0 - vecs[c] @ vecs[s]) < d:
+                ok = False
+                break
+        if ok:
+            out.append((d, c))
+            if len(out) >= m:
+                break
+    return out
+
+
+def _build_graph(pdf: pd.DataFrame, m: int, ef_construction: int) -> pd.DataFrame:
+    """Sequential HNSW build over one partition's vectors (numpy float64,
+    unit-normalized so cosine distance = 1 - dot)."""
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    raw = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(raw, axis=1)
+    norms[norms == 0.0] = 1.0
+    vecs = raw / norms[:, None]
+
+    ml = 1.0 / math.log(m)
+    levels = [_level_for(int(i), ml) for i in ids]
+    # adj[i][lc] = list of neighbor indexes of node i at layer lc
+    adj: list[list[list[int]]] = [
+        [[] for _ in range(levels[i] + 1)] for i in range(len(ids))
+    ]
+    entry = -1  # index of current entry point (max level, first-inserted tie)
+
+    def _shrink(node: int, lc: int):
+        cap = m * 2 if lc == 0 else m
+        if len(adj[node][lc]) <= cap:
+            return
+        cand = sorted(
+            (float(1.0 - vecs[node] @ vecs[nb]), nb) for nb in adj[node][lc]
+        )
+        adj[node][lc] = [nb for _, nb in _select_diverse(vecs, vecs[node], cand, cap)]
+
+    for i in range(len(ids)):
+        if entry < 0:
+            entry = i
+            continue
+        q = vecs[i]
+        lvl, top = levels[i], levels[entry]
+        eps = [entry]
+        for lc in range(top, lvl, -1):
+            eps = [_search_layer(vecs, adj, q, eps, 1, lc)[0][1]]
+        for lc in range(min(lvl, top), -1, -1):
+            w = _search_layer(vecs, adj, q, eps, ef_construction, lc)
+            for d, nb in _select_diverse(vecs, q, w, m):
+                adj[i][lc].append(nb)
+                adj[nb][lc].append(i)
+                _shrink(nb, lc)
+            eps = [e for _, e in w]
+        if lvl > top:
+            entry = i
+
+    return pd.DataFrame(
+        {
+            "part": pdf["part"].to_numpy(),
+            "vec_id": ids,
+            "embedding": pdf["embedding"],
+            "neighbors": [
+                [[int(ids[nb]) for nb in layer] for layer in adj[i]]
+                for i in range(len(ids))
+            ],
+        }
+    )
+
+
+def build_hnsw_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    num_parts: int = 4,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build per-partition HNSW graphs and persist them under ``index_dir``:
+
+      graph/         parquet DF(part, vec_id, embedding, neighbors) where
+                     neighbors[lc] = this node's layer-lc neighbor vec_ids
+      manifest.json  params; written atomically LAST (commit point)
+
+    Partition assignment is ``pmod(xxhash64(vec_id), num_parts)`` —
+    deterministic, balanced, independent of input file layout. Idempotent:
+    an existing manifest with matching params short-circuits."""
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            prev = json.load(fh)
+        if (
+            prev.get("num_parts") == num_parts
+            and prev.get("m") == m
+            and prev.get("ef_construction") == ef_construction
+        ):
+            return prev
+    os.makedirs(index_dir, exist_ok=True)
+
+    def builder(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)  # N workers × thread pools thrash the box
+        if pdf.empty:
+            return pd.DataFrame(
+                {"part": [], "vec_id": [], "embedding": [], "neighbors": []}
+            )
+        return _build_graph(pdf, m, ef_construction)
+
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("part", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_parts)).cast("int"))
+    graph = src.groupBy("part").applyInPandas(builder, schema=GRAPH_SCHEMA)
+    graph.write.mode("overwrite").parquet(os.path.join(index_dir, "graph"))
+
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    manifest = {
+        "format": "hnsw_v1",
+        "num_parts": num_parts,
+        "m": m,
+        "ef_construction": ef_construction,
+        "dim": int(first["d"]) if first else 0,
+        "metric": "cosine",
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def _search_graph(pdf: pd.DataFrame, q: np.ndarray, k: int, ef: int) -> pd.DataFrame:
+    """Beam-search one partition's graph: greedy descent from the partition
+    entry point (highest level, min vec_id tie) to layer 0, ef-beam at layer
+    0, emit the local top-k as (vec_id, cosine)."""
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    raw = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(raw, axis=1)
+    norms[norms == 0.0] = 1.0
+    vecs = raw / norms[:, None]
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    adj = [
+        [[idx_of[int(nb)] for nb in layer] for layer in node]
+        for node in pdf["neighbors"]
+    ]
+    qn = float(np.linalg.norm(q)) or 1.0
+    qv = q / qn
+
+    lvls = np.asarray([len(a) - 1 for a in adj])
+    entry = int(np.flatnonzero(lvls == lvls.max())[0])  # min vec_id tie (sorted)
+    eps = [entry]
+    for lc in range(int(lvls[entry]), 0, -1):
+        eps = [_search_layer(vecs, adj, qv, eps, 1, lc)[0][1]]
+    best = _search_layer(vecs, adj, qv, eps, max(ef, k), 0)[:k]
+    return pd.DataFrame(
+        {
+            "vec_id": [int(ids[e]) for _, e in best],
+            "cosine": [1.0 - d for d, _ in best],
+        }
+    )
+
+
+def hnsw_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    ef_search: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k over the persisted per-partition graphs:
+    DF(vec_id, cosine double) ordered (cosine desc, vec_id asc). Each
+    partition's task walks its local graph; only P×k rows reach the merge
+    (``KnnFloatVectorQuery`` per-leaf collect + TopDocs.merge analog)."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        json.load(fh)  # existence check = commit check
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def searcher(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        if pdf.empty:
+            return pd.DataFrame({"vec_id": [], "cosine": []})
+        return _search_graph(pdf, q, k, ef_search)
+
+    graph = spark.read.parquet(os.path.join(index_dir, "graph"))
+    # one graph walk per partition graph: groupBy(part) guarantees each
+    # applyInPandas call sees exactly one complete graph
+    per_part = graph.groupBy("part").applyInPandas(
+        searcher, schema="vec_id long, cosine double"
+    )
+    return per_part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

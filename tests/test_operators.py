@@ -364,3 +364,54 @@ def test_persisted_ann_matches_inline(spark, embs, tmp_path):
     # idempotent rebuild short-circuits on matching params
     m2 = build_ann_index(embs, d, num_planes=16, n_centroids=4, seed=7)
     assert m2["centroids"] == m["centroids"]
+
+
+# ------------------------------------------------ per-partition HNSW graph
+
+def test_hnsw_recall_determinism_and_invariants(spark, embs, tmp_path):
+    """Per-partition HNSW (Lucene per-segment graph analog): high recall vs
+    brute force, bit-reproducible build + search, capped degree, and
+    partition-local neighbor lists."""
+    import os
+
+    from lucene_spark.operators.hnsw import build_hnsw_index, hnsw_ann_topk_indexed
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    d1, d2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    m = build_hnsw_index(embs, d1, num_parts=2, m=8, ef_construction=64)
+    assert os.path.exists(os.path.join(d1, "manifest.json"))
+    assert m["metric"] == "cosine" and m["dim"] == 64
+
+    q = query_vector(embs, 3)
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, 10).collect()]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           hnsw_ann_topk_indexed(spark, d1, q, 10, ef_search=64).collect()]
+    recall = len(set(exact) & {v for v, _ in got}) / 10
+    assert recall >= 0.9
+    # deterministic search
+    got2 = [(r["vec_id"], r["cosine"]) for r in
+            hnsw_ann_topk_indexed(spark, d1, q, 10, ef_search=64).collect()]
+    assert got2 == got
+    # deterministic build: a second build in a fresh dir is row-identical
+    build_hnsw_index(embs, d2, num_parts=2, m=8, ef_construction=64)
+    rows1 = sorted(
+        (r["part"], r["vec_id"], [list(l) for l in r["neighbors"]])
+        for r in spark.read.parquet(os.path.join(d1, "graph")).collect())
+    rows2 = sorted(
+        (r["part"], r["vec_id"], [list(l) for l in r["neighbors"]])
+        for r in spark.read.parquet(os.path.join(d2, "graph")).collect())
+    assert rows1 == rows2
+    # graph invariants: degree caps (2M at layer 0, M above), neighbors stay
+    # inside the node's own partition, and no self-loops
+    by_part = {}
+    for part, vid, _ in rows1:
+        by_part.setdefault(part, set()).add(vid)
+    for part, vid, layers in rows1:
+        for lc, nbrs in enumerate(layers):
+            cap = 16 if lc == 0 else 8
+            assert len(nbrs) <= cap
+            assert vid not in nbrs
+            assert set(nbrs) <= by_part[part]
+    # idempotent: matching params short-circuit
+    m2 = build_hnsw_index(embs, d1, num_parts=2, m=8, ef_construction=64)
+    assert m2 == m
