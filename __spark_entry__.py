@@ -58,6 +58,7 @@ _PREFIX = "s"  # scan/sort/small/spark/stream/slow...
 _PHRASE = ["scan", "merge"]
 _PHRASE_SLOP = (["scan", "merge"], 2)
 _SPAN_NEAR = (["scan", "merge"], 3)
+_INTERVAL = ("scan", "merge", 3)  # maxgaps(3, ordered(scan, merge))
 _SUGGEST_PREFIX, _SUGGEST_K = "s", 15
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
@@ -164,6 +165,22 @@ def _span_near_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, slop = _SPAN_NEAR
     q = SpanNearQuery(tuple(terms), slop, in_order=False)
     return _multiterm_df(spark, sf_dir, q)
+
+
+def _interval_ordered_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntervalQuery: maxgaps(g, ordered(t0, t1)) — saturation-scored sloppy
+    interval frequency (queries/intervals module analog)."""
+    from lucene_spark.query.intervals import maxgaps, ordered
+
+    t0, t1, g = _INTERVAL
+    s = _searcher(spark, sf_dir)
+    hits = s.search_intervals(maxgaps(g, ordered(t0, t1)), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def _suggest_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phrase"] = _phrase_df
     out["bm25_phrase_slop"] = _phrase_slop_df
     out["bm25_span_near_unord"] = _span_near_df
+    out["interval_ordered"] = _interval_ordered_df
     out["suggest_prefix"] = _suggest_df
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
@@ -967,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bm25_span_near_unord"] = sqlgen.span_near_unordered_sql(
         _SPAN_NEAR[0], _SPAN_NEAR[1], _QUERY_K
+    )
+    out["interval_ordered"] = sqlgen.interval_ordered_sql(
+        _INTERVAL[0], _INTERVAL[1], _INTERVAL[2], _QUERY_K
     )
     out["suggest_prefix"] = f"""
 WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}

@@ -620,3 +620,64 @@ SELECT doc_id, CAST(dl AS INT) AS field_len,
        CAST({B4_ENC.format(i='dl')} AS INT) AS norm_byte
 FROM dl ORDER BY doc_id
 """.strip()
+
+
+def interval_ordered_sql(
+    t0: str,
+    t1: str,
+    gaps: int,
+    k: int,
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Two-term ordered IntervalQuery twin (Intervals.maxgaps(gaps,
+    Intervals.ordered(t0, t1))): the reference's ordered iterator emits
+    exactly the minimal intervals, which for two single-position terms are
+    the mutually-nearest pairs — pb = MIN t1-position > pa AND pa = MAX
+    t0-position < pb. Sloppy freq accumulates in float32 in emission order
+    (ascending pa; ``IntervalScorer.java:63-68`` — replayed with an ordered
+    list_reduce through REAL), minExtent = 2 so each interval contributes
+    1/(pb - pa); score is the all-float32 saturation function
+    ``boost * (1 - pivot/(pivot + freq))`` (``IntervalScoreFunction.java``).
+    Norms and idf are unused — no corpus stats CTEs needed."""
+    sat = (
+        f"CAST(CAST({boost} AS REAL) * CAST(CAST(1.0 AS REAL) - "
+        f"CAST(CAST({pivot} AS REAL) / CAST(CAST({pivot} AS REAL) + freq AS REAL)"
+        f" AS REAL) AS REAL) AS REAL)"
+    )
+    return f"""
+WITH tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS p FROM tokarr
+),
+nxt AS (
+  SELECT a.doc_id, a.p AS pa, min(b.p) AS pb
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{t0}') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = '{t1}') b
+    ON b.doc_id = a.doc_id AND b.p > a.p
+  GROUP BY a.doc_id, a.p
+),
+minimal AS (
+  SELECT doc_id, max(pa) AS pa, pb FROM nxt GROUP BY doc_id, pb
+),
+kept AS (
+  SELECT doc_id, pa, pb FROM minimal WHERE pb - pa - 1 <= {gaps}
+),
+pf AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(CAST(1.0 AS DOUBLE) / (pb - pa) ORDER BY pa)),
+           (acc, x) -> CAST(CAST(acc + x AS REAL) AS DOUBLE)) AS REAL) AS freq
+  FROM kept GROUP BY doc_id
+)
+SELECT doc_id, {sat} AS score
+FROM pf
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

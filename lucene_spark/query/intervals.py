@@ -1,0 +1,418 @@
+"""Interval queries — the analog of Lucene's queries/intervals module.
+
+Reference semantics mirrored (public Apache Lucene source, cited per class):
+
+  - ``IntervalQuery`` scores a document by its *sloppy interval frequency*:
+    for every interval the source emits in a doc,
+    ``freq += 1.0 / max(length - minExtent + 1, 1)`` accumulated in FLOAT32
+    (``queries/intervals/IntervalScorer.java:63-68``), then
+    ``score = weight * (1 - pivot / (pivot + freq))`` — the saturation
+    function, all float32 ops
+    (``IntervalScoreFunction.java:66-72``; default pivot = 1,
+    ``IntervalQuery.java:70-72``). Norms are NOT used (norm = 1).
+  - ``minExtent``: 1 for a term; the SUM of sub-extents for ordered and
+    unordered sources (``OrderedIntervalsSource.java:69-74``); a gaps/width
+    filter keeps its inner source's extent
+    (``FilteredIntervalsSource.java:128``).
+  - ORDERED emits minimal intervals where each sub-interval begins strictly
+    after the previous one ends, lazily maximizing the start for each
+    reachable end (``OrderedIntervalsSource.java:123-180``). UNORDERED emits
+    minimal windows covering one interval from every sub-source, overlap
+    allowed, with a monotone right extreme
+    (``UnorderedIntervalsSource.java:141-171``). Both state machines below
+    reproduce those iterator semantics (including which candidate intervals
+    are *returned* vs merely minimized away) so sloppy frequencies match the
+    reference interval-for-interval.
+  - MAXGAPS / MAXWIDTH are filters over an inner source
+    (``FilteredIntervalsSource.java``); ``phrase(...)`` = ordered with zero
+    gaps (``Intervals.phrase`` / ``BlockIntervalsSource`` — identical for
+    term children, where gaps == 0 <=> contiguity).
+
+Spark execution (``IndexSearcher.search_intervals``): one pushed-down
+positions scan for the source's leaf terms, ONE groupBy(doc_id) assembling
+per-leaf position arrays (the phrase plan's shape — shuffle volume is the
+matched positions, independent of tree depth), then an Arrow-batched
+mapInPandas pass that runs the interval automaton per doc and emits
+(doc_id, score). Only matching docs leave the UDF; top-k is the exact
+global sort. At 10^12 turns the plan's cost is bounded by the rarest leaf
+term's postings, the same asymptotic the reference's conjunction-driven
+interval iteration achieves.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+NO_MORE = 0x7FFFFFFF  # IntervalIterator.NO_MORE_INTERVALS == Integer.MAX_VALUE
+
+
+# ------------------------------------------------------------------ sources
+
+class IntervalsSource:
+    """Base combinator node. ``leaves()`` lists term leaves in slot order;
+    ``min_extent()`` per the reference; ``iterator(arrays)`` builds the
+    per-doc automaton over position arrays indexed by leaf order."""
+
+    def leaves(self) -> list[str]:
+        raise NotImplementedError
+
+    def min_extent(self) -> int:
+        raise NotImplementedError
+
+    def iterator(self, arrays: list[np.ndarray], base: int = 0):
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Term(IntervalsSource):
+    term: str
+
+    def leaves(self):
+        return [self.term]
+
+    def min_extent(self):
+        return 1
+
+    def iterator(self, arrays, base=0):
+        return _TermIter(arrays[base])
+
+
+@dataclass(frozen=True)
+class Ordered(IntervalsSource):
+    subs: tuple
+
+    def leaves(self):
+        return [t for s in self.subs for t in s.leaves()]
+
+    def min_extent(self):
+        return sum(s.min_extent() for s in self.subs)
+
+    def iterator(self, arrays, base=0):
+        its = []
+        for s in self.subs:
+            its.append(s.iterator(arrays, base))
+            base += len(s.leaves())
+        return _OrderedIter(its)
+
+
+@dataclass(frozen=True)
+class Unordered(IntervalsSource):
+    subs: tuple
+
+    def leaves(self):
+        return [t for s in self.subs for t in s.leaves()]
+
+    def min_extent(self):
+        return sum(s.min_extent() for s in self.subs)
+
+    def iterator(self, arrays, base=0):
+        its = []
+        for s in self.subs:
+            its.append(s.iterator(arrays, base))
+            base += len(s.leaves())
+        return _UnorderedIter(its)
+
+
+@dataclass(frozen=True)
+class MaxGaps(IntervalsSource):
+    gaps: int
+    sub: IntervalsSource
+
+    def leaves(self):
+        return self.sub.leaves()
+
+    def min_extent(self):
+        return self.sub.min_extent()
+
+    def iterator(self, arrays, base=0):
+        return _FilteredIter(
+            self.sub.iterator(arrays, base), lambda it: it.gaps() <= self.gaps
+        )
+
+
+@dataclass(frozen=True)
+class MaxWidth(IntervalsSource):
+    width: int
+    sub: IntervalsSource
+
+    def leaves(self):
+        return self.sub.leaves()
+
+    def min_extent(self):
+        return self.sub.min_extent()
+
+    def iterator(self, arrays, base=0):
+        return _FilteredIter(
+            self.sub.iterator(arrays, base),
+            lambda it: it.end() - it.start() + 1 <= self.width,
+        )
+
+
+def ordered(*terms_or_sources) -> Ordered:
+    return Ordered(tuple(_coerce(x) for x in terms_or_sources))
+
+
+def unordered(*terms_or_sources) -> Unordered:
+    return Unordered(tuple(_coerce(x) for x in terms_or_sources))
+
+
+def maxgaps(gaps: int, sub) -> MaxGaps:
+    return MaxGaps(int(gaps), _coerce(sub))
+
+
+def maxwidth(width: int, sub) -> MaxWidth:
+    return MaxWidth(int(width), _coerce(sub))
+
+
+def phrase(*terms_or_sources) -> MaxGaps:
+    """``Intervals.phrase`` analog: ordered + zero internal gaps (identical
+    to BlockIntervalsSource for term children)."""
+    return MaxGaps(0, ordered(*terms_or_sources))
+
+
+def _coerce(x) -> IntervalsSource:
+    return Term(x) if isinstance(x, str) else x
+
+
+# ---------------------------------------------------------------- iterators
+
+class _TermIter:
+    """Single-term source: each position p is the interval [p, p]
+    (``TermIntervalsSource``: width 1, gaps 0)."""
+
+    __slots__ = ("pos", "i", "n")
+
+    def __init__(self, positions):
+        self.pos = positions
+        self.n = len(positions)
+        self.i = -1
+
+    def start(self):
+        return -1 if self.i < 0 else (
+            NO_MORE if self.i >= self.n else int(self.pos[self.i])
+        )
+
+    end = start
+
+    def width(self):
+        return 1
+
+    def gaps(self):
+        return 0
+
+    def next_interval(self):
+        self.i += 1
+        return NO_MORE if self.i >= self.n else int(self.pos[self.i])
+
+
+class _OrderedIter:
+    """ORDERED conjunction automaton (``OrderedIntervalsSource.java:101-190``
+    semantics): chain the subs strictly in order, record the candidate, then
+    keep advancing the first sub while the chain's last start is unreachable
+    — returning only the start-maximal interval for each reachable end."""
+
+    def __init__(self, subs):
+        self.subs = subs
+        self.i = 1
+        self._start = self._end = self._gaps = -1
+        subs[0].next_interval()
+
+    def start(self):
+        return self._start
+
+    def end(self):
+        return self._end
+
+    def width(self):
+        return self._end - self._start + 1
+
+    def gaps(self):
+        return self._gaps
+
+    def next_interval(self):
+        subs, n = self.subs, len(self.subs)
+        self._start = self._end = self._gaps = NO_MORE
+        last_start = NO_MORE
+        minimizing = False
+        ci = self.i
+        while True:
+            prev_end = subs[ci - 1].end()
+            while True:
+                if prev_end >= last_start:
+                    self.i = ci
+                    return self._start
+                if ci == n:
+                    break
+                cur = subs[ci]
+                if minimizing and cur.start() > prev_end:
+                    break
+                while True:
+                    if cur.end() >= last_start or cur.next_interval() == NO_MORE:
+                        self.i = ci
+                        return self._start
+                    if cur.start() > prev_end:
+                        break
+                ci += 1
+                prev_end = cur.end()
+            first, last = subs[0], subs[-1]
+            self._start = first.start()
+            if self._start == NO_MORE:
+                self.i = ci
+                self._end = NO_MORE
+                return NO_MORE
+            self._end = last.end()
+            self._gaps = self._end - self._start + 1 - sum(
+                s.width() for s in subs
+            )
+            ci = 1
+            if first.next_interval() == NO_MORE:
+                self.i = ci
+                return self._start
+            last_start = last.start()
+            minimizing = True
+
+
+class _UnorderedIter:
+    """UNORDERED conjunction automaton
+    (``UnorderedIntervalsSource.java:141-171`` semantics): min-start heap
+    (ties: larger end first) with a monotone right extreme; each window is
+    minimized by advancing the left edge while the right extreme holds."""
+
+    def __init__(self, subs):
+        self.subs = subs
+        self.heap: list[tuple[int, int, int]] = []
+        self.queue_end = -1
+        self._start = self._end = self._gaps = -1
+        for idx, it in enumerate(subs):
+            if it.next_interval() == NO_MORE:
+                break
+            self._push(idx)
+
+    def _push(self, idx):
+        it = self.subs[idx]
+        heapq.heappush(self.heap, (it.start(), -it.end(), idx))
+        if it.end() > self.queue_end:
+            self.queue_end = it.end()
+
+    def _advance_top(self):
+        _, _, idx = heapq.heappop(self.heap)
+        if self.subs[idx].next_interval() != NO_MORE:
+            self._push(idx)
+
+    def start(self):
+        return self._start
+
+    def end(self):
+        return self._end
+
+    def width(self):
+        return self._end - self._start + 1
+
+    def gaps(self):
+        return self._gaps
+
+    def next_interval(self):
+        n = len(self.subs)
+        # find the next fresh window
+        while len(self.heap) == n and self.heap[0][0] == self._start:
+            self._advance_top()
+        if len(self.heap) < n:
+            self._start = self._end = NO_MORE
+            return NO_MORE
+        # minimize it: pull the left edge right while the window holds
+        while True:
+            self._start = self.heap[0][0]
+            self._end = self.queue_end
+            self._gaps = (self._end - self._start + 1) - sum(
+                s.width() for s in self.subs
+            )
+            if -self.heap[0][1] == self._end:
+                return self._start
+            self._advance_top()
+            if not (len(self.heap) == n and self._end == self.queue_end):
+                return self._start
+
+
+class _FilteredIter:
+    """Gaps/width filter over an inner iterator
+    (``FilteredIntervalsSource.java`` semantics)."""
+
+    __slots__ = ("inner", "accept")
+
+    def __init__(self, inner, accept):
+        self.inner = inner
+        self.accept = accept
+
+    def start(self):
+        return self.inner.start()
+
+    def end(self):
+        return self.inner.end()
+
+    def width(self):
+        return self.inner.width()
+
+    def gaps(self):
+        return self.inner.gaps()
+
+    def next_interval(self):
+        while True:
+            s = self.inner.next_interval()
+            if s == NO_MORE:
+                return NO_MORE
+            if self.accept(self.inner):
+                return s
+
+
+# ------------------------------------------------------------------ scoring
+
+def interval_score(
+    source: IntervalsSource,
+    arrays: list[np.ndarray],
+    pivot: float = 1.0,
+    boost: float = 1.0,
+) -> np.float32:
+    """Score one doc: float32 sloppy-freq accumulation over the emitted
+    intervals (``IntervalScorer.ensureFreq``) + the saturation function
+    (``IntervalScoreFunction.SaturationFunction``). 0.0 when no interval
+    matches (the doc is not a hit)."""
+    it = source.iterator(arrays)
+    min_extent = source.min_extent()
+    freq = np.float32(0.0)
+    matched = False
+    while it.next_interval() != NO_MORE:
+        matched = True
+        length = it.end() - it.start() + 1
+        freq = np.float32(np.float64(freq) + 1.0 / max(length - min_extent + 1, 1))
+    if not matched:
+        return np.float32(0.0)
+    p = np.float32(pivot)
+    return np.float32(
+        np.float32(boost) * np.float32(np.float32(1.0) - np.float32(p / np.float32(p + freq)))
+    )
+
+
+def score_batches(source: IntervalsSource, pivot: float, boost: float, n_slots: int):
+    """mapInPandas kernel over the slot-position frame (doc_id, p0..p{n-1})."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        for pdf in batches:
+            docs = pdf["doc_id"].to_numpy(np.int64)
+            cols = [pdf[f"p{i}"].to_numpy(object) for i in range(n_slots)]
+            scores = np.zeros(len(pdf), dtype=np.float32)
+            for r in range(len(pdf)):
+                arrays = [
+                    np.asarray(cols[i][r], dtype=np.int64) for i in range(n_slots)
+                ]
+                scores[r] = interval_score(source, arrays, pivot, boost)
+            out = pd.DataFrame({"doc_id": docs, "score": scores})
+            yield out[out["score"] > 0.0]
+
+    return run

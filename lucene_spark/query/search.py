@@ -731,6 +731,39 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def search_intervals(
+        self,
+        source,
+        k: int = 10,
+        pivot: float = 1.0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """IntervalQuery analog (``queries/intervals/IntervalQuery.java``):
+        top-k DF(doc_id long, score float) where score is the saturation
+        function of the doc's sloppy interval frequency — float32-faithful
+        to ``IntervalScorer``/``IntervalScoreFunction`` (norms unused,
+        norm = 1 in the reference scorer).
+
+        ``source`` is an ``IntervalsSource`` tree from
+        ``lucene_spark.query.intervals`` (term/ordered/unordered/maxgaps/
+        maxwidth/phrase). Plan: ONE pushed-down positions scan over the leaf
+        terms + ONE groupBy(doc_id) (the phrase plan's slot frame), then an
+        Arrow-batched interval-automaton pass; only matching docs leave the
+        UDF and only the global exact top-k sort follows."""
+        from lucene_spark.query.intervals import score_batches
+
+        leaves = source.leaves()
+        if not leaves:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        slots = [(t,) for t in leaves]
+        j = self._slot_position_frame(slots)
+        scored = j.mapInPandas(
+            score_batches(source, float(pivot), float(boost), len(slots)),
+            schema="doc_id long, score float",
+        )
+        live = self._live(scored)
+        return live.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def term_postings(self, term: str) -> DataFrame:
         """Decoded posting list of one term: DF(doc_id long, freq int) —
         the raw DocIdSetIterator surface (postings scan + block decode)."""

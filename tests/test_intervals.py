@@ -1,0 +1,209 @@
+"""Intervals module (queries/intervals analog): automaton semantics vs
+brute-force minimal-interval enumeration, float32 saturation scoring, and
+Spark execution vs a scalar per-doc reference on the shared corpus."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.analysis import MAX_TOKEN_LENGTH, tokenize_one
+from lucene_spark.query.intervals import (
+    NO_MORE,
+    interval_score,
+    maxgaps,
+    maxwidth,
+    ordered,
+    phrase,
+    unordered,
+)
+from lucene_spark.query.search import IndexSearcher
+
+
+def _emit(src, arrays):
+    it = src.iterator([np.asarray(a, dtype=np.int64) for a in arrays])
+    out = []
+    while it.next_interval() != NO_MORE:
+        out.append((it.start(), it.end(), it.gaps()))
+    return out
+
+
+def _brute_min_ordered(lists):
+    """All strictly-increasing cross-list tuples, reduced to the minimal
+    (containment-free) interval set — the definition the ordered iterator
+    is meant to enumerate lazily."""
+    matches = set()
+    for combo in itertools.product(*lists):
+        if all(combo[i] > combo[i - 1] for i in range(1, len(combo))):
+            matches.add((combo[0], combo[-1]))
+    return sorted(
+        m for m in matches
+        if not any(o != m and o[0] >= m[0] and o[1] <= m[1] for o in matches)
+    )
+
+
+def test_ordered_matches_brute_force_minimal():
+    rng = random.Random(11)
+    for _ in range(800):
+        n = rng.randint(2, 4)
+        lists = [
+            sorted(rng.sample(range(0, 20), rng.randint(1, 5))) for _ in range(n)
+        ]
+        got = [(s, e) for s, e, _ in _emit(ordered(*[f"t{i}" for i in range(n)]), lists)]
+        assert sorted(got) == _brute_min_ordered(lists), lists
+        # gaps for term leaves = width - n; emission order = ascending start
+        full = _emit(ordered(*[f"t{i}" for i in range(n)]), lists)
+        assert all(g == (e - s + 1) - n for s, e, g in full)
+        assert [s for s, _, _ in full] == sorted(s for s, _, _ in full)
+
+
+def test_unordered_reference_cases():
+    # monotone right extreme: after (1,2), the window end can only grow
+    assert _emit(unordered("a", "b"), [[1, 10], [2]]) == [(1, 2, 0), (2, 10, 7)]
+    # overlap-allowed sliding windows
+    assert _emit(unordered("a", "b"), [[1, 4], [3, 5]]) == [
+        (1, 3, 1), (3, 4, 0), (4, 5, 0)
+    ]
+    # one sub exhausted at reset -> no intervals
+    assert _emit(unordered("a", "b"), [[1, 2], []]) == []
+
+
+def test_unordered_window_property():
+    """Every emitted unordered window covers >=1 position of every leaf."""
+    rng = random.Random(5)
+    for _ in range(300):
+        n = rng.randint(2, 3)
+        lists = [
+            sorted(rng.sample(range(0, 15), rng.randint(1, 4))) for _ in range(n)
+        ]
+        for s, e, g in _emit(unordered(*[f"t{i}" for i in range(n)]), lists):
+            assert all(any(s <= p <= e for p in li) for li in lists)
+            assert g == (e - s + 1) - n
+
+
+def test_filters_and_phrase():
+    assert _emit(maxgaps(1, ordered("a", "b")), [[1, 4], [3, 9]]) == [(1, 3, 1)]
+    # minimal ordered intervals of a=[1,4], b=[3,9] are (1,3) and (4,9):
+    # widths 3 and 6, so maxwidth(2) drops both; with b=[2,9] the minimal
+    # (1,2) (width 2) survives
+    assert _emit(maxwidth(2, ordered("a", "b")), [[1, 4], [3, 9]]) == []
+    assert _emit(maxwidth(2, ordered("a", "b")), [[1, 4], [2, 9]]) == [(1, 2, 0)]
+    # phrase == ordered with zero internal gaps (BlockIntervalsSource)
+    assert _emit(phrase("a", "b"), [[1, 4], [2, 9]]) == [(1, 2, 0)]
+    assert _emit(phrase("a", "b"), [[1, 4], [3, 9]]) == []
+
+
+def test_interval_score_float32_exact():
+    # doc: a@1 b@3 a@4 b@5 -> minimal ordered intervals (1,3) len3, (4,5) len2
+    # minExtent=2: contributions 1/2, 1/1 accumulated in float32
+    arrays = [[1, 4], [3, 5]]
+    s = interval_score(ordered("a", "b"), [np.asarray(x) for x in arrays])
+    freq = np.float32(np.float64(np.float32(0.0)) + 0.5)
+    freq = np.float32(np.float64(freq) + 1.0)
+    want = np.float32(
+        np.float32(1.0) * np.float32(
+            np.float32(1.0) - np.float32(np.float32(1.0) / np.float32(np.float32(1.0) + freq))
+        )
+    )
+    assert s == want
+    # no match -> 0 (doc is not a hit)
+    assert interval_score(ordered("a", "b"), [np.asarray([5]), np.asarray([2])]) == 0.0
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    return IndexSearcher(spark, built_index)
+
+
+@pytest.fixture(scope="module")
+def positioned(small_corpus):
+    """Scalar reference: per doc (stable order) -> term -> positions."""
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    docs = []
+    for text in rows["text"]:
+        raw = tokenize_one(text or "")
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(raw):
+            if len(t) <= MAX_TOKEN_LENGTH:
+                pos.setdefault(t.lower(), []).append(i)
+        docs.append(pos)
+    return docs
+
+
+def _scalar_topk(positioned, source, k, pivot=1.0, boost=1.0):
+    leaves = source.leaves()
+    out = []
+    for did, pos in enumerate(positioned):
+        if any(t not in pos for t in leaves):
+            continue
+        arrays = [np.asarray(pos[t], dtype=np.int64) for t in leaves]
+        s = interval_score(source, arrays, pivot, boost)
+        if s > 0:
+            out.append((did, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_search_intervals_matches_scalar(searcher, positioned):
+    # pick a bigram pair that occurs in order somewhere
+    src = None
+    for pos in positioned:
+        terms = [t for t, ps in pos.items() if ps]
+        for a, b in itertools.combinations(sorted(terms), 2):
+            if any(q > p for p in pos[a] for q in pos[b]):
+                src = maxgaps(4, ordered(a, b))
+                break
+        if src:
+            break
+    assert src is not None
+    for source in (src, unordered(*src.leaves()), phrase(*src.leaves())):
+        want = _scalar_topk(positioned, source, 10)
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search_intervals(source, 10).collect()
+        ]
+        assert got == [(d, np.float32(s)) for d, s in want], source
+
+
+def test_interval_oracle_sql_parity(small_corpus, positioned):
+    """DuckDB twin == scalar reference on the shared corpus (the same
+    dual-execution contract the driver gate runs)."""
+    import duckdb
+
+    from lucene_spark.plans.sqlgen import interval_ordered_sql
+
+    # corpus as a documents(doc_id, text) view in stable order
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    import pandas as pd
+
+    docs_df = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": rows["text"].to_numpy()}
+    )
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+    # find a pair with >= 3 matching docs for a meaningful top-k
+    pair = None
+    for pos in positioned:
+        for a, b in itertools.combinations(sorted(pos), 2):
+            n = sum(
+                1 for p in positioned
+                if a in p and b in p and any(q > x for x in p[a] for q in p[b])
+            )
+            if n >= 3:
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair is not None
+    src = maxgaps(3, ordered(*pair))
+    want = _scalar_topk(positioned, src, 10)
+    got = [
+        (int(d), np.float32(s))
+        for d, s in con.execute(
+            interval_ordered_sql(pair[0], pair[1], 3, 10)
+        ).fetchall()
+    ]
+    assert got == [(d, np.float32(s)) for d, s in want]
