@@ -66,6 +66,19 @@ class IntervalsSource:
     def iterator(self, arrays: list[np.ndarray], base: int = 0):
         raise NotImplementedError
 
+    def requires(self, flags, base: int = 0):
+        """Slot-presence predicate (over any &/| algebra — plain bools or
+        pyspark Columns): which leaf slots must be non-empty for this source
+        to possibly emit an interval. Conjunctions require every child,
+        disjunctions any child; used to pre-filter the slot frame before the
+        per-doc automaton runs (a pure data-reduction — the automaton itself
+        is correct on empty arrays)."""
+        expr = None
+        for i in range(len(self.leaves())):
+            f = flags[base + i]
+            expr = f if expr is None else (expr & f)
+        return expr
+
 
 @dataclass(frozen=True)
 class Term(IntervalsSource):
@@ -152,6 +165,92 @@ class MaxWidth(IntervalsSource):
         )
 
 
+@dataclass(frozen=True)
+class Or(IntervalsSource):
+    """Disjunction (``DisjunctionIntervalsSource``): pulls minimal intervals
+    from every sub-source through an (end asc, start desc) priority queue,
+    dropping queued intervals that contain the one just emitted
+    (``DisjunctionIntervalsSource.java:222-247``). minExtent = MIN of subs.
+    Matches the reference's direct execution of the tree (the optional
+    pull-up rewrite of disjunctions nested under conjunctions is not
+    applied on either side)."""
+
+    subs: tuple
+
+    def leaves(self):
+        return [t for s in self.subs for t in s.leaves()]
+
+    def min_extent(self):
+        return min(s.min_extent() for s in self.subs)
+
+    def iterator(self, arrays, base=0):
+        its = []
+        for s in self.subs:
+            its.append(s.iterator(arrays, base))
+            base += len(s.leaves())
+        return _OrIter(its)
+
+    def requires(self, flags, base=0):
+        expr = None
+        for s in self.subs:
+            e = s.requires(flags, base)
+            expr = e if expr is None else (expr | e)
+            base += len(s.leaves())
+        return expr
+
+
+@dataclass(frozen=True)
+class _Relational(IntervalsSource):
+    """Shared shape of the containing/contained-by/difference filters: emit
+    ``left`` intervals judged against the set of ``right`` intervals. The
+    reference implements these as lazy two-pointer walks over the two
+    minimal-interval streams (``ContainingIntervalsSource.java:42-65``,
+    ``NotContainingIntervalsSource``, ``NonOverlappingIntervalsSource``);
+    because minimal-interval streams are containment-free antichains those
+    walks decide exactly the exists/not-exists predicates below, which we
+    evaluate against the materialized (per-doc, small) right-side list.
+    gaps()/width() delegate to the emitted left interval, as in the
+    reference's FilteringIntervalIterator."""
+
+    left: IntervalsSource
+    right: IntervalsSource
+    mode: str  # containing | contained_by | not_containing | not_contained_by | non_overlapping
+
+    def leaves(self):
+        return self.left.leaves() + self.right.leaves()
+
+    def min_extent(self):
+        return self.left.min_extent()
+
+    def requires(self, flags, base=0):
+        le = self.left.requires(flags, base)
+        if self.mode in ("containing", "contained_by"):
+            # conjunction semantics: no right-side match => no intervals
+            return le & self.right.requires(flags, base + len(self.left.leaves()))
+        return le  # difference semantics: absent subtrahend filters nothing
+
+    def iterator(self, arrays, base=0):
+        lit = self.left.iterator(arrays, base)
+        rit = self.right.iterator(arrays, base + len(self.left.leaves()))
+        refs = []
+        while rit.next_interval() != NO_MORE:
+            refs.append((rit.start(), rit.end()))
+        mode = self.mode
+        if mode == "containing":
+            ok = lambda s, e: any(s <= rs and e >= re for rs, re in refs)
+        elif mode == "contained_by":
+            ok = lambda s, e: any(rs <= s and re >= e for rs, re in refs)
+        elif mode == "not_containing":
+            ok = lambda s, e: not any(s <= rs and e >= re for rs, re in refs)
+        elif mode == "not_contained_by":
+            ok = lambda s, e: not any(rs <= s and re >= e for rs, re in refs)
+        elif mode == "non_overlapping":
+            ok = lambda s, e: not any(rs <= e and re >= s for rs, re in refs)
+        else:  # pragma: no cover
+            raise ValueError(mode)
+        return _FilteredIter(lit, lambda it: ok(it.start(), it.end()))
+
+
 def ordered(*terms_or_sources) -> Ordered:
     return Ordered(tuple(_coerce(x) for x in terms_or_sources))
 
@@ -172,6 +271,40 @@ def phrase(*terms_or_sources) -> MaxGaps:
     """``Intervals.phrase`` analog: ordered + zero internal gaps (identical
     to BlockIntervalsSource for term children)."""
     return MaxGaps(0, ordered(*terms_or_sources))
+
+
+def or_(*terms_or_sources) -> Or:
+    return Or(tuple(_coerce(x) for x in terms_or_sources))
+
+
+def containing(big, small) -> _Relational:
+    """Intervals of ``big`` that contain an interval of ``small``
+    (``Intervals.containing``)."""
+    return _Relational(_coerce(big), _coerce(small), "containing")
+
+
+def contained_by(small, big) -> _Relational:
+    """Intervals of ``small`` that lie inside an interval of ``big``
+    (``Intervals.containedBy``)."""
+    return _Relational(_coerce(small), _coerce(big), "contained_by")
+
+
+def not_containing(minuend, subtrahend) -> _Relational:
+    """Intervals of ``minuend`` that contain no interval of ``subtrahend``
+    (``Intervals.notContaining``)."""
+    return _Relational(_coerce(minuend), _coerce(subtrahend), "not_containing")
+
+
+def not_contained_by(small, big) -> _Relational:
+    """Intervals of ``small`` not inside any interval of ``big``
+    (``Intervals.notContainedBy``)."""
+    return _Relational(_coerce(small), _coerce(big), "not_contained_by")
+
+
+def non_overlapping(minuend, subtrahend) -> _Relational:
+    """Intervals of ``minuend`` that overlap no interval of ``subtrahend``
+    (``Intervals.nonOverlapping``)."""
+    return _Relational(_coerce(minuend), _coerce(subtrahend), "non_overlapping")
 
 
 def _coerce(x) -> IntervalsSource:
@@ -335,6 +468,59 @@ class _UnorderedIter:
             self._advance_top()
             if not (len(self.heap) == n and self._end == self.queue_end):
                 return self._start
+
+
+class _OrIter:
+    """Disjunction automaton (``DisjunctionIntervalsSource.java:222-247``
+    semantics): (end asc, start desc) heap over the sub-streams; after
+    emitting the top, every queued interval containing it is popped and
+    advanced before the next top is exposed."""
+
+    def __init__(self, subs):
+        self.subs = subs
+        self.heap: list[tuple[int, int, int]] = []
+        for idx, it in enumerate(subs):
+            if it.next_interval() != NO_MORE:
+                heapq.heappush(self.heap, (it.end(), -it.start(), idx))
+        self.cur = None  # index of the current sub, None = before first
+
+    def _top(self):
+        return self.subs[self.heap[0][2]]
+
+    def _advance_top(self):
+        _, _, idx = heapq.heappop(self.heap)
+        it = self.subs[idx]
+        if it.next_interval() != NO_MORE:
+            heapq.heappush(self.heap, (it.end(), -it.start(), idx))
+
+    def start(self):
+        return -1 if self.cur is None else self.subs[self.cur].start()
+
+    def end(self):
+        return -1 if self.cur is None else self.subs[self.cur].end()
+
+    def width(self):
+        return self.end() - self.start() + 1
+
+    def gaps(self):
+        return 0 if self.cur is None else self.subs[self.cur].gaps()
+
+    def next_interval(self):
+        if self.cur is None:
+            if not self.heap:
+                return NO_MORE
+            self.cur = self.heap[0][2]
+            return self.start()
+        s, e = self.start(), self.end()
+        while self.heap:
+            it = self._top()
+            if not (s >= it.start() and e <= it.end()):
+                break
+            self._advance_top()
+        if not self.heap:
+            return NO_MORE
+        self.cur = self.heap[0][2]
+        return self.start()
 
 
 class _FilteredIter:

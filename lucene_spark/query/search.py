@@ -756,7 +756,13 @@ class IndexSearcher:
         if not leaves:
             return self.spark.createDataFrame([], "doc_id long, score float")
         slots = [(t,) for t in leaves]
-        j = self._slot_position_frame(slots)
+        j = self._slot_position_frame(slots, require_all=False)
+        # source-specific presence predicate (AND across conjunction
+        # children, OR across disjunction children) — data reduction only;
+        # the automaton is already correct on empty position arrays
+        j = j.filter(
+            source.requires([F.size(F.col(f"p{i}")) > 0 for i in range(len(slots))])
+        )
         scored = j.mapInPandas(
             score_batches(source, float(pivot), float(boost), len(slots)),
             schema="doc_id long, score float",
@@ -1388,10 +1394,14 @@ class IndexSearcher:
         w = self._multi_term_weight(boost, idfs)
         return self._phrase_core(present_slots, 0, w)
 
-    def _slot_position_frame(self, slots: list[tuple[str, ...]]) -> DataFrame:
+    def _slot_position_frame(
+        self, slots: list[tuple[str, ...]], require_all: bool = True
+    ) -> DataFrame:
         """ONE positions scan + ONE groupBy(doc_id) assembling per-slot
         position arrays p0..p{n-1} (union of slot alternatives,
-        distinct+sorted), filtered to docs where every slot matched."""
+        distinct+sorted), filtered to docs where every slot matched
+        (``require_all=False`` skips the filter — interval trees with
+        disjunctions apply their own presence predicate)."""
         n_slots = len(slots)
         term_slots: dict[str, list[int]] = {}
         for i, sl in enumerate(slots):
@@ -1430,6 +1440,8 @@ class IndexSearcher:
             for i in range(n_slots)
         ]
         j = tagged.groupBy("doc_id").agg(*aggs)
+        if not require_all:
+            return j
         present = F.size(F.col("p0")) > 0
         for i in range(1, n_slots):
             present = present & (F.size(F.col(f"p{i}")) > 0)

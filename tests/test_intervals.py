@@ -13,9 +13,15 @@ import pytest
 from lucene_spark.functions.analysis import MAX_TOKEN_LENGTH, tokenize_one
 from lucene_spark.query.intervals import (
     NO_MORE,
+    contained_by,
+    containing,
     interval_score,
     maxgaps,
     maxwidth,
+    non_overlapping,
+    not_contained_by,
+    not_containing,
+    or_,
     ordered,
     phrase,
     unordered,
@@ -96,6 +102,45 @@ def test_filters_and_phrase():
     assert _emit(phrase("a", "b"), [[1, 4], [3, 9]]) == []
 
 
+def test_or_and_relational_sources():
+    # or over terms = the union of points (width-1 intervals are already
+    # minimal); containment-dedup drops duplicates across subs
+    assert _emit(or_("a", "b"), [[1, 5], [3, 5]]) == [
+        (1, 1, 0), (3, 3, 0), (5, 5, 0)
+    ]
+    # or of a phrase and a term: term point inside the phrase window is
+    # emitted first (end asc); the containing phrase interval is then
+    # dropped only if it contains the emitted point
+    assert _emit(or_(phrase("a", "b"), "c"), [[1], [2], [4]]) == [
+        (1, 2, 0), (4, 4, 0)
+    ]
+    # minExtent of or = min of subs
+    assert or_(phrase("a", "b"), "c").min_extent() == 1
+    # containing: big intervals that contain a small interval
+    big, small = ordered("a", "b"), "x"
+    assert _emit(containing(big, small), [[1, 6], [3, 9], [2]]) == [(1, 3, 1)]
+    # contained_by: small points inside a big interval
+    assert _emit(contained_by("x", ordered("a", "b")),
+                 [[2, 20], [1, 6], [3, 9]]) == [(2, 2, 0)]
+    # not_containing / not_contained_by / non_overlapping
+    assert _emit(not_containing(big, small), [[1, 6], [3, 9], [2]]) == [(6, 9, 2)]
+    assert _emit(not_contained_by("x", ordered("a", "b")),
+                 [[2, 20], [1, 6], [3, 9]]) == [(20, 20, 0)]
+    assert _emit(non_overlapping("x", ordered("a", "b")),
+                 [[2, 20], [1, 6], [3, 9]]) == [(20, 20, 0)]
+    # difference filters pass everything through when subtrahend is absent
+    assert _emit(not_containing(big, small), [[1, 6], [3, 9], []]) == [
+        (1, 3, 1), (6, 9, 2)
+    ]
+    # presence predicate: conjunction = all, disjunction = any,
+    # difference = left only
+    flags_ab_noc = [True, True, False]
+    assert or_(phrase("a", "b"), "c").requires([True, True, False])
+    assert not or_(phrase("a", "b"), "c").requires([True, False, False])
+    assert not containing(big, small).requires(flags_ab_noc)
+    assert not_containing(big, small).requires(flags_ab_noc)
+
+
 def test_interval_score_float32_exact():
     # doc: a@1 b@3 a@4 b@5 -> minimal ordered intervals (1,3) len3, (4,5) len2
     # minExtent=2: contributions 1/2, 1/1 accumulated in float32
@@ -137,9 +182,9 @@ def _scalar_topk(positioned, source, k, pivot=1.0, boost=1.0):
     leaves = source.leaves()
     out = []
     for did, pos in enumerate(positioned):
-        if any(t not in pos for t in leaves):
+        if not source.requires([t in pos for t in leaves]):
             continue
-        arrays = [np.asarray(pos[t], dtype=np.int64) for t in leaves]
+        arrays = [np.asarray(pos.get(t, []), dtype=np.int64) for t in leaves]
         s = interval_score(source, arrays, pivot, boost)
         if s > 0:
             out.append((did, s))
@@ -159,7 +204,15 @@ def test_search_intervals_matches_scalar(searcher, positioned):
         if src:
             break
     assert src is not None
-    for source in (src, unordered(*src.leaves()), phrase(*src.leaves())):
+    a, b = src.leaves()
+    for source in (
+        src,
+        unordered(a, b),
+        phrase(a, b),
+        or_(a, phrase(a, b)),
+        not_containing(maxgaps(6, unordered(a, b)), phrase(a, b)),
+        contained_by(a, maxgaps(8, unordered(a, b))),
+    ):
         want = _scalar_topk(positioned, source, 10)
         got = [
             (r["doc_id"], np.float32(r["score"]))
