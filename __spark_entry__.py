@@ -59,6 +59,7 @@ _PHRASE = ["scan", "merge"]
 _PHRASE_SLOP = (["scan", "merge"], 2)
 _SPAN_NEAR = (["scan", "merge"], 3)
 _INTERVAL = ("scan", "merge", 3)  # maxgaps(3, ordered(scan, merge))
+_INTERVAL_CB = ("hash", "scan", "merge")  # contained_by(hash, ordered(scan, merge))
 _SUGGEST_PREFIX, _SUGGEST_K = "s", 15
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
@@ -175,6 +176,22 @@ def _interval_ordered_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0, t1, g = _INTERVAL
     s = _searcher(spark, sf_dir)
     hits = s.search_intervals(maxgaps(g, ordered(t0, t1)), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _interval_contained_by_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.containedBy(t, ordered(t0, t1)) — relational interval
+    filter over the minimal ordered antichain."""
+    from lucene_spark.query.intervals import contained_by, ordered
+
+    t, t0, t1 = _INTERVAL_CB
+    s = _searcher(spark, sf_dir)
+    hits = s.search_intervals(contained_by(t, ordered(t0, t1)), _QUERY_K)
     dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
     return (
         hits.join(dm, "doc_id")
@@ -917,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phrase_slop"] = _phrase_slop_df
     out["bm25_span_near_unord"] = _span_near_df
     out["interval_ordered"] = _interval_ordered_df
+    out["interval_contained_by"] = _interval_contained_by_df
     out["suggest_prefix"] = _suggest_df
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
@@ -988,6 +1006,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["interval_ordered"] = sqlgen.interval_ordered_sql(
         _INTERVAL[0], _INTERVAL[1], _INTERVAL[2], _QUERY_K
+    )
+    out["interval_contained_by"] = sqlgen.interval_contained_by_sql(
+        _INTERVAL_CB[0], _INTERVAL_CB[1], _INTERVAL_CB[2], _QUERY_K
     )
     out["suggest_prefix"] = f"""
 WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}

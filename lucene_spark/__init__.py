@@ -49,6 +49,15 @@ def __getattr__(name):
     if name in ("delete_docs", "expunge_deletes"):
         from lucene_spark.index import deletes as _d
         return getattr(_d, name)
+    if name == "build_hnsw_index":
+        from lucene_spark.operators.hnsw import build_hnsw_index
+        return build_hnsw_index
+    if name == "hnsw_ann_topk_indexed":
+        from lucene_spark.operators.hnsw import hnsw_ann_topk_indexed
+        return hnsw_ann_topk_indexed
+    if name == "intervals":
+        from lucene_spark.query import intervals
+        return intervals
     raise AttributeError(name)
 
 
@@ -56,5 +65,7 @@ __all__ = [
     "IndexConfig", "build_index", "build_index_files", "merge_index",
     "check_index", "IndexSearcher", "QueryParser", "get_spark",
     "combined_field_search", "TooManyClauses", "append_batch",
-    "stream_append", "build_ann_index", "delete_docs", "expunge_deletes", "build_doc_partitioned",
+    "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
+    "build_doc_partitioned", "build_hnsw_index", "hnsw_ann_topk_indexed",
+    "intervals",
 ]

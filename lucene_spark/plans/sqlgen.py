@@ -681,3 +681,58 @@ FROM pf
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def interval_contained_by_sql(
+    t: str,
+    t0: str,
+    t1: str,
+    k: int,
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Intervals.containedBy(term t, ordered(t0, t1)) twin: emitted
+    intervals are the positions of ``t`` lying inside some minimal ordered
+    (t0, t1) interval (the big side's minimal set is the mutually-nearest
+    pair construction of ``interval_ordered_sql``). Every emitted interval
+    has length 1 and minExtent = 1, so each contributes exactly 1.0 and the
+    float32 sloppy freq equals the kept-position count (exact in f32 below
+    2^24); the saturation score follows ``IntervalScoreFunction.java``."""
+    sat = (
+        f"CAST(CAST({boost} AS REAL) * CAST(CAST(1.0 AS REAL) - "
+        f"CAST(CAST({pivot} AS REAL) / CAST(CAST({pivot} AS REAL) + freq AS REAL)"
+        f" AS REAL) AS REAL) AS REAL)"
+    )
+    return f"""
+WITH tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS p FROM tokarr
+),
+nxt AS (
+  SELECT a.doc_id, a.p AS pa, min(b.p) AS pb
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{t0}') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = '{t1}') b
+    ON b.doc_id = a.doc_id AND b.p > a.p
+  GROUP BY a.doc_id, a.p
+),
+big AS (
+  SELECT doc_id, max(pa) AS pa, pb FROM nxt GROUP BY doc_id, pb
+),
+kept AS (
+  SELECT DISTINCT x.doc_id, x.p
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{t}') x
+  JOIN big ON big.doc_id = x.doc_id AND x.p BETWEEN big.pa AND big.pb
+),
+pf AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS freq FROM kept GROUP BY doc_id
+)
+SELECT doc_id, {sat} AS score
+FROM pf
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
