@@ -60,6 +60,8 @@ _PHRASE_SLOP = (["scan", "merge"], 2)
 _SPAN_NEAR = (["scan", "merge"], 3)
 _INTERVAL = ("scan", "merge", 3)  # maxgaps(3, ordered(scan, merge))
 _INTERVAL_CB = ("hash", "scan", "merge")  # contained_by(hash, ordered(scan, merge))
+_SPELL = ("stor", 10, 2)  # DirectSpellChecker probe: term, k, max_edits
+_MLT_DOC = 0  # MoreLikeThis source doc (original table id)
 _SUGGEST_PREFIX, _SUGGEST_K = "s", 15
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
@@ -192,6 +194,28 @@ def _interval_contained_by_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, t0, t1 = _INTERVAL_CB
     s = _searcher(spark, sf_dir)
     hits = s.search_intervals(contained_by(t, ordered(t0, t1)), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _spellcheck_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker analog over the term dictionary."""
+    t, k, e = _SPELL
+    s = _searcher(spark, sf_dir)
+    return s.suggest_spell(t, k, max_edits=e)
+
+
+def _mlt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis: top tf·idf terms of one stored doc -> SHOULD query."""
+    s = _searcher(spark, sf_dir)
+    src = _documents_as_transcripts(spark, sf_dir)
+    conv = str(_MLT_DOC).zfill(12)
+    internal = s.docmap().filter(F.col("conv_id") == conv).select("doc_id").first()
+    hits = s.more_like_this(int(internal["doc_id"]), src, _QUERY_K)
     dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
     return (
         hits.join(dm, "doc_id")
@@ -935,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_span_near_unord"] = _span_near_df
     out["interval_ordered"] = _interval_ordered_df
     out["interval_contained_by"] = _interval_contained_by_df
+    out["spellcheck"] = _spellcheck_df
+    out["more_like_this"] = _mlt_df
     out["suggest_prefix"] = _suggest_df
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
@@ -1010,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
     out["interval_contained_by"] = sqlgen.interval_contained_by_sql(
         _INTERVAL_CB[0], _INTERVAL_CB[1], _INTERVAL_CB[2], _QUERY_K
     )
+    out["spellcheck"] = sqlgen.spellcheck_sql(_SPELL[0], _SPELL[1], _SPELL[2])
+    out["more_like_this"] = sqlgen.more_like_this_sql(_MLT_DOC, _QUERY_K)
     out["suggest_prefix"] = f"""
 WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}
 SELECT term, CAST(sum(freq) AS BIGINT) AS weight FROM tf

@@ -736,3 +736,82 @@ FROM pf
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def spellcheck_sql(
+    term: str,
+    k: int,
+    max_edits: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DirectSpellChecker twin: dictionary terms within ``max_edits``
+    classic Levenshtein edits sharing the first character, scored
+    ``1 - dist/min(len_a, len_b)`` (double ops, final REAL cast — the
+    engine computes the same double expression), ranked score desc,
+    doc_freq desc, term asc."""
+    c0, c1 = term[0], chr(ord(term[0]) + 1)
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)}
+SELECT term,
+       CAST(1.0 - CAST(levenshtein(term, '{term}') AS DOUBLE)
+                  / least(length(term), {len(term)}) AS REAL) AS score,
+       CAST(df AS BIGINT) AS doc_freq
+FROM df
+WHERE term >= '{c0}' AND term < '{c1}' AND term <> '{term}'
+  AND abs(length(term) - {len(term)}) <= {max_edits}
+  AND levenshtein(term, '{term}') <= {max_edits}
+ORDER BY score DESC, doc_freq DESC, term ASC
+LIMIT {k}
+""".strip()
+
+
+def more_like_this_sql(
+    src_doc: int,
+    k: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """MoreLikeThis twin: select the source doc's top ``max_query_terms``
+    terms by float32 ``tf * idf`` with the ClassicSimilarity idf
+    ``(float)(ln((dc+1)/(df+1)) + 1)`` (tf >= min_term_freq,
+    df >= min_doc_freq; ties broken term asc like the engine), then score
+    the SHOULD disjunction with the standard BM25 leaf formula and the
+    order-exact DOUBLE clause sum."""
+    idf = "CAST(ln(1 + (c.dc - sel.df + 0.5) / (sel.df + 0.5)) AS REAL)"
+    score = _leaf_score(f"({idf})", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+src AS (
+  SELECT term, freq AS tf FROM tf
+  WHERE doc_id = {src_doc} AND freq >= {min_term_freq}
+),
+selected AS (
+  SELECT s.term, d.df,
+         CAST(CAST(s.tf AS REAL) *
+              CAST(ln((c.dc + 1) / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS REAL)
+              AS REAL) AS mlt
+  FROM src s JOIN df d ON d.term = s.term, consts c
+  WHERE d.df >= {min_doc_freq}
+  ORDER BY mlt DESC, s.term ASC
+  LIMIT {max_query_terms}
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf
+  JOIN selected sel ON sel.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, consts c
+)
+SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS REAL) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

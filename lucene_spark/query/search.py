@@ -731,6 +731,109 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def suggest_spell(self, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
+        """DirectSpellChecker analog (``suggest/.../spell/DirectSpellChecker
+        .java:50``): DF(term, score float, doc_freq long) of dictionary terms
+        within ``max_edits`` Levenshtein edits of ``term``, sharing its first
+        character (the reference's minPrefix=1 default), ranked by
+        normalized similarity ``1 - dist/min(len_a, len_b)`` desc, then
+        doc_freq desc, then term asc. Divergence (documented): classic
+        Levenshtein on both engine and oracle sides (Spark/DuckDB built-in),
+        not the reference's transposition-aware default — the reference also
+        ships classic via ``setDistance``. The first-char + length-window
+        predicates keep the dictionary scan row-group-pruned on the sorted
+        term column, like ``suggest``; at 10^12 turns the candidate set per
+        probe stays O(vocab slice), never the postings."""
+        if not term:
+            return self.spark.createDataFrame([], "term string, score float, doc_freq long")
+        tl = F.lit(term)
+        cand = self.term_dict.filter(
+            (F.col("term") >= term[0])
+            & (F.col("term") < chr(ord(term[0]) + 1))
+            & (F.col("term") != term)
+            & (F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
+            & (F.levenshtein("term", tl) <= max_edits)
+        )
+        dist = F.levenshtein("term", tl).cast("double")
+        sim = (
+            F.lit(1.0) - dist / F.least(F.length("term"), F.lit(len(term))).cast("double")
+        ).cast("float")
+        return (
+            cand.select("term", sim.alias("score"), "doc_freq")
+            .orderBy(F.desc("score"), F.desc("doc_freq"), F.asc("term"))
+            .limit(k)
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        source: DataFrame,
+        k: int = 10,
+        text_col: str = "text",
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq: int | None = None,
+    ) -> DataFrame:
+        """MoreLikeThis analog (``queries/mlt/MoreLikeThis.java:624-679``):
+        re-analyze the source doc's stored text, keep terms with
+        tf >= min_term_freq and min_doc_freq <= df (<= max_doc_freq), score
+        each as float32 ``tf * idf`` with the ClassicSimilarity idf
+        ``(float)(ln((docCount+1)/(df+1)) + 1)``
+        (``ClassicSimilarity.java:69-71``), take the top
+        ``max_query_terms`` (score desc, term asc — the reference's PQ with a
+        deterministic tie-break), and run them as a SHOULD BooleanQuery under
+        the index similarity. Driver-side work is one stored-fields row +
+        one doc's vocabulary, exactly the reference's per-doc cost; the
+        query itself is the ordinary distributed Boolean plan."""
+        from collections import Counter
+
+        from lucene_spark.functions.analysis import analyze_one_chain
+        from lucene_spark.query.ast import BooleanQuery, TermQuery
+
+        dm = (
+            self.docmap()
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("conv_id", "turn_idx")
+            .first()
+        )
+        if dm is None:
+            raise KeyError(f"doc_id {doc_id} not in index")
+        row = (
+            source.filter(
+                (F.col("conv_id") == dm["conv_id"])
+                & (F.col("turn_idx") == int(dm["turn_idx"]))
+            )
+            .select(text_col)
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"stored fields for doc_id {doc_id} not in source")
+        analyzer = self.manifest["config"].get("analyzer", "standard")
+        tokens, _, _ = analyze_one_chain(row[0] or "", analyzer)
+        tf = Counter(tokens)
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        stats = self.term_stats(cand)
+        dc = self.doc_count
+        scored: list[tuple[np.float32, str]] = []
+        for t in cand:
+            df_t = stats.get(t, (0, 0))[0]
+            if df_t < min_doc_freq or df_t == 0:
+                continue
+            if max_doc_freq is not None and df_t > max_doc_freq:
+                continue
+            idf = np.float32(np.log((dc + 1) / np.float64(df_t + 1)) + 1.0)
+            scored.append((np.float32(np.float32(tf[t]) * idf), t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top = [t for _, t in scored[:max_query_terms]]
+        if not top:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        return self.search(
+            BooleanQuery(should=[TermQuery(t) for t in top]), k
+        )
+
     def search_intervals(
         self,
         source,

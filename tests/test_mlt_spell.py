@@ -1,0 +1,90 @@
+"""MoreLikeThis + DirectSpellChecker analogs: engine vs DuckDB twin on the
+shared small corpus (the same dual-execution contract the driver gate runs)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.plans.sqlgen import more_like_this_sql, spellcheck_sql
+from lucene_spark.query.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_corpus, tmp_path_factory):
+    """Simple-analyzer index over the shared corpus — the analyzer the
+    DuckDB twin's TOKEN_SQL replays ([a-z0-9]+ lowercase)."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+
+    d = str(tmp_path_factory.mktemp("mlt") / "idx")
+    sdf = spark.createDataFrame(small_corpus)
+    build_index(spark, sdf, d, IndexConfig(num_segments=4, term_buckets=8,
+                                           analyzer="simple"))
+    merge_index(spark, d)
+    return IndexSearcher(spark, d)
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(small_corpus):
+    """documents(doc_id, text) view frame in stable (conv_id, turn_idx)
+    order — doc_id equals the engine's internal docID by construction."""
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    return pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": rows["text"].to_numpy()}
+    )
+
+
+def _duck(corpus_docs, sql):
+    con = duckdb.connect()
+    con.register("documents", corpus_docs)
+    return con.execute(sql).fetchall()
+
+
+def test_suggest_spell_matches_oracle(searcher, corpus_docs, small_corpus):
+    # pick a typo of a real corpus token so candidates exist
+    from lucene_spark.functions.analysis import tokenize_one
+
+    tok = next(
+        t.lower() for t in tokenize_one(small_corpus["text"].iloc[0]) if len(t) >= 4
+    )
+    typo = tok[:-1] + ("x" if tok[-1] != "x" else "y")
+    got = [
+        (r["term"], np.float32(r["score"]), r["doc_freq"])
+        for r in searcher.suggest_spell(typo, 10, max_edits=2).collect()
+    ]
+    want = [
+        (t, np.float32(s), d)
+        for t, s, d in _duck(corpus_docs, spellcheck_sql(typo, 10, 2))
+    ]
+    assert got == want
+    assert any(t == tok for t, _, _ in got)
+    # empty input is an empty frame, not an error
+    assert searcher.suggest_spell("", 5).count() == 0
+
+
+def test_more_like_this_matches_oracle(spark, searcher, corpus_docs, small_corpus):
+    src = spark.createDataFrame(
+        small_corpus[["conv_id", "turn_idx", "text"]]
+    )
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.more_like_this(
+            0, src, 10, min_term_freq=1, min_doc_freq=2
+        ).collect()
+    ]
+    want = [
+        (d, np.float32(s))
+        for d, s in _duck(
+            corpus_docs,
+            more_like_this_sql(0, 10, min_term_freq=1, min_doc_freq=2),
+        )
+    ]
+    assert got == want
+    # the source doc itself should rank (it maximizes its own tf profile)
+    assert any(d == 0 for d, _ in got)
+    # unknown doc raises
+    with pytest.raises(KeyError):
+        searcher.more_like_this(10**9, src, 5)
