@@ -1,7 +1,8 @@
 """StandardAnalyzer-equivalent text analysis, vectorized.
 
-A from-scratch ASCII/Latin-1 subset of UAX#29 word-break segmentation matching
-the reference's default analysis chain (public Apache Lucene source):
+A from-scratch UAX#29 word-break subset (ASCII/Latin-1/Greek/Cyrillic/
+fullwidth runs + CJK script rules) matching the reference's default analysis
+chain (public Apache Lucene source):
 
   - StandardTokenizer (UAX#29, JFlex-generated) —
     ``core/analysis/standard/StandardTokenizer.java:49-76,152-175``; pinned
@@ -16,13 +17,24 @@ the reference's default analysis chain (public Apache Lucene source):
     indexed. maxTokenLength default 255: longer tokens are skipped but the
     position still increments (``StandardTokenizer.java:152-175``).
 
-Documented gaps vs full UAX#29 (fixtures avoid these): CJK/emoji scripts,
-MidLetter chars (U+00B7 etc.), Turkish dotted-I casing.
+CJK behaviors pinned from ``TestStandardAnalyzer.java:371-373`` (testChinese),
+``:491-497`` (testJapanese), ``:485-488`` (testKorean), ``:388-390``
+(testLUCENE1545 combining marks):
+  - Han ideographs: ONE TOKEN PER CHARACTER (later n-gram filters build
+    bigrams); Hiragana likewise single-character tokens;
+  - Katakana and Hangul: script RUNS are one token;
+  - fullwidth digits/letters (１２３４, Ｔｅｓｔｓ) behave as Numeric/ALetter;
+  - combining marks (U+0300-036F, U+3099/309A) extend the preceding token
+    ("moͤchte" is one token, "壹゙"/"아゙" keep their marks).
 
-Word-break classes used (ASCII/Latin-1):
-  ALetter      = [A-Za-zÀ-ÖØ-öø-ÿ]
-  Numeric      = [0-9]
+Documented gaps vs full UAX#29 (fixtures avoid these): emoji, Thai/Lao/Khmer
+word breaking, MidLetter chars (U+00B7 etc.), Turkish dotted-I casing.
+
+Word-break classes used:
+  ALetter      = [A-Za-zÀ-ÖØ-öø-ÿ Greek Cyrillic fullwidth-Latin]
+  Numeric      = [0-9 fullwidth-digits]
   ExtendNumLet = [_]
+  Extend       = combining marks, allowed inside any token after its 1st char
   MidNumLet    = [.']  joins letter.letter / letter'letter and digit.digit
   MidNum       = [,;]  joins digit,digit only (e.g. "1,000")
 """
@@ -36,11 +48,28 @@ import pandas as pd
 
 MAX_TOKEN_LENGTH = 255
 
-_L = "A-Za-zÀ-ÖØ-öø-ÿ"
-_RUN = f"[{_L}0-9_]+"
+# ALetter: ASCII + Latin-1 + Greek (U+0370-03FF) + Cyrillic (U+0400-04FF)
+# + fullwidth Latin (U+FF21-FF3A, U+FF41-FF5A)
+_L = "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0370-\u03FF\u0400-\u04FF\uFF21-\uFF3A\uFF41-\uFF5A"
+# Numeric: ASCII + fullwidth digits (U+FF10-FF19)
+_N = "0-9\uFF10-\uFF19"
+# Extend: combining diacritics (U+0300-036F) + kana voicing marks (U+3099-309A)
+_EXT = "\u0300-\u036F\u3099-\u309A"
+_RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
 # joiner between two letters: ' or . ; between two digits: ' . , ;
-_JOIN = f"(?:(?<=[{_L}])['.](?=[{_L}])|(?<=[0-9])['.,;](?=[0-9]))"
-TOKEN_RE = re.compile(f"{_RUN}(?:{_JOIN}{_RUN})*")
+_JOIN = f"(?:(?<=[{_L}])['.](?=[{_L}])|(?<=[{_N}])['.,;](?=[{_N}]))"
+# script tokens: Katakana runs (U+30A1-30FA + U+30FC-30FF, middle dot
+# U+30FB excluded - punctuation), Hangul runs (syllables U+AC00-D7A3 +
+# jamo U+1100-11FF), Han ONE CHAR PER TOKEN (U+4E00-9FFF, ext-A
+# U+3400-4DBF, compat U+F900-FAFF), Hiragana ONE CHAR PER TOKEN
+# (U+3041-3096); all may carry trailing Extend marks
+_KATAKANA = f"[\u30A1-\u30FA\u30FC-\u30FF][\u30A1-\u30FA\u30FC-\u30FF{_EXT}]*"
+_HANGUL = f"[\uAC00-\uD7A3\u1100-\u11FF][\uAC00-\uD7A3\u1100-\u11FF{_EXT}]*"
+_HAN = f"[\u4E00-\u9FFF\u3400-\u4DBF\uF900-\uFAFF][{_EXT}]*"
+_HIRAGANA = f"[\u3041-\u3096][{_EXT}]*"
+TOKEN_RE = re.compile(
+    f"(?:{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HANGUL}|{_HAN}|{_HIRAGANA})"
+)
 
 
 def tokenize_one(text: str) -> list[str]:
@@ -70,9 +99,9 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     """
     s = texts.fillna("")
     # lowercase AFTER tokenization is the reference order (tokenizer sees raw
-    # text), but for our ASCII/Latin-1 classes the token boundaries are
-    # case-insensitive, so lowercasing first is equivalent and lets findall
-    # run once. (Boundary classes contain both cases.)
+    # text), but every boundary class here is case-symmetric (Latin, Greek,
+    # Cyrillic, fullwidth ranges contain both cases; CJK has no case), so
+    # lowercasing first is equivalent and lets findall run once.
     toks = s.str.lower().str.findall(TOKEN_RE)
     return toks.map(
         lambda ts: [t for t in ts if len(t) <= MAX_TOKEN_LENGTH]

@@ -44,6 +44,19 @@ GOLDENS = [
     ("trailing' 'leading", ["trailing", "leading"]),
     ("a.5", ["a", "5"]),  # '.' needs same class on both sides
     ("", []),
+    # CJK goldens (TestStandardAnalyzer.java testChinese/testJapanese/
+    # testKorean/testLUCENE1545): Han + Hiragana one char per token,
+    # Katakana + Hangul runs, fullwidth forms, combining marks kept
+    ("我是中国人。 １２３４ Ｔｅｓｔｓ ",
+     ["我", "是", "中", "国", "人", "１２３４", "Ｔｅｓｔｓ"]),
+    ("仮名遣い カタカナ", ["仮", "名", "遣", "い", "カタカナ"]),
+    ("훈민정음", ["훈민정음"]),
+    ("moͤchte", ["moͤchte"]),
+    ("壹゙", ["壹゙"]),
+    ("아゙", ["아゙"]),
+    # Greek / Cyrillic letter runs
+    ("Ελληνικά κείμενο", ["Ελληνικά", "κείμενο"]),
+    ("русский текст", ["русский", "текст"]),
 ]
 
 

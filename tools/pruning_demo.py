@@ -1,0 +1,134 @@
+"""Boolean block-max pruning on a corpus with impact VARIANCE.
+
+BENCH.md documents why θ-pruning cannot skip on the uniform synthetic Zipf
+corpus (every block's (max_freq, min_norm) skyline is near-maximal). This
+script builds the corpus shape where block-max pruning is designed to win —
+hot terms whose high-tf, short-doc occurrences CLUSTER in a few docID ranges
+(so a few blocks carry high upper bounds and the rest are provably
+un-competitive) — and measures:
+
+  - rank identity: search_pruned == search (bit-exact rows), the score-safety
+    contract;
+  - survivor fraction: share of the hot terms' blocks whose upper bound
+    reaches the probe θ (the fraction the pruned plan decodes);
+  - wall time for both plans.
+
+Usage: python tools/pruning_demo.py [n_docs] (default 200_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FILLER = [f"w{i:03d}" for i in range(400)]
+
+
+def make_corpus(n_docs: int) -> pd.DataFrame:
+    """Deterministic corpus: every doc contains 'alpha' and 'beta' once
+    (hot everywhere), except docs in a few clustered ranges (0.5% of the
+    corpus) where both repeat 8-24x inside SHORT docs — exactly the
+    (high max_freq, low min_norm) impact spike the skyline records for the
+    handful of blocks covering those ranges."""
+    rng = np.random.RandomState(13)
+    rows = []
+    spike = np.zeros(n_docs, dtype=bool)
+    n_clusters = max(1, n_docs // 40_000)
+    for c in range(n_clusters):
+        start = (c * 2 + 1) * n_docs // (2 * n_clusters + 1)
+        spike[start:start + n_docs // 200 // n_clusters] = True
+    for i in range(n_docs):
+        if spike[i]:
+            tf = 8 + int(rng.randint(17))
+            body = ["alpha"] * tf + ["beta"] * tf
+            body += [FILLER[int(x)] for x in rng.randint(0, 400, 4)]
+        else:
+            body = ["alpha", "beta"]
+            body += [FILLER[int(x)] for x in rng.randint(0, 400, 40 + int(rng.randint(40)))]
+        rng.shuffle(body)
+        rows.append((f"{i:012d}", 0, "user", " ".join(body), None))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    df["ts"] = pd.Timestamp("2026-01-01")
+    return df
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+
+    spark = get_spark("pruning_demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = "/tmp/lucene_spark_pruning_demo"
+    shutil.rmtree(work, ignore_errors=True)
+    idx = os.path.join(work, "idx")
+
+    pdf = make_corpus(n_docs)
+    sdf = spark.createDataFrame(pdf)
+    build_index(spark, sdf, idx, IndexConfig(num_segments=16, term_buckets=8,
+                                             hot_term_df=1 << 14,
+                                             analyzer="simple"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+
+    q = BooleanQuery(must=[TermQuery("alpha"), TermQuery("beta")])
+    k = 20
+
+    t0 = time.time()
+    exhaustive = [(r["doc_id"], np.float32(r["score"]))
+                  for r in s.search(q, k).collect()]
+    t_ex = time.time() - t0
+    t0 = time.time()
+    pruned = [(r["doc_id"], np.float32(r["score"]))
+              for r in s.search_pruned(q, k).collect()]
+    t_pr = time.time() - t0
+    assert pruned == exhaustive, "rank identity violated"
+
+    # survivor fraction: replicate the pruned plan's threshold math on the
+    # block metadata (same expressions search_pruned uses)
+    meta = s.postings.filter(F.col("term").isin(["alpha", "beta"])).select(
+        "term", "segment_id", "block_id", "impact_freqs", "impact_norms"
+    ).withColumn("ubu", s._impact_ub_unit())
+    from lucene_spark.functions import bm25
+    stats = s.term_stats(["alpha", "beta"])
+    weights = {t: bm25.idf(stats[t][0], s.doc_count) for t in ("alpha", "beta")}
+    maxima = {r["term"]: float(r["mx"]) for r in
+              meta.groupBy("term").agg(F.max("ubu").alias("mx")).collect()}
+    clause_max = {t: float(weights[t]) * maxima[t] for t in weights}
+    total_max = sum(clause_max.values())
+    theta = float(exhaustive[-1][1])  # true kth score >= probe θ -> the
+    # fraction below is the BEST the pruned plan can reach; the probe θ can
+    # only be lower, so real survivors >= these
+    counts = {}
+    for t in ("alpha", "beta"):
+        thr = (theta - (total_max - clause_max[t])) / float(weights[t])
+        tot = meta.filter(F.col("term") == t).count()
+        surv = meta.filter((F.col("term") == t) & (F.col("ubu") >= thr)).count()
+        counts[t] = (surv, tot)
+
+    print(json.dumps({
+        "n_docs": n_docs,
+        "search_sec": round(t_ex, 3),
+        "search_pruned_sec": round(t_pr, 3),
+        "rank_identical": True,
+        "survivors": {t: {"kept": c[0], "total": c[1],
+                          "fraction": round(c[0] / c[1], 4)}
+                      for t, c in counts.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
