@@ -1335,29 +1335,33 @@ class IndexSearcher:
             "term", "segment_id", "block_id", "impact_freqs", "impact_norms"
         ).withColumn("ubu", self._impact_ub_unit())
 
-        # tiny collects: per-term max bound (|terms| rows) + probe block keys
-        # (probe_blocks * |terms| rows) — metadata only, no posting data read
+        # ONE tiny collect serves both the probe keys AND the per-term max
+        # bound: the window is sorted ubu desc, so each term's rank-1 row
+        # carries its maximum (probe_blocks * |terms| rows of metadata —
+        # no posting data read, one Spark job instead of two)
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("term").orderBy(
+            F.desc("ubu"), F.asc("segment_id"), F.asc("block_id")
+        )
+        probe_rows = (
+            meta.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= probe_blocks)
+            .select("term", "segment_id", "block_id", "rn", "ubu")
+            .collect()
+        )
+        probe_keys = {
+            (r["term"], int(r["segment_id"]), int(r["block_id"]))
+            for r in probe_rows
+        }
         maxima = {
-            r["term"]: float(r["mx"])
-            for r in meta.groupBy("term").agg(F.max("ubu").alias("mx")).collect()
+            r["term"]: float(r["ubu"]) for r in probe_rows if int(r["rn"]) == 1
         }
         clause_max = {
             c.clause_id: float(c.weight) * maxima.get(c.term, 0.0)
             for c in scoring
         }
         total_max = sum(clause_max.values())
-
-        from pyspark.sql.window import Window
-
-        win = Window.partitionBy("term").orderBy(
-            F.desc("ubu"), F.asc("segment_id"), F.asc("block_id")
-        )
-        probe_keys = {
-            (r["term"], int(r["segment_id"]), int(r["block_id"]))
-            for r in meta.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") <= probe_blocks)
-            .select("term", "segment_id", "block_id").collect()
-        }
         key_col = F.concat_ws(
             "|", F.col("term"), F.col("segment_id"), F.col("block_id")
         )
