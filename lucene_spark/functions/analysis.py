@@ -97,16 +97,15 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     pandas' C-level str ops: lower + regex findall; the length filter is the
     only Python-level comprehension and touches token lists, not rows of text.
     """
-    s = texts.fillna("")
-    # lowercase AFTER tokenization is the reference order (tokenizer sees raw
-    # text), but every boundary class here is case-symmetric (Latin, Greek,
-    # Cyrillic, fullwidth ranges contain both cases; CJK has no case), so
-    # lowercasing first is equivalent and lets findall run once.
-    toks = s.str.lower().str.findall(TOKEN_RE)
+    # tokenize the RAW text, lowercase after — the reference order, and the
+    # same order the index build uses (get_raw_tokenizer + vocabulary-level
+    # lowercase). Lowercasing first is NOT equivalent for case-folds that
+    # land inside a boundary class from outside it (Ÿ U+0178 -> ÿ U+00FF,
+    # KELVIN SIGN U+212A -> k, OHM SIGN U+2126 -> ω): tokenize-first treats
+    # those chars as breaks, lower-first would join them.
+    toks = texts.fillna("").str.findall(TOKEN_RE)
     return toks.map(
-        lambda ts: [t for t in ts if len(t) <= MAX_TOKEN_LENGTH]
-        if any(len(t) > MAX_TOKEN_LENGTH for t in ts)
-        else ts
+        lambda ts: [t.lower() for t in ts if len(t) <= MAX_TOKEN_LENGTH]
     )
 
 

@@ -183,7 +183,13 @@ def build_hnsw_index(
 
     Partition assignment is ``pmod(xxhash64(vec_id), num_parts)`` —
     deterministic, balanced, independent of input file layout. Idempotent:
-    an existing manifest with matching params short-circuits."""
+    an existing manifest with matching params AND matching input shape
+    (row count + dim — the cheap staleness fingerprint) short-circuits;
+    a changed input rebuilds instead of silently serving a stale graph."""
+    shape = embeddings.select(
+        F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
     mpath = os.path.join(index_dir, "manifest.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
@@ -192,6 +198,8 @@ def build_hnsw_index(
             prev.get("num_parts") == num_parts
             and prev.get("m") == m
             and prev.get("ef_construction") == ef_construction
+            and prev.get("n_vecs") == n_vecs
+            and prev.get("dim") == dim
         ):
             return prev
     os.makedirs(index_dir, exist_ok=True)
@@ -212,13 +220,13 @@ def build_hnsw_index(
     graph = src.groupBy("part").applyInPandas(builder, schema=GRAPH_SCHEMA)
     graph.write.mode("overwrite").parquet(os.path.join(index_dir, "graph"))
 
-    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     manifest = {
         "format": "hnsw_v1",
         "num_parts": num_parts,
         "m": m,
         "ef_construction": ef_construction,
-        "dim": int(first["d"]) if first else 0,
+        "n_vecs": n_vecs,
+        "dim": dim,
         "metric": "cosine",
     }
     tmp = mpath + ".tmp"

@@ -69,14 +69,17 @@ class IntervalsSource:
     def requires(self, flags, base: int = 0):
         """Slot-presence predicate (over any &/| algebra — plain bools or
         pyspark Columns): which leaf slots must be non-empty for this source
-        to possibly emit an interval. Conjunctions require every child,
-        disjunctions any child; used to pre-filter the slot frame before the
-        per-doc automaton runs (a pure data-reduction — the automaton itself
-        is correct on empty arrays)."""
+        to possibly emit an interval. Conjunction nodes AND their CHILDREN's
+        predicates recursively (NOT a flat AND over leaves — a disjunctive
+        descendant only needs one of its own children), disjunctions OR
+        theirs; used to pre-filter the slot frame before the per-doc
+        automaton runs (a pure data-reduction — the automaton itself is
+        correct on empty arrays)."""
         expr = None
-        for i in range(len(self.leaves())):
-            f = flags[base + i]
-            expr = f if expr is None else (expr & f)
+        for s in self.subs:
+            e = s.requires(flags, base)
+            expr = e if expr is None else (expr & e)
+            base += len(s.leaves())
         return expr
 
 
@@ -92,6 +95,9 @@ class Term(IntervalsSource):
 
     def iterator(self, arrays, base=0):
         return _TermIter(arrays[base])
+
+    def requires(self, flags, base=0):
+        return flags[base]
 
 
 @dataclass(frozen=True)
@@ -146,6 +152,9 @@ class MaxGaps(IntervalsSource):
             self.sub.iterator(arrays, base), lambda it: it.gaps() <= self.gaps
         )
 
+    def requires(self, flags, base=0):
+        return self.sub.requires(flags, base)
+
 
 @dataclass(frozen=True)
 class MaxWidth(IntervalsSource):
@@ -163,6 +172,9 @@ class MaxWidth(IntervalsSource):
             self.sub.iterator(arrays, base),
             lambda it: it.end() - it.start() + 1 <= self.width,
         )
+
+    def requires(self, flags, base=0):
+        return self.sub.requires(flags, base)
 
 
 @dataclass(frozen=True)

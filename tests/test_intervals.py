@@ -139,6 +139,18 @@ def test_or_and_relational_sources():
     assert not or_(phrase("a", "b"), "c").requires([True, False, False])
     assert not containing(big, small).requires(flags_ab_noc)
     assert not_containing(big, small).requires(flags_ab_noc)
+    # conjunctions must AND their CHILDREN recursively, not flatten leaves:
+    # a disjunctive descendant only needs one of its own children
+    assert ordered("a", or_("b", "c")).requires([True, True, False])
+    assert ordered("a", or_("b", "c")).requires([True, False, True])
+    assert not ordered("a", or_("b", "c")).requires([True, False, False])
+    assert maxgaps(2, or_("a", "b")).requires([True, False])
+    assert unordered("a", not_containing("x", "y")).requires(
+        [True, True, False]
+    )
+    # and the automaton agrees: ordered over a disjunction matches a doc
+    # containing only the first alternative
+    assert _emit(ordered("a", or_("b", "c")), [[1], [3], []]) == [(1, 3, 1)]
 
 
 def test_interval_score_float32_exact():
@@ -179,11 +191,12 @@ def positioned(small_corpus):
 
 
 def _scalar_topk(positioned, source, k, pivot=1.0, boost=1.0):
+    """Ground truth independent of the engine's presence pushdown: score
+    EVERY doc (missing leaves = empty arrays; the automaton decides), so a
+    too-strict ``requires`` in the engine shows up as a mismatch here."""
     leaves = source.leaves()
     out = []
     for did, pos in enumerate(positioned):
-        if not source.requires([t in pos for t in leaves]):
-            continue
         arrays = [np.asarray(pos.get(t, []), dtype=np.int64) for t in leaves]
         s = interval_score(source, arrays, pivot, boost)
         if s > 0:
@@ -212,6 +225,10 @@ def test_search_intervals_matches_scalar(searcher, positioned):
         or_(a, phrase(a, b)),
         not_containing(maxgaps(6, unordered(a, b)), phrase(a, b)),
         contained_by(a, maxgaps(8, unordered(a, b))),
+        # conjunction over a disjunction: docs lacking b but repeating a
+        # must still match (presence pushdown regression)
+        ordered(a, or_(b, a)),
+        maxgaps(3, or_(a, b)),
     ):
         want = _scalar_topk(positioned, source, 10)
         got = [
