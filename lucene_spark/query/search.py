@@ -731,6 +731,46 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def interval_expand(
+        self, pattern: str, kind: str = "prefix", max_expansions: int = 128
+    ):
+        """Multi-term interval source (``Intervals.prefix`` /
+        ``Intervals.wildcard``, ``Intervals.java:64,158-170``): expand the
+        pattern against the term dictionary (row-group-pruned range scan for
+        prefixes) into an OR over term sources, capped at
+        ``max_expansions`` = the reference's DEFAULT_MAX_EXPANSIONS — more
+        matches raise, exactly the reference's IllegalStateException
+        contract. The collected expansion is at most 128 strings (driver-
+        bounded by the cap, unlike a naive collect)."""
+        from lucene_spark.query.intervals import or_
+
+        if kind == "prefix":
+            cond = F.col("term").startswith(pattern)
+        elif kind == "wildcard":
+            import fnmatch
+            import re as _re
+
+            rx = fnmatch.translate(pattern)
+            cond = F.col("term").rlike(rx.replace(r"\Z", "$"))
+            # prefix-prune the dictionary scan up to the first wildcard char
+            lit = _re.split(r"[*?\[]", pattern, 1)[0]
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
+        else:
+            raise ValueError(f"unknown expansion kind {kind!r}")
+        rows = (
+            self.term_dict.filter(cond)
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise TooManyClauses(
+                f"{kind} {pattern!r} expands to more than {max_expansions} terms"
+            )
+        return or_(*[r["term"] for r in rows])
+
     def suggest_spell(self, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
         """DirectSpellChecker analog (``suggest/.../spell/DirectSpellChecker
         .java:50``): DF(term, score float, doc_freq long) of dictionary terms

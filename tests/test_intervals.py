@@ -277,3 +277,25 @@ def test_interval_oracle_sql_parity(small_corpus, positioned):
         ).fetchall()
     ]
     assert got == [(d, np.float32(s)) for d, s in want]
+
+
+def test_interval_expand_prefix_and_cap(searcher, positioned):
+    from lucene_spark.query.search import TooManyClauses
+
+    # a prefix that expands to a handful of corpus terms
+    vocab = sorted({t for pos in positioned for t in pos})
+    prefix = vocab[0][:2]
+    src = searcher.interval_expand(prefix, "prefix")
+    expanded = set(src.leaves())
+    assert expanded == {t for t in vocab if t.startswith(prefix)}
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search_intervals(src, 10).collect()
+    ]
+    assert got == [(d, np.float32(s)) for d, s in _scalar_topk(positioned, src, 10)]
+    # wildcard kind agrees with the prefix expansion
+    wsrc = searcher.interval_expand(prefix + "*", "wildcard")
+    assert set(wsrc.leaves()) == expanded
+    # reference contract: > max_expansions raises (DEFAULT_MAX_EXPANSIONS)
+    with pytest.raises(TooManyClauses):
+        searcher.interval_expand("", "prefix", max_expansions=5)
