@@ -750,8 +750,10 @@ class IndexSearcher:
             import fnmatch
             import re as _re
 
-            rx = fnmatch.translate(pattern)
-            cond = F.col("term").rlike(rx.replace(r"\Z", "$"))
+            # rlike is a PARTIAL match — anchor both ends (same as the
+            # WildcardQuery expansion below)
+            rx = "^" + fnmatch.translate(pattern).replace("\\Z", "$")
+            cond = F.col("term").rlike(rx)
             # prefix-prune the dictionary scan up to the first wildcard char
             lit = _re.split(r"[*?\[]", pattern, 1)[0]
             if lit:

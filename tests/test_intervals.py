@@ -296,6 +296,13 @@ def test_interval_expand_prefix_and_cap(searcher, positioned):
     # wildcard kind agrees with the prefix expansion
     wsrc = searcher.interval_expand(prefix + "*", "wildcard")
     assert set(wsrc.leaves()) == expanded
+    # wildcard must be FULLY anchored: '<suffix>*' of some term must not
+    # sweep in terms merely CONTAINING that suffix (rlike is partial-match)
+    term_w_tail = next(t for t in vocab if len(t) >= 3)
+    tail = term_w_tail[1:]
+    wsrc2 = searcher.interval_expand(tail + "*", "wildcard")
+    assert all(t.startswith(tail) for t in wsrc2.leaves())
+    assert term_w_tail not in wsrc2.leaves()
     # reference contract: > max_expansions raises (DEFAULT_MAX_EXPANSIONS)
     with pytest.raises(TooManyClauses):
         searcher.interval_expand("", "prefix", max_expansions=5)
