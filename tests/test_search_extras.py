@@ -393,6 +393,12 @@ def test_predicate_pushdown_reaches_parquet(searcher, common_terms):
     t2 = common_terms[1][0]
     q = BooleanQuery(must=[TermQuery(t), TermQuery(t2)])
     assert "In(term" in pushed(searcher.search(q, 3))
+    # interval queries share the phrase plan's positions scan: the leaf
+    # terms must reach the positions parquet as an In/EqualTo filter
+    from lucene_spark.query.intervals import maxgaps, ordered
+
+    iplan = pushed(searcher.search_intervals(maxgaps(2, ordered(t, t2)), 3))
+    assert "In(term" in iplan or f"EqualTo(term,{t})" in iplan
 
 
 def test_search_many_equals_individual(searcher, common_terms):
