@@ -773,6 +773,33 @@ class IndexSearcher:
             )
         return or_(*[r["term"] for r in rows])
 
+    def interval_fuzzy(
+        self, term: str, max_edits: int = 2, max_expansions: int = 128
+    ):
+        """``Intervals.fuzzyTerm`` analog: OR over dictionary terms within
+        ``max_edits`` Levenshtein edits (length window pre-filter + JVM
+        levenshtein, the FuzzyQuery expansion's plan), capped at
+        ``max_expansions`` like the other multi-term interval sources."""
+        from lucene_spark.query.intervals import or_
+
+        tl = F.lit(term)
+        cond = (
+            (F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
+            & (F.levenshtein("term", tl) <= max_edits)
+        )
+        rows = (
+            self.term_dict.filter(cond)
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise TooManyClauses(
+                f"fuzzy {term!r} expands to more than {max_expansions} terms"
+            )
+        return or_(*[r["term"] for r in rows])
+
     def suggest_spell(self, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
         """DirectSpellChecker analog (``suggest/.../spell/DirectSpellChecker
         .java:50``): DF(term, score float, doc_freq long) of dictionary terms

@@ -306,3 +306,15 @@ def test_interval_expand_prefix_and_cap(searcher, positioned):
     # reference contract: > max_expansions raises (DEFAULT_MAX_EXPANSIONS)
     with pytest.raises(TooManyClauses):
         searcher.interval_expand("", "prefix", max_expansions=5)
+
+
+def test_interval_fuzzy(searcher, positioned):
+    vocab = sorted({t for pos in positioned for t in pos})
+    t = next(w for w in vocab if len(w) >= 4)
+    src = searcher.interval_fuzzy(t, max_edits=1)
+    assert t in src.leaves()  # distance 0 included, like Intervals.fuzzyTerm
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search_intervals(src, 10).collect()
+    ]
+    assert got == [(d, np.float32(s)) for d, s in _scalar_topk(positioned, src, 10)]
