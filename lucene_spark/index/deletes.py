@@ -87,12 +87,29 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     if dd is None or not manifest.get("has_deletes"):
         return manifest
     dels = np.array(sorted(r["doc_id"] for r in dd.collect()), dtype=np.int64)
+    # tombstones outside the dense docID range would SHIFT the closed-form
+    # remap for every real doc (new_id = old_id - |{deleted < old_id}|) —
+    # drop them before anything else ("unknown docs ignored harmlessly")
+    total_docs = sum(int(v["num_docs"]) for v in manifest["completed"].values())
+    dels = dels[(dels >= 0) & (dels < total_docs)]
     if dels.size == 0:
+        shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
+        manifest["has_deletes"] = False
+        manifest["generation"] += 1
+        write_manifest(index_dir, manifest)
         return manifest
 
+    # two-phase commit: EVERY rewrite lands in a .expunge sibling first;
+    # the swaps all happen together at the end (tight window), then the
+    # manifest. A crash before the swap loop leaves the index untouched.
+    swaps: list[tuple[str, str]] = []
+
     def _swap(tmp: str, final: str) -> None:
-        shutil.rmtree(final)
+        # keep the old generation alive until the new one is in place
+        old = final + ".old"
+        os.rename(final, old)
         os.rename(tmp, final)
+        shutil.rmtree(old)
         # Spark caches file listings per path; the swap invalidates them
         spark.catalog.refreshByPath(final)
 
@@ -119,7 +136,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         .mapInPandas(remap_docmap, schema=dm.select(*dm_cols, "segment").schema)
         .write.mode("overwrite").partitionBy("segment").parquet(tmp)
     )
-    _swap(tmp, dm_path)
+    swaps.append((tmp, dm_path))
 
     # ---- postings: per-block filter + remap + re-encode
     post_path = os.path.join(index_dir, "postings")
@@ -171,7 +188,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         .sortWithinPartitions("term", "segment_id", "block_id")
         .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
     )
-    _swap(tmp, post_path)
+    swaps.append((tmp, post_path))
 
     # ---- postings_local (pre-merge per-segment table): same rewrite, so
     # check_index / append / re-merge all see a consistent artifact set
@@ -226,7 +243,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             .withColumnRenamed("part_segment", "segment")
             .write.mode("overwrite").partitionBy("segment").parquet(tmp)
         )
-        _swap(tmp, local_path)
+        swaps.append((tmp, local_path))
 
     pos_local = os.path.join(index_dir, "positions_local")
     if os.path.exists(pos_local):
@@ -249,7 +266,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             pl.mapInPandas(remap_pos_local, schema=pl.schema)
             .write.mode("overwrite").partitionBy("segment").parquet(tmp)
         )
-        _swap(tmp, pos_local)
+        swaps.append((tmp, pos_local))
 
     # ---- positions: plain filter + remap
     pos_path = os.path.join(index_dir, "positions")
@@ -271,11 +288,11 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             ptab.mapInPandas(remap_pos, schema=ptab.schema)
             .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
         )
-        _swap(tmp, pos_path)
+        swaps.append((tmp, pos_path))
 
     # ---- term_dict from the new block metadata
     td_path = os.path.join(index_dir, "term_dict")
-    new_post = spark.read.parquet(post_path)
+    new_post = spark.read.parquet(post_path + ".expunge")
     tmp = td_path + ".expunge"
     (
         new_post.groupBy("term")
@@ -289,12 +306,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(tmp)
     )
-    _swap(tmp, td_path)
+    swaps.append((tmp, td_path))
 
     # ---- manifest: per-segment stats from the new docmap
     seg_stats = {
         int(r["segment"]): r
-        for r in spark.read.parquet(dm_path)
+        for r in spark.read.parquet(dm_path + ".expunge")
         .groupBy("segment")
         .agg(
             F.count("*").alias("n"),
@@ -312,6 +329,20 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             entry["num_docs"] = int(st["n"])
             entry["doc_lo"] = int(st["lo"])
             entry["sum_field_len"] = int(st["sfl"])
+
+    # all rewrites staged — now swap them in together (the only window
+    # where a crash leaves mixed generations is this tight rename loop;
+    # a crash anywhere earlier leaves the live index fully untouched)
+    for t, final in swaps:
+        _swap(t, final)
+
+    # the doc-range co-located layout was built from the OLD postings with
+    # OLD docIDs — stale on both axes after the remap. Drop it; it is
+    # rebuilt on demand by build_doc_partitioned.
+    layout_dir = os.path.join(index_dir, "postings_by_doc")
+    if manifest.pop("doc_layout", None) is not None and os.path.exists(layout_dir):
+        shutil.rmtree(layout_dir)
+
     shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
     manifest["has_deletes"] = False
     manifest["expunged"] = True

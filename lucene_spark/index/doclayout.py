@@ -40,8 +40,13 @@ def build_doc_partitioned(
     spark: SparkSession, index_dir: str, num_parts: int | None = None
 ) -> dict:
     """Materialize the doc-range layout from the merged postings table.
-    Idempotent: an existing layout with the same partition count is kept.
-    Returns {num_parts, range_size, blocks, replicated_blocks}."""
+    Idempotent: an existing layout with the same partition count AND an
+    unchanged index generation is kept — any append/delete/expunge bumps
+    the generation (and drops the layout outright), so a stale layout is
+    never silently reused. Returns {num_parts, range_size, blocks,
+    replicated_blocks, built_at_generation}."""
+    import shutil
+
     manifest = load_manifest(index_dir)
     if manifest is None or not manifest.get("merged"):
         raise ValueError(f"{index_dir}: index not built+merged")
@@ -49,9 +54,13 @@ def build_doc_partitioned(
     if num_parts is None:
         num_parts = max(spark.sparkContext.defaultParallelism, 1)
     rng = max((doc_count + num_parts - 1) // num_parts, 1)
+    out_path = os.path.join(index_dir, LAYOUT_DIR)
     existing = manifest.get("doc_layout")
-    if existing and existing.get("num_parts") == num_parts and os.path.exists(
-        os.path.join(index_dir, LAYOUT_DIR)
+    if (
+        existing
+        and existing.get("num_parts") == num_parts
+        and existing.get("built_at_generation") == manifest["generation"]
+        and os.path.exists(out_path)
     ):
         return existing
 
@@ -63,21 +72,33 @@ def build_doc_partitioned(
     exploded = post.withColumn(
         "doc_part", F.explode(F.sequence(lo, hi))
     ).withColumn("doc_part", F.col("doc_part").cast("int"))
-    out_path = os.path.join(index_dir, LAYOUT_DIR)
+    # stage + swap, never overwrite the live dir in place: a concurrent
+    # reader keeps a consistent view and the manifest's range_size always
+    # describes the files it is read with
+    tmp = out_path + ".build"
     (
         exploded.repartition(num_parts, "doc_part")
         .sortWithinPartitions("term", "segment_id", "block_id")
         .write.mode("overwrite")
         .partitionBy("doc_part")
-        .parquet(out_path)
+        .parquet(tmp)
     )
     n_blocks = post.count()
-    n_rows = spark.read.parquet(out_path).count()
+    n_rows = spark.read.parquet(tmp).count()
+    if os.path.exists(out_path):
+        old = out_path + ".old"
+        os.rename(out_path, old)
+        os.rename(tmp, out_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, out_path)
+    spark.catalog.refreshByPath(out_path)
     layout = {
         "num_parts": int(num_parts),
         "range_size": int(rng),
         "blocks": int(n_blocks),
         "replicated_blocks": int(n_rows),
+        "built_at_generation": int(manifest["generation"]) + 1,
     }
     manifest["doc_layout"] = layout
     manifest["generation"] += 1

@@ -160,6 +160,11 @@ def combined_field_search(
     agg = per_term.groupBy("doc_id").agg(
         F.sum(F.col("score").cast("double")).cast("float").alias("score")
     )
+    # tombstones: the field indexes share docIDs, so apply every index's
+    # live-docs anti-join (before the limit — same contract as search():
+    # deleted docs drop out immediately, stats shift only at expunge)
+    for s, _ in searchers:
+        agg = s._live(agg)
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -579,6 +579,14 @@ class IndexSearcher:
             q = BooleanQuery(must=[q])
         if not (isinstance(q, BooleanQuery) and self._is_flat(q)):
             raise ValueError("search_colocated supports flat Boolean queries")
+        if self.has_deletes:
+            # tombstones cannot be applied AFTER the per-partition top-k
+            # truncation (surviving docs ranked below k in a partition would
+            # be lost) — with live deletes take the exhaustive plan, which
+            # anti-joins before its limit. expunge_deletes restores the
+            # doc-at-a-time path.
+            scored = self._live(self._flat_boolean(q, np.float32(1.0)))
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         clauses = self._clauses_of(q, np.float32(1.0))
         n_must = sum(1 for c in clauses if c.kind == "must")
         n_filter = sum(1 for c in clauses if c.kind == "filter")

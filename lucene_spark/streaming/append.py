@@ -60,6 +60,14 @@ def append_batch(
         raise ValueError(f"{index_dir}: base index must be built+merged first")
     config = IndexConfig(**manifest["config"])
 
+    # exactly-once, layer 1: a batch whose manifest commit completed is
+    # never re-applied (foreachBatch re-delivers the last UNcommitted batch
+    # after a restart — Spark checkpoints commit after this function
+    # returns). Layers 2-3 (marker files below) make the replay of a
+    # PARTIALLY-applied batch idempotent step by step.
+    if batch_id is not None and str(batch_id) in manifest.get("applied_batches", []):
+        return manifest
+
     next_sid = max(int(k) for k in manifest["completed"]) + 1
     doc_base = sum(int(v["num_docs"]) for v in manifest["completed"].values())
 
@@ -80,31 +88,47 @@ def append_batch(
     rows = meta.collect()
 
     # pass-through publish of the new segment's blocks into the bucketed
-    # query table (hot-term-style append; no re-gather of old segments)
+    # query table (hot-term-style append; no re-gather of old segments).
+    # Idempotence, layer 2: Spark commits an append job atomically (staged
+    # part files publish only at job commit), and the `_APPLIED_SEG_<sid>`
+    # marker written immediately after lets a replayed batch SKIP a publish
+    # that already committed — without it, a crash between job commit and
+    # manifest write would double-publish the segment's rows on replay.
+    # (Readers ignore underscore-prefixed files.)
     new_local = read_postings_local(spark, index_dir).filter(
         F.col("segment_id") == next_sid
     )
-    (
-        new_local.withColumn("term_bucket", term_bucket_col(config.term_buckets))
-        .repartition(config.term_buckets, "term_bucket")
-        .sortWithinPartitions("term", "segment_id", "block_id")
-        .write.mode("append")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
+    post_marker = os.path.join(index_dir, "postings", f"_APPLIED_SEG_{next_sid}")
+    if not os.path.exists(post_marker):
+        (
+            new_local.withColumn("term_bucket", term_bucket_col(config.term_buckets))
+            .repartition(config.term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "segment_id", "block_id")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        open(post_marker, "w").close()
+        spark.catalog.refreshByPath(os.path.join(index_dir, "postings"))
     pos_local = os.path.join(index_dir, "positions_local")
     if config.positions and os.path.exists(
         os.path.join(pos_local, f"segment={next_sid}")
     ):
-        (
-            spark.read.parquet(os.path.join(pos_local, f"segment={next_sid}"))
-            .withColumn("term_bucket", term_bucket_col(config.term_buckets))
-            .repartition(config.term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("append")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(index_dir, "positions"))
+        pos_marker = os.path.join(
+            index_dir, "positions", f"_APPLIED_SEG_{next_sid}"
         )
+        if not os.path.exists(pos_marker):
+            (
+                spark.read.parquet(os.path.join(pos_local, f"segment={next_sid}"))
+                .withColumn("term_bucket", term_bucket_col(config.term_buckets))
+                .repartition(config.term_buckets, "term_bucket")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("append")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(index_dir, "positions"))
+            )
+            open(pos_marker, "w").close()
+            spark.catalog.refreshByPath(os.path.join(index_dir, "positions"))
 
     # DELTA term-stats refresh: old term_dict ∪ THIS batch's block metadata,
     # one groupBy-sum — never re-aggregates prior segments (at 10^12 turns
@@ -112,37 +136,57 @@ def append_batch(
     # Written to a generation-suffixed dir then swapped in, because Spark
     # cannot safely overwrite a path it is lazily reading from.
     td_path = os.path.join(index_dir, "term_dict")
-    new_stats = (
-        new_local.groupBy("term")
-        .agg(
-            F.sum("num_docs").cast("long").alias("doc_freq"),
-            F.sum("ttf").cast("long").alias("total_term_freq"),
-            F.count("*").cast("long").alias("num_blocks"),
+    td_marker = os.path.join(td_path, f"_APPLIED_SEG_{next_sid}")
+    if not os.path.exists(td_marker):
+        new_stats = (
+            new_local.groupBy("term")
+            .agg(
+                F.sum("num_docs").cast("long").alias("doc_freq"),
+                F.sum("ttf").cast("long").alias("total_term_freq"),
+                F.count("*").cast("long").alias("num_blocks"),
+            )
         )
-    )
-    old_stats = spark.read.parquet(td_path).select(
-        "term", "doc_freq", "total_term_freq", "num_blocks"
-    )
-    merged = (
-        old_stats.unionByName(new_stats)
-        .groupBy("term")
-        .agg(
-            F.sum("doc_freq").cast("long").alias("doc_freq"),
-            F.sum("total_term_freq").cast("long").alias("total_term_freq"),
-            F.sum("num_blocks").cast("long").alias("num_blocks"),
+        old_stats = spark.read.parquet(td_path).select(
+            "term", "doc_freq", "total_term_freq", "num_blocks"
         )
-    )
-    tmp_td = td_path + f".g{int(manifest['generation']) + 1}"
-    (
-        merged
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism // 4, 1), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(tmp_td)
-    )
-    import shutil
-    shutil.rmtree(td_path)
-    os.rename(tmp_td, td_path)
+        merged = (
+            old_stats.unionByName(new_stats)
+            .groupBy("term")
+            .agg(
+                F.sum("doc_freq").cast("long").alias("doc_freq"),
+                F.sum("total_term_freq").cast("long").alias("total_term_freq"),
+                F.sum("num_blocks").cast("long").alias("num_blocks"),
+            )
+        )
+        tmp_td = td_path + f".g{int(manifest['generation']) + 1}"
+        (
+            merged
+            .repartitionByRange(max(spark.sparkContext.defaultParallelism // 4, 1), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(tmp_td)
+        )
+        # idempotence marker travels INSIDE the new dir: a replay after the
+        # swap (but before the manifest commit) sees it and skips the delta
+        # — without it the delta would double-count this segment's stats
+        open(os.path.join(tmp_td, f"_APPLIED_SEG_{next_sid}"), "w").close()
+        import shutil
+        old_td = td_path + ".old"
+        os.rename(td_path, old_td)
+        os.rename(tmp_td, td_path)
+        shutil.rmtree(old_td)
+        # Spark caches parquet file listings per path — without the refresh
+        # the next term_dict read dies with FAILED_READ_FILE (CLAUDE.md)
+        spark.catalog.refreshByPath(td_path)
+
+    # the doc-range co-located layout (if built) indexes only the BASE
+    # segments' blocks — appended docs would be silently invisible to the
+    # auto-routed doc-at-a-time path. Drop it; build_doc_partitioned
+    # rebuilds on demand over the full postings table.
+    layout_dir = os.path.join(index_dir, "postings_by_doc")
+    if manifest.pop("doc_layout", None) is not None and os.path.exists(layout_dir):
+        import shutil
+        shutil.rmtree(layout_dir)
 
     for r in rows:
         d = r.asDict()
@@ -157,6 +201,8 @@ def append_batch(
         }
     manifest["shards"][str(next_sid)] = {"offset": doc_base, "count": int(n)}
     manifest["ordered"] = False  # appended docIDs are arrival-ordered
+    if batch_id is not None:
+        manifest.setdefault("applied_batches", []).append(str(batch_id))
     manifest["generation"] += 1
     write_manifest(index_dir, manifest)
     return manifest

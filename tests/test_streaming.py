@@ -301,3 +301,162 @@ def test_expunge_deletes_equals_fresh_build(spark, tmp_path_factory):
              for r in sf.search(q, 25).collect()]
         assert a == b, q
     assert se.count(TermQuery(term)) == sf.count(TermQuery(term))
+
+
+def test_append_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """A re-delivered micro-batch (same batch_id) must change NOTHING:
+    no duplicate postings rows, no double-counted term_dict stats, no
+    manifest bump (foreachBatch replays after a crash)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.streaming.append import append_batch
+
+    root = tmp_path_factory.mktemp("replay")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=20, seed=3, vocab_size=300, max_turns=6)
+    extra = generate_pandas(n_convs=6, seed=4, vocab_size=300, max_turns=6)
+    extra["conv_id"] = "zz-" + extra["conv_id"]
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+
+    import copy
+
+    m0 = copy.deepcopy(load_manifest(idx))  # pre-append state
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=7)
+    m1 = load_manifest(idx)
+    post1 = spark.read.parquet(os.path.join(idx, "postings"))
+    rows1 = post1.count()
+    td1 = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(idx, "term_dict")).collect()
+    )
+
+    # full replay of the committed batch: the manifest guard short-circuits
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=7)
+    m2 = load_manifest(idx)
+    assert m2["generation"] == m1["generation"]
+    assert len(m2["completed"]) == len(m1["completed"])
+    assert spark.read.parquet(os.path.join(idx, "postings")).count() == rows1
+    td2 = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(idx, "term_dict")).collect()
+    )
+    assert td2 == td1
+
+    # partial replay (crash just BEFORE the manifest commit): restore the
+    # pre-append manifest — all data writes already landed, markers in
+    # place — and re-run; every publish step must skip via its marker
+    from lucene_spark.index.build import write_manifest
+
+    write_manifest(idx, m0)
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=7)
+    m3 = load_manifest(idx)
+    assert m3["generation"] == m1["generation"]
+    assert sorted(m3["completed"]) == sorted(m1["completed"])
+    assert spark.read.parquet(os.path.join(idx, "postings")).count() == rows1
+    td3 = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(idx, "term_dict")).collect()
+    )
+    assert td3 == td1
+    assert check_index(spark, idx)["ok"]
+
+
+def test_append_and_expunge_invalidate_doc_layout(spark, tmp_path_factory):
+    """The doc-range co-located layout indexes only the blocks it was built
+    from: append and expunge must DROP it (search would otherwise silently
+    miss appended docs / return stale pre-remap docIDs)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.doclayout import LAYOUT_DIR, build_doc_partitioned
+    from lucene_spark.query.ast import BooleanQuery
+    from lucene_spark.streaming.append import append_batch
+
+    root = tmp_path_factory.mktemp("layout_inval")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=25, seed=5, vocab_size=200, max_turns=6)
+    extra = generate_pandas(n_convs=8, seed=6, vocab_size=200, max_turns=6)
+    extra["conv_id"] = "zz-" + extra["conv_id"]
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+    build_doc_partitioned(spark, idx, num_parts=2)
+    assert load_manifest(idx)["doc_layout"]
+
+    # --- append drops the layout; a fresh searcher finds appended docs
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=1)
+    m = load_manifest(idx)
+    assert "doc_layout" not in m
+    assert not os.path.exists(os.path.join(idx, LAYOUT_DIR))
+    s = IndexSearcher(spark, idx)
+    # pick two terms present in an appended doc
+    from lucene_spark.functions.analysis import tokenize_one
+    toks = [t.lower() for t in tokenize_one(extra["text"].iloc[0])]
+    t0, t1 = toks[0], next(t for t in toks if t != toks[0])
+    q = BooleanQuery(should=[TermQuery(t0), TermQuery(t1)])
+    base_docs = sum(1 for _ in range(len(base)))
+    hits = {r["doc_id"] for r in s.search(q, 1000).collect()}
+    assert any(d >= base_docs for d in hits)  # appended docs are visible
+
+    # --- rebuild layout, tombstone + expunge drops it again and the
+    # rebuilt-on-demand layout serves exact post-expunge results
+    build_doc_partitioned(spark, idx, num_parts=2)
+    assert load_manifest(idx).get("doc_layout")
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(0,), (10**12,), (-5,)], "doc_id long"))  # incl. bogus ids
+    expunge_deletes(spark, idx)
+    m = load_manifest(idx)
+    assert "doc_layout" not in m
+    assert not os.path.exists(os.path.join(idx, LAYOUT_DIR))
+    assert check_index(spark, idx)["ok"]
+    # bogus tombstones must not have shifted the remap: doc 0 was the only
+    # real delete, so the survivor count dropped by exactly 1
+    s2 = IndexSearcher(spark, idx)
+    assert s2.doc_count == base_docs + len(extra) - 1
+
+
+def test_colocated_with_deletes_is_exact(spark, tmp_path_factory):
+    """With live tombstones the doc-at-a-time path must not lose survivors
+    ranked below k inside a partition — search() stays exact by taking the
+    exhaustive plan until expunge."""
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.index.doclayout import build_doc_partitioned
+    from lucene_spark.query.ast import BooleanQuery
+
+    root = tmp_path_factory.mktemp("colodel")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=30, seed=8, vocab_size=120, max_turns=8)
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+    build_doc_partitioned(spark, idx, num_parts=1)  # worst case: one leaf
+
+    s0 = IndexSearcher(spark, idx)
+    # two common terms; delete the whole undeleted top-k so survivors come
+    # from below the per-partition truncation point
+    from collections import Counter
+
+    from lucene_spark.functions.analysis import tokenize_one
+    c: Counter = Counter()
+    for t in base["text"]:
+        c.update({w.lower() for w in tokenize_one(t)})
+    t0, t1 = [t for t, _ in c.most_common(2)]
+    q = BooleanQuery(should=[TermQuery(t0), TermQuery(t1)])
+    full = [(r["doc_id"], np.float32(r["score"]))
+            for r in s0.search(q, 40).collect()]
+    assert len(full) > 10
+    dels = [d for d, _ in full[:10]]
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(int(d),) for d in dels], "doc_id long"))
+
+    s1 = IndexSearcher(spark, idx)
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in s1.search(q, 10).collect()]
+    expect = [x for x in full if x[0] not in set(dels)][:10]
+    assert got == expect
+    # the explicit colocated entry point takes the same exact fallback
+    got2 = [(r["doc_id"], np.float32(r["score"]))
+            for r in s1.search_colocated(q, 10).collect()]
+    assert got2 == expect
