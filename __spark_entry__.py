@@ -611,6 +611,36 @@ def _custom_sim_df(spark, sf_dir):
     )
 
 
+_SIM_AST = {"bool": {"must": [{"term": "scan"}],
+                     "should": [{"term": "merge", "boost": 1.7},
+                                {"term": "dup"}]}}
+
+
+def _similarity_df(spark, sf_dir, similarity: str):
+    """Pluggable Similarity (``Similarity.java:98-164``): same index,
+    scorer swapped — ClassicSimilarity (``ClassicSimilarity.java:44-71``)
+    or BooleanSimilarity (``BooleanSimilarity.java:52-55``); the oracle
+    replays the twin's float32 op order."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    base = _searcher(spark, sf_dir)
+    s = IndexSearcher(spark, base.index_dir, similarity=similarity)
+    q = rewrite_fixpoint(parse_query(json.dumps(_SIM_AST)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _classic_sim_df(spark, sf_dir):
+    return _similarity_df(spark, sf_dir, "classic")
+
+
+def _boolean_sim_df(spark, sf_dir):
+    return _similarity_df(spark, sf_dir, "boolean")
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -990,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_append_search"] = _append_search_df
     out["bm25_stop_chain"] = _stop_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
+    out["classic_sim_topk"] = _classic_sim_df
+    out["boolean_sim_topk"] = _boolean_sim_df
     out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
@@ -1167,6 +1199,12 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,
         k1=_CUSTOM_K1, b=_CUSTOM_B,
+    )
+    out["classic_sim_topk"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="classic",
+    )
+    out["boolean_sim_topk"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="boolean",
     )
     out["bm25_with_deletes"] = (
         "SELECT * FROM (\n"

@@ -1,0 +1,138 @@
+"""Pluggable Similarity — the ``Similarity.java`` surface re-expressed as
+picklable scorer objects the engine threads through every scoring path.
+
+Reference semantics (independent implementations, cited for parity):
+  - ``similarities/Similarity.java:98-164`` — a Similarity produces a
+    ``SimScorer`` whose only job is ``score(freq, normByte) -> float``;
+    idf/boost are folded into the scorer as constants. That is exactly the
+    contract here: the engine computes ``weight`` once per clause
+    (``weight = boost * idf`` for stats-based sims) and every decode path
+    calls ``sim.score(freqs, norm_bytes, weight)`` on numpy arrays.
+  - ``similarities/BM25Similarity.java:97,244-252`` — the default; the
+    float32 op order lives in ``functions/bm25.py`` and is re-exposed here.
+  - ``similarities/ClassicSimilarity.java:44-71`` + ``TFIDFSimilarity.java:
+    436-475`` — tf = (float)sqrt(freq); idf = (float)(log((docCount+1)/
+    (docFreq+1)) + 1.0); normTable[i] = lengthNorm(LENGTH_TABLE[i]) =
+    (float)(1.0/sqrt(length)), normTable[0] = 1f/normTable[255]; score =
+    (tf * queryWeight) * normTable[norm & 0xFF] — two float32 multiplies in
+    that order (``TFIDFSimilarity.java:470-475``).
+  - ``similarities/BooleanSimilarity.java:52-55`` — score(freq, norm) =
+    boost, no statistics at all.
+  - Multi-term (phrase/synonym) idf accumulation sums per-term float32
+    idfs in DOUBLE then casts (``TFIDFSimilarity.java:392-401``, same as
+    ``BM25Similarity.java:161-170``) — shared default ``multi_idf``;
+    BooleanSimilarity has no idf, its multi-term weight is the boost.
+
+Pruning note: per-block impact upper bounds (``search_pruned``) are
+derived from the BM25 closed form only — the pruned/colocated *score-bound*
+machinery stays BM25-only and the engine falls back to the exhaustive plan
+for other similarities (always exact by construction).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lucene_spark.functions import bm25
+from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+
+class BM25Sim:
+    """BM25Similarity(k1, b) over a fixed collection avgdl."""
+
+    name = "bm25"
+
+    def __init__(self, avgdl_f32: np.float32,
+                 k1: float | None = None, b: float | None = None):
+        self.k1 = np.float32(bm25.K1_DEFAULT if k1 is None else k1)
+        self.b = np.float32(bm25.B_DEFAULT if b is None else b)
+        self.cache = bm25.norm_inverse_cache(avgdl_f32, self.k1, self.b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return bm25.idf(doc_freq, doc_count)
+
+    def multi_idf(self, idfs: list[np.float32]) -> np.float32:
+        acc = np.float64(0.0)
+        for v in idfs:
+            acc += np.float64(v)
+        return np.float32(acc)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight_f32: np.float32) -> np.ndarray:
+        return bm25.score(freqs, norm_bytes, weight_f32, self.cache)
+
+
+def _classic_norm_table() -> np.ndarray:
+    """float32 normTable per ``TFIDFSimilarity.java:436-449``."""
+    t = np.zeros(256, dtype=np.float32)
+    for i in range(1, 256):
+        t[i] = np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[i])))
+    t[0] = np.float32(1.0) / t[255]
+    return t
+
+
+class ClassicSim:
+    """ClassicSimilarity (historical TF-IDF vector-space scoring)."""
+
+    name = "classic"
+
+    def __init__(self) -> None:
+        self.norm_table = _classic_norm_table()
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        # (float)(Math.log((docCount + 1) / (double)(docFreq + 1)) + 1.0)
+        return np.float32(
+            math.log((doc_count + 1) / float(doc_freq + 1)) + 1.0
+        )
+
+    def multi_idf(self, idfs: list[np.float32]) -> np.float32:
+        acc = np.float64(0.0)
+        for v in idfs:
+            acc += np.float64(v)
+        return np.float32(acc)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight_f32: np.float32) -> np.ndarray:
+        # tf = (float)sqrt(freq): sqrt in double, cast float32
+        tf = np.sqrt(np.asarray(freqs, dtype=np.float64)).astype(np.float32)
+        raw = tf * np.float32(weight_f32)  # float32 multiply
+        norm = self.norm_table[
+            np.asarray(norm_bytes, dtype=np.int64) & 0xFF
+        ]
+        return (raw * norm).astype(np.float32)
+
+
+class BooleanSim:
+    """BooleanSimilarity: score == query boost, statistics ignored."""
+
+    name = "boolean"
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def multi_idf(self, idfs: list[np.float32]) -> np.float32:
+        return np.float32(1.0)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight_f32: np.float32) -> np.ndarray:
+        n = len(np.asarray(freqs))
+        return np.full(n, np.float32(weight_f32), dtype=np.float32)
+
+
+def make_similarity(spec, avgdl_f32: np.float32,
+                    k1: float | None = None, b: float | None = None):
+    """Resolve a similarity spec: "bm25" (default) | "classic" | "boolean"
+    or an already-constructed similarity object (duck-typed)."""
+    if spec is None or spec == "bm25":
+        return BM25Sim(avgdl_f32, k1, b)
+    if k1 is not None or b is not None:
+        raise ValueError("k1/b are BM25Similarity parameters")
+    if spec == "classic":
+        return ClassicSim()
+    if spec == "boolean":
+        return BooleanSim()
+    if hasattr(spec, "score") and hasattr(spec, "idf"):
+        return spec
+    raise ValueError(f"unknown similarity {spec!r}")

@@ -101,6 +101,47 @@ def _idf_expr() -> str:
     return "CAST(ln(1 + (c.dc - ldf.df + 0.5) / (ldf.df + 0.5)) AS REAL)"
 
 
+def _classic_idf_expr() -> str:
+    """ClassicSimilarity.idf: (float)(log((dc+1)/(df+1)) + 1.0)
+    (``ClassicSimilarity.java:69-71``) — double math, one REAL cast."""
+    return "CAST(ln((c.dc + 1) / CAST(ldf.df + 1 AS DOUBLE)) + 1.0 AS REAL)"
+
+
+def _classic_leaf_score(weight_expr: str, freq_expr: str, dl_expr: str) -> str:
+    """TFIDFScorer.score (``TFIDFSimilarity.java:470-475``):
+    raw = (float)sqrt(freq) * queryWeight; raw * normTable[norm].
+    normTable[i] = (float)(1/sqrt(byte4ToInt(i))) (``:436-449``; the [0]
+    special case is unreachable for matched rows — freq>=1 => len>=1).
+    Each multiply is a float32 op: REAL * REAL stays REAL in DuckDB."""
+    tf = f"CAST(sqrt(CAST({freq_expr} AS DOUBLE)) AS REAL)"
+    norm = (
+        f"CAST(1.0 / sqrt(CAST({_quantized_len(dl_expr)} AS DOUBLE)) AS REAL)"
+    )
+    return f"(({tf} * {weight_expr}) * {norm})"
+
+
+def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
+                    dl_expr: str, k1: float, b: float) -> str:
+    if similarity == "bm25":
+        return _leaf_score(weight_expr, freq_expr, dl_expr, k1, b)
+    if similarity == "classic":
+        return _classic_leaf_score(weight_expr, freq_expr, dl_expr)
+    if similarity == "boolean":
+        # BooleanSimilarity.java:52-55 — score == boost; idf below is 1
+        return f"CAST({weight_expr} AS REAL)"
+    raise ValueError(f"unknown similarity {similarity!r}")
+
+
+def _sim_idf_expr(similarity: str) -> str:
+    if similarity == "bm25":
+        return _idf_expr()
+    if similarity == "classic":
+        return _classic_idf_expr()
+    if similarity == "boolean":
+        return "CAST(1 AS REAL)"
+    raise ValueError(f"unknown similarity {similarity!r}")
+
+
 def _flat_clauses(q: Query) -> tuple[list[tuple[int, str, str, float]], int]:
     """(clause_id, kind, term, boost) list + min_should_match; raises on
     non-flat input (nested booleans not SQL-compiled)."""
@@ -135,11 +176,13 @@ def topk_sql(
     stop: tuple[str, ...] = (),
     k1: float = 1.2,
     b: float = 0.75,
+    similarity: str = "bm25",
 ) -> str:
-    """Full top-k BM25 SQL for a flat Boolean query: (doc_id, score REAL),
+    """Full top-k SQL for a flat Boolean query: (doc_id, score REAL),
     score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
     analysis chain (see corpus_ctes); ``k1``/``b`` the BM25Similarity
-    constructor parameters."""
+    constructor parameters; ``similarity`` selects the scoring twin
+    ("bm25" | "classic" | "boolean" — the pluggable-Similarity surface)."""
     clauses, msm = _flat_clauses(q)
     n_must = sum(1 for c in clauses if c[1] == "must")
     n_filter = sum(1 for c in clauses if c[1] == "filter")
@@ -167,7 +210,9 @@ def topk_sql(
     else:
         final = ("CAST(CAST(CAST(coalesce(must_s, 0) AS REAL) AS DOUBLE)"
                  " + CAST(CAST(coalesce(should_s, 0) AS REAL) AS DOUBLE) AS REAL)")
-    score = _leaf_score("(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b)
+    score = _sim_leaf_score(
+        similarity, "(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b
+    )
     return f"""
 WITH {corpus_ctes(table, id_col, text_col, stop)},
 consts AS (
@@ -176,7 +221,7 @@ consts AS (
 clauses(clause_id, kind, term, boost) AS (VALUES {values}),
 leaf_df AS (
   SELECT cl.clause_id, cl.kind, cl.term, cl.boost,
-         {_idf_expr().replace('ldf.df', 'coalesce(df.df, 0)')} AS idf,
+         {_sim_idf_expr(similarity).replace('ldf.df', 'coalesce(df.df, 0)')} AS idf,
          coalesce(df.df, 0) AS df
   FROM clauses cl LEFT JOIN df ON df.term = cl.term, consts c
 ),

@@ -127,11 +127,16 @@ class IndexSearcher:
     max_clause_count: int = 1024
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 k1: float | None = None, b: float | None = None):
+                 k1: float | None = None, b: float | None = None,
+                 similarity: str | object | None = None):
         """``k1``/``b`` expose the BM25Similarity constructor parameters
-        (``BM25Similarity.java:97`` — the pluggable-Similarity surface):
-        they only shape the 256-entry norm-inverse cache, exactly as in the
-        reference, so every query path picks them up transparently."""
+        (``BM25Similarity.java:97``); ``similarity`` selects the full
+        pluggable-Similarity surface (``Similarity.java:98-164``): "bm25"
+        (default), "classic" (ClassicSimilarity TF-IDF), "boolean"
+        (BooleanSimilarity), or a duck-typed scorer object. Every query
+        path scores through ``self.sim``; the score-bound pruning paths
+        (``search_pruned``/``search_term_pruned``) are BM25-only and raise
+        for other similarities (the exhaustive plan is always exact)."""
         self.spark = spark
         self.index_dir = index_dir
         manifest = load_manifest(index_dir)
@@ -141,9 +146,14 @@ class IndexSearcher:
         self.buckets = int(manifest["config"]["term_buckets"])
         self.doc_count, self.sum_ttf = collection_stats(manifest)
         self.avgdl = bm25.avgdl(self.sum_ttf, self.doc_count)
-        self.k1 = np.float32(bm25.K1_DEFAULT if k1 is None else k1)
-        self.b = np.float32(bm25.B_DEFAULT if b is None else b)
-        self.cache = bm25.norm_inverse_cache(self.avgdl, self.k1, self.b)
+        from lucene_spark.functions.similarity import make_similarity
+
+        self.sim = make_similarity(similarity, self.avgdl, k1, b)
+        self.k1 = getattr(self.sim, "k1", np.float32(bm25.K1_DEFAULT))
+        self.b = getattr(self.sim, "b", np.float32(bm25.B_DEFAULT))
+        #: BM25 norm-inverse cache; None for non-BM25 similarities (the
+        #: impact upper-bound machinery derives from this closed form)
+        self.cache = getattr(self.sim, "cache", None)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self._docmap: DataFrame | None = None
@@ -432,7 +442,7 @@ class IndexSearcher:
             )
             freq = int(rows[0]["freq"]) if rows else 0
             s = (
-                float(bm25.score(np.array([freq]), np.array([nb]), c.weight, self.cache)[0])
+                float(self.sim.score(np.array([freq]), np.array([nb]), c.weight)[0])
                 if freq else 0.0
             )
             if c.kind in ("must", "should") and freq:
@@ -599,7 +609,7 @@ class IndexSearcher:
         for c in clauses:
             term_clauses.setdefault(c.term, []).append((c.kind, c.weight))
         rng_sz = int(layout["range_size"])
-        cache = self.cache
+        sim = self.sim
         kk = int(k)
 
         table = (
@@ -627,10 +637,6 @@ class IndexSearcher:
                 if not m.any():
                     continue
                 d, f, nb = d[m], f[m], nb[m]
-                inv = cache[nb & 0xFF]
-                f32 = f.astype(np.float32)
-                one = np.float32(1.0)
-                denom = one + f32 * inv
                 for kind, w in term_clauses[term]:
                     docs_l.append(d)
                     kind_l.append(np.full(
@@ -638,7 +644,7 @@ class IndexSearcher:
                         {"must": 0, "should": 1, "filter": 2, "must_not": 3}[kind],
                         dtype=np.int8,
                     ))
-                    score_l.append((w - w / denom).astype(np.float32))
+                    score_l.append(sim.score(f, nb, w))
             if not docs_l:
                 return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                      "score": pd.Series(dtype=np.float32)})
@@ -1055,13 +1061,11 @@ class IndexSearcher:
             .select("num_docs", "first_doc", "data", "df")
             .repartition(self.spark.sparkContext.defaultParallelism)
         )
-        cache = self.cache
+        sim = self.sim
         n_docs = self.doc_count
         boost_f = np.float32(boost)
 
         def decode_score(batches):
-            import math as _math
-
             from lucene_spark.functions.codec import decode_block
 
             for pdf in batches:
@@ -1073,12 +1077,11 @@ class IndexSearcher:
                     pdf["df"].to_numpy(np.int64),
                 ):
                     d, f, nb = decode_block(data, int(nd), int(fd))
-                    idf_t = np.float32(_math.log(
-                        1.0 + (n_docs - int(dfv) + 0.5) / (int(dfv) + 0.5)
-                    ))
-                    w = np.float32(boost_f * idf_t)
+                    # per-term weight computed executor-side from the
+                    # metadata df (exact float32 op order via the sim)
+                    w = np.float32(boost_f * sim.idf(int(dfv), n_docs))
                     out_d.append(d)
-                    out_s.append(bm25.score(f, nb, w, cache))
+                    out_s.append(sim.score(f, nb, w))
                 if out_d:
                     yield pd.DataFrame(
                         {"doc_id": np.concatenate(out_d),
@@ -1247,6 +1250,11 @@ class IndexSearcher:
 
         The bound is computed in float64 with a safety margin so float32
         rounding can never push a real score above it."""
+        if self.sim.name != "bm25":
+            raise ValueError(
+                "block-max pruning derives impact upper bounds from the "
+                "BM25 closed form; use search() for other similarities"
+            )
         stats = self.term_stats([term])
         if term not in stats:
             return self.spark.createDataFrame([], "doc_id long, score float")
@@ -1365,6 +1373,11 @@ class IndexSearcher:
         ``w_c * ubu + Σ_{c'≠c} max_ub_{c'} >= θ`` — a doc whose block is
         dropped cannot reach θ, hence cannot displace the top-k. Exhaustive
         fallback when the probe matches fewer than k docs."""
+        if self.sim.name != "bm25":
+            raise ValueError(
+                "block-max pruning derives impact upper bounds from the "
+                "BM25 closed form; use search() for other similarities"
+            )
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
         if isinstance(q, TermQuery):
             return self.search_term_pruned(q.term, k, probe_blocks)
@@ -1470,7 +1483,7 @@ class IndexSearcher:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _decode_score_blocks(self, blocks: DataFrame, w: np.float32) -> DataFrame:
-        cache = self.cache
+        sim = self.sim
 
         def ds(batches):
             from lucene_spark.functions.codec import decode_block
@@ -1484,7 +1497,7 @@ class IndexSearcher:
                 ):
                     d, f, nb = decode_block(data, int(nd), int(fd))
                     out_d.append(d)
-                    out_s.append(bm25.score(f, nb, w, cache))
+                    out_s.append(sim.score(f, nb, w))
                 if out_d:
                     yield pd.DataFrame(
                         {"doc_id": np.concatenate(out_d),
@@ -1511,33 +1524,28 @@ class IndexSearcher:
         return self._positions
 
     def _multi_term_weight(self, boost: np.float32, idfs: list[np.float32]) -> np.float32:
-        """float32(boost * float32(Σ_double f32-idfs)) — the phrase/synonym
-        idf accumulation (BM25Similarity.java:161-170)."""
-        acc = np.float64(0.0)
-        for v in idfs:
-            acc += np.float64(v)
-        return np.float32(np.float32(boost) * np.float32(acc))
+        """float32(boost * multi_idf) — the phrase/synonym idf accumulation
+        (BM25Similarity.java:161-170 / TFIDFSimilarity.java:392-401:
+        Σ_double of f32 idfs, cast f32; BooleanSimilarity: 1.0)."""
+        return np.float32(np.float32(boost) * self.sim.multi_idf(idfs))
 
     def _score_freq_frame(self, matched: DataFrame, w: np.float32) -> DataFrame:
         """(doc_id, freq) + norms join -> (doc_id, score) with exact float32
-        BM25 arithmetic (vectorized Arrow UDF, cache semantics)."""
-        cache = self.cache
+        similarity arithmetic (vectorized Arrow UDF, cache semantics)."""
+        sim = self.sim
         norms = self.docmap().select("doc_id", "norm_byte")
         j = matched.join(norms, "doc_id").select("doc_id", "freq", "norm_byte")
 
         def score_batches(batches):
-            from lucene_spark.functions import bm25
-
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                        "score": bm25.score(
+                        "score": sim.score(
                             # float64: sloppy-phrase freqs are fractional
                             pdf["freq"].to_numpy(np.float64),
                             pdf["norm_byte"].to_numpy(np.int64),
                             w,
-                            cache,
                         ),
                     }
                 )
@@ -1552,7 +1560,7 @@ class IndexSearcher:
         if any(t not in stats for t in terms):
             return None
         w = self._multi_term_weight(
-            boost, [bm25.idf(stats[t][0], self.doc_count) for t in terms]
+            boost, [self.sim.idf(stats[t][0], self.doc_count) for t in terms]
         )
         return self._phrase_core([(t,) for t in terms], int(q.slop), w)
 
@@ -1570,7 +1578,7 @@ class IndexSearcher:
         # idf sum over ALL existing terms, slot-then-term order, skipping
         # absent and counting duplicates once per occurrence in the arrays
         idfs = [
-            bm25.idf(stats[t][0], self.doc_count)
+            self.sim.idf(stats[t][0], self.doc_count)
             for sl in slots
             for t in sl
             if t in stats
@@ -1697,7 +1705,7 @@ class IndexSearcher:
         if any(t not in stats for t in terms):
             return None
         w = self._multi_term_weight(
-            boost, [bm25.idf(stats[t][0], self.doc_count) for t in terms]
+            boost, [self.sim.idf(stats[t][0], self.doc_count) for t in terms]
         )
         if q.in_order:
             return self._phrase_core([(t,) for t in terms], int(q.slop), w)
@@ -1744,7 +1752,7 @@ class IndexSearcher:
         if not present:
             return None
         df_blend = max(stats[t][0] for t in present)
-        w = np.float32(np.float32(boost) * bm25.idf(df_blend, self.doc_count))
+        w = np.float32(np.float32(boost) * self.sim.idf(df_blend, self.doc_count))
         # one postings scan; FREQS (not scores) summed per doc
         buckets = sorted({term_bucket_of(t, self.buckets) for t in present})
         scan = (
@@ -1831,7 +1839,7 @@ class IndexSearcher:
                     term, b = c.term, boost
                 df_ttf = stats.get(term)
                 w = (
-                    bm25.weight(float(b), bm25.idf(df_ttf[0], self.doc_count))
+                    bm25.weight(float(b), self.sim.idf(df_ttf[0], self.doc_count))
                     if df_ttf
                     else np.float32(0.0)
                 )
@@ -1853,7 +1861,7 @@ class IndexSearcher:
         present = [c for c in clauses]
         terms = sorted({c.term for c in present})
         buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
-        cache = self.cache
+        sim = self.sim
         term_clauses: dict[str, list[tuple[int, np.float32]]] = {}
         for c in present:
             term_clauses.setdefault(c.term, []).append((c.clause_id, c.weight))
@@ -1891,14 +1899,10 @@ class IndexSearcher:
                     pdf["data"].to_numpy(object),
                 ):
                     docs, freqs, norms = decode_block(data, int(nd), int(fd))
-                    inv = cache[norms & 0xFF]
-                    f32 = freqs.astype(np.float32)
-                    one = np.float32(1.0)
-                    denom = one + f32 * inv
                     for cid, w in term_clauses[term]:
                         out_cid.append(np.full(docs.size, cid, dtype=np.int32))
                         out_doc.append(docs)
-                        out_score.append((w - w / denom).astype(np.float32))
+                        out_score.append(sim.score(freqs, norms, w))
                 if out_doc:
                     yield pd.DataFrame(
                         {

@@ -1,0 +1,249 @@
+"""Pluggable Similarity: ClassicSimilarity / BooleanSimilarity parity.
+
+Reference semantics: ``similarities/ClassicSimilarity.java:44-71``,
+``TFIDFSimilarity.java:436-475``, ``BooleanSimilarity.java:52-55``.
+Dual execution (engine vs DuckDB sqlgen twin) uses the SIMPLE analyzer —
+the TOKEN_SQL replay — per the repo's sqlgen contract.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.functions.similarity import (
+    BM25Sim,
+    BooleanSim,
+    ClassicSim,
+    make_similarity,
+)
+from lucene_spark.functions.smallfloat import LENGTH_TABLE
+from lucene_spark.index.build import IndexConfig, build_index
+from lucene_spark.index.merge import merge_index
+from lucene_spark.plans import sqlgen
+from lucene_spark.query.ast import BooleanQuery, BoostQuery, TermQuery
+from lucene_spark.query.search import IndexSearcher
+from lucene_spark.sources.transcripts import generate_pandas
+
+
+# ------------------------------------------------------------ unit level
+
+def test_classic_idf_and_norm_table():
+    sim = ClassicSim()
+    # idf = (float)(log((dc+1)/(df+1)) + 1)
+    assert sim.idf(9, 99) == np.float32(math.log(100 / 10.0) + 1.0)
+    assert sim.idf(0, 0) == np.float32(1.0)  # log(1)+1
+    # normTable[i] = (float)(1/sqrt(byte4ToInt(i))); [0] = 1/normTable[255]
+    t = sim.norm_table
+    for i in (1, 7, 40, 128, 255):
+        assert t[i] == np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[i])))
+    assert t[0] == np.float32(1.0) / t[255]
+
+
+def test_classic_score_op_order():
+    sim = ClassicSim()
+    w = np.float32(2.5)
+    f = np.array([4], dtype=np.int64)
+    nb = np.array([9], dtype=np.int64)
+    tf = np.float32(math.sqrt(4.0))
+    expect = np.float32(
+        np.float32(tf * w) * sim.norm_table[9]
+    )
+    assert sim.score(f, nb, w)[0] == expect
+
+
+def test_boolean_sim_ignores_stats():
+    sim = BooleanSim()
+    assert sim.idf(12345, 10**9) == np.float32(1.0)
+    s = sim.score(np.array([7, 1]), np.array([3, 200]), np.float32(1.5))
+    assert s.dtype == np.float32 and list(s) == [np.float32(1.5)] * 2
+
+
+def test_make_similarity_validation():
+    assert isinstance(make_similarity(None, np.float32(10.0)), BM25Sim)
+    assert isinstance(make_similarity("classic", np.float32(10.0)), ClassicSim)
+    with pytest.raises(ValueError):
+        make_similarity("classic", np.float32(10.0), k1=2.0)
+    with pytest.raises(ValueError):
+        make_similarity("nope", np.float32(10.0))
+
+
+# ------------------------------------------------ engine vs DuckDB twin
+
+@pytest.fixture(scope="module")
+def sim_index(spark, tmp_path_factory):
+    """Small simple-analyzer index + matching DuckDB documents view."""
+    corpus = generate_pandas(n_convs=40, seed=21, vocab_size=300, max_turns=8)
+    index_dir = str(tmp_path_factory.mktemp("simidx") / "idx")
+    cfg = IndexConfig(num_segments=3, term_buckets=4, hot_term_df=64,
+                      analyzer="simple")
+    build_index(spark, spark.createDataFrame(corpus), index_dir, cfg)
+    merge_index(spark, index_dir)
+    rows = corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    docs = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": rows["text"].to_numpy()}
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    # two common and one mid-frequency term for meaningful result sets
+    from collections import Counter
+
+    from lucene_spark.functions.analysis import analyze_series_simple
+
+    c: Counter = Counter()
+    for toks in analyze_series_simple(corpus["text"]):
+        c.update(set(toks))
+    terms = [t for t, _ in c.most_common(6)]
+    return index_dir, con, terms
+
+
+def _run_pair(spark, index_dir, con, q, similarity, k=25):
+    s = IndexSearcher(spark, index_dir, similarity=similarity)
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in s.search(q, k).collect()
+    ]
+    sql = sqlgen.topk_sql(q, k, similarity=similarity)
+    want = [
+        (int(d), np.float32(v)) for d, v in con.execute(sql).fetchall()
+    ]
+    return got, want
+
+
+def test_classic_term_matches_sql(spark, sim_index):
+    index_dir, con, terms = sim_index
+    got, want = _run_pair(spark, index_dir, con, TermQuery(terms[0]), "classic")
+    assert got == want and len(got) > 5
+
+
+def test_classic_boolean_matches_sql(spark, sim_index):
+    index_dir, con, terms = sim_index
+    q = BooleanQuery(
+        must=[TermQuery(terms[0])],
+        should=[BoostQuery(TermQuery(terms[1]), 1.7), TermQuery(terms[4])],
+    )
+    got, want = _run_pair(spark, index_dir, con, q, "classic")
+    assert got == want and len(got) > 3
+
+
+def test_boolean_sim_matches_sql(spark, sim_index):
+    index_dir, con, terms = sim_index
+    q = BooleanQuery(
+        should=[BoostQuery(TermQuery(terms[0]), 2.0),
+                BoostQuery(TermQuery(terms[2]), 0.5),
+                TermQuery(terms[3])],
+        min_should_match=1,
+    )
+    got, want = _run_pair(spark, index_dir, con, q, "boolean")
+    assert got == want and len(got) > 3
+    # scores are sums of boosts only — a doc matching all three scores 3.5
+    tops = {v for _, v in got}
+    allowed = set()
+    for m in range(1, 8):
+        acc = np.float64(0.0)
+        for i, bo in enumerate((2.0, 0.5, 1.0)):
+            if m & (1 << i):
+                acc += np.float64(np.float32(bo))
+        allowed.add(np.float32(acc))
+    assert tops <= allowed
+
+
+def test_classic_phrase_scores_sqrt_freq(spark, sim_index):
+    """Phrase under ClassicSimilarity: tf = sqrt(phrase_freq), idf summed
+    over terms in double (TFIDFSimilarity.java:392-401), one norm lookup."""
+    index_dir, con, terms = sim_index
+    s = IndexSearcher(spark, index_dir, similarity="classic")
+    # find an adjacent pair in the corpus via the positions the index holds
+    from lucene_spark.query.ast import PhraseQuery
+
+    pos = s.positions_table()
+    import pyspark.sql.functions as F
+
+    pair_row = (
+        pos.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("term", "positions")).alias("tp"))
+        .limit(50)
+        .collect()
+    )
+    phrase = None
+    for r in pair_row:
+        occ = {t["term"]: sorted(t["positions"]) for t in r["tp"]}
+        for a in occ:
+            for b in occ:
+                if a != b and any(p + 1 in occ[b] for p in occ[a]):
+                    phrase = (a, b)
+                    break
+            if phrase:
+                break
+        if phrase:
+            break
+    assert phrase is not None
+    q = PhraseQuery(terms=list(phrase))
+    hits = s.search(q, 10).collect()
+    assert hits
+    # recompute the top hit's score scalar-side
+    doc = hits[0]["doc_id"]
+    occ = {
+        r["term"]: sorted(r["positions"])
+        for r in pos.filter(
+            F.col("term").isin(list(phrase)) & (F.col("doc_id") == doc)
+        ).collect()
+    }
+    freq = sum(1 for p in occ[phrase[0]] if p + 1 in occ[phrase[1]])
+    stats = s.term_stats(list(phrase))
+    sim = ClassicSim()
+    idfs = [sim.idf(stats[t][0], s.doc_count) for t in phrase]
+    w = np.float32(np.float32(1.0) * sim.multi_idf(idfs))
+    nb = int(
+        s.docmap().filter(F.col("doc_id") == doc).collect()[0]["norm_byte"]
+    )
+    expect = sim.score(np.array([freq], dtype=np.float64),
+                       np.array([nb]), w)[0]
+    assert np.float32(hits[0]["score"]) == expect
+
+
+def test_pruned_paths_require_bm25(spark, sim_index):
+    index_dir, _, terms = sim_index
+    s = IndexSearcher(spark, index_dir, similarity="classic")
+    with pytest.raises(ValueError, match="BM25"):
+        s.search_term_pruned(terms[0], 10)
+    with pytest.raises(ValueError, match="BM25"):
+        s.search_pruned(BooleanQuery(must=[TermQuery(terms[0])]), 10)
+
+
+def test_classic_colocated_matches_exhaustive(spark, sim_index):
+    index_dir, _, terms = sim_index
+    from lucene_spark.index.doclayout import build_doc_partitioned
+
+    build_doc_partitioned(spark, index_dir, num_parts=2)
+    q = BooleanQuery(must=[TermQuery(terms[0])], should=[TermQuery(terms[1])])
+    s = IndexSearcher(spark, index_dir, similarity="classic")
+    import pyspark.sql.functions as F
+
+    exhaustive = (
+        s._execute(q, np.float32(1.0))
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(15).collect()
+    )
+    colocated = s.search_colocated(q, 15).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in colocated] == [
+        (r["doc_id"], np.float32(r["score"])) for r in exhaustive
+    ]
+
+
+def test_default_similarity_unchanged(spark, sim_index):
+    """similarity=None is bit-identical to the pre-surface BM25 engine."""
+    index_dir, con, terms = sim_index
+    q = BooleanQuery(should=[TermQuery(terms[0]), TermQuery(terms[1])])
+    got, want = _run_pair(spark, index_dir, con, q, "bm25")
+    assert got == want
+    s_default = IndexSearcher(spark, index_dir)
+    assert [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in s_default.search(q, 25).collect()
+    ] == got
