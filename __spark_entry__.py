@@ -932,6 +932,38 @@ def _fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+_CHUNK_MAX, _CHUNK_OVERLAP = 32, 8
+_DECON_WHERE, _DECON_N = "doc_id % 97 = 0", 8
+_SAMPLE_FRACTION = 0.25
+
+
+def _chunk(spark, sf_dir):
+    from lucene_spark.operators.textprep import chunk_documents
+    return chunk_documents(
+        _docs(spark, sf_dir), _CHUNK_MAX, _CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _redact(spark, sf_dir):
+    from lucene_spark.operators.textprep import redact_pii
+    return redact_pii(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _decontaminate(spark, sf_dir):
+    from lucene_spark.operators.textprep import decontaminate
+    d = _docs(spark, sf_dir)
+    return decontaminate(
+        d, d.filter(_DECON_WHERE), n=_DECON_N, min_hits=1
+    ).orderBy("doc_id")
+
+
+def _strat_sample(spark, sf_dir):
+    from lucene_spark.operators.textprep import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), "source", _SAMPLE_FRACTION
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
 def _clean_corpus(spark, sf_dir):
     from lucene_spark.operators.pipeline import clean_corpus
     return clean_corpus(_docs(spark, sf_dir), 3, 0.5, 0.3)
@@ -1039,6 +1071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_quality"] = _quality
     out["text_lang_id"] = _lang_id
     out["text_fingerprint"] = _fingerprint
+    out["chunk_documents"] = _chunk
+    out["redact_pii"] = _redact
+    out["decontaminate"] = _decontaminate
+    out["stratified_sample"] = _strat_sample
     out["clean_corpus"] = _clean_corpus
     out["ann_ivf_topk"] = _ann_ivf
     out["ann_hnsw_topk"] = _ann_hnsw
@@ -1259,6 +1295,17 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["text_quality"] = textstats.quality_scores_sql()
     out["text_lang_id"] = textstats.language_id_sql()
     out["text_fingerprint"] = textstats.fingerprints_sql()
+    from lucene_spark.operators import textprep
+    out["chunk_documents"] = textprep.chunk_documents_sql(
+        _CHUNK_MAX, _CHUNK_OVERLAP
+    )
+    out["redact_pii"] = textprep.redact_pii_sql()
+    out["decontaminate"] = textprep.decontaminate_sql(
+        _DECON_WHERE, n=_DECON_N, min_hits=1
+    )
+    out["stratified_sample"] = textprep.stratified_sample_sql(
+        "source", _SAMPLE_FRACTION, select="doc_id, source"
+    )
     out["media_meta"] = multimodal.media_meta_sql()
     from lucene_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql(3, 0.5, 0.3)

@@ -1,0 +1,295 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Token-window chunking, PII redaction, benchmark decontamination, and
+deterministic stratified sampling — the transforms that sit between a raw
+100 TB crawl and an indexable/trainable corpus. All four are pure Spark
+built-ins (JVM regex / array ops; no Python row path) with exact DuckDB
+SQL twins for dual execution.
+
+Scale notes (the 100 TB contract):
+  - chunking / redaction / sampling are narrow per-row maps — zero shuffle,
+    full predicate/column pushdown survives them;
+  - decontamination shuffles keyed on shingle with the benchmark side
+    broadcast (benchmarks are MBs against a PB corpus); the optional
+    ``max_shingle_df`` cutoff drops stop-shingles before the join exactly
+    like dedup's candidate cutoff;
+  - sampling hashes (key, doc_id) through md5 — deterministic, seedless,
+    replayable on any engine, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.dedup import TOKEN_RE_SQL, shingles_col, tokens_col
+
+# ---------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each doc into overlapping token windows.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; a doc of n tokens yields
+    1 chunk if n <= max_tokens else ceil((n - overlap)/stride) chunks,
+    so every token is covered and consecutive chunks share ``overlap``
+    tokens. Chunks are rebuilt from analyzed (lowercased) tokens — the
+    deterministic, engine-replayable normalization a token-budgeted
+    training pipeline performs anyway.
+
+    Returns DF(doc_id, chunk_id int, chunk_text, n_tokens int).
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_s"),
+    )
+    window = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, max_tokens)
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("int").alias("n_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    max_tokens: int = 128,
+    overlap: int = 32,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    stride = max_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}') AS toks
+  FROM {table}
+),
+counts AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {max_tokens} THEN 1
+              ELSE CAST(ceil((len(toks) - {overlap}) / CAST({stride} AS DOUBLE)) AS INT)
+         END AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(toks[i*{stride}+1 : i*{stride}+{max_tokens}], ' ') AS chunk_text,
+       CAST(len(toks[i*{stride}+1 : i*{stride}+{max_tokens}]) AS INT) AS n_tokens
+FROM counts, unnest(range(0, n_chunks)) AS t(i)
+""".strip()
+
+
+# ------------------------------------------------------------- redaction
+
+# (tag, pattern) applied IN ORDER; patterns are RE2-and-Java-compatible
+# (no lookaround/backrefs) so Spark and DuckDB replay identically.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    # no leading \b: a "(" start has non-word chars on both sides, so a
+    # word boundary there never holds
+    ("PHONE", r"(\+?\d{1,2}[ .-]?)?(\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask common PII shapes with <TAG> placeholders.
+
+    Patterns apply in a fixed order, each counting its matches on the text
+    as left by the previous one (so the count sequence is deterministic and
+    engine-replayable). Returns DF(doc_id, text_redacted, n_redactions int).
+    Pure JVM regexp_replace — a narrow map, no shuffle, survives pushdown.
+    """
+    cur = F.col(text_col)
+    n_total = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        n_total = n_total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"<{tag}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cur.alias("text_redacted"),
+        n_total.cast("int").alias("n_redactions"),
+    )
+
+
+def redact_pii_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    cur = text_col
+    counts = []
+    for tag, pat in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '<{tag}>', 'g')"
+    return f"""
+SELECT {id_col} AS doc_id,
+       {cur} AS text_redacted,
+       CAST({' + '.join(counts)} AS INT) AS n_redactions
+FROM {table}
+""".strip()
+
+
+# -------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    max_shingle_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus docs sharing >= min_hits distinct token n-grams with a
+    benchmark/eval set (train-test contamination screening).
+
+    Plan: distinct doc shingles join distinct benchmark shingles (the
+    benchmark side is broadcast — eval sets are MBs against a PB corpus),
+    count per doc, left-join back so clean docs report n_hits = 0.
+    ``max_shingle_df`` optionally drops shingles appearing in more than
+    that many corpus docs before the join (stop-phrase cutoff, same
+    contract as dedup's candidate cutoff).
+
+    Returns DF(doc_id, n_hits int, contaminated boolean).
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(tokens_col(text_col), n))).alias("sh"),
+    )
+    if max_shingle_df is not None:
+        df_ok = (
+            doc_sh.groupBy("sh").count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("sh")
+        )
+        doc_sh = doc_sh.join(df_ok, "sh")
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(shingles_col(tokens_col(bench_text_col), n))).alias("sh")
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    bench_where: str,
+    n: int = 8,
+    min_hits: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Twin with the benchmark defined as ``SELECT .. FROM table WHERE
+    bench_where`` (the entry uses a deterministic slice of the corpus)."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}')"
+    shingle = (
+        f"list_transform(range(1, greatest(len({toks}) - {n} + 2, 1)), "
+        f"i -> array_to_string({toks}[i : i + {n} - 1], ' '))"
+    )
+    return f"""
+WITH doc_sh AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct({shingle})) AS sh
+  FROM {table}
+),
+bench_sh AS (
+  SELECT DISTINCT unnest(list_distinct({shingle})) AS sh
+  FROM {table} WHERE {bench_where}
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_hits
+  FROM doc_sh JOIN bench_sh USING (sh)
+  GROUP BY doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+       coalesce(h.n_hits, 0) >= {min_hits} AS contaminated
+FROM {table} d LEFT JOIN hits h ON h.doc_id = d.{id_col}
+""".strip()
+
+
+# ------------------------------------------------------------- sampling
+
+
+def stratified_sample(
+    docs: DataFrame,
+    key_col: str,
+    fraction: float,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    A row survives iff uniform(md5(key || ':' || doc_id)) < fraction for
+    its stratum (per-key override via ``fractions``). The hash is seedless
+    and row-addressed: the same row always makes the same decision, across
+    retries, engines, and cluster sizes — the reproducibility contract a
+    training pipeline needs for sampling. No shuffle; a narrow filter.
+
+    Returns the sampled rows (all input columns).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col), F.col(id_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    thr = F.lit(float(fraction))
+    if fractions:
+        thr = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in fractions.items() for x in (kv[0], float(kv[1]))]
+            )[F.col(key_col)],
+            thr,
+        )
+    return docs.filter(u < thr)
+
+
+def stratified_sample_sql(
+    key_col: str,
+    fraction: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    select: str = "*",
+) -> str:
+    u = (
+        f"(('0x' || substr(md5({key_col} || ':' || CAST({id_col} AS VARCHAR)), 1, 8))::UBIGINT"
+        f" / CAST({float(1 << 32)!r} AS DOUBLE))"
+    )
+    return f"SELECT {select} FROM {table} WHERE {u} < {float(fraction)!r}"

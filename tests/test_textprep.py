@@ -1,0 +1,156 @@
+"""Corpus-preparation operators: chunking, PII redaction, decontamination,
+stratified sampling — engine vs DuckDB twin dual execution + edge cases."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.operators.textprep import (
+    chunk_documents,
+    chunk_documents_sql,
+    decontaminate,
+    decontaminate_sql,
+    redact_pii,
+    redact_pii_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def prep_docs(small_corpus):
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    texts = list(rows["text"].to_numpy())
+    # plant PII + a verbatim benchmark copy so every operator has signal
+    texts[3] = texts[3] + " contact bob.smith+spam@example.co.uk or 192.168.0.1"
+    texts[5] = "call (415) 555-2671 ssn 123-45-6789 " + texts[5]
+    texts[7] = texts[0]  # contaminated duplicate of doc 0
+    df = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "source": [f"s{i % 3}" for i in range(len(texts))],
+    })
+    con = duckdb.connect()
+    con.register("documents", df)
+    return df, con
+
+
+def _compare(spark_df, duck_rows, cols):
+    got = sorted(tuple(r[c] for c in cols) for r in spark_df.collect())
+    want = sorted(tuple(r) for r in duck_rows)
+    assert got == want
+
+
+def test_chunking_matches_sql_and_covers(spark, prep_docs):
+    pdf, con = prep_docs
+    docs = spark.createDataFrame(pdf)
+    out = chunk_documents(docs, max_tokens=24, overlap=8)
+    sql = chunk_documents_sql(max_tokens=24, overlap=8)
+    _compare(out, con.execute(
+        "SELECT doc_id, chunk_id, chunk_text, n_tokens FROM (" + sql + ")"
+    ).fetchall(), ["doc_id", "chunk_id", "chunk_text", "n_tokens"])
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    from lucene_spark.operators.dedup import TOKEN_RE_SQL
+    import re
+
+    tok_re = re.compile(TOKEN_RE_SQL)
+    for did, chunks in by_doc.items():
+        toks = tok_re.findall(pdf["text"].iloc[did].lower())
+        chunks = sorted(chunks, key=lambda r: r["chunk_id"])
+        # full coverage: concatenating stride-prefixes + last chunk == doc
+        rebuilt: list[str] = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c["chunk_text"].split(" ")[:16])  # stride=24-8
+        rebuilt.extend(chunks[-1]["chunk_text"].split(" "))
+        assert rebuilt == toks, did
+        # every chunk except the last is exactly max_tokens
+        assert all(c["n_tokens"] == 24 for c in chunks[:-1])
+        assert 1 <= chunks[-1]["n_tokens"] <= 24
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["one two three", ""]})
+    )
+    rows = chunk_documents(docs, max_tokens=10, overlap=2).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[0]["chunk_text"] == "one two three"
+    assert by_doc[0]["n_tokens"] == 3
+    assert by_doc[1]["chunk_text"] == "" and by_doc[1]["n_tokens"] == 0
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=10, overlap=10)
+
+
+def test_redaction_matches_sql_and_masks(spark, prep_docs):
+    pdf, con = prep_docs
+    docs = spark.createDataFrame(pdf)
+    out = redact_pii(docs)
+    _compare(out, con.execute(
+        "SELECT doc_id, text_redacted, n_redactions FROM ("
+        + redact_pii_sql() + ")"
+    ).fetchall(), ["doc_id", "text_redacted", "n_redactions"])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert "<EMAIL>" in got[3]["text_redacted"]
+    assert "<IP>" in got[3]["text_redacted"]
+    assert got[3]["n_redactions"] >= 2
+    assert "<PHONE>" in got[5]["text_redacted"]
+    assert "<SSN>" in got[5]["text_redacted"]
+    assert "555" not in got[5]["text_redacted"]
+    assert "example.co.uk" not in got[3]["text_redacted"]
+
+
+def test_decontaminate_matches_sql_and_flags(spark, prep_docs):
+    pdf, con = prep_docs
+    docs = spark.createDataFrame(pdf)
+    bench = docs.filter("doc_id % 7 = 0")  # includes doc 0 => doc 7 is dirty
+    out = decontaminate(docs, bench, n=8, min_hits=1)
+    sql = decontaminate_sql("doc_id % 7 = 0", n=8, min_hits=1)
+    _compare(out, con.execute(
+        "SELECT doc_id, n_hits, contaminated FROM (" + sql + ")"
+    ).fetchall(), ["doc_id", "n_hits", "contaminated"])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[7]["contaminated"] and got[7]["n_hits"] > 0  # copy of doc 0
+    assert got[0]["contaminated"]  # benchmark member matches itself
+    assert len(got) == len(pdf)  # clean docs present with n_hits=0
+
+
+def test_decontaminate_shingle_df_cutoff(spark, prep_docs):
+    pdf, _ = prep_docs
+    docs = spark.createDataFrame(pdf)
+    bench = docs.filter("doc_id % 7 = 0")
+    # cutoff=1 keeps only shingles unique to one doc: the self-match of
+    # benchmark docs survives only via their unique shingles; the plan must
+    # not explode
+    out = decontaminate(docs, bench, n=8, min_hits=1, max_shingle_df=1)
+    full = decontaminate(docs, bench, n=8, min_hits=1)
+    n_cut = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    n_all = {r["doc_id"]: r["n_hits"] for r in full.collect()}
+    assert all(n_cut[d] <= n_all[d] for d in n_cut)
+
+
+def test_stratified_sample_matches_sql_and_is_deterministic(spark, prep_docs):
+    pdf, con = prep_docs
+    docs = spark.createDataFrame(pdf)
+    out = stratified_sample(docs, "source", 0.4)
+    sql = stratified_sample_sql("source", 0.4, select="doc_id, source")
+    _compare(out.select("doc_id", "source"),
+             con.execute(sql).fetchall(), ["doc_id", "source"])
+    again = {r["doc_id"] for r in stratified_sample(docs, "source", 0.4).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+    # monotone in fraction: smaller sample is a subset of the larger
+    small = {r["doc_id"] for r in stratified_sample(docs, "source", 0.15).collect()}
+    assert small <= again
+    # per-key override: fraction 0 empties one stratum only
+    zeroed = stratified_sample(docs, "source", 0.4, fractions={"s1": 0.0})
+    zrows = zeroed.collect()
+    assert all(r["source"] != "s1" for r in zrows)
+    assert {r["doc_id"] for r in zrows} == {
+        d for d in again
+        if pdf["source"].iloc[d] != "s1"
+    }
