@@ -615,6 +615,35 @@ _SIM_AST = {"bool": {"must": [{"term": "scan"}],
                      "should": [{"term": "merge", "boost": 1.7},
                                 {"term": "dup"}]}}
 
+_FACET_RANGES = [("xs", 0, 40), ("s", 40, 120), ("m", 120, 300),
+                 ("l", 300, 100000), ("mid_overlap", 80, 200)]
+_TV_DOC = 7
+
+
+def _facet_ranges_df(spark, sf_dir):
+    """LongRangeFacetCounts analog: per-range hit counts over field_len
+    (token count), overlapping ranges counted independently."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])))
+    return s.facet_ranges(q, "field_len", _FACET_RANGES).orderBy("label")
+
+
+def _term_vector_df(spark, sf_dir):
+    """TermVectors analog: one doc's (term, freq, positions) served from
+    the positions table (positions joined to a string for hash compare)."""
+    s = _searcher(spark, sf_dir)
+    did = (
+        s.docmap().filter(F.col("conv_id") == str(_TV_DOC).zfill(12))
+        .select("doc_id").first()["doc_id"]
+    )
+    tv = s.term_vector(int(did))
+    return tv.select(
+        "term", "freq",
+        F.array_join(F.col("positions").cast("array<string>"), " ").alias("positions"),
+    ).orderBy("term")
+
 
 def _similarity_df(spark, sf_dir, similarity: str):
     """Pluggable Similarity (``Similarity.java:98-164``): same index,
@@ -1054,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
+    out["facet_ranges"] = _facet_ranges_df
+    out["term_vector"] = _term_vector_df
     out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
@@ -1242,6 +1273,10 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["boolean_sim_topk"] = sqlgen.topk_sql(
         parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="boolean",
     )
+    out["facet_ranges"] = sqlgen.facet_ranges_sql(
+        parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FACET_RANGES,
+    )
+    out["term_vector"] = sqlgen.term_vector_sql(_TV_DOC)
     out["bm25_with_deletes"] = (
         "SELECT * FROM (\n"
         + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

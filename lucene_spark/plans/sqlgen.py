@@ -643,6 +643,80 @@ WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
 """.strip()
 
 
+def facet_ranges_sql(
+    q: Query,
+    ranges: list[tuple[str, int, int]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """LongRangeFacetCounts twin: per-range hit counts of a flat Boolean
+    query over the per-doc token count (the engine's field_len), half-open
+    [lo, hi) bounds, overlapping ranges each counted."""
+    clauses, msm = _flat_clauses(q)
+    n_must = sum(1 for c in clauses if c[1] == "must")
+    n_filter = sum(1 for c in clauses if c[1] == "filter")
+    values = ", ".join(
+        f"({cid}, '{kind}', '{term}')" for cid, kind, term, _ in clauses
+    )
+    if n_must + n_filter == 0:
+        msm_cond = f"should_n >= {max(msm, 1)}"
+    elif msm > 0:
+        msm_cond = f"should_n >= {msm}"
+    else:
+        msm_cond = "TRUE"
+    counts = "\nUNION ALL\n".join(
+        f"SELECT '{lbl}' AS label, CAST(count(CASE WHEN dl.dl >= {lo} "
+        f"AND dl.dl < {hi} THEN 1 END) AS BIGINT) AS count "
+        f"FROM hits JOIN dl ON dl.doc_id = hits.doc_id"
+        for lbl, lo, hi in ranges
+    )
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+clauses(clause_id, kind, term) AS (VALUES {values}),
+matched AS (
+  SELECT tf.doc_id, cl.kind FROM tf JOIN clauses cl ON cl.term = tf.term
+),
+agg AS (
+  SELECT doc_id,
+    count(CASE WHEN kind = 'must' THEN 1 END) AS must_n,
+    count(CASE WHEN kind = 'should' THEN 1 END) AS should_n,
+    count(CASE WHEN kind = 'filter' THEN 1 END) AS filter_n,
+    count(CASE WHEN kind = 'must_not' THEN 1 END) AS not_n
+  FROM matched GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id FROM agg
+  WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
+)
+{counts}
+""".strip()
+
+
+def term_vector_sql(
+    orig_doc_id: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """TermVectors twin for one doc: (term, freq, positions as a
+    space-joined 0-based token-index string), term asc."""
+    return f"""
+WITH l AS (
+  SELECT {TOKEN_SQL.format(col=text_col)} AS toks
+  FROM {table} WHERE {id_col} = {orig_doc_id}
+),
+occ AS (
+  SELECT toks[i] AS term, i - 1 AS pos
+  FROM l, unnest(range(1, len(toks) + 1)) AS r(i)
+)
+SELECT term,
+       CAST(count(*) AS INT) AS freq,
+       array_to_string(list(pos ORDER BY pos), ' ') AS positions
+FROM occ GROUP BY term ORDER BY term
+""".strip()
+
+
 def term_stats_sql(terms: list[str], table: str = "documents",
                    id_col: str = "doc_id", text_col: str = "text") -> str:
     """doc_freq / total_term_freq per term (pure ints)."""

@@ -371,6 +371,53 @@ class IndexSearcher:
             .orderBy(F.desc("count"), F.asc("value"))
         )
 
+    def facet_ranges(
+        self, query: Query, field: str,
+        ranges: list[tuple[str, int, int]],
+    ) -> DataFrame:
+        """Hit counts per numeric range — the LongRangeFacetCounts analog
+        (``facet/range/LongRangeFacetCounts.java``; ranges may overlap and
+        each is counted independently, as in the reference). ``ranges`` is
+        [(label, lo, hi)] with half-open [lo, hi) bounds over a numeric
+        docmap field. DF(label string, count long) in input order."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame(
+                [(lbl, 0) for lbl, _, _ in ranges], "label string, count long"
+            )
+        dm = self.docmap().select("doc_id", F.col(field).cast("long").alias("v"))
+        j = scored.select("doc_id").join(dm, "doc_id")
+        # ONE pass over the matches: conditional sum per range, then unpivot
+        aggs = [
+            F.sum(
+                F.when((F.col("v") >= lo) & (F.col("v") < hi), 1).otherwise(0)
+            ).cast("long").alias(f"c{i}")
+            for i, (_, lo, hi) in enumerate(ranges)
+        ]
+        one = j.agg(*aggs)
+        pairs = ", ".join(
+            f"'{lbl}', c{i}" for i, (lbl, _, _) in enumerate(ranges)
+        )
+        return one.select(
+            F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)")
+        )
+
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """Per-doc term vector — the TermVectors analog (term vectors are
+        index artifacts storing one doc's (term, freq, positions);
+        ``index/TermVectors.java``, ``codecs/lucene90/
+        Lucene90CompressingTermVectorsFormat``). Served from the positions
+        table (freq = |positions|), so it needs ``IndexConfig.positions``.
+        A per-doc random-access API, not a scan operator. DF(term, freq
+        int, positions array<int>), term asc."""
+        pos = self.positions_table().filter(F.col("doc_id") == int(doc_id))
+        return pos.select(
+            "term",
+            F.size("positions").cast("int").alias("freq"),
+            "positions",
+        ).orderBy("term")
+
     def search_grouped(self, query: Query, field: str, k_per_group: int = 3) -> DataFrame:
         """Top-k hits per metadata-field group — the grouping-module analog
         (``lucene/grouping`` ≅ window rank per group). DF(value, doc_id,

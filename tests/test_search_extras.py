@@ -479,3 +479,43 @@ def test_planner_routes_to_colocated(spark, built_index, common_terms):
         assert spy.call_count == 1
         s.search(TermQuery(t0), 5).collect()  # single clause: not routed
         assert spy.call_count == 1
+
+
+def test_facet_ranges_counts(searcher, common_terms):
+    """LongRangeFacetCounts analog: per-range counts equal a manual recount
+    over the match set; overlapping ranges counted independently."""
+    q = BooleanQuery(should=[TermQuery(common_terms[0][0])])
+    hits = searcher._live(searcher._execute(q, np.float32(1.0)))
+    lens = {
+        r["doc_id"]: r["field_len"]
+        for r in hits.select("doc_id").join(
+            searcher.docmap().select("doc_id", "field_len"), "doc_id"
+        ).collect()
+    }
+    ranges = [("a", 0, 30), ("b", 30, 80), ("all", 0, 10**6), ("ab", 10, 50)]
+    got = {r["label"]: r["count"]
+           for r in searcher.facet_ranges(q, "field_len", ranges).collect()}
+    for lbl, lo, hi in ranges:
+        assert got[lbl] == sum(1 for v in lens.values() if lo <= v < hi), lbl
+    assert got["all"] == len(lens)
+
+
+def test_term_vector_matches_postings(searcher, common_terms):
+    """TermVectors analog: per-doc (term, freq, positions) consistent with
+    the postings and positions artifacts."""
+    t = common_terms[0][0]
+    doc = searcher.search(TermQuery(t), 1).collect()[0]["doc_id"]
+    tv = {r["term"]: r for r in searcher.term_vector(int(doc)).collect()}
+    assert t in tv
+    # freq agrees with the decoded posting for that (term, doc)
+    freq = searcher.term_postings(t).filter(
+        F.col("doc_id") == int(doc)).collect()[0]["freq"]
+    assert tv[t]["freq"] == freq == len(tv[t]["positions"])
+    # positions are sorted, distinct, in-range token indexes
+    fl = searcher.docmap().filter(F.col("doc_id") == int(doc)).collect()[0][
+        "field_len"]
+    for r in tv.values():
+        ps = list(r["positions"])
+        assert ps == sorted(set(ps)) and all(0 <= p < fl for p in ps)
+    # total term occurrences == field_len
+    assert sum(r["freq"] for r in tv.values()) == fl
