@@ -618,6 +618,20 @@ _SIM_AST = {"bool": {"must": [{"term": "scan"}],
 _FACET_RANGES = [("xs", 0, 40), ("s", 40, 120), ("m", 120, 300),
                  ("l", 300, 100000), ("mid_overlap", 80, 200)]
 _TV_DOC = 7
+_FS_VALUE = "score * (1.0 + 10.0 / (10.0 + field_len))"
+
+
+def _function_score_df(spark, sf_dir):
+    """FunctionScoreQuery analog: BM25 matches re-scored by a doc-value
+    expression (short docs boosted), double math + one float32 cast."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])))
+    hits = s.function_score(q, _FS_VALUE, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
 
 
 def _facet_ranges_df(spark, sf_dir):
@@ -1085,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["boolean_sim_topk"] = _boolean_sim_df
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
+    out["function_score"] = _function_score_df
     out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
@@ -1277,6 +1292,10 @@ ORDER BY t.score DESC, t.doc_id ASC
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FACET_RANGES,
     )
     out["term_vector"] = sqlgen.term_vector_sql(_TV_DOC)
+    out["function_score"] = sqlgen.function_score_sql(
+        parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FS_VALUE,
+        _QUERY_K,
+    )
     out["bm25_with_deletes"] = (
         "SELECT * FROM (\n"
         + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

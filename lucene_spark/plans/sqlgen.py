@@ -717,6 +717,45 @@ FROM occ GROUP BY term ORDER BY term
 """.strip()
 
 
+def function_score_sql(
+    q: Query,
+    value: str,
+    k: int,
+    boost: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """FunctionScoreQuery twin: re-score a flat Boolean query's matches
+    with ``value`` — a SQL expression over ``score`` (the BM25 score) and
+    ``field_len`` (per-doc token count) — in DOUBLE, one REAL cast;
+    missing/negative factors score 0 (``FunctionScoreQuery.java:243-252``)."""
+    inner = topk_sql(q, 1_000_000_000, table, id_col, text_col)
+    return f"""
+WITH fs_hits AS (
+{inner}
+),
+fs_len AS (
+  SELECT {id_col} AS doc_id,
+         CAST(len({TOKEN_SQL.format(col=text_col)}) AS BIGINT) AS field_len
+  FROM {table}
+),
+fs_val AS (
+  SELECT h.doc_id,
+         CAST(({value}) AS DOUBLE) AS factor
+  FROM fs_hits h JOIN fs_len l ON l.doc_id = h.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN factor IS NOT NULL AND NOT isnan(factor)
+                      AND factor >= 0
+                 THEN factor * CAST({float(boost)!r} AS DOUBLE)
+                 ELSE 0 END AS REAL) AS score
+FROM fs_val
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def term_stats_sql(terms: list[str], table: str = "documents",
                    id_col: str = "doc_id", text_col: str = "text") -> str:
     """doc_freq / total_term_freq per term (pure ints)."""

@@ -418,6 +418,64 @@ class IndexSearcher:
             "positions",
         ).orderBy("term")
 
+    def function_score(
+        self, query: Query, value: str, k: int = 10, boost: float = 1.0,
+    ) -> DataFrame:
+        """FunctionScoreQuery analog (``queries/function/FunctionScoreQuery
+        .java:243-252``): the wrapped query's matches re-scored by a
+        DoubleValuesSource. ``value`` is a SQL expression over the query
+        ``score`` and the docmap columns (turn_idx, role, ts, field_len,
+        ...), evaluated in DOUBLE; final score = float32(factor * boost),
+        with missing/negative/NaN factors scoring 0 exactly as the
+        reference. ``boostByValue(q, field)`` ≡ value="score * <field>"."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        j = scored.join(self.docmap().drop("norm_byte"), "doc_id")
+        factor = F.expr(value).cast("double")
+        new_score = (
+            F.when(
+                factor.isNotNull() & ~F.isnan(factor) & (factor >= 0),
+                (factor * F.lit(float(boost))).cast("float"),
+            )
+            .otherwise(F.lit(0.0).cast("float"))
+            .alias("score")
+        )
+        return (
+            j.select("doc_id", new_score)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def boost_by_query(
+        self, query: Query, boost_match: Query, boost_value: float,
+        k: int = 10,
+    ) -> DataFrame:
+        """FunctionScoreQuery.boostByQuery analog (``FunctionScoreQuery
+        .java:101-106``): matches of ``boost_match`` have their score
+        multiplied by ``boost_value`` (double multiply, one float32 cast);
+        other docs keep their score unchanged."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        bq = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(boost_match)))
+        bm = self._execute(bq, np.float32(1.0))
+        if bm is None:
+            out = scored
+        else:
+            hits = bm.select("doc_id", F.lit(True).alias("_boosted"))
+            out = scored.join(hits, "doc_id", "left").select(
+                "doc_id",
+                F.when(
+                    F.col("_boosted"),
+                    (F.col("score").cast("double") * float(boost_value))
+                    .cast("float"),
+                ).otherwise(F.col("score")).alias("score"),
+            )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_grouped(self, query: Query, field: str, k_per_group: int = 3) -> DataFrame:
         """Top-k hits per metadata-field group — the grouping-module analog
         (``lucene/grouping`` ≅ window rank per group). DF(value, doc_id,

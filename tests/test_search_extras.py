@@ -519,3 +519,50 @@ def test_term_vector_matches_postings(searcher, common_terms):
         assert ps == sorted(set(ps)) and all(0 <= p < fl for p in ps)
     # total term occurrences == field_len
     assert sum(r["freq"] for r in tv.values()) == fl
+
+
+def test_function_score_rescoring(searcher, common_terms):
+    """FunctionScoreQuery analog: factor in double, one float32 cast;
+    negative factors score 0; 'score * 1.0' preserves BM25 rank/scores."""
+    t = common_terms[0][0]
+    q = TermQuery(t)
+    base = [(r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search(q, 20).collect()]
+    same = [(r["doc_id"], np.float32(r["score"]))
+            for r in searcher.function_score(q, "score * 1.0", 20).collect()]
+    assert same == base
+    # manual recompute of a field-value boost
+    lens = {r["doc_id"]: r["field_len"]
+            for r in searcher.docmap().select("doc_id", "field_len").collect()}
+    allhits = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search(q, 10**6).collect()]
+    expect = sorted(
+        ((d, np.float32(np.float64(s) * (1.0 + 10.0 / (10.0 + lens[d]))))
+         for d, s in allhits),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.function_score(
+               q, "score * (1.0 + 10.0 / (10.0 + field_len))", 20).collect()]
+    assert got == expect
+    # negative factor -> exactly 0 (reference's missing/negative rule)
+    neg = searcher.function_score(q, "-1.0 * score", 5).collect()
+    assert all(np.float32(r["score"]) == np.float32(0.0) for r in neg)
+
+
+def test_boost_by_query(searcher, common_terms):
+    """boostByQuery: matching docs multiplied (double mult, f32 cast),
+    non-matching preserved bit-for-bit."""
+    t0, t1 = common_terms[0][0], common_terms[1][0]
+    q = TermQuery(t0)
+    base = {r["doc_id"]: np.float32(r["score"])
+            for r in searcher.search(q, 10**6).collect()}
+    bset = {r["doc_id"] for r in searcher.search(TermQuery(t1), 10**6).collect()}
+    expect = sorted(
+        ((d, np.float32(np.float64(s) * 0.25) if d in bset else s)
+         for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.boost_by_query(q, TermQuery(t1), 0.25, 15).collect()]
+    assert got == expect
