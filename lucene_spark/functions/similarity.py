@@ -133,6 +133,20 @@ def make_similarity(spec, avgdl_f32: np.float32,
         return ClassicSim()
     if spec == "boolean":
         return BooleanSim()
-    if hasattr(spec, "score") and hasattr(spec, "idf"):
+    if not isinstance(spec, str):
+        # duck-typed custom scorer: the engine calls all four members
+        # (phrase/synonym paths need multi_idf; the pruned-path guards
+        # read .name) — require the full contract up front rather than
+        # failing later with AttributeError mid-query
+        missing = [
+            a for a in ("name", "idf", "multi_idf", "score")
+            if not hasattr(spec, a)
+        ]
+        if missing:
+            raise ValueError(
+                f"custom similarity {type(spec).__name__} lacks "
+                f"{missing}; required contract: name, idf(df, dc), "
+                "multi_idf(idfs), score(freqs, norm_bytes, weight)"
+            )
         return spec
     raise ValueError(f"unknown similarity {spec!r}")

@@ -1,0 +1,30 @@
+"""Crash-safe directory swap shared by expunge / append / layout builds.
+
+The swap must survive a crash at ANY point and a replay afterwards:
+  - a leftover ``<final>.old`` from a crashed prior swap is cleared first
+    (os.rename cannot replace a non-empty directory — without the clear,
+    every later mutation would fail ENOTEMPTY until manual cleanup);
+  - a missing ``final`` (crash in the rename-rename gap) is tolerated:
+    the staged dir simply becomes the live one on replay.
+Spark caches parquet file listings per path, so the new live dir is
+refreshed before returning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
+    old = final + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    spark.catalog.refreshByPath(final)

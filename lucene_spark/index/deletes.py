@@ -75,6 +75,8 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     build over the surviving corpus — asserted bit-exactly in tests."""
     import shutil
 
+    from lucene_spark.index.atomic import swap_dir
+
     import numpy as np
     import pandas as pd
 
@@ -96,6 +98,10 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
         manifest["has_deletes"] = False
         manifest["generation"] += 1
+        # no docID moved: a doc-range layout stays byte-for-byte valid —
+        # carry its generation stamp forward so it is not needlessly rebuilt
+        if manifest.get("doc_layout"):
+            manifest["doc_layout"]["built_at_generation"] = manifest["generation"]
         write_manifest(index_dir, manifest)
         return manifest
 
@@ -105,13 +111,9 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     swaps: list[tuple[str, str]] = []
 
     def _swap(tmp: str, final: str) -> None:
-        # keep the old generation alive until the new one is in place
-        old = final + ".old"
-        os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old)
-        # Spark caches file listings per path; the swap invalidates them
-        spark.catalog.refreshByPath(final)
+        # crash-safe swap: clears a leftover .old, tolerates a missing
+        # live dir on replay (lucene_spark.index.atomic)
+        swap_dir(spark, tmp, final)
 
     # ---- docmap: filter + remap (keeps the segment hive-partitioning)
     dm_path = os.path.join(index_dir, "docmap")

@@ -45,8 +45,6 @@ def build_doc_partitioned(
     the generation (and drops the layout outright), so a stale layout is
     never silently reused. Returns {num_parts, range_size, blocks,
     replicated_blocks, built_at_generation}."""
-    import shutil
-
     manifest = load_manifest(index_dir)
     if manifest is None or not manifest.get("merged"):
         raise ValueError(f"{index_dir}: index not built+merged")
@@ -85,14 +83,9 @@ def build_doc_partitioned(
     )
     n_blocks = post.count()
     n_rows = spark.read.parquet(tmp).count()
-    if os.path.exists(out_path):
-        old = out_path + ".old"
-        os.rename(out_path, old)
-        os.rename(tmp, out_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, out_path)
-    spark.catalog.refreshByPath(out_path)
+    from lucene_spark.index.atomic import swap_dir
+
+    swap_dir(spark, tmp, out_path)
     layout = {
         "num_parts": int(num_parts),
         "range_size": int(rng),

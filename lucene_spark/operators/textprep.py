@@ -49,7 +49,10 @@ def chunk_documents(
     if not (0 <= overlap < max_tokens):
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = tokens_col(text_col)
+    # NULL text = empty doc (one empty chunk) — size(NULL) is -1 in Spark
+    # and range(0, NULL) unnests to nothing in DuckDB; coalesce first so
+    # both engines agree
+    toks = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
     n = F.size(toks)
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
@@ -79,7 +82,7 @@ def chunk_documents_sql(
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
-         regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}') AS toks
+         regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_RE_SQL}') AS toks
   FROM {table}
 ),
 counts AS (
@@ -91,7 +94,7 @@ counts AS (
 )
 SELECT doc_id,
        CAST(i AS INT) AS chunk_id,
-       array_to_string(toks[i*{stride}+1 : i*{stride}+{max_tokens}], ' ') AS chunk_text,
+       coalesce(array_to_string(toks[i*{stride}+1 : i*{stride}+{max_tokens}], ' '), '') AS chunk_text,
        CAST(len(toks[i*{stride}+1 : i*{stride}+{max_tokens}]) AS INT) AS n_tokens
 FROM counts, unnest(range(0, n_chunks)) AS t(i)
 """.strip()
@@ -121,7 +124,7 @@ def redact_pii(
     engine-replayable). Returns DF(doc_id, text_redacted, n_redactions int).
     Pure JVM regexp_replace — a narrow map, no shuffle, survives pushdown.
     """
-    cur = F.col(text_col)
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     n_total = F.lit(0)
     for tag, pat in PII_PATTERNS:
         n_total = n_total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
@@ -136,7 +139,7 @@ def redact_pii(
 def redact_pii_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
-    cur = text_col
+    cur = f"coalesce({text_col}, '')"
     counts = []
     for tag, pat in PII_PATTERNS:
         counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
@@ -260,10 +263,18 @@ def stratified_sample(
 
     Returns the sampled rows (all input columns).
     """
+    # concat_ws drops NULL args while DuckDB's || propagates NULL —
+    # coalesce the key so a NULL stratum hashes as '' on every engine
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col(key_col), F.col(id_col))), 1, 8
+                F.md5(
+                    F.concat_ws(
+                        ":", F.coalesce(F.col(key_col), F.lit("")), F.col(id_col)
+                    )
+                ),
+                1,
+                8,
             ),
             16,
             10,
@@ -289,7 +300,8 @@ def stratified_sample_sql(
     select: str = "*",
 ) -> str:
     u = (
-        f"(('0x' || substr(md5({key_col} || ':' || CAST({id_col} AS VARCHAR)), 1, 8))::UBIGINT"
+        f"(('0x' || substr(md5(coalesce({key_col}, '') || ':' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 8))::UBIGINT"
         f" / CAST({float(1 << 32)!r} AS DOUBLE))"
     )
     return f"SELECT {select} FROM {table} WHERE {u} < {float(fraction)!r}"

@@ -389,9 +389,14 @@ class IndexSearcher:
         dm = self.docmap().select("doc_id", F.col(field).cast("long").alias("v"))
         j = scored.select("doc_id").join(dm, "doc_id")
         # ONE pass over the matches: conditional sum per range, then unpivot
+        # coalesce: agg over an EMPTY match set (zero-doc conjunction, all
+        # matches tombstoned) yields one all-NULL row — the contract is 0
         aggs = [
-            F.sum(
-                F.when((F.col("v") >= lo) & (F.col("v") < hi), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("v") >= lo) & (F.col("v") < hi), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias(f"c{i}")
             for i, (_, lo, hi) in enumerate(ranges)
         ]

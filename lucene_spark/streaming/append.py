@@ -86,6 +86,25 @@ def append_batch(
         schema=SEGMENT_META_SCHEMA,
     )
     rows = meta.collect()
+    # marker fingerprint: batch identity + doc count + content checksum.
+    # A replay of the SAME batch matches and skips committed steps; a
+    # direct re-append of DIFFERENT data into a crashed segment id would
+    # otherwise silently publish mismatched artifacts — that case raises.
+    batch_fp = "b{}-n{}-c{}".format(
+        batch_id, n, sum(int(r["checksum"]) for r in rows)
+    )
+
+    def _marker_ok(path: str) -> bool:
+        if not os.path.exists(path):
+            return False
+        have = open(path).read()
+        if have != batch_fp:
+            raise RuntimeError(
+                f"{path}: segment {next_sid} was partially applied with "
+                f"DIFFERENT data (marker {have!r} vs batch {batch_fp!r}); "
+                "clean the staged segment before appending new data"
+            )
+        return True
 
     # pass-through publish of the new segment's blocks into the bucketed
     # query table (hot-term-style append; no re-gather of old segments).
@@ -99,7 +118,7 @@ def append_batch(
         F.col("segment_id") == next_sid
     )
     post_marker = os.path.join(index_dir, "postings", f"_APPLIED_SEG_{next_sid}")
-    if not os.path.exists(post_marker):
+    if not _marker_ok(post_marker):
         (
             new_local.withColumn("term_bucket", term_bucket_col(config.term_buckets))
             .repartition(config.term_buckets, "term_bucket")
@@ -108,7 +127,7 @@ def append_batch(
             .partitionBy("term_bucket")
             .parquet(os.path.join(index_dir, "postings"))
         )
-        open(post_marker, "w").close()
+        open(post_marker, "w").write(batch_fp)
         spark.catalog.refreshByPath(os.path.join(index_dir, "postings"))
     pos_local = os.path.join(index_dir, "positions_local")
     if config.positions and os.path.exists(
@@ -117,7 +136,7 @@ def append_batch(
         pos_marker = os.path.join(
             index_dir, "positions", f"_APPLIED_SEG_{next_sid}"
         )
-        if not os.path.exists(pos_marker):
+        if not _marker_ok(pos_marker):
             (
                 spark.read.parquet(os.path.join(pos_local, f"segment={next_sid}"))
                 .withColumn("term_bucket", term_bucket_col(config.term_buckets))
@@ -127,7 +146,7 @@ def append_batch(
                 .partitionBy("term_bucket")
                 .parquet(os.path.join(index_dir, "positions"))
             )
-            open(pos_marker, "w").close()
+            open(pos_marker, "w").write(batch_fp)
             spark.catalog.refreshByPath(os.path.join(index_dir, "positions"))
 
     # DELTA term-stats refresh: old term_dict ∪ THIS batch's block metadata,
@@ -137,7 +156,7 @@ def append_batch(
     # cannot safely overwrite a path it is lazily reading from.
     td_path = os.path.join(index_dir, "term_dict")
     td_marker = os.path.join(td_path, f"_APPLIED_SEG_{next_sid}")
-    if not os.path.exists(td_marker):
+    if not _marker_ok(td_marker):
         new_stats = (
             new_local.groupBy("term")
             .agg(
@@ -169,15 +188,12 @@ def append_batch(
         # idempotence marker travels INSIDE the new dir: a replay after the
         # swap (but before the manifest commit) sees it and skips the delta
         # — without it the delta would double-count this segment's stats
-        open(os.path.join(tmp_td, f"_APPLIED_SEG_{next_sid}"), "w").close()
-        import shutil
-        old_td = td_path + ".old"
-        os.rename(td_path, old_td)
-        os.rename(tmp_td, td_path)
-        shutil.rmtree(old_td)
-        # Spark caches parquet file listings per path — without the refresh
-        # the next term_dict read dies with FAILED_READ_FILE (CLAUDE.md)
-        spark.catalog.refreshByPath(td_path)
+        open(os.path.join(tmp_td, f"_APPLIED_SEG_{next_sid}"), "w").write(batch_fp)
+        from lucene_spark.index.atomic import swap_dir
+
+        # crash-safe swap (clears leftover .old, tolerates missing live
+        # dir); includes the parquet file-listing refresh (CLAUDE.md)
+        swap_dir(spark, tmp_td, td_path)
 
     # the doc-range co-located layout (if built) indexes only the BASE
     # segments' blocks — appended docs would be silently invisible to the

@@ -566,3 +566,12 @@ def test_boost_by_query(searcher, common_terms):
     got = [(r["doc_id"], np.float32(r["score"]))
            for r in searcher.boost_by_query(q, TermQuery(t1), 0.25, 15).collect()]
     assert got == expect
+
+
+def test_facet_ranges_empty_match_set(searcher, common_terms):
+    """A zero-match conjunction must report 0 per range, never NULL."""
+    q = BooleanQuery(must=[TermQuery(common_terms[0][0]),
+                           TermQuery("zz-not-a-term")])
+    rows = searcher.facet_ranges(
+        q, "field_len", [("a", 0, 10), ("b", 10, 10**6)]).collect()
+    assert {r["label"]: r["count"] for r in rows} == {"a": 0, "b": 0}

@@ -247,3 +247,23 @@ def test_default_similarity_unchanged(spark, sim_index):
         (r["doc_id"], np.float32(r["score"]))
         for r in s_default.search(q, 25).collect()
     ] == got
+
+
+def test_custom_similarity_contract_enforced():
+    class Partial:
+        name = "partial"
+
+        def idf(self, df, dc):
+            return np.float32(1.0)
+
+        def score(self, f, nb, w):
+            return np.full(len(f), w, dtype=np.float32)
+
+    with pytest.raises(ValueError, match="multi_idf"):
+        make_similarity(Partial(), np.float32(10.0))
+    # full contract accepted
+    class Full(Partial):
+        def multi_idf(self, idfs):
+            return np.float32(1.0)
+
+    assert make_similarity(Full(), np.float32(10.0)).name == "partial"

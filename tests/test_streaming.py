@@ -460,3 +460,86 @@ def test_colocated_with_deletes_is_exact(spark, tmp_path_factory):
     got2 = [(r["doc_id"], np.float32(r["score"]))
             for r in s1.search_colocated(q, 10).collect()]
     assert got2 == expect
+
+
+def test_append_replay_with_different_data_raises(spark, tmp_path_factory):
+    """A crashed append (markers in place, manifest uncommitted) followed
+    by an append of DIFFERENT data into the same segment id must raise,
+    not silently publish mismatched artifacts."""
+    import copy
+
+    from lucene_spark.index.build import write_manifest
+    from lucene_spark.streaming.append import append_batch
+
+    root = tmp_path_factory.mktemp("fpmix")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=15, seed=11, vocab_size=200, max_turns=5)
+    a = generate_pandas(n_convs=5, seed=12, vocab_size=200, max_turns=5)
+    b = generate_pandas(n_convs=5, seed=13, vocab_size=200, max_turns=5)
+    a["conv_id"] = "za-" + a["conv_id"]
+    b["conv_id"] = "zb-" + b["conv_id"]
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+
+    m0 = copy.deepcopy(load_manifest(idx))
+    append_batch(spark, spark.createDataFrame(a), idx, batch_id=1)
+    write_manifest(idx, m0)  # simulate crash before the manifest commit
+    with pytest.raises(RuntimeError, match="DIFFERENT data"):
+        append_batch(spark, spark.createDataFrame(b), idx, batch_id=2)
+
+
+def test_swap_dir_recovers_from_crash_states(spark, tmp_path):
+    """swap_dir must clear a leftover .old and tolerate a missing live dir
+    (the two crash windows of the rename-rename pattern)."""
+    from lucene_spark.index.atomic import swap_dir
+
+    final = str(tmp_path / "table")
+    # leftover .old from a crashed prior swap + live dir present
+    os.makedirs(final)
+    open(os.path.join(final, "v1"), "w").write("old")
+    os.makedirs(final + ".old")
+    open(os.path.join(final + ".old", "stale"), "w").close()
+    tmp = final + ".new"
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "v2"), "w").write("new")
+    swap_dir(spark, tmp, final)
+    assert os.path.exists(os.path.join(final, "v2"))
+    assert not os.path.exists(final + ".old") and not os.path.exists(tmp)
+
+    # crash in the rename-rename gap: live dir missing entirely
+    tmp2 = final + ".new"
+    os.makedirs(tmp2)
+    open(os.path.join(tmp2, "v3"), "w").close()
+    import shutil as _sh
+
+    _sh.move(final, final + ".old")  # live dir gone, .old left behind
+    swap_dir(spark, tmp2, final)
+    assert os.path.exists(os.path.join(final, "v3"))
+    assert not os.path.exists(final + ".old")
+
+
+def test_expunge_all_bogus_keeps_doc_layout(spark, tmp_path_factory):
+    """Expunging only out-of-range tombstones changes no docID: the
+    doc-range layout must remain valid and must NOT be rebuilt."""
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.doclayout import LAYOUT_DIR, build_doc_partitioned
+
+    root = tmp_path_factory.mktemp("bogusdel")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=15, seed=14, vocab_size=150, max_turns=5)
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+    l1 = build_doc_partitioned(spark, idx, num_parts=2)
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(10**12,), (-3,)], "doc_id long"))
+    expunge_deletes(spark, idx)
+    m = load_manifest(idx)
+    assert not m.get("has_deletes")
+    assert m.get("doc_layout") is not None
+    assert os.path.exists(os.path.join(idx, LAYOUT_DIR))
+    # idempotence check passes: same layout served, no rebuild
+    l2 = build_doc_partitioned(spark, idx, num_parts=2)
+    assert l2["built_at_generation"] == m["doc_layout"]["built_at_generation"]
+    assert l2["replicated_blocks"] == l1["replicated_blocks"]

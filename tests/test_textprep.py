@@ -154,3 +154,40 @@ def test_stratified_sample_matches_sql_and_is_deterministic(spark, prep_docs):
         d for d in again
         if pdf["source"].iloc[d] != "s1"
     }
+
+
+def test_null_text_and_key_parity(spark):
+    """NULL text / NULL stratum key must behave identically on both
+    engines (review finding: size(NULL) = -1 in Spark; || propagates
+    NULL in DuckDB)."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma", None, "delta"],
+        "source": ["a", None, "b"],
+    })
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    docs = spark.createDataFrame(pdf)
+
+    out = redact_pii(docs)
+    _compare(out, con.execute(
+        "SELECT doc_id, text_redacted, n_redactions FROM ("
+        + redact_pii_sql() + ")").fetchall(),
+        ["doc_id", "text_redacted", "n_redactions"])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_redactions"] == 0 and got[1]["text_redacted"] == ""
+
+    ch = chunk_documents(docs, max_tokens=4, overlap=1)
+    _compare(ch, con.execute(
+        "SELECT doc_id, chunk_id, chunk_text, n_tokens FROM ("
+        + chunk_documents_sql(4, 1) + ")").fetchall(),
+        ["doc_id", "chunk_id", "chunk_text", "n_tokens"])
+    assert any(r["doc_id"] == 1 and r["n_tokens"] == 0 for r in ch.collect())
+
+    for frac in (0.0, 0.5, 1.0):
+        s = stratified_sample(docs, "source", frac).select("doc_id", "source")
+        _compare(s, con.execute(
+            stratified_sample_sql("source", frac, select="doc_id, source")
+        ).fetchall(), ["doc_id", "source"])
+    # fraction 1.0 keeps EVERY row, NULL-keyed included
+    assert stratified_sample(docs, "source", 1.0).count() == 3
