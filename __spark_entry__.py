@@ -621,6 +621,34 @@ _TV_DOC = 7
 _FS_VALUE = "score * (1.0 + 10.0 / (10.0 + field_len))"
 
 
+def _monitor_queries():
+    from lucene_spark.query.ast import (
+        BooleanQuery, BoostQuery, MatchAllDocsQuery, TermQuery,
+    )
+    return {
+        "conj": BooleanQuery(must=[TermQuery("scan"), TermQuery("merge")]),
+        "disj2": BooleanQuery(
+            should=[TermQuery("scan"), TermQuery("merge"), TermQuery("dup")],
+            min_should_match=2,
+        ),
+        "neg": BooleanQuery(must=[TermQuery("merge")],
+                            must_not=[TermQuery("slow")]),
+        "filt": BooleanQuery(must=[TermQuery("dup")],
+                             filter=[TermQuery("table")]),
+        "boosted": BoostQuery(TermQuery("query"), 3.0),
+        "everything": MatchAllDocsQuery(),
+    }
+
+
+def _monitor_df(spark, sf_dir):
+    """Monitor/percolator analog: which registered queries match each doc
+    (presearcher term join + exact clause-presence evaluation)."""
+    from lucene_spark.streaming.monitor import QueryMonitor
+
+    mon = QueryMonitor(spark, _monitor_queries())
+    return mon.match_batch(_docs(spark, sf_dir)).orderBy("doc_id", "query_id")
+
+
 def _function_score_df(spark, sf_dir):
     """FunctionScoreQuery analog: BM25 matches re-scored by a doc-value
     expression (short docs boosted), double math + one float32 cast."""
@@ -1100,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
+    out["monitor_match"] = _monitor_df
     out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
@@ -1296,6 +1325,8 @@ ORDER BY t.score DESC, t.doc_id ASC
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FS_VALUE,
         _QUERY_K,
     )
+    from lucene_spark.streaming.monitor import monitor_match_sql
+    out["monitor_match"] = monitor_match_sql(_monitor_queries())
     out["bm25_with_deletes"] = (
         "SELECT * FROM (\n"
         + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

@@ -1,0 +1,242 @@
+"""Monitor / percolator analog — registered queries matched against
+incoming document batches.
+
+Reference semantics (independent implementation, cited for parity):
+  - ``monitor/Monitor.java:42,218-246`` — register ``MonitorQuery(id,
+    query)`` once, then ``match(doc)`` reports which registered queries
+    match each incoming document (the inverted search problem: queries are
+    the corpus, documents are the probes).
+  - ``monitor/TermFilteredPresearcher.java:62,100-130`` — phase 1 indexes
+    each query by its extractable terms; a document's terms select the
+    CANDIDATE queries, so queries sharing no term with the doc are never
+    evaluated. Here that is a join: batch ``(doc, term)`` pairs against the
+    broadcast query-term table.
+  - ``monitor/CandidateMatcher.java`` — phase 2 evaluates candidates
+    exactly. Here: clause-presence counts per (doc, query) replayed through
+    the flat-Boolean predicate (must/filter all present, min_should_match
+    satisfied, no must_not term present). Matching is PRESENCE-based (the
+    reference's QueryMatch without scores); use ``IndexSearcher`` on an
+    index if ranked scores are needed.
+
+Scale shape (the 100 TB contract): the registered query set is the SMALL
+side (thousands of queries — KBs to MBs) and is broadcast; the document
+batch never shuffles except the one groupBy on (doc, query) candidate
+pairs, whose size is bounded by the presearcher join, not |docs| × |queries|.
+
+Streaming: ``match_batch`` is a pure batch function — attach it with
+``stream.writeStream.foreachBatch(lambda df, bid: sink(monitor.match_batch(df), bid))``;
+per-batch output directories keyed by batch_id keep replays idempotent
+(same pattern as ``streaming/append.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Query,
+    TermQuery,
+    rewrite_fixpoint,
+)
+
+_KINDS = ("must", "should", "filter", "must_not")
+
+
+class QueryMonitor:
+    """Match registered flat Boolean/Term queries against doc batches."""
+
+    def __init__(self, spark: SparkSession, queries: dict[str, "Query"],
+                 analyzer: str = "simple"):
+        self.spark = spark
+        self.analyzer = analyzer
+        #: (query_id, clause_id, kind, term) rows — the presearcher index
+        self._clause_rows: list[tuple[str, int, str, str]] = []
+        #: query_id -> (n_must, n_filter, n_should, msm)
+        self._shape: dict[str, tuple[int, int, int, int]] = {}
+        self._match_all: list[str] = []
+        for qid, q in queries.items():
+            q = rewrite_fixpoint(q)
+            if isinstance(q, MatchAllDocsQuery):
+                self._match_all.append(qid)
+                continue
+            if isinstance(q, MatchNoDocsQuery):
+                # e.g. a must_not-only query normalized away by the rewrite
+                # fixpoint — registered, never matches (reference parity:
+                # BooleanQuery with no positive clause matches nothing)
+                continue
+            if isinstance(q, (TermQuery, BoostQuery)):
+                q = BooleanQuery(must=[q])
+            if not isinstance(q, BooleanQuery):
+                raise ValueError(
+                    f"{qid}: only flat Term/Boolean queries are monitorable "
+                    f"(got {type(q).__name__})"
+                )
+            cid = 0
+            counts = {k: 0 for k in _KINDS}
+            for kind in _KINDS:
+                for c in getattr(q, kind):
+                    if isinstance(c, BoostQuery):
+                        c = c.query  # boosts don't affect matching
+                    if not isinstance(c, TermQuery):
+                        raise ValueError(
+                            f"{qid}: non-term clause {type(c).__name__}"
+                        )
+                    self._clause_rows.append((qid, cid, kind, c.term))
+                    counts[kind] += 1
+                    cid += 1
+            if counts["must"] + counts["should"] + counts["filter"] == 0:
+                raise ValueError(f"{qid}: needs at least one positive clause")
+            self._shape[qid] = (
+                counts["must"], counts["filter"], counts["should"],
+                int(q.min_should_match),
+            )
+
+    # ------------------------------------------------------------ matching
+
+    def _doc_terms(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        if self.analyzer == "simple":
+            from lucene_spark.operators.dedup import tokens_col
+
+            toks = tokens_col(text_col)
+        else:
+            from lucene_spark.functions.analysis import get_analyzer
+
+            an = get_analyzer(self.analyzer)
+
+            @F.pandas_udf("array<string>")
+            def _an(texts):
+                return an(texts)
+
+            toks = _an(F.col(text_col))
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(toks)).alias("term"),
+        )
+
+    def match_batch(self, docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+        """DF(doc_id, query_id) of all (document, registered query) matches
+        in the batch, both ascending."""
+        out_schema = f"doc_id {docs.schema[id_col].dataType.simpleString()}, query_id string"
+        frames = []
+        if self._clause_rows:
+            qterms = self.spark.createDataFrame(
+                self._clause_rows, "query_id string, clause_id int, kind string, term string"
+            )
+            shapes = self.spark.createDataFrame(
+                [(qid, *s) for qid, s in self._shape.items()],
+                "query_id string, n_must int, n_filter int, n_should int, msm int",
+            )
+            dterms = self._doc_terms(docs, id_col, text_col)
+            # presearcher join: candidates = docs sharing >= 1 term with the
+            # query; the query side is broadcast (queries are the small side)
+            cand = dterms.join(F.broadcast(qterms), "term")
+            agg = cand.groupBy("doc_id", "query_id").agg(
+                F.count(F.when(F.col("kind") == "must", 1)).alias("must_n"),
+                F.count(F.when(F.col("kind") == "filter", 1)).alias("filter_n"),
+                F.count(F.when(F.col("kind") == "should", 1)).alias("should_n"),
+                F.count(F.when(F.col("kind") == "must_not", 1)).alias("not_n"),
+            )
+            j = agg.join(F.broadcast(shapes), "query_id")
+            pos_req = (F.col("must_n") == F.col("n_must")) & (
+                F.col("filter_n") == F.col("n_filter")
+            ) & (F.col("not_n") == 0)
+            msm_eff = F.when(
+                (F.col("n_must") + F.col("n_filter") == 0) & (F.col("msm") < 1),
+                F.lit(1),
+            ).otherwise(F.col("msm"))
+            matched = j.filter(pos_req & (F.col("should_n") >= msm_eff))
+            frames.append(matched.select("doc_id", "query_id"))
+        if self._match_all:
+            ma = self.spark.createDataFrame(
+                [(q,) for q in self._match_all], "query_id string"
+            )
+            frames.append(
+                docs.select(F.col(id_col).alias("doc_id")).crossJoin(
+                    F.broadcast(ma)
+                )
+            )
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.orderBy("doc_id", "query_id")
+
+    def attach(self, stream_df: DataFrame, sink_dir: str,
+               id_col: str = "doc_id", text_col: str = "text"):
+        """foreachBatch writer: matches of each micro-batch land in
+        ``sink_dir/batch=<id>`` (overwrite => replay-idempotent). Returns
+        the function to pass to ``writeStream.foreachBatch`` — or use it
+        directly: ``monitor.attach(df, sink)(batch_df, batch_id)``."""
+        import os
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                self.match_batch(batch_df, id_col, text_col)
+                .write.mode("overwrite")
+                .parquet(os.path.join(sink_dir, f"batch={int(batch_id)}"))
+            )
+
+        return _write
+
+
+def monitor_match_sql(
+    queries: dict[str, "Query"],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``QueryMonitor.match_batch`` (simple analyzer)."""
+    # reuse the monitor's own query decomposition (no SparkSession needed)
+    tmp = QueryMonitor(None, queries)  # type: ignore[arg-type]
+    rows = [
+        f"('{qid}', {cid}, '{kind}', '{term}')"
+        for qid, cid, kind, term in tmp._clause_rows
+    ]
+    shapes = ", ".join(
+        f"('{qid}', {s[0]}, {s[1]}, {s[2]}, {s[3]})"
+        for qid, s in tmp._shape.items()
+    )
+    match_all = ""
+    if tmp._match_all:
+        ids = ", ".join(f"('{q}')" for q in sorted(tmp._match_all))
+        match_all = (
+            f"\nUNION ALL\nSELECT d.{id_col} AS doc_id, ma.query_id "
+            f"FROM {table} d, (VALUES {ids}) ma(query_id)"
+        )
+    if not rows:  # only MatchAll queries registered
+        return (
+            f"SELECT d.{id_col} AS doc_id, ma.query_id "
+            f"FROM {table} d, (VALUES {ids}) ma(query_id) "
+            "ORDER BY doc_id, query_id"
+        )
+    return f"""
+WITH dterms AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+'))) AS term
+  FROM {table}
+),
+qterms(query_id, clause_id, kind, term) AS (VALUES {', '.join(rows)}),
+shapes(query_id, n_must, n_filter, n_should, msm) AS (VALUES {shapes}),
+agg AS (
+  SELECT d.doc_id, q.query_id,
+         count(CASE WHEN q.kind = 'must' THEN 1 END) AS must_n,
+         count(CASE WHEN q.kind = 'filter' THEN 1 END) AS filter_n,
+         count(CASE WHEN q.kind = 'should' THEN 1 END) AS should_n,
+         count(CASE WHEN q.kind = 'must_not' THEN 1 END) AS not_n
+  FROM dterms d JOIN qterms q USING (term)
+  GROUP BY d.doc_id, q.query_id
+)
+SELECT a.doc_id, a.query_id
+FROM agg a JOIN shapes s USING (query_id)
+WHERE a.must_n = s.n_must AND a.filter_n = s.n_filter AND a.not_n = 0
+  AND a.should_n >= CASE WHEN s.n_must + s.n_filter = 0 AND s.msm < 1
+                         THEN 1 ELSE s.msm END{match_all}
+ORDER BY doc_id, query_id
+""".strip()

@@ -1,0 +1,152 @@
+"""Monitor/percolator analog: registered queries vs incoming doc batches
+(two-phase presearcher-join + exact clause-presence evaluation)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    TermQuery,
+)
+from lucene_spark.streaming.monitor import QueryMonitor, monitor_match_sql
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+def _scalar_match(text: str, q) -> bool:
+    """Presence-semantics ground truth over simple-analyzer tokens."""
+    terms = set(_TOKEN.findall((text or "").lower()))
+    if isinstance(q, MatchAllDocsQuery):
+        return True
+    if isinstance(q, (TermQuery, BoostQuery)):
+        q = BooleanQuery(must=[q])
+    def t(c):
+        return c.query.term if isinstance(c, BoostQuery) else c.term
+    if any(t(c) not in terms for c in q.must):
+        return False
+    if any(t(c) not in terms for c in q.filter):
+        return False
+    if any(t(c) in terms for c in q.must_not):
+        return False
+    n_should = sum(1 for c in q.should if t(c) in terms)
+    if len(q.must) + len(q.filter) == 0:
+        return n_should >= max(q.min_should_match, 1)
+    return n_should >= q.min_should_match
+
+
+@pytest.fixture(scope="module")
+def mon_docs(small_corpus):
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    return pd.DataFrame({
+        "doc_id": range(81),
+        "text": list(rows["text"].to_numpy())[:80] + [None],
+    })
+
+
+@pytest.fixture(scope="module")
+def mon_queries(mon_docs):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in mon_docs["text"]:
+        c.update(set(_TOKEN.findall((t or "").lower())))
+    ts = [t for t, _ in c.most_common(8)]
+    return {
+        "conj": BooleanQuery(must=[TermQuery(ts[0]), TermQuery(ts[1])]),
+        "disj2": BooleanQuery(
+            should=[TermQuery(ts[0]), TermQuery(ts[2]), TermQuery(ts[3])],
+            min_should_match=2,
+        ),
+        "neg": BooleanQuery(must=[TermQuery(ts[1])],
+                            must_not=[TermQuery(ts[4])]),
+        "filt": BooleanQuery(must=[TermQuery(ts[2])],
+                             filter=[TermQuery(ts[5])]),
+        "boosted": BoostQuery(TermQuery(ts[6]), 3.0),
+        "dup_should": BooleanQuery(
+            should=[TermQuery(ts[7]), TermQuery(ts[7])], min_should_match=2
+        ),
+        "everything": MatchAllDocsQuery(),
+    }
+
+
+def test_match_batch_equals_scalar_truth(spark, mon_docs, mon_queries):
+    mon = QueryMonitor(spark, mon_queries)
+    docs = spark.createDataFrame(mon_docs)
+    got = {(r["doc_id"], r["query_id"])
+           for r in mon.match_batch(docs).collect()}
+    want = {
+        (d, qid)
+        for d, text in zip(mon_docs["doc_id"], mon_docs["text"])
+        for qid, q in mon_queries.items()
+        if _scalar_match(text, q)
+    }
+    assert got == want and len(want) > len(mon_docs)  # matchall alone = N
+
+
+def test_match_batch_equals_duckdb_twin(spark, mon_docs, mon_queries):
+    mon = QueryMonitor(spark, mon_queries)
+    docs = spark.createDataFrame(mon_docs)
+    got = [(r["doc_id"], r["query_id"])
+           for r in mon.match_batch(docs).collect()]
+    con = duckdb.connect()
+    con.register("documents", mon_docs)
+    want = [(int(d), q) for d, q in
+            con.execute(monitor_match_sql(mon_queries)).fetchall()]
+    assert got == want
+
+
+def test_presearcher_prunes_candidates(spark, mon_docs, mon_queries):
+    """The candidate join must touch only docs sharing a term with some
+    query — candidate pairs << |docs| x |queries|."""
+    mon = QueryMonitor(spark, {k: v for k, v in mon_queries.items()
+                               if k != "everything"})
+    docs = spark.createDataFrame(mon_docs)
+    dterms = mon._doc_terms(docs, "doc_id", "text")
+    qterms = spark.createDataFrame(
+        mon._clause_rows,
+        "query_id string, clause_id int, kind string, term string")
+    from pyspark.sql import functions as F
+
+    n_cand = (
+        dterms.join(F.broadcast(qterms), "term")
+        .select("doc_id", "query_id").distinct().count()
+    )
+    assert n_cand < len(mon_docs) * len(mon._shape)
+
+
+def test_monitor_validation(spark):
+    # must_not-only normalizes to MatchNoDocs: registered, never matches
+    mon = QueryMonitor(spark, {"bad": BooleanQuery(must_not=[TermQuery("x")])})
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["y"]}))
+    assert mon.match_batch(docs).count() == 0
+    with pytest.raises(ValueError, match="non-term|only flat"):
+        QueryMonitor(None, {"ph": PhraseQuery(terms=["a", "b"])})
+
+
+def test_streaming_attach_idempotent(spark, mon_docs, mon_queries, tmp_path):
+    """foreachBatch writer: per-batch dirs, replay overwrites identically."""
+    mon = QueryMonitor(spark, mon_queries)
+    sink = str(tmp_path / "matches")
+    writer = mon.attach(None, sink)
+    b0 = spark.createDataFrame(mon_docs.iloc[:40])
+    b1 = spark.createDataFrame(mon_docs.iloc[40:])
+    writer(b0, 0)
+    writer(b1, 1)
+    n1 = spark.read.parquet(sink).count()
+    writer(b1, 1)  # replayed micro-batch
+    assert spark.read.parquet(sink).count() == n1
+    assert os.path.isdir(os.path.join(sink, "batch=0"))
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.read.parquet(sink).collect()}
+    full = {(r["doc_id"], r["query_id"])
+            for r in mon.match_batch(spark.createDataFrame(mon_docs)).collect()}
+    assert got == full
