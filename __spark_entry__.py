@@ -640,6 +640,15 @@ def _monitor_queries():
     }
 
 
+def _naive_bayes_df(spark, sf_dir):
+    """SimpleNaiveBayesClassifier analog: every doc assigned its max-log-
+    posterior lang learned from the labeled corpus (train = test)."""
+    from lucene_spark.operators.classify import naive_bayes_classify
+
+    d = _docs(spark, sf_dir)
+    return naive_bayes_classify(d, d, label_col="lang").orderBy("doc_id")
+
+
 def _monitor_df(spark, sf_dir):
     """Monitor/percolator analog: which registered queries match each doc
     (presearcher term join + exact clause-presence evaluation)."""
@@ -1129,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
     out["monitor_match"] = _monitor_df
+    out["naive_bayes"] = _naive_bayes_df
     out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
@@ -1327,6 +1337,8 @@ ORDER BY t.score DESC, t.doc_id ASC
     )
     from lucene_spark.streaming.monitor import monitor_match_sql
     out["monitor_match"] = monitor_match_sql(_monitor_queries())
+    from lucene_spark.operators.classify import naive_bayes_sql
+    out["naive_bayes"] = naive_bayes_sql(label_col="lang")
     out["bm25_with_deletes"] = (
         "SELECT * FROM (\n"
         + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

@@ -1,0 +1,226 @@
+"""Classification module analog (``lucene/classification``).
+
+Naive Bayes: ``SimpleNaiveBayesClassifier.java:145-284`` — per class c:
+  score(d, c) = log(df(c)) - log(N_labeled)
+              + Σ_{token w in d, with multiplicity}
+                  log( (df(w ∧ c) + 1) / (avgUniqueTermsPerDoc·df(c) + N_labeled) )
+where df(w ∧ c) is the number of class-c docs CONTAINING w (presence doc
+frequency, ``getWordFreqForClass``), avgUniqueTermsPerDoc = sumDocFreq /
+docCount (``getTextTermFreqForClass``), and the +1 / +den terms are the
+reference's add-one smoothing. The assigned class is the max log-score
+(ties broken by label asc — deterministic where the reference's PQ order
+is arbitrary). We return the raw log posterior; the reference's final
+score normalization (``normClassificationResults``) is monotone per doc,
+so class ranking is identical.
+
+kNN: ``KNearestNeighborClassifier.java`` — a MoreLikeThis query from the
+input doc retrieves the top-k labeled neighbors; the class with the most
+votes wins, ties broken by summed BM25 score (the reference's
+``classifyFromTopDocs`` semantics).
+
+Scale shape: training stats are two groupBys over the exploded train
+corpus (term-keyed shuffle); classification is test-tokens × classes
+(classes are a handful — broadcast) joined against the word-class
+frequency table on term. No driver-side state beyond the class list.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.dedup import TOKEN_RE_SQL, tokens_col
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each test doc the max-log-posterior class learned from the
+    labeled train corpus. Returns DF(doc_id, label, score double)."""
+    toks = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
+    labeled = train.filter(F.col(label_col).isNotNull())
+
+    # ---- training statistics
+    # distinct (doc, term) pairs with their class
+    tr = labeled.select(
+        F.col(id_col).alias("tid"),
+        F.col(label_col).alias("label"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    wcdf = tr.groupBy("term", "label").agg(F.count("*").alias("wdf"))
+    class_stats = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("cdf")
+    )
+    n_labeled = labeled.count()
+    if n_labeled == 0:
+        raise ValueError("train has no labeled rows")
+    n_docs = train.count()
+    # reference avgUniqueTermsPerDoc = sumDocFreq / docCount over the WHOLE
+    # index (unlabeled docs included), not just the class-labeled subset
+    sum_doc_freq = train.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    ).count()
+    avg_uniq = sum_doc_freq / float(n_docs) if n_docs else 0.0
+
+    # ---- per-class constants: prior and smoothing denominator
+    consts = class_stats.select(
+        "label",
+        (F.log(F.col("cdf").cast("double")) - F.lit(float(math.log(n_labeled))))
+        .alias("prior"),
+        (F.lit(avg_uniq) * F.col("cdf").cast("double") + F.lit(float(n_labeled)))
+        .alias("den"),
+    )
+
+    # ---- test tokens with multiplicity (the reference iterates token
+    # INSTANCES, not distinct words)
+    te = (
+        test.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    # token × class (classes are a handful — broadcast), word-class df via
+    # left join (absent pair => df 0, smoothed to 1/den)
+    scored = (
+        te.crossJoin(F.broadcast(consts))
+        .join(F.broadcast(wcdf), ["term", "label"], "left")
+        .withColumn(
+            "contrib",
+            F.col("freq")
+            * F.log(
+                (F.coalesce(F.col("wdf").cast("double"), F.lit(0.0)) + 1.0)
+                / F.col("den")
+            ),
+        )
+        .groupBy("doc_id", "label")
+        .agg(
+            (F.first("prior") + F.sum("contrib")).alias("score")
+        )
+    )
+    # docs with NO tokens still get priors: union the prior-only grid for them
+    empty_docs = (
+        test.select(F.col(id_col).alias("doc_id"))
+        .join(te.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    prior_only = empty_docs.crossJoin(F.broadcast(consts)).select(
+        "doc_id", "label", F.col("prior").alias("score")
+    )
+    allsc = scored.unionByName(prior_only)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    return (
+        allsc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "label", F.col("score").cast("double"))
+        .orderBy("doc_id")
+    )
+
+
+def naive_bayes_sql(
+    label_col: str = "lang",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``naive_bayes_classify`` with train = test = table."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_RE_SQL}')"
+    return f"""
+WITH labeled AS (
+  SELECT {id_col} AS tid, {label_col} AS label, {toks} AS toks
+  FROM {table} WHERE {label_col} IS NOT NULL
+),
+tr AS (
+  SELECT tid, label, unnest(list_distinct(toks)) AS term FROM labeled
+),
+wcdf AS (SELECT term, label, count(*) AS wdf FROM tr GROUP BY term, label),
+cstats AS (SELECT label, count(*) AS cdf FROM labeled GROUP BY label),
+g AS (
+  SELECT (SELECT count(*) FROM labeled) AS n_labeled,
+         (SELECT count(*) FROM {table}) AS n_docs,
+         -- sumDocFreq over the WHOLE corpus (reference getTextTermFreqForClass)
+         (SELECT count(*) FROM (
+            SELECT {id_col}, unnest(list_distinct({toks})) FROM {table}
+          )) AS sum_doc_freq
+),
+consts AS (
+  SELECT c.label,
+         ln(CAST(c.cdf AS DOUBLE)) - ln(CAST(g.n_labeled AS DOUBLE)) AS prior,
+         (g.sum_doc_freq / CAST(g.n_docs AS DOUBLE)) * c.cdf + g.n_labeled AS den
+  FROM cstats c, g
+),
+te AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS freq FROM (
+    SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT te.doc_id, c.label,
+         any_value(c.prior) + sum(
+           te.freq * ln((coalesce(w.wdf, 0) + 1.0) / c.den)
+         ) AS score
+  FROM te CROSS JOIN consts c
+  LEFT JOIN wcdf w ON w.term = te.term AND w.label = c.label
+  GROUP BY te.doc_id, c.label
+),
+prior_only AS (
+  SELECT d.{id_col} AS doc_id, c.label, c.prior AS score
+  FROM {table} d CROSS JOIN consts c
+  WHERE d.{id_col} NOT IN (SELECT DISTINCT doc_id FROM te)
+),
+allsc AS (SELECT * FROM scored UNION ALL SELECT * FROM prior_only),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM allsc
+)
+SELECT doc_id, label, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+""".strip()
+
+
+def knn_classify(
+    searcher,
+    doc_id: int,
+    source: DataFrame,
+    label_col: str = "lang",
+    k: int = 10,
+    **mlt_kwargs,
+) -> tuple[str, int, float]:
+    """KNearestNeighborClassifier analog for one doc: a MoreLikeThis query
+    retrieves the top-k neighbors in the index; majority class wins, ties
+    broken by summed score then label asc
+    (``KNearestNeighborClassifier.java`` classifyFromTopDocs).
+    Returns (label, votes, summed_score)."""
+    hits = searcher.more_like_this(doc_id, source, k=k + 1, **mlt_kwargs)
+    dm = searcher.docmap().select(
+        "doc_id", F.col("conv_id").alias("_cid"), "turn_idx"
+    )
+    src = source.select(
+        F.col("conv_id").alias("_cid"), "turn_idx",
+        F.col(label_col).alias("label"),
+    )
+    joined = (
+        hits.filter(F.col("doc_id") != int(doc_id))
+        .limit(k)
+        .join(dm, "doc_id")
+        .join(src, ["_cid", "turn_idx"])
+    )
+    rows = (
+        joined.groupBy("label")
+        .agg(F.count("*").alias("votes"),
+             F.sum(F.col("score").cast("double")).alias("ssum"))
+        .orderBy(F.desc("votes"), F.desc("ssum"), F.asc("label"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"doc {doc_id}: no labeled neighbors")
+    r = rows[0]
+    return str(r["label"]), int(r["votes"]), float(r["ssum"])

@@ -1,0 +1,123 @@
+"""Classification module analog: naive Bayes dual execution + scalar
+ground truth, kNN via MoreLikeThis."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.operators.classify import (
+    knn_classify,
+    naive_bayes_classify,
+    naive_bayes_sql,
+)
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+@pytest.fixture(scope="module")
+def class_docs(small_corpus):
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    texts = list(rows["text"].to_numpy())[:90]
+    labels = []
+    for i, t in enumerate(texts):
+        # deterministic pseudo-labels correlated with content so the
+        # classifier has signal: label by the doc's most common token's
+        # first letter bucket
+        toks = _TOKEN.findall(t.lower())
+        top = Counter(toks).most_common(1)[0][0] if toks else "a"
+        labels.append("lab_" + ("ab" if top[0] <= "f" else "xy"))
+    labels[7] = None  # one unlabeled row
+    return pd.DataFrame({"doc_id": range(90), "text": texts, "lang": labels})
+
+
+def _scalar_nb(pdf: pd.DataFrame) -> dict[int, tuple[str, float]]:
+    """Direct reimplementation of SimpleNaiveBayesClassifier.java math."""
+    toks = {r.doc_id: _TOKEN.findall((r.text or "").lower())
+            for r in pdf.itertuples()}
+    labeled = pdf[pdf["lang"].notna()]
+    n_labeled = len(labeled)
+    n_docs = len(pdf)
+    sum_df = sum(len(set(t)) for t in toks.values())
+    avg_uniq = sum_df / n_docs
+    cdf = Counter(labeled["lang"])
+    wdf: dict = defaultdict(int)
+    for r in labeled.itertuples():
+        for w in set(toks[r.doc_id]):
+            wdf[(w, r.lang)] += 1
+    out = {}
+    for r in pdf.itertuples():
+        best = None
+        for c in sorted(cdf):
+            den = avg_uniq * cdf[c] + n_labeled
+            s = math.log(cdf[c]) - math.log(n_labeled)
+            for w in toks[r.doc_id]:
+                s += math.log((wdf.get((w, c), 0) + 1.0) / den)
+            # classes iterate label-asc, so strict > keeps the smaller
+            # label on ties — the engine's deterministic tie-break
+            if best is None or s > best[1]:
+                best = (c, s)
+        out[r.doc_id] = best
+    return out
+
+
+def test_naive_bayes_matches_scalar_and_sql(spark, class_docs):
+    docs = spark.createDataFrame(class_docs)
+    got = {r["doc_id"]: (r["label"], r["score"])
+           for r in naive_bayes_classify(docs, docs).collect()}
+    want = _scalar_nb(class_docs)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) < 1e-9, d
+
+    con = duckdb.connect()
+    con.register("documents", class_docs)
+    duck = {int(d): (l, s) for d, l, s in
+            con.execute(naive_bayes_sql()).fetchall()}
+    assert set(duck) == set(got)
+    for d in got:
+        assert duck[d][0] == got[d][0]
+        assert np.float32(duck[d][1]) == np.float32(got[d][1])
+    # the classifier actually separates the two synthetic classes
+    truth = class_docs[class_docs["lang"].notna()]
+    acc = sum(1 for r in truth.itertuples() if got[r.doc_id][0] == r.lang)
+    assert acc / len(truth) > 0.8
+
+
+def test_naive_bayes_requires_labels(spark, class_docs):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(class_docs)
+    none_df = docs.withColumn("lang", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="no labeled"):
+        naive_bayes_classify(none_df, docs)
+
+
+def test_knn_classify_majority(spark, class_docs, tmp_path_factory):
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("knncls") / "idx")
+    src = class_docs.assign(
+        conv_id=[str(i).zfill(6) for i in class_docs["doc_id"]],
+        turn_idx=0, role="doc", tool=None,
+        ts=pd.Timestamp("2026-01-01"),
+    )[["conv_id", "turn_idx", "role", "tool", "ts", "text", "lang"]]
+    sdf = spark.createDataFrame(src)
+    build_index(spark, sdf.drop("lang"), idx,
+                IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    label, votes, ssum = knn_classify(
+        s, 3, sdf, label_col="lang", k=7,
+        min_term_freq=1, min_doc_freq=1)
+    assert label in ("lab_ab", "lab_xy")
+    assert 1 <= votes <= 7 and ssum > 0
