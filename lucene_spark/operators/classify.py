@@ -115,11 +115,12 @@ def naive_bayes_classify(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    # unordered: the window already shuffles on doc_id; a final global
+    # sort would add a second full shuffle for no consumer benefit
     return (
         allsc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "label", F.col("score").cast("double"))
-        .orderBy("doc_id")
     )
 
 

@@ -121,7 +121,9 @@ class QueryMonitor:
     def match_batch(self, docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
         """DF(doc_id, query_id) of all (document, registered query) matches
-        in the batch, both ascending."""
+        in the batch. Unordered — a sink/join consumer needs no total
+        order, and a global sort would be a needless full shuffle at
+        scale; order explicitly where determinism matters."""
         out_schema = f"doc_id {docs.schema[id_col].dataType.simpleString()}, query_id string"
         frames = []
         if self._clause_rows:
@@ -166,7 +168,7 @@ class QueryMonitor:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return out.orderBy("doc_id", "query_id")
+        return out
 
     def attach(self, stream_df: DataFrame, sink_dir: str,
                id_col: str = "doc_id", text_col: str = "text"):

@@ -95,8 +95,8 @@ def test_match_batch_equals_scalar_truth(spark, mon_docs, mon_queries):
 def test_match_batch_equals_duckdb_twin(spark, mon_docs, mon_queries):
     mon = QueryMonitor(spark, mon_queries)
     docs = spark.createDataFrame(mon_docs)
-    got = [(r["doc_id"], r["query_id"])
-           for r in mon.match_batch(docs).collect()]
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in mon.match_batch(docs).collect())
     con = duckdb.connect()
     con.register("documents", mon_docs)
     want = [(int(d), q) for d, q in
