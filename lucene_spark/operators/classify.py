@@ -84,11 +84,13 @@ def naive_bayes_classify(
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("freq"))
     )
-    # token × class (classes are a handful — broadcast), word-class df via
-    # left join (absent pair => df 0, smoothed to 1/den)
+    # token × class (classes are a handful — broadcast consts). The
+    # word-class table is |vocab| × |classes| — NOT broadcastable at
+    # corpus scale; leave the join strategy to AQE (shuffle hash join on
+    # term when wcdf outgrows the broadcast threshold)
     scored = (
         te.crossJoin(F.broadcast(consts))
-        .join(F.broadcast(wcdf), ["term", "label"], "left")
+        .join(wcdf, ["term", "label"], "left")
         .withColumn(
             "contrib",
             F.col("freq")
