@@ -502,22 +502,35 @@ class IndexSearcher:
             .orderBy("value", "rank")
         )
 
-    def search_sorted(self, query: Query, sort_field: str, k: int = 10,
-                      ascending: bool = True) -> DataFrame:
-        """Top-k by a metadata field instead of relevance — the
-        TopFieldCollector / Sort analog (``TopFieldCollector.java:37``);
-        doc_id breaks ties. DF(doc_id, <sort_field>, score)."""
+    def search_sorted(self, query: Query,
+                      sort_field: str | list[tuple[str, bool]],
+                      k: int = 10, ascending: bool = True) -> DataFrame:
+        """Top-k by metadata field(s) instead of relevance — the
+        TopFieldCollector / Sort analog (``TopFieldCollector.java:37``,
+        multi-key ``Sort(SortField...)``). ``sort_field`` is one field
+        name (with ``ascending``) or a list of (field, ascending) pairs
+        evaluated in order, Lucene's SortField chain; the special field
+        "score" sorts by relevance at that position (FIELD_SCORE, always
+        descending-by-relevance when ascending=False). doc_id breaks all
+        remaining ties. DF(doc_id, <fields...>, score)."""
+        if isinstance(sort_field, str):
+            fields = [(sort_field, ascending)]
+        else:
+            fields = list(sort_field)
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
         scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
-            return self.spark.createDataFrame([], f"doc_id long, score float")
-        dm = self.docmap().select("doc_id", sort_field)
-        key = F.asc(sort_field) if ascending else F.desc(sort_field)
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        meta = [f for f, _ in fields if f != "score"]
+        dm = self.docmap().select("doc_id", *meta)
+        keys = [
+            (F.asc(f) if asc else F.desc(f)) for f, asc in fields
+        ]
         return (
             scored.join(dm, "doc_id")
-            .orderBy(key, F.asc("doc_id"))
+            .orderBy(*keys, F.asc("doc_id"))
             .limit(k)
-            .select("doc_id", sort_field, "score")
+            .select("doc_id", *meta, "score")
         )
 
     def explain(self, query: Query, doc_id: int) -> dict:

@@ -82,3 +82,21 @@ def test_highlight(spark, searcher, small_corpus, term):
         if "<em>" in r["snippet"]:
             inner = r["snippet"].split("<em>")[1].split("</em>")[0].lower()
             assert inner == term
+
+
+def test_search_sorted_multi_field(searcher, term):
+    """Sort(SortField...) chain: (turn_idx asc, score desc), doc asc ties."""
+    from pyspark.sql import functions as F
+
+    rows = searcher.search_sorted(
+        TermQuery(term), [("turn_idx", True), ("score", False)], 15
+    ).collect()
+    assert rows
+    got = [(r["turn_idx"], np.float32(r["score"]), r["doc_id"]) for r in rows]
+    # manual reconstruction from the full match set
+    full = searcher._live(searcher._execute(TermQuery(term), np.float32(1.0)))
+    dm = searcher.docmap().select("doc_id", "turn_idx")
+    allr = [(r["turn_idx"], np.float32(r["score"]), r["doc_id"])
+            for r in full.join(dm, "doc_id").collect()]
+    want = sorted(allr, key=lambda x: (x[0], -x[1], x[2]))[:15]
+    assert got == want
