@@ -28,3 +28,15 @@ def swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
     if os.path.exists(old):
         shutil.rmtree(old)
     spark.catalog.refreshByPath(final)
+
+
+def recover_dir(final: str) -> None:
+    """Restore a live dir lost to a crash inside swap_dir's rename-rename
+    gap: ``final`` missing with ``final + ".old"`` present means the old
+    generation was moved aside but the staged dir never landed — move the
+    old generation back (the staged sibling, if any, is re-created by the
+    caller's replay). Call before READING a swap-managed dir on a path
+    that may be replaying a crashed mutation."""
+    old = final + ".old"
+    if not os.path.exists(final) and os.path.exists(old):
+        os.rename(old, final)

@@ -75,8 +75,6 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     build over the surviving corpus — asserted bit-exactly in tests."""
     import shutil
 
-    from lucene_spark.index.atomic import swap_dir
-
     import numpy as np
     import pandas as pd
 
@@ -85,6 +83,20 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     manifest = _lm(index_dir)
     if manifest is None or not manifest.get("merged"):
         raise ValueError(f"{index_dir}: index not built+merged")
+
+    # ---- crash recovery: a commit marker means a previous expunge had
+    # fully STAGED its rewrites and crashed somewhere in/after the swap
+    # loop. Re-running the remap now would double-shift docIDs on the
+    # already-swapped artifacts — instead, finish the recorded swaps
+    # (skipping the ones that already happened) and commit the manifest.
+    commit_marker = os.path.join(index_dir, "_EXPUNGE_COMMIT")
+    if os.path.exists(commit_marker):
+        import json as _json
+
+        with open(commit_marker) as fh:
+            planned = [tuple(x) for x in _json.load(fh)]
+        return _finish_expunge(spark, index_dir, manifest, planned)
+
     dd = read_deletes(spark, index_dir)
     if dd is None or not manifest.get("has_deletes"):
         return manifest
@@ -106,14 +118,10 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         return manifest
 
     # two-phase commit: EVERY rewrite lands in a .expunge sibling first;
-    # the swaps all happen together at the end (tight window), then the
-    # manifest. A crash before the swap loop leaves the index untouched.
+    # then the commit marker is written and the swaps all happen in
+    # _finish_expunge. A crash before the marker leaves the live index
+    # untouched; after it, the resume path above finishes the job.
     swaps: list[tuple[str, str]] = []
-
-    def _swap(tmp: str, final: str) -> None:
-        # crash-safe swap: clears a leftover .old, tolerates a missing
-        # live dir on replay (lucene_spark.index.atomic)
-        swap_dir(spark, tmp, final)
 
     # ---- docmap: filter + remap (keeps the segment hive-partitioning)
     dm_path = os.path.join(index_dir, "docmap")
@@ -310,10 +318,52 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     )
     swaps.append((tmp, td_path))
 
-    # ---- manifest: per-segment stats from the new docmap
+    # all rewrites staged — record the COMMIT INTENT durably, then swap.
+    # A crash before the marker leaves the live index untouched (stale
+    # .expunge dirs are simply overwritten next time); a crash after it is
+    # finished by the resume path above, which never re-runs the remap.
+    import json as _json
+
+    tmp_marker = commit_marker + ".tmp"
+    with open(tmp_marker, "w") as fh:
+        _json.dump(swaps, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp_marker, commit_marker)
+    return _finish_expunge(spark, index_dir, manifest, swaps)
+
+
+def _finish_expunge(spark: SparkSession, index_dir: str, manifest: dict,
+                    swaps: list[tuple[str, str]]) -> dict:
+    """Swap the staged .expunge dirs in (skipping any a prior crashed
+    attempt already swapped), recompute per-segment stats from the LIVE
+    docmap, commit the manifest, and clear the tombstones + marker.
+    Idempotent: safe to re-enter after a crash at any point."""
+    import shutil
+
+    from lucene_spark.index.atomic import swap_dir
+
+    for t, final in swaps:
+        if os.path.exists(t):
+            swap_dir(spark, t, final)
+        else:
+            # already swapped by a prior attempt — clear a leftover .old
+            # from its crash window and refresh the listing cache
+            old = final + ".old"
+            if os.path.exists(old) and os.path.exists(final):
+                shutil.rmtree(old)
+            elif os.path.exists(old) and not os.path.exists(final):
+                # crashed between the two renames with tmp already gone is
+                # impossible (tmp->final precedes old removal); old alone
+                # means final was never moved — restore it
+                os.rename(old, final)
+            spark.catalog.refreshByPath(final)
+
+    # ---- manifest: per-segment stats from the (now live) docmap
+    dm_path = os.path.join(index_dir, "docmap")
     seg_stats = {
         int(r["segment"]): r
-        for r in spark.read.parquet(dm_path + ".expunge")
+        for r in spark.read.parquet(dm_path)
         .groupBy("segment")
         .agg(
             F.count("*").alias("n"),
@@ -332,12 +382,6 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             entry["doc_lo"] = int(st["lo"])
             entry["sum_field_len"] = int(st["sfl"])
 
-    # all rewrites staged — now swap them in together (the only window
-    # where a crash leaves mixed generations is this tight rename loop;
-    # a crash anywhere earlier leaves the live index fully untouched)
-    for t, final in swaps:
-        _swap(t, final)
-
     # the doc-range co-located layout was built from the OLD postings with
     # OLD docIDs — stale on both axes after the remap. Drop it; it is
     # rebuilt on demand by build_doc_partitioned.
@@ -345,9 +389,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     if manifest.pop("doc_layout", None) is not None and os.path.exists(layout_dir):
         shutil.rmtree(layout_dir)
 
-    shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
+    deletes_dir = os.path.join(index_dir, DELETES_DIR)
+    if os.path.exists(deletes_dir):
+        shutil.rmtree(deletes_dir)
     manifest["has_deletes"] = False
     manifest["expunged"] = True
     manifest["generation"] += 1
     write_manifest(index_dir, manifest)
+    os.remove(os.path.join(index_dir, "_EXPUNGE_COMMIT"))
     return manifest

@@ -57,15 +57,18 @@ def naive_bayes_classify(
     class_stats = labeled.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("cdf")
     )
-    n_labeled = labeled.count()
+    # one scan for all three train scalars; sumDocFreq/docCount span the
+    # WHOLE index (unlabeled docs included), matching the reference's
+    # getTextTermFreqForClass
+    g = train.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.col(label_col)).alias("n_labeled"),
+        F.sum(F.size(F.array_distinct(toks))).alias("sum_doc_freq"),
+    ).collect()[0]
+    n_docs, n_labeled = int(g["n_docs"]), int(g["n_labeled"])
+    sum_doc_freq = int(g["sum_doc_freq"] or 0)
     if n_labeled == 0:
         raise ValueError("train has no labeled rows")
-    n_docs = train.count()
-    # reference avgUniqueTermsPerDoc = sumDocFreq / docCount over the WHOLE
-    # index (unlabeled docs included), not just the class-labeled subset
-    sum_doc_freq = train.select(
-        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
-    ).count()
     avg_uniq = sum_doc_freq / float(n_docs) if n_docs else 0.0
 
     # ---- per-class constants: prior and smoothing denominator
@@ -206,7 +209,9 @@ def knn_classify(
     dm = searcher.docmap().select(
         "doc_id", F.col("conv_id").alias("_cid"), "turn_idx"
     )
-    src = source.select(
+    # unlabeled rows cannot vote (the reference only considers docs
+    # carrying the class field)
+    src = source.filter(F.col(label_col).isNotNull()).select(
         F.col("conv_id").alias("_cid"), "turn_idx",
         F.col(label_col).alias("label"),
     )

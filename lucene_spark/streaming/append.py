@@ -98,6 +98,10 @@ def append_batch(
         if not os.path.exists(path):
             return False
         have = open(path).read()
+        if have == "":
+            # legacy marker (pre-fingerprint format): the step committed,
+            # identity unknown — keep the old skip behavior
+            return True
         if have != batch_fp:
             raise RuntimeError(
                 f"{path}: segment {next_sid} was partially applied with "
@@ -155,6 +159,12 @@ def append_batch(
     # Written to a generation-suffixed dir then swapped in, because Spark
     # cannot safely overwrite a path it is lazily reading from.
     td_path = os.path.join(index_dir, "term_dict")
+    from lucene_spark.index.atomic import recover_dir
+
+    # a crash inside a previous append's term_dict swap can leave the live
+    # dir moved aside as .old — restore it before reading (the delta below
+    # then re-runs against the restored pre-swap generation)
+    recover_dir(td_path)
     td_marker = os.path.join(td_path, f"_APPLIED_SEG_{next_sid}")
     if not _marker_ok(td_marker):
         new_stats = (

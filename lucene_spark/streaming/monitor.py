@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lucene_spark.operators.dedup import TOKEN_RE_SQL
 from lucene_spark.query.ast import (
     BooleanQuery,
     BoostQuery,
@@ -170,12 +171,12 @@ class QueryMonitor:
             out = out.unionByName(f)
         return out
 
-    def attach(self, stream_df: DataFrame, sink_dir: str,
+    def attach(self, sink_dir: str,
                id_col: str = "doc_id", text_col: str = "text"):
         """foreachBatch writer: matches of each micro-batch land in
         ``sink_dir/batch=<id>`` (overwrite => replay-idempotent). Returns
-        the function to pass to ``writeStream.foreachBatch`` — or use it
-        directly: ``monitor.attach(df, sink)(batch_df, batch_id)``."""
+        the function to pass to ``writeStream.foreachBatch`` — or call it
+        directly: ``monitor.attach(sink)(batch_df, batch_id)``."""
         import os
 
         def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -212,7 +213,13 @@ def monitor_match_sql(
             f"\nUNION ALL\nSELECT d.{id_col} AS doc_id, ma.query_id "
             f"FROM {table} d, (VALUES {ids}) ma(query_id)"
         )
-    if not rows:  # only MatchAll queries registered
+    if not rows:
+        if not tmp._match_all:  # every query normalized to match-none
+            return (
+                f"SELECT {id_col} AS doc_id, CAST(NULL AS VARCHAR) AS query_id "
+                f"FROM {table} WHERE FALSE"
+            )
+        # only MatchAll queries registered
         return (
             f"SELECT d.{id_col} AS doc_id, ma.query_id "
             f"FROM {table} d, (VALUES {ids}) ma(query_id) "
@@ -221,7 +228,7 @@ def monitor_match_sql(
     return f"""
 WITH dterms AS (
   SELECT {id_col} AS doc_id,
-         unnest(list_distinct(regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+'))) AS term
+         unnest(list_distinct(regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_RE_SQL}'))) AS term
   FROM {table}
 ),
 qterms(query_id, clause_id, kind, term) AS (VALUES {', '.join(rows)}),

@@ -119,5 +119,6 @@ def test_knn_classify_majority(spark, class_docs, tmp_path_factory):
     label, votes, ssum = knn_classify(
         s, 3, sdf, label_col="lang", k=7,
         min_term_freq=1, min_doc_freq=1)
+    # the NULL-labeled row (doc 7) must never vote or win
     assert label in ("lab_ab", "lab_xy")
     assert 1 <= votes <= 7 and ssum > 0

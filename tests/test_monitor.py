@@ -136,7 +136,7 @@ def test_streaming_attach_idempotent(spark, mon_docs, mon_queries, tmp_path):
     """foreachBatch writer: per-batch dirs, replay overwrites identically."""
     mon = QueryMonitor(spark, mon_queries)
     sink = str(tmp_path / "matches")
-    writer = mon.attach(None, sink)
+    writer = mon.attach(sink)
     b0 = spark.createDataFrame(mon_docs.iloc[:40])
     b1 = spark.createDataFrame(mon_docs.iloc[40:])
     writer(b0, 0)
@@ -150,3 +150,13 @@ def test_streaming_attach_idempotent(spark, mon_docs, mon_queries, tmp_path):
     full = {(r["doc_id"], r["query_id"])
             for r in mon.match_batch(spark.createDataFrame(mon_docs)).collect()}
     assert got == full
+
+
+def test_monitor_sql_all_match_none(spark):
+    """Every query normalizing to match-none: the DuckDB twin must return
+    an empty result, mirroring match_batch."""
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [0], "text": ["x y"]}))
+    sql = monitor_match_sql(
+        {"neg": BooleanQuery(must_not=[TermQuery("x")])})
+    assert con.execute(sql).fetchall() == []

@@ -543,3 +543,112 @@ def test_expunge_all_bogus_keeps_doc_layout(spark, tmp_path_factory):
     l2 = build_doc_partitioned(spark, idx, num_parts=2)
     assert l2["built_at_generation"] == m["doc_layout"]["built_at_generation"]
     assert l2["replicated_blocks"] == l1["replicated_blocks"]
+
+
+def test_expunge_resumes_after_crash_mid_swap(spark, tmp_path_factory):
+    """A crash inside the expunge swap loop must NOT lead to a double
+    remap on replay: the commit marker routes the replay to the finish
+    path, which completes the remaining swaps and the manifest."""
+    import lucene_spark.index.atomic as atomic
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+
+    root = tmp_path_factory.mktemp("expcrash")
+    idx = str(root / "idx")
+    idx2 = str(root / "idx2")  # control: same build, clean expunge
+    base = generate_pandas(n_convs=20, seed=17, vocab_size=150, max_turns=6)
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    for d in (idx, idx2):
+        build_index(spark, spark.createDataFrame(base), d, cfg)
+        merge_index(spark, d)
+        delete_docs(spark, d, spark.createDataFrame(
+            [(1,), (5,), (11,)], "doc_id long"))
+
+    real_swap = atomic.swap_dir
+    calls = {"n": 0}
+
+    def crashing_swap(s, tmp, final):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-swap-loop")
+        calls["n"] += 1
+        real_swap(s, tmp, final)
+
+    atomic.swap_dir = crashing_swap
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            expunge_deletes(spark, idx)
+    finally:
+        atomic.swap_dir = real_swap
+    assert os.path.exists(os.path.join(idx, "_EXPUNGE_COMMIT"))
+
+    # replay: finish path, never the remap again
+    m = expunge_deletes(spark, idx)
+    assert not m.get("has_deletes")
+    assert not os.path.exists(os.path.join(idx, "_EXPUNGE_COMMIT"))
+    assert check_index(spark, idx)["ok"]
+
+    # identical to a clean expunge of the same index
+    expunge_deletes(spark, idx2)
+    s1, s2 = IndexSearcher(spark, idx), IndexSearcher(spark, idx2)
+    assert s1.doc_count == s2.doc_count == len(base) - 3
+    from lucene_spark.functions.analysis import tokenize_one
+    t = tokenize_one(base["text"].iloc[0])[0].lower()
+    a = [(r["doc_id"], np.float32(r["score"]))
+         for r in s1.search(TermQuery(t), 30).collect()]
+    b = [(r["doc_id"], np.float32(r["score"]))
+         for r in s2.search(TermQuery(t), 30).collect()]
+    assert a == b
+
+
+def test_append_recovers_term_dict_from_swap_gap(spark, tmp_path_factory):
+    """A previous append crashed between swap_dir's two renames: term_dict
+    is gone, term_dict.old holds the pre-swap generation. The next append
+    must restore it and complete."""
+    from lucene_spark.streaming.append import append_batch
+
+    root = tmp_path_factory.mktemp("tdgap")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=15, seed=18, vocab_size=150, max_turns=5)
+    extra = generate_pandas(n_convs=5, seed=19, vocab_size=150, max_turns=5)
+    extra["conv_id"] = "zz-" + extra["conv_id"]
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+
+    td = os.path.join(idx, "term_dict")
+    os.rename(td, td + ".old")  # simulate the crash window
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=1)
+    assert os.path.exists(td) and not os.path.exists(td + ".old")
+    assert check_index(spark, idx)["ok"]
+    s = IndexSearcher(spark, idx)
+    assert s.doc_count == len(base) + len(extra)
+
+
+def test_legacy_empty_markers_still_skip(spark, tmp_path_factory):
+    """Markers written by the pre-fingerprint format are zero-byte; a
+    same-batch replay must keep skipping (not raise) on them."""
+    import copy
+
+    from lucene_spark.index.build import write_manifest
+    from lucene_spark.streaming.append import append_batch
+
+    root = tmp_path_factory.mktemp("legacy")
+    idx = str(root / "idx")
+    base = generate_pandas(n_convs=15, seed=20, vocab_size=150, max_turns=5)
+    extra = generate_pandas(n_convs=5, seed=21, vocab_size=150, max_turns=5)
+    extra["conv_id"] = "zz-" + extra["conv_id"]
+    cfg = IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64)
+    build_index(spark, spark.createDataFrame(base), idx, cfg)
+    merge_index(spark, idx)
+
+    m0 = copy.deepcopy(load_manifest(idx))
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=3)
+    rows1 = spark.read.parquet(os.path.join(idx, "postings")).count()
+    # truncate every marker to the legacy zero-byte format
+    import glob
+
+    for mk in glob.glob(os.path.join(idx, "*", "_APPLIED_SEG_*")):
+        open(mk, "w").close()
+    write_manifest(idx, m0)  # crash-before-manifest state
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=3)
+    assert spark.read.parquet(os.path.join(idx, "postings")).count() == rows1
+    assert check_index(spark, idx)["ok"]
