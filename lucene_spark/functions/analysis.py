@@ -27,14 +27,35 @@ CJK behaviors pinned from ``TestStandardAnalyzer.java:371-373`` (testChinese),
   - combining marks (U+0300-036F, U+3099/309A) extend the preceding token
     ("moͤchte" is one token, "壹゙"/"아゙" keep their marks).
 
-Documented gaps vs full UAX#29 (fixtures avoid these): emoji, Thai/Lao/Khmer
-word breaking, MidLetter chars (U+00B7 etc.), Turkish dotted-I casing.
+Round-2 additions, pinned from the same test file:
+  - EMOJI tokens (``TestStandardAnalyzer.java:557-640``): presentation-default
+    pictographs are one token each (adjacent emoji split: "💩💩" -> two);
+    text-default emoji need U+FE0F to tokenize (``❤️``, ``⚕️``); ZWJ joins
+    cores into one token (``👩‍❤️‍👩``); Fitzpatrick modifiers, VS16 and tag
+    sequences (``🏴󠁧󠁢󠁥󠁮󠁧󠁿``) extend the token; regional-indicator PAIRS
+    (``🇺🇸🇺🇸`` -> two tokens); keycap sequences (``#️⃣``, ``3️⃣``); U+FE0E
+    (text presentation) TERMINATES an emoji token but EXTENDS a word/number
+    token ("3︎" is NUM, "⭕︎" is EMOJI without the FE0E) — all per the
+    JFlex UAX#29-with-emoji grammar's observable behavior.
+  - SOUTHEAST_ASIAN tokens (``:343-354`` testThai/testLao): Thai/Lao/
+    Myanmar/Khmer script RUNS are single tokens (no dictionary word
+    breaking — same as the reference's StandardTokenizer; ThaiAnalyzer/ICU
+    do the dictionary part there and are out of scope). Thai/Lao/Myanmar/
+    Khmer digits are Numeric ("๑๒๓๔" is one NUM token).
+  - Tibetan (``:357-366``): letters are ALetter, subjoined letters +
+    dependent vowels are Extend; tsheg (U+0F0B) and shad split.
+
+Documented gaps vs full UAX#29 (fixtures avoid these): MidLetter chars
+(U+00B7 etc.), Turkish dotted-I casing, partially-qualified ZWJ sequences
+(a text-default emoji continues a ZWJ sequence only with FE0F), and the
+Emoji property tables are a curated subset of UCD emoji-data (12.1).
 
 Word-break classes used:
-  ALetter      = [A-Za-zÀ-ÖØ-öø-ÿ Greek Cyrillic fullwidth-Latin]
-  Numeric      = [0-9 fullwidth-digits]
+  ALetter      = [A-Za-zÀ-ÖØ-öø-ÿ Greek Cyrillic fullwidth-Latin Tibetan]
+  Numeric      = [0-9 fullwidth/Thai/Lao/Myanmar/Khmer digits]
   ExtendNumLet = [_]
-  Extend       = combining marks, allowed inside any token after its 1st char
+  Extend       = combining marks + variation selectors + Tibetan dependents,
+                 allowed inside any token after its 1st char
   MidNumLet    = [.']  joins letter.letter / letter'letter and digit.digit
   MidNum       = [,;]  joins digit,digit only (e.g. "1,000")
 """
@@ -49,12 +70,19 @@ import pandas as pd
 MAX_TOKEN_LENGTH = 255
 
 # ALetter: ASCII + Latin-1 + Greek (U+0370-03FF) + Cyrillic (U+0400-04FF)
-# + fullwidth Latin (U+FF21-FF3A, U+FF41-FF5A)
-_L = "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0370-\u03FF\u0400-\u04FF\uFF21-\uFF3A\uFF41-\uFF5A"
-# Numeric: ASCII + fullwidth digits (U+FF10-FF19)
-_N = "0-9\uFF10-\uFF19"
-# Extend: combining diacritics (U+0300-036F) + kana voicing marks (U+3099-309A)
-_EXT = "\u0300-\u036F\u3099-\u309A"
+# + fullwidth Latin (U+FF21-FF3A, U+FF41-FF5A) + Tibetan letters (U+0F40-0F6C)
+_L = "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0370-\u03FF\u0400-\u04FF\u0F40-\u0F6C\uFF21-\uFF3A\uFF41-\uFF5A"
+# Numeric: ASCII + fullwidth (U+FF10-FF19) + Thai (U+0E50-0E59) + Lao
+# (U+0ED0-0ED9) + Myanmar (U+1040-1049) + Khmer (U+17E0-17E9) digits
+_N = "0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
+# Extend: combining diacritics (U+0300-036F) + kana voicing marks
+# (U+3099-309A) + variation selectors (U+FE00-FE0F \u2014 WB:Extend; pinned by
+# the reference's "3\uFE0E" -> NUM case) + Tibetan dependent vowels /
+# subjoined letters / astrological marks
+_EXT = (
+    "\u0300-\u036F\u3099-\u309A\uFE00-\uFE0F"
+    "\u0F71-\u0F84\u0F86-\u0F87\u0F90-\u0FBC\u0F35\u0F37\u0F39"
+)
 _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
 # joiner between two letters: ' or . ; between two digits: ' . , ;
 _JOIN = f"(?:(?<=[{_L}])['.](?=[{_L}])|(?<=[{_N}])['.,;](?=[{_N}]))"
@@ -67,8 +95,71 @@ _KATAKANA = f"[\u30A1-\u30FA\u30FC-\u30FF][\u30A1-\u30FA\u30FC-\u30FF{_EXT}]*"
 _HANGUL = f"[\uAC00-\uD7A3\u1100-\u11FF][\uAC00-\uD7A3\u1100-\u11FF{_EXT}]*"
 _HAN = f"[\u4E00-\u9FFF\u3400-\u4DBF\uF900-\uFAFF][{_EXT}]*"
 _HIRAGANA = f"[\u3041-\u3096][{_EXT}]*"
+
+# SOUTHEAST_ASIAN: script runs are ONE token (StandardTokenizer does no
+# dictionary segmentation \u2014 TestStandardAnalyzer.java:343-354). Letter +
+# dependent-mark ranges only; each script's digits live in _N, and its
+# punctuation (U+0E3F baht, U+0E4F, shads, ...) splits.
+_SEA = (
+    "\u0E01-\u0E3A\u0E40-\u0E4E"  # Thai
+    "\u0E81-\u0EBD\u0EC0-\u0ECD\u0EDC-\u0EDF"  # Lao
+    "\u1000-\u103F\u1050-\u109F"  # Myanmar
+    "\u1780-\u17D3\u17D7\u17DC-\u17DD"  # Khmer
+)
+_SEA_RUN = f"[{_SEA}]+"
+
+# EMOJI (UAX#29-with-emoji, TestStandardAnalyzer.java:557-640).
+# Presentation-default pictographs tokenize bare; text-default emoji only
+# with VS16 (U+FE0F). Curated from public UCD emoji-data (Emoji 12.1)
+# Emoji_Presentation=Yes ranges:
+_PICTO = (
+    "\u231A\u231B\u23E9-\u23EC\u23F0\u23F3\u25FD\u25FE\u2614\u2615"
+    "\u2648-\u2653\u267F\u2693\u26A1\u26AA\u26AB\u26BD\u26BE\u26C4\u26C5"
+    "\u26CE\u26D4\u26EA\u26F2\u26F3\u26F5\u26FA\u26FD\u2705\u270A\u270B"
+    "\u2728\u274C\u274E\u2753-\u2755\u2757\u2795-\u2797\u27B0\u27BF"
+    "\u2B1B\u2B1C\u2B50\u2B55"
+    "\U0001F004\U0001F0CF\U0001F18E\U0001F191-\U0001F19A\U0001F201"
+    "\U0001F21A\U0001F22F\U0001F232-\U0001F236\U0001F238-\U0001F23A"
+    "\U0001F250\U0001F251\U0001F300-\U0001F320\U0001F32D-\U0001F335"
+    "\U0001F337-\U0001F37C\U0001F37E-\U0001F393\U0001F3A0-\U0001F3CA"
+    "\U0001F3CF-\U0001F3D3\U0001F3E0-\U0001F3F0\U0001F3F4"
+    "\U0001F3F8-\U0001F43E\U0001F440\U0001F442-\U0001F4FC"
+    "\U0001F4FF-\U0001F53D\U0001F54B-\U0001F54E\U0001F550-\U0001F567"
+    "\U0001F57A\U0001F595\U0001F596\U0001F5A4\U0001F5FB-\U0001F64F"
+    "\U0001F680-\U0001F6C5\U0001F6CC\U0001F6D0-\U0001F6D2\U0001F6D5"
+    "\U0001F6EB\U0001F6EC\U0001F6F4-\U0001F6FA\U0001F7E0-\U0001F7EB"
+    "\U0001F90D-\U0001F93A\U0001F93C-\U0001F945\U0001F947-\U0001F971"
+    "\U0001F973-\U0001F976\U0001F97A-\U0001F9A2\U0001F9A5-\U0001F9AA"
+    "\U0001F9AE-\U0001F9CA\U0001F9CD-\U0001F9FF\U0001FA70-\U0001FA73"
+    "\U0001FA78-\U0001FA7A\U0001FA80-\U0001FA82\U0001FA90-\U0001FA95"
+    "\U0001F3FB-\U0001F3FF"  # standalone Fitzpatrick modifiers are EMOJI
+)
+# text-default emoji (Emoji=Yes, Emoji_Presentation=No) \u2014 a symbols-only
+# SUPERSET is safe here because these only tokenize when the author wrote
+# an explicit FE0F emoji request after them:
+_EMO_TXT = (
+    "\u00A9\u00AE\u203C\u2049\u2122\u2139\u2190-\u21FF\u2300-\u23FF"
+    "\u24C2\u25A0-\u25FF\u2600-\u27BF\u2934\u2935\u2B00-\u2BFF"
+    "\u3030\u303D\u3297\u3299\U0001F000-\U0001FAFF"
+)
+# within an emoji token: Fitzpatrick modifiers, VS16, tag sequences
+# (U+E0020-E007F incl. the CANCEL TAG terminator). NOT U+FE0E \u2014 a text
+# presentation selector ends the emoji token and is dropped (pinned by
+# the reference's "\u2B55\uFE0E" -> "\u2B55" case).
+_EMO_SUF = "[\U0001F3FB-\U0001F3FF\uFE0F\U000E0020-\U000E007F]"
+_EMO_CORE = f"(?:[{_PICTO}]|[{_EMO_TXT}]\uFE0F){_EMO_SUF}*"
+# the leading \u200D? reproduces the reference's ZWJ-after-broken-sequence
+# behavior ("\u2B55\uFE0E<ZWJ>\u2B55\uFE0E" -> tokens "\u2B55", "<ZWJ>\u2B55"); in a well-formed
+# ZWJ sequence the first core consumes every ZWJ so it never fires.
+_EMOJI = f"\u200D?{_EMO_CORE}(?:\u200D{_EMO_CORE})*"
+_RI_PAIR = "[\U0001F1E6-\U0001F1FF]{1,2}"  # regional indicator flags
+_KEYCAP = "[0-9#*]\uFE0F\u20E3"  # Emoji_Keycap_Sequence (fully qualified)
+
+# _KEYCAP must precede _RUN (a bare digit would otherwise shadow "3\uFE0F\u20E3");
+# every other emoji branch starts at codepoints no word class contains.
 TOKEN_RE = re.compile(
-    f"(?:{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HANGUL}|{_HAN}|{_HIRAGANA})"
+    f"(?:{_KEYCAP}|{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HANGUL}|{_HAN}"
+    f"|{_HIRAGANA}|{_SEA_RUN}|{_RI_PAIR}|{_EMOJI})"
 )
 
 

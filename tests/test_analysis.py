@@ -206,3 +206,65 @@ def test_build_matches_scalar_chain(spark, tmp_path):
                 expect_pos.setdefault(t, []).append(p)
             for t, plist in expect_pos.items():
                 assert pos_tbl[(t, doc_id)] == plist, (analyzer, t, text)
+
+
+# ------------------------------------------- round-2 Unicode additions
+# Pinned from TestStandardAnalyzer.java:343-366 (testThai/testLao/
+# testTibetan) and :557-640 (testEmoji* suite).
+
+UNICODE_R2_GOLDENS = [
+    # testEmoji: adjacent pictographs split
+    ("\U0001F4A9 \U0001F4A9\U0001F4A9", ["\U0001F4A9"] * 3),
+    # testEmojiSequence: ZWJ joins cores
+    ("\U0001F469‍❤️‍\U0001F469",
+     ["\U0001F469‍❤️‍\U0001F469"]),
+    # testEmojiSequenceWithModifier: Fitzpatrick inside a ZWJ sequence
+    ("\U0001F468\U0001F3FC‍⚕️",
+     ["\U0001F468\U0001F3FC‍⚕️"]),
+    # testEmojiRegionalIndicator: RI pairs, two flags -> two tokens
+    ("\U0001F1FA\U0001F1F8\U0001F1FA\U0001F1F8",
+     ["\U0001F1FA\U0001F1F8", "\U0001F1FA\U0001F1F8"]),
+    # testEmojiVariationSequence: keycaps
+    ("#️⃣", ["#️⃣"]),
+    ("3️⃣", ["3️⃣"]),
+    # text presentation: FE0E kills '#', extends '3' (WB:Extend), and
+    # terminates an emoji token (dropped from it)
+    ("#︎", []),
+    ("3︎", ["3︎"]),
+    ("⭕︎", ["⭕"]),
+    ("⭕︎‍⭕︎", ["⭕", "‍⭕"]),
+    # testEmojiTagSequence: flag of England
+    ("\U0001F3F4\U000E0067\U000E0062\U000E0065\U000E006E\U000E0067\U000E007F",
+     ["\U0001F3F4\U000E0067\U000E0062\U000E0065\U000E006E\U000E0067\U000E007F"]),
+    # testEmojiTokenization
+    ("poo\U0001F4A9poo", ["poo", "\U0001F4A9", "poo"]),
+    ("\U0001F4A9中國\U0001F4A9",
+     ["\U0001F4A9", "中", "國", "\U0001F4A9"]),
+    # testThai: script runs, punctuation splits, Thai digits are NUM
+    ("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔",
+     ["การที่ได้ต้องแสดงว่างานดี", "แล้วเธอจะไปไหน", "๑๒๓๔"]),
+    # testLao
+    ("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ",
+     ["ສາທາລະນະລັດ", "ປະຊາທິປະໄຕ", "ປະຊາຊົນລາວ"]),
+    # testTibetan: tsheg + shad split
+    ("སྣོན་མཛོད་དང་ལས་འདིས་བོད་ཡིག་མི་ཉམས་གོང་འཕེལ་དུ་གཏོང་བར་ཧ་ཅང་དགེ་མཚན་མཆིས་སོ། །",
+     ["སྣོན", "མཛོད", "དང", "ལས", "འདིས", "བོད", "ཡིག", "མི", "ཉམས",
+      "གོང", "འཕེལ", "དུ", "གཏོང", "བར", "ཧ", "ཅང", "དགེ", "མཚན",
+      "མཆིས", "སོ"]),
+]
+
+
+@pytest.mark.parametrize(
+    "text,expected", UNICODE_R2_GOLDENS,
+    ids=[f"u29-{i}" for i in range(len(UNICODE_R2_GOLDENS))])
+def test_tokenize_unicode_r2(text, expected):
+    assert tokenize_one(text) == expected
+
+
+def test_series_matches_scalar_unicode_r2():
+    texts = [g[0] for g in UNICODE_R2_GOLDENS]
+    s = analyze_series(pd.Series(texts))
+    for i, t in enumerate(texts):
+        expected = [w.lower() for w in tokenize_one(t)
+                    if len(w) <= MAX_TOKEN_LENGTH]
+        assert list(s.iloc[i]) == expected, f"row {i}: {t!r}"
