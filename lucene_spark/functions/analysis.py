@@ -77,10 +77,12 @@ _L = "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0370-\u03FF\u0400-\u04FF\u0
 _N = "0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
 # Extend: combining diacritics (U+0300-036F) + kana voicing marks
 # (U+3099-309A) + variation selectors (U+FE00-FE0F \u2014 WB:Extend; pinned by
-# the reference's "3\uFE0E" -> NUM case) + Tibetan dependent vowels /
-# subjoined letters / astrological marks
+# the reference's "3\uFE0E" -> NUM case) + combining enclosing keycap
+# (U+20E3, WB:Extend \u2014 this is what makes "3\uFE0F\u20E3" one token via
+# the ordinary _RUN branch) + Tibetan dependent vowels / subjoined letters /
+# astrological marks
 _EXT = (
-    "\u0300-\u036F\u3099-\u309A\uFE00-\uFE0F"
+    "\u0300-\u036F\u3099-\u309A\uFE00-\uFE0F\u20E3"
     "\u0F71-\u0F84\u0F86-\u0F87\u0F90-\u0FBC\u0F35\u0F37\u0F39"
 )
 _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
@@ -153,14 +155,40 @@ _EMO_CORE = f"(?:[{_PICTO}]|[{_EMO_TXT}]\uFE0F){_EMO_SUF}*"
 # ZWJ sequence the first core consumes every ZWJ so it never fires.
 _EMOJI = f"\u200D?{_EMO_CORE}(?:\u200D{_EMO_CORE})*"
 _RI_PAIR = "[\U0001F1E6-\U0001F1FF]{1,2}"  # regional indicator flags
-_KEYCAP = "[0-9#*]\uFE0F\u20E3"  # Emoji_Keycap_Sequence (fully qualified)
+# Emoji_Keycap_Sequence with a non-word base ('#'/'*'); digit keycaps ride
+# the _RUN branch because FE0F and U+20E3 are both WB:Extend.
+_KEYCAP = "[#*]\uFE0F\u20E3"
 
-# _KEYCAP must precede _RUN (a bare digit would otherwise shadow "3\uFE0F\u20E3");
-# every other emoji branch starts at codepoints no word class contains.
+# _RUN first: it is the overwhelmingly common branch, and no other branch
+# starts at a codepoint a word class contains.
 TOKEN_RE = re.compile(
-    f"(?:{_KEYCAP}|{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HANGUL}|{_HAN}"
-    f"|{_HIRAGANA}|{_SEA_RUN}|{_RI_PAIR}|{_EMOJI})"
+    f"(?:{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HANGUL}|{_HAN}"
+    f"|{_HIRAGANA}|{_SEA_RUN}|{_RI_PAIR}|{_KEYCAP}|{_EMOJI})"
 )
+
+# ASCII fast path: on a pure-ASCII string every non-_RUN branch is
+# unreachable (CJK/SEA/RI/emoji start at non-ASCII codepoints; keycaps need
+# U+FE0F), and _RUN's non-ASCII class members can't occur \u2014 so this
+# ASCII-only alternation is exactly TOKEN_RE restricted to ASCII input,
+# and ~2x faster. Routed per-string via str.isascii().
+_L_A, _N_A = "A-Za-z", "0-9"
+_RUN_A = f"[{_L_A}{_N_A}_][{_L_A}{_N_A}_]*"
+_JOIN_A = f"(?:(?<=[{_L_A}])['.](?=[{_L_A}])|(?<=[{_N_A}])['.,;](?=[{_N_A}]))"
+TOKEN_RE_ASCII = re.compile(f"{_RUN_A}(?:{_JOIN_A}{_RUN_A})*")
+
+
+def _findall_standard(texts: pd.Series) -> pd.Series:
+    """findall(TOKEN_RE) with the ASCII fast path, preserving index/order."""
+    filled = texts.fillna("")
+    mask = np.fromiter(
+        (s.isascii() for s in filled), dtype=bool, count=len(filled)
+    )
+    if mask.all():
+        return filled.str.findall(TOKEN_RE_ASCII)
+    out = pd.Series(index=filled.index, dtype=object)
+    out[mask] = filled[mask].str.findall(TOKEN_RE_ASCII)
+    out[~mask] = filled[~mask].str.findall(TOKEN_RE)
+    return out
 
 
 def tokenize_one(text: str) -> list[str]:
@@ -194,7 +222,7 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     # land inside a boundary class from outside it (Ÿ U+0178 -> ÿ U+00FF,
     # KELVIN SIGN U+212A -> k, OHM SIGN U+2126 -> ω): tokenize-first treats
     # those chars as breaks, lower-first would join them.
-    toks = texts.fillna("").str.findall(TOKEN_RE)
+    toks = _findall_standard(texts)
     return toks.map(
         lambda ts: [t.lower() for t in ts if len(t) <= MAX_TOKEN_LENGTH]
     )
@@ -305,7 +333,7 @@ _SIMPLE_RAW_RE = re.compile(r"[A-Za-z0-9]+")
 
 RAW_TOKENIZERS = {
     "standard": (
-        lambda s: s.fillna("").str.findall(TOKEN_RE),
+        _findall_standard,
         MAX_TOKEN_LENGTH,
     ),
     "simple": (
@@ -319,7 +347,7 @@ RAW_TOKENIZERS = {
         None,
     ),
     "english": (
-        lambda s: s.fillna("").str.findall(TOKEN_RE),
+        _findall_standard,
         MAX_TOKEN_LENGTH,
     ),
 }
