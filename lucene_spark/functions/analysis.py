@@ -45,8 +45,8 @@ Round-2 additions, pinned from the same test file:
   - Tibetan (``:357-366``): letters are ALetter, subjoined letters +
     dependent vowels are Extend; tsheg (U+0F0B) and shad split.
 
-Documented gaps vs full UAX#29 (fixtures avoid these): MidLetter chars
-(U+00B7 etc.), Turkish dotted-I casing, partially-qualified ZWJ sequences
+Documented gaps vs full UAX#29 (fixtures avoid these): Turkish dotted-I
+casing, mid chars carrying Extend/Format marks, partially-qualified ZWJ sequences
 (a text-default emoji continues a ZWJ sequence only with FE0F), and the
 Emoji property tables are a curated subset of UCD emoji-data (12.1).
 
@@ -56,8 +56,10 @@ Word-break classes used:
   ExtendNumLet = [_]
   Extend       = combining marks + variation selectors + Tibetan dependents,
                  allowed inside any token after its 1st char
-  MidNumLet    = [.']  joins letter.letter / letter'letter and digit.digit
-  MidNum       = [,;]  joins digit,digit only (e.g. "1,000")
+  MidLetter    = [: U+00B7 U+0387 U+05F4 U+2027 …]  joins letter:letter only
+  MidNumLet∪SQ = [.' curly quotes U+2024 fullwidth forms]  joins
+                 letter.letter / letter'letter and digit.digit
+  MidNum       = [,; U+066C fullwidth forms]  joins digit,digit only
 """
 
 from __future__ import annotations
@@ -86,8 +88,25 @@ _EXT = (
     "\u0F71-\u0F84\u0F86-\u0F87\u0F90-\u0FBC\u0F35\u0F37\u0F39"
 )
 _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
-# joiner between two letters: ' or . ; between two digits: ' . , ;
-_JOIN = f"(?:(?<=[{_L}])['.](?=[{_L}])|(?<=[{_N}])['.,;](?=[{_N}]))"
+# Mid chars join SAME-CLASS neighbors, single occurrence only (consecutive
+# mids split — UAX#29 WB6/7/11/12, pinned by TestStandardAnalyzer.java
+# testMid :511-555 and the JFlex grammar's MidLetterEx/MidNumericEx
+# classes, StandardTokenizerImpl.jflex:91-93):
+#   MidLetter    (letter_letter):  ':' + middle dot U+00B7, Greek ano
+#                teleia U+0387, Hebrew gershayim U+05F4, hyphenation point
+#                U+2027, vertical/small/fullwidth colons U+FE13/FE55/FF1A
+#   MidNumLet∪SQ (letter_letter AND digit_digit): ' . + curly quotes
+#                U+2018/U+2019, one-dot leader U+2024, small/fullwidth
+#                forms U+FE52/U+FF07/U+FF0E
+#   MidNum       (digit_digit): , ; + Arabic thousands sep U+066C,
+#                small/fullwidth forms U+FE50/U+FE54/U+FF0C/U+FF1B
+_MIDL = ":··״‧︓﹕："
+_MIDNL = "'.‘’․﹒＇．"
+_MIDN = ",;٬﹐﹔，；"
+_JOIN = (
+    f"(?:(?<=[{_L}])[{_MIDL}{_MIDNL}](?=[{_L}])"
+    f"|(?<=[{_N}])[{_MIDN}{_MIDNL}](?=[{_N}]))"
+)
 # script tokens: Katakana runs (U+30A1-30FA + U+30FC-30FF, middle dot
 # U+30FB excluded - punctuation), Hangul runs (syllables U+AC00-D7A3 +
 # jamo U+1100-11FF), Han ONE CHAR PER TOKEN (U+4E00-9FFF, ext-A
@@ -173,7 +192,7 @@ TOKEN_RE = re.compile(
 # and ~2x faster. Routed per-string via str.isascii().
 _L_A, _N_A = "A-Za-z", "0-9"
 _RUN_A = f"[{_L_A}{_N_A}_][{_L_A}{_N_A}_]*"
-_JOIN_A = f"(?:(?<=[{_L_A}])['.](?=[{_L_A}])|(?<=[{_N_A}])['.,;](?=[{_N_A}]))"
+_JOIN_A = f"(?:(?<=[{_L_A}])['.:](?=[{_L_A}])|(?<=[{_N_A}])['.,;](?=[{_N_A}]))"
 TOKEN_RE_ASCII = re.compile(f"{_RUN_A}(?:{_JOIN_A}{_RUN_A})*")
 
 

@@ -44,6 +44,37 @@ GOLDENS = [
     ("trailing' 'leading", ["trailing", "leading"]),
     ("a.5", ["a", "5"]),  # '.' needs same class on both sides
     ("", []),
+    # testMid (TestStandardAnalyzer.java:511-555): single mid chars join
+    # same-class neighbors; consecutive mids split
+    ("A:B", ["A:B"]),
+    ("A::B", ["A", "B"]),
+    ("1.2", ["1.2"]),
+    ("A.B", ["A.B"]),
+    ("1..2", ["1", "2"]),
+    ("A..B", ["A", "B"]),
+    ("1,2", ["1,2"]),
+    ("1,,2", ["1", "2"]),
+    ("A.:B", ["A", "B"]),
+    ("A:.B", ["A", "B"]),
+    ("1,.2", ["1", "2"]),
+    ("1.,2", ["1", "2"]),
+    ("A:B_A:B", ["A:B_A:B"]),
+    ("A:B_A::B", ["A:B_A", "B"]),
+    ("1.2_1.2", ["1.2_1.2"]),
+    ("A.B_A.B", ["A.B_A.B"]),
+    ("1.2_1..2", ["1.2_1", "2"]),
+    ("A.B_A..B", ["A.B_A", "B"]),
+    ("1,2_1,2", ["1,2_1,2"]),
+    ("1,2_1,,2", ["1,2_1", "2"]),
+    ("C_A.:B", ["C_A", "B"]),
+    ("C_A:.B", ["C_A", "B"]),
+    ("3_1,.2", ["3_1", "2"]),
+    ("3_1.,2", ["3_1", "2"]),
+    ("1:2", ["1", "2"]),  # ':' is MidLetter, not MidNum
+    ("a,b", ["a", "b"]),  # ',' is MidNum, not MidLetter
+    # MidNumLet beyond ASCII: curly apostrophe U+2019 + fullwidth stop
+    ("O’Reilly’s", ["O’Reilly’s"]),
+    ("ｅｘａｍｐｌｅ．ｃｏｍ", ["ｅｘａｍｐｌｅ．ｃｏｍ"]),
     # CJK goldens (TestStandardAnalyzer.java testChinese/testJapanese/
     # testKorean/testLUCENE1545): Han + Hiragana one char per token,
     # Katakana + Hangul runs, fullwidth forms, combining marks kept
