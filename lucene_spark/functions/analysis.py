@@ -11,7 +11,8 @@ chain (public Apache Lucene source):
     ``21.35``, ``216.239.63.104``, ``B2B``, ``2B``; splits on ``-``, ``/``, ``,``
     between letters; ``_`` (ExtendNumLet) joins runs.
   - LowerCaseFilter — ``core/analysis/LowerCaseFilter.java:38`` (per-codepoint
-    lowercase; we use str.lower(), pinned to ASCII/Latin-1 fixtures).
+    lowercase; ``java_lower`` = str.lower() with the two unconditional
+    Python-vs-Java SpecialCasing divergences translated out: İ and Final_Sigma).
   - StandardAnalyzer default stop set is EMPTY
     (``core/analysis/standard/StandardAnalyzer.java:50-53``) — stopwords are
     indexed. maxTokenLength default 255: longer tokens are skipped but the
@@ -45,13 +46,14 @@ Round-2 additions, pinned from the same test file:
   - Tibetan (``:357-366``): letters are ALetter, subjoined letters +
     dependent vowels are Extend; tsheg (U+0F0B) and shad split.
 
-Documented gaps vs full UAX#29 (fixtures avoid these): Turkish dotted-I
-casing, mid chars carrying Extend/Format marks, partially-qualified ZWJ sequences
+Documented gaps vs full UAX#29 (fixtures avoid these): mid chars carrying
+Extend/Format marks, partially-qualified ZWJ sequences
 (a text-default emoji continues a ZWJ sequence only with FE0F), and the
 Emoji property tables are a curated subset of UCD emoji-data (12.1).
 
 Word-break classes used:
-  ALetter      = [A-Za-zÀ-ÖØ-öø-ÿ Greek Cyrillic fullwidth-Latin Tibetan]
+  ALetter      = [A-Za-z Latin-1/Ext-A/Ext-B/Ext-Additional Greek Cyrillic
+                  fullwidth-Latin Tibetan]
   Numeric      = [0-9 fullwidth/Thai/Lao/Myanmar/Khmer digits]
   ExtendNumLet = [_]
   Extend       = combining marks + variation selectors + Tibetan dependents,
@@ -71,9 +73,15 @@ import pandas as pd
 
 MAX_TOKEN_LENGTH = 255
 
-# ALetter: ASCII + Latin-1 + Greek (U+0370-03FF) + Cyrillic (U+0400-04FF)
-# + fullwidth Latin (U+FF21-FF3A, U+FF41-FF5A) + Tibetan letters (U+0F40-0F6C)
-_L = "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0370-\u03FF\u0400-\u04FF\u0F40-\u0F6C\uFF21-\uFF3A\uFF41-\uFF5A"
+# ALetter: ASCII + Latin-1 + Latin Extended-A/B (U+0100-024F: Polish/Czech/
+# Turkish/Romanian...) + Latin Extended Additional (U+1E00-1EFF: Vietnamese)
+# + Greek (U+0370-03FF) + Cyrillic (U+0400-04FF) + fullwidth Latin
+# (U+FF21-FF3A, U+FF41-FF5A) + Tibetan letters (U+0F40-0F6C)
+_L = (
+    "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0100-\u024F"
+    "\u0370-\u03FF\u0400-\u04FF\u0F40-\u0F6C\u1E00-\u1EFF"
+    "\uFF21-\uFF3A\uFF41-\uFF5A"
+)
 # Numeric: ASCII + fullwidth (U+FF10-FF19) + Thai (U+0E50-0E59) + Lao
 # (U+0ED0-0ED9) + Myanmar (U+1040-1049) + Khmer (U+17E0-17E9) digits
 _N = "0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
@@ -210,6 +218,23 @@ def _findall_standard(texts: pd.Series) -> pd.Series:
     return out
 
 
+# Java-parity lowercase. LowerCaseFilter lowers PER CODEPOINT
+# (``core/analysis/LowerCaseFilter.java:38`` -> CharacterUtils.toLowerCase ->
+# Character.toLowerCase = UnicodeData simple mappings). Python str.lower()
+# additionally applies the two unconditional SpecialCasing behaviors Java's
+# codepoint map does not: İ U+0130 -> "i"+U+0307 (Java: bare "i") and the
+# Final_Sigma context rule Σ U+03A3 -> ς U+03C2 at word end (Java: always
+# σ U+03C3). Pre-translating those two codepoints restores codepoint-wise
+# semantics; SpecialCasing.txt has no other unconditional lowercase entry,
+# and its locale-conditional rules (Turkish/Azeri i, Lithuanian dots) are
+# applied by NEITHER side.
+_JAVA_LOWER = str.maketrans({0x0130: "i", 0x03A3: "σ"})
+
+
+def java_lower(token: str) -> str:
+    return token.translate(_JAVA_LOWER).lower()
+
+
 def tokenize_one(text: str) -> list[str]:
     """Scalar tokenizer (oracle path). Returns surface tokens, pre-lowercase,
     including >255-char tokens (caller applies skip semantics)."""
@@ -224,7 +249,7 @@ def analyze_one(text: str) -> tuple[list[str], int]:
     field_len is the number of surviving tokens (num_overlap is always 0 here:
     no synonym/zero-posIncr filters in the default chain).
     """
-    toks = [t.lower() for t in tokenize_one(text) if len(t) <= MAX_TOKEN_LENGTH]
+    toks = [java_lower(t) for t in tokenize_one(text) if len(t) <= MAX_TOKEN_LENGTH]
     return toks, len(toks)
 
 
@@ -243,7 +268,7 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     # those chars as breaks, lower-first would join them.
     toks = _findall_standard(texts)
     return toks.map(
-        lambda ts: [t.lower() for t in ts if len(t) <= MAX_TOKEN_LENGTH]
+        lambda ts: [java_lower(t) for t in ts if len(t) <= MAX_TOKEN_LENGTH]
     )
 
 
@@ -329,7 +354,7 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
     ordinals BEFORE stop removal (position-increment preservation)."""
     if analyzer in ("standard", "english"):
         raw = [t for t in tokenize_one(text)]
-        keep = [(i, t.lower()) for i, t in enumerate(raw)
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)
                 if len(t) <= MAX_TOKEN_LENGTH]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())

@@ -306,8 +306,11 @@ def _build_segment_frame(
     row_start = np.concatenate(([0], np.cumsum(counts_raw)[:-1]))
     pos_raw = np.arange(row_of.size, dtype=np.int64) - row_start[row_of]
     if codes.size:
-        # lowercase + length-filter on the vocabulary, not the corpus
-        lowered = pd.Series(uniques).str.lower()
+        # lowercase + length-filter on the vocabulary, not the corpus.
+        # Java-parity translate first (İ/Σ — see analysis._JAVA_LOWER);
+        # no-op for ASCII-only vocabularies (the `simple` chains)
+        from lucene_spark.functions.analysis import _JAVA_LOWER
+        lowered = pd.Series(uniques).str.translate(_JAVA_LOWER).str.lower()
         remap, uniques = pd.factorize(lowered.to_numpy(dtype=object), sort=True)
         codes = remap[codes]
     if max_len is not None and codes.size:

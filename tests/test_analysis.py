@@ -8,6 +8,7 @@ from lucene_spark.functions.analysis import (
     MAX_TOKEN_LENGTH,
     analyze_one,
     analyze_series,
+    java_lower,
     tokenize_one,
 )
 
@@ -88,6 +89,9 @@ GOLDENS = [
     # Greek / Cyrillic letter runs
     ("Ελληνικά κείμενο", ["Ελληνικά", "κείμενο"]),
     ("русский текст", ["русский", "текст"]),
+    # Latin Extended-A/B + Extended Additional are ALetter
+    ("İstanbul Čeština Việt łódź Ştiinţă",
+     ["İstanbul", "Čeština", "Việt", "łódź", "Ştiinţă"]),
 ]
 
 
@@ -100,6 +104,16 @@ def test_analyze_lowercases_and_counts():
     toks, flen = analyze_one("Foo BAR O'Reilly's 21.35")
     assert toks == ["foo", "bar", "o'reilly's", "21.35"]
     assert flen == 4
+
+
+def test_java_parity_lowercase():
+    # LowerCaseFilter lowers per codepoint (Character.toLowerCase):
+    # İ U+0130 -> bare "i" (not i + combining dot), Σ U+03A3 -> σ U+03C3
+    # even at word end (no Final_Sigma context rule)
+    toks, _ = analyze_one("İstanbul ΚΑΛΟΣ ΣΟΦΙΑ")
+    assert toks == ["istanbul", "καλοσ", "σοφια"]
+    assert "ς" not in toks[1]  # NOT final sigma
+    assert "̇" not in toks[0]  # NOT i + combining dot above
 
 
 def test_max_token_length_skip():
@@ -117,7 +131,7 @@ def test_series_matches_scalar():
     texts = [g[0] for g in GOLDENS] + [None, "x" * 300 + " tail"]
     s = analyze_series(pd.Series(texts))
     for i, t in enumerate(texts):
-        expected = [w.lower() for w in tokenize_one(t or "") if len(w) <= MAX_TOKEN_LENGTH]
+        expected = [java_lower(w) for w in tokenize_one(t or "") if len(w) <= MAX_TOKEN_LENGTH]
         assert list(s.iloc[i]) == expected, f"row {i}: {t!r}"
 
 
@@ -296,6 +310,6 @@ def test_series_matches_scalar_unicode_r2():
     texts = [g[0] for g in UNICODE_R2_GOLDENS]
     s = analyze_series(pd.Series(texts))
     for i, t in enumerate(texts):
-        expected = [w.lower() for w in tokenize_one(t)
+        expected = [java_lower(w) for w in tokenize_one(t)
                     if len(w) <= MAX_TOKEN_LENGTH]
         assert list(s.iloc[i]) == expected, f"row {i}: {t!r}"
