@@ -902,6 +902,38 @@ def _stop_chain_df(spark, sf_dir):
     )
 
 
+_ENGLISH_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "valu"}]}}
+
+#: the synthetic documents table's full (generator-fixed) vocabulary — lets
+#: the DuckDB oracle replay the Porter stem as an embedded total mapping.
+#: If the generator vocabulary ever changes, the validator fails loudly
+#: (unmapped new words pass through unstemmed on the SQL side only).
+_DOC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+
+def _english_chain_df(spark, sf_dir):
+    """BM25 over an index built with the full EnglishAnalyzer chain
+    (possessive strip + StopFilter + Porter stem — EnglishAnalyzer.java:
+    108-115). Query terms are the STEMMED forms ('merg', 'valu'): TermQuery
+    takes analyzed terms (Lucene semantics), and these are only reachable
+    through the stemmer. The SQL twin replays stop + stem via
+    plans/sqlgen.py vocab_map — exact on this corpus because the documents
+    vocabulary is fixed/punctuation-free, so the standard tokenizer and the
+    oracle's [a-z0-9]+ extraction agree token-for-token."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir, analyzer="english")
+    q = rewrite_fixpoint(parse_query(json.dumps(_ENGLISH_AST)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 def _append_search_df(spark, sf_dir):
     from lucene_spark.query.ast import TermQuery
 
@@ -1131,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stored_fields"] = _stored_fields_df
     out["streaming_append_search"] = _append_search_df
     out["bm25_stop_chain"] = _stop_chain_df
+    out["bm25_english_chain"] = _english_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
@@ -1316,6 +1349,14 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_stop_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_STOP_AST)), _QUERY_K,
         stop=tuple(sorted(EN_STOP_SET)),
+    )
+    from lucene_spark.functions.porter import stem
+    out["bm25_english_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_ENGLISH_AST)), _QUERY_K,
+        stop=tuple(sorted(EN_STOP_SET)),
+        vocab_map=tuple(
+            (w, stem(w)) for w in _DOC_VOCAB if stem(w) != w
+        ),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,

@@ -51,21 +51,42 @@ def _quantized_len(dl_expr: str) -> str:
 
 
 def corpus_ctes(table: str, id_col: str, text_col: str,
-                stop: tuple[str, ...] = ()) -> str:
+                stop: tuple[str, ...] = (),
+                vocab_map: tuple[tuple[str, str], ...] = ()) -> str:
     """Shared CTEs: tokens, per-doc length, collection stats. ``stop``
     replays a StopFilter chain: stopped tokens are excluded from tf/df AND
-    from the per-doc length (field_len counts surviving tokens only)."""
+    from the per-doc length (field_len counts surviving tokens only).
+    ``vocab_map`` replays a vocabulary-level transform applied AFTER stop
+    removal (the EnglishAnalyzer tail: Porter stem) as an embedded
+    (orig, mapped) mapping; unmapped terms pass through unchanged — exact
+    when the mapping covers every corpus term the transform rewrites."""
     stop_where = (
         "WHERE term NOT IN (" + ", ".join(f"'{w}'" for w in sorted(stop)) + ")"
         if stop else ""
     )
-    return f"""
+    if vocab_map:
+        map_values = ", ".join(
+            f"('{a}', '{b}')" for a, b in sorted(vocab_map)
+        )
+        toks = f"""
+toks AS (
+  SELECT r.doc_id, coalesce(m.mapped, r.term) AS term
+  FROM (
+    SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
+    FROM {table}
+  ) r
+  LEFT JOIN (VALUES {map_values}) m(orig, mapped) ON r.term = m.orig
+  {stop_where.replace('WHERE term', 'WHERE r.term')}
+),"""
+    else:
+        toks = f"""
 toks AS (
   SELECT doc_id, term FROM (
     SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
     FROM {table}
   ) {stop_where}
-),
+),"""
+    return f"""{toks.strip()}
 dl AS (
   SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
   FROM {table} d
@@ -177,11 +198,13 @@ def topk_sql(
     k1: float = 1.2,
     b: float = 0.75,
     similarity: str = "bm25",
+    vocab_map: tuple[tuple[str, str], ...] = (),
 ) -> str:
     """Full top-k SQL for a flat Boolean query: (doc_id, score REAL),
     score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
-    analysis chain (see corpus_ctes); ``k1``/``b`` the BM25Similarity
-    constructor parameters; ``similarity`` selects the scoring twin
+    analysis chain (see corpus_ctes); ``vocab_map`` a post-stop vocabulary
+    transform (Porter stem); ``k1``/``b`` the BM25Similarity constructor
+    parameters; ``similarity`` selects the scoring twin
     ("bm25" | "classic" | "boolean" — the pluggable-Similarity surface)."""
     clauses, msm = _flat_clauses(q)
     n_must = sum(1 for c in clauses if c[1] == "must")
@@ -214,7 +237,7 @@ def topk_sql(
         similarity, "(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b
     )
     return f"""
-WITH {corpus_ctes(table, id_col, text_col, stop)},
+WITH {corpus_ctes(table, id_col, text_col, stop, vocab_map)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),
