@@ -906,8 +906,9 @@ _ENGLISH_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "valu"}
 
 #: the synthetic documents table's full (generator-fixed) vocabulary — lets
 #: the DuckDB oracle replay the Porter stem as an embedded total mapping.
-#: If the generator vocabulary ever changes, the validator fails loudly
-#: (unmapped new words pass through unstemmed on the SQL side only).
+#: Drift guard: the hash compare only fires if a new word's stem collides
+#: with the query terms, so tests/test_entries_contract.py additionally
+#: asserts the corpus vocabulary == this list.
 _DOC_VOCAB = (
     "a agg batch big column customer data dup fast filter group hash join "
     "key line merge order part query row scan slow small sort spark stream "

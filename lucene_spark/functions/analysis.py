@@ -75,12 +75,17 @@ MAX_TOKEN_LENGTH = 255
 
 # ALetter: ASCII + Latin-1 + Latin Extended-A/B (U+0100-024F: Polish/Czech/
 # Turkish/Romanian...) + Latin Extended Additional (U+1E00-1EFF: Vietnamese)
-# + Greek (U+0370-03FF) + Cyrillic (U+0400-04FF) + fullwidth Latin
+# + Greek LETTERS (the U+0370-03FF block minus its punctuation/diacritics:
+# numeral signs U+0374/0375, Greek question mark U+037E, tonos accents
+# U+0384/0385, ano teleia U+0387 \u2014 ano teleia is MidLetter, the others
+# split) + Cyrillic LETTERS (U+0400-04FF minus the thousands sign U+0482
+# and the combining marks U+0483-0489, which are Extend) + fullwidth Latin
 # (U+FF21-FF3A, U+FF41-FF5A) + Tibetan letters (U+0F40-0F6C)
 _L = (
     "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0100-\u024F"
-    "\u0370-\u03FF\u0400-\u04FF\u0F40-\u0F6C\u1E00-\u1EFF"
-    "\uFF21-\uFF3A\uFF41-\uFF5A"
+    "\u0370-\u0373\u0376-\u037D\u037F\u0386\u0388-\u03FF"
+    "\u0400-\u0481\u048A-\u04FF"
+    "\u0F40-\u0F6C\u1E00-\u1EFF\uFF21-\uFF3A\uFF41-\uFF5A"
 )
 # Numeric: ASCII + fullwidth (U+FF10-FF19) + Thai (U+0E50-0E59) + Lao
 # (U+0ED0-0ED9) + Myanmar (U+1040-1049) + Khmer (U+17E0-17E9) digits
@@ -92,7 +97,7 @@ _N = "0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
 # the ordinary _RUN branch) + Tibetan dependent vowels / subjoined letters /
 # astrological marks
 _EXT = (
-    "\u0300-\u036F\u3099-\u309A\uFE00-\uFE0F\u20E3"
+    "\u0300-\u036F\u0483-\u0489\u3099-\u309A\uFE00-\uFE0F\u20E3"
     "\u0F71-\u0F84\u0F86-\u0F87\u0F90-\u0FBC\u0F35\u0F37\u0F39"
 )
 _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
@@ -182,9 +187,10 @@ _EMO_CORE = f"(?:[{_PICTO}]|[{_EMO_TXT}]\uFE0F){_EMO_SUF}*"
 # ZWJ sequence the first core consumes every ZWJ so it never fires.
 _EMOJI = f"\u200D?{_EMO_CORE}(?:\u200D{_EMO_CORE})*"
 _RI_PAIR = "[\U0001F1E6-\U0001F1FF]{1,2}"  # regional indicator flags
-# Emoji_Keycap_Sequence with a non-word base ('#'/'*'); digit keycaps ride
+# Emoji_Keycap_Sequence with a non-word base ('#'/'*'), VS16 optional (the
+# reference grammar recognizes /[0-9#*]\uFE0F?\u20E3/); digit keycaps ride
 # the _RUN branch because FE0F and U+20E3 are both WB:Extend.
-_KEYCAP = "[#*]\uFE0F\u20E3"
+_KEYCAP = "[#*]\uFE0F?\u20E3"
 
 # _RUN first: it is the overwhelmingly common branch, and no other branch
 # starts at a codepoint a word class contains.
@@ -375,19 +381,39 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
 # tokenize-then-lower == lower-then-tokenize).
 _SIMPLE_RAW_RE = re.compile(r"[A-Za-z0-9]+")
 
+
+def _findall_simple_raw(texts: pd.Series) -> pd.Series:
+    """Build-path tokenizer for the `simple` chains. The chain's contract
+    is LOWER-FIRST ([a-z0-9]+ over lowercased text — analyze_series_simple
+    and the DuckDB TOKEN_SQL twin), and raw [A-Za-z0-9]+ extraction is only
+    equivalent on ASCII input: chars that case-fold INTO ASCII (KELVIN SIGN
+    U+212A -> k) are boundaries raw but letters lowered. Route per-string:
+    ASCII rows take the raw path (the later vocab-level lowercase finishes
+    the job), non-ASCII rows lowercase first — exactly the contract."""
+    filled = texts.fillna("")
+    mask = np.fromiter(
+        (s.isascii() for s in filled), dtype=bool, count=len(filled)
+    )
+    if mask.all():
+        return filled.str.findall(_SIMPLE_RAW_RE)
+    out = pd.Series(index=filled.index, dtype=object)
+    out[mask] = filled[mask].str.findall(_SIMPLE_RAW_RE)
+    out[~mask] = filled[~mask].str.lower().str.findall(SIMPLE_RE)
+    return out
+
 RAW_TOKENIZERS = {
     "standard": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),
     "simple": (
-        lambda s: s.fillna("").str.findall(_SIMPLE_RAW_RE),
+        _findall_simple_raw,
         None,
     ),
     # chain variants share their base tokenizer; stop/stem are vocab-level
     # filters applied by the build via CHAIN_FILTERS
     "simple_stop": (
-        lambda s: s.fillna("").str.findall(_SIMPLE_RAW_RE),
+        _findall_simple_raw,
         None,
     ),
     "english": (

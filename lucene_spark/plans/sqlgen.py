@@ -60,10 +60,12 @@ def corpus_ctes(table: str, id_col: str, text_col: str,
     removal (the EnglishAnalyzer tail: Porter stem) as an embedded
     (orig, mapped) mapping; unmapped terms pass through unchanged — exact
     when the mapping covers every corpus term the transform rewrites."""
-    stop_where = (
-        "WHERE term NOT IN (" + ", ".join(f"'{w}'" for w in sorted(stop)) + ")"
-        if stop else ""
-    )
+    def stop_where(col: str) -> str:
+        if not stop:
+            return ""
+        return (f"WHERE {col} NOT IN ("
+                + ", ".join(f"'{w}'" for w in sorted(stop)) + ")")
+
     if vocab_map:
         map_values = ", ".join(
             f"('{a}', '{b}')" for a, b in sorted(vocab_map)
@@ -76,7 +78,7 @@ toks AS (
     FROM {table}
   ) r
   LEFT JOIN (VALUES {map_values}) m(orig, mapped) ON r.term = m.orig
-  {stop_where.replace('WHERE term', 'WHERE r.term')}
+  {stop_where('r.term')}
 ),"""
     else:
         toks = f"""
@@ -84,7 +86,7 @@ toks AS (
   SELECT doc_id, term FROM (
     SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
     FROM {table}
-  ) {stop_where}
+  ) {stop_where('term')}
 ),"""
     return f"""{toks.strip()}
 dl AS (

@@ -215,7 +215,11 @@ class QueryParser:
                 else FuzzyQuery(t, int(m.group("ed") or 2))
             )
         elif "*" in w or "?" in w:
-            low = w.lower()
+            # java_lower, not str.lower(): index terms are java_lower'ed, so
+            # a Final_Sigma'd prefix ("ΚΑΛΟΣ*" -> "καλος") would match nothing
+            from lucene_spark.functions.analysis import java_lower
+
+            low = java_lower(w)
             if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
                 q = PrefixQuery(low[:-1])
             else:

@@ -92,6 +92,22 @@ GOLDENS = [
     # Latin Extended-A/B + Extended Additional are ALetter
     ("İstanbul Čeština Việt łódź Ştiinţă",
      ["İstanbul", "Čeština", "Việt", "łódź", "Ştiinţă"]),
+    # middle dot U+00B7 and ano teleia U+0387 are MidLetter (join;
+    # consecutive mids split); Greek question mark U+037E and tonos
+    # U+0384 split (not letters)
+    ("α·β", ["α·β"]),
+    ("α··β", ["α", "β"]),
+    ("α·β", ["α·β"]),
+    ("α··β", ["α", "β"]),
+    ("α;β", ["α", "β"]),
+    ("α΄β", ["α", "β"]),
+    # Cyrillic combining marks are Extend, thousands sign splits
+    ("о́к", ["о́к"]),
+    ("а҂б", ["а", "б"]),
+    # keycap sequences tokenize with or without VS16
+    ("#⃣", ["#⃣"]),
+    ("#️⃣", ["#️⃣"]),
+    ("3⃣", ["3⃣"]),
 ]
 
 

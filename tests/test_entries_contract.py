@@ -1,0 +1,47 @@
+"""Driver-entry contract checks that need no SparkSession.
+
+These pin the assumptions the dual-execution oracles rest on, so drift
+fails HERE loudly instead of silently weakening an oracle.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    # rows-only entries are a deliberate, documented set — additions here
+    # need a justification in SURVEY.md §2.9b/§2.11
+    assert set(qs) - set(os_) == {
+        "ann_lsh_topk", "ann_ivf_topk", "ann_hnsw_topk", "media_features",
+    }
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="testdata missing")
+def test_doc_vocab_matches_corpus():
+    """bm25_english_chain's oracle replays the Porter stem as an embedded
+    mapping over _DOC_VOCAB. The value-hash compare alone would NOT catch a
+    new corpus word whose stem doesn't collide with the query terms (both
+    sides keep identical tf/df for the queried stems), so assert the
+    generator vocabulary explicitly."""
+    con = duckdb.connect()
+    vocab = sorted(r[0] for r in con.execute(
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+        f" FROM read_parquet('{SF_DIR}/documents.parquet')").fetchall())
+    assert vocab == sorted(entry._DOC_VOCAB)
+
+
+def test_english_oracle_stems_every_rewriting_word():
+    from lucene_spark.functions.porter import stem
+
+    sql = entry.oracle_sql()["bm25_english_chain"]
+    for w in entry._DOC_VOCAB:
+        if stem(w) != w:
+            assert f"('{w}', '{stem(w)}')" in sql
