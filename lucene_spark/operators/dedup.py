@@ -340,19 +340,30 @@ def simhash_pairs(
     chunks; any qualifying pair matches exactly on >=1 chunk, so the join is
     keyed on (chunk_idx, chunk_value) — never all-pairs. Exact Hamming
     verification follows. Returns DF(doc_a, doc_b, hamming)."""
+    sigs = simhash64(docs, id_col, text_col)
+    return _pigeonhole_pairs(sigs, max_hamming)
+
+
+def _pigeonhole_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole chunk-join over DF(doc_id, simhash long). Chunk values are
+    extracted with shift + bitwise-AND mask — NOT ``%``: Spark's ``%``
+    follows the dividend's sign, so chunk 0 (shift 0 keeps the signed long)
+    of a negative signature would encode the same low bits differently from
+    a non-negative one, silently missing pairs whose only clean chunk is
+    chunk 0 (caught at sf0.1: pair whose signatures share only chunk 0
+    across a sign boundary)."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sigs = simhash64(docs, id_col, text_col)
+    mask = F.lit((1 << width) - 1).cast("long")
     chunked = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    (
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
-                        % F.lit(1 << width).cast("long")
-                    ).cast("long")
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(mask)
+                    .cast("long")
                     for i in range(n_chunks)
                 ]
             )

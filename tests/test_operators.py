@@ -133,6 +133,25 @@ def test_simhash_blocking_equals_exhaustive(spark, docs):
     assert got == expect
 
 
+def test_pigeonhole_chunk0_sign_boundary(spark):
+    """Regression (found at sf0.1): a pair whose ONLY clean chunk is chunk 0,
+    with one negative and one non-negative signature. The old '%'-based
+    chunk extraction followed the signed dividend (Spark semantics), so the
+    two encodings of the identical low 16 bits differed and the candidate
+    was never generated. The AND-mask extraction must find it."""
+    from lucene_spark.operators.dedup import _pigeonhole_pairs
+
+    sa, sb = -1491730817256218102, 7731641081622733322  # hamming 3
+    assert (sa & 0xFFFF) == (sb & 0xFFFF)  # chunk 0 equal
+    for i in (1, 2, 3):  # every other chunk differs
+        assert ((sa >> (16 * i)) & 0xFFFF) != ((sb >> (16 * i)) & 0xFFFF)
+    sigs = spark.createDataFrame(
+        [(1, sa), (2, sb)], "doc_id long, simhash long"
+    )
+    rows = _pigeonhole_pairs(sigs, 3).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 3)]
+
+
 # ------------------------------------------------------------------ similarity
 
 def test_brute_force_topk_matches_numpy(spark, embs):
