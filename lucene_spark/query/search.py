@@ -97,6 +97,12 @@ def _combine_req_opt(n_must: int, n_should: int, msm: int, must_s, should_s):
         sum (BooleanScorerSupplier.java:546-553 -> ConjunctionScorer).
     """
     if n_should == 0:
+        if n_must == 0:
+            # pure filter/must_not query: no scoring clause at all — the
+            # reference's BooleanWeight emits constant 0.0f scores (filter
+            # clauses never contribute score). must_s is NULL here (sum
+            # over zero rows), which would surface as NaN.
+            return _f32(F.lit(0.0))
         return _f32(must_s)
     if n_must == 0:
         # filters (if any) contribute no score; absent should-sum means the
@@ -676,7 +682,10 @@ class IndexSearcher:
         must_f = _f32(F.col("must_s"))
         should_f = _f32(F.coalesce(F.col("should_s"), F.lit(0.0)))
         score = (
-            F.when(n_should_m == 0, must_f)
+            # pure filter/must_not queries score a constant 0.0f (must_s is
+            # NULL over zero scoring rows — would otherwise surface as NaN)
+            F.when((n_should_m == 0) & (n_must_m == 0), _f32(F.lit(0.0)))
+            .when(n_should_m == 0, must_f)
             .when(n_must_m == 0, should_f)
             .when(msm_m > 0, _f32(F.col("must_s") + should_f.cast("double")))
             .otherwise(_f32(must_f.cast("double") + should_f.cast("double")))

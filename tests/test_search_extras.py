@@ -32,6 +32,27 @@ def common_terms(searcher):
     return [(r["term"], int(r["doc_freq"])) for r in rows]
 
 
+def test_filter_only_scores_zero(searcher, oracle_index, common_terms):
+    """Regression (extended randomized fuzz): a Boolean query with ONLY
+    filter/must_not clauses has no scoring clause — the reference's
+    BooleanWeight emits constant 0.0f. The engine summed zero scoring rows
+    to NULL and surfaced NaN. Single filter (no-groupBy guard) and
+    filter+must_not shapes, both vs the scalar oracle."""
+    t0, t1 = common_terms[0][0], common_terms[1][0]
+    for q in (
+        BooleanQuery(filter=[TermQuery(t0)]),
+        BooleanQuery(filter=[TermQuery(t0)], must_not=[TermQuery(t1)]),
+        BooleanQuery(filter=[TermQuery(t0), TermQuery(t1)]),
+    ):
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search(q, 25).collect()]
+        expect = [(d, np.float32(s)) for d, s in oracle_index.search(q, 25)]
+        assert got == expect, q
+        assert all(s == np.float32(0.0) for _, s in got)
+        many = searcher.search_many({"q": q}, 25).collect()
+        assert [(r["doc_id"], np.float32(r["score"])) for r in many] == expect
+
+
 def test_pruned_equals_exhaustive(searcher, common_terms):
     for term, _df in common_terms[:4]:
         for k in (1, 5, 20):
