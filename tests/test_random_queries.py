@@ -22,7 +22,10 @@ from lucene_spark.query.ast import (
 )
 from lucene_spark.query.search import IndexSearcher
 
-SEED = 20260817
+#: 20260817 is the original pinned seed; 101 is the seed whose query 45
+#: (a filter+must_not tree with NO scoring clause) caught the NaN-score
+#: bug the first suite never generated — kept so the shape stays covered.
+SEEDS = (20260817, 101)
 N_QUERIES = 25
 
 
@@ -50,8 +53,9 @@ def _random_query(rng: random.Random, vocab: list[str], depth: int = 0):
     return BooleanQuery(must, should, filt, must_not, msm)
 
 
-def test_random_boolean_trees_rank_identical(searcher, oracle_index):
-    rng = random.Random(SEED)
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_boolean_trees_rank_identical(searcher, oracle_index, seed):
+    rng = random.Random(seed)
     vocab = sorted(oracle_index.postings)
     common = sorted(vocab, key=lambda t: -oracle_index.doc_freq(t))[:40]
     pool = common + [rng.choice(vocab) for _ in range(40)] + ["zz-absent-term"]
@@ -68,6 +72,6 @@ def test_random_boolean_trees_rank_identical(searcher, oracle_index):
             (r["doc_id"], np.float32(r["score"]))
             for r in searcher.search(q, k).collect()
         ]
-        assert got == expect, f"query {i} (seed {SEED}): {q!r}"
+        assert got == expect, f"query {i} (seed {seed}): {q!r}"
         checked += 1
     assert checked == N_QUERIES
