@@ -998,6 +998,17 @@ def _dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_embs(spark, sf_dir), _EMB_T).orderBy("vec_a", "vec_b")
 
 
+def _dedup_embedding_ann(spark, sf_dir):
+    # Scale mode: LSH-banded candidates + exact verify. Rows-only entry
+    # (approximate recall by design — measured 0.945 on this corpus, pinned
+    # in tests/test_operators.py); emitted cosines are bit-identical to the
+    # exact path's, and the row set is deterministic (md5-derived planes).
+    from lucene_spark.operators.dedup import embedding_dup_pairs_ann
+    return embedding_dup_pairs_ann(
+        _embs(spark, sf_dir), _EMB_T, num_planes=64, band_bits=4
+    ).orderBy("vec_a", "vec_b")
+
+
 def _ann_brute(spark, sf_dir):
     from lucene_spark.operators.similarity import cosine_topk, query_vector
     e = _embs(spark, sf_dir)
@@ -1184,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_lsh"] = _dedup_minhash
     out["dedup_simhash"] = _dedup_simhash
     out["dedup_embedding"] = _dedup_embedding
+    out["dedup_embedding_ann"] = _dedup_embedding_ann
     out["ann_cosine_topk"] = _ann_brute
     out["ann_lsh_topk"] = _ann_lsh
     out["text_token_count"] = _token_count

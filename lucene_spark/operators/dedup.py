@@ -18,10 +18,11 @@ corpus. Algorithms are the standard public ones:
   - SimHash (Charikar 2002): 64-bit sign-of-weighted-sum fingerprint over
     token hashes; near-dup = Hamming distance <= k, found at scale by the
     pigeonhole blocking trick (k<=3 => some 16-bit chunk is identical).
-  - embedding cosine near-dup: exact pairs above a cosine threshold via
-    blocked float64 GEMM over block pairs (no row-level cross join; see
-    embedding_dup_pairs for why exact beats LSH candidates at the
-    thresholds this corpus needs).
+  - embedding cosine near-dup: two modes. Exact (oracle mode): blocked
+    float64 GEMM over block pairs — no row-level cross join, but compute is
+    inherently O(n^2). Scale mode: hyperplane-LSH banded candidates + exact
+    sequential-float64 verify (embedding_dup_pairs_ann) — approximate in
+    recall only, measured and pinned in pytest.
 
 Spark analyzer parity: token shingles use the engine's `simple` analyzer
 regex ([a-z0-9]+ on lowercased text) so every oracle is expressible with
@@ -671,4 +672,129 @@ def embedding_dup_pairs(
 
     return rep.groupBy("bi", "bj").applyInPandas(
         gemm, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
+def _seq_cosine(va, vb):
+    """Strict left-to-right float64 cosine as a JVM expression. ``aggregate``
+    is a sequential left fold, so the op order is bit-identical to the Python
+    loop in ``embedding_dup_pairs``'s recompute and to DuckDB's sequential
+    list_sum — pairs found by both paths carry the same cosine bits."""
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(va, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(vb, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_ann_candidates(
+    embeddings: DataFrame,
+    num_planes: int = 64,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pair generation via random-hyperplane LSH banding
+    (Charikar 2002 sign codes + MMDS ch.3 banding): ``num_planes`` sign bits
+    split into bands of ``band_bits``; a pair is a candidate iff some band's
+    code matches. DF(vec_a, vec_b) with vec_a < vec_b, distinct.
+
+    Scale shape: one narrow projection computes every band code JVM-side
+    (the planes are md5-derived literals — no trained state, reproducible
+    everywhere), one self-join keyed on (band, code), one distinct. Never
+    an all-pairs comparison; candidate volume is sum over buckets of
+    |bucket|^2, controlled by ``band_bits`` (selectivity 2^-band_bits per
+    band for unrelated vectors — size band_bits ~ log2(n/target_bucket) at
+    corpus scale) and by ``max_bucket_size`` (a degenerate bucket — e.g. the
+    all-zeros region — is dropped from candidate generation the same way
+    ``max_shingle_df`` caps hot shingles; other bands still cover its pairs).
+    """
+    from lucene_spark.operators.similarity import hyperplanes
+
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    planes = hyperplanes(num_planes, dim)
+    n_bands = num_planes // band_bits
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    band_codes = []
+    for band in range(n_bands):
+        code = F.lit(0)
+        for j in range(band_bits):
+            p = band * band_bits + j
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            code = code + F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_codes.append(code.cast("int"))
+
+    codes = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.array(*band_codes)).alias("band", "code"),
+    )
+    if max_bucket_size is not None:
+        sizes = codes.groupBy("band", "code").agg(F.count("*").alias("bsz"))
+        codes = codes.join(
+            sizes.filter(F.col("bsz") <= max_bucket_size).select("band", "code"),
+            ["band", "code"],
+        )
+    a = codes.select("band", "code", F.col("vid").alias("vec_a"))
+    b = codes.select("band", "code", F.col("vid").alias("vec_b"))
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def embedding_dup_pairs_ann(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 64,
+    band_bits: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: LSH-banded candidates +
+    exact verify. Approximate in RECALL only — every emitted pair carries
+    the exact sequential-float64 cosine (bit-identical to the exact path's),
+    and precision is 1 by construction; recall is the banding collision
+    probability 1-(1-p^b)^(planes/b) with p = 1 - arccos(cos)/pi.
+
+    On THIS sandbox corpus the qualifying pairs sit in the background tail
+    (max pair cosine ~0.51 at threshold 0.35), the worst case for any
+    sublinear candidate scheme — measured recall 0.945 at the default
+    (64 planes, 4-bit bands), pinned in pytest. On a real near-dup corpus
+    (duplicates at cosine >= 0.9, p >= 0.856) the same config reaches
+    recall ~1.0 with per-band selectivity 1/16 for unrelated vectors.
+    ``embedding_dup_pairs`` (exact blocked GEMM) remains the oracle mode;
+    this is the path whose cost stays O(n * bucket) instead of O(n^2) at
+    10^10+ vectors. Reference precedent: ANN is the persisted-index answer
+    at scale (``Lucene99HnswVectorsFormat.java:82``).
+    """
+    cand = embedding_ann_candidates(
+        embeddings, num_planes, band_bits, id_col, vec_col, max_bucket_size
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            _seq_cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= float(threshold))
     )

@@ -349,6 +349,45 @@ def test_embedding_gemm_matches_bruteforce(spark, embs):
     assert got == expect
 
 
+def test_embedding_ann_recall_and_exact_verify(spark, embs):
+    """The scale mode's contract: (a) every emitted pair is a true pair with
+    the SAME cosine bits as the exact path (approximate in recall only),
+    (b) measured recall at the default config >= 0.9 on this corpus — the
+    worst case for candidate schemes (qualifying pairs are background tail;
+    the 0.945 measurement is documented in the operator docstring),
+    (c) the plan has no cartesian product (candidates come from the
+    (band, code) equi-join)."""
+    from lucene_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_ann,
+    )
+
+    thr = 0.35
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_dup_pairs(embs, thr, num_blocks=4).collect()
+    }
+    ann_df = embedding_dup_pairs_ann(embs, thr, num_planes=64, band_bits=4)
+    plan = ann_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    ann = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in ann_df.collect()}
+    assert set(ann) <= set(exact)  # precision 1: every pair is a true pair
+    for pair, c in ann.items():
+        assert c == exact[pair]  # bit-identical sequential-float64 cosine
+    recall = len(ann) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} (n={len(ann)}/{len(exact)})"
+    # bucket-size cutoff: output stays a subset with identical values
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_dup_pairs_ann(
+            embs, thr, num_planes=64, band_bits=4, max_bucket_size=100
+        ).collect()
+    }
+    assert set(capped) <= set(ann)
+    for pair, c in capped.items():
+        assert c == ann[pair]
+
+
 # --------------------------------------------------- persisted ANN index
 
 def test_persisted_ann_matches_inline(spark, embs, tmp_path):
