@@ -453,6 +453,58 @@ def _sorted_df(spark, sf_dir):
                                 .alias("field_len"), "score")
 
 
+def _tsorted_searcher(spark, sf_dir):
+    """Index built with index_sort='ts' (IndexWriterConfig.setIndexSort
+    analog) over a synthetic per-doc timestamp 2026-01-01 + ((doc_id*37)%97)
+    hours — 97 distinct values over the corpus give heavy ties, exercising
+    the early-termination tie-break against the oracle."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_tsorted"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        tdf = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("doc").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(
+                F.lit(1767225600)
+                + F.pmod(F.col("doc_id").cast("long") * 37, F.lit(97)) * 3600
+            ).alias("ts"),
+        )
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", index_sort="ts")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _sorted_indexed_df(spark, sf_dir):
+    """search_sorted through the EARLY-TERMINATING path (sort-congruent
+    index): 'latest K matches by ts' — descending, so the tie-run extension
+    runs too. Values must equal the exhaustive oracle's."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _tsorted_searcher(spark, sf_dir)
+    out = s.search_sorted(TermQuery(_FACET_TERM), "ts", _SORT_K,
+                          ascending=False)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        out.join(dm, "doc_id")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.pmod(F.col("orig_id") * 37, F.lit(97)).cast("int").alias("ts_key"),
+            "score",
+        )
+        .orderBy(F.desc("ts_key"), F.asc("doc_id"))
+    )
+
+
 def _explain_df(spark, sf_dir):
     """explain() of the top-1 hit must reproduce the search score exactly
     (Weight#explain / CheckHits contract)."""
@@ -1168,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_counts"] = _facet_df
     out["search_grouped"] = _grouped_df
     out["search_sorted"] = _sorted_df
+    out["search_sorted_indexed"] = _sorted_indexed_df
     out["explain_score"] = _explain_df
     out["highlight"] = _highlight_df
     out["query_parser"] = _query_parser_df
@@ -1329,6 +1382,12 @@ ORDER BY value, rank
 SELECT t.doc_id AS doc_id, CAST(d.fl AS INT) AS field_len, t.score AS score
 FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
 ORDER BY d.fl DESC, t.doc_id ASC LIMIT {_SORT_K}
+""".strip()
+    out["search_sorted_indexed"] = f"""
+SELECT t.doc_id AS doc_id, CAST((t.doc_id * 37) % 97 AS INT) AS ts_key,
+       t.score AS score
+FROM ({_base}) t
+ORDER BY ts_key DESC, doc_id ASC LIMIT {_SORT_K}
 """.strip()
     out["explain_score"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), 1

@@ -29,6 +29,32 @@ import numpy as np
 
 BLOCK_SIZE = 256
 _TAIL_MARKER = 0xFF
+#: dense full-block doc section stored as a BITSET over the block's doc
+#: span instead of FOR-packed deltas (``Lucene104PostingsWriter.java:422-461``
+#: unary/bitset encoding): chosen whenever the bitset is smaller — hot
+#: (stopword-class) terms' blocks are doc-dense, so this shrinks exactly the
+#: lists the slowest queries decode, and unpackbits+flatnonzero decodes
+#: faster than unpack+cumsum. Markers 0xFE/0xFF cannot collide with a FOR
+#: width byte (<= 64).
+_BITSET_MARKER = 0xFE
+
+
+def _bitset_doc_section(docs: np.ndarray, base: int) -> bytes | None:
+    """[0xFE][span_bytes u16 LE][bitset] when smaller than the FOR form,
+    else None. Bit (doc - base) is set per doc; decode is positional, so the
+    block stays independently decodable from its own metadata."""
+    span = int(docs[-1]) - base + 1
+    nbytes = (span + 7) // 8
+    wd = _bit_width(np.diff(docs, prepend=base).astype(np.uint64))
+    for_bytes = 1 + (docs.size * wd + 7) // 8
+    if nbytes + 3 >= for_bytes or nbytes > 0xFFFF:
+        return None
+    bits = np.zeros(nbytes * 8, dtype=np.uint8)
+    bits[docs - base] = 1
+    return (
+        bytes([_BITSET_MARKER, nbytes & 0xFF, nbytes >> 8])
+        + np.packbits(bits, bitorder="little").tobytes()
+    )
 
 
 # ---------------------------------------------------------------- varint
@@ -205,6 +231,9 @@ def encode_block(
         [np.array([wn], dtype=np.uint8), for_pack(nb.astype(np.uint64), wn)]
     )
     if docs.size == BLOCK_SIZE:
+        bs = _bitset_doc_section(docs, int(prev_last_doc))
+        if bs is not None:
+            return bs + pfor_encode_freqs(fr) + norm_part.tobytes()
         wd = _bit_width(deltas.astype(np.uint64))
         return (
             bytes([wd])
@@ -263,6 +292,12 @@ def decode_block(
         vint_len = int(ends[last - 1]) + 1 if last > 0 else 0
         docs = np.cumsum(deltas) + prev_last_doc
         return docs, freqs, _norms(1 + vint_len)
+    if buf.size and buf[0] == _BITSET_MARKER:
+        nbytes = int(buf[1]) | (int(buf[2]) << 8)
+        bits = np.unpackbits(buf[3 : 3 + nbytes], bitorder="little")
+        docs = np.flatnonzero(bits).astype(np.int64) + prev_last_doc
+        freqs, off = pfor_decode_freqs(buf, 3 + nbytes, num_docs)
+        return docs, freqs, _norms(off)
     wd = int(buf[0])
     nd = (num_docs * wd + 7) // 8
     deltas = for_unpack(buf[1 : 1 + nd], wd, num_docs).astype(np.int64)
@@ -484,10 +519,14 @@ def encode_postings_batch(
                 )
             else:
                 fsec = bytes([int(eff_w[k])]) + fparts[k]
+            # dense-block bitset doc section (same choice rule as the scalar
+            # encode_block, so scalar/batch stay byte-identical)
+            bdocs = docs[bstarts[bid]:bends[bid]]
+            dsec = _bitset_doc_section(bdocs, int(bdocs[0]))
+            if dsec is None:
+                dsec = bytes([int(wd_a[k])]) + dparts[k]
             full_payload[bid] = (
-                bytes([int(wd_a[k])]) + dparts[k]
-                + fsec
-                + bytes([int(wn_a[k])]) + nparts[k]
+                dsec + fsec + bytes([int(wn_a[k])]) + nparts[k]
             )
 
     # ---- VInt body with freq folding over TAIL-block rows only

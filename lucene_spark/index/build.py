@@ -81,9 +81,36 @@ class IndexConfig:
     # store per-(term, doc) token positions (PhraseQuery support) — the
     # reference default IndexOptions for text fields includes positions
     positions: bool = True
+    # IndexWriterConfig.setIndexSort analog: name of a NUMERIC or TIMESTAMP
+    # metadata column (must be non-null); docIDs are then assigned in
+    # ascending order of that column (ties: conv_id, turn_idx) instead of
+    # (conv_id, turn_idx), so top-k-by-field queries on it early-terminate
+    # (search_sorted). Only the shuffle build path (build_index) honors it;
+    # the file-aligned build (build_index_files) takes doc order from the
+    # files and rejects the option.
+    index_sort: str | None = None
 
     def to_json(self) -> dict:
         return asdict(self)
+
+
+def _sort_key_col(df, field: str):
+    """int64 sort key for the index_sort column: micros for timestamps
+    (exact — Spark timestamps are micros), plain cast for integrals. The
+    pandas twin is _sort_key_np; both must order identically."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[field].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(field).cast("timestamp"))
+    return F.col(field).cast("long")
+
+
+def _sort_key_np(series: "pd.Series") -> "np.ndarray":
+    """pandas twin of _sort_key_col (int64, micros for datetimes)."""
+    if series.dtype.kind == "M":
+        return series.to_numpy("datetime64[us]").astype(np.int64)
+    return series.to_numpy(np.int64)
 
 
 # ------------------------------------------------------------------ manifest
@@ -128,8 +155,16 @@ def build_index(
     config = config or IndexConfig()
     manifest = load_manifest(index_dir) if resume else None
 
+    if config.index_sort and config.index_sort not in transcripts.columns:
+        raise ValueError(f"index_sort column {config.index_sort!r} not in input")
+
     if manifest is None:
-        boundaries = _compute_boundaries(transcripts, config.num_segments)
+        boundaries = (
+            _compute_sort_boundaries(transcripts, config.index_sort,
+                                     config.num_segments)
+            if config.index_sort
+            else _compute_boundaries(transcripts, config.num_segments)
+        )
         manifest = {
             "version": 1,
             "generation": 0,
@@ -145,7 +180,11 @@ def build_index(
         config = IndexConfig(**manifest["config"])
 
     n_shards = len(boundaries) + 1
-    assigned = _assign_shards(transcripts, boundaries)
+    assigned = (
+        _assign_shards_sorted(transcripts, boundaries, config.index_sort)
+        if config.index_sort
+        else _assign_shards(transcripts, boundaries)
+    )
 
     # shard -> row count (tiny collect; derives the dense docID offsets)
     counts_rows = assigned.groupBy("shard_id").count().collect()
@@ -177,7 +216,7 @@ def build_index(
         part = assigned.filter(F.col("shard_id").isin(pending))
         meta = part.groupBy("shard_id").applyInPandas(
             _make_segment_builder(index_dir, offsets, config.analyzer,
-                                  config.positions),
+                                  config.positions, config.index_sort),
             schema=SEGMENT_META_SCHEMA,
         )
         rows = meta.collect()
@@ -236,6 +275,52 @@ def _compute_boundaries(transcripts: DataFrame, num_segments: int,
     return sorted(set(bounds))
 
 
+def _compute_sort_boundaries(transcripts: DataFrame, field: str,
+                             num_segments: int,
+                             sample_target: int = 200) -> list[int]:
+    """index_sort twin of _compute_boundaries: quantile boundaries over the
+    int64 SORT KEY (micros for timestamps), from a bounded deterministic
+    hash sample — driver memory never exceeds the sample. Boundary placement
+    only affects balance; the global doc order (sort key, conv_id, turn_idx)
+    is fixed either way."""
+    key = _sort_key_col(transcripts, field).alias("k")
+    n = transcripts.count()
+    rate = n // max(num_segments * sample_target, 1)
+    src = transcripts.select(key, "conv_id")
+    if rate > 1:
+        src = src.filter(F.pmod(F.xxhash64("conv_id"), F.lit(rate)) == 0)
+    keys = sorted(r["k"] for r in src.select("k").collect()
+                  if r["k"] is not None)
+    if not keys:
+        return []
+    nseg = min(num_segments, len(keys))
+    bounds = []
+    for i in range(1, nseg):
+        bounds.append(int(keys[(len(keys) * i) // nseg]))
+    return sorted(set(bounds))
+
+
+def _assign_shards_sorted(transcripts: DataFrame, boundaries: list[int],
+                          field: str) -> DataFrame:
+    """Shard by the index_sort key: shard ranges ascend in the sort key, so
+    with offsets in shard order, global docID order == sort-key order."""
+    bnd = np.array(boundaries, dtype=np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def shard_of_key(k: pd.Series) -> pd.Series:
+        if bnd.size == 0:
+            return pd.Series(np.zeros(len(k), dtype=np.int32))
+        idx = np.searchsorted(bnd, k.to_numpy(np.int64), side="right")
+        return pd.Series(idx.astype(np.int32))
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    return transcripts.select(*cols).withColumn(
+        "shard_id", shard_of_key(_sort_key_col(transcripts, field))
+    )
+
+
 def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
     """Add shard_id via vectorized searchsorted over the frozen boundaries."""
     bnd = np.array(boundaries, dtype=object)
@@ -254,20 +339,21 @@ def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
 
 
 def _make_segment_builder(index_dir: str, offsets: dict[int, int],
-                          analyzer: str = "standard", positions: bool = False):
+                          analyzer: str = "standard", positions: bool = False,
+                          index_sort: str | None = None):
     """Returns the applyInPandas function building one segment per shard."""
 
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir,
-                                    positions)
+                                    positions, index_sort)
 
     return build_segment
 
 
 def _build_segment_frame(
     pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str,
-    positions: bool = False,
+    positions: bool = False, index_sort: str | None = None,
 ) -> pd.DataFrame:
     """Build one segment from an in-memory frame of transcript rows (the DWPT
     flush analog): tokenize, norms, docmap + block-encoded postings written
@@ -281,7 +367,14 @@ def _build_segment_frame(
 
     t0 = time.time()
 
-    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    if index_sort:
+        # Sorter.java analog: docIDs within the segment follow the sort key
+        # (shards already ascend in it), (conv_id, turn_idx) breaking ties
+        pdf = pdf.assign(_sk=_sort_key_np(pdf[index_sort])).sort_values(
+            ["_sk", "conv_id", "turn_idx"], kind="mergesort"
+        ).drop(columns="_sk").reset_index(drop=True)
+    else:
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
     n = len(pdf)
     doc_ids = offset + np.arange(n, dtype=np.int64)
 
@@ -540,6 +633,11 @@ def build_index_files(
     ``config.num_segments`` is ignored — the file layout decides.
     """
     config = config or IndexConfig()
+    if config.index_sort:
+        raise ValueError(
+            "index_sort needs the shuffle build (build_index): the "
+            "file-aligned path takes doc order from the input files"
+        )
     manifest = load_manifest(index_dir) if resume else None
 
     if manifest is None:

@@ -25,6 +25,68 @@ from pyspark.sql import functions as F
 from lucene_spark.index.build import load_manifest, write_manifest
 
 DELETES_DIR = "deletes"
+STAGING_DIR = "deletes_expunge_staging"
+
+
+def _range_delete_loader(staging: str):
+    """Per-task lazy loader of one segment-range's sorted tombstone array.
+
+    Reads only ``srange=<r>`` partitions of the staging parquet (pyarrow,
+    single-threaded — N workers x default thread pools thrash the box).
+    Tiny cache: the postings rewrite is pre-partitioned by segment and the
+    row tables are hive-partitioned by segment, so a task's batches touch
+    one (rarely a few) ranges."""
+    cache: dict[int, "object"] = {}
+
+    def load(rng: int):
+        import numpy as np
+
+        arr = cache.get(rng)
+        if arr is None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pa.set_cpu_count(1)
+            part = os.path.join(staging, f"srange={rng}")
+            if os.path.isdir(part):
+                t = pq.read_table(part, columns=["doc_id"], use_threads=False)
+                arr = np.sort(t.column("doc_id").to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+            else:
+                arr = np.empty(0, dtype=np.int64)
+            if len(cache) >= 8:
+                cache.clear()
+            cache[rng] = arr
+        return arr
+
+    return load
+
+
+def _remap_batch(ids, bounds, below, load):
+    """(keep_mask, new_ids) for a batch of docIDs under the closed-form
+    remap new_id = old_id - |{deleted < old_id}| (``DocIDMerger.java:73-99``
+    order-preserving semantics). |{deleted < id}| decomposes per segment
+    range: below[range] (deletes in earlier ranges, O(num_segments) driver
+    metadata) + searchsorted(range_dels, id) (this range's staged tombstones,
+    loaded executor-side). The driver never materializes the tombstone set."""
+    import numpy as np
+
+    ids = ids.astype(np.int64)
+    keep = np.ones(ids.size, dtype=bool)
+    new = ids.copy()
+    rng = np.searchsorted(bounds, ids, side="right") - 1
+    for r in np.unique(rng):
+        m = rng == r
+        arr = load(int(r))
+        sub = ids[m]
+        pos = np.searchsorted(arr, sub)
+        if arr.size:
+            hit = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == sub)
+        else:
+            hit = np.zeros(sub.size, dtype=bool)
+        keep[m] = ~hit
+        new[m] = sub - int(below[r]) - pos
+    return keep, new
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
@@ -57,9 +119,13 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     """forceMerge/expungeDeletes analog: rewrite the index WITHOUT the
     tombstoned docs, remapping docIDs densely like the reference's merge
     (``DocIDMerger.java:73-99``). The remap is order-preserving and
-    closed-form — new_id = old_id - |{deleted < old_id}| — evaluated
-    executor-side against the broadcast sorted tombstone array, so no
-    shuffle exists beyond the rewrites themselves:
+    closed-form — new_id = old_id - |{deleted < old_id}| — fully
+    executor-side: tombstones are staged to a per-segment-range parquet
+    (one distributed write), the driver holds only O(num_segments) metadata
+    (range bounds + cumulative below-counts), and each rewrite task lazily
+    loads just the staged ranges it touches (bounded by segment size — the
+    liveDocs-per-segment shape of the reference). A billion-row tombstone
+    set never materializes on the driver:
 
       docmap      filter + remap, per-row
       postings    per-block decode -> drop deleted -> remap -> re-encode
@@ -100,13 +166,47 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     dd = read_deletes(spark, index_dir)
     if dd is None or not manifest.get("has_deletes"):
         return manifest
-    dels = np.array(sorted(r["doc_id"] for r in dd.collect()), dtype=np.int64)
-    # tombstones outside the dense docID range would SHIFT the closed-form
-    # remap for every real doc (new_id = old_id - |{deleted < old_id}|) —
-    # drop them before anything else ("unknown docs ignored harmlessly")
-    total_docs = sum(int(v["num_docs"]) for v in manifest["completed"].values())
-    dels = dels[(dels >= 0) & (dels < total_docs)]
-    if dels.size == 0:
+
+    # segment doc-ranges — the ONLY thing the driver materializes is
+    # O(num_segments) metadata; the tombstone set itself never leaves the
+    # executors (round-2's sorted-collect remap was a driver OOM at
+    # GDPR-purge tombstone volumes)
+    ranges = sorted(
+        (int(v["doc_lo"]), int(v["num_docs"]))
+        for v in manifest["completed"].values()
+        if int(v["num_docs"]) > 0
+    )
+    total_docs = sum(n for _, n in ranges)
+    bounds = np.array([lo for lo, _ in ranges], dtype=np.int64)
+
+    # stage tombstones partitioned by owning segment range: each rewrite
+    # task later loads only the ranges it touches, bounded by segment size.
+    # Tombstones outside the dense docID range would SHIFT the closed-form
+    # remap for every real doc — drop them here ("unknown docs ignored
+    # harmlessly").
+    staging = os.path.join(index_dir, STAGING_DIR)
+
+    @F.pandas_udf("int")
+    def _srange(ids):
+        import numpy as np
+        import pandas as pd
+
+        a = ids.to_numpy(np.int64)
+        return pd.Series(np.searchsorted(bounds, a, side="right") - 1)
+
+    staged = dd.filter(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < total_docs)
+    ).select("doc_id", _srange(F.col("doc_id")).alias("srange"))
+    per_range = {
+        int(r["srange"]): int(r["n"])
+        for r in staged.groupBy("srange").agg(F.count("*").alias("n")).collect()
+    }  # O(num_segments) rows
+    below = np.zeros(len(ranges), dtype=np.int64)
+    acc = 0
+    for i in range(len(ranges)):
+        below[i] = acc
+        acc += per_range.get(i, 0)
+    if acc == 0:
         shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
         manifest["has_deletes"] = False
         manifest["generation"] += 1
@@ -116,6 +216,8 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             manifest["doc_layout"]["built_at_generation"] = manifest["generation"]
         write_manifest(index_dir, manifest)
         return manifest
+
+    staged.write.mode("overwrite").partitionBy("srange").parquet(staging)
 
     # two-phase commit: EVERY rewrite lands in a .expunge sibling first;
     # then the commit marker is written and the swaps all happen in
@@ -129,15 +231,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     dm_cols = [c for c in dm.columns if c != "segment"]
 
     def remap_docmap(batches):
+        load = _range_delete_loader(staging)
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(np.int64)
-            keep = np.ones(ids.size, dtype=bool)
-            pos = np.searchsorted(dels, ids)
-            hit = (pos < dels.size) & (dels[np.minimum(pos, dels.size - 1)] == ids)
-            keep &= ~hit
+            keep, new = _remap_batch(ids, bounds, below, load)
             out = pdf[keep].copy()
-            kid = out["doc_id"].to_numpy(np.int64)
-            out["doc_id"] = kid - np.searchsorted(dels, kid)
+            out["doc_id"] = new[keep]
             yield out
 
     tmp = dm_path + ".expunge"
@@ -157,16 +256,16 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             competitive_impacts, decode_block, encode_block,
         )
 
+        load = _range_delete_loader(staging)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 d, f, nb = decode_block(r.data, int(r.num_docs), int(r.first_doc))
-                pos = np.searchsorted(dels, d)
-                hit = (pos < dels.size) & (dels[np.minimum(pos, dels.size - 1)] == d)
-                if hit.all():
+                keep, new = _remap_batch(d, bounds, below, load)
+                if not keep.any():
                     continue
-                d2 = d[~hit] - np.searchsorted(dels, d[~hit])
-                f2, n2 = f[~hit], nb[~hit]
+                d2 = new[keep]
+                f2, n2 = f[keep], nb[keep]
                 imp_f, imp_n = competitive_impacts(f2, n2)
                 rows.append({
                     "term": r.term, "segment_id": r.segment_id,
@@ -193,7 +292,13 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
               "impact_freqs array<int>, impact_norms array<int>, term_bucket int")
     tmp = post_path + ".expunge"
     (
-        post.mapInPandas(rewrite_blocks, schema=schema)
+        # pre-partition by segment so each rewrite task loads exactly its
+        # own segments' staged tombstones (a term_bucket scan interleaves
+        # every segment, which would thrash the per-task range cache)
+        post.repartition(
+            max(spark.sparkContext.defaultParallelism, 1), "segment_id"
+        )
+        .mapInPandas(rewrite_blocks, schema=schema)
         .repartition(int(manifest["config"]["term_buckets"]), "term_bucket")
         .sortWithinPartitions("term", "segment_id", "block_id")
         .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
@@ -217,19 +322,17 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
                 competitive_impacts, decode_block, encode_block,
             )
 
+            load = _range_delete_loader(staging)
             for pdf in batches:
                 rows = []
                 for r in pdf.itertuples(index=False):
                     d, f, nb = decode_block(r.data, int(r.num_docs),
                                             int(r.first_doc))
-                    pos = np.searchsorted(dels, d)
-                    hit = (pos < dels.size) & (
-                        dels[np.minimum(pos, dels.size - 1)] == d
-                    )
-                    if hit.all():
+                    keep, new = _remap_batch(d, bounds, below, load)
+                    if not keep.any():
                         continue
-                    d2 = d[~hit] - np.searchsorted(dels, d[~hit])
-                    f2, n2 = f[~hit], nb[~hit]
+                    d2 = new[keep]
+                    f2, n2 = f[keep], nb[keep]
                     imp_f, imp_n = competitive_impacts(f2, n2)
                     rows.append({
                         "term": r.term, "segment_id": r.segment_id,
@@ -260,15 +363,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         pl = spark.read.parquet(pos_local)
 
         def remap_pos_local(batches):
+            load = _range_delete_loader(staging)
             for pdf in batches:
                 ids = pdf["doc_id"].to_numpy(np.int64)
-                pos_ = np.searchsorted(dels, ids)
-                hit = (pos_ < dels.size) & (
-                    dels[np.minimum(pos_, dels.size - 1)] == ids
-                )
-                out = pdf[~hit].copy()
-                kid = out["doc_id"].to_numpy(np.int64)
-                out["doc_id"] = kid - np.searchsorted(dels, kid)
+                keep, new = _remap_batch(ids, bounds, below, load)
+                out = pdf[keep].copy()
+                out["doc_id"] = new[keep]
                 yield out
 
         tmp = pos_local + ".expunge"
@@ -284,13 +384,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         ptab = spark.read.parquet(pos_path)
 
         def remap_pos(batches):
+            load = _range_delete_loader(staging)
             for pdf in batches:
                 ids = pdf["doc_id"].to_numpy(np.int64)
-                pos_ = np.searchsorted(dels, ids)
-                hit = (pos_ < dels.size) & (dels[np.minimum(pos_, dels.size - 1)] == ids)
-                out = pdf[~hit].copy()
-                kid = out["doc_id"].to_numpy(np.int64)
-                out["doc_id"] = kid - np.searchsorted(dels, kid)
+                keep, new = _remap_batch(ids, bounds, below, load)
+                out = pdf[keep].copy()
+                out["doc_id"] = new[keep]
                 yield out
 
         tmp = pos_path + ".expunge"
@@ -392,6 +491,9 @@ def _finish_expunge(spark: SparkSession, index_dir: str, manifest: dict,
     deletes_dir = os.path.join(index_dir, DELETES_DIR)
     if os.path.exists(deletes_dir):
         shutil.rmtree(deletes_dir)
+    staging_dir = os.path.join(index_dir, STAGING_DIR)
+    if os.path.exists(staging_dir):
+        shutil.rmtree(staging_dir)
     manifest["has_deletes"] = False
     manifest["expunged"] = True
     manifest["generation"] += 1

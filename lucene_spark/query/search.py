@@ -168,12 +168,24 @@ class IndexSearcher:
         #: deleted docs until merge (reference semantics), results drop them
         self.has_deletes = bool(manifest.get("has_deletes"))
         self._deletes_df: DataFrame | None = None
+        self._deletes_count: int | None = None
+
+    #: above this many tombstones the anti-join falls back from broadcast
+    #: (driver+executor copies of the whole set) to a shuffle anti-join —
+    #: ~16 MB of long ids; a merge/expunge is still the right answer once
+    #: deletes grow large, but search must not OOM before the caller gets
+    #: around to it
+    BROADCAST_DELETES_MAX = 2_000_000
+
+    #: smallest docID prefix/suffix the sorted early-termination probes
+    #: (below this the fixed per-job overhead dominates any saved decode)
+    SORTED_PROBE_MIN_SPAN = 4096
 
     def _live(self, df: DataFrame | None) -> DataFrame | None:
-        """Anti-join tombstoned docs out of a (doc_id, ...) frame. The
-        tombstone set is broadcast (sized for operational delete volumes;
-        a merge is the answer once deletes grow large, as in the
-        reference)."""
+        """Anti-join tombstoned docs out of a (doc_id, ...) frame. Small
+        tombstone sets broadcast (one count job, cached per searcher);
+        large ones shuffle anti-join so no single executor materializes
+        the full set."""
         if df is None or not self.has_deletes:
             return df
         if self._deletes_df is None:
@@ -182,7 +194,10 @@ class IndexSearcher:
             if self._deletes_df is None:
                 self.has_deletes = False
                 return df
-        return df.join(F.broadcast(self._deletes_df), "doc_id", "left_anti")
+            self._deletes_count = self._deletes_df.count()
+        if self._deletes_count <= self.BROADCAST_DELETES_MAX:
+            return df.join(F.broadcast(self._deletes_df), "doc_id", "left_anti")
+        return df.join(self._deletes_df, "doc_id", "left_anti")
 
     # ------------------------------------------------------------ stats
 
@@ -524,6 +539,22 @@ class IndexSearcher:
         else:
             fields = list(sort_field)
         q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        # sort-congruent index (IndexWriterConfig.setIndexSort): docID order
+        # == sort-key order, so top-k-by-field early-terminates on a docID
+        # prefix/suffix instead of scanning every match
+        # (TopFieldCollector.java:37 early termination re-expressed as
+        # block-metadata range pruning). Appends break the order (manifest
+        # "ordered" false) and disable the path; expunge preserves it.
+        isort = self.manifest["config"].get("index_sort")
+        if (
+            isort
+            and self.manifest.get("ordered", True)
+            and len(fields) == 1
+            and fields[0][0] == isort
+            and (isinstance(q, (MatchAllDocsQuery, TermQuery))
+                 or (isinstance(q, BooleanQuery) and self._is_flat(q)))
+        ):
+            return self._search_sorted_early(q, isort, k, fields[0][1])
         scored = self._live(self._execute(q, np.float32(1.0)))
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
@@ -538,6 +569,87 @@ class IndexSearcher:
             .limit(k)
             .select("doc_id", *meta, "score")
         )
+
+    def _search_sorted_early(self, q: Query, field: str, k: int,
+                             ascending: bool) -> DataFrame:
+        """Early-terminating top-k-by-field over a sort-congruent index: the
+        k smallest (asc) / largest (desc) matching docIDs ARE the top-k by
+        the indexed field (docID order == sort-key order, doc_id breaking
+        ties exactly as the exhaustive path does). Probes an expanding docID
+        prefix/suffix — blocks wholly outside the range are never decoded
+        (first_doc/last_doc metadata filter, pushed to the parquet scan) —
+        growing 8x until k matches are found or the probe covers the index.
+        Exact by construction: each probe's match set is complete within its
+        range, so the first range holding >= k matches yields the global
+        top-k."""
+        n = self.doc_count
+        est = max(self._match_estimate(q), 1)
+        span = min(max(self.SORTED_PROBE_MIN_SPAN, (n * k * 4) // est + 1), n)
+        dm = self.docmap()
+        keys = (
+            [F.asc(field), F.asc("doc_id")] if ascending
+            else [F.desc(field), F.asc("doc_id")]
+        )
+
+        def probe(lo: int, hi: int):
+            if isinstance(q, MatchAllDocsQuery):
+                scored = dm.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+                ).select("doc_id", F.lit(1.0).cast("float").alias("score"))
+            else:
+                qq = q if isinstance(q, BooleanQuery) else BooleanQuery(must=[q])
+                scored = self._flat_boolean(qq, np.float32(1.0),
+                                            doc_lo=lo, doc_hi=hi)
+            scored = self._live(scored)
+            with_f = scored.join(
+                dm.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+                .select("doc_id", field),
+                "doc_id",
+            ).select("doc_id", field, "score")
+            return with_f.orderBy(*keys).limit(k)
+
+        schema = None
+        while True:
+            lo, hi = (0, span - 1) if ascending else (n - span, n - 1)
+            top = probe(lo, hi)
+            schema = top.schema
+            rows = top.collect()
+            if len(rows) < k and span < n:
+                span = min(span * 8, n)
+                continue
+            # DESC tie fix: the exhaustive order breaks field ties by doc_id
+            # ASC, but a docID-SUFFIX probe sees only the run's largest ids —
+            # if the kth value's tie run starts below lo, extend the range to
+            # the run's true start and re-probe (ASC is congruent as-is:
+            # a tie run split at hi continues with larger doc_ids, which the
+            # tie-break orders after the in-range ones anyway).
+            if not ascending and len(rows) == k and lo > 0:
+                vk = rows[-1][field]
+                lo2row = dm.filter(F.col(field) >= vk).agg(
+                    F.min("doc_id").alias("lo")).first()
+                lo2 = int(lo2row["lo"]) if lo2row["lo"] is not None else lo
+                if lo2 < lo:
+                    rows = probe(lo2, hi).collect()
+            break
+        return self.spark.createDataFrame(rows, schema)
+
+    def _match_estimate(self, q: Query) -> int:
+        """Upper-ish estimate of |matches| from term_dict df metadata alone
+        (sizes the first early-termination probe; correctness never depends
+        on it). Required conjunction: min clause df; pure disjunction: sum
+        of clause dfs capped at doc_count; MatchAll: doc_count."""
+        if isinstance(q, MatchAllDocsQuery):
+            return self.doc_count
+        if isinstance(q, TermQuery):
+            st = self.term_stats([q.term])
+            return st.get(q.term, (0, 0))[0]
+        req = [c.term for c in (list(q.must) + list(q.filter))
+               if isinstance(c, TermQuery)]
+        opt = [c.term for c in q.should if isinstance(c, TermQuery)]
+        st = self.term_stats(req + opt)
+        if req:
+            return min(st.get(t, (0, 0))[0] for t in req)
+        return min(sum(st.get(t, (0, 0))[0] for t in opt), self.doc_count)
 
     def explain(self, query: Query, doc_id: int) -> dict:
         """Score breakdown for one (query, doc) — the ``Weight#explain`` /
@@ -1772,13 +1884,23 @@ class IndexSearcher:
         return j.filter(present)
 
     def _phrase_core(
-        self, slots: list[tuple[str, ...]], slop: int, w: np.float32
+        self, slots: list[tuple[str, ...]], slop: int, w: np.float32,
+        matcher: str = "sloppy",
     ) -> DataFrame | None:
         """Shared phrase engine: slot-position assembly (ONE shuffle — the
         round-1 plan chained N-1 joins on doc_id) followed by matching.
-        slop=0 applies the JVM adjacency filter; slop>0 runs the ordered
-        greedy sloppy matcher (see PhraseQuery docstring) in a vectorized
-        UDF over the tiny matched frame."""
+        slop=0 applies the JVM adjacency filter; slop>0 runs, per doc, the
+        ``matcher``:
+
+          "sloppy"  — the reference's SloppyPhraseMatcher queue semantics
+                      (reordering allowed: "b a"~2 matches "a b"; repeated
+                      terms occupy distinct positions) —
+                      ``functions/sloppy.py``, PhraseQuery's matcher.
+          "ordered" — strictly in-order greedy next-occurrence matching
+                      (SpanNearQuery(ordered) semantics: spans may not
+                      reorder), the round-2 matcher, retained for spans.
+
+        Both run in a vectorized UDF over the tiny matched frame."""
         n_slots = len(slots)
         j = self._slot_position_frame(slots)
         if slop == 0 and n_slots == 1:
@@ -1795,10 +1917,34 @@ class IndexSearcher:
             matched = j.select("doc_id", freq.alias("freq")).filter(
                 F.col("freq") > 0
             )
+        elif matcher == "sloppy":
+            n_s, sl_budget = n_slots, int(slop)
+            groups: dict[tuple[str, ...], list[int]] = {}
+            for i, sl in enumerate(slots):
+                groups.setdefault(tuple(sl), []).append(i)
+            rpt = [g for g in groups.values() if len(g) > 1]
+
+            def sloppy(batches):
+                from lucene_spark.functions.sloppy import sloppy_freq
+
+                for pdf in batches:
+                    docs_out = pdf["doc_id"].to_numpy(np.int64)
+                    freqs = np.zeros(len(pdf), dtype=np.float64)
+                    cols = [pdf[f"p{i}"].to_numpy(object) for i in range(n_s)]
+                    for r in range(len(pdf)):
+                        freqs[r] = sloppy_freq(
+                            [list(cols[i][r]) for i in range(n_s)],
+                            sl_budget, rpt,
+                        )
+                    yield pd.DataFrame({"doc_id": docs_out, "freq": freqs})
+
+            matched = j.mapInPandas(
+                sloppy, schema="doc_id long, freq double"
+            ).filter(F.col("freq") > 0)
         else:
             n_s, sl_budget = n_slots, int(slop)
 
-            def sloppy(batches):
+            def ordered(batches):
                 for pdf in batches:
                     docs_out = pdf["doc_id"].to_numpy(np.int64)
                     freqs = np.zeros(len(pdf), dtype=np.float64)
@@ -1822,7 +1968,7 @@ class IndexSearcher:
                     yield pd.DataFrame({"doc_id": docs_out, "freq": freqs})
 
             matched = j.mapInPandas(
-                sloppy, schema="doc_id long, freq double"
+                ordered, schema="doc_id long, freq double"
             ).filter(F.col("freq") > 0)
         return self._score_freq_frame(matched, w)
 
@@ -1840,7 +1986,10 @@ class IndexSearcher:
             boost, [self.sim.idf(stats[t][0], self.doc_count) for t in terms]
         )
         if q.in_order:
-            return self._phrase_core([(t,) for t in terms], int(q.slop), w)
+            # ordered spans may NOT reorder — keep the in-order greedy
+            # matcher (PhraseQuery slop uses the reordering sloppy matcher)
+            return self._phrase_core([(t,) for t in terms], int(q.slop), w,
+                                     matcher="ordered")
         if len(terms) != 2:
             raise ValueError("unordered span_near supports exactly 2 terms")
         j = self._slot_position_frame([(terms[0],), (terms[1],)])
@@ -1981,7 +2130,9 @@ class IndexSearcher:
 
     def _scan_and_score(self, clauses: list[_Clause], block_pred=None,
                         block_keys: DataFrame | None = None,
-                        keyed_terms: list[str] | None = None) -> DataFrame:
+                        keyed_terms: list[str] | None = None,
+                        doc_lo: int | None = None,
+                        doc_hi: int | None = None) -> DataFrame:
         """ONE postings scan scoring every clause: emits
         (clause_id, doc_id, score float32). ``block_pred`` (optional) is a
         Column predicate over block metadata — including the per-block
@@ -1989,7 +2140,11 @@ class IndexSearcher:
         blocks that cannot reach the top-k threshold. ``block_keys`` +
         ``keyed_terms`` (optional) restrict the listed terms to the given
         (term, segment_id, block_id) keys via a semi join (docID-driven
-        conjunction skipping); other terms scan in full."""
+        conjunction skipping); other terms scan in full. ``doc_lo``/
+        ``doc_hi`` (optional) restrict matching to a docID range: blocks
+        wholly outside it are never decoded (metadata filter, pushed to the
+        parquet scan), decoded docs outside it are dropped — the
+        sorted-index early-termination restriction (exact within range)."""
         present = [c for c in clauses]
         terms = sorted({c.term for c in present})
         buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
@@ -2009,6 +2164,10 @@ class IndexSearcher:
             scan = pruned.unionByName(rest)
         if block_pred is not None:
             scan = scan.withColumn("ubu", self._impact_ub_unit()).filter(block_pred)
+        if doc_hi is not None:
+            scan = scan.filter(F.col("first_doc") <= doc_hi)
+        if doc_lo is not None:
+            scan = scan.filter(F.col("last_doc") >= doc_lo)
         scan = scan.select("term", "num_docs", "first_doc", "data")
         # spread the (compressed) blocks across the cluster before decoding:
         # one term's blocks are contiguous in one bucket file, so without
@@ -2044,11 +2203,18 @@ class IndexSearcher:
                         }
                     )
 
-        return scan.mapInPandas(decode_score, schema=_CLAUSE_SCHEMA)
+        out = scan.mapInPandas(decode_score, schema=_CLAUSE_SCHEMA)
+        if doc_hi is not None:
+            out = out.filter(F.col("doc_id") <= doc_hi)
+        if doc_lo is not None:
+            out = out.filter(F.col("doc_id") >= doc_lo)
+        return out
 
     def _flat_boolean(self, q: BooleanQuery, boost: np.float32,
                       block_pred=None, block_keys: DataFrame | None = None,
-                      keyed_terms: list[str] | None = None) -> DataFrame | None:
+                      keyed_terms: list[str] | None = None,
+                      doc_lo: int | None = None,
+                      doc_hi: int | None = None) -> DataFrame | None:
         clauses = self._clauses_of(q, boost)
         n_must = sum(1 for c in clauses if c.kind == "must")
         n_filter = sum(1 for c in clauses if c.kind == "filter")
@@ -2060,9 +2226,10 @@ class IndexSearcher:
         # avoided shuffle dominates query latency)
         if len(clauses) == 1 and clauses[0].kind in ("must", "should"):
             return self._scan_and_score(
-                clauses, block_pred, block_keys, keyed_terms
+                clauses, block_pred, block_keys, keyed_terms, doc_lo, doc_hi
             ).select("doc_id", "score")
-        matched = self._scan_and_score(clauses, block_pred, block_keys, keyed_terms)
+        matched = self._scan_and_score(clauses, block_pred, block_keys,
+                                       keyed_terms, doc_lo, doc_hi)
 
         kinds = {c.clause_id: c.kind for c in clauses}
         kind_expr = F.create_map(

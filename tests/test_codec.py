@@ -133,3 +133,63 @@ def test_batch_skyline_matches_scalar():
             assert out["impact_norms"][j] == exp_n, (ti, j)
             j += 1
     assert j == len(out["impact_freqs"])
+
+
+def test_bitset_dense_block_roundtrip_and_size():
+    """Dense full blocks encode their doc section as a bitset
+    (Lucene104PostingsWriter.java:422-461 unary/bitset form): round-trips
+    exactly, engages exactly when smaller than FOR, and scalar/batch stay
+    byte-identical."""
+    from lucene_spark.functions.codec import (
+        _BITSET_MARKER, encode_postings_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    # dense: 256 docs inside a 300-wide range -> bitset (38B) beats FOR
+    docs_dense = np.sort(rng.choice(300, size=256, replace=False)) + 1000
+    # sparse: 256 docs over 10^6 -> FOR stays
+    docs_sparse = np.sort(rng.choice(10**6, size=256, replace=False))
+    freqs = rng.integers(1, 50, size=256)
+    norms = rng.integers(0, 256, size=256)
+
+    dense = encode_block(docs_dense, freqs, int(docs_dense[0]), norms)
+    sparse = encode_block(docs_sparse, freqs, int(docs_sparse[0]), norms)
+    assert dense[0] == _BITSET_MARKER
+    assert sparse[0] != _BITSET_MARKER
+    for docs, data in ((docs_dense, dense), (docs_sparse, sparse)):
+        d, f, nb = decode_block(data, 256, int(docs[0]))
+        np.testing.assert_array_equal(d, docs)
+        np.testing.assert_array_equal(f, freqs)
+        np.testing.assert_array_equal(nb, norms)
+    # the dense form is actually smaller than the FOR form would be
+    wd = int(np.diff(docs_dense, prepend=docs_dense[0]).max()).bit_length()
+    assert len(dense) < len(sparse)  # same freqs/norms, doc section shrank
+    assert (len(dense) - (len(sparse) - (1 + (256 * wd + 7) // 8))) < 256
+
+    # batch/scalar byte identity across dense + sparse + tail blocks
+    sizes = [256, 256, 300, 40]
+    blocks_docs = [docs_dense, docs_sparse,
+                   np.sort(rng.choice(400, size=300, replace=False)) + 5000,
+                   np.sort(rng.choice(10**5, size=40, replace=False))]
+    total = sum(sizes)
+    ends = np.cumsum(sizes)
+    starts = ends - np.asarray(sizes)
+    docs_all = np.concatenate(blocks_docs)
+    freqs_all = rng.integers(1, 50, size=total)
+    norms_all = rng.integers(0, 256, size=total)
+    out = encode_postings_batch(docs_all, freqs_all, norms_all, starts, ends)
+    j = 0
+    for s, e in zip(starts, ends):
+        for lo in range(s, e, BLOCK_SIZE):
+            hi = min(lo + BLOCK_SIZE, e)
+            if hi - lo == BLOCK_SIZE:  # tail layouts differ by design
+                scalar = encode_block(
+                    docs_all[lo:hi], freqs_all[lo:hi],
+                    int(docs_all[lo]), norms_all[lo:hi])
+                assert bytes(out["data"][j]) == scalar, (s, lo)
+            d, f, nb = decode_block(bytes(out["data"][j]), hi - lo,
+                                    int(docs_all[lo]))
+            np.testing.assert_array_equal(d, docs_all[lo:hi])
+            np.testing.assert_array_equal(f, freqs_all[lo:hi])
+            np.testing.assert_array_equal(nb, norms_all[lo:hi])
+            j += 1

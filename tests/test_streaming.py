@@ -303,6 +303,77 @@ def test_expunge_deletes_equals_fresh_build(spark, tmp_path_factory):
     assert se.count(TermQuery(term)) == sf.count(TermQuery(term))
 
 
+def test_expunge_never_collects_tombstones_to_driver(spark, tmp_path_factory):
+    """The round-2 scale-killer: expunge_deletes collected the full tombstone
+    set to the driver. Pin the fix — during expunge, every driver collect()
+    stays O(num_segments); the tombstone set moves only through the staged
+    per-range parquet that rewrite tasks read executor-side. Also pins the
+    search-side threshold: a tombstone set above BROADCAST_DELETES_MAX must
+    anti-join without a broadcast hint."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.check import check_index
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    work = tmp_path_factory.mktemp("expunge_collect")
+    pdf = generate_pandas(n_convs=40, seed=11)
+    cfg = IndexConfig(num_segments=3, term_buckets=4)
+    idx = str(work / "idx")
+    build_index(spark, spark.createDataFrame(pdf), idx, cfg)
+    merge_index(spark, idx)
+    s0 = IndexSearcher(spark, idx)
+    n_docs = s0.doc_count
+    victims = s0.docmap().filter(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 1).select("doc_id")
+    n_victims = victims.count()
+    assert n_victims > 3 * cfg.num_segments  # collect cap must be binding
+    delete_docs(spark, idx, victims)
+
+    # search-side: force the shuffle fallback and check results + plan
+    s1 = IndexSearcher(spark, idx)
+    s1.BROADCAST_DELETES_MAX = 0
+    term = s1.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    from lucene_spark.query.ast import TermQuery
+    live = s1._live(s1.docmap())
+    # above the threshold the plan carries NO forced-broadcast hint — the
+    # optimizer (AQE) is free to pick shuffle once the set is actually big
+    # (at this test's scale it still auto-broadcasts; that's its call)
+    logical = live._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in logical
+    # prove the probe detects hints: an explicitly hinted twin must show one
+    hinted = s1.docmap().join(
+        F.broadcast(s1._deletes_df), "doc_id", "left_anti")
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    analyzed = live._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower(), analyzed
+    assert live.count() == n_docs - n_victims
+    assert s1.search(TermQuery(term), 5).count() == 5
+
+    # expunge-side: every collect during the rewrite stays O(num_segments)
+    sizes = []
+    cls = type(spark.range(1))  # the concrete DataFrame class in use
+    orig = cls.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    cls.collect = counting_collect
+    try:
+        expunge_deletes(spark, idx)
+    finally:
+        cls.collect = orig
+    cap = 3 * cfg.num_segments
+    assert sizes and max(sizes) <= cap, sizes
+    assert check_index(spark, idx)["ok"]
+    s2 = IndexSearcher(spark, idx)
+    assert s2.doc_count == n_docs - n_victims
+
+
 def test_append_batch_replay_is_idempotent(spark, tmp_path_factory):
     """A re-delivered micro-batch (same batch_id) must change NOTHING:
     no duplicate postings rows, no double-counted term_dict stats, no

@@ -1,0 +1,94 @@
+"""Large-tombstone expunge check: >=10^6 deletes through expunge_deletes.
+
+Evidence for the executor-side remap (index/deletes.py): the round-2
+implementation collected the full tombstone set to the driver, which a
+GDPR-purge-sized delete (10^9 rows at corpus scale) would OOM. This script
+builds a >=10^6-turn transcript index, tombstones >=10^6 docs, expunges,
+and verifies the result (check_index + doc counts + a live query), timing
+each phase. Run:
+
+    python tools/expunge_scale_check.py [n_convs] [delete_every]
+
+Defaults: n_convs=140000 (~2.3M turns), delete_every=2 (~1.15M tombstones).
+The unit-test twin (test_expunge_never_collects_tombstones_to_driver)
+pins the O(num_segments) driver-collect cap; this script demonstrates the
+volume end of the same contract.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 140_000
+    delete_every = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index_files
+    from lucene_spark.index.check import check_index
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+    from lucene_spark.sources.transcripts import generate_distributed
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="expunge-scale-check", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    work = tempfile.mkdtemp(prefix="expunge_scale_")
+    out = {"n_convs": n_convs, "delete_every": delete_every}
+    try:
+        corpus = os.path.join(work, "corpus")
+        generate_distributed(
+            spark, n_convs=n_convs, seed=7, partitions=2 * cpus
+        ).write.mode("overwrite").parquet(corpus)
+
+        idx = os.path.join(work, "idx")
+        t0 = time.time()
+        build_index_files(spark, corpus, idx,
+                          IndexConfig(term_buckets=cpus, hot_term_df=1 << 16))
+        merge_index(spark, idx)
+        out["build_s"] = round(time.time() - t0, 2)
+
+        s = IndexSearcher(spark, idx)
+        out["n_docs"] = s.doc_count
+        victims = s.docmap().filter(
+            F.pmod(F.col("doc_id"), F.lit(delete_every)) == 0
+        ).select("doc_id")
+        n_victims = victims.count()
+        out["n_deletes"] = n_victims
+        assert n_victims >= 1_000_000, (
+            f"corpus too small for the 10^6-tombstone check: {n_victims}")
+
+        t0 = time.time()
+        delete_docs(spark, idx, victims)
+        out["delete_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        expunge_deletes(spark, idx)
+        out["expunge_s"] = round(time.time() - t0, 2)
+
+        chk = check_index(spark, idx)
+        out["check_ok"] = bool(chk["ok"])
+        s2 = IndexSearcher(spark, idx)
+        out["n_docs_after"] = s2.doc_count
+        assert s2.doc_count == out["n_docs"] - n_victims
+        term = s2.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+        out["probe_hits"] = s2.search(TermQuery(term), 10).count()
+        assert out["probe_hits"] == 10
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

