@@ -1,0 +1,115 @@
+"""Sloppy-phrase matching with Lucene's full semantics — reordering allowed.
+
+Re-implements the BEHAVIOR of the reference's sloppy matcher
+(``core/search/SloppyPhraseMatcher.java:52``; algorithm described in the
+class javadoc and the PhrasePositions queue design): phrase slot i's token
+positions are ADJUSTED by -i (``PhrasePositions.position = pos - offset``),
+a min-queue over the adjusted streams repeatedly advances the smallest
+stream while it stays <= the second smallest (minimizing the window), and
+each time the smallest overtakes, the best window length
+``matchLength = end - min`` emits a match when <= slop with weight
+``sloppyFreq = 1 / (1 + matchLength)`` (``BM25Similarity``/
+``TFIDFSimilarity#sloppyFreq``). Because positions are offset-adjusted,
+out-of-order occurrences match when the total displacement fits the slop —
+``"b a"~2`` matches text "a b" (matchLength 2), the reference behavior the
+round-2 ordered-greedy matcher documented as a divergence.
+
+Repeated phrase terms: pps of the same term must sit on distinct RAW
+positions (``SloppyPhraseMatcher.advanceRpts`` collision rule); on
+collision the advancing stream keeps advancing.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+
+def sloppy_match_lengths(position_lists: list[list[int]], slop: int,
+                         repeat_groups: list[list[int]] | None = None
+                         ) -> list[int]:
+    """Match lengths (each <= slop) emitted by the queue algorithm for one
+    doc. ``position_lists[i]`` = sorted raw token positions of slot i;
+    ``repeat_groups`` = slot-index groups sharing one term (their streams
+    may not occupy the same raw position)."""
+    n = len(position_lists)
+    if n == 0 or any(not p for p in position_lists):
+        return []
+    adjusted = [[p - i for p in position_lists[i]] for i in range(n)]
+    group_of = {}
+    if repeat_groups:
+        for g, slots in enumerate(repeat_groups):
+            for s in slots:
+                group_of[s] = g
+    idx = [0] * n
+    cur = [adjusted[i][0] for i in range(n)]
+
+    def raw(i: int) -> int:
+        return cur[i] + i
+
+    def collides(i: int, upto: int | None = None) -> bool:
+        g = group_of.get(i)
+        if g is None:
+            return False
+        lim = n if upto is None else upto
+        return any(
+            j != i and j < lim and group_of.get(j) == g
+            and idx[j] < len(adjusted[j]) and raw(j) == raw(i)
+            for j in range(n)
+        )
+
+    def advance(i: int) -> bool:
+        while True:
+            idx[i] += 1
+            if idx[i] >= len(adjusted[i]):
+                return False
+            cur[i] = adjusted[i][idx[i]]
+            if not collides(i):
+                return True
+
+    # init: place streams on distinct raw positions, resolving collisions
+    # by advancing the LATER slot (the reference positions repeat-group pps
+    # in offset order, earlier offsets keeping their position)
+    for i in range(n):
+        while collides(i, upto=i):
+            idx[i] += 1
+            if idx[i] >= len(adjusted[i]):
+                return []
+            cur[i] = adjusted[i][idx[i]]
+
+    if n == 1:
+        return [0] * len(position_lists[0])
+
+    heap = [(cur[i], i) for i in range(n)]
+    heapq.heapify(heap)
+    end = max(cur)
+    out: list[int] = []
+    pos_, i = heapq.heappop(heap)
+    match_len = end - pos_
+    nxt = heap[0][0]
+    while True:
+        if not advance(i):
+            break
+        p = cur[i]
+        if p > end:
+            end = p
+        if p > nxt:
+            heapq.heappush(heap, (p, i))
+            if match_len <= slop:
+                out.append(match_len)
+            pos_, i = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_len = end - pos_
+        elif end - p < match_len:
+            match_len = end - p
+    if match_len <= slop:
+        out.append(match_len)
+    return out
+
+
+def sloppy_freq(position_lists: list[list[int]], slop: int,
+                repeat_groups: list[list[int]] | None = None) -> float:
+    """Sum of 1/(1+matchLength) over emitted matches (PhraseScorer freq)."""
+    return sum(
+        1.0 / (1.0 + ml)
+        for ml in sloppy_match_lengths(position_lists, slop, repeat_groups)
+    )

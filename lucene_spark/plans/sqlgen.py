@@ -368,10 +368,15 @@ def sloppy_phrase_topk_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """Two-term sloppy phrase twin (ordered greedy semantics, see
-    PhraseQuery AST docstring): for each occurrence a of term0, b = the
-    NEXT occurrence of term1 after a; a match with gap b-a-1 <= slop
-    contributes sloppyFreq = 1/(b-a). Same idf/weight as the exact phrase."""
+    """Two-term sloppy phrase twin with the reference's FULL
+    SloppyPhraseMatcher semantics (reordering allowed — "b a"~2 matches
+    "a b"): the PhrasePositions queue walk is replayed as a RECURSIVE CTE.
+    Per doc, slot streams are the offset-ADJUSTED sorted position lists
+    (la = positions of term0, lb = positions of term1 minus 1); the walk
+    advances the smaller stream, minimizing matchLength = end - min, and
+    every overtake (and exhaustion) emits 1/(1+matchLength) when <= slop.
+    Emission order is the engine's, so the float64 freq accumulates
+    bit-identically. Same idf/weight as the exact phrase."""
     if len(terms) != 2:
         raise ValueError("SQL twin implemented for 2-term sloppy phrases")
     t0, t1 = terms
@@ -384,8 +389,9 @@ def sloppy_phrase_topk_sql(
         for j in range(2)
     )
     score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    emit = f"CASE WHEN ml <= {slop} THEN 1.0 / (1.0 + ml) ELSE 0.0 END"
     return f"""
-WITH {corpus_ctes(table, id_col, text_col)},
+WITH RECURSIVE {corpus_ctes(table, id_col, text_col)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),
@@ -395,17 +401,47 @@ tokarr AS (
 pos AS (
   SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS p FROM tokarr
 ),
-nxt AS (
-  SELECT a.doc_id, a.p AS pa, min(b.p) AS pb
-  FROM (SELECT doc_id, p FROM pos WHERE term = '{t0}') a
-  JOIN (SELECT doc_id, p FROM pos WHERE term = '{t1}') b
-    ON b.doc_id = a.doc_id AND b.p > a.p
-  GROUP BY a.doc_id, a.p
+streams AS (
+  SELECT a.doc_id, a.ps AS la, b.ps AS lb
+  FROM (SELECT doc_id, list_sort(list(p)) AS ps
+        FROM pos WHERE term = '{t0}' GROUP BY doc_id) a
+  JOIN (SELECT doc_id, list_sort(list(p - 1)) AS ps
+        FROM pos WHERE term = '{t1}' GROUP BY doc_id) b
+  USING (doc_id)
+),
+walk AS (
+  SELECT doc_id, la, lb, 1 AS ai, 1 AS bi,
+         CASE WHEN la[1] <= lb[1] THEN 0 ELSE 1 END AS act,
+         greatest(la[1], lb[1]) AS end_,
+         greatest(la[1], lb[1]) - least(la[1], lb[1]) AS ml,
+         CAST(0 AS DOUBLE) AS freq, FALSE AS done
+  FROM streams
+  UNION ALL
+  SELECT doc_id, la, lb,
+         CASE WHEN exhausted THEN ai
+              WHEN act = 0 THEN ai + 1 ELSE ai END AS ai,
+         CASE WHEN exhausted THEN bi
+              WHEN act = 1 THEN bi + 1 ELSE bi END AS bi,
+         CASE WHEN exhausted THEN act
+              WHEN p > nxt THEN 1 - act ELSE act END AS act,
+         CASE WHEN exhausted THEN end_ ELSE greatest(end_, p) END AS end_,
+         CASE WHEN exhausted THEN ml
+              WHEN p > nxt THEN greatest(end_, p) - nxt
+              ELSE least(ml, greatest(end_, p) - p) END AS ml,
+         CASE WHEN exhausted OR p > nxt THEN freq + {emit}
+              ELSE freq END AS freq,
+         exhausted AS done
+  FROM (
+    SELECT *,
+           (CASE WHEN act = 0 THEN ai + 1 > len(la)
+                 ELSE bi + 1 > len(lb) END) AS exhausted,
+           (CASE WHEN act = 0 THEN la[ai + 1] ELSE lb[bi + 1] END) AS p,
+           (CASE WHEN act = 0 THEN lb[bi] ELSE la[ai] END) AS nxt
+    FROM walk WHERE NOT done
+  )
 ),
 pf AS (
-  SELECT doc_id,
-         sum(CASE WHEN pb - pa - 1 <= {slop} THEN 1.0 / (pb - pa) END) AS freq
-  FROM nxt GROUP BY doc_id
+  SELECT doc_id, freq FROM walk WHERE done
 ),
 w AS (
   SELECT CAST({idf_sum} AS REAL) AS v FROM consts c, {df_joins}

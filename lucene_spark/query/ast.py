@@ -73,13 +73,12 @@ class BoostQuery(Query):
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     """Phrase query (``PhraseQuery.java:71``). slop=0 is exact adjacency
-    (freq = number of phrase occurrences). slop>0 uses ORDERED greedy
-    matching: for each start position of slot 0, each later slot takes its
-    smallest position after the previous one; a match with total gap
-    matchLength <= slop contributes sloppyFreq = 1/(1+matchLength)
-    (``PhraseScorer``/``SloppyPhraseMatcher.java:52`` weighting; documented
-    divergence: the reference also accepts out-of-order matches within the
-    edit budget — this engine is ordered-only, the common case). idf =
+    (freq = number of phrase occurrences). slop>0 runs the reference's FULL
+    SloppyPhraseMatcher semantics (``SloppyPhraseMatcher.java:52``,
+    re-implemented in ``functions/sloppy.py``): out-of-order occurrences
+    match when the displacement fits the edit budget — ``"b a"~2`` matches
+    text "a b" — and each emitted match contributes sloppyFreq =
+    1/(1+matchLength). Repeated terms occupy distinct positions. idf =
     float32 cast of the double sum of per-term float32 idfs
     (``BM25Similarity.java:161-170``)."""
     terms: tuple[str, ...]
@@ -103,9 +102,10 @@ class MultiPhraseQuery(Query):
 @dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Span proximity (``queries/.../spans/SpanNearQuery.java`` surface,
-    simplified): terms within ``slop`` positional gap. ``in_order=True`` is
-    exactly the sloppy-phrase semantics (ordered greedy, sloppyFreq
-    1/(1+gap)). ``in_order=False`` is defined for two terms: for each
+    simplified): terms within ``slop`` positional gap. ``in_order=True``
+    matches strictly in order (ordered greedy next-occurrence, sloppyFreq
+    1/(1+gap)) — spans may NOT reorder, unlike PhraseQuery slop.
+    ``in_order=False`` is defined for two terms: for each
     occurrence p of term0, the NEAREST occurrence q of term1 (either side)
     matches when |q-p|-1 <= slop, contributing 1/(1+(|q-p|-1)) — a
     documented simplification of the reference's NearSpansUnordered window

@@ -209,8 +209,9 @@ def test_constant_score(searcher, ref):
 # ------------------------------------------------------------ sloppy phrase
 
 def test_sloppy_phrase_semantics(spark, tmp_path):
-    """Ordered greedy sloppy matching with 1/(1+matchLength) freq weights,
-    checked against hand-computed scores on a constructed corpus."""
+    """Full SloppyPhraseMatcher semantics (reordering allowed) with
+    1/(1+matchLength) freq weights, checked against hand-computed scores
+    on a constructed corpus."""
     import pandas as pd
 
     from lucene_spark.functions import bm25
@@ -224,7 +225,7 @@ def test_sloppy_phrase_semantics(spark, tmp_path):
         "alpha beta junk",          # adjacent: ml=0 -> 1.0
         "alpha filler beta",        # gap 1 -> slop1 gives 1/2
         "alpha x y beta",           # gap 2 -> only slop>=2, 1/3
-        "beta alpha",               # wrong order -> never (ordered-only)
+        "beta alpha",               # reversed: matchLength 2 -> slop>=2, 1/3
         "alpha beta alpha filler beta junk",  # 1.0 (a0->b1) + 1/2 (a2->b4)
         "nothing relevant here",
     ]
@@ -251,7 +252,7 @@ def test_sloppy_phrase_semantics(spark, tmp_path):
     h0, h1, h2 = hits(0), hits(1), hits(2)
     assert set(h0) == {0, 4}
     assert set(h1) == {0, 1, 4}
-    assert set(h2) == {0, 1, 2, 4}
+    assert set(h2) == {0, 1, 2, 3, 4}  # doc3 "beta alpha": reorder costs 2
     # doc4 at slop>=1 scores with freq 1.0 + 0.5; verify exact float32 score
     stats = s.term_stats(["alpha", "beta"])
     import numpy as _np
@@ -312,12 +313,16 @@ def test_span_near_semantics(spark, tmp_path):
     ordered = {int(r["doc_id"]) for r in s.search(
         SpanNearQuery(("alpha", "beta"), 2, in_order=True), 10).collect()}
     assert ordered == {0, 2}  # ordered excludes the reversed docs
-    # ordered span == sloppy phrase, bit-exact
-    a = [(r["doc_id"], np.float32(r["score"])) for r in s.search(
-        SpanNearQuery(("alpha", "beta"), 2, in_order=True), 10).collect()]
-    b = [(r["doc_id"], np.float32(r["score"])) for r in s.search(
-        PhraseQuery(("alpha", "beta"), 2), 10).collect()]
-    assert a == b
+    # sloppy PHRASE allows reordering (SloppyPhraseMatcher): the reversed
+    # adjacent doc costs matchLength 2, so phrase~2 includes it while the
+    # ordered span does not; on the in-order docs the two agree bit-exactly
+    a = {int(r["doc_id"]): np.float32(r["score"]) for r in s.search(
+        SpanNearQuery(("alpha", "beta"), 2, in_order=True), 10).collect()}
+    b = {int(r["doc_id"]): np.float32(r["score"]) for r in s.search(
+        PhraseQuery(("alpha", "beta"), 2), 10).collect()}
+    assert set(b) == {0, 1, 2}
+    for d in (0, 2):
+        assert a[d] == b[d]
 
 
 def test_suggest(spark, built_index):

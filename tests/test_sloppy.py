@@ -1,0 +1,96 @@
+"""Unit semantics of the SloppyPhraseMatcher re-implementation
+(functions/sloppy.py) — canonical reference behaviors, no Spark needed."""
+
+from lucene_spark.functions.sloppy import sloppy_freq, sloppy_match_lengths
+
+
+def test_reordering_canonicals():
+    # phrase ("b","a") on text "a b": a@0, b@1 -> slots b=[1], a=[0]
+    assert sloppy_match_lengths([[1], [0]], 2) == [2]
+    assert sloppy_match_lengths([[1], [0]], 1) == []
+    # "a b"~0 on "a b"
+    assert sloppy_match_lengths([[0], [1]], 0) == [0]
+    # gap of 1 costs 1
+    assert sloppy_match_lengths([[0], [2]], 1) == [1]
+    # 3-term full reversal "c a b" on "a b c": c@2 a@0 b@1
+    assert sloppy_match_lengths([[2], [0], [1]], 3) == [3]
+    assert sloppy_match_lengths([[2], [0], [1]], 2) == []
+
+
+def test_multiple_matches_and_freq():
+    # "alpha beta alpha filler beta": alpha@[0,2] beta@[1,4]
+    assert sloppy_match_lengths([[0, 2], [1, 4]], 1) == [0, 1]
+    assert sloppy_freq([[0, 2], [1, 4]], 1) == 1.0 + 0.5
+    assert sloppy_match_lengths([[0, 2], [1, 4]], 0) == [0]
+
+
+def test_repeats_distinct_positions():
+    # "a a"~0 on "a a": both slots share the occurrence list; the collision
+    # rule forces distinct raw positions -> exactly one match, ml 0
+    assert sloppy_freq([[0, 1], [0, 1]], 0, [[0, 1]]) == 1.0
+    # "a a" on a doc with a single "a": no valid assignment
+    assert sloppy_freq([[3], [3]], 5, [[0, 1]]) == 0.0
+    # "a x a"~0 on "a x a": slots a=[0,2], x=[1], a=[0,2]
+    assert sloppy_freq([[0, 2], [1], [0, 2]], 0, [[0, 2]]) == 1.0
+
+
+def test_empty_and_single_slot():
+    assert sloppy_match_lengths([], 3) == []
+    assert sloppy_match_lengths([[1, 5], []], 3) == []
+    assert sloppy_match_lengths([[4, 9]], 0) == [0, 0]
+
+
+def test_sql_twin_matches_python_walk_fuzz():
+    """The recursive-CTE DuckDB twin must reproduce the queue walk exactly:
+    random reorder-heavy corpora, full scores compared float32-exactly
+    against the Python walk + the engine's own BM25 float kernels."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from lucene_spark.functions import bm25
+    from lucene_spark.functions.similarity import make_similarity
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+    from lucene_spark.plans.sqlgen import sloppy_phrase_topk_sql
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc"]
+    for trial in range(40):
+        n_docs = rng.randint(3, 12)
+        docs = [
+            [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
+            for _ in range(n_docs)
+        ]
+        slop = rng.randint(0, 5)
+        terms = ["aa", "bb"]
+        con = duckdb.connect()
+        vals = ",".join(
+            f"({i}, '{' '.join(d)}')" for i, d in enumerate(docs)
+        )
+        con.execute(
+            f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) "
+            "v(doc_id, text)"
+        )
+        got = {
+            r[0]: np.float32(r[1])
+            for r in con.execute(
+                sloppy_phrase_topk_sql(terms, slop, 1000)).fetchall()
+        }
+        sttf = sum(len(d) for d in docs)
+        sim = make_similarity("bm25", bm25.avgdl(sttf, n_docs))
+        dfs = {t: sum(1 for d in docs if t in d) for t in terms}
+        idfs = [sim.idf(dfs[t], n_docs) for t in terms]
+        w = np.float32(np.float32(1.0) * sim.multi_idf(idfs))
+        exp = {}
+        for i, d in enumerate(docs):
+            pl = [[p for p, tk in enumerate(d) if tk == t] for t in terms]
+            if any(not x for x in pl):
+                continue
+            fq = sloppy_freq(pl, slop)
+            if fq <= 0:
+                continue
+            nbyte = int(int_to_byte4_np(np.array([len(d)]))[0])
+            exp[i] = np.float32(
+                sim.score(np.array([fq]), np.array([nbyte]), w)[0])
+        assert got == exp, (trial, docs, slop)
