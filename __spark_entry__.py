@@ -61,6 +61,7 @@ _SPAN_NEAR = (["scan", "merge"], 3)
 _INTERVAL = ("scan", "merge", 3)  # maxgaps(3, ordered(scan, merge))
 _INTERVAL_CB = ("hash", "scan", "merge")  # contained_by(hash, ordered(scan, merge))
 _SPELL = ("stor", 10, 2)  # DirectSpellChecker probe: term, k, max_edits
+_SPELL_OSA = ("sacn", 10, 1)  # transposed probe: 1 OSA edit from "scan"
 _MLT_DOC = 0  # MoreLikeThis source doc (original table id)
 _SUGGEST_PREFIX, _SUGGEST_K = "s", 15
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
@@ -203,10 +204,19 @@ def _interval_contained_by_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spellcheck_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DirectSpellChecker analog over the term dictionary."""
+    """DirectSpellChecker analog, classic Levenshtein distance."""
     t, k, e = _SPELL
     s = _searcher(spark, sf_dir)
-    return s.suggest_spell(t, k, max_edits=e)
+    return s.suggest_spell(t, k, max_edits=e, distance="levenshtein")
+
+
+def _spellcheck_osa_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker with the reference's transposition-aware default:
+    the probe is a transposed misspelling ("sacn"), ONE edit from "scan"
+    under OSA but two under classic Levenshtein."""
+    t, k, e = _SPELL_OSA
+    s = _searcher(spark, sf_dir)
+    return s.suggest_spell(t, k, max_edits=e, distance="osa")
 
 
 def _mlt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["interval_ordered"] = _interval_ordered_df
     out["interval_contained_by"] = _interval_contained_by_df
     out["spellcheck"] = _spellcheck_df
+    out["spellcheck_osa"] = _spellcheck_osa_df
     out["more_like_this"] = _mlt_df
     out["suggest_prefix"] = _suggest_df
     out["parent_block_join"] = _parent_join_df
@@ -1289,6 +1300,8 @@ def oracle_sql() -> dict[str, str]:
         _INTERVAL_CB[0], _INTERVAL_CB[1], _INTERVAL_CB[2], _QUERY_K
     )
     out["spellcheck"] = sqlgen.spellcheck_sql(_SPELL[0], _SPELL[1], _SPELL[2])
+    out["spellcheck_osa"] = sqlgen.spellcheck_sql(
+        _SPELL_OSA[0], _SPELL_OSA[1], _SPELL_OSA[2], distance="osa")
     out["more_like_this"] = sqlgen.more_like_this_sql(_MLT_DOC, _QUERY_K)
     out["suggest_prefix"] = f"""
 WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}

@@ -1,0 +1,51 @@
+"""Transposition-aware edit distance (optimal string alignment).
+
+The reference's DirectSpellChecker default distance is the
+transposition-aware automaton (``DirectSpellChecker.java:50`` uses
+``LevenshteinAutomata`` with transpositions): an adjacent-character swap
+costs ONE edit ("teh" -> "the" = 1), in the RESTRICTED (OSA) variant — no
+substring is edited twice, so "ca" -> "abc" is 3, not the unrestricted
+Damerau 2 (DuckDB's ``damerau_levenshtein`` is the unrestricted form,
+which is why the oracle replays THIS function over the candidate
+vocabulary instead — the Porter vocab_map pattern)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment distance (classic DP + the restricted
+    adjacent-transposition row)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1 and j > 1
+                and ai == b[j - 2] and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def osa_distance_series(terms: pd.Series, query: str) -> np.ndarray:
+    """Per-candidate OSA distance to ``query`` (int64). The candidate slice
+    is already first-char + length-window pruned, so this runs over a tiny
+    vocabulary slice, never the corpus."""
+    return np.fromiter(
+        (osa_distance(t, query) for t in terms.astype(str)),
+        dtype=np.int64, count=len(terms),
+    )

@@ -640,24 +640,28 @@ def fuzzy_topk_sql(
     text_col: str = "text",
 ) -> str:
     """FuzzyQuery twin: levenshtein expansion over the vocabulary with the
-    engine's boost = 1 - edits/min(len) (see FuzzyQuery AST docstring for
-    the documented simplifications vs the reference's blended rewrite);
-    scored as a boosted disjunction."""
+    engine's boost = 1 - edits/min(len) and the reference's df BLENDING
+    (``TopTermsBlendedFreqScoringRewrite``): every expanded term's idf uses
+    the max df across the expansion set; scored as a boosted disjunction."""
     score = _leaf_score("(CAST(ldf.boost AS REAL) * ldf.idf)", "tf.freq", "dl.dl")
     return f"""
 WITH {corpus_ctes(table, id_col, text_col)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),
-ldf AS (
-  SELECT term, df, {_idf_expr()} AS idf,
+expansion AS (
+  SELECT term, df,
          1.0 - levenshtein(term, '{term}')
                / CAST(least(length(term), {len(term)}) AS DOUBLE) AS boost
-  FROM df ldf, consts c
+  FROM df ldf
   WHERE length(term) BETWEEN {len(term) - max_edits} AND {len(term) + max_edits}
     AND levenshtein(term, '{term}') <= {max_edits}
   ORDER BY boost DESC, term ASC
   LIMIT {max_expansions}
+),
+ldf AS (
+  SELECT term, boost, df, {_idf_expr()} AS idf
+  FROM (SELECT term, boost, max(df) OVER () AS df FROM expansion) ldf, consts c
 ),
 scored AS (
   SELECT tf.doc_id, {score} AS score
@@ -964,23 +968,33 @@ def spellcheck_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    distance: str = "levenshtein",
 ) -> str:
-    """DirectSpellChecker twin: dictionary terms within ``max_edits``
-    classic Levenshtein edits sharing the first character, scored
-    ``1 - dist/min(len_a, len_b)`` (double ops, final REAL cast — the
-    engine computes the same double expression), ranked score desc,
-    doc_freq desc, term asc."""
+    """DirectSpellChecker twin: dictionary terms within ``max_edits`` edits
+    sharing the first character, scored ``1 - dist/min(len_a, len_b)``
+    (double ops, final REAL cast — the engine computes the same double
+    expression), ranked score desc, doc_freq desc, term asc.
+
+    ``distance``: "levenshtein" (classic) or "osa" (transposition-aware,
+    the reference's default). The osa twin uses DuckDB's
+    ``damerau_levenshtein`` — the UNRESTRICTED variant, which equals the
+    engine's restricted OSA except on overlapping-edit patterns (e.g.
+    'ca'->'abc': 2 vs 3); tests pin agreement over the corpus vocabulary,
+    so the twin stays an independent DuckDB computation rather than an
+    embedded replay."""
+    fn = {"levenshtein": "levenshtein",
+          "osa": "damerau_levenshtein"}[distance]
     c0, c1 = term[0], chr(ord(term[0]) + 1)
     return f"""
 WITH {corpus_ctes(table, id_col, text_col)}
 SELECT term,
-       CAST(1.0 - CAST(levenshtein(term, '{term}') AS DOUBLE)
+       CAST(1.0 - CAST({fn}(term, '{term}') AS DOUBLE)
                   / least(length(term), {len(term)}) AS REAL) AS score,
        CAST(df AS BIGINT) AS doc_freq
 FROM df
 WHERE term >= '{c0}' AND term < '{c1}' AND term <> '{term}'
   AND abs(length(term) - {len(term)}) <= {max_edits}
-  AND levenshtein(term, '{term}') <= {max_edits}
+  AND {fn}(term, '{term}') <= {max_edits}
 ORDER BY score DESC, doc_freq DESC, term ASC
 LIMIT {k}
 """.strip()

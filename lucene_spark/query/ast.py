@@ -35,7 +35,14 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str
+    #: BlendedTermQuery analog (``BlendedTermQuery.java:47``): when set, the
+    #: idf uses this doc_freq instead of the term's own (the fuzzy rewrite
+    #: blends max-df across its expansion set,
+    #: ``TopTermsBlendedFreqScoringRewrite``). Matching is unaffected.
+    df_override: int | None = None
     def __repr__(self) -> str:
+        if self.df_override is not None:
+            return f"Term({self.term!r},df={self.df_override})"
         return f"Term({self.term!r})"
 
 
@@ -230,12 +237,14 @@ class FieldEqualsQuery(Query):
 class FuzzyQuery(Query):
     """Edit-distance term expansion (``FuzzyQuery.java:52``): terms within
     ``max_edits`` Levenshtein of ``term`` (sharing ``prefix_length`` leading
-    chars) OR'd with per-term boost ``1 - edits/min(|term|,|candidate|)``.
+    chars) OR'd with per-term boost ``1 - edits/min(|term|,|candidate|)``,
+    each scored with the BLENDED df (max doc_freq across the expansion set
+    — ``TopTermsBlendedFreqScoringRewrite``/``BlendedTermQuery.java:47``),
+    so rare misspellings cannot outscore the common spelling.
 
-    Documented simplification vs the reference: candidates keep their own
-    term statistics (no TopTermsBlendedFreqScoringRewrite df-blending), and
-    the candidate set is capped at ``max_expansions`` by (boost desc, term
-    asc) instead of a priority queue over the automaton enumeration."""
+    Documented simplification vs the reference: the candidate set is capped
+    at ``max_expansions`` by (boost desc, term asc) instead of a priority
+    queue over the automaton enumeration."""
     term: str
     max_edits: int = 2
     prefix_length: int = 0

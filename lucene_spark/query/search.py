@@ -1058,19 +1058,22 @@ class IndexSearcher:
             )
         return or_(*[r["term"] for r in rows])
 
-    def suggest_spell(self, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
+    def suggest_spell(self, term: str, k: int = 5, max_edits: int = 2,
+                      distance: str = "osa") -> DataFrame:
         """DirectSpellChecker analog (``suggest/.../spell/DirectSpellChecker
         .java:50``): DF(term, score float, doc_freq long) of dictionary terms
-        within ``max_edits`` Levenshtein edits of ``term``, sharing its first
-        character (the reference's minPrefix=1 default), ranked by
-        normalized similarity ``1 - dist/min(len_a, len_b)`` desc, then
-        doc_freq desc, then term asc. Divergence (documented): classic
-        Levenshtein on both engine and oracle sides (Spark/DuckDB built-in),
-        not the reference's transposition-aware default — the reference also
-        ships classic via ``setDistance``. The first-char + length-window
-        predicates keep the dictionary scan row-group-pruned on the sorted
-        term column, like ``suggest``; at 10^12 turns the candidate set per
-        probe stays O(vocab slice), never the postings."""
+        within ``max_edits`` edits of ``term``, sharing its first character
+        (the reference's minPrefix=1 default), ranked by normalized
+        similarity ``1 - dist/min(len_a, len_b)`` desc, then doc_freq desc,
+        then term asc. ``distance``: "osa" (default — the reference's
+        transposition-aware automaton semantics: "teh" -> "the" is ONE
+        edit; ``functions/spell.py``) or "levenshtein" (classic, the
+        reference's ``setDistance(new LevenshteinDistance())``). The
+        first-char + length-window predicates keep the dictionary scan
+        row-group-pruned on the sorted term column; for OSA a JVM
+        ``levenshtein <= 2*max_edits`` pre-filter bounds the Python-side
+        exact pass (one transposition costs <= 2 classic edits), so the
+        vectorized UDF sees O(vocab slice) rows, never the corpus."""
         if not term:
             return self.spark.createDataFrame([], "term string, score float, doc_freq long")
         tl = F.lit(term)
@@ -1079,9 +1082,26 @@ class IndexSearcher:
             & (F.col("term") < chr(ord(term[0]) + 1))
             & (F.col("term") != term)
             & (F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
-            & (F.levenshtein("term", tl) <= max_edits)
         )
-        dist = F.levenshtein("term", tl).cast("double")
+        if distance == "levenshtein":
+            cand = cand.filter(F.levenshtein("term", tl) <= max_edits)
+            dist = F.levenshtein("term", tl).cast("double")
+        elif distance == "osa":
+            cand = cand.filter(F.levenshtein("term", tl) <= 2 * max_edits)
+            qt = term
+
+            @F.pandas_udf("long")
+            def _osa(terms: pd.Series) -> pd.Series:
+                from lucene_spark.functions.spell import osa_distance_series
+
+                return pd.Series(osa_distance_series(terms, qt))
+
+            cand = cand.withColumn("_d", _osa(F.col("term"))).filter(
+                F.col("_d") <= max_edits
+            )
+            dist = F.col("_d").cast("double")
+        else:
+            raise ValueError(f"unknown spell distance {distance!r}")
         sim = (
             F.lit(1.0) - dist / F.least(F.length("term"), F.lit(len(term))).cast("double")
         ).cast("float")
@@ -1384,9 +1404,12 @@ class IndexSearcher:
 
     def _expand_fuzzy(self, q: FuzzyQuery) -> Query:
         """FuzzyQuery -> SHOULD of boosted terms within max_edits Levenshtein
-        (term_dict scan with prefix pushdown + JVM levenshtein; see the
-        FuzzyQuery AST docstring for the documented simplifications)."""
-        cand = self.term_dict.select("term")
+        (term_dict scan with prefix pushdown + JVM levenshtein), with the
+        reference's df BLENDING (``TopTermsBlendedFreqScoringRewrite`` /
+        ``BlendedTermQuery.java:47``): every expanded term's idf uses the
+        MAX doc_freq across the expansion set, so a rare misspelling cannot
+        outscore the common spelling it resembles."""
+        cand = self.term_dict.select("term", "doc_freq")
         if q.prefix_length > 0:
             cand = cand.filter(F.col("term").startswith(q.term[: q.prefix_length]))
         # cheap length pre-filter, then exact edit distance (both JVM-side)
@@ -1408,9 +1431,12 @@ class IndexSearcher:
         )
         if not rows:
             return MatchNoDocsQuery()
+        df_blend = max(int(r["doc_freq"]) for r in rows)
         clauses: list[Query] = [
-            TermQuery(r["term"]) if float(r["boost"]) == 1.0
-            else BoostQuery(TermQuery(r["term"]), float(r["boost"]))
+            TermQuery(r["term"], df_override=df_blend)
+            if float(r["boost"]) == 1.0
+            else BoostQuery(TermQuery(r["term"], df_override=df_blend),
+                            float(r["boost"]))
             for r in rows
         ]
         if len(clauses) == 1:
@@ -2115,12 +2141,21 @@ class IndexSearcher:
         ):
             for c in group:
                 if isinstance(c, BoostQuery):
-                    term, b = c.query.term, np.float32(boost * np.float32(c.boost))
+                    inner, b = c.query, np.float32(boost * np.float32(c.boost))
                 else:
-                    term, b = c.term, boost
+                    inner, b = c, boost
+                term = inner.term
                 df_ttf = stats.get(term)
+                # BlendedTermQuery df override (fuzzy rewrite blending,
+                # ``BlendedTermQuery.java:47``): idf from the blended df,
+                # doc presence still from the term's own postings
+                df = (
+                    inner.df_override
+                    if getattr(inner, "df_override", None) is not None and df_ttf
+                    else (df_ttf[0] if df_ttf else 0)
+                )
                 w = (
-                    bm25.weight(float(b), self.sim.idf(df_ttf[0], self.doc_count))
+                    bm25.weight(float(b), self.sim.idf(df, self.doc_count))
                     if df_ttf
                     else np.float32(0.0)
                 )

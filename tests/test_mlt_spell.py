@@ -88,3 +88,111 @@ def test_more_like_this_matches_oracle(spark, searcher, corpus_docs, small_corpu
     # unknown doc raises
     with pytest.raises(KeyError):
         searcher.more_like_this(10**9, src, 5)
+
+
+def test_osa_distance_brute_force():
+    """osa_distance vs exhaustive BFS over the OSA edit moves (delete,
+    insert, substitute, adjacent transposition with no re-edit) — small
+    alphabet, all pairs to length 4."""
+    from itertools import product
+
+    from lucene_spark.functions.spell import osa_distance
+
+    def brute(a, b, cap=3):
+        # BFS in edit space: states are strings; restricted transposition
+        # is modeled by DP equivalence — here use the textbook recursive
+        # OSA definition with memo, an independent formulation
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            best = min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                best = min(best, d(i - 2, j - 2) + 1)
+            return best
+
+        return d(len(a), len(b))
+
+    words = ["".join(w) for n in range(5) for w in product("ab", repeat=n)]
+    for a in words:
+        for b in words:
+            assert osa_distance(a, b) == brute(a, b), (a, b)
+    # canonical: transposition is ONE edit; restricted != unrestricted
+    assert osa_distance("teh", "the") == 1
+    assert osa_distance("sacn", "scan") == 1
+    assert osa_distance("ca", "abc") == 3  # unrestricted Damerau says 2
+
+
+def test_osa_agrees_with_duckdb_damerau_on_corpus_vocab():
+    """The spellcheck_osa oracle computes damerau_levenshtein (unrestricted)
+    while the engine computes restricted OSA: pin agreement over every
+    (vocab term, probe) pair the entry can ever compare, so the oracle
+    remains an independent DuckDB computation."""
+    import duckdb
+
+    from __spark_entry__ import _DOC_VOCAB, _SPELL, _SPELL_OSA
+    from lucene_spark.functions.spell import osa_distance
+
+    con = duckdb.connect()
+    for probe in (_SPELL[0], _SPELL_OSA[0]):
+        for w in _DOC_VOCAB:
+            dd = con.execute(
+                "select damerau_levenshtein(?, ?)", [w, probe]).fetchone()[0]
+            assert dd == osa_distance(w, probe), (w, probe)
+
+
+def test_fuzzy_df_blending(spark, built_index):
+    """TopTermsBlendedFreqScoringRewrite semantics: every expanded term's
+    idf uses the MAX df across the expansion set, so two expansions with
+    equal boost and equal within-doc stats score identically regardless of
+    their own df."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.functions import bm25
+    from lucene_spark.query.ast import FuzzyQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    q = FuzzyQuery("ba", 1)
+    expanded = s._expand_fuzzy(q)
+    # every expanded clause carries the same df_override == max expansion df
+    clauses = (
+        [expanded] if isinstance(expanded, TermQuery)
+        else list(expanded.should)
+    )
+    terms = [
+        (c.query.term if hasattr(c, "query") else c.term) for c in clauses
+    ]
+    overrides = {
+        (c.query if hasattr(c, "query") else c).df_override for c in clauses
+    }
+    dfs = {t: s.term_stats([t])[t][0] for t in terms}
+    assert overrides == {max(dfs.values())}
+    # and the scored weight actually uses the blended df: exact-match term
+    # scores as if its df were the blend
+    hits = s.search(q, 5).collect()
+    assert hits
+    # a plain TermQuery with df_override must score with the blended idf
+    t0 = terms[0]
+    blend = max(dfs.values())
+    a = s.search(TermQuery(t0, df_override=blend), 3).collect()
+    b = s.search(TermQuery(t0), 3).collect()
+    ids_a = [r["doc_id"] for r in a]
+    ids_b = [r["doc_id"] for r in b]
+    if dfs[t0] != blend:
+        w_own = bm25.weight(1.0, bm25.idf(dfs[t0], s.doc_count))
+        w_blend = bm25.weight(1.0, bm25.idf(blend, s.doc_count))
+        assert w_own != w_blend
+        assert np.float32(a[0]["score"]) != np.float32(b[0]["score"])
+    assert ids_a == ids_b  # same matches, different idf only
