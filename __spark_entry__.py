@@ -1007,6 +1007,80 @@ def _append_search_df(spark, sf_dir):
     )
 
 
+_SYN_MAP = {"scan": ("sweep",), "merge": ("join",)}
+
+
+def _folded_searcher(spark, sf_dir):
+    """Index built with the ASCIIFolding chain over an ACCENT-INJECTED copy
+    of the corpus (a->á, e->é via translate): the folding filter restores
+    the ASCII tokens, so search results must equal the plain-text oracle
+    bit-for-bit — a closed loop that fails the moment folding breaks.
+    Ref: ``analysis-common/.../miscellaneous/ASCIIFoldingFilter.java``."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_folded"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir).withColumn(
+            "text", F.translate(F.col("text"), "ae", "áé")
+        )
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="standard_folded")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _folded_chain_df(spark, sf_dir):
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _folded_searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _syn_searcher(spark, sf_dir):
+    """Index built with a runtime-registered synonym chain (index-time
+    SynonymGraphFilter semantics: stacked tokens at posIncr 0, counted in
+    tf/df but discounted from the length norm).
+    Ref: ``analysis-common/.../synonym/SynonymGraphFilter.java``."""
+    from lucene_spark.functions.analysis import register_chain
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    register_chain("simple_syn", base="simple", synonyms=_SYN_MAP)
+    index_dir = _index_dir_for(sf_dir) + "_syn"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple_syn")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _syn_chain_df(spark, sf_dir):
+    """Query the synonym-only term ("sweep" exists solely via the scan ->
+    sweep stack) plus a term whose df the stacking CHANGED (merge -> join
+    inflates join's stats) — both effects must match the SQL replay."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _syn_searcher(spark, sf_dir)
+    ast = {"bool": {"must": [{"term": "sweep"}], "should": [{"term": "join"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1240,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_append_search"] = _append_search_df
     out["bm25_stop_chain"] = _stop_chain_df
     out["bm25_english_chain"] = _english_chain_df
+    out["bm25_folded_chain"] = _folded_chain_df
+    out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
@@ -1442,6 +1518,18 @@ ORDER BY t.score DESC, t.doc_id ASC
         vocab_map=tuple(
             (w, stem(w)) for w in _DOC_VOCAB if stem(w) != w
         ),
+    )
+    # folding restores the accent-injected corpus to the originals, so the
+    # oracle is the PLAIN-text query — exact iff ascii_fold round-trips
+    out["bm25_folded_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,
+    )
+    out["bm25_synonym_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "sweep"}],
+                      "should": [{"term": "join"}]}})), _QUERY_K,
+        synonyms=tuple((a, b) for a, syns in sorted(_SYN_MAP.items())
+                       for b in syns),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,

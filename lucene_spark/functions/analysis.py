@@ -332,17 +332,82 @@ def english_vocab_transform(token: str) -> str:
     return stem(strip_possessive(token))
 
 
-#: per-chain vocabulary-level filters applied AFTER lowercase + max-length:
-#: (stop_set or None, vocab_transform or None). Stop removal preserves
-#: position increments (dropped tokens leave position gaps and do not count
-#: toward field_len — StopFilter semantics, ``core/analysis/StopFilter.java``
-#: + FieldInvertState length counting).
-CHAIN_FILTERS: dict[str, tuple[frozenset | None, object]] = {
-    "standard": (None, None),
-    "simple": (None, None),
-    "simple_stop": (EN_STOP_SET, None),
-    "english": (EN_STOP_SET, english_vocab_transform),
+#: ASCIIFoldingFilter core map (``analysis-common/.../miscellaneous/
+#: ASCIIFoldingFilter.java``): the characters whose fold is NOT their NFKD
+#: mark-stripped decomposition. Everything else (á é ñ ü ...) folds via
+#: NFKD + combining-mark removal; unfoldable chars pass through, like the
+#: reference. Lowercase-only — the fold runs after LowerCaseFilter.
+_FOLD_MAP = {
+    "æ": "ae", "œ": "oe", "ø": "o", "ß": "ss", "đ": "d", "ð": "d",
+    "þ": "th", "ł": "l", "ħ": "h", "ı": "i", "ĸ": "k", "ŋ": "n",
+    "ſ": "s", "ƒ": "f", "ǝ": "e", "ɨ": "i", "ẞ": "ss",
 }
+
+
+def ascii_fold(token: str) -> str:
+    """ASCIIFoldingFilter analog: fold accented/decorated Latin characters
+    to their ASCII equivalents; non-foldable characters pass through."""
+    if token.isascii():
+        return token
+    import unicodedata
+
+    out = []
+    for ch in token:
+        m = _FOLD_MAP.get(ch)
+        if m is not None:
+            out.append(m)
+            continue
+        stripped = "".join(
+            c for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c)
+        )
+        out.append(stripped if stripped.isascii() and stripped else ch)
+    return "".join(out)
+
+
+#: per-chain vocabulary-level filters applied AFTER lowercase + max-length:
+#: (stop_set or None, vocab_transform or None, synonyms or None). Stop
+#: removal preserves position increments (dropped tokens leave position
+#: gaps and do not count toward field_len — StopFilter semantics,
+#: ``core/analysis/StopFilter.java`` + FieldInvertState length counting).
+#: ``synonyms`` maps term -> tuple of extra terms STACKED at the same
+#: position with posIncr 0 (index-time ``SynonymGraphFilter`` semantics:
+#: stacked tokens count toward tf/df but not toward the length norm —
+#: discountOverlaps); applied after stop + transform.
+CHAIN_FILTERS: dict[str, tuple] = {
+    "standard": (None, None, None),
+    "simple": (None, None, None),
+    "simple_stop": (EN_STOP_SET, None, None),
+    "english": (EN_STOP_SET, english_vocab_transform, None),
+    "standard_folded": (None, ascii_fold, None),
+}
+
+#: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
+#: "simple" = [a-z0-9]+ on lowered text)
+CHAIN_BASE: dict[str, str] = {
+    "standard": "standard",
+    "simple": "simple",
+    "simple_stop": "simple",
+    "english": "standard",
+    "standard_folded": "standard",
+}
+
+
+def register_chain(name: str, base: str = "simple",
+                   stop_set: frozenset | None = None,
+                   transform=None,
+                   synonyms: dict[str, tuple[str, ...]] | None = None) -> None:
+    """Register a custom analysis chain (the pluggable-Analyzer surface):
+    ``base`` picks the tokenizer+lowercase, the rest are vocabulary-level
+    filters in StopFilter -> transform -> SynonymGraph order. ``transform``
+    must be a module-level (picklable) callable. NOTE: registration lives in
+    this process — the index build resolves the spec on the driver and ships
+    it through the task closure, so executors never need the registration."""
+    if base not in ("standard", "simple"):
+        raise ValueError(f"unknown base tokenizer {base!r}")
+    CHAIN_FILTERS[name] = (stop_set, transform, dict(synonyms) if synonyms else None)
+    CHAIN_BASE[name] = base
+    RAW_TOKENIZERS[name] = RAW_TOKENIZERS[base]
 
 
 def get_chain_filters(name: str):
@@ -357,20 +422,28 @@ def get_chain_filters(name: str):
 def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], int]:
     """Scalar full-chain analyzer (oracle path for any registered chain):
     returns (tokens, positions, field_len). Positions are the raw token
-    ordinals BEFORE stop removal (position-increment preservation)."""
-    if analyzer in ("standard", "english"):
+    ordinals BEFORE stop removal (position-increment preservation);
+    synonym-stacked tokens share their source position and do not count
+    toward field_len."""
+    if CHAIN_BASE.get(analyzer, "standard") == "standard":
         raw = [t for t in tokenize_one(text)]
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)
                 if len(t) <= MAX_TOKEN_LENGTH]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())
         keep = list(enumerate(raw))
-    stop_set, xform = get_chain_filters(analyzer)
+    stop_set, xform, synonyms = get_chain_filters(analyzer)
     if stop_set:
         keep = [(i, t) for i, t in keep if t not in stop_set]
     if xform:
         keep = [(i, xform(t)) for i, t in keep]
-    return [t for _, t in keep], [i for i, _ in keep], len(keep)
+    flen = len(keep)
+    if synonyms:
+        stacked = [
+            (i, s) for i, t in keep for s in synonyms.get(t, ())
+        ]
+        keep = keep + stacked
+    return [t for _, t in keep], [i for i, _ in keep], flen
 
 # raw tokenization without lowercasing or the max-token-length filter, plus
 # whether the chain applies that filter. The index build tokenizes with
@@ -417,6 +490,10 @@ RAW_TOKENIZERS = {
         None,
     ),
     "english": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "standard_folded": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

@@ -341,12 +341,22 @@ def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
 def _make_segment_builder(index_dir: str, offsets: dict[int, int],
                           analyzer: str = "standard", positions: bool = False,
                           index_sort: str | None = None):
-    """Returns the applyInPandas function building one segment per shard."""
+    """Returns the applyInPandas function building one segment per shard.
+
+    The analyzer SPEC (tokenizer fn + chain filters) is resolved on the
+    DRIVER and shipped through the closure: executors re-import the
+    analysis module fresh, so a runtime-registered chain
+    (``analysis.register_chain``) would not resolve by name there."""
+    from lucene_spark.functions.analysis import (
+        get_chain_filters, get_raw_tokenizer,
+    )
+
+    spec = (get_raw_tokenizer(analyzer), get_chain_filters(analyzer))
 
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir,
-                                    positions, index_sort)
+                                    positions, index_sort, spec)
 
     return build_segment
 
@@ -354,10 +364,13 @@ def _make_segment_builder(index_dir: str, offsets: dict[int, int],
 def _build_segment_frame(
     pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str,
     positions: bool = False, index_sort: str | None = None,
+    spec: tuple | None = None,
 ) -> pd.DataFrame:
     """Build one segment from an in-memory frame of transcript rows (the DWPT
     flush analog): tokenize, norms, docmap + block-encoded postings written
-    executor-side; returns the 1-row segment-meta frame."""
+    executor-side; returns the 1-row segment-meta frame. ``spec`` is the
+    driver-resolved analyzer spec ((tokenize, max_len), chain filters) for
+    runtime-registered chains; None resolves by name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -382,7 +395,7 @@ def _build_segment_frame(
     # applied on the UNIQUE terms (it only depends on the token string), so
     # the per-token work stays in C. field_len = surviving tokens per row,
     # via bincount — identical to the scalar analyze_one semantics.
-    tokenize, max_len = get_raw_tokenizer(analyzer)
+    tokenize, max_len = spec[0] if spec else get_raw_tokenizer(analyzer)
     tokens = tokenize(pdf["text"])
     # arrow-native flatten + dictionary-encode: list_flatten /
     # list_parent_indices / dictionary_encode are C++ over compact string
@@ -421,7 +434,9 @@ def _build_segment_frame(
     # stemming merges vocabulary entries, so per-(term, doc) groups downstream
     # fold the merged occurrences' freqs and positions automatically.
     from lucene_spark.functions.analysis import get_chain_filters
-    stop_set, vocab_xform = get_chain_filters(analyzer)
+    stop_set, vocab_xform, synonyms = (
+        spec[1] if spec else get_chain_filters(analyzer)
+    )
     if stop_set is not None and codes.size:
         is_stop = np.array([u in stop_set for u in uniques], dtype=bool)
         if is_stop.any():
@@ -433,8 +448,38 @@ def _build_segment_frame(
         xformed = np.array([vocab_xform(u) for u in uniques], dtype=object)
         remap, uniques = pd.factorize(xformed, sort=True)
         codes = remap[codes]
+    # field_len BEFORE synonym expansion: stacked tokens are posIncr-0
+    # overlaps that the norm discounts (FieldInvertState numOverlap +
+    # BM25Similarity discountOverlaps — SynonymGraphFilter semantics)
     flen = np.bincount(row_of, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4_np(flen).astype(np.int64)
+    if synonyms and codes.size:
+        pairs = [
+            (i, s) for i, u in enumerate(uniques)
+            for s in synonyms.get(u, ())
+        ]
+        if pairs:
+            all_terms = np.concatenate([
+                uniques, np.array([s for _, s in pairs], dtype=object)
+            ])
+            remap, uniques = pd.factorize(all_terms, sort=True)
+            codes = remap[: len(all_terms) - len(pairs)][codes]
+            add_c, add_r, add_p = [], [], []
+            for (orig_i, _), syn_code in zip(
+                pairs, remap[len(all_terms) - len(pairs):]
+            ):
+                m = codes == remap[orig_i]
+                add_c.append(np.full(int(m.sum()), syn_code, dtype=codes.dtype))
+                add_r.append(row_of[m])
+                add_p.append(pos_raw[m])
+            codes = np.concatenate([codes] + add_c)
+            row_of = np.concatenate([row_of] + add_r)
+            pos_raw = np.concatenate([pos_raw] + add_p)
+            # restore position order within every (term, doc) group: stacked
+            # occurrences appended above interleave with organic ones, and
+            # the downstream stable key-sort preserves input order
+            o = np.lexsort((pos_raw, codes.astype(np.int64) * n + row_of))
+            codes, row_of, pos_raw = codes[o], row_of[o], pos_raw[o]
 
     # ---- docmap (+ norms)
     seg_dir = os.path.join(index_dir, "docmap", f"segment={sid}")

@@ -52,14 +52,18 @@ def _quantized_len(dl_expr: str) -> str:
 
 def corpus_ctes(table: str, id_col: str, text_col: str,
                 stop: tuple[str, ...] = (),
-                vocab_map: tuple[tuple[str, str], ...] = ()) -> str:
+                vocab_map: tuple[tuple[str, str], ...] = (),
+                synonyms: tuple[tuple[str, str], ...] = ()) -> str:
     """Shared CTEs: tokens, per-doc length, collection stats. ``stop``
     replays a StopFilter chain: stopped tokens are excluded from tf/df AND
     from the per-doc length (field_len counts surviving tokens only).
     ``vocab_map`` replays a vocabulary-level transform applied AFTER stop
     removal (the EnglishAnalyzer tail: Porter stem) as an embedded
     (orig, mapped) mapping; unmapped terms pass through unchanged — exact
-    when the mapping covers every corpus term the transform rewrites."""
+    when the mapping covers every corpus term the transform rewrites.
+    ``synonyms`` replays index-time SynonymGraph stacking: each (orig, syn)
+    pair adds a ``syn`` token wherever ``orig`` occurs — counted in tf/df
+    but NOT in the per-doc length (posIncr-0 overlaps, discountOverlaps)."""
     def stop_where(col: str) -> str:
         if not stop:
             return ""
@@ -88,7 +92,22 @@ toks AS (
     FROM {table}
   ) {stop_where('term')}
 ),"""
+    tf_src = "toks"
+    syn_cte = ""
+    if synonyms:
+        syn_values = ", ".join(
+            f"('{a}', '{b}')" for a, b in sorted(synonyms)
+        )
+        syn_cte = f"""
+toks_all AS (
+  SELECT doc_id, term FROM toks
+  UNION ALL
+  SELECT t.doc_id, s.syn AS term
+  FROM toks t JOIN (VALUES {syn_values}) s(orig, syn) ON t.term = s.orig
+),"""
+        tf_src = "toks_all"
     return f"""{toks.strip()}
+{syn_cte.strip()}
 dl AS (
   SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
   FROM {table} d
@@ -96,7 +115,7 @@ dl AS (
     ON d.{id_col} = t.doc_id
 ),
 st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY doc_id, term),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM {tf_src} GROUP BY doc_id, term),
 df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """.strip()
 
@@ -201,6 +220,7 @@ def topk_sql(
     b: float = 0.75,
     similarity: str = "bm25",
     vocab_map: tuple[tuple[str, str], ...] = (),
+    synonyms: tuple[tuple[str, str], ...] = (),
 ) -> str:
     """Full top-k SQL for a flat Boolean query: (doc_id, score REAL),
     score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
@@ -239,7 +259,7 @@ def topk_sql(
         similarity, "(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b
     )
     return f"""
-WITH {corpus_ctes(table, id_col, text_col, stop, vocab_map)},
+WITH {corpus_ctes(table, id_col, text_col, stop, vocab_map, synonyms)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),

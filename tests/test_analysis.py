@@ -329,3 +329,94 @@ def test_series_matches_scalar_unicode_r2():
         expected = [java_lower(w) for w in tokenize_one(t)
                     if len(w) <= MAX_TOKEN_LENGTH]
         assert list(s.iloc[i]) == expected, f"row {i}: {t!r}"
+
+
+def test_ascii_fold():
+    from lucene_spark.functions.analysis import ascii_fold
+
+    cases = {
+        "café": "cafe", "naïve": "naive", "über": "uber", "señor": "senor",
+        "crème": "creme", "ærø": "aero", "œuf": "oeuf", "straße": "strasse",
+        "łódź": "lodz", "þorn": "thorn", "ð": "d", "ı": "i",
+        "plain": "plain", "mixed-café42": "mixed-cafe42",
+    }
+    for src, want in cases.items():
+        assert ascii_fold(src) == want, src
+    # unfoldable characters pass through (reference behavior)
+    assert ascii_fold("日本") == "日本"
+    assert ascii_fold("cafe日") == "cafe日"
+
+
+def test_folded_chain_restores_ascii(spark, tmp_path):
+    """standard_folded end-to-end: index accented text, search ASCII terms;
+    scores equal an index built from the unaccented text."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = ["le café est chaud", "cafe again cafe", "nothing here"]
+    accented = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(3)], "turn_idx": [0] * 3,
+        "role": ["doc"] * 3, "text": texts, "tool": [None] * 3,
+        "ts": pd.to_datetime(["2026-01-01"] * 3),
+    })
+    plain = accented.copy()
+    plain["text"] = ["le cafe est chaud", "cafe again cafe", "nothing here"]
+    cfg = IndexConfig(num_segments=2, term_buckets=2)
+    ia = str(tmp_path / "acc")
+    build_index(spark, spark.createDataFrame(accented), ia,
+                IndexConfig(num_segments=2, term_buckets=2,
+                            analyzer="standard_folded"))
+    merge_index(spark, ia)
+    ip = str(tmp_path / "plain")
+    build_index(spark, spark.createDataFrame(plain), ip, cfg)
+    merge_index(spark, ip)
+    sa, sp = IndexSearcher(spark, ia), IndexSearcher(spark, ip)
+    a = [(r["doc_id"], np.float32(r["score"]))
+         for r in sa.search(TermQuery("cafe"), 5).collect()]
+    b = [(r["doc_id"], np.float32(r["score"]))
+         for r in sp.search(TermQuery("cafe"), 5).collect()]
+    assert a == b and len(a) == 2
+
+
+def test_synonym_chain_semantics(spark, tmp_path):
+    """register_chain + index-time synonym stacking: stacked tokens are
+    searchable at the source positions (phrases work through them), count
+    toward tf/df, and do NOT change the length norm."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import register_chain
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import PhraseQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    register_chain("t_syn", base="simple",
+                   synonyms={"big": ("large",), "cat": ("feline",)})
+    rows = pd.DataFrame({
+        "conv_id": ["c0", "c1"], "turn_idx": [0, 0], "role": ["doc"] * 2,
+        "text": ["the big cat sat", "a large dog"], "tool": [None] * 2,
+        "ts": pd.to_datetime(["2026-01-01"] * 2),
+    })
+    idx = str(tmp_path / "syn")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=1, term_buckets=2, analyzer="t_syn"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    # stacked term searchable; df("large") counts doc0's stack + doc1 organic
+    assert s.term_stats(["large"])["large"] == (2, 2)
+    assert s.term_stats(["feline"])["feline"] == (1, 1)
+    hits = {r["doc_id"] for r in s.search(TermQuery("large"), 5).collect()}
+    assert hits == {0, 1}
+    # phrase through the stacked position: "large cat" matches doc0
+    ph = {r["doc_id"] for r in s.search(PhraseQuery(("large", "cat")), 5).collect()}
+    assert ph == {0}
+    # norm discounts the stack: field_len is the pre-synonym token count
+    fl = {r["doc_id"]: r["field_len"]
+          for r in s.docmap().select("doc_id", "field_len").collect()}
+    assert fl[0] == 4 and fl[1] == 3
