@@ -453,6 +453,20 @@ def _grouped_df(spark, sf_dir):
                               F.col("rank").cast("int").alias("rank"))
 
 
+def _facet_taxonomy_df(spark, sf_dir):
+    """Hierarchical drill-down: taxonomy (field_len div 8) / field_len,
+    drilled into the first-level value "2" — counts per leaf under it."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    out = s.facet_taxonomy(
+        TermQuery(_FACET_TERM),
+        [F.expr("field_len div 8"), F.col("field_len")],
+        drilldown=("2",),
+    )
+    return out.select("value", F.col("count").cast("long").alias("count"))
+
+
 def _sorted_df(spark, sf_dir):
     from lucene_spark.query.ast import TermQuery
 
@@ -555,6 +569,20 @@ def _query_parser_df(spark, sf_dir):
 
     q = QueryParser("simple").parse(_PARSER_QUERY)
     return _multiterm_df(spark, sf_dir, q)
+
+
+def _query_parser_fielded_df(spark, sf_dir):
+    """Field routing: 'role:doc' targets the stored metadata column as a
+    constant-score MUST clause (1.0f summed into the Boolean score) — the
+    round-2 parser silently discarded the prefix."""
+    from lucene_spark.query.parser import QueryParser
+
+    s = _searcher(spark, sf_dir)
+    q = QueryParser("simple").parse("scan AND role:doc")
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
 
 
 def _pruned_df(spark, sf_dir):
@@ -1304,11 +1332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["constant_score"] = _constant_score_df
     out["facet_counts"] = _facet_df
     out["search_grouped"] = _grouped_df
+    out["facet_taxonomy"] = _facet_taxonomy_df
     out["search_sorted"] = _sorted_df
     out["search_sorted_indexed"] = _sorted_indexed_df
     out["explain_score"] = _explain_df
     out["highlight"] = _highlight_df
     out["query_parser"] = _query_parser_df
+    out["query_parser_fielded"] = _query_parser_fielded_df
     out["bm25_term_pruned"] = _pruned_df
     out["stored_fields"] = _stored_fields_df
     out["streaming_append_search"] = _append_search_df
@@ -1467,6 +1497,12 @@ FROM (
 ) WHERE rnk <= {_GROUP_K}
 ORDER BY value, rank
 """.strip()
+    out["facet_taxonomy"] = f"""
+SELECT CAST(d.fl AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS count
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+WHERE (d.fl // 8) = 2
+GROUP BY d.fl ORDER BY count DESC, value ASC
+""".strip()
     out["search_sorted"] = f"""
 SELECT t.doc_id AS doc_id, CAST(d.fl AS INT) AS field_len, t.score AS score
 FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
@@ -1491,6 +1527,14 @@ FROM ({_hl_base}) t JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id ASC
 """.strip()
     from lucene_spark.query.parser import QueryParser as _QP
+    _qp_base = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": "scan"})), 1_000_000_000)
+    out["query_parser_fielded"] = f"""
+SELECT doc_id, CAST(CAST(score AS DOUBLE)
+                    + CAST(CAST(1.0 AS REAL) AS DOUBLE) AS REAL) AS score
+FROM ({_qp_base})
+ORDER BY score DESC, doc_id ASC LIMIT {_QUERY_K}
+""".strip()
     out["query_parser"] = sqlgen.topk_sql(_QP("simple").parse(_PARSER_QUERY),
                                           _QUERY_K)
     out["bm25_term_pruned"] = sqlgen.topk_sql(

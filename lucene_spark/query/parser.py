@@ -14,9 +14,14 @@ reference's classic QueryParser surface (public grammar,
     (a b) AND c / OR / NOT   -> grouping + boolean operators
     term^2.5                 -> BoostQuery
 
-Single-field engine: ``field:`` prefixes are accepted and ignored (the only
-indexed field is ``text``). Terms are run through the engine's analyzer
-(each term must analyze to one token, as the reference does per-term).
+Field routing (r3 — the round-2 parser silently DISCARDED ``field:``
+prefixes, a correctness trap): ``text:foo`` targets the default indexed
+field; ``role:`` / ``tool:`` / ``conv_id:`` / ``turn_idx:`` / ``ts:``
+route to the stored metadata columns as constant-score equality
+(FieldEqualsQuery — the keyword-field TermQuery analog; values are NOT
+analyzed, like Lucene keyword fields); any other field name raises.
+Terms are run through the engine's analyzer (each term must analyze to
+one token, as the reference does per-term).
 """
 
 from __future__ import annotations
@@ -200,13 +205,31 @@ class QueryParser:
             return self._maybe_boost(self._word_query(str(val)), toks, pos + 1)
         raise ValueError(f"unexpected token {toks[pos]}")
 
+    #: stored metadata columns a ``field:`` prefix may target (docmap schema)
+    METADATA_FIELDS = ("role", "tool", "conv_id", "turn_idx", "ts")
+    DEFAULT_FIELD = "text"
+
     def _word_query(self, w: str) -> Query:
-        if ":" in w:  # single-field engine: strip field prefixes
-            w = w.split(":", 1)[1]
         boost = None
         if "^" in w:
             w, b = w.rsplit("^", 1)
             boost = float(b)
+        if ":" in w and not w.startswith(":"):
+            from lucene_spark.query.ast import FieldEqualsQuery
+
+            f, rest = w.split(":", 1)
+            if f == self.DEFAULT_FIELD:
+                w = rest
+            elif f in self.METADATA_FIELDS:
+                val: object = int(rest) if f == "turn_idx" else rest
+                q: Query = FieldEqualsQuery(f, val)
+                return BoostQuery(q, boost) if boost is not None else q
+            else:
+                raise ValueError(
+                    f"unknown field {f!r}: indexed field is "
+                    f"{self.DEFAULT_FIELD!r}, metadata fields are "
+                    f"{list(self.METADATA_FIELDS)}"
+                )
         m = re.fullmatch(r"(?P<base>[^~]+)~(?P<ed>\d)?", w)
         if m:
             t = _analyze_term(m.group("base"), self.analyzer)

@@ -392,6 +392,38 @@ class IndexSearcher:
             .orderBy(F.desc("count"), F.asc("value"))
         )
 
+    def facet_taxonomy(self, query: Query, levels: list,
+                       drilldown: tuple = ()) -> DataFrame:
+        """Hierarchical facet counts with drill-down — the taxonomy-facets
+        analog (``lucene/facet/taxonomy/TaxonomyFacetCounts`` +
+        ``DrillDownQuery``): ``levels`` is the path dimension as docmap
+        column names or Columns (level 0 first); ``drilldown`` fixes the
+        first ``len(drilldown)`` levels to the given string values and the
+        result counts matching docs per value of the NEXT level —
+        DF(value string, count long), count desc / value asc. One extra
+        groupBy per drill-down step, exactly the query-per-level cost the
+        reference pays; the dimension columns come from the columnar docmap,
+        so level predicates push down to the metadata scan."""
+        if len(drilldown) >= len(levels):
+            raise ValueError("drilldown deeper than the taxonomy")
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "value string, count long")
+        cols = [
+            (F.col(c) if isinstance(c, str) else c).cast("string").alias(f"l{i}")
+            for i, c in enumerate(levels)
+        ]
+        dm = self.docmap().select("doc_id", *cols)
+        for i, v in enumerate(drilldown):
+            dm = dm.filter(F.col(f"l{i}") == str(v))
+        nxt = f"l{len(drilldown)}"
+        return (
+            scored.select("doc_id").join(dm, "doc_id")
+            .groupBy(F.col(nxt).alias("value")).count()
+            .orderBy(F.desc("count"), F.asc("value"))
+        )
+
     def facet_ranges(
         self, query: Query, field: str,
         ranges: list[tuple[str, int, int]],

@@ -100,3 +100,27 @@ def test_search_sorted_multi_field(searcher, term):
             for r in full.join(dm, "doc_id").collect()]
     want = sorted(allr, key=lambda x: (x[0], -x[1], x[2]))[:15]
     assert got == want
+
+
+def test_facet_taxonomy_drilldown(searcher, term):
+    """Taxonomy drill-down: top level == facet over the level-0 value;
+    drilling in restricts to that subtree and counts the next level;
+    drilldown deeper than the taxonomy raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.query.ast import TermQuery
+
+    levels = [F.expr("field_len div 8"), F.col("field_len")]
+    top = {r["value"]: r["count"] for r in searcher.facet_taxonomy(
+        TermQuery(term), levels).collect()}
+    assert top and sum(top.values()) == searcher.count(TermQuery(term))
+    v0 = max(top, key=top.get)
+    sub = {r["value"]: r["count"] for r in searcher.facet_taxonomy(
+        TermQuery(term), levels, drilldown=(v0,)).collect()}
+    assert sub and sum(sub.values()) == top[v0]
+    # every leaf under v0 actually belongs to the subtree
+    assert all(int(fl) // 8 == int(v0) for fl in sub)
+    with _pytest.raises(ValueError, match="deeper"):
+        searcher.facet_taxonomy(TermQuery(term), levels, drilldown=("1", "2"))

@@ -40,7 +40,7 @@ def test_shapes(p):
     assert p.parse("[a TO b]") == TermRangeQuery("a", "b", True, True)
     assert p.parse("{a TO b}") == TermRangeQuery("a", "b", False, False)
     assert p.parse("t^2.5") == BoostQuery(TermQuery("t"), 2.5)
-    assert p.parse("body:word") == TermQuery("word")
+    assert p.parse("text:word") == TermQuery("word")  # default-field prefix
 
     q = p.parse("a AND b AND c")
     assert q.must == [TermQuery("a"), TermQuery("b"), TermQuery("c")]
@@ -74,3 +74,32 @@ def test_end_to_end_equivalence(spark, built_index, p):
 
     parsed_phrase = p.parse(f'"{t1} {t2}"')
     assert rewrite_fixpoint(parsed_phrase) == PhraseQuery((t1, t2))
+
+
+def test_field_routing():
+    from lucene_spark.query.ast import (
+        BooleanQuery, BoostQuery, FieldEqualsQuery, TermQuery,
+    )
+    from lucene_spark.query.parser import QueryParser
+
+    p = QueryParser("simple")
+    # metadata equality, typed for turn_idx
+    q = p.parse("role:assistant")
+    assert q == FieldEqualsQuery("role", "assistant")
+    assert p.parse("turn_idx:3") == FieldEqualsQuery("turn_idx", 3)
+    # default-field prefix strips to a normal term
+    assert p.parse("text:scan") == TermQuery("scan")
+    # boosted field clause
+    qb = p.parse("role:user^2")
+    assert isinstance(qb, BoostQuery) and qb.boost == 2.0
+    assert qb.query == FieldEqualsQuery("role", "user")
+    # composition with text clauses
+    qc = p.parse("scan AND role:doc")
+    assert isinstance(qc, BooleanQuery)
+    assert TermQuery("scan") in tuple(qc.must)
+    assert FieldEqualsQuery("role", "doc") in tuple(qc.must)
+    # unknown fields RAISE instead of being silently dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown field"):
+        p.parse("title:foo")
