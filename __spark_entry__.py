@@ -564,6 +564,41 @@ def _highlight_df(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _offsets_searcher(spark, sf_dir):
+    """Index with char offsets in the positions artifact
+    (IndexOptions ..._AND_OFFSETS; IndexConfig.offsets=True)."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_offsets"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", offsets=True)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _highlight_offsets_df(spark, sf_dir):
+    """Offset-backed highlighting: spans come from the stored char offsets,
+    no regex re-scan; the oracle is the SAME regexp_replace twin as the
+    regex path — equal iff the offsets are exact."""
+    from lucene_spark.operators.highlight import highlight_hits_offsets
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+
+    s = _offsets_searcher(spark, sf_dir)
+    q = BooleanQuery(must=[TermQuery(t) for t in _HL_TERMS])
+    hits = s.search(q, _HL_K)
+    src = _documents_as_transcripts(spark, sf_dir)
+    hl = highlight_hits_offsets(s, hits, src, _HL_TERMS, window=1_000_000)
+    return hl.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "score", "snippet"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _query_parser_df(spark, sf_dir):
     from lucene_spark.query.parser import QueryParser
 
@@ -1337,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_sorted_indexed"] = _sorted_indexed_df
     out["explain_score"] = _explain_df
     out["highlight"] = _highlight_df
+    out["highlight_offsets"] = _highlight_offsets_df
     out["query_parser"] = _query_parser_df
     out["query_parser_fielded"] = _query_parser_fielded_df
     out["bm25_term_pruned"] = _pruned_df
@@ -1526,6 +1562,7 @@ SELECT t.doc_id AS doc_id, t.score AS score,
 FROM ({_hl_base}) t JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id ASC
 """.strip()
+    out["highlight_offsets"] = out["highlight"]
     from lucene_spark.query.parser import QueryParser as _QP
     _qp_base = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

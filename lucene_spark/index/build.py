@@ -81,6 +81,14 @@ class IndexConfig:
     # store per-(term, doc) token positions (PhraseQuery support) — the
     # reference default IndexOptions for text fields includes positions
     positions: bool = True
+    # store per-occurrence CHAR OFFSETS alongside positions
+    # (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    # ``core/index/IndexOptions.java:29-50``): enables offset-backed
+    # highlighting without re-scanning stored text. Requires positions and
+    # a simple-base analyzer (regex spans ARE the token boundaries);
+    # non-ASCII rows degrade to no-offsets (-1) and the highlighter falls
+    # back to the regex path for them.
+    offsets: bool = False
     # IndexWriterConfig.setIndexSort analog: name of a NUMERIC or TIMESTAMP
     # metadata column (must be non-null); docIDs are then assigned in
     # ascending order of that column (ties: conv_id, turn_idx) instead of
@@ -157,6 +165,17 @@ def build_index(
 
     if config.index_sort and config.index_sort not in transcripts.columns:
         raise ValueError(f"index_sort column {config.index_sort!r} not in input")
+    if config.offsets:
+        from lucene_spark.functions.analysis import CHAIN_BASE
+
+        if not config.positions:
+            raise ValueError("offsets require positions=True")
+        if CHAIN_BASE.get(config.analyzer) != "simple":
+            raise ValueError(
+                "offsets require a simple-base analyzer (regex spans are "
+                "the token boundaries); the standard tokenizer does not "
+                "report spans"
+            )
 
     if manifest is None:
         boundaries = (
@@ -216,7 +235,8 @@ def build_index(
         part = assigned.filter(F.col("shard_id").isin(pending))
         meta = part.groupBy("shard_id").applyInPandas(
             _make_segment_builder(index_dir, offsets, config.analyzer,
-                                  config.positions, config.index_sort),
+                                  config.positions, config.index_sort,
+                                  config.offsets),
             schema=SEGMENT_META_SCHEMA,
         )
         rows = meta.collect()
@@ -340,7 +360,8 @@ def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
 
 def _make_segment_builder(index_dir: str, offsets: dict[int, int],
                           analyzer: str = "standard", positions: bool = False,
-                          index_sort: str | None = None):
+                          index_sort: str | None = None,
+                          store_offsets: bool = False):
     """Returns the applyInPandas function building one segment per shard.
 
     The analyzer SPEC (tokenizer fn + chain filters) is resolved on the
@@ -356,7 +377,7 @@ def _make_segment_builder(index_dir: str, offsets: dict[int, int],
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir,
-                                    positions, index_sort, spec)
+                                    positions, index_sort, spec, store_offsets)
 
     return build_segment
 
@@ -364,7 +385,7 @@ def _make_segment_builder(index_dir: str, offsets: dict[int, int],
 def _build_segment_frame(
     pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str,
     positions: bool = False, index_sort: str | None = None,
-    spec: tuple | None = None,
+    spec: tuple | None = None, store_offsets: bool = False,
 ) -> pd.DataFrame:
     """Build one segment from an in-memory frame of transcript rows (the DWPT
     flush analog): tokenize, norms, docmap + block-encoded postings written
@@ -411,6 +432,23 @@ def _build_segment_frame(
     counts_raw = np.bincount(row_of, minlength=n)
     row_start = np.concatenate(([0], np.cumsum(counts_raw)[:-1]))
     pos_raw = np.arange(row_of.size, dtype=np.int64) - row_start[row_of]
+    off_s_flat = off_e_flat = None
+    if store_offsets:
+        # per-RAW-ordinal char spans, indexed flat as row_start[row] + pos —
+        # pos_raw IS the raw ordinal and survives every vocab filter, so
+        # offsets need no mask threading and synonym stacks inherit their
+        # source spans (the reference gives stacked tokens the same offsets)
+        from lucene_spark.functions.analysis import _SIMPLE_RAW_RE
+
+        off_s_flat = np.full(row_of.size, -1, dtype=np.int64)
+        off_e_flat = np.full(row_of.size, -1, dtype=np.int64)
+        for ri, txt in enumerate(pdf["text"].fillna("").tolist()):
+            if counts_raw[ri] == 0 or not txt.isascii():
+                continue  # non-ASCII rows degrade to no-offsets
+            base = int(row_start[ri])
+            for j, m in enumerate(_SIMPLE_RAW_RE.finditer(txt)):
+                off_s_flat[base + j] = m.start()
+                off_e_flat[base + j] = m.end()
     if codes.size:
         # lowercase + length-filter on the vocabulary, not the corpus.
         # Java-parity translate first (İ/Σ — see analysis._JAVA_LOWER);
@@ -535,14 +573,20 @@ def _build_segment_frame(
             )
             pos_dir = os.path.join(index_dir, "positions_local", f"segment={sid}")
             os.makedirs(pos_dir, exist_ok=True)
+            pos_cols = {
+                "term": pa.array(uniques[code_u], type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "positions": plist,
+            }
+            if store_offsets:
+                occ = row_start[row_of[order]] + pos_raw[order]
+                bounds = np.concatenate((gst, [sk.size])).astype(np.int32)
+                pos_cols["starts"] = pa.ListArray.from_arrays(
+                    bounds, pa.array(off_s_flat[occ].astype(np.int32)))
+                pos_cols["ends"] = pa.ListArray.from_arrays(
+                    bounds, pa.array(off_e_flat[occ].astype(np.int32)))
             pq.write_table(
-                pa.table(
-                    {
-                        "term": pa.array(uniques[code_u], type=pa.string()),
-                        "doc_id": pa.array(docs, type=pa.int64()),
-                        "positions": plist,
-                    }
-                ),
+                pa.table(pos_cols),
                 os.path.join(pos_dir, "data.parquet"),
             )
     else:

@@ -18,22 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _best_snippet(text: str, terms: list[str], window: int) -> str:
-    if not text:
-        return ""
-    pat = re.compile(
-        r"\b(" + "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True)) + r")\b",
-        re.IGNORECASE,
-    )
-    hits = list(pat.finditer(text))
-    if not hits:
-        return text[:window]
-    # best window: most distinct terms covered, earliest start wins ties
-    best = (0, 0, hits[0].start())
-    for h in hits:
-        lo = max(0, h.start() - window // 4)
+def _wrap_snippet(text: str, spans: list[tuple[int, int]], window: int) -> str:
+    """Shared window selection + tagging over match SPANS (start, end):
+    best window = most distinct covered terms, earliest start; spans fully
+    inside the window get <em> tags (a span cut by the window is not
+    tagged, matching the regex path's behavior on truncated matches)."""
+    spans = sorted(spans)
+    best = (0, 0, spans[0][0])
+    for s0, _ in spans:
+        lo = max(0, s0 - window // 4)
         hi = lo + window
-        covered = {m.group(0).lower() for m in hits if lo <= m.start() < hi}
+        covered = {text[s:e].lower() for s, e in spans if lo <= s < hi}
         key = (len(covered), -lo)
         if key > (best[0], -best[2]):
             best = (len(covered), 0, lo)
@@ -44,8 +39,28 @@ def _best_snippet(text: str, terms: list[str], window: int) -> str:
         nxt = text.find(" ", lo)
         if 0 <= nxt < hi:
             lo = nxt + 1
-    snippet = text[lo:hi]
-    return pat.sub(lambda m: f"<em>{m.group(0)}</em>", snippet)
+    out, cur = [], lo
+    for s, e in spans:
+        if s < lo or e > hi or s < cur:
+            continue
+        out.append(text[cur:s])
+        out.append(f"<em>{text[s:e]}</em>")
+        cur = e
+    out.append(text[cur:hi])
+    return "".join(out)
+
+
+def _best_snippet(text: str, terms: list[str], window: int) -> str:
+    if not text:
+        return ""
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True)) + r")\b",
+        re.IGNORECASE,
+    )
+    spans = [(m.start(), m.end()) for m in pat.finditer(text)]
+    if not spans:
+        return text[:window]
+    return _wrap_snippet(text, spans, window)
 
 
 def highlight_hits(
@@ -73,6 +88,71 @@ def highlight_hits(
             out["snippet"] = [
                 _best_snippet(t or "", terms, window) for t in pdf["text"]
             ]
+            yield out
+
+    return joined.mapInPandas(
+        snip,
+        schema="doc_id long, score float, conv_id string, turn_idx int, snippet string",
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def highlight_hits_offsets(
+    searcher,
+    hits: DataFrame,
+    source: DataFrame,
+    terms: list[str],
+    window: int = 80,
+) -> DataFrame:
+    """Offset-backed highlighting (the reference's
+    ``IndexOptions...AND_OFFSETS`` contract, UnifiedHighlighter's
+    OFFSETS_FROM_POSTINGS source): match spans come from the positions
+    artifact's stored char offsets instead of re-scanning stored text — no
+    per-hit regex pass, and the positions read prunes to (query terms x
+    top-k docs). Rows indexed without offsets (non-ASCII degradation) fall
+    back to the regex extractor per doc. Same output contract as
+    ``highlight_hits``."""
+    pos = searcher.positions_table()
+    if "starts" not in pos.columns:
+        raise ValueError(
+            "index built without offsets (IndexConfig.offsets=True required)"
+        )
+    from lucene_spark.index.merge import term_bucket_of
+
+    buckets = sorted({term_bucket_of(t, searcher.buckets) for t in terms})
+    spans_df = (
+        pos.filter(F.col("term_bucket").isin(buckets)
+                   & F.col("term").isin(list(terms)))
+        .join(F.broadcast(hits.select("doc_id")), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(F.collect_list("starts")).alias("m_starts"),
+            F.flatten(F.collect_list("ends")).alias("m_ends"),
+        )
+    )
+    dm = searcher.docmap().select("doc_id", "conv_id", "turn_idx")
+    src = source.select("conv_id", "turn_idx", "text")
+    joined = (
+        F.broadcast(hits.select("doc_id", "score"))
+        .join(dm, "doc_id")
+        .join(src, ["conv_id", "turn_idx"])
+        .join(spans_df, "doc_id", "left")
+    )
+
+    def snip(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "score", "conv_id", "turn_idx"]].copy()
+            snippets = []
+            for t, ss, ee in zip(pdf["text"], pdf["m_starts"], pdf["m_ends"]):
+                t = t or ""
+                spans = (
+                    [(int(s), int(e)) for s, e in zip(ss, ee) if s >= 0]
+                    if ss is not None else []
+                )
+                if spans:
+                    snippets.append(_wrap_snippet(t, spans, window))
+                else:
+                    snippets.append(_best_snippet(t, terms, window))
+            out["snippet"] = snippets
             yield out
 
     return joined.mapInPandas(

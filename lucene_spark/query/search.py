@@ -461,19 +461,28 @@ class IndexSearcher:
             F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)")
         )
 
-    def term_vector(self, doc_id: int) -> DataFrame:
+    def term_vector(self, doc_id: int, with_offsets: bool = False) -> DataFrame:
         """Per-doc term vector — the TermVectors analog (term vectors are
         index artifacts storing one doc's (term, freq, positions);
         ``index/TermVectors.java``, ``codecs/lucene90/
         Lucene90CompressingTermVectorsFormat``). Served from the positions
         table (freq = |positions|), so it needs ``IndexConfig.positions``.
         A per-doc random-access API, not a scan operator. DF(term, freq
-        int, positions array<int>), term asc."""
+        int, positions array<int>[, starts, ends]), term asc. With
+        ``with_offsets`` (index built with ``IndexConfig.offsets``) the
+        stored char offsets come along (``PostingsEnum.startOffset`` /
+        ``endOffset`` surface)."""
         pos = self.positions_table().filter(F.col("doc_id") == int(doc_id))
+        extra = []
+        if with_offsets:
+            if "starts" not in pos.columns:
+                raise ValueError("index built without offsets")
+            extra = ["starts", "ends"]
         return pos.select(
             "term",
             F.size("positions").cast("int").alias("freq"),
             "positions",
+            *extra,
         ).orderBy("term")
 
     def function_score(
@@ -705,15 +714,44 @@ class IndexSearcher:
             return {"match": False, "value": 0.0, "details": [],
                     "deleted": True}
         nb = int(norm_row[0]["norm_byte"])
+        # ONE pushed-down scan over all the query's terms (docID-driven
+        # block skip: only blocks whose range contains the doc decode),
+        # instead of one Spark job per clause
+        terms = sorted({c.term for c in clauses})
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            & (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+        ).select("term", "num_docs", "first_doc", "data")
+
+        def decode_freq(batches):
+            from lucene_spark.functions.codec import decode_block
+
+            for pdf in batches:
+                out_t, out_f = [], []
+                for term, ndd, fdd, data in zip(
+                    pdf["term"].to_numpy(object),
+                    pdf["num_docs"].to_numpy(np.int64),
+                    pdf["first_doc"].to_numpy(np.int64),
+                    pdf["data"].to_numpy(object),
+                ):
+                    d, f, _ = decode_block(data, int(ndd), int(fdd))
+                    hit = np.searchsorted(d, doc_id)
+                    if hit < d.size and d[hit] == doc_id:
+                        out_t.append(term)
+                        out_f.append(int(f[hit]))
+                if out_t:
+                    yield pd.DataFrame({"term": out_t, "freq": out_f})
+
+        freq_of = {
+            r["term"]: int(r["freq"])
+            for r in blocks.mapInPandas(
+                decode_freq, schema="term string, freq long").collect()
+        }
         details = []
         acc = np.float64(0.0)
         for c in clauses:
-            rows = (
-                self.term_postings(c.term)
-                .filter(F.col("doc_id") == doc_id)
-                .collect()
-            )
-            freq = int(rows[0]["freq"]) if rows else 0
+            freq = freq_of.get(c.term, 0)
             s = (
                 float(self.sim.score(np.array([freq]), np.array([nb]), c.weight)[0])
                 if freq else 0.0

@@ -596,3 +596,72 @@ def test_facet_ranges_empty_match_set(searcher, common_terms):
     rows = searcher.facet_ranges(
         q, "field_len", [("a", 0, 10), ("b", 10, 10**6)]).collect()
     assert {r["label"]: r["count"] for r in rows} == {"a": 0, "b": 0}
+
+
+def test_offsets_artifact_and_highlighting(spark, tmp_path):
+    """IndexConfig.offsets: char spans stored per occurrence; offset-backed
+    highlighting equals the regex extractor (whole-text and windowed);
+    non-ASCII rows degrade to -1 spans and fall back per doc; term_vector
+    serves the offsets; standard chains / positions=False are rejected."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.highlight import (
+        highlight_hits, highlight_hits_offsets,
+    )
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "alpha scans the scan table for scan hits",
+        "merge and scan the merge plan",
+        "café scan row",  # non-ASCII row -> no offsets, regex fallback
+        "nothing to see",
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "off")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2,
+                            analyzer="simple", offsets=True))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    pos = s.positions_table()
+    assert {"starts", "ends"} <= set(pos.columns)
+    # spans point at the exact occurrences
+    r = pos.filter((F.col("term") == "scan")).orderBy("doc_id").collect()
+    doc0 = [x for x in r if x["doc_id"] == 0][0]
+    for st, en in zip(doc0["starts"], doc0["ends"]):
+        assert texts[0][st:en] == "scan"
+    # non-ASCII row: -1 spans
+    cafe = [x for x in r if texts[x["doc_id"]].startswith("café")]
+    assert cafe and all(st == -1 for st in cafe[0]["starts"])
+
+    src = spark.createDataFrame(rows)
+    hits = s.search(TermQuery("scan"), 10)
+    for window in (1_000_000, 20):
+        a = {r["doc_id"]: r["snippet"] for r in highlight_hits(
+            s, hits, src, ["scan"], window=window).collect()}
+        b = {r["doc_id"]: r["snippet"] for r in highlight_hits_offsets(
+            s, hits, src, ["scan"], window=window).collect()}
+        assert a == b, window
+    assert "<em>scan</em>" in b[0]
+
+    # term_vector carries offsets
+    tv = {r["term"]: r for r in s.term_vector(0, with_offsets=True).collect()}
+    assert list(tv["scan"]["starts"]) == list(doc0["starts"])
+
+    # config validation
+    with _pytest.raises(ValueError, match="simple-base"):
+        build_index(spark, src, str(tmp_path / "x1"),
+                    IndexConfig(analyzer="standard", offsets=True))
+    with _pytest.raises(ValueError, match="positions"):
+        build_index(spark, src, str(tmp_path / "x2"),
+                    IndexConfig(analyzer="simple", offsets=True,
+                                positions=False))
