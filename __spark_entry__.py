@@ -1245,6 +1245,17 @@ def _quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _repetition(spark, sf_dir):
+    from lucene_spark.operators.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _dup_segments(spark, sf_dir):
+    # corpus has no newlines; sep=" " gives token-level duplication stats
+    from lucene_spark.operators.textstats import duplicate_segments
+    return duplicate_segments(_docs(spark, sf_dir), sep=" ").orderBy("doc_id")
+
+
 def _lang_id(spark, sf_dir):
     from lucene_spark.operators.textstats import language_id
     return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -1408,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_quality"] = _quality
     out["text_lang_id"] = _lang_id
     out["text_fingerprint"] = _fingerprint
+    out["text_repetition"] = _repetition
+    out["text_dup_segments"] = _dup_segments
     out["chunk_documents"] = _chunk
     out["redact_pii"] = _redact
     out["decontaminate"] = _decontaminate
@@ -1687,6 +1700,8 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["text_quality"] = textstats.quality_scores_sql()
     out["text_lang_id"] = textstats.language_id_sql()
     out["text_fingerprint"] = textstats.fingerprints_sql()
+    out["text_repetition"] = textstats.repetition_stats_sql()
+    out["text_dup_segments"] = textstats.duplicate_segments_sql(sep=" ")
     from lucene_spark.operators import textprep
     out["chunk_documents"] = textprep.chunk_documents_sql(
         _CHUNK_MAX, _CHUNK_OVERLAP

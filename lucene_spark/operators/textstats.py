@@ -178,3 +178,223 @@ SELECT {id_col} AS doc_id,
            regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}'))), ' ')) AS fingerprint
 FROM {table} ORDER BY doc_id
 """.strip()
+
+
+# ------------------------------------------------- repetition filters
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1): per-document character fractions covered by the
+# most frequent {2,3,4}-gram and by duplicated {5..10}-grams, plus
+# duplicate line/paragraph fractions. Heavily-repetitive documents (boiler-
+# plate, scraped templates, degenerate generations) are filtered on these.
+#
+# Variant documented: Gopher counts each duplicated CHARACTER once even
+# when overlapping n-grams share it; we count per occurrence (count x
+# gram length), which is order-free, exactly SQL-replayable, and monotone
+# in the same signal. The denominator is length(text) (raw chars).
+
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = GOPHER_TOP_NS,
+    dup_ns: tuple[int, ...] = GOPHER_DUP_NS,
+) -> DataFrame:
+    """DF(doc_id, top{n}gram_frac..., dup{n}gram_frac...), doubles rounded
+    to 6.
+
+    top{n}gram_frac = occurrences x chars of the single most frequent
+    token n-gram / length(text) (ties: lexicographically smallest gram);
+    dup{n}gram_frac = summed occurrences x chars of every n-gram seen more
+    than once / length(text). Short docs (no n-gram fits) score 0.0.
+
+    Plan shape: one map-side explode (~sum(n) rows per token), one
+    groupBy(doc, n, gram) with partial aggregation, one groupBy(doc) of
+    conditional aggregates, then a join back to the doc base for empty
+    docs — per-doc keys throughout, no skew beyond document length, no
+    Python in the row path.
+    """
+    from lucene_spark.operators.dedup import shingles_col
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    t = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("n_chars")
+    )
+    def _tag(n):
+        # closure factory, NOT a default-arg lambda: pyspark introspects
+        # lambda arity, and a 2-arg lambda becomes (element, index)
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    per_n = [F.transform(shingles_col(t, n), _tag(n)) for n in ns]
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.flatten(F.array(*per_n))).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.col("cnt") * F.length("gram")
+    aggs = []
+    for n in sorted(top_ns):
+        # min over (-cnt, gram, chars): max count, smallest gram on ties;
+        # chars rides along (determined by the first two fields)
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("n") == n,
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("gram").alias("g"),
+                        chars.alias("chars"),
+                    ),
+                )
+            )["chars"].alias(f"top{n}_chars")
+        )
+    for n in sorted(dup_ns):
+        aggs.append(
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("cnt") > 1), chars).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"dup{n}_chars")
+        )
+    per_doc = counts.groupBy("doc_id").agg(*aggs)
+    joined = base.join(per_doc, "doc_id", "left")
+    d = lambda c: c.cast("double")  # noqa: E731
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(
+            F.col("n_chars") > 0, d(F.coalesce(c, F.lit(0))) / d(F.col("n_chars"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    out_cols = [F.col("doc_id")]
+    for n in sorted(top_ns):
+        out_cols.append(frac(F.col(f"top{n}_chars")).alias(f"top{n}gram_frac"))
+    for n in sorted(dup_ns):
+        out_cols.append(frac(F.col(f"dup{n}_chars")).alias(f"dup{n}gram_frac"))
+    return joined.select(*out_cols)
+
+
+def duplicate_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Duplicate line/paragraph fractions (the other half of the Gopher
+    repetition set): split on ``sep`` (lines "\\n", paragraphs "\\n\\n",
+    or " " for token-level), drop empty segments, and report
+
+      dup_seg_frac      = (n_segs - n_distinct) / n_segs
+      dup_seg_char_frac = chars in beyond-first occurrences / total seg chars
+
+    Pure array expressions — a narrow map with ZERO shuffle (the per-doc
+    segment lists never explode), so this costs one corpus scan at any
+    scale. Doubles rounded to 6; empty docs score 0.0."""
+    import re as _re
+
+    # Spark's split() pattern is a REGEX, DuckDB's string_split is literal —
+    # escape so both sides split on the same literal separator
+    segs = F.filter(
+        F.split(F.col(text_col), _re.escape(sep), -1),
+        lambda x: x != "",
+    )
+    dist = F.array_distinct(segs)
+    seg_chars = F.aggregate(
+        segs, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dist_chars = F.aggregate(
+        dist, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n, nd = F.size(segs), F.size(dist)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(
+            F.when(n > 0, d(n - nd) / d(n)).otherwise(F.lit(0.0)), 6
+        ).alias("dup_seg_frac"),
+        F.round(
+            F.when(seg_chars > 0, d(seg_chars - dist_chars) / d(seg_chars)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_seg_char_frac"),
+    )
+
+
+def repetition_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = GOPHER_TOP_NS,
+    dup_ns: tuple[int, ...] = GOPHER_DUP_NS,
+) -> str:
+    ns = sorted(set(top_ns) | set(dup_ns))
+    n_vals = ",".join(f"({n})" for n in ns)
+    top_cols, dup_cols = [], []
+    for n in sorted(top_ns):
+        top_cols.append(
+            f"round(CASE WHEN n_chars > 0 THEN CAST(coalesce(max(CASE WHEN n = {n} "
+            f"AND rk = 1 THEN chars END), 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) "
+            f"ELSE 0.0 END, 6) AS top{n}gram_frac"
+        )
+    for n in sorted(dup_ns):
+        dup_cols.append(
+            f"round(CASE WHEN n_chars > 0 THEN CAST(coalesce(sum(CASE WHEN n = {n} "
+            f"AND cnt > 1 THEN chars ELSE 0 END), 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) "
+            f"ELSE 0.0 END, 6) AS dup{n}gram_frac"
+        )
+    cols = ",\n       ".join(top_cols + dup_cols)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, length({text_col}) AS n_chars,
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}') AS toks
+  FROM {table}
+), g AS (
+  SELECT t.doc_id, nv.n AS n,
+         array_to_string(t.toks[iv.i:iv.i + nv.n - 1], ' ') AS gram
+  FROM t, (VALUES {n_vals}) AS nv(n),
+       unnest(range(1, len(t.toks) - nv.n + 2)) AS iv(i)
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt,
+         count(*) * length(gram) AS chars,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY count(*) DESC, gram ASC) AS rk
+  FROM g GROUP BY doc_id, n, gram
+)
+SELECT t.doc_id, {cols}
+FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+GROUP BY t.doc_id, t.n_chars
+ORDER BY t.doc_id
+""".strip()
+
+
+def duplicate_segments_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> str:
+    sq = sep.replace("'", "''")
+    segs = f"list_filter(string_split({text_col}, '{sq}'), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         {segs} AS segs,
+         list_distinct({segs}) AS dist
+  FROM {table}
+), f AS (
+  SELECT doc_id, len(segs) AS n, len(dist) AS nd,
+         coalesce(list_sum(list_transform(segs, x -> length(x))), 0) AS sc,
+         coalesce(list_sum(list_transform(dist, x -> length(x))), 0) AS dc
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS dup_seg_frac,
+       round(CASE WHEN sc > 0 THEN CAST(sc - dc AS DOUBLE) / CAST(sc AS DOUBLE) ELSE 0.0 END, 6) AS dup_seg_char_frac
+FROM f ORDER BY doc_id
+""".strip()

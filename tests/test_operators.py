@@ -253,6 +253,66 @@ def test_textstats_handmade(spark):
     assert fp[1] == hashlib.md5(b"and cat dog the").hexdigest()
 
 
+def test_repetition_stats_handmade(spark):
+    """Gopher repetition filters: hand-computed fractions, short-doc and
+    empty-doc zeros, and the tie rule (lexicographically smallest gram on
+    equal counts)."""
+    from lucene_spark.operators.textstats import repetition_stats
+
+    texts = {
+        # "ab ab ab cd": 2-grams = [ab ab]x2, [ab cd]x1 -> top2 = 2*5=10
+        # chars over 11 text chars; 3-grams = [ab ab ab], [ab ab cd] -> top3
+        # = 8/11 (tie cnt=1 -> lexicographically smaller "ab ab ab")
+        1: "ab ab ab cd",
+        2: "x",            # shorter than every n -> all 0.0
+        3: "",             # empty -> all 0.0
+        # dup-5-grams: "a b c d e" occurs twice (positions 1 and 6):
+        # tokens a b c d e a b c d e -> the 5-gram "a b c d e" x2 (others x1)
+        # dup5 chars = 2*9 = 18 over 19 text chars
+        4: "a b c d e a b c d e",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(df, top_ns=(2, 3), dup_ns=(5,)).collect()}
+    assert r[1]["top2gram_frac"] == round(10 / 11, 6)
+    assert r[1]["top3gram_frac"] == round(8 / 11, 6)
+    assert r[1]["dup5gram_frac"] == 0.0
+    assert all(v == 0.0 for k, v in r[2].asDict().items() if k != "doc_id")
+    assert all(v == 0.0 for k, v in r[3].asDict().items() if k != "doc_id")
+    assert r[4]["dup5gram_frac"] == round(18 / 19, 6)
+    assert r[4]["top2gram_frac"] == round(2 * 3 / 19, 6)  # "a b" x2
+
+
+def test_duplicate_segments_handmade(spark):
+    """Line/paragraph duplicate fractions; ZERO-shuffle plan (narrow map)."""
+    from lucene_spark.operators.textstats import duplicate_segments
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "aa\nbb\naa\ncc",      # 4 lines, 3 distinct -> 1/4;
+                                            # chars 8 vs 6 -> 2/8
+                    "one\n\ntwo",           # empty segment dropped -> 0.0
+                    "",
+                ],
+            }
+        )
+    )
+    r = {x["doc_id"]: x for x in duplicate_segments(df).collect()}
+    assert r[1]["dup_seg_frac"] == 0.25
+    assert r[1]["dup_seg_char_frac"] == 0.25
+    assert r[2]["dup_seg_frac"] == 0.0
+    assert r[3]["dup_seg_frac"] == 0.0 and r[3]["dup_seg_char_frac"] == 0.0
+    # paragraphs: split on blank line
+    p = {x["doc_id"]: x for x in duplicate_segments(df, sep="\n\n").collect()}
+    assert p[2]["dup_seg_frac"] == 0.0
+    plan = duplicate_segments(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "duplicate_segments must not shuffle"
+
+
 # ------------------------------------------------------------------ multimodal
 
 def test_media_pipeline(spark, docs):
