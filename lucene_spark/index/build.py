@@ -69,6 +69,13 @@ SEGMENT_META_SCHEMA = (
 )
 
 
+#: estimated in-memory build footprint per raw text byte (tokenized object
+#: arrays + per-partition postings dicts dominate) — the constant behind the
+#: flush_ram_mb policy. An ESTIMATE, like Lucene's RAM accounting; it sizes
+#: task granularity, never correctness.
+RAM_EXPANSION = 8
+
+
 @dataclass
 class IndexConfig:
     num_segments: int = 8
@@ -97,6 +104,19 @@ class IndexConfig:
     # the file-aligned build (build_index_files) takes doc order from the
     # files and rejects the option.
     index_sort: str | None = None
+    # FlushByRamOrCountsPolicy analog (``core/index/
+    # FlushByRamOrCountsPolicy.java:32``): Lucene flushes a DWPT when its
+    # buffered RAM exceeds ramBufferSizeMB or its doc count exceeds
+    # maxBufferedDocs. Here the flush unit is the shard, so the policy sets
+    # shard GRANULARITY: segment count is raised until no build task is
+    # expected to buffer more than flush_ram_mb (RAM_EXPANSION x raw text
+    # bytes) / hold more than flush_max_docs rows. flush_ram_mb additionally
+    # switches boundaries to BYTE-weighted quantiles so a skewed corpus (a
+    # few huge conversations) cannot concentrate the bytes in one task.
+    # num_segments stays the floor. Ignored by the file-aligned build
+    # (files are the flush units there).
+    flush_ram_mb: int | None = None
+    flush_max_docs: int | None = None
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -178,12 +198,16 @@ def build_index(
             )
 
     if manifest is None:
-        boundaries = (
-            _compute_sort_boundaries(transcripts, config.index_sort,
-                                     config.num_segments)
-            if config.index_sort
-            else _compute_boundaries(transcripts, config.num_segments)
-        )
+        nseg = config.num_segments
+        if config.flush_ram_mb or config.flush_max_docs:
+            nseg = _flush_policy_segments(transcripts, config)
+        if config.index_sort:
+            boundaries = _compute_sort_boundaries(transcripts,
+                                                  config.index_sort, nseg)
+        elif config.flush_ram_mb:
+            boundaries = _compute_boundaries_bytes(transcripts, nseg)
+        else:
+            boundaries = _compute_boundaries(transcripts, nseg)
         manifest = {
             "version": 1,
             "generation": 0,
@@ -292,6 +316,62 @@ def _compute_boundaries(transcripts: DataFrame, num_segments: int,
     bounds = []
     for i in range(1, n):
         bounds.append(convs[(len(convs) * i) // n])
+    return sorted(set(bounds))
+
+
+def _flush_policy_segments(transcripts: DataFrame, config: IndexConfig) -> int:
+    """Derive the effective segment count from the flush policy
+    (FlushByRamOrCountsPolicy semantics re-expressed as task granularity):
+    enough shards that the ESTIMATED per-task buffered footprint
+    (RAM_EXPANSION x raw text bytes / shard) stays under flush_ram_mb and
+    the per-task row count under flush_max_docs. One cheap agg job;
+    config.num_segments is the floor."""
+    agg = transcripts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("b")
+    ).first()
+    n_docs, n_bytes = int(agg["n"]), int(agg["b"] or 0)
+    need = config.num_segments
+    if config.flush_ram_mb:
+        budget = config.flush_ram_mb << 20
+        need = max(need, -(-n_bytes * RAM_EXPANSION // budget))
+    if config.flush_max_docs:
+        need = max(need, -(-n_docs // config.flush_max_docs))
+    return int(need)
+
+
+def _compute_boundaries_bytes(transcripts: DataFrame, num_segments: int,
+                              sample_target: int = 200) -> list[str]:
+    """Byte-weighted twin of _compute_boundaries: boundaries sit at equal
+    CUMULATIVE-TEXT-BYTE quantiles of the sorted conv_id domain (from the
+    same bounded deterministic hash sample), so a skewed corpus cannot
+    concentrate most of a build's buffered bytes in one task. A conversation
+    stays atomic (docIDs are (conv_id, turn_idx)-ordered within shards), so
+    one conv larger than the budget still forms a single oversized shard —
+    exactly Lucene's behavior for one giant document."""
+    approx = int(
+        transcripts.select(
+            F.approx_count_distinct("conv_id").alias("n")
+        ).first()["n"]
+    )
+    rate = approx // max(num_segments * sample_target, 1)
+    src = transcripts.select("conv_id", F.length("text").alias("b"))
+    if rate > 1:
+        src = src.filter(F.pmod(F.xxhash64("conv_id"), F.lit(rate)) == 0)
+    rows = (
+        src.groupBy("conv_id").agg(F.sum("b").alias("b"))
+        .orderBy("conv_id").collect()
+    )
+    if not rows:
+        return []
+    convs = [r["conv_id"] for r in rows]
+    cum = np.cumsum([int(r["b"] or 0) for r in rows], dtype=np.int64)
+    total = int(cum[-1])
+    n = min(num_segments, len(convs))
+    bounds = []
+    for i in range(1, n):
+        j = min(int(np.searchsorted(cum, total * i // n, side="right")),
+                len(convs) - 1)
+        bounds.append(convs[j])
     return sorted(set(bounds))
 
 

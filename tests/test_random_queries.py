@@ -15,8 +15,12 @@ import pytest
 from lucene_spark.query.ast import (
     BooleanQuery,
     BoostQuery,
+    MatchAllDocsQuery,
     PrefixQuery,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
     expand_multi_term,
     rewrite_fixpoint,
 )
@@ -27,6 +31,14 @@ from lucene_spark.query.search import IndexSearcher
 #: bug the first suite never generated — kept so the shape stays covered.
 SEEDS = (20260817, 101)
 N_QUERIES = 25
+
+# extended fuzz sessions (fresh seeds, the discipline that caught the
+# filter-only-NaN bug): EXTRA_FUZZ_SEEDS="7,8,9" pytest -k random
+import os as _os
+
+_extra = _os.environ.get("EXTRA_FUZZ_SEEDS", "")
+if _extra:
+    SEEDS = SEEDS + tuple(int(s) for s in _extra.split(",") if s.strip())
 
 
 @pytest.fixture(scope="module")
@@ -41,8 +53,17 @@ def _random_query(rng: random.Random, vocab: list[str], depth: int = 0):
         if rng.random() < 0.25:
             return BoostQuery(t, round(rng.uniform(0.25, 3.0), 2))
         return t
-    if roll < 0.55:
+    if roll < 0.50:
         return PrefixQuery(rng.choice(vocab)[:2])
+    if roll < 0.53:
+        return WildcardQuery(rng.choice(vocab)[:1] + "*" + rng.choice(vocab)[-1:])
+    if roll < 0.56:
+        return TermInSetQuery(tuple(sorted({rng.choice(vocab) for _ in range(3)})))
+    if roll < 0.58:
+        lo, hi = sorted((rng.choice(vocab), rng.choice(vocab)))
+        return TermRangeQuery(lo, hi, rng.random() < 0.5, rng.random() < 0.5)
+    if roll < 0.59:
+        return MatchAllDocsQuery()
     must = [_random_query(rng, vocab, depth + 1) for _ in range(rng.randint(0, 2))]
     should = [_random_query(rng, vocab, depth + 1) for _ in range(rng.randint(0, 3))]
     filt = [TermQuery(rng.choice(vocab))] if rng.random() < 0.3 else []

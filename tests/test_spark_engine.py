@@ -185,3 +185,68 @@ def test_resume_skips_completed(spark, small_corpus, tmp_path):
     mutated = spark.createDataFrame(small_corpus.head(100))
     with pytest.raises(ValueError, match="input changed"):
         build_index(spark, mutated, index_dir, cfg)
+
+
+def test_flush_policy_granularity_and_rank_identity(spark, small_corpus,
+                                                    oracle_index, tmp_path):
+    """FlushByRamOrCountsPolicy analog: flush_max_docs / flush_ram_mb raise
+    the segment count until per-task buffers fit; byte-weighted boundaries
+    balance a skewed corpus; results stay rank-identical (boundaries only
+    move work, never answers)."""
+    import pandas as pd
+
+    from lucene_spark.index.build import (
+        IndexConfig, build_index, load_manifest,
+    )
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    sdf = spark.createDataFrame(small_corpus)
+    n_rows = len(small_corpus)
+
+    # doc-count policy: ceil(n / flush_max_docs) tasks (enough convs here)
+    cap = max(1, n_rows // 10)
+    idx = str(tmp_path / "flush_docs")
+    build_index(spark, sdf, idx,
+                IndexConfig(num_segments=2, term_buckets=4, hot_term_df=64,
+                            flush_max_docs=cap))
+    m = load_manifest(idx)
+    n_shards = len(m["boundaries"]) + 1
+    assert n_shards >= 8, n_shards  # ~10 needed, conv-atomicity may round
+    assert all(v["count"] <= 3 * cap for v in m["shards"].values()), (
+        "a shard hugely over the doc budget means boundaries ignored it")
+
+    # RAM policy on a SKEWED corpus: one conv carries ~50% of all bytes;
+    # byte-weighted boundaries must isolate it instead of packing it with
+    # half the others (count-quantiles would).
+    total_b = int(small_corpus.text.str.len().sum())
+    big = pd.DataFrame({
+        "conv_id": ["aaa-huge"] * 4, "turn_idx": range(4),
+        "role": ["user"] * 4, "tool": [None] * 4,
+        "text": ["xl " * (total_b // 12)] * 4,
+        "ts": pd.to_datetime(["2026-01-01"] * 4),
+    })
+    skew = pd.concat([small_corpus, big[small_corpus.columns]],
+                     ignore_index=True)
+    skdf = spark.createDataFrame(skew)
+    idx2 = str(tmp_path / "flush_ram")
+    build_index(spark, skdf, idx2,
+                IndexConfig(num_segments=4, term_buckets=4, hot_term_df=64,
+                            flush_ram_mb=1))
+    merge_index(spark, idx2)
+    m2 = load_manifest(idx2)
+    # the huge conv's shard should hold few OTHER convs: find its shard by
+    # count (4 rows + neighbors); assert no shard holds >60% of total rows
+    counts = sorted(int(v["count"]) for v in m2["shards"].values())
+    assert counts[-1] <= 0.6 * len(skew), counts
+
+    # rank identity vs the oracle on the original corpus build
+    idx3 = str(tmp_path / "flush_plain")
+    build_index(spark, sdf, idx3,
+                IndexConfig(num_segments=3, term_buckets=8, hot_term_df=64,
+                            flush_ram_mb=1))
+    merge_index(spark, idx3)
+    s = IndexSearcher(spark, idx3)
+    for q in ('{"term": "ba"}', '{"bool": {"must": [{"term": "ba"}], '
+              '"should": [{"term": "ca"}]}}'):
+        assert _spark_hits(s, q, 10) == _oracle_hits(oracle_index, q, 10)
