@@ -599,6 +599,53 @@ def _highlight_offsets_df(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _payload_searcher(spark, sf_dir):
+    """Index with per-occurrence float payloads (IndexConfig.payloads;
+    DelimitedPayloadTokenFilter corpus synthesized deterministically:
+    every token t annotated as t|((len(t) % 4) * 0.25 + 0.25))."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.dedup import tokens_col
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_payload"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        ann = tdf.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    tokens_col("text"),
+                    lambda t: F.concat(
+                        t, F.lit("|"),
+                        ((F.length(t) % 4).cast("double") * 0.25 + 0.25)
+                        .cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="whitespace_payload", payloads=True)
+        build_index(spark, ann, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _payload_score_df(func):
+    def run(spark, sf_dir):
+        s = _payload_searcher(spark, sf_dir)
+        res = s.payload_score("scan", 1_000_000_000, func=func)
+        dm = s.docmap().select("doc_id", "conv_id")
+        return (
+            res.join(dm, "doc_id")
+            .select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return run
+
+
 def _query_parser_df(spark, sf_dir):
     from lucene_spark.query.parser import QueryParser
 
@@ -1384,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["explain_score"] = _explain_df
     out["highlight"] = _highlight_df
     out["highlight_offsets"] = _highlight_offsets_df
+    out["payload_score_sum"] = _payload_score_df("sum")
+    out["payload_score_max"] = _payload_score_df("max")
     out["query_parser"] = _query_parser_df
     out["query_parser_fielded"] = _query_parser_fielded_df
     out["bm25_term_pruned"] = _pruned_df
@@ -1576,6 +1625,26 @@ FROM ({_hl_base}) t JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id ASC
 """.strip()
     out["highlight_offsets"] = out["highlight"]
+    # payload sums/maxes: values are multiples of 0.25 with small per-doc
+    # counts, so the float64 SQL sum cast REAL equals the engine's float32
+    # position-order accumulation exactly
+    _pay_occ = """
+WITH occ AS (
+  SELECT doc_id, length(tok) AS l
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+  WHERE tok = 'scan'
+)
+""".strip()
+    out["payload_score_sum"] = (
+        _pay_occ
+        + "\nSELECT doc_id, CAST(sum((l % 4) * 0.25 + 0.25) AS REAL) AS score"
+        + "\nFROM occ GROUP BY doc_id ORDER BY score DESC, doc_id ASC"
+    )
+    out["payload_score_max"] = (
+        _pay_occ
+        + "\nSELECT doc_id, CAST(max((l % 4) * 0.25 + 0.25) AS REAL) AS score"
+        + "\nFROM occ GROUP BY doc_id ORDER BY score DESC, doc_id ASC"
+    )
     from lucene_spark.query.parser import QueryParser as _QP
     _qp_base = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

@@ -295,9 +295,49 @@ def analyze_series_simple(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.lower().str.findall(SIMPLE_RE)
 
 
+#: DelimitedPayloadTokenFilter delimiter (``analysis-common/.../payloads/
+#: DelimitedPayloadTokenFilter.java:33`` — default '|'). Token text is the
+#: part before the FIRST delimiter; the suffix is the payload (FloatEncoder
+#: semantics: parsed as float32). Tokens reduced to an empty term are
+#: dropped; unparseable/absent payloads carry NO payload (scorers skip them
+#: — Lucene returns null payloads for plain tokens).
+PAYLOAD_DELIM = "|"
+
+
+def split_payload_token(tok: str) -> tuple[str, float]:
+    """(term, payload float or nan) for one whitespace token."""
+    term, _, suffix = tok.partition(PAYLOAD_DELIM)
+    if suffix:
+        try:
+            return term, float(np.float32(float(suffix)))
+        except ValueError:
+            pass
+    return term, float("nan")
+
+
+def _ws_payload_terms(text: str) -> list[str]:
+    return [t.partition(PAYLOAD_DELIM)[0] for t in (text or "").split()
+            if t.partition(PAYLOAD_DELIM)[0]]
+
+
+def _findall_ws_payload(texts: pd.Series) -> pd.Series:
+    """Build-path tokenizer for the `whitespace_payload` chain:
+    WhitespaceTokenizer -> DelimitedPayloadTokenFilter term extraction
+    (lowercase happens at the vocabulary level like every chain)."""
+    return texts.fillna("").map(_ws_payload_terms)
+
+
+def analyze_series_ws_payload(texts: pd.Series) -> pd.Series:
+    """Scalar-contract twin of the whitespace_payload chain (lowercased)."""
+    return texts.fillna("").map(
+        lambda s: [java_lower(t) for t in _ws_payload_terms(s)]
+    )
+
+
 ANALYZERS = {
     "standard": analyze_series,
     "simple": analyze_series_simple,
+    "whitespace_payload": analyze_series_ws_payload,
 }
 
 # ------------------------------------------------------------- filter chains
@@ -380,6 +420,7 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "simple_stop": (EN_STOP_SET, None, None),
     "english": (EN_STOP_SET, english_vocab_transform, None),
     "standard_folded": (None, ascii_fold, None),
+    "whitespace_payload": (None, None, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -390,6 +431,7 @@ CHAIN_BASE: dict[str, str] = {
     "simple_stop": "simple",
     "english": "standard",
     "standard_folded": "standard",
+    "whitespace_payload": "whitespace",
 }
 
 
@@ -425,10 +467,14 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
     ordinals BEFORE stop removal (position-increment preservation);
     synonym-stacked tokens share their source position and do not count
     toward field_len."""
-    if CHAIN_BASE.get(analyzer, "standard") == "standard":
+    base = CHAIN_BASE.get(analyzer, "standard")
+    if base == "standard":
         raw = [t for t in tokenize_one(text)]
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)
                 if len(t) <= MAX_TOKEN_LENGTH]
+    elif base == "whitespace":
+        raw = _ws_payload_terms(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())
         keep = list(enumerate(raw))
@@ -496,6 +542,10 @@ RAW_TOKENIZERS = {
     "standard_folded": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
+    ),
+    "whitespace_payload": (
+        _findall_ws_payload,
+        None,
     ),
 }
 

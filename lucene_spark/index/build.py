@@ -96,6 +96,15 @@ class IndexConfig:
     # non-ASCII rows degrade to no-offsets (-1) and the highlighter falls
     # back to the regex path for them.
     offsets: bool = False
+    # store per-occurrence float PAYLOADS alongside positions
+    # (IndexOptions payloads surface, ``core/index/FieldInfo.java``
+    # storePayloads; carried in by DelimitedPayloadTokenFilter semantics —
+    # ``analysis-common/.../payloads/DelimitedPayloadTokenFilter.java:33``
+    # with FloatEncoder). Requires positions and the whitespace_payload
+    # chain ("term|0.75" tokens); tokens without a parseable payload store
+    # NaN (= no payload; scorers skip them, like the reference's null
+    # payloads). Enables PayloadScoreQuery (IndexSearcher.payload_score).
+    payloads: bool = False
     # IndexWriterConfig.setIndexSort analog: name of a NUMERIC or TIMESTAMP
     # metadata column (must be non-null); docIDs are then assigned in
     # ascending order of that column (ties: conv_id, turn_idx) instead of
@@ -196,6 +205,17 @@ def build_index(
                 "the token boundaries); the standard tokenizer does not "
                 "report spans"
             )
+    if config.payloads:
+        from lucene_spark.functions.analysis import CHAIN_BASE
+
+        if not config.positions:
+            raise ValueError("payloads require positions=True")
+        if CHAIN_BASE.get(config.analyzer) != "whitespace":
+            raise ValueError(
+                "payloads require a whitespace-base payload chain "
+                "(DelimitedPayloadTokenFilter semantics); use "
+                "analyzer='whitespace_payload'"
+            )
 
     if manifest is None:
         nseg = config.num_segments
@@ -260,7 +280,7 @@ def build_index(
         meta = part.groupBy("shard_id").applyInPandas(
             _make_segment_builder(index_dir, offsets, config.analyzer,
                                   config.positions, config.index_sort,
-                                  config.offsets),
+                                  config.offsets, config.payloads),
             schema=SEGMENT_META_SCHEMA,
         )
         rows = meta.collect()
@@ -441,7 +461,8 @@ def _assign_shards(transcripts: DataFrame, boundaries: list[str]) -> DataFrame:
 def _make_segment_builder(index_dir: str, offsets: dict[int, int],
                           analyzer: str = "standard", positions: bool = False,
                           index_sort: str | None = None,
-                          store_offsets: bool = False):
+                          store_offsets: bool = False,
+                          store_payloads: bool = False):
     """Returns the applyInPandas function building one segment per shard.
 
     The analyzer SPEC (tokenizer fn + chain filters) is resolved on the
@@ -457,7 +478,8 @@ def _make_segment_builder(index_dir: str, offsets: dict[int, int],
     def build_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         return _build_segment_frame(pdf, sid, offsets[sid], analyzer, index_dir,
-                                    positions, index_sort, spec, store_offsets)
+                                    positions, index_sort, spec, store_offsets,
+                                    store_payloads)
 
     return build_segment
 
@@ -466,6 +488,7 @@ def _build_segment_frame(
     pdf: pd.DataFrame, sid: int, offset: int, analyzer: str, index_dir: str,
     positions: bool = False, index_sort: str | None = None,
     spec: tuple | None = None, store_offsets: bool = False,
+    store_payloads: bool = False,
 ) -> pd.DataFrame:
     """Build one segment from an in-memory frame of transcript rows (the DWPT
     flush analog): tokenize, norms, docmap + block-encoded postings written
@@ -529,6 +552,26 @@ def _build_segment_frame(
             for j, m in enumerate(_SIMPLE_RAW_RE.finditer(txt)):
                 off_s_flat[base + j] = m.start()
                 off_e_flat[base + j] = m.end()
+    pay_flat = None
+    if store_payloads:
+        # per-RAW-ordinal payloads, same flat indexing as offsets: pos_raw
+        # is the raw ordinal and survives every vocab filter. Must replay
+        # the whitespace_payload tokenizer's drop rule exactly (empty-term
+        # tokens don't consume an ordinal).
+        from lucene_spark.functions.analysis import split_payload_token
+
+        pay_flat = np.full(row_of.size, np.nan, dtype=np.float32)
+        for ri, txt in enumerate(pdf["text"].fillna("").tolist()):
+            if counts_raw[ri] == 0:
+                continue
+            base = int(row_start[ri])
+            j = 0
+            for tok in txt.split():
+                term, payload = split_payload_token(tok)
+                if not term:
+                    continue
+                pay_flat[base + j] = payload
+                j += 1
     if codes.size:
         # lowercase + length-filter on the vocabulary, not the corpus.
         # Java-parity translate first (İ/Σ — see analysis._JAVA_LOWER);
@@ -665,6 +708,11 @@ def _build_segment_frame(
                     bounds, pa.array(off_s_flat[occ].astype(np.int32)))
                 pos_cols["ends"] = pa.ListArray.from_arrays(
                     bounds, pa.array(off_e_flat[occ].astype(np.int32)))
+            if store_payloads:
+                occ = row_start[row_of[order]] + pos_raw[order]
+                bounds = np.concatenate((gst, [sk.size])).astype(np.int32)
+                pos_cols["payloads"] = pa.ListArray.from_arrays(
+                    bounds, pa.array(pay_flat[occ], type=pa.float32()))
             pq.write_table(
                 pa.table(pos_cols),
                 os.path.join(pos_dir, "data.parquet"),

@@ -485,6 +485,71 @@ class IndexSearcher:
             *extra,
         ).orderBy("term")
 
+    def payload_score(
+        self, term: str, k: int = 10, func: str = "sum",
+        include_span_score: bool = False, boost: float = 1.0,
+    ) -> DataFrame:
+        """PayloadScoreQuery analog (``queries/payloads/PayloadScoreQuery
+        .java:47``, functions ``payloads/PayloadFunction.java`` Sum/Max/Min/
+        Average): score = PayloadFunction over the matched term's per-
+        occurrence float payloads (index built with ``IndexConfig.payloads``
+        — DelimitedPayloadTokenFilter + FloatEncoder). Occurrences without a
+        payload (NaN) are skipped, like the reference's null payloads; a doc
+        whose occurrences all lack payloads scores 0.0 (docScore with
+        numPayloadsSeen == 0). Sum/avg accumulate FLOAT32 in position order
+        (SpanScorer visits spans in order; each step a float add). With
+        ``include_span_score`` the payload score is multiplied (float32) by
+        the term's BM25 score, as the reference multiplies the wrapped
+        SpanQuery's score. DF(doc_id, score), (score desc, doc asc) top-k."""
+        if func not in ("sum", "max", "min", "avg"):
+            raise ValueError(f"unknown payload function {func!r}")
+        pos = self.positions_table()
+        if "payloads" not in pos.columns:
+            raise ValueError(
+                "index built without payloads (IndexConfig.payloads=True)"
+            )
+        bucket = term_bucket_of(term, self.buckets)
+        rows = pos.filter(
+            (F.col("term_bucket") == bucket) & (F.col("term") == term)
+        )
+        vals = F.filter("payloads", lambda x: ~F.isnan(x))
+        fzero = F.lit(0.0).cast("float")
+        f32sum = F.aggregate(
+            vals, fzero, lambda a, x: (a + x).cast("float")
+        )
+        if func == "sum":
+            pscore = f32sum
+        elif func == "max":
+            pscore = F.array_max(vals)
+        elif func == "min":
+            pscore = F.array_min(vals)
+        else:  # avg: float32 sum / int count, one float32 divide
+            pscore = (f32sum / F.size(vals).cast("float")).cast("float")
+        scored = rows.select(
+            "doc_id",
+            F.coalesce(
+                F.when(F.size(vals) > 0, pscore), fzero
+            ).alias("payload_score"),
+        )
+        if include_span_score:
+            span = self._live(self._execute(TermQuery(term),
+                                            np.float32(boost)))
+            if span is None:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score float")
+            scored = span.join(scored, "doc_id").select(
+                "doc_id",
+                (F.col("score") * F.col("payload_score"))
+                .cast("float").alias("score"),
+            )
+        else:
+            scored = self._live(scored.select(
+                "doc_id", F.col("payload_score").cast("float").alias("score")
+            ))
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        )
+
     def function_score(
         self, query: Query, value: str, k: int = 10, boost: float = 1.0,
     ) -> DataFrame:

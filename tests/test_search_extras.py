@@ -665,3 +665,76 @@ def test_offsets_artifact_and_highlighting(spark, tmp_path):
         build_index(spark, src, str(tmp_path / "x2"),
                     IndexConfig(analyzer="simple", offsets=True,
                                 positions=False))
+
+
+def test_payloads_artifact_and_payload_score(spark, tmp_path):
+    """IndexConfig.payloads + PayloadScoreQuery analog: payload floats
+    stored per occurrence in position order; sum/max/min/avg semantics with
+    NaN (= absent payload) skipping; empty-term tokens don't consume an
+    ordinal; include_span_score multiplies the BM25 term score in float32;
+    config validation."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "run|0.5 run|0.25 jump|1.0",   # run: sum .75 max .5 min .25 avg .375
+        "run jump|2.0",                # run occurrence w/o payload -> 0.0
+        "run|bad run|0.5",             # unparseable -> skipped; sum 0.5
+        "walk|3.0",
+        "|9.9 RUN|1.5",                # empty term dropped; case-folded term
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "pay")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2,
+                            analyzer="whitespace_payload", payloads=True))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+
+    pos = {r["doc_id"]: r for r in s.positions_table()
+           .filter(F.col("term") == "run").collect()}
+    assert list(np.float32(pos[0]["payloads"])) == [np.float32(0.5),
+                                                    np.float32(0.25)]
+    assert np.isnan(pos[1]["payloads"][0])
+    assert np.isnan(pos[2]["payloads"][0])
+    assert np.float32(pos[2]["payloads"][1]) == np.float32(0.5)
+    assert list(np.float32(pos[4]["payloads"])) == [np.float32(1.5)]
+
+    def scores(func):
+        return {r["doc_id"]: np.float32(r["score"])
+                for r in s.payload_score("run", 10, func=func).collect()}
+
+    assert scores("sum") == {0: np.float32(0.75), 1: np.float32(0.0),
+                             2: np.float32(0.5), 4: np.float32(1.5)}
+    assert scores("max")[0] == np.float32(0.5)
+    assert scores("min")[0] == np.float32(0.25)
+    assert scores("avg")[0] == np.float32(0.375)
+
+    # include_span_score == float32(bm25 * payload_sum), doc-asc tie-break
+    span = {r["doc_id"]: np.float32(r["score"])
+            for r in s.search(TermQuery("run"), 10).collect()}
+    combo = {r["doc_id"]: np.float32(r["score"])
+             for r in s.payload_score("run", 10, func="sum",
+                                      include_span_score=True).collect()}
+    for d, ps in scores("sum").items():
+        assert combo[d] == np.float32(span[d] * ps), d
+
+    with _pytest.raises(ValueError, match="whitespace"):
+        build_index(spark, spark.createDataFrame(rows), str(tmp_path / "x1"),
+                    IndexConfig(analyzer="simple", payloads=True))
+    with _pytest.raises(ValueError, match="positions"):
+        build_index(spark, spark.createDataFrame(rows), str(tmp_path / "x2"),
+                    IndexConfig(analyzer="whitespace_payload", payloads=True,
+                                positions=False))
+    with _pytest.raises(ValueError, match="payload function"):
+        s.payload_score("run", 10, func="median")
