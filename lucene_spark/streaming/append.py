@@ -81,7 +81,12 @@ def append_batch(
     ).withColumn("shard_id", F.lit(next_sid))
     meta = assigned.groupBy("shard_id").applyInPandas(
         _make_segment_builder(
-            index_dir, {next_sid: doc_base}, config.analyzer, config.positions
+            index_dir, {next_sid: doc_base}, config.analyzer, config.positions,
+            # appended docIDs are arrival-ordered (index_sort=None; the
+            # sorted-search path sees ordered=False and falls back), but
+            # offsets/payloads columns must match the existing artifacts or
+            # the merged positions read schema-splits
+            None, config.offsets, config.payloads,
         ),
         schema=SEGMENT_META_SCHEMA,
     )

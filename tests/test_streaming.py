@@ -723,3 +723,42 @@ def test_legacy_empty_markers_still_skip(spark, tmp_path_factory):
     append_batch(spark, spark.createDataFrame(extra), idx, batch_id=3)
     assert spark.read.parquet(os.path.join(idx, "postings")).count() == rows1
     assert check_index(spark, idx)["ok"]
+
+
+def test_append_preserves_payloads_and_offsets_schema(spark, tmp_path_factory):
+    """Appended segments must carry the SAME positions-artifact columns as
+    the base build (offsets/payloads), or the merged positions read
+    schema-splits; payload_score must cover appended docs."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.streaming.append import append_batch
+
+    idx = str(tmp_path_factory.mktemp("pay_append") / "idx")
+
+    def frame(texts, cid0):
+        return pd.DataFrame({
+            "conv_id": [f"c{cid0 + i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+            "text": texts, "tool": [None] * len(texts),
+            "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+        })
+
+    base = frame(["run|0.5 jump|1.0", "walk|0.25 run|0.75"], 0)
+    build_index(spark, spark.createDataFrame(base), idx,
+                IndexConfig(num_segments=1, term_buckets=2,
+                            analyzer="whitespace_payload", payloads=True))
+    merge_index(spark, idx)
+
+    extra = frame(["run|2.0 run|0.25"], 10)
+    append_batch(spark, spark.createDataFrame(extra), idx, batch_id=1)
+
+    s = IndexSearcher(spark, idx)
+    assert "payloads" in s.positions_table().columns
+    got = {r["doc_id"]: np.float32(r["score"])
+           for r in s.payload_score("run", 10, func="sum").collect()}
+    # appended doc (highest docID) scores 2.25; base docs 0.5 / 0.75
+    assert sorted(got.values()) == [np.float32(0.5), np.float32(0.75),
+                                    np.float32(2.25)]
