@@ -171,6 +171,33 @@ def _span_near_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _multiterm_df(spark, sf_dir, q)
 
 
+_SPAN_FIRST = ("scan", 20)
+_SPAN_OR = ["scan", "merge", "window"]
+_SPAN_NOT = ("scan", "table", 1, 1)  # include, exclude, pre, post
+
+
+def _span_hits_df(make_hits):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _searcher(spark, sf_dir)
+        hits = make_hits(s)
+        dm = s.docmap().select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+        return (
+            hits.join(dm, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"), "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return run
+
+
+_span_first_df = _span_hits_df(
+    lambda s: s.span_first(_SPAN_FIRST[0], _SPAN_FIRST[1], _QUERY_K))
+_span_or_df = _span_hits_df(lambda s: s.span_or(_SPAN_OR, _QUERY_K))
+_span_not_df = _span_hits_df(
+    lambda s: s.span_not(_SPAN_NOT[0], _SPAN_NOT[1], _QUERY_K,
+                         pre=_SPAN_NOT[2], post=_SPAN_NOT[3]))
+
+
 def _interval_ordered_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IntervalQuery: maxgaps(g, ordered(t0, t1)) — saturation-scored sloppy
     interval frequency (queries/intervals module analog)."""
@@ -1400,6 +1427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phrase"] = _phrase_df
     out["bm25_phrase_slop"] = _phrase_slop_df
     out["bm25_span_near_unord"] = _span_near_df
+    out["span_first"] = _span_first_df
+    out["span_or"] = _span_or_df
+    out["span_not"] = _span_not_df
     out["interval_ordered"] = _interval_ordered_df
     out["interval_contained_by"] = _interval_contained_by_df
     out["spellcheck"] = _spellcheck_df
@@ -1496,6 +1526,14 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bm25_span_near_unord"] = sqlgen.span_near_unordered_sql(
         _SPAN_NEAR[0], _SPAN_NEAR[1], _QUERY_K
+    )
+    out["span_first"] = sqlgen.span_first_sql(
+        _SPAN_FIRST[0], _SPAN_FIRST[1], _QUERY_K
+    )
+    out["span_or"] = sqlgen.span_or_sql(_SPAN_OR, _QUERY_K)
+    out["span_not"] = sqlgen.span_not_sql(
+        _SPAN_NOT[0], _SPAN_NOT[1], _QUERY_K,
+        pre=_SPAN_NOT[2], post=_SPAN_NOT[3]
     )
     out["interval_ordered"] = sqlgen.interval_ordered_sql(
         _INTERVAL[0], _INTERVAL[1], _INTERVAL[2], _QUERY_K

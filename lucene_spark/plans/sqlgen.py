@@ -1068,3 +1068,102 @@ FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def _span_pos_ctes(table: str, id_col: str, text_col: str) -> str:
+    """Shared CTE prefix for the span twins: corpus stats + per-token
+    positions (TOKEN_SQL replays the SIMPLE analyzer — span entries must
+    index with analyzer='simple')."""
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS p FROM tokarr
+)
+""".strip()
+
+
+def _span_idf_sql(terms: list[str]) -> str:
+    """REAL cast of the DOUBLE sum of coalesce-0 per-term f32 idfs — the
+    span family's SpanWeight.buildSimWeight fold (absent terms contribute
+    0, matching the engine's present-terms filter)."""
+    parts = [
+        "coalesce((SELECT CAST(CAST(ln(1 + (c.dc - df.df + 0.5) / (df.df + 0.5)) AS REAL) AS DOUBLE)"
+        f" FROM df WHERE df.term = '{t}'), 0)"
+        for t in terms
+    ]
+    return "CAST(" + " + ".join(parts) + " AS REAL)"
+
+
+def span_first_sql(term: str, end: int, k: int, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """SpanFirstQuery twin: term spans with p < end, sloppyFreq 1.0 each."""
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+{_span_pos_ctes(table, id_col, text_col)},
+pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM pos WHERE term = '{term}' AND p < {int(end)} GROUP BY doc_id
+),
+w AS (SELECT {_span_idf_sql([term])} AS v FROM consts c)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def span_or_sql(terms: list[str], k: int, table: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text") -> str:
+    """SpanOrQuery twin: freq = total occurrences of any clause term."""
+    uniq = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in uniq)
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+{_span_pos_ctes(table, id_col, text_col)},
+pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM pos WHERE term IN ({in_list}) GROUP BY doc_id
+),
+w AS (SELECT {_span_idf_sql(uniq)} AS v FROM consts c)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def span_not_sql(include: str, exclude: str, k: int, pre: int = 0,
+                 post: int = 0, table: str = "documents",
+                 id_col: str = "doc_id", text_col: str = "text") -> str:
+    """SpanNotQuery twin: include spans with no exclude span in
+    [p - pre, p + post]; the weight keeps the include term's idf alone."""
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+{_span_pos_ctes(table, id_col, text_col)},
+kept AS (
+  SELECT i.doc_id, i.p
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{include}') i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (SELECT doc_id, p FROM pos WHERE term = '{exclude}') e
+    WHERE e.doc_id = i.doc_id
+      AND e.p BETWEEN i.p - {int(pre)} AND i.p + {int(post)}
+  )
+),
+pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq FROM kept GROUP BY doc_id
+),
+w AS (SELECT {_span_idf_sql([include])} AS v FROM consts c)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

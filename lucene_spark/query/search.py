@@ -550,6 +550,104 @@ class IndexSearcher:
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
         )
 
+    def _span_topk(self, matched: DataFrame, w: np.float32, k: int) -> DataFrame:
+        scored = self._live(self._score_freq_frame(
+            matched.filter(F.col("freq") > 0), w))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score float")
+
+    def span_first(self, term: str, end: int, k: int = 10,
+                   boost: float = 1.0) -> DataFrame:
+        """SpanFirstQuery analog (``queries/spans/SpanFirstQuery.java:36``):
+        matches the term's spans ENDING within the first ``end`` positions
+        (a term span at position p has end p+1, so p < end). Each matching
+        span contributes sloppyFreq 1.0 (matchLength 0); the span weight is
+        the term's idf. One pruned positions scan, no Python in the row
+        path. DF(doc_id, score) top-k, (score desc, doc asc)."""
+        stats = self.term_stats([term])
+        if term not in stats:
+            return self._empty_hits()
+        w = self._multi_term_weight(
+            np.float32(boost),
+            [self.sim.idf(stats[term][0], self.doc_count)],
+        )
+        rows = self.positions_table().filter(
+            (F.col("term_bucket") == term_bucket_of(term, self.buckets))
+            & (F.col("term") == term)
+        )
+        matched = rows.select(
+            "doc_id",
+            F.size(F.filter("positions", lambda p: p < F.lit(int(end))))
+            .cast("double").alias("freq"),
+        )
+        return self._span_topk(matched, w, k)
+
+    def span_or(self, terms: list[str], k: int = 10,
+                boost: float = 1.0) -> DataFrame:
+        """SpanOrQuery analog (``queries/spans/SpanOrQuery.java:42``): the
+        union of the clause terms' spans; per-doc freq = total matching
+        spans (sloppyFreq 1.0 per term span). The span weight merges ALL
+        present clause terms' statistics (SpanWeight.buildSimWeight: one
+        similarity scorer over the accumulated idfs — same multi-idf fold
+        as the phrase family). DF(doc_id, score) top-k."""
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        present = [t for t in uniq if t in stats]
+        if not present:
+            return self._empty_hits()
+        w = self._multi_term_weight(
+            np.float32(boost),
+            [self.sim.idf(stats[t][0], self.doc_count) for t in present],
+        )
+        buckets = sorted({term_bucket_of(t, self.buckets) for t in present})
+        rows = self.positions_table().filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+        )
+        matched = rows.groupBy("doc_id").agg(
+            F.sum(F.size("positions")).cast("double").alias("freq")
+        )
+        return self._span_topk(matched, w, k)
+
+    def span_not(self, include: str, exclude: str, k: int = 10,
+                 pre: int = 0, post: int = 0, boost: float = 1.0) -> DataFrame:
+        """SpanNotQuery analog (``queries/spans/SpanNotQuery.java:43``):
+        spans of ``include`` with no ``exclude`` span within ``pre``
+        positions before or ``post`` after (defaults = direct overlap only,
+        which for term spans means the same position). Exclusion affects
+        matching only — the weight keeps the include term's statistics
+        alone, like the reference. JVM nested higher-order filter; the
+        exclude side joins only the include-matched docs."""
+        stats = self.term_stats([include])
+        if include not in stats:
+            return self._empty_hits()
+        w = self._multi_term_weight(
+            np.float32(boost),
+            [self.sim.idf(stats[include][0], self.doc_count)],
+        )
+        pos = self.positions_table()
+        inc = pos.filter(
+            (F.col("term_bucket") == term_bucket_of(include, self.buckets))
+            & (F.col("term") == include)
+        ).select("doc_id", F.col("positions").alias("ip"))
+        exc = pos.filter(
+            (F.col("term_bucket") == term_bucket_of(exclude, self.buckets))
+            & (F.col("term") == exclude)
+        ).select("doc_id", F.col("positions").alias("ep"))
+        j = inc.join(exc, "doc_id", "left")
+        ep = F.coalesce(F.col("ep"), F.array().cast("array<int>"))
+        pre_l, post_l = F.lit(int(pre)), F.lit(int(post))
+        kept = F.filter(
+            F.col("ip"),
+            lambda p: ~F.exists(ep, lambda q: (q >= p - pre_l)
+                                & (q <= p + post_l)),
+        )
+        matched = j.select(
+            "doc_id", F.size(kept).cast("double").alias("freq")
+        )
+        return self._span_topk(matched, w, k)
+
     def function_score(
         self, query: Query, value: str, k: int = 10, boost: float = 1.0,
     ) -> DataFrame:

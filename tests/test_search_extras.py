@@ -738,3 +738,66 @@ def test_payloads_artifact_and_payload_score(spark, tmp_path):
                                 positions=False))
     with _pytest.raises(ValueError, match="payload function"):
         s.payload_score("run", 10, func="median")
+
+
+def test_span_first_or_not_semantics(spark, tmp_path):
+    """SpanFirst/SpanOr/SpanNot against hand ground truth: end cutoffs,
+    pre/post exclusion windows, docs without the exclude term, absent
+    terms, and weight semantics (SpanOr merges clause idfs; SpanNot keeps
+    the include idf only == plain TermQuery weight)."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "aa bb aa cc aa",    # aa at 0,2,4; bb at 1; cc at 3
+        "bb bb aa",          # aa at 2
+        "cc dd",             # no aa
+        "aa aa bb",          # aa at 0,1; bb at 2
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "span")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2, analyzer="simple"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+
+    def freqs(df):  # recover matched docs (freq drives the score ordering)
+        return {r["doc_id"] for r in df.collect()}
+
+    # span_first: aa ending within first 2 positions -> p < 2
+    assert freqs(s.span_first("aa", 2, 10)) == {0, 3}
+    assert freqs(s.span_first("aa", 3, 10)) == {0, 1, 3}
+    assert s.span_first("aa", 0, 10).count() == 0
+    assert s.span_first("zz", 5, 10).count() == 0
+
+    # span_or: union of aa/cc spans
+    assert freqs(s.span_or(["aa", "cc"], 10)) == {0, 1, 2, 3}
+    assert freqs(s.span_or(["zz", "cc"], 10)) == {0, 2}
+    assert s.span_or(["zz"], 10).count() == 0
+
+    # span_not: aa not adjacent (pre=1, post=1) to bb
+    # doc0: aa@0 (bb@1 adjacent -> drop), aa@2 (bb@1 adjacent -> drop),
+    #       aa@4 (bb@1 far, cc ignored -> keep) => matches
+    # doc1: aa@2, bb@1 adjacent -> no match
+    # doc3: aa@0 keep (bb@2 not within 1? |2-0|=2 > 1 -> keep), aa@1 (bb@2
+    #       adjacent -> drop) => matches via aa@0
+    got = freqs(s.span_not("aa", "bb", 10, pre=1, post=1))
+    assert got == {0, 3}, got
+    # no exclusion window (pre=post=0): term spans never co-occupy a
+    # position, so every aa doc matches with full freq == TermQuery scores
+    sn = {r["doc_id"]: np.float32(r["score"])
+          for r in s.span_not("aa", "bb", 10).collect()}
+    tq = {r["doc_id"]: np.float32(r["score"])
+          for r in s.search(TermQuery("aa"), 10).collect()}
+    assert sn == tq
+    # exclude term absent from the index entirely
+    assert freqs(s.span_not("aa", "zz", 10, pre=2, post=2)) == {0, 1, 3}
