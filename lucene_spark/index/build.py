@@ -192,8 +192,32 @@ def build_index(
     config = config or IndexConfig()
     manifest = load_manifest(index_dir) if resume else None
 
-    if config.index_sort and config.index_sort not in transcripts.columns:
-        raise ValueError(f"index_sort column {config.index_sort!r} not in input")
+    if config.index_sort:
+        if config.index_sort not in transcripts.columns:
+            raise ValueError(
+                f"index_sort column {config.index_sort!r} not in input")
+        # a NULL key would cast silently to INT64_MIN in the pandas shard
+        # path (NaN/NaT -> int64) and corrupt docID/sort congruence — the
+        # reference rejects missing sort values the same way
+        # (Sorter.java requires a value per doc); fail loudly instead
+        if (transcripts.filter(F.col(config.index_sort).isNull())
+                .limit(1).count()) > 0:
+            raise ValueError(
+                f"index_sort column {config.index_sort!r} contains NULLs; "
+                "the sort key must be non-null for every row")
+        # the shard path compares session-local pandas datetimes while
+        # boundaries use epoch micros — identical ordering only when the
+        # session renders UTC (DST folds otherwise reorder)
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(transcripts.schema[config.index_sort].dataType,
+                      TimestampType):
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                raise ValueError(
+                    "index_sort on a TIMESTAMP column requires "
+                    "spark.sql.session.timeZone=UTC (session tz "
+                    f"{tz!r} can reorder across DST folds)")
     if config.offsets:
         from lucene_spark.functions.analysis import CHAIN_BASE
 

@@ -292,11 +292,14 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
               "impact_freqs array<int>, impact_norms array<int>, term_bucket int")
     tmp = post_path + ".expunge"
     (
-        # pre-partition by segment so each rewrite task loads exactly its
-        # own segments' staged tombstones (a term_bucket scan interleaves
-        # every segment, which would thrash the per-task range cache)
+        # pre-partition by (segment, bucket) so each rewrite task loads only
+        # its own segments' staged tombstones (a bare term_bucket scan
+        # interleaves every segment and thrashes the per-task range cache),
+        # while the bucket component keeps the task count at segments x
+        # buckets instead of hash-collapsing to <= num_segments tasks
         post.repartition(
-            max(spark.sparkContext.defaultParallelism, 1), "segment_id"
+            max(spark.sparkContext.defaultParallelism, 1),
+            "segment_id", "term_bucket",
         )
         .mapInPandas(rewrite_blocks, schema=schema)
         .repartition(int(manifest["config"]["term_buckets"]), "term_bucket")

@@ -391,6 +391,9 @@ def sloppy_phrase_topk_sql(
     """Two-term sloppy phrase twin with the reference's FULL
     SloppyPhraseMatcher semantics (reordering allowed — "b a"~2 matches
     "a b"): the PhrasePositions queue walk is replayed as a RECURSIVE CTE.
+    REPEATED terms are rejected: the engine's repeat-group collision rule
+    (advanceRpts — both slots must sit on distinct raw positions) is not
+    replayed by this walk, and silently diverging is worse than raising.
     Per doc, slot streams are the offset-ADJUSTED sorted position lists
     (la = positions of term0, lb = positions of term1 minus 1); the walk
     advances the smaller stream, minimizing matchLength = end - min, and
@@ -399,6 +402,10 @@ def sloppy_phrase_topk_sql(
     bit-identically. Same idf/weight as the exact phrase."""
     if len(terms) != 2:
         raise ValueError("SQL twin implemented for 2-term sloppy phrases")
+    if terms[0] == terms[1]:
+        raise ValueError(
+            "repeated-term sloppy phrases are not replayed by this twin "
+            "(the engine's repeat-group collision rule differs)")
     t0, t1 = terms
     df_joins = ", ".join(
         f"(SELECT coalesce(max(df), 0) AS df FROM df WHERE term = '{t}') d{j}"
@@ -1001,7 +1008,15 @@ def spellcheck_sql(
     engine's restricted OSA except on overlapping-edit patterns (e.g.
     'ca'->'abc': 2 vs 3); tests pin agreement over the corpus vocabulary,
     so the twin stays an independent DuckDB computation rather than an
-    embedded replay."""
+    embedded replay. With ``distance='osa'`` only ``max_edits<=1`` is
+    accepted: at 1 edit the two metrics are provably identical, while at
+    2+ the unrestricted candidate FILTER can admit terms the engine's
+    restricted OSA rejects (dist 2 vs 3) — a guaranteed divergence in the
+    candidate SET, so the twin raises instead of silently differing."""
+    if distance == "osa" and max_edits > 1:
+        raise ValueError(
+            "osa twin supports max_edits<=1 (DuckDB damerau_levenshtein is "
+            "unrestricted DL; restricted OSA diverges at 2+ edits)")
     fn = {"levenshtein": "levenshtein",
           "osa": "damerau_levenshtein"}[distance]
     c0, c1 = term[0], chr(ord(term[0]) + 1)

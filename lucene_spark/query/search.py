@@ -418,8 +418,12 @@ class IndexSearcher:
         for i, v in enumerate(drilldown):
             dm = dm.filter(F.col(f"l{i}") == str(v))
         nxt = f"l{len(drilldown)}"
+        # docs without the next-level dimension are not counted (a doc with
+        # no value under the path simply doesn't contribute a facet ordinal
+        # in the reference) — never emit a NULL facet label
         return (
             scored.select("doc_id").join(dm, "doc_id")
+            .filter(F.col(nxt).isNotNull())
             .groupBy(F.col(nxt).alias("value")).count()
             .orderBy(F.desc("count"), F.asc("value"))
         )
@@ -500,7 +504,12 @@ class IndexSearcher:
         (SpanScorer visits spans in order; each step a float add). With
         ``include_span_score`` the payload score is multiplied (float32) by
         the term's BM25 score, as the reference multiplies the wrapped
-        SpanQuery's score. DF(doc_id, score), (score desc, doc asc) top-k."""
+        SpanQuery's score. ``boost`` flows through the span weight ONLY —
+        with ``include_span_score=False`` the score is the bare payload
+        function and boost is ignored, exactly the reference's behavior
+        (boost reaches PayloadScoreQuery through the SimWeight, which the
+        payload-only score never consults). DF(doc_id, score), (score desc,
+        doc asc) top-k."""
         if func not in ("sum", "max", "min", "avg"):
             raise ValueError(f"unknown payload function {func!r}")
         pos = self.positions_table()
@@ -812,13 +821,14 @@ class IndexSearcher:
             ).select("doc_id", field, "score")
             return with_f.orderBy(*keys).limit(k)
 
-        schema = None
         while True:
             lo, hi = (0, span - 1) if ascending else (n - span, n - 1)
             top = probe(lo, hi)
-            schema = top.schema
-            rows = top.collect()
-            if len(rows) < k and span < n:
+            # probe decisions need only the match COUNT (and for DESC the
+            # kth field value, a 1-row agg) — the k result rows stay
+            # distributed, never materialized on the driver (k can be huge)
+            n_top = top.count()
+            if n_top < k and span < n:
                 span = min(span * 8, n)
                 continue
             # DESC tie fix: the exhaustive order breaks field ties by doc_id
@@ -827,15 +837,15 @@ class IndexSearcher:
             # the run's true start and re-probe (ASC is congruent as-is:
             # a tie run split at hi continues with larger doc_ids, which the
             # tie-break orders after the in-range ones anyway).
-            if not ascending and len(rows) == k and lo > 0:
-                vk = rows[-1][field]
+            if not ascending and n_top == k and lo > 0:
+                # kth (last) row's value under DESC == min over the top-k
+                vk = top.agg(F.min(field).alias("vk")).first()["vk"]
                 lo2row = dm.filter(F.col(field) >= vk).agg(
                     F.min("doc_id").alias("lo")).first()
                 lo2 = int(lo2row["lo"]) if lo2row["lo"] is not None else lo
                 if lo2 < lo:
-                    rows = probe(lo2, hi).collect()
-            break
-        return self.spark.createDataFrame(rows, schema)
+                    top = probe(lo2, hi)
+            return top
 
     def _match_estimate(self, q: Query) -> int:
         """Upper-ish estimate of |matches| from term_dict df metadata alone

@@ -138,3 +138,22 @@ def test_index_sort_rejects_file_build_and_bad_column(spark, sorted_corpus,
     with pytest.raises(ValueError, match="index_sort"):
         build_index(spark, spark.createDataFrame(sorted_corpus),
                     str(tmp_path / "idx2"), IndexConfig(index_sort="nope"))
+
+
+def test_index_sort_rejects_null_keys(spark, tmp_path):
+    """A NULL sort key would cast silently to INT64_MIN in the shard path
+    and corrupt docID/sort congruence — the build must raise."""
+    import pandas as pd
+    import pytest
+
+    from lucene_spark.index.build import IndexConfig, build_index
+
+    rows = pd.DataFrame({
+        "conv_id": ["a", "b"], "turn_idx": [0, 0], "role": ["u", "u"],
+        "text": ["x", "y"], "tool": [None, None],
+        "ts": [pd.Timestamp("2026-01-01"), pd.NaT],
+    })
+    with pytest.raises(ValueError, match="NULL"):
+        build_index(spark, spark.createDataFrame(rows),
+                    str(tmp_path / "ns"),
+                    IndexConfig(num_segments=1, index_sort="ts"))

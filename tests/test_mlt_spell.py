@@ -196,3 +196,12 @@ def test_fuzzy_df_blending(spark, built_index):
         assert w_own != w_blend
         assert np.float32(a[0]["score"]) != np.float32(b[0]["score"])
     assert ids_a == ids_b  # same matches, different idf only
+
+
+def test_osa_oracle_rejects_multi_edit():
+    """The DuckDB damerau_levenshtein candidate FILTER diverges from
+    restricted OSA at 2+ edits — the twin must raise, not silently differ."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_edits"):
+        spellcheck_sql("sacn", 10, 2, distance="osa")

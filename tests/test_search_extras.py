@@ -801,3 +801,28 @@ def test_span_first_or_not_semantics(spark, tmp_path):
     assert sn == tq
     # exclude term absent from the index entirely
     assert freqs(s.span_not("aa", "zz", 10, pre=2, post=2)) == {0, 1, 3}
+
+
+def test_facet_taxonomy_null_next_level_not_counted(spark, tmp_path):
+    """Docs whose next-level dimension is NULL contribute no facet row
+    (TaxonomyFacetCounts never emits a null label)."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    rows = pd.DataFrame({
+        "conv_id": ["c0", "c1", "c2"], "turn_idx": [0, 0, 0],
+        "role": ["user", "user", None],  # role is the facet dimension
+        "text": ["zz aa", "zz bb", "zz cc"], "tool": [None] * 3,
+        "ts": pd.to_datetime(["2026-01-01"] * 3),
+    })
+    idx = str(tmp_path / "tx")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=1, term_buckets=2, analyzer="simple"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    out = s.facet_taxonomy(TermQuery("zz"), ["role"]).collect()
+    assert [(r["value"], r["count"]) for r in out] == [("user", 2)]

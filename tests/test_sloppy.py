@@ -94,3 +94,14 @@ def test_sql_twin_matches_python_walk_fuzz():
             exp[i] = np.float32(
                 sim.score(np.array([fq]), np.array([nbyte]), w)[0])
         assert got == exp, (trial, docs, slop)
+
+
+def test_sloppy_sql_twin_rejects_repeated_terms():
+    """The recursive-CTE walk does not replay the engine's repeat-group
+    collision rule; repeated-term phrases must raise."""
+    import pytest
+
+    from lucene_spark.plans.sqlgen import sloppy_phrase_topk_sql
+
+    with pytest.raises(ValueError, match="repeated"):
+        sloppy_phrase_topk_sql(["a", "a"], 1, 10)
