@@ -14,6 +14,12 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+# a full sweep builds several index variants (payload/offsets/sorted/...)
+# in ONE JVM — the 8g session default can tip over at sf0.1; the validator
+# is a test harness, so give it headroom (bench paths keep the 8g default
+# for comparability)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
