@@ -821,13 +821,20 @@ class IndexSearcher:
             ).select("doc_id", field, "score")
             return with_f.orderBy(*keys).limit(k)
 
+        # small k (the overwhelmingly common case): collect the probe's
+        # <= k rows — ONE Spark job per probe and the driver holds at most
+        # k tiny rows. Huge k switches to count-based decisions so the
+        # result rows never materialize on the driver (count + consumption
+        # = 2 jobs/probe, the right trade only when k itself is the risk).
+        small_k = k <= 10_000
         while True:
             lo, hi = (0, span - 1) if ascending else (n - span, n - 1)
             top = probe(lo, hi)
-            # probe decisions need only the match COUNT (and for DESC the
-            # kth field value, a 1-row agg) — the k result rows stay
-            # distributed, never materialized on the driver (k can be huge)
-            n_top = top.count()
+            if small_k:
+                rows = top.collect()
+                n_top = len(rows)
+            else:
+                n_top = top.count()
             if n_top < k and span < n:
                 span = min(span * 8, n)
                 continue
@@ -839,12 +846,17 @@ class IndexSearcher:
             # tie-break orders after the in-range ones anyway).
             if not ascending and n_top == k and lo > 0:
                 # kth (last) row's value under DESC == min over the top-k
-                vk = top.agg(F.min(field).alias("vk")).first()["vk"]
+                vk = (rows[-1][field] if small_k
+                      else top.agg(F.min(field).alias("vk")).first()["vk"])
                 lo2row = dm.filter(F.col(field) >= vk).agg(
                     F.min("doc_id").alias("lo")).first()
                 lo2 = int(lo2row["lo"]) if lo2row["lo"] is not None else lo
                 if lo2 < lo:
                     top = probe(lo2, hi)
+                    if small_k:
+                        rows = top.collect()
+            if small_k:
+                return self.spark.createDataFrame(rows, top.schema)
             return top
 
     def _match_estimate(self, q: Query) -> int:

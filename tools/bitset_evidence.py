@@ -1,0 +1,102 @@
+"""Bitset dense-block evidence (``Lucene104PostingsWriter.java:422-461``
+unary/bitset form): over an EXISTING index, report
+
+  - how many of the hottest terms' full blocks chose the bitset doc
+    section (first byte 0xFE) vs FOR,
+  - the postings bytes the bitset form saves vs re-encoding those same
+    blocks FOR-style (exact, per block: the encoder's own choice rule),
+  - a decode-time A/B over the identical blocks (bitset bytes as stored
+    vs the FOR re-encoding), best-of-3 passes, and
+  - the hot-term query wall through the real search path.
+
+Usage: python tools/bitset_evidence.py [index_dir] [n_hot_terms]
+Defaults to the scaling corpus index (16.5M turns). One JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    index_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lucene_spark_scaling/idx_8"
+    n_hot = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.functions.codec import (
+        BLOCK_SIZE, _bit_width, decode_block, for_pack,
+    )
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bitset-evidence", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    s = IndexSearcher(spark, index_dir)
+    hot = [r["term"] for r in
+           s.term_dict.orderBy(F.desc("doc_freq")).limit(n_hot).collect()]
+    rows = (
+        s.postings.filter(F.col("term").isin(hot))
+        .select("term", "num_docs", "first_doc", "data")
+        .collect()
+    )
+
+    out = {"index": index_dir, "terms": hot, "blocks": len(rows)}
+    bitset_blocks = 0
+    full_blocks = 0
+    bytes_bitset = 0
+    bytes_for_alt = 0
+    pairs = []  # (stored bytes, FOR re-encoding) for the decode A/B
+    for r in rows:
+        data, nd, fd = bytes(r["data"]), int(r["num_docs"]), int(r["first_doc"])
+        if nd != BLOCK_SIZE:
+            continue
+        full_blocks += 1
+        if data[0] != 0xFE:
+            continue
+        bitset_blocks += 1
+        nbytes = data[1] | (data[2] << 8)
+        sec_bitset = 3 + nbytes
+        docs, _, _ = decode_block(data, nd, fd)
+        deltas = np.diff(docs, prepend=fd).astype(np.uint64)
+        wd = _bit_width(deltas)
+        sec_for = 1 + (nd * wd + 7) // 8
+        bytes_bitset += sec_bitset
+        bytes_for_alt += sec_for
+        for_variant = bytes([wd]) + for_pack(deltas, wd).tobytes() + data[sec_bitset:]
+        pairs.append((data, for_variant, nd, fd))
+
+    out["full_blocks"] = full_blocks
+    out["bitset_blocks"] = bitset_blocks
+    out["doc_section_bytes_bitset"] = bytes_bitset
+    out["doc_section_bytes_for_alt"] = bytes_for_alt
+    out["bytes_saved_pct"] = round(
+        100.0 * (bytes_for_alt - bytes_bitset) / max(bytes_for_alt, 1), 2)
+
+    def decode_pass(idx: int) -> float:
+        t0 = time.perf_counter()
+        for tup in pairs:
+            decode_block(tup[idx], tup[2], tup[3])
+        return time.perf_counter() - t0
+
+    if pairs:
+        out["decode_s_bitset"] = round(min(decode_pass(0) for _ in range(3)), 4)
+        out["decode_s_for"] = round(min(decode_pass(1) for _ in range(3)), 4)
+
+    t0 = time.time()
+    s.search(TermQuery(hot[0]), 10).collect()
+    out["hot_term_query_s"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
