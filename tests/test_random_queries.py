@@ -96,3 +96,42 @@ def test_random_boolean_trees_rank_identical(searcher, oracle_index, seed):
         assert got == expect, f"query {i} (seed {seed}): {q!r}"
         checked += 1
     assert checked == N_QUERIES
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_flat_trees_through_search_many(searcher, oracle_index, seed):
+    """Batched-path coverage for the randomized shapes: every flat tree the
+    generator produces (after rewrite + expansion) runs through search_many
+    in ONE workload and must be bit-identical to the scalar oracle — the
+    filter-only-NaN bug lived exactly in this path."""
+    rng = random.Random(seed ^ 0x5EA11)
+    vocab = sorted(oracle_index.postings)
+    common = sorted(vocab, key=lambda t: -oracle_index.doc_freq(t))[:40]
+    pool = common + [rng.choice(vocab) for _ in range(40)] + ["zz-absent-term"]
+
+    k = 15
+    workload = {}
+    expects = {}
+    tries = 0
+    while len(workload) < 12 and tries < 200:
+        tries += 1
+        q = _random_query(rng, pool)
+        rq = rewrite_fixpoint(
+            searcher._expand_multi_term(rewrite_fixpoint(q)))
+        if isinstance(rq, TermQuery):
+            rq = BooleanQuery(must=[rq])
+        if not (isinstance(rq, BooleanQuery) and searcher._is_flat(rq)):
+            continue
+        name = f"q{len(workload)}"
+        workload[name] = q
+        oq = expand_multi_term(rewrite_fixpoint(q), vocab)
+        expects[name] = [
+            (d, np.float32(s))
+            for d, s in oracle_index.search(rewrite_fixpoint(oq), k)
+        ]
+    assert len(workload) >= 8, "generator stopped producing flat trees"
+    got: dict[str, list] = {name: [] for name in workload}
+    for r in searcher.search_many(workload, k).collect():
+        got[r["query"]].append((r["doc_id"], np.float32(r["score"])))
+    for name in workload:
+        assert got[name] == expects[name], (name, workload[name])
