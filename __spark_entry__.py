@@ -171,6 +171,55 @@ def _span_near_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _multiterm_df(spark, sf_dir, q)
 
 
+_MULTI_QUERY = {"bool": {"must": [{"term": "scan"}],
+                         "should": [{"term": "merge"}, {"term": "window"}]}}
+
+
+def _multi_searcher(spark, sf_dir):
+    """Two leaf indexes over a doc_id-split of documents, searched as one
+    composite (MultiReader analog) — the oracle is the SAME flat-BM25 SQL
+    as a single combined index, which the composite must equal bit-exactly."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.multi import MultiIndexSearcher
+
+    dirs = []
+    tdf = None
+    n_docs = None
+    for i in range(2):
+        d = _index_dir_for(sf_dir) + f"_multileaf{i}"
+        m = load_manifest(d)
+        if m is None or not m.get("merged"):
+            if tdf is None:
+                tdf = _documents_as_transcripts(spark, sf_dir)
+                n_docs = tdf.count()
+            cut = n_docs // 2
+            part = tdf.filter(
+                (F.col("conv_id").cast("long") < cut) if i == 0
+                else (F.col("conv_id").cast("long") >= cut)
+            )
+            build_index(spark, part, d,
+                        IndexConfig(num_segments=2, term_buckets=8,
+                                    hot_term_df=4096, analyzer="simple"))
+            merge_index(spark, d)
+        dirs.append(d)
+    return MultiIndexSearcher(spark, dirs)
+
+
+def _multi_index_df(spark, sf_dir):
+    from lucene_spark.query.ast import parse_query
+
+    s = _multi_searcher(spark, sf_dir)
+    hits = s.search(parse_query(json.dumps(_MULTI_QUERY)), _QUERY_K)
+    dm = s.docmap().select(
+        "doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 _SPAN_FIRST = ("scan", 20)
 _SPAN_OR = ["scan", "merge", "window"]
 _SPAN_NOT = ("scan", "table", 1, 1)  # include, exclude, pre, post
@@ -1430,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_first"] = _span_first_df
     out["span_or"] = _span_or_df
     out["span_not"] = _span_not_df
+    out["multi_index_search"] = _multi_index_df
     out["interval_ordered"] = _interval_ordered_df
     out["interval_contained_by"] = _interval_contained_by_df
     out["spellcheck"] = _spellcheck_df
@@ -1535,6 +1585,10 @@ def oracle_sql() -> dict[str, str]:
         _SPAN_NOT[0], _SPAN_NOT[1], _QUERY_K,
         pre=_SPAN_NOT[2], post=_SPAN_NOT[3]
     )
+    # composite search == single combined index by construction, so the
+    # oracle is the ordinary flat-BM25 twin over the FULL table
+    out["multi_index_search"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_MULTI_QUERY)), _QUERY_K)
     out["interval_ordered"] = sqlgen.interval_ordered_sql(
         _INTERVAL[0], _INTERVAL[1], _INTERVAL[2], _QUERY_K
     )

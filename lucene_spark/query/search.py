@@ -134,7 +134,8 @@ class IndexSearcher:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  k1: float | None = None, b: float | None = None,
-                 similarity: str | object | None = None):
+                 similarity: str | object | None = None,
+                 _stats_override: tuple[int, int] | None = None):
         """``k1``/``b`` expose the BM25Similarity constructor parameters
         (``BM25Similarity.java:97``); ``similarity`` selects the full
         pluggable-Similarity surface (``Similarity.java:98-164``): "bm25"
@@ -150,7 +151,17 @@ class IndexSearcher:
             raise ValueError(f"{index_dir}: index not built+merged")
         self.manifest = manifest
         self.buckets = int(manifest["config"]["term_buckets"])
-        self.doc_count, self.sum_ttf = collection_stats(manifest)
+        # _stats_override: composite (doc_count, sum_ttf) injected by
+        # MultiIndexSearcher so this leaf's weights use TOP-LEVEL statistics
+        # (IndexSearcher.java:1134-1149 computes stats over the top reader,
+        # never per leaf)
+        #: the leaf's own docID-space size — physical facts (Weight#count,
+        #: docID probe spans) use this even under composite stats
+        self.local_doc_count, _local_ttf = collection_stats(manifest)
+        self.doc_count, self.sum_ttf = (
+            _stats_override if _stats_override is not None
+            else (self.local_doc_count, _local_ttf)
+        )
         self.avgdl = bm25.avgdl(self.sum_ttf, self.doc_count)
         from lucene_spark.functions.similarity import make_similarity
 
@@ -269,7 +280,7 @@ class IndexSearcher:
             return stats.get(q.term, (0, 0))[0]
         if isinstance(q, MatchAllDocsQuery):
             if not self.has_deletes:
-                return self.doc_count
+                return self.local_doc_count
             return self._live(self.docmap().select("doc_id")).count()
         if isinstance(q, MatchNoDocsQuery):
             return 0
@@ -795,7 +806,7 @@ class IndexSearcher:
         Exact by construction: each probe's match set is complete within its
         range, so the first range holding >= k matches yields the global
         top-k."""
-        n = self.doc_count
+        n = self.local_doc_count
         est = max(self._match_estimate(q), 1)
         span = min(max(self.SORTED_PROBE_MIN_SPAN, (n * k * 4) // est + 1), n)
         dm = self.docmap()
