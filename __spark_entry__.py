@@ -206,11 +206,10 @@ def _multi_searcher(spark, sf_dir):
     return MultiIndexSearcher(spark, dirs)
 
 
-def _multi_index_df(spark, sf_dir):
-    from lucene_spark.query.ast import parse_query
-
-    s = _multi_searcher(spark, sf_dir)
-    hits = s.search(parse_query(json.dumps(_MULTI_QUERY)), _QUERY_K)
+def _hits_to_orig(s, hits: DataFrame) -> DataFrame:
+    """Map internal docIDs back to the documents table's ids (the docmap's
+    conv_id is the zero-padded original id) with the standard output
+    contract (score desc, doc asc) — shared by every hits-shaped entry."""
     dm = s.docmap().select(
         "doc_id", F.col("conv_id").cast("long").alias("orig_id"))
     return (
@@ -218,6 +217,14 @@ def _multi_index_df(spark, sf_dir):
         .select(F.col("orig_id").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _multi_index_df(spark, sf_dir):
+    from lucene_spark.query.ast import parse_query
+
+    s = _multi_searcher(spark, sf_dir)
+    return _hits_to_orig(
+        s, s.search(parse_query(json.dumps(_MULTI_QUERY)), _QUERY_K))
 
 
 _SPAN_FIRST = ("scan", 20)
@@ -228,14 +235,7 @@ _SPAN_NOT = ("scan", "table", 1, 1)  # include, exclude, pre, post
 def _span_hits_df(make_hits):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = _searcher(spark, sf_dir)
-        hits = make_hits(s)
-        dm = s.docmap().select(
-            "doc_id", F.col("conv_id").cast("long").alias("orig_id"))
-        return (
-            hits.join(dm, "doc_id")
-            .select(F.col("orig_id").alias("doc_id"), "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        return _hits_to_orig(s, make_hits(s))
     return run
 
 
@@ -353,13 +353,7 @@ def _dismax_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multiterm_df(spark: SparkSession, sf_dir: str, q) -> DataFrame:
     s = _searcher(spark, sf_dir)
-    hits = s.search(q, _QUERY_K)
-    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
-    return (
-        hits.join(dm, "doc_id")
-        .select(F.col("orig_id").alias("doc_id"), "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    return _hits_to_orig(s, s.search(q, _QUERY_K))
 
 
 def _field_filter_df(spark: SparkSession, sf_dir: str) -> DataFrame:

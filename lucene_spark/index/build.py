@@ -196,15 +196,20 @@ def build_index(
         if config.index_sort not in transcripts.columns:
             raise ValueError(
                 f"index_sort column {config.index_sort!r} not in input")
-        # a NULL key would cast silently to INT64_MIN in the pandas shard
-        # path (NaN/NaT -> int64) and corrupt docID/sort congruence — the
-        # reference rejects missing sort values the same way
-        # (Sorter.java requires a value per doc); fail loudly instead
-        if (transcripts.filter(F.col(config.index_sort).isNull())
-                .limit(1).count()) > 0:
+        # a NULL (or float NaN) key would cast silently to INT64_MIN in the
+        # pandas shard path (NaN/NaT -> int64) and corrupt docID/sort
+        # congruence — the reference rejects missing sort values the same
+        # way (Sorter.java requires a value per doc); fail loudly instead
+        from pyspark.sql.types import DoubleType, FloatType
+
+        bad = F.col(config.index_sort).isNull()
+        if isinstance(transcripts.schema[config.index_sort].dataType,
+                      (FloatType, DoubleType)):
+            bad = bad | F.isnan(F.col(config.index_sort))
+        if transcripts.filter(bad).limit(1).count() > 0:
             raise ValueError(
-                f"index_sort column {config.index_sort!r} contains NULLs; "
-                "the sort key must be non-null for every row")
+                f"index_sort column {config.index_sort!r} contains NULL/NaN; "
+                "the sort key must be a value for every row")
         # the shard path compares session-local pandas datetimes while
         # boundaries use epoch micros — identical ordering only when the
         # session renders UTC (DST folds otherwise reorder)

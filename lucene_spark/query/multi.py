@@ -34,6 +34,7 @@ from lucene_spark.query.ast import (
     BooleanQuery,
     BoostQuery,
     MatchAllDocsQuery,
+    MatchNoDocsQuery,
     Query,
     TermQuery,
     rewrite_fixpoint,
@@ -71,14 +72,28 @@ class MultiIndexSearcher:
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Composite (df, ttf) per term — sums across leaves
-        (``IndexSearcher.termStatistics`` over a composite reader)."""
-        out: dict[str, list[int]] = {}
-        for leaf in self.leaves:
-            for t, (df, ttf) in leaf.term_stats(terms).items():
-                acc = out.setdefault(t, [0, 0])
-                acc[0] += int(df)
-                acc[1] += int(ttf)
-        return {t: (v[0], v[1]) for t, v in out.items()}
+        (``IndexSearcher.termStatistics`` over a composite reader). ONE
+        Spark job over the unioned term_dict metadata, not a sequential
+        collect per leaf. (Each leaf's own weight computation still reads
+        its term_dict when it scores — that read is tiny metadata; the
+        composite df rides in on df_override.)"""
+        if not terms:
+            return {}
+        parts = [
+            leaf.term_dict.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "doc_freq", "total_term_freq")
+            for leaf in self.leaves
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rows = (
+            u.groupBy("term")
+            .agg(F.sum("doc_freq").alias("df"),
+                 F.sum("total_term_freq").alias("ttf"))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
     def docmap(self) -> DataFrame:
         """Union of leaf docmaps with docIDs re-based by docBase."""
@@ -106,7 +121,7 @@ class MultiIndexSearcher:
                 [self._override_dfs(c, stats) for c in q.must_not],
                 q.min_should_match,
             )
-        if isinstance(q, MatchAllDocsQuery):
+        if isinstance(q, (MatchAllDocsQuery, MatchNoDocsQuery)):
             return q
         raise ValueError(
             "MultiIndexSearcher executes flat Term/Boolean/MatchAll "
@@ -130,6 +145,8 @@ class MultiIndexSearcher:
         weights, docIDs re-based, k-way merged (score desc, doc asc) —
         ``TopDocs.merge`` semantics. DF(doc_id long, score float)."""
         q = rewrite_fixpoint(query)
+        if isinstance(q, MatchNoDocsQuery):
+            return self.spark.createDataFrame([], "doc_id long, score float")
         stats = self.term_stats(sorted(set(self._terms_of(q))))
         q = self._override_dfs(q, stats)
         parts = []

@@ -107,3 +107,13 @@ def test_multi_rejects_non_flat(spark, split_indexes):
     multi = MultiIndexSearcher(spark, split_indexes)
     with pytest.raises(ValueError, match="flat"):
         multi.search(PhraseQuery(("a", "b")), 5)
+
+
+def test_multi_match_no_docs_and_stats_one_job(spark, split_indexes):
+    from lucene_spark.query.ast import MatchNoDocsQuery
+
+    multi = MultiIndexSearcher(spark, split_indexes)
+    # msm > |should| rewrites to MatchNoDocs -> empty result, not a raise
+    q = BooleanQuery(should=[TermQuery("x")], min_should_match=2)
+    assert multi.search(q, 10).count() == 0
+    assert multi.search(MatchNoDocsQuery(), 10).count() == 0
