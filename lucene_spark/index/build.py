@@ -228,11 +228,10 @@ def build_index(
 
         if not config.positions:
             raise ValueError("offsets require positions=True")
-        if CHAIN_BASE.get(config.analyzer) != "simple":
+        if CHAIN_BASE.get(config.analyzer) not in ("simple", "standard"):
             raise ValueError(
-                "offsets require a simple-base analyzer (regex spans are "
-                "the token boundaries); the standard tokenizer does not "
-                "report spans"
+                "offsets require a simple- or standard-base analyzer "
+                "(their regexes report the exact token spans)"
             )
     if config.payloads:
         from lucene_spark.functions.analysis import CHAIN_BASE
@@ -569,16 +568,33 @@ def _build_segment_frame(
         # per-RAW-ordinal char spans, indexed flat as row_start[row] + pos —
         # pos_raw IS the raw ordinal and survives every vocab filter, so
         # offsets need no mask threading and synonym stacks inherit their
-        # source spans (the reference gives stacked tokens the same offsets)
-        from lucene_spark.functions.analysis import _SIMPLE_RAW_RE
+        # source spans (the reference gives stacked tokens the same offsets).
+        # The span regex IS the chain's raw tokenizer, so spans are exact:
+        #   standard base: TOKEN_RE(_ASCII) on raw text — ALL rows, the
+        #     chain tokenizes raw-first (StandardTokenizer offset contract);
+        #   simple base: [A-Za-z0-9]+ on ASCII rows only — the chain's
+        #     contract is lower-FIRST, so non-ASCII rows (whose lowered
+        #     spans differ from raw) degrade to no-offsets (-1) and the
+        #     highlighter falls back to the regex extractor per doc.
+        from lucene_spark.functions.analysis import (
+            _SIMPLE_RAW_RE, CHAIN_BASE, TOKEN_RE, TOKEN_RE_ASCII,
+        )
 
+        standard = CHAIN_BASE.get(analyzer) == "standard"
         off_s_flat = np.full(row_of.size, -1, dtype=np.int64)
         off_e_flat = np.full(row_of.size, -1, dtype=np.int64)
         for ri, txt in enumerate(pdf["text"].fillna("").tolist()):
-            if counts_raw[ri] == 0 or not txt.isascii():
-                continue  # non-ASCII rows degrade to no-offsets
+            if counts_raw[ri] == 0:
+                continue
+            is_ascii = txt.isascii()
+            if standard:
+                rx = TOKEN_RE_ASCII if is_ascii else TOKEN_RE
+            elif is_ascii:
+                rx = _SIMPLE_RAW_RE
+            else:
+                continue  # simple base, non-ASCII: degrade to no-offsets
             base = int(row_start[ri])
-            for j, m in enumerate(_SIMPLE_RAW_RE.finditer(txt)):
+            for j, m in enumerate(rx.finditer(txt)):
                 off_s_flat[base + j] = m.start()
                 off_e_flat[base + j] = m.end()
     pay_flat = None

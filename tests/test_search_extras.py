@@ -658,9 +658,9 @@ def test_offsets_artifact_and_highlighting(spark, tmp_path):
     assert list(tv["scan"]["starts"]) == list(doc0["starts"])
 
     # config validation
-    with _pytest.raises(ValueError, match="simple-base"):
+    with _pytest.raises(ValueError, match="simple- or standard-base"):
         build_index(spark, src, str(tmp_path / "x1"),
-                    IndexConfig(analyzer="standard", offsets=True))
+                    IndexConfig(analyzer="whitespace_payload", offsets=True))
     with _pytest.raises(ValueError, match="positions"):
         build_index(spark, src, str(tmp_path / "x2"),
                     IndexConfig(analyzer="simple", offsets=True,
@@ -826,3 +826,56 @@ def test_facet_taxonomy_null_next_level_not_counted(spark, tmp_path):
     s = IndexSearcher(spark, idx)
     out = s.facet_taxonomy(TermQuery("zz"), ["role"]).collect()
     assert [(r["value"], r["count"]) for r in out] == [("user", 2)]
+
+
+def test_offsets_standard_chain_all_rows(spark, tmp_path):
+    """Standard-base chains store EXACT offsets for every row — including
+    non-ASCII text (the chain tokenizes raw-first, so the tokenizer regex's
+    spans are the offsets; no ASCII degradation like the simple chain)."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.highlight import (
+        highlight_hits, highlight_hits_offsets,
+    )
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "alpha scan beta scan",
+        "café scan row",          # non-ASCII row gets REAL offsets here
+        "Ÿscan boundary scan",    # U+0178 is a letter: "Ÿscan" one token
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "off_std")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2,
+                            analyzer="standard", offsets=True))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    pos = {(r["doc_id"], r["term"]): r for r in s.positions_table().collect()}
+    # every stored span slices back to a string that lowercases to the term
+    from lucene_spark.functions.analysis import java_lower
+    for (d, t), r in pos.items():
+        for st, en in zip(r["starts"], r["ends"]):
+            assert st >= 0, (d, t)
+            assert java_lower(texts[d][st:en]) == t, (d, t, texts[d][st:en])
+    # café row has real offsets (no degradation)
+    cafe = pos[(1, "café")]
+    assert texts[1][cafe["starts"][0]:cafe["ends"][0]] == "café"
+    # offset-backed highlighting == regex extractor on the ASCII doc;
+    # "Ÿscan" is one standard token, so doc 2 matches "scan" only once
+    src = spark.createDataFrame(rows)
+    hits = s.search(TermQuery("scan"), 10)
+    a = {r["doc_id"]: r["snippet"] for r in highlight_hits(
+        s, hits, src, ["scan"], window=1_000_000).collect()}
+    b = {r["doc_id"]: r["snippet"] for r in highlight_hits_offsets(
+        s, hits, src, ["scan"], window=1_000_000).collect()}
+    assert a[0] == b[0]
+    assert b[2].count("<em>") == 1  # offsets know Ÿscan is not a match
