@@ -4,10 +4,16 @@ A from-scratch numpy implementation of the reference postings block layout
 (public Apache Lucene source, ``core/codecs/lucene104/``):
 
   - 256-doc blocks (``ForUtil.java:34`` BLOCK_SIZE=256); full blocks store
-    FOR-packed doc deltas and freqs at the max-needed bit width
-    (``ForUtil.java:31-90``; we use plain FOR for freqs where the reference
-    uses PFOR with <=7 patched exceptions, ``PForUtil.java:29`` — a documented
-    simplification, format-compatible in spirit, not bytes).
+    FOR-packed doc deltas at the max-needed bit width (``ForUtil.java:31-90``)
+    and PFOR-packed freqs with <=7 out-of-band patched exceptions
+    (``PForUtil.java:29`` — exceptions are stored as (position, high-bits)
+    pairs after the packed body, see ``encode_pfor``/``decode_pfor``).
+  - DENSE full blocks store a [marker][span][bitset-over-span] doc section
+    instead of FOR-packed deltas whenever the bitset form is smaller (the
+    unary/bitset doc-block arm of ``Lucene104PostingsFormat``;
+    ``_bitset_doc_section`` below) — hot terms' full blocks are almost
+    always dense, saving ~half the doc-section bytes on exactly the lists
+    the slowest queries read.
   - doc deltas are d-gaps, first doc of a block delta'd against the previous
     block's last doc (``Lucene104PostingsFormat.java:180-190``).
   - tail block (<256 postings) is a VInt stream with freq folding:

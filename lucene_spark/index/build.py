@@ -105,7 +105,7 @@ class IndexConfig:
     # NaN (= no payload; scorers skip them, like the reference's null
     # payloads). Enables PayloadScoreQuery (IndexSearcher.payload_score).
     payloads: bool = False
-    # IndexWriterConfig.setIndexSort analog: name of a NUMERIC or TIMESTAMP
+    # IndexWriterConfig.setIndexSort analog: name of an INTEGER or TIMESTAMP
     # metadata column (must be non-null); docIDs are then assigned in
     # ascending order of that column (ties: conv_id, turn_idx) instead of
     # (conv_id, turn_idx), so top-k-by-field queries on it early-terminate
@@ -202,10 +202,20 @@ def build_index(
         # way (Sorter.java requires a value per doc); fail loudly instead
         from pyspark.sql.types import DoubleType, FloatType
 
-        bad = F.col(config.index_sort).isNull()
         if isinstance(transcripts.schema[config.index_sort].dataType,
                       (FloatType, DoubleType)):
-            bad = bad | F.isnan(F.col(config.index_sort))
+            # _sort_key_col/_sort_key_np key on int64, so a float key would
+            # order docIDs by floor(value) while search_sorted probes the
+            # true float column — the ASC probe has no tie-run extension and
+            # would silently return the wrong top-k for keys sharing a
+            # floor. Reject loudly (the reference supports float sorts via
+            # NumericUtils sortable bits; an INTEGER/TIMESTAMP key covers
+            # the transcripts schema, so this is a documented restriction)
+            raise ValueError(
+                f"index_sort column {config.index_sort!r} is "
+                "float/double; only integer or timestamp sort keys are "
+                "supported (float keys would break docID/sort congruence)")
+        bad = F.col(config.index_sort).isNull()
         if transcripts.filter(bad).limit(1).count() > 0:
             raise ValueError(
                 f"index_sort column {config.index_sort!r} contains NULL/NaN; "

@@ -55,7 +55,11 @@ def _range_delete_loader(staging: str):
             else:
                 arr = np.empty(0, dtype=np.int64)
             if len(cache) >= 8:
-                cache.clear()
+                # evict ONE oldest entry (insertion-ordered dict = FIFO);
+                # clearing the whole cache would evict the currently-hot
+                # range and re-read the same staged parquet per batch when
+                # a task straddles >8 ranges
+                cache.pop(next(iter(cache)))
             cache[rng] = arr
         return arr
 

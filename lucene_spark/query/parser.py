@@ -224,12 +224,18 @@ class QueryParser:
                 val: object = int(rest) if f == "turn_idx" else rest
                 q: Query = FieldEqualsQuery(f, val)
                 return BoostQuery(q, boost) if boost is not None else q
-            else:
+            elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f) and \
+                    not rest.startswith("//"):
+                # plausible field name -> loud error (catches typos of real
+                # fields; the reference's QueryParser would silently search a
+                # nonexistent field and match nothing)
                 raise ValueError(
                     f"unknown field {f!r}: indexed field is "
                     f"{self.DEFAULT_FIELD!r}, metadata fields are "
                     f"{list(self.METADATA_FIELDS)}"
                 )
+            # otherwise the colon is part of raw user text (URLs "http://x",
+            # times "12:30") — fall through and search the token as text
         m = re.fullmatch(r"(?P<base>[^~]+)~(?P<ed>\d)?", w)
         if m:
             t = _analyze_term(m.group("base"), self.analyzer)

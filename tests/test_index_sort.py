@@ -157,3 +157,23 @@ def test_index_sort_rejects_null_keys(spark, tmp_path):
         build_index(spark, spark.createDataFrame(rows),
                     str(tmp_path / "ns"),
                     IndexConfig(num_segments=1, index_sort="ts"))
+
+
+def test_index_sort_rejects_float_keys(spark, tmp_path):
+    """_sort_key_col/_sort_key_np key on int64, so float keys would order
+    docIDs by floor(value) and silently break the ASC early-termination
+    probe (no tie-run extension) — the build must raise at config time."""
+    import pandas as pd
+    import pytest
+
+    from lucene_spark.index.build import IndexConfig, build_index
+
+    rows = pd.DataFrame({
+        "conv_id": ["a", "b"], "turn_idx": [0, 0], "role": ["u", "u"],
+        "text": ["x", "y"], "tool": [None, None],
+        "score_f": [5.1, 5.9],
+    })
+    with pytest.raises(ValueError, match="float/double"):
+        build_index(spark, spark.createDataFrame(rows),
+                    str(tmp_path / "fs"),
+                    IndexConfig(num_segments=1, index_sort="score_f"))

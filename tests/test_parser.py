@@ -103,3 +103,10 @@ def test_field_routing():
 
     with _pytest.raises(ValueError, match="unknown field"):
         p.parse("title:foo")
+    # ...but colons inside raw user text are NOT field syntax: URLs, times,
+    # and non-identifier prefixes fall back to a text search of the token
+    # (the reference's QueryParser accepts arbitrary field names; raising
+    # only for plausible-identifier prefixes keeps the typo guard)
+    assert p.parse("http://example.com") == TermQuery("http")
+    assert p.parse("12:30") == TermQuery("12")
+    assert p.parse("1a:c") == TermQuery("1a")  # digit-led -> not a field
