@@ -1443,6 +1443,37 @@ def _ann_hnsw(spark, sf_dir):
     return hnsw_ann_topk_indexed(spark, d, query_vector(e, _ANN_QUERY_ID), _ANN_K)
 
 
+#: filtered-kNN predicate over the embeddings metadata (label column) —
+#: "nearest neighbors among label=2 vectors", KnnFloatVectorQuery's filter
+_ANN_FILTER = "label = 2"
+
+
+def _ann_filtered(spark, sf_dir):
+    """Filtered kNN, exact arm (``KnnFloatVectorQuery.java:39-44`` filter):
+    brute-force cosine restricted to the predicate's survivors; the filter
+    is pushed down to the scan. Full DuckDB oracle (filtered brute force is
+    SQL-expressible)."""
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+    e = _embs(spark, sf_dir)
+    return cosine_topk(
+        e, query_vector(e, _ANN_QUERY_ID), _ANN_K, filter=_ANN_FILTER)
+
+
+def _ann_hnsw_filtered(spark, sf_dir):
+    """Filtered kNN over the persisted per-partition HNSW graphs: accept-mask
+    beam (traverses through non-accepted nodes, collects only accepted) with
+    the reference's exact-fallback strategy switch. Rows-only entry; filtered
+    recall + fallback identity pinned in pytest."""
+    from lucene_spark.operators.hnsw import build_hnsw_index, hnsw_ann_topk_indexed
+    from lucene_spark.operators.similarity import query_vector
+    e = _embs(spark, sf_dir)
+    d = _ann_dir(sf_dir) + "_hnsw"
+    build_hnsw_index(e, d, num_parts=4, m=8, ef_construction=64)
+    return hnsw_ann_topk_indexed(
+        spark, d, query_vector(e, _ANN_QUERY_ID), _ANN_K,
+        filter=_ANN_FILTER, embeddings=e)
+
+
 def _media_meta(spark, sf_dir):
     from lucene_spark.operators.multimodal import synth_media
     m = synth_media(_docs(spark, sf_dir))
@@ -1551,6 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clean_corpus"] = _clean_corpus
     out["ann_ivf_topk"] = _ann_ivf
     out["ann_hnsw_topk"] = _ann_hnsw
+    out["ann_filtered_topk"] = _ann_filtered
+    out["ann_hnsw_filtered"] = _ann_hnsw_filtered
     out["media_meta"] = _media_meta
     out["media_features"] = _media_features
     return out
@@ -1851,6 +1884,8 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["dedup_simhash"] = dedup.simhash_pairs_sql(_SIMHASH_K)
     out["dedup_embedding"] = dedup.embedding_dup_sql(_EMB_T)
     out["ann_cosine_topk"] = similarity.cosine_topk_sql(_ANN_QUERY_ID, _ANN_K)
+    out["ann_filtered_topk"] = similarity.cosine_topk_sql(
+        _ANN_QUERY_ID, _ANN_K, where=_ANN_FILTER)
     out["text_token_count"] = textstats.token_count_sql()
     out["text_quality"] = textstats.quality_scores_sql()
     out["text_lang_id"] = textstats.language_id_sql()
@@ -1872,8 +1907,9 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     from lucene_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql(3, 0.5, 0.3)
     # ann_ivf_topk: rows-only (KMeans centroids are model state, not SQL)
-    # ann_hnsw_topk: rows-only (graph construction is not SQL-expressible;
-    # recall + bit-reproducibility pinned in pytest)
+    # ann_hnsw_topk, ann_hnsw_filtered: rows-only (graph construction is not
+    # SQL-expressible; recall + bit-reproducibility + filtered recall and
+    # exact-fallback identity pinned in pytest)
     # ann_lsh_topk, media_features: rows-only (stub decode / LSH bucketing
     # verified in pytest against the brute-force baseline instead)
     return out

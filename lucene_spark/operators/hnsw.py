@@ -67,7 +67,9 @@ def _search_layer(vecs, adj, q, eps, ef, lc):
     """Greedy beam search on one layer (paper Alg. 2). ``eps`` is a list of
     entry node indexes; returns the ef nearest (dist, idx) pairs, sorted.
     All heap entries are (dist, idx) so ties break on insertion index
-    (ascending vec_id by construction)."""
+    (ascending vec_id by construction). Neighbor distances are computed as
+    ONE matrix-vector product per popped candidate (the hot inner loop of
+    both build and search) instead of per-neighbor scalar dots."""
     visited = set(eps)
     cand = [(float(1.0 - vecs[e] @ q), e) for e in eps]
     heapq.heapify(cand)
@@ -77,11 +79,12 @@ def _search_layer(vecs, adj, q, eps, ef, lc):
         d, c = heapq.heappop(cand)
         if d > -best[0][0]:
             break
-        for nb in adj[c][lc]:
-            if nb in visited:
-                continue
-            visited.add(nb)
-            dn = float(1.0 - vecs[nb] @ q)
+        nbs = [nb for nb in adj[c][lc] if nb not in visited]
+        if not nbs:
+            continue
+        visited.update(nbs)
+        dns = 1.0 - vecs[nbs] @ q
+        for dn, nb in zip(dns.tolist(), nbs):
             if len(best) < ef or dn < -best[0][0]:
                 heapq.heappush(cand, (dn, nb))
                 heapq.heappush(best, (-dn, nb))
@@ -90,20 +93,56 @@ def _search_layer(vecs, adj, q, eps, ef, lc):
     return sorted((-nd, e) for nd, e in best)
 
 
+def _search_layer_filtered(vecs, adj, q, eps, ef, lc, accept, visited_limit):
+    """Layer beam with an accept mask — Lucene's filtered-kNN graph search
+    (``KnnFloatVectorQuery.java:39-44`` filter + ``HnswGraphSearcher``
+    acceptOrds): traversal may pass THROUGH non-accepted nodes (skipping
+    them would disconnect the graph), but only accepted nodes enter the
+    result set. Termination requires a FULL result beam (a sparse accept
+    set must keep expanding); if the walk visits more than ``visited_limit``
+    nodes the caller falls back to exact search over the accepted set (the
+    reference's visitedLimit-exceeded strategy switch,
+    ``AbstractKnnVectorQuery.java`` approximate->exact fallback).
+    Returns (sorted (dist, idx) pairs, exceeded_flag)."""
+    visited = set(eps)
+    cand = [(float(1.0 - vecs[e] @ q), e) for e in eps]
+    heapq.heapify(cand)
+    best = [(-d, e) for d, e in cand if accept[e]]
+    heapq.heapify(best)
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(best) >= ef and d > -best[0][0]:
+            break
+        if len(visited) > visited_limit:
+            return sorted((-nd, e) for nd, e in best), True
+        nbs = [nb for nb in adj[c][lc] if nb not in visited]
+        if not nbs:
+            continue
+        visited.update(nbs)
+        dns = 1.0 - vecs[nbs] @ q
+        for dn, nb in zip(dns.tolist(), nbs):
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                if accept[nb]:
+                    heapq.heappush(best, (-dn, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+    return sorted((-nd, e) for nd, e in best), False
+
+
 def _select_diverse(vecs, q, candidates, m):
     """Lucene's diversity heuristic: scan candidates nearest-first, keep c
-    only if c is closer to q than to every already-kept neighbor."""
+    only if c is closer to q than to every already-kept neighbor (batched:
+    one matvec against the kept set per candidate)."""
     out = []
+    kept: list[int] = []
     for d, c in candidates:
-        ok = True
-        for _, s in out:
-            if float(1.0 - vecs[c] @ vecs[s]) < d:
-                ok = False
-                break
-        if ok:
-            out.append((d, c))
-            if len(out) >= m:
-                break
+        if kept and bool(((1.0 - vecs[kept] @ vecs[c]) < d).any()):
+            continue
+        out.append((d, c))
+        kept.append(c)
+        if len(out) >= m:
+            break
     return out
 
 
@@ -127,11 +166,11 @@ def _build_graph(pdf: pd.DataFrame, m: int, ef_construction: int) -> pd.DataFram
 
     def _shrink(node: int, lc: int):
         cap = m * 2 if lc == 0 else m
-        if len(adj[node][lc]) <= cap:
+        lst = adj[node][lc]
+        if len(lst) <= cap:
             return
-        cand = sorted(
-            (float(1.0 - vecs[node] @ vecs[nb]), nb) for nb in adj[node][lc]
-        )
+        dd = 1.0 - vecs[lst] @ vecs[node]
+        cand = sorted(zip(dd.tolist(), lst))
         adj[node][lc] = [nb for _, nb in _select_diverse(vecs, vecs[node], cand, cap)]
 
     for i in range(len(ids)):
@@ -238,30 +277,72 @@ def build_hnsw_index(
     return manifest
 
 
-def _search_graph(pdf: pd.DataFrame, q: np.ndarray, k: int, ef: int) -> pd.DataFrame:
+def _search_graph(
+    pdf: pd.DataFrame, q: np.ndarray, k: int, ef: int,
+    filtered: bool = False,
+) -> pd.DataFrame:
     """Beam-search one partition's graph: greedy descent from the partition
     entry point (highest level, min vec_id tie) to layer 0, ef-beam at layer
-    0, emit the local top-k as (vec_id, cosine)."""
+    0, emit the local top-k as (vec_id, cosine).
+
+    ``filtered=True`` reads an ``_acc`` boolean column (accepted by the kNN
+    pre-filter) and mirrors the reference's per-leaf strategy switch
+    (``AbstractKnnVectorQuery.java`` searchLeaf): if the partition's accepted
+    count <= max(k, ef) the walk is skipped for an exact scan of the accepted
+    rows (cost <= k exact-search rule); otherwise the layer-0 beam only
+    collects accepted nodes (traversing through the rest) and falls back to
+    the exact scan when it visits more nodes than the accepted count (at
+    that point exact is cheaper AND recall-perfect) or starves below k."""
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     raw = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     norms = np.linalg.norm(raw, axis=1)
     norms[norms == 0.0] = 1.0
     vecs = raw / norms[:, None]
+    qn = float(np.linalg.norm(q)) or 1.0
+    qv = q / qn
+
+    accept = None
+    if filtered:
+        accept = pdf["_acc"].eq(True).to_numpy(dtype=bool)  # None -> False
+        n_acc = int(accept.sum())
+        if n_acc == 0:
+            return pd.DataFrame({"vec_id": [], "cosine": []})
+
+        def _exact() -> pd.DataFrame:
+            sel = np.flatnonzero(accept)
+            cos = vecs[sel] @ qv
+            order = np.lexsort((ids[sel], -cos))[:k]
+            return pd.DataFrame(
+                {"vec_id": ids[sel][order], "cosine": cos[order]}
+            )
+
+        if n_acc <= max(ef, k):
+            return _exact()
+
     idx_of = {int(v): i for i, v in enumerate(ids)}
     adj = [
         [[idx_of[int(nb)] for nb in layer] for layer in node]
         for node in pdf["neighbors"]
     ]
-    qn = float(np.linalg.norm(q)) or 1.0
-    qv = q / qn
-
     lvls = np.asarray([len(a) - 1 for a in adj])
     entry = int(np.flatnonzero(lvls == lvls.max())[0])  # min vec_id tie (sorted)
     eps = [entry]
+    # upper layers only ROUTE (results come from layer 0), so the descent is
+    # unfiltered even under a filter — reference behavior: acceptOrds apply
+    # to collected results, not traversal
     for lc in range(int(lvls[entry]), 0, -1):
         eps = [_search_layer(vecs, adj, qv, eps, 1, lc)[0][1]]
-    best = _search_layer(vecs, adj, qv, eps, max(ef, k), 0)[:k]
+    if filtered:
+        best, exceeded = _search_layer_filtered(
+            vecs, adj, qv, eps, max(ef, k), 0, accept,
+            visited_limit=int(accept.sum()),
+        )
+        best = best[:k]
+        if exceeded or len(best) < min(k, int(accept.sum())):
+            return _exact()
+    else:
+        best = _search_layer(vecs, adj, qv, eps, max(ef, k), 0)[:k]
     return pd.DataFrame(
         {
             "vec_id": [int(ids[e]) for _, e in best],
@@ -270,20 +351,67 @@ def _search_graph(pdf: pd.DataFrame, q: np.ndarray, k: int, ef: int) -> pd.DataF
     )
 
 
+#: above this many accepted ids the filter side joins by shuffle instead of
+#: broadcast (same threshold discipline as the deletes anti-join)
+_FILTER_BROADCAST_MAX = 2_000_000
+
+
 def hnsw_ann_topk_indexed(
     spark: SparkSession,
     index_dir: str,
     query_vec: list[float],
     k: int = 10,
     ef_search: int = 64,
+    filter=None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate cosine top-k over the persisted per-partition graphs:
     DF(vec_id, cosine double) ordered (cosine desc, vec_id asc). Each
     partition's task walks its local graph; only P×k rows reach the merge
-    (``KnnFloatVectorQuery`` per-leaf collect + TopDocs.merge analog)."""
+    (``KnnFloatVectorQuery`` per-leaf collect + TopDocs.merge analog).
+
+    ``filter`` enables FILTERED kNN (``KnnFloatVectorQuery.java:39-44``:
+    "nearest neighbors among docs matching this predicate"): either a
+    DataFrame of accepted ids (column ``id_col``) or a Column/SQL predicate
+    evaluated against ``embeddings`` (the metadata table). Strategy mirrors
+    the reference: if the filter matches <= k vectors globally, exact search
+    over the survivors (every match is a result); otherwise each partition
+    beam-searches with an accept mask, falling back to a partition-local
+    exact scan when the accepted set is small, the walk visits more nodes
+    than the accepted count, or the beam starves (so the merged result is
+    never short of min(k, matches))."""
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         json.load(fh)  # existence check = commit check
     q = np.asarray(query_vec, dtype=np.float64)
+    graph = spark.read.parquet(os.path.join(index_dir, "graph"))
+
+    surv = None
+    if filter is not None:
+        if isinstance(filter, DataFrame):
+            surv = filter.select(F.col(id_col).alias("vec_id")).distinct()
+        else:
+            if embeddings is None:
+                raise ValueError(
+                    "a predicate filter needs the embeddings (metadata) "
+                    "DataFrame; pass embeddings= or a DataFrame of ids")
+            surv = embeddings.filter(filter).select(
+                F.col(id_col).alias("vec_id"))
+        n_match = surv.count()
+        if n_match == 0:
+            return spark.createDataFrame([], "vec_id long, cosine double")
+        surv_j = F.broadcast(surv) if n_match <= _FILTER_BROADCAST_MAX else surv
+        if n_match <= k:
+            # reference cost<=k rule: exact over survivors (the graph rows
+            # carry the vectors, so no second table read)
+            from lucene_spark.operators.similarity import cosine_topk
+
+            cand = graph.join(surv_j, "vec_id").select("vec_id", "embedding")
+            return cosine_topk(cand, query_vec, k)
+        graph = graph.join(
+            surv_j.withColumn("_acc", F.lit(True)), "vec_id", "left")
+
+    filtered = surv is not None
 
     def searcher(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -291,9 +419,8 @@ def hnsw_ann_topk_indexed(
         pa.set_cpu_count(1)
         if pdf.empty:
             return pd.DataFrame({"vec_id": [], "cosine": []})
-        return _search_graph(pdf, q, k, ef_search)
+        return _search_graph(pdf, q, k, ef_search, filtered=filtered)
 
-    graph = spark.read.parquet(os.path.join(index_dir, "graph"))
     # one graph walk per partition graph: groupBy(part) guarantees each
     # applyInPandas call sees exactly one complete graph
     per_part = graph.groupBy("part").applyInPandas(

@@ -36,10 +36,18 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter=None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: DF(vec_id, cosine double), ordered
     (cosine desc, vec_id asc). The query vector is a literal (broadcast);
-    the scan maps each row once — no shuffle before the top-k."""
+    the scan maps each row once — no shuffle before the top-k.
+
+    ``filter`` (Column or SQL string over the embeddings table) restricts
+    the search to matching rows — the exact arm of the reference's filtered
+    kNN (``KnnFloatVectorQuery.java:39-44``); the predicate is pushed down
+    to the scan, so non-matching rows are never scored."""
+    if filter is not None:
+        embeddings = embeddings.filter(filter)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
     qcol = F.array(*[F.lit(float(x)) for x in q])
@@ -187,6 +195,30 @@ def build_ann_index(
     return manifest
 
 
+def _filtered_ann(embeddings, bucket_ids, query_vec, k, id_col, vec_col,
+                  filter):
+    """Shared filtered-ANN strategy switch for the bucket-pruned paths
+    (LSH/IVF) — the reference's ``AbstractKnnVectorQuery`` filter handling:
+
+      1. filter matches <= k rows  -> exact over survivors (every match is
+         a result; the reference's cost<=k exact-search rule)
+      2. bucket candidates ∩ filter starve below min(k, matches) -> exact
+         over survivors (visitedLimit-exceeded fallback analog — the
+         approximation cannot satisfy the request, exact can)
+      3. otherwise -> exact cosine over (bucket candidates ∩ filter)
+
+    Two count jobs on pushed-down scans per query — the same price the
+    reference pays evaluating the filter query into a per-leaf bitset."""
+    surv = embeddings.filter(filter)
+    n_match = surv.count()
+    if n_match <= k:
+        return cosine_topk(surv, query_vec, k, id_col, vec_col)
+    cand = surv.join(bucket_ids, id_col)
+    if cand.count() < min(k, n_match):
+        return cosine_topk(surv, query_vec, k, id_col, vec_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk_indexed(
     spark,
     embeddings: DataFrame,
@@ -196,10 +228,13 @@ def lsh_ann_topk_indexed(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter=None,
 ) -> DataFrame:
     """LSH ANN over PERSISTED codes: the query's bucket (+ Hamming-1 probes)
     filters the on-disk code table (predicate pushdown on the small code
-    column), and only those candidates join back to the vectors."""
+    column), and only those candidates join back to the vectors. ``filter``
+    (Column/SQL predicate over the embeddings table) restricts results with
+    the reference's exact-fallback strategy (see ``_filtered_ann``)."""
     import json
     import os
 
@@ -216,13 +251,14 @@ def lsh_ann_topk_indexed(
         [qcode ^ (1 << p) for p in range(num_planes)] if multiprobe else []
     )
     codes = spark.read.parquet(os.path.join(index_dir, "lsh_codes"))
-    cand = embeddings.join(
-        F.broadcast(
-            codes.filter(F.col("code").isin(probes))
-            .select(F.col("vec_id").alias(id_col))
-        ),
-        id_col,
+    bucket_ids = F.broadcast(
+        codes.filter(F.col("code").isin(probes))
+        .select(F.col("vec_id").alias(id_col))
     )
+    if filter is not None:
+        return _filtered_ann(
+            embeddings, bucket_ids, query_vec, k, id_col, vec_col, filter)
+    cand = embeddings.join(bucket_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -235,10 +271,13 @@ def ivf_ann_topk_indexed(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter=None,
 ) -> DataFrame:
     """IVF ANN over PERSISTED centroids + cell assignments: nearest n_probe
     centroids come from the manifest (driver-side, tiny), candidates from
-    the on-disk cell table."""
+    the on-disk cell table. ``filter`` (Column/SQL predicate over the
+    embeddings table) restricts results with the reference's exact-fallback
+    strategy (see ``_filtered_ann``)."""
     import json
     import os
 
@@ -250,13 +289,14 @@ def ivf_ann_topk_indexed(
     ])
     probe = [int(c) for c in order[:n_probe]]
     cells = spark.read.parquet(os.path.join(index_dir, "ivf_cells"))
-    cand = embeddings.join(
-        F.broadcast(
-            cells.filter(F.col("cell").isin(probe))
-            .select(F.col("vec_id").alias(id_col))
-        ),
-        id_col,
+    bucket_ids = F.broadcast(
+        cells.filter(F.col("cell").isin(probe))
+        .select(F.col("vec_id").alias(id_col))
     )
+    if filter is not None:
+        return _filtered_ann(
+            embeddings, bucket_ids, query_vec, k, id_col, vec_col, filter)
+    cand = embeddings.join(bucket_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -314,9 +354,13 @@ def cosine_topk_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: str | None = None,
 ) -> str:
     """DuckDB oracle: identical float64 cosine against the stored vector
-    ``{id_col} = query_id`` (self-contained — no literals needed)."""
+    ``{id_col} = query_id`` (self-contained — no literals needed).
+    ``where`` restricts the searched rows (filtered-kNN twin); the query
+    vector itself is looked up unfiltered, like the Spark side."""
+    flt = f" WHERE {where}" if where else ""
     return f"""
 WITH q AS (
   SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qv
@@ -324,7 +368,7 @@ WITH q AS (
 ), p AS (
   SELECT {id_col} AS vec_id,
          list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
-  FROM {table}
+  FROM {table}{flt}
 )
 SELECT vec_id,
        list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))

@@ -533,3 +533,96 @@ def test_hnsw_recall_determinism_and_invariants(spark, embs, tmp_path):
     # idempotent: matching params short-circuit
     m2 = build_hnsw_index(embs, d1, num_parts=2, m=8, ef_construction=64)
     assert m2 == m
+
+
+# ------------------------------------------------------- filtered kNN
+
+def test_filtered_knn_exact_and_bucketed(spark, embs, tmp_path):
+    """Filtered kNN (KnnFloatVectorQuery.java:39-44 filter analog): the
+    exact arm restricts the scan; the LSH/IVF arms intersect bucket
+    candidates with the filter and fall back to exact when the filter is
+    more selective than k (strategy switch) or the buckets starve."""
+    from lucene_spark.operators.similarity import (
+        build_ann_index, cosine_topk, ivf_ann_topk_indexed,
+        lsh_ann_topk_indexed, query_vector,
+    )
+
+    q = query_vector(embs, 3)
+    flt = "label = 2"
+    allowed = {r.vec_id for r in embs.filter(flt).select("vec_id").collect()}
+    exact = [r.vec_id for r in cosine_topk(embs, q, 10, filter=flt).collect()]
+    assert len(exact) == 10 and set(exact) <= allowed
+    # exact arm == numpy filtered brute force
+    pdf = embs.filter(flt).toPandas()
+    vids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    qv = np.asarray(q, dtype=np.float64)
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((vids, -cos))[:10]
+    assert exact == [int(vids[i]) for i in order]
+
+    d = str(tmp_path / "ann")
+    build_ann_index(embs, d, num_planes=6, n_centroids=4)
+    for got in (
+        [r.vec_id for r in lsh_ann_topk_indexed(
+            spark, embs, d, q, 10, filter=flt).collect()],
+        [r.vec_id for r in ivf_ann_topk_indexed(
+            spark, embs, d, q, 10, n_probe=2, filter=flt).collect()],
+    ):
+        assert len(got) == 10 and set(got) <= allowed
+        assert len(set(got) & set(exact)) / 10 >= 0.5
+    # a filter more selective than k -> exact fallback, identity with brute
+    tiny = "label = 2 AND vec_id < 60"
+    want = [r.vec_id for r in cosine_topk(embs, q, 10, filter=tiny).collect()]
+    assert 0 < len(want) <= 10
+    got = [r.vec_id for r in lsh_ann_topk_indexed(
+        spark, embs, d, q, 10, filter=tiny).collect()]
+    assert got == want
+
+
+def test_filtered_knn_hnsw(spark, embs, tmp_path):
+    """HNSW filtered search: accept-mask beam (skip non-accepted results,
+    traverse through them) with per-partition exact fallback; a filter more
+    selective than k short-circuits to exact over survivors."""
+    from lucene_spark.operators.hnsw import (
+        build_hnsw_index, hnsw_ann_topk_indexed,
+    )
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    q = query_vector(embs, 3)
+    flt = "label >= 5"  # ~half the corpus: beam path, not the exact arm
+    allowed = {r.vec_id for r in embs.filter(flt).select("vec_id").collect()}
+    exact = [r.vec_id for r in cosine_topk(embs, q, 10, filter=flt).collect()]
+
+    d = str(tmp_path / "hf")
+    build_hnsw_index(embs, d, num_parts=1, m=8, ef_construction=64)
+    # ef_search=16 < accepted-per-partition (~250): the FILTERED BEAM runs
+    got = [r.vec_id for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, ef_search=16, filter=flt,
+        embeddings=embs).collect()]
+    assert len(got) == 10 and set(got) <= allowed
+    assert len(set(got) & set(exact)) / 10 >= 0.8
+    # deterministic
+    got2 = [r.vec_id for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, ef_search=16, filter=flt,
+        embeddings=embs).collect()]
+    assert got2 == got
+    # per-partition exact arm (accepted <= max(ef, k)): identity with brute
+    narrow = "label = 2"
+    want = [r.vec_id for r in cosine_topk(
+        embs, q, 10, filter=narrow).collect()]
+    got = [r.vec_id for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, ef_search=64, filter=narrow,
+        embeddings=embs).collect()]
+    assert got == want
+    # globally more selective than k: exact short-circuit, identity
+    tiny = "label = 2 AND vec_id < 60"
+    want = [r.vec_id for r in cosine_topk(embs, q, 10, filter=tiny).collect()]
+    got = [r.vec_id for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, filter=tiny, embeddings=embs).collect()]
+    assert got == want
+    # id-DataFrame filter form
+    ids_df = embs.filter(tiny).select("vec_id")
+    got = [r.vec_id for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, filter=ids_df).collect()]
+    assert got == want
