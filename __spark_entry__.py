@@ -1474,6 +1474,67 @@ def _ann_hnsw_filtered(spark, sf_dir):
         filter=_ANN_FILTER, embeddings=e)
 
 
+def _ann_quantized(spark, sf_dir):
+    """Scalar-quantized two-stage search
+    (``Lucene104ScalarQuantizedVectorsFormat.java:93`` analog): int8 codes
+    (max-abs scale over unit components) pick 4k candidates by exact integer
+    dot, float64 cosine re-ranks them. FULL DuckDB oracle — the twin replays
+    norms, scale, quantization, the integer candidate cut, and the rescore."""
+    from lucene_spark.operators.quantize import (
+        build_quantized_codes, quantized_ann_topk,
+    )
+    from lucene_spark.operators.similarity import query_vector
+    e = _embs(spark, sf_dir)
+    d = _ann_dir(sf_dir) + "_sq8"
+    build_quantized_codes(e, d)
+    return quantized_ann_topk(
+        spark, e, d, query_vector(e, _ANN_QUERY_ID), _ANN_K,
+        rescore_factor=4)
+
+
+def _ann_ivf_quantized(spark, sf_dir):
+    """IVF coarse cells composed with int8 scalar codes: the approximate
+    pass scores only the probed cells' codes, float rescore on the winners
+    (coarse + scalar quantizer composition). Rows-only (KMeans centroids are
+    model state); recall pinned in pytest."""
+    from lucene_spark.operators.quantize import (
+        build_quantized_codes, quantized_ann_topk,
+    )
+    from lucene_spark.operators.similarity import build_ann_index, query_vector
+    import numpy as np
+    e = _embs(spark, sf_dir)
+    d = _ann_dir(sf_dir)
+    m = build_ann_index(e, d, num_planes=6)
+    dq = _ann_dir(sf_dir) + "_sq8"
+    build_quantized_codes(e, dq)
+    q = query_vector(e, _ANN_QUERY_ID)
+    qa = np.asarray(q, dtype=np.float64)
+    order = np.argsort([
+        float(np.linalg.norm(np.asarray(c) - qa)) for c in m["centroids"]])
+    probe = [int(c) for c in order[:2]]
+    cells = spark.read.parquet(os.path.join(d, "ivf_cells"))
+    cand = cells.filter(F.col("cell").isin(probe)).select("vec_id")
+    return quantized_ann_topk(
+        spark, e, dq, q, _ANN_K, rescore_factor=4, candidates=cand)
+
+
+def _ann_hnsw_quantized(spark, sf_dir):
+    """Quantized-graph HNSW (``Lucene104HnswScalarQuantizedVectorsFormat``
+    analog): graph stores dim-byte int8 codes, the walk scores dequantized,
+    the merged P*k candidates rescore in float64. Rows-only; recall +
+    reproducibility pinned in pytest."""
+    from lucene_spark.operators.hnsw import (
+        build_hnsw_index, hnsw_ann_topk_indexed,
+    )
+    from lucene_spark.operators.similarity import query_vector
+    e = _embs(spark, sf_dir)
+    d = _ann_dir(sf_dir) + "_hnsw_sq8"
+    build_hnsw_index(e, d, num_parts=4, m=8, ef_construction=64,
+                     quantize=True)
+    return hnsw_ann_topk_indexed(
+        spark, d, query_vector(e, _ANN_QUERY_ID), _ANN_K, embeddings=e)
+
+
 def _media_meta(spark, sf_dir):
     from lucene_spark.operators.multimodal import synth_media
     m = synth_media(_docs(spark, sf_dir))
@@ -1584,6 +1645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_hnsw_topk"] = _ann_hnsw
     out["ann_filtered_topk"] = _ann_filtered
     out["ann_hnsw_filtered"] = _ann_hnsw_filtered
+    out["ann_quantized_topk"] = _ann_quantized
+    out["ann_ivf_quantized"] = _ann_ivf_quantized
+    out["ann_hnsw_quantized"] = _ann_hnsw_quantized
     out["media_meta"] = _media_meta
     out["media_features"] = _media_features
     return out
@@ -1886,6 +1950,9 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["ann_cosine_topk"] = similarity.cosine_topk_sql(_ANN_QUERY_ID, _ANN_K)
     out["ann_filtered_topk"] = similarity.cosine_topk_sql(
         _ANN_QUERY_ID, _ANN_K, where=_ANN_FILTER)
+    from lucene_spark.operators import quantize
+    out["ann_quantized_topk"] = quantize.quantized_topk_sql(
+        _ANN_QUERY_ID, _ANN_K, rescore_factor=4)
     out["text_token_count"] = textstats.token_count_sql()
     out["text_quality"] = textstats.quality_scores_sql()
     out["text_lang_id"] = textstats.language_id_sql()
@@ -1906,7 +1973,10 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["media_meta"] = multimodal.media_meta_sql()
     from lucene_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql(3, 0.5, 0.3)
-    # ann_ivf_topk: rows-only (KMeans centroids are model state, not SQL)
+    # ann_ivf_topk, ann_ivf_quantized: rows-only (KMeans centroids are model
+    # state, not SQL); ann_hnsw_quantized: rows-only (graph state) — both
+    # recall-pinned in pytest; the quantization itself IS fully
+    # oracle-checked via ann_quantized_topk
     # ann_hnsw_topk, ann_hnsw_filtered: rows-only (graph construction is not
     # SQL-expressible; recall + bit-reproducibility + filtered recall and
     # exact-fallback identity pinned in pytest)

@@ -52,6 +52,29 @@ from pyspark.sql import functions as F
 GRAPH_SCHEMA = (
     "part int, vec_id long, embedding array<float>, neighbors array<array<long>>"
 )
+#: quantized graph stores dim-byte int8 codes instead of 4*dim float bytes
+#: (``Lucene104HnswScalarQuantizedVectorsFormat``: HNSW walk over quantized
+#: scores, float rescore of the winners)
+GRAPH_SCHEMA_Q = (
+    "part int, vec_id long, code binary, neighbors array<array<long>>"
+)
+
+
+def _unit_matrix(pdf: pd.DataFrame, scale: float | None) -> np.ndarray:
+    """Unit-normalized float64 vector matrix for the graph walk, from either
+    the raw ``embedding`` column or (quantized graphs) the int8 ``code``
+    column dequantized by ``scale`` — the quantization error is what the
+    float rescore pass corrects, exactly as in the reference."""
+    if scale is not None:
+        raw = np.stack([
+            np.frombuffer(b, dtype=np.int8) for b in pdf["code"]
+        ]).astype(np.float64) * (scale / 127.0)
+    else:
+        raw = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(raw, axis=1)
+    norms[norms == 0.0] = 1.0
+    return raw / norms[:, None]
 
 
 def _level_for(vec_id: int, ml: float) -> int:
@@ -146,15 +169,18 @@ def _select_diverse(vecs, q, candidates, m):
     return out
 
 
-def _build_graph(pdf: pd.DataFrame, m: int, ef_construction: int) -> pd.DataFrame:
+def _build_graph(
+    pdf: pd.DataFrame, m: int, ef_construction: int,
+    scale: float | None = None,
+) -> pd.DataFrame:
     """Sequential HNSW build over one partition's vectors (numpy float64,
-    unit-normalized so cosine distance = 1 - dot)."""
+    unit-normalized so cosine distance = 1 - dot). With ``scale`` set the
+    input carries int8 ``code`` bytes and the graph is built over the
+    DEQUANTIZED vectors (the reference builds the quantized-format graph
+    over quantized scores too, so graph topology matches what search sees)."""
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    raw = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    norms = np.linalg.norm(raw, axis=1)
-    norms[norms == 0.0] = 1.0
-    vecs = raw / norms[:, None]
+    vecs = _unit_matrix(pdf, scale)
 
     ml = 1.0 / math.log(m)
     levels = [_level_for(int(i), ml) for i in ids]
@@ -192,17 +218,21 @@ def _build_graph(pdf: pd.DataFrame, m: int, ef_construction: int) -> pd.DataFram
         if lvl > top:
             entry = i
 
-    return pd.DataFrame(
-        {
-            "part": pdf["part"].to_numpy(),
-            "vec_id": ids,
-            "embedding": pdf["embedding"],
-            "neighbors": [
-                [[int(ids[nb]) for nb in layer] for layer in adj[i]]
-                for i in range(len(ids))
-            ],
-        }
-    )
+    out = {
+        "part": pdf["part"].to_numpy(),
+        "vec_id": ids,
+        "neighbors": [
+            [[int(ids[nb]) for nb in layer] for layer in adj[i]]
+            for i in range(len(ids))
+        ],
+    }
+    if scale is not None:
+        out["code"] = pdf["code"]
+    else:
+        out["embedding"] = pdf["embedding"]
+    cols = (["part", "vec_id", "code", "neighbors"] if scale is not None
+            else ["part", "vec_id", "embedding", "neighbors"])
+    return pd.DataFrame(out)[cols]
 
 
 def build_hnsw_index(
@@ -213,18 +243,25 @@ def build_hnsw_index(
     ef_construction: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> dict:
     """Build per-partition HNSW graphs and persist them under ``index_dir``:
 
-      graph/         parquet DF(part, vec_id, embedding, neighbors) where
-                     neighbors[lc] = this node's layer-lc neighbor vec_ids
+      graph/         parquet DF(part, vec_id, embedding|code, neighbors)
+                     where neighbors[lc] = this node's layer-lc neighbor ids
       manifest.json  params; written atomically LAST (commit point)
 
     Partition assignment is ``pmod(xxhash64(vec_id), num_parts)`` —
     deterministic, balanced, independent of input file layout. Idempotent:
     an existing manifest with matching params AND matching input shape
     (row count + dim — the cheap staleness fingerprint) short-circuits;
-    a changed input rebuilds instead of silently serving a stale graph."""
+    a changed input rebuilds instead of silently serving a stale graph.
+
+    ``quantize=True`` stores int8 scalar-quantized codes instead of the
+    float vectors (``Lucene104HnswScalarQuantizedVectorsFormat`` analog:
+    dim bytes per vector instead of 4*dim, graph built AND walked over
+    quantized scores, float rescore at query time — pass ``embeddings=``
+    to ``hnsw_ann_topk_indexed``)."""
     shape = embeddings.select(
         F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
@@ -239,34 +276,69 @@ def build_hnsw_index(
             and prev.get("ef_construction") == ef_construction
             and prev.get("n_vecs") == n_vecs
             and prev.get("dim") == dim
+            and bool(prev.get("quantized")) == quantize
         ):
             return prev
     os.makedirs(index_dir, exist_ok=True)
+
+    scale = None
+    if quantize:
+        from lucene_spark.operators.quantize import _seq_norm_col
+
+        v = F.col(vec_col).cast("array<double>")
+        with_norm = embeddings.select(
+            F.col(id_col).alias("vec_id"), v.alias("v"),
+            _seq_norm_col(v).alias("nrm"),
+        )
+        row = with_norm.select(
+            F.max(F.array_max(F.transform(
+                F.col("v"), lambda x: F.abs(x) / F.col("nrm")))).alias("s")
+        ).first()
+        scale = float(row["s"]) if row and row["s"] else 1.0
+        if scale == 0.0:
+            scale = 1.0
+        src = with_norm.withColumn(
+            "part",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_parts)).cast("int"))
+    else:
+        src = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).withColumn(
+            "part",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_parts)).cast("int"))
 
     def builder(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
 
         pa.set_cpu_count(1)  # N workers × thread pools thrash the box
         if pdf.empty:
-            return pd.DataFrame(
-                {"part": [], "vec_id": [], "embedding": [], "neighbors": []}
-            )
-        return _build_graph(pdf, m, ef_construction)
+            cols = (["part", "vec_id", "code", "neighbors"] if quantize
+                    else ["part", "vec_id", "embedding", "neighbors"])
+            return pd.DataFrame({c: [] for c in cols})
+        if quantize:
+            from lucene_spark.operators.quantize import _quantize_rows
 
-    src = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).withColumn("part", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_parts)).cast("int"))
-    graph = src.groupBy("part").applyInPandas(builder, schema=GRAPH_SCHEMA)
+            mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            codes = _quantize_rows(
+                mat, pdf["nrm"].to_numpy(np.float64), scale)
+            pdf = pdf.assign(code=[c.tobytes() for c in codes])
+        return _build_graph(pdf, m, ef_construction, scale=scale)
+
+    graph = src.groupBy("part").applyInPandas(
+        builder, schema=GRAPH_SCHEMA_Q if quantize else GRAPH_SCHEMA)
     graph.write.mode("overwrite").parquet(os.path.join(index_dir, "graph"))
 
     manifest = {
-        "format": "hnsw_v1",
+        "format": "hnsw_sq8_v1" if quantize else "hnsw_v1",
         "num_parts": num_parts,
         "m": m,
         "ef_construction": ef_construction,
         "n_vecs": n_vecs,
         "dim": dim,
         "metric": "cosine",
+        "quantized": quantize,
+        "scale": scale,
     }
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
@@ -279,7 +351,7 @@ def build_hnsw_index(
 
 def _search_graph(
     pdf: pd.DataFrame, q: np.ndarray, k: int, ef: int,
-    filtered: bool = False,
+    filtered: bool = False, scale: float | None = None,
 ) -> pd.DataFrame:
     """Beam-search one partition's graph: greedy descent from the partition
     entry point (highest level, min vec_id tie) to layer 0, ef-beam at layer
@@ -295,10 +367,7 @@ def _search_graph(
     that point exact is cheaper AND recall-perfect) or starves below k."""
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    raw = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    norms = np.linalg.norm(raw, axis=1)
-    norms[norms == 0.0] = 1.0
-    vecs = raw / norms[:, None]
+    vecs = _unit_matrix(pdf, scale)
     qn = float(np.linalg.norm(q)) or 1.0
     qv = q / qn
 
@@ -380,9 +449,19 @@ def hnsw_ann_topk_indexed(
     beam-searches with an accept mask, falling back to a partition-local
     exact scan when the accepted set is small, the walk visits more nodes
     than the accepted count, or the beam starves (so the merged result is
-    never short of min(k, matches))."""
+    never short of min(k, matches)).
+
+    Quantized graphs (built with ``quantize=True``) walk over int8-coded
+    vectors; the merged P*k candidates are then RESCORED with the exact
+    float64 cosine against ``embeddings`` (required in that case) — the
+    reference's quantized-search + float-rescore split."""
     with open(os.path.join(index_dir, "manifest.json")) as fh:
-        json.load(fh)  # existence check = commit check
+        m = json.load(fh)
+    quantized = bool(m.get("quantized"))
+    scale = float(m["scale"]) if quantized else None
+    if quantized and embeddings is None:
+        raise ValueError(
+            "a quantized HNSW index rescores in float: pass embeddings=")
     q = np.asarray(query_vec, dtype=np.float64)
     graph = spark.read.parquet(os.path.join(index_dir, "graph"))
 
@@ -402,10 +481,16 @@ def hnsw_ann_topk_indexed(
             return spark.createDataFrame([], "vec_id long, cosine double")
         surv_j = F.broadcast(surv) if n_match <= _FILTER_BROADCAST_MAX else surv
         if n_match <= k:
-            # reference cost<=k rule: exact over survivors (the graph rows
-            # carry the vectors, so no second table read)
+            # reference cost<=k rule: exact over survivors (the float graph
+            # rows carry the vectors, so no second table read; quantized
+            # graphs go back to the float table)
             from lucene_spark.operators.similarity import cosine_topk
 
+            if quantized:
+                cand = embeddings.join(
+                    surv_j.withColumnRenamed("vec_id", id_col)
+                    if id_col != "vec_id" else surv_j, id_col)
+                return cosine_topk(cand, query_vec, k, id_col)
             cand = graph.join(surv_j, "vec_id").select("vec_id", "embedding")
             return cosine_topk(cand, query_vec, k)
         graph = graph.join(
@@ -419,11 +504,25 @@ def hnsw_ann_topk_indexed(
         pa.set_cpu_count(1)
         if pdf.empty:
             return pd.DataFrame({"vec_id": [], "cosine": []})
-        return _search_graph(pdf, q, k, ef_search, filtered=filtered)
+        return _search_graph(pdf, q, k, ef_search, filtered=filtered,
+                             scale=scale)
 
     # one graph walk per partition graph: groupBy(part) guarantees each
     # applyInPandas call sees exactly one complete graph
     per_part = graph.groupBy("part").applyInPandas(
         searcher, schema="vec_id long, cosine double"
     )
+    if quantized:
+        # float64 rescore of every candidate that reached the merge (P*k
+        # rows, broadcast) — quantization error never decides the final rank
+        from lucene_spark.operators.similarity import cosine_topk
+
+        cand_ids = per_part.select("vec_id")
+        base = embeddings if surv is None else embeddings.join(
+            surv_j.withColumnRenamed("vec_id", id_col)
+            if id_col != "vec_id" else surv_j, id_col)
+        cand = base.join(
+            F.broadcast(cand_ids.withColumnRenamed("vec_id", id_col)
+                        if id_col != "vec_id" else cand_ids), id_col)
+        return cosine_topk(cand, query_vec, k, id_col)
     return per_part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

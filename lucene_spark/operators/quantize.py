@@ -1,0 +1,300 @@
+"""Scalar-quantized vector artifacts — int8 codes + a global scale, with
+float rescoring of the top candidates.
+
+Reference semantics (public Apache Lucene source): scalar quantization is
+what makes 10^10-vector ANN affordable in RAM/IO —
+``lucene/core/.../lucene104/Lucene104ScalarQuantizedVectorsFormat.java:93``
+stores int-coded vectors + per-segment scale parameters next to the raw
+float vectors, searches with integer dot products, and re-scores the best
+candidates against the raw floats
+(``Lucene104HnswScalarQuantizedVectorsFormat.java``). This module mirrors
+that decomposition Spark-first:
+
+  - ``build_quantized_codes`` persists DF(vec_id, code binary) — dim bytes
+    per vector instead of 4·dim (measured ~4x smaller on disk) — plus a
+    manifest carrying the scale. Quantization is SYMMETRIC max-abs over the
+    UNIT-normalized components: ``c_i = clip(floor(((x_i/||x||)·127)/scale
+    + 0.5), -127, 127)`` with ``scale = max over all vectors of
+    max_i |x_i|/||x||``. Max-abs (not Lucene's confidence interval) is
+    chosen deliberately: it is exactly replayable in SQL, so the whole
+    two-stage search below has a full DuckDB value-hash oracle.
+  - ``quantized_ann_topk`` runs the two-stage search: an int8 GEMM over the
+    code table (Arrow-batched ``mapInPandas``, per-batch local top-C so only
+    C rows per batch survive the scan) picks ``rescore_factor·k``
+    candidates by integer score, then ONLY those join back to the float
+    vectors for the exact float64 rescore (the reference's rescore step).
+
+Determinism discipline (why this hash-matches DuckDB bit-for-bit):
+  - ``||x||`` is computed as a SEQUENTIAL left fold (Spark ``aggregate`` /
+    driver loop), the same op order as DuckDB ``list_sum`` — see
+    ``operators/dedup.py`` for the precedent.
+  - quantization itself is ELEMENTWISE float64 (no summation order at all),
+    and ``floor(x + 0.5)`` rounds identically everywhere (numpy, Spark,
+    DuckDB) where ``round()`` would not (banker's vs half-away).
+  - integer dot products are EXACT in int64 — any summation order (GEMM,
+    sequential, SIMD) yields the same integer, so the candidate cut at
+    rank C is identical on both sides (ties broken by vec_id both sides).
+
+At 100 TB: the approximate pass reads only the code column (4x fewer bytes
+than the float vectors), does one int GEMM per Arrow batch, and emits <= C
+rows per batch; the rescore touches exactly C rows of the float table via a
+broadcast semi join. No stage materializes more than C driver-side rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QMAX = 127  # symmetric int8 code range [-127, 127]
+
+
+def _seq_norm_col(v):
+    """||v|| as a sequential left fold (bit-identical to DuckDB list_sum);
+    zero norms map to 1.0 so zero vectors quantize to all-zero codes."""
+    n = F.sqrt(F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
+def _quantize_rows(vec64: np.ndarray, norms: np.ndarray, scale: float) -> np.ndarray:
+    """Elementwise float64 quantization of a row-block: identical op order
+    to the SQL twin — ((x / norm) * 127.0) / scale, floor(+0.5), clip."""
+    unit = vec64 / norms[:, None]
+    q = np.floor((unit * float(_QMAX)) / scale + 0.5)
+    return np.clip(q, -_QMAX, _QMAX).astype(np.int8)
+
+
+def quantize_query(query_vec, scale: float) -> np.ndarray:
+    """Quantize the query with the stored scale. The norm is a strict
+    sequential Python sum (same order as list_sum / F.aggregate) so the
+    query's codes match what ``build_quantized_codes`` produced for the
+    same stored vector."""
+    v = [float(x) for x in query_vec]
+    s = 0.0
+    for x in v:
+        s += x * x
+    import math
+
+    nrm = math.sqrt(s) or 1.0
+    arr = np.asarray(v, dtype=np.float64)
+    q = np.floor(((arr / nrm) * float(_QMAX)) / scale + 0.5)
+    return np.clip(q, -_QMAX, _QMAX).astype(np.int8)
+
+
+def build_quantized_codes(
+    embeddings: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist int8 codes for every vector under ``index_dir``:
+
+      codes/         parquet DF(vec_id long, code binary) — dim bytes/vector
+      manifest.json  {scale, dim, n_vecs} written atomically LAST
+
+    One pass computes the scale (JVM aggregate, partial-merged — no raw data
+    shuffles), a second writes the codes (narrow map; norms computed JVM-side
+    and handed to the Arrow packer so no Python summation order exists).
+    Idempotent with an input fingerprint (n_vecs + dim): same-params calls
+    over unchanged data short-circuit; changed data rebuilds."""
+    shape = embeddings.select(
+        F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            prev = json.load(fh)
+        if prev.get("n_vecs") == n_vecs and prev.get("dim") == dim:
+            return prev
+    os.makedirs(index_dir, exist_ok=True)
+
+    v = F.col(vec_col).cast("array<double>")
+    with_norm = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        _seq_norm_col(v).alias("nrm"),
+    )
+    row = with_norm.select(
+        F.max(F.array_max(F.transform(
+            F.col("v"), lambda x: F.abs(x) / F.col("nrm")))).alias("s")
+    ).first()
+    scale = float(row["s"]) if row and row["s"] else 1.0
+    if scale == 0.0:
+        scale = 1.0
+
+    def packer(it):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        for pdf in it:
+            if pdf.empty:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                    "code": pd.Series(dtype=object)})
+                continue
+            mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            codes = _quantize_rows(
+                mat, pdf["nrm"].to_numpy(np.float64), scale)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "code": [c.tobytes() for c in codes],
+            })
+
+    with_norm.mapInPandas(packer, schema="vec_id long, code binary").write.mode(
+        "overwrite").parquet(os.path.join(index_dir, "codes"))
+
+    manifest = {"format": "sq8_v1", "scale": scale, "dim": dim,
+                "n_vecs": n_vecs, "qmax": _QMAX}
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def quantized_ann_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    rescore_factor: int = 4,
+    filter=None,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage quantized search: int8 scores pick ``rescore_factor * k``
+    candidates from the code table, the float64 exact cosine re-ranks just
+    those — DF(vec_id, cosine double) ordered (cosine desc, vec_id asc).
+
+    ``filter`` (Column/SQL predicate over ``embeddings``) restricts results
+    with the reference's strategy switch (matches <= k -> exact over
+    survivors). ``candidates`` (DF of vec_ids, e.g. IVF probe cells)
+    restricts the approximate pass to those ids — composing the coarse
+    quantizer with the scalar codes the way
+    ``Lucene104HnswScalarQuantizedVectorsFormat`` composes graph + codes."""
+    from lucene_spark.operators.similarity import cosine_topk
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    scale = float(m["scale"])
+    qcode = quantize_query(query_vec, scale).astype(np.int64)
+    c_lim = max(k, rescore_factor * k)
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    base = embeddings
+    if filter is not None:
+        surv = embeddings.filter(filter)
+        n_match = surv.count()
+        if n_match <= k:
+            # reference cost<=k rule: every survivor is a result; exact scan
+            return cosine_topk(surv, query_vec, k, id_col, vec_col)
+        codes = codes.join(
+            F.broadcast(surv.select(F.col(id_col).alias("vec_id")))
+            if n_match <= 2_000_000
+            else surv.select(F.col(id_col).alias("vec_id")),
+            "vec_id",
+        )
+        base = surv
+    if candidates is not None:
+        codes = codes.join(
+            candidates.select(F.col(id_col).alias("vec_id")), "vec_id")
+
+    def scorer(it):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        for pdf in it:
+            if pdf.empty:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                    "qscore": pd.Series(dtype=np.int64)})
+                continue
+            mat = np.stack([
+                np.frombuffer(b, dtype=np.int8) for b in pdf["code"]
+            ]).astype(np.int64)
+            sc = mat @ qcode  # exact integer — order-free
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            order = np.lexsort((ids, -sc))[:c_lim]  # local top-C per batch
+            yield pd.DataFrame({"vec_id": ids[order], "qscore": sc[order]})
+
+    scored = codes.mapInPandas(scorer, schema="vec_id long, qscore long")
+    cand_ids = (
+        scored.orderBy(F.desc("qscore"), F.asc("vec_id"))
+        .limit(c_lim)
+        .select("vec_id")
+    )
+    cand = base.join(
+        F.broadcast(cand_ids.withColumnRenamed("vec_id", id_col)
+                    if id_col != "vec_id" else cand_ids),
+        id_col,
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def quantized_topk_sql(
+    query_id: int,
+    k: int = 10,
+    rescore_factor: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle replaying the WHOLE pipeline: sequential-fold norms,
+    max-abs scale over unit components, elementwise floor(+0.5) int8
+    quantization, integer-dot candidate cut at rescore_factor*k (ties by
+    vec_id), then the exact float64 cosine re-rank of the candidates —
+    value-identical to ``build_quantized_codes`` + ``quantized_ann_topk``."""
+    c_lim = max(k, rescore_factor * k)
+    return f"""
+WITH p AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), n AS (
+  SELECT vec_id, v,
+         CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+              THEN 1.0
+              ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm
+  FROM p
+), s AS (
+  SELECT CASE WHEN MAX(list_max(list_transform(v, x -> abs(x) / nrm))) = 0
+              THEN 1.0
+              ELSE MAX(list_max(list_transform(v, x -> abs(x) / nrm))) END
+         AS scale
+  FROM n
+), c AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0,
+             FLOOR(((x / nrm) * 127.0) / scale + 0.5))) AS BIGINT)) AS code
+  FROM n CROSS JOIN s
+), qc AS (
+  SELECT code AS qcode FROM c WHERE vec_id = {query_id}
+), cand AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(code) + 1),
+                                 i -> code[i] * qcode[i])) AS qscore
+  FROM c CROSS JOIN qc
+  ORDER BY qscore DESC, c.vec_id ASC
+  LIMIT {c_lim}
+), q AS (
+  SELECT v AS qv FROM p WHERE vec_id = {query_id}
+)
+SELECT n.vec_id,
+       list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+       / (sqrt(list_sum(list_transform(v, x -> x * x)))
+          * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+FROM n JOIN cand ON n.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY cosine DESC, n.vec_id ASC
+LIMIT {k}
+""".strip()

@@ -626,3 +626,134 @@ def test_filtered_knn_hnsw(spark, embs, tmp_path):
     got = [r.vec_id for r in hnsw_ann_topk_indexed(
         spark, d, q, 10, filter=ids_df).collect()]
     assert got == want
+
+
+# ------------------------------------------------- scalar quantization (sq8)
+
+def test_quantized_codes_and_topk(spark, embs, tmp_path):
+    """int8 scalar quantization (Lucene104ScalarQuantizedVectorsFormat
+    analog): codes are dim bytes (4x smaller than float32), the two-stage
+    search (int dot candidates -> float rescore) reproduces the exact
+    brute-force top-k at rescore_factor=4 on this corpus, and a DuckDB
+    replay of the quantization math produces bit-identical codes."""
+    import duckdb
+
+    from lucene_spark.operators.quantize import (
+        build_quantized_codes, quantize_query, quantized_ann_topk,
+    )
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    d = str(tmp_path / "sq8")
+    m = build_quantized_codes(embs, d)
+    assert m["dim"] == 64 and m["n_vecs"] == 500 and m["scale"] > 0
+    codes = spark.read.parquet(d + "/codes").collect()
+    assert all(len(r.code) == 64 for r in codes)  # dim bytes per vector
+
+    # DuckDB replays the quantization bit-for-bit (same norms, scale, floor)
+    con = duckdb.connect()
+    dk = con.sql(f"""
+      WITH p AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM '{SF_EMB}'),
+      n AS (SELECT vec_id, v,
+                   CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x))) = 0
+                        THEN 1.0
+                        ELSE sqrt(list_sum(list_transform(v, x -> x*x))) END nrm
+            FROM p),
+      s AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)/nrm))) scale
+            FROM n)
+      SELECT vec_id, list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0,
+               FLOOR(((x / nrm) * 127.0) / scale + 0.5))) AS TINYINT)) code
+      FROM n CROSS JOIN s ORDER BY vec_id
+    """).fetchall()
+    spark_codes = {r.vec_id: np.frombuffer(r.code, dtype=np.int8) for r in codes}
+    for vid, code_list in dk:
+        assert spark_codes[vid].tolist() == code_list, f"vec {vid} differs"
+
+    # two-stage search == exact brute force at this rescore factor
+    q = query_vector(embs, 3)
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(embs, q, 10).collect()]
+    got = [(r.vec_id, r.cosine)
+           for r in quantized_ann_topk(spark, embs, d, q, 10).collect()]
+    assert [v for v, _ in got] == [v for v, _ in exact]
+    assert got == exact  # rescore is the same exact float64 cosine
+
+    # query quantization round-trips the stored code
+    qq = quantize_query(q, m["scale"])
+    assert qq.tolist() == spark_codes[3].tolist()
+
+    # idempotent; changed input would rebuild (fingerprint covers n+dim)
+    assert build_quantized_codes(embs, d) == m
+
+
+def test_quantized_filtered_and_candidates(spark, embs, tmp_path):
+    """Filter strategy switch + candidate composition on the quantized path."""
+    from lucene_spark.operators.quantize import (
+        build_quantized_codes, quantized_ann_topk,
+    )
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    d = str(tmp_path / "sq8")
+    build_quantized_codes(embs, d)
+    q = query_vector(embs, 3)
+    flt = "label = 2"
+    want = [r.vec_id for r in cosine_topk(embs, q, 10, filter=flt).collect()]
+    got = [r.vec_id for r in quantized_ann_topk(
+        spark, embs, d, q, 10, filter=flt).collect()]
+    assert got == want
+    # filter more selective than k -> exact short-circuit, identity
+    tiny = "label = 2 AND vec_id < 60"
+    want = [r.vec_id for r in cosine_topk(embs, q, 10, filter=tiny).collect()]
+    got = [r.vec_id for r in quantized_ann_topk(
+        spark, embs, d, q, 10, filter=tiny).collect()]
+    assert got == want
+    # candidate restriction (IVF-style): results come only from candidates
+    cand = embs.filter("vec_id % 2 = 0").select("vec_id")
+    got = [r.vec_id for r in quantized_ann_topk(
+        spark, embs, d, q, 10, candidates=cand).collect()]
+    assert len(got) == 10 and all(v % 2 == 0 for v in got)
+
+
+def test_hnsw_quantized_graph(spark, embs, tmp_path):
+    """Quantized-graph HNSW: int8 codes in the graph parquet (4x smaller),
+    walk over dequantized scores, float64 rescore of the merged candidates;
+    recall vs exact pinned, deterministic across runs."""
+    from lucene_spark.operators.hnsw import (
+        build_hnsw_index, hnsw_ann_topk_indexed,
+    )
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    d = str(tmp_path / "hq")
+    m = build_hnsw_index(embs, d, num_parts=2, m=8, ef_construction=64,
+                         quantize=True)
+    assert m["quantized"] and m["scale"] > 0
+    g = spark.read.parquet(d + "/graph")
+    assert "code" in g.columns and "embedding" not in g.columns
+    assert all(len(r.code) == 64 for r in g.select("code").collect())
+
+    q = query_vector(embs, 3)
+    exact = [r.vec_id for r in cosine_topk(embs, q, 10).collect()]
+    got = [(r.vec_id, r.cosine) for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, ef_search=64, embeddings=embs).collect()]
+    ids = [v for v, _ in got]
+    assert len(ids) == 10
+    assert len(set(ids) & set(exact)) / 10 >= 0.8  # recall after rescore
+    # rescored cosines are the exact float64 values for those ids
+    allcos = {r.vec_id: r.cosine
+              for r in cosine_topk(embs, q, 500).collect()}
+    for v, c in got:
+        assert c == allcos[v]
+    got2 = [(r.vec_id, r.cosine) for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, ef_search=64, embeddings=embs).collect()]
+    assert got2 == got
+    # requires embeddings for the rescore
+    with pytest.raises(ValueError):
+        hnsw_ann_topk_indexed(spark, d, q, 10)
+    # filtered quantized: results satisfy the predicate, fallback identity
+    flt = "label = 2"
+    want = [r.vec_id for r in cosine_topk(embs, q, 10, filter=flt).collect()]
+    gotf = [r.vec_id for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, filter=flt, embeddings=embs).collect()]
+    assert set(gotf) <= set(
+        r.vec_id for r in embs.filter(flt).select("vec_id").collect())
+    assert len(set(gotf) & set(want)) / 10 >= 0.8
