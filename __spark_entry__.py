@@ -315,6 +315,61 @@ def _suggest_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.suggest(_SUGGEST_PREFIX, _SUGGEST_K)
 
 
+#: (key, k) probes for the analyzing-suggester family over the documents
+#: dictionary (suggestion surface = text, weight = n_chars)
+_SUG_ANALYZING = ("SPARk", 10)      # mixed case: the lookup key IS analyzed
+_SUG_FUZZY = ("spork", 10)          # 1 edit from "spark", first char exact
+_SUG_INFIX = ("customer lin", 10)   # whole-token "customer" + prefix "lin"
+_WORDBREAK = ("tablescan", 5)       # -> "table scan"
+_WORDCOMBINE = (("cust", "omer"), 5)  # -> "customer"
+
+
+def _suggest_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.suggesters import build_suggest_dict
+    return build_suggest_dict(
+        _docs(spark, sf_dir), text_col="text", weight_col="n_chars")
+
+
+def _suggest_analyzing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingSuggester analog (AnalyzingSuggester.java:100): the lookup
+    key runs through the SAME analysis chain as the stored suggestions;
+    match = analyzed-form prefix; rank by weight."""
+    from lucene_spark.operators.suggesters import suggest_analyzing
+    return suggest_analyzing(
+        _suggest_dict(spark, sf_dir), _SUG_ANALYZING[0], _SUG_ANALYZING[1])
+
+
+def _suggest_fuzzy_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester analog: <=1-edit typo tolerance over the analyzed
+    prefix (bounded levenshtein probe lengths, JVM-side), exact first char
+    (nonFuzzyPrefix=1), no fuzz below minFuzzyLength=3."""
+    from lucene_spark.operators.suggesters import suggest_fuzzy
+    return suggest_fuzzy(
+        _suggest_dict(spark, sf_dir), _SUG_FUZZY[0], _SUG_FUZZY[1])
+
+
+def _suggest_infix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester analog: non-final key tokens match whole
+    suggestion tokens anywhere; the last key token prefix-matches any."""
+    from lucene_spark.operators.suggesters import suggest_infix
+    return suggest_infix(
+        _suggest_dict(spark, sf_dir), _SUG_INFIX[0], _SUG_INFIX[1])
+
+
+def _wordbreak_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks: split a run-together term
+    into dictionary words, ranked changes asc then summed doc_freq."""
+    s = _searcher(spark, sf_dir)
+    return s.suggest_wordbreak(_WORDBREAK[0], _WORDBREAK[1])
+
+
+def _wordcombine_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations: join adjacent query
+    terms into one dictionary word."""
+    s = _searcher(spark, sf_dir)
+    return s.suggest_wordcombine(list(_WORDCOMBINE[0]), _WORDCOMBINE[1])
+
+
 def _multi_phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.query.ast import MultiPhraseQuery
 
@@ -1572,6 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["spellcheck_osa"] = _spellcheck_osa_df
     out["more_like_this"] = _mlt_df
     out["suggest_prefix"] = _suggest_df
+    out["suggest_analyzing"] = _suggest_analyzing_df
+    out["suggest_fuzzy"] = _suggest_fuzzy_df
+    out["suggest_infix"] = _suggest_infix_df
+    out["spellcheck_wordbreak"] = _wordbreak_df
+    out["spellcheck_wordcombine"] = _wordcombine_df
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
     out["bm25_with_deletes"] = _deletes_df_entry
@@ -1696,6 +1756,17 @@ SELECT term, CAST(sum(freq) AS BIGINT) AS weight FROM tf
 WHERE term LIKE '{_SUGGEST_PREFIX}%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT {_SUGGEST_K}
 """.strip()
+    from lucene_spark.operators import suggesters
+    out["suggest_analyzing"] = suggesters.suggest_analyzing_sql(
+        _SUG_ANALYZING[0], _SUG_ANALYZING[1], weight_col="n_chars")
+    out["suggest_fuzzy"] = suggesters.suggest_fuzzy_sql(
+        _SUG_FUZZY[0], _SUG_FUZZY[1], weight_col="n_chars")
+    out["suggest_infix"] = suggesters.suggest_infix_sql(
+        _SUG_INFIX[0], _SUG_INFIX[1], weight_col="n_chars")
+    out["spellcheck_wordbreak"] = sqlgen.wordbreak_sql(
+        _WORDBREAK[0], _WORDBREAK[1])
+    out["spellcheck_wordcombine"] = sqlgen.wordcombine_sql(
+        list(_WORDCOMBINE[0]), _WORDCOMBINE[1])
     # parent block join: children = 20-token chunks, scored per child with
     # child-level collection stats, max-aggregated to the parent doc
     _childs = (

@@ -1,0 +1,242 @@
+"""Analyzing / fuzzy / infix suggesters over a document-derived suggestion
+dictionary — the ``lucene/suggest`` analyzing family re-expressed Spark-first.
+
+Reference semantics mirrored (public Apache Lucene source):
+  - ``suggest/.../analyzing/AnalyzingSuggester.java:100``: the suggester
+    ANALYZES both the stored suggestion and the lookup key, matches on the
+    analyzed-form prefix, and returns the original surface ranked by weight.
+    The FST there is an index-time compaction; the semantics are "analyzed
+    form of the suggestion starts with the analyzed form of the key".
+  - ``suggest/.../analyzing/FuzzySuggester.java``: same, but the key may
+    differ from the matched analyzed prefix by up to ``max_edits`` edits,
+    with the reference's guards: the first ``non_fuzzy_prefix`` (default 1)
+    characters must match exactly, and keys shorter than
+    ``min_fuzzy_length`` (default 3) get no fuzziness at all.
+  - ``suggest/.../analyzing/AnalyzingInfixSuggester.java``: every key token
+    must match a whole token of the suggestion, except the last, which
+    prefix-matches any token ("sugg lo" matches "a long suggestion").
+
+Spark shape: the dictionary is an ordinary DataFrame (surface, tokens,
+joined, weight) built once (``build_suggest_dict`` — a DocumentDictionary
+analog, one narrow map + one groupBy(surface)); every lookup is a pushed-down
+scan with JVM-side predicates — string prefix for analyzing, a bounded OR of
+``levenshtein`` probes for fuzzy (2*max_edits+1 candidate prefix lengths,
+never a cross join), token membership for infix — followed by a top-k.
+Everything here is SQL-expressible, so each lookup has a full DuckDB twin.
+
+At 100 TB: the dictionary build is one groupBy on surface (bounded by
+distinct suggestions, not corpus rows); lookups never shuffle — scan +
+TakeOrderedAndProject. The analyzing lookup's prefix predicate is
+sargable (pushed to parquet); fuzzy/infix are narrow filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: simple-analyzer token regex — must stay identical to the DuckDB twin's
+#: TOKEN_SQL (plans/sqlgen.py) and operators/dedup.py TOKEN_RE_SQL
+_TOKEN_RE = "[a-z0-9]+"
+
+
+def _analyze_key(key: str) -> list[str]:
+    """Driver-side simple-analyzer replay for the lookup key (same regex +
+    lowercase as the dictionary build — the suggester contract is that BOTH
+    sides run the same analysis chain)."""
+    import re
+
+    from lucene_spark.functions.analysis import java_lower
+
+    return re.findall(_TOKEN_RE, java_lower(key))
+
+
+def build_suggest_dict(
+    df: DataFrame,
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """DocumentDictionary analog (``suggest/.../DocumentDictionary.java``):
+    DF(surface string, tokens array<string>, joined string, weight long).
+
+    Each input row contributes its ``text_col`` value as a suggestion
+    surface, weighted by ``weight_col`` (or 1). Duplicate surfaces merge
+    with SUMMED weight (the corpus-frequency weighting the suggest module's
+    benchmark dictionaries use). ``joined`` is the space-joined analyzed
+    token stream — the analyzed form the reference's FST stores (simple
+    analyzer tokens never contain spaces, so the join is unambiguous)."""
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)
+    return (
+        df.select(F.col(text_col).alias("surface"), w.alias("w"))
+        .groupBy("surface")
+        .agg(F.sum("w").alias("weight"))
+        .select(
+            "surface",
+            F.regexp_extract_all(
+                F.lower(F.col("surface")), F.lit(_TOKEN_RE), 0).alias("tokens"),
+            "weight",
+        )
+        .withColumn("joined", F.array_join("tokens", " "))
+    )
+
+
+def suggest_analyzing(
+    dict_df: DataFrame, key: str, k: int = 10
+) -> DataFrame:
+    """AnalyzingSuggester lookup: suggestions whose analyzed form starts
+    with the analyzed key, ranked weight desc then surface asc —
+    DF(suggestion string, weight long)."""
+    akey = " ".join(_analyze_key(key))
+    if not akey:
+        return dict_df.sparkSession.createDataFrame(
+            [], "suggestion string, weight long")
+    return (
+        dict_df.filter(F.col("joined").startswith(akey))
+        .select(F.col("surface").alias("suggestion"), "weight")
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def suggest_fuzzy(
+    dict_df: DataFrame,
+    key: str,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """FuzzySuggester lookup: a suggestion matches when SOME prefix of its
+    analyzed form is within ``max_edits`` classic Levenshtein edits of the
+    analyzed key (the reference's Levenshtein automaton intersected with
+    the FST — ``FuzzySuggester.java`` toLevenshteinAutomata), subject to
+    the reference's guards (exact first ``non_fuzzy_prefix`` chars; keys
+    shorter than ``min_fuzzy_length`` fall back to exact prefix). Candidate
+    prefix lengths are bounded: |len(prefix) - len(key)| <= max_edits, so
+    the predicate is a literal OR of 2*max_edits+1 ``levenshtein`` calls —
+    JVM-side, no UDF. Ranked weight desc, surface asc (the reference ranks
+    purely by weight, not by distance)."""
+    akey = " ".join(_analyze_key(key))
+    if not akey:
+        return dict_df.sparkSession.createDataFrame(
+            [], "suggestion string, weight long")
+    if len(akey) < min_fuzzy_length or max_edits == 0:
+        return suggest_analyzing(dict_df, key, k)
+    kl = F.lit(akey)
+    conds = []
+    for length in range(max(1, len(akey) - max_edits),
+                        len(akey) + max_edits + 1):
+        conds.append(
+            F.levenshtein(F.substring("joined", 1, length), kl) <= max_edits)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    if non_fuzzy_prefix > 0:
+        cond = cond & (
+            F.substring("joined", 1, non_fuzzy_prefix)
+            == F.lit(akey[:non_fuzzy_prefix]))
+    return (
+        dict_df.filter(F.length("joined") >= len(akey) - max_edits)
+        .filter(cond)
+        .select(F.col("surface").alias("suggestion"), "weight")
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def suggest_infix(dict_df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """AnalyzingInfixSuggester lookup: all key tokens except the last must
+    appear as WHOLE tokens of the suggestion; the last key token
+    prefix-matches ANY token — ranked weight desc, surface asc."""
+    ktoks = _analyze_key(key)
+    if not ktoks:
+        return dict_df.sparkSession.createDataFrame(
+            [], "suggestion string, weight long")
+    cond = F.exists("tokens", lambda t: t.startswith(F.lit(ktoks[-1])))
+    for tok in ktoks[:-1]:
+        cond = cond & F.array_contains("tokens", tok)
+    return (
+        dict_df.filter(cond)
+        .select(F.col("surface").alias("suggestion"), "weight")
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def _dict_cte(table: str, text_col: str, weight_col: str | None) -> str:
+    w = weight_col if weight_col is not None else "1"
+    return f"""
+sdict AS (
+  SELECT surface,
+         regexp_extract_all(lower(surface), '{_TOKEN_RE}') AS tokens,
+         array_to_string(regexp_extract_all(lower(surface), '{_TOKEN_RE}'),
+                         ' ') AS joined,
+         weight
+  FROM (SELECT {text_col} AS surface,
+               CAST(SUM({w}) AS BIGINT) AS weight
+        FROM {table} GROUP BY {text_col})
+)""".strip()
+
+
+def suggest_analyzing_sql(
+    key: str, k: int = 10, table: str = "documents",
+    text_col: str = "text", weight_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``build_suggest_dict`` + ``suggest_analyzing``."""
+    akey = " ".join(_analyze_key(key)).replace("'", "''")
+    return f"""
+WITH {_dict_cte(table, text_col, weight_col)}
+SELECT surface AS suggestion, weight FROM sdict
+WHERE starts_with(joined, '{akey}')
+ORDER BY weight DESC, suggestion ASC LIMIT {k}
+""".strip()
+
+
+def suggest_fuzzy_sql(
+    key: str, k: int = 10, max_edits: int = 1,
+    non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3,
+    table: str = "documents", text_col: str = "text",
+    weight_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``suggest_fuzzy`` (same bounded prefix-length OR)."""
+    akey = " ".join(_analyze_key(key)).replace("'", "''")
+    if len(akey) < min_fuzzy_length or max_edits == 0:
+        return suggest_analyzing_sql(key, k, table, text_col, weight_col)
+    ors = " OR ".join(
+        f"levenshtein(substr(joined, 1, {length}), '{akey}') <= {max_edits}"
+        for length in range(max(1, len(akey) - max_edits),
+                            len(akey) + max_edits + 1)
+    )
+    np_guard = ""
+    if non_fuzzy_prefix > 0:
+        pfx = akey[:non_fuzzy_prefix]
+        np_guard = f" AND substr(joined, 1, {non_fuzzy_prefix}) = '{pfx}'"
+    return f"""
+WITH {_dict_cte(table, text_col, weight_col)}
+SELECT surface AS suggestion, weight FROM sdict
+WHERE len(joined) >= {len(akey) - max_edits} AND ({ors}){np_guard}
+ORDER BY weight DESC, suggestion ASC LIMIT {k}
+""".strip()
+
+
+def suggest_infix_sql(
+    key: str, k: int = 10, table: str = "documents",
+    text_col: str = "text", weight_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``suggest_infix``."""
+    ktoks = [t.replace("'", "''") for t in _analyze_key(key)]
+    conds = [
+        f"len(list_filter(tokens, t -> starts_with(t, '{ktoks[-1]}'))) > 0"
+    ]
+    conds += [f"list_contains(tokens, '{t}')" for t in ktoks[:-1]]
+    return f"""
+WITH {_dict_cte(table, text_col, weight_col)}
+SELECT surface AS suggestion, weight FROM sdict
+WHERE {" AND ".join(conds)}
+ORDER BY weight DESC, suggestion ASC LIMIT {k}
+""".strip()

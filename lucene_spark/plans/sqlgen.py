@@ -1035,6 +1035,102 @@ LIMIT {k}
 """.strip()
 
 
+def wordbreak_sql(
+    term: str,
+    k: int = 5,
+    max_changes: int = 1,
+    min_break_length: int = 1,
+    min_freq: int = 1,
+    max_evaluations: int = 1000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """WordBreakSpellChecker.suggestWordBreaks twin: the same bounded
+    driver-side split enumeration embedded as VALUES; dictionary membership
+    and summed doc_freq come from DuckDB's own corpus scan."""
+    import itertools
+
+    L = len(term)
+    positions = list(range(min_break_length, L - min_break_length + 1))
+    cands: list[tuple[int, list[str], int]] = []
+    evals = 0
+    done = False
+    for nb in range(1, max_changes + 1):
+        if done:
+            break
+        for combo in itertools.combinations(positions, nb):
+            parts, prev, ok = [], 0, True
+            for p in combo:
+                if p - prev < min_break_length:
+                    ok = False
+                    break
+                parts.append(term[prev:p])
+                prev = p
+            if not ok or L - prev < min_break_length:
+                continue
+            parts.append(term[prev:])
+            evals += 1
+            if evals > max_evaluations:
+                done = True
+                break
+            cands.append((len(cands), parts, nb))
+    if not cands:
+        return ("SELECT CAST(NULL AS VARCHAR) AS suggestion, "
+                "CAST(NULL AS INT) AS changes, CAST(NULL AS BIGINT) AS freq "
+                "WHERE FALSE")
+    values = ", ".join(
+        f"({sid}, '{' '.join(parts)}', {nb}, {len(parts)}, '{part}')"
+        for sid, parts, nb in cands
+        for part in parts
+    )
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+cand(sid, suggestion, changes, n, part) AS (VALUES {values})
+SELECT suggestion, CAST(changes AS INT) AS changes,
+       CAST(SUM(df) AS BIGINT) AS freq
+FROM cand JOIN df ON cand.part = df.term AND df.df >= {min_freq}
+GROUP BY sid, suggestion, changes, n
+HAVING COUNT(*) = n
+ORDER BY changes ASC, freq DESC, suggestion ASC
+LIMIT {k}
+""".strip()
+
+
+def wordcombine_sql(
+    terms: list[str],
+    k: int = 5,
+    max_changes: int = 1,
+    max_combine_length: int = 20,
+    min_freq: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """WordBreakSpellChecker.suggestWordCombinations twin."""
+    cands = []
+    for run in range(2, max_changes + 2):
+        for start in range(0, len(terms) - run + 1):
+            combined = "".join(terms[start:start + run])
+            if len(combined) <= max_combine_length:
+                cands.append((start, run, combined))
+    if not cands:
+        return ("SELECT CAST(NULL AS INT) AS start, CAST(NULL AS INT) AS "
+                "length, CAST(NULL AS VARCHAR) AS suggestion, "
+                "CAST(NULL AS BIGINT) AS freq WHERE FALSE")
+    values = ", ".join(
+        f"({s}, {r}, '{c}')" for s, r, c in cands)
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+cand(start, length, suggestion) AS (VALUES {values})
+SELECT CAST(start AS INT) AS start, CAST(length AS INT) AS length,
+       suggestion, CAST(df AS BIGINT) AS freq
+FROM cand JOIN df ON cand.suggestion = df.term AND df.df >= {min_freq}
+ORDER BY freq DESC, start ASC, length ASC
+LIMIT {k}
+""".strip()
+
+
 def more_like_this_sql(
     src_doc: int,
     k: int,

@@ -1377,6 +1377,118 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def suggest_wordbreak(
+        self,
+        term: str,
+        k: int = 5,
+        max_changes: int = 1,
+        min_break_length: int = 1,
+        min_freq: int = 1,
+        max_evaluations: int = 1000,
+    ) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordBreaks analog
+        (``suggest/.../spell/WordBreakSpellChecker.java:133``): split
+        ``term`` into 2..max_changes+1 dictionary words ("helloworld" ->
+        "hello world") — DF(suggestion string, changes int, freq long)
+        ranked changes asc, freq desc, suggestion asc (the reference's
+        default NUM_CHANGES_THEN_SUMMED_FREQUENCY sort; freq = summed
+        doc_freq of the parts). Every part must be a dictionary term with
+        doc_freq >= ``min_freq`` and length >= ``min_break_length``.
+
+        Split candidates are enumerated DRIVER-SIDE (a term is <= 255
+        chars; the combination count is capped by ``max_evaluations``
+        exactly like the reference's maxEvaluations) and joined against
+        the dictionary as a pushed-down ``term IN (parts)`` scan + one
+        broadcast join — the dictionary itself is never collected."""
+        import itertools
+
+        L = len(term)
+        positions = list(range(min_break_length, L - min_break_length + 1))
+        cands: list[tuple[int, list[str], int]] = []
+        evals = 0
+        done = False
+        for nb in range(1, max_changes + 1):
+            if done:
+                break
+            for combo in itertools.combinations(positions, nb):
+                parts, prev, ok = [], 0, True
+                for p in combo:
+                    if p - prev < min_break_length:
+                        ok = False
+                        break
+                    parts.append(term[prev:p])
+                    prev = p
+                if not ok or L - prev < min_break_length:
+                    continue
+                parts.append(term[prev:])
+                evals += 1
+                if evals > max_evaluations:
+                    done = True
+                    break
+                cands.append((len(cands), parts, nb))
+        empty = "suggestion string, changes int, freq long"
+        if not cands:
+            return self.spark.createDataFrame([], empty)
+        rows = [
+            (sid, " ".join(parts), nb, len(parts), part)
+            for sid, parts, nb in cands
+            for part in parts
+        ]
+        cand_df = self.spark.createDataFrame(
+            rows, "sid int, suggestion string, changes int, n int, part string")
+        part_set = sorted({r[4] for r in rows})
+        dic = self.term_dict.filter(
+            (F.col("term").isin(part_set)) & (F.col("doc_freq") >= min_freq)
+        ).select("term", "doc_freq")
+        return (
+            cand_df.join(F.broadcast(dic), cand_df["part"] == dic["term"])
+            .groupBy("sid", "suggestion", "changes", "n")
+            .agg(F.count("*").alias("hit"),
+                 F.sum("doc_freq").cast("long").alias("freq"))
+            .filter(F.col("hit") == F.col("n"))
+            .select("suggestion", "changes", "freq")
+            .orderBy(F.asc("changes"), F.desc("freq"), F.asc("suggestion"))
+            .limit(k)
+        )
+
+    def suggest_wordcombine(
+        self,
+        terms: list[str],
+        k: int = 5,
+        max_changes: int = 1,
+        max_combine_length: int = 20,
+        min_freq: int = 1,
+    ) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordCombinations analog
+        (``suggest/.../spell/WordBreakSpellChecker.java:188``): join runs of
+        2..max_changes+1 ADJACENT input terms into one dictionary word
+        ("hello world" -> "helloworld") — DF(start int, length int,
+        suggestion string, freq long) ranked freq desc, start asc. The run's
+        concatenation must be a dictionary term with doc_freq >= min_freq
+        and length <= max_combine_length (the reference's
+        maxCombineWordLength)."""
+        cands = []
+        for run in range(2, max_changes + 2):
+            for start in range(0, len(terms) - run + 1):
+                combined = "".join(terms[start:start + run])
+                if len(combined) <= max_combine_length:
+                    cands.append((start, run, combined))
+        empty = "start int, length int, suggestion string, freq long"
+        if not cands:
+            return self.spark.createDataFrame([], empty)
+        cand_df = self.spark.createDataFrame(
+            cands, "start int, length int, suggestion string")
+        dic = self.term_dict.filter(
+            (F.col("term").isin(sorted({c[2] for c in cands})))
+            & (F.col("doc_freq") >= min_freq)
+        ).select("term", F.col("doc_freq").cast("long").alias("freq"))
+        return (
+            cand_df.join(F.broadcast(dic), cand_df["suggestion"] == dic["term"])
+            .select("start", "length", "suggestion", "freq")
+            .orderBy(F.desc("freq"), F.asc("start"), F.asc("length"))
+            .limit(k)
+        )
+
     def more_like_this(
         self,
         doc_id: int,

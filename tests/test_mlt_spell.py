@@ -205,3 +205,94 @@ def test_osa_oracle_rejects_multi_edit():
 
     with pytest.raises(ValueError, match="max_edits"):
         spellcheck_sql("sacn", 10, 2, distance="osa")
+
+
+# ------------------------------------------- analyzing/fuzzy/infix suggesters
+
+def test_suggesters_match_oracle_and_guards(spark, small_corpus, corpus_docs):
+    """AnalyzingSuggester/FuzzySuggester/AnalyzingInfixSuggester analogs:
+    engine == DuckDB twin on the shared corpus, plus the reference's guard
+    semantics (key analysis, nonFuzzyPrefix, minFuzzyLength fallback)."""
+    from lucene_spark.functions.analysis import tokenize_one
+    from lucene_spark.operators.suggesters import (
+        build_suggest_dict, suggest_analyzing, suggest_analyzing_sql,
+        suggest_fuzzy, suggest_fuzzy_sql, suggest_infix, suggest_infix_sql,
+    )
+
+    docs = spark.createDataFrame(corpus_docs)
+    sdict = build_suggest_dict(docs, text_col="text")
+
+    toks = [t.lower() for t in tokenize_one(corpus_docs["text"].iloc[0])]
+    key = toks[0][: max(2, len(toks[0]) - 1)]
+
+    # analyzing: key analysis (upper-case key matches), oracle identity
+    got = [(r.suggestion, r.weight)
+           for r in suggest_analyzing(sdict, key.upper(), 10).collect()]
+    want = _duck(corpus_docs, suggest_analyzing_sql(key.upper(), 10))
+    assert got == [tuple(w) for w in want] and len(got) > 0
+    surfaces = {s for s, _ in got}
+
+    # fuzzy: a 1-edit typo of the full first token still completes
+    tok = next(t for t in toks if len(t) >= 4)
+    typo = tok[:2] + ("x" if tok[2] != "x" else "y") + tok[3:]
+    got = [(r.suggestion, r.weight)
+           for r in suggest_fuzzy(sdict, typo, 10).collect()]
+    want = _duck(corpus_docs, suggest_fuzzy_sql(typo, 10))
+    assert got == [tuple(w) for w in want]
+    assert any(s.lower().startswith(tok) for s, _ in got)
+    # nonFuzzyPrefix=1: a first-char mismatch never matches
+    bad = ("z" if tok[0] != "z" else "q") + tok[1:]
+    assert suggest_fuzzy(sdict, bad, 10).count() == 0
+    # minFuzzyLength: short keys fall back to exact-prefix semantics
+    assert ([r.suggestion for r in suggest_fuzzy(sdict, tok[:2], 5).collect()]
+            == [r.suggestion
+                for r in suggest_analyzing(sdict, tok[:2], 5).collect()])
+
+    # infix: last token is a prefix, earlier tokens whole-token matches
+    t1 = next(t for t in toks[1:] if len(t) >= 3 and t != toks[0])
+    ikey = f"{toks[0]} {t1[:2]}"
+    got = [(r.suggestion, r.weight)
+           for r in suggest_infix(sdict, ikey, 10).collect()]
+    want = _duck(corpus_docs, suggest_infix_sql(ikey, 10))
+    assert got == [tuple(w) for w in want] and len(got) > 0
+
+    # empty key -> empty frame everywhere
+    assert suggest_analyzing(sdict, "", 5).count() == 0
+    assert suggest_fuzzy(sdict, "!!", 5).count() == 0
+    assert suggest_infix(sdict, "", 5).count() == 0
+
+
+def test_wordbreak_and_combine_match_oracle(searcher, corpus_docs, small_corpus):
+    """WordBreakSpellChecker analogs: split/join suggestions == DuckDB twin;
+    rank = changes asc then summed doc_freq desc (reference default sort)."""
+    from lucene_spark.functions.analysis import tokenize_one
+    from lucene_spark.plans.sqlgen import wordbreak_sql, wordcombine_sql
+
+    toks = [t.lower() for t in tokenize_one(small_corpus["text"].iloc[0])]
+    a, b = toks[0], next(t for t in toks[1:] if t != toks[0])
+    run_together = a + b
+    got = [(r.suggestion, r.changes, r.freq)
+           for r in searcher.suggest_wordbreak(run_together, 5).collect()]
+    want = _duck(corpus_docs, wordbreak_sql(run_together, 5))
+    assert got == [tuple(w) for w in want]
+    assert (f"{a} {b}", 1) in {(s, c) for s, c, _ in got}
+
+    # multi-change split at max_changes=2 (three-way split possible)
+    c = next(t for t in toks if t not in (a, b))
+    three = a + b + c
+    got3 = [(r.suggestion, r.changes, r.freq)
+            for r in searcher.suggest_wordbreak(three, 10,
+                                                max_changes=2).collect()]
+    want3 = _duck(corpus_docs, wordbreak_sql(three, 10, max_changes=2))
+    assert got3 == [tuple(w) for w in want3]
+    assert any(c2 == 2 for _, c2, _ in got3)
+
+    # combine: adjacent fragments join into a dictionary word
+    got = [(r.start, r.length, r.suggestion, r.freq)
+           for r in searcher.suggest_wordcombine([a[:1], a[1:], b], 5).collect()]
+    want = _duck(corpus_docs, wordcombine_sql([a[:1], a[1:], b], 5))
+    assert got == [tuple(w) for w in want]
+    assert any(s == a for _, _, s, _ in got)
+
+    # no dictionary hit -> empty, not an error
+    assert searcher.suggest_wordbreak("zzqq", 5).count() == 0
