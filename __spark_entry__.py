@@ -370,6 +370,30 @@ def _wordcombine_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.suggest_wordcombine(list(_WORDCOMBINE[0]), _WORDCOMBINE[1])
 
 
+#: query-time join probe: all "customer" hits aggregate per lang (max),
+#: to-side = the documents table keyed on lang
+_JOIN_AST = {"term": "customer"}
+
+
+def _query_time_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinUtil.createJoinQuery analog (join/JoinUtil.java:56): ALL hits of
+    the from-query aggregate score per from_field value (ScoreMode.Max),
+    and to-side docs sharing that value score the aggregate."""
+    from lucene_spark.query.ast import parse_query
+
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "lang",
+    )
+    res = s.search_joined(
+        parse_query(json.dumps(_JOIN_AST)), "lang", docs, "lang",
+        k=_QUERY_K, score_mode="max", from_meta=meta, to_id_col="doc_id")
+    return res.select("doc_id", "lang", "score")
+
+
 def _multi_phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.query.ast import MultiPhraseQuery
 
@@ -1632,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_infix"] = _suggest_infix_df
     out["spellcheck_wordbreak"] = _wordbreak_df
     out["spellcheck_wordcombine"] = _wordcombine_df
+    out["query_time_join"] = _query_time_join_df
     out["parent_block_join"] = _parent_join_df
     out["search_many_batch"] = _search_many_df
     out["bm25_with_deletes"] = _deletes_df_entry
@@ -1767,6 +1792,20 @@ GROUP BY term ORDER BY weight DESC, term ASC LIMIT {_SUGGEST_K}
         _WORDBREAK[0], _WORDBREAK[1])
     out["spellcheck_wordcombine"] = sqlgen.wordcombine_sql(
         list(_WORDCOMBINE[0]), _WORDCOMBINE[1])
+    _join_hits = sqlgen.topk_sql(
+        parse_query(json.dumps(_JOIN_AST)), 1_000_000_000)
+    out["query_time_join"] = f"""
+WITH hits AS ({_join_hits}),
+agg AS (
+  SELECT d.lang AS jkey, MAX(h.score) AS score
+  FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+  GROUP BY d.lang
+)
+SELECT d.doc_id, d.lang, CAST(agg.score AS REAL) AS score
+FROM documents d JOIN agg ON d.lang = agg.jkey
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {_QUERY_K}
+""".strip()
     # parent block join: children = 20-token chunks, scored per child with
     # child-level collection stats, max-aggregated to the parent doc
     _childs = (

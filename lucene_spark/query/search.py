@@ -1240,6 +1240,105 @@ class IndexSearcher:
             )
         return agg.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
 
+    def _scored_all(self, query: Query) -> DataFrame | None:
+        """EVERY matching (doc_id, score float) — no top-k cut. The same
+        planning as ``search`` minus the collector: bare multi-term queries
+        run the pushed-down expansion join, everything else the exhaustive
+        executor (the co-located layout is a top-k router, irrelevant when
+        all hits flow into a downstream aggregate)."""
+        q = rewrite_fixpoint(query)
+        jp = self._as_multi_term_cond(q)
+        if jp is not None:
+            return self._live(self._scored_expansion_join(*jp))
+        q = rewrite_fixpoint(self._expand_multi_term(q))
+        return self._live(self._execute(q, np.float32(1.0)))
+
+    def search_joined(
+        self,
+        from_query: Query,
+        from_field: str,
+        to_df: DataFrame,
+        to_field: str,
+        k: int = 10,
+        score_mode: str = "max",
+        from_meta: DataFrame | None = None,
+        to_id_col: str | None = None,
+    ) -> DataFrame:
+        """Query-time join — the ``JoinUtil.createJoinQuery`` analog
+        (``join/JoinUtil.java:56``): run ``from_query`` on this index,
+        aggregate the hit scores per distinct ``from_field`` value with
+        ``score_mode`` (max | total | avg | none — ``ScoreMode.java``; the
+        reference's TermsWithScoreCollector), then return the ``to_df``
+        rows whose ``to_field`` equals one of those values, scored by the
+        aggregate — DF(*to_df columns, score float) ordered (score desc,
+        ``to_id_col`` asc).
+
+        ``from_field`` resolves from the docmap when it is an indexed
+        metadata column; otherwise from ``from_meta``, a DataFrame keyed by
+        (conv_id, turn_idx) carrying the field (the ``more_like_this``
+        source contract). Aggregation: max is exact float32; total/avg sum
+        the float32 scores in float64 and cast back (same discipline as
+        ``search_parents``); none = constant 1.0 (the reference's
+        ScoreMode.None — pure filtering join).
+
+        Scale shape (the reference's global-ordinals strategy translated):
+        ALL from-side hits flow into ONE groupBy(from_field) — map-side
+        partial aggregation bounds the shuffle by distinct join values, not
+        hits; the aggregated key set broadcasts to the to-side when small
+        (<= 2M values, the deletes-side threshold discipline) and shuffles
+        both sides on the join key above that."""
+        if score_mode not in ("max", "total", "avg", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        out_cols = [*to_df.columns, "score"]
+        empty_schema = ", ".join(
+            f"`{c}` string" for c in out_cols)  # only used for no-hit result
+        scored = self._scored_all(from_query)
+        if scored is None:
+            return self.spark.createDataFrame([], empty_schema)
+        dm = self.docmap()
+        if from_field in dm.columns:
+            side = dm.select("doc_id", from_field)
+        elif from_meta is not None:
+            if from_field not in from_meta.columns:
+                raise ValueError(
+                    f"from_field {from_field!r} not in from_meta")
+            side = dm.select("doc_id", "conv_id", "turn_idx").join(
+                from_meta.select("conv_id", "turn_idx", from_field),
+                ["conv_id", "turn_idx"],
+            ).select("doc_id", from_field)
+        else:
+            raise ValueError(
+                f"from_field {from_field!r} is not a docmap column; pass "
+                "from_meta keyed by (conv_id, turn_idx)")
+        vals = scored.join(side, "doc_id").filter(
+            F.col(from_field).isNotNull())
+        if score_mode == "none":
+            agg = vals.select(from_field).distinct().withColumn(
+                "score", F.lit(1.0).cast("float"))
+        elif score_mode == "max":
+            agg = vals.groupBy(from_field).agg(F.max("score").alias("score"))
+        elif score_mode == "total":
+            agg = vals.groupBy(from_field).agg(
+                F.sum(F.col("score").cast("double"))
+                .cast("float").alias("score"))
+        else:
+            agg = vals.groupBy(from_field).agg(
+                (F.sum(F.col("score").cast("double")) / F.count("*"))
+                .cast("float").alias("score"))
+        agg = agg.withColumnRenamed(from_field, "_join_key")
+        n_keys = agg.count()
+        if n_keys == 0:
+            return self.spark.createDataFrame([], empty_schema)
+        if n_keys <= 2_000_000:
+            agg = F.broadcast(agg)
+        joined = to_df.join(
+            agg, to_df[to_field] == agg["_join_key"]).drop("_join_key")
+        order = [F.desc("score")]
+        if to_id_col is not None:
+            order.append(F.asc(to_id_col))
+        order.append(F.asc(to_field))
+        return joined.orderBy(*order).limit(k)
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion from the term dictionary — the suggest-module
         analog (``lucene/suggest`` FST completion ≅ a pruned dictionary

@@ -296,3 +296,62 @@ def test_wordbreak_and_combine_match_oracle(searcher, corpus_docs, small_corpus)
 
     # no dictionary hit -> empty, not an error
     assert searcher.suggest_wordbreak("zzqq", 5).count() == 0
+
+
+# --------------------------------------------------------- query-time join
+
+def test_search_joined_scoremodes(spark, searcher, corpus_docs, small_corpus):
+    """JoinUtil analog: every ScoreMode against a DuckDB replay (hits from
+    the engine itself — the mode aggregation is the unit under test)."""
+    from lucene_spark.functions.analysis import tokenize_one
+    from lucene_spark.query.ast import TermQuery
+
+    tok = next(t.lower() for t in tokenize_one(small_corpus["text"].iloc[0])
+               if len(t) >= 3)
+    # to/from side: a small dim keyed by doc_id % 5 buckets
+    meta_pdf = corpus_docs.assign(bucket=(corpus_docs["doc_id"] % 5))
+    rows = small_corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    meta = spark.createDataFrame(pd.DataFrame({
+        "conv_id": rows["conv_id"].to_numpy(),
+        "turn_idx": rows["turn_idx"].to_numpy(),
+        "bucket": (np.arange(len(rows)) % 5),
+    }))
+    to_df = spark.createDataFrame(
+        pd.DataFrame({"bucket": range(5), "name": [f"b{i}" for i in range(5)]}))
+
+    hits = {r.doc_id: r.score
+            for r in searcher._scored_all(TermQuery(tok)).collect()}
+    assert hits
+    import collections
+    per = collections.defaultdict(list)
+    for did, sc in hits.items():
+        per[did % 5].append(np.float32(sc))
+
+    for mode in ("max", "total", "avg", "none"):
+        got = [(r.bucket, r.name, np.float32(r.score))
+               for r in searcher.search_joined(
+                   TermQuery(tok), "bucket", to_df, "bucket", k=10,
+                   score_mode=mode, from_meta=meta,
+                   to_id_col="bucket").collect()]
+        if mode == "max":
+            want = {b: max(v) for b, v in per.items()}
+        elif mode == "total":
+            want = {b: np.float32(sum(np.float64(x) for x in v))
+                    for b, v in per.items()}
+        elif mode == "avg":
+            want = {b: np.float32(sum(np.float64(x) for x in v) / len(v))
+                    for b, v in per.items()}
+        else:
+            want = {b: np.float32(1.0) for b in per}
+        expect = sorted(
+            ((b, f"b{b}", want[b]) for b in want),
+            key=lambda t: (-t[2], t[0]))
+        assert got == expect, mode
+
+    # unknown field without from_meta raises
+    with pytest.raises(ValueError):
+        searcher.search_joined(TermQuery(tok), "nope", to_df, "bucket")
+    # no hits -> empty result
+    assert searcher.search_joined(
+        TermQuery("zzzznotaterm"), "bucket", to_df, "bucket",
+        from_meta=meta).count() == 0
