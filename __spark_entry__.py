@@ -1453,8 +1453,13 @@ def _dup_segments(spark, sf_dir):
 
 
 def _lang_id(spark, sf_dir):
-    from lucene_spark.operators.textstats import language_id
-    return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
+    """Language ID: Unicode-script tier + rank-weighted character-n-gram
+    profiles (Cavnar-Trenkle-style, 21 languages / 10 scripts) — pure JVM
+    integer expressions; accuracy pinned on a labeled multilingual fixture
+    in tests/test_langid.py (this corpus is ASCII, so the entry exercises
+    the Latin profile arm + oracle identity)."""
+    from lucene_spark.operators.langid import detect_language
+    return detect_language(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def _fingerprint(spark, sf_dir):
@@ -2065,7 +2070,8 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
         _ANN_QUERY_ID, _ANN_K, rescore_factor=4)
     out["text_token_count"] = textstats.token_count_sql()
     out["text_quality"] = textstats.quality_scores_sql()
-    out["text_lang_id"] = textstats.language_id_sql()
+    from lucene_spark.operators import langid
+    out["text_lang_id"] = langid.detect_language_sql()
     out["text_fingerprint"] = textstats.fingerprints_sql()
     out["text_repetition"] = textstats.repetition_stats_sql()
     out["text_dup_segments"] = textstats.duplicate_segments_sql(sep=" ")

@@ -1,0 +1,306 @@
+"""Language identification: Unicode-script tiering + rank-weighted
+character-n-gram profiles — a real multilingual classifier, pure JVM
+expressions (no UDF), fully replayable in SQL.
+
+Method (public): character-n-gram profile matching after Cavnar & Trenkle
+1994 ("N-Gram-Based Text Categorization") with the rank-weighted profile
+variant (the doc-side ranking is dropped; each profile n-gram contributes
+``weight = profile_len - rank`` per occurrence — the same family of profile
+methods textcat/CLD1-style identifiers use), composed with a script tier:
+
+  1. Count letters per Unicode script block (Han, Hiragana/Katakana,
+     Hangul, Thai, Greek, Hebrew, Arabic, Devanagari, Cyrillic, Latin) —
+     one ``length(regexp_replace(...))`` per script, columnar.
+  2. Script-unique languages resolve directly: Hangul -> ko, Thai -> th,
+     Greek -> el, Hebrew -> he, Arabic -> ar, Devanagari -> hi; Han with
+     kana -> ja, Han without -> zh (the kana test is how every public
+     identifier splits ja/zh).
+  3. Latin and Cyrillic fan out to n-gram profiles (12 Latin languages:
+     en de es fr it pt nl sv pl tr id ro; 3 Cyrillic: ru uk bg) over the
+     normalized text (lowercased, non-letters collapsed to single spaces,
+     space-padded so word-boundary grams match).
+
+Scoring is INTEGER arithmetic end to end (occurrence counts x integer
+weights), so Spark and DuckDB agree bit-for-bit with no float discipline
+needed. Occurrences are counted with the classic
+``(length(s) - length(replace(s, g, ''))) / length(g)`` identity — both
+engines implement length/replace on characters.
+
+At 100 TB: one narrow projection per document — ~400 string ops per row,
+no shuffle, no UDF, whole-stage-codegen eligible (Catalyst splits the
+generated method if it exceeds the JIT limit; the plan stays columnar).
+
+Coverage: 21 languages + 'und'. The profiles are hand-authored from
+public letter/function-word frequency knowledge (top trigrams and
+distinctive characters per language, rank-ordered); accuracy is pinned on
+a labeled fixture in tests — this is a corpus-quality labeling component,
+not a per-token segmenter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------- script ranges
+
+#: (script, [(lo, hi), ...]) — BMP letter blocks, checked on the RAW text
+_SCRIPT_RANGES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("han", [(0x4E00, 0x9FFF), (0x3400, 0x4DBF)]),
+    ("kana", [(0x3040, 0x309F), (0x30A0, 0x30FF)]),
+    ("hangul", [(0xAC00, 0xD7AF), (0x1100, 0x11FF)]),
+    ("thai", [(0x0E00, 0x0E7F)]),
+    ("greek", [(0x0370, 0x03FF)]),
+    ("hebrew", [(0x0590, 0x05FF)]),
+    ("arabic", [(0x0600, 0x06FF), (0x0750, 0x077F)]),
+    ("devanagari", [(0x0900, 0x097F)]),
+    ("cyrillic", [(0x0400, 0x04FF)]),
+    ("latin", [(0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)]),
+]
+
+#: script -> language for the script-unique tier (None = profile fan-out)
+_SCRIPT_LANG = {
+    "hangul": "ko", "thai": "th", "greek": "el", "hebrew": "he",
+    "arabic": "ar", "devanagari": "hi",
+}
+
+# --------------------------------------------------------- n-gram profiles
+
+#: rank-ordered characteristic n-grams (most characteristic first); grams
+#: include spaces so function words match at word boundaries. Occurrence
+#: weight = len(profile) - rank. Hand-authored (Cavnar-Trenkle-style
+#: profiles over public frequency knowledge).
+_LATIN_PROFILES: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is ", " that ", " it ",
+           " was ", " for ", " with ", "ing ", " in ", "tion", " you ",
+           " be ", " are ", " not ", " this ", " have ", " from "],
+    "de": [" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein ",
+           " mit ", " von ", " den ", " zu ", " sich ", "sch", " auf ",
+           "ung ", " dem ", " des ", "ich ", " werden ", "ä"],
+    "fr": [" le ", " les ", " des ", " est ", " dans ", " que ", " une ",
+           " du ", " pas ", " pour ", " qui ", " sur ", " au ", "é",
+           " nous ", " vous ", "eau", " ce ", "tion ", " plus "],
+    "es": [" el ", " que ", " los ", " las ", " una ", " por ", " con ",
+           " para ", " es ", " del ", " se ", " su ", "ción", "ñ",
+           " como ", " más ", " pero ", " está ", " lo ", " muy "],
+    "it": [" il ", " che ", " di ", " non ", " per ", " una ", " sono ",
+           " della ", " con ", " gli ", " anche ", "zione", " nel ",
+           " come ", " più ", " questo ", " alla ", " era ", " ha ",
+           " dei "],
+    "pt": [" que ", " uma ", " para ", " com ", " não ", " os ",
+           " do ", " da ", " em ", " se ", "ção", " mais ",
+           " foi ", " como ", " por ", " dos ", " ele ", " mas ",
+           "ão ", " é "],
+    "nl": [" het ", " een ", " van ", " en ", " dat ", " de ", " niet ",
+           " is ", " op ", " aan ", "ij", " voor ", " zijn ", " met ",
+           " ook ", " als ", " maar ", "sch", " werd ", " naar "],
+    "sv": [" och ", " att ", " det ", " som ", " en ", " är ",
+           " av ", " för ", " den ", " med ", " till ", " inte ",
+           " har ", " på ", "å", "ä", "ö", " ett ",
+           " om ", " de "],
+    "pl": [" się ", " nie ", " na ", " jest ", " do ", " to ",
+           "ł", "ż", "ą", "ę", " w ", " z ",
+           "ski", " od ", " po ", "rz", "cz", "sz", " któr",
+           " przez "],
+    "tr": [" bir ", " ve ", " bu ", " için ", " ile ", " de ",
+           "ı", "ş", "ğ", " olarak ", " daha ", " en ",
+           "lar", "ler", " olan ", " gibi ", " da ", " sonra ",
+           " çok ", "dir "],
+    "id": [" yang ", " dan ", " di ", " ini ", " untuk ", " dengan ",
+           " dari ", " dalam ", " pada ", " adalah ", " tidak ", " itu ",
+           "kan ", " akan ", " juga ", "nya ", " ke ", " oleh ",
+           " sebagai ", " telah "],
+    "ro": [" și ", " de ", " la ", " care ", " este ", " pentru ",
+           "ș", "ț", " din ", " cu ", " sa ", " mai ",
+           "ul ", "ului ", " au ", " fost ", " se ", "ă",
+           " pe ", " o "],
+}
+
+_CYRILLIC_PROFILES: dict[str, list[str]] = {
+    "ru": [" и ", " в ", " не ", " на ",
+           " что ", "ы", " это ",
+           "ого ", " как ",
+           " по ", "ть ", " с ",
+           "ет ", " был", "ий "],
+    "uk": [" і ", " що ", " не ", "ї",
+           "є", " в ", " на ", "ння",
+           " з ", "ться", " як ",
+           "ува", " до ", "ів ",
+           "ий "],
+    "bg": [" на ", " да ", " е ", "ъ",
+           " и ", " в ", " се ", " от ",
+           "ът ", " за ", " коит",
+           " са ", "ия ", " пре",
+           " като "],
+}
+
+LANGUAGES = sorted(
+    set(_LATIN_PROFILES) | set(_CYRILLIC_PROFILES)
+    | set(_SCRIPT_LANG.values()) | {"zh", "ja"})
+
+
+def _java_class(ranges: list[tuple[int, int]]) -> str:
+    return "".join(f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in ranges)
+
+
+def _re2_class(ranges: list[tuple[int, int]]) -> str:
+    return "".join(
+        f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges)
+
+
+def _occ(src, gram: str):
+    """Occurrences of ``gram`` in column ``src`` as an integer column."""
+    g = F.lit(gram)
+    return (
+        (F.length(src) - F.length(F.replace(src, g, F.lit(""))))
+        / F.length(g)
+    ).cast("long")
+
+
+def _profile_score(src, profile: list[str]):
+    n = len(profile)
+    s = F.lit(0).cast("long")
+    for rank, gram in enumerate(profile):
+        s = s + _occ(src, gram) * F.lit(n - rank).cast("long")
+    return s
+
+
+def detect_language(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DF(doc_id, lang string, script string, score long): per-document
+    language via script tiering + rank-weighted n-gram profiles (module
+    docstring). ``score`` is the winning integer profile score (0 for the
+    script-unique tier, where the script itself is the evidence); ties
+    break (score desc, lang desc — the fixed struct-sort order mirrored by
+    the SQL twin); documents with no letters are 'und'."""
+    t = F.col(text_col)
+    counts = {
+        name: F.length(F.regexp_replace(
+            t, f"[^{_java_class(ranges)}]", "")).cast("long")
+        for name, ranges in _SCRIPT_RANGES
+    }
+    script_structs = [
+        F.struct(counts[name].alias("n"), F.lit(name).alias("s"))
+        for name, _ in _SCRIPT_RANGES
+    ]
+    # dominant script: count desc, name desc on ties (struct sort order;
+    # deterministic both sides)
+    top = F.sort_array(F.array(*script_structs), asc=False)[0]
+
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(t), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+    lat_structs = [
+        F.struct(_profile_score(norm, p).alias("n"), F.lit(lang).alias("l"))
+        for lang, p in sorted(_LATIN_PROFILES.items())
+    ]
+    cyr_structs = [
+        F.struct(_profile_score(norm, p).alias("n"), F.lit(lang).alias("l"))
+        for lang, p in sorted(_CYRILLIC_PROFILES.items())
+    ]
+    lat_best = F.sort_array(F.array(*lat_structs), asc=False)[0]
+    cyr_best = F.sort_array(F.array(*cyr_structs), asc=False)[0]
+
+    kana = counts["kana"]
+    lang = (
+        F.when(top["n"] == 0, F.lit("und"))
+        .when((top["s"] == "han") | (top["s"] == "kana"),
+              F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")))
+        .when(top["s"] == "hangul", F.lit("ko"))
+        .when(top["s"] == "thai", F.lit("th"))
+        .when(top["s"] == "greek", F.lit("el"))
+        .when(top["s"] == "hebrew", F.lit("he"))
+        .when(top["s"] == "arabic", F.lit("ar"))
+        .when(top["s"] == "devanagari", F.lit("hi"))
+        .when(top["s"] == "cyrillic",
+              F.when(cyr_best["n"] > 0, cyr_best["l"]).otherwise(F.lit("ru")))
+        .otherwise(
+            F.when(lat_best["n"] > 0, lat_best["l"]).otherwise(F.lit("und")))
+    )
+    score = (
+        F.when(top["n"] == 0, F.lit(0))
+        .when(top["s"] == "cyrillic", cyr_best["n"])
+        .when(top["s"] == "latin", lat_best["n"])
+        .otherwise(F.lit(0))
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang.alias("lang"),
+        F.when(top["n"] == 0, F.lit("none")).otherwise(top["s"]).alias("script"),
+        score.alias("score"),
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def _occ_sql(src: str, gram: str) -> str:
+    g = gram.replace("'", "''")
+    return (f"CAST((length({src}) - length(replace({src}, '{g}', '')))"
+            f" / {len(gram)} AS BIGINT)")
+
+
+def _profile_score_sql(src: str, profile: list[str]) -> str:
+    n = len(profile)
+    terms = [
+        f"{_occ_sql(src, gram)} * {n - rank}"
+        for rank, gram in enumerate(profile)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def detect_language_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``detect_language`` — same integer scoring, same
+    struct-sort tie-breaks, RE2 character classes for the script counts."""
+    counts = ", ".join(
+        f"length(regexp_replace({text_col}, '[^{_re2_class(ranges)}]', '', "
+        f"'g')) AS c_{name}"
+        for name, ranges in _SCRIPT_RANGES
+    )
+    script_arr = ", ".join(
+        f"{{'n': c_{name}, 's': '{name}'}}" for name, _ in _SCRIPT_RANGES)
+    lat_arr = ", ".join(
+        f"{{'n': {_profile_score_sql('norm', p)}, 'l': '{lang}'}}"
+        for lang, p in sorted(_LATIN_PROFILES.items()))
+    cyr_arr = ", ".join(
+        f"{{'n': {_profile_score_sql('norm', p)}, 'l': '{lang}'}}"
+        for lang, p in sorted(_CYRILLIC_PROFILES.items()))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {counts},
+         ' ' || trim(regexp_replace(lower({text_col}), '[^\\p{{L}}]+', ' ',
+                                    'g')) || ' ' AS norm
+  FROM {table}
+), ranked AS (
+  SELECT doc_id, c_kana,
+         list_reverse_sort([{script_arr}])[1] AS top,
+         list_reverse_sort([{lat_arr}])[1] AS lat,
+         list_reverse_sort([{cyr_arr}])[1] AS cyr
+  FROM base
+)
+SELECT doc_id,
+       CASE
+         WHEN top.n = 0 THEN 'und'
+         WHEN top.s IN ('han', 'kana') THEN
+           CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END
+         WHEN top.s = 'hangul' THEN 'ko'
+         WHEN top.s = 'thai' THEN 'th'
+         WHEN top.s = 'greek' THEN 'el'
+         WHEN top.s = 'hebrew' THEN 'he'
+         WHEN top.s = 'arabic' THEN 'ar'
+         WHEN top.s = 'devanagari' THEN 'hi'
+         WHEN top.s = 'cyrillic' THEN
+           CASE WHEN cyr.n > 0 THEN cyr.l ELSE 'ru' END
+         ELSE CASE WHEN lat.n > 0 THEN lat.l ELSE 'und' END
+       END AS lang,
+       CASE WHEN top.n = 0 THEN 'none' ELSE top.s END AS script,
+       CAST(CASE WHEN top.n = 0 THEN 0
+                 WHEN top.s = 'cyrillic' THEN cyr.n
+                 WHEN top.s = 'latin' THEN lat.n
+                 ELSE 0 END AS BIGINT) AS score
+FROM ranked ORDER BY doc_id
+""".strip()

@@ -72,9 +72,11 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """DF(doc_id, lang, lang_hits): argmax of stopword-profile hit counts
-    (n-gram-free heuristic; ties and zero hits fall back to 'und'
-    deterministically via (hits desc, lang asc))."""
+    """DF(doc_id, lang, lang_hits): argmax of stopword-profile hit counts —
+    a CHEAP 4-language en/de/es/fr gate kept for ``clean_corpus``'s
+    is-it-English filter. The real multilingual classifier is
+    ``operators/langid.detect_language`` (script tier + n-gram profiles,
+    21 languages); prefer it for labeling."""
     t = tokens_col(text_col)
     hit_cols = []
     for lang, words in sorted(LANG_PROFILES.items()):

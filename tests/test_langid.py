@@ -1,0 +1,143 @@
+"""Language ID (script tier + rank-weighted n-gram profiles): accuracy on
+a labeled multilingual fixture + bit-identical DuckDB twin parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucene_spark.operators.langid import (
+    LANGUAGES, detect_language, detect_language_sql,
+)
+
+#: (true_lang, sentence) — 2 sentences per profile language, 1 per
+#: script-unique language, plus an 'und' control. Public pangram-style
+#: sample sentences (hand-written).
+FIXTURE = [
+    ("en", "The quick brown fox jumps over the lazy dog and it was not "
+           "the end of the story."),
+    ("en", "This is a simple test that you have to read carefully for "
+           "the results."),
+    ("de", "Der schnelle braune Fuchs springt über den faulen Hund und "
+           "das ist nicht das Ende."),
+    ("de", "Die Wissenschaftler haben ein neues Verfahren zur "
+           "Untersuchung der Zellen entwickelt."),
+    ("fr", "Le renard brun rapide saute par-dessus le chien paresseux "
+           "dans les champs du village."),
+    ("fr", "Nous avons trouvé une solution pour le problème qui est "
+           "apparu dans la nuit."),
+    ("es", "El rápido zorro marrón salta sobre el perro perezoso y es "
+           "una historia muy conocida."),
+    ("es", "Los investigadores encontraron una nueva forma de estudiar "
+           "las células del cuerpo."),
+    ("it", "La volpe marrone salta sopra il cane pigro e questo non è "
+           "che l'inizio della storia."),
+    ("it", "Gli scienziati hanno trovato un nuovo modo per studiare le "
+           "cellule del corpo umano."),
+    ("pt", "A raposa marrom salta sobre o cão preguiçoso e não é o fim "
+           "da história para ele."),
+    ("pt", "Os pesquisadores encontraram uma nova forma de estudar as "
+           "células do corpo."),
+    ("nl", "De snelle bruine vos springt over de luie hond en het is "
+           "niet het einde van het verhaal."),
+    ("nl", "De wetenschappers hebben een nieuwe manier gevonden om de "
+           "cellen te bestuderen."),
+    ("sv", "Den snabba bruna räven hoppar över den lata hunden och det "
+           "är inte slutet på historien."),
+    ("sv", "Forskarna har hittat ett nytt sätt att studera cellerna i "
+           "kroppen för att förstå dem."),
+    ("pl", "Szybki brązowy lis przeskakuje nad leniwym psem i to nie "
+           "jest koniec tej historii."),
+    ("pl", "Naukowcy znaleźli nowy sposób badania komórek, który się "
+           "bardzo różni od innych."),
+    ("tr", "Hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve bu "
+           "hikayenin sonu değildir."),
+    ("tr", "Bilim insanları hücreleri incelemek için yeni bir yöntem "
+           "buldular ve bu çok önemli."),
+    ("id", "Rubah coklat yang cepat melompati anjing malas dan ini bukan "
+           "akhir dari cerita itu."),
+    ("id", "Para peneliti menemukan cara baru untuk mempelajari sel-sel "
+           "dalam tubuh manusia."),
+    ("ro", "Vulpea maro rapidă sare peste câinele leneș și aceasta nu "
+           "este sfârșitul poveștii."),
+    ("ro", "Cercetătorii au găsit o nouă metodă pentru a studia celulele "
+           "din corpul uman."),
+    ("ru", "Быстрая коричневая лиса перепрыгивает через ленивую собаку "
+           "и это не конец истории."),
+    ("ru", "Учёные нашли новый способ изучения клеток, который был "
+           "очень важен для науки."),
+    ("uk", "Швидка коричнева лисиця перестрибує через ледачого собаку і "
+           "це не кінець історії."),
+    ("uk", "Вчені знайшли новий спосіб вивчення клітин, що є дуже "
+           "важливим для науки."),
+    ("bg", "Бързата кафява лисица прескача мързеливото куче и това не е "
+           "краят на историята."),
+    ("bg", "Учените намериха нов начин да изучават клетките, който е "
+           "много важен за науката."),
+    ("zh", "敏捷的棕色狐狸跳过了懒惰的狗，这不是故事的结局。科学家发现了研究细胞的新方法。"),
+    ("ja", "素早い茶色のキツネは怠け者の犬を飛び越えます。これは物語の終わりではありません。"),
+    ("ko", "빠른 갈색 여우가 게으른 개를 뛰어넘었고 이것은 이야기의 끝이 아닙니다."),
+    ("th", "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจและนี่ไม่ใช่จุดจบของเรื่อง"),
+    ("el", "Η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί και "
+           "αυτό δεν είναι το τέλος."),
+    ("he", "השועל החום המהיר קופץ מעל הכלב העצלן וזה לא סוף הסיפור שלנו."),
+    ("ar", "الثعلب البني السريع يقفز فوق الكلب الكسول وهذه ليست نهاية القصة."),
+    ("hi", "तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूद जाती है और यह कहानी "
+           "का अंत नहीं है।"),
+    ("und", "12345 67890 !!! ???"),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return pd.DataFrame({
+        "doc_id": range(len(FIXTURE)),
+        "lang_true": [l for l, _ in FIXTURE],
+        "text": [t for _, t in FIXTURE],
+    })
+
+
+def test_langid_accuracy_and_twin(spark, fixture_pdf):
+    """100% accuracy on the labeled fixture (21 languages + und across 10
+    scripts) AND bit-identical Spark vs DuckDB replay — including the
+    non-Latin rows, so the normalization/regex/struct-sort parity is
+    verified beyond ASCII."""
+    assert len(LANGUAGES) >= 15
+    df = spark.createDataFrame(fixture_pdf[["doc_id", "text"]])
+    got = {r.doc_id: (r.lang, r.script, r.score)
+           for r in detect_language(df).collect()}
+    for i, (lt, _) in enumerate(FIXTURE):
+        assert got[i][0] == lt, (i, lt, got[i])
+
+    con = duckdb.connect()
+    con.register("documents", fixture_pdf[["doc_id", "text"]])
+    dk = {r[0]: (r[1], r[2], r[3])
+          for r in con.execute(detect_language_sql()).fetchall()}
+    assert got == dk
+
+    # script tier facts: ja needs kana, zh is han-only; und has no letters
+    zh = next(i for i, (l, _) in enumerate(FIXTURE) if l == "zh")
+    ja = next(i for i, (l, _) in enumerate(FIXTURE) if l == "ja")
+    assert got[zh][1] == "han"
+    assert got[ja][1] in ("han", "kana")
+    und = len(FIXTURE) - 1
+    assert got[und] == ("und", "none", 0)
+
+
+def test_langid_empty_and_mixed(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["", "ok しかし この 文 は 日本語 です ok",
+                 "word слово word слово слово слово"],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: (r.lang, r.script) for r in detect_language(df).collect()}
+    assert got[0] == ("und", "none")
+    assert got[1][0] == "ja"          # kana dominates mixed latin
+    assert got[2][1] == "cyrillic"    # majority script wins
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    dk = {r[0]: (r[1], r[2])
+          for r in con.execute(detect_language_sql()).fetchall()}
+    assert got == dk
