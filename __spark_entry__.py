@@ -68,7 +68,9 @@ _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
 _WILDCARD = "s?an"       # scan, span...
-_REGEXP = "s.an|m[ae]rge"
+#: Lucene RegExp SYNTAX probe: union + class + top-level intersection +
+#: bounded repetition — translated by query/regexp.py, never passed raw
+_REGEXP = "(s.an|m[ae]rge)&[a-z]{4,5}&.*e.*"
 _RANGE = ("taa", "tzz")  # table..tuple region of the vocabulary
 _INSET = ["scan", "merge", "zzz-absent", "hash"]
 _FUZZY = ("scan", 1)
@@ -1838,8 +1840,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {_PARENT_K}
     out["bm25_wildcard"] = sqlgen.expansion_topk_sql(
         f"regexp_full_match(term, '{wc_regex}')", _QUERY_K
     )
+    from lucene_spark.query.regexp import translate_regexp
     out["bm25_regexp"] = sqlgen.expansion_topk_sql(
-        f"regexp_full_match(term, '{_REGEXP}')", _QUERY_K
+        " AND ".join(
+            f"regexp_full_match(term, '{p}')"
+            for p in translate_regexp(_REGEXP)),
+        _QUERY_K,
     )
     out["bm25_range"] = sqlgen.expansion_topk_sql(
         f"term BETWEEN '{_RANGE[0]}' AND '{_RANGE[1]}'", _QUERY_K

@@ -1746,8 +1746,17 @@ class IndexSearcher:
             import fnmatch
             return F.col("term").rlike("^" + fnmatch.translate(q.pattern).replace("\\Z", "$"))
         if isinstance(q, RegexpQuery):
-            # Lucene regexps are anchored (whole-term match)
-            return F.col("term").rlike("^(?:" + q.pattern + ")$")
+            # Lucene RegExp SYNTAX (not Java regex): translate the grammar
+            # (predefined classes, <n-m> intervals, quoted strings, '#'/'@',
+            # iterative quantifiers) and AND the top-level intersection
+            # operands; anchored = whole-term match (query/regexp.py)
+            from lucene_spark.query.regexp import translate_regexp
+
+            pats = translate_regexp(q.pattern)
+            cond = F.col("term").rlike("^(?:" + pats[0] + ")$")
+            for p in pats[1:]:
+                cond = cond & F.col("term").rlike("^(?:" + p + ")$")
+            return cond
         if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
