@@ -60,6 +60,7 @@ _PHRASE_SLOP = (["scan", "merge"], 2)
 _SPAN_NEAR = (["scan", "merge"], 3)
 _INTERVAL = ("scan", "merge", 3)  # maxgaps(3, ordered(scan, merge))
 _INTERVAL_CB = ("hash", "scan", "merge")  # contained_by(hash, ordered(scan, merge))
+_SPAN_WITHIN = ("key", "sort", "table")   # span_within(key, ordered(sort, table))
 _SPELL = ("stor", 10, 2)  # DirectSpellChecker probe: term, k, max_edits
 _SPELL_OSA = ("sacn", 10, 1)  # transposed probe: 1 OSA edit from "scan"
 _MLT_DOC = 0  # MoreLikeThis source doc (original table id)
@@ -257,6 +258,23 @@ def _interval_ordered_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0, t1, g = _INTERVAL
     s = _searcher(spark, sf_dir)
     hits = s.search_intervals(maxgaps(g, ordered(t0, t1)), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _span_within_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanWithinQuery analog (SpanWithinQuery.java:30): little spans inside
+    a big ordered span — IndexSearcher.span_within wrapper over the
+    contained_by interval automaton (same oracle shape)."""
+    from lucene_spark.query.intervals import ordered
+
+    t, t0, t1 = _SPAN_WITHIN
+    s = _searcher(spark, sf_dir)
+    hits = s.span_within(t, ordered(t0, t1), _QUERY_K)
     dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
     return (
         hits.join(dm, "doc_id")
@@ -1654,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multi_index_search"] = _multi_index_df
     out["interval_ordered"] = _interval_ordered_df
     out["interval_contained_by"] = _interval_contained_by_df
+    out["span_within"] = _span_within_df
     out["spellcheck"] = _spellcheck_df
     out["spellcheck_osa"] = _spellcheck_osa_df
     out["more_like_this"] = _mlt_df
@@ -1777,6 +1796,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["interval_contained_by"] = sqlgen.interval_contained_by_sql(
         _INTERVAL_CB[0], _INTERVAL_CB[1], _INTERVAL_CB[2], _QUERY_K
+    )
+    out["span_within"] = sqlgen.interval_contained_by_sql(
+        _SPAN_WITHIN[0], _SPAN_WITHIN[1], _SPAN_WITHIN[2], _QUERY_K
     )
     out["spellcheck"] = sqlgen.spellcheck_sql(_SPELL[0], _SPELL[1], _SPELL[2])
     out["spellcheck_osa"] = sqlgen.spellcheck_sql(

@@ -1658,6 +1658,33 @@ class IndexSearcher:
             BooleanQuery(should=[TermQuery(t) for t in top]), k
         )
 
+    def span_containing(self, big, little, k: int = 10,
+                        pivot: float = 1.0, boost: float = 1.0) -> DataFrame:
+        """SpanContainingQuery analog
+        (``queries/spans/SpanContainingQuery.java:31``): docs where a span
+        of ``big`` contains a span of ``little`` — a thin wrapper over the
+        intervals module's ``containing`` automaton, which has the same
+        MATCH semantics (minimal big intervals containing a little
+        interval). Scoring is the interval saturation function
+        (``IntervalScorer``), not the reference's SpanScorer sloppyFreq —
+        the documented divergence for the whole span family here; rank
+        equivalence to ``search_intervals(containing(big, little))`` is
+        identity by construction. ``big``/``little`` are term strings or
+        IntervalsSource trees."""
+        from lucene_spark.query.intervals import containing
+
+        return self.search_intervals(containing(big, little), k, pivot, boost)
+
+    def span_within(self, little, big, k: int = 10,
+                    pivot: float = 1.0, boost: float = 1.0) -> DataFrame:
+        """SpanWithinQuery analog (``queries/spans/SpanWithinQuery.java:30``):
+        docs where a span of ``little`` lies inside a span of ``big`` —
+        wrapper over the intervals ``contained_by`` automaton (same match
+        set; see ``span_containing`` for the scoring note)."""
+        from lucene_spark.query.intervals import contained_by
+
+        return self.search_intervals(contained_by(little, big), k, pivot, boost)
+
     def search_intervals(
         self,
         source,

@@ -318,3 +318,34 @@ def test_interval_fuzzy(searcher, positioned):
         for r in searcher.search_intervals(src, 10).collect()
     ]
     assert got == [(d, np.float32(s)) for d, s in _scalar_topk(positioned, src, 10)]
+
+
+def test_span_containing_within_wrappers(spark, searcher, positioned):
+    """SpanContaining/SpanWithin (SpanContainingQuery.java:31,
+    SpanWithinQuery.java:30): bit-identical to the interval relational
+    automata they wrap, and the two sides agree on the match set (a doc
+    has a containing big span iff it has a within little span)."""
+    vocab = sorted({t for pos in positioned for t in pos})
+    t, t0, t1 = vocab[0], vocab[1], vocab[2]
+    big = ordered(t0, t1)
+
+    w1 = [(r["doc_id"], np.float32(r["score"]))
+          for r in searcher.span_containing(big, t, 20).collect()]
+    w2 = [(r["doc_id"], np.float32(r["score"]))
+          for r in searcher.search_intervals(containing(big, t), 20).collect()]
+    assert w1 == w2
+
+    v1 = [(r["doc_id"], np.float32(r["score"]))
+          for r in searcher.span_within(t, big, 20).collect()]
+    v2 = [(r["doc_id"], np.float32(r["score"]))
+          for r in searcher.search_intervals(contained_by(t, big), 20).collect()]
+    assert v1 == v2
+
+    # same matched DOC set both directions (scores differ: big vs little
+    # interval widths), and both subsets of docs containing all three terms
+    assert {d for d, _ in w1} == {d for d, _ in v1}
+    docs_all = {
+        i for i, toks in enumerate(positioned)
+        if t in toks and t0 in toks and t1 in toks
+    }
+    assert {d for d, _ in w1} <= docs_all
