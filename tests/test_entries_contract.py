@@ -23,6 +23,10 @@ def test_oracle_keys_subset_of_queries():
         "ann_lsh_topk", "ann_ivf_topk", "ann_hnsw_topk", "media_features",
         "dedup_embedding_ann",  # approximate recall by design; recall + exact
         # cosine identity vs the exact entry pinned in test_operators.py
+        "ann_hnsw_filtered",    # graph state; filtered recall + fallback
+        # identity pinned in test_operators.py
+        "ann_ivf_quantized", "ann_hnsw_quantized",  # KMeans/graph state; the
+        # quantization itself IS fully oracle-checked via ann_quantized_topk
     }
 
 

@@ -1,0 +1,73 @@
+"""Measure the sq8 artifact size vs the float32 vector parquet, and the
+HNSW build throughput, on a synthetic corpus big enough for the bytes to
+mean something (the sf embeddings table is 500 rows).
+
+Usage: python tools/quantize_bytes.py [n_vecs] [dim]
+Prints one JSON line.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    from lucene_spark.session import get_spark
+    from lucene_spark.operators.quantize import build_quantized_codes
+
+    spark = get_spark()
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(rng.standard_normal((n, dim)).astype(np.float32)),
+    })
+    embs = spark.createDataFrame(pdf).cache()
+    embs.count()
+
+    base = "/tmp/lucene_spark_qbytes"
+    shutil.rmtree(base, ignore_errors=True)
+    embs.write.parquet(os.path.join(base, "float32"))
+    t0 = time.time()
+    build_quantized_codes(embs, os.path.join(base, "sq8"))
+    t_codes = time.time() - t0
+
+    def du(p):
+        tot = 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                tot += os.path.getsize(os.path.join(root, f))
+        return tot
+
+    f32 = du(os.path.join(base, "float32"))
+    sq8 = du(os.path.join(base, "sq8", "codes"))
+
+    from lucene_spark.operators.hnsw import build_hnsw_index
+    hn = min(n, 20_000)
+    hembs = spark.createDataFrame(pdf.iloc[:hn]).cache()
+    hembs.count()
+    t0 = time.time()
+    build_hnsw_index(hembs, os.path.join(base, "hnsw"), num_parts=4, m=8,
+                     ef_construction=64)
+    t_hnsw = time.time() - t0
+
+    print(json.dumps({
+        "n_vecs": n, "dim": dim,
+        "float32_bytes": f32, "sq8_code_bytes": sq8,
+        "ratio": round(f32 / sq8, 2),
+        "sq8_build_sec": round(t_codes, 2),
+        "hnsw_n": hn, "hnsw_build_sec": round(t_hnsw, 2),
+        "hnsw_vecs_per_sec": round(hn / t_hnsw),
+    }))
+
+
+if __name__ == "__main__":
+    main()
