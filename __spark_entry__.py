@@ -1276,6 +1276,41 @@ def _english_chain_df(spark, sf_dir):
     )
 
 
+#: language-chain probes — query terms are the ANALYZED (stemmed) forms,
+#: reachable only through each chain's transform
+_FRENCH_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "custom"}]}}
+_GERMAN_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "tabl"}]}}
+_SPANISH_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "valu"}]}}
+
+
+def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
+    """BM25 over an index built with a language analysis chain
+    (functions/stemmers.py: FrenchAnalyzer elision+stop+minimal-stem /
+    GermanAnalyzer stop+normalization+light-stem / SpanishAnalyzer
+    stop+light-stem). The SQL twin replays stop + stem via the corpus
+    vocab_map, exactly like bm25_english_chain."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir, analyzer=analyzer)
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _french_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "french", _FRENCH_AST)
+
+
+def _german_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "german", _GERMAN_AST)
+
+
+def _spanish_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "spanish", _SPANISH_AST)
+
+
 def _append_search_df(spark, sf_dir):
     from lucene_spark.query.ast import TermQuery
 
@@ -1717,6 +1752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_append_search"] = _append_search_df
     out["bm25_stop_chain"] = _stop_chain_df
     out["bm25_english_chain"] = _english_chain_df
+    out["bm25_french_chain"] = _french_chain_df
+    out["bm25_german_chain"] = _german_chain_df
+    out["bm25_spanish_chain"] = _spanish_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2008,6 +2046,22 @@ ORDER BY t.score DESC, t.doc_id ASC
             (w, stem(w)) for w in _DOC_VOCAB if stem(w) != w
         ),
     )
+    from lucene_spark.functions import stemmers as _st
+    for _key, _ast, _stop, _tr in (
+        ("bm25_french_chain", _FRENCH_AST, _st.FR_STOP_FULL,
+         _st.french_chain_transform),
+        ("bm25_german_chain", _GERMAN_AST, _st.DE_STOP,
+         _st.german_chain_transform),
+        ("bm25_spanish_chain", _SPANISH_AST, _st.ES_STOP,
+         _st.spanish_chain_transform),
+    ):
+        out[_key] = sqlgen.topk_sql(
+            parse_query(json.dumps(_ast)), _QUERY_K,
+            stop=tuple(sorted(w for w in _stop if w in set(_DOC_VOCAB))),
+            vocab_map=tuple(
+                (w, _tr(w)) for w in _DOC_VOCAB if _tr(w) != w
+            ),
+        )
     # folding restores the accent-injected corpus to the originals, so the
     # oracle is the PLAIN-text query — exact iff ascii_fold round-trips
     out["bm25_folded_chain"] = sqlgen.topk_sql(

@@ -414,6 +414,32 @@ def ascii_fold(token: str) -> str:
 #: position with posIncr 0 (index-time ``SynonymGraphFilter`` semantics:
 #: stacked tokens count toward tf/df but not toward the length norm —
 #: discountOverlaps); applied after stop + transform.
+def _french_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import french_chain_transform
+
+    return french_chain_transform(token)
+
+
+def _german_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import german_chain_transform
+
+    return german_chain_transform(token)
+
+
+def _spanish_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import spanish_chain_transform
+
+    return spanish_chain_transform(token)
+
+
+def _lang_stops():
+    from lucene_spark.functions.stemmers import DE_STOP, ES_STOP, FR_STOP_FULL
+
+    return FR_STOP_FULL, DE_STOP, ES_STOP
+
+
+_FR_STOP_FULL, _DE_STOP, _ES_STOP = _lang_stops()
+
 CHAIN_FILTERS: dict[str, tuple] = {
     "standard": (None, None, None),
     "simple": (None, None, None),
@@ -421,6 +447,13 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "english": (EN_STOP_SET, english_vocab_transform, None),
     "standard_folded": (None, ascii_fold, None),
     "whitespace_payload": (None, None, None),
+    # language chains (functions/stemmers.py): FrenchAnalyzer (elision +
+    # snowball stop incl. elided forms + minimal stem), GermanAnalyzer
+    # (stop + normalization FSM + light stem), SpanishAnalyzer (stop +
+    # light stem)
+    "french": (_FR_STOP_FULL, _french_transform, None),
+    "german": (_DE_STOP, _german_transform, None),
+    "spanish": (_ES_STOP, _spanish_transform, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -432,6 +465,9 @@ CHAIN_BASE: dict[str, str] = {
     "english": "standard",
     "standard_folded": "standard",
     "whitespace_payload": "whitespace",
+    "french": "standard",
+    "german": "standard",
+    "spanish": "standard",
 }
 
 
@@ -546,6 +582,18 @@ RAW_TOKENIZERS = {
     "whitespace_payload": (
         _findall_ws_payload,
         None,
+    ),
+    "french": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "german": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "spanish": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
     ),
 }
 

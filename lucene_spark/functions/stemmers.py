@@ -1,0 +1,287 @@
+"""Language analysis chains beyond English: French, German, Spanish.
+
+Reference chains mirrored (public Apache Lucene analysis-common):
+  - FrenchAnalyzer (``analysis/fr/FrenchAnalyzer.java:128-136``):
+    ElisionFilter(DEFAULT_ARTICLES) -> LowerCase -> Stop(snowball french)
+    -> stem. The default analyzer uses FrenchLightStemFilter; this module
+    ships the MINIMAL variant (``fr/FrenchMinimalStemmer.java`` — also a
+    first-class Lucene filter), a documented divergence: light's ~40 extra
+    suffix rules are not replayed.
+  - GermanAnalyzer (``analysis/de/GermanAnalyzer.java:130-134``):
+    LowerCase -> Stop(snowball german) -> GermanNormalizationFilter (the
+    3-state FSM: ae/oe/ue -> a/o/u outside diphthongs, umlauts folded,
+    ss for sharp-s) -> GermanLightStemFilter — both replayed exactly.
+  - SpanishAnalyzer (``analysis/es/SpanishAnalyzer.java``):
+    LowerCase -> Stop(snowball spanish) -> SpanishLightStemFilter —
+    replayed exactly.
+
+All three stemmers implement Jacques Savoy's published algorithms ("Light
+Stemming Approaches for the French, Portuguese, German and Hungarian
+Languages", SAC 2006 / "A stemming procedure and stopword list for
+general French corpora", JASIS 1999 / "Report on CLEF-2001 experiments").
+Stop lists are the public Snowball lists (snowballstem.org), embedded so
+the repo stays standalone.
+
+Pipeline-order note: the engine applies vocabulary filters AFTER
+lowercasing as stop -> transform (see ``functions/analysis.py``), while
+FrenchAnalyzer runs Elision BEFORE Stop. Parity is restored at the stop
+SET level: ``FR_STOP_FULL`` also contains every elided form of a stopword
+("qu'est", "l'on", both apostrophe codepoints), so a token Lucene would
+drop (elide -> stopword) is dropped here too, and a token Lucene keeps
+("l'avion" -> "avion") reaches the transform, which elides then stems.
+"""
+
+from __future__ import annotations
+
+#: FrenchAnalyzer.DEFAULT_ARTICLES (FrenchAnalyzer.java:56-62)
+FR_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split())
+
+#: both apostrophes ElisionFilter recognizes (ElisionFilter.java:57)
+_APOSTROPHES = ("'", "’")
+
+
+def french_elide(token: str) -> str:
+    """ElisionFilter semantics: if the prefix before the FIRST apostrophe
+    is a French article, drop prefix + apostrophe; otherwise unchanged.
+    Runs on lowercased tokens here (the article match is case-insensitive
+    in the reference, so the result is identical)."""
+    for i, ch in enumerate(token):
+        if ch in _APOSTROPHES:
+            if token[:i] in FR_ARTICLES:
+                return token[i + 1:]
+            return token
+    return token
+
+
+def french_minimal_stem(token: str) -> str:
+    """FrenchMinimalStemmer (Savoy; ``fr/FrenchMinimalStemmer.java:62``):
+    words shorter than 6 pass through; -aux -> -al; then one pass of
+    s / r / e / é strips and a final doubled-letter strip."""
+    n = len(token)
+    if n < 6:
+        return token
+    if token[-1] == "x":
+        if token[-3] == "a" and token[-2] == "u":
+            return token[:-2] + "l"
+        return token[:-1]
+    buf = token
+    ln = n
+    if buf[ln - 1] == "s":
+        ln -= 1
+    if buf[ln - 1] == "r":
+        ln -= 1
+    if buf[ln - 1] == "e":
+        ln -= 1
+    if buf[ln - 1] == "é":
+        ln -= 1
+    if buf[ln - 1] == buf[ln - 2] and buf[ln - 1].isalpha():
+        ln -= 1
+    return buf[:ln]
+
+
+def german_normalize(token: str) -> str:
+    """GermanNormalizationFilter (``de/GermanNormalizationFilter.java``):
+    3-state FSM — 'e' is deleted right after a/o/u (the ae/oe/ue umlaut
+    spellings) unless the vowel was itself preceded by a vowel/umlaut/i/q/y;
+    äöü fold to a/o/u; ß becomes ss."""
+    out: list[str] = []
+    state = "N"
+    for ch in token:
+        if ch in ("a", "o"):
+            out.append(ch)
+            state = "U"
+        elif ch == "u":
+            out.append(ch)
+            state = "U" if state == "N" else "V"
+        elif ch == "e":
+            if state == "U":
+                state = "V"
+                continue  # delete the e of ae/oe/ue
+            out.append(ch)
+            state = "V"
+        elif ch in ("i", "q", "y"):
+            out.append(ch)
+            state = "V"
+        elif ch == "ä":
+            out.append("a")
+            state = "V"
+        elif ch == "ö":
+            out.append("o")
+            state = "V"
+        elif ch == "ü":
+            out.append("u")
+            state = "V"
+        elif ch == "ß":
+            out.append("ss")
+            state = "N"
+        else:
+            out.append(ch)
+            state = "N"
+    return "".join(out)
+
+
+_DE_FOLD = {
+    "ä": "a", "à": "a", "á": "a", "â": "a",
+    "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+    "ï": "i", "ì": "i", "í": "i", "î": "i",
+    "ü": "u", "ù": "u", "ú": "u", "û": "u",
+}
+
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def german_light_stem(token: str) -> str:
+    """GermanLightStemmer (Savoy; ``de/GermanLightStemmer.java:62``):
+    accent fold, then two suffix-strip steps (plural/case endings, then
+    superlative/inflection endings with the st-consonant guard)."""
+    s = "".join(_DE_FOLD.get(c, c) for c in token)
+    ln = len(s)
+    # step 1
+    if ln > 5 and s[ln - 3:ln] == "ern":
+        ln -= 3
+    elif ln > 4 and s[ln - 2] == "e" and s[ln - 1] in "mnrs":
+        ln -= 2
+    elif ln > 3 and s[ln - 1] == "e":
+        ln -= 1
+    elif ln > 3 and s[ln - 1] == "s" and s[ln - 2] in _DE_ST_ENDING:
+        ln -= 1
+    # step 2
+    if ln > 5 and s[ln - 3:ln] == "est":
+        ln -= 3
+    elif ln > 4 and s[ln - 2] == "e" and s[ln - 1] in "rn":
+        ln -= 2
+    elif (ln > 4 and s[ln - 2] == "s" and s[ln - 1] == "t"
+          and s[ln - 3] in _DE_ST_ENDING):
+        ln -= 2
+    return s[:ln]
+
+
+_ES_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+}
+
+
+def spanish_light_stem(token: str) -> str:
+    """SpanishLightStemmer (Savoy; ``es/SpanishLightStemmer.java:62``):
+    words shorter than 5 pass through; accent fold; strip final o/a/e,
+    -os/-as/-es (with -eses -> -es and -ces -> -z)."""
+    if len(token) < 5:
+        return token
+    s = "".join(_ES_FOLD.get(c, c) for c in token)
+    last = s[-1]
+    if last in ("o", "a", "e"):
+        return s[:-1]
+    if last == "s":
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"
+        if s[-2] in ("o", "a", "e"):
+            return s[:-2]
+    return s
+
+
+def french_chain_transform(token: str) -> str:
+    """FrenchAnalyzer vocabulary tail: elision, then the minimal stem."""
+    return french_minimal_stem(french_elide(token))
+
+
+def german_chain_transform(token: str) -> str:
+    """GermanAnalyzer vocabulary tail: normalization FSM, then light stem."""
+    return german_light_stem(german_normalize(token))
+
+
+def spanish_chain_transform(token: str) -> str:
+    """SpanishAnalyzer vocabulary tail: the light stem (folding built in)."""
+    return spanish_light_stem(token)
+
+
+# ------------------------------------------------- snowball stop lists
+# public Snowball stopword lists (snowballstem.org), embedded verbatim
+
+FR_STOP = frozenset((
+    "ai aie aient aies ait au aurai auraient aurais aurait aurez auriez "
+    "aurions aurons auront aux avaient avais avait avec avez aviez avons "
+    "ayant ayez ayons c ce ceci cela celà ces cet cette d dans de des du "
+    "elle en es et eu eue eues eurent eus eusse eussent eusses eussiez "
+    "eussions eut eux eûmes eût eûtes furent fus fusse fussent fusses "
+    "fussiez fussions fut fûmes fûtes ici il ils j je l la le les leur "
+    "leurs lui m ma mais me mes moi mon même n ne nos notre nous on ont "
+    "ou par pas pour qu que quel quelle quelles quels qui s sa sans se "
+    "sera serai seraient serais serait seras serez seriez serions serons "
+    "seront ses soi soient sois soit sont soyez soyons suis sur t ta te "
+    "tes toi ton tu un une vos votre vous y à étaient étais était étant "
+    "étiez étions étée étées êtes "
+).split())
+
+DE_STOP = frozenset((
+    "aber alle allem allen aller alles als also am an ander andere "
+    "anderem anderen anderer anderes anderm andern anderr anders auch auf "
+    "aus bei bin bis bist da damit dann das dasselbe dazu daß dein deine "
+    "deinem deinen deiner deines dem demselben den denn denselben der "
+    "derer derselbe derselben des desselben dessen dich die dies diese "
+    "dieselbe dieselben diesem diesen dieser dieses dir doch dort du "
+    "durch ein eine einem einen einer eines einig einige einigem einigen "
+    "einiger einiges einmal er es etwas euch euer eure eurem euren eurer "
+    "eures für gegen gewesen hab habe haben hat hatte hatten hier hin "
+    "hinter ich ihm ihn ihnen ihr ihre ihrem ihren ihrer ihres im in "
+    "indem ins ist jede jedem jeden jeder jedes jene jenem jenen jener "
+    "jenes jetzt kann kein keine keinem keinen keiner keines können "
+    "könnte machen man manche manchem manchen mancher manches mein meine "
+    "meinem meinen meiner meines mich mir mit muss musste nach nicht "
+    "nichts noch nun nur ob oder ohne sehr sein seine seinem seinen "
+    "seiner seines selbst sich sie sind so solche solchem solchen solcher "
+    "solches soll sollte sondern sonst um und uns unse unsem unsen unser "
+    "unses unter viel vom von vor war waren warst was weg weil weiter "
+    "welche welchem welchen welcher welches wenn werde werden wie wieder "
+    "will wir wird wirst wo wollen wollte während würde würden zu zum zur "
+    "zwar zwischen über "
+).split())
+
+ES_STOP = frozenset((
+    "a al algo algunas algunos ante antes como con contra cual cuando de "
+    "del desde donde durante e el ella ellas ellos en entre era erais "
+    "eran eras eres es esa esas ese eso esos esta estaba estabais estaban "
+    "estabas estad estada estadas estado estados estamos estando estar "
+    "estaremos estará estarán estarás estaré estaréis estaría estaríais "
+    "estaríamos estarían estarías estas este estemos esto estos estoy "
+    "estuve estuviera estuvierais estuvieran estuvieras estuvieron "
+    "estuviese estuvieseis estuviesen estuvieses estuvimos estuviste "
+    "estuvisteis estuviéramos estuviésemos estuvo está estábamos estáis "
+    "están estás esté estéis estén estés fue fuera fuerais fueran fueras "
+    "fueron fuese fueseis fuesen fueses fui fuimos fuiste fuisteis "
+    "fuéramos fuésemos ha habida habidas habido habidos habiendo habremos "
+    "habrá habrán habrás habré habréis habría habríais habríamos habrían "
+    "habrías habéis había habíais habíamos habían habías han has hasta "
+    "hay haya hayamos hayan hayas hayáis he hemos hube hubiera hubierais "
+    "hubieran hubieras hubieron hubiese hubieseis hubiesen hubieses "
+    "hubimos hubiste hubisteis hubiéramos hubiésemos hubo la las le les "
+    "lo los me mi mis mucho muchos muy más mí mía mías mío míos nada ni "
+    "no nos nosotras nosotros nuestra nuestras nuestro nuestros o os otra "
+    "otras otro otros para pero poco por porque que quien quienes qué se "
+    "sea seamos sean seas seremos será serán serás seré seréis sería "
+    "seríais seríamos serían serías seáis sido siendo sin sobre sois "
+    "somos son soy su sus suya suyas suyo suyos sí también tanto te "
+    "tendremos tendrá tendrán tendrás tendré tendréis tendría tendríais "
+    "tendríamos tendrían tendrías tened tenemos tenga tengamos tengan "
+    "tengas tengo tengáis tenida tenidas tenido tenidos teniendo tenéis "
+    "tenía teníais teníamos tenían tenías ti tiene tienen tienes todo "
+    "todos tu tus tuve tuviera tuvierais tuvieran tuvieras tuvieron "
+    "tuviese tuvieseis tuviesen tuvieses tuvimos tuviste tuvisteis "
+    "tuviéramos tuviésemos tuvo tuya tuyas tuyo tuyos tú un una uno unos "
+    "vosotras vosotros vuestra vuestras vuestro vuestros y ya yo él "
+    "éramos "
+).split())
+
+#: FR_STOP plus every elided form of a stopword ("qu'est", "l'on", both
+#: apostrophes) — restores Lucene's Elision-BEFORE-Stop order at the stop
+#: SET level (module docstring).
+FR_STOP_FULL = frozenset(FR_STOP) | frozenset(
+    f"{a}{ap}{w}"
+    for a in FR_ARTICLES for ap in _APOSTROPHES for w in FR_STOP
+)
