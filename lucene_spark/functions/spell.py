@@ -49,3 +49,59 @@ def osa_distance_series(terms: pd.Series, query: str) -> np.ndarray:
         (osa_distance(t, query) for t in terms.astype(str)),
         dtype=np.int64, count=len(terms),
     )
+
+
+def enumerate_breaks(
+    term: str,
+    max_changes: int = 1,
+    min_break_length: int = 1,
+    max_evaluations: int = 1000,
+) -> list[tuple[int, list[str], int]]:
+    """WordBreakSpellChecker split-candidate enumeration
+    (``WordBreakSpellChecker.java:133`` + its maxEvaluations cap):
+    [(sugg_id, parts, n_breaks)]. SHARED by the engine
+    (``IndexSearcher.suggest_wordbreak``) and the DuckDB twin
+    (``plans/sqlgen.wordbreak_sql``) — the dual-execution gate requires the
+    two sides to enumerate the identical list in the identical order (the
+    evaluation cut is order-sensitive), so there is exactly one copy."""
+    import itertools
+
+    length = len(term)
+    positions = list(range(min_break_length, length - min_break_length + 1))
+    cands: list[tuple[int, list[str], int]] = []
+    evals = 0
+    for nb in range(1, max_changes + 1):
+        for combo in itertools.combinations(positions, nb):
+            parts, prev, ok = [], 0, True
+            for p in combo:
+                if p - prev < min_break_length:
+                    ok = False
+                    break
+                parts.append(term[prev:p])
+                prev = p
+            if not ok or length - prev < min_break_length:
+                continue
+            parts.append(term[prev:])
+            evals += 1
+            if evals > max_evaluations:
+                return cands
+            cands.append((len(cands), parts, nb))
+    return cands
+
+
+def enumerate_combinations(
+    terms: list[str],
+    max_changes: int = 1,
+    max_combine_length: int = 20,
+) -> list[tuple[int, int, str]]:
+    """WordBreakSpellChecker combine-candidate enumeration
+    (``WordBreakSpellChecker.java:188``): [(start, run_length, combined)]
+    for every run of 2..max_changes+1 adjacent terms within the length
+    cap. Shared engine/twin, like ``enumerate_breaks``."""
+    cands = []
+    for run in range(2, max_changes + 2):
+        for start in range(0, len(terms) - run + 1):
+            combined = "".join(terms[start:start + run])
+            if len(combined) <= max_combine_length:
+                cands.append((start, run, combined))
+    return cands

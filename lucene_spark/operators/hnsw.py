@@ -283,20 +283,10 @@ def build_hnsw_index(
 
     scale = None
     if quantize:
-        from lucene_spark.operators.quantize import _seq_norm_col
+        from lucene_spark.operators.quantize import _norm_frame, compute_scale
 
-        v = F.col(vec_col).cast("array<double>")
-        with_norm = embeddings.select(
-            F.col(id_col).alias("vec_id"), v.alias("v"),
-            _seq_norm_col(v).alias("nrm"),
-        )
-        row = with_norm.select(
-            F.max(F.array_max(F.transform(
-                F.col("v"), lambda x: F.abs(x) / F.col("nrm")))).alias("s")
-        ).first()
-        scale = float(row["s"]) if row and row["s"] else 1.0
-        if scale == 0.0:
-            scale = 1.0
+        with_norm = _norm_frame(embeddings, id_col, vec_col)
+        scale = compute_scale(with_norm)
         src = with_norm.withColumn(
             "part",
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_parts)).cast("int"))

@@ -188,9 +188,16 @@ def detect_language(
     # deterministic both sides)
     top = F.sort_array(F.array(*script_structs), asc=False)[0]
 
+    # Spark lower() (Java full mappings) and DuckDB lower() (utf8proc)
+    # diverge in exactly two classes: İ -> i+U+0307 vs i, and Final_Sigma
+    # (word-final Σ -> ς vs σ). Fold both AFTER lower on BOTH sides so the
+    # twin is bit-identical beyond ASCII (probed in tests/test_langid.py).
+    lowered = F.replace(
+        F.replace(F.lower(t), F.lit("i̇"), F.lit("i")),
+        F.lit("ς"), F.lit("σ"))
     norm = F.concat(
         F.lit(" "),
-        F.trim(F.regexp_replace(F.lower(t), r"[^\p{L}]+", " ")),
+        F.trim(F.regexp_replace(lowered, r"[^\p{L}]+", " ")),
         F.lit(" "),
     )
     lat_structs = [
@@ -272,8 +279,9 @@ def detect_language_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {counts},
-         ' ' || trim(regexp_replace(lower({text_col}), '[^\\p{{L}}]+', ' ',
-                                    'g')) || ' ' AS norm
+         ' ' || trim(regexp_replace(
+             replace(replace(lower({text_col}), 'i̇', 'i'), 'ς', 'σ'),
+             '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS norm
   FROM {table}
 ), ranked AS (
   SELECT doc_id, c_kana,

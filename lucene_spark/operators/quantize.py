@@ -63,6 +63,29 @@ def _seq_norm_col(v):
     return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
+def _norm_frame(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """DF(vec_id, v array<double>, nrm double) with the sequential-fold
+    norm — the shared pre-quantization projection."""
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"),
+        _seq_norm_col(v).alias("nrm"),
+    )
+
+
+def compute_scale(with_norm: DataFrame) -> float:
+    """Global max-abs scale over unit components (one JVM aggregate,
+    partial-merged). ONE copy shared by ``build_quantized_codes`` and the
+    quantized-HNSW build — the formula must stay bit-identical to the SQL
+    twin's, so it lives in exactly one place."""
+    row = with_norm.select(
+        F.max(F.array_max(F.transform(
+            F.col("v"), lambda x: F.abs(x) / F.col("nrm")))).alias("s")
+    ).first()
+    scale = float(row["s"]) if row and row["s"] else 1.0
+    return scale if scale != 0.0 else 1.0
+
+
 def _quantize_rows(vec64: np.ndarray, norms: np.ndarray, scale: float) -> np.ndarray:
     """Elementwise float64 quantization of a row-block: identical op order
     to the SQL twin — ((x / norm) * 127.0) / scale, floor(+0.5), clip."""
@@ -116,19 +139,8 @@ def build_quantized_codes(
             return prev
     os.makedirs(index_dir, exist_ok=True)
 
-    v = F.col(vec_col).cast("array<double>")
-    with_norm = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        _seq_norm_col(v).alias("nrm"),
-    )
-    row = with_norm.select(
-        F.max(F.array_max(F.transform(
-            F.col("v"), lambda x: F.abs(x) / F.col("nrm")))).alias("s")
-    ).first()
-    scale = float(row["s"]) if row and row["s"] else 1.0
-    if scale == 0.0:
-        scale = 1.0
+    with_norm = _norm_frame(embeddings, id_col, vec_col)
+    scale = compute_scale(with_norm)
 
     def packer(it):
         import pyarrow as pa

@@ -41,14 +41,18 @@ _TOKEN_RE = "[a-z0-9]+"
 
 
 def _analyze_key(key: str) -> list[str]:
-    """Driver-side simple-analyzer replay for the lookup key (same regex +
-    lowercase as the dictionary build — the suggester contract is that BOTH
-    sides run the same analysis chain)."""
+    """Driver-side analyzer replay for the lookup key. The suggester
+    contract is that key and dictionary run the SAME analysis: the
+    dictionary is lowered by Spark ``F.lower`` (Java ``String.toLowerCase``
+    full mappings), and Python ``str.lower()`` matches it (both apply
+    İ→i+U+0307 and Final_Sigma), so the key uses ``str.lower()`` — NOT
+    ``java_lower``, which is the per-codepoint LowerCaseFilter parity used
+    by the INDEX paths and would diverge from the dictionary on İ. DuckDB
+    twin parity is exact on ASCII (the entry corpus); engine-internal
+    key↔dictionary consistency holds for full Unicode."""
     import re
 
-    from lucene_spark.functions.analysis import java_lower
-
-    return re.findall(_TOKEN_RE, java_lower(key))
+    return re.findall(_TOKEN_RE, key.lower())
 
 
 def build_suggest_dict(
@@ -67,8 +71,6 @@ def build_suggest_dict(
     analyzer tokens never contain spaces, so the join is unambiguous)."""
     w = (F.col(weight_col).cast("long") if weight_col is not None
          else F.lit(1).cast("long"))
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)
     return (
         df.select(F.col(text_col).alias("surface"), w.alias("w"))
         .groupBy("surface")

@@ -1046,41 +1046,25 @@ def wordbreak_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """WordBreakSpellChecker.suggestWordBreaks twin: the same bounded
-    driver-side split enumeration embedded as VALUES; dictionary membership
-    and summed doc_freq come from DuckDB's own corpus scan."""
-    import itertools
+    """WordBreakSpellChecker.suggestWordBreaks twin: the SAME bounded
+    split enumeration as the engine (``functions/spell.enumerate_breaks``
+    — one shared copy, since the evaluation cut is order-sensitive)
+    embedded as VALUES; dictionary membership and summed doc_freq come
+    from DuckDB's own corpus scan."""
+    from lucene_spark.functions.spell import enumerate_breaks
 
-    L = len(term)
-    positions = list(range(min_break_length, L - min_break_length + 1))
-    cands: list[tuple[int, list[str], int]] = []
-    evals = 0
-    done = False
-    for nb in range(1, max_changes + 1):
-        if done:
-            break
-        for combo in itertools.combinations(positions, nb):
-            parts, prev, ok = [], 0, True
-            for p in combo:
-                if p - prev < min_break_length:
-                    ok = False
-                    break
-                parts.append(term[prev:p])
-                prev = p
-            if not ok or L - prev < min_break_length:
-                continue
-            parts.append(term[prev:])
-            evals += 1
-            if evals > max_evaluations:
-                done = True
-                break
-            cands.append((len(cands), parts, nb))
+    cands = enumerate_breaks(
+        term, max_changes, min_break_length, max_evaluations)
     if not cands:
         return ("SELECT CAST(NULL AS VARCHAR) AS suggestion, "
                 "CAST(NULL AS INT) AS changes, CAST(NULL AS BIGINT) AS freq "
                 "WHERE FALSE")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
     values = ", ".join(
-        f"({sid}, '{' '.join(parts)}', {nb}, {len(parts)}, '{part}')"
+        f"({sid}, '{q(' '.join(parts))}', {nb}, {len(parts)}, '{q(part)}')"
         for sid, parts, nb in cands
         for part in parts
     )
@@ -1107,19 +1091,18 @@ def wordcombine_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """WordBreakSpellChecker.suggestWordCombinations twin."""
-    cands = []
-    for run in range(2, max_changes + 2):
-        for start in range(0, len(terms) - run + 1):
-            combined = "".join(terms[start:start + run])
-            if len(combined) <= max_combine_length:
-                cands.append((start, run, combined))
+    """WordBreakSpellChecker.suggestWordCombinations twin (enumeration
+    shared with the engine via ``functions/spell.enumerate_combinations``)."""
+    from lucene_spark.functions.spell import enumerate_combinations
+
+    cands = enumerate_combinations(terms, max_changes, max_combine_length)
     if not cands:
         return ("SELECT CAST(NULL AS INT) AS start, CAST(NULL AS INT) AS "
                 "length, CAST(NULL AS VARCHAR) AS suggestion, "
                 "CAST(NULL AS BIGINT) AS freq WHERE FALSE")
     values = ", ".join(
-        f"({s}, {r}, '{c}')" for s, r, c in cands)
+        f"({s}, {r}, '{c.replace(chr(39), chr(39) * 2)}')"
+        for s, r, c in cands)
     return f"""
 WITH {corpus_ctes(table, id_col, text_col)},
 cand(start, length, suggestion) AS (VALUES {values})

@@ -184,10 +184,12 @@ class _Parser:
         return [first]
 
     def parse_concat(self) -> str:
-        out = []
+        # the reference parses AT LEAST one repeatexp ("a|" / "" are
+        # unexpected-end-of-string errors, not empty matches)
+        out = [self.parse_repeat()]
         while self.more() and not self.peek("|&)"):
             out.append(self.parse_repeat())
-        return "".join(out) if out else "(?:)"
+        return "".join(out)
 
     def parse_repeat(self) -> str:
         e = self.parse_charclass()
@@ -324,10 +326,11 @@ class _Parser:
                 raise ValueError(
                     f"invalid character class \\{self.next()}")
             return _esc_char(ord(self.next()))
-        c = self.next()
-        if c in ")|&?*+{}]":
-            raise ValueError(f"unexpected '{c}' at position {self.pos - 1}")
-        return _esc_char(ord(c))
+        # any other character — INCLUDING '*+?{}]' in operand-first
+        # position — is a literal, exactly like the reference's
+        # parseCharExp fall-through (")|&" never reach here: parse_concat
+        # stops on them)
+        return _esc_char(ord(self.next()))
 
 
 def translate_regexp(pattern: str) -> list[str]:

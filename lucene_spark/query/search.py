@@ -1289,9 +1289,10 @@ class IndexSearcher:
         both sides on the join key above that."""
         if score_mode not in ("max", "total", "avg", "none"):
             raise ValueError(f"unknown score_mode {score_mode!r}")
-        out_cols = [*to_df.columns, "score"]
-        empty_schema = ", ".join(
-            f"`{c}` string" for c in out_cols)  # only used for no-hit result
+        from pyspark.sql.types import FloatType, StructField, StructType
+
+        empty_schema = StructType(
+            [*to_df.schema.fields, StructField("score", FloatType())])
         scored = self._scored_all(from_query)
         if scored is None:
             return self.spark.createDataFrame([], empty_schema)
@@ -1325,7 +1326,10 @@ class IndexSearcher:
             agg = vals.groupBy(from_field).agg(
                 (F.sum(F.col("score").cast("double")) / F.count("*"))
                 .cast("float").alias("score"))
-        agg = agg.withColumnRenamed(from_field, "_join_key")
+        # persist before the size probe: the count and the final join would
+        # otherwise each run the whole from-query pipeline (the aggregate is
+        # tiny — distinct join values)
+        agg = agg.withColumnRenamed(from_field, "_join_key").persist()
         n_keys = agg.count()
         if n_keys == 0:
             return self.spark.createDataFrame([], empty_schema)
@@ -1498,33 +1502,14 @@ class IndexSearcher:
         chars; the combination count is capped by ``max_evaluations``
         exactly like the reference's maxEvaluations) and joined against
         the dictionary as a pushed-down ``term IN (parts)`` scan + one
-        broadcast join — the dictionary itself is never collected."""
-        import itertools
+        broadcast join — the dictionary itself is never collected. The
+        enumeration is SHARED with the DuckDB twin
+        (``functions/spell.enumerate_breaks``) so the two sides cannot
+        desynchronize."""
+        from lucene_spark.functions.spell import enumerate_breaks
 
-        L = len(term)
-        positions = list(range(min_break_length, L - min_break_length + 1))
-        cands: list[tuple[int, list[str], int]] = []
-        evals = 0
-        done = False
-        for nb in range(1, max_changes + 1):
-            if done:
-                break
-            for combo in itertools.combinations(positions, nb):
-                parts, prev, ok = [], 0, True
-                for p in combo:
-                    if p - prev < min_break_length:
-                        ok = False
-                        break
-                    parts.append(term[prev:p])
-                    prev = p
-                if not ok or L - prev < min_break_length:
-                    continue
-                parts.append(term[prev:])
-                evals += 1
-                if evals > max_evaluations:
-                    done = True
-                    break
-                cands.append((len(cands), parts, nb))
+        cands = enumerate_breaks(
+            term, max_changes, min_break_length, max_evaluations)
         empty = "suggestion string, changes int, freq long"
         if not cands:
             return self.spark.createDataFrame([], empty)
@@ -1565,13 +1550,11 @@ class IndexSearcher:
         suggestion string, freq long) ranked freq desc, start asc. The run's
         concatenation must be a dictionary term with doc_freq >= min_freq
         and length <= max_combine_length (the reference's
-        maxCombineWordLength)."""
-        cands = []
-        for run in range(2, max_changes + 2):
-            for start in range(0, len(terms) - run + 1):
-                combined = "".join(terms[start:start + run])
-                if len(combined) <= max_combine_length:
-                    cands.append((start, run, combined))
+        maxCombineWordLength). Enumeration shared with the twin
+        (``functions/spell.enumerate_combinations``)."""
+        from lucene_spark.functions.spell import enumerate_combinations
+
+        cands = enumerate_combinations(terms, max_changes, max_combine_length)
         empty = "start int, length int, suggestion string, freq long"
         if not cands:
             return self.spark.createDataFrame([], empty)

@@ -141,3 +141,23 @@ def test_langid_empty_and_mixed(spark):
     dk = {r[0]: (r[1], r[2])
           for r in con.execute(detect_language_sql()).fetchall()}
     assert got == dk
+
+
+def test_langid_lower_divergence_classes(spark):
+    """The two Java-vs-utf8proc lower() divergence classes (İ and
+    Final_Sigma) are folded on both sides — the NORM strings (not just the
+    verdicts) must hash-match on text exercising them."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["İstanbul İÇİN bilgi ve bu bir deneme",
+                 "ΣΟΦΟΣ ΛΟΓΟΣ τέλος καλό"],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: (r.lang, r.script, r.score)
+           for r in detect_language(df).collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    dk = {r[0]: (r[1], r[2], r[3])
+          for r in con.execute(detect_language_sql()).fetchall()}
+    assert got == dk
+    assert got[0][0] == "tr" and got[1][0] == "el"
