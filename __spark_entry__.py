@@ -345,9 +345,19 @@ _WORDCOMBINE = (("cust", "omer"), 5)  # -> "customer"
 
 
 def _suggest_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lucene_spark.operators.suggesters import build_suggest_dict
-    return build_suggest_dict(
-        _docs(spark, sf_dir), text_col="text", weight_col="n_chars")
+    """Suggestion dictionary from the PERSISTED artifact (built once,
+    range-sorted by the analyzed form so prefix lookups prune row groups —
+    the FST-built-at-index-time analog)."""
+    from lucene_spark.operators.suggesters import (
+        build_suggest_index, load_suggest_dict,
+    )
+    d = os.path.join(
+        "/tmp/lucene_spark_entry_v2",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf", "suggest_idx",
+    )
+    build_suggest_index(
+        _docs(spark, sf_dir), d, text_col="text", weight_col="n_chars")
+    return load_suggest_dict(spark, d)
 
 
 def _suggest_analyzing_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,66 @@ def build_suggest_dict(
     )
 
 
+def build_suggest_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> dict:
+    """Persist the suggestion dictionary as an on-disk artifact — the
+    analog of the reference building its suggester FST ONCE at index time
+    (``AnalyzingSuggester.build``) instead of re-deriving it per lookup:
+
+      dict/          parquet DF(surface, tokens, joined, weight),
+                     RANGE-SORTED BY ``joined`` so the analyzing lookup's
+                     string-prefix predicate prunes parquet row groups
+                     (min/max on the sorted column) — a completion reads
+                     only the matching range, never the whole dictionary
+      manifest.json  written atomically LAST (commit point)
+
+    Idempotent with an input fingerprint (row count): unchanged input
+    short-circuits, changed input rebuilds."""
+    import json
+    import os
+
+    n_rows = df.count()
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            prev = json.load(fh)
+        if (prev.get("n_rows") == n_rows
+                and prev.get("weight_col") == weight_col
+                and prev.get("text_col") == text_col):
+            return prev
+    os.makedirs(index_dir, exist_ok=True)
+    d = build_suggest_dict(df, text_col, weight_col)
+    (
+        d.repartitionByRange(8, "joined")
+        .sortWithinPartitions("joined")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "dict"))
+    )
+    manifest = {"format": "suggest_v1", "n_rows": n_rows,
+                "text_col": text_col, "weight_col": weight_col}
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def load_suggest_dict(spark, index_dir: str) -> DataFrame:
+    """Open a persisted suggestion dictionary (checks the commit point)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        json.load(fh)
+    return spark.read.parquet(os.path.join(index_dir, "dict"))
+
+
 def suggest_analyzing(
     dict_df: DataFrame, key: str, k: int = 10
 ) -> DataFrame:

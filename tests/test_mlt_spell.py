@@ -355,3 +355,35 @@ def test_search_joined_scoremodes(spark, searcher, corpus_docs, small_corpus):
     assert searcher.search_joined(
         TermQuery("zzzznotaterm"), "bucket", to_df, "bucket",
         from_meta=meta).count() == 0
+
+
+def test_suggest_index_artifact(spark, corpus_docs, tmp_path):
+    """Persisted suggester artifact: lookups from disk match the in-memory
+    dictionary, the build is idempotent with an input fingerprint, and the
+    analyzing lookup's prefix predicate reaches the parquet scan (the
+    dictionary is range-sorted by the analyzed form)."""
+    from lucene_spark.operators.suggesters import (
+        build_suggest_dict, build_suggest_index, load_suggest_dict,
+        suggest_analyzing,
+    )
+
+    docs = spark.createDataFrame(corpus_docs)
+    d = str(tmp_path / "sugg")
+    m = build_suggest_index(docs, d)
+    assert build_suggest_index(docs, d) == m  # fingerprint short-circuit
+
+    key = corpus_docs["text"].iloc[0].split()[0][:3].lower()
+    mem = [(r.suggestion, r.weight) for r in suggest_analyzing(
+        build_suggest_dict(docs), key, 10).collect()]
+    disk_df = suggest_analyzing(load_suggest_dict(spark, d), key, 10)
+    disk = [(r.suggestion, r.weight) for r in disk_df.collect()]
+    assert disk == mem and len(disk) > 0
+
+    # the StartsWith filter must reach the scan (pushed-down, prunable)
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "StartsWith(joined" in plan, plan
+
+    # changed input (fingerprint) rebuilds instead of serving stale rows
+    m2 = build_suggest_index(docs.limit(10), d)
+    assert m2["n_rows"] == 10
+    assert load_suggest_dict(spark, d).count() <= 10
