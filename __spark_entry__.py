@@ -1291,6 +1291,12 @@ def _english_chain_df(spark, sf_dir):
 _FRENCH_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "custom"}]}}
 _GERMAN_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "tabl"}]}}
 _SPANISH_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "valu"}]}}
+#: the Italian light stemmer rewrites none of this ASCII corpus's vocab
+#: (len>=6 + vowel ending required) — the entry exercises the chain's STOP
+#: discipline ('a' is an Italian stopword, so norms/field_len shift);
+#: elision + stemming are pinned in tests/test_stemmers.py
+_ITALIAN_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
+_PORTUGUESE_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "merg"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1319,6 +1325,14 @@ def _german_chain_df(spark, sf_dir):
 
 def _spanish_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "spanish", _SPANISH_AST)
+
+
+def _italian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "italian", _ITALIAN_AST)
+
+
+def _portuguese_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "portuguese", _PORTUGUESE_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1765,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_french_chain"] = _french_chain_df
     out["bm25_german_chain"] = _german_chain_df
     out["bm25_spanish_chain"] = _spanish_chain_df
+    out["bm25_italian_chain"] = _italian_chain_df
+    out["bm25_portuguese_chain"] = _portuguese_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2064,6 +2080,10 @@ ORDER BY t.score DESC, t.doc_id ASC
          _st.german_chain_transform),
         ("bm25_spanish_chain", _SPANISH_AST, _st.ES_STOP,
          _st.spanish_chain_transform),
+        ("bm25_italian_chain", _ITALIAN_AST, _st.IT_STOP_FULL,
+         _st.italian_chain_transform),
+        ("bm25_portuguese_chain", _PORTUGUESE_AST, _st.PT_STOP,
+         _st.portuguese_chain_transform),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

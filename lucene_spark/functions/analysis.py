@@ -432,13 +432,27 @@ def _spanish_transform(token: str) -> str:
     return spanish_chain_transform(token)
 
 
+def _italian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import italian_chain_transform
+
+    return italian_chain_transform(token)
+
+
+def _portuguese_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import portuguese_chain_transform
+
+    return portuguese_chain_transform(token)
+
+
 def _lang_stops():
-    from lucene_spark.functions.stemmers import DE_STOP, ES_STOP, FR_STOP_FULL
+    from lucene_spark.functions.stemmers import (
+        DE_STOP, ES_STOP, FR_STOP_FULL, IT_STOP_FULL, PT_STOP,
+    )
 
-    return FR_STOP_FULL, DE_STOP, ES_STOP
+    return FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP
 
 
-_FR_STOP_FULL, _DE_STOP, _ES_STOP = _lang_stops()
+_FR_STOP_FULL, _DE_STOP, _ES_STOP, _IT_STOP_FULL, _PT_STOP = _lang_stops()
 
 CHAIN_FILTERS: dict[str, tuple] = {
     "standard": (None, None, None),
@@ -454,6 +468,8 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "french": (_FR_STOP_FULL, _french_transform, None),
     "german": (_DE_STOP, _german_transform, None),
     "spanish": (_ES_STOP, _spanish_transform, None),
+    "italian": (_IT_STOP_FULL, _italian_transform, None),
+    "portuguese": (_PT_STOP, _portuguese_transform, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -468,6 +484,8 @@ CHAIN_BASE: dict[str, str] = {
     "french": "standard",
     "german": "standard",
     "spanish": "standard",
+    "italian": "standard",
+    "portuguese": "standard",
 }
 
 
@@ -592,6 +610,14 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
     "spanish": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "italian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "portuguese": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

@@ -186,6 +186,120 @@ def spanish_light_stem(token: str) -> str:
     return s
 
 
+#: ItalianAnalyzer.DEFAULT_ARTICLES (ItalianAnalyzer.java:48-54)
+IT_ARTICLES = frozenset(
+    "c l all dall dell nell sull coll pell gl agl dagl degl negl sugl "
+    "un m t s v d".split())
+
+
+def italian_elide(token: str) -> str:
+    """ElisionFilter with the Italian article set (dell'arte -> arte)."""
+    for i, ch in enumerate(token):
+        if ch in _APOSTROPHES:
+            if token[:i] in IT_ARTICLES:
+                return token[i + 1:]
+            return token
+    return token
+
+
+_IT_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+}
+
+
+def italian_light_stem(token: str) -> str:
+    """ItalianLightStemmer (Savoy CLEF-2001;
+    ``it/ItalianLightStemmer.java:62``): words shorter than 6 pass
+    through; accent fold; strip final vowel, two chars for the -ie/-he/
+    -hi/-ii/-ia/-io plural/invariant shapes."""
+    if len(token) < 6:
+        return token
+    s = "".join(_IT_FOLD.get(c, c) for c in token)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in ("i", "h") else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in ("h", "i") else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+_PT_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ç": "c",
+}
+
+
+def _pt_remove_suffix(s: str) -> str:
+    ln = len(s)
+    if ln > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if ln > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if ln > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if ln > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if ln > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if ln > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if ln > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if ln > 6 and s.endswith("mente"):
+        return s[:-5]
+    if ln > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    ln = len(s)
+    if ln > 7 and (s.endswith("inha") or s.endswith("iaca")
+                   or s.endswith("eira")):
+        return s[:-1] + "o"
+    if ln > 6:
+        if (s.endswith("osa") or s.endswith("ica") or s.endswith("ida")
+                or s.endswith("ada") or s.endswith("iva")
+                or s.endswith("ama")):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(token: str) -> str:
+    """PortugueseLightStemmer (Savoy UniNE;
+    ``pt/PortugueseLightStemmer.java:65``): plural suffix removal,
+    feminine normalization, final-vowel strip, accent fold LAST (suffix
+    rules see the accented forms — ções -> ção -> cao)."""
+    if len(token) < 4:
+        return token
+    s = _pt_remove_suffix(token)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in ("e", "a", "o"):
+        s = s[:-1]
+    return "".join(_PT_FOLD.get(c, c) for c in s)
+
+
 def french_chain_transform(token: str) -> str:
     """FrenchAnalyzer vocabulary tail: elision, then the minimal stem."""
     return french_minimal_stem(french_elide(token))
@@ -285,3 +399,69 @@ FR_STOP_FULL = frozenset(FR_STOP) | frozenset(
     f"{a}{ap}{w}"
     for a in FR_ARTICLES for ap in _APOSTROPHES for w in FR_STOP
 )
+IT_STOP = frozenset((
+    "a abbia abbiamo abbiano abbiate ad agl agli ai al all alla alle allo "
+    "anche avemmo avendo avesse avessero avessi avessimo aveste avesti "
+    "avete aveva avevamo avevano avevate avevi avevo avrai avranno "
+    "avrebbe avrebbero avrei avremmo avremo avreste avresti avrete avrà "
+    "avrò avuta avute avuti avuto c che chi ci coi col come con contro "
+    "cui da dagl dagli dai dal dall dalla dalle dallo degl degli dei del "
+    "dell della delle dello di dov dove e ebbe ebbero ebbi ed era erano "
+    "eravamo eravate eri ero essendo faccia facciamo facciano facciate "
+    "faccio facemmo facendo facesse facessero facessi facessimo faceste "
+    "facesti faceva facevamo facevano facevate facevi facevo fai fanno "
+    "farai faranno farebbe farebbero farei faremmo faremo fareste faresti "
+    "farete farà farò fece fecero feci fosse fossero fossi fossimo foste "
+    "fosti fu fui fummo furono gli ha hai hanno ho i il in io l la le lei "
+    "li lo loro lui ma mi mia mie miei mio ne negl negli nei nel nell "
+    "nella nelle nello noi non nostra nostre nostri nostro o per perché "
+    "più quale quanta quante quanti quanto quella quelle quelli quello "
+    "questa queste questi questo sarai saranno sarebbe sarebbero sarei "
+    "saremmo saremo sareste saresti sarete sarà sarò se sei si sia siamo "
+    "siano siate siete sono sta stai stando stanno starai staranno "
+    "starebbe starebbero starei staremmo staremo stareste staresti "
+    "starete starà starò stava stavamo stavano stavate stavi stavo stemmo "
+    "stesse stessero stessi stessimo steste stesti stette stettero stetti "
+    "stia stiamo stiano stiate sto su sua sue sugl sugli sui sul sull "
+    "sulla sulle sullo suo suoi ti tra tu tua tue tuo tuoi tutti tutto un "
+    "una uno vi voi vostra vostre vostri vostro è "
+).split())
+
+PT_STOP = frozenset((
+    "a ao aos aquela aquelas aquele aqueles aquilo as até com como da das "
+    "de dela delas dele deles depois do dos e ela elas ele eles em entre "
+    "era eram essa essas esse esses esta estamos estas estava estavam "
+    "este esteja estejam estejamos estes esteve estive estivemos estiver "
+    "estivera estiveram estiverem estivermos estivesse estivessem "
+    "estivéramos estivéssemos estou está estávamos estão eu foi fomos for "
+    "fora foram forem formos fosse fossem fui fôramos fôssemos haja hajam "
+    "hajamos havemos hei houve houvemos houver houvera houveram houverei "
+    "houverem houveremos houveria houveriam houvermos houverá houverão "
+    "houveríamos houvesse houvessem houvéramos houvéssemos há hão isso "
+    "isto já lhe lhes mais mas me mesmo meu meus minha minhas muito na "
+    "nas nem no nos nossa nossas nosso nossos num numa não nós o os ou "
+    "para pela pelas pelo pelos por qual quando que quem se seja sejam "
+    "sejamos sem serei seremos seria seriam será serão seríamos seu seus "
+    "somos sou sua suas são só também te tem temos tenha tenham tenhamos "
+    "tenho terei teremos teria teriam terá terão teríamos teu teus teve "
+    "tinha tinham tive tivemos tiver tivera tiveram tiverem tivermos "
+    "tivesse tivessem tivéramos tivéssemos tu tua tuas tém tínhamos um "
+    "uma você vocês vos à às éramos "
+).split())
+
+#: Italian elided stopword forms (same Elision-before-Stop restoration as
+#: FR_STOP_FULL)
+IT_STOP_FULL = frozenset(IT_STOP) | frozenset(
+    f"{a}{ap}{w}"
+    for a in IT_ARTICLES for ap in _APOSTROPHES for w in IT_STOP
+)
+
+
+def italian_chain_transform(token: str) -> str:
+    """ItalianAnalyzer vocabulary tail: elision, then the light stem."""
+    return italian_light_stem(italian_elide(token))
+
+
+def portuguese_chain_transform(token: str) -> str:
+    """PortugueseAnalyzer vocabulary tail: the light stem."""
+    return portuguese_light_stem(token)
