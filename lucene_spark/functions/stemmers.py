@@ -3,10 +3,9 @@
 Reference chains mirrored (public Apache Lucene analysis-common):
   - FrenchAnalyzer (``analysis/fr/FrenchAnalyzer.java:128-136``):
     ElisionFilter(DEFAULT_ARTICLES) -> LowerCase -> Stop(snowball french)
-    -> stem. The default analyzer uses FrenchLightStemFilter; this module
-    ships the MINIMAL variant (``fr/FrenchMinimalStemmer.java`` — also a
-    first-class Lucene filter), a documented divergence: light's ~40 extra
-    suffix rules are not replayed.
+    -> FrenchLightStemFilter. BOTH French stemmers ship here: the chain
+    uses the LIGHT stemmer (the analyzer default, full rule set), and the
+    MINIMAL variant (``fr/FrenchMinimalStemmer.java``) stays available.
   - GermanAnalyzer (``analysis/de/GermanAnalyzer.java:130-134``):
     LowerCase -> Stop(snowball german) -> GermanNormalizationFilter (the
     3-state FSM: ae/oe/ue -> a/o/u outside diphthongs, umlauts folded,
@@ -78,6 +77,171 @@ def french_minimal_stem(token: str) -> str:
     if buf[ln - 1] == buf[ln - 2] and buf[ln - 1].isalpha():
         ln -= 1
     return buf[:ln]
+
+
+_FR_NORM_FOLD = {
+    "à": "a", "á": "a", "â": "a",
+    "ô": "o",
+    "è": "e", "é": "e", "ê": "e",
+    "ù": "u", "û": "u",
+    "î": "i",
+    "ç": "c",
+}
+
+
+def _fr_norm(s: list[str], ln: int) -> str:
+    """FrenchLightStemmer.norm (``fr/FrenchLightStemmer.java:215-245``):
+    accent fold, consecutive-duplicate-letter collapse, -ie strip, then
+    the final r/e/e + doubled-letter strips."""
+    if ln > 4:
+        for i in range(ln):
+            s[i] = _FR_NORM_FOLD.get(s[i], s[i])
+        ch = s[0]
+        i = 1
+        while i < ln:
+            if s[i] == ch and ch.isalpha():
+                del s[i]
+                ln -= 1
+            else:
+                ch = s[i]
+                i += 1
+    if ln > 4 and "".join(s[ln - 2:ln]) == "ie":
+        ln -= 2
+    if ln > 4:
+        if s[ln - 1] == "r":
+            ln -= 1
+        if s[ln - 1] == "e":
+            ln -= 1
+        if s[ln - 1] == "e":
+            ln -= 1
+        if s[ln - 1] == s[ln - 2] and s[ln - 1].isalpha():
+            ln -= 1
+    return "".join(s[:ln])
+
+
+def french_light_stem(token: str) -> str:
+    """FrenchLightStemmer — the DEFAULT FrenchAnalyzer stemmer (Savoy's
+    UniNE "light" algorithm; ``fr/FrenchLightStemmer.java:66-212``): plural
+    -x/-s strips, the -issement/-issant/-ement verb/adverb family, the
+    -ateur/-atrice/-cateur agent family rewritten toward the infinitive,
+    -folle/-molle -> -fou/-mou, -ique/-esse/-ation/-ition strips, then
+    ``_fr_norm``. Fall-through rules (-trice, -ète, -ique) mutate and
+    continue, exactly like the reference."""
+    s = list(token)
+    ln = len(s)
+
+    def ends(suf: str) -> bool:
+        return ln >= len(suf) and "".join(s[ln - len(suf):ln]) == suf
+
+    if ln > 5 and s[ln - 1] == "x":
+        if s[ln - 3] == "a" and s[ln - 2] == "u" and s[ln - 4] != "e":
+            s[ln - 2] = "l"
+        ln -= 1
+    if ln > 3 and s[ln - 1] == "x":
+        ln -= 1
+    if ln > 3 and s[ln - 1] == "s":
+        ln -= 1
+    if ln > 9 and ends("issement"):
+        ln -= 6
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 8 and ends("issant"):
+        ln -= 4
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 6 and ends("ement"):
+        ln -= 4
+        if ln > 3 and ends("ive"):
+            ln -= 1
+            s[ln - 1] = "f"
+        return _fr_norm(s, ln)
+    if ln > 11 and ends("ficatrice"):
+        ln -= 5
+        s[ln - 2] = "e"
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 10 and ends("ficateur"):
+        ln -= 4
+        s[ln - 2] = "e"
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 9 and ends("catrice"):
+        ln -= 3
+        s[ln - 4] = "q"
+        s[ln - 3] = "u"
+        s[ln - 2] = "e"
+        return _fr_norm(s, ln)
+    if ln > 8 and ends("cateur"):
+        ln -= 2
+        s[ln - 4] = "q"
+        s[ln - 3] = "u"
+        s[ln - 2] = "e"
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 8 and ends("atrice"):
+        ln -= 4
+        s[ln - 2] = "e"
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 7 and ends("ateur"):
+        ln -= 3
+        s[ln - 2] = "e"
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 6 and ends("trice"):
+        ln -= 1
+        s[ln - 3] = "e"
+        s[ln - 2] = "u"
+        s[ln - 1] = "r"
+    if ln > 5 and ends("ième"):
+        return _fr_norm(s, ln - 4)
+    if ln > 7 and ends("teuse"):
+        ln -= 2
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 6 and ends("teur"):
+        ln -= 1
+        s[ln - 1] = "r"
+        return _fr_norm(s, ln)
+    if ln > 5 and ends("euse"):
+        return _fr_norm(s, ln - 2)
+    if ln > 8 and ends("ère"):
+        ln -= 1
+        s[ln - 2] = "e"
+        return _fr_norm(s, ln)
+    if ln > 7 and ends("ive"):
+        ln -= 1
+        s[ln - 1] = "f"
+        return _fr_norm(s, ln)
+    if ln > 4 and (ends("folle") or ends("molle")):
+        ln -= 2
+        s[ln - 1] = "u"
+        return _fr_norm(s, ln)
+    if ln > 9 and ends("nnelle"):
+        return _fr_norm(s, ln - 5)
+    if ln > 9 and ends("nnel"):
+        return _fr_norm(s, ln - 3)
+    if ln > 4 and ends("ète"):
+        ln -= 1
+        s[ln - 2] = "e"
+    if ln > 8 and ends("ique"):
+        ln -= 4
+    if ln > 8 and ends("esse"):
+        return _fr_norm(s, ln - 3)
+    if ln > 7 and ends("inage"):
+        return _fr_norm(s, ln - 3)
+    if ln > 9 and ends("isation"):
+        ln -= 7
+        if ln > 5 and ends("ual"):
+            s[ln - 2] = "e"
+        return _fr_norm(s, ln)
+    if ln > 9 and ends("isateur"):
+        return _fr_norm(s, ln - 7)
+    if ln > 8 and ends("ation"):
+        return _fr_norm(s, ln - 5)
+    if ln > 8 and ends("ition"):
+        return _fr_norm(s, ln - 5)
+    return _fr_norm(s, ln)
 
 
 def german_normalize(token: str) -> str:
@@ -301,8 +465,10 @@ def portuguese_light_stem(token: str) -> str:
 
 
 def french_chain_transform(token: str) -> str:
-    """FrenchAnalyzer vocabulary tail: elision, then the minimal stem."""
-    return french_minimal_stem(french_elide(token))
+    """FrenchAnalyzer vocabulary tail: elision, then the LIGHT stem (the
+    default FrenchAnalyzer stemmer; ``french_minimal_stem`` remains
+    available for a FrenchMinimalStemFilter-style chain)."""
+    return french_light_stem(french_elide(token))
 
 
 def german_chain_transform(token: str) -> str:
