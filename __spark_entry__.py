@@ -83,9 +83,16 @@ _POSTINGS_TERM = "dup"
 
 # ------------------------------------------------------------------ engine cache
 
-def _index_dir_for(sf_dir: str) -> str:
+def _cache_dir(sf_dir: str, name: str) -> str:
+    """Per-scale entry-cache directory (the single place the /tmp cache
+    root + keying lives; artifact-level content fingerprints make a
+    basename collision stale-serve impossible — the artifact rebuilds)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join("/tmp/lucene_spark_entry_v2", tag, "documents_idx")
+    return os.path.join("/tmp/lucene_spark_entry_v2", tag, name)
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    return _cache_dir(sf_dir, "documents_idx")
 
 
 def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,13 +358,17 @@ def _suggest_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.suggesters import (
         build_suggest_index, load_suggest_dict,
     )
-    d = os.path.join(
-        "/tmp/lucene_spark_entry_v2",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf", "suggest_idx",
-    )
-    build_suggest_index(
-        _docs(spark, sf_dir), d, text_col="text", weight_col="n_chars")
+    d = _cache_dir(sf_dir, "suggest_idx")
+    # one fingerprint check (a count+hash aggregate job) per process per
+    # scale — the three suggest entries share the artifact
+    if d not in _SUGGEST_BUILT:
+        build_suggest_index(
+            _docs(spark, sf_dir), d, text_col="text", weight_col="n_chars")
+        _SUGGEST_BUILT.add(d)
     return load_suggest_dict(spark, d)
+
+
+_SUGGEST_BUILT: set[str] = set()
 
 
 def _suggest_analyzing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,11 +884,7 @@ def _append_searcher(spark: SparkSession, sf_dir: str):
     from lucene_spark.query.search import IndexSearcher
     from lucene_spark.streaming.append import append_batch
 
-    index_dir = os.path.join(
-        "/tmp/lucene_spark_entry_v2",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-        "documents_append_idx",
-    )
+    index_dir = _cache_dir(sf_dir, "documents_append_idx")
     m = load_manifest(index_dir)
     if m is None or not m.get("appended_entry_done"):
         import shutil
@@ -1490,10 +1497,7 @@ def _ann_brute(spark, sf_dir):
 
 
 def _ann_dir(sf_dir: str) -> str:
-    return os.path.join(
-        "/tmp/lucene_spark_entry_v2",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf", "ann_idx",
-    )
+    return _cache_dir(sf_dir, "ann_idx")
 
 
 def _ann_lsh(spark, sf_dir):

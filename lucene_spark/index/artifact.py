@@ -1,0 +1,91 @@
+"""Shared persisted-artifact plumbing: atomic manifest commit + checks.
+
+Every on-disk artifact in this engine follows the same contract (the
+``segments_N`` analog, CLAUDE.md "Architecture invariants"):
+
+  1. data files are written under a GENERATION directory whose name is
+     derived from the input fingerprint — never overwriting the committed
+     generation in place, so a crashed rebuild leaves the old artifact
+     fully readable;
+  2. ``manifest.json`` is written atomically LAST (tmp + fsync + rename)
+     and names the live generation (``data`` key);
+  3. readers go through ``read_manifest`` which validates the format tag
+     and the existence of the generation directory — a manifest from a
+     different artifact type or a half-committed state fails fast.
+
+These helpers exist so the NEXT persisted artifact gets the commit-point
+semantics by construction instead of re-copying them (the older artifacts
+— index build, deletes, ANN codes — predate this module and carry their
+own identical copies of step 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def write_manifest_atomic(index_dir: str, manifest: dict) -> dict:
+    """tmp + fsync + rename commit of ``manifest.json`` under index_dir."""
+    mpath = os.path.join(index_dir, "manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def load_manifest_if(index_dir: str) -> dict | None:
+    """The manifest dict, or None when the artifact was never committed."""
+    mpath = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def read_manifest(index_dir: str, expected_format) -> dict:
+    """Committed manifest with a format check (str or tuple of accepted
+    tags); the ``data`` generation directory (when present) must exist —
+    fails fast on foreign manifests and half-committed states instead of
+    serving wrong rows."""
+    m = load_manifest_if(index_dir)
+    if m is None:
+        raise FileNotFoundError(
+            f"no committed artifact at {index_dir} (manifest.json missing)")
+    fmt = m.get("format")
+    accepted = ((expected_format,) if isinstance(expected_format, str)
+                else tuple(expected_format))
+    if fmt not in accepted:
+        raise ValueError(
+            f"artifact at {index_dir} has format {fmt!r}, expected "
+            f"one of {accepted}")
+    data = m.get("data")
+    if data is not None and not os.path.isdir(os.path.join(index_dir, data)):
+        raise FileNotFoundError(
+            f"artifact at {index_dir} names generation {data!r} but the "
+            "directory is missing (half-committed rebuild?)")
+    return m
+
+
+def data_path(index_dir: str, manifest: dict, default: str) -> str:
+    """Path of the live generation directory named by the manifest."""
+    return os.path.join(index_dir, manifest.get("data", default))
+
+
+def prune_generations(index_dir: str, keep: str, prefix: str) -> None:
+    """Best-effort removal of superseded generation directories (called
+    AFTER the manifest commit; failures are ignored — stale generations
+    are garbage, never corruption)."""
+    import shutil
+
+    try:
+        for name in os.listdir(index_dir):
+            if name.startswith(prefix) and name != keep:
+                full = os.path.join(index_dir, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass

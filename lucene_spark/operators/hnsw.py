@@ -262,23 +262,28 @@ def build_hnsw_index(
     dim bytes per vector instead of 4*dim, graph built AND walked over
     quantized scores, float rescore at query time — pass ``embeddings=``
     to ``hnsw_ann_topk_indexed``)."""
+    from lucene_spark.index.artifact import (
+        load_manifest_if, prune_generations, write_manifest_atomic,
+    )
+
     shape = embeddings.select(
         F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
     n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
-    mpath = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            prev = json.load(fh)
-        if (
-            prev.get("num_parts") == num_parts
-            and prev.get("m") == m
-            and prev.get("ef_construction") == ef_construction
-            and prev.get("n_vecs") == n_vecs
-            and prev.get("dim") == dim
-            and bool(prev.get("quantized")) == quantize
-        ):
-            return prev
+    prev = load_manifest_if(index_dir)
+    if (
+        prev is not None
+        and prev.get("num_parts") == num_parts
+        and prev.get("m") == m
+        and prev.get("ef_construction") == ef_construction
+        and prev.get("n_vecs") == n_vecs
+        and prev.get("dim") == dim
+        and bool(prev.get("quantized")) == quantize
+        and os.path.isdir(os.path.join(index_dir, prev.get("data", "")))
+    ):
+        return prev
+    gen = f"graph_{n_vecs}x{dim}_p{num_parts}m{m}e{ef_construction}" + (
+        "_q" if quantize else "")
     os.makedirs(index_dir, exist_ok=True)
 
     scale = None
@@ -317,10 +322,11 @@ def build_hnsw_index(
 
     graph = src.groupBy("part").applyInPandas(
         builder, schema=GRAPH_SCHEMA_Q if quantize else GRAPH_SCHEMA)
-    graph.write.mode("overwrite").parquet(os.path.join(index_dir, "graph"))
+    graph.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
 
-    manifest = {
+    manifest = write_manifest_atomic(index_dir, {
         "format": "hnsw_sq8_v1" if quantize else "hnsw_v1",
+        "data": gen,
         "num_parts": num_parts,
         "m": m,
         "ef_construction": ef_construction,
@@ -329,13 +335,8 @@ def build_hnsw_index(
         "metric": "cosine",
         "quantized": quantize,
         "scale": scale,
-    }
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mpath)
+    })
+    prune_generations(index_dir, keep=gen, prefix="graph")
     return manifest
 
 
@@ -445,15 +446,16 @@ def hnsw_ann_topk_indexed(
     vectors; the merged P*k candidates are then RESCORED with the exact
     float64 cosine against ``embeddings`` (required in that case) — the
     reference's quantized-search + float-rescore split."""
-    with open(os.path.join(index_dir, "manifest.json")) as fh:
-        m = json.load(fh)
+    from lucene_spark.index.artifact import data_path, read_manifest
+
+    m = read_manifest(index_dir, ("hnsw_v1", "hnsw_sq8_v1"))
     quantized = bool(m.get("quantized"))
     scale = float(m["scale"]) if quantized else None
     if quantized and embeddings is None:
         raise ValueError(
             "a quantized HNSW index rescores in float: pass embeddings=")
     q = np.asarray(query_vec, dtype=np.float64)
-    graph = spark.read.parquet(os.path.join(index_dir, "graph"))
+    graph = spark.read.parquet(data_path(index_dir, m, "graph"))
 
     surv = None
     if filter is not None:

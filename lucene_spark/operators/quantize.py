@@ -125,18 +125,24 @@ def build_quantized_codes(
     One pass computes the scale (JVM aggregate, partial-merged — no raw data
     shuffles), a second writes the codes (narrow map; norms computed JVM-side
     and handed to the Arrow packer so no Python summation order exists).
-    Idempotent with an input fingerprint (n_vecs + dim): same-params calls
-    over unchanged data short-circuit; changed data rebuilds."""
+    Idempotent with an input fingerprint (n_vecs + dim); rebuilds write a
+    FRESH generation directory and commit the manifest last (the
+    index/artifact.py contract — a crashed rebuild never corrupts the
+    committed codes)."""
+    from lucene_spark.index.artifact import (
+        load_manifest_if, prune_generations, write_manifest_atomic,
+    )
+
     shape = embeddings.select(
         F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
     n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
-    mpath = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            prev = json.load(fh)
-        if prev.get("n_vecs") == n_vecs and prev.get("dim") == dim:
-            return prev
+    prev = load_manifest_if(index_dir)
+    if (prev is not None and prev.get("n_vecs") == n_vecs
+            and prev.get("dim") == dim
+            and os.path.isdir(os.path.join(index_dir, prev.get("data", "")))):
+        return prev
+    gen = f"codes_{n_vecs}x{dim}"
     os.makedirs(index_dir, exist_ok=True)
 
     with_norm = _norm_frame(embeddings, id_col, vec_col)
@@ -161,16 +167,13 @@ def build_quantized_codes(
             })
 
     with_norm.mapInPandas(packer, schema="vec_id long, code binary").write.mode(
-        "overwrite").parquet(os.path.join(index_dir, "codes"))
+        "overwrite").parquet(os.path.join(index_dir, gen))
 
-    manifest = {"format": "sq8_v1", "scale": scale, "dim": dim,
-                "n_vecs": n_vecs, "qmax": _QMAX}
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mpath)
+    manifest = write_manifest_atomic(index_dir, {
+        "format": "sq8_v1", "data": gen, "scale": scale, "dim": dim,
+        "n_vecs": n_vecs, "qmax": _QMAX,
+    })
+    prune_generations(index_dir, keep=gen, prefix="codes_")
     return manifest
 
 
@@ -196,15 +199,15 @@ def quantized_ann_topk(
     restricts the approximate pass to those ids — composing the coarse
     quantizer with the scalar codes the way
     ``Lucene104HnswScalarQuantizedVectorsFormat`` composes graph + codes."""
+    from lucene_spark.index.artifact import data_path, read_manifest
     from lucene_spark.operators.similarity import cosine_topk
 
-    with open(os.path.join(index_dir, "manifest.json")) as fh:
-        m = json.load(fh)
+    m = read_manifest(index_dir, "sq8_v1")
     scale = float(m["scale"])
     qcode = quantize_query(query_vec, scale).astype(np.int64)
     c_lim = max(k, rescore_factor * k)
 
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = spark.read.parquet(data_path(index_dir, m, "codes"))
     base = embeddings
     if filter is not None:
         surv = embeddings.filter(filter)

@@ -95,54 +95,68 @@ def build_suggest_index(
     analog of the reference building its suggester FST ONCE at index time
     (``AnalyzingSuggester.build``) instead of re-deriving it per lookup:
 
-      dict/          parquet DF(surface, tokens, joined, weight),
+      dict_<fp>/     parquet DF(surface, tokens, joined, weight),
                      RANGE-SORTED BY ``joined`` so the analyzing lookup's
                      string-prefix predicate prunes parquet row groups
                      (min/max on the sorted column) — a completion reads
                      only the matching range, never the whole dictionary
-      manifest.json  written atomically LAST (commit point)
+      manifest.json  names the live generation; written atomically LAST
 
-    Idempotent with an input fingerprint (row count): unchanged input
-    short-circuits, changed input rebuilds."""
-    import json
+    Idempotent with a CONTENT fingerprint (row count + summed xxhash64 of
+    text/weight, one aggregate job): unchanged input short-circuits,
+    changed input rebuilds into a FRESH generation directory — a crashed
+    rebuild leaves the committed generation fully readable (the
+    index/artifact.py contract). The fingerprint is count + bit_xor of
+    per-row xxhash64(text, weight): content-sensitive, order-independent,
+    computed in the same single aggregate job."""
     import os
 
-    n_rows = df.count()
-    mpath = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            prev = json.load(fh)
-        if (prev.get("n_rows") == n_rows
-                and prev.get("weight_col") == weight_col
-                and prev.get("text_col") == text_col):
-            return prev
+    from lucene_spark.index.artifact import (
+        load_manifest_if, prune_generations, write_manifest_atomic,
+    )
+
+    wcols = [F.col(text_col)] + (
+        [F.col(weight_col)] if weight_col is not None else [])
+    # bit_xor: order-independent content fold, no ANSI int64 overflow
+    agg = df.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*wcols)).alias("h"),
+    ).first()
+    n_rows = int(agg["n"])
+    fp = int(agg["h"] or 0) & 0xFFFFFFFFFFFFFFFF
+    gen = f"dict_{fp:016x}"
+    prev = load_manifest_if(index_dir)
+    if (prev is not None
+            and prev.get("n_rows") == n_rows
+            and prev.get("fingerprint") == fp
+            and prev.get("weight_col") == weight_col
+            and prev.get("text_col") == text_col
+            and os.path.isdir(os.path.join(index_dir, prev.get("data", "")))):
+        return prev
     os.makedirs(index_dir, exist_ok=True)
     d = build_suggest_dict(df, text_col, weight_col)
     (
         d.repartitionByRange(8, "joined")
         .sortWithinPartitions("joined")
         .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "dict"))
+        .parquet(os.path.join(index_dir, gen))
     )
-    manifest = {"format": "suggest_v1", "n_rows": n_rows,
-                "text_col": text_col, "weight_col": weight_col}
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mpath)
+    manifest = write_manifest_atomic(index_dir, {
+        "format": "suggest_v1", "data": gen, "n_rows": n_rows,
+        "fingerprint": fp, "text_col": text_col, "weight_col": weight_col,
+    })
+    prune_generations(index_dir, keep=gen, prefix="dict_")
     return manifest
 
 
 def load_suggest_dict(spark, index_dir: str) -> DataFrame:
-    """Open a persisted suggestion dictionary (checks the commit point)."""
-    import json
-    import os
+    """Open a persisted suggestion dictionary — validates the format tag
+    and the live generation's existence (fails fast on foreign manifests
+    or half-committed rebuilds)."""
+    from lucene_spark.index.artifact import data_path, read_manifest
 
-    with open(os.path.join(index_dir, "manifest.json")) as fh:
-        json.load(fh)
-    return spark.read.parquet(os.path.join(index_dir, "dict"))
+    m = read_manifest(index_dir, "suggest_v1")
+    return spark.read.parquet(data_path(index_dir, m, "dict"))
 
 
 def suggest_analyzing(

@@ -25,6 +25,16 @@ def embs(spark):
     return spark.read.parquet(SF_EMB).cache()
 
 
+def _gen_path(index_dir, default):
+    """Live generation dir of a persisted artifact (manifest 'data' key)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    return os.path.join(index_dir, m.get("data", default))
+
+
 # ------------------------------------------------------------------ shingles
 
 def test_shingles_short_doc(spark):
@@ -514,10 +524,10 @@ def test_hnsw_recall_determinism_and_invariants(spark, embs, tmp_path):
     build_hnsw_index(embs, d2, num_parts=2, m=8, ef_construction=64)
     rows1 = sorted(
         (r["part"], r["vec_id"], [list(l) for l in r["neighbors"]])
-        for r in spark.read.parquet(os.path.join(d1, "graph")).collect())
+        for r in spark.read.parquet(_gen_path(d1, "graph")).collect())
     rows2 = sorted(
         (r["part"], r["vec_id"], [list(l) for l in r["neighbors"]])
-        for r in spark.read.parquet(os.path.join(d2, "graph")).collect())
+        for r in spark.read.parquet(_gen_path(d2, "graph")).collect())
     assert rows1 == rows2
     # graph invariants: degree caps (2M at layer 0, M above), neighbors stay
     # inside the node's own partition, and no self-loops
@@ -646,7 +656,7 @@ def test_quantized_codes_and_topk(spark, embs, tmp_path):
     d = str(tmp_path / "sq8")
     m = build_quantized_codes(embs, d)
     assert m["dim"] == 64 and m["n_vecs"] == 500 and m["scale"] > 0
-    codes = spark.read.parquet(d + "/codes").collect()
+    codes = spark.read.parquet(_gen_path(d, "codes")).collect()
     assert all(len(r.code) == 64 for r in codes)  # dim bytes per vector
 
     # DuckDB replays the quantization bit-for-bit (same norms, scale, floor)
@@ -727,7 +737,7 @@ def test_hnsw_quantized_graph(spark, embs, tmp_path):
     m = build_hnsw_index(embs, d, num_parts=2, m=8, ef_construction=64,
                          quantize=True)
     assert m["quantized"] and m["scale"] > 0
-    g = spark.read.parquet(d + "/graph")
+    g = spark.read.parquet(_gen_path(d, "graph"))
     assert "code" in g.columns and "embedding" not in g.columns
     assert all(len(r.code) == 64 for r in g.select("code").collect())
 
