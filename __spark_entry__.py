@@ -1304,6 +1304,11 @@ _SPANISH_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "valu"}
 #: elision + stemming are pinned in tests/test_stemmers.py
 _ITALIAN_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PORTUGUESE_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "merg"}]}}
+#: russian: Cyrillic-only suffix rules and stopwords — identity on this
+#: ASCII corpus (real Russian text pinned in tests/test_stemmers.py); the
+#: entry validates the chain plumbs through unchanged
+_RUSSIAN_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
+_SWEDISH_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "tabl"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1340,6 +1345,14 @@ def _italian_chain_df(spark, sf_dir):
 
 def _portuguese_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "portuguese", _PORTUGUESE_AST)
+
+
+def _russian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "russian", _RUSSIAN_AST)
+
+
+def _swedish_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "swedish", _SWEDISH_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1785,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_spanish_chain"] = _spanish_chain_df
     out["bm25_italian_chain"] = _italian_chain_df
     out["bm25_portuguese_chain"] = _portuguese_chain_df
+    out["bm25_russian_chain"] = _russian_chain_df
+    out["bm25_swedish_chain"] = _swedish_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2088,6 +2103,10 @@ ORDER BY t.score DESC, t.doc_id ASC
          _st.italian_chain_transform),
         ("bm25_portuguese_chain", _PORTUGUESE_AST, _st.PT_STOP,
          _st.portuguese_chain_transform),
+        ("bm25_russian_chain", _RUSSIAN_AST, _st.RU_STOP,
+         _st.russian_chain_transform),
+        ("bm25_swedish_chain", _SWEDISH_AST, _st.SV_STOP,
+         _st.swedish_chain_transform),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

@@ -444,15 +444,29 @@ def _portuguese_transform(token: str) -> str:
     return portuguese_chain_transform(token)
 
 
+def _russian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import russian_chain_transform
+
+    return russian_chain_transform(token)
+
+
+def _swedish_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import swedish_chain_transform
+
+    return swedish_chain_transform(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
-        DE_STOP, ES_STOP, FR_STOP_FULL, IT_STOP_FULL, PT_STOP,
+        DE_STOP, ES_STOP, FR_STOP_FULL, IT_STOP_FULL, PT_STOP, RU_STOP,
+        SV_STOP,
     )
 
-    return FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP
+    return FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP, RU_STOP, SV_STOP
 
 
-_FR_STOP_FULL, _DE_STOP, _ES_STOP, _IT_STOP_FULL, _PT_STOP = _lang_stops()
+(_FR_STOP_FULL, _DE_STOP, _ES_STOP, _IT_STOP_FULL, _PT_STOP, _RU_STOP,
+ _SV_STOP) = _lang_stops()
 
 CHAIN_FILTERS: dict[str, tuple] = {
     "standard": (None, None, None),
@@ -470,6 +484,8 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "spanish": (_ES_STOP, _spanish_transform, None),
     "italian": (_IT_STOP_FULL, _italian_transform, None),
     "portuguese": (_PT_STOP, _portuguese_transform, None),
+    "russian": (_RU_STOP, _russian_transform, None),
+    "swedish": (_SV_STOP, _swedish_transform, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -486,6 +502,8 @@ CHAIN_BASE: dict[str, str] = {
     "spanish": "standard",
     "italian": "standard",
     "portuguese": "standard",
+    "russian": "standard",
+    "swedish": "standard",
 }
 
 
@@ -618,6 +636,14 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
     "portuguese": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "russian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "swedish": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

@@ -464,6 +464,64 @@ def portuguese_light_stem(token: str) -> str:
     return "".join(_PT_FOLD.get(c, c) for c in s)
 
 
+_RU_SUF4 = ("иями", "оями")
+_RU_SUF3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+            "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_SUF2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+            "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+            "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def russian_light_stem(token: str) -> str:
+    """RussianLightStemmer (Dolamic & Savoy, "Indexing and Searching
+    Strategies for the Russian Language"; ``ru/RussianLightStemmer.java``):
+    case-suffix removal then the ь/и/нн normalization."""
+    s = token
+    ln = len(s)
+    if ln > 6 and s.endswith(_RU_SUF4):
+        s = s[:-4]
+    elif ln > 5 and s.endswith(_RU_SUF3):
+        s = s[:-3]
+    elif ln > 4 and s.endswith(_RU_SUF2):
+        s = s[:-2]
+    elif ln > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    ln = len(s)
+    if ln > 3:
+        if s[-1] in ("ь", "и"):
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+_SV_SUF5 = ("elser", "heten")
+_SV_SUF4 = ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+_SV_SUF3 = ("are", "ast", "het")
+_SV_SUF2 = ("ar", "er", "or", "en", "at", "te", "et")
+
+
+def swedish_light_stem(token: str) -> str:
+    """SwedishLightStemmer (Savoy CLEF-2003;
+    ``sv/SwedishLightStemmer.java``): plural -s, then the definite/
+    comparative suffix ladder."""
+    s = token
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    ln = len(s)
+    if ln > 7 and s.endswith(_SV_SUF5):
+        return s[:-5]
+    if ln > 6 and s.endswith(_SV_SUF4):
+        return s[:-4]
+    if ln > 5 and s.endswith(_SV_SUF3):
+        return s[:-3]
+    if ln > 4 and s.endswith(_SV_SUF2):
+        return s[:-2]
+    if ln > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
 def french_chain_transform(token: str) -> str:
     """FrenchAnalyzer vocabulary tail: elision, then the LIGHT stem (the
     default FrenchAnalyzer stemmer; ``french_minimal_stem`` remains
@@ -631,3 +689,40 @@ def italian_chain_transform(token: str) -> str:
 def portuguese_chain_transform(token: str) -> str:
     """PortugueseAnalyzer vocabulary tail: the light stem."""
     return portuguese_light_stem(token)
+RU_STOP = frozenset((
+    "а без более больше будет будто бы был была были было быть в вам вас "
+    "вдруг ведь во вот впрочем все всегда всего всех всю вы где говорил "
+    "да даже два для до другой его ее ей ему если есть еще ж же жизнь за "
+    "зачем здесь и из или им иногда их к кажется как какая какой когда "
+    "конечно кто куда ли лучше между меня мне много может можно мой моя "
+    "мы на над надо наконец нас не него нее ней нельзя нет ни нибудь "
+    "никогда ним них ничего но ну о об один он она они опять от перед по "
+    "под после потом потому почти при про раз разве с сам свою себе себя "
+    "сегодня сейчас сказал сказала сказать со совсем так такой там тебя "
+    "тем теперь то тогда того тоже только том тот три тут ты у уж уже "
+    "хорошо хоть чего человек чем через что чтоб чтобы чуть эти этого "
+    "этой этом этот эту я "
+).split())
+
+SV_STOP = frozenset((
+    "alla allt att av blev bli blir blivit de dem den denna deras dess "
+    "dessa det detta dig din dina ditt du där då efter ej eller en er era "
+    "ert ett från för ha hade han hans har henne hennes hon honom hur här "
+    "i icke ingen inom inte jag ju kan kunde man med mellan men mig min "
+    "mina mitt mot mycket ni nu när någon något några och om oss på samma "
+    "sedan sig sin sina sitt själv skulle som så sådan sådana sådant till "
+    "under upp ut utan vad var vara varför varit varje vars vart vem vi "
+    "vid vilka vilkas vilken vilket vår våra vårt än är åt över "
+).split())
+
+def russian_chain_transform(token: str) -> str:
+    """Russian chain vocabulary tail — the RussianLightStemFilter variant
+    (the default RussianAnalyzer uses the Snowball stemmer; the light
+    filter is a first-class alternative, ``ru/RussianLightStemFilter``)."""
+    return russian_light_stem(token)
+
+
+def swedish_chain_transform(token: str) -> str:
+    """Swedish chain vocabulary tail — the SwedishLightStemFilter variant
+    (same default-vs-light note as Russian)."""
+    return swedish_light_stem(token)
