@@ -72,6 +72,14 @@ _WILDCARD = "s?an"       # scan, span...
 #: Lucene RegExp SYNTAX probe: union + class + top-level intersection +
 #: bounded repetition — translated by query/regexp.py, never passed raw
 _REGEXP = "(s.an|m[ae]rge)&[a-z]{4,5}&.*e.*"
+#: NESTED intersection — no lookahead-free regex translation exists, so
+#: the engine routes this through the derivative-automaton layer
+#: (query/automaton.py): superset rlike pushdown + exact DFA verify on the
+#: term dictionary. The DuckDB oracle uses the hand-derived equivalent
+#: plain-regex form (equivalence brute-force-proven in tests/test_automaton.py):
+#:   s[a-z]* ∩ [a-z]*n ∩ .{3,6}  =  s[a-z]{1,4}n
+#:   (t[a-z]* ∩ [a-z]*e)s?       =  t[a-z]*es?
+_REGEXP_NESTED = "(s[a-z]*&[a-z]*n&.{3,6})|(t[a-z]*&[a-z]*e)s?"
 _RANGE = ("taa", "tzz")  # table..tuple region of the vocabulary
 _INSET = ["scan", "merge", "zzz-absent", "hash"]
 _FUZZY = ("scan", 1)
@@ -496,6 +504,11 @@ def _wildcard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _regexp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.query.ast import RegexpQuery
     return _multiterm_df(spark, sf_dir, RegexpQuery(_REGEXP))
+
+
+def _regexp_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import RegexpQuery
+    return _multiterm_df(spark, sf_dir, RegexpQuery(_REGEXP_NESTED))
 
 
 def _range_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1770,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_wildcard"] = _wildcard_df
     out["bm25_field_filter"] = _field_filter_df
     out["bm25_regexp"] = _regexp_df
+    out["bm25_regexp_nested"] = _regexp_nested_df
     out["bm25_range"] = _range_df
     out["bm25_inset"] = _inset_df
     out["hits_count"] = _count_df
@@ -1950,6 +1964,15 @@ ORDER BY score DESC, doc_id ASC LIMIT {_PARENT_K}
         " AND ".join(
             f"regexp_full_match(term, '{p}')"
             for p in translate_regexp(_REGEXP)),
+        _QUERY_K,
+    )
+    # nested intersection: the oracle uses the HAND-DERIVED equivalent
+    # plain-regex form (see _REGEXP_NESTED note; equivalence proven by
+    # brute force in tests/test_automaton.py) — computed independently of
+    # the engine's automaton
+    out["bm25_regexp_nested"] = sqlgen.expansion_topk_sql(
+        "(regexp_full_match(term, 's[a-z]{1,4}n')"
+        " OR regexp_full_match(term, 't[a-z]*es?'))",
         _QUERY_K,
     )
     out["bm25_range"] = sqlgen.expansion_topk_sql(

@@ -1782,21 +1782,76 @@ class IndexSearcher:
             return F.col("term").isin(list(q.terms))
         return None
 
+    @staticmethod
+    def _regexp_plan(pattern: str):
+        """("regex", [bodies]) when the pattern has a lookahead-free regex
+        translation, ("automaton", ast) when it needs the derivative
+        automaton (nested intersection — ``query/automaton.py``). Named
+        automata / syntax errors raise from either parser, identically."""
+        from lucene_spark.query.automaton import parse_ast
+        from lucene_spark.query.regexp import (
+            UnsupportedRegexpError, translate_regexp,
+        )
+
+        try:
+            return ("regex", translate_regexp(pattern))
+        except UnsupportedRegexpError:
+            # nested intersection — parse_ast ACCEPTS it (and re-raises
+            # the same error for named automata / oversized repetitions)
+            return ("automaton", parse_ast(pattern))
+
+    def _automaton_term_filter(self, df: DataFrame, pattern: str) -> DataFrame:
+        """Exact automaton membership over a (small, distinct-term) frame —
+        the ``Terms.intersect`` analog: the reference walks the term dict
+        with a CompiledAutomaton (``core/index/Terms.java:60``); here the
+        dictionary batch streams through the lazy derivative DFA in one
+        Arrow stage. Never applied to the corpus row path."""
+        schema = df.schema
+
+        def verify(batches):
+            from lucene_spark.query.automaton import RegexpMatcher
+
+            m = RegexpMatcher(pattern)
+            for pdf in batches:
+                mask = np.fromiter(
+                    (m.matches(t) for t in pdf["term"]), bool, len(pdf)
+                )
+                out = pdf[mask]
+                if len(out):
+                    yield out
+
+        return df.mapInPandas(verify, schema=schema)
+
     def _as_multi_term_cond(self, q: Query):
-        """(cond, boost) when q is a bare (possibly Boost-wrapped) multi-term
-        query eligible for the join-based expansion, else None."""
+        """(cond, boost, verify_pattern) when q is a bare (possibly
+        Boost-wrapped) multi-term query eligible for the join-based
+        expansion, else None. ``verify_pattern`` is non-None only for
+        Regexp patterns needing the automaton layer: ``cond`` is then a
+        sound SUPERSET pushdown (every ``&`` weakened to ``|``) and the
+        per-term frame is re-verified exactly before scoring."""
         boost = np.float32(1.0)
         if isinstance(q, BoostQuery) and not isinstance(q.query, BoostQuery):
             inner = q.query
             boost = np.float32(q.boost)
         else:
             inner = q
+        if isinstance(inner, RegexpQuery):
+            kind, payload = self._regexp_plan(inner.pattern)
+            if kind == "automaton":
+                from lucene_spark.query.automaton import superset_regex
+
+                cond = F.col("term").rlike(
+                    "^(?:" + superset_regex(payload) + ")$"
+                )
+                return cond, boost, inner.pattern
         cond = self._multi_term_cond(inner)
         if cond is None:
             return None
-        return cond, boost
+        return cond, boost, None
 
-    def _scored_expansion_join(self, cond, boost: np.float32) -> DataFrame:
+    def _scored_expansion_join(
+        self, cond, boost: np.float32, verify_pattern: str | None = None
+    ) -> DataFrame:
         """Score a multi-term expansion WITHOUT materializing terms on the
         driver (VERDICT r1 item 3; reference contrast: Lucene's scoring
         rewrite materializes clauses and trips TooManyClauses,
@@ -1816,6 +1871,11 @@ class IndexSearcher:
         df_by_term = blocks.groupBy("term").agg(
             F.sum("num_docs").cast("long").alias("df")
         )
+        if verify_pattern is not None:
+            # cond was a superset pushdown; exact automaton verify on the
+            # distinct-term frame (vocabulary-sized) — the subsequent inner
+            # join drops the non-matching terms' blocks
+            df_by_term = self._automaton_term_filter(df_by_term, verify_pattern)
         scan = (
             blocks.join(F.broadcast(df_by_term), "term")
             .select("num_docs", "first_doc", "data", "df")
@@ -1859,7 +1919,23 @@ class IndexSearcher:
         OR-of-terms; MultiTermQuery.java rewrite framework analog). The
         driver-side term list is bounded by ``max_clause_count``
         (TooManyClauses, ``IndexSearcher.java:80,898``)."""
-        cond = self._multi_term_cond(q)
+        verify_pattern = None
+        if isinstance(q, RegexpQuery):
+            kind, payload = self._regexp_plan(q.pattern)
+            if kind == "automaton":
+                # nested intersection: superset pushdown on the dictionary
+                # scan + exact derivative-DFA verify (distributed, before
+                # the capped collect)
+                from lucene_spark.query.automaton import superset_regex
+
+                cond = F.col("term").rlike(
+                    "^(?:" + superset_regex(payload) + ")$"
+                )
+                verify_pattern = q.pattern
+            else:
+                cond = self._multi_term_cond(q)
+        else:
+            cond = self._multi_term_cond(q)
         if cond is not None:
             pass
         elif isinstance(q, FuzzyQuery):
@@ -1883,9 +1959,10 @@ class IndexSearcher:
         else:
             return q
         cap = self.max_clause_count
-        rows = (
-            self.term_dict.filter(cond).select("term").limit(cap + 1).collect()
-        )
+        matched = self.term_dict.filter(cond).select("term")
+        if verify_pattern is not None:
+            matched = self._automaton_term_filter(matched, verify_pattern)
+        rows = matched.limit(cap + 1).collect()
         if len(rows) > cap:
             raise TooManyClauses(
                 f"{type(q).__name__} expands to more than {cap} terms "

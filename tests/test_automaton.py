@@ -1,0 +1,203 @@
+"""Derivative-automaton layer (query/automaton.py): the executable form of
+Lucene RegExp (RegExp.toAutomaton analog) used for nested intersection.
+
+Pinned properties:
+- agrees with the string translator (query/regexp.py) on every
+  translatable pattern — the pinned CASES table plus random-pattern fuzz;
+- implements nested ``&`` with true intersection semantics;
+- ``superset_regex`` (the pushdown pre-filter) accepts everything the
+  exact matcher accepts;
+- the entry pattern's hand-derived oracle regex is exactly equivalent;
+- end-to-end: a nested-& RegexpQuery is bit-identical to the manual
+  SHOULD-of-TermQueries rewrite on both execution paths.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import re
+
+import pytest
+
+from lucene_spark.query.automaton import (
+    RegexpMatcher,
+    parse_ast,
+    superset_regex,
+)
+from lucene_spark.query.regexp import UnsupportedRegexpError, translate_regexp
+from tests.test_regexp import CASES
+
+
+def _pyre(body: str) -> re.Pattern:
+    """Emitted Java/RE2 body -> Python re (only \\x{hhhh} differs)."""
+    conv = re.sub(
+        r"\\x\{([0-9A-Fa-f]+)\}",
+        lambda m: re.escape(chr(int(m.group(1), 16))),
+        body,
+    )
+    return re.compile("^(?:" + conv + ")$", re.S)
+
+
+def test_matcher_agrees_with_pinned_cases():
+    for pat, s, exp in CASES:
+        assert RegexpMatcher(pat).matches(s) == exp, (pat, s)
+
+
+NESTED = [
+    # (t[a-z]* ∩ [a-z]*e) + optional s
+    ("(t[a-z]*&[a-z]*e)s?", "trades", True),
+    ("(t[a-z]*&[a-z]*e)s?", "table", True),
+    ("(t[a-z]*&[a-z]*e)s?", "trends", False),
+    ("(t[a-z]*&[a-z]*e)s?", "glades", False),
+    ("(ab&a.)c", "abc", True),
+    ("(ab&a.)c", "adc", False),
+    ("x(a+&a{2,3})y", "xaay", True),
+    ("x(a+&a{2,3})y", "xay", False),
+    ("x(a+&a{2,3})y", "xaaaay", False),
+    # intersection under a star
+    ("((ab|cd)&(cd|ef))+", "cd", True),
+    ("((ab|cd)&(cd|ef))+", "cdcd", True),
+    ("((ab|cd)&(cd|ef))+", "ab", False),
+    # intersection under a union (rejected even by the top-level translator)
+    ("(a&.)|b", "a", True),
+    ("(a&.)|b", "b", True),
+    ("(a&.)|b", "c", False),
+]
+
+
+def test_nested_intersection_semantics():
+    for pat, s, exp in NESTED:
+        with pytest.raises(UnsupportedRegexpError):
+            translate_regexp(pat)  # genuinely beyond the regex translation
+        assert RegexpMatcher(pat).matches(s) == exp, (pat, s)
+
+
+def _rand_pattern(rng: random.Random, depth: int = 0) -> str:
+    r = rng.random()
+    if depth > 3 or r < 0.35:
+        return rng.choice(
+            ["a", "b", "0", ".", "[ab]", "[^a]", "\\d", "<2-11>",
+             '"ab"', "()", "@"]
+        )
+    if r < 0.55:
+        return _rand_pattern(rng, depth + 1) + _rand_pattern(rng, depth + 1)
+    if r < 0.7:
+        return ("(" + _rand_pattern(rng, depth + 1) + "|"
+                + _rand_pattern(rng, depth + 1) + ")")
+    if r < 0.8:
+        return "(" + _rand_pattern(rng, depth + 1) + ")*"
+    if r < 0.9:
+        return "(" + _rand_pattern(rng, depth + 1) + ")?"
+    return "(" + _rand_pattern(rng, depth + 1) + "){1,2}"
+
+
+def test_fuzz_matcher_equals_translator():
+    """On &-free random patterns the derivative matcher and the regex
+    translation must define the same language (checked exhaustively over
+    short strings)."""
+    rng = random.Random(20260818)
+    probes = [
+        "".join(t)
+        for L in range(0, 5)
+        for t in itertools.product("ab01", repeat=L)
+    ]
+    checked = 0
+    for _ in range(150):
+        pat = _rand_pattern(rng)
+        try:
+            parts = translate_regexp(pat)
+        except (UnsupportedRegexpError, ValueError):
+            continue
+        m = RegexpMatcher(pat)
+        regs = [_pyre(p) for p in parts]
+        for s in probes:
+            assert m.matches(s) == all(bool(r.match(s)) for r in regs), (
+                pat, s)
+        checked += 1
+    assert checked > 50
+
+
+def test_fuzz_superset_property():
+    """superset_regex (&->| weakening) must accept every string the exact
+    matcher accepts — soundness of the pushed-down pre-filter."""
+    rng = random.Random(7)
+    probes = [
+        "".join(t)
+        for L in range(0, 5)
+        for t in itertools.product("ab0", repeat=L)
+    ]
+    checked = 0
+    for _ in range(120):
+        a, b, c = (_rand_pattern(rng) for _ in range(3))
+        pat = f"({a}&{b}){c}" if rng.random() < 0.5 else f"{a}&{b}"
+        try:
+            ast = parse_ast(pat)
+        except (UnsupportedRegexpError, ValueError):
+            continue
+        m = RegexpMatcher(pat)
+        sup = _pyre(superset_regex(ast))
+        for s in probes:
+            if m.matches(s):
+                assert sup.match(s), (pat, s)
+        checked += 1
+    assert checked > 40
+
+
+def test_entry_pattern_oracle_equivalence():
+    """The bm25_regexp_nested oracle's hand-derived plain-regex form is
+    EXACTLY the entry pattern's language (exhaustive over length <= 6)."""
+    from __spark_entry__ import _REGEXP_NESTED
+
+    m = RegexpMatcher(_REGEXP_NESTED)
+    oracle = re.compile(r"^(?:s[a-z]{1,4}n|t[a-z]*es?)$")
+    for L in range(0, 7):
+        for t in itertools.product("stnea", repeat=L):
+            s = "".join(t)
+            assert m.matches(s) == bool(oracle.match(s)), s
+
+
+def test_errors_match_reference():
+    with pytest.raises(UnsupportedRegexpError):
+        parse_ast("<myautomaton>")  # no AutomatonProvider
+    with pytest.raises(UnsupportedRegexpError):
+        parse_ast("a{1,999999}")  # determinizeWorkLimit analog
+    with pytest.raises(ValueError):
+        parse_ast("a\\b")  # invalid character class, not word boundary
+    with pytest.raises(ValueError):
+        parse_ast("(a")  # unclosed group
+
+
+def test_end_to_end_nested_regexp(spark, built_index):
+    """Nested-& RegexpQuery == manual SHOULD-of-TermQueries over the
+    automaton-matched vocabulary, bit-identical, on BOTH paths (bare =
+    expansion join with superset pushdown; Boolean-wrapped = capped
+    collect rewrite)."""
+    from lucene_spark.query.ast import BooleanQuery, RegexpQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    pat = "(t[a-z]*&[a-z]*e)s?"
+    m = RegexpMatcher(pat)
+    vocab = [r[0] for r in s.term_dict.select("term").collect()]
+    terms = sorted(t for t in vocab if m.matches(t))
+    assert terms, "fixture vocabulary must contain t...e terms"
+
+    want = [
+        (r.doc_id, r.score)
+        for r in s.search(
+            BooleanQuery(should=[TermQuery(t) for t in terms],
+                         min_should_match=1),
+            k=20,
+        ).collect()
+    ]
+    got_join = [(r.doc_id, r.score)
+                for r in s.search(RegexpQuery(pat), k=20).collect()]
+    got_collect = [
+        (r.doc_id, r.score)
+        for r in s.search(
+            BooleanQuery(should=[RegexpQuery(pat)], min_should_match=1), k=20
+        ).collect()
+    ]
+    assert got_join == want
+    assert got_collect == want
