@@ -1322,6 +1322,9 @@ _PORTUGUESE_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "mer
 #: entry validates the chain plumbs through unchanged
 _RUSSIAN_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _SWEDISH_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "tabl"}]}}
+_NORWEGIAN_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "sca"}]}}
+_FINNISH_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "sor"}]}}
+_HUNGARIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "stre"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1366,6 +1369,18 @@ def _russian_chain_df(spark, sf_dir):
 
 def _swedish_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "swedish", _SWEDISH_AST)
+
+
+def _norwegian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "norwegian", _NORWEGIAN_AST)
+
+
+def _finnish_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "finnish", _FINNISH_AST)
+
+
+def _hungarian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "hungarian", _HUNGARIAN_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1814,6 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_portuguese_chain"] = _portuguese_chain_df
     out["bm25_russian_chain"] = _russian_chain_df
     out["bm25_swedish_chain"] = _swedish_chain_df
+    out["bm25_norwegian_chain"] = _norwegian_chain_df
+    out["bm25_finnish_chain"] = _finnish_chain_df
+    out["bm25_hungarian_chain"] = _hungarian_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2130,6 +2148,12 @@ ORDER BY t.score DESC, t.doc_id ASC
          _st.russian_chain_transform),
         ("bm25_swedish_chain", _SWEDISH_AST, _st.SV_STOP,
          _st.swedish_chain_transform),
+        ("bm25_norwegian_chain", _NORWEGIAN_AST, _st.NO_STOP,
+         _st.norwegian_chain_transform),
+        ("bm25_finnish_chain", _FINNISH_AST, _st.FI_STOP,
+         _st.finnish_chain_transform),
+        ("bm25_hungarian_chain", _HUNGARIAN_AST, _st.HU_STOP,
+         _st.hungarian_chain_transform),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

@@ -456,17 +456,36 @@ def _swedish_transform(token: str) -> str:
     return swedish_chain_transform(token)
 
 
+def _norwegian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import norwegian_chain_transform
+
+    return norwegian_chain_transform(token)
+
+
+def _finnish_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import finnish_chain_transform
+
+    return finnish_chain_transform(token)
+
+
+def _hungarian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import hungarian_chain_transform
+
+    return hungarian_chain_transform(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
-        DE_STOP, ES_STOP, FR_STOP_FULL, IT_STOP_FULL, PT_STOP, RU_STOP,
-        SV_STOP,
+        DE_STOP, ES_STOP, FI_STOP, FR_STOP_FULL, HU_STOP, IT_STOP_FULL,
+        NO_STOP, PT_STOP, RU_STOP, SV_STOP,
     )
 
-    return FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP, RU_STOP, SV_STOP
+    return (FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP, RU_STOP,
+            SV_STOP, NO_STOP, FI_STOP, HU_STOP)
 
 
 (_FR_STOP_FULL, _DE_STOP, _ES_STOP, _IT_STOP_FULL, _PT_STOP, _RU_STOP,
- _SV_STOP) = _lang_stops()
+ _SV_STOP, _NO_STOP, _FI_STOP, _HU_STOP) = _lang_stops()
 
 CHAIN_FILTERS: dict[str, tuple] = {
     "standard": (None, None, None),
@@ -486,6 +505,9 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "portuguese": (_PT_STOP, _portuguese_transform, None),
     "russian": (_RU_STOP, _russian_transform, None),
     "swedish": (_SV_STOP, _swedish_transform, None),
+    "norwegian": (_NO_STOP, _norwegian_transform, None),
+    "finnish": (_FI_STOP, _finnish_transform, None),
+    "hungarian": (_HU_STOP, _hungarian_transform, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -504,6 +526,9 @@ CHAIN_BASE: dict[str, str] = {
     "portuguese": "standard",
     "russian": "standard",
     "swedish": "standard",
+    "norwegian": "standard",
+    "finnish": "standard",
+    "hungarian": "standard",
 }
 
 
@@ -644,6 +669,18 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
     "swedish": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "norwegian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "finnish": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "hungarian": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

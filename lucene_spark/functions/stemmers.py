@@ -726,3 +726,371 @@ def swedish_chain_transform(token: str) -> str:
     """Swedish chain vocabulary tail — the SwedishLightStemFilter variant
     (same default-vs-light note as Russian)."""
     return swedish_light_stem(token)
+
+
+# --------------------------------------------------------------- Norwegian
+
+#: flags per ``no/NorwegianLightStemmer.java:66-69``
+NO_BOKMAAL, NO_NYNORSK = 1, 2
+
+
+def norwegian_light_stem(token: str, flags: int = NO_BOKMAAL) -> str:
+    """NorwegianLightStemmer (``no/NorwegianLightStemmer.java:87-184``) —
+    hand-crafted light stemmer adapted from the Swedish one; default
+    flags = BOKMAAL (``NorwegianLightStemFilter.java:43``). The default
+    NorwegianAnalyzer uses the Snowball stemmer; this chain is the
+    first-class Light-filter variant (same precedent as ru/sv)."""
+    bm = bool(flags & NO_BOKMAAL)
+    nn = bool(flags & NO_NYNORSK)
+    s = token
+    ln = len(s)
+    # possessive -s, then continue
+    if ln > 4 and s[ln - 1] == "s":
+        ln -= 1
+
+    def ew(suf):
+        return ln >= len(suf) and s[ln - len(suf):ln] == suf
+
+    if ln > 7 and ((ew("heter") and bm) or (ew("heten") and bm)
+                   or (ew("heita") and nn)):
+        return s[:ln - 5]
+    if ln > 8 and nn and (ew("heiter") or ew("leiken") or ew("leikar")):
+        return s[:ln - 6]
+    if ln > 5 and (ew("dom") or (ew("het") and bm)):
+        return s[:ln - 3]
+    if ln > 6 and nn and (ew("heit") or ew("semd") or ew("leik")):
+        return s[:ln - 4]
+    if ln > 7 and (ew("elser") or ew("elsen")):
+        return s[:ln - 5]
+    if ln > 6 and ((ew("ende") and bm) or (ew("ande") and nn) or ew("else")
+                   or (ew("este") and bm) or (ew("aste") and nn)
+                   or (ew("eren") and bm) or (ew("aren") and nn)):
+        return s[:ln - 4]
+    if ln > 5 and ((ew("ere") and bm) or (ew("are") and nn)
+                   or (ew("est") and bm) or (ew("ast") and nn)
+                   or ew("ene") or (ew("ane") and nn)):
+        return s[:ln - 3]
+    if ln > 4 and (ew("er") or ew("en") or ew("et") or (ew("ar") and nn)
+                   or (ew("st") and bm) or ew("te")):
+        return s[:ln - 2]
+    if ln > 3 and s[ln - 1] in "aen":
+        return s[:ln - 1]
+    return s[:ln]
+
+
+# ----------------------------------------------------------------- Finnish
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def finnish_light_stem(token: str) -> str:
+    """FinnishLightStemmer (Savoy CLEF-2003;
+    ``fi/FinnishLightStemmer.java:66-223``): fold ä/å->a ö->o, then
+    step1 (kin/ko recursion + dellinen/dellisuus), step2 (case endings),
+    step3 (locative/possessive ladder with in-place s-substitutions),
+    norm1 (hde->ksi + final-letter trims), norm2 (final vowel trims +
+    k/p/t gemination dedup). The default FinnishAnalyzer uses the
+    Snowball stemmer; this chain is the Light-filter variant."""
+    if len(token) < 4:
+        return token
+    s = list(token.translate(_FI_FOLD))
+    ln = len(s)
+
+    def ew(suf, n):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    # step1
+    def step1(n):
+        if n > 8:
+            if ew("kin", n):
+                return step1(n - 3)
+            if ew("ko", n):
+                return step1(n - 2)
+        if n > 11:
+            if ew("dellinen", n):
+                return n - 8
+            if ew("dellisuus", n):
+                return n - 9
+        return n
+
+    ln = step1(ln)
+    # step2
+    if ln > 5:
+        if ew("lla", ln) or ew("tse", ln) or ew("sti", ln):
+            ln -= 3
+        elif ew("ni", ln):
+            ln -= 2
+        elif ew("aa", ln):
+            ln -= 1
+    # step3
+    def step3(n):
+        if n > 8:
+            if ew("nnen", n):
+                s[n - 4] = "s"
+                return n - 3
+            if ew("ntena", n):
+                s[n - 5] = "s"
+                return n - 4
+            if ew("tten", n):
+                return n - 4
+            if ew("eiden", n):
+                return n - 5
+        if n > 6:
+            if (ew("neen", n) or ew("niin", n) or ew("seen", n)
+                    or ew("teen", n) or ew("inen", n)):
+                return n - 4
+            if s[n - 3] == "h" and s[n - 2] in _FI_VOWELS and s[n - 1] == "n":
+                return n - 3
+            if ew("den", n):
+                s[n - 3] = "s"
+                return n - 2
+            if ew("ksen", n):
+                s[n - 4] = "s"
+                return n - 3
+            if (ew("ssa", n) or ew("sta", n) or ew("lla", n) or ew("lta", n)
+                    or ew("tta", n) or ew("ksi", n) or ew("lle", n)):
+                return n - 3
+        if n > 5:
+            if ew("na", n) or ew("ne", n):
+                return n - 2
+            if ew("nei", n):
+                return n - 3
+        if n > 4:
+            if ew("ja", n) or ew("ta", n):
+                return n - 2
+            if s[n - 1] == "a":
+                return n - 1
+            if s[n - 1] == "n" and s[n - 2] in _FI_VOWELS:
+                return n - 2
+            if s[n - 1] == "n":
+                return n - 1
+        return n
+
+    ln = step3(ln)
+    # norm1 — the hde->ksi substitution does NOT return; the trailing
+    # trims then see the substituted buffer (reference behavior)
+    if ln > 5 and ew("hde", ln):
+        s[ln - 3] = "k"
+        s[ln - 2] = "s"
+        s[ln - 1] = "i"
+    if ln > 4 and (ew("ei", ln) or ew("at", ln)):
+        ln -= 2
+    elif ln > 3 and s[ln - 1] in "tsjeai":
+        ln -= 1
+    # norm2
+    if ln > 8 and s[ln - 1] in "eou":
+        ln -= 1
+    if ln > 4:
+        if s[ln - 1] == "i":
+            ln -= 1
+        if ln > 4:
+            ch = s[0]
+            i = 1
+            while i < ln:
+                if s[i] == ch and ch in "kpt":
+                    del s[i]
+                    ln -= 1
+                else:
+                    ch = s[i]
+                    i += 1
+    return "".join(s[:ln])
+
+
+_FI_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+
+
+# --------------------------------------------------------------- Hungarian
+
+_HU_FOLD = str.maketrans({
+    "á": "a", "ë": "e", "é": "e", "í": "i",
+    "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+    "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+})
+
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def hungarian_light_stem(token: str) -> str:
+    """HungarianLightStemmer (Savoy SAC-2006 UniNE;
+    ``hu/HungarianLightStemmer.java:64-244``): vowel fold, removeCase,
+    removePossessive, removePlural, normalize. The default
+    HungarianAnalyzer uses the Snowball stemmer; this chain is the
+    Light-filter variant."""
+    s = token.translate(_HU_FOLD)
+    ln = len(s)
+
+    def ew(suf, n):
+        return n >= len(suf) and s[n - len(suf):n] == suf
+
+    def vowel(c):
+        return c in _HU_VOWELS
+
+    # removeCase
+    def remove_case(n):
+        if n > 6 and ew("kent", n):
+            return n - 4
+        if n > 5:
+            if (ew("nak", n) or ew("nek", n) or ew("val", n) or ew("vel", n)
+                    or ew("ert", n) or ew("rol", n) or ew("ban", n)
+                    or ew("ben", n) or ew("bol", n) or ew("nal", n)
+                    or ew("nel", n) or ew("hoz", n) or ew("hez", n)
+                    or ew("tol", n)):
+                return n - 3
+            if (ew("al", n) or ew("el", n)) and not vowel(s[n - 3]) \
+                    and s[n - 3] == s[n - 4]:
+                return n - 3
+        if n > 4:
+            if (ew("at", n) or ew("et", n) or ew("ot", n) or ew("va", n)
+                    or ew("ve", n) or ew("ra", n) or ew("re", n)
+                    or ew("ba", n) or ew("be", n) or ew("ul", n)
+                    or ew("ig", n)):
+                return n - 2
+            if (ew("on", n) or ew("en", n)) and not vowel(s[n - 3]):
+                return n - 2
+            c = s[n - 1]
+            if c in "tn":
+                return n - 1
+            if c in "ae" and s[n - 2] == s[n - 3] and not vowel(s[n - 2]):
+                return n - 2
+        return n
+
+    # removePossessive
+    def remove_poss(n):
+        if n > 6:
+            if not vowel(s[n - 5]) and (ew("atok", n) or ew("otok", n)
+                                        or ew("etek", n)):
+                return n - 4
+            if ew("itek", n) or ew("itok", n):
+                return n - 4
+        if n > 5:
+            if not vowel(s[n - 4]) and (ew("unk", n) or ew("tok", n)
+                                        or ew("tek", n)):
+                return n - 3
+            if vowel(s[n - 4]) and ew("juk", n):
+                return n - 3
+            if ew("ink", n):
+                return n - 3
+        if n > 4:
+            if not vowel(s[n - 3]) and (ew("am", n) or ew("em", n)
+                                        or ew("om", n) or ew("ad", n)
+                                        or ew("ed", n) or ew("od", n)
+                                        or ew("uk", n)):
+                return n - 2
+            if vowel(s[n - 3]) and (ew("nk", n) or ew("ja", n)
+                                    or ew("je", n)):
+                return n - 2
+            if ew("im", n) or ew("id", n) or ew("ik", n):
+                return n - 2
+        if n > 3:
+            c = s[n - 1]
+            if c in "ae":
+                if not vowel(s[n - 2]):
+                    return n - 1
+            elif c in "md":
+                if vowel(s[n - 2]):
+                    return n - 1
+            elif c == "i":
+                return n - 1
+        return n
+
+    # removePlural — note the reference's intentional fallthrough:
+    # -ak/-ok/-ek drop 2 only when len > 4, else (and for any other
+    # letter before k) drop 1
+    def remove_plural(n):
+        if n > 3 and s[n - 1] == "k":
+            if s[n - 2] in "aoe" and n > 4:
+                return n - 2
+            return n - 1
+        return n
+
+    def normalize(n):
+        if n > 3 and s[n - 1] in "aeio":
+            return n - 1
+        return n
+
+    ln = remove_case(ln)
+    ln = remove_poss(ln)
+    ln = remove_plural(ln)
+    ln = normalize(ln)
+    return s[:ln]
+
+
+def norwegian_chain_transform(token: str) -> str:
+    """Norwegian chain vocabulary tail — NorwegianLightStemFilter default
+    flags (BOKMAAL)."""
+    return norwegian_light_stem(token)
+
+
+def finnish_chain_transform(token: str) -> str:
+    """Finnish chain vocabulary tail — FinnishLightStemFilter variant."""
+    return finnish_light_stem(token)
+
+
+def hungarian_chain_transform(token: str) -> str:
+    """Hungarian chain vocabulary tail — HungarianLightStemFilter variant."""
+    return hungarian_light_stem(token)
+
+
+# snowball stop lists (same provenance as the sets above)
+NO_STOP = frozenset((
+    "og i jeg det at en et den til er som på de med han av ikke ikkje "
+    "der så var meg seg men ett har om vi min mitt ha hadde hun nå over "
+    "da ved fra du ut sin dem oss opp man kan hans hvor eller hva skal "
+    "selv sjøl her alle vil bli ble blei blitt kunne inn når være kom "
+    "noen noe ville dere deres kun ja etter ned skulle denne for deg si "
+    "sine sitt mot å meget hvorfor dette disse uten hvordan ingen din "
+    "ditt blir samme hvilken hvilke sånn inni mellom vår hver hvem vors "
+    "hvis både bare enn fordi før mange også slik vært båe begge siden "
+    "dykk dykkar dei deira deires deim di då eg ein eit eitt elles "
+    "honom hjå ho hoe henne hennar hennes hoss hossen ingi inkje "
+    "korleis korso kva kvar kvarhelst kven kvi kvifor me medan mi mine "
+    "mykje no nokon noka nokor noko nokre sia sidan so somt somme um "
+    "upp vere vore verte vort varte vart "
+).split())
+
+FI_STOP = frozenset((
+    "olla olen olet on olemme olette ovat ole oli olisi olisit olisin "
+    "olisimme olisitte olisivat olit olin olimme olitte olivat ollut "
+    "olleet en et ei emme ette eivät minä minun minut minua minussa "
+    "minusta minuun minulla minulta minulle sinä sinun sinut sinua "
+    "sinussa sinusta sinuun sinulla sinulta sinulle hän hänen hänet "
+    "häntä hänessä hänestä häneen hänellä häneltä hänelle me meidän "
+    "meidät meitä meissä meistä meihin meillä meiltä meille te teidän "
+    "teidät teitä teissä teistä teihin teillä teiltä teille he heidän "
+    "heidät heitä heissä heistä heihin heillä heiltä heille tämä tämän "
+    "tätä tässä tästä tähän tällä tältä tälle tänä täksi tuo tuon tuota "
+    "tuossa tuosta tuohon tuolla tuolta tuolle tuona tuoksi se sen sitä "
+    "siinä siitä siihen sillä siltä sille siksi nämä näiden näitä "
+    "näissä näistä näihin näillä näiltä näille näinä näiksi nuo noiden "
+    "noita noissa noista noihin noilla noilta noille noina noiksi ne "
+    "niiden niitä niissä niistä niihin niillä niiltä niille niinä "
+    "niiksi kuka kenen kenet ketä kenessä kenestä keneen kenellä "
+    "keneltä kenelle kenenä keneksi ketkä keiden keitä keissä keistä "
+    "keihin keillä keiltä keille keinä keiksi mikä minkä mitä missä "
+    "mistä mihin millä miltä mille miksi mitkä joka jonka jota jossa "
+    "josta johon jolla jolta jolle jona joksi jotka joiden joita joissa "
+    "joista joihin joilla joilta joille joina joiksi että ja jos koska "
+    "kuin mutta niin sekä tai vaan vai vaikka kanssa mukaan noin poikki "
+    "yli kun nyt itse "
+).split())
+
+HU_STOP = frozenset((
+    "a ahogy ahol aki akik akkor alatt által általában amely amelyek "
+    "amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor "
+    "át abban ahhoz annak arra arról az azok azon azt azzal azért aztán "
+    "azután azonban bár be belül benne cikk cikkek cikkeket csak de e "
+    "eddig egész egy egyes egyetlen egyéb egyik egyre ekkor el elég "
+    "ellen elő először előtt első én éppen ebben ehhez emilyen ennek "
+    "erre ez ezt ezek ezen ezzel ezért és fel felé hanem hiszen hogy "
+    "hogyan igen így illetve ill. ill ilyen ilyenkor ison ismét itt jó "
+    "jól jobban kell kellett keresztül keressünk ki kívül között közül "
+    "legalább lehet lehetett legyen lenne lenni lesz lett maga magát "
+    "majd már más másik meg még mellett mert mely melyek mi mit míg "
+    "miért milyen mikor minden mindent mindenki mindig mint mintha "
+    "mivel most nagy nagyobb nagyon ne néha nekem neki nem néhány "
+    "nélkül nincs olyan ott össze ő ők őket pedig persze rá s saját sem "
+    "semmi sok sokat sokkal számára szemben szerint szinte talán tehát "
+    "teljes tovább továbbá több úgy ugyanis új újabb újra után utána "
+    "utolsó vagy vagyis valaki valami valamint való vagyok van vannak "
+    "volt voltam voltak voltunk vissza vele viszont volna "
+).split())
