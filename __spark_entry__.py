@@ -1325,6 +1325,12 @@ _SWEDISH_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "tabl"}
 _NORWEGIAN_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "sca"}]}}
 _FINNISH_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "sor"}]}}
 _HUNGARIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "stre"}]}}
+_CZECH_AST = {"bool": {"must": [{"term": "filtr"}], "should": [{"term": "merg"}]}}
+#: bulgarian: Cyrillic-only rules and stopwords — identity on this ASCII
+#: corpus (real Bulgarian text pinned in tests/test_stemmers.py); same
+#: plumb-through validation as russian
+_BULGARIAN_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
+_LATVIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "stre"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1381,6 +1387,18 @@ def _finnish_chain_df(spark, sf_dir):
 
 def _hungarian_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "hungarian", _HUNGARIAN_AST)
+
+
+def _czech_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "czech", _CZECH_AST)
+
+
+def _bulgarian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "bulgarian", _BULGARIAN_AST)
+
+
+def _latvian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "latvian", _LATVIAN_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1832,6 +1850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_norwegian_chain"] = _norwegian_chain_df
     out["bm25_finnish_chain"] = _finnish_chain_df
     out["bm25_hungarian_chain"] = _hungarian_chain_df
+    out["bm25_czech_chain"] = _czech_chain_df
+    out["bm25_bulgarian_chain"] = _bulgarian_chain_df
+    out["bm25_latvian_chain"] = _latvian_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2154,6 +2175,12 @@ ORDER BY t.score DESC, t.doc_id ASC
          _st.finnish_chain_transform),
         ("bm25_hungarian_chain", _HUNGARIAN_AST, _st.HU_STOP,
          _st.hungarian_chain_transform),
+        ("bm25_czech_chain", _CZECH_AST, _st.CZ_STOP,
+         _st.czech_chain_transform),
+        ("bm25_bulgarian_chain", _BULGARIAN_AST, _st.BG_STOP,
+         _st.bulgarian_chain_transform),
+        ("bm25_latvian_chain", _LATVIAN_AST, _st.LV_STOP,
+         _st.latvian_chain_transform),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

@@ -474,18 +474,37 @@ def _hungarian_transform(token: str) -> str:
     return hungarian_chain_transform(token)
 
 
+def _czech_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import czech_chain_transform
+
+    return czech_chain_transform(token)
+
+
+def _bulgarian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import bulgarian_chain_transform
+
+    return bulgarian_chain_transform(token)
+
+
+def _latvian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import latvian_chain_transform
+
+    return latvian_chain_transform(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
-        DE_STOP, ES_STOP, FI_STOP, FR_STOP_FULL, HU_STOP, IT_STOP_FULL,
-        NO_STOP, PT_STOP, RU_STOP, SV_STOP,
+        BG_STOP, CZ_STOP, DE_STOP, ES_STOP, FI_STOP, FR_STOP_FULL,
+        HU_STOP, IT_STOP_FULL, LV_STOP, NO_STOP, PT_STOP, RU_STOP, SV_STOP,
     )
 
     return (FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP, RU_STOP,
-            SV_STOP, NO_STOP, FI_STOP, HU_STOP)
+            SV_STOP, NO_STOP, FI_STOP, HU_STOP, CZ_STOP, BG_STOP, LV_STOP)
 
 
 (_FR_STOP_FULL, _DE_STOP, _ES_STOP, _IT_STOP_FULL, _PT_STOP, _RU_STOP,
- _SV_STOP, _NO_STOP, _FI_STOP, _HU_STOP) = _lang_stops()
+ _SV_STOP, _NO_STOP, _FI_STOP, _HU_STOP, _CZ_STOP, _BG_STOP,
+ _LV_STOP) = _lang_stops()
 
 CHAIN_FILTERS: dict[str, tuple] = {
     "standard": (None, None, None),
@@ -508,6 +527,9 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "norwegian": (_NO_STOP, _norwegian_transform, None),
     "finnish": (_FI_STOP, _finnish_transform, None),
     "hungarian": (_HU_STOP, _hungarian_transform, None),
+    "czech": (_CZ_STOP, _czech_transform, None),
+    "bulgarian": (_BG_STOP, _bulgarian_transform, None),
+    "latvian": (_LV_STOP, _latvian_transform, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -529,6 +551,9 @@ CHAIN_BASE: dict[str, str] = {
     "norwegian": "standard",
     "finnish": "standard",
     "hungarian": "standard",
+    "czech": "standard",
+    "bulgarian": "standard",
+    "latvian": "standard",
 }
 
 
@@ -681,6 +706,18 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
     "hungarian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "czech": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "bulgarian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "latvian": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

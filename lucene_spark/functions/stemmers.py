@@ -1094,3 +1094,266 @@ HU_STOP = frozenset((
     "utolsó vagy vagyis valaki valami valamint való vagyok van vannak "
     "volt voltam voltak voltunk vissza vele viszont volna "
 ).split())
+
+
+# ------------------------------------------------------------------- Czech
+
+_CZ_SUF3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+            "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+            "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_SUF2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+            "mi", "ou")
+
+
+def czech_stem(token: str) -> str:
+    """CzechStemmer (``cz/CzechStemmer.java``, the CzechAnalyzer DEFAULT;
+    Dolamic & Savoy light stemmer for Czech): case ladder, possessive
+    ov/in/ův, then palatalization-undoing normalize (čt->ck, št->sk,
+    c/č->k, z/ž->h, e-deletion, ů->o)."""
+    s = list(token)
+    ln = len(s)
+
+    def ew(suf, n):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    # removeCase
+    if ln > 7 and ew("atech", ln):
+        ln -= 5
+    elif ln > 6 and (ew("ětem", ln) or ew("etem", ln) or ew("atům", ln)):
+        ln -= 4
+    elif ln > 5 and any(ew(x, ln) for x in _CZ_SUF3):
+        ln -= 3
+    elif ln > 4 and any(ew(x, ln) for x in _CZ_SUF2):
+        ln -= 2
+    elif ln > 3 and s[ln - 1] in "aeiouůyáéíýě":
+        ln -= 1
+    # removePossessives
+    if ln > 5 and (ew("ov", ln) or ew("in", ln) or ew("ův", ln)):
+        ln -= 2
+    # normalize
+    if ln > 0:
+        if ew("čt", ln):
+            s[ln - 2], s[ln - 1] = "c", "k"
+        elif ew("št", ln):
+            s[ln - 2], s[ln - 1] = "s", "k"
+        elif s[ln - 1] in "cč":
+            s[ln - 1] = "k"
+        elif s[ln - 1] in "zž":
+            s[ln - 1] = "h"
+        elif ln > 1 and s[ln - 2] == "e":
+            s[ln - 2] = s[ln - 1]
+            ln -= 1
+        elif ln > 2 and s[ln - 2] == "ů":
+            s[ln - 2] = "o"
+    return "".join(s[:ln])
+
+
+# --------------------------------------------------------------- Bulgarian
+
+def bulgarian_stem(token: str) -> str:
+    """BulgarianStemmer (``bg/BulgarianStemmer.java``, the
+    BulgarianAnalyzer DEFAULT — Savoy's light stemmer with the paper's
+    duplicated ен->н rule fixed as in the referenced perl): article
+    removal, plural removal with consonant restorations (ци->к, зи->г,
+    си->х, еи->я, еве->йв), vowel trims, ен->н, ъN->N."""
+    s = list(token)
+    ln = len(s)
+    if ln < 4:
+        return token
+
+    def ew(suf, n):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    if ln > 5 and ew("ища", ln):
+        return token[:ln - 3]
+    # removeArticle
+    if ln > 6 and ew("ият", ln):
+        ln -= 3
+    elif ln > 5 and (ew("ът", ln) or ew("то", ln) or ew("те", ln)
+                     or ew("та", ln) or ew("ия", ln)):
+        ln -= 2
+    elif ln > 4 and ew("ят", ln):
+        ln -= 2
+    # removePlural
+    if ln > 6 and ew("овци", ln):
+        ln -= 3
+    elif ln > 6 and ew("ове", ln):
+        ln -= 3
+    elif ln > 6 and ew("еве", ln):
+        s[ln - 3] = "й"
+        ln -= 2
+    elif ln > 5 and ew("ища", ln):
+        ln -= 3
+    elif ln > 5 and ew("та", ln):
+        ln -= 2
+    elif ln > 5 and ew("ци", ln):
+        s[ln - 2] = "к"
+        ln -= 1
+    elif ln > 5 and ew("зи", ln):
+        s[ln - 2] = "г"
+        ln -= 1
+    elif ln > 5 and s[ln - 3] == "е" and s[ln - 1] == "и":
+        s[ln - 3] = "я"
+        ln -= 1
+    elif ln > 4 and ew("си", ln):
+        s[ln - 2] = "х"
+        ln -= 1
+    elif ln > 4 and ew("и", ln):
+        ln -= 1
+    # vowel trims — the reference checks len>3 ONCE: after the я trim the
+    # а/о/е trim still fires at len==3 (caught by the compiled-parity fuzz)
+    if ln > 3:
+        if ew("я", ln):
+            ln -= 1
+        if ew("а", ln) or ew("о", ln) or ew("е", ln):
+            ln -= 1
+    if ln > 4 and ew("ен", ln):
+        s[ln - 2] = "н"
+        ln -= 1
+    if ln > 5 and s[ln - 2] == "ъ":
+        s[ln - 2] = s[ln - 1]
+        ln -= 1
+    return "".join(s[:ln])
+
+
+# ----------------------------------------------------------------- Latvian
+
+#: (affix, vowel-count threshold, palatalizes) in match order —
+#: ``lv/LatvianStemmer.java`` affixes table
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def latvian_stem(token: str) -> str:
+    """LatvianStemmer (``lv/LatvianStemmer.java``, the LatvianAnalyzer
+    DEFAULT; Kreslins' algorithm): first affix in table order with enough
+    vowels left and length >= affix+3 is removed; palatalizing affixes
+    (iem/us/os/u/a/i) then undo consonant palatalization — note the
+    reference inspects the REMOVED character (s[len]) for the u-only
+    kš->kst / ņņ->nn rules."""
+    s = list(token)
+    ln = len(s)
+    nv = sum(1 for c in s if c in _LV_VOWELS)
+
+    def ew(suf, n):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and ln >= len(affix) + 3 and ew(affix, ln):
+            ln -= len(affix)
+            if not palatalizes:
+                return "".join(s[:ln])
+            # unpalatalize — s[ln] is the first REMOVED char
+            if s[ln] == "u":
+                if ew("kš", ln):
+                    ln += 1
+                    s[ln - 2], s[ln - 1] = "s", "t"
+                    return "".join(s[:ln])
+                if ew("ņņ", ln):
+                    s[ln - 2], s[ln - 1] = "n", "n"
+                    return "".join(s[:ln])
+            if ew("pj", ln) or ew("bj", ln) or ew("mj", ln) or ew("vj", ln):
+                ln -= 1
+            elif ew("šņ", ln):
+                s[ln - 2], s[ln - 1] = "s", "n"
+            elif ew("žņ", ln):
+                s[ln - 2], s[ln - 1] = "z", "n"
+            elif ew("šļ", ln):
+                s[ln - 2], s[ln - 1] = "s", "l"
+            elif ew("žļ", ln):
+                s[ln - 2], s[ln - 1] = "z", "l"
+            elif ew("ļņ", ln):
+                s[ln - 2], s[ln - 1] = "l", "n"
+            elif ew("ļļ", ln):
+                s[ln - 2], s[ln - 1] = "l", "l"
+            elif s[ln - 1] == "č":
+                s[ln - 1] = "c"
+            elif s[ln - 1] == "ļ":
+                s[ln - 1] = "l"
+            elif s[ln - 1] == "ņ":
+                s[ln - 1] = "n"
+            return "".join(s[:ln])
+    return "".join(s[:ln])
+
+
+def czech_chain_transform(token: str) -> str:
+    """CzechAnalyzer vocabulary tail (the DEFAULT analyzer stemmer)."""
+    return czech_stem(token)
+
+
+def bulgarian_chain_transform(token: str) -> str:
+    """BulgarianAnalyzer vocabulary tail (the DEFAULT analyzer stemmer)."""
+    return bulgarian_stem(token)
+
+
+def latvian_chain_transform(token: str) -> str:
+    """LatvianAnalyzer vocabulary tail (the DEFAULT analyzer stemmer)."""
+    return latvian_stem(token)
+
+
+# per-language stopword files from the reference's resources
+# (WordlistLoader.getWordSet format: one word per line, '#' comments)
+CZ_STOP = frozenset((
+    "a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta "
+    "tomto tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří "
+    "mi nám tom tomuto mít nic proto kterou byla toho protože asi ho "
+    "naši napište re což tím takže svých její svými jste aj tu tedy "
+    "teto bylo kde ke pravé ji nad nejsou či pod téma mezi přes ty pak "
+    "vám ani když však neg jsem tento článku články aby jsme před pta "
+    "jejich byl ještě až bez také pouze první vaše která nás nový tipy "
+    "pokud může strana jeho své jiné zprávy nové není vás jen podle zde "
+    "už být více bude již než který by které co nebo ten tak má při od "
+    "po jsou jak další ale si se ve to jako za zpět ze do pro je na atd "
+    "atp jakmile přičemž já on ona ono oni ony my vy jí mě mne jemu "
+    "tomu těm těmu němu němuž jehož jíž jelikož jež jakož načež "
+).split())
+
+BG_STOP = frozenset((
+    "а аз ако ала бе без беше би бил била били било близо бъдат бъде "
+    "бяха в вас ваш ваша вероятно вече взема ви вие винаги все всеки "
+    "всички всичко всяка във въпреки върху г ги главно го д да дали до "
+    "докато докога дори досега доста е едва един ето за зад заедно "
+    "заради засега затова защо защото и из или им има имат иска й каза "
+    "как каква какво както какъв като кога когато което които кой който "
+    "колко която къде където към ли м ме между мен ми мнозина мога "
+    "могат може моля момента му н на над назад най направи напред "
+    "например нас не него нея ни ние никой нито но някои някой няма "
+    "обаче около освен особено от отгоре отново още пак по повече "
+    "повечето под поне поради после почти прави пред преди през при пък "
+    "първо с са само се сега си скоро след сме според сред срещу сте "
+    "съм със също т тази така такива такъв там твой те тези ти тн то "
+    "това тогава този той толкова точно трябва тук тъй тя тях у харесва "
+    "ч че често чрез ще щом я "
+).split())
+
+LV_STOP = frozenset((
+    "aiz ap ar apakš ārpus augšpus bez caur dēļ gar iekš iz kopš labad "
+    "lejpus līdz no otrpus pa par pār pēc pie pirms pret priekš starp "
+    "šaipus uz viņpus virs virspus zem apakšpus un bet jo ja ka lai "
+    "tomēr tikko turpretī arī kaut gan tādēļ tā ne tikvien vien kā ir "
+    "te vai kamēr diezin droši diemžēl nebūt ik it taču nu pat tiklab "
+    "iekšpus nedz tik nevis turpretim jeb iekam iekām iekāms kolīdz "
+    "līdzko tiklīdz jebšu tālab tāpēc nekā itin jā jau jel nē nezin tad "
+    "tikai vis tak iekams būt biju biji bija bijām bijāt esmu esi esam "
+    "esat būšu būsi būs būsim būsiet tikt tiku tiki tika tikām tikāt "
+    "tieku tiec tiek tiekam tiekat tikšu tiks tiksim tiksiet tapt tapi "
+    "tapāt topat tapšu tapsi taps tapsim tapsiet kļūt kļuvu kļuvi kļuva "
+    "kļuvām kļuvāt kļūstu kļūsti kļūst kļūstam kļūstat kļūšu kļūsi kļūs "
+    "kļūsim kļūsiet varēt varēju varējām varēšu varēsim var varēji "
+    "varējāt varēsi varēsiet varat varēja varēs "
+).split())
