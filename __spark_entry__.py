@@ -1331,6 +1331,11 @@ _CZECH_AST = {"bool": {"must": [{"term": "filtr"}], "should": [{"term": "merg"}]
 #: plumb-through validation as russian
 _BULGARIAN_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _LATVIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "stre"}]}}
+#: indonesian/greek: no ASCII-corpus rewrites (syllable guards / Greek-only
+#: rules) — plumb-through validation like russian/bulgarian; real text
+#: pinned in tests/test_stemmers.py
+_INDONESIAN_AST = {"bool": {"must": [{"term": "filter"}], "should": [{"term": "scan"}]}}
+_GREEK_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "table"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1399,6 +1404,14 @@ def _bulgarian_chain_df(spark, sf_dir):
 
 def _latvian_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "latvian", _LATVIAN_AST)
+
+
+def _indonesian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "indonesian", _INDONESIAN_AST)
+
+
+def _greek_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "greek", _GREEK_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1853,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_czech_chain"] = _czech_chain_df
     out["bm25_bulgarian_chain"] = _bulgarian_chain_df
     out["bm25_latvian_chain"] = _latvian_chain_df
+    out["bm25_indonesian_chain"] = _indonesian_chain_df
+    out["bm25_greek_chain"] = _greek_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2181,6 +2196,10 @@ ORDER BY t.score DESC, t.doc_id ASC
          _st.bulgarian_chain_transform),
         ("bm25_latvian_chain", _LATVIAN_AST, _st.LV_STOP,
          _st.latvian_chain_transform),
+        ("bm25_indonesian_chain", _INDONESIAN_AST, _st.ID_STOP,
+         _st.indonesian_chain_transform),
+        ("bm25_greek_chain", _GREEK_AST, _st.EL_STOP_FULL,
+         _st.greek_chain_transform),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

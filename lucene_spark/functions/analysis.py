@@ -492,19 +492,33 @@ def _latvian_transform(token: str) -> str:
     return latvian_chain_transform(token)
 
 
+def _indonesian_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import indonesian_chain_transform
+
+    return indonesian_chain_transform(token)
+
+
+def _greek_transform(token: str) -> str:
+    from lucene_spark.functions.stemmers import greek_chain_transform
+
+    return greek_chain_transform(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
-        BG_STOP, CZ_STOP, DE_STOP, ES_STOP, FI_STOP, FR_STOP_FULL,
-        HU_STOP, IT_STOP_FULL, LV_STOP, NO_STOP, PT_STOP, RU_STOP, SV_STOP,
+        BG_STOP, CZ_STOP, DE_STOP, EL_STOP_FULL, ES_STOP, FI_STOP,
+        FR_STOP_FULL, HU_STOP, ID_STOP, IT_STOP_FULL, LV_STOP, NO_STOP,
+        PT_STOP, RU_STOP, SV_STOP,
     )
 
     return (FR_STOP_FULL, DE_STOP, ES_STOP, IT_STOP_FULL, PT_STOP, RU_STOP,
-            SV_STOP, NO_STOP, FI_STOP, HU_STOP, CZ_STOP, BG_STOP, LV_STOP)
+            SV_STOP, NO_STOP, FI_STOP, HU_STOP, CZ_STOP, BG_STOP, LV_STOP,
+            ID_STOP, EL_STOP_FULL)
 
 
 (_FR_STOP_FULL, _DE_STOP, _ES_STOP, _IT_STOP_FULL, _PT_STOP, _RU_STOP,
  _SV_STOP, _NO_STOP, _FI_STOP, _HU_STOP, _CZ_STOP, _BG_STOP,
- _LV_STOP) = _lang_stops()
+ _LV_STOP, _ID_STOP, _EL_STOP_FULL) = _lang_stops()
 
 CHAIN_FILTERS: dict[str, tuple] = {
     "standard": (None, None, None),
@@ -530,6 +544,8 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "czech": (_CZ_STOP, _czech_transform, None),
     "bulgarian": (_BG_STOP, _bulgarian_transform, None),
     "latvian": (_LV_STOP, _latvian_transform, None),
+    "indonesian": (_ID_STOP, _indonesian_transform, None),
+    "greek": (_EL_STOP_FULL, _greek_transform, None),
 }
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
@@ -554,6 +570,8 @@ CHAIN_BASE: dict[str, str] = {
     "czech": "standard",
     "bulgarian": "standard",
     "latvian": "standard",
+    "indonesian": "standard",
+    "greek": "standard",
 }
 
 
@@ -718,6 +736,14 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
     "latvian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "indonesian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "greek": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

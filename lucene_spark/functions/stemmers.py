@@ -1357,3 +1357,676 @@ LV_STOP = frozenset((
     "kļūsim kļūsiet varēt varēju varējām varēšu varēsim var varēji "
     "varējāt varēsi varēsiet varat varēja varēs "
 ).split())
+
+
+# -------------------------------------------------------------- Indonesian
+
+_ID_VOWELS = frozenset("aeiou")
+
+# flags per ``id/IndonesianStemmer.java:33-46``
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64)
+
+
+def indonesian_stem(token: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemmer (``id/IndonesianStemmer.java:58-271``, the
+    IndonesianAnalyzer DEFAULT; Asian, Williams & Tahaghoghi's algorithm):
+    inflectional particles (kah/lah/pun) + possessive pronouns (ku/mu/nya)
+    always; derivational prefixes (meng-/peng-/di-/ter-/ke-/ber-/per-/pe-)
+    and suffixes (-kan/-an/-i) by default, with the prefix-suffix
+    disallowed-combination flags and the syllable-count (>2) guards."""
+    s = list(token)
+    ln = len(s)
+    state = {
+        "syl": sum(1 for c in s if c in _ID_VOWELS),
+        "flags": 0,
+    }
+
+    def ew(suf, n):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    def sw(pre, n):
+        return n >= len(pre) and "".join(s[:len(pre)]) == pre
+
+    def drop_prefix(k):
+        del s[:k]
+
+    def remove_particle(n):
+        if ew("kah", n) or ew("lah", n) or ew("pun", n):
+            state["syl"] -= 1
+            return n - 3
+        return n
+
+    def remove_possessive(n):
+        if ew("ku", n) or ew("mu", n):
+            state["syl"] -= 1
+            return n - 2
+        if ew("nya", n):
+            state["syl"] -= 1
+            return n - 3
+        return n
+
+    def remove_first_order_prefix(n):
+        for pre, k, flag, subst in (
+            ("meng", 4, _ID_MENG, None),
+            ("meny", 3, _ID_MENG, ("v4", 3, "s")),   # meny+vowel: y->s
+            ("men", 3, _ID_MENG, None),
+            ("mem", 3, _ID_MENG, None),
+            ("me", 2, _ID_MENG, None),
+            ("peng", 4, _ID_PENG, None),
+            ("peny", 3, _ID_PENG, ("v4", 3, "s")),
+            ("peny", 4, _ID_PENG, None),
+            ("pen", 2, _ID_PENG, ("v3", 2, "t")),    # pen+vowel: n->t
+            ("pen", 3, _ID_PENG, None),
+            ("pem", 3, _ID_PENG, None),
+            ("di", 2, _ID_DI, None),
+            ("ter", 3, _ID_TER, None),
+            ("ke", 2, _ID_KE, None),
+        ):
+            if not sw(pre, n):
+                continue
+            if subst is not None:
+                vowel_at = 4 if subst[0] == "v4" else 3
+                if not (n > vowel_at and s[vowel_at] in _ID_VOWELS):
+                    continue
+                s[subst[1]] = subst[2]
+            state["flags"] |= flag
+            state["syl"] -= 1
+            drop_prefix(k)
+            return n - k
+        return n
+
+    def remove_second_order_prefix(n):
+        if sw("ber", n):
+            state["flags"] |= _ID_BER
+            state["syl"] -= 1
+            drop_prefix(3)
+            return n - 3
+        if n == 7 and sw("belajar", n):
+            state["flags"] |= _ID_BER
+            state["syl"] -= 1
+            drop_prefix(3)
+            return n - 3
+        if (sw("be", n) and n > 4 and s[2] not in _ID_VOWELS
+                and s[3] == "e" and s[4] == "r"):
+            state["flags"] |= _ID_BER
+            state["syl"] -= 1
+            drop_prefix(2)
+            return n - 2
+        if sw("per", n):
+            state["syl"] -= 1
+            drop_prefix(3)
+            return n - 3
+        if n == 7 and sw("pelajar", n):
+            state["syl"] -= 1
+            drop_prefix(3)
+            return n - 3
+        if sw("pe", n):
+            state["flags"] |= _ID_PE
+            state["syl"] -= 1
+            drop_prefix(2)
+            return n - 2
+        return n
+
+    def remove_suffix(n):
+        f = state["flags"]
+        if ew("kan", n) and not f & (_ID_KE | _ID_PENG | _ID_PE):
+            state["syl"] -= 1
+            return n - 3
+        if ew("an", n) and not f & (_ID_DI | _ID_MENG | _ID_TER):
+            state["syl"] -= 1
+            return n - 2
+        if (ew("i", n) and not ew("si", n)
+                and not f & (_ID_BER | _ID_KE | _ID_PENG)):
+            state["syl"] -= 1
+            return n - 1
+        return n
+
+    if state["syl"] > 2:
+        ln = remove_particle(ln)
+    if state["syl"] > 2:
+        ln = remove_possessive(ln)
+    if stem_derivational:
+        old = ln
+        if state["syl"] > 2:
+            ln = remove_first_order_prefix(ln)
+        if old != ln:
+            old = ln
+            if state["syl"] > 2:
+                ln = remove_suffix(ln)
+            if old != ln and state["syl"] > 2:
+                ln = remove_second_order_prefix(ln)
+        else:
+            if state["syl"] > 2:
+                ln = remove_second_order_prefix(ln)
+            if state["syl"] > 2:
+                ln = remove_suffix(ln)
+    return "".join(s[:ln])
+
+
+def indonesian_chain_transform(token: str) -> str:
+    """IndonesianAnalyzer vocabulary tail (the DEFAULT analyzer stemmer,
+    derivational stemming on)."""
+    return indonesian_stem(token)
+
+
+ID_STOP = frozenset((
+    "ada adanya adalah adapun agak agaknya agar akan akankah akhirnya "
+    "aku akulah amat amatlah anda andalah antar diantaranya antara "
+    "antaranya diantara apa apaan mengapa apabila apakah apalagi apatah "
+    "atau ataukah ataupun bagai bagaikan sebagai sebagainya bagaimana "
+    "bagaimanapun sebagaimana bagaimanakah bagi bahkan bahwa bahwasanya "
+    "sebaliknya banyak sebanyak beberapa seberapa begini beginian "
+    "beginikah beginilah sebegini begitu begitukah begitulah begitupun "
+    "sebegitu belum belumlah sebelum sebelumnya sebenarnya berapa "
+    "berapakah berapalah berapapun betulkah sebetulnya biasa biasanya "
+    "bila bilakah bisa bisakah sebisanya boleh bolehkah bolehlah buat "
+    "bukan bukankah bukanlah bukannya cuma percuma dahulu dalam dan "
+    "dapat dari daripada dekat demi demikian demikianlah sedemikian "
+    "dengan depan di dia dialah dini diri dirinya terdiri dong dulu "
+    "enggak enggaknya entah entahlah terhadap terhadapnya hal hampir "
+    "hanya hanyalah harus haruslah harusnya seharusnya hendak hendaklah "
+    "hendaknya hingga sehingga ia ialah ibarat ingin inginkah inginkan "
+    "ini inikah inilah itu itukah itulah jangan jangankan janganlah "
+    "jika jikalau juga justru kala kalau kalaulah kalaupun kalian kami "
+    "kamilah kamu kamulah kan kapan kapankah kapanpun dikarenakan "
+    "karena karenanya ke kecil kemudian kenapa kepada kepadanya ketika "
+    "seketika khususnya kini kinilah kiranya sekiranya kita kitalah kok "
+    "lagi lagian selagi lah lain lainnya melainkan selaku lalu melalui "
+    "terlalu lama lamanya selama selamanya lebih terlebih bermacam "
+    "macam semacam maka makanya makin malah malahan mampu mampukah mana "
+    "manakala manalagi masih masihkah semasih masing mau maupun "
+    "semaunya memang mereka merekalah meski meskipun semula mungkin "
+    "mungkinkah nah namun nanti nantinya nyaris oleh olehnya seorang "
+    "seseorang pada padanya padahal paling sepanjang pantas sepantasnya "
+    "sepantasnyalah para pasti pastilah per pernah pula pun merupakan "
+    "rupanya serupa saat saatnya sesaat saja sajalah saling bersama "
+    "sama sesama sambil sampai sana sangat sangatlah saya sayalah se "
+    "sebab sebabnya sebuah tersebut tersebutlah sedang sedangkan "
+    "sedikit sedikitnya segala segalanya segera sesegera sejak sejenak "
+    "sekali sekalian sekalipun sesekali sekaligus sekarang sekitar "
+    "sekitarnya sela selain selalu seluruh seluruhnya semakin sementara "
+    "sempat semua semuanya sendiri sendirinya seolah seperti sepertinya "
+    "sering seringnya serta siapa siapakah siapapun disini disinilah "
+    "sini sinilah sesuatu sesuatunya suatu sesudah sesudahnya sudah "
+    "sudahkah sudahlah supaya tadi tadinya tak tanpa setelah telah "
+    "tentang tentu tentulah tentunya tertentu seterusnya tapi tetapi "
+    "setiap tiap setidaknya tidak tidakkah tidaklah toh waduh wah wahai "
+    "sewaktu walau walaupun wong yaitu yakni yang "
+).split())
+
+
+# ------------------------------------------------------------------- Greek
+
+#: GreekLowerCaseFilter's fold BEYOND plain per-codepoint toLowerCase
+#: (``el/GreekLowerCaseFilter.java:64-112``): final sigma + tonos/
+#: dialytika-carrying vowels normalize; U+03A2 (reserved) -> ς is live
+#: back-compat code. Applied AFTER ``java_lower`` (Character.toLowerCase
+#: of every uppercase form lands on the lowercase codepoints below, so
+#: lower-then-fold equals the filter's single-pass switch).
+GREEK_FOLD = str.maketrans({
+    "ς": "σ",
+    "ά": "α", "έ": "ε", "ή": "η",
+    "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+    "ό": "ο", "ώ": "ω",
+    "΢": "ς",
+})
+
+_EL_VOWELS = frozenset("αεηιουω")
+_EL_VOWELS_NO_Y = frozenset("αεηιοω")
+
+_EL_EXC4 = frozenset(["θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"])
+_EL_EXC6 = frozenset([
+    "αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ",
+    "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+    "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ",
+    "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+    "υποδ", "φιλον", "φυλοδ", "χασ"])
+_EL_EXC7 = frozenset([
+    "αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ", "πεθ", "πικρ",
+    "ποτ", "σιχ", "χ"])
+_EL_EXC8A = frozenset(["τρ", "τσ"])
+_EL_EXC8B = frozenset([
+    "βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ", "καστελ",
+    "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ", "π",
+    "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ", "τσαρλατ",
+    "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ", "γαλ",
+    "γερ", "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ", "πουριτ", "σ",
+    "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ", "μαιντ", "μελ", "σιγ",
+    "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ", "αδαπ", "αθιγγ", "αμηχ",
+    "ανικ", "ανοργ", "απηγ", "απιθ", "ατσιγγ", "βασ", "βασκ", "βαθυγαλ",
+    "βιομηχ", "βραχυκ", "διατ", "διαφ", "ενοργ", "θυσ", "καπνοβιομηχ",
+    "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ", "μεγλοβιομηχ", "μικροβιομηχ",
+    "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ", "περηφ",
+    "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ", "ταβ", "τετ",
+    "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"])
+_EL_EXC9 = frozenset([
+    "αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ", "βαρον",
+    "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ", "παρακαλ", "σερπ", "σκελ",
+    "συρφ", "τοκ", "υ", "δ", "εμ", "θαρρ", "θ"])
+_EL_EXC12A = frozenset(["π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"])
+_EL_EXC12B = frozenset([
+    "αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ", "προ", "νισ"])
+_EL_EXC13 = frozenset(["διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"])
+_EL_EXC14 = frozenset([
+    "φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ", "λεχ",
+    "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν", "αμ", "αιθ",
+    "ανηκ", "δεσποζ", "ενδιαφερ", "δε", "δευτερευ", "καθαρευ", "πλε",
+    "τσα"])
+_EL_EXC15A = frozenset([
+    "αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ",
+    "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν", "δροσοπ",
+    "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ", "προστ", "προσωποπ", "συμπ",
+    "συντ", "τ", "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ", "αποτ",
+    "αρτιπ", "διατ", "εν", "επιτ", "κροκαλοπ", "σιδηροπ", "λ", "ναυ",
+    "ουλαμ", "ουρ", "π", "τρ", "μ"])
+_EL_EXC15B = frozenset(["ψοφ", "ναυλοχ"])
+_EL_EXC16 = frozenset(["ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον", "επταν"])
+_EL_EXC17 = frozenset([
+    "ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ", "ευχρ",
+    "κοινοχρ", "παλιμψ"])
+_EL_EXC18 = frozenset(["ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"])
+_EL_EXC19 = frozenset([
+    "παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ", "ασουσ"])
+
+
+def greek_stem(token: str) -> str:
+    """GreekStemmer (``el/GreekStemmer.java:42-957``, the GreekAnalyzer
+    DEFAULT; Ntais' algorithm as shipped): 21 exception-guarded suffix
+    rules + the rule21 long list + the rule22 comparative tail. Operates
+    on GreekLowerCaseFilter output (lowercase, tonos-stripped, σ-form).
+    The reference's exact && / || precedence is preserved — several rules
+    intentionally apply their length guard to only the FIRST alternative
+    (e.g. rule0's σκαγιου group and rule8's tiers), and this transliteration
+    replicates that (fuzz-verified bit-exact vs the compiled class)."""
+    s = list(token)
+    ln = len(s)
+    if ln < 4:
+        return token
+
+    def ew(suf, n):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    def pre(n):
+        return "".join(s[:n])
+
+    def ends_vowel(n):
+        return n > 0 and s[n - 1] in _EL_VOWELS
+
+    def ends_vowel_no_y(n):
+        return n > 0 and s[n - 1] in _EL_VOWELS_NO_Y
+
+    orig = ln
+
+    # rule0
+    def rule0(n):
+        if n > 9 and (ew("καθεστωτοσ", n) or ew("καθεστωτων", n)):
+            return n - 4
+        if n > 8 and (ew("γεγονοτοσ", n) or ew("γεγονοτων", n)):
+            return n - 4
+        if n > 8 and ew("καθεστωτα", n):
+            return n - 3
+        if n > 7 and (ew("τατογιου", n) or ew("τατογιων", n)):
+            return n - 4
+        if n > 7 and ew("γεγονοτα", n):
+            return n - 3
+        if n > 7 and ew("καθεστωσ", n):
+            return n - 2
+        # NB: the reference guards only the FIRST alternative with n > 6
+        if ((n > 6 and ew("σκαγιου", n)) or ew("σκαγιων", n)
+                or ew("ολογιου", n) or ew("ολογιων", n) or ew("κρεατοσ", n)
+                or ew("κρεατων", n) or ew("περατοσ", n) or ew("περατων", n)
+                or ew("τερατοσ", n) or ew("τερατων", n)):
+            return n - 4
+        if n > 6 and ew("τατογια", n):
+            return n - 3
+        if n > 6 and ew("γεγονοσ", n):
+            return n - 2
+        if n > 5 and (ew("φαγιου", n) or ew("φαγιων", n) or ew("σογιου", n)
+                      or ew("σογιων", n)):
+            return n - 4
+        if n > 5 and (ew("σκαγια", n) or ew("ολογια", n) or ew("κρεατα", n)
+                      or ew("περατα", n) or ew("τερατα", n)):
+            return n - 3
+        if n > 4 and (ew("φαγια", n) or ew("σογια", n) or ew("φωτοσ", n)
+                      or ew("φωτων", n)):
+            return n - 3
+        if n > 4 and (ew("κρεασ", n) or ew("περασ", n) or ew("τερασ", n)):
+            return n - 2
+        if n > 3 and ew("φωτα", n):
+            return n - 2
+        if n > 2 and ew("φωσ", n):
+            return n - 1
+        return n
+
+    ln = rule0(ln)
+
+    # rule1
+    if ln > 4 and (ew("αδεσ", ln) or ew("αδων", ln)):
+        ln -= 4
+        if not (ew("οκ", ln) or ew("μαμ", ln) or ew("μαν", ln)
+                or ew("μπαμπ", ln) or ew("πατερ", ln) or ew("γιαγι", ln)
+                or ew("νταντ", ln) or ew("κυρ", ln) or ew("θει", ln)
+                or ew("πεθερ", ln)):
+            ln += 2
+    # rule2
+    if ln > 4 and (ew("εδεσ", ln) or ew("εδων", ln)):
+        ln -= 4
+        if (ew("οπ", ln) or ew("ιπ", ln) or ew("εμπ", ln) or ew("υπ", ln)
+                or ew("γηπ", ln) or ew("δαπ", ln) or ew("κρασπ", ln)
+                or ew("μιλ", ln)):
+            ln += 2
+    # rule3
+    if ln > 5 and (ew("ουδεσ", ln) or ew("ουδων", ln)):
+        ln -= 5
+        if (ew("αρκ", ln) or ew("καλιακ", ln) or ew("πεταλ", ln)
+                or ew("λιχ", ln) or ew("πλεξ", ln) or ew("σκ", ln)
+                or ew("σ", ln) or ew("φλ", ln) or ew("φρ", ln)
+                or ew("βελ", ln) or ew("λουλ", ln) or ew("χν", ln)
+                or ew("σπ", ln) or ew("τραγ", ln) or ew("φε", ln)):
+            ln += 3
+    # rule4
+    if ln > 3 and (ew("εωσ", ln) or ew("εων", ln)):
+        ln -= 3
+        if pre(ln) in _EL_EXC4:
+            ln += 1
+    # rule5
+    if ln > 2 and ew("ια", ln):
+        ln -= 2
+        if ends_vowel(ln):
+            ln += 1
+    elif ln > 3 and (ew("ιου", ln) or ew("ιων", ln)):
+        ln -= 3
+        if ends_vowel(ln):
+            ln += 1
+    # rule6
+    removed = False
+    if ln > 3 and (ew("ικα", ln) or ew("ικο", ln)):
+        ln -= 3
+        removed = True
+    elif ln > 4 and (ew("ικου", ln) or ew("ικων", ln)):
+        ln -= 4
+        removed = True
+    if removed and (ends_vowel(ln) or pre(ln) in _EL_EXC6):
+        ln += 2
+    # rule7
+    if ln == 5 and ew("αγαμε", ln):
+        ln -= 1
+    else:
+        if ln > 7 and ew("ηθηκαμε", ln):
+            ln -= 7
+        elif ln > 6 and ew("ουσαμε", ln):
+            ln -= 6
+        elif ln > 5 and (ew("αγαμε", ln) or ew("ησαμε", ln)
+                         or ew("ηκαμε", ln)):
+            ln -= 5
+        if ln > 3 and ew("αμε", ln):
+            ln -= 3
+            if pre(ln) in _EL_EXC7:
+                ln += 2
+    # rule8 — the reference's n>7/n>6/n>5 guards apply to the FIRST
+    # alternative of each tier only (&& binds tighter than ||)
+    removed = False
+    if ln > 8 and ew("ιουντανε", ln):
+        ln -= 8
+        removed = True
+    elif ((ln > 7 and ew("ιοντανε", ln)) or ew("ουντανε", ln)
+          or ew("ηθηκανε", ln)):
+        ln -= 7
+        removed = True
+    elif ((ln > 6 and ew("ιοτανε", ln)) or ew("οντανε", ln)
+          or ew("ουσανε", ln)):
+        ln -= 6
+        removed = True
+    elif ((ln > 5 and ew("αγανε", ln)) or ew("ησανε", ln)
+          or ew("οτανε", ln) or ew("ηκανε", ln)):
+        ln -= 5
+        removed = True
+    if removed and pre(ln) in _EL_EXC8A:
+        ln += 4
+        s[ln - 4], s[ln - 3], s[ln - 2], s[ln - 1] = "α", "γ", "α", "ν"
+    if ln > 3 and ew("ανε", ln):
+        ln -= 3
+        if ends_vowel_no_y(ln) or pre(ln) in _EL_EXC8B:
+            ln += 2
+    # rule9
+    if ln > 5 and ew("ησετε", ln):
+        ln -= 5
+    if ln > 3 and ew("ετε", ln):
+        ln -= 3
+        if (pre(ln) in _EL_EXC9 or ends_vowel_no_y(ln) or ew("οδ", ln)
+                or ew("αιρ", ln) or ew("φορ", ln) or ew("ταθ", ln)
+                or ew("διαθ", ln) or ew("σχ", ln) or ew("ενδ", ln)
+                or ew("ευρ", ln) or ew("τιθ", ln) or ew("υπερθ", ln)
+                or ew("ραθ", ln) or ew("ενθ", ln) or ew("ροθ", ln)
+                or ew("σθ", ln) or ew("πυρ", ln) or ew("αιν", ln)
+                or ew("συνδ", ln) or ew("συν", ln) or ew("συνθ", ln)
+                or ew("χωρ", ln) or ew("πον", ln) or ew("βρ", ln)
+                or ew("καθ", ln) or ew("ευθ", ln) or ew("εκθ", ln)
+                or ew("νετ", ln) or ew("ρον", ln) or ew("αρκ", ln)
+                or ew("βαρ", ln) or ew("βολ", ln) or ew("ωφελ", ln)):
+            ln += 2
+    # rule10
+    if ln > 5 and (ew("οντασ", ln) or ew("ωντασ", ln)):
+        ln -= 5
+        if ln == 3 and ew("αρχ", ln):
+            ln += 3
+            s[ln - 3] = "ο"
+        if ew("κρε", ln):
+            ln += 3
+            s[ln - 3] = "ω"
+    # rule11
+    if ln > 6 and ew("ομαστε", ln):
+        ln -= 6
+        if ln == 2 and ew("ον", ln):
+            ln += 5
+    elif ln > 7 and ew("ιομαστε", ln):
+        ln -= 7
+        if ln == 2 and ew("ον", ln):
+            ln += 5
+            s[ln - 5], s[ln - 4], s[ln - 3], s[ln - 2], s[ln - 1] = (
+                "ο", "μ", "α", "σ", "τ")
+    # rule12
+    if ln > 5 and ew("ιεστε", ln):
+        ln -= 5
+        if pre(ln) in _EL_EXC12A:
+            ln += 4
+    if ln > 4 and ew("εστε", ln):
+        ln -= 4
+        if pre(ln) in _EL_EXC12B:
+            ln += 3
+    # rule13
+    if ln > 6 and ew("ηθηκεσ", ln):
+        ln -= 6
+    elif ln > 5 and (ew("ηθηκα", ln) or ew("ηθηκε", ln)):
+        ln -= 5
+    removed = False
+    if ln > 4 and ew("ηκεσ", ln):
+        ln -= 4
+        removed = True
+    elif ln > 3 and (ew("ηκα", ln) or ew("ηκε", ln)):
+        ln -= 3
+        removed = True
+    if removed and (pre(ln) in _EL_EXC13 or ew("σκωλ", ln)
+                    or ew("σκουλ", ln) or ew("ναρθ", ln) or ew("σφ", ln)
+                    or ew("οθ", ln) or ew("πιθ", ln)):
+        ln += 2
+    # rule14
+    removed = False
+    if ln > 5 and ew("ουσεσ", ln):
+        ln -= 5
+        removed = True
+    elif ln > 4 and (ew("ουσα", ln) or ew("ουσε", ln)):
+        ln -= 4
+        removed = True
+    if removed and (pre(ln) in _EL_EXC14 or ends_vowel(ln)
+                    or ew("ποδαρ", ln) or ew("βλεπ", ln)
+                    or ew("πανταχ", ln) or ew("φρυδ", ln)
+                    or ew("μαντιλ", ln) or ew("μαλλ", ln) or ew("κυματ", ln)
+                    or ew("λαχ", ln) or ew("ληγ", ln) or ew("φαγ", ln)
+                    or ew("ομ", ln) or ew("πρωτ", ln)):
+        ln += 3
+    # rule15
+    removed = False
+    if ln > 4 and ew("αγεσ", ln):
+        ln -= 4
+        removed = True
+    elif ln > 3 and (ew("αγα", ln) or ew("αγε", ln)):
+        ln -= 3
+        removed = True
+    if removed:
+        cond1 = (pre(ln) in _EL_EXC15A or ew("οφ", ln) or ew("πελ", ln)
+                 or ew("χορτ", ln) or ew("λλ", ln) or ew("σφ", ln)
+                 or ew("ρπ", ln) or ew("φρ", ln) or ew("πρ", ln)
+                 or ew("λοχ", ln) or ew("σμην", ln))
+        cond2 = pre(ln) in _EL_EXC15B or ew("κολλ", ln)
+        if cond1 and not cond2:
+            ln += 2
+    # rule16
+    removed = False
+    if ln > 4 and ew("ησου", ln):
+        ln -= 4
+        removed = True
+    elif ln > 3 and (ew("ησε", ln) or ew("ησα", ln)):
+        ln -= 3
+        removed = True
+    if removed and pre(ln) in _EL_EXC16:
+        ln += 2
+    # rule17
+    if ln > 4 and ew("ηστε", ln):
+        ln -= 4
+        if pre(ln) in _EL_EXC17:
+            ln += 3
+    # rule18
+    removed = False
+    if ln > 6 and (ew("ησουνε", ln) or ew("ηθουνε", ln)):
+        ln -= 6
+        removed = True
+    elif ln > 4 and ew("ουνε", ln):
+        ln -= 4
+        removed = True
+    if removed and pre(ln) in _EL_EXC18:
+        ln += 3
+        s[ln - 3], s[ln - 2], s[ln - 1] = "ο", "υ", "ν"
+    # rule19
+    removed = False
+    if ln > 6 and (ew("ησουμε", ln) or ew("ηθουμε", ln)):
+        ln -= 6
+        removed = True
+    elif ln > 4 and ew("ουμε", ln):
+        ln -= 4
+        removed = True
+    if removed and pre(ln) in _EL_EXC19:
+        ln += 3
+        s[ln - 3], s[ln - 2], s[ln - 1] = "ο", "υ", "μ"
+    # rule20
+    if ln > 5 and (ew("ματων", ln) or ew("ματοσ", ln)):
+        ln -= 3
+    elif ln > 4 and ew("ματα", ln):
+        ln -= 2
+
+    # rule21 (long list) only if nothing above fired
+    if ln == orig:
+        def rule21(n):
+            if n > 9 and ew("ιοντουσαν", n):
+                return n - 9
+            if n > 8 and (ew("ιομασταν", n) or ew("ιοσασταν", n)
+                          or ew("ιουμαστε", n) or ew("οντουσαν", n)):
+                return n - 8
+            if n > 7 and (ew("ιεμαστε", n) or ew("ιεσαστε", n)
+                          or ew("ιομουνα", n) or ew("ιοσαστε", n)
+                          or ew("ιοσουνα", n) or ew("ιουνται", n)
+                          or ew("ιουνταν", n) or ew("ηθηκατε", n)
+                          or ew("ομασταν", n) or ew("οσασταν", n)
+                          or ew("ουμαστε", n)):
+                return n - 7
+            if n > 6 and (ew("ιομουν", n) or ew("ιονταν", n)
+                          or ew("ιοσουν", n) or ew("ηθειτε", n)
+                          or ew("ηθηκαν", n) or ew("ομουνα", n)
+                          or ew("οσαστε", n) or ew("οσουνα", n)
+                          or ew("ουνται", n) or ew("ουνταν", n)
+                          or ew("ουσατε", n)):
+                return n - 6
+            if n > 5 and (ew("αγατε", n) or ew("ιεμαι", n) or ew("ιεται", n)
+                          or ew("ιεσαι", n) or ew("ιοταν", n)
+                          or ew("ιουμα", n) or ew("ηθεισ", n)
+                          or ew("ηθουν", n) or ew("ηκατε", n)
+                          or ew("ησατε", n) or ew("ησουν", n)
+                          or ew("ομουν", n) or ew("ονται", n)
+                          or ew("ονταν", n) or ew("οσουν", n)
+                          or ew("ουμαι", n) or ew("ουσαν", n)):
+                return n - 5
+            if n > 4 and (ew("αγαν", n) or ew("αμαι", n) or ew("ασαι", n)
+                          or ew("αται", n) or ew("ειτε", n) or ew("εσαι", n)
+                          or ew("εται", n) or ew("ηδεσ", n) or ew("ηδων", n)
+                          or ew("ηθει", n) or ew("ηκαν", n) or ew("ησαν", n)
+                          or ew("ησει", n) or ew("ησεσ", n) or ew("ομαι", n)
+                          or ew("οταν", n)):
+                return n - 4
+            if n > 3 and (ew("αει", n) or ew("εισ", n) or ew("ηθω", n)
+                          or ew("ησω", n) or ew("ουν", n) or ew("ουσ", n)):
+                return n - 3
+            if n > 2 and (ew("αν", n) or ew("ασ", n) or ew("αω", n)
+                          or ew("ει", n) or ew("εσ", n) or ew("ησ", n)
+                          or ew("οι", n) or ew("οσ", n) or ew("ου", n)
+                          or ew("υσ", n) or ew("ων", n)):
+                return n - 2
+            if n > 1 and ends_vowel(n):
+                return n - 1
+            return n
+
+        ln = rule21(ln)
+
+    # rule22
+    if ew("εστερ", ln) or ew("εστατ", ln):
+        ln -= 5
+    elif (ew("οτερ", ln) or ew("οτατ", ln) or ew("υτερ", ln)
+          or ew("υτατ", ln) or ew("ωτερ", ln) or ew("ωτατ", ln)):
+        ln -= 4
+    return "".join(s[:ln])
+
+
+def greek_chain_transform(token: str) -> str:
+    """GreekAnalyzer vocabulary tail: the GreekLowerCaseFilter residue
+    (fold AFTER java_lower) + GreekStemmer."""
+    return greek_stem(token.translate(GREEK_FOLD))
+
+
+#: GreekAnalyzer stop set (``el/stopwords.txt``, 75 words — the file is
+#: already in GreekLowerCaseFilter form: σ-normalized, accent-stripped)
+EL_STOP_BASE = frozenset((
+    "ο η το οι τα του τησ των τον την και κι κ ειμαι εισαι ειναι "
+    "ειμαστε ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ παρα "
+    "αντι κατα μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ "
+    "ποιοσ ποια ποιο ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι "
+    "αυτων αυτουσ αυτεσ αυτα εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ "
+    "εκεινα εκεινων εκεινουσ οπωσ ομωσ ισωσ οσο οτι "
+).split())
+
+#: accented/final-sigma PREIMAGES under java_lower: the engine checks
+#: stopwords BEFORE the chain transform (which applies GREEK_FOLD), while
+#: the reference stops AFTER GreekLowerCaseFilter — parity restored at the
+#: stop-SET level (the FR_STOP_FULL precedent): every single-tonos /
+#: dialytika / final-ς variant of a stopword is itself a stopword.
+_EL_PREIMAGE = {
+    "α": ("ά",), "ε": ("έ",), "η": ("ή",), "ο": ("ό",), "ω": ("ώ",),
+    "ι": ("ί", "ϊ", "ΐ"), "υ": ("ύ", "ϋ", "ΰ"),
+}
+
+
+def _el_stop_full():
+    out = set()
+    for w in EL_STOP_BASE:
+        forms = {w}
+        if w.endswith("σ"):
+            forms.add(w[:-1] + "ς")
+        for base in list(forms):
+            for i, c in enumerate(base):
+                for rep in _EL_PREIMAGE.get(c, ()):
+                    out.add(base[:i] + rep + base[i + 1:])
+        out |= forms
+    return frozenset(out)
+
+
+EL_STOP_FULL = _el_stop_full()
