@@ -1336,6 +1336,13 @@ _LATVIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "stre"}
 #: pinned in tests/test_stemmers.py
 _INDONESIAN_AST = {"bool": {"must": [{"term": "filter"}], "should": [{"term": "scan"}]}}
 _GREEK_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "table"}]}}
+#: arabic/persian/hindi/bengali/sorani: script-specific rules — identity
+#: on this ASCII corpus (real text pinned in tests/test_stemmers.py)
+_ARABIC_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "filter"}]}}
+_PERSIAN_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "hash"}]}}
+_HINDI_AST = {"bool": {"must": [{"term": "table"}], "should": [{"term": "sort"}]}}
+_BENGALI_AST = {"bool": {"must": [{"term": "query"}], "should": [{"term": "join"}]}}
+_SORANI_AST = {"bool": {"must": [{"term": "group"}], "should": [{"term": "row"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1412,6 +1419,26 @@ def _indonesian_chain_df(spark, sf_dir):
 
 def _greek_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "greek", _GREEK_AST)
+
+
+def _arabic_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "arabic", _ARABIC_AST)
+
+
+def _persian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "persian", _PERSIAN_AST)
+
+
+def _hindi_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "hindi", _HINDI_AST)
+
+
+def _bengali_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "bengali", _BENGALI_AST)
+
+
+def _sorani_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "sorani", _SORANI_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1868,6 +1895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_latvian_chain"] = _latvian_chain_df
     out["bm25_indonesian_chain"] = _indonesian_chain_df
     out["bm25_greek_chain"] = _greek_chain_df
+    out["bm25_arabic_chain"] = _arabic_chain_df
+    out["bm25_persian_chain"] = _persian_chain_df
+    out["bm25_hindi_chain"] = _hindi_chain_df
+    out["bm25_bengali_chain"] = _bengali_chain_df
+    out["bm25_sorani_chain"] = _sorani_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2168,6 +2200,7 @@ ORDER BY t.score DESC, t.doc_id ASC
             (w, stem(w)) for w in _DOC_VOCAB if stem(w) != w
         ),
     )
+    from lucene_spark.functions import normalizers as _nz
     from lucene_spark.functions import stemmers as _st
     for _key, _ast, _stop, _tr in (
         ("bm25_french_chain", _FRENCH_AST, _st.FR_STOP_FULL,
@@ -2200,10 +2233,20 @@ ORDER BY t.score DESC, t.doc_id ASC
          _st.indonesian_chain_transform),
         ("bm25_greek_chain", _GREEK_AST, _st.EL_STOP_FULL,
          _st.greek_chain_transform),
+        ("bm25_arabic_chain", _ARABIC_AST, _nz.AR_STOP,
+         _nz.arabic_chain_transform),
+        ("bm25_persian_chain", _PERSIAN_AST, _nz.FA_STOP,
+         _nz.persian_chain_transform),
+        ("bm25_hindi_chain", _HINDI_AST, _nz.HI_STOP,
+         _nz.hindi_chain_transform),
+        ("bm25_bengali_chain", _BENGALI_AST, _nz.BN_STOP,
+         _nz.bengali_chain_transform),
+        ("bm25_sorani_chain", _SORANI_AST, _nz.CKB_STOP,
+         _nz.sorani_chain_transform),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,
-            stop=tuple(sorted(w for w in _stop if w in set(_DOC_VOCAB))),
+            stop=tuple(sorted(w for w in _DOC_VOCAB if w in _stop)),
             vocab_map=tuple(
                 (w, _tr(w)) for w in _DOC_VOCAB if _tr(w) != w
             ),

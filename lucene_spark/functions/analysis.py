@@ -85,11 +85,23 @@ _L = (
     "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0100-\u024F"
     "\u0370-\u0373\u0376-\u037D\u037F\u0386\u0388-\u03FF"
     "\u0400-\u0481\u048A-\u04FF"
+    # Arabic letters (incl. tatweel U+0640 = Lm = ALetter; harakat are
+    # Extend below; U+060C/U+06D4 punctuation split) + Syriac letters
+    # (testArabic/testFarsi/testAramaic, TestStandardAnalyzer.java:203-307)
+    "\u0620-\u064A\u066E-\u066F\u0671-\u06D3\u06D5\u06E5-\u06E6"
+    "\u06EE-\u06EF\u06FA-\u06FF"
+    "\u0710\u0712-\u072F\u074D-\u074F"
+    # Devanagari + Bengali letters (dependent vowels/virama/nukta are
+    # Extend; danda U+0964-0965 splits — testBengali :257-285)
+    "\u0904-\u0939\u093D\u0950\u0958-\u0961\u0971-\u097F"
+    "\u0985-\u09B9\u09BD\u09CE\u09DC-\u09E1\u09F0-\u09F1"
     "\u0F40-\u0F6C\u1E00-\u1EFF\uFF21-\uFF3A\uFF41-\uFF5A"
 )
 # Numeric: ASCII + fullwidth (U+FF10-FF19) + Thai (U+0E50-0E59) + Lao
 # (U+0ED0-0ED9) + Myanmar (U+1040-1049) + Khmer (U+17E0-17E9) digits
-_N = "0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
+_N = ("0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
+      # Arabic-Indic (both sets) + Devanagari + Bengali digits
+      "\u0660-\u0669\u06F0-\u06F9\u0966-\u096F\u09E6-\u09EF")
 # Extend: combining diacritics (U+0300-036F) + kana voicing marks
 # (U+3099-309A) + variation selectors (U+FE00-FE0F \u2014 WB:Extend; pinned by
 # the reference's "3\uFE0E" -> NUM case) + combining enclosing keycap
@@ -99,6 +111,15 @@ _N = "0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
 _EXT = (
     "\u0300-\u036F\u0483-\u0489\u3099-\u309A\uFE00-\uFE0F\u20E3"
     "\u0F71-\u0F84\u0F86-\u0F87\u0F90-\u0FBC\u0F35\u0F37\u0F39"
+    # Arabic harakat/superscripts + Syriac marks + Devanagari/Bengali
+    # dependent vowels, virama, nukta, candrabindu (ZWNJ/ZWJ stay
+    # BOUNDARIES: the documented Format-char gap — this matches
+    # PersianAnalyzer's ZWNJ CharFilter, diverges for in-word ZWJ)
+    "\u064B-\u065F\u0670\u06D6-\u06DC\u06DF-\u06E4\u06E7-\u06E8"
+    "\u06EA-\u06ED\u0711\u0730-\u074A"
+    "\u0900-\u0903\u093A-\u093C\u093E-\u094F\u0951-\u0957"
+    "\u0962-\u0963\u0981-\u0983\u09BC\u09BE-\u09CD\u09D7"
+    "\u09E2-\u09E3"
 )
 _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
 # Mid chars join SAME-CLASS neighbors, single occurrence only (consecutive
@@ -504,6 +525,36 @@ def _greek_transform(token: str) -> str:
     return greek_chain_transform(token)
 
 
+def _arabic_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import arabic_chain_transform
+
+    return arabic_chain_transform(token)
+
+
+def _persian_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import persian_chain_transform
+
+    return persian_chain_transform(token)
+
+
+def _hindi_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import hindi_chain_transform
+
+    return hindi_chain_transform(token)
+
+
+def _bengali_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import bengali_chain_transform
+
+    return bengali_chain_transform(token)
+
+
+def _sorani_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import sorani_chain_transform
+
+    return sorani_chain_transform(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
         BG_STOP, CZ_STOP, DE_STOP, EL_STOP_FULL, ES_STOP, FI_STOP,
@@ -546,7 +597,27 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "latvian": (_LV_STOP, _latvian_transform, None),
     "indonesian": (_ID_STOP, _indonesian_transform, None),
     "greek": (_EL_STOP_FULL, _greek_transform, None),
+    "arabic": (None, None, None),      # filled below (lazy import)
+    "persian": (None, None, None),
+    "hindi": (None, None, None),
+    "bengali": (None, None, None),
+    "sorani": (None, None, None),
 }
+
+
+def _fill_normalizer_chains():
+    from lucene_spark.functions.normalizers import (
+        AR_STOP, BN_STOP, CKB_STOP, FA_STOP, HI_STOP,
+    )
+
+    CHAIN_FILTERS["arabic"] = (AR_STOP, _arabic_transform, None)
+    CHAIN_FILTERS["persian"] = (FA_STOP, _persian_transform, None)
+    CHAIN_FILTERS["hindi"] = (HI_STOP, _hindi_transform, None)
+    CHAIN_FILTERS["bengali"] = (BN_STOP, _bengali_transform, None)
+    CHAIN_FILTERS["sorani"] = (CKB_STOP, _sorani_transform, None)
+
+
+_fill_normalizer_chains()
 
 #: base tokenizer per chain ("standard" = UAX#29 + java lowercase,
 #: "simple" = [a-z0-9]+ on lowered text)
@@ -572,6 +643,11 @@ CHAIN_BASE: dict[str, str] = {
     "latvian": "standard",
     "indonesian": "standard",
     "greek": "standard",
+    "arabic": "standard",
+    "persian": "standard",
+    "hindi": "standard",
+    "bengali": "standard",
+    "sorani": "standard",
 }
 
 
@@ -744,6 +820,26 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
     "greek": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "arabic": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "persian": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "hindi": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "bengali": (
+        _findall_standard,
+        MAX_TOKEN_LENGTH,
+    ),
+    "sorani": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
     ),

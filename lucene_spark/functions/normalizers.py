@@ -1,0 +1,712 @@
+"""Arabic-script and Indic analysis chains: Arabic, Persian, Hindi,
+Bengali, Sorani (Kurdish) — normalizer + stemmer transliterations of the
+reference's analyzer-DEFAULT components (public Apache Lucene
+analysis-common), fuzz-verified bit-exact against the compiled classes:
+
+  - ``ar/ArabicNormalizer.java`` + ``ar/ArabicStemmer.java`` (Larkey,
+    Ballesteros & Connell light stemming): diacritic/tatweel deletion,
+    hamza-alef folding, al-/wal-/bal- prefixes, plural suffixes.
+  - ``fa/PersianNormalizer.java`` + ``fa/PersianStemmer.java``: farsi-yeh/
+    keheh/heh folding + suffix strip. The PersianAnalyzer's ZWNJ
+    CharFilter is realized at the tokenizer level (the engine's standard
+    tokenizer treats U+200C as a boundary).
+  - ``in/IndicNormalizer.java``: the 72-row multi-script composition
+    table (MACHINE-EXTRACTED from the Java source, not hand-copied),
+    applied per Unicode block with the reference's ZWJ and
+    block-consistency rules.
+  - ``hi/HindiNormalizer.java`` + ``hi/HindiStemmer.java`` (Ljiljana
+    Dolamic / Jacques Savoy): nukta/vowel folding + the 5-tier suffix
+    ladder (ladder MACHINE-EXTRACTED).
+  - ``bn/BengaliNormalizer.java`` + ``bn/BengaliStemmer.java``: the
+    contextual phala/visarga rules + the 8-tier ladder (extracted).
+  - ``ckb/SoraniNormalizer.java`` + ``ckb/SoraniStemmer.java``: Kurdish
+    yeh/kaf/heh normalization (incl. the HEH+ZWNJ -> AE rule and the
+    FORMAT-category deletion) + the Sorani morphology chain.
+
+Filter-ORDER parity: several reference analyzers run StopFilter AFTER
+normalization (hi/bn/fa) or after a pre-lowercase normalizer (ckb),
+while the engine checks stopwords before the chain transform.
+``NormalizedStopSet`` closes that gap exactly: membership is
+"normalize(token) in stop_list", evaluated wherever the engine's stop
+machinery tests ``token in stop_set`` (vocabulary-level in the build,
+scalar in the oracle) — the same set-level order-restoration precedent
+as FR elided stopwords and the Greek preimage closure, but exact.
+
+DecimalDigitFilter (``core/analysis/miscellaneous/DecimalDigitFilter``)
+is ``decimal_fold``: every Unicode decimal digit (category Nd) folds to
+its ASCII value, like Character.isDigit + Character.digit.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+
+def decimal_fold(token: str) -> str:
+    """DecimalDigitFilter: fold any Nd digit to ASCII 0-9."""
+    if token.isascii():
+        return token
+    out = []
+    for c in token:
+        if unicodedata.category(c) == "Nd":
+            out.append(chr(0x30 + unicodedata.decimal(c)))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+class NormalizedStopSet:
+    """Set-like: ``t in self`` <=> ``norm(t) in base`` — realizes the
+    reference's Stop-AFTER-Normalization order at the stop-set level.
+    Iteration yields the base (normalized) forms."""
+
+    def __init__(self, base, norm):
+        self.base = frozenset(base)
+        self.norm = norm
+
+    def __contains__(self, token):
+        return self.norm(token) in self.base
+
+    def __iter__(self):
+        return iter(self.base)
+
+    def __len__(self):
+        return len(self.base)
+
+
+# ------------------------------------------------------------------ Arabic
+
+_AR_DELETE = frozenset("\u0640\u064B\u064C\u064D\u064E\u064F\u0650\u0651\u0652")
+_AR_MAP = str.maketrans({
+    "\u0622": "\u0627", "\u0623": "\u0627", "\u0625": "\u0627",  # hamza alefs
+    "\u0649": "\u064A",  # dotless yeh -> yeh
+    "\u0629": "\u0647",  # teh marbuta -> heh
+})
+
+
+def arabic_normalize(token: str) -> str:
+    """ArabicNormalizer: fold alef/yeh/teh-marbuta variants, delete
+    tatweel + harakat (order-free: deletions and 1:1 maps commute)."""
+    s = "".join(c for c in token if c not in _AR_DELETE)
+    return s.translate(_AR_MAP)
+
+
+_AR_PREFIXES = ("\u0627\u0644", "\u0648\u0627\u0644", "\u0628\u0627\u0644",
+                "\u0643\u0627\u0644", "\u0641\u0627\u0644", "\u0644\u0644",
+                "\u0648")
+_AR_SUFFIXES = ("\u0647\u0627", "\u0627\u0646", "\u0627\u062A", "\u0648\u0646",
+                "\u064A\u0646", "\u064A\u0647", "\u064A\u0629", "\u0647",
+                "\u0629", "\u064A")
+
+
+def arabic_stem(token: str) -> str:
+    """ArabicStemmer: first matching prefix in table order (wa- needs
+    len >= 4, others len >= prefix+2), then EVERY matching suffix in
+    table order (each needs 2 chars left)."""
+    s = token
+    for p in _AR_PREFIXES:
+        if s.startswith(p):
+            if len(p) == 1 and len(s) < 4:
+                continue
+            if len(p) > 1 and len(s) < len(p) + 2:
+                continue
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if s.endswith(suf) and len(s) >= len(suf) + 2:
+            s = s[:-len(suf)]
+    return s
+
+
+# ----------------------------------------------------------------- Persian
+
+_FA_MAP = str.maketrans({
+    "\u06CC": "\u064A", "\u06D2": "\u064A",  # farsi yeh / yeh barree -> yeh
+    "\u06A9": "\u0643",                      # keheh -> kaf
+    "\u06C0": "\u0647", "\u06C1": "\u0647",  # heh+yeh / heh goal -> heh
+})
+
+
+def persian_normalize(token: str) -> str:
+    """PersianNormalizer: yeh/kaf/heh folding + hamza-above deletion."""
+    return token.replace("\u0654", "").translate(_FA_MAP)
+
+
+_FA_SUFFIXES = ("\u0627\u062A", "\u0627\u0646", "\u062A\u0631\u064A\u0646",
+                "\u062A\u0631", "\u064A\u064A", "\u064A", "\u0647\u0627",
+                "\u200C")
+
+
+def persian_stem(token: str) -> str:
+    """PersianStemmer: every matching suffix in table order (each needs
+    2 chars left after stemming)."""
+    s = token
+    for suf in _FA_SUFFIXES:
+        if s.endswith(suf) and len(s) >= len(suf) + 2:
+            s = s[:-len(suf)]
+    return s
+
+
+# ------------------------------------------------------------------- Indic
+
+#: (ch0, ch1, ch2-or--1, result, script-flag-mask) — 72 rows extracted
+#: mechanically from ``in/IndicNormalizer.java`` (1=DEVANAGARI 2=BENGALI
+#: 4=GURMUKHI 8=GUJARATI 16=ORIYA 32=TAMIL 64=TELUGU 128=KANNADA
+#: 256=MALAYALAM)
+_INDIC_DECOMP = (
+    (0x5, 0x3e, 0x45, 0x11, 0x9),
+    (0x5, 0x3e, 0x46, 0x12, 0x1),
+    (0x5, 0x3e, 0x47, 0x13, 0x9),
+    (0x5, 0x3e, 0x48, 0x14, 0x9),
+    (0x5, 0x3e, -1, 0x6, 0x1f),
+    (0x5, 0x45, -1, 0x72, 0x1),
+    (0x5, 0x45, -1, 0xd, 0x8),
+    (0x5, 0x46, -1, 0x4, 0x1),
+    (0x5, 0x47, -1, 0xf, 0x8),
+    (0x5, 0x48, -1, 0x10, 0xc),
+    (0x5, 0x49, -1, 0x11, 0x9),
+    (0x5, 0x4a, -1, 0x12, 0x1),
+    (0x5, 0x4b, -1, 0x13, 0x9),
+    (0x5, 0x4c, -1, 0x14, 0xd),
+    (0x6, 0x45, -1, 0x11, 0x9),
+    (0x6, 0x46, -1, 0x12, 0x1),
+    (0x6, 0x47, -1, 0x13, 0x9),
+    (0x6, 0x48, -1, 0x14, 0x9),
+    (0x7, 0x57, -1, 0x8, 0x100),
+    (0x9, 0x41, -1, 0xa, 0x1),
+    (0x9, 0x57, -1, 0xa, 0x120),
+    (0xe, 0x46, -1, 0x10, 0x100),
+    (0xf, 0x45, -1, 0xd, 0x1),
+    (0xf, 0x46, -1, 0xe, 0x1),
+    (0xf, 0x47, -1, 0x10, 0x1),
+    (0xf, 0x57, -1, 0x10, 0x10),
+    (0x12, 0x3e, -1, 0x13, 0x100),
+    (0x12, 0x4c, -1, 0x14, 0xc0),
+    (0x12, 0x55, -1, 0x13, 0x40),
+    (0x12, 0x57, -1, 0x14, 0x120),
+    (0x13, 0x57, -1, 0x14, 0x10),
+    (0x15, 0x3c, -1, 0x58, 0x1),
+    (0x16, 0x3c, -1, 0x59, 0x5),
+    (0x17, 0x3c, -1, 0x5a, 0x5),
+    (0x1c, 0x3c, -1, 0x5b, 0x5),
+    (0x21, 0x3c, -1, 0x5c, 0x13),
+    (0x22, 0x3c, -1, 0x5d, 0x13),
+    (0x23, 0x4d, 0xff, 0x7a, 0x100),
+    (0x24, 0x4d, 0xff, 0x4e, 0x2),
+    (0x28, 0x3c, -1, 0x29, 0x1),
+    (0x28, 0x4d, 0xff, 0x7b, 0x100),
+    (0x2b, 0x3c, -1, 0x5e, 0x5),
+    (0x2f, 0x3c, -1, 0x5f, 0x3),
+    (0x2c, 0x41, 0x41, 0xb, 0x40),
+    (0x30, 0x3c, -1, 0x31, 0x1),
+    (0x30, 0x4d, 0xff, 0x7c, 0x100),
+    (0x32, 0x4d, 0xff, 0x7d, 0x100),
+    (0x33, 0x3c, -1, 0x34, 0x1),
+    (0x33, 0x4d, 0xff, 0x7e, 0x100),
+    (0x35, 0x41, -1, 0x2e, 0x40),
+    (0x3e, 0x45, -1, 0x49, 0x9),
+    (0x3e, 0x46, -1, 0x4a, 0x1),
+    (0x3e, 0x47, -1, 0x4b, 0x9),
+    (0x3e, 0x48, -1, 0x4c, 0x9),
+    (0x3f, 0x55, -1, 0x40, 0x80),
+    (0x41, 0x41, -1, 0x42, 0x4),
+    (0x46, 0x3e, -1, 0x4a, 0x120),
+    (0x46, 0x42, 0x55, 0x4b, 0x80),
+    (0x46, 0x42, -1, 0x4a, 0x80),
+    (0x46, 0x46, -1, 0x48, 0x100),
+    (0x46, 0x55, -1, 0x47, 0xc0),
+    (0x46, 0x56, -1, 0x48, 0xc0),
+    (0x46, 0x57, -1, 0x4c, 0x120),
+    (0x47, 0x3e, -1, 0x4b, 0x132),
+    (0x47, 0x57, -1, 0x4c, 0x12),
+    (0x4a, 0x55, -1, 0x4b, 0x80),
+    (0x72, 0x3f, -1, 0x7, 0x4),
+    (0x72, 0x40, -1, 0x8, 0x4),
+    (0x72, 0x47, -1, 0xf, 0x4),
+    (0x73, 0x41, -1, 0x9, 0x4),
+    (0x73, 0x42, -1, 0xa, 0x4),
+    (0x73, 0x4b, -1, 0x13, 0x4),
+)
+
+_HI_LADDER = (
+    (6, 5, ('ाएंगी', 'ाएंगे', 'ाऊंगी', 'ाऊंगा', 'ाइयाँ', 'ाइयों', 'ाइयां')),
+    (5, 4, ('ाएगी', 'ाएगा', 'ाओगी', 'ाओगे', 'एंगी', 'ेंगी', 'एंगे', 'ेंगे', 'ूंगी', 'ूंगा', 'ातीं', 'नाओं', 'नाएं', 'ताओं', 'ताएं', 'ियाँ', 'ियों', 'ियां')),
+    (4, 3, ('ाकर', 'ाइए', 'ाईं', 'ाया', 'ेगी', 'ेगा', 'ोगी', 'ोगे', 'ाने', 'ाना', 'ाते', 'ाती', 'ाता', 'तीं', 'ाओं', 'ाएं', 'ुओं', 'ुएं', 'ुआं')),
+    (3, 2, ('कर', 'ाओ', 'िए', 'ाई', 'ाए', 'ने', 'नी', 'ना', 'ते', 'ीं', 'ती', 'ता', 'ाँ', 'ां', 'ों', 'ें')),
+    (2, 1, ('ो', 'े', 'ू', 'ु', 'ी', 'ि', 'ा')),
+)
+
+_BN_LADDER = (
+    (9, 8, ('িয়াছিলাম', 'িতেছিলাম', 'িতেছিলেন', 'ইতেছিলেন', 'িয়াছিলেন', 'ইয়াছিলেন')),
+    (8, 7, ('িতেছিলি', 'িতেছিলে', 'িয়াছিলা', 'িয়াছিলে', 'িতেছিলা', 'িয়াছিলি', 'য়েদেরকে')),
+    (7, 6, ('িতেছিস', 'িতেছেন', 'িয়াছিস', 'িয়াছেন', 'েছিলাম', 'েছিলেন', 'েদেরকে')),
+    (6, 5, ('িতেছি', 'িতেছা', 'িতেছে', 'ছিলাম', 'ছিলেন', 'িয়াছি', 'িয়াছা', 'িয়াছে', 'েছিলে', 'েছিলা', 'য়েদের', 'দেরকে')),
+    (5, 4, ('িলাম', 'িলেন', 'িতাম', 'িতেন', 'িবেন', 'ছিলি', 'ছিলে', 'ছিলা', 'তেছে', 'িতেছ', 'খানা', 'খানি', 'গুলো', 'গুলি', 'য়েরা', 'েদের')),
+    (4, 3, ('লাম', 'িলি', 'ইলি', 'িলে', 'ইলে', 'লেন', 'িলা', 'ইলা', 'তাম', 'িতি', 'ইতি', 'িতে', 'ইতে', 'তেন', 'িতা', 'িবা', 'ইবা', 'িবি', 'ইবি', 'বেন', 'িবে', 'ইবে', 'ছেন', 'য়োন', 'য়ের', 'েরা', 'দের')),
+    (3, 2, ('িস', 'েন', 'লি', 'লে', 'লা', 'তি', 'তে', 'তা', 'বি', 'বে', 'বা', 'ছি', 'ছা', 'ছে', 'ুন', 'ুক', 'টা', 'টি', 'নি', 'ের', 'তে', 'রা', 'কে')),
+    (2, 1, ('ি', 'ী', 'া', 'ো', 'ে', 'ব', 'ত')),
+)
+
+
+#: (flag, base) per script block; blocks are the 128-codepoint ranges
+_INDIC_BLOCKS = (
+    (0x1, 0x0900), (0x2, 0x0980), (0x4, 0x0A00), (0x8, 0x0A80),
+    (0x10, 0x0B00), (0x20, 0x0B80), (0x40, 0x0C00), (0x80, 0x0C80),
+    (0x100, 0x0D00),
+)
+
+#: per-script set of ch0 values that can start a composition
+_INDIC_MASK = {
+    flag: frozenset(r[0] for r in _INDIC_DECOMP if r[4] & flag)
+    for flag, _ in _INDIC_BLOCKS
+}
+
+
+def _indic_block(cp: int):
+    if 0x0900 <= cp <= 0x0D7F:
+        base = cp & ~0x7F
+        for flag, b in _INDIC_BLOCKS:
+            if b == base:
+                return flag, b
+    return None
+
+
+def indic_normalize(token: str) -> str:
+    """IndicNormalizer.normalize: compose two/three-char sequences (same
+    block, optional ZWJ third char) into their canonical single chars."""
+    s = list(token)
+    ln = len(s)
+    i = 0
+    while i < ln:
+        blk = _indic_block(ord(s[i]))
+        if blk is not None:
+            flag, base = blk
+            ch0 = ord(s[i]) - base
+            if ch0 in _INDIC_MASK[flag] and i + 1 < ln:
+                b1 = _indic_block(ord(s[i + 1]))
+                if b1 is not None and b1[0] == flag:
+                    ch1 = ord(s[i + 1]) - base
+                    ch2 = -1
+                    if i + 2 < ln:
+                        if s[i + 2] == "\u200D":
+                            ch2 = 0xFF
+                        else:
+                            b2 = _indic_block(ord(s[i + 2]))
+                            if b2 is not None and b2[0] == flag:
+                                ch2 = ord(s[i + 2]) - base
+                    for r0, r1, r2, res, fl in _INDIC_DECOMP:
+                        if r0 == ch0 and (fl & flag):
+                            if r1 == ch1 and (r2 < 0 or r2 == ch2):
+                                s[i] = chr(base + res)
+                                del s[i + 1]
+                                ln -= 1
+                                if r2 >= 0:
+                                    del s[i + 1]
+                                    ln -= 1
+                                break
+        i += 1
+    return "".join(s)
+
+
+# ------------------------------------------------------------------- Hindi
+
+_HI_DELETE = frozenset("\u093C\u200D\u200C\u094D")
+_HI_MAP = str.maketrans({
+    "\u0901": "\u0902", "\u0929": "\u0928", "\u0931": "\u0930",
+    "\u0934": "\u0933", "\u0958": "\u0915", "\u0959": "\u0916",
+    "\u095A": "\u0917", "\u095B": "\u091C", "\u095C": "\u0921",
+    "\u095D": "\u0922", "\u095E": "\u092B", "\u095F": "\u092F",
+    "\u0945": "\u0947", "\u0946": "\u0947", "\u0949": "\u094B",
+    "\u094A": "\u094B", "\u090D": "\u090F", "\u090E": "\u090F",
+    "\u0911": "\u0913", "\u0912": "\u0913", "\u0972": "\u0905",
+    "\u0906": "\u0905", "\u0908": "\u0907", "\u090A": "\u0909",
+    "\u0960": "\u090B", "\u0961": "\u090C", "\u0910": "\u090F",
+    "\u0914": "\u0913", "\u0940": "\u093F", "\u0942": "\u0941",
+    "\u0944": "\u0943", "\u0963": "\u0962", "\u0948": "\u0947",
+    "\u094C": "\u094B",
+})
+
+
+def hindi_normalize(token: str) -> str:
+    """HindiNormalizer: dead-n -> bindu first (contextual), then the
+    per-char folds and deletions (the reference's single pass visits the
+    substituted char at most once; all substitutions are to codepoints
+    the switch does not touch again, so split passes are equivalent —
+    fuzz-verified)."""
+    s = list(token)
+    ln = len(s)
+    i = 0
+    while i < ln:
+        if s[i] == "\u0928" and i + 1 < ln and s[i + 1] == "\u094D":
+            s[i] = "\u0902"
+            del s[i + 1]
+            ln -= 1
+        i += 1
+    out = "".join(c for c in s if c not in _HI_DELETE)
+    return out.translate(_HI_MAP)
+
+
+def hindi_stem(token: str) -> str:
+    """HindiStemmer: the 5-tier suffix ladder (machine-extracted)."""
+    ln = len(token)
+    for guard, k, sufs in _HI_LADDER:
+        if ln > guard and token.endswith(sufs):
+            return token[:ln - k]
+    return token
+
+
+# ----------------------------------------------------------------- Bengali
+
+_BN_MAP = str.maketrans({
+    "\u09C0": "\u09BF", "\u09C2": "\u09C1", "\u0999": "\u0982",
+    "\u09B6": "\u09B8", "\u09B7": "\u09B8", "\u09A3": "\u09A8",
+    "\u09DC": "\u09B0", "\u09DD": "\u09B0", "\u09CE": "\u09A4",
+})
+
+
+def bengali_normalize(token: str) -> str:
+    """BengaliNormalizer: the reference's exact single pass — contextual
+    khio/ja-phala/ba-phala/visarga rules interleaved with the per-char
+    folds, with the same index arithmetic."""
+    s = list(token)
+    ln = len(s)
+    i = 0
+    while i < ln:
+        c = s[i]
+        if c == "\u0981":
+            del s[i]
+            ln -= 1
+            i -= 1
+        elif c == "\u0995":
+            if i + 2 < ln and s[i + 1] == "\u09CD" and s[i + 2] == "\u09BF":
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                    ln -= 2
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+                    ln -= 1
+        elif c == "\u09AF":
+            if i - 2 == 0 and s[i - 1] == "\u09CD":
+                s[i - 1] = "\u09C7"
+                if i + 1 < ln and s[i + 1] == "\u09BE":
+                    del s[i + 1]
+                    ln -= 1
+                del s[i]
+                ln -= 1
+                i -= 1
+            elif i - 1 >= 0 and s[i - 1] == "\u09CD":
+                del s[i]
+                del s[i - 1]
+                ln -= 2
+                i -= 2
+        elif c == "\u09AC":
+            if (i >= 1 and s[i - 1] != "\u09CD") or i == 0:
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                ln -= 2
+                i -= 2
+            elif i - 5 >= 0 and s[i - 3] == "\u09CD":
+                del s[i]
+                del s[i - 1]
+                ln -= 2
+                i -= 2
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                ln -= 1
+                i -= 1
+        elif c == "\u0983":
+            if i == ln - 1:
+                if ln <= 3:
+                    s[i] = "\u09B9"
+                else:
+                    del s[i]
+                    ln -= 1
+            else:
+                s[i] = s[i + 1]
+        else:
+            m = _BN_SINGLE.get(c)
+            if m is not None:
+                s[i] = m
+        i += 1
+    return "".join(s[:ln])
+
+
+_BN_SINGLE = {
+    "\u09C0": "\u09BF", "\u09C2": "\u09C1", "\u0999": "\u0982",
+    "\u09B6": "\u09B8", "\u09B7": "\u09B8", "\u09A3": "\u09A8",
+    "\u09DC": "\u09B0", "\u09DD": "\u09B0", "\u09CE": "\u09A4",
+}
+
+
+def bengali_stem(token: str) -> str:
+    """BengaliStemmer: the 8-tier suffix ladder (machine-extracted)."""
+    ln = len(token)
+    for guard, k, sufs in _BN_LADDER:
+        if ln > guard and token.endswith(sufs):
+            return token[:ln - k]
+    return token
+
+
+# ------------------------------------------------------------------ Sorani
+
+_CKB_DELETE = frozenset("\u0640\u064B\u064C\u064D\u064E\u064F\u0650\u0651\u0652")
+_CKB_MAP = str.maketrans({
+    "\u064A": "\u06CC", "\u0649": "\u06CC",  # yeh/dotless yeh -> farsi yeh
+    "\u0643": "\u06A9",                      # kaf -> keheh
+    "\u0629": "\u06D5",                      # teh marbuta -> ae
+    "\u06BE": "\u0647",                      # heh doachashmee -> heh
+    "\u0692": "\u0695",                      # reh-above -> rreh
+})
+
+
+def sorani_normalize(token: str) -> str:
+    """SoraniNormalizer — the reference's single pass with the positional
+    rules (ZWNJ after heh -> ae, final heh -> ae, initial reh -> rreh)
+    and FORMAT-category deletion."""
+    s = list(token)
+    ln = len(s)
+    i = 0
+    while i < ln:
+        c = s[i]
+        if c in ("\u064A", "\u0649"):
+            s[i] = "\u06CC"
+        elif c == "\u0643":
+            s[i] = "\u06A9"
+        elif c == "\u200C":
+            if i > 0 and s[i - 1] == "\u0647":
+                s[i - 1] = "\u06D5"
+            del s[i]
+            ln -= 1
+            i -= 1
+        elif c == "\u0647":
+            if i == ln - 1:
+                s[i] = "\u06D5"
+        elif c == "\u0629":
+            s[i] = "\u06D5"
+        elif c == "\u06BE":
+            s[i] = "\u0647"
+        elif c == "\u0631":
+            if i == 0:
+                s[i] = "\u0695"
+        elif c == "\u0692":
+            s[i] = "\u0695"
+        elif c in _CKB_DELETE:
+            del s[i]
+            ln -= 1
+            i -= 1
+        elif unicodedata.category(c) == "Cf":
+            del s[i]
+            ln -= 1
+            i -= 1
+        i += 1
+    return "".join(s[:ln])
+
+
+def sorani_stem(token: str) -> str:
+    """SoraniStemmer: postposition + possessive (non-returning), then the
+    first matching definite/indefinite/demonstrative suffix."""
+    s = token
+    ln = len(s)
+
+    def ew(suf, n):
+        return n >= len(suf) and s[n - len(suf):n] == suf
+
+    # postposition
+    if ln > 5 and ew("\u062F\u0627", ln):
+        ln -= 2
+    elif ln > 4 and ew("\u0646\u0627", ln):
+        ln -= 1
+    elif ln > 6 and ew("\u06D5\u0648\u06D5", ln):
+        ln -= 3
+    # possessive pronoun
+    if ln > 6 and (ew("\u0645\u0627\u0646", ln) or ew("\u06CC\u0627\u0646", ln)
+                   or ew("\u062A\u0627\u0646", ln)):
+        ln -= 3
+    # the reference's else-if chain, each arm returning
+    if ln > 6 and ew("\u06CE\u06A9\u06CC", ln):
+        return s[:ln - 3]
+    if ln > 7 and ew("\u06CC\u06D5\u06A9\u06CC", ln):
+        return s[:ln - 4]
+    if ln > 5 and ew("\u06CE\u06A9", ln):
+        return s[:ln - 2]
+    if ln > 6 and ew("\u06CC\u06D5\u06A9", ln):
+        return s[:ln - 3]
+    if ln > 6 and ew("\u06D5\u06A9\u06D5", ln):
+        return s[:ln - 3]
+    if ln > 5 and ew("\u06A9\u06D5", ln):
+        return s[:ln - 2]
+    if ln > 7 and ew("\u06D5\u06A9\u0627\u0646", ln):
+        return s[:ln - 4]
+    if ln > 6 and ew("\u06A9\u0627\u0646", ln):
+        return s[:ln - 3]
+    if ln > 7 and ew("\u06CC\u0627\u0646\u06CC", ln):
+        return s[:ln - 4]
+    if ln > 6 and ew("\u0627\u0646\u06CC", ln):
+        return s[:ln - 3]
+    if ln > 6 and ew("\u06CC\u0627\u0646", ln):
+        return s[:ln - 3]
+    if ln > 5 and ew("\u0627\u0646", ln):
+        return s[:ln - 2]
+    if ln > 7 and ew("\u06CC\u0627\u0646\u06D5", ln):
+        return s[:ln - 4]
+    if ln > 6 and ew("\u0627\u0646\u06D5", ln):
+        return s[:ln - 3]
+    if ln > 5 and (ew("\u0627\u06CC\u06D5", ln) or ew("\u06D5\u06CC\u06D5", ln)):
+        return s[:ln - 2]
+    if ln > 4 and ew("\u06D5", ln):
+        return s[:ln - 1]
+    if ln > 4 and ew("\u06CC", ln):
+        return s[:ln - 1]
+    return s[:ln]
+
+
+# --------------------------------------------------------- chain transforms
+
+def arabic_chain_transform(token: str) -> str:
+    """ArabicAnalyzer tail: decimal fold -> normalize -> stem (stop runs
+    before normalization in the reference too — exact order parity)."""
+    return arabic_stem(arabic_normalize(decimal_fold(token)))
+
+
+def persian_norm_for_stop(token: str) -> str:
+    """The token form PersianAnalyzer's StopFilter sees (decimal fold +
+    Arabic + Persian normalization)."""
+    return persian_normalize(arabic_normalize(decimal_fold(token)))
+
+
+def persian_chain_transform(token: str) -> str:
+    return persian_stem(persian_norm_for_stop(token))
+
+
+def hindi_norm_for_stop(token: str) -> str:
+    return hindi_normalize(indic_normalize(decimal_fold(token)))
+
+
+def hindi_chain_transform(token: str) -> str:
+    return hindi_stem(hindi_norm_for_stop(token))
+
+
+def bengali_norm_for_stop(token: str) -> str:
+    return bengali_normalize(indic_normalize(decimal_fold(token)))
+
+
+def bengali_chain_transform(token: str) -> str:
+    return bengali_stem(bengali_norm_for_stop(token))
+
+
+def sorani_norm_for_stop(token: str) -> str:
+    """SoraniAnalyzer order is Normalize -> LowerCase -> DecimalDigit ->
+    Stop; the normalizer touches only caseless Arabic-script chars, so it
+    commutes with the engine's lowercase (fuzz-verified)."""
+    return decimal_fold(sorani_normalize(token))
+
+
+def sorani_chain_transform(token: str) -> str:
+    return sorani_stem(sorani_norm_for_stop(token))
+
+
+# stopword files from the reference's resources (one word per
+# line, '#' comments) — _RAW = file forms verbatim
+AR_STOP_RAW = frozenset((
+    "من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى "
+    "اي أي أى لا ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا "
+    "ان أن إن انها أنها إنها انه أنه إنه بان بأن فان فأن وان وأن "
+    "وإن التى التي الذى الذي الذين الى الي إلى إلي على عليها عليه "
+    "اما أما إما ايضا أيضا كل وكل لم ولم لن ولن هى هي هو وهى وهي "
+    "وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك هناك كانت "
+    "كان يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن "
+    "حيث الان الآن خلال بعد قبل حتى عند عندما لدى جميع "
+).split())
+
+FA_STOP_RAW = frozenset((
+    "انان نداشته سراسر خياه ايشان وي تاكنون بيشتري دوم پس ناشي "
+    "وگو يا داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند "
+    "چطور ده و دو نخستين ولي چرا چه وسط ه كدام قابل يك رفت هفت "
+    "همچنين در هزار بله بلي شايد اما شناسي گرفته دهد داشته دانست "
+    "داشتن خواهيم ميليارد وقتيكه امد خواهد جز اورده شده بلكه "
+    "خدمات شدن برخي نبود بسياري جلوگيري حق كردند نوعي بعري نكرده "
+    "نظير نبايد بوده بودن داد اورد هست جايي شود دنبال داده بايد "
+    "سابق هيچ همان انجا كمتر كجاست گردد كسي تر مردم تان دادن "
+    "بودند سري جدا ندارند مگر يكديگر دارد دهند بنابراين هنگامي "
+    "سمت جا انچه خود دادند زياد دارند اثر بدون بهترين بيشتر البته "
+    "به براساس بيرون كرد بعضي گرفت توي اي ميليون او جريان تول بر "
+    "مانند برابر باشيم مدتي گويند اكنون تا تنها جديد چند بي نشده "
+    "كردن كردم گويد كرده كنيم نمي نزد روي قصد فقط بالاي ديگران "
+    "اين ديروز توسط سوم ايم دانند سوي استفاده شما كنار داريم "
+    "ساخته طور امده رفته نخست بيست نزديك طي كنيد از انها تمامي "
+    "داشت يكي طريق اش چيست روب نمايد گفت چندين چيزي تواند ام ايا "
+    "با ان ايد ترين اينكه ديگري راه هايي بروز همچنان پاعين كس "
+    "حدود مختلف مقابل چيز گيرد ندارد ضد همچون سازي شان مورد باره "
+    "مرسي خويش برخوردار چون خارج شش هنوز تحت ضمن هستيم گفته فكر "
+    "بسيار پيش براي روزهاي انكه نخواهد بالا كل وقتي كي چنين كه "
+    "گيري نيست است كجا كند نيز يابد بندي حتي توانند عقب خواست "
+    "كنند بين تمام همه ما باشند مثل شد اري باشد اره طبق بعد اگر "
+    "صورت غير جاي بيش ريزي اند زيرا چگونه بار لطفا مي درباره من "
+    "ديده همين گذاري برداري علت گذاشته هم فوق نه ها شوند اباد "
+    "همواره هر اول خواهند چهار نام امروز مان هاي قبل كنم سعي تازه "
+    "را هستند زير جلوي عنوان بود "
+).split())
+
+HI_STOP_RAW = frozenset((
+    "अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं "
+    "इन्हें इन्हों इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी "
+    "उनके उनको उन्हीं उन्हें उन्हों उस उसके उसी उसे एक एवं एस ऐसे "
+    "और कई कर करता करते करना करने करें कहते कहा का काफ़ी कि कितना "
+    "किन्हें किन्हों किया किर किस किसी किसे की कुछ कुल के को कोई "
+    "कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें जिन्हों जिस "
+    "जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस "
+    "तिसे तो था थी थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना "
+    "निहायत नीचे ने पर पहले पूरा पे फिर बनी बही बहुत बाद बाला "
+    "बिलकुल भी भीतर मगर मानो मे में यदि यह यहाँ यही या यिह ये "
+    "रखें रहा रहे ऱ्वासा लिए लिये लेकिन व वर्ग वह वहाँ वहीं वाले "
+    "वुह वे वग़ैरह संग सकता सकते सबसे सभी साथ साबुत साभ सारा से सो "
+    "ही हुआ हुई हुए है हैं हो होता होती होते होना होने अपनि जेसे "
+    "होति सभि तिंहों इंहों दवारा इसि किंहें थि उंहों ओर जिंहें "
+    "वहिं अभि बनि हि उंहिं उंहें हें वगेरह एसे रवासा कोन निचे "
+    "काफि उसि पुरा भितर हे बहि वहां कोइ यहां जिंहों तिंहें किसि "
+    "कइ यहि इंहिं जिधर इंहें अदि इतयादि हुइ कोनसा इसकि दुसरे जहां "
+    "अप किंहों उनकि भि वरग हुअ जेसा नहिं "
+).split())
+
+BN_STOP_RAW = frozenset((
+    "এই ও থেকে করে এ না ওই এক্ নিয়ে করা বলেন সঙ্গে যে এব তা আর "
+    "কোনো বলে সেই দিন হয় কি দু পরে সব দেওয়া মধ্যে এর সি শুরু কাজ "
+    "কিছু কাছে সে তবে বা বন আগে জ্নজন পি পর তো ছিল এখন আমরা প্রায় "
+    "দুই আমাদের তাই অন্য গিয়ে প্রযন্ত মনে নতুন মতো কেখা প্রথম আজ "
+    "টি ধামার অনেক বিভিন্ন র হাজার জানা নয় অবশ্য বেশি এস কে হতে "
+    "বি কয়েক সহ বেশ এমন এমনি কেন কেউ নেওয়া চেষ্টা লক্ষ বলা কারণ "
+    "আছে শুধু তখন যা এসে চার যদি আবার কোটি উত্তর সামনে উপর "
+    "বক্তব্য এত প্রাথমিক উপরে প্রতি কাজে যখন খুব বহু গেল পেয়্র্ "
+    "চালু ই নাগাদ থাকা পাচ যাওয়া রকম সাধারণ কমনে "
+).split())
+
+CKB_STOP_RAW = frozenset((
+    "و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم "
+    "من ئێمە تۆ ئێوە ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە "
+    "بەرەوی بەرەوە بەردەم بێ بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ "
+    "لەبەر لەبەینی لەبابەت لەبارەی لەباتی لەبن لەبرێتی لەدەم "
+    "لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی لەرێ لەرێگا لەسەر "
+    "لەژێر ناو نێوان پاش پێش وەک "
+).split())
+
+
+#: ArabicAnalyzer stops BEFORE normalization — raw forms match directly
+AR_STOP = AR_STOP_RAW
+
+#: fa/hi/bn stop AFTER normalization; ckb stops after the pre-lowercase
+#: normalizer — NormalizedStopSet realizes the order exactly. The BASE
+#: stays the file's RAW forms: the reference's StopFilter compares the
+#: normalized token against the verbatim file entries, so a file entry
+#: that is NOT normalization-invariant never matches anything — a
+#: reference quirk replicated here on purpose (normalizing the base
+#: would stop MORE tokens than the reference does).
+FA_STOP = NormalizedStopSet(FA_STOP_RAW, persian_norm_for_stop)
+HI_STOP = NormalizedStopSet(HI_STOP_RAW, hindi_norm_for_stop)
+BN_STOP = NormalizedStopSet(BN_STOP_RAW, bengali_norm_for_stop)
+CKB_STOP = NormalizedStopSet(CKB_STOP_RAW, sorani_norm_for_stop)

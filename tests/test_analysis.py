@@ -420,3 +420,63 @@ def test_synonym_chain_semantics(spark, tmp_path):
     fl = {r["doc_id"]: r["field_len"]
           for r in s.docmap().select("doc_id", "field_len").collect()}
     assert fl[0] == 4 and fl[1] == 3
+
+
+# Pinned verbatim from TestStandardAnalyzer.java:203-307 (testArabic /
+# testAramaic / testBengali / testFarsi) — Arabic-script + Indic word
+# breaks: harakat/virama/nukta/dependent vowels are Extend, Arabic-Indic
+# and Bengali digits are Numeric (digit+letter runs join: ২০০টিরও),
+# Arabic comma / danda / Syriac punctuation split.
+RTL_INDIC_GOLDENS = [
+    ("الفيلم الوثائقي الأول عن ويكيبيديا يسمى \"الحقيقة بالأرقام: قصة "
+     "ويكيبيديا\" (بالإنجليزية: Truth in Numbers: The Wikipedia Story)، "
+     "سيتم إطلاقه في 2008.",
+     ["الفيلم", "الوثائقي", "الأول", "عن", "ويكيبيديا", "يسمى",
+      "الحقيقة", "بالأرقام", "قصة", "ويكيبيديا", "بالإنجليزية", "Truth",
+      "in", "Numbers", "The", "Wikipedia", "Story", "سيتم", "إطلاقه",
+      "في", "2008"]),
+    ("ܘܝܩܝܦܕܝܐ (ܐܢܓܠܝܐ: Wikipedia) ܗܘ ܐܝܢܣܩܠܘܦܕܝܐ ܚܐܪܬܐ ܕܐܢܛܪܢܛ "
+     "ܒܠܫܢ̈ܐ ܣܓܝܐ̈ܐ܂ ܫܡܗ ܐܬܐ ܡܢ ܡ̈ܠܬܐ ܕ\"ܘܝܩܝ\" ܘ\"ܐܝܢܣܩܠܘܦܕܝܐ\"܀",
+     ["ܘܝܩܝܦܕܝܐ", "ܐܢܓܠܝܐ", "Wikipedia", "ܗܘ", "ܐܝܢܣܩܠܘܦܕܝܐ", "ܚܐܪܬܐ",
+      "ܕܐܢܛܪܢܛ", "ܒܠܫܢ̈ܐ", "ܣܓܝܐ̈ܐ", "ܫܡܗ", "ܐܬܐ", "ܡܢ", "ܡ̈ܠܬܐ", "ܕ",
+      "ܘܝܩܝ", "ܘ", "ܐܝܢܣܩܠܘܦܕܝܐ"]),
+    ("এই বিশ্বকোষ পরিচালনা করে উইকিমিডিয়া ফাউন্ডেশন (একটি অলাভজনক "
+     "সংস্থা)। উইকিপিডিয়ার শুরু ১৫ জানুয়ারি, ২০০১ সালে। এখন পর্যন্ত "
+     "২০০টিরও বেশী ভাষায় উইকিপিডিয়া রয়েছে।",
+     ["এই", "বিশ্বকোষ", "পরিচালনা", "করে", "উইকিমিডিয়া", "ফাউন্ডেশন",
+      "একটি", "অলাভজনক", "সংস্থা", "উইকিপিডিয়ার", "শুরু", "১৫",
+      "জানুয়ারি", "২০০১", "সালে", "এখন", "পর্যন্ত", "২০০টিরও", "বেশী",
+      "ভাষায়", "উইকিপিডিয়া", "রয়েছে"]),
+    ("ویکی پدیای انگلیسی در تاریخ ۲۵ دی ۱۳۷۹ به صورت مکملی برای "
+     "دانشنامهٔ تخصصی نوپدیا نوشته شد.",
+     ["ویکی", "پدیای", "انگلیسی", "در", "تاریخ", "۲۵", "دی", "۱۳۷۹",
+      "به", "صورت", "مکملی", "برای", "دانشنامهٔ", "تخصصی", "نوپدیا",
+      "نوشته", "شد"]),
+]
+
+
+def test_arabic_indic_tokenization_goldens():
+    from lucene_spark.functions.analysis import tokenize_one
+
+    for text, want in RTL_INDIC_GOLDENS:
+        assert tokenize_one(text) == want, (text[:30], tokenize_one(text))
+
+
+def test_arabic_indic_vectorized_matches_scalar(spark):
+    """The vectorized build-path tokenizer agrees with the scalar on the
+    new scripts (same assertion the other script families carry)."""
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import (
+        get_raw_tokenizer, tokenize_one,
+    )
+
+    texts = [t for t, _ in RTL_INDIC_GOLDENS] + [
+        "کتاب‌ها و درختان",  # ZWNJ boundary
+        "लड़कियाँ और बच्चे स्कूल में १२३",
+        "مزيج of عربي and English ١٢٣",
+    ]
+    fn, _ = get_raw_tokenizer("standard")
+    vec = fn(pd.Series(texts)).tolist()
+    for t, v in zip(texts, vec):
+        assert list(v) == tokenize_one(t), t[:30]
