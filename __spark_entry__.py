@@ -1343,6 +1343,14 @@ _PERSIAN_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "hash"
 _HINDI_AST = {"bool": {"must": [{"term": "table"}], "should": [{"term": "sort"}]}}
 _BENGALI_AST = {"bool": {"must": [{"term": "query"}], "should": [{"term": "join"}]}}
 _SORANI_AST = {"bool": {"must": [{"term": "group"}], "should": [{"term": "row"}]}}
+#: cjk: width-fold + bigram are identity on this ASCII corpus, but the
+#: 35-word CJK stop list (incl. "s"/"t"/"www") is live; real CJK text
+#: pinned in tests/test_cjk.py
+_CJK_AST = {"bool": {"must": [{"term": "index"}], "should": [{"term": "batch"}]}}
+#: brazilian/galician: the stems ARE live on this corpus (filter->filt,
+#: merge->merg / table->tabl, stream->str)
+_BRAZILIAN_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "merg"}]}}
+_GALICIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "str"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1439,6 +1447,18 @@ def _bengali_chain_df(spark, sf_dir):
 
 def _sorani_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "sorani", _SORANI_AST)
+
+
+def _cjk_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "cjk", _CJK_AST)
+
+
+def _brazilian_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "brazilian", _BRAZILIAN_AST)
+
+
+def _galician_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "galician", _GALICIAN_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1900,6 +1920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_hindi_chain"] = _hindi_chain_df
     out["bm25_bengali_chain"] = _bengali_chain_df
     out["bm25_sorani_chain"] = _sorani_chain_df
+    out["bm25_cjk_chain"] = _cjk_chain_df
+    out["bm25_brazilian_chain"] = _brazilian_chain_df
+    out["bm25_galician_chain"] = _galician_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2200,7 +2223,10 @@ ORDER BY t.score DESC, t.doc_id ASC
             (w, stem(w)) for w in _DOC_VOCAB if stem(w) != w
         ),
     )
+    from lucene_spark.functions import brazilian as _br
+    from lucene_spark.functions import cjk as _cj
     from lucene_spark.functions import normalizers as _nz
+    from lucene_spark.functions import rslp as _gl
     from lucene_spark.functions import stemmers as _st
     for _key, _ast, _stop, _tr in (
         ("bm25_french_chain", _FRENCH_AST, _st.FR_STOP_FULL,
@@ -2243,6 +2269,12 @@ ORDER BY t.score DESC, t.doc_id ASC
          _nz.bengali_chain_transform),
         ("bm25_sorani_chain", _SORANI_AST, _nz.CKB_STOP,
          _nz.sorani_chain_transform),
+        ("bm25_cjk_chain", _CJK_AST, _cj.CJK_STOP,
+         str),  # no vocab transform: str is identity on str
+        ("bm25_brazilian_chain", _BRAZILIAN_AST, _br.BR_STOP,
+         _br.brazilian_stem),
+        ("bm25_galician_chain", _GALICIAN_AST, _gl.GL_STOP,
+         _gl.galician_stem),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

@@ -95,6 +95,15 @@ _L = (
     # Extend; danda U+0964-0965 splits — testBengali :257-285)
     "\u0904-\u0939\u093D\u0950\u0958-\u0961\u0971-\u097F"
     "\u0985-\u09B9\u09BD\u09CE\u09DC-\u09E1\u09F0-\u09F1"
+    # Hangul IS WB:ALetter (StandardTokenizerImpl.jflex:84 HangulEx =
+    # Script:Hangul \u2229 ALetter) \u2014 it lives in the ORDINARY letter class so
+    # mixed Hangul+Latin runs join as ONE token exactly like the reference
+    # ("\uD55C\uAD6Dabc" -> <ALPHANUM>, not bigrammed by the cjk chain; the pure-
+    # Hangul <HANGUL> type is recovered content-wise by _cjk_bigram_kind).
+    # Jamo + compat jamo + syllables + extended jamo + halfwidth jamo:
+    "\u1100-\u11FF\u3131-\u318E\uA960-\uA97C\uAC00-\uD7A3"
+    "\uD7B0-\uD7C6\uD7CB-\uD7FB\uFFA0-\uFFBE\uFFC2-\uFFC7"
+    "\uFFCA-\uFFCF\uFFD2-\uFFD7\uFFDA-\uFFDC"
     "\u0F40-\u0F6C\u1E00-\u1EFF\uFF21-\uFF3A\uFF41-\uFF5A"
 )
 # Numeric: ASCII + fullwidth (U+FF10-FF19) + Thai (U+0E50-0E59) + Lao
@@ -141,15 +150,31 @@ _JOIN = (
     f"(?:(?<=[{_L}])[{_MIDL}{_MIDNL}](?=[{_L}])"
     f"|(?<=[{_N}])[{_MIDN}{_MIDNL}](?=[{_N}]))"
 )
-# script tokens: Katakana runs (U+30A1-30FA + U+30FC-30FF, middle dot
-# U+30FB excluded - punctuation), Hangul runs (syllables U+AC00-D7A3 +
-# jamo U+1100-11FF), Han ONE CHAR PER TOKEN (U+4E00-9FFF, ext-A
-# U+3400-4DBF, compat U+F900-FAFF), Hiragana ONE CHAR PER TOKEN
-# (U+3041-3096); all may carry trailing Extend marks
-_KATAKANA = f"[\u30A1-\u30FA\u30FC-\u30FF][\u30A1-\u30FA\u30FC-\u30FF{_EXT}]*"
-_HANGUL = f"[\uAC00-\uD7A3\u1100-\u11FF][\uAC00-\uD7A3\u1100-\u11FF{_EXT}]*"
-_HAN = f"[\u4E00-\u9FFF\u3400-\u4DBF\uF900-\uFAFF][{_EXT}]*"
-_HIRAGANA = f"[\u3041-\u3096][{_EXT}]*"
+# script tokens (classes per StandardTokenizerImpl.jflex:84-92, Unicode
+# 12.1): Katakana runs (WB:Katakana \u2014 incl. vertical repeat marks
+# U+3031-3035, standalone voice marks U+309B-309C, small-kana extension
+# U+31F0-31FF, circled/squared forms U+32D0-32FE/U+3300-3357, HALFWIDTH
+# forms U+FF66-FF9F; middle dots U+30FB/U+FF65 excluded \u2014 punctuation),
+# Han ONE CHAR PER TOKEN (Script:Han \u2014 core + ext-A + compat + radicals
+# U+2E80-2EF3/U+2F00-2FD5 + ideographic marks U+3005/3007/3021-3029/
+# 3038-303B + SUPPLEMENTARY planes U+20000-2FA1F, pinned by the
+# reference's testSurrogates \uD866\uDF05 U+29B05), Hiragana ONE CHAR PER TOKEN
+# (Script:Hiragana incl. iteration marks U+309D-309F); all may carry
+# trailing Extend marks. Hangul is WB:ALetter and rides the _RUN branch.
+_KATA_C = (
+    "\u3031-\u3035\u309B-\u309C\u30A1-\u30FA\u30FC-\u30FF"
+    "\u31F0-\u31FF\u32D0-\u32FE\u3300-\u3357\uFF66-\uFF9D\U0001B000"
+)
+# halfwidth voiced/semi-voiced marks U+FF9E-FF9F continue a run but never
+# start one (a standalone stray mark is dropped, like any Extend char)
+_KATAKANA = f"[{_KATA_C}][{_KATA_C}\uFF9E\uFF9F{_EXT}]*"
+_HAN_C = (
+    "\u2E80-\u2EF3\u2F00-\u2FD5\u3005\u3007\u3021-\u3029\u3038-\u303B"
+    "\u3400-\u4DBF\u4E00-\u9FFF\uF900-\uFAFF\U00020000-\U0002FA1F"
+)
+_HAN = f"[{_HAN_C}][{_EXT}]*"
+_HIRA_C = "\u3041-\u3096\u309D-\u309F"
+_HIRAGANA = f"[{_HIRA_C}][{_EXT}]*"
 
 # SOUTHEAST_ASIAN: script runs are ONE token (StandardTokenizer does no
 # dictionary segmentation \u2014 TestStandardAnalyzer.java:343-354). Letter +
@@ -216,7 +241,7 @@ _KEYCAP = "[#*]\uFE0F?\u20E3"
 # _RUN first: it is the overwhelmingly common branch, and no other branch
 # starts at a codepoint a word class contains.
 TOKEN_RE = re.compile(
-    f"(?:{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HANGUL}|{_HAN}"
+    f"(?:{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HAN}"
     f"|{_HIRAGANA}|{_SEA_RUN}|{_RI_PAIR}|{_KEYCAP}|{_EMOJI})"
 )
 
@@ -555,6 +580,18 @@ def _sorani_transform(token: str) -> str:
     return sorani_chain_transform(token)
 
 
+def _brazilian_transform(token: str) -> str:
+    from lucene_spark.functions.brazilian import brazilian_stem
+
+    return brazilian_stem(token)
+
+
+def _galician_transform(token: str) -> str:
+    from lucene_spark.functions.rslp import galician_stem
+
+    return galician_stem(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
         BG_STOP, CZ_STOP, DE_STOP, EL_STOP_FULL, ES_STOP, FI_STOP,
@@ -606,6 +643,7 @@ CHAIN_FILTERS: dict[str, tuple] = {
 
 
 def _fill_normalizer_chains():
+    from lucene_spark.functions.cjk import CJK_STOP
     from lucene_spark.functions.normalizers import (
         AR_STOP, BN_STOP, CKB_STOP, FA_STOP, HI_STOP,
     )
@@ -615,6 +653,13 @@ def _fill_normalizer_chains():
     CHAIN_FILTERS["hindi"] = (HI_STOP, _hindi_transform, None)
     CHAIN_FILTERS["bengali"] = (BN_STOP, _bengali_transform, None)
     CHAIN_FILTERS["sorani"] = (CKB_STOP, _sorani_transform, None)
+    CHAIN_FILTERS["cjk"] = (CJK_STOP, None, None)
+
+    from lucene_spark.functions.brazilian import BR_STOP
+    from lucene_spark.functions.rslp import GL_STOP
+
+    CHAIN_FILTERS["brazilian"] = (BR_STOP, _brazilian_transform, None)
+    CHAIN_FILTERS["galician"] = (GL_STOP, _galician_transform, None)
 
 
 _fill_normalizer_chains()
@@ -648,6 +693,10 @@ CHAIN_BASE: dict[str, str] = {
     "hindi": "standard",
     "bengali": "standard",
     "sorani": "standard",
+    # cjk: standard tokenizer + width fold + bigram (functions/cjk.py)
+    "cjk": "cjk",
+    "brazilian": "standard",
+    "galician": "standard",
 }
 
 
@@ -691,6 +740,12 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
     elif base == "whitespace":
         raw = _ws_payload_terms(text or "")
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
+    elif base == "cjk":
+        from lucene_spark.functions.cjk import cjk_terms_one
+
+        raw = cjk_terms_one(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)
+                if len(t) <= MAX_TOKEN_LENGTH]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())
         keep = list(enumerate(raw))
@@ -844,6 +899,17 @@ RAW_TOKENIZERS = {
         MAX_TOKEN_LENGTH,
     ),
 }
+
+
+def _findall_cjk_lazy(texts: pd.Series) -> pd.Series:
+    from lucene_spark.functions.cjk import findall_cjk
+
+    return findall_cjk(texts)
+
+
+RAW_TOKENIZERS["cjk"] = (_findall_cjk_lazy, MAX_TOKEN_LENGTH)
+RAW_TOKENIZERS["brazilian"] = (_findall_standard, MAX_TOKEN_LENGTH)
+RAW_TOKENIZERS["galician"] = (_findall_standard, MAX_TOKEN_LENGTH)
 
 
 def get_raw_tokenizer(name: str):

@@ -1,0 +1,696 @@
+"""Brazilian Portuguese analysis chain: transliteration of the
+reference's ``analysis/br/BrazilianStemmer.java`` (hand-written suffix
+stemmer, the BrazilianAnalyzer DEFAULT — ``BrazilianAnalyzer.java:114-121``
+Lower -> Stop -> BrazilianStemFilter) — fuzz-verified bit-exact against
+the compiled reference class.
+
+Semantics preserved verbatim:
+
+- regions R1/R2/RV are computed ONCE from the changed term and steps
+  compare suffixes against those STALE region strings while CT shrinks
+  (``BrazilianStemmer.java:54-57``);
+- step bodies were MACHINE-CONVERTED line-by-line from the Java source
+  (165 suffix rules), including the reference's discarded-result quirk
+  at ``BrazilianStemmer.java:401`` ("logias" matches, returns true, but
+  never assigns — the term is reported altered yet unchanged);
+- ``stem`` returns the input unchanged for non-indexable (len<3 or
+  len>=30 after createCT) and non-letter terms, like
+  ``BrazilianStemFilter.java:52-57`` (null / equal results leave the
+  token as-is).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_ACCENT_MAP = str.maketrans({
+    "\u00e1": "a", "\u00e2": "a", "\u00e3": "a",
+    "\u00e9": "e", "\u00ea": "e",
+    "\u00ed": "i",
+    "\u00f3": "o", "\u00f4": "o", "\u00f5": "o",
+    "\u00fa": "u", "\u00fc": "u",
+    "\u00e7": "c",
+    "\u00f1": "n",
+})
+
+_PUNCT = "\"'-,;.?!"
+
+
+def _change_term(value: str) -> str:
+    """changeTerm: full lowercase (String.toLowerCase pt-BR — the chain
+    input is already codepoint-lowered, so this only replays the full-
+    mapping residue) + the 13-char accent fold."""
+    return value.lower().translate(_ACCENT_MAP)
+
+
+def _create_ct(term: str) -> str:
+    ct = _change_term(term)
+    if len(ct) < 2:
+        return ct
+    if ct[0] in _PUNCT:
+        ct = ct[1:]
+    if len(ct) < 2:
+        return ct
+    if ct[-1] in _PUNCT:
+        ct = ct[:-1]
+    return ct
+
+
+def _is_vowel(c: str) -> bool:
+    return c in "aeiou"
+
+
+def _get_r1(value):
+    """R1: region after the first non-vowel following a vowel (null if
+    absent) — including the reference's exact j<i loop bounds (the LAST
+    char is never inspected)."""
+    if value is None:
+        return None
+    i = len(value) - 1
+    j = 0
+    while j < i and not _is_vowel(value[j]):
+        j += 1
+    if not j < i:
+        return None
+    while j < i and _is_vowel(value[j]):
+        j += 1
+    if not j < i:
+        return None
+    return value[j + 1:]
+
+
+def _get_rv(value):
+    if value is None:
+        return None
+    i = len(value) - 1
+    if i > 0 and not _is_vowel(value[1]):
+        j = 2
+        while j < i and not _is_vowel(value[j]):
+            j += 1
+        if j < i:
+            return value[j + 1:]
+    if i > 1 and _is_vowel(value[0]) and _is_vowel(value[1]):
+        j = 2
+        while j < i and _is_vowel(value[j]):
+            j += 1
+        if j < i:
+            return value[j + 1:]
+    if i > 2:
+        return value[3:]
+    return None
+
+
+def _sfx(value, suffix: str) -> bool:
+    if value is None:
+        return False
+    return value.endswith(suffix)
+
+
+def _rm(value, to_remove: str):
+    if value is None or not _sfx(value, to_remove):
+        return value
+    return value[: len(value) - len(to_remove)]
+
+
+def _repl(value, to_replace: str, change_to: str):
+    v = _rm(value, to_replace)
+    if v == value:
+        return value
+    return v + change_to
+
+
+def _sfx_prec(value, suffix: str, preceded: str) -> bool:
+    if not _sfx(value, suffix):
+        return False
+    return _sfx(_rm(value, suffix), preceded)
+
+
+# ---- step bodies: MACHINE-CONVERTED from BrazilianStemmer.java ----
+
+def _step1(ct, r1, r2, rv):
+    if ct is None:
+        return ct, False
+    if _sfx(ct, "uciones") and _sfx(r2, "uciones"):
+        ct = _repl(ct, "uciones", "u")
+        return ct, True
+    if len(ct) >= 6:
+        if _sfx(ct, "imentos") and _sfx(r2, "imentos"):
+            ct = _rm(ct, "imentos")
+            return ct, True
+        if _sfx(ct, "amentos") and _sfx(r2, "amentos"):
+            ct = _rm(ct, "amentos")
+            return ct, True
+        if _sfx(ct, "adores") and _sfx(r2, "adores"):
+            ct = _rm(ct, "adores")
+            return ct, True
+        if _sfx(ct, "adoras") and _sfx(r2, "adoras"):
+            ct = _rm(ct, "adoras")
+            return ct, True
+        if _sfx(ct, "logias") and _sfx(r2, "logias"):
+            _repl(ct, "logias", "log")  # result DISCARDED -- reference bug preserved
+            return ct, True
+        if _sfx(ct, "encias") and _sfx(r2, "encias"):
+            ct = _repl(ct, "encias", "ente")
+            return ct, True
+        if _sfx(ct, "amente") and _sfx(r1, "amente"):
+            ct = _rm(ct, "amente")
+            return ct, True
+        if _sfx(ct, "idades") and _sfx(r2, "idades"):
+            ct = _rm(ct, "idades")
+            return ct, True
+    if len(ct) >= 5:
+        if _sfx(ct, "acoes") and _sfx(r2, "acoes"):
+            ct = _rm(ct, "acoes")
+            return ct, True
+        if _sfx(ct, "imento") and _sfx(r2, "imento"):
+            ct = _rm(ct, "imento")
+            return ct, True
+        if _sfx(ct, "amento") and _sfx(r2, "amento"):
+            ct = _rm(ct, "amento")
+            return ct, True
+        if _sfx(ct, "adora") and _sfx(r2, "adora"):
+            ct = _rm(ct, "adora")
+            return ct, True
+        if _sfx(ct, "ismos") and _sfx(r2, "ismos"):
+            ct = _rm(ct, "ismos")
+            return ct, True
+        if _sfx(ct, "istas") and _sfx(r2, "istas"):
+            ct = _rm(ct, "istas")
+            return ct, True
+        if _sfx(ct, "logia") and _sfx(r2, "logia"):
+            ct = _repl(ct, "logia", "log")
+            return ct, True
+        if _sfx(ct, "ucion") and _sfx(r2, "ucion"):
+            ct = _repl(ct, "ucion", "u")
+            return ct, True
+        if _sfx(ct, "encia") and _sfx(r2, "encia"):
+            ct = _repl(ct, "encia", "ente")
+            return ct, True
+        if _sfx(ct, "mente") and _sfx(r2, "mente"):
+            ct = _rm(ct, "mente")
+            return ct, True
+        if _sfx(ct, "idade") and _sfx(r2, "idade"):
+            ct = _rm(ct, "idade")
+            return ct, True
+    if len(ct) >= 4:
+        if _sfx(ct, "acao") and _sfx(r2, "acao"):
+            ct = _rm(ct, "acao")
+            return ct, True
+        if _sfx(ct, "ezas") and _sfx(r2, "ezas"):
+            ct = _rm(ct, "ezas")
+            return ct, True
+        if _sfx(ct, "icos") and _sfx(r2, "icos"):
+            ct = _rm(ct, "icos")
+            return ct, True
+        if _sfx(ct, "icas") and _sfx(r2, "icas"):
+            ct = _rm(ct, "icas")
+            return ct, True
+        if _sfx(ct, "ismo") and _sfx(r2, "ismo"):
+            ct = _rm(ct, "ismo")
+            return ct, True
+        if _sfx(ct, "avel") and _sfx(r2, "avel"):
+            ct = _rm(ct, "avel")
+            return ct, True
+        if _sfx(ct, "ivel") and _sfx(r2, "ivel"):
+            ct = _rm(ct, "ivel")
+            return ct, True
+        if _sfx(ct, "ista") and _sfx(r2, "ista"):
+            ct = _rm(ct, "ista")
+            return ct, True
+        if _sfx(ct, "osos") and _sfx(r2, "osos"):
+            ct = _rm(ct, "osos")
+            return ct, True
+        if _sfx(ct, "osas") and _sfx(r2, "osas"):
+            ct = _rm(ct, "osas")
+            return ct, True
+        if _sfx(ct, "ador") and _sfx(r2, "ador"):
+            ct = _rm(ct, "ador")
+            return ct, True
+        if _sfx(ct, "ivas") and _sfx(r2, "ivas"):
+            ct = _rm(ct, "ivas")
+            return ct, True
+        if _sfx(ct, "ivos") and _sfx(r2, "ivos"):
+            ct = _rm(ct, "ivos")
+            return ct, True
+        if _sfx(ct, "iras") and _sfx(rv, "iras") and _sfx_prec(ct, "iras", "e"):
+            ct = _repl(ct, "iras", "ir")
+            return ct, True
+    if len(ct) >= 3:
+        if _sfx(ct, "eza") and _sfx(r2, "eza"):
+            ct = _rm(ct, "eza")
+            return ct, True
+        if _sfx(ct, "ico") and _sfx(r2, "ico"):
+            ct = _rm(ct, "ico")
+            return ct, True
+        if _sfx(ct, "ica") and _sfx(r2, "ica"):
+            ct = _rm(ct, "ica")
+            return ct, True
+        if _sfx(ct, "oso") and _sfx(r2, "oso"):
+            ct = _rm(ct, "oso")
+            return ct, True
+        if _sfx(ct, "osa") and _sfx(r2, "osa"):
+            ct = _rm(ct, "osa")
+            return ct, True
+        if _sfx(ct, "iva") and _sfx(r2, "iva"):
+            ct = _rm(ct, "iva")
+            return ct, True
+        if _sfx(ct, "ivo") and _sfx(r2, "ivo"):
+            ct = _rm(ct, "ivo")
+            return ct, True
+        if _sfx(ct, "ira") and _sfx(rv, "ira") and _sfx_prec(ct, "ira", "e"):
+            ct = _repl(ct, "ira", "ir")
+            return ct, True
+    return ct, False
+    return ct, False
+
+def _step2(ct, r1, r2, rv):
+    if rv is None:
+        return ct, False
+    if len(rv) >= 7:
+        if _sfx(rv, "issemos"):
+            ct = _rm(ct, "issemos")
+            return ct, True
+        if _sfx(rv, "essemos"):
+            ct = _rm(ct, "essemos")
+            return ct, True
+        if _sfx(rv, "assemos"):
+            ct = _rm(ct, "assemos")
+            return ct, True
+        if _sfx(rv, "ariamos"):
+            ct = _rm(ct, "ariamos")
+            return ct, True
+        if _sfx(rv, "eriamos"):
+            ct = _rm(ct, "eriamos")
+            return ct, True
+        if _sfx(rv, "iriamos"):
+            ct = _rm(ct, "iriamos")
+            return ct, True
+    if len(rv) >= 6:
+        if _sfx(rv, "iremos"):
+            ct = _rm(ct, "iremos")
+            return ct, True
+        if _sfx(rv, "eremos"):
+            ct = _rm(ct, "eremos")
+            return ct, True
+        if _sfx(rv, "aremos"):
+            ct = _rm(ct, "aremos")
+            return ct, True
+        if _sfx(rv, "avamos"):
+            ct = _rm(ct, "avamos")
+            return ct, True
+        if _sfx(rv, "iramos"):
+            ct = _rm(ct, "iramos")
+            return ct, True
+        if _sfx(rv, "eramos"):
+            ct = _rm(ct, "eramos")
+            return ct, True
+        if _sfx(rv, "aramos"):
+            ct = _rm(ct, "aramos")
+            return ct, True
+        if _sfx(rv, "asseis"):
+            ct = _rm(ct, "asseis")
+            return ct, True
+        if _sfx(rv, "esseis"):
+            ct = _rm(ct, "esseis")
+            return ct, True
+        if _sfx(rv, "isseis"):
+            ct = _rm(ct, "isseis")
+            return ct, True
+        if _sfx(rv, "arieis"):
+            ct = _rm(ct, "arieis")
+            return ct, True
+        if _sfx(rv, "erieis"):
+            ct = _rm(ct, "erieis")
+            return ct, True
+        if _sfx(rv, "irieis"):
+            ct = _rm(ct, "irieis")
+            return ct, True
+    if len(rv) >= 5:
+        if _sfx(rv, "irmos"):
+            ct = _rm(ct, "irmos")
+            return ct, True
+        if _sfx(rv, "iamos"):
+            ct = _rm(ct, "iamos")
+            return ct, True
+        if _sfx(rv, "armos"):
+            ct = _rm(ct, "armos")
+            return ct, True
+        if _sfx(rv, "ermos"):
+            ct = _rm(ct, "ermos")
+            return ct, True
+        if _sfx(rv, "areis"):
+            ct = _rm(ct, "areis")
+            return ct, True
+        if _sfx(rv, "ereis"):
+            ct = _rm(ct, "ereis")
+            return ct, True
+        if _sfx(rv, "ireis"):
+            ct = _rm(ct, "ireis")
+            return ct, True
+        if _sfx(rv, "asses"):
+            ct = _rm(ct, "asses")
+            return ct, True
+        if _sfx(rv, "esses"):
+            ct = _rm(ct, "esses")
+            return ct, True
+        if _sfx(rv, "isses"):
+            ct = _rm(ct, "isses")
+            return ct, True
+        if _sfx(rv, "astes"):
+            ct = _rm(ct, "astes")
+            return ct, True
+        if _sfx(rv, "assem"):
+            ct = _rm(ct, "assem")
+            return ct, True
+        if _sfx(rv, "essem"):
+            ct = _rm(ct, "essem")
+            return ct, True
+        if _sfx(rv, "issem"):
+            ct = _rm(ct, "issem")
+            return ct, True
+        if _sfx(rv, "ardes"):
+            ct = _rm(ct, "ardes")
+            return ct, True
+        if _sfx(rv, "erdes"):
+            ct = _rm(ct, "erdes")
+            return ct, True
+        if _sfx(rv, "irdes"):
+            ct = _rm(ct, "irdes")
+            return ct, True
+        if _sfx(rv, "ariam"):
+            ct = _rm(ct, "ariam")
+            return ct, True
+        if _sfx(rv, "eriam"):
+            ct = _rm(ct, "eriam")
+            return ct, True
+        if _sfx(rv, "iriam"):
+            ct = _rm(ct, "iriam")
+            return ct, True
+        if _sfx(rv, "arias"):
+            ct = _rm(ct, "arias")
+            return ct, True
+        if _sfx(rv, "erias"):
+            ct = _rm(ct, "erias")
+            return ct, True
+        if _sfx(rv, "irias"):
+            ct = _rm(ct, "irias")
+            return ct, True
+        if _sfx(rv, "estes"):
+            ct = _rm(ct, "estes")
+            return ct, True
+        if _sfx(rv, "istes"):
+            ct = _rm(ct, "istes")
+            return ct, True
+        if _sfx(rv, "areis"):
+            ct = _rm(ct, "areis")
+            return ct, True
+        if _sfx(rv, "aveis"):
+            ct = _rm(ct, "aveis")
+            return ct, True
+    if len(rv) >= 4:
+        if _sfx(rv, "aria"):
+            ct = _rm(ct, "aria")
+            return ct, True
+        if _sfx(rv, "eria"):
+            ct = _rm(ct, "eria")
+            return ct, True
+        if _sfx(rv, "iria"):
+            ct = _rm(ct, "iria")
+            return ct, True
+        if _sfx(rv, "asse"):
+            ct = _rm(ct, "asse")
+            return ct, True
+        if _sfx(rv, "esse"):
+            ct = _rm(ct, "esse")
+            return ct, True
+        if _sfx(rv, "isse"):
+            ct = _rm(ct, "isse")
+            return ct, True
+        if _sfx(rv, "aste"):
+            ct = _rm(ct, "aste")
+            return ct, True
+        if _sfx(rv, "este"):
+            ct = _rm(ct, "este")
+            return ct, True
+        if _sfx(rv, "iste"):
+            ct = _rm(ct, "iste")
+            return ct, True
+        if _sfx(rv, "arei"):
+            ct = _rm(ct, "arei")
+            return ct, True
+        if _sfx(rv, "erei"):
+            ct = _rm(ct, "erei")
+            return ct, True
+        if _sfx(rv, "irei"):
+            ct = _rm(ct, "irei")
+            return ct, True
+        if _sfx(rv, "aram"):
+            ct = _rm(ct, "aram")
+            return ct, True
+        if _sfx(rv, "eram"):
+            ct = _rm(ct, "eram")
+            return ct, True
+        if _sfx(rv, "iram"):
+            ct = _rm(ct, "iram")
+            return ct, True
+        if _sfx(rv, "avam"):
+            ct = _rm(ct, "avam")
+            return ct, True
+        if _sfx(rv, "arem"):
+            ct = _rm(ct, "arem")
+            return ct, True
+        if _sfx(rv, "erem"):
+            ct = _rm(ct, "erem")
+            return ct, True
+        if _sfx(rv, "irem"):
+            ct = _rm(ct, "irem")
+            return ct, True
+        if _sfx(rv, "ando"):
+            ct = _rm(ct, "ando")
+            return ct, True
+        if _sfx(rv, "endo"):
+            ct = _rm(ct, "endo")
+            return ct, True
+        if _sfx(rv, "indo"):
+            ct = _rm(ct, "indo")
+            return ct, True
+        if _sfx(rv, "arao"):
+            ct = _rm(ct, "arao")
+            return ct, True
+        if _sfx(rv, "erao"):
+            ct = _rm(ct, "erao")
+            return ct, True
+        if _sfx(rv, "irao"):
+            ct = _rm(ct, "irao")
+            return ct, True
+        if _sfx(rv, "adas"):
+            ct = _rm(ct, "adas")
+            return ct, True
+        if _sfx(rv, "idas"):
+            ct = _rm(ct, "idas")
+            return ct, True
+        if _sfx(rv, "aras"):
+            ct = _rm(ct, "aras")
+            return ct, True
+        if _sfx(rv, "eras"):
+            ct = _rm(ct, "eras")
+            return ct, True
+        if _sfx(rv, "iras"):
+            ct = _rm(ct, "iras")
+            return ct, True
+        if _sfx(rv, "avas"):
+            ct = _rm(ct, "avas")
+            return ct, True
+        if _sfx(rv, "ares"):
+            ct = _rm(ct, "ares")
+            return ct, True
+        if _sfx(rv, "eres"):
+            ct = _rm(ct, "eres")
+            return ct, True
+        if _sfx(rv, "ires"):
+            ct = _rm(ct, "ires")
+            return ct, True
+        if _sfx(rv, "ados"):
+            ct = _rm(ct, "ados")
+            return ct, True
+        if _sfx(rv, "idos"):
+            ct = _rm(ct, "idos")
+            return ct, True
+        if _sfx(rv, "amos"):
+            ct = _rm(ct, "amos")
+            return ct, True
+        if _sfx(rv, "emos"):
+            ct = _rm(ct, "emos")
+            return ct, True
+        if _sfx(rv, "imos"):
+            ct = _rm(ct, "imos")
+            return ct, True
+        if _sfx(rv, "iras"):
+            ct = _rm(ct, "iras")
+            return ct, True
+        if _sfx(rv, "ieis"):
+            ct = _rm(ct, "ieis")
+            return ct, True
+    if len(rv) >= 3:
+        if _sfx(rv, "ada"):
+            ct = _rm(ct, "ada")
+            return ct, True
+        if _sfx(rv, "ida"):
+            ct = _rm(ct, "ida")
+            return ct, True
+        if _sfx(rv, "ara"):
+            ct = _rm(ct, "ara")
+            return ct, True
+        if _sfx(rv, "era"):
+            ct = _rm(ct, "era")
+            return ct, True
+        if _sfx(rv, "ira"):
+            ct = _rm(ct, "ava")
+            return ct, True
+        if _sfx(rv, "iam"):
+            ct = _rm(ct, "iam")
+            return ct, True
+        if _sfx(rv, "ado"):
+            ct = _rm(ct, "ado")
+            return ct, True
+        if _sfx(rv, "ido"):
+            ct = _rm(ct, "ido")
+            return ct, True
+        if _sfx(rv, "ias"):
+            ct = _rm(ct, "ias")
+            return ct, True
+        if _sfx(rv, "ais"):
+            ct = _rm(ct, "ais")
+            return ct, True
+        if _sfx(rv, "eis"):
+            ct = _rm(ct, "eis")
+            return ct, True
+        if _sfx(rv, "ira"):
+            ct = _rm(ct, "ira")
+            return ct, True
+        if _sfx(rv, "ear"):
+            ct = _rm(ct, "ear")
+            return ct, True
+    if len(rv) >= 2:
+        if _sfx(rv, "ia"):
+            ct = _rm(ct, "ia")
+            return ct, True
+        if _sfx(rv, "ei"):
+            ct = _rm(ct, "ei")
+            return ct, True
+        if _sfx(rv, "am"):
+            ct = _rm(ct, "am")
+            return ct, True
+        if _sfx(rv, "em"):
+            ct = _rm(ct, "em")
+            return ct, True
+        if _sfx(rv, "ar"):
+            ct = _rm(ct, "ar")
+            return ct, True
+        if _sfx(rv, "er"):
+            ct = _rm(ct, "er")
+            return ct, True
+        if _sfx(rv, "ir"):
+            ct = _rm(ct, "ir")
+            return ct, True
+        if _sfx(rv, "as"):
+            ct = _rm(ct, "as")
+            return ct, True
+        if _sfx(rv, "es"):
+            ct = _rm(ct, "es")
+            return ct, True
+        if _sfx(rv, "is"):
+            ct = _rm(ct, "is")
+            return ct, True
+        if _sfx(rv, "eu"):
+            ct = _rm(ct, "eu")
+            return ct, True
+        if _sfx(rv, "iu"):
+            ct = _rm(ct, "iu")
+            return ct, True
+        if _sfx(rv, "iu"):
+            ct = _rm(ct, "iu")
+            return ct, True
+        if _sfx(rv, "ou"):
+            ct = _rm(ct, "ou")
+            return ct, True
+    return ct, False
+    return ct, False
+
+def _step3(ct, r1, r2, rv):
+    if rv is None:
+        return ct
+    if _sfx(rv, "i") and _sfx_prec(rv, "i", "c"):
+        ct = _rm(ct, "i")
+    return ct
+
+def _step4(ct, r1, r2, rv):
+    if rv is None:
+        return ct
+    if _sfx(rv, "os"):
+        ct = _rm(ct, "os")
+        return ct
+    if _sfx(rv, "a"):
+        ct = _rm(ct, "a")
+        return ct
+    if _sfx(rv, "i"):
+        ct = _rm(ct, "i")
+        return ct
+    if _sfx(rv, "o"):
+        ct = _rm(ct, "o")
+        return ct
+    return ct
+
+def _step5(ct, r1, r2, rv):
+    if rv is None:
+        return ct
+    if _sfx(rv, "e"):
+        if _sfx_prec(rv, "e", "gu"):
+            ct = _rm(ct, "e")
+            ct = _rm(ct, "u")
+            return ct
+        if _sfx_prec(rv, "e", "ci"):
+            ct = _rm(ct, "e")
+            ct = _rm(ct, "i")
+            return ct
+        ct = _rm(ct, "e")
+        return ct
+    return ct
+
+
+def brazilian_stem(term: str) -> str:
+    """BrazilianStemFilter semantics: the stemmed discriminator, or the
+    term unchanged when the stemmer returns null / the same string."""
+    ct = _create_ct(term)
+    if not (2 < len(ct) < 30):
+        return term
+    if not all(unicodedata.category(c).startswith("L") for c in ct):
+        return ct if ct != term else term
+    r1 = _get_r1(ct)
+    r2 = _get_r1(r1)
+    rv = _get_rv(ct)
+    ct, altered = _step1(ct, r1, r2, rv)
+    if not altered:
+        ct, altered = _step2(ct, r1, r2, rv)
+    if altered:
+        ct = _step3(ct, r1, r2, rv)
+    else:
+        ct = _step4(ct, r1, r2, rv)
+    ct = _step5(ct, r1, r2, rv)
+    return ct
+
+
+#: BrazilianAnalyzer stop list (``analysis-common/.../br/stopwords.txt``,
+#: 128 accent-stripped words, applied between Lower and Stem)
+BR_STOP = frozenset("""
+a ainda alem ambas ambos antes ao aonde aos apos aquele aqueles as assim
+com como contra contudo cuja cujas cujo cujos da das de dela dele deles
+demais depois desde desta deste dispoe dispoem diversa diversas diversos
+do dos durante e ela elas ele eles em entao entre essa essas esse esses
+esta estas este estes ha isso isto logo mais mas mediante menos mesma
+mesmas mesmo mesmos na no nao nas nem nesse neste nos o os ou outra
+outras outro outros pelas pelas pelo pelos perante pois por porque
+portanto proprio propios quais qual qualquer quando quanto que quem quer
+se seja sem sendo seu seus sob sobre sua suas tal tambem teu teus toda
+todas todo todos tua tuas tudo um uma umas uns
+""".split())

@@ -1,0 +1,230 @@
+"""CJK analysis chain: the reference's ``CJKAnalyzer`` re-expressed over
+the engine's standard tokenizer (``analysis-common/.../cjk/
+CJKAnalyzer.java:109-115``: StandardTokenizer → CJKWidthFilter →
+LowerCaseFilter → CJKBigramFilter → StopFilter(35 words)).
+
+Two components are transliterated here:
+
+- ``cjk_width_fold`` — ``CJKWidthFilter.java:60-84``: fullwidth ASCII
+  variants (U+FF01-FF5E) fold to basic latin; halfwidth Katakana
+  (U+FF65-FF9F) folds to the equivalent kana, with the halfwidth voiced /
+  semi-voiced sound marks (U+FF9E/FF9F) COMBINING into the preceding kana
+  when a composed form exists (ｳ+ﾞ → ヴ) and falling back to the combining
+  marks U+3099/309A otherwise. Applied per token, before bigramming,
+  exactly like the reference's filter order (the vocabulary-level
+  lowercase commutes with bigramming: both are per-codepoint maps and
+  no case pair crosses a CJK script class).
+
+- ``cjk_bigram_terms`` — ``CJKBigramFilter.java:156-238`` with the
+  CJKAnalyzer defaults (flags = HAN|HIRAGANA|KATAKANA|HANGUL,
+  outputUnigrams = false): consecutive OFFSET-ADJACENT tokens of the four
+  CJK types pool their codepoints into one run; a run of n≥2 codepoints
+  emits the n-1 consecutive bigrams (ABC → AB, BC — the trailing char is
+  never a unigram), a run of exactly 1 codepoint emits that unigram
+  (the "lone cjk character" path), and everything else passes through
+  unchanged in order. Runs break on any offset gap (whitespace,
+  punctuation — ``CJKBigramFilter.java:193`` unaligned-offset queue
+  clear) and on any non-CJK-type token. Bigrams DO cross script
+  boundaries within a run (Han+Hiragana adjacency bigrams), exactly like
+  the reference's shared character buffer. Token types are recovered
+  content-wise from the standard tokenizer's disjoint char classes:
+  a pure-Hangul ALPHANUM run is <HANGUL>, a mixed Hangul+Latin run stays
+  <ALPHANUM> and is NOT bigrammed (CJKBigramFilter.java:43-48 documents
+  the same quirk for StandardTokenizer).
+
+Goldens for both are pinned verbatim from ``TestCJKAnalyzer.java`` and
+``TestCJKWidthFilter.java`` in tests/test_cjk.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# ------------------------------------------------------ CJKWidthFilter
+
+#: halfwidth kana U+FF65-FF9F -> fullwidth (CJKWidthFilter.KANA_NORM;
+#: FF9E/FF9F map to the combining marks 3099/309A as the non-combining
+#: fallback)
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3, 0x30E5,
+    0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8, 0x30AA, 0x30AB,
+    0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7, 0x30B9, 0x30BB, 0x30BD,
+    0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8, 0x30CA, 0x30CB, 0x30CC, 0x30CD,
+    0x30CE, 0x30CF, 0x30D2, 0x30D5, 0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0,
+    0x30E1, 0x30E2, 0x30E4, 0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC,
+    0x30ED, 0x30EF, 0x30F3, 0x3099, 0x309A,
+]
+
+#: composed-form deltas for kana U+30A6-30FD + voiced mark
+#: (CJKWidthFilter.KANA_COMBINE_VOICED)
+_COMBINE_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+
+#: + semi-voiced mark (CJKWidthFilter.KANA_COMBINE_HALF_VOICED)
+_COMBINE_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0, 0, 2,
+    0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def cjk_width_fold(token: str) -> str:
+    """CJKWidthFilter on one token (identity for tokens without fullwidth
+    ASCII / halfwidth kana — the overwhelmingly common case)."""
+    if not any(0xFF01 <= ord(c) <= 0xFF9F for c in token):
+        return token
+    out: list[str] = []
+    for c in token:
+        cp = ord(c)
+        if 0xFF01 <= cp <= 0xFF5E:
+            out.append(chr(cp - 0xFEE0))
+        elif 0xFF65 <= cp <= 0xFF9F:
+            if cp >= 0xFF9E and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    delta = (
+                        _COMBINE_HALF_VOICED[prev - 0x30A6]
+                        if cp == 0xFF9F
+                        else _COMBINE_VOICED[prev - 0x30A6]
+                    )
+                    if delta:
+                        out[-1] = chr(prev + delta)
+                        continue
+            out.append(chr(_KANA_NORM[cp - 0xFF65]))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+# ----------------------------------------------------- CJKBigramFilter
+
+def _is_han(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2FA1F
+        or 0x2E80 <= cp <= 0x2EF3 or 0x2F00 <= cp <= 0x2FD5
+        or cp in (0x3005, 0x3007) or 0x3021 <= cp <= 0x3029
+        or 0x3038 <= cp <= 0x303B
+    )
+
+
+def _is_hiragana(cp: int) -> bool:
+    return 0x3041 <= cp <= 0x3096 or 0x309D <= cp <= 0x309F
+
+
+def _is_katakana(cp: int) -> bool:
+    return (
+        0x30A1 <= cp <= 0x30FA or 0x30FC <= cp <= 0x30FF
+        or 0x31F0 <= cp <= 0x31FF or 0x3031 <= cp <= 0x3035
+        or 0x309B <= cp <= 0x309C or 0x32D0 <= cp <= 0x32FE
+        or 0x3300 <= cp <= 0x3357 or 0xFF66 <= cp <= 0xFF9F
+        or cp == 0x1B000
+    )
+
+
+def _is_hangul(cp: int) -> bool:
+    return (
+        0xAC00 <= cp <= 0xD7A3 or 0x1100 <= cp <= 0x11FF
+        or 0x3131 <= cp <= 0x318E or 0xA960 <= cp <= 0xA97C
+        or 0xD7B0 <= cp <= 0xD7C6 or 0xD7CB <= cp <= 0xD7FB
+        or 0xFFA0 <= cp <= 0xFFBE or 0xFFC2 <= cp <= 0xFFC7
+        or 0xFFCA <= cp <= 0xFFCF or 0xFFD2 <= cp <= 0xFFD7
+        or 0xFFDA <= cp <= 0xFFDC
+    )
+
+
+_EXT_RE = None
+
+
+def _is_extend(cp: int) -> bool:
+    # the standard tokenizer's Extend continuation class (shared with
+    # analysis._EXT so a Hangul token trailing ANY Extend mark the
+    # tokenizer can attach still classifies <HANGUL>)
+    global _EXT_RE
+    if _EXT_RE is None:
+        import re
+
+        from lucene_spark.functions.analysis import _EXT
+
+        _EXT_RE = re.compile(f"[{_EXT}ﾞﾟ]")
+    return _EXT_RE.match(chr(cp)) is not None
+
+
+def _cjk_bigram_kind(token: str) -> bool:
+    """True iff the standard tokenizer would type this token
+    <IDEOGRAPHIC>/<HIRAGANA>/<KATAKANA>/<HANGUL> — the CJKAnalyzer's
+    bigram-eligible set. Content-wise recovery is exact because the
+    tokenizer's branch char classes are disjoint: a token starting with
+    Han/Hiragana/Katakana came from that script branch; an ALPHANUM-branch
+    token is <HANGUL> iff every non-Extend char is Hangul."""
+    c0 = ord(token[0])
+    if _is_han(c0) or _is_hiragana(c0) or _is_katakana(c0):
+        return True
+    if _is_hangul(c0):
+        return all(_is_hangul(ord(c)) or _is_extend(ord(c)) for c in token)
+    return False
+
+
+def cjk_bigram_terms(tokens: list[tuple[str, int, int]]) -> list[str]:
+    """CJKBigramFilter(default flags, outputUnigrams=False) over a token
+    stream of (post-width-fold text, start offset, end offset)."""
+    out: list[str] = []
+    run: list[str] = []  # pooled codepoints of the current CJK run
+    last_end = -1
+
+    def flush() -> None:
+        if len(run) == 1:
+            out.append(run[0])  # lone CJK char -> unigram (<SINGLE>)
+        else:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for text, start, end in tokens:
+        if text and _cjk_bigram_kind(text):
+            if run and start != last_end:
+                flush()  # offset gap: unaligned -> new run
+            run.extend(text)
+            last_end = end
+        else:
+            if run:
+                flush()
+            out.append(text)
+    if run:
+        flush()
+    return out
+
+
+def cjk_terms_one(text: str) -> list[str]:
+    """Scalar cjk-chain tokenizer: standard tokenize -> width fold ->
+    bigram. (Lowercase + stop removal happen at the vocabulary level like
+    every chain.)"""
+    from lucene_spark.functions.analysis import TOKEN_RE, TOKEN_RE_ASCII
+
+    if not text:
+        return []
+    if text.isascii():
+        # width fold and bigramming are identity on ASCII tokens
+        return TOKEN_RE_ASCII.findall(text)
+    return cjk_bigram_terms(
+        [(cjk_width_fold(m.group()), m.start(), m.end())
+         for m in TOKEN_RE.finditer(text)]
+    )
+
+
+def findall_cjk(texts: pd.Series) -> pd.Series:
+    """Vectorized build-path twin of ``cjk_terms_one``."""
+    return texts.fillna("").map(cjk_terms_one)
+
+
+#: CJKAnalyzer's stopword file (``analysis-common/.../cjk/stopwords.txt``
+#: — 35 entries: English function words incl. the s/t possessive pieces,
+#: plus "www")
+CJK_STOP = frozenset(
+    "a and are as at be but by for if in into is it no not of on or s such "
+    "t that the their then there these they this to was will with www".split()
+)
