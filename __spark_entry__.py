@@ -1351,6 +1351,8 @@ _CJK_AST = {"bool": {"must": [{"term": "index"}], "should": [{"term": "batch"}]}
 #: merge->merg / table->tabl, stream->str)
 _BRAZILIAN_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "merg"}]}}
 _GALICIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "str"}]}}
+_PT_RSLP_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "vec"}]}}
+_DANISH_AST = {"bool": {"must": [{"term": "ord"}], "should": [{"term": "smal"}]}}
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1459,6 +1461,14 @@ def _brazilian_chain_df(spark, sf_dir):
 
 def _galician_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "galician", _GALICIAN_AST)
+
+
+def _pt_rslp_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "portuguese_rslp", _PT_RSLP_AST)
+
+
+def _danish_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "danish", _DANISH_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -1923,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_cjk_chain"] = _cjk_chain_df
     out["bm25_brazilian_chain"] = _brazilian_chain_df
     out["bm25_galician_chain"] = _galician_chain_df
+    out["bm25_portuguese_rslp_chain"] = _pt_rslp_chain_df
+    out["bm25_danish_chain"] = _danish_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2227,6 +2239,7 @@ ORDER BY t.score DESC, t.doc_id ASC
     from lucene_spark.functions import cjk as _cj
     from lucene_spark.functions import normalizers as _nz
     from lucene_spark.functions import rslp as _gl
+    from lucene_spark.functions import snowball as _sb
     from lucene_spark.functions import stemmers as _st
     for _key, _ast, _stop, _tr in (
         ("bm25_french_chain", _FRENCH_AST, _st.FR_STOP_FULL,
@@ -2275,6 +2288,10 @@ ORDER BY t.score DESC, t.doc_id ASC
          _br.brazilian_stem),
         ("bm25_galician_chain", _GALICIAN_AST, _gl.GL_STOP,
          _gl.galician_stem),
+        ("bm25_portuguese_rslp_chain", _PT_RSLP_AST, _st.PT_STOP,
+         _gl.portuguese_rslp_stem),
+        ("bm25_danish_chain", _DANISH_AST, _sb.DA_STOP,
+         _sb.danish_stem),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

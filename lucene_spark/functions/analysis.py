@@ -592,6 +592,18 @@ def _galician_transform(token: str) -> str:
     return galician_stem(token)
 
 
+def _portuguese_rslp_transform(token: str) -> str:
+    from lucene_spark.functions.rslp import portuguese_rslp_stem
+
+    return portuguese_rslp_stem(token)
+
+
+def _danish_transform(token: str) -> str:
+    from lucene_spark.functions.snowball import danish_stem
+
+    return danish_stem(token)
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
         BG_STOP, CZ_STOP, DE_STOP, EL_STOP_FULL, ES_STOP, FI_STOP,
@@ -660,6 +672,14 @@ def _fill_normalizer_chains():
 
     CHAIN_FILTERS["brazilian"] = (BR_STOP, _brazilian_transform, None)
     CHAIN_FILTERS["galician"] = (GL_STOP, _galician_transform, None)
+    # PortugueseStemFilter variant (the pt DEFAULT light chain is
+    # "portuguese" in stemmers.py) — PT stop list reused
+    CHAIN_FILTERS["portuguese_rslp"] = (
+        CHAIN_FILTERS["portuguese"][0], _portuguese_rslp_transform, None)
+
+    from lucene_spark.functions.snowball import DA_STOP
+
+    CHAIN_FILTERS["danish"] = (DA_STOP, _danish_transform, None)
 
 
 _fill_normalizer_chains()
@@ -697,6 +717,8 @@ CHAIN_BASE: dict[str, str] = {
     "cjk": "cjk",
     "brazilian": "standard",
     "galician": "standard",
+    "portuguese_rslp": "standard",
+    "danish": "standard",
 }
 
 
@@ -910,6 +932,8 @@ def _findall_cjk_lazy(texts: pd.Series) -> pd.Series:
 RAW_TOKENIZERS["cjk"] = (_findall_cjk_lazy, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["brazilian"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["galician"] = (_findall_standard, MAX_TOKEN_LENGTH)
+RAW_TOKENIZERS["portuguese_rslp"] = (_findall_standard, MAX_TOKEN_LENGTH)
+RAW_TOKENIZERS["danish"] = (_findall_standard, MAX_TOKEN_LENGTH)
 
 
 def get_raw_tokenizer(name: str):

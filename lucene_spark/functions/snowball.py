@@ -1,0 +1,430 @@
+"""Snowball stemmer runtime + generated-stemmer transliterations.
+
+``org/tartarus/snowball/SnowballProgram.java`` is the tiny VM every
+Snowball-generated stemmer runs on: a char buffer with ``cursor``/
+``limit``/``limit_backward``/``bra``/``ket`` registers, grouping bitmaps,
+and the shared-prefix binary search ``find_among``/``find_among_b`` over
+sorted Among tables. This module ports that VM verbatim (including the
+exact cursor-adjustment rules of ``replace_s``,
+``SnowballProgram.java:383-399``) and then translates generated
+stemmers method-by-method.
+
+``DanishStemmer`` (generated from danish.sbl by Snowball 3.0.0,
+``org/tartarus/snowball/ext/DanishStemmer.java``) is the
+DanishAnalyzer's DEFAULT stemmer (``da/DanishAnalyzer.java:113-119``
+Lower -> Stop -> SnowballFilter) — fuzz-verified bit-exact against the
+compiled reference class. The Among tables and grouping bitmaps are
+copied as DATA (like the stop lists); the r_* method bodies follow the
+generated Java statement-by-statement, with Java's labeled breaks
+rewritten as early-exit helpers.
+"""
+
+from __future__ import annotations
+
+
+class SnowballProgram:
+    """Port of ``SnowballProgram.java`` over a python char list."""
+
+    def __init__(self):
+        self.current: list[str] = []
+        self.cursor = 0
+        self.length = 0
+        self.limit = 0
+        self.limit_backward = 0
+        self.bra = 0
+        self.ket = 0
+
+    def set_current(self, value: str) -> None:
+        self.current = list(value)
+        self.cursor = 0
+        self.length = self.limit = len(value)
+        self.limit_backward = 0
+        self.bra = 0
+        self.ket = self.limit
+
+    def get_current(self) -> str:
+        return "".join(self.current[: self.length])
+
+    # ------------------------------------------------------ groupings
+
+    def _in(self, s, min_, max_, ch) -> bool:
+        o = ord(ch)
+        if o > max_ or o < min_:
+            return False
+        o -= min_
+        return bool(s[o >> 3] & (1 << (o & 7)))
+
+    def in_grouping(self, s, min_, max_) -> bool:
+        if self.cursor >= self.limit:
+            return False
+        if not self._in(s, min_, max_, self.current[self.cursor]):
+            return False
+        self.cursor += 1
+        return True
+
+    def go_in_grouping(self, s, min_, max_) -> bool:
+        while self.cursor < self.limit:
+            if not self._in(s, min_, max_, self.current[self.cursor]):
+                return True
+            self.cursor += 1
+        return False
+
+    def in_grouping_b(self, s, min_, max_) -> bool:
+        if self.cursor <= self.limit_backward:
+            return False
+        if not self._in(s, min_, max_, self.current[self.cursor - 1]):
+            return False
+        self.cursor -= 1
+        return True
+
+    def go_in_grouping_b(self, s, min_, max_) -> bool:
+        while self.cursor > self.limit_backward:
+            if not self._in(s, min_, max_, self.current[self.cursor - 1]):
+                return True
+            self.cursor -= 1
+        return False
+
+    def out_grouping(self, s, min_, max_) -> bool:
+        if self.cursor >= self.limit:
+            return False
+        if self._in(s, min_, max_, self.current[self.cursor]):
+            return False
+        self.cursor += 1
+        return True
+
+    def go_out_grouping(self, s, min_, max_) -> bool:
+        while self.cursor < self.limit:
+            if self._in(s, min_, max_, self.current[self.cursor]):
+                return True
+            self.cursor += 1
+        return False
+
+    def out_grouping_b(self, s, min_, max_) -> bool:
+        if self.cursor <= self.limit_backward:
+            return False
+        if self._in(s, min_, max_, self.current[self.cursor - 1]):
+            return False
+        self.cursor -= 1
+        return True
+
+    def go_out_grouping_b(self, s, min_, max_) -> bool:
+        while self.cursor > self.limit_backward:
+            if self._in(s, min_, max_, self.current[self.cursor - 1]):
+                return True
+            self.cursor -= 1
+        return False
+
+    # ----------------------------------------------------------- eq_s
+
+    def eq_s(self, s: str) -> bool:
+        if self.limit - self.cursor < len(s):
+            return False
+        for i, c in enumerate(s):
+            if self.current[self.cursor + i] != c:
+                return False
+        self.cursor += len(s)
+        return True
+
+    def eq_s_b(self, s) -> bool:
+        n = len(s)
+        if self.cursor - self.limit_backward < n:
+            return False
+        base = self.cursor - n
+        for i in range(n):
+            if self.current[base + i] != s[i]:
+                return False
+        self.cursor -= n
+        return True
+
+    # ----------------------------------------------- among dispatch
+
+    def find_among(self, v) -> int:
+        i, j = 0, len(v)
+        c, l = self.cursor, self.limit
+        common_i = common_j = 0
+        first_key_inspected = False
+        while True:
+            k = i + ((j - i) >> 1)
+            diff = 0
+            common = min(common_i, common_j)
+            w = v[k]
+            for i2 in range(common, len(w[0])):
+                if c + common == l:
+                    diff = -1
+                    break
+                diff = ord(self.current[c + common]) - ord(w[0][i2])
+                if diff != 0:
+                    break
+                common += 1
+            if diff < 0:
+                j = k
+                common_j = common
+            else:
+                i = k
+                common_i = common
+            if j - i <= 1:
+                if i > 0 or j == i or first_key_inspected:
+                    break
+                first_key_inspected = True
+        while True:
+            w = v[i]
+            if common_i >= len(w[0]):
+                self.cursor = c + len(w[0])
+                if len(w) < 4 or w[3] is None:
+                    return w[2]
+                if getattr(self, w[3])():
+                    self.cursor = c + len(w[0])
+                    return w[2]
+            i = w[1]
+            if i < 0:
+                return 0
+
+    def find_among_b(self, v) -> int:
+        i, j = 0, len(v)
+        c, lb = self.cursor, self.limit_backward
+        common_i = common_j = 0
+        first_key_inspected = False
+        while True:
+            k = i + ((j - i) >> 1)
+            diff = 0
+            common = min(common_i, common_j)
+            w = v[k]
+            for i2 in range(len(w[0]) - 1 - common, -1, -1):
+                if c - common == lb:
+                    diff = -1
+                    break
+                diff = ord(self.current[c - 1 - common]) - ord(w[0][i2])
+                if diff != 0:
+                    break
+                common += 1
+            if diff < 0:
+                j = k
+                common_j = common
+            else:
+                i = k
+                common_i = common
+            if j - i <= 1:
+                if i > 0 or j == i or first_key_inspected:
+                    break
+                first_key_inspected = True
+        while True:
+            w = v[i]
+            if common_i >= len(w[0]):
+                self.cursor = c - len(w[0])
+                if len(w) < 4 or w[3] is None:
+                    return w[2]
+                if getattr(self, w[3])():
+                    self.cursor = c - len(w[0])
+                    return w[2]
+            i = w[1]
+            if i < 0:
+                return 0
+
+    # ------------------------------------------------------- slicing
+
+    def replace_s(self, c_bra: int, c_ket: int, s: str) -> int:
+        adjustment = len(s) - (c_ket - c_bra)
+        # keep trailing chars beyond `length` out of the splice, exactly
+        # like the java arraycopy over the oversized buffer
+        tail = self.current[c_ket:self.length]
+        self.current = self.current[:c_bra] + list(s) + tail \
+            + self.current[self.length:]
+        self.length += adjustment
+        self.limit += adjustment
+        if self.cursor >= c_ket:
+            self.cursor += adjustment
+        elif self.cursor > c_bra:
+            self.cursor = c_bra
+        return adjustment
+
+    def slice_from(self, s: str) -> None:
+        self.replace_s(self.bra, self.ket, s)
+        self.ket = self.bra + len(s)
+
+    def slice_del(self) -> None:
+        self.slice_from("")
+
+    def insert(self, c_bra: int, c_ket: int, s: str) -> None:
+        adjustment = self.replace_s(c_bra, c_ket, s)
+        if c_bra <= self.bra:
+            self.bra += adjustment
+        if c_bra <= self.ket:
+            self.ket += adjustment
+
+
+# ------------------------------------------------------------- Danish
+
+#: Among tables from DanishStemmer.java (s, substring_i, result)
+_DA_A0 = (
+    ("hed", -1, 1), ("ethed", 0, 1), ("ered", -1, 1), ("e", -1, 1),
+    ("erede", 3, 1), ("ende", 3, 1), ("erende", 5, 1), ("ene", 3, 1),
+    ("erne", 3, 1), ("ere", 3, 1), ("en", -1, 1), ("heden", 10, 1),
+    ("eren", 10, 1), ("er", -1, 1), ("heder", 13, 1), ("erer", 13, 1),
+    ("s", -1, 2), ("heds", 16, 1), ("es", 16, 1), ("endes", 18, 1),
+    ("erendes", 19, 1), ("enes", 18, 1), ("ernes", 18, 1), ("eres", 18, 1),
+    ("ens", 16, 1), ("hedens", 24, 1), ("erens", 24, 1), ("ers", 16, 1),
+    ("ets", 16, 1), ("erets", 28, 1), ("et", -1, 1), ("eret", 30, 1),
+)
+_DA_A1 = (("gd", -1, -1), ("dt", -1, -1), ("gt", -1, -1), ("kt", -1, -1))
+_DA_A2 = (("ig", -1, 1), ("lig", 0, 1), ("elig", 1, 1), ("els", -1, 1),
+          ("løst", -1, 2))
+
+_DA_G_C = (119, 223, 119, 1)
+_DA_G_V = (17, 65, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 48, 0, 128)
+_DA_G_S_ENDING = (239, 254, 42, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 16)
+
+
+class DanishStemmer(SnowballProgram):
+    def __init__(self):
+        super().__init__()
+        self.I_p1 = 0
+
+    def r_mark_regions(self) -> bool:
+        self.I_p1 = self.limit
+        v_1 = self.cursor
+        c = self.cursor + 3
+        if c > self.limit:
+            return False
+        self.cursor = c
+        I_x = self.cursor
+        self.cursor = v_1
+        if not self.go_out_grouping(_DA_G_V, 97, 248):
+            return False
+        self.cursor += 1
+        if not self.go_in_grouping(_DA_G_V, 97, 248):
+            return False
+        self.cursor += 1
+        self.I_p1 = self.cursor
+        if not self.I_p1 >= I_x:  # lab0
+            self.I_p1 = I_x
+        return True
+
+    def r_main_suffix(self) -> bool:
+        if self.cursor < self.I_p1:
+            return False
+        v_1 = self.limit_backward
+        self.limit_backward = self.I_p1
+        self.ket = self.cursor
+        among_var = self.find_among_b(_DA_A0)
+        if among_var == 0:
+            self.limit_backward = v_1
+            return False
+        self.bra = self.cursor
+        self.limit_backward = v_1
+        if among_var == 1:
+            self.slice_del()
+        elif among_var == 2:
+            if not self.in_grouping_b(_DA_G_S_ENDING, 97, 229):
+                return False
+            self.slice_del()
+        return True
+
+    def r_consonant_pair(self) -> bool:
+        v_1 = self.limit - self.cursor
+        if self.cursor < self.I_p1:
+            return False
+        v_2 = self.limit_backward
+        self.limit_backward = self.I_p1
+        self.ket = self.cursor
+        if self.find_among_b(_DA_A1) == 0:
+            self.limit_backward = v_2
+            return False
+        self.bra = self.cursor
+        self.limit_backward = v_2
+        self.cursor = self.limit - v_1
+        if self.cursor <= self.limit_backward:
+            return False
+        self.cursor -= 1
+        self.bra = self.cursor
+        self.slice_del()
+        return True
+
+    def r_other_suffix(self) -> bool:
+        v_1 = self.limit - self.cursor
+        while True:  # lab0
+            self.ket = self.cursor
+            if not self.eq_s_b("st"):
+                break
+            self.bra = self.cursor
+            if not self.eq_s_b("ig"):
+                break
+            self.slice_del()
+            break
+        self.cursor = self.limit - v_1
+        if self.cursor < self.I_p1:
+            return False
+        v_2 = self.limit_backward
+        self.limit_backward = self.I_p1
+        self.ket = self.cursor
+        among_var = self.find_among_b(_DA_A2)
+        if among_var == 0:
+            self.limit_backward = v_2
+            return False
+        self.bra = self.cursor
+        self.limit_backward = v_2
+        if among_var == 1:
+            self.slice_del()
+            v_3 = self.limit - self.cursor
+            self.r_consonant_pair()
+            self.cursor = self.limit - v_3
+        elif among_var == 2:
+            self.slice_from("løs")
+        return True
+
+    def r_undouble(self) -> bool:
+        if self.cursor < self.I_p1:
+            return False
+        v_1 = self.limit_backward
+        self.limit_backward = self.I_p1
+        self.ket = self.cursor
+        if not self.in_grouping_b(_DA_G_C, 98, 122):
+            self.limit_backward = v_1
+            return False
+        self.bra = self.cursor
+        s_ch = "".join(self.current[self.bra:self.ket])
+        self.limit_backward = v_1
+        if not self.eq_s_b(s_ch):
+            return False
+        self.slice_del()
+        return True
+
+    def stem(self) -> bool:
+        v_1 = self.cursor
+        self.r_mark_regions()
+        self.cursor = v_1
+        self.limit_backward = self.cursor
+        self.cursor = self.limit
+        v_2 = self.limit - self.cursor
+        self.r_main_suffix()
+        self.cursor = self.limit - v_2
+        v_3 = self.limit - self.cursor
+        self.r_consonant_pair()
+        self.cursor = self.limit - v_3
+        v_4 = self.limit - self.cursor
+        self.r_other_suffix()
+        self.cursor = self.limit - v_4
+        v_5 = self.limit - self.cursor
+        self.r_undouble()
+        self.cursor = self.limit - v_5
+        self.cursor = self.limit_backward
+        return True
+
+
+def danish_stem(term: str) -> str:
+    """SnowballFilter semantics: stem in place, keep the result."""
+    p = DanishStemmer()
+    p.set_current(term)
+    p.stem()
+    return p.get_current()
+
+
+#: DanishAnalyzer stop set (``snowball/danish_stop.txt``, 94 words —
+#: snowball format: the token before any '|' comment)
+DA_STOP = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var mig
+sig men et har om vi min havde ham hun nu over da fra du ud sin dem os
+op man hans hvor eller hvad skal selv her alle vil blev kunne ind når
+være dog noget ville jo deres efter ned skulle denne end dette mit også
+under have dig anden hende mine alt meget sit sine vor mod disse hvis
+din nogle hos blive mange ad bliver hendes været thi jer sådan
+""".split())
