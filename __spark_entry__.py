@@ -1353,6 +1353,28 @@ _BRAZILIAN_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "merg
 _GALICIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "str"}]}}
 _PT_RSLP_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "vec"}]}}
 _DANISH_AST = {"bool": {"must": [{"term": "ord"}], "should": [{"term": "smal"}]}}
+#: snowball analyzer-default chains; hy/et/ru are script-specific ->
+#: identity on this ASCII corpus (real text pinned in tests)
+_SNOWBALL_ASTS = {
+    "dutch": {"bool": {"must": [{"term": "merg"}], "should": [{"term": "tabl"}]}},
+    "romanian": {"bool": {"must": [{"term": "dat"}], "should": [{"term": "valu"}]}},
+    "catalan": {"bool": {"must": [{"term": "custom"}], "should": [{"term": "filt"}]}},
+    "basque": {"bool": {"must": [{"term": "mer"}], "should": [{"term": "tab"}]}},
+    "armenian": {"bool": {"must": [{"term": "scan"}], "should": [{"term": "row"}]}},
+    "estonian": {"bool": {"must": [{"term": "hash"}], "should": [{"term": "key"}]}},
+    "lithuanian": {"bool": {"must": [{"term": "quer"}], "should": [{"term": "spar"}]}},
+    "swedish_snowball": {"bool": {"must": [{"term": "filt"}], "should": [{"term": "ord"}]}},
+    "norwegian_snowball": {"bool": {"must": [{"term": "custom"}], "should": [{"term": "lin"}]}},
+    "russian_snowball": {"bool": {"must": [{"term": "join"}], "should": [{"term": "sort"}]}},
+    "finnish_snowball": {"bool": {"must": [{"term": "colum"}], "should": [{"term": "smal"}]}},
+    "hungarian_snowball": {"bool": {"must": [{"term": "colu"}], "should": [{"term": "jo"}]}},
+}
+
+
+def _snowball_chain_entry(analyzer: str):
+    def fn(spark, sf_dir):
+        return _lang_chain_df(spark, sf_dir, analyzer, _SNOWBALL_ASTS[analyzer])
+    return fn
 
 
 def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
@@ -1935,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_galician_chain"] = _galician_chain_df
     out["bm25_portuguese_rslp_chain"] = _pt_rslp_chain_df
     out["bm25_danish_chain"] = _danish_chain_df
+    for _a in _SNOWBALL_ASTS:
+        out[f"bm25_{_a}_chain"] = _snowball_chain_entry(_a)
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2240,6 +2264,7 @@ ORDER BY t.score DESC, t.doc_id ASC
     from lucene_spark.functions import normalizers as _nz
     from lucene_spark.functions import rslp as _gl
     from lucene_spark.functions import snowball as _sb
+    from lucene_spark.functions import snowball_chains as _sc
     from lucene_spark.functions import stemmers as _st
     for _key, _ast, _stop, _tr in (
         ("bm25_french_chain", _FRENCH_AST, _st.FR_STOP_FULL,
@@ -2292,6 +2317,23 @@ ORDER BY t.score DESC, t.doc_id ASC
          _gl.portuguese_rslp_stem),
         ("bm25_danish_chain", _DANISH_AST, _sb.DA_STOP,
          _sb.danish_stem),
+        *(
+            (f"bm25_{_a}_chain", _SNOWBALL_ASTS[_a], _stop_, _tr_)
+            for _a, _stop_, _tr_ in (
+                ("dutch", _sc.NL_STOP, _sc.dutch_chain_transform),
+                ("romanian", _sc.RO_STOP, _sc.romanian_chain_transform),
+                ("catalan", _sc.CA_STOP_FULL, _sc.catalan_chain_transform),
+                ("basque", _sc.EU_STOP, _sc.basque_chain_transform),
+                ("armenian", _sc.HY_STOP, _sc.armenian_chain_transform),
+                ("estonian", _sc.ET_STOP, _sc.estonian_chain_transform),
+                ("lithuanian", _sc.LT_STOP, _sc.lithuanian_chain_transform),
+                ("swedish_snowball", _st.SV_STOP, _sc.swedish_snowball_transform),
+                ("norwegian_snowball", _st.NO_STOP, _sc.norwegian_snowball_transform),
+                ("russian_snowball", _st.RU_STOP, _sc.russian_snowball_transform),
+                ("finnish_snowball", _st.FI_STOP, _sc.finnish_snowball_transform),
+                ("hungarian_snowball", _st.HU_STOP, _sc.hungarian_snowball_transform),
+            )
+        ),
     ):
         out[_key] = sqlgen.topk_sql(
             parse_query(json.dumps(_ast)), _QUERY_K,

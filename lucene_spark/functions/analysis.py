@@ -85,6 +85,9 @@ _L = (
     "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0100-\u024F"
     "\u0370-\u0373\u0376-\u037D\u037F\u0386\u0388-\u03FF"
     "\u0400-\u0481\u048A-\u04FF"
+    # Armenian letters (U+0559 is Lm=ALetter; the ArmenianAnalyzer chain
+    # tokenizes through the shared standard tokenizer)
+    "\u0531-\u0556\u0559\u0560-\u0588"
     # Arabic letters (incl. tatweel U+0640 = Lm = ALetter; harakat are
     # Extend below; U+060C/U+06D4 punctuation split) + Syriac letters
     # (testArabic/testFarsi/testAramaic, TestStandardAnalyzer.java:203-307)
@@ -604,6 +607,15 @@ def _danish_transform(token: str) -> str:
     return danish_stem(token)
 
 
+def _snowball_chain_transform(name: str):
+    def tr(token: str) -> str:
+        from lucene_spark.functions import snowball_chains as sc
+
+        return getattr(sc, name)(token)
+
+    return tr
+
+
 def _lang_stops():
     from lucene_spark.functions.stemmers import (
         BG_STOP, CZ_STOP, DE_STOP, EL_STOP_FULL, ES_STOP, FI_STOP,
@@ -934,6 +946,34 @@ RAW_TOKENIZERS["brazilian"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["galician"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["portuguese_rslp"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["danish"] = (_findall_standard, MAX_TOKEN_LENGTH)
+
+
+def _fill_snowball_chains():
+    """Snowball analyzer-default chains (functions/snowball_chains.py):
+    7 new languages + the true-default `_snowball` variants of the five
+    chains whose plain names carry the Light-filter variants."""
+    from lucene_spark.functions import snowball_chains as _sc
+
+    for name, stop, tr in (
+        ("dutch", _sc.NL_STOP, "dutch_chain_transform"),
+        ("romanian", _sc.RO_STOP, "romanian_chain_transform"),
+        ("catalan", _sc.CA_STOP_FULL, "catalan_chain_transform"),
+        ("basque", _sc.EU_STOP, "basque_chain_transform"),
+        ("armenian", _sc.HY_STOP, "armenian_chain_transform"),
+        ("estonian", _sc.ET_STOP, "estonian_chain_transform"),
+        ("lithuanian", _sc.LT_STOP, "lithuanian_chain_transform"),
+        ("swedish_snowball", _SV_STOP, "swedish_snowball_transform"),
+        ("norwegian_snowball", _NO_STOP, "norwegian_snowball_transform"),
+        ("russian_snowball", _RU_STOP, "russian_snowball_transform"),
+        ("finnish_snowball", _FI_STOP, "finnish_snowball_transform"),
+        ("hungarian_snowball", _HU_STOP, "hungarian_snowball_transform"),
+    ):
+        CHAIN_FILTERS[name] = (stop, _snowball_chain_transform(tr), None)
+        CHAIN_BASE[name] = "standard"
+        RAW_TOKENIZERS[name] = (_findall_standard, MAX_TOKEN_LENGTH)
+
+
+_fill_snowball_chains()
 
 
 def get_raw_tokenizer(name: str):

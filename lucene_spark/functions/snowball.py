@@ -22,6 +22,17 @@ rewritten as early-exit helpers.
 from __future__ import annotations
 
 
+class _Lab(Exception):
+    """Java labeled-break carrier for transpiled stemmers: ``break labN``
+    raises ``_Lab(N)``, caught at the block that owns the label
+    (``golabN`` loop labels use id N+1000)."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n
+
+
 class SnowballProgram:
     """Port of ``SnowballProgram.java`` over a python char list."""
 

@@ -1,0 +1,124 @@
+"""Snowball runtime + transpiled-stemmer parity.
+
+Every class in ``snowball_gen.py`` (emitted by
+tools/snowball_transpile.py from the reference's generated Java) was
+fuzz-verified bit-exact against the COMPILED reference class — ~28.5k
+suffix-stacked words per language, 0 mismatches across all 21 + Danish.
+These goldens are GENERATED from those compiled classes (never
+hand-guessed) and pin the end-to-end chains."""
+
+import pytest
+
+from lucene_spark.functions.analysis import analyze_one_chain
+
+#: (stemmer class, word, expected) — from /tmp/stemparity p.MainSB
+GEN_GOLDENS = [
+    ("SwedishStemmer", "katterna", "katt"),
+    ("SwedishStemmer", "hundarnas", "hund"),
+    ("SwedishStemmer", "flickornas", "flick"),
+    ("NorwegianStemmer", "bøkene", "bøk"),
+    ("NorwegianStemmer", "husene", "hus"),
+    ("DutchStemmer", "fietsen", "fiets"),
+    ("DutchStemmer", "lichamelijke", "lichamelijk"),
+    ("RomanianStemmer", "frumoasele", "frumoas"),
+    ("RomanianStemmer", "muncitorilor", "muncit"),
+    ("CatalanStemmer", "cases", "case"),
+    ("CatalanStemmer", "trobaré", "trob"),
+    ("BasqueStemmer", "gizonaren", "gizo"),
+    ("BasqueStemmer", "handiena", "handi"),
+    ("ArmenianStemmer", "տներում", "տներ"),
+    ("IrishStemmer", "bhfeirmeoirí", "feirmeoirí"),
+    ("EstonianStemmer", "raamatute", "raama"),
+    ("EstonianStemmer", "lastele", "last"),
+    ("LithuanianStemmer", "namuose", "nam"),
+    ("LithuanianStemmer", "vaikams", "vaik"),
+    ("TurkishStemmer", "kitapları", "kitap"),
+    ("TurkishStemmer", "evlerinden", "ev"),
+    ("RussianStemmer", "книгами", "книг"),
+    ("RussianStemmer", "домах", "дом"),
+    ("FinnishStemmer", "kirjoissa", "kirj"),
+    ("HungarianStemmer", "könyvekben", "könyv"),
+]
+
+
+@pytest.mark.parametrize("cls,w,want", GEN_GOLDENS,
+                         ids=[f"{c[:2]}-{w}" for c, w, _ in GEN_GOLDENS])
+def test_generated_stemmer_goldens(cls, w, want):
+    from lucene_spark.functions import snowball_gen as g
+
+    p = getattr(g, cls)()
+    p.set_current(w)
+    p.stem()
+    assert p.get_current() == want
+
+
+def test_snowball_chains_end_to_end():
+    # dutch: stop ("de", "van") + StemmerOverride ("kind" family) + stem
+    toks, pos, flen = analyze_one_chain(
+        "De fietsen van de kinderen", "dutch")
+    assert toks == ["fiets", "kinder"] and pos == [1, 4] and flen == 2
+    # the override map bypasses the stemmer exactly for its 4 keys
+    from lucene_spark.functions.snowball_chains import dutch_chain_transform
+    assert dutch_chain_transform("fiets") == "fiets"      # else "fiet"
+    assert dutch_chain_transform("ei") == "eier"
+    assert dutch_chain_transform("kind") == "kinder"
+
+    # catalan: elision (d'una -> una, a stopword) + stop + stem
+    toks, _, _ = analyze_one_chain("d'una manera les cases", "catalan")
+    assert toks == ["man", "case"]
+    # elided NON-stopword reaches the stemmer
+    toks, _, _ = analyze_one_chain("l'estudiant", "catalan")
+    assert toks == ["estud"]  # compiled-class golden
+
+    toks, _, _ = analyze_one_chain("Katterna och hundarna", "swedish_snowball")
+    assert toks == ["katt", "hund"]
+    toks, _, _ = analyze_one_chain("mellom bøkene i husene", "norwegian_snowball")
+    assert toks == ["bøk", "hus"]
+    toks, _, _ = analyze_one_chain("в домах с книгами", "russian_snowball")
+    assert toks == ["дом", "книг"]
+    toks, _, _ = analyze_one_chain("kirjoissa ja taloissa", "finnish_snowball")
+    assert toks == ["kirj", "talo"]
+    toks, _, _ = analyze_one_chain("a könyvekben és házakból", "hungarian_snowball")
+    assert toks == ["könyv", "ház"]
+    toks, _, _ = analyze_one_chain("frumoasele case ale muncitorilor", "romanian")
+    assert toks == ["frumoas", "cas", "muncit"]
+    toks, _, _ = analyze_one_chain("raamatute ja lastele", "estonian")
+    assert toks == ["raama", "last"]
+    toks, _, _ = analyze_one_chain("namuose ir vaikams", "lithuanian")
+    assert toks == ["nam", "vaik"]
+    toks, _, _ = analyze_one_chain("etxeko gizonaren", "basque")
+    assert toks == ["etxeko", "gizo"]
+    toks, _, _ = analyze_one_chain("գրքերը տներում", "armenian")
+    assert toks == ["գրքերը", "տներ"]
+
+
+def test_stop_set_counts():
+    from lucene_spark.functions import snowball_chains as sc
+
+    # counts = distinct words in each reference stop file (loader
+    # semantics: snowball '|' format for nl, plain lines elsewhere)
+    assert len(sc.NL_STOP) == 101
+    assert len(sc.RO_STOP) == 254
+    assert len(sc.CA_STOP) == 218
+    assert len(sc.EU_STOP) == 98
+    assert len(sc.HY_STOP) == 45
+    assert len(sc.ET_STOP) == 1470
+    assert len(sc.LT_STOP) == 125
+    assert "li'n" in sc.CA_STOP_FULL and "d'el" in sc.CA_STOP_FULL
+
+
+def test_runtime_replace_semantics():
+    """replace_s cursor-adjustment rules (SnowballProgram.java:383-399)."""
+    from lucene_spark.functions.snowball import SnowballProgram
+
+    p = SnowballProgram()
+    p.set_current("abcdef")
+    p.bra, p.ket, p.cursor = 2, 4, 5
+    p.slice_from("XYZ")
+    assert p.get_current() == "abXYZef"
+    assert p.cursor == 6 and p.ket == 5  # cursor >= c_ket shifted by +1
+    p.set_current("abcdef")
+    p.bra, p.ket, p.cursor = 2, 4, 3
+    p.slice_del()
+    assert p.get_current() == "abef"
+    assert p.cursor == 2  # inside the replaced span -> snaps to bra
