@@ -1368,6 +1368,11 @@ _SNOWBALL_ASTS = {
     "russian_snowball": {"bool": {"must": [{"term": "join"}], "should": [{"term": "sort"}]}},
     "finnish_snowball": {"bool": {"must": [{"term": "colum"}], "should": [{"term": "smal"}]}},
     "hungarian_snowball": {"bool": {"must": [{"term": "colu"}], "should": [{"term": "jo"}]}},
+    # turkish/irish carry per-chain LOWERCASE (identity on this
+    # lowercase corpus; the dotless-I / hyphenation behavior is pinned
+    # in tests/test_snowball.py)
+    "turkish": {"bool": {"must": [{"term": "da"}], "should": [{"term": "l"}]}},
+    "irish": {"bool": {"must": [{"term": "te"}], "should": [{"term": "scan"}]}},
 }
 
 
@@ -2332,6 +2337,8 @@ ORDER BY t.score DESC, t.doc_id ASC
                 ("russian_snowball", _st.RU_STOP, _sc.russian_snowball_transform),
                 ("finnish_snowball", _st.FI_STOP, _sc.finnish_snowball_transform),
                 ("hungarian_snowball", _st.HU_STOP, _sc.hungarian_snowball_transform),
+                ("turkish", _sc.TR_STOP, _sc.turkish_chain_transform),
+                ("irish", _sc.GA_STOP_FULL, _sc.irish_chain_transform),
             )
         ),
     ):

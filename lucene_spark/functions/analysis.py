@@ -767,9 +767,10 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
     synonym-stacked tokens share their source position and do not count
     toward field_len."""
     base = CHAIN_BASE.get(analyzer, "standard")
+    lower = CHAIN_LOWER.get(analyzer, java_lower)
     if base == "standard":
         raw = [t for t in tokenize_one(text)]
-        keep = [(i, java_lower(t)) for i, t in enumerate(raw)
+        keep = [(i, lower(t)) for i, t in enumerate(raw)
                 if len(t) <= MAX_TOKEN_LENGTH]
     elif base == "whitespace":
         raw = _ws_payload_terms(text or "")
@@ -948,6 +949,14 @@ RAW_TOKENIZERS["portuguese_rslp"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["danish"] = (_findall_standard, MAX_TOKEN_LENGTH)
 
 
+#: per-chain custom LOWERCASE (the reference's per-language
+#: LowerCaseFilter variants — TurkishLowerCaseFilter dotless-I,
+#: IrishLowerCaseFilter n-/t- hyphenation + pre-lower elision). Chains
+#: absent here lower with java_lower; consumed by analyze_one_chain and
+#: the build's vocabulary-level lowercase (index/build.py).
+CHAIN_LOWER: dict[str, object] = {}
+
+
 def _fill_snowball_chains():
     """Snowball analyzer-default chains (functions/snowball_chains.py):
     7 new languages + the true-default `_snowball` variants of the five
@@ -971,6 +980,19 @@ def _fill_snowball_chains():
         CHAIN_FILTERS[name] = (stop, _snowball_chain_transform(tr), None)
         CHAIN_BASE[name] = "standard"
         RAW_TOKENIZERS[name] = (_findall_standard, MAX_TOKEN_LENGTH)
+
+    # Turkish / Irish: same shape plus a per-chain LOWERCASE
+    CHAIN_FILTERS["turkish"] = (
+        _sc.TR_STOP, _snowball_chain_transform("turkish_chain_transform"),
+        None)
+    CHAIN_FILTERS["irish"] = (
+        _sc.GA_STOP_FULL, _snowball_chain_transform("irish_chain_transform"),
+        None)
+    for name, lower in (("turkish", _sc.turkish_lower),
+                        ("irish", _sc.irish_chain_lower)):
+        CHAIN_BASE[name] = "standard"
+        RAW_TOKENIZERS[name] = (_findall_standard, MAX_TOKEN_LENGTH)
+        CHAIN_LOWER[name] = lower
 
 
 _fill_snowball_chains()

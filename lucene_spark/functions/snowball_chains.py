@@ -521,3 +521,184 @@ CA_STOP_FULL = frozenset(CA_STOP) | frozenset(
     f"{a}{ap}{w}"
     for a in _CA_ARTICLES for ap in _APOSTROPHES for w in CA_STOP
 )
+
+
+# ------------------------------------------- Turkish / Irish (custom lower)
+
+def apostrophe_strip(token: str) -> str:
+    """ApostropheFilter (``tr/ApostropheFilter.java:48-52``): truncate at
+    the first ' or \u2019 (the apostrophe itself included)."""
+    for i, ch in enumerate(token):
+        if ch == "'" or ch == "\u2019":
+            return token[:i]
+    return token
+
+
+def _java_char_lower(ch: str) -> str:
+    from lucene_spark.functions.analysis import java_lower
+
+    return java_lower(ch)
+
+
+def turkish_lower(token: str) -> str:
+    """TurkishLowerCaseFilter (``tr/TurkishLowerCaseFilter.java:48-89``):
+    I -> \u0131 (dotless) unless a combining-dot-above follows through
+    NSMs (then I -> i and the dot is DELETED); stray combining dots in an
+    after-I NSM run are deleted; everything else lowers per codepoint."""
+    out = []
+    i_or_after = False
+    import unicodedata
+    n = len(token)
+    idx = 0
+    while idx < n:
+        ch = token[idx]
+        o = ord(ch)
+        i_or_after = o == 0x49 or (
+            i_or_after and unicodedata.category(ch) == "Mn")
+        if i_or_after:
+            if o == 0x0307:
+                idx += 1          # delete the combining dot
+                continue
+            if o == 0x49:
+                j = idx + 1
+                before_dot = False
+                while j < n:
+                    cj = token[j]
+                    if unicodedata.category(cj) != "Mn":
+                        break
+                    if ord(cj) == 0x0307:
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("\u0131")
+                    i_or_after = False
+                idx += 1
+                continue
+        out.append(_java_char_lower(ch))
+        idx += 1
+    return "".join(out)
+
+
+_GA_UPPER_VOWELS = frozenset("AEIOU\u00c1\u00c9\u00cd\u00d3\u00da")
+_GA_ARTICLES = frozenset("dmb")
+
+
+def irish_elide(token: str) -> str:
+    """ElisionFilter(d m b, case-insensitive) — runs BEFORE the Irish
+    lowercase in the reference chain (``ga/IrishAnalyzer.java:129``)."""
+    for i, ch in enumerate(token):
+        if ch == "'" or ch == "\u2019":
+            if token[:i].lower() in _GA_ARTICLES:
+                return token[i + 1:]
+            return token
+    return token
+
+
+def irish_lower(token: str) -> str:
+    """IrishLowerCaseFilter (``ga/IrishLowerCaseFilter.java:38-56``):
+    n/t before an UPPERCASE vowel (incl. fada accents) gain a hyphen
+    (nAthair -> n-athair); the rest lowers per codepoint."""
+    if len(token) > 1 and token[0] in "nt" and token[1] in _GA_UPPER_VOWELS:
+        return token[0] + "-" + "".join(
+            _java_char_lower(c) for c in token[1:])
+    return "".join(_java_char_lower(c) for c in token)
+
+
+def irish_chain_lower(token: str) -> str:
+    """The full pre-stop normalization the engine's vocabulary lower
+    applies for the irish chain: Elision THEN IrishLowerCase (the
+    reference's filter order; the leading hyphenation StopFilter is
+    folded into GA_STOP_FULL as the lowered h/n/t singletons)."""
+    return irish_lower(irish_elide(token))
+
+
+def turkish_chain_transform(token: str) -> str:
+    return _stem("tr", "TurkishStemmer", apostrophe_strip(token))
+
+
+def irish_chain_transform(token: str) -> str:
+    return _stem("ga", "IrishStemmer", token)
+
+
+#: tr/stopwords.txt, machine-extracted
+TR_STOP_RAW = frozenset((
+    'acaba', 'altmış', 'altı', 'ama', 'ancak', 'arada', 'aslında',
+    'ayrıca', 'bana', 'bazı', 'belki', 'ben', 'benden', 'beni', 'benim',
+    'beri', 'beş', 'bile', 'bin', 'bir', 'biri', 'birkaç', 'birkez',
+    'birçok', 'birşey', 'birşeyi', 'biz', 'bizden', 'bize', 'bizi',
+    'bizim', 'bu', 'buna', 'bunda', 'bundan', 'bunlar', 'bunları',
+    'bunların', 'bunu', 'bunun', 'burada', 'böyle', 'böylece', 'da',
+    'daha', 'dahi', 'de', 'defa', 'değil', 'diye', 'diğer', 'doksan',
+    'dokuz', 'dolayı', 'dolayısıyla', 'dört', 'edecek', 'eden', 'ederek',
+    'edilecek', 'ediliyor', 'edilmesi', 'ediyor', 'elli', 'en', 'etmesi',
+    'etti', 'ettiği', 'ettiğini', 'eğer', 'gibi', 'göre', 'halen', 'hangi',
+    'hatta', 'hem', 'henüz', 'hep', 'hepsi', 'her', 'herhangi', 'herkesin',
+    'hiç', 'hiçbir', 'iki', 'ile', 'ilgili', 'ise', 'itibaren',
+    'itibariyle', 'için', 'işte', 'kadar', 'karşın', 'katrilyon', 'kendi',
+    'kendilerine', 'kendini', 'kendisi', 'kendisine', 'kendisini', 'kez',
+    'ki', 'kim', 'kimden', 'kime', 'kimi', 'kimse', 'kırk', 'milyar',
+    'milyon', 'mu', 'mü', 'mı', 'nasıl', 'ne', 'neden', 'nedenle', 'nerde',
+    'nerede', 'nereye', 'niye', 'niçin', 'o', 'olan', 'olarak', 'oldu',
+    'olduklarını', 'olduğu', 'olduğunu', 'olmadı', 'olmadığı', 'olmak',
+    'olması', 'olmayan', 'olmaz', 'olsa', 'olsun', 'olup', 'olur',
+    'olursa', 'oluyor', 'on', 'ona', 'ondan', 'onlar', 'onlardan',
+    'onları', 'onların', 'onu', 'onun', 'otuz', 'oysa', 'pek', 'rağmen',
+    'sadece', 'sanki', 'sekiz', 'seksen', 'sen', 'senden', 'seni', 'senin',
+    'siz', 'sizden', 'sizi', 'sizin', 'tarafından', 'trilyon', 'tüm',
+    'var', 'vardı', 've', 'veya', 'ya', 'yani', 'yapacak', 'yapmak',
+    'yaptı', 'yaptıkları', 'yaptığı', 'yaptığını', 'yapılan', 'yapılması',
+    'yapıyor', 'yedi', 'yerine', 'yetmiş', 'yine', 'yirmi', 'yoksa', 'yüz',
+    'zaten', 'çok', 'çünkü', 'öyle', 'üzere', 'üç', 'şey', 'şeyden',
+    'şeyi', 'şeyler', 'şu', 'şuna', 'şunda', 'şundan', 'şunları', 'şunu',
+    'şöyle',
+))
+
+#: snowball/irish_stop.txt (| format), machine-extracted
+GA_STOP_RAW = frozenset((
+    'a', 'ach', 'ag', 'agus', 'an', 'aon', 'ar', 'arna', 'as', "b'", 'ba',
+    'beirt', 'bhúr', 'caoga', 'ceathair', 'ceathrar', 'chomh', 'chtó',
+    'chuig', 'chun', 'cois', 'céad', 'cúig', 'cúigear', "d'", 'daichead',
+    'dar', 'de', 'deich', 'deichniúr', 'den', 'dhá', 'do', 'don', 'dtí',
+    'dá', 'dár', 'dó', 'faoi', 'faoin', 'faoina', 'faoinár', 'fara',
+    'fiche', 'gach', 'gan', 'go', 'gur', 'haon', 'hocht', 'i', 'iad',
+    'idir', 'in', 'ina', 'ins', 'inár', 'is', 'le', 'leis', 'lena',
+    'lenár', "m'", 'mar', 'mo', 'mé', 'na', 'nach', 'naoi', 'naonúr', 'ná',
+    'ní', 'níor', 'nó', 'nócha', 'ocht', 'ochtar', 'os', 'roimh', 'sa',
+    'seacht', 'seachtar', 'seachtó', 'seasca', 'seisear', 'siad', 'sibh',
+    'sinn', 'sna', 'sé', 'sí', 'tar', 'thar', 'thú', 'triúr', 'trí',
+    'trína', 'trínár', 'tríocha', 'tú', 'um', 'ár', 'é', 'éis', 'í', 'ó',
+    'ón', 'óna', 'ónár',
+))
+
+
+
+class _ApostropheStopSet:
+    """Turkish stop membership: the reference order is Apostrophe ->
+    TurkishLower -> Stop, the engine tests stop on the lowered-only form
+    — membership = apostrophe_strip(token) in the file set (apostrophe
+    truncation commutes with lowercase)."""
+
+    def __init__(self, base):
+        self.base = frozenset(base)
+
+    def __contains__(self, token):
+        return apostrophe_strip(token) in self.base
+
+    def __iter__(self):
+        return iter(self.base)
+
+    def __len__(self):
+        return len(self.base)
+
+
+TR_STOP = _ApostropheStopSet(TR_STOP_RAW)
+
+#: GA stop file words + the hyphenation singletons h/n/t (the reference's
+#: leading StopFilter(HYPHENATIONS) on raw tokens — case-insensitive, and
+#: irish_chain_lower maps H/N/T to exactly these lowered forms). The
+#: file's own b'/d'/m' entries are dead in the reference too: the
+#: standard tokenizer never emits a token ending with an apostrophe.
+GA_STOP_FULL = frozenset(GA_STOP_RAW) | frozenset("hnt")

@@ -631,8 +631,13 @@ def _build_segment_frame(
         # lowercase + length-filter on the vocabulary, not the corpus.
         # Java-parity translate first (İ/Σ — see analysis._JAVA_LOWER);
         # no-op for ASCII-only vocabularies (the `simple` chains)
-        from lucene_spark.functions.analysis import _JAVA_LOWER
-        lowered = pd.Series(uniques).str.translate(_JAVA_LOWER).str.lower()
+        from lucene_spark.functions.analysis import CHAIN_LOWER, _JAVA_LOWER
+        _custom_lower = CHAIN_LOWER.get(analyzer)
+        if _custom_lower is not None:
+            # per-chain lowercase (Turkish dotless-I, Irish hyphenation)
+            lowered = pd.Series(uniques).map(_custom_lower)
+        else:
+            lowered = pd.Series(uniques).str.translate(_JAVA_LOWER).str.lower()
         remap, uniques = pd.factorize(lowered.to_numpy(dtype=object), sort=True)
         codes = remap[codes]
     if max_len is not None and codes.size:

@@ -92,6 +92,73 @@ def test_snowball_chains_end_to_end():
     assert toks == ["գրքերը", "տներ"]
 
 
+def test_turkish_irish_lowercase_and_chains():
+    """Per-chain lowercase goldens pinned VERBATIM from the reference
+    tests (TestTurkishLowerCaseFilter.java:29-72 composed/decomposed/
+    decomposed2/decomposed3, TestIrishLowerCaseFilter.java:29-37)."""
+    from lucene_spark.functions.snowball_chains import (
+        apostrophe_strip, irish_chain_lower, irish_lower, turkish_lower,
+    )
+
+    # composed + bare-I forms
+    assert turkish_lower("İSTANBUL") == "istanbul"
+    assert turkish_lower("İZMİR") == "izmir"
+    assert turkish_lower("ISPARTA") == "ısparta"
+    # decomposed: I + combining dot above -> i, the dot deleted
+    assert turkish_lower("İSTANBUL") == "istanbul"
+    assert turkish_lower("İZMİR") == "izmir"
+    # NSMs between I and the dot keep the lookahead alive
+    assert turkish_lower("İ̖STANBUL") == "i̖stanbul"
+    assert turkish_lower("I̖SPARTA") == "ı̖sparta"
+    assert turkish_lower("İ") == "i"
+
+    assert irish_lower("nAthair") == "n-athair"
+    assert irish_lower("tUISCE") == "t-uisce"
+    assert irish_lower("hARD") == "hard"
+    # elision precedes the hyphenation check (d'Athair -> athair, NOT a-)
+    assert irish_chain_lower("d'Athair") == "athair"
+
+    assert apostrophe_strip("türkiye'den") == "türkiye"
+    assert apostrophe_strip("k’x") == "k"
+
+    toks, pos, flen = analyze_one_chain(
+        "Türkiye'den İstanbul'a kitapları ve IRMAK", "turkish")
+    assert toks == ["türki", "istanbul", "kitap", "ırmak"]
+    assert pos == [0, 1, 2, 4] and flen == 4  # "ve" stopped after lower
+    toks, pos, flen = analyze_one_chain(
+        "nAthair agus tUISCE hARD na bhfeirmeoirí", "irish")
+    # mutated prefixes resolve through hyphenation + the snowball rules;
+    # h/n/t singletons and agus/na stop
+    assert toks == ["athair", "uisce", "hard", "feirmeoirí"]
+    assert pos == [0, 2, 3, 5] and flen == 4
+
+
+def test_turkish_irish_engine_roundtrip(spark, tmp_path):
+    """The per-chain lowercase reaches the vectorized BUILD path too."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    rows = [("c1", 0, "user", None, 1000,
+             "Türkiye'den İstanbul'a kitapları ve IRMAK")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "role", "tool", "ts", "text"]))
+    path = str(tmp_path / "tr_idx")
+    build_index(spark, df, path,
+                IndexConfig(num_segments=1, term_buckets=2,
+                            analyzer="turkish"))
+    merge_index(spark, path)
+    s = IndexSearcher(spark, path)
+    hits = s.search(
+        rewrite_fixpoint(parse_query('{"term": "ırmak"}')), 3).collect()
+    assert len(hits) == 1  # dotless-ı term exists only via turkish_lower
+    fl = s.docmap().select("field_len").collect()[0][0]
+    assert fl == 4
+
+
 def test_stop_set_counts():
     from lucene_spark.functions import snowball_chains as sc
 
