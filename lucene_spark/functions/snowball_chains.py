@@ -12,9 +12,9 @@ Analyzer chains realized here (each the reference analyzer's DEFAULT):
   Snowball.
 - Catalan (``ca/CatalanAnalyzer.java:121-130``): Elision(d l m n s t) ->
   Lower -> Stop -> Snowball; Elision-before-Stop order is restored at
-  the stop-SET level exactly like the French/Italian chains (the CA stop
-  file already lists the elided forms d' l' ... separately, so the
-  restored set = file words minus apostrophe forms plus their targets).
+  the stop-SET level exactly like the French/Italian chains — see
+  ``CA_STOP_FULL`` below for why the file's own apostrophe entries stay
+  verbatim.
 - Swedish / Norwegian / Russian / Finnish / Hungarian `_snowball`
   chains: the TRUE analyzer defaults (``sv/SwedishAnalyzer.java`` etc.
   use SnowballFilter; the plain chains in stemmers.py are the
