@@ -1373,6 +1373,10 @@ _SNOWBALL_ASTS = {
     # in tests/test_snowball.py)
     "turkish": {"bool": {"must": [{"term": "da"}], "should": [{"term": "l"}]}},
     "irish": {"bool": {"must": [{"term": "te"}], "should": [{"term": "scan"}]}},
+    # kstem: dictionary-driven — identity on this corpus vocab (every
+    # word is a KStem head word); EN stops live; real morphology pinned
+    # in tests/test_stemmers.py
+    "english_kstem": {"bool": {"must": [{"term": "window"}], "should": [{"term": "vector"}]}},
 }
 
 
@@ -2264,6 +2268,7 @@ ORDER BY t.score DESC, t.doc_id ASC
             (w, stem(w)) for w in _DOC_VOCAB if stem(w) != w
         ),
     )
+    from lucene_spark.functions import analysis as _an
     from lucene_spark.functions import brazilian as _br
     from lucene_spark.functions import cjk as _cj
     from lucene_spark.functions import normalizers as _nz
@@ -2339,6 +2344,7 @@ ORDER BY t.score DESC, t.doc_id ASC
                 ("hungarian_snowball", _st.HU_STOP, _sc.hungarian_snowball_transform),
                 ("turkish", _sc.TR_STOP, _sc.turkish_chain_transform),
                 ("irish", _sc.GA_STOP_FULL, _sc.irish_chain_transform),
+                ("english_kstem", _an.EN_STOP_SET, _an._kstem_transform),
             )
         ),
     ):

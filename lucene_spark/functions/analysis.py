@@ -607,6 +607,12 @@ def _danish_transform(token: str) -> str:
     return danish_stem(token)
 
 
+def _kstem_transform(token: str) -> str:
+    from lucene_spark.functions.kstem import kstem
+
+    return kstem(strip_possessive(token))
+
+
 def _snowball_chain_transform(name: str):
     def tr(token: str) -> str:
         from lucene_spark.functions import snowball_chains as sc
@@ -993,6 +999,12 @@ def _fill_snowball_chains():
         CHAIN_BASE[name] = "standard"
         RAW_TOKENIZERS[name] = (_findall_standard, MAX_TOKEN_LENGTH)
         CHAIN_LOWER[name] = lower
+
+    # KStemFilter (en/KStemmer.java — Krovetz stemmer) in the
+    # EnglishAnalyzer scaffold with KStem swapped for Porter
+    CHAIN_FILTERS["english_kstem"] = (EN_STOP_SET, _kstem_transform, None)
+    CHAIN_BASE["english_kstem"] = "standard"
+    RAW_TOKENIZERS["english_kstem"] = (_findall_standard, MAX_TOKEN_LENGTH)
 
 
 _fill_snowball_chains()

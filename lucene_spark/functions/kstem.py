@@ -1,0 +1,757 @@
+"""KStem — transliteration of the reference's ``en/KStemmer.java``
+(Krovetz morphological stemmer, the KStemFilter engine; originally CIIR
+UMass, BSD-licensed inside Lucene) — fuzz-verified bit-exact against the
+COMPILED reference class.
+
+Structure mirrors the Java verbatim: a mutable word buffer with ``k``
+(index of the final letter) and ``j`` (index of the final stem letter,
+set by the ``endsIn`` checks), a dictionary of ~28k head words with
+exception/conflation entries (``kstem_data.py``, machine-extracted), and
+the fixed ending-pipeline in ``stem`` (``KStemmer.java:1798-1837``)
+where the FIRST dictionary match wins. Notable preserved quirks:
+
+- ``lookup()`` records exception entries as matches while
+  ``wordInDict()`` refuses to cache them (``KStemmer.java:828-835``);
+- the bare ``entry = wordInDict()`` before ``iveEndings`` marks the
+  current form matched as a side effect (so a word whose -al/-ly
+  pipeline left a dictionary form breaks out right after iveEndings);
+- the `ERROR` lookup in alEndings' -ical branch
+  (``KStemmer.java:1646``) runs exactly as written.
+
+Terms must be lowercased a-z (``isAlpha``); anything else — incl. len<3
+or len>=50 — returns unchanged, like KStemFilter's changed=false path.
+"""
+
+from __future__ import annotations
+
+from lucene_spark.functions.kstem_data import KSTEM_SPECIAL, KSTEM_WORDS
+
+_MAX_WORD_LEN = 50
+_VOWELS = frozenset("aeiou")
+
+
+def _dict_get(word: str):
+    """dict_ht.get: (root, exception) tuple, root None for head words."""
+    sp = KSTEM_SPECIAL.get(word)
+    if sp is not None:
+        return sp
+    if word in KSTEM_WORDS:
+        return (None, False)
+    return None
+
+
+class _KStemmer:
+    __slots__ = ("word", "k", "j", "matched_entry", "result")
+
+    def __init__(self):
+        self.word: list[str] = []
+        self.k = 0
+        self.j = 0
+        self.matched_entry = None
+        self.result = None
+
+    # ------------------------------------------------------- helpers
+
+    def _s(self) -> str:
+        return "".join(self.word)
+
+    def set_length(self, n: int) -> None:
+        del self.word[n:]
+
+    def append(self, s: str) -> None:
+        self.word.extend(s)
+
+    def set_char(self, i: int, c: str) -> None:
+        # OpenStringBuilder.setCharAt may address one past the current
+        # end after setLength shrinks (the Java buffer keeps capacity);
+        # extend to match
+        if i == len(self.word):
+            self.word.append(c)
+        else:
+            self.word[i] = c
+
+    def is_vowel(self, i: int) -> bool:
+        return not self.is_cons(i)
+
+    def is_cons(self, i: int) -> bool:
+        ch = self.word[i]
+        if ch in _VOWELS:
+            return False
+        if ch != "y" or i == 0:
+            return True
+        return not self.is_cons(i - 1)
+
+    def stem_length(self) -> int:
+        return self.j + 1
+
+    def ends_in(self, s: str) -> bool:
+        if len(s) > self.k:
+            return False
+        r = len(self.word) - len(s)
+        self.j = self.k
+        for i, c in enumerate(s):
+            if c != self.word[r + i]:
+                return False
+        self.j = r - 1
+        return True
+
+    def ends_in2(self, a: str, b: str) -> bool:
+        if 2 > self.k:
+            return False
+        w = self.word
+        if w[self.k - 1] == a and w[self.k] == b:
+            self.j = self.k - 2
+            return True
+        return False
+
+    def ends_in3(self, a: str, b: str, c: str) -> bool:
+        if 3 > self.k:
+            return False
+        w = self.word
+        if w[self.k - 2] == a and w[self.k - 1] == b and w[self.k] == c:
+            self.j = self.k - 3
+            return True
+        return False
+
+    def ends_in4(self, a: str, b: str, c: str, d: str) -> bool:
+        if 4 > self.k:
+            return False
+        w = self.word
+        if (w[self.k - 3] == a and w[self.k - 2] == b
+                and w[self.k - 1] == c and w[self.k] == d):
+            self.j = self.k - 4
+            return True
+        return False
+
+    def word_in_dict(self):
+        if self.matched_entry is not None:
+            return self.matched_entry
+        e = _dict_get(self._s())
+        if e is not None and not e[1]:
+            self.matched_entry = e  # only cache non-exception entries
+        return e
+
+    def lookup(self) -> bool:
+        self.matched_entry = _dict_get(self._s())
+        return self.matched_entry is not None
+
+    def set_suffix(self, s: str) -> None:
+        self.set_length(self.j + 1)
+        self.append(s)
+        self.k = self.j + len(s)
+
+    def penult_char(self) -> str:
+        return self.word[self.k - 1]
+
+    def double_c(self, i: int) -> bool:
+        if i < 1:
+            return False
+        if self.word[i] != self.word[i - 1]:
+            return False
+        return self.is_cons(i)
+
+    def vowel_in_stem(self) -> bool:
+        for i in range(self.stem_length()):
+            if self.is_vowel(i):
+                return True
+        return False
+
+    def matched(self) -> bool:
+        return self.matched_entry is not None
+
+    # ------------------------------------------------------ pipeline
+
+    def plural(self) -> None:
+        if self.word[self.k] != "s":
+            return
+        if self.ends_in3("i", "e", "s"):
+            self.set_length(self.j + 3)
+            self.k -= 1
+            if self.lookup():
+                return
+            self.k += 1
+            self.append("s")
+            self.set_suffix("y")
+            self.lookup()
+        elif self.ends_in2("e", "s"):
+            self.set_length(self.j + 2)
+            self.k -= 1
+            try_e = self.j > 0 and not (
+                self.word[self.j] == "s" and self.word[self.j - 1] == "s")
+            if try_e and self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.k -= 1
+            if self.lookup():
+                return
+            self.append("e")
+            self.k += 1
+            if not try_e:
+                self.lookup()
+            return
+        else:
+            if (len(self.word) > 3 and self.penult_char() != "s"
+                    and not self.ends_in3("o", "u", "s")):
+                self.set_length(self.k)
+                self.k -= 1
+                self.lookup()
+
+    def past_tense(self) -> None:
+        if len(self.word) <= 4:
+            return
+        if self.ends_in3("i", "e", "d"):
+            self.set_length(self.j + 3)
+            self.k -= 1
+            if self.lookup():
+                return
+            self.k += 1
+            self.append("d")
+            self.set_suffix("y")
+            self.lookup()
+            return
+        if self.ends_in2("e", "d") and self.vowel_in_stem():
+            self.set_length(self.j + 2)
+            self.k = self.j + 1
+            entry = self.word_in_dict()
+            if entry is not None and not entry[1]:
+                return
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            if self.double_c(self.k):
+                self.set_length(self.k)
+                self.k -= 1
+                if self.lookup():
+                    return
+                self.append(self.word[self.k])
+                self.k += 1
+                self.lookup()
+                return
+            if self.word[0] == "u" and self.word[1] == "n":
+                self.append("e")
+                self.append("d")
+                self.k += 2
+                return
+            self.set_length(self.j + 1)
+            self.append("e")
+            self.k = self.j + 1
+            return
+
+    def aspect(self) -> None:
+        if len(self.word) <= 5:
+            return
+        if self.ends_in3("i", "n", "g") and self.vowel_in_stem():
+            self.set_char(self.j + 1, "e")
+            self.set_length(self.j + 2)
+            self.k = self.j + 1
+            entry = self.word_in_dict()
+            if entry is not None and not entry[1]:
+                return
+            self.set_length(self.k)
+            self.k -= 1
+            if self.lookup():
+                return
+            if self.double_c(self.k):
+                self.k -= 1
+                self.set_length(self.k + 1)
+                if self.lookup():
+                    return
+                self.append(self.word[self.k])
+                self.k += 1
+                self.lookup()
+                return
+            if self.j > 0 and self.is_cons(self.j) and self.is_cons(self.j - 1):
+                self.k = self.j
+                self.set_length(self.k + 1)
+                return
+            self.set_length(self.j + 1)
+            self.append("e")
+            self.k = self.j + 1
+            return
+
+    def ity_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in3("i", "t", "y"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_char(self.j + 1, "i")
+            self.append("ty")
+            self.k = old_k
+            if (self.j > 0 and self.word[self.j - 1] == "i"
+                    and self.word[self.j] == "l"):
+                self.set_length(self.j - 1)
+                self.append("le")
+                self.k = self.j
+                self.lookup()
+                return
+            if (self.j > 0 and self.word[self.j - 1] == "i"
+                    and self.word[self.j] == "v"):
+                self.set_length(self.j + 1)
+                self.append("e")
+                self.k = self.j + 1
+                self.lookup()
+                return
+            if (self.j > 0 and self.word[self.j - 1] == "a"
+                    and self.word[self.j] == "l"):
+                self.set_length(self.j + 1)
+                self.k = self.j
+                self.lookup()
+                return
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.k = self.j
+            return
+
+    def nce_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in3("n", "c", "e"):
+            word_char = self.word[self.j]
+            if word_char not in ("e", "a"):
+                return
+            self.set_length(self.j)
+            self.append("e")
+            self.k = self.j
+            if self.lookup():
+                return
+            self.set_length(self.j)
+            self.k = self.j - 1
+            if self.lookup():
+                return
+            self.append(word_char)
+            self.append("nce")
+            self.k = old_k
+
+    def ness_endings(self) -> None:
+        if self.ends_in4("n", "e", "s", "s"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.word[self.j] == "i":
+                self.set_char(self.j, "y")
+            self.lookup()
+
+    def ism_endings(self) -> None:
+        if self.ends_in3("i", "s", "m"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            self.lookup()
+
+    def ment_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in("ment"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.append("ment")
+            self.k = old_k
+
+    def ize_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in3("i", "z", "e"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.append("i")
+            if self.double_c(self.j):
+                self.set_length(self.j)
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.append(self.word[self.j - 1])
+            self.set_length(self.j + 1)
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("ize")
+            self.k = old_k
+
+    def ncy_endings(self) -> None:
+        if self.ends_in3("n", "c", "y"):
+            if self.word[self.j] not in ("e", "a"):
+                return
+            self.set_char(self.j + 2, "t")
+            self.set_length(self.j + 3)
+            self.k = self.j + 2
+            if self.lookup():
+                return
+            self.set_char(self.j + 2, "c")
+            self.append("e")
+            self.k = self.j + 3
+            self.lookup()
+
+    def ble_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in3("b", "l", "e"):
+            if self.word[self.j] not in ("a", "i"):
+                return
+            word_char = self.word[self.j]
+            self.set_length(self.j)
+            self.k = self.j - 1
+            if self.lookup():
+                return
+            if self.double_c(self.k):
+                self.set_length(self.k)
+                self.k -= 1
+                if self.lookup():
+                    return
+                self.k += 1
+                self.append(self.word[self.k - 1])
+            self.set_length(self.j)
+            self.append("e")
+            self.k = self.j
+            if self.lookup():
+                return
+            self.set_length(self.j)
+            self.append("ate")
+            self.k = self.j + 2
+            if self.lookup():
+                return
+            self.set_length(self.j)
+            self.append(word_char)
+            self.append("ble")
+            self.k = old_k
+
+    def ic_endings(self) -> None:
+        if self.ends_in2("i", "c"):
+            self.set_length(self.j + 3)
+            self.append("al")
+            self.k = self.j + 4
+            if self.lookup():
+                return
+            self.set_char(self.j + 1, "y")
+            self.set_length(self.j + 2)
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_char(self.j + 1, "e")
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.append("ic")
+            self.k = self.j + 2
+
+    def ion_endings(self) -> None:
+        old_k = self.k
+        if not self.ends_in3("i", "o", "n"):
+            return
+        if self.ends_in("ization"):
+            self.set_length(self.j + 3)
+            self.append("e")
+            self.k = self.j + 3
+            self.lookup()
+            return
+        if self.ends_in("ition"):
+            self.set_length(self.j + 1)
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("ition")
+            self.k = old_k
+        elif self.ends_in("ation"):
+            self.set_length(self.j + 3)
+            self.append("e")
+            self.k = self.j + 3
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("ation")
+            self.k = old_k
+        if self.ends_in("ication"):
+            self.set_length(self.j + 1)
+            self.append("y")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("ication")
+            self.k = old_k
+        # plain -ion (endsIn checked at entry; just reset j)
+        self.j = self.k - 3
+        self.set_length(self.j + 1)
+        self.append("e")
+        self.k = self.j + 1
+        if self.lookup():
+            return
+        self.set_length(self.j + 1)
+        self.k = self.j
+        if self.lookup():
+            return
+        self.set_length(self.j + 1)
+        self.append("ion")
+        self.k = old_k
+
+    def er_and_or_endings(self) -> None:
+        old_k = self.k
+        if self.word[self.k] != "r":
+            return
+        if self.ends_in4("i", "z", "e", "r"):
+            self.set_length(self.j + 4)
+            self.k = self.j + 3
+            self.lookup()
+            return
+        if self.ends_in2("e", "r") or self.ends_in2("o", "r"):
+            word_char = self.word[self.j + 1]
+            if self.double_c(self.j):
+                self.set_length(self.j)
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.append(self.word[self.j - 1])
+            if self.word[self.j] == "i":
+                self.set_char(self.j, "y")
+                self.set_length(self.j + 1)
+                self.k = self.j
+                if self.lookup():
+                    return
+                self.set_char(self.j, "i")
+                self.append("e")
+            if self.word[self.j] == "e":
+                self.set_length(self.j)
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.append("e")
+            self.set_length(self.j + 2)
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append(word_char)
+            self.append("r")
+            self.k = old_k
+
+    def ly_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in2("l", "y"):
+            self.set_char(self.j + 2, "e")
+            if self.lookup():
+                return
+            self.set_char(self.j + 2, "y")
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            if (self.j > 0 and self.word[self.j - 1] == "a"
+                    and self.word[self.j] == "l"):
+                return
+            self.append("ly")
+            self.k = old_k
+            if (self.j > 0 and self.word[self.j - 1] == "a"
+                    and self.word[self.j] == "b"):
+                self.set_char(self.j + 2, "e")
+                self.k = self.j + 2
+                return
+            if self.word[self.j] == "i":
+                self.set_length(self.j)
+                self.append("y")
+                self.k = self.j
+                if self.lookup():
+                    return
+                self.set_length(self.j)
+                self.append("ily")
+                self.k = old_k
+            self.set_length(self.j + 1)
+            self.k = self.j
+
+    def al_endings(self) -> None:
+        old_k = self.k
+        if len(self.word) < 4:
+            return
+        if self.ends_in2("a", "l"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            if self.double_c(self.j):
+                self.set_length(self.j)
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.append(self.word[self.j - 1])
+            self.set_length(self.j + 1)
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("um")
+            self.k = self.j + 2
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("al")
+            self.k = old_k
+            if (self.j > 0 and self.word[self.j - 1] == "i"
+                    and self.word[self.j] == "c"):
+                self.set_length(self.j - 1)
+                self.k = self.j - 2
+                if self.lookup():
+                    return
+                self.set_length(self.j - 1)
+                self.append("y")
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.set_length(self.j - 1)
+                self.append("ic")
+                self.k = self.j
+                self.lookup()  # the reference's own "// ERROR" lookup
+                return
+            if self.word[self.j] == "i":
+                self.set_length(self.j)
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.append("ial")
+                self.k = old_k
+                self.lookup()
+
+    def ive_endings(self) -> None:
+        old_k = self.k
+        if self.ends_in3("i", "v", "e"):
+            self.set_length(self.j + 1)
+            self.k = self.j
+            if self.lookup():
+                return
+            self.append("e")
+            self.k = self.j + 1
+            if self.lookup():
+                return
+            self.set_length(self.j + 1)
+            self.append("ive")
+            if (self.j > 0 and self.word[self.j - 1] == "a"
+                    and self.word[self.j] == "t"):
+                self.set_char(self.j - 1, "e")
+                self.set_length(self.j)
+                self.k = self.j - 1
+                if self.lookup():
+                    return
+                self.set_length(self.j - 1)
+                if self.lookup():
+                    return
+                self.append("ative")
+                self.k = old_k
+            self.set_char(self.j + 2, "o")
+            self.set_char(self.j + 3, "n")
+            if self.lookup():
+                return
+            self.set_char(self.j + 2, "v")
+            self.set_char(self.j + 3, "e")
+            self.k = old_k
+
+    # -------------------------------------------------------- driver
+
+    def stem(self, term: str):
+        """Returns the stemmed string, or None for "unchanged" (the
+        KStemFilter changed=false path)."""
+        self.result = None
+        self.k = len(term) - 1
+        if self.k <= 1 or self.k >= _MAX_WORD_LEN - 1:
+            return None
+        entry = _dict_get(term)
+        if entry is not None:
+            return entry[0]  # root, or None meaning unchanged
+        for ch in term:
+            if not ("a" <= ch <= "z"):
+                return None
+        self.word = list(term)
+        self.matched_entry = None
+
+        while True:
+            self.plural()
+            if self.matched():
+                break
+            self.past_tense()
+            if self.matched():
+                break
+            self.aspect()
+            if self.matched():
+                break
+            self.ity_endings()
+            if self.matched():
+                break
+            self.ness_endings()
+            if self.matched():
+                break
+            self.ion_endings()
+            if self.matched():
+                break
+            self.er_and_or_endings()
+            if self.matched():
+                break
+            self.ly_endings()
+            if self.matched():
+                break
+            self.al_endings()
+            if self.matched():
+                break
+            self.word_in_dict()
+            self.ive_endings()
+            if self.matched():
+                break
+            self.ize_endings()
+            if self.matched():
+                break
+            self.ment_endings()
+            if self.matched():
+                break
+            self.ble_endings()
+            if self.matched():
+                break
+            self.ism_endings()
+            if self.matched():
+                break
+            self.ic_endings()
+            if self.matched():
+                break
+            self.ncy_endings()
+            if self.matched():
+                break
+            self.nce_endings()
+            self.matched()
+            break
+
+        entry = self.matched_entry
+        if entry is not None and entry[0] is not None:
+            return entry[0]
+        return self._s()
+
+
+def kstem(term: str) -> str:
+    """KStemFilter semantics: the stem, or the term unchanged when the
+    stemmer reports no change."""
+    s = _KStemmer().stem(term)
+    return term if s is None else s
