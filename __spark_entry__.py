@@ -1402,6 +1402,27 @@ def _lang_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
     )
 
 
+#: classic: ClassicAnalyzer (jflex DFA tokenizer + ClassicFilter + EN
+#: stops) — tokens equal the simple analyzer's on this [a-z0-9 ]-only
+#: corpus, so the stop discipline is the live behavior here; the
+#: email/host/acronym/NUM grammar is pinned against the COMPILED reference
+#: scanner in tests/test_jflex.py (26k-string fuzz + 175 pinned goldens +
+#: the reference's 643-URL/265-email fixtures)
+_CLASSIC_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "scan"}]}}
+#: uax29_urlemail: URL/email grammar is identity on this corpus (plumb-
+#: through validation like russian/bulgarian); real URLs/emails pinned in
+#: tests/test_jflex.py
+_UAX29_AST = {"bool": {"must": [{"term": "value"}], "should": [{"term": "group"}]}}
+
+
+def _classic_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "classic", _CLASSIC_AST)
+
+
+def _uax29_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "uax29_urlemail", _UAX29_AST)
+
+
 def _french_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "french", _FRENCH_AST)
 
@@ -1968,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_danish_chain"] = _danish_chain_df
     for _a in _SNOWBALL_ASTS:
         out[f"bm25_{_a}_chain"] = _snowball_chain_entry(_a)
+    out["bm25_classic_chain"] = _classic_chain_df
+    out["bm25_uax29_chain"] = _uax29_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2355,6 +2378,16 @@ ORDER BY t.score DESC, t.doc_id ASC
                 (w, _tr(w)) for w in _DOC_VOCAB if _tr(w) != w
             ),
         )
+    # classic: EN stops live (ClassicAnalyzer.STOP_WORDS_SET); tokens ==
+    # simple tokens on this [a-z0-9 ]-only corpus. uax29: no stop set —
+    # tokens identical to the plain index
+    out["bm25_classic_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_CLASSIC_AST)), _QUERY_K,
+        stop=tuple(sorted(w for w in _DOC_VOCAB if w in _an.EN_STOP_SET)),
+    )
+    out["bm25_uax29_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_UAX29_AST)), _QUERY_K,
+    )
     # folding restores the accent-injected corpus to the originals, so the
     # oracle is the PLAIN-text query — exact iff ascii_fold round-trips
     out["bm25_folded_chain"] = sqlgen.topk_sql(

@@ -645,6 +645,14 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "english": (EN_STOP_SET, english_vocab_transform, None),
     "standard_folded": (None, ascii_fold, None),
     "whitespace_payload": (None, None, None),
+    # ClassicAnalyzer chain (classic/ClassicAnalyzer.java:64-69:
+    # ClassicTokenizer -> ClassicFilter -> LowerCase -> Stop(ENGLISH_STOP));
+    # the tokenizer+ClassicFilter live in the jflex raw tokenizer, the
+    # sentinel entry drops >255-char skipped tokens position-preservingly
+    "classic": (None, None, None),       # filled below (lazy import)
+    # UAX29URLEmailTokenizer + LowerCaseFilter (no bundled analyzer in the
+    # reference; mirrors the "standard" chain conventions)
+    "uax29_urlemail": (None, None, None),
     # language chains (functions/stemmers.py): FrenchAnalyzer (elision +
     # snowball stop incl. elided forms + minimal stem), GermanAnalyzer
     # (stop + normalization FSM + light stem), SpanishAnalyzer (stop +
@@ -699,6 +707,15 @@ def _fill_normalizer_chains():
 
     CHAIN_FILTERS["danish"] = (DA_STOP, _danish_transform, None)
 
+    from lucene_spark.functions.jflex import SKIP_SENTINEL
+
+    # ClassicAnalyzer.STOP_WORDS_SET == ENGLISH_STOP_WORDS_SET; the
+    # sentinel realizes the tokenizer's >255 skip as a position-preserving
+    # stop drop (see RAW_TOKENIZERS["classic"])
+    CHAIN_FILTERS["classic"] = (
+        frozenset(EN_STOP_SET | {SKIP_SENTINEL}), None, None)
+    CHAIN_FILTERS["uax29_urlemail"] = (None, None, None)
+
 
 _fill_normalizer_chains()
 
@@ -737,6 +754,9 @@ CHAIN_BASE: dict[str, str] = {
     "galician": "standard",
     "portuguese_rslp": "standard",
     "danish": "standard",
+    # jflex grammar tokenizers (functions/jflex.py)
+    "classic": "classic",
+    "uax29_urlemail": "uax29_urlemail",
 }
 
 
@@ -785,6 +805,18 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
         from lucene_spark.functions.cjk import cjk_terms_one
 
         raw = cjk_terms_one(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)
+                if len(t) <= MAX_TOKEN_LENGTH]
+    elif base == "classic":
+        from lucene_spark.functions.jflex import classic_tokens
+
+        # >255 skips arrive as the sentinel and fall to the stop set below
+        raw = classic_tokens(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
+    elif base == "uax29_urlemail":
+        from lucene_spark.functions.jflex import uax29_tokens
+
+        raw = uax29_tokens(text or "")
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)
                 if len(t) <= MAX_TOKEN_LENGTH]
     else:
@@ -948,11 +980,35 @@ def _findall_cjk_lazy(texts: pd.Series) -> pd.Series:
     return findall_cjk(texts)
 
 
+def _findall_classic_lazy(texts: pd.Series) -> pd.Series:
+    """ClassicTokenizer + ClassicFilter per row (functions/jflex.py —
+    machine-extracted DFA, fuzz-bit-exact vs the compiled reference
+    scanner). Emits post-filter tokens; raw matches longer than 255 chars
+    arrive as jflex.SKIP_SENTINEL, which the chain stop set drops with
+    position-preserving StopFilter semantics — exactly the wrapper's
+    skippedPositions behavior (ClassicTokenizer.java:143-158)."""
+    from lucene_spark.functions.jflex import classic_tokens
+
+    return texts.fillna("").map(classic_tokens)
+
+
+def _findall_uax29_lazy(texts: pd.Series) -> pd.Series:
+    """UAX29URLEmailTokenizer per row (functions/jflex.py DFA)."""
+    from lucene_spark.functions.jflex import uax29_tokens
+
+    return texts.fillna("").map(uax29_tokens)
+
+
 RAW_TOKENIZERS["cjk"] = (_findall_cjk_lazy, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["brazilian"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["galician"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["portuguese_rslp"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["danish"] = (_findall_standard, MAX_TOKEN_LENGTH)
+# classic: >255 skip handled inside the tokenizer (sentinel keeps the
+# ordinal; the post-ClassicFilter token can be shorter than the raw match,
+# so a vocab-level length check would see the wrong length)
+RAW_TOKENIZERS["classic"] = (_findall_classic_lazy, None)
+RAW_TOKENIZERS["uax29_urlemail"] = (_findall_uax29_lazy, MAX_TOKEN_LENGTH)
 
 
 #: per-chain custom LOWERCASE (the reference's per-language

@@ -1,0 +1,297 @@
+"""Table-driven JFlex DFA interpreter + the reference's grammar tokenizers.
+
+The reference's ClassicTokenizer and UAX29URLEmailTokenizer are
+jflex-generated scanners: the grammar is compiled into packed DFA tables and
+``getNextToken`` is a generic maximal-munch loop
+(``analysis/classic/ClassicTokenizerImpl.java:673-744``,
+``analysis/email/UAX29URLEmailTokenizerImpl.java:33998-34176``). A
+hand-written regex translation of the URL/email grammar could never be
+bit-exact, so we machine-extract the tables (tools/jflex_extract.py ->
+jflex_classic_data.py / jflex_uax29_data.py) and replay the interpreter
+here — the same protocol as the Snowball transpiler: mechanically derived,
+then fuzz-verified against the compiled reference class.
+
+Interpreter semantics mirrored verbatim from the generated scanners:
+  - two-level codepoint->class map (``zzCMap``: CMAP_BLOCKS[offset] for
+    input<256 else CMAP_BLOCKS[CMAP_TOP[input>>8] | (input&255)]);
+  - maximal munch: walk TRANS[ROWMAP[state]+class] until -1, remembering the
+    last accepting state (ATTRIBUTE bit 1) and its end; ATTRIBUTE bit 8 ends
+    the walk early (no longer match possible);
+  - ACTION[state] selects the user action: return a token type, ignore, or
+    (UAX29URLEmail only) adjust the match end (fixed lookahead) and/or
+    switch the lexical state (yybegin AVOID_BAD_URL + yypushback(yylength)
+    = rescan the same offset in the other lexical state).
+
+Positions and offsets here are Python codepoint indices (the repo-wide
+convention); the Java scanner counts UTF-16 units, so parity tests compare
+token text sequences, which are representation-independent.
+"""
+from __future__ import annotations
+
+import base64
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# table unpacking (zzUnpack* twins)
+
+
+def _units(b85: str) -> np.ndarray:
+    return np.frombuffer(
+        zlib.decompress(base64.b85decode(b85)), dtype="<u2"
+    ).astype(np.int64)
+
+
+def _unpack_cv(b85: str, delta: int = 0) -> np.ndarray:
+    """count/value run-length pairs (zzUnpackcmap_*/Action/Attribute; TRANS
+    additionally stores value+1 -> ``delta=-1``)."""
+    u = _units(b85)
+    return np.repeat(u[1::2] + delta, u[0::2])
+
+
+def _unpack_rowmap(b85: str) -> np.ndarray:
+    u = _units(b85)
+    return (u[0::2] << 16) | u[1::2]
+
+
+class JFlexDFA:
+    """One generated scanner's tables + the generic maximal-munch loop.
+
+    ``actions`` maps ACTION numbers to (ret, begin, adjust):
+      ret    = token type int, or None to emit nothing;
+      begin  = new lexical state for yybegin, or None to keep the current;
+      adjust = None | ("minus_cp", k): marked -= k codepoints (fixed
+               lookahead) | ("from_start", k): marked = start + k |
+               "restart": marked = start (yypushback(yylength()) — rescan
+               the same offset, used with begin=AVOID_BAD_URL).
+    """
+
+    def __init__(self, data_mod, actions: dict[int, tuple]):
+        self.lexstate = list(data_mod.LEXSTATE)
+        cmap_top = _unpack_cv(data_mod.CMAP_TOP_B85)
+        cmap_blocks = _unpack_cv(data_mod.CMAP_BLOCKS_B85)
+        cps = np.arange(0x110000, dtype=np.int64)
+        full = np.where(
+            cps < 256,
+            cmap_blocks[cps & 255],
+            cmap_blocks[cmap_top[cps >> 8] | (cps & 255)],
+        )
+        self.cmap = full.astype(np.int32)
+        self.rowmap = _unpack_rowmap(data_mod.ROWMAP_B85).tolist()
+        self.trans = _unpack_cv(data_mod.TRANS_B85, delta=-1).tolist()
+        self.action = _unpack_cv(data_mod.ACTION_B85).tolist()
+        self.attr = _unpack_cv(data_mod.ATTRIBUTE_B85).tolist()
+        self.actions = actions
+        # separator fast path (valid in lexical state 0 only): classes whose
+        # 1-char match from the initial state is an immediate-final ignore
+        # (catch-all rule). Runs of these consume one outer iteration per
+        # char in the Java loop with no token; we skip them in bulk.
+        s0 = self.lexstate[0]
+        skip = np.zeros(int(self.cmap.max()) + 1, dtype=bool)
+        row = self.rowmap[s0]
+        for c in range(skip.size):
+            t = self.trans[row + c]
+            if t == -1:
+                continue
+            a = self.attr[t]
+            if (a & 9) == 9:
+                ret, begin, adjust = self.actions.get(
+                    self.action[t], (None, None, None))
+                if ret is None and begin is None and adjust is None:
+                    skip[c] = True
+        self.skip_class = skip
+
+    def scan(self, text: str) -> list[tuple[int, int, int]]:
+        """-> [(start, end, token_type)] over codepoint indices."""
+        if not text:
+            return []
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+            np.int64)
+        cls_np = self.cmap[cps]
+        cls = cls_np.tolist()
+        n = len(cls)
+        nonskip = np.flatnonzero(~self.skip_class[cls_np])
+        trans, rowmap, attr, action_tab = (
+            self.trans, self.rowmap, self.attr, self.action)
+        lexmap, actions = self.lexstate, self.actions
+        out: list[tuple[int, int, int]] = []
+        pos = 0
+        lex = 0
+        ns_i = 0
+        ns_len = nonskip.size
+        while pos < n:
+            if lex == 0:
+                # bulk-skip separator runs (exact: each would be a 1-char
+                # immediate-final ignore match)
+                while ns_i < ns_len and nonskip[ns_i] < pos:
+                    ns_i += 1
+                if ns_i >= ns_len:
+                    break
+                pos = int(nonskip[ns_i])
+            start = pos
+            state = lexmap[lex]
+            act_state = state if (attr[state] & 1) else -1
+            marked = start
+            cur = start
+            while cur < n:
+                c = cls[cur]
+                nxt = trans[rowmap[state] + c]
+                if nxt == -1:
+                    break
+                cur += 1
+                state = nxt
+                a = attr[state]
+                if a & 1:
+                    act_state = state
+                    marked = cur
+                    if a & 8:
+                        break
+            if act_state < 0:
+                raise RuntimeError(
+                    f"jflex scanner: no match at offset {start}")
+            ret, begin, adjust = actions[action_tab[act_state]]
+            if adjust is not None:
+                if adjust == "restart":
+                    marked = start
+                elif adjust[0] == "minus_cp":
+                    marked -= adjust[1]
+                else:  # from_start
+                    marked = start + adjust[1]
+            new_lex = lex if begin is None else begin
+            if marked == start and ret is None and new_lex == lex:
+                raise RuntimeError(
+                    f"jflex scanner: stuck at offset {start}")
+            lex = new_lex
+            if ret is not None:
+                out.append((start, marked, ret))
+            pos = marked
+        return out
+
+
+# ---------------------------------------------------------------------------
+# ClassicTokenizer (classic/ClassicTokenizerImpl.java actions :753-816)
+
+CLASSIC_ALPHANUM = 0
+CLASSIC_APOSTROPHE = 1
+CLASSIC_ACRONYM = 2
+CLASSIC_COMPANY = 3
+CLASSIC_EMAIL = 4
+CLASSIC_HOST = 5
+CLASSIC_NUM = 6
+CLASSIC_CJ = 7
+CLASSIC_ACRONYM_DEP = 8
+
+_CLASSIC_ACTIONS = {
+    1: (None, None, None),
+    2: (CLASSIC_ALPHANUM, None, None),
+    3: (CLASSIC_CJ, None, None),
+    4: (CLASSIC_NUM, None, None),
+    5: (CLASSIC_HOST, None, None),
+    6: (CLASSIC_COMPANY, None, None),
+    7: (CLASSIC_APOSTROPHE, None, None),
+    8: (CLASSIC_ACRONYM_DEP, None, None),
+    9: (CLASSIC_ACRONYM, None, None),
+    10: (CLASSIC_EMAIL, None, None),
+}
+
+# UAX29URLEmailTokenizerImpl.java actions :34089-34171; lexical states
+# YYINITIAL=0 / AVOID_BAD_URL=2 (:58-59); type ints from
+# UAX29URLEmailTokenizer.java:40-67
+UAX29_ALPHANUM = 0
+UAX29_NUM = 1
+UAX29_SOUTHEAST_ASIAN = 2
+UAX29_IDEOGRAPHIC = 3
+UAX29_HIRAGANA = 4
+UAX29_KATAKANA = 5
+UAX29_HANGUL = 6
+UAX29_URL = 7
+UAX29_EMAIL = 8
+UAX29_EMOJI = 9
+
+_AVOID_BAD_URL = 2
+
+_UAX29_ACTIONS = {
+    1: (None, None, None),
+    2: (UAX29_NUM, 0, None),
+    3: (UAX29_ALPHANUM, 0, None),
+    4: (UAX29_EMOJI, 0, None),
+    5: (UAX29_SOUTHEAST_ASIAN, 0, None),
+    6: (UAX29_HANGUL, 0, None),
+    7: (UAX29_IDEOGRAPHIC, 0, None),
+    8: (UAX29_KATAKANA, 0, None),
+    9: (UAX29_HIRAGANA, 0, None),
+    10: (UAX29_EMAIL, 0, None),
+    11: (UAX29_URL, None, None),  # keep lexical state (inside AVOID_BAD_URL)
+    12: (UAX29_URL, 0, ("minus_cp", 1)),  # fixed-lookahead URL
+    13: (UAX29_URL, 0, None),
+    14: (None, _AVOID_BAD_URL, "restart"),  # rescan avoiding the bad URL
+    15: (UAX29_ALPHANUM, 0, ("from_start", 6)),  # fixed-base lookahead
+}
+
+_classic_dfa = None
+_uax29_dfa = None
+
+
+def classic_dfa() -> JFlexDFA:
+    global _classic_dfa
+    if _classic_dfa is None:
+        from lucene_spark.functions import jflex_classic_data
+        _classic_dfa = JFlexDFA(jflex_classic_data, _CLASSIC_ACTIONS)
+    return _classic_dfa
+
+
+def uax29_dfa() -> JFlexDFA:
+    global _uax29_dfa
+    if _uax29_dfa is None:
+        from lucene_spark.functions import jflex_uax29_data
+        _uax29_dfa = JFlexDFA(jflex_uax29_data, _UAX29_ACTIONS)
+    return _uax29_dfa
+
+
+#: ClassicTokenizer skips tokens longer than this, still counting a position
+#: (ClassicTokenizer.java:143-158); emitted as this sentinel so downstream
+#: vocab filters drop it via the chain stop set while preserving ordinals.
+#: NUL can never occur inside a real token (it is a boundary char in every
+#: class), and len 256 > any surviving classic token.
+MAX_TOKEN_LENGTH = 255
+SKIP_SENTINEL = "\x00" * 256
+
+
+def classic_tokens(text: str, keep_types: bool = False):
+    """ClassicTokenizer + ClassicFilter token stream over raw text.
+
+    Replays the wrapper semantics exactly:
+      - tokens with raw match length > 255 are skipped but hold their
+        position ordinal (emitted as SKIP_SENTINEL — see above);
+      - ACRONYM_DEP is retyped HOST with the trailing '.' removed
+        (ClassicTokenizer.java:149-152);
+      - ClassicFilter: APOSTROPHE tokens drop a trailing 's / 'S, ACRONYM
+        tokens drop all '.' (ClassicFilter.java:55-74).
+    """
+    out = []
+    for start, end, ttype in classic_dfa().scan(text):
+        if end - start > MAX_TOKEN_LENGTH:
+            out.append((SKIP_SENTINEL, CLASSIC_ALPHANUM, start, end)
+                       if keep_types else SKIP_SENTINEL)
+            continue
+        tok = text[start:end]
+        if ttype == CLASSIC_ACRONYM_DEP:
+            ttype = CLASSIC_HOST
+            tok = tok[:-1]
+        elif ttype == CLASSIC_APOSTROPHE:
+            if len(tok) >= 2 and tok[-2] == "'" and tok[-1] in "sS":
+                tok = tok[:-2]
+        elif ttype == CLASSIC_ACRONYM:
+            tok = tok.replace(".", "")
+        out.append((tok, ttype, start, end) if keep_types else tok)
+    return out
+
+
+def uax29_tokens(text: str, keep_types: bool = False):
+    """UAX29URLEmailTokenizer token stream (no post-filter; the >255 skip is
+    applied downstream at the vocabulary level like the standard chain)."""
+    dfa = uax29_dfa()
+    if keep_types:
+        return [(text[s:e], t, s, e) for s, e, t in dfa.scan(text)]
+    return [text[s:e] for s, e, t in dfa.scan(text)]

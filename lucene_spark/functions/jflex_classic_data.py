@@ -1,0 +1,52 @@
+"""Machine-extracted JFlex DFA tables for CLASSIC.
+
+Source: reference lucene/analysis/common/src/java/org/apache/lucene/analysis/classic/ClassicTokenizerImpl.java (JFlex 1.9.1 generated;
+packed ZZ_* table strings decoded to uint16 units, zlib+base85).
+Regenerate with tools/jflex_extract.py. DO NOT EDIT BY HAND.
+"""
+
+LEXSTATE = [0, 0]
+
+CMAP_TOP_B85 = (
+    'c-k$^jSfRl42Izv#@Ni?{B0OEB(BE&-;7s!l0NClY4g<*5sShFHXOLP!h??+0))8Zfe25;NR'
+    'T2!Zt`9zP`a8?p+<vuq<<f@=0;bG^z`qpeQ-2q^q6n@o(A1L=Rf?-tr-heiN!wvY9R!-'
+)
+
+CMAP_BLOCKS_B85 = (
+    'c-obfJ#Q2-5Qc5<_uhqs3wNO7V?{uF2?`$t0U`=gP$1|)2oxbGC`kuD09`|YkZ97S%nzaG&+'
+    'rp?$9XLVYb}CKd(V#7emyfgp6!h>*8iNz{e6Zj$5r_I)|B|kcxC3M=9~tX@%C+R*O+(0oGif'
+    'epv>#YO<Q9ZV<xaKfp5);-H;V{26SWrHq`q{j!4nV$Y7r%x5=8i;^!D#($8IvJH-s_m3?2?q'
+    'F;dv@CkU4@yY(Ts4w;ioPv@wng3q-w@TfH&t>hp@?A7vaL;!b*r8AIe4>14nPbtIsu)8oGwM'
+    '}pZ_&xY4bBU>3p$RzlpITGxdC?6wtx9p`t`EMTI7p<Zz=s^Aof*NSEr3VjOR-4N+JhS#-Azw'
+    '!a5iE@6>phpV6P7d(+qTA3t^6;as#T-ky5#yZzU?>ycllS-+OpZ^Ae(a9*S04(D^%+pW3dpS'
+    '50N3|79jTd%c<a^?nXVX11TN}TC<eXe3{)bm2kZ&VFB*1ct|%J@v>W&^xT-A}Zw(sSxem#mS'
+    'eJf|&tg6y}?+I&ntXM7>9M^Rk4%IVPfA~D|mr%n~+H}1))`C<Qc_F}1J>2)vJOApw~Yvv*Jz'
+    '-Qngco*De-g=e4*M5aDTljwk9<c`ZnXeiBD9Jvu>w)^v>^N^H(FZd%o~gJ)?^{v5J<MBj{WA'
+    'K-Idv9;e!)0W{^e1fi~dj6*$u9jeE!1M#PS<?mS^$-_#NY)!5?;H_KXOR%r`vyh}&cE4aX|J'
+    'r-Jd=sCTSHb#4<q{s6oReqb-&W8C+^O>oR}6QA2J{HBC&;hcGyGrot2qhrp>=p6@&<~8s)Qf'
+    '4c|'
+)
+
+ACTION_B85 = (
+    'c-k$B0S*8l2m;TtGXMYJ&^3p`p#i3ujNaL~JZxNKwKpZ>sBwwUi!J34t)GzYzuDab7%%{p'
+)
+
+ROWMAP_B85 = (
+    'c-k$^5fB0a5Czb^n;-~+AP9mm2!k*PgD?n#FbIP%2!q2Q48kA`!XOO7APj=u&9yUc_OJYn$f'
+    'rV`7M=gyW59?BGZw7akg?~;nJagmy!ld2B5E{g(@lz=zCC2jlsQY*Y}s*0ir;znNxpF7!HW;'
+    '2G@?o){Q>*b7c2'
+)
+
+TRANS_B85 = (
+    'c-n1KZCisd3@l|(hQsM542Q2MPKEjQ|9_lmdX%>CA<sR@9cjs>sgNQPF@?qzFri4rRtQ2xkx'
+    '{In%Yhl|Bx^1xHWUTLCB+t+D~fB>66!7-%?{_}K%-Ht*;8n|0hXv&$Pd68^;_geV1xP{@(I_'
+    'B_jF^856B<E7s#KGKLcCzdqMsR?1FRN>^aMG*)7h+?|rhp^}J%9|2U65{3yW{!K{jaEA9MTP'
+    'WO=PUxoQs@UylaNxs|2A8^-@uff*=Kkm#syvczXd*koHhod>7wxnsGX{;t8jTE1YKF5q3)@Y'
+    'woo=NX`t+5B+Q=b98=fHt|H)ot3PVdAy;9794<yPox`h3CP95}GQ=4`G1cK8!&F8{;1;X9A_'
+    '|9{#)|J!+Qvva@DPpIs^_^9ySq5u`%M--sKJB$KU*lm;l1@EY{`H0g$&hP5aZ$2Nb`v-Ct7!'
+    '3'
+)
+
+ATTRIBUTE_B85 = (
+    'c-ke$0SW*h48y=oCo=#4U^AtVqX7iPwC#Dnhwqzq=+@Mw7YPIaO8'
+)
