@@ -1415,6 +1415,25 @@ _CLASSIC_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "scan"
 _UAX29_AST = {"bool": {"must": [{"term": "value"}], "should": [{"term": "group"}]}}
 
 
+#: shingle chains (functions/shingle.py — ShingleFilter 2/2 + unigrams):
+#: query terms are SHINGLES, reachable only through the filter; the stop
+#: variant's must-term is a FILLER shingle ("merge _" = merge followed by
+#: a stopword), exercising the gap->filler machinery live
+_SHINGLE_AST = {"bool": {"must": [{"term": "merge scan"}],
+                         "should": [{"term": "scan"}]}}
+_SHINGLE_STOP_AST = {"bool": {"must": [{"term": "merge _"}],
+                              "should": [{"term": "_ scan"}]}}
+
+
+def _shingle_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "standard_shingle", _SHINGLE_AST)
+
+
+def _shingle_stop_chain_df(spark, sf_dir):
+    return _lang_chain_df(
+        spark, sf_dir, "standard_stop_shingle", _SHINGLE_STOP_AST)
+
+
 def _classic_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "classic", _CLASSIC_AST)
 
@@ -1991,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"bm25_{_a}_chain"] = _snowball_chain_entry(_a)
     out["bm25_classic_chain"] = _classic_chain_df
     out["bm25_uax29_chain"] = _uax29_chain_df
+    out["bm25_shingle_chain"] = _shingle_chain_df
+    out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2387,6 +2408,19 @@ ORDER BY t.score DESC, t.doc_id ASC
     )
     out["bm25_uax29_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_UAX29_AST)), _QUERY_K,
+    )
+    # shingle chains: emitted terms = unigrams + adjacent-pair shingles
+    # over the filler-expanded stream (sqlgen.shingle_corpus_ctes); the dl
+    # counts posIncr>0 emissions like the engine's norm
+    out["bm25_shingle_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SHINGLE_AST)), _QUERY_K,
+        corpus_override=sqlgen.shingle_corpus_ctes(
+            "documents", "doc_id", "text"),
+    )
+    out["bm25_shingle_stop_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SHINGLE_STOP_AST)), _QUERY_K,
+        corpus_override=sqlgen.shingle_corpus_ctes(
+            "documents", "doc_id", "text", tuple(sorted(_an.EN_STOP_SET))),
     )
     # folding restores the accent-injected corpus to the originals, so the
     # oracle is the PLAIN-text query — exact iff ascii_fold round-trips

@@ -793,6 +793,10 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
     synonym-stacked tokens share their source position and do not count
     toward field_len."""
     base = CHAIN_BASE.get(analyzer, "standard")
+    if base == "shingle":
+        # stream-structural chain: the scalar twin computes terms,
+        # positions AND field_len itself (posIncr-0 stacking)
+        return STREAM_SCALARS[analyzer](text or "")
     lower = CHAIN_LOWER.get(analyzer, java_lower)
     if base == "standard":
         raw = [t for t in tokenize_one(text)]
@@ -1018,6 +1022,17 @@ RAW_TOKENIZERS["uax29_urlemail"] = (_findall_uax29_lazy, MAX_TOKEN_LENGTH)
 #: the build's vocabulary-level lowercase (index/build.py).
 CHAIN_LOWER: dict[str, object] = {}
 
+#: STREAM-structural chains (ShingleFilter): the whole analyzer runs per
+#: row and emits final terms WITH position increments — positions are no
+#: longer raw token ordinals (posIncr-0 stacking, filler positions), so
+#: these chains bypass the vocabulary-level filter pipeline entirely.
+#: STREAM_TOKENIZERS[name](texts) -> (Series[list[str]], Series[list[int]])
+#: (aligned term/posIncr lists per row); STREAM_SCALARS[name](text) ->
+#: (terms, positions, field_len) — the scalar oracle twin. Registered at
+#: import (functions/shingle.py), so executors resolve them by name.
+STREAM_TOKENIZERS: dict[str, object] = {}
+STREAM_SCALARS: dict[str, object] = {}
+
 
 def _fill_snowball_chains():
     """Snowball analyzer-default chains (functions/snowball_chains.py):
@@ -1064,6 +1079,15 @@ def _fill_snowball_chains():
 
 
 _fill_snowball_chains()
+
+
+def _fill_shingle_chains():
+    from lucene_spark.functions.shingle import register_shingle_chains
+
+    register_shingle_chains()
+
+
+_fill_shingle_chains()
 
 
 def get_raw_tokenizer(name: str):

@@ -1,0 +1,216 @@
+"""ShingleFilter — word n-grams over an analysis chain's token stream.
+
+Faithful to ``analysis/shingle/ShingleFilter.java`` (the windowed
+incrementToken algorithm, :260-313):
+
+  - the input stream is expanded with FILLER tokens ("_"): an input token
+    with positionIncrement > 1 is preceded by ``min(posIncr-1,
+    maxShingleSize-1)`` fillers (:355-376); at end of stream the trailing
+    skipped positions produce ``min(endPosIncr, maxShingleSize-1)``
+    trailing fillers (:378-391);
+  - at each expanded position the gram size cycles 1 (when outputUnigrams),
+    then minShingleSize..maxShingleSize; a gram whose tokens are ALL
+    fillers is skipped (:283-290); grams larger than the remaining window
+    end the cycle;
+  - the first emission at a position has positionIncrement 1, later ones 0
+    (:292-293) — so fillers that start an emitted shingle consume a
+    position (and count toward the length norm), fillers that emit nothing
+    do not;
+  - positionLength = gram size with outputUnigrams, else
+    ``max(1, size - minShingleSize + 1)`` (:299-306).
+
+``outputUnigramsIfNoShingles`` (non-default) is not implemented.
+
+Chains registered here (ShingleAnalyzerWrapper.java:39-77 with a
+StandardAnalyzer base, default 2/2 + unigrams):
+  - ``standard_shingle``      — standard tokenizer → lower → shingle
+  - ``standard_stop_shingle`` — standard tokenizer → lower → EN stop →
+    shingle (stop gaps become live fillers)
+
+The index build consumes these through the STREAM_TOKENIZERS hook
+(positions = running sum of position increments; field_len counts
+posIncr>0 emissions — FieldInvertState + discountOverlaps semantics).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+FILLER = "_"
+SEP = " "
+
+
+def shingle_stream(
+    terms: list[str],
+    posincs: list[int],
+    end_gap: int = 0,
+    min_size: int = 2,
+    max_size: int = 2,
+    output_unigrams: bool = True,
+    filler: str = FILLER,
+    sep: str = SEP,
+) -> list[tuple[str, int, int]]:
+    """-> [(term, posIncr, posLen)] — the ShingleFilter output stream over
+    an input stream given as surviving terms + their position increments +
+    the trailing skipped-position count.
+
+    Faithful port of the incrementToken state machine (:260-313) including
+    its reference quirk: a call that emits nothing returns false and ENDS
+    the stream — so when all-filler gramsize skips leave the window too
+    short to complete the next size (possible when minShingleSize > 2, or
+    after gaps near stream end), the remaining real tokens are silently
+    dropped, exactly like the reference (caught by the compiled-class fuzz;
+    a naive per-position emission loop emits trailing unigrams the
+    reference never produces)."""
+    if min_size < 2 or max_size < min_size:
+        raise ValueError("shingle sizes must satisfy 2 <= min <= max")
+    # getNextToken's filler expansion (:355-391): min(posIncr-1, max-1)
+    # fillers per gap, min(endPosIncr, max-1) trailing fillers
+    exp: list[tuple[str, bool]] = []
+    for t, inc in zip(terms, posincs):
+        if inc > 1:
+            exp.extend([(filler, True)] * min(inc - 1, max_size - 1))
+        exp.append((t, False))
+    if end_gap > 0:
+        exp.extend([(filler, True)] * min(end_gap, max_size - 1))
+    m = len(exp)
+    # CircularSequence (:475-543): values cycle { [1,] min..max }
+    min_val = 1 if output_unigrams else min_size
+    value = prev = min_val
+    window_pos = 0
+    filled = False
+    is_output_here = False
+    gram: list[str] = []
+    out: list[tuple[str, int, int]] = []
+    while True:  # one iteration == one incrementToken() call
+        built = 0
+        cur_len = max(0, min(max_size, m - window_pos)) if filled else 0
+        if value == min_val or cur_len < value:
+            # shiftInputWindow (:409-440): slide one, reset the cycle
+            if filled and cur_len > 0:
+                window_pos += 1
+            filled = True
+            gram = []
+            value = prev = min_val
+            is_output_here = False
+        else:
+            built = prev  # resume the cached walk (:268)
+        wlen = max(0, min(max_size, m - window_pos))
+        if wlen >= value:
+            is_all_filler = True
+            gram_num = 0
+            j = window_pos
+            # the window walk (:273-290); note value may advance mid-walk
+            while j < window_pos + wlen and built < value:
+                gram_num += 1
+                tok, isf = exp[j]
+                j += 1
+                if built < gram_num:
+                    if built > 0:
+                        gram.append(sep)
+                    gram.append(tok)
+                    built += 1
+                if is_all_filler and isf:
+                    if gram_num == value:
+                        # skip the all-filler size (:284-286)
+                        prev = value
+                        value = (min_size if value == 1 else
+                                 min_val if value == max_size else value + 1)
+                        if value == min_val:
+                            prev = min_val  # advance()->reset() overwrites
+                else:
+                    is_all_filler = False
+            if not is_all_filler and built == value:
+                out.append((
+                    "".join(gram),
+                    0 if is_output_here else 1,
+                    built if output_unigrams
+                    else max(1, built - min_size + 1),
+                ))
+                is_output_here = True
+                prev = value
+                value = (min_size if value == 1 else
+                         min_val if value == max_size else value + 1)
+                if value == min_val:
+                    prev = min_val
+                continue  # tokenAvailable = true
+        break  # incrementToken() returned false: stream over (:312)
+    return out
+
+
+def _base_stream(text: str, stop_set: frozenset | None):
+    """standard tokenizer → java lowercase (→ stop): surviving terms,
+    their position increments, and the trailing gap."""
+    from lucene_spark.functions.analysis import (
+        MAX_TOKEN_LENGTH, java_lower, tokenize_one,
+    )
+
+    raw = tokenize_one(text or "")
+    terms: list[str] = []
+    incs: list[int] = []
+    gap = 0
+    for t in raw:
+        if len(t) > MAX_TOKEN_LENGTH:
+            gap += 1
+            continue
+        t = java_lower(t)
+        if stop_set is not None and t in stop_set:
+            gap += 1
+            continue
+        terms.append(t)
+        incs.append(gap + 1)
+        gap = 0
+    return terms, incs, gap
+
+
+def shingle_terms_one(text: str, stop_set: frozenset | None = None):
+    """Scalar oracle: -> (terms, positions, field_len) of the shingled
+    stream (positions = running posIncr sum; field_len = #posIncr>0)."""
+    stream = shingle_stream(*_base_stream(text, stop_set))
+    terms, pos, p = [], [], -1
+    for t, inc, _ in stream:
+        p += inc
+        terms.append(t)
+        pos.append(p)
+    flen = sum(1 for _, inc, _ in stream if inc > 0)
+    return terms, pos, flen
+
+
+def _stream_series(stop_set: frozenset | None):
+    def fn(texts: pd.Series):
+        toks: list[list[str]] = []
+        incs: list[list[int]] = []
+        for text in texts.fillna(""):
+            stream = shingle_stream(*_base_stream(text, stop_set))
+            toks.append([t for t, _, _ in stream])
+            incs.append([i for _, i, _ in stream])
+        return pd.Series(toks, index=texts.index), pd.Series(
+            incs, index=texts.index)
+    return fn
+
+
+def _raise_raw(texts):
+    raise RuntimeError(
+        "shingle chains tokenize through STREAM_TOKENIZERS, not "
+        "RAW_TOKENIZERS")
+
+
+def register_shingle_chains() -> None:
+    from lucene_spark.functions import analysis as an
+
+    for name, stop in (("standard_shingle", None),
+                       ("standard_stop_shingle", an.EN_STOP_SET)):
+        an.STREAM_TOKENIZERS[name] = _stream_series(stop)
+        an.STREAM_SCALARS[name] = _scalar(stop)
+        an.CHAIN_FILTERS[name] = (None, None, None)
+        an.CHAIN_BASE[name] = "shingle"
+        an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+        # terms are already lowercased inside the stream (fillers/shingle
+        # separators must not be re-cased)
+        an.CHAIN_LOWER[name] = str
+
+
+def _scalar(stop_set):
+    def fn(text: str):
+        return shingle_terms_one(text, stop_set)
+    return fn

@@ -557,13 +557,24 @@ def _build_segment_frame(
     # applied on the UNIQUE terms (it only depends on the token string), so
     # the per-token work stays in C. field_len = surviving tokens per row,
     # via bincount — identical to the scalar analyze_one semantics.
-    tokenize, max_len = spec[0] if spec else get_raw_tokenizer(analyzer)
-    tokens = tokenize(pdf["text"])
+    from lucene_spark.functions.analysis import STREAM_TOKENIZERS
+    stream = STREAM_TOKENIZERS.get(analyzer)
+    import pyarrow.compute as pc
+    inc_flat = None
+    if stream is not None:
+        # stream-structural chain (ShingleFilter): the whole analyzer ran
+        # per row and emitted final terms + position increments; positions
+        # are the running posIncr sum (posIncr-0 stacked shingles share
+        # their unigram's position), NOT raw ordinals
+        tokens, incs = stream(pdf["text"])
+        max_len = None
+    else:
+        tokenize, max_len = spec[0] if spec else get_raw_tokenizer(analyzer)
+        tokens = tokenize(pdf["text"])
     # arrow-native flatten + dictionary-encode: list_flatten /
     # list_parent_indices / dictionary_encode are C++ over compact string
     # buffers — ~4x faster than pandas explode+factorize and far lighter on
     # the allocator (which is what limits many-core scaling)
-    import pyarrow.compute as pc
     la = pa.array(tokens.tolist(), type=pa.list_(pa.string()))
     de = pc.dictionary_encode(pc.list_flatten(la))
     codes = de.indices.to_numpy().astype(np.int64)
@@ -572,7 +583,18 @@ def _build_segment_frame(
     # raw token position per occurrence (explode is row-major, row_of sorted)
     counts_raw = np.bincount(row_of, minlength=n)
     row_start = np.concatenate(([0], np.cumsum(counts_raw)[:-1]))
-    pos_raw = np.arange(row_of.size, dtype=np.int64) - row_start[row_of]
+    if stream is not None:
+        inc_flat = pc.list_flatten(
+            pa.array(incs.tolist(), type=pa.list_(pa.int64()))
+        ).to_numpy().astype(np.int64)
+        # per-row running posIncr sum - 1 (groupwise cumsum)
+        c = np.cumsum(inc_flat)
+        base = np.zeros(n, dtype=np.int64)
+        nonempty = counts_raw > 0
+        base[nonempty] = c[row_start[nonempty]] - inc_flat[row_start[nonempty]]
+        pos_raw = c - base[row_of] - 1
+    else:
+        pos_raw = np.arange(row_of.size, dtype=np.int64) - row_start[row_of]
     off_s_flat = off_e_flat = None
     if store_offsets:
         # per-RAW-ordinal char spans, indexed flat as row_start[row] + pos —
@@ -671,8 +693,14 @@ def _build_segment_frame(
         codes = remap[codes]
     # field_len BEFORE synonym expansion: stacked tokens are posIncr-0
     # overlaps that the norm discounts (FieldInvertState numOverlap +
-    # BM25Similarity discountOverlaps — SynonymGraphFilter semantics)
-    flen = np.bincount(row_of, minlength=n).astype(np.int64)
+    # BM25Similarity discountOverlaps — SynonymGraphFilter semantics).
+    # Stream chains carry explicit increments: count posIncr>0 emissions.
+    if inc_flat is not None:
+        flen = np.bincount(
+            row_of, weights=(inc_flat > 0), minlength=n
+        ).astype(np.int64)
+    else:
+        flen = np.bincount(row_of, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4_np(flen).astype(np.int64)
     if synonyms and codes.size:
         pairs = [

@@ -120,6 +120,95 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """.strip()
 
 
+def shingle_corpus_ctes(table: str, id_col: str, text_col: str,
+                        stop: tuple[str, ...] = ()) -> str:
+    """corpus_ctes twin for a ShingleFilter(2,2, outputUnigrams) chain
+    (``shingle/ShingleFilter.java``): emitted terms = surviving unigrams +
+    space-joined adjacent pairs over the FILLER-EXPANDED stream (a stopped
+    token becomes one '_' filler — cap = maxShingleSize-1 = 1 per gap,
+    incl. a trailing filler when the doc ends in stopped tokens); shingles
+    are skipped only when both slots are fillers (impossible mid-stream at
+    cap 1). Per-doc length counts posIncr>0 emissions: every unigram plus
+    every filler-initial emitted shingle (discountOverlaps semantics)."""
+    if not stop:
+        # no gaps: every adjacent token pair shingles; dl = token count
+        return f"""
+rawt AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
+  FROM (SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks
+        FROM {table})
+),
+seq AS (
+  SELECT doc_id, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nterm
+  FROM rawt
+),
+emitted AS (
+  SELECT doc_id, term, 1 AS inc FROM seq
+  UNION ALL
+  SELECT doc_id, term || ' ' || nterm, 0 FROM seq WHERE nterm IS NOT NULL
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, CAST(sum(inc) AS BIGINT) AS cnt FROM emitted
+             GROUP BY doc_id) t ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+    stop_list = ", ".join(f"'{w}'" for w in sorted(stop))
+    return f"""
+rawt AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
+  FROM (SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks
+        FROM {table})
+),
+nraw AS (SELECT doc_id, max(ord) AS mx FROM rawt GROUP BY doc_id),
+surv AS (
+  SELECT doc_id, ord, term,
+         row_number() OVER w AS rk,
+         coalesce(lag(ord) OVER w, 0) AS prev_ord
+  FROM rawt WHERE term NOT IN ({stop_list})
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+expd AS (
+  SELECT doc_id, rk * 2 AS k, term, FALSE AS fil FROM surv
+  UNION ALL
+  SELECT doc_id, rk * 2 - 1, '_', TRUE FROM surv WHERE ord - prev_ord >= 2
+  UNION ALL
+  SELECT s.doc_id, s.rkmax * 2 + 1, '_', TRUE
+  FROM (SELECT doc_id, max(rk) AS rkmax, max(ord) AS omax FROM surv
+        GROUP BY doc_id) s
+  JOIN nraw n ON n.doc_id = s.doc_id
+  WHERE n.mx > s.omax
+),
+seq AS (
+  SELECT doc_id, k, term, fil,
+         lead(term) OVER w AS nterm, lead(fil) OVER w AS nfil
+  FROM expd WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+),
+emitted AS (
+  SELECT doc_id, term, 1 AS inc FROM seq WHERE NOT fil
+  UNION ALL
+  SELECT doc_id, term || ' ' || nterm, CASE WHEN fil THEN 1 ELSE 0 END
+  FROM seq WHERE nterm IS NOT NULL AND NOT (fil AND nfil)
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, CAST(sum(inc) AS BIGINT) AS cnt FROM emitted
+             GROUP BY doc_id) t ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+
+
 def _norm_inv(dl_q: str, k1: float = 1.2, b: float = 0.75) -> str:
     """1f / (k1 * ((1-b) + b*len/avgdl)) in pure REAL ops (BM25Similarity
     cache formula; avgdl comes from consts c)."""
@@ -221,6 +310,7 @@ def topk_sql(
     similarity: str = "bm25",
     vocab_map: tuple[tuple[str, str], ...] = (),
     synonyms: tuple[tuple[str, str], ...] = (),
+    corpus_override: str | None = None,
 ) -> str:
     """Full top-k SQL for a flat Boolean query: (doc_id, score REAL),
     score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
@@ -259,7 +349,7 @@ def topk_sql(
         similarity, "(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b
     )
     return f"""
-WITH {corpus_ctes(table, id_col, text_col, stop, vocab_map, synonyms)},
+WITH {corpus_override or corpus_ctes(table, id_col, text_col, stop, vocab_map, synonyms)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),
