@@ -1434,6 +1434,24 @@ def _shingle_stop_chain_df(spark, sf_dir):
         spark, sf_dir, "standard_stop_shingle", _SHINGLE_STOP_AST)
 
 
+#: word_delimiter chains (functions/worddelim.py — WDGF over a whitespace
+#: tokenizer): identity on this delimiter-free lowercase corpus
+#: (plumb-through validation); splitting/catenation/possessive behavior is
+#: pinned against the COMPILED reference class in tests/test_worddelim.py
+#: (15k-case fuzz over all 512 flag combos + 148 pinned goldens)
+_WDGF_AST = {"bool": {"must": [{"term": "sort"}], "should": [{"term": "line"}]}}
+_WDGF_CAT_AST = {"bool": {"must": [{"term": "hash"}], "should": [{"term": "window"}]}}
+
+
+def _wdgf_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "word_delimiter", _WDGF_AST)
+
+
+def _wdgf_cat_chain_df(spark, sf_dir):
+    return _lang_chain_df(
+        spark, sf_dir, "word_delimiter_catenated", _WDGF_CAT_AST)
+
+
 def _classic_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "classic", _CLASSIC_AST)
 
@@ -2012,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_uax29_chain"] = _uax29_chain_df
     out["bm25_shingle_chain"] = _shingle_chain_df
     out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
+    out["bm25_word_delimiter_chain"] = _wdgf_chain_df
+    out["bm25_wdgf_catenated_chain"] = _wdgf_cat_chain_df
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2408,6 +2428,13 @@ ORDER BY t.score DESC, t.doc_id ASC
     )
     out["bm25_uax29_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_UAX29_AST)), _QUERY_K,
+    )
+    # word_delimiter chains: identity on this delimiter-free corpus
+    out["bm25_word_delimiter_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_WDGF_AST)), _QUERY_K,
+    )
+    out["bm25_wdgf_catenated_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_WDGF_CAT_AST)), _QUERY_K,
     )
     # shingle chains: emitted terms = unigrams + adjacent-pair shingles
     # over the filler-expanded stream (sqlgen.shingle_corpus_ctes); the dl

@@ -793,7 +793,7 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
     synonym-stacked tokens share their source position and do not count
     toward field_len."""
     base = CHAIN_BASE.get(analyzer, "standard")
-    if base == "shingle":
+    if base == "stream":
         # stream-structural chain: the scalar twin computes terms,
         # positions AND field_len itself (posIncr-0 stacking)
         return STREAM_SCALARS[analyzer](text or "")
@@ -1081,13 +1081,17 @@ def _fill_snowball_chains():
 _fill_snowball_chains()
 
 
-def _fill_shingle_chains():
+def _fill_stream_chains():
     from lucene_spark.functions.shingle import register_shingle_chains
+    from lucene_spark.functions.worddelim import (
+        register_word_delimiter_chains,
+    )
 
     register_shingle_chains()
+    register_word_delimiter_chains()
 
 
-_fill_shingle_chains()
+_fill_stream_chains()
 
 
 def get_raw_tokenizer(name: str):

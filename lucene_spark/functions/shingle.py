@@ -203,7 +203,7 @@ def register_shingle_chains() -> None:
         an.STREAM_TOKENIZERS[name] = _stream_series(stop)
         an.STREAM_SCALARS[name] = _scalar(stop)
         an.CHAIN_FILTERS[name] = (None, None, None)
-        an.CHAIN_BASE[name] = "shingle"
+        an.CHAIN_BASE[name] = "stream"
         an.RAW_TOKENIZERS[name] = (_raise_raw, None)
         # terms are already lowercased inside the stream (fillers/shingle
         # separators must not be re-cased)

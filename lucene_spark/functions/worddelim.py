@@ -1,0 +1,394 @@
+"""WordDelimiterGraphFilter — intra-token splitting/catenation graph.
+
+Faithful port of ``analysis/miscellaneous/WordDelimiterGraphFilter.java``
+(+ ``WordDelimiterIterator.java``):
+
+  - the iterator slices a token into subwords at delimiter chars, case
+    transitions (SPLIT_ON_CASE_CHANGE) and alpha<->digit transitions
+    (SPLIT_ON_NUMERICS), stripping a trailing 's from each subword
+    (STEM_ENGLISH_POSSESSIVE); UPPER->lower never splits ("PowerShot" =
+    "Power"+"Shot", "SHOUTing" stays with the O?? no — see isBreak
+    :225-247: UPPER followed by any alpha does not break, so "WiFI" stays
+    one run while "wiFi" splits);
+  - per-type catenation runs (CATENATE_WORDS/NUMBERS) and CATENATE_ALL
+    accumulate slices and are flushed as extra graph arcs; a single-subword
+    concatenation that duplicates a generated part is dropped
+    (flushConcatenation :536-547);
+  - PRESERVE_ORIGINAL buffers the whole token first, spanning the final
+    graph position count (:325-333);
+  - buffered parts are sorted by (startPart asc, endPart desc) with a
+    STABLE merge sort (PositionSorter :447-474);
+  - emission: posIncr = accumulated upstream holes + startPos - wordPos,
+    posLen = endPos - startPos (:392-421); a token of ONLY delimiters is
+    swallowed creating a hole, EXCEPT under PRESERVE_ORIGINAL where it is
+    returned with its own posIncr and the accumulated hole is DROPPED
+    (:373-380 — reference quirk, preserved);
+  - char types: the 256-entry Java table (Character.isLower/Upper/Digit —
+    pinned from the compiled JDK, incl. ª µ º as LOWER), then Java
+    Character.getType buckets; surrogates type ALPHA|DIGIT so astral
+    codepoints never split (:307-356).
+
+Chains: ``word_delimiter`` = Java whitespace split -> WDGF(factory default
+flags: GENERATE_WORD_PARTS|GENERATE_NUMBER_PARTS|SPLIT_ON_CASE_CHANGE|
+SPLIT_ON_NUMERICS|STEM_ENGLISH_POSSESSIVE) -> lowercase;
+``word_delimiter_catenated`` adds CATENATE_ALL|PRESERVE_ORIGINAL (graph
+stacking live). Stream-structural like the shingle chains.
+"""
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+
+GENERATE_WORD_PARTS = 1
+GENERATE_NUMBER_PARTS = 2
+CATENATE_WORDS = 4
+CATENATE_NUMBERS = 8
+CATENATE_ALL = 16
+PRESERVE_ORIGINAL = 32
+SPLIT_ON_CASE_CHANGE = 64
+SPLIT_ON_NUMERICS = 128
+STEM_ENGLISH_POSSESSIVE = 256
+
+DEFAULT_FLAGS = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS |
+                 SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
+                 STEM_ENGLISH_POSSESSIVE)
+
+LOWER = 0x01
+UPPER = 0x02
+DIGIT = 0x04
+SUBWORD_DELIM = 0x08
+ALPHA = 0x03
+
+_DONE = -1
+
+# DEFAULT_WORD_DELIM_TABLE: Java Character.isLowerCase/isUpperCase/isDigit
+# over 0..255 (verified against the compiled JDK in the parity harness):
+# lower = a-z, ª(0xAA), µ(0xB5), º(0xBA), ß-ö(0xDF-0xF6), ø-ÿ(0xF8-0xFF);
+# upper = A-Z, À-Ö(0xC0-0xD6), Ø-Þ(0xD8-0xDE); digit = 0-9
+_TABLE = [0] * 256
+for _i in range(256):
+    _c = 0
+    if (0x61 <= _i <= 0x7A or _i in (0xAA, 0xB5, 0xBA)
+            or 0xDF <= _i <= 0xF6 or 0xF8 <= _i <= 0xFF):
+        _c = LOWER
+    elif 0x41 <= _i <= 0x5A or 0xC0 <= _i <= 0xD6 or 0xD8 <= _i <= 0xDE:
+        _c = UPPER
+    elif 0x30 <= _i <= 0x39:
+        _c = DIGIT
+    _TABLE[_i] = _c or SUBWORD_DELIM
+
+_CAT_MAP = {
+    "Lu": UPPER, "Ll": LOWER,
+    "Lt": ALPHA, "Lm": ALPHA, "Lo": ALPHA, "Mn": ALPHA, "Me": ALPHA,
+    "Mc": ALPHA,
+    "Nd": DIGIT, "Nl": DIGIT, "No": DIGIT,
+    "Cs": ALPHA | DIGIT,
+}
+
+
+def _char_type(cp: int) -> int:
+    if cp < 256:
+        return _TABLE[cp]
+    if cp > 0xFFFF or 0xD800 <= cp <= 0xDFFF:
+        # Java sees two SURROGATE chars (type ALPHA|DIGIT) — never a break
+        return ALPHA | DIGIT
+    return _CAT_MAP.get(unicodedata.category(chr(cp)), SUBWORD_DELIM)
+
+
+class _Iterator:
+    """WordDelimiterIterator port (codepoint-indexed; surrogate pairs are
+    single unbreakable ALPHA|DIGIT codepoints, equivalent to Java's
+    per-UTF-16-unit walk)."""
+
+    def __init__(self, split_case: bool, split_num: bool, stem_poss: bool):
+        self.split_case = split_case
+        self.split_num = split_num
+        self.stem_poss = stem_poss
+
+    def set_text(self, text: str) -> None:
+        self.text = text
+        self.length = self.end_bounds = len(text)
+        self.current = self.start_bounds = self.end = 0
+        self.skip_possessive = False
+        self.has_final_possessive = False
+        t = text
+        sb, eb = 0, len(t)
+        while sb < len(t) and _char_type(ord(t[sb])) & SUBWORD_DELIM:
+            sb += 1
+        while eb > sb and _char_type(ord(t[eb - 1])) & SUBWORD_DELIM:
+            eb -= 1
+        self.start_bounds, self.end_bounds = sb, eb
+        if self._ends_with_possessive(eb):
+            self.has_final_possessive = True
+        self.current = sb
+
+    def _ends_with_possessive(self, pos: int) -> bool:
+        t = self.text
+        return (self.stem_poss and pos > 2
+                and t[pos - 2] == "'" and t[pos - 1] in "sS"
+                and _char_type(ord(t[pos - 3])) & ALPHA != 0
+                and (pos == self.end_bounds
+                     or _char_type(ord(t[pos])) & SUBWORD_DELIM != 0))
+
+    def _is_break(self, last_type: int, type_: int) -> bool:
+        if type_ & last_type:
+            return False
+        if (not self.split_case and last_type & ALPHA and type_ & ALPHA):
+            return False
+        if last_type & UPPER and type_ & ALPHA:
+            return False
+        if (not self.split_num
+                and ((last_type & ALPHA and type_ & DIGIT)
+                     or (last_type & DIGIT and type_ & ALPHA))):
+            return False
+        return True
+
+    def next(self) -> int:
+        self.current = self.end
+        if self.current == _DONE:
+            return _DONE
+        if self.skip_possessive:
+            self.current += 2
+            self.skip_possessive = False
+        t = self.text
+        last_type = 0
+        while self.current < self.end_bounds:
+            last_type = _char_type(ord(t[self.current]))
+            if not (last_type & SUBWORD_DELIM):
+                break
+            self.current += 1
+        if self.current >= self.end_bounds:
+            self.end = _DONE
+            return _DONE
+        end = self.current + 1
+        while end < self.end_bounds:
+            ty = _char_type(ord(t[end]))
+            if self._is_break(last_type, ty):
+                break
+            last_type = ty
+            end += 1
+        self.end = end
+        if end < self.end_bounds - 1 and self._ends_with_possessive(end + 2):
+            self.skip_possessive = True
+        return end
+
+    def type(self) -> int:
+        if self.end == _DONE:
+            return 0
+        ty = _char_type(ord(self.text[self.current]))
+        return ALPHA if ty in (LOWER, UPPER) else ty
+
+    def is_single_word(self) -> bool:
+        if self.has_final_possessive:
+            return (self.current == self.start_bounds
+                    and self.end == self.end_bounds - 2)
+        return (self.current == self.start_bounds
+                and self.end == self.end_bounds)
+
+
+def wdgf_stream(
+    tokens: list[str],
+    posincs: list[int],
+    flags: int = DEFAULT_FLAGS,
+    protected: frozenset | None = None,
+) -> list[tuple[str, int, int]]:
+    """-> [(term, posIncr, posLen)] — the WordDelimiterGraphFilter output
+    over an input stream of (token, positionIncrement)."""
+    def has(f):
+        return flags & f
+
+    it = _Iterator(bool(has(SPLIT_ON_CASE_CHANGE)),
+                   bool(has(SPLIT_ON_NUMERICS)),
+                   bool(has(STEM_ENGLISH_POSSESSIVE)))
+    out: list[tuple[str, int, int]] = []
+    accum = 0
+
+    for token, inc in zip(tokens, posincs):
+        accum += inc
+        it.set_text(token)
+        it.next()
+        if ((it.current == 0 and it.end == len(token))
+                or (protected is not None and token in protected)):
+            # no delimiters at all, or protected: pass through
+            out.append((token, accum, 1))
+            accum = 0
+            continue
+        if it.end == _DONE:
+            # only delimiters: swallow (hole) — or return as-is under
+            # PRESERVE_ORIGINAL, dropping the accumulated hole (:373-380)
+            if has(PRESERVE_ORIGINAL):
+                out.append((token, inc, 1))
+                accum = 0
+            continue
+
+        # ---- bufferWordParts
+        buffered: list[list] = []  # [startPos, endPos, startPart, endPart, text|None]
+        word_pos = 0
+        last_concat_count = 0
+        concat = {"buf": [], "start_part": 0, "end_part": 0, "start_pos": 0,
+                  "type": 0, "count": 0}
+        concat_all = dict(concat, buf=[])
+
+        def should_generate(word_type):
+            return ((has(GENERATE_WORD_PARTS) and word_type & ALPHA)
+                    or (has(GENERATE_NUMBER_PARTS) and word_type & DIGIT))
+
+        def should_concat(word_type):
+            return ((has(CATENATE_WORDS) and word_type & ALPHA)
+                    or (has(CATENATE_NUMBERS) and word_type & DIGIT))
+
+        def concat_append(c):
+            if not c["buf"]:
+                c["type"] = it.type()
+                c["start_part"] = it.current
+                c["start_pos"] = word_pos
+            c["buf"].append(token[it.current:it.end])
+            c["count"] += 1
+            c["end_part"] = it.end
+
+        def concat_write(c):
+            buffered.append([c["start_pos"], word_pos, c["start_part"],
+                             c["end_part"], "".join(c["buf"])])
+
+        def concat_clear(c):
+            c["buf"] = []
+            c["start_part"] = c["end_part"] = c["type"] = c["count"] = 0
+
+        def flush_concat(c):
+            nonlocal word_pos, last_concat_count
+            if word_pos == c["start_pos"]:
+                word_pos += 1
+            last_concat_count = c["count"]
+            if c["count"] != 1 or not should_generate(c["type"]):
+                concat_write(c)
+            concat_clear(c)
+
+        if has(PRESERVE_ORIGINAL):
+            buffered.append([0, 1, 0, len(token), None])
+
+        if it.is_single_word():
+            buffered.append([word_pos, word_pos + 1, it.current, it.end,
+                             None])
+            word_pos += 1
+            it.next()
+        else:
+            while it.end != _DONE:
+                word_type = it.type()
+                if concat["buf"] and (concat["type"] & word_type) == 0:
+                    flush_concat(concat)
+                if should_concat(word_type):
+                    concat_append(concat)
+                if has(CATENATE_ALL):
+                    concat_append(concat_all)
+                if should_generate(word_type):
+                    buffered.append([word_pos, word_pos + 1, it.current,
+                                     it.end, None])
+                    word_pos += 1
+                it.next()
+            if concat["buf"]:
+                flush_concat(concat)
+            if concat_all["buf"]:
+                if concat_all["count"] > last_concat_count:
+                    if word_pos == concat_all["start_pos"]:
+                        word_pos += 1
+                    concat_write(concat_all)
+                concat_clear(concat_all)
+
+        if has(PRESERVE_ORIGINAL):
+            if word_pos == 0:
+                word_pos += 1
+            buffered[0][1] = word_pos
+
+        head = 1 if has(PRESERVE_ORIGINAL) else 0
+        buffered[head:] = sorted(
+            buffered[head:], key=lambda b: (b[2], -b[3]))
+
+        # ---- emission
+        word_pos = 0
+        for start_pos, end_pos, start_part, end_part, text in buffered:
+            term = token[start_part:end_part] if text is None else text
+            out.append((term, accum + start_pos - word_pos,
+                        end_pos - start_pos))
+            accum = 0
+            word_pos = start_pos
+    return out
+
+
+# Java Character.isWhitespace: Zs minus the non-breaking ones (00A0, 2007,
+# 202F) + Zl/Zp + \t \n \v \f \r \x1c-\x1f
+_JAVA_WS = ("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f\x20\u1680"
+            "\u2000\u2001\u2002\u2003\u2004\u2005\u2006"
+            "\u2008\u2009\u200a\u2028\u2029\u205f\u3000")
+_WS_RE = re.compile("[^" + re.escape(_JAVA_WS) + "]+")
+_WS_MAX = 255
+
+
+def whitespace_terms(text: str) -> list[str]:
+    """WhitespaceTokenizer twin: split on Java whitespace; CharTokenizer
+    SPLITS tokens longer than maxTokenLen=255 mid-word (not a skip)."""
+    out = []
+    for m in _WS_RE.finditer(text or ""):
+        tok = m.group()
+        for i in range(0, len(tok), _WS_MAX):
+            out.append(tok[i:i + _WS_MAX])
+    return out
+
+
+def wdgf_terms_one(text: str, flags: int = DEFAULT_FLAGS):
+    """Scalar oracle for the word_delimiter chains: whitespace split ->
+    WDGF -> java lowercase; -> (terms, positions, field_len)."""
+    from lucene_spark.functions.analysis import java_lower
+
+    toks = whitespace_terms(text or "")
+    stream = wdgf_stream(toks, [1] * len(toks), flags)
+    terms, pos, p = [], [], -1
+    for t, inc, _ in stream:
+        p += inc
+        terms.append(java_lower(t))
+        pos.append(p)
+    flen = sum(1 for _, inc, _ in stream if inc > 0)
+    return terms, pos, flen
+
+
+def _stream_series(flags: int):
+    def fn(texts: pd.Series):
+        toks_out, incs_out = [], []
+        from lucene_spark.functions.analysis import java_lower
+
+        for text in texts.fillna(""):
+            toks = whitespace_terms(text)
+            stream = wdgf_stream(toks, [1] * len(toks), flags)
+            toks_out.append([java_lower(t) for t, _, _ in stream])
+            incs_out.append([i for _, i, _ in stream])
+        return pd.Series(toks_out, index=texts.index), pd.Series(
+            incs_out, index=texts.index)
+    return fn
+
+
+def _raise_raw(texts):
+    raise RuntimeError(
+        "word_delimiter chains tokenize through STREAM_TOKENIZERS")
+
+
+def _scalar(flags: int):
+    def fn(text: str):
+        return wdgf_terms_one(text, flags)
+    return fn
+
+
+def register_word_delimiter_chains() -> None:
+    from lucene_spark.functions import analysis as an
+
+    for name, flags in (
+        ("word_delimiter", DEFAULT_FLAGS),
+        ("word_delimiter_catenated",
+         DEFAULT_FLAGS | CATENATE_ALL | PRESERVE_ORIGINAL),
+    ):
+        an.STREAM_TOKENIZERS[name] = _stream_series(flags)
+        an.STREAM_SCALARS[name] = _scalar(flags)
+        an.CHAIN_FILTERS[name] = (None, None, None)
+        an.CHAIN_BASE[name] = "stream"  # stream-structural marker base
+        an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+        an.CHAIN_LOWER[name] = str  # lowered inside the stream
