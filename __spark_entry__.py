@@ -1377,6 +1377,14 @@ _SNOWBALL_ASTS = {
     # word is a KStem head word); EN stops live; real morphology pinned
     # in tests/test_stemmers.py
     "english_kstem": {"bool": {"must": [{"term": "window"}], "should": [{"term": "vector"}]}},
+    # serbian: the Snowball stemmer is LIVE on latin-script corpus words
+    # (merge->merg, line->lin); tamil/nepali/telugu rules touch only
+    # their own scripts — identity plumb-through here, real behavior
+    # compiled-class-fuzzed in tests/test_snowball.py
+    "serbian": {"bool": {"must": [{"term": "merg"}], "should": [{"term": "lin"}]}},
+    "tamil": {"bool": {"must": [{"term": "scan"}], "should": [{"term": "order"}]}},
+    "nepali": {"bool": {"must": [{"term": "batch"}], "should": [{"term": "fast"}]}},
+    "telugu": {"bool": {"must": [{"term": "join"}], "should": [{"term": "sort"}]}},
 }
 
 
@@ -1441,6 +1449,64 @@ def _shingle_stop_chain_df(spark, sf_dir):
 #: (15k-case fuzz over all 512 flag combos + 148 pinned goldens)
 _WDGF_AST = {"bool": {"must": [{"term": "sort"}], "should": [{"term": "line"}]}}
 _WDGF_CAT_AST = {"bool": {"must": [{"term": "hash"}], "should": [{"term": "window"}]}}
+
+
+#: ngram chains (functions/ngram.py): query terms are character GRAMS,
+#: reachable only through the filter ("me" = an interior bigram; "merg" a
+#: 4-char prefix)
+_NGRAM_AST = {"bool": {"must": [{"term": "me"}], "should": [{"term": "sc"}]}}
+_EDGE_NGRAM_AST = {"bool": {"must": [{"term": "merg"}],
+                            "should": [{"term": "sca"}]}}
+
+
+#: misc filter chains (functions/miscfilters.py). Scandinavian norm/fold:
+#: identity on this digraph-free ASCII corpus (transform behavior
+#: compiled-class-fuzzed in tests); length/keepword/truncate/reverse/
+#: capitalize are LIVE here (stops or rewrites fire on the corpus vocab)
+_SCAND_NORM_AST = {"bool": {"must": [{"term": "batch"}], "should": [{"term": "row"}]}}
+_SCAND_FOLD_AST = {"bool": {"must": [{"term": "group"}], "should": [{"term": "key"}]}}
+_LENGTH_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "big"}]}}
+_KEEPWORD_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "hash"}]}}
+_TRUNCATE_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "batc"}]}}
+_REVERSE_AST = {"bool": {"must": [{"term": "egrem"}], "should": [{"term": "nacs"}]}}
+_CAPITALIZE_AST = {"bool": {"must": [{"term": "Merge"}], "should": [{"term": "Scan"}]}}
+
+
+def _misc_chain_entry(analyzer: str, ast: dict):
+    def fn(spark, sf_dir):
+        return _lang_chain_df(spark, sf_dir, analyzer, ast)
+    return fn
+
+
+#: common_grams (functions/commongrams.py): gram terms like "the_merge"
+#: are reachable only through the filter; EN stops are LIVE on this corpus
+_COMMON_GRAMS_AST = {"bool": {"must": [{"term": "the_merge"}],
+                              "should": [{"term": "scan_a"}]}}
+
+#: english_keyword_repeat (functions/miscfilters.py): stemmed copies
+#: stack at posIncr 0 beside the protected originals — "merg" reachable
+#: only via the stem, "table" only via the original
+_KWREPEAT_AST = {"bool": {"must": [{"term": "merg"}],
+                          "should": [{"term": "table"}]}}
+#: whitespace_hyphenated: no hyphens in this corpus — identity
+#: plumb-through (merge behavior pinned in tests); codepoint_count: DROP
+#: tokens outside [2,6] codepoints (LIVE: 1-char and 7+-char vocab)
+_HYPH_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "row"}]}}
+_CPCOUNT_AST = {"bool": {"must": [{"term": "merge"}],
+                         "should": [{"term": "join"}]}}
+
+
+def _common_grams_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "common_grams", _COMMON_GRAMS_AST)
+
+
+def _ngram_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "standard_ngram", _NGRAM_AST)
+
+
+def _edge_ngram_chain_df(spark, sf_dir):
+    return _lang_chain_df(
+        spark, sf_dir, "standard_edge_ngram", _EDGE_NGRAM_AST)
 
 
 def _wdgf_chain_df(spark, sf_dir):
@@ -1753,6 +1819,11 @@ def _dup_segments(spark, sf_dir):
     return duplicate_segments(_docs(spark, sf_dir), sep=" ").orderBy("doc_id")
 
 
+def _fingerprint_filter(spark, sf_dir):
+    from lucene_spark.operators.textstats import fingerprint_filter
+    return fingerprint_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _lang_id(spark, sf_dir):
     """Language ID: Unicode-script tier + rank-weighted character-n-gram
     profiles (Cavnar-Trenkle-style, 21 languages / 10 scripts) — pure JVM
@@ -2032,6 +2103,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
     out["bm25_word_delimiter_chain"] = _wdgf_chain_df
     out["bm25_wdgf_catenated_chain"] = _wdgf_cat_chain_df
+    out["bm25_ngram_chain"] = _ngram_chain_df
+    out["bm25_edge_ngram_chain"] = _edge_ngram_chain_df
+    out["bm25_common_grams_chain"] = _common_grams_chain_df
+    for _mk, _ma, _mast in (
+        ("bm25_scandinavian_norm_chain", "standard_scandinavian_normalized",
+         _SCAND_NORM_AST),
+        ("bm25_scandinavian_fold_chain", "standard_scandinavian_folded",
+         _SCAND_FOLD_AST),
+        ("bm25_length_chain", "standard_length", _LENGTH_AST),
+        ("bm25_keepword_chain", "standard_keepword", _KEEPWORD_AST),
+        ("bm25_truncate_chain", "standard_truncate", _TRUNCATE_AST),
+        ("bm25_reverse_chain", "standard_reverse", _REVERSE_AST),
+        ("bm25_capitalize_chain", "standard_capitalize", _CAPITALIZE_AST),
+        ("bm25_codepoint_count_chain", "standard_codepoint_count",
+         _CPCOUNT_AST),
+        ("bm25_keyword_repeat_chain", "english_keyword_repeat",
+         _KWREPEAT_AST),
+        ("bm25_hyphenated_chain", "whitespace_hyphenated", _HYPH_AST),
+    ):
+        out[_mk] = _misc_chain_entry(_ma, _mast)
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -2060,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_quality"] = _quality
     out["text_lang_id"] = _lang_id
     out["text_fingerprint"] = _fingerprint
+    out["text_fingerprint_filter"] = _fingerprint_filter
     out["text_repetition"] = _repetition
     out["text_dup_segments"] = _dup_segments
     out["chunk_documents"] = _chunk
@@ -2409,6 +2501,10 @@ ORDER BY t.score DESC, t.doc_id ASC
                 ("turkish", _sc.TR_STOP, _sc.turkish_chain_transform),
                 ("irish", _sc.GA_STOP_FULL, _sc.irish_chain_transform),
                 ("english_kstem", _an.EN_STOP_SET, _an._kstem_transform),
+                ("serbian", _sc.SR_STOP, _sc.serbian_chain_transform),
+                ("tamil", _sc.TA_STOP, _sc.tamil_chain_transform),
+                ("nepali", _sc.NE_STOP, _sc.nepali_chain_transform),
+                ("telugu", _nz.TE_STOP, _nz.telugu_chain_transform),
             )
         ),
     ):
@@ -2435,6 +2531,60 @@ ORDER BY t.score DESC, t.doc_id ASC
     )
     out["bm25_wdgf_catenated_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_WDGF_CAT_AST)), _QUERY_K,
+    )
+    # misc filter chains
+    from lucene_spark.functions import miscfilters as _mf
+    out["bm25_scandinavian_norm_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SCAND_NORM_AST)), _QUERY_K)
+    out["bm25_scandinavian_fold_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SCAND_FOLD_AST)), _QUERY_K)
+    out["bm25_length_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_LENGTH_AST)), _QUERY_K,
+        drop_where="length({term}) < 3 OR length({term}) > 8")
+    out["bm25_keepword_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_KEEPWORD_AST)), _QUERY_K,
+        drop_where="{term} NOT IN ("
+                   + ", ".join(f"'{w}'" for w in sorted(_mf.KEEP_DEMO)) + ")")
+    out["bm25_truncate_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_TRUNCATE_AST)), _QUERY_K,
+        vocab_map=tuple((w, w[:4]) for w in _DOC_VOCAB if len(w) > 4))
+    out["bm25_reverse_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_REVERSE_AST)), _QUERY_K,
+        vocab_map=tuple((w, w[::-1]) for w in _DOC_VOCAB if w != w[::-1]))
+    out["bm25_capitalize_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_CAPITALIZE_AST)), _QUERY_K,
+        vocab_map=tuple((w, _mf.capitalize(w)) for w in _DOC_VOCAB
+                        if _mf.capitalize(w) != w))
+    out["bm25_codepoint_count_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_CPCOUNT_AST)), _QUERY_K,
+        drop_where="length({term}) < 2 OR length({term}) > 6")
+    # keyword-repeat: stemmed copies replay as index-time SYNONYM stacking
+    # (tf/df counted, dl not — posIncr-0 discountOverlaps)
+    out["bm25_keyword_repeat_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_KWREPEAT_AST)), _QUERY_K,
+        stop=tuple(sorted(w for w in _DOC_VOCAB if w in _an.EN_STOP_SET)),
+        synonyms=tuple(
+            (w, _an.english_vocab_transform(w)) for w in _DOC_VOCAB
+            if _an.english_vocab_transform(w) != w
+            and w not in _an.EN_STOP_SET))
+    # hyphenated: whitespace tokens == simple tokens on this corpus
+    out["bm25_hyphenated_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_HYPH_AST)), _QUERY_K)
+    out["bm25_common_grams_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_COMMON_GRAMS_AST)), _QUERY_K,
+        corpus_override=sqlgen.common_grams_corpus_ctes(
+            "documents", "doc_id", "text", tuple(sorted(_an.EN_STOP_SET))),
+    )
+    # ngram chains: grams replayed in SQL; dl = one per source token
+    out["bm25_ngram_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_NGRAM_AST)), _QUERY_K,
+        corpus_override=sqlgen.ngram_corpus_ctes(
+            "documents", "doc_id", "text", "ngram"),
+    )
+    out["bm25_edge_ngram_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_EDGE_NGRAM_AST)), _QUERY_K,
+        corpus_override=sqlgen.ngram_corpus_ctes(
+            "documents", "doc_id", "text", "edge"),
     )
     # shingle chains: emitted terms = unigrams + adjacent-pair shingles
     # over the filler-expanded stream (sqlgen.shingle_corpus_ctes); the dl
@@ -2542,6 +2692,7 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     from lucene_spark.operators import langid
     out["text_lang_id"] = langid.detect_language_sql()
     out["text_fingerprint"] = textstats.fingerprints_sql()
+    out["text_fingerprint_filter"] = textstats.fingerprint_filter_sql()
     out["text_repetition"] = textstats.repetition_stats_sql()
     out["text_dup_segments"] = textstats.duplicate_segments_sql(sep=" ")
     from lucene_spark.operators import textprep

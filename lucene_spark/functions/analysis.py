@@ -83,7 +83,9 @@ MAX_TOKEN_LENGTH = 255
 # (U+FF21-FF3A, U+FF41-FF5A) + Tibetan letters (U+0F40-0F6C)
 _L = (
     "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF\u0100-\u024F"
-    "\u0370-\u0373\u0376-\u037D\u037F\u0386\u0388-\u03FF"
+    # (U+03A2 is UNASSIGNED \u2014 a boundary in the reference scanner, not a
+    # letter; compiled-scanner probe)
+    "\u0370-\u0373\u0376-\u037D\u037F\u0386\u0388-\u03A1\u03A3-\u03FF"
     "\u0400-\u0481\u048A-\u04FF"
     # Armenian letters (U+0559 is Lm=ALetter; the ArmenianAnalyzer chain
     # tokenizes through the shared standard tokenizer)
@@ -98,6 +100,14 @@ _L = (
     # Extend; danda U+0964-0965 splits — testBengali :257-285)
     "\u0904-\u0939\u093D\u0950\u0958-\u0961\u0971-\u097F"
     "\u0985-\u09B9\u09BD\u09CE\u09DC-\u09E1\u09F0-\u09F1"
+    # Tamil + Telugu letters (probed per-codepoint from the COMPILED
+    # reference StandardTokenizerImpl \u2014 Unicode 12.1 classes; U+0B83
+    # Tamil visarga IS Lo/ALetter there, and U+0C3C/0C5D do not exist
+    # yet at 12.1)
+    "\u0B83\u0B85-\u0B8A\u0B8E-\u0B90\u0B92-\u0B95\u0B99-\u0B9A\u0B9C"
+    "\u0B9E-\u0B9F\u0BA3-\u0BA4\u0BA8-\u0BAA\u0BAE-\u0BB9\u0BD0"
+    "\u0C05-\u0C0C\u0C0E-\u0C10\u0C12-\u0C28\u0C2A-\u0C39\u0C3D"
+    "\u0C58-\u0C5A\u0C60-\u0C61"
     # Hangul IS WB:ALetter (StandardTokenizerImpl.jflex:84 HangulEx =
     # Script:Hangul \u2229 ALetter) \u2014 it lives in the ORDINARY letter class so
     # mixed Hangul+Latin runs join as ONE token exactly like the reference
@@ -113,7 +123,9 @@ _L = (
 # (U+0ED0-0ED9) + Myanmar (U+1040-1049) + Khmer (U+17E0-17E9) digits
 _N = ("0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
       # Arabic-Indic (both sets) + Devanagari + Bengali digits
-      "\u0660-\u0669\u06F0-\u06F9\u0966-\u096F\u09E6-\u09EF")
+      "\u0660-\u0669\u06F0-\u06F9\u0966-\u096F\u09E6-\u09EF"
+      # Tamil + Telugu digits (compiled-scanner probe)
+      "\u0BE6-\u0BEF\u0C66-\u0C6F")
 # Extend: combining diacritics (U+0300-036F) + kana voicing marks
 # (U+3099-309A) + variation selectors (U+FE00-FE0F \u2014 WB:Extend; pinned by
 # the reference's "3\uFE0E" -> NUM case) + combining enclosing keycap
@@ -121,7 +133,11 @@ _N = ("0-9\uFF10-\uFF19\u0E50-\u0E59\u0ED0-\u0ED9\u1040-\u1049\u17E0-\u17E9"
 # the ordinary _RUN branch) + Tibetan dependent vowels / subjoined letters /
 # astrological marks
 _EXT = (
-    "\u0300-\u036F\u0483-\u0489\u3099-\u309A\uFE00-\uFE0F\u20E3"
+    # halfwidth voiced/semi-voiced marks U+FF9E-FF9F are WB:Extend like
+    # their fullwidth twins U+3099-309A \u2014 they attach to ANY base ("0\uFF9E"
+    # is one NUM token; compiled-scanner probe)
+    "\u0300-\u036F\u0483-\u0489\u3099-\u309A\uFF9E-\uFF9F"
+    "\uFE00-\uFE0F\u20E3"
     "\u0F71-\u0F84\u0F86-\u0F87\u0F90-\u0FBC\u0F35\u0F37\u0F39"
     # Arabic harakat/superscripts + Syriac marks + Devanagari/Bengali
     # dependent vowels, virama, nukta, candrabindu (ZWNJ/ZWJ stay
@@ -132,7 +148,20 @@ _EXT = (
     "\u0900-\u0903\u093A-\u093C\u093E-\u094F\u0951-\u0957"
     "\u0962-\u0963\u0981-\u0983\u09BC\u09BE-\u09CD\u09D7"
     "\u09E2-\u09E3"
+    # Tamil + Telugu dependent vowels / virama / length marks / bindus
+    # (compiled-scanner probe, Unicode 12.1 \u2014 Mc and Mn both Extend)
+    "\u0B82\u0BBE-\u0BC2\u0BC6-\u0BC8\u0BCA-\u0BCD\u0BD7"
+    "\u0C00-\u0C04\u0C3E-\u0C44\u0C46-\u0C48\u0C4A-\u0C4D"
+    "\u0C55-\u0C56\u0C62-\u0C63"
 )
+# Ex-units exactly as the jflex grammar defines them
+# (StandardTokenizerImpl.jflex:85-93: XEx = X {ExtFmtZwj}): each base
+# char absorbs its trailing Extend marks INSIDE the unit, so the
+# WORD-rule regex below backtracks at unit granularity and joins like
+# the reference's longest-match DFA.
+_AHLX = f"[{_L}][{_EXT}]*"
+_NUMX = f"[{_N}][{_EXT}]*"
+_ENLX = f"_[{_EXT}]*"
 _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
 # Mid chars join SAME-CLASS neighbors, single occurrence only (consecutive
 # mids split — UAX#29 WB6/7/11/12, pinned by TestStandardAnalyzer.java
@@ -149,10 +178,14 @@ _RUN = f"[{_L}{_N}_][{_L}{_N}_{_EXT}]*"
 _MIDL = ":··״‧︓﹕："
 _MIDNL = "'.‘’․﹒＇．"
 _MIDN = ",;٬﹐﹔，；"
-_JOIN = (
-    f"(?:(?<=[{_L}])[{_MIDL}{_MIDNL}](?=[{_L}])"
-    f"|(?<=[{_N}])[{_MIDN}{_MIDNL}](?=[{_N}]))"
-)
+# Mid units are Ex-classes too (MidLetterEx = [MidLetter MidNumLet
+# SingleQuote] Extend*, MidNumericEx = [MidNum MidNumLet SingleQuote]
+# Extend* — jflex:91-92), so "letter Extend* mid Extend* letter" is ONE
+# token (probed live against the compiled scanner on Tamil/Telugu
+# matra+mid clusters, which the old lookbehind-on-the-raw-char join
+# missed).
+_MIDLX = f"[{_MIDL}{_MIDNL}][{_EXT}]*"
+_MIDNX = f"[{_MIDN}{_MIDNL}][{_EXT}]*"
 # script tokens (classes per StandardTokenizerImpl.jflex:84-92, Unicode
 # 12.1): Katakana runs (WB:Katakana \u2014 incl. vertical repeat marks
 # U+3031-3035, standalone voice marks U+309B-309C, small-kana extension
@@ -243,20 +276,39 @@ _KEYCAP = "[#*]\uFE0F?\u20E3"
 
 # _RUN first: it is the overwhelmingly common branch, and no other branch
 # starts at a codepoint a word class contains.
+# The WORD rule, unit-for-unit from the jflex grammar (rules section,
+# WB5-13b block): ExtendNumLetEx* ( KatakanaEx (ENLEx* KatakanaEx)*
+# | ( NumericEx ((ENLEx*|MidNumericEx) NumericEx)*
+#   | AHLetterEx ((ENLEx*|MidLetterEx) AHLetterEx)* )+ )
+# ( ENLEx+ <same> )* ExtendNumLetEx*.  Consequences the old _RUN shape
+# missed, each probed against the compiled scanner: a bare "_" (or
+# _+Extend*) is NOT a token; "カ_a" joins THROUGH the underscore; mids
+# absorb/are preceded by Extend marks.  (?:A*|B) is spelled (?:A+|B)?.
+_WSEG = (
+    f"(?:{_KATAKANA}(?:(?:{_ENLX})+{_KATAKANA})*"
+    f"|(?:{_NUMX}(?:(?:(?:{_ENLX})+|{_MIDNX})?{_NUMX})*"
+    f"|{_AHLX}(?:(?:(?:{_ENLX})+|{_MIDLX})?{_AHLX})*)+)"
+)
+_WORD = (
+    f"(?:{_ENLX})*{_WSEG}(?:(?:{_ENLX})+{_WSEG})*(?:{_ENLX})*"
+)
 TOKEN_RE = re.compile(
-    f"(?:{_RUN}(?:{_JOIN}{_RUN})*|{_KATAKANA}|{_HAN}"
+    f"(?:{_WORD}|{_KATAKANA}|{_HAN}"
     f"|{_HIRAGANA}|{_SEA_RUN}|{_RI_PAIR}|{_KEYCAP}|{_EMOJI})"
 )
 
-# ASCII fast path: on a pure-ASCII string every non-_RUN branch is
-# unreachable (CJK/SEA/RI/emoji start at non-ASCII codepoints; keycaps need
-# U+FE0F), and _RUN's non-ASCII class members can't occur \u2014 so this
-# ASCII-only alternation is exactly TOKEN_RE restricted to ASCII input,
-# and ~2x faster. Routed per-string via str.isascii().
+# ASCII fast path: on a pure-ASCII string every non-WORD branch is
+# unreachable (CJK/SEA/RI/emoji start at non-ASCII codepoints; keycaps
+# need U+FE0F), Extend is empty, and katakana segments can't occur \u2014 so
+# this ASCII-only WORD shape is exactly TOKEN_RE restricted to ASCII
+# input (asserted by the mixed fuzz in tests), and ~2x faster. Routed
+# per-string via str.isascii().
 _L_A, _N_A = "A-Za-z", "0-9"
-_RUN_A = f"[{_L_A}{_N_A}_][{_L_A}{_N_A}_]*"
-_JOIN_A = f"(?:(?<=[{_L_A}])['.:](?=[{_L_A}])|(?<=[{_N_A}])['.,;](?=[{_N_A}]))"
-TOKEN_RE_ASCII = re.compile(f"{_RUN_A}(?:{_JOIN_A}{_RUN_A})*")
+_WSEG_A = (
+    f"(?:[{_N_A}](?:(?:_+|['.,;])?[{_N_A}])*"
+    f"|[{_L_A}](?:(?:_+|['.:])?[{_L_A}])*)+"
+)
+TOKEN_RE_ASCII = re.compile(f"_*{_WSEG_A}(?:_+{_WSEG_A})*_*")
 
 
 def _findall_standard(texts: pd.Series) -> pd.Series:
@@ -611,6 +663,12 @@ def _kstem_transform(token: str) -> str:
     from lucene_spark.functions.kstem import kstem
 
     return kstem(strip_possessive(token))
+
+
+def _telugu_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import telugu_chain_transform
+
+    return telugu_chain_transform(token)
 
 
 def _snowball_chain_transform(name: str):
@@ -1077,18 +1135,47 @@ def _fill_snowball_chains():
     CHAIN_BASE["english_kstem"] = "standard"
     RAW_TOKENIZERS["english_kstem"] = (_findall_standard, MAX_TOKEN_LENGTH)
 
+    # Tamil / Nepali (Lower -> DecimalDigit -> IndicNorm -> Stop ->
+    # Snowball) + Serbian (Lower -> Stop -> Snowball -> SerbianNorm)
+    for name, stop, tr in (
+        ("tamil", _sc.TA_STOP, "tamil_chain_transform"),
+        ("nepali", _sc.NE_STOP, "nepali_chain_transform"),
+        ("serbian", _sc.SR_STOP, "serbian_chain_transform"),
+    ):
+        CHAIN_FILTERS[name] = (stop, _snowball_chain_transform(tr), None)
+        CHAIN_BASE[name] = "standard"
+        RAW_TOKENIZERS[name] = (_findall_standard, MAX_TOKEN_LENGTH)
+
+    # Telugu (te/TeluguAnalyzer.java:114-125 — NO LowerCaseFilter):
+    # DecimalDigit -> IndicNorm -> TeluguNorm -> Stop -> TeluguStem
+    from lucene_spark.functions.normalizers import TE_STOP
+
+    CHAIN_FILTERS["telugu"] = (TE_STOP, _telugu_transform, None)
+    CHAIN_BASE["telugu"] = "standard"
+    RAW_TOKENIZERS["telugu"] = (_findall_standard, MAX_TOKEN_LENGTH)
+    CHAIN_LOWER["telugu"] = str
+
 
 _fill_snowball_chains()
 
 
 def _fill_stream_chains():
+    from lucene_spark.functions.commongrams import (
+        register_common_grams_chain,
+    )
+    from lucene_spark.functions.ngram import register_ngram_chains
     from lucene_spark.functions.shingle import register_shingle_chains
     from lucene_spark.functions.worddelim import (
         register_word_delimiter_chains,
     )
 
+    from lucene_spark.functions.miscfilters import register_misc_chains
+
     register_shingle_chains()
     register_word_delimiter_chains()
+    register_ngram_chains()
+    register_common_grams_chain()
+    register_misc_chains()
 
 
 _fill_stream_chains()

@@ -1,0 +1,94 @@
+"""CommonGramsFilter — stopword bigrams stacked next to unigrams.
+
+Faithful to ``analysis/commongrams/CommonGramsFilter.java:72-100``: every
+token is emitted as itself (original position increment); whenever the
+PREVIOUS token was a common word, or the CURRENT one is and it is not the
+first token, a "prev_current" gram (separator '_') is emitted BETWEEN them
+— stacked at the previous token's position (posIncr 0, posLen 2). Grams
+form across upstream holes too (the buffer keeps the last surviving
+token), mirroring the reference.
+
+Chain ``common_grams`` = standard tokenizer -> lowercase ->
+CommonGramsFilter(EN stop set) — the phrase-speed index layout where
+"the" survives as a unigram AND fuses into "of_the"-style grams.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+SEPARATOR = "_"
+
+
+def common_grams_stream(
+    tokens: list[str],
+    posincs: list[int],
+    common: frozenset,
+) -> list[tuple[str, int]]:
+    """-> [(term, posIncr)] — the CommonGramsFilter output stream."""
+    out: list[tuple[str, int]] = []
+    prev: str | None = None
+    last_was_common = False
+    for tok, inc in zip(tokens, posincs):
+        is_common = tok in common
+        if last_was_common or (is_common and prev is not None):
+            # the reference emits the gram BEFORE re-emitting the current
+            # token (gramToken, then the saved state on the next call)
+            out.append((prev + SEPARATOR + tok, 0))
+        out.append((tok, inc))
+        prev = tok
+        last_was_common = is_common
+    return out
+
+
+def common_grams_terms_one(text: str, common: frozenset):
+    """Scalar oracle: -> (terms, positions, field_len)."""
+    from lucene_spark.functions.shingle import _base_stream
+
+    terms, incs, _ = _base_stream(text, None)
+    stream = common_grams_stream(terms, incs, common)
+    out_terms, pos, p = [], [], -1
+    for t, inc in stream:
+        p += inc
+        out_terms.append(t)
+        pos.append(p)
+    flen = sum(1 for _, inc in stream if inc > 0)
+    return out_terms, pos, flen
+
+
+def _stream_series(common: frozenset):
+    def fn(texts: pd.Series):
+        from lucene_spark.functions.shingle import _base_stream
+
+        toks_out, incs_out = [], []
+        for text in texts.fillna(""):
+            terms, incs, _ = _base_stream(text, None)
+            stream = common_grams_stream(terms, incs, common)
+            toks_out.append([t for t, _ in stream])
+            incs_out.append([i for _, i in stream])
+        return pd.Series(toks_out, index=texts.index), pd.Series(
+            incs_out, index=texts.index)
+    return fn
+
+
+def _raise_raw(texts):
+    raise RuntimeError(
+        "common_grams tokenizes through STREAM_TOKENIZERS")
+
+
+def _scalar(common: frozenset):
+    def fn(text: str):
+        return common_grams_terms_one(text, common)
+    return fn
+
+
+def register_common_grams_chain() -> None:
+    from lucene_spark.functions import analysis as an
+
+    name = "common_grams"
+    common = an.EN_STOP_SET
+    an.STREAM_TOKENIZERS[name] = _stream_series(common)
+    an.STREAM_SCALARS[name] = _scalar(common)
+    an.CHAIN_FILTERS[name] = (None, None, None)
+    an.CHAIN_BASE[name] = "stream"
+    an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+    an.CHAIN_LOWER[name] = str

@@ -1,0 +1,355 @@
+"""Miscellaneous token filters (``analysis/miscellaneous/`` + ``reverse/``):
+
+  - ScandinavianNormalizationFilter (``ScandinavianNormalizer.java:44-105``,
+    ALL_FOLDINGS): interchangeable Scandinavian spellings -> the Norwegian/
+    Danish forms (ä->æ, ö->ø, aa/ao->å, ae->æ, oe/oo->ø — double-vowel
+    deletions walk the MUTATED buffer like the in-place Java loop);
+  - ScandinavianFoldingFilter (``ScandinavianFoldingFilter.java:60-105``):
+    the more aggressive variant folding å/ä/æ->a, ö/ø->o and deleting the
+    second vowel of aa/ae/ao/oe/oo digraphs;
+  - CapitalizationFilter (``CapitalizationFilter.java``, DEFAULT params:
+    onlyFirstWord + forceFirstLetter): words inside a token split at
+    chars <= ' ' or '.'; the first word is Title-cased (per-char Java
+    toUpperCase/toLowerCase — 1:1 mappings only), later words lowercased;
+  - LengthFilter (UTF-16 length bounds) and KeepWordFilter — realized as
+    PREDICATE stop sets (an object whose ``__contains__`` marks dropped
+    tokens; the vocabulary pipeline and the scalar oracle both consume
+    plain ``in``), preserving position increments like StopFilter;
+  - TruncateTokenFilter (``TruncateTokenFilter.java:39-47``): cap term to
+    n UTF-16 units;
+  - ReverseStringFilter (no marker): codepoint reverse == the reference's
+    surrogate-aware char reverse.
+
+LimitTokenCount/Offset/Position are n-a: they map to a plain
+``F.slice``/filter over the token array before inversion (SURVEY n-a
+convention). KeywordRepeat/KeywordMarker need the keyword attribute that
+only matters ahead of stemmers — composable here as chain-transform
+wrappers, not separate operators.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _utf16_len(s: str) -> int:
+    return len(s) + sum(1 for c in s if ord(c) > 0xFFFF)
+
+
+def scandinavian_normalize(token: str) -> str:
+    """ScandinavianNormalizer.processToken with ALL_FOLDINGS."""
+    buf = list(token)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif i < len(buf) - 1:
+            n = buf[i + 1]
+            if c == "a" and n in "aAoO":
+                del buf[i + 1]
+                buf[i] = "å"
+            elif c == "A" and n in "aAoO":
+                del buf[i + 1]
+                buf[i] = "Å"
+            elif c == "a" and n in "eE":
+                del buf[i + 1]
+                buf[i] = "æ"
+            elif c == "A" and n in "eE":
+                del buf[i + 1]
+                buf[i] = "Æ"
+            elif c == "o" and n in "eEoO":
+                del buf[i + 1]
+                buf[i] = "ø"
+            elif c == "O" and n in "eEoO":
+                del buf[i + 1]
+                buf[i] = "Ø"
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_fold(token: str) -> str:
+    """ScandinavianFoldingFilter.incrementToken's in-place loop."""
+    buf = list(token)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in "åäæ":
+            buf[i] = "a"
+        elif c in "ÅÄÆ":
+            buf[i] = "A"
+        elif c in "øö":
+            buf[i] = "o"
+        elif c in "ØÖ":
+            buf[i] = "O"
+        elif i < len(buf) - 1:
+            n = buf[i + 1]
+            if c in "aA" and n in "aAeEoO":
+                del buf[i + 1]
+            elif c in "oO" and n in "eEoO":
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+def _upper1(c: str) -> str:
+    """Java Character.toUpperCase: 1:1 mappings only (ß stays ß)."""
+    u = c.upper()
+    return u if len(u) == 1 else c
+
+
+def _lower1(c: str) -> str:
+    """Java Character.toLowerCase: 1:1 (İ -> i, not i+combining dot)."""
+    if c == "İ":
+        return "i"
+    lo = c.lower()
+    return lo if len(lo) == 1 else c
+
+
+def capitalize(token: str) -> str:
+    """CapitalizationFilter with the DEFAULT constructor (onlyFirstWord,
+    forceFirstLetter, no keep/okPrefix, minWordLength 0): intra-token
+    words split at chars <= ' ' or '.'; first word Title-cased, later
+    words lowercased."""
+    buf = list(token)
+    word_count = 0
+    start = 0
+    i = 0
+
+    def process(s: int, ln: int, wc: int) -> None:
+        if ln < 1:
+            return
+        if wc > 0:  # onlyFirstWord: later words are lowercased
+            for j in range(s, s + ln):
+                buf[j] = _lower1(buf[j])
+            return
+        buf[s] = _upper1(buf[s])
+        for j in range(s + 1, s + ln):
+            buf[j] = _lower1(buf[j])
+
+    while i < len(buf):
+        c = buf[i]
+        if c <= " " or c == ".":
+            ln = i - start
+            if ln > 0:
+                process(start, ln, word_count)
+                word_count += 1
+                start = i + 1
+                i += 1  # the reference's extra increment after a word
+        i += 1
+    if start < len(buf):
+        process(start, len(buf) - start, word_count)
+    return "".join(buf)
+
+
+def truncate(n: int):
+    """TruncateTokenFilter: cap the term to n UTF-16 units."""
+    def fn(token: str) -> str:
+        out = []
+        units = 0
+        for c in token:
+            w = 2 if ord(c) > 0xFFFF else 1
+            if units + w > n:
+                break
+            out.append(c)
+            units += w
+        return "".join(out)
+    fn.__name__ = f"truncate_{n}"
+    return fn
+
+
+def reverse(token: str) -> str:
+    return token[::-1]
+
+
+class PredicateStop:
+    """A 'stop set' whose membership is a predicate — LengthFilter /
+    KeepWordFilter realized through the existing StopFilter machinery
+    (dropped tokens leave position gaps and don't count toward
+    field_len)."""
+
+    def __init__(self, drop_fn, name: str):
+        self._drop = drop_fn
+        self._name = name
+
+    def __contains__(self, token) -> bool:
+        return self._drop(token)
+
+    def __bool__(self) -> bool:
+        return True
+
+    def __repr__(self) -> str:
+        return f"PredicateStop({self._name})"
+
+
+def length_stop(min_len: int, max_len: int) -> PredicateStop:
+    """LengthFilter(min,max): DROP tokens outside [min, max] UTF-16 units."""
+    return PredicateStop(
+        lambda t: not (min_len <= _utf16_len(t) <= max_len),
+        f"length[{min_len},{max_len}]")
+
+
+def keep_word_stop(keep: frozenset) -> PredicateStop:
+    """KeepWordFilter: DROP tokens not in the keep set."""
+    return PredicateStop(lambda t: t not in keep, "keep_word")
+
+
+def codepoint_count_stop(min_cp: int, max_cp: int) -> PredicateStop:
+    """CodepointCountFilter(min,max) (``CodepointCountFilter.java:54-70``):
+    DROP tokens whose CODEPOINT count falls outside [min, max] — the
+    UTF-32 twin of LengthFilter."""
+    return PredicateStop(
+        lambda t: not (min_cp <= len(t) <= max_cp),
+        f"codepoints[{min_cp},{max_cp}]")
+
+
+def keyword_repeat_stream(
+    terms: list[str],
+    incs: list[int],
+    transform,
+) -> list[tuple[str, int]]:
+    """KeywordRepeatFilter -> stemmer -> RemoveDuplicatesTokenFilter
+    (``KeywordRepeatFilter.java:43-58``, ``RemoveDuplicatesTokenFilter.java:
+    44-67``): each token is emitted twice at ONE position — the keyword
+    (protected, unstemmed) copy first, then the stemmed copy at posIncr 0;
+    RemoveDuplicates drops the second when the stem is a no-op (same-
+    position duplicate, the `previous` set clears on posIncr > 0)."""
+    out: list[tuple[str, int]] = []
+    for t, inc in zip(terms, incs):
+        out.append((t, inc))
+        s = transform(t)
+        if s != t:
+            out.append((s, 0))
+    return out
+
+
+def hyphenated_words_stream(tokens: list[str]) -> list[str]:
+    """HyphenatedWordsFilter (``HyphenatedWordsFilter.java:80-123``) over a
+    whitespace stream: tokens ending in '-' buffer (hyphen dropped) and
+    fuse with following tokens until one does not; a dangling hyphen at
+    end-of-stream is appended back (the reference's back-compat quirk).
+    The fused token takes the FIRST part's position (restoreState)."""
+    out: list[str] = []
+    buf: list[str] = []
+    for t in tokens:
+        if t.endswith("-") and len(t) > 0:
+            buf.append(t[:-1])
+        elif not buf:
+            out.append(t)
+        else:
+            buf.append(t)
+            out.append("".join(buf))
+            buf = []
+    if buf:
+        out.append("".join(buf) + "-")
+    return out
+
+
+#: keep set for the demo keep-word chain (entry-visible; any real user
+#: registers their own via register_chain)
+KEEP_DEMO = frozenset("merge scan filter join sort hash".split())
+
+_TRUNCATE_4 = truncate(4)
+
+
+def _kwrepeat_stream_one(text: str):
+    from lucene_spark.functions import analysis as an
+    from lucene_spark.functions.shingle import _base_stream
+
+    terms, incs, _gap = _base_stream(text, an.EN_STOP_SET)
+    return keyword_repeat_stream(terms, incs, an.english_vocab_transform)
+
+
+def _kwrepeat_scalar(text: str):
+    stream = _kwrepeat_stream_one(text or "")
+    terms, pos, p = [], [], -1
+    for t, inc in stream:
+        p += inc
+        terms.append(t)
+        pos.append(p)
+    return terms, pos, sum(1 for _, i in stream if i > 0)
+
+
+def _kwrepeat_series(texts: pd.Series):
+    toks, incs = [], []
+    for text in texts.fillna(""):
+        stream = _kwrepeat_stream_one(text)
+        toks.append([t for t, _ in stream])
+        incs.append([i for _, i in stream])
+    return pd.Series(toks, index=texts.index), pd.Series(
+        incs, index=texts.index)
+
+
+def _hyph_stream_one(text: str):
+    from lucene_spark.functions.analysis import java_lower
+    from lucene_spark.functions.worddelim import whitespace_terms
+
+    return [java_lower(t)
+            for t in hyphenated_words_stream(whitespace_terms(text or ""))]
+
+
+def _hyph_scalar(text: str):
+    terms = _hyph_stream_one(text)
+    return terms, list(range(len(terms))), len(terms)
+
+
+def _hyph_series(texts: pd.Series):
+    toks, incs = [], []
+    for text in texts.fillna(""):
+        terms = _hyph_stream_one(text)
+        toks.append(terms)
+        incs.append([1] * len(terms))
+    return pd.Series(toks, index=texts.index), pd.Series(
+        incs, index=texts.index)
+
+
+def _raise_raw(texts):
+    raise RuntimeError("stream chains tokenize through STREAM_TOKENIZERS")
+
+
+def register_misc_chains() -> None:
+    from lucene_spark.functions import analysis as an
+
+    # english_keyword_repeat: standard -> lower -> Stop(EN) ->
+    # KeywordRepeat -> PorterStem(keyword-protected) -> RemoveDuplicates
+    # (the classic stem+original side-by-side index layout)
+    an.STREAM_TOKENIZERS["english_keyword_repeat"] = _kwrepeat_series
+    an.STREAM_SCALARS["english_keyword_repeat"] = _kwrepeat_scalar
+    an.CHAIN_FILTERS["english_keyword_repeat"] = (None, None, None)
+    an.CHAIN_BASE["english_keyword_repeat"] = "stream"
+    an.RAW_TOKENIZERS["english_keyword_repeat"] = (_raise_raw, None)
+    an.CHAIN_LOWER["english_keyword_repeat"] = str
+
+    # whitespace_hyphenated: WhitespaceTokenizer -> HyphenatedWords ->
+    # lowercase (the OCR/line-wrap repair chain)
+    an.STREAM_TOKENIZERS["whitespace_hyphenated"] = _hyph_series
+    an.STREAM_SCALARS["whitespace_hyphenated"] = _hyph_scalar
+    an.CHAIN_FILTERS["whitespace_hyphenated"] = (None, None, None)
+    an.CHAIN_BASE["whitespace_hyphenated"] = "stream"
+    an.RAW_TOKENIZERS["whitespace_hyphenated"] = (_raise_raw, None)
+    an.CHAIN_LOWER["whitespace_hyphenated"] = str
+
+    std = an.RAW_TOKENIZERS["standard"]
+    for name, stop, xform, lower in (
+        ("standard_scandinavian_normalized", None, scandinavian_normalize,
+         None),
+        ("standard_scandinavian_folded", None, scandinavian_fold, None),
+        ("standard_length", length_stop(3, 8), None, None),
+        ("standard_codepoint_count", codepoint_count_stop(2, 6), None,
+         None),
+        ("standard_keepword", keep_word_stop(KEEP_DEMO), None, None),
+        ("standard_truncate", None, _TRUNCATE_4, None),
+        ("standard_reverse", None, reverse, None),
+        # capitalization runs on the RAW (uncased) tokens: identity lower
+        ("standard_capitalize", None, capitalize, str),
+    ):
+        an.CHAIN_FILTERS[name] = (stop, xform, None)
+        an.CHAIN_BASE[name] = "standard"
+        an.RAW_TOKENIZERS[name] = std
+        if lower is not None:
+            an.CHAIN_LOWER[name] = lower

@@ -1,0 +1,144 @@
+"""NGramTokenFilter + EdgeNGramTokenFilter — character n-grams per token.
+
+Faithful to ``analysis/ngram/NGramTokenFilter.java:98-150`` and
+``EdgeNGramTokenFilter.java:90-137`` (both CODEPOINT-counted):
+
+  - NGram: for each input token, emit every contained gram with length
+    minGram..maxGram, position-major with sizes ascending ("abc", 1..2 ->
+    a ab b bc c); the first gram carries the accumulated position
+    increment, the rest stack at posIncr 0;
+  - EdgeNGram: prefixes of length minGram..min(maxGram, cpCount);
+  - preserveOriginal: a token SHORTER than minGram is emitted as itself
+    (carrying the increment) — otherwise it is swallowed and its position
+    accumulates as a hole; a token LONGER than maxGram is additionally
+    emitted verbatim at posIncr 0 AFTER its grams. A token whose length is
+    inside [min, max] never gets an extra original (NGram emits it as its
+    own largest gram only when size fits; Edge's full prefix covers it).
+
+Chains (stream-structural, over the standard tokenizer + lowercase):
+  - ``standard_ngram``      — NGram(1, 2) (the reference defaults)
+  - ``standard_edge_ngram`` — EdgeNGram(1, 5, preserveOriginal=True)
+    (an autocomplete-style prefix index; params documented here since the
+    reference default max of 1 is degenerate)
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+
+def ngram_stream(
+    tokens: list[str],
+    posincs: list[int],
+    min_gram: int = 1,
+    max_gram: int = 2,
+    preserve_original: bool = False,
+) -> list[tuple[str, int]]:
+    """-> [(term, posIncr)] — NGramTokenFilter output stream."""
+    if min_gram < 1 or min_gram > max_gram:
+        raise ValueError("1 <= minGram <= maxGram required")
+    out: list[tuple[str, int]] = []
+    accum = 0
+    for token, inc in zip(tokens, posincs):
+        accum += inc
+        n = len(token)
+        if preserve_original and n < min_gram:
+            out.append((token, accum))
+            accum = 0
+            continue
+        for pos in range(n):
+            for size in range(min_gram, max_gram + 1):
+                if pos + size > n:
+                    break
+                out.append((token[pos:pos + size], accum))
+                accum = 0
+        if preserve_original and n > max_gram:
+            out.append((token, accum))
+            accum = 0
+        # if nothing was emitted (n < minGram, no preserve): the token's
+        # position stays accumulated as a hole
+    return out
+
+
+def edge_ngram_stream(
+    tokens: list[str],
+    posincs: list[int],
+    min_gram: int = 1,
+    max_gram: int = 1,
+    preserve_original: bool = False,
+) -> list[tuple[str, int]]:
+    """-> [(term, posIncr)] — EdgeNGramTokenFilter output stream."""
+    if min_gram < 1 or min_gram > max_gram:
+        raise ValueError("1 <= minGram <= maxGram required")
+    out: list[tuple[str, int]] = []
+    accum = 0
+    for token, inc in zip(tokens, posincs):
+        accum += inc
+        n = len(token)
+        if preserve_original and n < min_gram:
+            out.append((token, accum))
+            accum = 0
+            continue
+        for size in range(min_gram, min(max_gram, n) + 1):
+            out.append((token[:size], accum))
+            accum = 0
+        if preserve_original and n > max_gram:
+            out.append((token, accum))
+            accum = 0
+    return out
+
+
+def _chain_stream_one(text: str, kind: str, min_gram: int, max_gram: int,
+                      preserve: bool):
+    from lucene_spark.functions.analysis import java_lower
+    from lucene_spark.functions.shingle import _base_stream
+
+    terms, incs, _end_gap = _base_stream(text, None)
+    terms = [java_lower(t) for t in terms]
+    fn = ngram_stream if kind == "ngram" else edge_ngram_stream
+    return fn(terms, incs, min_gram, max_gram, preserve)
+
+
+def _terms_one(kind: str, min_gram: int, max_gram: int, preserve: bool):
+    def fn(text: str):
+        stream = _chain_stream_one(
+            text or "", kind, min_gram, max_gram, preserve)
+        terms, pos, p = [], [], -1
+        for t, inc in stream:
+            p += inc
+            terms.append(t)
+            pos.append(p)
+        flen = sum(1 for _, inc in stream if inc > 0)
+        return terms, pos, flen
+    return fn
+
+
+def _stream_series(kind: str, min_gram: int, max_gram: int, preserve: bool):
+    def fn(texts: pd.Series):
+        toks, incs = [], []
+        for text in texts.fillna(""):
+            stream = _chain_stream_one(
+                text, kind, min_gram, max_gram, preserve)
+            toks.append([t for t, _ in stream])
+            incs.append([i for _, i in stream])
+        return pd.Series(toks, index=texts.index), pd.Series(
+            incs, index=texts.index)
+    return fn
+
+
+def _raise_raw(texts):
+    raise RuntimeError("ngram chains tokenize through STREAM_TOKENIZERS")
+
+
+def register_ngram_chains() -> None:
+    from lucene_spark.functions import analysis as an
+
+    for name, kind, mn, mx, pres in (
+        ("standard_ngram", "ngram", 1, 2, False),
+        ("standard_edge_ngram", "edge", 1, 5, True),
+    ):
+        an.STREAM_TOKENIZERS[name] = _stream_series(kind, mn, mx, pres)
+        an.STREAM_SCALARS[name] = _terms_one(kind, mn, mx, pres)
+        an.CHAIN_FILTERS[name] = (None, None, None)
+        an.CHAIN_BASE[name] = "stream"
+        an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+        an.CHAIN_LOWER[name] = str

@@ -566,6 +566,78 @@ def sorani_stem(token: str) -> str:
     return s[:ln]
 
 
+def telugu_normalize(token: str) -> str:
+    """TeluguNormalizer.normalize (``te/TeluguNormalizer.java:37-110``):
+    candrabindu->bindu, visarga/ZWJ/ZWNJ deletion, long->short vowels and
+    matras, decomposed diphthong/oo/au composition. The Java switch
+    dispatches on the char CURRENTLY at i — a char shifted left into i by
+    a deletion is re-examined (i--), but a char REWRITTEN at i (e.g.
+    0C47->0C46) is not, so a rewritten 0C46 never composes with a
+    following 0C56 — loop shape replicated exactly."""
+    s = list(token)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "ఀఁ":              # candrabindu -> bindu
+            s[i] = "ం"
+        elif c == "ః" or c in "‌‍":  # visarga, zwj/zwnj
+            del s[i]
+            i -= 1
+        elif c == "ఔ":
+            s[i] = "ఓ"
+        elif c == "ఐ":
+            s[i] = "ఏ"
+        elif c == "ఆ":
+            s[i] = "అ"
+        elif c == "ఈ":
+            s[i] = "ఇ"
+        elif c == "ఊ":
+            s[i] = "ఉ"
+        elif c == "ీ":
+            s[i] = "ి"
+        elif c == "ూ":
+            s[i] = "ు"
+        elif c == "ే":
+            s[i] = "ె"
+        elif c == "ో":
+            s[i] = "ొ"
+        elif c == "ె":
+            if i + 1 < len(s) and s[i + 1] == "ౖ":
+                s[i] = "ై"              # (ె + ౖ) -> ై
+                del s[i + 1]
+        elif c == "ఒ":
+            if i + 1 < len(s) and s[i + 1] == "ౕ":
+                s[i] = "ఓ"              # (ఒ + ౕ) -> ఓ
+                del s[i + 1]
+            elif i + 1 < len(s) and s[i + 1] == "ౌ":
+                s[i] = "ఔ"              # (ఒ + ౌ) -> ఔ
+                del s[i + 1]
+        i += 1
+    return "".join(s)
+
+
+def telugu_stem(token: str) -> str:
+    """TeluguStemmer.stem (``te/TeluguStemmer.java:27-63``): one suffix
+    strip, longest class first (4-char plural clusters, then 2-char case
+    endings, then single matras), each behind a minimum-length guard."""
+    n = len(token)
+    if n > 5 and (token.endswith("ళ్ళు")
+                  or token.endswith("డ్లు")):
+        return token[:-4]
+    if n > 3 and token.endswith((
+            "డు", "ము", "వు",
+            "లు", "ని", "ను",
+            "చే", "కై", "లో",
+            "ది", "కి", "సు",
+            "వై", "పై")):
+        return token[:-2]
+    if n > 2 and token.endswith((
+            "ి", "ీ", "ు", "ూ", "ె",
+            "ే", "ొ", "ో", "ా")):
+        return token[:-1]
+    return token
+
+
 # --------------------------------------------------------- chain transforms
 
 def arabic_chain_transform(token: str) -> str:
@@ -609,6 +681,18 @@ def sorani_norm_for_stop(token: str) -> str:
 
 def sorani_chain_transform(token: str) -> str:
     return sorani_stem(sorani_norm_for_stop(token))
+
+
+def telugu_norm_for_stop(token: str) -> str:
+    """TeluguAnalyzer order (``te/TeluguAnalyzer.java:114-125``): NO
+    LowerCaseFilter — DecimalDigit -> IndicNormalization ->
+    TeluguNormalization -> Stop -> TeluguStem (the chain registers an
+    identity CHAIN_LOWER)."""
+    return telugu_normalize(indic_normalize(decimal_fold(token)))
+
+
+def telugu_chain_transform(token: str) -> str:
+    return telugu_stem(telugu_norm_for_stop(token))
 
 
 # stopword files from the reference's resources (one word per
@@ -696,6 +780,20 @@ CKB_STOP_RAW = frozenset((
 ).split())
 
 
+#: te/stopwords.txt, machine-extracted ('#' comments; two entries carry
+#: embedded spaces and can never match a single token — reference quirk)
+TE_STOP_RAW = frozenset((
+    'చేయగలిగింది', 'గురించి', 'పై', 'ప్రకారం', 'అనుగుణంగా', 'అడ్డంగా',
+    'నిజంగా', 'తర్వాత', 'తర్వాత', 'మళ్ళీ', 'వ్యతిరేకంగా', 'కాదు', 'అందరూ',
+    'అనుమతించు', 'అనుమతిస్తుంది', 'దాదాపు', 'మాత్రమే', 'వెంట', 'ఇప్పటికే',
+    'కూడా', 'అయితే', 'ఎప్పుడు', 'వద్ద', 'మధ్య', 'మధ్య', 'ఒక', 'మరియు', 'మరొక',
+    'ఏ', 'ఎవరో ఒకరు', 'ఏమైనప్పటికి', 'ఎవరైనా', 'ఏదైనా', 'ఏమైనప్పటికి',
+    'ఎక్కడైనా', 'వేరుగా', 'కనిపిస్తాయి', 'మెచ్చుకో', 'తగిన', 'ఉన్నారు',
+    'కాదు', 'చుట్టూ', 'గా', 'ఒక ప్రక్కన', 'అడగండి', 'అడగడం', 'సంబంధం', 'వద్ద',
+    'అందుబాటులో', 'దూరంగా',
+))
+
+
 #: ArabicAnalyzer stops BEFORE normalization — raw forms match directly
 AR_STOP = AR_STOP_RAW
 
@@ -710,3 +808,4 @@ FA_STOP = NormalizedStopSet(FA_STOP_RAW, persian_norm_for_stop)
 HI_STOP = NormalizedStopSet(HI_STOP_RAW, hindi_norm_for_stop)
 BN_STOP = NormalizedStopSet(BN_STOP_RAW, bengali_norm_for_stop)
 CKB_STOP = NormalizedStopSet(CKB_STOP_RAW, sorani_norm_for_stop)
+TE_STOP = NormalizedStopSet(TE_STOP_RAW, telugu_norm_for_stop)

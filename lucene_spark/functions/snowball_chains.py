@@ -702,3 +702,154 @@ TR_STOP = _ApostropheStopSet(TR_STOP_RAW)
 #: file's own b'/d'/m' entries are dead in the reference too: the
 #: standard tokenizer never emits a token ending with an apostrophe.
 GA_STOP_FULL = frozenset(GA_STOP_RAW) | frozenset("hnt")
+
+
+# ------------------------------------------------- ta / ne / sr analyzers
+
+#: ta/stopwords.txt, machine-extracted ('#' comments)
+TA_STOP_RAW = frozenset((
+    'ஒரு', 'என்று', 'மற்றும்', 'இந்த', 'இது', 'என்ற', 'கொண்டு', 'என்பது',
+    'பல', 'ஆகும்', 'அல்லது', 'அவர்', 'நான்', 'உள்ள', 'அந்த', 'இவர்', 'என',
+    'முதல்', 'என்ன', 'இருந்து', 'சில', 'என்', 'போன்ற', 'வேண்டும்', 'வந்து',
+    'இதன்', 'அது', 'அவன்', 'தான்', 'பலரும்', 'என்னும்', 'மேலும்', 'பின்னர்',
+    'கொண்ட', 'இருக்கும்', 'தனது', 'உள்ளது', 'போது', 'என்றும்', 'அதன்', 'தன்',
+    'பிறகு', 'அவர்கள்', 'வரை', 'அவள்', 'நீ', 'ஆகிய', 'இருந்தது', 'உள்ளன',
+    'வந்த', 'இருந்த', 'மிகவும்', 'இங்கு', 'மீது', 'ஓர்', 'இவை', 'இந்தக்',
+    'பற்றி', 'வரும்', 'வேறு', 'இரு', 'இதில்', 'போல்', 'இப்போது', 'அவரது',
+    'மட்டும்', 'இந்தப்', 'எனும்', 'மேல்', 'பின்', 'சேர்ந்த', 'ஆகியோர்',
+    'எனக்கு', 'இன்னும்', 'அந்தப்', 'அன்று', 'ஒரே', 'மிக', 'அங்கு', 'பல்வேறு',
+    'விட்டு', 'பெரும்', 'அதை', 'பற்றிய', 'உன்', 'அதிக', 'அந்தக்', 'பேர்',
+    'இதனால்', 'அவை', 'அதே', 'ஏன்', 'முறை', 'யார்', 'என்பதை', 'எல்லாம்',
+    'மட்டுமே', 'இங்கே', 'அங்கே', 'இடம்', 'இடத்தில்', 'அதில்', 'நாம்',
+    'அதற்கு', 'எனவே', 'பிற', 'சிறு', 'மற்ற', 'விட', 'எந்த', 'எனவும்',
+    'எனப்படும்', 'எனினும்', 'அடுத்த', 'இதனை', 'இதை', 'கொள்ள', 'இந்தத்',
+    'இதற்கு', 'அதனால்', 'தவிர', 'போல', 'வரையில்', 'சற்று', 'எனக்',
+))
+
+#: ne/stopwords.txt, machine-extracted ('#' comments; one entry carries
+#: embedded spaces and can never match a single token — reference quirk)
+NE_STOP_RAW = frozenset((
+    'छ', 'र', 'पनि', 'छन्', 'लागि', 'भएको', 'गरेको', 'भने', 'गर्न', 'गर्ने',
+    'हो', 'तथा', 'यो', 'रहेको', 'उनले', 'थियो', 'हुने', 'गरेका', 'थिए',
+    'गर्दै', 'तर', 'नै', 'को', 'मा', 'हुन्', 'भन्ने', 'हुन', 'गरी', 'त',
+    'हुन्छ', 'अब', 'के', 'रहेका', 'गरेर', 'छैन', 'दिए', 'भए', 'यस', 'ले',
+    'गर्नु', 'औं', 'सो', 'त्यो', 'कि', 'जुन', 'यी', 'का', 'गरि', 'ती', 'न',
+    'छु', 'छौं', 'लाई', 'नि', 'उप', 'अक्सर', 'आदि', 'कसरी', 'क्रमशः', 'चाले',
+    'अगाडी', 'अझै', 'अनुसार', 'अन्तर्गत', 'अन्य', 'अन्यत्र', 'अन्यथा', 'अरु',
+    'अरुलाई', 'अर्को', 'अर्थात', 'अर्थात्', 'अलग', 'आए', 'आजको', 'ओठ', 'आत्म',
+    'आफू', 'आफूलाई', 'आफ्नै', 'आफ्नो', 'आयो', 'उदाहरण', 'उनको', 'उहालाई',
+    'एउटै', 'एक', 'एकदम', 'कतै', 'कम से कम', 'कसै', 'कसैले', 'कहाँबाट',
+    'कहिलेकाहीं', 'का', 'किन', 'किनभने', 'कुनै', 'कुरा', 'कृपया', 'केही',
+    'कोही', 'गए', 'गरौं', 'गर्छ', 'गर्छु', 'गर्नुपर्छ', 'गयौ', 'गैर', 'चार',
+    'चाहनुहुन्छ', 'चाहन्छु', 'चाहिए', 'छू', 'जताततै', 'जब', 'जबकि', 'जसको',
+    'जसबाट', 'जसमा', 'जसलाई', 'जसले', 'जस्तै', 'जस्तो', 'जस्तोसुकै', 'जहाँ',
+    'जान', 'जाहिर', 'जे', 'जो', 'ठीक', 'तत्काल', 'तदनुसार', 'तपाईको', 'तपाई',
+    'पर्याप्त', 'पहिले', 'पहिलो', 'पहिल्यै', 'पाँच', 'पाँचौं', 'तल', 'तापनी',
+    'तिनी', 'तिनीहरू', 'तिनीहरुको', 'तिनिहरुलाई', 'तिमी', 'तिर', 'तीन',
+    'तुरुन्तै', 'तेस्रो', 'तेस्कारण', 'पूर्व', 'प्रति', 'प्रतेक', 'प्लस',
+    'फेरी', 'बने', 'त्सपछि', 'त्सैले', 'त्यहाँ', 'थिएन', 'दिनुभएको',
+    'दिनुहुन्छ', 'दुई', 'देखि', 'बरु', 'बारे', 'बाहिर', 'देखिन्छ', 'देखियो',
+    'देखे', 'देखेको', 'देखेर', 'दोस्रो', 'धेरै', 'नजिकै', 'नत्र', 'नयाँ',
+    'निम्ति', 'बाहेक', 'बीच', 'बीचमा', 'भन', 'निम्न', 'निम्नानुसार',
+    'निर्दिष्ट', 'नौ', 'पक्का', 'पक्कै', 'पछि', 'पछिल्लो', 'पटक', 'पर्छ',
+    'पर्थ्यो', 'भन्छन्', 'भन्', 'भन्छु', 'भन्दा', 'भन्नुभयो', 'भर', 'भित्र',
+    'भित्री', 'म', 'मलाई', 'मात्र', 'माथि', 'मुख्य', 'मेरो', 'यति', 'यथोचित',
+    'यदि', 'यद्यपि', 'यसको', 'यसपछि', 'यसबाहेक', 'यसरी', 'यसो', 'यस्तो',
+    'यहाँ', 'यहाँसम्म', 'या', 'रही', 'राखे', 'राख्छ', 'राम्रो', 'रूप', 'लगभग',
+    'वरीपरी', 'वास्तवमा', 'बिरुद्ध', 'बिशेष', 'सायद', 'शायद', 'संग', 'संगै',
+    'सक्छ', 'सट्टा', 'सधै', 'सबै', 'सबैलाई', 'समय', 'सम्भव', 'सम्म', 'सही',
+    'साँच्चै', 'सात', 'साथ', 'साथै', 'सारा', 'सोही', 'स्पष्ट', 'हरे', 'हरेक',
+))
+
+#: sr/stopwords.txt, machine-extracted (plain getWordSet, no comments;
+#: both the latin and cyrillic spellings ship in the file)
+SR_STOP_RAW = frozenset((
+    'i', 'ili', 'a', 'ali', 'pa', 'biti', 'ne', 'jesam', 'sam', 'jesi', 'si',
+    'je', 'jesmo', 'smo', 'jeste', 'ste', 'jesu', 'su', 'nijesam', 'nisam',
+    'nijesi', 'nisi', 'nije', 'nijesmo', 'nismo', 'nijeste', 'niste',
+    'nijesu', 'nisu', 'budem', 'budeš', 'bude', 'budemo', 'budete', 'budu',
+    'budes', 'bih', 'bi', 'bismo', 'biste', 'biše', 'bise', 'bio', 'bili',
+    'budimo', 'budite', 'bila', 'bilo', 'bile', 'ću', 'ćeš', 'će', 'ćemo',
+    'ćete', 'neću', 'nećeš', 'neće', 'nećemo', 'nećete', 'cu', 'ces', 'ce',
+    'cemo', 'cete', 'necu', 'neces', 'nece', 'necemo', 'necete', 'mogu',
+    'možeš', 'može', 'možemo', 'možete', 'mozes', 'moze', 'mozemo', 'mozete',
+    'и', 'или', 'а', 'али', 'па', 'бити', 'не', 'јесам', 'сам', 'јеси', 'си',
+    'је', 'јесмо', 'смо', 'јесте', 'сте', 'јесу', 'су', 'нијесам', 'нисам',
+    'нијеси', 'ниси', 'није', 'нијесмо', 'нисмо', 'нијесте', 'нисте',
+    'нијесу', 'нису', 'будем', 'будеш', 'буде', 'будемо', 'будете', 'буду',
+    'будес', 'бих', 'би', 'бисмо', 'бисте', 'бише', 'бисе', 'био', 'били',
+    'будимо', 'будите', 'била', 'било', 'биле', 'ћу', 'ћеш', 'ће', 'ћемо',
+    'ћете', 'нећу', 'нећеш', 'неће', 'нећемо', 'нећете', 'цу', 'цес', 'це',
+    'цемо', 'цете', 'нецу', 'нецес', 'неце', 'нецемо', 'нецете', 'могу',
+    'можеш', 'може', 'можемо', 'можете', 'мозес', 'мозе', 'моземо', 'мозете',
+))
+
+_SR_SINGLE = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ж": "z", "з": "z", "ž": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+    "с": "s", "т": "t", "ћ": "c", "ц": "c", "ч": "c", "č": "c",
+    "ć": "c", "у": "u", "ф": "f", "х": "h", "ш": "s", "š": "s",
+}
+_SR_DOUBLE = {"ђ": "dj", "đ": "dj", "љ": "lj", "њ": "nj", "џ": "dz"}
+
+
+def serbian_normalize(token: str) -> str:
+    """SerbianNormalizationFilter (``sr/SerbianNormalizationFilter.java:
+    40-166``): cyrillic + latin-diacritic chars -> "bald" latin; ђ/đ, љ,
+    њ, џ expand to dj/lj/nj/dz in place (expects lowercased input; the
+    buffer walk never reprocesses inserted chars — a plain per-char map
+    is exact)."""
+    if token.isascii():
+        return token
+    out = []
+    for c in token:
+        d = _SR_DOUBLE.get(c)
+        if d is not None:
+            out.append(d)
+        else:
+            out.append(_SR_SINGLE.get(c, c))
+    return "".join(out)
+
+
+def tamil_norm_for_stop(token: str) -> str:
+    """TamilAnalyzer order (``ta/TamilAnalyzer.java:121-129``): Lower ->
+    DecimalDigit -> IndicNormalization -> Stop -> Snowball(Tamil)."""
+    from lucene_spark.functions.normalizers import (
+        decimal_fold, indic_normalize,
+    )
+
+    return indic_normalize(decimal_fold(token))
+
+
+def tamil_chain_transform(token: str) -> str:
+    return _stem("ta", "TamilStemmer", tamil_norm_for_stop(token))
+
+
+#: NepaliAnalyzer order is identical (``ne/NepaliAnalyzer.java:122-130``)
+nepali_norm_for_stop = tamil_norm_for_stop
+
+
+def nepali_chain_transform(token: str) -> str:
+    return _stem("ne", "NepaliStemmer", nepali_norm_for_stop(token))
+
+
+def serbian_chain_transform(token: str) -> str:
+    """SerbianAnalyzer tail (``sr/SerbianAnalyzer.java:119-126``): Stop
+    runs BEFORE the stemmer, so SR_STOP stays the raw file set; transform
+    = Snowball(Serbian) then SerbianNormalizationFilter."""
+    return serbian_normalize(_stem("sr", "SerbianStemmer", token))
+
+
+def _ta_ne_stops():
+    from lucene_spark.functions.normalizers import NormalizedStopSet
+
+    return (NormalizedStopSet(TA_STOP_RAW, tamil_norm_for_stop),
+            NormalizedStopSet(NE_STOP_RAW, nepali_norm_for_stop))
+
+
+#: ta/ne stop AFTER normalization (NormalizedStopSet — file forms stay
+#: raw, see normalizers.py); sr stops BEFORE the stemmer on plain
+#: lowered tokens — the raw file set matches directly
+TA_STOP, NE_STOP = _ta_ne_stops()
+SR_STOP = SR_STOP_RAW

@@ -109,6 +109,24 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def fingerprint_filter(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_size: int = 1024) -> DataFrame:
+    """DF(doc_id, fingerprint): the Lucene FingerprintFilter output token
+    (``miscellaneous/FingerprintFilter.java:103-180``) per document —
+    sorted deduplicated terms joined by ' '. Docs whose joined size
+    exceeds maxOutputTokenSize (default 1024) emit NOTHING (the filter
+    clears the term), as do empty docs — both drop the row here.
+    Entirely JVM-side: array_distinct/array_sort/array_join inside
+    whole-stage codegen, no shuffle beyond the scan."""
+    t = F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))),
+                     " ")
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        t.alias("fingerprint"))
+            .where((F.length("fingerprint") > 0)
+                   & (F.length("fingerprint") <= max_size)))
+
+
 # --------------------------------------------------------------- oracle SQL
 
 def token_count_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
@@ -170,6 +188,21 @@ SELECT doc_id,
        CASE WHEN cand[1].hits > 0 THEN cand[1].lang ELSE 'und' END AS lang,
        cand[1].hits AS lang_hits
 FROM s ORDER BY doc_id
+""".strip()
+
+
+def fingerprint_filter_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_size: int = 1024) -> str:
+    return f"""
+SELECT doc_id, fingerprint FROM (
+  SELECT {id_col} AS doc_id,
+         array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower({text_col}), '{TOKEN_RE_SQL}'))), ' ')
+           AS fingerprint
+  FROM {table})
+WHERE length(fingerprint) > 0 AND length(fingerprint) <= {max_size}
+ORDER BY doc_id
 """.strip()
 
 

@@ -53,7 +53,8 @@ def _quantized_len(dl_expr: str) -> str:
 def corpus_ctes(table: str, id_col: str, text_col: str,
                 stop: tuple[str, ...] = (),
                 vocab_map: tuple[tuple[str, str], ...] = (),
-                synonyms: tuple[tuple[str, str], ...] = ()) -> str:
+                synonyms: tuple[tuple[str, str], ...] = (),
+                drop_where: str = "") -> str:
     """Shared CTEs: tokens, per-doc length, collection stats. ``stop``
     replays a StopFilter chain: stopped tokens are excluded from tf/df AND
     from the per-doc length (field_len counts surviving tokens only).
@@ -63,12 +64,19 @@ def corpus_ctes(table: str, id_col: str, text_col: str,
     when the mapping covers every corpus term the transform rewrites.
     ``synonyms`` replays index-time SynonymGraph stacking: each (orig, syn)
     pair adds a ``syn`` token wherever ``orig`` occurs — counted in tf/df
-    but NOT in the per-doc length (posIncr-0 overlaps, discountOverlaps)."""
+    but NOT in the per-doc length (posIncr-0 overlaps, discountOverlaps).
+    ``drop_where`` is a SQL predicate over ``{term}`` replaying a
+    predicate-stop filter (LengthFilter/KeepWordFilter)."""
     def stop_where(col: str) -> str:
-        if not stop:
-            return ""
-        return (f"WHERE {col} NOT IN ("
-                + ", ".join(f"'{w}'" for w in sorted(stop)) + ")")
+        # ``drop_where`` is a SQL predicate over {term} marking DROPPED
+        # tokens (PredicateStop twin: LengthFilter / KeepWordFilter)
+        conds = []
+        if stop:
+            conds.append(f"{col} NOT IN ("
+                         + ", ".join(f"'{w}'" for w in sorted(stop)) + ")")
+        if drop_where:
+            conds.append("NOT (" + drop_where.format(term=col) + ")")
+        return ("WHERE " + " AND ".join(conds)) if conds else ""
 
     if vocab_map:
         map_values = ", ".join(
@@ -209,6 +217,96 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """.strip()
 
 
+def ngram_corpus_ctes(table: str, id_col: str, text_col: str,
+                      kind: str) -> str:
+    """corpus_ctes twin for the character-n-gram chains
+    (``ngram/NGramTokenFilter.java`` / ``EdgeNGramTokenFilter.java``):
+    ``kind='ngram'`` = NGram(1,2) — every 1- and 2-char gram of every
+    token; ``kind='edge'`` = EdgeNGram(1,5, preserveOriginal) — prefixes
+    up to 5 chars plus the verbatim token when longer. All grams of a
+    token stack at its position (posIncr 0 after the first), so dl counts
+    one per token."""
+    base = f"""
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
+  FROM {table}
+),"""
+    if kind == "ngram":
+        emitted = """
+emitted AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(term) + 1),
+                                       i -> substr(term, i, 1))) AS term
+  FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, length(term)),
+                                       i -> substr(term, i, 2)))
+  FROM toks WHERE length(term) >= 2
+),"""
+    elif kind == "edge":
+        emitted = """
+emitted AS (
+  SELECT doc_id, unnest(list_transform(range(1, least(length(term), 5) + 1),
+                                       i -> substr(term, 1, i))) AS term
+  FROM toks
+  UNION ALL
+  SELECT doc_id, term FROM toks WHERE length(term) > 5
+),"""
+    else:
+        raise ValueError(kind)
+    return (base.strip() + emitted + f"""
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) t
+    ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""").strip()
+
+
+def common_grams_corpus_ctes(table: str, id_col: str, text_col: str,
+                             common: tuple[str, ...]) -> str:
+    """corpus_ctes twin for CommonGramsFilter
+    (``commongrams/CommonGramsFilter.java``): every token is a unigram;
+    adjacent pairs where either side is a common word add a
+    "prev_current" gram stacked at the previous position (posIncr 0) —
+    dl counts unigrams only."""
+    common_list = ", ".join(f"'{w}'" for w in sorted(common))
+    return f"""
+rawt AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
+  FROM (SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks
+        FROM {table})
+),
+seq AS (
+  SELECT doc_id, term, ord,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+  FROM rawt
+),
+emitted AS (
+  SELECT doc_id, term FROM rawt
+  UNION ALL
+  SELECT doc_id, prev || '_' || term
+  FROM seq
+  WHERE prev IS NOT NULL
+    AND (prev IN ({common_list}) OR term IN ({common_list}))
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM rawt GROUP BY doc_id) t
+    ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+
+
 def _norm_inv(dl_q: str, k1: float = 1.2, b: float = 0.75) -> str:
     """1f / (k1 * ((1-b) + b*len/avgdl)) in pure REAL ops (BM25Similarity
     cache formula; avgdl comes from consts c)."""
@@ -311,6 +409,7 @@ def topk_sql(
     vocab_map: tuple[tuple[str, str], ...] = (),
     synonyms: tuple[tuple[str, str], ...] = (),
     corpus_override: str | None = None,
+    drop_where: str = "",
 ) -> str:
     """Full top-k SQL for a flat Boolean query: (doc_id, score REAL),
     score desc / doc_id asc, LIMIT k. ``stop`` replays a stop-filtered
@@ -349,7 +448,7 @@ def topk_sql(
         similarity, "(cl.boost * ldf.idf)", "tf.freq", "dl.dl", k1, b
     )
     return f"""
-WITH {corpus_override or corpus_ctes(table, id_col, text_col, stop, vocab_map, synonyms)},
+WITH {corpus_override or corpus_ctes(table, id_col, text_col, stop, vocab_map, synonyms, drop_where)},
 consts AS (
   SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
 ),

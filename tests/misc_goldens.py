@@ -1,0 +1,83 @@
+# Golden transforms/streams generated from the COMPILED reference
+# ScandinavianNormalization/ScandinavianFolding/Capitalization/
+# CommonGrams filter classes (minimal-shim harness; see
+# tests/test_miscfilters.py). DO NOT hand-edit.
+
+# (token, normalized, folded)
+SCAND_GOLDENS = [
+  ('ÄOaeS', 'ÆOæS', 'AOaS'),
+  ('AAö', 'Åø', 'Ao'),
+  ('', '', ''),
+  ('äæåae😀Äo', 'ææåæ😀Æo', 'aaaa😀Ao'),
+  ('øaeOo', 'øæØ', 'oaO'),
+  ('sø😀', 'sø😀', 'so😀'),
+  ('oo', 'ø', 'o'),
+  ("5kİ'aoaOOoA", "5kİ'ååØA", "5kİ'aaOA"),
+  ('', '', ''),
+  ('aOÆaa Øtaa', 'åÆå Øtå', 'aAa Ota'),
+  ('Ø', 'Ø', 'O'),
+  ('ıAzcS', 'ıAzcS', 'ıAzcS'),
+  ('ø', 'ø', 'o'),
+  ('.', '.', '.'),
+  ('y', 'y', 'y'),
+  ('OEBa', 'ØBa', 'OBa'),
+  ('', '', ''),
+  ('OEaoı', 'Øåı', 'Oaı'),
+  ('oetÆöäØa', 'øtÆøæØa', 'otAoaOa'),
+  ('AA-', 'Å-', 'A-'),
+  ('blåbärsyltetöj', 'blåbærsyltetøj', 'blabarsyltetoj'),
+  ('blaabaarsyltetoej', 'blåbårsyltetøj', 'blabarsyltetoj'),
+  ('räksmörgås', 'ræksmørgås', 'raksmorgas'),
+]
+
+# (token, capitalized)
+CAP_GOLDENS = [
+  ('ΣAAµ', 'Σaaµ'),
+  ('İooTs0D9', 'İoots0d9'),
+  ("'😀TZXzOoKkx", "'😀tzxzookkx"),
+  ('yB1aaßAe9baO ', 'Yb1aaßae9bao '),
+  ('😀rxOEOoT', '😀rxoeoot'),
+  ('CsaeßrØ0Rao', 'Csaeßrø0rao'),
+  ('ßDtZ1Σ', 'ßdtz1σ'),
+  ('5KR', '5kr'),
+  ("z'", "Z'"),
+  (' trCYΣΣ', ' trcyσσ'),
+  ('t😀 BΣT', 'T😀 bσt'),
+  ('', ''),
+  ('Yσcß9xzAeB', 'Yσcß9xzaeb'),
+  ('', ''),
+  ('1sTyÆ.-', '1styæ.-'),
+  ("Dd.ÆsaOµ😀ä'", "Dd.æsaoµ😀ä'"),
+  ('dBae', 'Dbae'),
+  ("Zae'", "Zae'"),
+  ('σ.x', 'Σ.x'),
+  ('ßµEØ-T.0', 'ßµeø-t.0'),
+  ('McDonald', 'Mcdonald'),
+  ("it's", "It's"),
+  ('o.k.', 'O.k.'),
+  ('hello world', 'Hello world'),
+  ('İstanbul', 'İstanbul'),
+]
+
+# ((common_words, tokens, posIncrs), [(term, posIncr), ...])
+CGRAM_GOLDENS = [
+  ((('and', 'of', 'the'), ['man'], [1]), [('man', 1)]),
+  ((('a', 'and', 'of', 'zz'), ['quick'], [3]), [('quick', 3)]),
+  ((('zz',), ['fox', 'x', 'the', 'year', 'the'], [3, 3, 1, 1, 1]), [('fox', 3), ('x', 3), ('the', 1), ('year', 1), ('the', 1)]),
+  ((('and', 'of', 'the', 'zz'), ['man', 'man', 'man', 'fox', 'a', 'year'], [1, 1, 2, 1, 1, 1]), [('man', 1), ('man', 1), ('man', 2), ('fox', 1), ('a', 1), ('year', 1)]),
+  ((('and', 'of', 'the', 'zz'), ['a', 'dog', 'man', 'year', 'a', 'fox', 'dog', 'of'], [1, 1, 1, 1, 2, 1, 1, 1]), [('a', 1), ('dog', 1), ('man', 1), ('year', 1), ('a', 2), ('fox', 1), ('dog', 1), ('dog_of', 0), ('of', 1)]),
+  ((('and', 'the', 'zz'), ['year', 'x', 'quick', 'of', 'year', 'man', 'fox'], [1, 1, 1, 1, 3, 2, 2]), [('year', 1), ('x', 1), ('quick', 1), ('of', 1), ('year', 3), ('man', 2), ('fox', 2)]),
+  ((('of', 'zz'), ['man', 'dog', 'quick', 'dog', 'x'], [1, 1, 1, 1, 1]), [('man', 1), ('dog', 1), ('quick', 1), ('dog', 1), ('x', 1)]),
+  ((('and',), ['dog', 'dog', 'the', 'the', 'x'], [1, 1, 1, 1, 1]), [('dog', 1), ('dog', 1), ('the', 1), ('the', 1), ('x', 1)]),
+  ((('a', 'and', 'of', 'the', 'zz'), ['year', 'man', 'x'], [1, 1, 1]), [('year', 1), ('man', 1), ('x', 1)]),
+  ((('a', 'the', 'zz'), ['year', 'of', 'fox', 'quick', 'fox', 'x', 'fox'], [2, 1, 1, 1, 1, 3, 1]), [('year', 2), ('of', 1), ('fox', 1), ('quick', 1), ('fox', 1), ('x', 3), ('fox', 1)]),
+  ((('a', 'and', 'of', 'the', 'zz'), ['of', 'fox', 'x', 'man', 'the', 'x', 'dog', 'of'], [1, 1, 2, 1, 1, 1, 1, 1]), [('of', 1), ('of_fox', 0), ('fox', 1), ('x', 2), ('man', 1), ('man_the', 0), ('the', 1), ('the_x', 0), ('x', 1), ('dog', 1), ('dog_of', 0), ('of', 1)]),
+  ((('a', 'the', 'zz'), ['x', 'the', 'quick', 'of', 'x', 'of', 'the'], [1, 2, 1, 3, 1, 1, 2]), [('x', 1), ('x_the', 0), ('the', 2), ('the_quick', 0), ('quick', 1), ('of', 3), ('x', 1), ('of', 1), ('of_the', 0), ('the', 2)]),
+  ((('and',), ['of', 'x', 'a', 'dog', 'fox', 'the'], [1, 1, 1, 1, 1, 3]), [('of', 1), ('x', 1), ('a', 1), ('dog', 1), ('fox', 1), ('the', 3)]),
+  ((('a', 'and'), ['year', 'man', 'fox', 'the'], [1, 2, 2, 1]), [('year', 1), ('man', 2), ('fox', 2), ('the', 1)]),
+  ((('a', 'and', 'of', 'the', 'zz'), ['quick', 'of', 'the', 'quick', 'dog', 'year', 'year', 'year'], [1, 1, 1, 1, 1, 1, 1, 1]), [('quick', 1), ('quick_of', 0), ('of', 1), ('of_the', 0), ('the', 1), ('the_quick', 0), ('quick', 1), ('dog', 1), ('year', 1), ('year', 1), ('year', 1)]),
+  ((('and', 'of', 'the'), ['man', 'the', 'the', 'quick', 'the', 'fox', 'dog', 'the'], [1, 1, 1, 1, 1, 1, 1, 1]), [('man', 1), ('man_the', 0), ('the', 1), ('the_the', 0), ('the', 1), ('the_quick', 0), ('quick', 1), ('quick_the', 0), ('the', 1), ('the_fox', 0), ('fox', 1), ('dog', 1), ('dog_the', 0), ('the', 1)]),
+  ((('a', 'zz'), ['year', 'year', 'the', 'fox'], [1, 3, 1, 1]), [('year', 1), ('year', 3), ('the', 1), ('fox', 1)]),
+  ((('a', 'and'), ['quick', 'a', 'of', 'year'], [1, 1, 1, 1]), [('quick', 1), ('quick_a', 0), ('a', 1), ('a_of', 0), ('of', 1), ('year', 1)]),
+  ((('of', 'the'), ['man', 'of', 'the', 'year'], [1, 1, 1, 1]), [('man', 1), ('man_of', 0), ('of', 1), ('of_the', 0), ('the', 1), ('the_year', 0), ('year', 1)]),
+]

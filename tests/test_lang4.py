@@ -1,0 +1,118 @@
+"""Tamil / Nepali / Telugu / Serbian analyzer chains + the jflex WORD-rule
+tokenizer restructure that enabled them.
+
+Parity: 90k-word fuzz of the three transpiled Snowball stemmers, 60k
+checks of the Telugu normalizer/stemmer, 20k of SerbianNormalization —
+all against compiled reference classes, 0 mismatches; goldens pinned in
+tests/lang4_goldens.py. The tokenizer itself re-fuzzed 65k mixed-script
+cases against the compiled StandardTokenizerImpl (0 mismatches) after
+the Ex-unit WORD-rule rewrite.
+"""
+from __future__ import annotations
+
+from tests.lang4_goldens import (
+    NEPALI_GOLDENS,
+    SERBIAN_GOLDENS,
+    SR_NORM_GOLDENS,
+    TAMIL_GOLDENS,
+    TELUGU_GOLDENS,
+)
+
+
+def test_snowball_goldens():
+    from lucene_spark.functions.snowball_gen import (
+        NepaliStemmer, SerbianStemmer, TamilStemmer,
+    )
+
+    for cls, table in ((TamilStemmer, TAMIL_GOLDENS),
+                       (NepaliStemmer, NEPALI_GOLDENS),
+                       (SerbianStemmer, SERBIAN_GOLDENS)):
+        st = cls()
+        for word, expect in table:
+            st.set_current(word)
+            st.stem()
+            assert st.get_current() == expect, (cls.__name__, word)
+
+
+def test_telugu_goldens():
+    from lucene_spark.functions.normalizers import (
+        telugu_normalize, telugu_stem,
+    )
+
+    for token, norm, stem in TELUGU_GOLDENS:
+        assert telugu_normalize(token) == norm, token
+        assert telugu_stem(token) == stem, token
+
+
+def test_serbian_normalize_goldens():
+    from lucene_spark.functions.snowball_chains import serbian_normalize
+
+    for token, expect in SR_NORM_GOLDENS:
+        assert serbian_normalize(token) == expect, token
+    # javadoc staple: cyrillic and latin spellings converge
+    assert serbian_normalize("ђаче") == "djace"
+    assert serbian_normalize("đače") == "djace"
+
+
+def test_chain_analyze():
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    # tamil: ஒரு is a stop word; positions keep the hole
+    terms, pos, flen = analyze_one_chain("தமிழ் ஒரு மொழி", "tamil")
+    assert terms == ["தமிழ்", "மொழி"]
+    assert pos == [0, 2]
+    assert flen == 2
+    # nepali: र is a stop word
+    terms, pos, _ = analyze_one_chain("तपाईं र नेपाली", "nepali")
+    assert terms == ["तपाईं", "नेपाली"]
+    assert pos == [0, 2]
+    # telugu: NO lowercase (Merge survives uppercased); మరియు stopped;
+    # తెలుగు -> తెలుగ (ు matra), భాషలు -> భాష (లు suffix)
+    terms, pos, _ = analyze_one_chain(
+        "తెలుగు మరియు భాషలు Merge", "telugu")
+    assert terms == ["తెలుగ", "భాష", "Merge"]
+    assert pos == [0, 2, 3]
+    # serbian: stop (је) BEFORE the stemmer; cyrillic stems latinize
+    terms, pos, _ = analyze_one_chain("ово је видео Test", "serbian")
+    assert terms == ["ov", "vide", "test"]
+    assert pos == [0, 2, 3]
+
+
+def test_telugu_stop_is_normalized():
+    # Stop-AFTER-Normalization: a long-matra spelling whose normalized
+    # form equals a raw stop entry IS dropped (ీ -> ి fold)
+    from lucene_spark.functions.normalizers import (
+        TE_STOP, telugu_norm_for_stop,
+    )
+
+    assert "మరియు" in TE_STOP
+    assert telugu_norm_for_stop("మరీయు") == "మరియు"
+    assert "మరీయు" in TE_STOP
+    assert "తెలుగు" not in TE_STOP
+
+
+def test_word_rule_tokenizer_pins():
+    """Compiled-scanner-pinned consequences of the jflex Ex-unit WORD
+    rule that the old run+lookbehind-join shape missed."""
+    from lucene_spark.functions.analysis import tokenize_one
+
+    # bare ExtendNumLet is NOT a token
+    assert tokenize_one("_") == []
+    assert tokenize_one("a_") == ["a_"]
+    assert tokenize_one("_9_") == ["_9_"]
+    # mids absorb / are preceded by Extend marks (MidLetterEx)
+    assert tokenize_one("తౕ:ౘ") == ["తౕ:ౘ"]
+    assert tokenize_one("ధట'ౌణ") == ["ధట'ౌణ"]
+    # digit base before an Extend+MidLetter cluster does NOT join
+    assert tokenize_one("1ౕ:ౘ") == ["1ౕ", "ౘ"]
+    # katakana joins through ExtendNumLet
+    assert tokenize_one("カ_a") == ["カ_a"]
+    # halfwidth voiced mark is WB:Extend on ANY base
+    assert tokenize_one("0ﾞ") == ["0ﾞ"]
+    assert tokenize_one("aﾞ_キ") == ["aﾞ_キ"]
+    # U+03A2 (unassigned) is a boundary, not a Greek letter
+    assert tokenize_one("Ω΢Θ") == ["Ω", "Θ"]
+    # mid chains still single-occurrence between same-class bases
+    assert tokenize_one("a:b.c") == ["a:b.c"]
+    assert tokenize_one("a.1") == ["a", "1"]
+    assert tokenize_one("1.2a") == ["1.2a"]

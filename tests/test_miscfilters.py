@@ -1,0 +1,201 @@
+"""Misc token filters (functions/miscfilters.py) + CommonGramsFilter
+(functions/commongrams.py).
+
+Parity: compiled-class fuzz vs the reference ScandinavianNormalization /
+ScandinavianFolding / Capitalization / CommonGrams classes (minimal-shim
+harness; counts recorded in SURVEY §2.9b); goldens pinned in
+tests/misc_goldens.py.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+from lucene_spark.functions.commongrams import common_grams_stream
+from lucene_spark.functions.miscfilters import (
+    KEEP_DEMO,
+    capitalize,
+    keep_word_stop,
+    length_stop,
+    reverse,
+    scandinavian_fold,
+    scandinavian_normalize,
+    truncate,
+)
+from tests.misc_goldens import CAP_GOLDENS, CGRAM_GOLDENS, SCAND_GOLDENS
+
+
+def test_compiled_scandinavian_goldens():
+    for token, norm, fold in SCAND_GOLDENS:
+        assert scandinavian_normalize(token) == norm, token
+        assert scandinavian_fold(token) == fold, token
+
+
+def test_compiled_capitalization_goldens():
+    for token, expect in CAP_GOLDENS:
+        assert capitalize(token) == expect, repr(token)
+
+
+def test_compiled_common_grams_goldens():
+    for (common, toks, incs), expect in CGRAM_GOLDENS:
+        got = common_grams_stream(toks, incs, frozenset(common))
+        assert got == expect, (common, toks, incs)
+
+
+def test_javadoc_examples():
+    # ScandinavianNormalizationFilter javadoc: blåbærsyltetøj == blåbärsyltetöj
+    assert (scandinavian_normalize("blåbärsyltetöj")
+            == scandinavian_normalize("blåbærsyltetøj")
+            == "blåbærsyltetøj")
+    # compiled-class-checked: aa->å and oe->ø, so the all-digraph spelling
+    # normalizes to blåbÅrsyltetøj (baar->bår), NOT the æ form
+    assert scandinavian_normalize("blaabaarsyltetoej") == "blåbårsyltetøj"
+    # ScandinavianFoldingFilter javadoc: all spellings fold together
+    for v in ("blåbærsyltetøj", "blåbärsyltetöj", "blabarsyltetoj",
+              "blaabaarsyltetoej"):
+        assert scandinavian_fold(v) == "blabarsyltetoj", v
+    assert scandinavian_normalize("räksmörgås") == "ræksmørgås"
+    assert scandinavian_fold("räksmörgås") == "raksmorgas"
+
+
+def test_predicate_stops():
+    ls = length_stop(3, 8)
+    assert "ab" in ls and "abc" not in ls and "a" * 9 in ls
+    # UTF-16 length: an astral char counts 2 units (so the bare char
+    # passes a [2,2] filter; appending 'a' makes 3 units -> dropped)
+    assert "\U0001f600" not in length_stop(2, 2)
+    assert "\U0001f600a" in length_stop(2, 2)
+    kw = keep_word_stop(KEEP_DEMO)
+    assert "merge" not in kw and "zebra" in kw
+    assert bool(ls) and bool(kw)
+
+
+def test_truncate_reverse():
+    assert truncate(4)("merging") == "merg"
+    assert truncate(4)("ab") == "ab"
+    # UTF-16 cap: astral char straddling the limit is dropped whole
+    assert truncate(3)("ab\U0001f600cd") == "ab"
+    assert reverse("merge") == "egrem"
+
+
+def test_common_grams_reference_example():
+    # CommonGramsFilter javadoc flow: "man of the year", common={of, the}
+    got = common_grams_stream(["man", "of", "the", "year"], [1, 1, 1, 1],
+                              frozenset({"of", "the"}))
+    assert got == [("man", 1), ("man_of", 0), ("of", 1), ("of_the", 0),
+                   ("the", 1), ("the_year", 0), ("year", 1)]
+
+
+def test_misc_chain_analyze():
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    # length chain drops 1-char and >8-char tokens position-preservingly
+    terms, pos, flen = analyze_one_chain(
+        "a merge of extraordinarily big batches", "standard_length")
+    assert terms == ["merge", "big", "batches"]
+    assert pos == [1, 4, 5]
+    assert flen == 3
+    # capitalize runs on RAW tokens (identity lowercase hook)
+    terms, _, _ = analyze_one_chain("hello WORLD mcDonald",
+                                    "standard_capitalize")
+    assert terms == ["Hello", "World", "Mcdonald"]
+    terms, _, _ = analyze_one_chain("merge scanning", "standard_truncate")
+    assert terms == ["merg", "scan"]
+    terms, _, _ = analyze_one_chain("merge scan", "standard_reverse")
+    assert terms == ["egrem", "nacs"]
+    terms, pos, flen = analyze_one_chain(
+        "the merge of hash", "common_grams")
+    assert terms == ["the", "the_merge", "merge", "merge_of", "of",
+                     "of_hash", "hash"]
+    assert pos == [0, 0, 1, 1, 2, 2, 3]
+    assert flen == 4
+
+
+def test_hyphenated_words():
+    # compiled-class-fuzzed (20k streams, 0 mismatches); spot pins:
+    from lucene_spark.functions.miscfilters import hyphenated_words_stream
+
+    assert hyphenated_words_stream(["hyphen-", "ated", "word"]) == [
+        "hyphenated", "word"]
+    # chained hyphen parts fuse until a non-hyphen token
+    assert hyphenated_words_stream(["a-", "b-", "c", "d"]) == ["abc", "d"]
+    # dangling hyphen at end-of-stream gets the hyphen back
+    assert hyphenated_words_stream(["end-"]) == ["end-"]
+    # a bare "-" buffers an empty part
+    assert hyphenated_words_stream(["-", "x"]) == ["x"]
+
+
+def test_keyword_repeat_chain():
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    # original (keyword-protected) first, stem stacked at posIncr 0;
+    # no-op stems deduplicated by RemoveDuplicates; EN stops drop
+    terms, pos, flen = analyze_one_chain(
+        "the merge tables word", "english_keyword_repeat")
+    assert terms == ["merge", "merg", "tables", "tabl", "word"]
+    assert pos == [1, 1, 2, 2, 3]
+    assert flen == 3  # stem copies don't count (discountOverlaps)
+
+
+def test_codepoint_count_chain():
+    from lucene_spark.functions.analysis import analyze_one_chain
+    from lucene_spark.functions.miscfilters import codepoint_count_stop
+
+    terms, pos, _ = analyze_one_chain(
+        "a merge of extraordinary big batches", "standard_codepoint_count")
+    assert terms == ["merge", "of", "big"]
+    assert pos == [1, 2, 4]
+    # codepoint (not UTF-16) counting: one astral char is ONE codepoint
+    cs = codepoint_count_stop(1, 1)
+    assert "\U0001f600" not in cs
+    assert "ab" in cs
+
+
+def test_fingerprint_filter(spark):
+    import pandas as pd
+
+    from lucene_spark.operators.textstats import fingerprint_filter
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["b a b c", "", "same same",
+                 " ".join(f"tok{i}" for i in range(300))],
+    }))
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in fingerprint_filter(docs).collect()}
+    assert got == {1: "a b c", 3: "same"}  # empty + >1024-char docs drop
+
+
+def test_common_grams_engine_roundtrip(spark, tmp_path):
+    from lucene_spark.functions.analysis import analyze_one_chain
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = ["the merge of hash", "man of the year", "plain words only"]
+    rows = [(f"c{i}", 0, "user", None, 1000 + i, t)
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "role", "tool", "ts", "text"]))
+    idx = str(tmp_path / "cg_idx")
+    build_index(spark, df, idx,
+                IndexConfig(num_segments=2, term_buckets=4,
+                            analyzer="common_grams"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    fl = {r["conv_id"]: r["field_len"]
+          for r in s.docmap().select("conv_id", "field_len").collect()}
+    for i, text in enumerate(texts):
+        _, _, flen = analyze_one_chain(text, "common_grams")
+        assert fl[f"c{i}"] == flen
+
+    def hits(term):
+        q = rewrite_fixpoint(parse_query(
+            '{"term": %s}' % __import__("json").dumps(term)))
+        return [r["doc_id"] for r in s.search(q, 10).collect()]
+
+    assert len(hits("of_the")) == 1
+    assert len(hits("the_merge")) == 1
+    assert len(hits("the")) == 2   # unigrams preserved
+    assert len(hits("plain")) == 1

@@ -1,0 +1,105 @@
+"""NGramTokenFilter + EdgeNGramTokenFilter (functions/ngram.py).
+
+Parity: 12k-case live fuzz vs the compiled reference classes (minimal-shim
+harness) over random min/max/preserveOriginal, multi-codepoint (astral)
+tokens and upstream holes — 0 mismatches; goldens pinned in
+tests/ngram_goldens.py.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+from lucene_spark.functions.ngram import edge_ngram_stream, ngram_stream
+from tests.ngram_goldens import GOLDENS
+
+
+def test_compiled_class_goldens():
+    for (kind, mn, mx, pres, toks, incs), expect in GOLDENS:
+        fn = ngram_stream if kind == "n" else edge_ngram_stream
+        assert fn(toks, incs, mn, mx, pres) == expect, (
+            kind, mn, mx, pres, toks, incs)
+
+
+def test_ngram_basics():
+    # position-major, sizes ascending; grams stack at the token's position
+    assert ngram_stream(["abc"], [1], 1, 2) == [
+        ("a", 1), ("ab", 0), ("b", 0), ("bc", 0), ("c", 0)]
+    # token shorter than minGram is swallowed as a hole...
+    assert ngram_stream(["a", "bcd"], [1, 1], 2, 2) == [
+        ("bc", 2), ("cd", 0)]
+    # ...unless preserveOriginal (compiled-class-checked: "bcd" is ALSO
+    # re-emitted verbatim since 3 > maxGram)
+    assert ngram_stream(["a", "bcd"], [1, 1], 2, 2, True) == [
+        ("a", 1), ("bc", 1), ("cd", 0), ("bcd", 0)]
+    # longer than maxGram + preserve: original appended at posIncr 0
+    assert ngram_stream(["abc"], [1], 1, 2, True)[-1] == ("abc", 0)
+
+
+def test_edge_basics():
+    assert edge_ngram_stream(["merge"], [1], 1, 3) == [
+        ("m", 1), ("me", 0), ("mer", 0)]
+    assert edge_ngram_stream(["ab"], [1], 1, 5, True) == [
+        ("a", 1), ("ab", 0)]  # len inside range: no duplicate original
+    assert edge_ngram_stream(["abcdefgh"], [1], 2, 3, True) == [
+        ("ab", 1), ("abc", 0), ("abcdefgh", 0)]
+
+
+def test_astral_codepoint_grams():
+    # grams are CODEPOINT-sliced (Java counts code points)
+    tok = "\U0001f600x\U0001f601"
+    assert ngram_stream([tok], [1], 2, 2) == [
+        ("\U0001f600x", 1), ("x\U0001f601", 0)]
+
+
+def test_scalar_matches_stream_tokenizer():
+    from lucene_spark.functions.analysis import (
+        STREAM_TOKENIZERS, analyze_one_chain,
+    )
+
+    texts = ["merge the batch", "", "a", "supercalifragilistic words"]
+    for chain in ("standard_ngram", "standard_edge_ngram"):
+        toks, incs = STREAM_TOKENIZERS[chain](pd.Series(texts))
+        for text, tl, il in zip(texts, toks, incs):
+            terms, pos, flen = analyze_one_chain(text, chain)
+            assert tl == terms, (chain, text)
+            run, got_pos = 0, []
+            for i in il:
+                run += i
+                got_pos.append(run - 1)
+            assert got_pos == pos
+            assert sum(1 for i in il if i > 0) == flen
+
+
+def test_ngram_chain_engine_roundtrip(spark, tmp_path):
+    from lucene_spark.functions.analysis import analyze_one_chain
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = ["merge the batch", "scan rows fast", "merge scan"]
+    rows = [(f"c{i}", 0, "user", None, 1000 + i, t)
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "role", "tool", "ts", "text"]))
+    idx = str(tmp_path / "edge_idx")
+    build_index(spark, df, idx,
+                IndexConfig(num_segments=2, term_buckets=4,
+                            analyzer="standard_edge_ngram"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    fl = {r["conv_id"]: r["field_len"]
+          for r in s.docmap().select("conv_id", "field_len").collect()}
+    for i, text in enumerate(texts):
+        _, _, flen = analyze_one_chain(text, "standard_edge_ngram")
+        assert fl[f"c{i}"] == flen
+
+    def hits(term):
+        q = rewrite_fixpoint(parse_query(
+            '{"term": %s}' % __import__("json").dumps(term)))
+        return [r["doc_id"] for r in s.search(q, 10).collect()]
+
+    assert len(hits("merg")) == 2    # prefix matches both merge docs
+    assert len(hits("sc")) == 2      # scan docs
+    assert len(hits("batch")) == 1   # 5-char prefix == the word itself
