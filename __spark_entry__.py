@@ -1518,6 +1518,67 @@ def _wdgf_cat_chain_df(spark, sf_dir):
         spark, sf_dir, "word_delimiter_catenated", _WDGF_CAT_AST)
 
 
+#: pattern package (functions/patterntok.py): split mode is the classic
+#: Solr pattern-tokenizer config (== simple tokens on this corpus — the
+#: multi-delimiter/tail semantics are pinned in tests/test_patterntok.py);
+#: group mode indexes ONLY '\b(t[a-z]+)' extractions; capture stacks each
+#: token's non-overlapping 3-char chunks at posIncr 0 (len-3 tokens
+#: suppressed by the whole-token rule); replace rewrites vowel runs to
+#: '_' so query terms are only reachable through the filter
+_PAT_SPLIT_AST = {"bool": {"must": [{"term": "window"}],
+                           "should": [{"term": "hash"}]}}
+_PAT_GROUP_AST = {"bool": {"must": [{"term": "table"}],
+                           "should": [{"term": "the"}]}}
+_PAT_CAPTURE_AST = {"bool": {"must": [{"term": "mer"}],
+                             "should": [{"term": "bat"}]}}
+_PAT_REPLACE_AST = {"bool": {"must": [{"term": "m_rg_"}],
+                             "should": [{"term": "sc_n"}]}}
+#: path package: the index is built over the derived path '/w1/w2/w3'
+#: (first three words) — forward indexes cumulative prefixes (facet-style
+#: drill-down: everything under '/the'), reverse indexes domain-style
+#: suffixes (everything ENDING in a component)
+_PATH_AST = {"bool": {"must": [{"term": "/the"}],
+                      "should": [{"term": "/the/fast"}]}}
+_PATH_REV_AST = {"bool": {"must": [{"term": "key"}],
+                          "should": [{"term": "fast/key"}]}}
+
+
+def _path_transcripts(spark, sf_dir):
+    tdf = _documents_as_transcripts(spark, sf_dir)
+    sp = F.split(F.col("text"), " ")
+    path = F.concat(
+        F.lit("/"), F.element_at(sp, 1), F.lit("/"), F.element_at(sp, 2),
+        F.lit("/"), F.element_at(sp, 3))
+    return tdf.withColumn("text", path)
+
+
+def _path_searcher(spark, sf_dir, analyzer: str):
+    """_searcher twin over the derived-path corpus (PathHierarchy demo:
+    a short hierarchical field, not the free-text body)."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_" + analyzer
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer=analyzer)
+        build_index(spark, _path_transcripts(spark, sf_dir), index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _path_chain_df(spark, sf_dir, analyzer: str, ast: dict) -> DataFrame:
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _path_searcher(spark, sf_dir, analyzer)
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 def _classic_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "classic", _CLASSIC_AST)
 
@@ -2106,6 +2167,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_ngram_chain"] = _ngram_chain_df
     out["bm25_edge_ngram_chain"] = _edge_ngram_chain_df
     out["bm25_common_grams_chain"] = _common_grams_chain_df
+    for _pk, _pa, _past in (
+        ("bm25_pattern_split_chain", "pattern_split", _PAT_SPLIT_AST),
+        ("bm25_pattern_group_chain", "pattern_group", _PAT_GROUP_AST),
+        ("bm25_pattern_capture_chain", "pattern_capture", _PAT_CAPTURE_AST),
+        ("bm25_pattern_replace_chain", "pattern_replace", _PAT_REPLACE_AST),
+    ):
+        out[_pk] = _misc_chain_entry(_pa, _past)
+    out["bm25_path_hierarchy"] = lambda spark, sf_dir: _path_chain_df(
+        spark, sf_dir, "path_hierarchy", _PATH_AST)
+    out["bm25_path_hierarchy_reverse"] = lambda spark, sf_dir: _path_chain_df(
+        spark, sf_dir, "path_hierarchy_reverse", _PATH_REV_AST)
     for _mk, _ma, _mast in (
         ("bm25_scandinavian_norm_chain", "standard_scandinavian_normalized",
          _SCAND_NORM_AST),
@@ -2574,6 +2646,39 @@ ORDER BY t.score DESC, t.doc_id ASC
         parse_query(json.dumps(_COMMON_GRAMS_AST)), _QUERY_K,
         corpus_override=sqlgen.common_grams_corpus_ctes(
             "documents", "doc_id", "text", tuple(sorted(_an.EN_STOP_SET))),
+    )
+    # pattern package: split == simple tokens on this corpus (semantics
+    # pinned in tests/test_patterntok.py); group/capture replayed via
+    # corpus CTEs; replace replayed via the corpus vocab_map
+    out["bm25_pattern_split_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PAT_SPLIT_AST)), _QUERY_K)
+    out["bm25_pattern_group_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PAT_GROUP_AST)), _QUERY_K,
+        corpus_override=sqlgen.pattern_group_corpus_ctes(
+            "documents", "doc_id", "text", r"\bt[a-z]+"),
+    )
+    out["bm25_pattern_capture_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PAT_CAPTURE_AST)), _QUERY_K,
+        corpus_override=sqlgen.pattern_capture_corpus_ctes(
+            "documents", "doc_id", "text"),
+    )
+    from lucene_spark.functions.patterntok import pattern_replace_transform
+    out["bm25_pattern_replace_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PAT_REPLACE_AST)), _QUERY_K,
+        vocab_map=tuple(
+            (w, pattern_replace_transform(w)) for w in _DOC_VOCAB
+            if pattern_replace_transform(w) != w),
+    )
+    # path package: prefixes/suffixes of the derived '/w1/w2/w3' path
+    out["bm25_path_hierarchy"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PATH_AST)), _QUERY_K,
+        corpus_override=sqlgen.path_corpus_ctes(
+            "documents", "doc_id", "text", reverse=False),
+    )
+    out["bm25_path_hierarchy_reverse"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PATH_REV_AST)), _QUERY_K,
+        corpus_override=sqlgen.path_corpus_ctes(
+            "documents", "doc_id", "text", reverse=True),
     )
     # ngram chains: grams replayed in SQL; dl = one per source token
     out["bm25_ngram_chain"] = sqlgen.topk_sql(

@@ -1170,12 +1170,16 @@ def _fill_stream_chains():
     )
 
     from lucene_spark.functions.miscfilters import register_misc_chains
+    from lucene_spark.functions.patterntok import (
+        register_pattern_path_chains,
+    )
 
     register_shingle_chains()
     register_word_delimiter_chains()
     register_ngram_chains()
     register_common_grams_chain()
     register_misc_chains()
+    register_pattern_path_chains()
 
 
 _fill_stream_chains()

@@ -1,0 +1,356 @@
+"""Pattern + path tokenization — the reference's ``analysis/pattern`` and
+``analysis/path`` packages as faithful Python ports of the per-token /
+per-value state machines:
+
+  - ``pattern_tokens``      — PatternTokenizer.java:90-133 (split mode
+    ``group=-1`` = String.split semantics without empty tokens; group
+    mode ``group>=0`` = one token per match's capture group, zero-length
+    matches skipped);
+  - ``pattern_captures``    — PatternCaptureGroupTokenFilter.java:88-166
+    (multi-pattern capture-group emission ordered by capture start
+    across patterns, ties by pattern index; posIncr-0 stacking; the
+    whole-token capture suppressed when ``preserve_original``);
+  - ``pattern_replace_transform`` — PatternReplaceFilter.java:61-72
+    (regex replace inside each token, position/count unchanged);
+  - ``path_tokens``         — PathHierarchyTokenizer.java:112-182
+    (cumulative path prefixes, delimiter->replacement, ``skip`` leading
+    components; every token posIncr=1);
+  - ``reverse_path_tokens`` — ReversePathHierarchyTokenizer.java:126-173
+    (domain-style suffixes, all ending at the text end, ``skip``
+    trailing components).
+
+SimplePatternTokenizer / SimplePatternSplitTokenizer (same package) are
+the same declared semantics restricted to an automaton-friendly regex
+subset — an execution-strategy distinction that does not exist here;
+``pattern_tokens`` covers both modes.
+
+Chains (registered by ``register_pattern_path_chains``):
+
+  - ``pattern_split``   — PatternTokenizer("[^a-zA-Z0-9]+", group=-1)
+    + per-token java_lower (the classic Solr pattern-tokenizer config);
+  - ``pattern_group``   — PatternTokenizer(r"\\b(t[a-z]+)", group=1):
+    index only capture-group extractions (words starting with 't');
+  - ``pattern_capture`` — standard tokens + PatternCaptureGroupTokenFilter
+    (("([a-z]{3})",), preserve_original=True): each token stacked with
+    its non-overlapping 3-char chunks at posIncr 0;
+  - ``pattern_replace`` — standard tokens + PatternReplaceFilter
+    ("[aeiou]+" -> "_", all=True) as a vocabulary-level transform;
+  - ``path_hierarchy`` / ``path_hierarchy_reverse`` — the two path
+    tokenizers (delimiter '/', no lowercase — pure-tokenizer fields).
+
+All stream chains compute field_len as the count of posIncr>0 emissions
+(the engine's stacked-token norm discipline).
+"""
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+
+def pattern_tokens(text: str, pattern, group: int = -1):
+    """PatternTokenizer.java:90-133 — [(token, start, end)] over the whole
+    input value. ``group=-1``: split on matches, emitting the non-empty
+    segments between them plus the tail; ``group>=0``: one token per
+    match's group, zero-length groups skipped."""
+    pat = re.compile(pattern) if isinstance(pattern, str) else pattern
+    if group >= 0 and group > pat.groups:
+        raise ValueError(
+            f"invalid group {group}: pattern only has {pat.groups} groups")
+    out = []
+    if group >= 0:
+        for m in pat.finditer(text):
+            s, e = m.start(group), m.end(group)
+            if s == e:
+                continue
+            out.append((text[s:e], s, e))
+        return out
+    index = 0
+    for m in pat.finditer(text):
+        if m.start() - index > 0:
+            out.append((text[index:m.start()], index, m.start()))
+        index = m.end()
+    if len(text) - index > 0:
+        out.append((text[index:], index, len(text)))
+    return out
+
+
+class _MState:
+    """Per-pattern matcher state of PatternCaptureGroupTokenFilter
+    (matchers[i] / currentGroup[i] / groupCounts[i])."""
+
+    __slots__ = ("it", "m", "gi", "gc")
+
+    def __init__(self, pat, text):
+        self.it = pat.finditer(text)
+        self.m = None
+        self.gi = -1  # currentGroup: -1 = needs find(), 0 = exhausted
+        self.gc = pat.groups
+
+
+def pattern_captures(token: str, patterns, preserve_original: bool):
+    """PatternCaptureGroupTokenFilter.java:88-166 — the emitted term list
+    for one input token, in stream order: the original first when
+    ``preserve_original`` (or when nothing matches), then one term per
+    capture-group occurrence ordered by capture start offset across all
+    patterns (ties: lowest pattern index), each at posIncr 0. Zero-length
+    captures and (under ``preserve_original``) the capture equal to the
+    whole token are skipped; a group that did not participate in its
+    match reports start==end==-1 and is skipped the same way."""
+    ms = [_MState(p, token) for p in patterns]
+    tlen = len(token)
+
+    def next_capture() -> int:
+        min_off = None
+        cur = -1
+        i = 0
+        while i < len(ms):
+            st = ms[i]
+            if st.gi == -1:
+                st.m = next(st.it, None)
+                st.gi = 1 if st.m is not None else 0
+            if st.gi != 0:
+                while st.gi < st.gc + 1:
+                    s, e = st.m.start(st.gi), st.m.end(st.gi)
+                    if s == e or (preserve_original and s == 0 and e == tlen):
+                        st.gi += 1
+                        continue
+                    if min_off is None or s < min_off:
+                        min_off = s
+                        cur = i
+                    break
+                if st.gi == st.gc + 1:
+                    # groups exhausted for this find(): re-find and retry
+                    # the same matcher (the Java i--/i++ dance)
+                    st.gi = -1
+                    continue
+            i += 1
+        return cur
+
+    def emit(cur: int) -> str:
+        st = ms[cur]
+        term = token[st.m.start(st.gi):st.m.end(st.gi)]
+        st.gi += 1
+        return term
+
+    out = []
+    if preserve_original:
+        out.append(token)
+    else:
+        cur = next_capture()
+        out.append(token if cur == -1 else emit(cur))
+        if cur == -1:
+            return out
+    while True:
+        cur = next_capture()
+        if cur == -1:
+            return out
+        out.append(emit(cur))
+
+
+_PAT_REPLACE = re.compile(r"[aeiou]+")
+
+
+def pattern_replace(token: str, pattern, repl: str, all_matches: bool = True
+                    ) -> str:
+    """PatternReplaceFilter.java:61-72 — replace first/all occurrences
+    inside the token; the token survives (possibly empty) either way."""
+    pat = re.compile(pattern) if isinstance(pattern, str) else pattern
+    return pat.sub(repl, token, count=0 if all_matches else 1)
+
+
+def pattern_replace_transform(term: str) -> str:
+    """The registered ``pattern_replace`` chain's vocabulary transform:
+    PatternReplaceFilter("[aeiou]+" -> "_", all). Never empties a term
+    on any input that contains a non-vowel; on all-vowel tokens the
+    result is the single "_" (the reference filter would keep an empty
+    term — "_" keeps the engine's nonempty-term invariant while staying
+    deterministic on both sides of the oracle)."""
+    return _PAT_REPLACE.sub("_", term)
+
+
+def path_tokens(text: str, delimiter: str = "/", replacement: str | None = None,
+                skip: int = 0):
+    """PathHierarchyTokenizer.java:112-182 — [(token, start_offset)]:
+    cumulative prefixes, one per delimiter crossed plus the full value,
+    with ``delimiter`` rewritten to ``replacement`` inside tokens and the
+    first ``skip`` components dropped (their chars advance the start
+    offset instead). Direct port of the incrementToken state machine."""
+    if skip < 0:
+        raise ValueError("skip cannot be negative")
+    if replacement is None:
+        replacement = delimiter
+    out = []
+    result = ""          # resultToken: the carried cumulative token
+    i, n = 0, len(text)
+    start_position = 0
+    skipped = 0
+    end_delimiter = False
+    while True:
+        appended = ""
+        added = False
+        if end_delimiter:
+            appended += replacement
+            end_delimiter = False
+            added = True
+        broke = False
+        while True:
+            if i >= n:
+                if skipped > skip and added:
+                    term = result + appended
+                    out.append((term, start_position))
+                return out
+            c = text[i]
+            i += 1
+            if not added:
+                added = True
+                skipped += 1
+                if skipped > skip:
+                    appended += replacement if c == delimiter else c
+                else:
+                    start_position += 1
+            elif c == delimiter:
+                if skipped > skip:
+                    end_delimiter = True
+                    broke = True
+                    break
+                skipped += 1
+                if skipped > skip:
+                    appended += replacement
+                else:
+                    start_position += 1
+            else:
+                if skipped > skip:
+                    appended += c
+                else:
+                    start_position += 1
+        if broke:
+            term = result + appended
+            out.append((term, start_position))
+            result = term
+
+
+def reverse_path_tokens(text: str, delimiter: str = "/",
+                        replacement: str | None = None, skip: int = 0):
+    """ReversePathHierarchyTokenizer.java:126-173 — [(token, start)]:
+    domain-style suffixes (every token ends at the text end), one per
+    delimiter plus the full value, the last ``skip`` components dropped."""
+    if skip < 0:
+        raise ValueError("skip cannot be negative")
+    if replacement is None:
+        replacement = delimiter
+    n = len(text)
+    positions = [0]
+    buf = []
+    for idx in range(n):
+        c = text[idx]
+        if c == delimiter:
+            positions.append(idx + 1)
+            buf.append(replacement)
+        else:
+            buf.append(c)
+    if positions[-1] < n:
+        positions.append(n)
+    replaced = "".join(buf)
+    count = len(positions)
+    idx = count - 1 - skip
+    if idx < 0:
+        return []
+    end = positions[idx]
+    return [(replaced[start:end], start)
+            for start in positions[:count - skip - 1]]
+
+
+# ---------------------------------------------------------------------------
+# chain registration
+
+_SPLIT_RE = re.compile(r"[^a-zA-Z0-9]+")
+_GROUP_RE = re.compile(r"\b(t[a-z]+)")
+_CAPTURE_RES = (re.compile(r"([a-z]{3})"),)
+
+
+def _pattern_split_stream(text: str):
+    from lucene_spark.functions.analysis import java_lower
+
+    return [(java_lower(t), 1) for t, _, _ in
+            pattern_tokens(text, _SPLIT_RE, -1)]
+
+
+def _pattern_group_stream(text: str):
+    from lucene_spark.functions.analysis import java_lower
+
+    return [(java_lower(t), 1) for t, _, _ in
+            pattern_tokens(text, _GROUP_RE, 1)]
+
+
+def _pattern_capture_stream(text: str):
+    from lucene_spark.functions.shingle import _base_stream
+
+    terms, incs, _gap = _base_stream(text, None)
+    out = []
+    for t, inc in zip(terms, incs):
+        for j, e in enumerate(pattern_captures(t, _CAPTURE_RES, True)):
+            out.append((e, inc if j == 0 else 0))
+    return out
+
+
+def _path_stream(text: str):
+    return [(t, 1) for t, _ in path_tokens(text)]
+
+
+def _path_reverse_stream(text: str):
+    return [(t, 1) for t, _ in reverse_path_tokens(text)]
+
+
+def _mk_series(chain_fn):
+    def fn(texts: pd.Series):
+        toks, incs = [], []
+        for text in texts.fillna(""):
+            stream = chain_fn(text)
+            toks.append([t for t, _ in stream])
+            incs.append([i for _, i in stream])
+        return (pd.Series(toks, index=texts.index),
+                pd.Series(incs, index=texts.index))
+    return fn
+
+
+def _mk_scalar(chain_fn):
+    def fn(text: str):
+        stream = chain_fn(text or "")
+        terms, pos, p = [], [], -1
+        for t, inc in stream:
+            p += inc
+            terms.append(t)
+            pos.append(p)
+        return terms, pos, sum(1 for _, inc in stream if inc > 0)
+    return fn
+
+
+def _raise_raw(texts):
+    raise RuntimeError(
+        "pattern/path chains tokenize through STREAM_TOKENIZERS")
+
+
+def register_pattern_path_chains() -> None:
+    from lucene_spark.functions import analysis as an
+
+    for name, chain_fn in (
+        ("pattern_split", _pattern_split_stream),
+        ("pattern_group", _pattern_group_stream),
+        ("pattern_capture", _pattern_capture_stream),
+        ("path_hierarchy", _path_stream),
+        ("path_hierarchy_reverse", _path_reverse_stream),
+    ):
+        an.STREAM_TOKENIZERS[name] = _mk_series(chain_fn)
+        an.STREAM_SCALARS[name] = _mk_scalar(chain_fn)
+        an.CHAIN_FILTERS[name] = (None, None, None)
+        an.CHAIN_BASE[name] = "stream"
+        an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+        an.CHAIN_LOWER[name] = str
+
+    # PatternReplaceFilter: a per-token vocabulary transform over the
+    # standard chain (StopFilter slot empty)
+    an.CHAIN_FILTERS["pattern_replace"] = (
+        None, pattern_replace_transform, None)
+    an.CHAIN_BASE["pattern_replace"] = "standard"
+    an.RAW_TOKENIZERS["pattern_replace"] = an.RAW_TOKENIZERS["standard"]

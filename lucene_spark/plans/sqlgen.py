@@ -307,6 +307,110 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """.strip()
 
 
+def pattern_capture_corpus_ctes(table: str, id_col: str, text_col: str
+                                ) -> str:
+    """corpus_ctes twin for the ``pattern_capture`` chain
+    (``pattern/PatternCaptureGroupTokenFilter.java`` with pattern
+    "([a-z]{3})", preserveOriginal): every token is emitted verbatim plus
+    its non-overlapping 3-char chunks stacked at posIncr 0 — except a
+    token of length exactly 3, whose single capture equals the whole
+    token and is suppressed (the start==0 && end==length rule). dl counts
+    originals only."""
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term
+  FROM {table}
+),
+emitted AS (
+  SELECT doc_id, term FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, length(term) - 1, 3),
+                                       i -> substr(term, i, 3))) AS term
+  FROM toks WHERE length(term) >= 4
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) t
+    ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+
+
+def pattern_group_corpus_ctes(table: str, id_col: str, text_col: str,
+                              pattern_sql: str) -> str:
+    """corpus_ctes twin for the ``pattern_group`` chain
+    (``pattern/PatternTokenizer.java`` group>=0): tokens are the match
+    extractions of ``pattern_sql`` (an RE2 pattern whose full match
+    equals the chain's capture group), posIncr 1 each."""
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all({text_col}, '{pattern_sql}')) AS term
+  FROM {table}
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) t
+    ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM toks
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+
+
+def path_corpus_ctes(table: str, id_col: str, text_col: str,
+                     reverse: bool = False) -> str:
+    """corpus_ctes twin for the ``path_hierarchy`` /
+    ``path_hierarchy_reverse`` chains over the derived 3-component path
+    '/w1/w2/w3' (w_i = the document's first three whitespace words):
+    forward (``path/PathHierarchyTokenizer.java``) emits the cumulative
+    prefixes '/w1', '/w1/w2', '/w1/w2/w3'; reverse
+    (``ReversePathHierarchyTokenizer.java``) emits the full path plus the
+    suffixes starting after each delimiter. posIncr 1 each, so dl = 3
+    (forward) / 4 (reverse)."""
+    comps = f"""
+comps AS (
+  SELECT {id_col} AS doc_id, sp[1] AS w1, sp[2] AS w2, sp[3] AS w3
+  FROM (SELECT {id_col}, str_split({text_col}, ' ') AS sp FROM {table})
+),"""
+    if reverse:
+        emitted = """
+emitted AS (
+  SELECT doc_id, '/' || w1 || '/' || w2 || '/' || w3 AS term FROM comps
+  UNION ALL SELECT doc_id, w1 || '/' || w2 || '/' || w3 FROM comps
+  UNION ALL SELECT doc_id, w2 || '/' || w3 FROM comps
+  UNION ALL SELECT doc_id, w3 FROM comps
+),"""
+    else:
+        emitted = """
+emitted AS (
+  SELECT doc_id, '/' || w1 AS term FROM comps
+  UNION ALL SELECT doc_id, '/' || w1 || '/' || w2 FROM comps
+  UNION ALL SELECT doc_id, '/' || w1 || '/' || w2 || '/' || w3 FROM comps
+),"""
+    return (comps.strip() + emitted + f"""
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM emitted
+             WHERE term IS NOT NULL GROUP BY doc_id) t
+    ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       WHERE term IS NOT NULL GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""").strip()
+
+
 def _norm_inv(dl_q: str, k1: float = 1.2, b: float = 0.75) -> str:
     """1f / (k1 * ((1-b) + b*len/avgdl)) in pure REAL ops (BM25Similarity
     cache formula; avgdl comes from consts c)."""

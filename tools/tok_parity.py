@@ -1,0 +1,426 @@
+"""Compiled-reference parity fuzz for functions/patterntok.py.
+
+Compiles the reference's PathHierarchyTokenizer / ReversePathHierarchy-
+Tokenizer / PatternTokenizer / PatternCaptureGroupTokenFilter /
+PatternReplaceFilter UNMODIFIED (package-intact) against ~120 lines of
+attribute shims (the same standalone-compile protocol as the stemmer
+parity harness), then fuzzes the Python ports against the compiled
+classes over randomized inputs:
+
+  - path / rpath: random strings over a delimiter-heavy alphabet x
+    random (delimiter, replacement, skip) — terms, posIncr AND offsets;
+  - ptok: the chain patterns + multi-group/alternation patterns x random
+    strings, both split and group modes;
+  - pcap: single- and multi-pattern sets (incl. alternations with
+    non-participating groups and the javadoc camelCase set) x random
+    tokens, both preserve_original arms;
+  - prep: replace-first and replace-all arms.
+
+Run: python tools/tok_parity.py [n_cases]  (default 4000 per mode)
+"""
+from __future__ import annotations
+
+import base64
+import os
+import random
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/tokparity"
+PKG = os.path.join(ROOT, "src")
+REF = "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
+
+SHIMS = {
+    "org/apache/lucene/analysis/tokenattributes/CharTermAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class CharTermAttribute implements CharSequence, Appendable {
+  private final StringBuilder sb = new StringBuilder();
+  public CharTermAttribute setEmpty() { sb.setLength(0); return this; }
+  public CharTermAttribute append(CharSequence s) { sb.append(s); return this; }
+  public CharTermAttribute append(CharSequence s, int st, int e) { sb.append(s, st, e); return this; }
+  public CharTermAttribute append(char c) { sb.append(c); return this; }
+  public void setLength(int l) { sb.setLength(l); }
+  public int length() { return sb.length(); }
+  public char charAt(int i) { return sb.charAt(i); }
+  public CharSequence subSequence(int s, int e) { return sb.subSequence(s, e); }
+  public char[] buffer() { char[] b = new char[sb.length()]; sb.getChars(0, sb.length(), b, 0); return b; }
+  public void copyBuffer(char[] buf, int off, int len) { sb.setLength(0); sb.append(buf, off, len); }
+  public void resizeBuffer(int n) {}
+  @Override public String toString() { return sb.toString(); }
+}
+""",
+    "org/apache/lucene/analysis/tokenattributes/OffsetAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class OffsetAttribute {
+  private int s, e;
+  public void setOffset(int s, int e) { this.s = s; this.e = e; }
+  public int startOffset() { return s; }
+  public int endOffset() { return e; }
+}
+""",
+    "org/apache/lucene/analysis/tokenattributes/PositionIncrementAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class PositionIncrementAttribute {
+  private int inc = 1;
+  public void setPositionIncrement(int i) { inc = i; }
+  public int getPositionIncrement() { return inc; }
+}
+""",
+    "org/apache/lucene/analysis/TokenStream.java": """
+package org.apache.lucene.analysis;
+import java.io.IOException;
+import org.apache.lucene.analysis.tokenattributes.*;
+public abstract class TokenStream {
+  public CharTermAttribute termAtt = new CharTermAttribute();
+  public OffsetAttribute offsetAtt = new OffsetAttribute();
+  public PositionIncrementAttribute posAtt = new PositionIncrementAttribute();
+  @SuppressWarnings("unchecked")
+  public <T> T addAttribute(Class<T> cls) {
+    if (cls == CharTermAttribute.class) return (T) termAtt;
+    if (cls == OffsetAttribute.class) return (T) offsetAtt;
+    if (cls == PositionIncrementAttribute.class) return (T) posAtt;
+    throw new RuntimeException("no attr " + cls);
+  }
+  public abstract boolean incrementToken() throws IOException;
+  public void reset() throws IOException {}
+  public void end() throws IOException {}
+  public void close() throws IOException {}
+  public void clearAttributes() {
+    termAtt.setEmpty(); posAtt.setPositionIncrement(1); offsetAtt.setOffset(0, 0);
+  }
+  public static class State { String term; int posInc, so, eo; }
+  public State captureState() {
+    State s = new State();
+    s.term = termAtt.toString(); s.posInc = posAtt.getPositionIncrement();
+    s.so = offsetAtt.startOffset(); s.eo = offsetAtt.endOffset();
+    return s;
+  }
+  public void restoreState(State s) {
+    termAtt.setEmpty().append(s.term); posAtt.setPositionIncrement(s.posInc);
+    offsetAtt.setOffset(s.so, s.eo);
+  }
+}
+""",
+    "org/apache/lucene/analysis/Tokenizer.java": """
+package org.apache.lucene.analysis;
+import java.io.Reader;
+import org.apache.lucene.util.AttributeFactory;
+public abstract class Tokenizer extends TokenStream {
+  protected Reader input;
+  public static final AttributeFactory DEFAULT_TOKEN_ATTRIBUTE_FACTORY = new AttributeFactory();
+  protected Tokenizer() {}
+  protected Tokenizer(AttributeFactory f) {}
+  public void setReader(Reader r) { input = r; }
+  protected int correctOffset(int o) { return o; }
+}
+""",
+    "org/apache/lucene/analysis/TokenFilter.java": """
+package org.apache.lucene.analysis;
+import java.io.IOException;
+public abstract class TokenFilter extends TokenStream {
+  protected final TokenStream input;
+  protected TokenFilter(TokenStream in) {
+    input = in; termAtt = in.termAtt; offsetAtt = in.offsetAtt; posAtt = in.posAtt;
+  }
+  @Override public void reset() throws IOException { input.reset(); }
+}
+""",
+    "org/apache/lucene/util/AttributeFactory.java": """
+package org.apache.lucene.util;
+public class AttributeFactory {}
+""",
+    "org/apache/lucene/util/IgnoreRandomChains.java": """
+package org.apache.lucene.util;
+public @interface IgnoreRandomChains { String reason(); }
+""",
+    "org/apache/lucene/util/CharsRefBuilder.java": """
+package org.apache.lucene.util;
+public class CharsRefBuilder {
+  private final StringBuilder sb = new StringBuilder();
+  public void copyChars(char[] buf, int off, int len) { sb.setLength(0); sb.append(buf, off, len); }
+  public char[] chars() { char[] b = new char[sb.length()]; sb.getChars(0, sb.length(), b, 0); return b; }
+  public int length() { return sb.length(); }
+  public CharSequence get() { return sb.toString(); }
+}
+""",
+    "org/apache/lucene/internal/hppc/IntArrayList.java": """
+package org.apache.lucene.internal.hppc;
+public class IntArrayList {
+  private int[] a = new int[16]; private int n;
+  public IntArrayList() {}
+  public IntArrayList(int cap) {}
+  public void add(int v) { if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2); a[n++] = v; }
+  public int get(int i) { return a[i]; }
+  public int size() { return n; }
+  public void clear() { n = 0; }
+}
+""",
+    "Main.java": """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.*;
+import java.util.regex.Pattern;
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.analysis.path.*;
+import org.apache.lucene.analysis.pattern.*;
+import org.apache.lucene.analysis.tokenattributes.*;
+
+public class Main {
+  static String b64(String s) {
+    return Base64.getEncoder().encodeToString(s.getBytes(StandardCharsets.UTF_8));
+  }
+  static String unb64(String s) {
+    return new String(Base64.getDecoder().decode(s), StandardCharsets.UTF_8);
+  }
+  static class OneToken extends TokenStream {
+    String tok; boolean done;
+    OneToken(String t) { tok = t; }
+    public boolean incrementToken() {
+      if (done) return false;
+      done = true;
+      clearAttributes();
+      termAtt.setEmpty().append(tok);
+      return true;
+    }
+  }
+  public static void main(String[] args) throws Exception {
+    BufferedReader in = new BufferedReader(new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      String[] f = line.split("\\t", -1);
+      StringBuilder res = new StringBuilder();
+      try {
+        if (f[0].equals("path") || f[0].equals("rpath")) {
+          char delim = unb64(f[1]).charAt(0);
+          char repl = unb64(f[2]).charAt(0);
+          int skip = Integer.parseInt(f[3]);
+          String text = unb64(f[4]);
+          Tokenizer t = f[0].equals("path")
+              ? new PathHierarchyTokenizer(1024, delim, repl, skip)
+              : new ReversePathHierarchyTokenizer(1024, delim, repl, skip);
+          t.setReader(new StringReader(text));
+          t.reset();
+          TokenStream s = t;
+          while (s.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(b64(s.termAtt.toString())).append(':')
+               .append(s.posAtt.getPositionIncrement()).append(':')
+               .append(s.offsetAtt.startOffset()).append(':')
+               .append(s.offsetAtt.endOffset());
+          }
+        } else if (f[0].equals("ptok")) {
+          int group = Integer.parseInt(f[1]);
+          Pattern p = Pattern.compile(unb64(f[2]));
+          String text = unb64(f[3]);
+          PatternTokenizer t = new PatternTokenizer(p, group);
+          t.setReader(new StringReader(text));
+          t.reset();
+          TokenStream s = t;
+          while (s.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(b64(s.termAtt.toString())).append(':')
+               .append(s.offsetAtt.startOffset()).append(':')
+               .append(s.offsetAtt.endOffset());
+          }
+        } else if (f[0].equals("pcap")) {
+          boolean preserve = f[1].equals("1");
+          String[] pats = unb64(f[2]).split("\\u0001");
+          Pattern[] ps = new Pattern[pats.length];
+          for (int i = 0; i < pats.length; i++) ps[i] = Pattern.compile(pats[i]);
+          String tok = unb64(f[3]);
+          TokenStream ts = new PatternCaptureGroupTokenFilter(new OneToken(tok), preserve, ps);
+          while (ts.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(b64(ts.termAtt.toString())).append(':')
+               .append(ts.posAtt.getPositionIncrement());
+          }
+        } else if (f[0].equals("prep")) {
+          boolean all = f[1].equals("1");
+          Pattern p = Pattern.compile(unb64(f[2]));
+          String repl = unb64(f[3]);
+          String tok = unb64(f[4]);
+          TokenStream ts = new PatternReplaceFilter(new OneToken(tok), p, repl, all);
+          while (ts.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(b64(ts.termAtt.toString()));
+          }
+        } else {
+          res.append("ERR unknown mode");
+        }
+      } catch (Exception e) {
+        res.setLength(0);
+        res.append("EXC ").append(e.getClass().getSimpleName());
+      }
+      out.println(res.toString());
+      out.flush();
+    }
+  }
+}
+""",
+}
+
+REF_FILES = [
+    "path/PathHierarchyTokenizer.java",
+    "path/ReversePathHierarchyTokenizer.java",
+    "pattern/PatternTokenizer.java",
+    "pattern/PatternCaptureGroupTokenFilter.java",
+    "pattern/PatternReplaceFilter.java",
+]
+
+
+def build() -> None:
+    os.makedirs(PKG, exist_ok=True)
+    for rel, src in SHIMS.items():
+        p = os.path.join(PKG, rel)
+        os.makedirs(os.path.dirname(p) or PKG, exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(src)
+    for rel in REF_FILES:
+        dst = os.path.join(PKG, "org/apache/lucene/analysis", rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(os.path.join(REF, rel), encoding="utf-8") as fh:
+            with open(dst, "w", encoding="utf-8") as oh:
+                oh.write(fh.read())
+    srcs = []
+    for base, _dirs, files in os.walk(PKG):
+        srcs += [os.path.join(base, x) for x in files if x.endswith(".java")]
+    subprocess.run(["javac", "-encoding", "UTF-8", "-d", ROOT] + srcs,
+                   check=True)
+
+
+def run_java(lines: list[str]) -> list[str]:
+    proc = subprocess.run(
+        ["java", "-cp", ROOT, "Main"], input="\n".join(lines) + "\n",
+        capture_output=True, text=True, check=True)
+    return proc.stdout.splitlines()
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def fuzz(n: int) -> None:
+    from lucene_spark.functions.patterntok import (
+        path_tokens, pattern_captures, pattern_replace, pattern_tokens,
+        reverse_path_tokens,
+    )
+
+    rng = random.Random(20260819)
+    alpha = "ab/.x/"  # delimiter-heavy
+    cases: list[tuple] = []
+    lines: list[str] = []
+
+    # --- path / rpath
+    for _ in range(n):
+        mode = rng.choice(["path", "rpath"])
+        delim = rng.choice("/.")
+        repl = rng.choice(["/", ".", "_"])
+        skip = rng.choice([0, 0, 0, 1, 2, 3])
+        text = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 14)))
+        cases.append((mode, delim, repl, skip, text))
+        lines.append("\t".join([mode, b64(delim), b64(repl), str(skip),
+                                b64(text)]))
+
+    # --- ptok
+    ptok_pats = [
+        (r"[^a-z0-9]+", -1), (r"'([^']+)'", 0), (r"'([^']+)'", 1),
+        (r"\b(t[a-z]+)", 1), (r"x+", -1), (r"([0-9]+)|([a-z]+)", 0),
+    ]
+    ptok_alpha = "ab c'tx0 9 "
+    for _ in range(n):
+        pat, grp = rng.choice(ptok_pats)
+        text = "".join(rng.choice(ptok_alpha)
+                       for _ in range(rng.randrange(0, 18)))
+        cases.append(("ptok", pat, grp, text))
+        lines.append("\t".join(["ptok", str(grp), b64(pat), b64(text)]))
+
+    # --- pcap
+    camel = ("([A-Z]{2,})", "(?<![A-Z])([A-Z][a-z]+)",
+             "(?:^|\\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)", "([0-9]+)")
+    pcap_sets = [
+        ("(...)",), ("([a-z]{3})",), ("([0-9]+)|([a-z]+)",),
+        ("(a+)(b+)?",), ("([a-z]+)", "([0-9]+)"), camel,
+    ]
+    pcap_alpha = "abcXY019_z"
+    for _ in range(n):
+        pats = rng.choice(pcap_sets)
+        preserve = rng.random() < 0.5
+        tok = "".join(rng.choice(pcap_alpha)
+                      for _ in range(rng.randrange(1, 12)))
+        cases.append(("pcap", pats, preserve, tok))
+        lines.append("\t".join(["pcap", "1" if preserve else "0",
+                                b64("".join(pats)), b64(tok)]))
+
+    # --- prep
+    prep_pats = [(r"[aeiou]+", "_"), (r"(a)", "<$1>"), (r"b+", ""),
+                 (r"^x", "y")]
+    for _ in range(n):
+        pat, repl = rng.choice(prep_pats)
+        allm = rng.random() < 0.5
+        tok = "".join(rng.choice("aeioubx")
+                      for _ in range(rng.randrange(1, 10)))
+        cases.append(("prep", pat, repl, allm, tok))
+        lines.append("\t".join(["prep", "1" if allm else "0", b64(pat),
+                                b64(repl), b64(tok)]))
+
+    got = run_java(lines)
+    assert len(got) == len(cases), (len(got), len(cases))
+    bad = 0
+    for case, out in zip(cases, got):
+        if out.startswith("EXC"):
+            print("JAVA EXC:", case, out)
+            bad += 1
+            continue
+        toks = [t.split(":") for t in out.split(" ") if t]
+        jterms = [base64.b64decode(t[0]).decode() for t in toks]
+        if case[0] in ("path", "rpath"):
+            _m, delim, repl, skip, text = case
+            fn = path_tokens if case[0] == "path" else reverse_path_tokens
+            mine = fn(text, delim, repl, skip)
+            jstarts = [int(t[2]) for t in toks]
+            jends = [int(t[3]) for t in toks]
+            ok = (jterms == [t for t, _ in mine]
+                  and jstarts == [s for _, s in mine]
+                  and jends == [s + len(t) for t, s in mine]
+                  and all(t[1] == "1" for t in toks))
+        elif case[0] == "ptok":
+            _m, pat, grp, text = case
+            mine = pattern_tokens(text, pat, grp)
+            ok = (jterms == [t for t, _, _ in mine]
+                  and [int(t[1]) for t in toks] == [s for _, s, _ in mine]
+                  and [int(t[2]) for t in toks] == [e for _, _, e in mine])
+        elif case[0] == "pcap":
+            _m, pats, preserve, tok = case
+            mine = pattern_captures(
+                tok, tuple(re.compile(p.replace("$1", "\\1")) for p in pats),
+                preserve)
+            jincs = [int(t[1]) for t in toks]
+            ok = (jterms == mine
+                  and jincs == [1] + [0] * (len(mine) - 1))
+        else:
+            _m, pat, repl, allm, tok = case
+            pyrepl = repl.replace("$1", "\\1")
+            mine = [pattern_replace(tok, pat, pyrepl, allm)]
+            # the filter always passes exactly one token through; an empty
+            # replaced term prints as an empty line
+            jterms = [base64.b64decode(out).decode()]
+            ok = jterms == mine
+        if not ok:
+            print("MISMATCH:", case)
+            print("  java:", jterms, toks)
+            bad += 1
+            if bad > 10:
+                sys.exit(1)
+    total = len(cases)
+    print(f"{total - bad}/{total} parity OK ({bad} mismatches)")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    build()
+    fuzz(n)
