@@ -1543,6 +1543,127 @@ _PATH_REV_AST = {"bool": {"must": [{"term": "key"}],
                           "should": [{"term": "fast/key"}]}}
 
 
+#: charfilter layer (functions/charfilter.py): mapping rewrites qu->kw
+#: pre-tokenization ("query" is only reachable as "kwery"); the
+#: pattern-replace char filter DELETES the 5%-df word 'dup' before
+#: tokenization, shifting dl and collection stats
+_MAPPING_CHAR_AST = {"bool": {"must": [{"term": "kwery"}],
+                              "should": [{"term": "merge"}]}}
+_PRC_AST = {"bool": {"must": [{"term": "merge"}],
+                     "should": [{"term": "scan"}]}}
+
+#: FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java — stupid-
+#: backoff bigram LM): key "merge s" exercises the bigram pass (context
+#: count = count('merge')), the 0.4-backoff unigram pass, and the
+#: seen-last-token dedup between them
+_FREETEXT_KEY = "merge s"
+
+
+def _freetext_suggest_df(spark, sf_dir):
+    from lucene_spark.operators.freetext import freetext_suggest
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return freetext_suggest(spark, docs, _FREETEXT_KEY, 10)
+
+
+_FREETEXT_SQL = """
+WITH rawt AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)
+),
+uni AS (SELECT term AS gram, count(*) AS cnt FROM rawt GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM uni),
+ctx AS (SELECT CAST(cnt AS DOUBLE) AS c FROM uni WHERE gram = 'merge'),
+big AS (
+  SELECT prev || ' ' || term AS gram, count(*) AS cnt
+  FROM (SELECT doc_id, term, ord,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+        FROM rawt)
+  WHERE prev IS NOT NULL GROUP BY 1
+),
+bsel AS (SELECT gram, cnt FROM big WHERE gram LIKE 'merge s%'
+         ORDER BY cnt DESC, gram ASC LIMIT 10),
+bres AS (
+  SELECT gram AS suggestion,
+         CAST(trunc((CAST(9223372036854775807 AS DOUBLE) * CAST(1.0 AS DOUBLE))
+              * CAST(cnt AS DOUBLE) / c) AS BIGINT) AS score
+  FROM bsel, ctx
+),
+usel AS (SELECT gram, cnt FROM uni
+         WHERE gram LIKE 's%'
+           AND gram NOT IN (SELECT split_part(suggestion, ' ', 2) FROM bres)
+         ORDER BY cnt DESC, gram ASC LIMIT 10),
+ures AS (
+  SELECT gram AS suggestion,
+         CAST(trunc((CAST(9223372036854775807 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+              * CAST(cnt AS DOUBLE) / t) AS BIGINT) AS score
+  FROM usel, tot
+)
+SELECT suggestion, score
+FROM (SELECT * FROM bres UNION ALL SELECT * FROM ures)
+ORDER BY score DESC, suggestion ASC
+LIMIT 10
+""".strip()
+
+
+#: QueryAutoStopWordAnalyzer: at the 40% default every corpus word except
+#: 'dup' (df pinned at 5% by the generator) exceeds the threshold, so the
+#: engine must drop merge+scan and score on dup alone — the oracle derives
+#: the stop set independently in SQL
+_AUTO_STOP_TERMS = ("dup", "merge", "scan")
+
+
+def _auto_stop_df(spark, sf_dir):
+    """Pure-disjunction query filtered through IndexSearcher.auto_stop_set
+    (query/QueryAutoStopWordAnalyzer.java — query-time df-threshold stop
+    layer; the index is unchanged)."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    stop = s.auto_stop_set(0.4)
+    live = [t for t in _AUTO_STOP_TERMS if t not in stop]
+    ast = {"bool": {"should": [{"term": t} for t in live]}}
+    hits = s.search(rewrite_fixpoint(parse_query(json.dumps(ast))), _QUERY_K)
+    dm = s.docmap().select(
+        "doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _minhash_term(word: str) -> str:
+    """The minhash_unigram chain's hex term for one vocab word
+    (murmur128 of UTF-16LE + combineOrdered with intHash(0))."""
+    from lucene_spark.functions.minhash import _int_hash, murmur3_x64_128
+
+    h1, h2 = murmur3_x64_128(word.encode("utf-16-le"), 0)
+    ih1, ih2 = _int_hash(0)
+    mask = (1 << 64) - 1
+    r1 = (h1 * 37 + ih1) & mask
+    r2 = (h2 * 37 + ih2) & mask
+    return f"{r2:016x}{r1:016x}"
+
+
+def _minhash_vocab_hash() -> tuple[tuple[str, str], ...]:
+    return tuple((w, _minhash_term(w)) for w in _DOC_VOCAB)
+
+
+def _minhash_ast() -> dict:
+    """must = the globally-smallest-hash vocab word's term (present in
+    every doc that contains the word — it is always in the bottom-5),
+    should = the second-smallest."""
+    ranked = sorted(_DOC_VOCAB, key=_minhash_term)
+    return {"bool": {"must": [{"term": _minhash_term(ranked[0])}],
+                     "should": [{"term": _minhash_term(ranked[1])}]}}
+
+
+def _minhash_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "minhash_unigram", _minhash_ast())
+
+
 def _path_transcripts(spark, sf_dir):
     tdf = _documents_as_transcripts(spark, sf_dir)
     sp = F.split(F.col("text"), " ")
@@ -2178,6 +2299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf_dir, "path_hierarchy", _PATH_AST)
     out["bm25_path_hierarchy_reverse"] = lambda spark, sf_dir: _path_chain_df(
         spark, sf_dir, "path_hierarchy_reverse", _PATH_REV_AST)
+    out["bm25_minhash_chain"] = _minhash_chain_df
+    out["bm25_auto_stop"] = _auto_stop_df
+    out["bm25_mapping_char_chain"] = _misc_chain_entry(
+        "mapping_standard", _MAPPING_CHAR_AST)
+    out["bm25_pattern_replace_char_chain"] = _misc_chain_entry(
+        "pattern_replace_char", _PRC_AST)
+    out["suggest_freetext"] = _freetext_suggest_df
     for _mk, _ma, _mast in (
         ("bm25_scandinavian_norm_chain", "standard_scandinavian_normalized",
          _SCAND_NORM_AST),
@@ -2679,6 +2807,25 @@ ORDER BY t.score DESC, t.doc_id ASC
         parse_query(json.dumps(_PATH_REV_AST)), _QUERY_K,
         corpus_override=sqlgen.path_corpus_ctes(
             "documents", "doc_id", "text", reverse=True),
+    )
+    out["bm25_auto_stop"] = sqlgen.auto_stop_topk_sql(
+        _AUTO_STOP_TERMS, _QUERY_K, 0.4)
+    out["suggest_freetext"] = _FREETEXT_SQL
+    # char filters: the oracle applies the same pre-tokenization rewrite
+    # to the text column (sequential replace == greedy simultaneous here:
+    # the map keys share no chars and no replacement contains a key)
+    out["bm25_mapping_char_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_MAPPING_CHAR_AST)), _QUERY_K,
+        text_col="replace(replace(text, 'qu', 'kw'), 'x', 'ks')")
+    out["bm25_pattern_replace_char_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_PRC_AST)), _QUERY_K,
+        text_col="regexp_replace(text, 'dup', '', 'g')")
+    # minhash: bottom-5 sketch terms; the vocab->hash map is computed by
+    # the Python murmur port and replayed as an inline VALUES join
+    out["bm25_minhash_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_minhash_ast())), _QUERY_K,
+        corpus_override=sqlgen.minhash_corpus_ctes(
+            "documents", "doc_id", "text", _minhash_vocab_hash()),
     )
     # ngram chains: grams replayed in SQL; dl = one per source token
     out["bm25_ngram_chain"] = sqlgen.topk_sql(

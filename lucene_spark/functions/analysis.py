@@ -1170,6 +1170,10 @@ def _fill_stream_chains():
     )
 
     from lucene_spark.functions.miscfilters import register_misc_chains
+    from lucene_spark.functions.charfilter import (
+        register_charfilter_chains,
+    )
+    from lucene_spark.functions.minhash import register_minhash_chains
     from lucene_spark.functions.patterntok import (
         register_pattern_path_chains,
     )
@@ -1180,6 +1184,8 @@ def _fill_stream_chains():
     register_common_grams_chain()
     register_misc_chains()
     register_pattern_path_chains()
+    register_minhash_chains()
+    register_charfilter_chains()
 
 
 _fill_stream_chains()

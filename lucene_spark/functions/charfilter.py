@@ -1,0 +1,167 @@
+"""Char filters — pre-tokenization text transforms with offset
+correction, ports of the reference's ``analysis/charfilter`` +
+``analysis/pattern`` char-filter layer:
+
+  - ``OffsetCorrector``             — BaseCharFilter.java:29-96 (the
+    cumulative output->input offset-diff table; ``correct(off)`` adds the
+    diff of the rightmost entry at-or-before ``off``);
+  - ``mapping_char_filter``         — MappingCharFilter.java:61-168
+    (greedy longest-match replacement at each position, replacements
+    never rescanned, shorter/longer-replacement diff arithmetic replayed
+    verbatim);
+  - ``pattern_replace_char_filter`` — PatternReplaceCharFilter.java:88-130
+    (regex replace-all over the whole value with per-match corrections;
+    ``correct`` clamps at 0).
+
+HTMLStripCharFilter (a 6k-line jflex scanner) is not ported — documented
+gap; the two filters here carry the charfilter framework semantics
+(transform + correction map).
+
+Chains (text transform + the standard tokenize->lower stream; offset
+STORAGE stays a standard-chain feature, as for every non-standard chain):
+
+  - ``mapping_standard``     — MappingCharFilter({"qu": "kw", "x": "ks"})
+    (live on this corpus: "query" -> "kwery");
+  - ``pattern_replace_char`` — PatternReplaceCharFilter("dup" -> "")
+    (drops a 5%-df word before tokenization; dl shrinks).
+"""
+from __future__ import annotations
+
+import bisect
+import re
+
+
+class OffsetCorrector:
+    """BaseCharFilter's offsets/diffs table (BaseCharFilter.java:29-96)."""
+
+    def __init__(self) -> None:
+        self.offsets: list[int] = []
+        self.diffs: list[int] = []
+
+    def add(self, off: int, cumulative_diff: int) -> None:
+        if self.offsets and off < self.offsets[-1]:
+            raise ValueError("offsets must be non-decreasing")
+        if self.offsets and off == self.offsets[-1]:
+            self.diffs[-1] = cumulative_diff
+        else:
+            self.offsets.append(off)
+            self.diffs.append(cumulative_diff)
+
+    def last_diff(self) -> int:
+        return self.diffs[-1] if self.diffs else 0
+
+    def correct(self, off: int) -> int:
+        i = bisect.bisect_right(self.offsets, off) - 1
+        return off + (self.diffs[i] if i >= 0 else 0)
+
+
+def mapping_char_filter(text: str, mapping: dict[str, str]
+                        ) -> tuple[str, OffsetCorrector]:
+    """MappingCharFilter.java:61-168 — greedy longest-pattern-at-position
+    replacement; emitted replacements are not rescanned."""
+    if any(not k for k in mapping):
+        raise ValueError("empty match pattern")
+    max_len = max(map(len, mapping), default=0)
+    firsts = {k[0] for k in mapping}
+    corr = OffsetCorrector()
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        repl = None
+        mlen = 0
+        if text[i] in firsts:
+            for ln in range(min(max_len, n - i), 0, -1):
+                cand = mapping.get(text[i:i + ln])
+                if cand is not None:
+                    repl, mlen = cand, ln
+                    break
+        if repl is None:
+            out.append(text[i])
+            i += 1
+            continue
+        i += mlen
+        diff = mlen - len(repl)
+        if diff != 0:
+            prev = corr.last_diff()
+            if diff > 0:
+                corr.add(i - diff - prev, prev + diff)
+            else:
+                output_start = i - prev
+                for extra in range(-diff):
+                    corr.add(output_start + extra, prev - extra - 1)
+        out.append(repl)
+    return "".join(out), corr
+
+
+def pattern_replace_char_filter(text: str, pattern, repl: str
+                                ) -> tuple[str, OffsetCorrector]:
+    """PatternReplaceCharFilter.processPattern
+    (PatternReplaceCharFilter.java:88-130); ``repl`` uses Python group
+    syntax (``\\1``). ``correct`` clamping (:84-86) is applied by the
+    returned corrector via ``clamp0``."""
+    pat = re.compile(pattern) if isinstance(pattern, str) else pattern
+    corr = OffsetCorrector()
+    corr.clamp0 = True  # type: ignore[attr-defined]
+    out: list[str] = []
+    out_len = 0
+    cumulative = 0
+    last_end = 0
+    for m in pat.finditer(text):
+        group_size = m.end() - m.start()
+        skipped = text[last_end:m.start()]
+        last_end = m.end()
+        length_before = out_len + len(skipped)
+        replacement = m.expand(repl)
+        out.append(skipped)
+        out.append(replacement)
+        out_len = length_before + len(replacement)
+        if group_size != len(replacement):
+            if len(replacement) < group_size:
+                cumulative += group_size - len(replacement)
+                corr.add(length_before + len(replacement), cumulative)
+            else:
+                for i in range(group_size, len(replacement)):
+                    cumulative -= 1
+                    corr.add(length_before + i, cumulative)
+    out.append(text[last_end:])
+    # PatternReplaceCharFilter.correct clamps at 0
+    orig_correct = corr.correct
+    corr.correct = lambda off: max(0, orig_correct(off))  # type: ignore
+    return "".join(out), corr
+
+
+# ---------------------------------------------------------------------------
+# chains
+
+MAPPING_DEMO = {"qu": "kw", "x": "ks"}
+_PRC_PATTERN = re.compile(r"dup")
+
+
+def _mapping_stream(text: str):
+    from lucene_spark.functions.shingle import _base_stream
+
+    mapped, _corr = mapping_char_filter(text, MAPPING_DEMO)
+    terms, incs, _gap = _base_stream(mapped, None)
+    return list(zip(terms, incs))
+
+
+def _prc_stream(text: str):
+    from lucene_spark.functions.shingle import _base_stream
+
+    replaced, _corr = pattern_replace_char_filter(text, _PRC_PATTERN, "")
+    terms, incs, _gap = _base_stream(replaced, None)
+    return list(zip(terms, incs))
+
+
+def register_charfilter_chains() -> None:
+    from lucene_spark.functions import analysis as an
+    from lucene_spark.functions.patterntok import _mk_scalar, _mk_series, _raise_raw
+
+    for name, fn in (("mapping_standard", _mapping_stream),
+                     ("pattern_replace_char", _prc_stream)):
+        an.STREAM_TOKENIZERS[name] = _mk_series(fn)
+        an.STREAM_SCALARS[name] = _mk_scalar(fn)
+        an.CHAIN_FILTERS[name] = (None, None, None)
+        an.CHAIN_BASE[name] = "stream"
+        an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+        an.CHAIN_LOWER[name] = str

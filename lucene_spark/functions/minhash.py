@@ -1,0 +1,210 @@
+"""MinHashFilter — ``analysis/minhash/MinHashFilter.java`` as a faithful
+Python port: per-document MurmurHash3_x64_128 over each token's UTF-16LE
+bytes, ``combineOrdered`` re-hash per hash function, per-bucket
+fixed-size min-sets ordered by (val2, val1) unsigned, the empty-bucket
+rotation fill, and hashPosition-major / bucketPosition-ascending /
+in-bucket-ascending emission with posIncr 1 on the first token only
+(MinHashFilter.java:147-249,317-354).
+
+Encoding adaptation (documented divergence): the reference packs the
+emitted hash into raw UTF-16 code units (MinHashFilter.java:289-311),
+which can produce lone surrogates — unrepresentable in the UTF-8 strings
+Spark/parquet carry. Terms here are the HEX encoding of the same fields
+in the same order (fixed width, so lexicographic term order equals the
+reference's unsigned numeric order):
+
+  - hashCount == 1:  hex16(val2) + hex16(val1)            (128 bits)
+  - hashCount  > 1:  hex8(i) + hex16(val2) + hex8(val1>>32) (96+32 bits)
+
+Chains:
+  - ``minhash``          — ShingleFilter(5,5, no unigrams) over standard
+    tokens -> MinHashFilter(1, 512, 1, withRotation=True) (the factory
+    defaults; LSH-bucketed signature, 512 terms/doc);
+  - ``minhash_unigram``  — unigram tokens -> MinHashFilter(1, 1, 5,
+    withRotation=False) (classic bottom-k sketch, SQL-replayable).
+
+The murmur port is fuzz-checked against the compiled reference class by
+tools/tok_parity.py-style harness (tools/minhash_parity.py).
+"""
+from __future__ import annotations
+
+import bisect
+
+import pandas as pd
+
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
+    """MinHashFilter.murmurhash3_x64_128 (MinHashFilter.java:415-505) ->
+    (val1, val2) as unsigned 64-bit ints."""
+    h1 = seed & 0xFFFFFFFF
+    h2 = seed & 0xFFFFFFFF
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    ln = len(key)
+    rounded = ln & ~15
+    for i in range(0, rounded, 16):
+        k1 = int.from_bytes(key[i:i + 8], "little")
+        k2 = int.from_bytes(key[i + 8:i + 16], "little")
+        k1 = (k1 * c1) & _M
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * c2) & _M
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * c2) & _M
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * c1) & _M
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+    tail = key[rounded:]
+    tl = len(tail)
+    if tl > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * c2) & _M
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * c1) & _M
+        h2 ^= k2
+    if tl >= 1:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * c1) & _M
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * c2) & _M
+        h1 ^= k1
+    h1 ^= ln
+    h2 ^= ln
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+_INT_HASH_CACHE: dict[int, tuple[int, int]] = {}
+
+
+def _int_hash(i: int) -> tuple[int, int]:
+    h = _INT_HASH_CACHE.get(i)
+    if h is None:
+        h = murmur3_x64_128(i.to_bytes(4, "big"), 0)
+        _INT_HASH_CACHE[i] = h
+    return h
+
+
+def _fixed_add(s: list, key: tuple[int, int], cap: int) -> None:
+    """FixedSizeTreeSet.add (MinHashFilter.java:333-344) — including the
+    reference quirk that adding an ALREADY-PRESENT key smaller than the
+    current max first evicts the max (pollLast before the failed add)."""
+    if len(s) >= cap:
+        if key >= s[-1]:
+            return
+        s.pop()
+    i = bisect.bisect_left(s, key)
+    if i == len(s) or s[i] != key:
+        s.insert(i, key)
+
+
+def minhash_terms(
+    tokens: list[str],
+    hash_count: int = 1,
+    bucket_count: int = 512,
+    hash_set_size: int = 1,
+    with_rotation: bool | None = None,
+) -> list[tuple[str, int]]:
+    """-> [(term, posIncr)] — the MinHashFilter output stream for one
+    document's token stream (hex term encoding, see module docstring)."""
+    if hash_count <= 0 or bucket_count <= 0 or hash_set_size <= 0:
+        raise ValueError("hashCount/bucketCount/hashSetSize must be > 0")
+    if with_rotation is None:
+        with_rotation = bucket_count > 1
+    bucket_size = (1 << 32) // bucket_count
+    if (1 << 32) % bucket_count != 0:
+        bucket_size += 1
+    sets: list[list[list]] = [
+        [[] for _ in range(bucket_count)] for _ in range(hash_count)
+    ]
+    for tok in tokens:
+        h1, h2 = murmur3_x64_128(tok.encode("utf-16-le"), 0)
+        for i in range(hash_count):
+            ih1, ih2 = _int_hash(i)
+            r1 = (h1 * 37 + ih1) & _M
+            r2 = (h2 * 37 + ih2) & _M
+            _fixed_add(sets[i][(r2 >> 32) // bucket_size], (r2, r1),
+                       hash_set_size)
+    if not tokens:
+        return []
+    if with_rotation and hash_set_size == 1:
+        for i in range(hash_count):
+            buckets = sets[i]
+            for b in range(bucket_count):
+                if not buckets[b]:
+                    for off in range(1, bucket_count):
+                        src = buckets[(b + off) % bucket_count]
+                        if src:
+                            buckets[b].append(src[0])
+                            break
+    out: list[tuple[str, int]] = []
+    first = True
+    for i in range(hash_count):
+        for b in range(bucket_count):
+            for r2, r1 in sets[i][b]:
+                if hash_count > 1:
+                    term = f"{i:08x}{r2:016x}{r1 >> 32:08x}"
+                else:
+                    term = f"{r2:016x}{r1:016x}"
+                out.append((term, 1 if first else 0))
+                first = False
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chains
+
+def _minhash_stream(text: str):
+    from lucene_spark.functions.shingle import _base_stream, shingle_stream
+
+    terms, incs, gap = _base_stream(text, None)
+    shingles = [t for t, _inc, _ln in
+                shingle_stream(terms, incs, gap, min_size=5, max_size=5,
+                               output_unigrams=False)]
+    return minhash_terms(shingles, 1, 512, 1, True)
+
+
+def _minhash_unigram_stream(text: str):
+    from lucene_spark.functions.shingle import _base_stream
+
+    terms, _incs, _gap = _base_stream(text, None)
+    return minhash_terms(terms, 1, 1, 5, False)
+
+
+def register_minhash_chains() -> None:
+    from lucene_spark.functions import analysis as an
+    from lucene_spark.functions.patterntok import _mk_scalar, _mk_series, _raise_raw
+
+    for name, fn in (("minhash", _minhash_stream),
+                     ("minhash_unigram", _minhash_unigram_stream)):
+        an.STREAM_TOKENIZERS[name] = _mk_series(fn)
+        an.STREAM_SCALARS[name] = _mk_scalar(fn)
+        an.CHAIN_FILTERS[name] = (None, None, None)
+        an.CHAIN_BASE[name] = "stream"
+        an.RAW_TOKENIZERS[name] = (_raise_raw, None)
+        an.CHAIN_LOWER[name] = str

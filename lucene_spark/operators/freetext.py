@@ -1,0 +1,125 @@
+"""FreeTextSuggester — ``suggest/analyzing/FreeTextSuggester.java`` as a
+Spark-native n-gram language model (grams=2, the reference default,
+separator ' ' — constructor-legal ASCII; the reference default 0x1E is a
+non-printing byte).
+
+Build (:200-330): token stream -> ShingleFilter(2,2)+unigrams gram
+counts; ``totTokens`` = sum of unigram counts. Here: one window (lag per
+doc) + two groupBy aggregations — the idiomatic Spark LM build; gram
+counts never cross documents.
+
+Lookup (:480-720, stupid backoff, Brants et al. 2007):
+
+  - key ending in a space ("the "): context = last token; ONLY the
+    bigram model predicts (the unigram pass is skipped for an empty last
+    token on non-empty input, :527-529);
+  - otherwise ("merge s"): the bigram model completes "merge s*" with
+    contextCount = count("merge"); then the unigram model completes
+    "s*" at backoff ALPHA=0.4 with contextCount = totTokens, skipping
+    last-tokens already predicted by the higher-order model (:521-523
+    ``seen``);
+  - per model: top-``num`` completions by (count desc, text asc) — the
+    FST TopNSearcher's (cost asc, input-bytes asc) order;
+  - score = (long) (Long.MAX_VALUE * backoff * count / contextCount)
+    with Java's left-associative double evaluation and truncation
+    (:679-690), final order (score desc, suggestion asc UTF-16), LIMIT
+    ``num`` (:700-714).
+
+The whole lookup is DataFrame filters over the two count tables (the
+prefix filter pushes down; collects are <= num rows)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ALPHA = 0.4
+_MAX_LONG_D = float(2 ** 63)  # (double) Long.MAX_VALUE rounds up to 2^63
+
+
+def gram_counts(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """(unigram_counts, bigram_counts) — columns (gram, cnt)."""
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("ord", "term"),
+    )
+    uni = toks.groupBy(F.col("term").alias("gram")).agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("did").orderBy("ord")
+    big = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.concat_ws(" ", "prev", "term").alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("cnt"))
+    )
+    return uni, big
+
+
+def _scored(df: DataFrame, backoff: float, ctx: int) -> DataFrame:
+    """((MAX * backoff) * cnt) / ctx in Java's left-associative double
+    order, truncated toward zero — the reference (long) cast."""
+    # Spark's DOUBLE -> LONG cast truncates toward zero (the Java (long)
+    # cast); DuckDB needs an explicit trunc() in the oracle twin
+    return df.select(
+        F.col("gram").alias("suggestion"),
+        F.expr(
+            f"CAST(({_MAX_LONG_D!r} * CAST({float(backoff)!r} AS "
+            f"DOUBLE)) * CAST(cnt AS DOUBLE) / CAST({float(ctx)!r} AS "
+            "DOUBLE) AS LONG)"
+        ).alias("score"),
+    )
+
+
+def freetext_suggest(spark: SparkSession, docs: DataFrame, key: str,
+                     num: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """-> DataFrame(suggestion string, score long), grams=2."""
+    uni, big = gram_counts(docs, id_col, text_col)
+    uni = uni.cache()
+    parts = [w for w in key.split(" ") if w]
+    ended = key.endswith(" ") or key == ""
+    rows: list = []
+    if ended:
+        if parts:
+            context = parts[-1]
+            ctx_rows = uni.filter(F.col("gram") == context).collect()
+            if ctx_rows:
+                comp = (
+                    big.filter(F.col("gram").startswith(context + " "))
+                    .orderBy(F.desc("cnt"), F.asc("gram")).limit(num)
+                )
+                rows = _scored(comp, 1.0, int(ctx_rows[0]["cnt"])).collect()
+    else:
+        partial = parts[-1] if parts else ""
+        context = parts[-2] if len(parts) >= 2 else None
+        seen: set[str] = set()
+        backoff = 1.0
+        if context is not None:
+            ctx_rows = uni.filter(F.col("gram") == context).collect()
+            if ctx_rows:
+                comp = (
+                    big.filter(F.col("gram").startswith(
+                        context + " " + partial))
+                    .orderBy(F.desc("cnt"), F.asc("gram")).limit(num)
+                )
+                got = _scored(comp, backoff,
+                              int(ctx_rows[0]["cnt"])).collect()
+                rows.extend(got)
+                seen.update(r["suggestion"].split(" ")[-1] for r in got)
+            backoff *= ALPHA
+        if partial:
+            tot = int(uni.agg(F.sum("cnt")).collect()[0][0] or 0)
+            if tot:
+                comp = uni.filter(F.col("gram").startswith(partial))
+                if seen:
+                    comp = comp.filter(~F.col("gram").isin(sorted(seen)))
+                comp = comp.orderBy(F.desc("cnt"), F.asc("gram")).limit(num)
+                rows.extend(_scored(comp, backoff, tot).collect())
+    uni.unpersist()
+    data = sorted(
+        ((r["suggestion"], int(r["score"])) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:num]
+    return spark.createDataFrame(data or [], "suggestion string, score long")

@@ -411,6 +411,46 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """).strip()
 
 
+def minhash_corpus_ctes(table: str, id_col: str, text_col: str,
+                        vocab_hash: tuple[tuple[str, str], ...]) -> str:
+    """corpus_ctes twin for the ``minhash_unigram`` chain
+    (``minhash/MinHashFilter.java`` with hashCount=1, bucketCount=1,
+    hashSetSize=5): per doc, the 5 smallest DISTINCT token hashes.
+    ``vocab_hash`` maps every corpus token to its hex term (computed by
+    the Python murmur port — fixed-width hex, so lexicographic term order
+    equals the reference's unsigned (val2, val1) order). dl = 1 per
+    non-empty doc (all minhash tokens stack at one position)."""
+    values = ", ".join(f"('{w}', '{h}')" for w, h in vocab_hash)
+    return f"""
+hashes(term_src, term) AS (VALUES {values}),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({TOKEN_SQL.format(col=text_col)}) AS term_src
+  FROM {table}
+),
+hashed AS (
+  SELECT DISTINCT t.doc_id, h.term FROM toks t
+  JOIN hashes h ON h.term_src = t.term_src
+),
+emitted AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+    FROM hashed)
+  WHERE rn <= 5
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id,
+         CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT DISTINCT doc_id FROM emitted) t ON d.{id_col} = t.doc_id
+),
+st AS (SELECT count(*) AS dc, CAST(sum(dl) AS BIGINT) AS sttf FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS freq FROM emitted
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+""".strip()
+
+
 def _norm_inv(dl_q: str, k1: float = 1.2, b: float = 0.75) -> str:
     """1f / (k1 * ((1-b) + b*len/avgdl)) in pure REAL ops (BM25Similarity
     cache formula; avgdl comes from consts c)."""
@@ -583,6 +623,55 @@ agg AS (
 SELECT doc_id, {final} AS score
 FROM agg
 WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def auto_stop_topk_sql(terms: tuple[str, ...], k: int,
+                       max_percent_docs: float = 0.4,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Top-k for a pure-disjunction query under QueryAutoStopWordAnalyzer
+    (query/QueryAutoStopWordAnalyzer.java:50-140): clauses whose term's
+    doc_freq exceeds ``int(num_docs * max_percent_docs)`` are dropped
+    BEFORE scoring. The stop set is derived IN SQL from the same corpus —
+    an independent replay of the engine's ``IndexSearcher.auto_stop_set``
+    — so the oracle does not trust the engine's threshold arithmetic."""
+    values = ", ".join(
+        f"({cid}, '{t}', CAST(1 AS REAL))" for cid, t in enumerate(terms))
+    score = _leaf_score("(cl.boost * cl.idf)", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+clauses(clause_id, term, boost) AS (VALUES {values}),
+live AS (
+  SELECT cl.* FROM clauses cl, consts c
+  WHERE cl.term NOT IN (
+    SELECT df.term FROM df, consts c2
+    WHERE df.df > CAST(floor(c2.dc * {max_percent_docs!r}) AS BIGINT))
+),
+leaf_df AS (
+  SELECT cl.clause_id, cl.term, cl.boost,
+         {_idf_expr().replace('ldf.df', 'coalesce(df.df, 0)')} AS idf
+  FROM live cl LEFT JOIN df ON df.term = cl.term, consts c
+),
+scored AS (
+  SELECT tf.doc_id, cl.clause_id, {score} AS score
+  FROM tf
+  JOIN leaf_df cl ON cl.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, consts c
+),
+agg AS (
+  SELECT doc_id, sum(CAST(score AS DOUBLE)) AS should_s,
+         count(*) AS should_n
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(coalesce(should_s, 0) AS REAL) AS score
+FROM agg
+WHERE should_n >= 1
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()

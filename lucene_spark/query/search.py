@@ -231,6 +231,30 @@ class IndexSearcher:
             self._docmap = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
         return self._docmap
 
+    def auto_stop_set(self, max_percent_docs: float = 0.4,
+                      max_doc_freq: int | None = None,
+                      cap: int = 100_000) -> frozenset[str]:
+        """QueryAutoStopWordAnalyzer (query/QueryAutoStopWordAnalyzer.java:
+        50-140): the set of terms whose doc_freq EXCEEDS ``max_doc_freq``
+        (default ``int(num_docs * max_percent_docs)``, the reference's 40%
+        default). Used query-side: drop these terms from analyzed queries
+        before building scorers — the index is unchanged. The df filter
+        pushes down to the sorted term_dict parquet; the result is
+        driver-collected (bounded: by construction at most
+        sum_ttf/max_doc_freq terms can exceed the threshold — ``cap``
+        guards pathological thresholds)."""
+        if max_doc_freq is None:
+            max_doc_freq = int(self.doc_count * max_percent_docs)
+        rows = (
+            self.term_dict.filter(F.col("doc_freq") > max_doc_freq)
+            .select("term").limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"auto_stop_set: >{cap} terms above df {max_doc_freq}; "
+                "raise the threshold")
+        return frozenset(r["term"] for r in rows)
+
     # ------------------------------------------------------------ search
 
     def search(self, query: Query, k: int = 10) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Char filters (functions/charfilter.py): the reference's own
+TestMappingCharFilter goldens (terms + corrected offsets), the
+PatternReplaceCharFilter javadoc examples, corrector semantics, and chain
+stream/scalar agreement. PatternReplaceCharFilter is additionally
+compiled-class fuzzed by tools/tok_parity.py (prc mode) — MappingCharFilter
+is not (FST dependency); its goldens below come from the reference test."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from lucene_spark.functions.charfilter import (
+    MAPPING_DEMO,
+    OffsetCorrector,
+    mapping_char_filter,
+    pattern_replace_char_filter,
+)
+
+#: TestMappingCharFilter.normMap (charfilter/TestMappingCharFilter.java:44-61)
+NORM_MAP = {
+    "aa": "a", "bbb": "b", "cccc": "cc", "h": "i", "j": "jj", "k": "kkk",
+    "ll": "llll", "empty": "", "\U0001D122": "fclef",
+    "！": "full-width-exclamation",
+}
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("x", "x"), ("h", "i"), ("j", "jj"), ("k", "kkk"), ("ll", "llll"),
+    ("aa", "a"), ("bbb", "b"), ("cccc", "cc"), ("empty", ""),
+    ("\U0001D122", "fclef"), ("！", "full-width-exclamation"),
+])
+def test_mapping_reference_cases(inp, out):
+    got, _ = mapping_char_filter(inp, NORM_MAP)
+    assert got == out
+
+
+def test_mapping_token_stream_offsets():
+    """TestMappingCharFilter.testTokenStream golden: corrected offsets of
+    whitespace tokens in the mapped output equal the reference's."""
+    text = "h i j k ll cccc bbb aa"
+    mapped, corr = mapping_char_filter(text, NORM_MAP)
+    assert mapped == "i i jj kkk llll cc b a"
+    toks = []
+    pos = 0
+    for t in mapped.split(" "):
+        toks.append((t, corr.correct(pos), corr.correct(pos + len(t))))
+        pos += len(t) + 1
+    assert [t for t, _, _ in toks] == [
+        "i", "i", "jj", "kkk", "llll", "cc", "b", "a"]
+    assert [s for _, s, _ in toks] == [0, 2, 4, 6, 8, 11, 16, 20]
+    assert [e for _, _, e in toks] == [1, 3, 5, 7, 10, 15, 19, 22]
+
+
+def test_mapping_greedy_longest():
+    # longest pattern at a position wins; replacements are not rescanned
+    m = {"a": "x", "ab": "y", "x": "z"}
+    assert mapping_char_filter("aab", m)[0] == "xy"
+    assert mapping_char_filter("a", m)[0] == "x"  # 'x' output not rescanned
+
+
+def test_pattern_replace_char_javadoc():
+    # PatternReplaceCharFilter.java:31-39 examples
+    out, _ = pattern_replace_char_filter(
+        "aa  bb aa bb", r"(aa)\s+(bb)", r"\1#\2")
+    assert out == "aa#bb aa#bb"
+    out, corr = pattern_replace_char_filter("aa123bb", r"(aa)\d+(bb)", r"\1 \2")
+    assert out == "aa bb"
+    # the highlight-trouble example: 'bb' in the output maps back inside
+    # the replaced block
+    s, e = corr.correct(3), corr.correct(5)
+    assert (s, e) == (3, 7)
+
+
+def test_corrector_binary_search():
+    c = OffsetCorrector()
+    c.add(3, 2)
+    c.add(7, 5)
+    assert [c.correct(o) for o in (0, 2, 3, 6, 7, 10)] == [0, 2, 5, 8, 12, 15]
+    # same-offset add overwrites the diff (BaseCharFilter.java:88-94)
+    c.add(7, 9)
+    assert c.correct(7) == 16
+    with pytest.raises(ValueError):
+        c.add(5, 0)
+
+
+def test_chain_streams():
+    from lucene_spark.functions import analysis as an
+
+    terms, _pos, flen = an.STREAM_SCALARS["mapping_standard"](
+        "query the x axis")
+    assert terms == ["kwery", "the", "ks", "aksis"]
+    assert flen == 4
+    terms, _pos, flen = an.STREAM_SCALARS["pattern_replace_char"](
+        "merge dup scan dupdup")
+    assert terms == ["merge", "scan"]
+    assert flen == 2
+
+    texts = ["query the x axis", "merge dup scan", "", "qu qu x"]
+    for chain in ("mapping_standard", "pattern_replace_char"):
+        toks, incs = an.STREAM_TOKENIZERS[chain](pd.Series(texts))
+        for text, ts, isr in zip(texts, list(toks), list(incs)):
+            t2, _p2, f2 = an.STREAM_SCALARS[chain](text)
+            assert t2 == ts and f2 == sum(1 for i in isr if i > 0)
+
+
+def test_demo_map_oracle_equivalence():
+    """The entry oracle replays the mapping as sequential replace() —
+    valid because the demo map keys share no chars and no replacement
+    contains a key; pin that equivalence on adversarial inputs."""
+    for s in ("quxqu", "xqu", "qquu", "qxu", "ksqu", "kwx", "quuq"):
+        seq = s.replace("qu", "kw").replace("x", "ks")
+        assert mapping_char_filter(s, MAPPING_DEMO)[0] == seq

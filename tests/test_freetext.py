@@ -1,0 +1,74 @@
+"""FreeTextSuggester twin (operators/freetext.py): reference lookup
+semantics on a hand-built corpus — bigram completion with context count,
+trailing-space upgrade, 0.4-backoff unigram pass with seen-dedup, the
+Java fixed-point score arithmetic, and (score desc, key asc) ordering."""
+from __future__ import annotations
+
+import pytest
+
+from lucene_spark.operators.freetext import freetext_suggest
+
+DOCS = [
+    (0, "foo bar foo baz foo bar"),
+    (1, "foo bar boo foo"),
+    (2, "bar boo far foo"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _score(backoff: float, cnt: int, ctx: int) -> int:
+    return int((float(2 ** 63) * backoff) * float(cnt) / float(ctx))
+
+
+def test_trailing_space_bigram_only(spark, docs_df):
+    # "foo " -> bigram predictions from context 'foo' only (no unigrams)
+    got = [(r["suggestion"], r["score"])
+           for r in freetext_suggest(spark, docs_df, "foo ", 10).collect()]
+    # bigram counts: 'foo bar' x3 (doc0 twice, doc1 once), 'foo baz' x1;
+    # ctx = count(foo) = 6
+    assert got == [
+        ("foo bar", _score(1.0, 3, 6)),
+        ("foo baz", _score(1.0, 1, 6)),
+    ]
+
+
+def test_partial_with_backoff_and_dedup(spark, docs_df):
+    # "foo b": bigram completions foo bar/baz/boo... then unigram 'b*'
+    # at 0.4 backoff, skipping bar/baz/boo (seen)
+    got = [(r["suggestion"], r["score"])
+           for r in freetext_suggest(spark, docs_df, "foo b", 10).collect()]
+    # bigrams: foo bar cnt3, foo baz cnt1, ctx=6; unigram b* candidates
+    # bar(4)/baz(1) are seen, boo(2) survives ('foo boo' never occurs);
+    # tot = 14 tokens
+    assert ("foo bar", _score(1.0, 3, 6)) in got
+    assert ("foo baz", _score(1.0, 1, 6)) in got
+    assert ("boo", _score(0.4, 2, 14)) in got
+    # seen words not re-suggested as unigrams
+    assert all(s not in ("bar", "baz") for s, _ in got)
+    # final order: score desc, suggestion asc
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_unigram_only_and_empty(spark, docs_df):
+    got = [(r["suggestion"], r["score"])
+           for r in freetext_suggest(spark, docs_df, "f", 10).collect()]
+    # no context token at all -> the reference SKIPS the bigram pass
+    # without multiplying backoff (the bare `continue` at :527), so the
+    # unigram model predicts at backoff 1.0: foo(6), far(1), tot=14
+    assert got == [
+        ("foo", _score(1.0, 6, 14)),
+        ("far", _score(1.0, 1, 14)),
+    ]
+    assert freetext_suggest(spark, docs_df, "", 10).count() == 0
+    assert freetext_suggest(spark, docs_df, "zzz ", 10).count() == 0
+
+
+def test_num_truncation(spark, docs_df):
+    got = freetext_suggest(spark, docs_df, "b", 1).collect()
+    # b*: bar(4), boo(2), baz(1) -> top-1 = bar (backoff 1.0, no context)
+    assert [(r["suggestion"], r["score"]) for r in got] == [
+        ("bar", _score(1.0, 4, 14))]

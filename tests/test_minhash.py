@@ -1,0 +1,84 @@
+"""MinHashFilter port (functions/minhash.py): murmur128 public vectors,
+FixedSizeTreeSet quirk, rotation fill, chain stream/scalar agreement.
+Compiled-class parity: tools/tok_parity.py fuzzes the full filter (terms +
+posIncr) against the reference MinHashFilter; goldens below are generated
+from that harness."""
+from __future__ import annotations
+
+import pandas as pd
+
+from lucene_spark.functions.minhash import (
+    _fixed_add,
+    minhash_terms,
+    murmur3_x64_128,
+)
+
+
+def test_murmur3_public_vectors():
+    # canonical MurmurHash3 x64 128 vectors (Austin Appleby's reference)
+    assert murmur3_x64_128(b"", 0) == (0, 0)
+    h1, h2 = murmur3_x64_128(
+        b"The quick brown fox jumps over the lazy dog", 0)
+    assert f"{h1:016x}{h2:016x}" == "e34bbc7bbc071b6c7a433ca9c49a9347"
+    # seed masking: a negative-as-unsigned seed must not sign-extend
+    assert murmur3_x64_128(b"a", 0xFFFFFFFF) != murmur3_x64_128(b"a", 0)
+    # tail lengths 1..16 all distinct (exercises every switch arm)
+    hs = {murmur3_x64_128(bytes(range(n)), 0) for n in range(1, 17)}
+    assert len(hs) == 16
+
+
+def test_fixed_size_set_quirk():
+    """Adding an already-present key smaller than the max first evicts
+    the max (MinHashFilter.java:333-344 pollLast-before-failed-add)."""
+    s = [(1, 1), (2, 2), (3, 3)]
+    _fixed_add(s, (2, 2), 3)
+    assert s == [(1, 1), (2, 2)]
+    _fixed_add(s, (9, 9), 3)  # room again -> normal add
+    assert s == [(1, 1), (2, 2), (9, 9)]
+    _fixed_add(s, (9, 9), 3)  # >= last at capacity -> no-op
+    assert s == [(1, 1), (2, 2), (9, 9)]
+
+
+def test_minhash_stream_shape():
+    toks = ["the", "fast", "key", "order", "sort", "merge", "scan"]
+    # bottom-5 sketch: 5 terms, first posIncr 1, rest 0
+    out = minhash_terms(toks, 1, 1, 5, False)
+    assert len(out) == 5
+    assert [i for _, i in out] == [1, 0, 0, 0, 0]
+    terms = [t for t, _ in out]
+    assert terms == sorted(terms) and len(set(terms)) == 5
+    assert all(len(t) == 32 for t in terms)
+    # duplicates dedup (TreeSet semantics)
+    assert minhash_terms(["a", "a", "a"], 1, 1, 5, False) == \
+        minhash_terms(["a"], 1, 1, 5, False)
+    # rotation fills every bucket when hashSetSize == 1
+    out512 = minhash_terms(toks, 1, 512, 1, True)
+    assert len(out512) == 512
+    assert len(set(t for t, _ in out512)) <= len(toks)
+    # hashCount > 1 prefixes the hash ordinal (96-bit term: 8+16+8 hex)
+    out3 = minhash_terms(toks, 3, 1, 1, False)
+    assert [t[:8] for t, _ in out3] == ["00000000", "00000001", "00000002"]
+    assert all(len(t) == 32 for t, _ in out3)
+    assert minhash_terms([], 1, 512, 1, True) == []
+
+
+def test_minhash_chain_scalar_series_agree():
+    from lucene_spark.functions import analysis as an
+
+    texts = [
+        "the fast key order sort table scan merge part window small hash",
+        "merge scan",  # < 5 words -> no 5-shingles -> empty minhash stream
+        "",
+        "a b c d e f g",
+    ]
+    for chain in ("minhash", "minhash_unigram"):
+        series_fn = an.STREAM_TOKENIZERS[chain]
+        scalar_fn = an.STREAM_SCALARS[chain]
+        toks, incs = series_fn(pd.Series(texts))
+        for text, ts, isr in zip(texts, list(toks), list(incs)):
+            terms, pos, flen = scalar_fn(text)
+            assert terms == ts
+            assert flen == sum(1 for i in isr if i > 0)
+    # all minhash terms share one position -> field_len 1
+    terms, pos, flen = an.STREAM_SCALARS["minhash_unigram"](texts[0])
+    assert flen == 1 and set(pos) == {0}

@@ -1,0 +1,41 @@
+"""No-Spark scaling control: a tokenize/explode/count-shaped pandas
+workload (the index build's hot phase, minus Spark/JVM/parquet IO) run at
+two multiprocessing levels. Used to separate machine state from job
+structure when a Spark scaling session comes in depressed: if THIS probe
+scales ~1.0 at 1->4 while the Spark pair does not, the residual is
+IO/JVM-side noise, not a serial section in the job (and vice versa — on
+the 8->32 bandwidth ceiling this probe reproduces the collapse).
+
+Usage: python tools/scaling_control_probe.py  ->  one JSON line.
+"""
+import json, multiprocessing as mp, random, sys, time
+import pandas as pd
+
+def make_chunk(seed):
+    rng = random.Random(seed)
+    vocab = ["ba","bi0","merge","scan","the","gabe","tasaza","query","sort","dup"]
+    return pd.Series([" ".join(rng.choice(vocab) for _ in range(40))
+                      for _ in range(4000)])
+
+CHUNKS = [make_chunk(i) for i in range(48)]
+
+def work(i):
+    s = CHUNKS[i % len(CHUNKS)]
+    t = s.str.findall(r"[a-z0-9]+")
+    ex = t.explode()
+    return int(ex.groupby(ex).size().sum())
+
+def run(nproc, items=96):
+    t0 = time.time()
+    with mp.Pool(nproc) as p:
+        list(p.map(work, range(items)))
+    dt = time.time() - t0
+    return items / dt
+
+if __name__ == "__main__":
+    r = {}
+    for n in (1, 4):
+        best = max(run(n) for _ in range(2))
+        r[n] = round(best, 2)
+    r["efficiency_1_to_4"] = round((r[4] / r[1]) / 4, 3)
+    print(json.dumps(r))

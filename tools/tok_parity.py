@@ -69,6 +69,34 @@ public class PositionIncrementAttribute {
   public int getPositionIncrement() { return inc; }
 }
 """,
+    "org/apache/lucene/analysis/tokenattributes/TypeAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class TypeAttribute {
+  private String type = "word";
+  public void setType(String t) { type = t; }
+  public String type() { return type; }
+}
+""",
+    "org/apache/lucene/analysis/tokenattributes/PositionLengthAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class PositionLengthAttribute {
+  private int len = 1;
+  public void setPositionLength(int l) { len = l; }
+  public int getPositionLength() { return len; }
+}
+""",
+    "org/apache/lucene/util/BitUtil.java": """
+package org.apache.lucene.util;
+public class BitUtil {
+  public static final BeInt VH_BE_INT = new BeInt();
+  public static class BeInt {
+    public void set(byte[] b, int off, int v) {
+      b[off] = (byte) (v >> 24); b[off + 1] = (byte) (v >> 16);
+      b[off + 2] = (byte) (v >> 8); b[off + 3] = (byte) v;
+    }
+  }
+}
+""",
     "org/apache/lucene/analysis/TokenStream.java": """
 package org.apache.lucene.analysis;
 import java.io.IOException;
@@ -77,11 +105,15 @@ public abstract class TokenStream {
   public CharTermAttribute termAtt = new CharTermAttribute();
   public OffsetAttribute offsetAtt = new OffsetAttribute();
   public PositionIncrementAttribute posAtt = new PositionIncrementAttribute();
+  public TypeAttribute typeAtt = new TypeAttribute();
+  public PositionLengthAttribute posLenAtt = new PositionLengthAttribute();
   @SuppressWarnings("unchecked")
   public <T> T addAttribute(Class<T> cls) {
     if (cls == CharTermAttribute.class) return (T) termAtt;
     if (cls == OffsetAttribute.class) return (T) offsetAtt;
     if (cls == PositionIncrementAttribute.class) return (T) posAtt;
+    if (cls == TypeAttribute.class) return (T) typeAtt;
+    if (cls == PositionLengthAttribute.class) return (T) posLenAtt;
     throw new RuntimeException("no attr " + cls);
   }
   public abstract boolean incrementToken() throws IOException;
@@ -124,6 +156,7 @@ public abstract class TokenFilter extends TokenStream {
   protected final TokenStream input;
   protected TokenFilter(TokenStream in) {
     input = in; termAtt = in.termAtt; offsetAtt = in.offsetAtt; posAtt = in.posAtt;
+    typeAtt = in.typeAtt; posLenAtt = in.posLenAtt;
   }
   @Override public void reset() throws IOException { input.reset(); }
 }
@@ -131,6 +164,27 @@ public abstract class TokenFilter extends TokenStream {
     "org/apache/lucene/util/AttributeFactory.java": """
 package org.apache.lucene.util;
 public class AttributeFactory {}
+""",
+    "org/apache/lucene/util/ArrayUtil.java": """
+package org.apache.lucene.util;
+public class ArrayUtil {
+  public static int[] grow(int[] a) { return java.util.Arrays.copyOf(a, a.length * 2); }
+}
+""",
+    "org/apache/lucene/analysis/CharFilter.java": """
+package org.apache.lucene.analysis;
+import java.io.IOException;
+import java.io.Reader;
+public abstract class CharFilter extends Reader {
+  protected final Reader input;
+  public CharFilter(Reader input) { this.input = input; }
+  @Override public void close() throws IOException { input.close(); }
+  protected abstract int correct(int currentOff);
+  public final int correctOffset(int currentOff) {
+    int corrected = correct(currentOff);
+    return (input instanceof CharFilter) ? ((CharFilter) input).correctOffset(corrected) : corrected;
+  }
+}
 """,
     "org/apache/lucene/util/IgnoreRandomChains.java": """
 package org.apache.lucene.util;
@@ -186,6 +240,21 @@ public class Main {
       return true;
     }
   }
+  static class ListTokens extends TokenStream {
+    String[] toks; int i = 0;
+    ListTokens(String[] t) { toks = t; }
+    public boolean incrementToken() {
+      if (i >= toks.length) return false;
+      clearAttributes();
+      termAtt.setEmpty().append(toks[i++]);
+      return true;
+    }
+  }
+  static String hexUnits(String s) {
+    StringBuilder b = new StringBuilder();
+    for (int i = 0; i < s.length(); i++) b.append(String.format("%04x", (int) s.charAt(i)));
+    return b.toString();
+  }
   public static void main(String[] args) throws Exception {
     BufferedReader in = new BufferedReader(new InputStreamReader(System.in, StandardCharsets.UTF_8));
     PrintWriter out = new PrintWriter(new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
@@ -238,6 +307,33 @@ public class Main {
             res.append(b64(ts.termAtt.toString())).append(':')
                .append(ts.posAtt.getPositionIncrement());
           }
+        } else if (f[0].equals("minhash")) {
+          int hc = Integer.parseInt(f[1]);
+          int bc = Integer.parseInt(f[2]);
+          int hss = Integer.parseInt(f[3]);
+          boolean rot = f[4].equals("1");
+          String raw = unb64(f[5]);
+          String[] toks = raw.isEmpty() ? new String[0] : raw.split("\\u0001", -1);
+          TokenStream ts = new org.apache.lucene.analysis.minhash.MinHashFilter(
+              new ListTokens(toks), hc, bc, hss, rot);
+          while (ts.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(hexUnits(ts.termAtt.toString())).append(':')
+               .append(ts.posAtt.getPositionIncrement());
+          }
+        } else if (f[0].equals("prc")) {
+          Pattern p = Pattern.compile(unb64(f[1]));
+          String repl = unb64(f[2]);
+          String text = unb64(f[3]);
+          org.apache.lucene.analysis.CharFilter cf =
+              new PatternReplaceCharFilter(p, repl, new StringReader(text));
+          StringBuilder sb = new StringBuilder();
+          int c;
+          while ((c = cf.read()) != -1) sb.append((char) c);
+          res.append(b64(sb.toString()));
+          for (int i = 0; i <= sb.length() + 2; i++) {
+            res.append(':').append(cf.correctOffset(i));
+          }
         } else if (f[0].equals("prep")) {
           boolean all = f[1].equals("1");
           Pattern p = Pattern.compile(unb64(f[2]));
@@ -269,6 +365,9 @@ REF_FILES = [
     "pattern/PatternTokenizer.java",
     "pattern/PatternCaptureGroupTokenFilter.java",
     "pattern/PatternReplaceFilter.java",
+    "minhash/MinHashFilter.java",
+    "charfilter/BaseCharFilter.java",
+    "pattern/PatternReplaceCharFilter.java",
 ]
 
 
@@ -355,6 +454,33 @@ def fuzz(n: int) -> None:
         lines.append("\t".join(["pcap", "1" if preserve else "0",
                                 b64("".join(pats)), b64(tok)]))
 
+    # --- minhash (token lists incl. duplicates to hit the FixedSizeTreeSet
+    # evict-then-failed-add quirk, multi-word shingle-like tokens, unicode)
+    mh_vocab = ["the", "fast key", "merge scan", "a", "naïve", "東京 data",
+                "sort", "x" * 17, "the", "q"]
+    for _ in range(n // 2):
+        hc = rng.choice([1, 1, 2, 3])
+        bc = rng.choice([1, 4, 16, 512])
+        hss = rng.choice([1, 1, 2, 5])
+        rot = rng.random() < 0.5
+        ntok = rng.randrange(0, 12)
+        toks = [rng.choice(mh_vocab) for _ in range(ntok)]
+        cases.append(("minhash", hc, bc, hss, rot, toks))
+        lines.append("\t".join(["minhash", str(hc), str(bc), str(hss),
+                                "1" if rot else "0", b64("\x01".join(toks))]))
+
+    # --- prc (PatternReplaceCharFilter: output text + every correctOffset)
+    prc_pats = [(r"dup", ""), (r"(aa)\s+(bb)", "$1#$2"),
+                (r"(aa)[0-9]+(bb)", "$1 $2"), (r"b+", "B"),
+                (r"(a)", "<$1>")]
+    prc_alpha = "ab dup19 b"
+    for _ in range(n // 2):
+        pat, repl = rng.choice(prc_pats)
+        text = "".join(rng.choice(prc_alpha)
+                       for _ in range(rng.randrange(0, 16)))
+        cases.append(("prc", pat, repl, text))
+        lines.append("\t".join(["prc", b64(pat), b64(repl), b64(text)]))
+
     # --- prep
     prep_pats = [(r"[aeiou]+", "_"), (r"(a)", "<$1>"), (r"b+", ""),
                  (r"^x", "y")]
@@ -376,7 +502,8 @@ def fuzz(n: int) -> None:
             bad += 1
             continue
         toks = [t.split(":") for t in out.split(" ") if t]
-        jterms = [base64.b64decode(t[0]).decode() for t in toks]
+        if case[0] not in ("minhash", "prc"):
+            jterms = [base64.b64decode(t[0]).decode() for t in toks]
         if case[0] in ("path", "rpath"):
             _m, delim, repl, skip, text = case
             fn = path_tokens if case[0] == "path" else reverse_path_tokens
@@ -401,6 +528,28 @@ def fuzz(n: int) -> None:
             jincs = [int(t[1]) for t in toks]
             ok = (jterms == mine
                   and jincs == [1] + [0] * (len(mine) - 1))
+        elif case[0] == "prc":
+            _m, pat, repl, text = case
+            from lucene_spark.functions.charfilter import (
+                pattern_replace_char_filter,
+            )
+            parts = out.split(":")
+            jout = base64.b64decode(parts[0]).decode()
+            jcorr = [int(x) for x in parts[1:]]
+            mytext, corr = pattern_replace_char_filter(
+                text, pat, repl.replace("$1", "\\1").replace("$2", "\\2"))
+            mycorr = [corr.correct(i) for i in range(len(mytext) + 3)]
+            ok = jout == mytext and jcorr == mycorr
+        elif case[0] == "minhash":
+            _m, hc, bc, hss, rot, toksin = case
+            from lucene_spark.functions.minhash import minhash_terms
+            mine = minhash_terms(toksin, hc, bc, hss, rot)
+            jincs = [int(t[1]) for t in toks]
+            # Java terms are raw UTF-16 code units; hexUnits(term) equals
+            # the Python port's hex encoding by construction
+            jraw = [t[0] for t in toks]
+            ok = (jraw == [t for t, _ in mine]
+                  and jincs == [i for _, i in mine])
         else:
             _m, pat, repl, allm, tok = case
             pyrepl = repl.replace("$1", "\\1")
