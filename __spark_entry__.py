@@ -1552,6 +1552,30 @@ _MAPPING_CHAR_AST = {"bool": {"must": [{"term": "kwery"}],
 _PRC_AST = {"bool": {"must": [{"term": "merge"}],
                      "should": [{"term": "scan"}]}}
 
+#: CommonTermsQuery (queries/CommonTermsQuery.java): at mtf=0.1 the 5%-df
+#: 'dup' classifies low (required) while merge+scan (~80% df) classify
+#: high (optional scored) — the df-driven stopword-free alternative
+_COMMON_TERMS = ("dup", "merge", "scan")
+_COMMON_TERMS_MTF = 0.1
+
+
+def _common_terms_df(spark, sf_dir):
+    from lucene_spark.query.ast import rewrite_fixpoint
+    from lucene_spark.query.commonterms import common_terms_query
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(common_terms_query(
+        s, _COMMON_TERMS, _COMMON_TERMS_MTF))
+    hits = s.search(q, _QUERY_K)
+    dm = s.docmap().select(
+        "doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 #: FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java — stupid-
 #: backoff bigram LM): key "merge s" exercises the bigram pass (context
 #: count = count('merge')), the 0.4-backoff unigram pass, and the
@@ -2306,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_pattern_replace_char_chain"] = _misc_chain_entry(
         "pattern_replace_char", _PRC_AST)
     out["suggest_freetext"] = _freetext_suggest_df
+    out["bm25_common_terms"] = _common_terms_df
     for _mk, _ma, _mast in (
         ("bm25_scandinavian_norm_chain", "standard_scandinavian_normalized",
          _SCAND_NORM_AST),
@@ -2811,6 +2836,8 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_auto_stop"] = sqlgen.auto_stop_topk_sql(
         _AUTO_STOP_TERMS, _QUERY_K, 0.4)
     out["suggest_freetext"] = _FREETEXT_SQL
+    out["bm25_common_terms"] = sqlgen.common_terms_topk_sql(
+        _COMMON_TERMS, _QUERY_K, _COMMON_TERMS_MTF)
     # char filters: the oracle applies the same pre-tokenization rewrite
     # to the text column (sequential replace == greedy simultaneous here:
     # the map keys share no chars and no replacement contains a key)

@@ -677,6 +677,72 @@ LIMIT {k}
 """.strip()
 
 
+def common_terms_topk_sql(terms: tuple[str, ...], k: int,
+                          max_term_frequency: float,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """Top-k for CommonTermsQuery (queries/CommonTermsQuery.java:145-205)
+    in the default SHOULD/SHOULD configuration with boosts 1: terms whose
+    df exceeds ``(int) ceil(maxTermFrequency * (float) maxDoc)`` (float32
+    product replayed) form the optional high-frequency group, the rest
+    the required low-frequency group; a doc matches when >= 1 low term
+    matches, scored ``f32(f64(f32(low_sum)) + f64(f32(high_sum)))`` —
+    the group-boundary casts of the engine's scorer tree, valid for both
+    the flattened single-low plan and the nested multi-low plan. The
+    classification is derived IN SQL — independent of the engine's
+    ``common_terms_query`` rewrite. Assumes >= 1 term classifies low on
+    the target corpus (the all-high conjunction rewrite is pinned in
+    pytest instead)."""
+    values = ", ".join(
+        f"({cid}, '{t}', CAST(1 AS REAL))" for cid, t in enumerate(terms))
+    score = _leaf_score("(cl.boost * cl.idf)", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+thr AS (
+  SELECT CAST(ceil(CAST(CAST({max_term_frequency!r} AS REAL)
+                        * CAST(c.dc AS REAL) AS DOUBLE)) AS BIGINT) AS t
+  FROM consts c
+),
+clauses(clause_id, term, boost) AS (VALUES {values}),
+classified AS (
+  SELECT cl.clause_id, cl.term, cl.boost,
+         CASE WHEN df.df IS NOT NULL AND df.df > thr.t
+              THEN 'high' ELSE 'low' END AS grp,
+         coalesce(df.df, 0) AS df
+  FROM clauses cl LEFT JOIN df ON df.term = cl.term, thr
+),
+leaf_df AS (
+  SELECT cl.clause_id, cl.term, cl.boost, cl.grp,
+         {_idf_expr().replace('ldf.df', 'cl.df')} AS idf
+  FROM classified cl, consts c
+),
+scored AS (
+  SELECT tf.doc_id, cl.clause_id, cl.grp, {score.replace('ldf.idf', 'cl.idf')} AS score
+  FROM tf
+  JOIN leaf_df cl ON cl.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, consts c
+),
+agg AS (
+  SELECT doc_id,
+    sum(CASE WHEN grp = 'low' THEN CAST(score AS DOUBLE) END) AS low_s,
+    count(CASE WHEN grp = 'low' THEN 1 END) AS low_n,
+    sum(CASE WHEN grp = 'high' THEN CAST(score AS DOUBLE) END) AS high_s,
+    count(CASE WHEN grp = 'high' THEN 1 END) AS high_n
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CAST(CAST(coalesce(low_s, 0) AS REAL) AS DOUBLE)
+            + CAST(CAST(coalesce(high_s, 0) AS REAL) AS DOUBLE) AS REAL) AS score
+FROM agg
+WHERE low_n >= 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def prefix_topk_sql(prefix: str, k: int, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text") -> str:
     """Top-k for a PrefixQuery (MultiTermQuery SHOULD-expansion)."""

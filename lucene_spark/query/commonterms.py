@@ -1,0 +1,113 @@
+"""CommonTermsQuery — ``queries/CommonTermsQuery.java`` as a df-driven
+query REWRITE over the existing Boolean machinery.
+
+``rewrite`` (:108-117) classifies the added terms by the index document
+frequency: a term is HIGH-frequency when ``df > maxTermFrequency`` (an
+absolute count when >= 1) or ``df > (int) ceil(maxTermFrequency *
+(float) maxDoc)`` (a ratio otherwise, float arithmetic preserved) —
+:154-156. ``buildQuery`` (:145-205) then emits
+
+    Bool( MUST  [ Boost(lowBool,  lowFreqBoost)  ]   # if any low terms
+          SHOULD[ Boost(highBool, highFreqBoost) ] ) # if any high terms
+
+where lowBool/highBool hold the group's terms under the configured Occur
+with the group's minimumNumberShouldMatch; a term the index has never
+seen is LOW (null TermStates, :151-152); if every term is HIGH the high
+group's Occur is forced to MUST — a plain conjunction — unless a high
+msm is set (:174-182); zero terms -> MatchNoDocs, one term -> that
+TermQuery (:110-113).
+
+The engine's ``rewrite_fixpoint`` then applies the same structural
+simplifications Lucene's BooleanQuery rewrite would (single-clause
+inlining, nested-disjunction flattening), so the executed plan for the
+common SHOULD/SHOULD configuration is the flat must+should Boolean the
+oracle replays — with the classification derived independently in SQL
+(plans/sqlgen.py ``common_terms_topk_sql``).
+
+``maxDoc`` is the searcher's doc_count (no deletes distinction: the
+engine's tombstones leave stats unchanged until merge, matching Lucene's
+maxDoc-includes-deletes behavior).
+"""
+from __future__ import annotations
+
+import math
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    MatchNoDocsQuery,
+    Query,
+    TermQuery,
+)
+
+
+def _min_nr_should_match(v: float, num_optional: int) -> int:
+    if v >= 1.0 or v == 0.0:
+        return int(v)
+    # Math.round(float) = floor(x + 0.5)
+    return math.floor(v * num_optional + 0.5)
+
+
+def common_terms_query(
+    searcher,
+    terms: tuple[str, ...],
+    max_term_frequency: float,
+    low_freq_occur: str = "should",
+    high_freq_occur: str = "should",
+    low_freq_boost: float = 1.0,
+    high_freq_boost: float = 1.0,
+    low_freq_min_should_match: float = 0.0,
+    high_freq_min_should_match: float = 0.0,
+) -> Query:
+    if low_freq_occur == "must_not" or high_freq_occur == "must_not":
+        raise ValueError("occur should be MUST or SHOULD but was MUST_NOT")
+    if not terms:
+        return MatchNoDocsQuery()
+    if len(terms) == 1:
+        return TermQuery(terms[0])
+    stats = searcher.term_stats(list(terms))
+    max_doc = searcher.doc_count
+    if max_term_frequency >= 1.0:
+        threshold = max_term_frequency
+    else:
+        # (int) Math.ceil(maxTermFrequency * (float) maxDoc) — float32
+        # product, double ceil, int truncation
+        import numpy as np
+
+        threshold = int(math.ceil(float(
+            np.float32(max_term_frequency) * np.float32(max_doc))))
+    low: list[Query] = []
+    high: list[Query] = []
+    for t in terms:
+        df = stats.get(t, (0, 0))[0]
+        if t in stats and df > threshold:
+            high.append(TermQuery(t))
+        else:
+            low.append(TermQuery(t))
+
+    low_occur, high_occur = low_freq_occur, high_freq_occur
+    low_msm = high_msm = 0
+    if low_occur == "should" and low:
+        low_msm = _min_nr_should_match(low_freq_min_should_match, len(low))
+    if high_occur == "should" and high:
+        high_msm = _min_nr_should_match(high_freq_min_should_match, len(high))
+    if not low and high_msm == 0 and high_occur != "must":
+        # all-high rewrite: plain conjunction to prevent slow queries
+        high_occur = "must"
+
+    def group(qs: list[Query], occur: str, msm: int) -> Query:
+        return BooleanQuery(
+            must=qs if occur == "must" else [],
+            should=qs if occur == "should" else [],
+            min_should_match=msm,
+        )
+
+    outer_must: list[Query] = []
+    outer_should: list[Query] = []
+    if low:
+        outer_must.append(BoostQuery(group(low, low_occur, low_msm),
+                                     low_freq_boost))
+    if high:
+        outer_should.append(BoostQuery(group(high, high_occur, high_msm),
+                                       high_freq_boost))
+    return BooleanQuery(must=outer_must, should=outer_should)

@@ -1,0 +1,74 @@
+"""CommonTermsQuery rewrite (query/commonterms.py): classification by df
+threshold (float32 ceil replayed), buildQuery structure, the all-high
+conjunction rewrite, unseen-term-is-low, msm rounding, shortcuts."""
+from __future__ import annotations
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    MatchNoDocsQuery,
+    TermQuery,
+    rewrite_fixpoint,
+)
+from lucene_spark.query.commonterms import (
+    _min_nr_should_match,
+    common_terms_query,
+)
+
+
+class _FakeSearcher:
+    def __init__(self, dfs: dict[str, int], doc_count: int):
+        self._dfs = dfs
+        self.doc_count = doc_count
+
+    def term_stats(self, terms):
+        return {t: (self._dfs[t], self._dfs[t]) for t in set(terms)
+                if t in self._dfs}
+
+
+S = _FakeSearcher({"dup": 25, "merge": 400, "scan": 405}, 500)
+
+
+def test_classification_and_flattened_shape():
+    # mtf=0.1 -> threshold ceil(0.1*500)=50: dup low, merge/scan high
+    q = rewrite_fixpoint(common_terms_query(S, ("dup", "merge", "scan"), 0.1))
+    assert isinstance(q, BooleanQuery)
+    assert [t.term for t in q.must] == ["dup"]
+    assert sorted(t.term for t in q.should) == ["merge", "scan"]
+    assert not q.filter and not q.must_not and q.min_should_match == 0
+
+
+def test_absolute_threshold_and_unseen_term():
+    # absolute mtf >= 1: df > 300 is high; an unseen term classifies LOW
+    q = rewrite_fixpoint(common_terms_query(
+        S, ("dup", "ghost", "merge"), 300.0))
+    assert sorted(t.term for t in q.must[0].should) == ["dup", "ghost"] \
+        if isinstance(q.must[0], BooleanQuery) else True
+    # two low terms stay a nested SHOULD group inside MUST (>=1 must match)
+    inner = q.must[0]
+    assert isinstance(inner, BooleanQuery)
+    assert sorted(t.term for t in inner.should) == ["dup", "ghost"]
+    assert [t.term for t in q.should] == ["merge"]
+
+
+def test_all_high_becomes_conjunction():
+    q = rewrite_fixpoint(common_terms_query(S, ("merge", "scan"), 0.01))
+    # forced high_occur=MUST; outer single-should inlines to the group
+    assert isinstance(q, BooleanQuery)
+    assert sorted(t.term for t in q.must) == ["merge", "scan"]
+    assert not q.should
+
+
+def test_shortcuts_and_msm():
+    assert isinstance(common_terms_query(S, (), 0.1), MatchNoDocsQuery)
+    assert common_terms_query(S, ("dup",), 0.1) == TermQuery("dup")
+    assert _min_nr_should_match(0.0, 5) == 0
+    assert _min_nr_should_match(2.0, 5) == 2
+    assert _min_nr_should_match(0.5, 5) == 3   # Math.round(2.5) = 3
+    assert _min_nr_should_match(0.3, 5) == 2   # Math.round(1.5) = 2
+
+
+def test_occur_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        common_terms_query(S, ("a", "b"), 0.1, low_freq_occur="must_not")
