@@ -105,3 +105,111 @@ def enumerate_combinations(
             if len(combined) <= max_combine_length:
                 cands.append((start, run, combined))
     return cands
+
+
+# ---------------------------------------------------------------------------
+# pluggable StringDistance implementations (DirectSpellChecker.setDistance
+# surface). All three return SIMILARITY in [0,1] (higher = closer) in the
+# reference's float32 arithmetic; each is fuzz-verified bit-exact against
+# its compiled reference class by tools/tok_parity.py (dist mode).
+
+def jaro_winkler(s1: str, s2: str, threshold: float = 0.7) -> np.float32:
+    """suggest/spell/JaroWinklerDistance.java:38-106 — including the
+    reference QUIRK that the Winkler prefix bonus is NOT capped at 4
+    chars (the loop counts the full common prefix of the shorter term)."""
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_idx = [-1] * len(mn)
+    match_flags = [False] * len(mx)
+    matches = 0
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_idx[mi] = xi
+                match_flags[xi] = True
+                matches += 1
+                break
+    ms1 = [mn[i] for i in range(len(mn)) if match_idx[i] != -1]
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    transpositions = sum(1 for a, b in zip(ms1, ms2) if a != b) // 2
+    prefix = 0
+    for mi in range(len(mn)):
+        if s1[mi] == s2[mi]:
+            prefix += 1
+        else:
+            break
+    if matches == 0:
+        return np.float32(0.0)
+    f = np.float32
+    m = f(matches)
+    j = f(f(f(m / f(len(s1))) + f(m / f(len(s2)))
+            + f(f(m - f(transpositions)) / m)) / f(3))
+    if j < f(threshold):
+        return j
+    return f(j + f(f(min(f(0.1), f(f(1) / f(len(mx)))) * f(prefix))
+                   * f(f(1) - j)))
+
+
+def ngram_similarity(source: str, target: str, n: int = 2) -> np.float32:
+    """suggest/spell/NGramDistance.java:49-134 — positional n-gram DP
+    with the null-prefix discount; float32 cost cells."""
+    f = np.float32
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return f(1.0) if sl == tl else f(0.0)
+    if sl < n or tl < n:
+        cost = sum(1 for i in range(min(sl, tl))
+                   if source[i] == target[i])
+        return f(f(cost) / f(max(sl, tl)))
+    sa = "\x00" * (n - 1) + source
+    p = [f(i) for i in range(sl + 1)]
+    d = [f(0)] * (sl + 1)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = "\x00" * (n - j) + target[:j]
+        else:
+            t_j = target[j - n:j]
+        d[0] = f(j)
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\x00":
+                    tn -= 1
+            ec = f(f(cost) / f(tn))
+            d[i] = min(min(f(d[i - 1] + f(1)), f(p[i] + f(1))),
+                       f(p[i - 1] + ec))
+        p, d = d, p
+    return f(f(1.0) - f(p[sl] / f(max(tl, sl))))
+
+
+def lucene_levenshtein(target: str, other: str) -> np.float32:
+    """suggest/spell/LuceneLevenshteinDistance.java:44-106 — codepoint
+    DP with parallel-edit transpositions, similarity 1 - d/min(m,n)."""
+    tp = [ord(c) for c in target]
+    op = [ord(c) for c in other]
+    # codepoints: Python strings are already codepoint sequences
+    n, m = len(tp), len(op)
+    if n == 0 or m == 0:
+        return np.float32(0.0) if n == m else np.float32(max(n, m))
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for j in range(1, m + 1):
+        t_j = op[j - 1]
+        for i in range(1, n + 1):
+            cost = 0 if tp[i - 1] == t_j else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and tp[i - 1] == op[j - 2]
+                    and tp[i - 2] == op[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    f = np.float32
+    return f(f(1.0) - f(f(d[n][m]) / f(min(m, n))))

@@ -1493,6 +1493,40 @@ class IndexSearcher:
                 F.col("_d") <= max_edits
             )
             dist = F.col("_d").cast("double")
+        elif distance in ("jaro_winkler", "ngram", "lucene_levenshtein"):
+            # pluggable StringDistance surface (DirectSpellChecker.
+            # setDistance): candidates still come from the max_edits
+            # enumeration (the reference's automaton gate), the plugged
+            # distance supplies the SCORE directly (functions/spell.py
+            # ports, compiled-class fuzzed). OSA pre-gate as above.
+            cand = cand.filter(F.levenshtein("term", tl) <= 2 * max_edits)
+            qt, dname, me = term, distance, max_edits
+
+            @F.pandas_udf("float")
+            def _plug(terms: pd.Series) -> pd.Series:
+                from lucene_spark.functions.spell import (
+                    jaro_winkler,
+                    lucene_levenshtein,
+                    ngram_similarity,
+                    osa_distance,
+                )
+
+                fn = {"jaro_winkler": jaro_winkler,
+                      "ngram": ngram_similarity,
+                      "lucene_levenshtein": lucene_levenshtein}[dname]
+                return pd.Series(
+                    [float(fn(t, qt)) if osa_distance(t, qt) <= me
+                     else float("nan") for t in terms.astype(str)],
+                    dtype="float32")
+
+            # Arrow maps the gate's NaN sentinel to SQL NULL
+            cand = (cand.withColumn("_s", _plug(F.col("term")))
+                    .filter(F.col("_s").isNotNull() & ~F.isnan("_s")))
+            return (
+                cand.select("term", F.col("_s").alias("score"), "doc_freq")
+                .orderBy(F.desc("score"), F.desc("doc_freq"), F.asc("term"))
+                .limit(k)
+            )
         else:
             raise ValueError(f"unknown spell distance {distance!r}")
         sim = (

@@ -387,3 +387,64 @@ def test_suggest_index_artifact(spark, corpus_docs, tmp_path):
     m2 = build_suggest_index(docs.limit(10), d)
     assert m2["n_rows"] == 10
     assert load_suggest_dict(spark, d).count() <= 10
+
+
+def test_pluggable_spell_distances(searcher, small_corpus):
+    """DirectSpellChecker.setDistance surface: the three pluggable
+    StringDistance ports (compiled-class fuzzed bit-exact by
+    tools/tok_parity.py dist mode) rank candidates by their own score;
+    cross-check the per-candidate scores against the scalar fns."""
+    from lucene_spark.functions.analysis import tokenize_one
+    from lucene_spark.functions.spell import (
+        jaro_winkler,
+        lucene_levenshtein,
+        ngram_similarity,
+        osa_distance,
+    )
+
+    tok = next(
+        t.lower() for t in tokenize_one(small_corpus["text"].iloc[0])
+        if len(t) >= 4
+    )
+    typo = tok[:-1] + ("x" if tok[-1] != "x" else "y")
+    fns = {"jaro_winkler": jaro_winkler, "ngram": ngram_similarity,
+           "lucene_levenshtein": lucene_levenshtein}
+    for name, fn in fns.items():
+        rows = searcher.suggest_spell(typo, 10, max_edits=2,
+                                      distance=name).collect()
+        assert rows, name
+        for r in rows:
+            assert osa_distance(r["term"], typo) <= 2
+            assert np.float32(r["score"]) == np.float32(fn(r["term"], typo))
+        scores = [np.float32(r["score"]) for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert any(r["term"] == tok for r in rows), name
+
+
+def test_spell_distance_reference_goldens():
+    """Textbook + javadoc values (all verified against the compiled
+    reference classes by the dist-mode fuzz)."""
+    import struct
+
+    from lucene_spark.functions.spell import (
+        jaro_winkler,
+        lucene_levenshtein,
+        ngram_similarity,
+    )
+
+    def bits(x):
+        return struct.unpack("<i", np.float32(x).tobytes())[0]
+
+    assert bits(jaro_winkler("martha", "marhta")) == bits(np.float32(0.96111107))
+    assert bits(jaro_winkler("dixon", "dicksonx")) == bits(np.float32(0.81333333))
+    assert jaro_winkler("", "abc") == np.float32(0.0)
+    # LuceneLevenshtein javadoc: "ab" vs "bca" has distance 3 (parallel
+    # edits) -> similarity 1 - 3/2 = -0.5 (negative is reference behavior)
+    assert lucene_levenshtein("ab", "bca") == np.float32(-0.5)
+    assert lucene_levenshtein("the", "the") == np.float32(1.0)
+    # empty-side quirk: the reference returns max(n, m), not a similarity
+    assert lucene_levenshtein("", "abcd") == np.float32(4.0)
+    assert ngram_similarity("", "") == np.float32(1.0)
+    assert ngram_similarity("a", "") == np.float32(0.0)
+    # short-string arm: positional char matches / max length
+    assert ngram_similarity("a", "ab") == np.float32(0.5)

@@ -321,6 +321,16 @@ public class Main {
             res.append(hexUnits(ts.termAtt.toString())).append(':')
                .append(ts.posAtt.getPositionIncrement());
           }
+        } else if (f[0].equals("dist")) {
+          String which = f[1];
+          String a = unb64(f[2]);
+          String b = unb64(f[3]);
+          org.apache.lucene.search.spell.StringDistance sd;
+          if (which.equals("jw")) sd = new org.apache.lucene.search.spell.JaroWinklerDistance();
+          else if (which.equals("ng2")) sd = new org.apache.lucene.search.spell.NGramDistance();
+          else if (which.equals("ng3")) sd = new org.apache.lucene.search.spell.NGramDistance(3);
+          else sd = new org.apache.lucene.search.spell.LuceneLevenshteinDistance();
+          res.append(Float.floatToIntBits(sd.getDistance(a, b)));
         } else if (f[0].equals("prc")) {
           Pattern p = Pattern.compile(unb64(f[1]));
           String repl = unb64(f[2]);
@@ -370,6 +380,30 @@ REF_FILES = [
     "pattern/PatternReplaceCharFilter.java",
 ]
 
+#: suggest-module spell distances, compiled with their own tiny shims
+SPELL_REF = "/root/reference/lucene/suggest/src/java/org/apache/lucene/search/suggest"
+SPELL_FILES = [
+    ("/root/reference/lucene/suggest/src/java/org/apache/lucene/search/spell/JaroWinklerDistance.java",
+     "org/apache/lucene/search/spell/JaroWinklerDistance.java"),
+    ("/root/reference/lucene/suggest/src/java/org/apache/lucene/search/spell/NGramDistance.java",
+     "org/apache/lucene/search/spell/NGramDistance.java"),
+    ("/root/reference/lucene/suggest/src/java/org/apache/lucene/search/spell/LuceneLevenshteinDistance.java",
+     "org/apache/lucene/search/spell/LuceneLevenshteinDistance.java"),
+    ("/root/reference/lucene/suggest/src/java/org/apache/lucene/search/spell/StringDistance.java",
+     "org/apache/lucene/search/spell/StringDistance.java"),
+]
+
+SPELL_SHIMS = {
+    "org/apache/lucene/util/IntsRef.java": """
+package org.apache.lucene.util;
+public class IntsRef {
+  public int[] ints;
+  public int length;
+  public IntsRef(int capacity) { ints = new int[capacity]; }
+}
+""",
+}
+
 
 def build() -> None:
     os.makedirs(PKG, exist_ok=True)
@@ -382,6 +416,17 @@ def build() -> None:
         dst = os.path.join(PKG, "org/apache/lucene/analysis", rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         with open(os.path.join(REF, rel), encoding="utf-8") as fh:
+            with open(dst, "w", encoding="utf-8") as oh:
+                oh.write(fh.read())
+    for rel, src in SPELL_SHIMS.items():
+        p = os.path.join(PKG, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(src)
+    for src_path, rel in SPELL_FILES:
+        dst = os.path.join(PKG, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(src_path, encoding="utf-8") as fh:
             with open(dst, "w", encoding="utf-8") as oh:
                 oh.write(fh.read())
     srcs = []
@@ -469,6 +514,15 @@ def fuzz(n: int) -> None:
         lines.append("\t".join(["minhash", str(hc), str(bc), str(hss),
                                 "1" if rot else "0", b64("\x01".join(toks))]))
 
+    # --- dist (spell StringDistances: float32 bit-compare)
+    dist_alpha = "abcdex"
+    for _ in range(n):
+        which = rng.choice(["jw", "ng2", "ng3", "ll"])
+        a = "".join(rng.choice(dist_alpha) for _ in range(rng.randrange(0, 10)))
+        b = "".join(rng.choice(dist_alpha) for _ in range(rng.randrange(0, 10)))
+        cases.append(("dist", which, a, b))
+        lines.append("\t".join(["dist", which, b64(a), b64(b)]))
+
     # --- prc (PatternReplaceCharFilter: output text + every correctOffset)
     prc_pats = [(r"dup", ""), (r"(aa)\s+(bb)", "$1#$2"),
                 (r"(aa)[0-9]+(bb)", "$1 $2"), (r"b+", "B"),
@@ -502,7 +556,7 @@ def fuzz(n: int) -> None:
             bad += 1
             continue
         toks = [t.split(":") for t in out.split(" ") if t]
-        if case[0] not in ("minhash", "prc"):
+        if case[0] not in ("minhash", "prc", "dist"):
             jterms = [base64.b64decode(t[0]).decode() for t in toks]
         if case[0] in ("path", "rpath"):
             _m, delim, repl, skip, text = case
@@ -528,6 +582,28 @@ def fuzz(n: int) -> None:
             jincs = [int(t[1]) for t in toks]
             ok = (jterms == mine
                   and jincs == [1] + [0] * (len(mine) - 1))
+        elif case[0] == "dist":
+            _m, which, a, b = case
+            import struct
+
+            import numpy as np
+
+            from lucene_spark.functions.spell import (
+                jaro_winkler,
+                lucene_levenshtein,
+                ngram_similarity,
+            )
+            if which == "jw":
+                v = jaro_winkler(a, b)
+            elif which == "ng2":
+                v = ngram_similarity(a, b, 2)
+            elif which == "ng3":
+                v = ngram_similarity(a, b, 3)
+            else:
+                v = lucene_levenshtein(a, b)
+            jbits = int(out)
+            mybits = struct.unpack("<i", np.float32(v).tobytes())[0]
+            ok = jbits == mybits
         elif case[0] == "prc":
             _m, pat, repl, text = case
             from lucene_spark.functions.charfilter import (
