@@ -1092,6 +1092,15 @@ def _boolean_sim_df(spark, sf_dir):
     return _similarity_df(spark, sf_dir, "boolean")
 
 
+def _sweetspot_sim_df(spark, sf_dir):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java) with the
+    SWEETSPOT_DEMO factors — plateau lengthNorm live on this corpus's
+    dl spread, baselineTf flat below min (duck-typed Similarity slot)."""
+    from lucene_spark.functions.similarity import SWEETSPOT_DEMO, SweetSpotSim
+
+    return _similarity_df(spark, sf_dir, SweetSpotSim(*SWEETSPOT_DEMO))
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -1551,6 +1560,29 @@ _MAPPING_CHAR_AST = {"bool": {"must": [{"term": "kwery"}],
                               "should": [{"term": "merge"}]}}
 _PRC_AST = {"bool": {"must": [{"term": "merge"}],
                      "should": [{"term": "scan"}]}}
+
+def _high_freq_terms_df(spark, sf_dir):
+    """HighFreqTerms (misc/HighFreqTerms.java) over the default index —
+    top-25 by doc_freq, both stats verified."""
+    s = _searcher(spark, sf_dir)
+    return s.high_freq_terms(25).select(
+        "term",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("total_term_freq").cast("long").alias("total_term_freq"))
+
+
+_HIGH_FREQ_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(count(*) AS BIGINT) AS total_term_freq
+FROM toks GROUP BY term
+ORDER BY doc_freq DESC, term DESC
+LIMIT 25
+""".strip()
+
 
 #: CommonTermsQuery (queries/CommonTermsQuery.java): at mtf=0.1 the 5%-df
 #: 'dup' classifies low (required) while merge+scan (~80% df) classify
@@ -2331,6 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_replace_char", _PRC_AST)
     out["suggest_freetext"] = _freetext_suggest_df
     out["bm25_common_terms"] = _common_terms_df
+    out["high_freq_terms"] = _high_freq_terms_df
+    out["sweetspot_sim_topk"] = _sweetspot_sim_df
     for _mk, _ma, _mast in (
         ("bm25_scandinavian_norm_chain", "standard_scandinavian_normalized",
          _SCAND_NORM_AST),
@@ -2838,6 +2872,10 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["suggest_freetext"] = _FREETEXT_SQL
     out["bm25_common_terms"] = sqlgen.common_terms_topk_sql(
         _COMMON_TERMS, _QUERY_K, _COMMON_TERMS_MTF)
+    out["high_freq_terms"] = _HIGH_FREQ_SQL
+    out["sweetspot_sim_topk"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="sweetspot",
+    )
     # char filters: the oracle applies the same pre-tokenization rewrite
     # to the text column (sequential replace == greedy simultaneous here:
     # the map keys share no chars and no replacement contains a key)

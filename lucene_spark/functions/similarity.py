@@ -104,6 +104,58 @@ class ClassicSim:
         return (raw * norm).astype(np.float32)
 
 
+#: demo factors shared by the engine entry and the sqlgen twin:
+#: (ln_min, ln_max, ln_steep, tf_base, tf_min)
+SWEETSPOT_DEMO = (8, 20, 0.5, 1.5, 2.0)
+
+
+class SweetSpotSim(ClassicSim):
+    """SweetSpotSimilarity (``misc/SweetSpotSimilarity.java:95-180``) — a
+    ClassicSimilarity whose lengthNorm has a [min, max] plateau of 1.0
+    with sqrt falloff at steepness ``s`` (:110-120), and whose tf is the
+    baselineTf function (:132-147): freq <= min scores the flat base,
+    above it ``(float) sqrt(freq + base^2 - min)``. idf and the
+    two-multiply score shape are inherited from TFIDFSimilarity. Float32
+    op boundaries replayed exactly (the float multiply before the +1.0f,
+    the double sqrt, the final casts)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 ln_steep: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0) -> None:
+        self.ln_min, self.ln_max = int(ln_min), int(ln_max)
+        self.ln_steep = np.float32(ln_steep)
+        self.tf_base = np.float32(tf_base)
+        self.tf_min = np.float32(tf_min)
+        t = np.zeros(256, dtype=np.float32)
+        for i in range(1, 256):
+            t[i] = self._length_norm(int(LENGTH_TABLE[i]))
+        t[0] = np.float32(1.0) / t[255]
+        self.norm_table = t
+
+    def _length_norm(self, num_terms: int) -> np.float32:
+        l, h = self.ln_min, self.ln_max
+        inner = np.float32(
+            self.ln_steep
+            * np.float32(abs(num_terms - l) + abs(num_terms - h) - (h - l)))
+        inner = np.float32(inner + np.float32(1.0))
+        return np.float32(1.0 / math.sqrt(float(inner)))
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight_f32: np.float32) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float32)
+        # baselineTf: ((freq + base*base) - min), float ops then double sqrt
+        b2 = np.float32(self.tf_base * self.tf_base)
+        arg = (f + b2) - self.tf_min  # elementwise float32 throughout
+        above = np.sqrt(arg.astype(np.float64)).astype(np.float32)
+        tf = np.where(f <= self.tf_min, self.tf_base, above)
+        tf = np.where(f == np.float32(0.0), np.float32(0.0), tf)
+        raw = tf.astype(np.float32) * np.float32(weight_f32)
+        norm = self.norm_table[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return (raw * norm).astype(np.float32)
+
+
 class BooleanSim:
     """BooleanSimilarity: score == query boost, statistics ignored."""
 

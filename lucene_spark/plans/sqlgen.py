@@ -493,12 +493,41 @@ def _classic_leaf_score(weight_expr: str, freq_expr: str, dl_expr: str) -> str:
     return f"(({tf} * {weight_expr}) * {norm})"
 
 
+def _sweetspot_leaf_score(weight_expr: str, freq_expr: str,
+                          dl_expr: str) -> str:
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:95-180) with the
+    SWEETSPOT_DEMO factors (functions/similarity.py): baselineTf — freq <=
+    tf_min scores the flat base, else (float) sqrt((freq + base^2) -
+    min); lengthNorm — 1/sqrt(s*(|L-min|+|L-max|-(max-min)) + 1) over the
+    quantized length, float32 boundaries as in the Java source."""
+    from lucene_spark.functions.similarity import SWEETSPOT_DEMO
+
+    ln_min, ln_max, ln_steep, tf_base, tf_min = SWEETSPOT_DEMO
+    b2 = float(tf_base) * float(tf_base)  # float32-exact for 1.5
+    tf = (
+        f"CASE WHEN CAST({freq_expr} AS REAL) <= CAST({tf_min!r} AS REAL) "
+        f"THEN CAST({tf_base!r} AS REAL) "
+        f"ELSE CAST(sqrt(CAST((CAST({freq_expr} AS REAL) + CAST({b2!r} AS REAL))"
+        f" - CAST({tf_min!r} AS REAL) AS DOUBLE)) AS REAL) END"
+    )
+    ql = _quantized_len(dl_expr)
+    inner = (
+        f"CAST(CAST({ln_steep!r} AS REAL) * CAST(abs(({ql}) - {ln_min}) "
+        f"+ abs(({ql}) - {ln_max}) - {ln_max - ln_min} AS REAL) AS REAL)"
+        f" + CAST(1 AS REAL)"
+    )
+    norm = f"CAST(1.0 / sqrt(CAST({inner} AS DOUBLE)) AS REAL)"
+    return f"(({tf} * {weight_expr}) * {norm})"
+
+
 def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
                     dl_expr: str, k1: float, b: float) -> str:
     if similarity == "bm25":
         return _leaf_score(weight_expr, freq_expr, dl_expr, k1, b)
     if similarity == "classic":
         return _classic_leaf_score(weight_expr, freq_expr, dl_expr)
+    if similarity == "sweetspot":
+        return _sweetspot_leaf_score(weight_expr, freq_expr, dl_expr)
     if similarity == "boolean":
         # BooleanSimilarity.java:52-55 — score == boost; idf below is 1
         return f"CAST({weight_expr} AS REAL)"
@@ -508,7 +537,7 @@ def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
 def _sim_idf_expr(similarity: str) -> str:
     if similarity == "bm25":
         return _idf_expr()
-    if similarity == "classic":
+    if similarity in ("classic", "sweetspot"):
         return _classic_idf_expr()
     if similarity == "boolean":
         return "CAST(1 AS REAL)"

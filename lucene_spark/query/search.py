@@ -231,6 +231,20 @@ class IndexSearcher:
             self._docmap = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
         return self._docmap
 
+    def high_freq_terms(self, n: int = 100, by: str = "doc_freq"
+                        ) -> DataFrame:
+        """HighFreqTerms tool (misc/HighFreqTerms.java:75-127): the top-n
+        terms by ``doc_freq`` (default) or ``total_term_freq``, ties
+        broken by descending term bytes (the priority queue keeps the
+        comparator-largest entries, :129-157). One pruned scan of the
+        merged term_dict — never a corpus pass."""
+        if by not in ("doc_freq", "total_term_freq"):
+            raise ValueError(f"unknown order {by!r}")
+        return (
+            self.term_dict.select("term", "doc_freq", "total_term_freq")
+            .orderBy(F.desc(by), F.desc("term")).limit(n)
+        )
+
     def auto_stop_set(self, max_percent_docs: float = 0.4,
                       max_doc_freq: int | None = None,
                       cap: int = 100_000) -> frozenset[str]:

@@ -72,3 +72,51 @@ def test_occur_validation():
 
     with pytest.raises(ValueError):
         common_terms_query(S, ("a", "b"), 0.1, low_freq_occur="must_not")
+
+
+def test_sweetspot_similarity_shape():
+    """SweetSpotSimilarity (functions/similarity.py — compiled-class
+    fuzzed by tools/tok_parity.py sweet mode): plateau + default
+    degeneration to classic."""
+    import numpy as np
+
+    from lucene_spark.functions.similarity import ClassicSim, SweetSpotSim
+
+    ss = SweetSpotSim(3, 10, 0.5, 0.0, 0.0)
+    # plateau: every length in [min, max] norms to exactly 1.0
+    for ln in (3, 5, 10):
+        assert ss._length_norm(ln) == np.float32(1.0)
+    assert ss._length_norm(2) < np.float32(1.0)
+    assert ss._length_norm(11) < np.float32(1.0)
+    # defaults (1, 1, 0.5, 0, 0) degrade to ClassicSimilarity — exactly
+    # while the length fits float32 precision; at lengths >= 2^23 the
+    # two FORMULAS differ by 1 ulp in Java too (0.5f*(2x-2)+1 vs x)
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+    d = SweetSpotSim()
+    c = ClassicSim()
+    small = np.asarray(LENGTH_TABLE) < 2 ** 23
+    assert np.array_equal(d.norm_table[small][1:], c.norm_table[small][1:])
+    assert np.allclose(d.norm_table[1:], c.norm_table[1:], rtol=2e-7)
+    freqs = np.array([1, 2, 7, 40], dtype=np.int64)
+    nb = np.array([37, 120, 200, 4], dtype=np.int64)
+    assert np.array_equal(d.score(freqs, nb, np.float32(1.7)),
+                          c.score(freqs, nb, np.float32(1.7)))
+    # baselineTf: flat base below min
+    s2 = SweetSpotSim(1, 1, 0.5, 1.5, 2.0)
+    got = s2.score(np.array([1, 2, 3], dtype=np.int64),
+                   np.array([255] * 3, dtype=np.int64), np.float32(1.0))
+    assert got[0] == got[1]  # both <= tf_min -> flat 1.5 * norm
+    assert got[2] > got[1]
+
+
+def test_high_freq_terms_validation():
+    import pytest
+
+    class _S:
+        pass
+
+    from lucene_spark.query.search import IndexSearcher
+
+    with pytest.raises(ValueError):
+        IndexSearcher.high_freq_terms(_S(), 5, by="bogus")

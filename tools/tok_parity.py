@@ -331,6 +331,19 @@ public class Main {
           else if (which.equals("ng3")) sd = new org.apache.lucene.search.spell.NGramDistance(3);
           else sd = new org.apache.lucene.search.spell.LuceneLevenshteinDistance();
           res.append(Float.floatToIntBits(sd.getDistance(a, b)));
+        } else if (f[0].equals("sweet")) {
+          org.apache.lucene.misc.SweetSpotSimilarity ss =
+              new org.apache.lucene.misc.SweetSpotSimilarity();
+          int lnMin = Integer.parseInt(f[1]);
+          int lnMax = Integer.parseInt(f[2]);
+          float steep = Float.parseFloat(f[3]);
+          float tfBase = Float.parseFloat(f[4]);
+          float tfMin = Float.parseFloat(f[5]);
+          ss.setLengthNormFactors(lnMin, lnMax, steep);
+          ss.setBaselineTfFactors(tfBase, tfMin);
+          int x = Integer.parseInt(f[6]);
+          res.append(Float.floatToIntBits(ss.lengthNorm(x))).append(':')
+             .append(Float.floatToIntBits(ss.baselineTf((float) x)));
         } else if (f[0].equals("prc")) {
           Pattern p = Pattern.compile(unb64(f[1]));
           String repl = unb64(f[2]);
@@ -402,7 +415,20 @@ public class IntsRef {
   public IntsRef(int capacity) { ints = new int[capacity]; }
 }
 """,
+    "org/apache/lucene/search/similarities/ClassicSimilarity.java": """
+package org.apache.lucene.search.similarities;
+public class ClassicSimilarity {
+  public ClassicSimilarity() {}
+  public ClassicSimilarity(boolean discountOverlaps) {}
+  public float lengthNorm(int numTerms) { return (float) (1.0 / Math.sqrt(numTerms)); }
+  public float tf(float freq) { return (float) Math.sqrt(freq); }
 }
+""",
+}
+
+SPELL_FILES.append((
+    "/root/reference/lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java",
+    "org/apache/lucene/misc/SweetSpotSimilarity.java"))
 
 
 def build() -> None:
@@ -523,6 +549,19 @@ def fuzz(n: int) -> None:
         cases.append(("dist", which, a, b))
         lines.append("\t".join(["dist", which, b64(a), b64(b)]))
 
+    # --- sweet (SweetSpotSimilarity lengthNorm + baselineTf, f32 bits)
+    for _ in range(n // 2):
+        ln_min = rng.randrange(1, 20)
+        ln_max = ln_min + rng.randrange(0, 30)
+        steep = rng.choice([0.25, 0.5, 1.0, 0.3])
+        tf_base = rng.choice([0.0, 1.0, 1.5, 2.0])
+        tf_min = rng.choice([0.0, 2.0, 5.0, 6.5])
+        x = rng.randrange(0, 300)
+        cases.append(("sweet", ln_min, ln_max, steep, tf_base, tf_min, x))
+        lines.append("\t".join(["sweet", str(ln_min), str(ln_max),
+                                repr(steep), repr(tf_base), repr(tf_min),
+                                str(x)]))
+
     # --- prc (PatternReplaceCharFilter: output text + every correctOffset)
     prc_pats = [(r"dup", ""), (r"(aa)\s+(bb)", "$1#$2"),
                 (r"(aa)[0-9]+(bb)", "$1 $2"), (r"b+", "B"),
@@ -556,7 +595,7 @@ def fuzz(n: int) -> None:
             bad += 1
             continue
         toks = [t.split(":") for t in out.split(" ") if t]
-        if case[0] not in ("minhash", "prc", "dist"):
+        if case[0] not in ("minhash", "prc", "dist", "sweet"):
             jterms = [base64.b64decode(t[0]).decode() for t in toks]
         if case[0] in ("path", "rpath"):
             _m, delim, repl, skip, text = case
@@ -604,6 +643,30 @@ def fuzz(n: int) -> None:
             jbits = int(out)
             mybits = struct.unpack("<i", np.float32(v).tobytes())[0]
             ok = jbits == mybits
+        elif case[0] == "sweet":
+            _m, ln_min, ln_max, steep, tf_base, tf_min, x = case
+            import struct
+
+            import numpy as np
+
+            from lucene_spark.functions.similarity import SweetSpotSim
+            ss = SweetSpotSim(ln_min, ln_max, steep, tf_base, tf_min)
+            jln, jtf = (int(v) for v in out.split(":"))
+
+            def fbits(v):
+                return struct.unpack("<i", np.float32(v).tobytes())[0]
+
+            myln = fbits(ss._length_norm(x))
+            f = np.float32
+            if f(x) == f(0.0):
+                mytf = fbits(0.0)
+            elif f(x) <= ss.tf_min:
+                mytf = fbits(ss.tf_base)
+            else:
+                import math as _math
+                mytf = fbits(f(_math.sqrt(float(
+                    (f(x) + f(ss.tf_base * ss.tf_base)) - ss.tf_min))))
+            ok = jln == myln and jtf == mytf
         elif case[0] == "prc":
             _m, pat, repl, text = case
             from lucene_spark.functions.charfilter import (
