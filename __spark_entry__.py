@@ -68,6 +68,10 @@ _SUGGEST_PREFIX, _SUGGEST_K = "s", 15
 _MULTI_PHRASE = [["scan"], ["merge", "table"]]
 _SYNONYM = ["scan", "merge", "dup"]
 _DISMAX = (["scan", "merge", "dup"], 0.3)
+#: BlendedTermQuery probes: (terms, boosts, tie_breaker) for the default
+#: DisMax rewrite; (terms, None) for the BOOLEAN_REWRITE SHOULD-sum variant
+_BLENDED = (["scan", "dup"], [1.0, 0.7], 0.01)
+_BLENDED_BOOL = ["merge", "dup", "sort"]
 _WILDCARD = "s?an"       # scan, span...
 #: Lucene RegExp SYNTAX probe: union + class + top-level intersection +
 #: bounded repetition — translated by query/regexp.py, never passed raw
@@ -477,6 +481,21 @@ def _dismax_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("orig_id").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _blended_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import BlendedTermQuery
+
+    terms, boosts, tb = _BLENDED
+    q = BlendedTermQuery(tuple(terms), tuple(boosts), tb, "dismax")
+    return _multiterm_df(spark, sf_dir, q)
+
+
+def _blended_bool_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.query.ast import BlendedTermQuery
+
+    q = BlendedTermQuery(tuple(_BLENDED_BOOL), None, 0.01, "bool")
+    return _multiterm_df(spark, sf_dir, q)
 
 
 def _multiterm_df(spark: SparkSession, sf_dir: str, q) -> DataFrame:
@@ -2280,6 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
+    out["bm25_blended"] = _blended_df
+    out["bm25_blended_bool"] = _blended_bool_df
     out["bm25_fuzzy"] = _fuzzy_df
     out["bm25_wildcard"] = _wildcard_df
     out["bm25_field_filter"] = _field_filter_df
@@ -2523,6 +2544,10 @@ ORDER BY score DESC, doc_id ASC LIMIT {_PARENT_K}
     out["bm25_multi_phrase"] = sqlgen.multi_phrase_topk_sql(_MULTI_PHRASE, _QUERY_K)
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
     out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)
+    out["bm25_blended"] = sqlgen.blended_topk_sql(*_BLENDED, _QUERY_K)
+    out["bm25_blended_bool"] = sqlgen.blended_topk_sql(
+        _BLENDED_BOOL, None, 0.01, _QUERY_K, rewrite="bool"
+    )
     out["bm25_fuzzy"] = sqlgen.fuzzy_topk_sql(_FUZZY[0], _FUZZY[1], _QUERY_K)
     wc_regex = _WILDCARD.replace("?", ".").replace("*", ".*")
     out["bm25_wildcard"] = sqlgen.expansion_topk_sql(

@@ -1134,6 +1134,60 @@ LIMIT {k}
 """.strip()
 
 
+def blended_topk_sql(
+    terms: list[str],
+    boosts: list[float] | None,
+    tie_breaker: float,
+    k: int,
+    rewrite: str = "dismax",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """BlendedTermQuery twin (``BlendedTermQuery.java:282-299``): every
+    term's idf uses the BLENDED df = max(df) over the set (absent terms
+    contribute nothing to the max, matching term_stats omission), each leaf
+    weighted by its per-term boost, then merged by DisMax(tie_breaker)
+    (DISJUNCTION_MAX_REWRITE) or a SHOULD-sum (BOOLEAN_REWRITE) — DOUBLE
+    accumulate, REAL cast either way."""
+    bl = boosts or [1.0] * len(terms)
+    vals = ", ".join(
+        f"('{t}', CAST({b!r} AS REAL))" for t, b in zip(terms, bl)
+    )
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    score = _leaf_score("(ldf.boost * ldf.idf)", "tf.freq", "dl.dl")
+    if rewrite == "bool":
+        combine = "CAST(sum(CAST(score AS DOUBLE)) AS REAL)"
+    else:
+        combine = (
+            "CAST(max(CAST(score AS DOUBLE)) "
+            f"+ {tie_breaker!r} * (sum(CAST(score AS DOUBLE)) "
+            "- max(CAST(score AS DOUBLE))) AS REAL)"
+        )
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+ldf AS (
+  SELECT term, boost, df, {_idf_expr()} AS idf
+  FROM (
+    SELECT tb.term, tb.boost, b.df
+    FROM (VALUES {vals}) tb(term, boost),
+         (SELECT max(df) AS df FROM df WHERE term IN ({inlist})) b
+  ) ldf, consts c
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf JOIN ldf ON ldf.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id, consts c
+)
+SELECT doc_id, {combine} AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def fuzzy_topk_sql(
     term: str,
     max_edits: int,

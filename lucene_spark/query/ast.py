@@ -135,6 +135,26 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Terms scored with BLENDED index statistics: every term's idf uses
+    df = max(doc_freq) across the set (ttf = sum is tracked by the
+    reference but unused by BM25 scoring), then the per-term queries are
+    merged by DisMax(tie=0.01) — the DISJUNCTION_MAX_REWRITE default — or
+    a SHOULD BooleanQuery (``core/search/BlendedTermQuery.java:282-299``
+    rewrite, ``:139-147`` BOOLEAN_REWRITE, ``:190`` default tie).
+    Resolved against live stats at execute time (the reference rebuilds
+    TermStates per searcher, ``:274-280``)."""
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] | None = None
+    tie_breaker: float = 0.01
+    rewrite_method: str = "dismax"  # "dismax" | "bool"
+
+    def __repr__(self) -> str:
+        return (f"Blended({list(self.terms)!r},boosts={self.boosts},"
+                f"{self.rewrite_method},{self.tie_breaker})")
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """max(clause scores) + tie_breaker * sum(other scores)
     (``DisjunctionMaxScorer.java:24-27``)."""
@@ -451,6 +471,16 @@ def parse_query(obj: str | dict) -> Query:
         q = DisjunctionMaxQuery(
             tuple(parse_query(c) for c in d["queries"]),
             float(d.get("tie_breaker", 0.0)),
+        )
+    elif "blended" in obj:
+        bl = obj["blended"]
+        if isinstance(bl, list):
+            bl = {"terms": bl}
+        q = BlendedTermQuery(
+            tuple(bl["terms"]),
+            tuple(float(x) for x in bl["boosts"]) if bl.get("boosts") else None,
+            float(bl.get("tie_breaker", 0.01)),
+            bl.get("rewrite", "dismax"),
         )
     elif "constant_score" in obj:
         q = ConstantScoreQuery(parse_query(obj["constant_score"]))

@@ -44,6 +44,7 @@ from lucene_spark.functions import bm25
 from lucene_spark.index.build import collection_stats, load_manifest
 from lucene_spark.index.merge import term_bucket_of
 from lucene_spark.query.ast import (
+    BlendedTermQuery,
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -2088,6 +2089,29 @@ class IndexSearcher:
             return clauses[0]
         return BooleanQuery(should=clauses, min_should_match=1)
 
+    def _blended_rewrite(self, q: BlendedTermQuery) -> Query:
+        """Resolve BlendedTermQuery against live index stats
+        (``core/search/BlendedTermQuery.java:274-299``): df = max(doc_freq)
+        over the term set (absent terms contribute 0, ``:283-287``), every
+        per-term query scores with that blended df (``adjustFrequencies``,
+        ``:320-341``; our ``TermQuery.df_override``), then the sub-queries
+        merge via DisMax(tie_breaker) — DISJUNCTION_MAX_REWRITE, ``:190`` —
+        or a SHOULD BooleanQuery (BOOLEAN_REWRITE, ``:139-147``)."""
+        stats = self.term_stats(list(q.terms))
+        if not stats:
+            return MatchNoDocsQuery()
+        df_blend = max(df for df, _ in stats.values())
+        boosts = q.boosts or tuple(1.0 for _ in q.terms)
+        subs: list[Query] = []
+        for t, b in zip(q.terms, boosts):
+            tq: Query = TermQuery(t, df_override=df_blend)
+            if float(b) != 1.0:
+                tq = BoostQuery(tq, float(b))
+            subs.append(tq)
+        if q.rewrite_method == "bool":
+            return BooleanQuery(should=subs, min_should_match=1)
+        return DisjunctionMaxQuery(tuple(subs), float(q.tie_breaker))
+
     # ------------------------------------------------------------ execution
 
     def _execute(self, q: Query, boost: np.float32) -> DataFrame | None:
@@ -2115,6 +2139,8 @@ class IndexSearcher:
             return self._synonym(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             return self._dismax(q, boost)
+        if isinstance(q, BlendedTermQuery):
+            return self._execute(self._blended_rewrite(q), boost)
         if isinstance(q, ConstantScoreQuery):
             inner = self._execute(q.query, np.float32(1.0))
             if inner is None:

@@ -197,6 +197,79 @@ def test_dismax_formula(searcher, ref):
         assert got[did] == np.float32(mx + tb * (sm - mx))
 
 
+def test_blended_term_query(searcher, ref):
+    """BlendedTermQuery (BlendedTermQuery.java:274-299): every term scores
+    with df = max(df) over the set, merged DisMax(tie) or SHOULD-sum."""
+    from collections import Counter
+
+    from lucene_spark.query.ast import BlendedTermQuery
+
+    cnt = Counter(t for d in ref["docs"] for t, _ in set(d))
+    mc = cnt.most_common()
+    t1 = mc[0][0]
+    # pick a partner with strictly smaller df so blending visibly changes
+    # its idf (the whole point of the query)
+    t2 = next(t for t, c in mc[5:] if c < mc[0][1])
+    df1, df2 = _df(ref, t1), _df(ref, t2)
+    assert df1 != df2
+    dfb = max(df1, df2)
+    boosts = (1.0, 0.7)
+    cache = _cache(ref)
+
+    per_term = []
+    for t, b in zip((t1, t2), boosts):
+        w = np.float32(np.float32(b) * bm25.idf(dfb, ref["dc"]))
+        scores = {}
+        for did, d in enumerate(ref["docs"]):
+            freq = sum(1 for tt, _ in d if tt == t)
+            if freq:
+                scores[did] = bm25.score(
+                    np.array([freq]), np.array([ref["norm"][did]]), w, cache
+                )[0]
+        per_term.append(scores)
+
+    tb = 0.01
+    got = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in searcher.search(
+            BlendedTermQuery((t1, t2), boosts, tb, "dismax"), 10000
+        ).collect()
+    }
+    assert set(got) == set(per_term[0]) | set(per_term[1])
+    for did in got:
+        vals = [np.float64(s[did]) for s in per_term if did in s]
+        mx, sm = max(vals), sum(vals)
+        assert got[did] == np.float32(mx + tb * (sm - mx))
+
+    got_bool = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in searcher.search(
+            BlendedTermQuery((t1, t2), boosts, 0.0, "bool"), 10000
+        ).collect()
+    }
+    assert set(got_bool) == set(got)
+    for did in got_bool:
+        sm = sum(np.float64(s[did]) for s in per_term if did in s)
+        assert got_bool[did] == np.float32(sm)
+
+    # absent partner: blend falls back to the present term's own df
+    from lucene_spark.query.ast import TermQuery as TQ
+    solo = {r["doc_id"]: r["score"]
+            for r in searcher.search(TQ(t1), 10000).collect()}
+    blent = {
+        r["doc_id"]: r["score"]
+        for r in searcher.search(
+            BlendedTermQuery((t1, "zzzz-nope"), None, 0.01, "dismax"), 10000
+        ).collect()
+    }
+    assert blent == solo
+
+    # all terms absent -> no matches
+    assert searcher.search(
+        BlendedTermQuery(("zzzz-nope", "zzzz-nada"), None), 5
+    ).count() == 0
+
+
 def test_constant_score(searcher, ref):
     from collections import Counter
     cnt = Counter(t for d in ref["docs"] for t, _ in set(d))
