@@ -868,6 +868,51 @@ def _payload_score_df(func):
     return run
 
 
+def _delimited_tf_df(spark, sf_dir):
+    """DelimitedTermFrequencyTokenFilter chain (``analysis-common/.../
+    miscellaneous/DelimitedTermFrequencyTokenFilter.java``): corpus
+    synthesized deterministically — every token t becomes t|((len(t)%3)+1)
+    — and the whitespace_tf chain parses the tf back out; the custom tf
+    feeds the posting freq AND the field length
+    (``core/index/IndexingChain.java:1276``), index is DOCS_AND_FREQS
+    (positions=False, the filter's contract)."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.dedup import tokens_col
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_tf"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        ann = tdf.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    tokens_col("text"),
+                    lambda t: F.concat(
+                        t, F.lit("|"),
+                        ((F.length(t) % 3) + 1).cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="whitespace_tf", positions=False)
+        build_index(spark, ann, index_dir, cfg)
+        merge_index(spark, index_dir)
+    s = IndexSearcher(spark, index_dir)
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    dm = s.docmap().select("doc_id", F.col("conv_id").cast("long").alias("orig_id"))
+    return (
+        hits.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def _query_parser_df(spark, sf_dir):
     from lucene_spark.query.parser import QueryParser
 
@@ -2322,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["highlight_offsets"] = _highlight_offsets_df
     out["payload_score_sum"] = _payload_score_df("sum")
     out["payload_score_max"] = _payload_score_df("max")
+    out["bm25_delimited_tf"] = _delimited_tf_df
     out["query_parser"] = _query_parser_df
     out["query_parser_fielded"] = _query_parser_fielded_df
     out["bm25_term_pruned"] = _pruned_df
@@ -2545,6 +2591,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {_PARENT_K}
     out["bm25_synonym"] = sqlgen.synonym_topk_sql(_SYNONYM, _QUERY_K)
     out["bm25_dismax"] = sqlgen.dismax_topk_sql(*_DISMAX, _QUERY_K)
     out["bm25_blended"] = sqlgen.blended_topk_sql(*_BLENDED, _QUERY_K)
+    out["bm25_delimited_tf"] = sqlgen.delimited_tf_topk_sql("scan", _QUERY_K)
     out["bm25_blended_bool"] = sqlgen.blended_topk_sql(
         _BLENDED_BOOL, None, 0.01, _QUERY_K, rewrite="bool"
     )

@@ -435,10 +435,51 @@ def analyze_series_ws_payload(texts: pd.Series) -> pd.Series:
     )
 
 
+#: DelimitedTermFrequencyTokenFilter delimiter (``analysis-common/.../
+#: miscellaneous/DelimitedTermFrequencyTokenFilter.java:43`` — default '|').
+#: Characters before the FIRST delimiter are the term; the textual integer
+#: after is the per-occurrence term frequency. The reference requires
+#: IndexOptions.DOCS_AND_FREQS with no positions/offsets (its javadoc +
+#: the IndexingChain guard), and the frequency feeds BOTH the posting's
+#: freq and the field length (``core/index/IndexingChain.java:1276``
+#: invertState.length += termFreqAttribute.getTermFrequency()).
+TF_DELIM = "|"
+
+
+def split_tf_token(tok: str) -> tuple[str, int]:
+    """(term, tf) for one whitespace token. No delimiter -> tf 1; a
+    non-integer or <1 suffix RAISES, like ``ArrayUtil.parseInt`` +
+    ``TermFrequencyAttributeImpl.setTermFrequency`` (must be >= 1)."""
+    term, delim, suffix = tok.partition(TF_DELIM)
+    if not delim:
+        return tok, 1
+    tf = int(suffix)  # ValueError on empty/garbage, like parseInt
+    if tf < 1:
+        raise ValueError(f"Term frequency must be 1 or greater: {tf}")
+    return term, tf
+
+
+def _findall_ws_tf(texts: pd.Series) -> pd.Series:
+    """Build-path tokenizer for the `whitespace_tf` chain: plain
+    WhitespaceTokenizer keeping the RAW 'term|tf' tokens — the delimiter
+    parse happens at the vocabulary level (TF_CHAINS), since the (term, tf)
+    split depends only on the token string."""
+    return texts.fillna("").str.split()
+
+
+def analyze_series_ws_tf(texts: pd.Series) -> pd.Series:
+    """Scalar-contract twin of the whitespace_tf chain: the lowered TERM
+    sequence (tf weights live out-of-band, see build's tf_flat)."""
+    return texts.fillna("").map(
+        lambda s: [java_lower(split_tf_token(t)[0]) for t in s.split()]
+    )
+
+
 ANALYZERS = {
     "standard": analyze_series,
     "simple": analyze_series_simple,
     "whitespace_payload": analyze_series_ws_payload,
+    "whitespace_tf": analyze_series_ws_tf,
 }
 
 # ------------------------------------------------------------- filter chains
@@ -703,6 +744,7 @@ CHAIN_FILTERS: dict[str, tuple] = {
     "english": (EN_STOP_SET, english_vocab_transform, None),
     "standard_folded": (None, ascii_fold, None),
     "whitespace_payload": (None, None, None),
+    "whitespace_tf": (None, None, None),
     # ClassicAnalyzer chain (classic/ClassicAnalyzer.java:64-69:
     # ClassicTokenizer -> ClassicFilter -> LowerCase -> Stop(ENGLISH_STOP));
     # the tokenizer+ClassicFilter live in the jflex raw tokenizer, the
@@ -786,6 +828,7 @@ CHAIN_BASE: dict[str, str] = {
     "english": "standard",
     "standard_folded": "standard",
     "whitespace_payload": "whitespace",
+    "whitespace_tf": "whitespace",
     "french": "standard",
     "german": "standard",
     "spanish": "standard",
@@ -953,6 +996,10 @@ RAW_TOKENIZERS = {
         _findall_ws_payload,
         None,
     ),
+    "whitespace_tf": (
+        _findall_ws_tf,
+        None,
+    ),
     "french": (
         _findall_standard,
         MAX_TOKEN_LENGTH,
@@ -1090,6 +1137,14 @@ CHAIN_LOWER: dict[str, object] = {}
 #: import (functions/shingle.py), so executors resolve them by name.
 STREAM_TOKENIZERS: dict[str, object] = {}
 STREAM_SCALARS: dict[str, object] = {}
+
+#: TF-override chains (DelimitedTermFrequencyTokenFilter): the chain's raw
+#: tokenizer keeps the 'term|tf' tokens; the build parses the vocabulary
+#: through TF_CHAINS[name] -> (term, tf) and threads the per-occurrence tf
+#: into freq AND field_len (IndexingChain.java:1276). The reference forbids
+#: positions/offsets with a TermFrequencyAttribute; build_index enforces
+#: positions=False for these chains.
+TF_CHAINS: dict[str, object] = {"whitespace_tf": split_tf_token}
 
 
 def _fill_snowball_chains():

@@ -254,6 +254,17 @@ def build_index(
                 "(DelimitedPayloadTokenFilter semantics); use "
                 "analyzer='whitespace_payload'"
             )
+    from lucene_spark.functions.analysis import TF_CHAINS
+
+    if config.analyzer in TF_CHAINS and config.positions:
+        # DelimitedTermFrequencyTokenFilter contract: the field must be
+        # indexed DOCS_AND_FREQS with no positions or offsets (the filter's
+        # javadoc; IndexingChain rejects posIncr attributes alongside a
+        # custom TermFrequencyAttribute)
+        raise ValueError(
+            "tf-override chains require positions=False "
+            "(DOCS_AND_FREQS only, DelimitedTermFrequencyTokenFilter)"
+        )
 
     if manifest is None:
         nseg = config.num_segments
@@ -649,6 +660,23 @@ def _build_segment_frame(
                     continue
                 pay_flat[base + j] = payload
                 j += 1
+    tf_flat = None
+    if codes.size:
+        # tf-override chains (DelimitedTermFrequencyTokenFilter): split the
+        # raw 'term|tf' vocabulary into terms + per-occurrence frequencies
+        # BEFORE lowercase (digits are case-invariant; the term part lowers
+        # below like any chain). tf feeds freq AND field_len
+        # (``core/index/IndexingChain.java:1276``).
+        from lucene_spark.functions.analysis import TF_CHAINS
+        _tfparse = TF_CHAINS.get(analyzer)
+        if _tfparse is not None:
+            parsed = [_tfparse(u) for u in uniques]
+            tf_u = np.array([p[1] for p in parsed], dtype=np.int64)
+            tf_flat = tf_u[codes]
+            remap, uniques = pd.factorize(
+                np.array([p[0] for p in parsed], dtype=object), sort=True
+            )
+            codes = remap[codes]
     if codes.size:
         # lowercase + length-filter on the vocabulary, not the corpus.
         # Java-parity translate first (İ/Σ — see analysis._JAVA_LOWER);
@@ -670,6 +698,8 @@ def _build_segment_frame(
             codes = codes[keep]
             row_of = row_of[keep]
             pos_raw = pos_raw[keep]
+            if tf_flat is not None:
+                tf_flat = tf_flat[keep]
     # chain filters (stop / stem), applied at the VOCABULARY level like the
     # lowercase+length steps above: stop-ness and the stem depend only on the
     # token string. Dropped stopwords keep incrementing positions and do NOT
@@ -687,6 +717,8 @@ def _build_segment_frame(
             codes = codes[keep]
             row_of = row_of[keep]
             pos_raw = pos_raw[keep]
+            if tf_flat is not None:
+                tf_flat = tf_flat[keep]
     if vocab_xform is not None and codes.size:
         xformed = np.array([vocab_xform(u) for u in uniques], dtype=object)
         remap, uniques = pd.factorize(xformed, sort=True)
@@ -699,10 +731,17 @@ def _build_segment_frame(
         flen = np.bincount(
             row_of, weights=(inc_flat > 0), minlength=n
         ).astype(np.int64)
+    elif tf_flat is not None:
+        # invertState.length accumulates the custom term frequency
+        # (IndexingChain.java:1276)
+        flen = np.bincount(row_of, weights=tf_flat, minlength=n).astype(np.int64)
     else:
         flen = np.bincount(row_of, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4_np(flen).astype(np.int64)
     if synonyms and codes.size:
+        assert tf_flat is None, (
+            "synonym expansion is unsupported on tf-override chains"
+        )
         pairs = [
             (i, s) for i, u in enumerate(uniques)
             for s in synonyms.get(u, ())
@@ -763,7 +802,12 @@ def _build_segment_frame(
         sk = key[order]
         gst = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
         ukey = sk[gst]
-        freqs = np.diff(np.concatenate((gst, [sk.size]))).astype(np.int64)
+        if tf_flat is not None:
+            # per-(term, doc) freq = SUM of the occurrences' custom tfs
+            # (FreqProxTermsWriterPerField adds getTermFrequency per token)
+            freqs = np.add.reduceat(tf_flat[order], gst).astype(np.int64)
+        else:
+            freqs = np.diff(np.concatenate((gst, [sk.size]))).astype(np.int64)
         code_u = ukey // n
         row_u = ukey % n
         docs = row_u + offset
@@ -942,6 +986,13 @@ def build_index_files(
         raise ValueError(
             "index_sort needs the shuffle build (build_index): the "
             "file-aligned path takes doc order from the input files"
+        )
+    from lucene_spark.functions.analysis import TF_CHAINS as _TF
+
+    if config.analyzer in _TF and config.positions:
+        raise ValueError(
+            "tf-override chains require positions=False "
+            "(DOCS_AND_FREQS only, DelimitedTermFrequencyTokenFilter)"
         )
     manifest = load_manifest(index_dir) if resume else None
 

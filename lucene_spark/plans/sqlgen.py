@@ -1188,6 +1188,55 @@ LIMIT {k}
 """.strip()
 
 
+def delimited_tf_topk_sql(
+    term: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DelimitedTermFrequencyTokenFilter twin: the corpus is annotated
+    token-wise as t|((len(t)%3)+1) (see the entry's synthesis), so the
+    oracle recomputes the ANNOTATED index stats directly from the raw
+    text — per-(doc, term) freq = SUM of the occurrences' tfs, per-doc
+    length = SUM of all tfs (``core/index/IndexingChain.java:1276``),
+    collection stats over the tf-weighted lengths — then scores BM25 with
+    the shared float32-faithful leaf formula."""
+    score = _leaf_score("ldf.idf", "tf.freq", "dl.dl")
+    return f"""
+WITH occ AS (
+  SELECT {id_col} AS doc_id, tok AS term, (length(tok) % 3) + 1 AS tf
+  FROM {table}, unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS t(tok)
+),
+tf AS (
+  SELECT doc_id, term, CAST(sum(tf) AS BIGINT) AS freq
+  FROM occ GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.{id_col} AS doc_id, CAST(coalesce(o.s, 0) AS BIGINT) AS dl
+  FROM {table} d
+  LEFT JOIN (SELECT doc_id, sum(tf) AS s FROM occ GROUP BY doc_id) o
+    ON o.doc_id = d.{id_col}
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (
+  SELECT (SELECT count(*) FROM {table}) AS dc,
+         (SELECT sum(dl) FROM dl) AS sttf
+),
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+ldf AS (
+  SELECT term, df, {_idf_expr()} AS idf FROM df ldf, consts c
+  WHERE term = '{term}'
+)
+SELECT tf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM tf JOIN ldf ON ldf.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id, consts c
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def fuzzy_topk_sql(
     term: str,
     max_edits: int,

@@ -740,6 +740,79 @@ def test_payloads_artifact_and_payload_score(spark, tmp_path):
         s.payload_score("run", 10, func="median")
 
 
+def test_delimited_term_frequency_chain(spark, tmp_path):
+    """DelimitedTermFrequencyTokenFilter semantics: 'foo|3' must be
+    indistinguishable from literal 'foo foo foo' in a DOCS_AND_FREQS index
+    — tf feeds the posting freq AND the field length
+    (IndexingChain.java:1276) — so the annotated build is oracle-checked
+    against an expansion build, stat-for-stat and score-for-score."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from lucene_spark.functions.analysis import split_tf_token
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "foo|3 bar foo|2 baz|4",   # repeated term: freqs sum (3+2)
+        "bar|5 qux",
+        "foo baz",                 # no delimiter -> tf 1
+        "RUN|2 qux|1",             # case-folds into the run posting
+        "run",
+    ]
+    expanded = [
+        " ".join(sum(([split_tf_token(t)[0]] * split_tf_token(t)[1]
+                      for t in txt.split()), []))
+        for txt in texts
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    cfg = IndexConfig(num_segments=2, term_buckets=2,
+                      analyzer="whitespace_tf", positions=False)
+    idx_a = str(tmp_path / "tf")
+    build_index(spark, spark.createDataFrame(rows), idx_a, cfg)
+    merge_index(spark, idx_a)
+    idx_b = str(tmp_path / "exp")
+    build_index(spark, spark.createDataFrame(rows.assign(text=expanded)),
+                idx_b, cfg)
+    merge_index(spark, idx_b)
+
+    sa, sb = IndexSearcher(spark, idx_a), IndexSearcher(spark, idx_b)
+    td_a = {r["term"]: (r["doc_freq"], r["total_term_freq"])
+            for r in sa.term_dict.collect()}
+    td_b = {r["term"]: (r["doc_freq"], r["total_term_freq"])
+            for r in sb.term_dict.collect()}
+    assert td_a == td_b
+    assert td_a["foo"] == (2, 6) and td_a["run"] == (2, 3)
+    dl_a = {r["doc_id"]: r["field_len"] for r in sa.docmap().collect()}
+    dl_b = {r["doc_id"]: r["field_len"] for r in sb.docmap().collect()}
+    assert dl_a == dl_b and dl_a[0] == 10
+    for term in ("foo", "bar", "run", "qux"):
+        ha = [(r["doc_id"], np.float32(r["score"]))
+              for r in sa.search(TermQuery(term), 10).collect()]
+        hb = [(r["doc_id"], np.float32(r["score"]))
+              for r in sb.search(TermQuery(term), 10).collect()]
+        assert ha == hb and ha, term
+
+    # contract guards: positions forbidden; strict integer parse, tf >= 1
+    with _pytest.raises(ValueError, match="positions=False"):
+        build_index(spark, spark.createDataFrame(rows), str(tmp_path / "x1"),
+                    IndexConfig(analyzer="whitespace_tf"))
+    assert split_tf_token("plain") == ("plain", 1)
+    with _pytest.raises(ValueError):
+        split_tf_token("foo|x")
+    with _pytest.raises(ValueError):
+        split_tf_token("foo|")
+    with _pytest.raises(ValueError, match="1 or greater"):
+        split_tf_token("foo|0")
+
+
 def test_span_first_or_not_semantics(spark, tmp_path):
     """SpanFirst/SpanOr/SpanNot against hand ground truth: end cutoffs,
     pre/post exclusion windows, docs without the exclude term, absent
