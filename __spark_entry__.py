@@ -1625,6 +1625,57 @@ _MAPPING_CHAR_AST = {"bool": {"must": [{"term": "kwery"}],
 _PRC_AST = {"bool": {"must": [{"term": "merge"}],
                      "should": [{"term": "scan"}]}}
 
+#: htmlstrip chain (functions/htmlstrip.py — the jflex HTMLStripCharFilter
+#: replay, compiled-parity fuzzed): the entry decorates every doc with a
+#: deterministic HTML wrapper (block tags, <br>, an &amp;/&#66; entity run,
+#: a <script> body, a comment), builds with analyzer="html_standard", and
+#: the oracle predicts the stripped text in closed form ('&'/'<' in the raw
+#: text are pre-blanked identically on both sides so the wrapper is the
+#: only markup). "bradley" is reachable ONLY through entity decoding
+#: (&#66;radley) + tag stripping.
+_HTML_WRAP_PRE = '<div id="d"> '
+_HTML_WRAP_SUF = (' </div><br><p>&amp; &#66;radley page</p>'
+                  '<script>var q="</div>";</script><!-- note -->')
+#: html_strip(PRE + clean + SUF) in closed form (jflex rule trace: div ->
+#: '\n' substitute, br -> '\n', p -> '\n', entities decoded, script body
+#: -> '\n', comment dropped)
+_HTML_STRIPPED_SQL = (
+    "chr(10) || ' ' || replace(replace(text, '&', ' '), '<', ' ') || ' ' ||"
+    " chr(10) || chr(10) || chr(10) || '& Bradley page' || chr(10) || chr(10)"
+)
+_HTML_AST = {"bool": {"must": [{"term": "bradley"}],
+                      "should": [{"term": "merge"}]}}
+
+
+def _htmlstrip_chain_df(spark, sf_dir):
+    """BM25 over an index built with the html_standard chain
+    (HTMLStripCharFilter -> standard tokenize -> lower) on the
+    HTML-decorated corpus."""
+    from lucene_spark.index.build import (
+        IndexConfig, build_index, load_manifest,
+    )
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_html_standard"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir).withColumn(
+            "text",
+            F.concat(F.lit(_HTML_WRAP_PRE),
+                     F.translate("text", "&<", "  "),
+                     F.lit(_HTML_WRAP_SUF)))
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="html_standard")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    s = IndexSearcher(spark, index_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_HTML_AST)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
 def _high_freq_terms_df(spark, sf_dir):
     """HighFreqTerms (misc/HighFreqTerms.java) over the default index —
     top-25 by doc_freq, both stats verified."""
@@ -2428,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_standard", _MAPPING_CHAR_AST)
     out["bm25_pattern_replace_char_chain"] = _misc_chain_entry(
         "pattern_replace_char", _PRC_AST)
+    out["bm25_htmlstrip_chain"] = _htmlstrip_chain_df
     out["suggest_freetext"] = _freetext_suggest_df
     out["bm25_common_terms"] = _common_terms_df
     out["high_freq_terms"] = _high_freq_terms_df
@@ -2957,6 +3009,11 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_pattern_replace_char_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_PRC_AST)), _QUERY_K,
         text_col="regexp_replace(text, 'dup', '', 'g')")
+    # htmlstrip: the oracle predicts the stripped wrapper in closed form
+    # (the raw text's '&'/'<' are blanked on both sides — see _HTML_WRAP_*)
+    out["bm25_htmlstrip_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_HTML_AST)), _QUERY_K,
+        text_col=_HTML_STRIPPED_SQL)
     # minhash: bottom-5 sketch terms; the vocab->hash map is computed by
     # the Python murmur port and replayed as an inline VALUES join
     out["bm25_minhash_chain"] = sqlgen.topk_sql(

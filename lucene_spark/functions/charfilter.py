@@ -13,9 +13,8 @@ correction, ports of the reference's ``analysis/charfilter`` +
     (regex replace-all over the whole value with per-match corrections;
     ``correct`` clamps at 0).
 
-HTMLStripCharFilter (a 6k-line jflex scanner) is not ported — documented
-gap; the two filters here carry the charfilter framework semantics
-(transform + correction map).
+HTMLStripCharFilter lives in ``functions/htmlstrip.py`` (table-driven
+replay of the generated jflex scanner, compiled-parity fuzzed).
 
 Chains (text transform + the standard tokenize->lower stream; offset
 STORAGE stays a standard-chain feature, as for every non-standard chain):
@@ -23,7 +22,9 @@ STORAGE stays a standard-chain feature, as for every non-standard chain):
   - ``mapping_standard``     — MappingCharFilter({"qu": "kw", "x": "ks"})
     (live on this corpus: "query" -> "kwery");
   - ``pattern_replace_char`` — PatternReplaceCharFilter("dup" -> "")
-    (drops a 5%-df word before tokenization; dl shrinks).
+    (drops a 5%-df word before tokenization; dl shrinks);
+  - ``html_standard``        — HTMLStripCharFilter (live via the
+    bm25_htmlstrip_chain entry's HTML-decorated corpus).
 """
 from __future__ import annotations
 
@@ -153,12 +154,22 @@ def _prc_stream(text: str):
     return list(zip(terms, incs))
 
 
+def _html_stream(text: str):
+    from lucene_spark.functions.htmlstrip import html_strip
+    from lucene_spark.functions.shingle import _base_stream
+
+    stripped, _corr = html_strip(text)
+    terms, incs, _gap = _base_stream(stripped, None)
+    return list(zip(terms, incs))
+
+
 def register_charfilter_chains() -> None:
     from lucene_spark.functions import analysis as an
     from lucene_spark.functions.patterntok import _mk_scalar, _mk_series, _raise_raw
 
     for name, fn in (("mapping_standard", _mapping_stream),
-                     ("pattern_replace_char", _prc_stream)):
+                     ("pattern_replace_char", _prc_stream),
+                     ("html_standard", _html_stream)):
         an.STREAM_TOKENIZERS[name] = _mk_series(fn)
         an.STREAM_SCALARS[name] = _mk_scalar(fn)
         an.CHAIN_FILTERS[name] = (None, None, None)

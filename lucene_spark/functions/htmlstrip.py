@@ -1,0 +1,689 @@
+"""HTMLStripCharFilter — table-driven replay of the reference's jflex scanner.
+
+The reference's HTMLStripCharFilter is a jflex-generated char filter
+(``analysis/charfilter/HTMLStripCharFilter.jflex``, 930-line grammar; the
+generated ``HTMLStripCharFilter.java`` is 6.4k lines): 23 lexical states
+stripping tags / comments / CDATA / script / style / server-side includes
+and decoding named + numeric character references, with BaseCharFilter
+offset corrections.  A hand-written regex approximation could never be
+bit-exact, so — the same protocol as the Classic/UAX29 tokenizers in
+``jflex.py`` — we machine-extract the packed DFA tables
+(tools/jflex_extract.py -> jflex_htmlstrip_data.py) and transcribe the 54
+user actions from the generated switch (HTMLStripCharFilter.java:5768-6393)
+verbatim; parity is fuzz-verified against the compiled reference class
+(tools/tok_parity.py mode ``htmlstrip``).
+
+The engine works in UTF-16 code units (ints), exactly like the Java
+scanner: all positions (``yychar``, segment lengths, offset corrections)
+count UTF-16 units, the DFA consumes code POINTS
+(``Character.codePointAt`` twin), and supplementary output goes through
+the segment buffers as surrogate pairs.  ``html_strip`` converts at the
+boundary (Python str in / str out); the returned corrector therefore maps
+UTF-16 offsets — identical to the Java filter's ``correct()`` — with a
+codepoint-space wrapper for the repo-wide codepoint convention.
+
+Scanner-loop semantics mirrored from the generated ``nextChar()``
+(HTMLStripCharFilter.java:5680-5764): maximal munch with last-accepting
+backtrack, ``yychar += zzMarkedPos - zzStartRead`` at each iteration top,
+EOF when YYEOF is read with no units consumed (then the %eof block,
+:5620-5666, runs once and ``eofReturnValue`` is served), and the
+``read()`` driver (:200-212) that drains ``outputSegment`` before each
+``nextChar`` call.
+
+Fast path (exact): in YYINITIAL every unit other than '&'/'<' is a
+1-codepoint catch-all echo ([^], action 1), so runs between specials are
+bulk-copied; supplementary pairs echo identically (the segment append in
+action 1's else-branch is invisible — every later reader of the segment
+clears it first).
+"""
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from typing import Iterable
+
+from lucene_spark.functions.charfilter import OffsetCorrector
+
+# lexical states (HTMLStripCharFilter.java:48-72)
+_YYINITIAL = 0
+_AMPERSAND = 2
+_NUMERIC_CHARACTER = 4
+_CHARACTER_REFERENCE_TAIL = 6
+_LEFT_ANGLE_BRACKET = 8
+_BANG = 10
+_COMMENT = 12
+_SCRIPT = 14
+_SCRIPT_COMMENT = 16
+_LEFT_ANGLE_BRACKET_SLASH = 18
+_LEFT_ANGLE_BRACKET_SPACE = 20
+_CDATA = 22
+_SERVER_SIDE_INCLUDE = 24
+_SINGLE_QUOTED_STRING = 26
+_DOUBLE_QUOTED_STRING = 28
+_END_TAG_TAIL_INCLUDE = 30
+_END_TAG_TAIL_EXCLUDE = 32
+_END_TAG_TAIL_SUBSTITUTE = 34
+_START_TAG_TAIL_INCLUDE = 36
+_START_TAG_TAIL_EXCLUDE = 38
+_START_TAG_TAIL_SUBSTITUTE = 40
+_STYLE = 42
+_STYLE_COMMENT = 44
+
+_REPLACEMENT = 0xFFFD
+_NL = 0x0A  # every *_REPLACEMENT constant is '\n' (jflex :149-154)
+
+_EOF_EXCLUDE = frozenset((
+    _SCRIPT, _COMMENT, _SCRIPT_COMMENT, _STYLE, _STYLE_COMMENT,
+    _SINGLE_QUOTED_STRING, _DOUBLE_QUOTED_STRING, _END_TAG_TAIL_EXCLUDE,
+    _END_TAG_TAIL_SUBSTITUTE, _START_TAG_TAIL_EXCLUDE,
+    _SERVER_SIDE_INCLUDE, _START_TAG_TAIL_SUBSTITUTE))
+_EOF_INCLUDE = frozenset((
+    _BANG, _CDATA, _AMPERSAND, _NUMERIC_CHARACTER, _END_TAG_TAIL_INCLUDE,
+    _START_TAG_TAIL_INCLUDE, _LEFT_ANGLE_BRACKET,
+    _LEFT_ANGLE_BRACKET_SLASH, _LEFT_ANGLE_BRACKET_SPACE))
+
+_TABLES = None
+
+
+def _tables():
+    global _TABLES
+    if _TABLES is None:
+        from lucene_spark.functions import jflex_htmlstrip_data as d
+        from lucene_spark.functions.jflex import (
+            _unpack_cv, _unpack_rowmap)
+        import numpy as np
+
+        cmap_top = _unpack_cv(d.CMAP_TOP_B85)
+        cmap_blocks = _unpack_cv(d.CMAP_BLOCKS_B85)
+        cps = np.arange(0x110000, dtype=np.int64)
+        cmap = np.where(
+            cps < 256,
+            cmap_blocks[cps & 255],
+            cmap_blocks[cmap_top[cps >> 8] | (cps & 255)],
+        ).astype(np.int32)
+        _TABLES = (
+            list(d.LEXSTATE),
+            cmap,
+            _unpack_rowmap(d.ROWMAP_B85).tolist(),
+            _unpack_cv(d.TRANS_B85, delta=-1).tolist(),
+            _unpack_cv(d.ACTION_B85).tolist(),
+            _unpack_cv(d.ATTRIBUTE_B85).tolist(),
+            d.ENTITIES,
+        )
+    return _TABLES
+
+
+def _cp_lower(cp: int) -> int:
+    """Character.toLowerCase(int) twin for CharArraySet(ignoreCase=true)
+    tag folding: Unicode SIMPLE lowercase.  Python's per-char str.lower()
+    applies the one multi-char full mapping (U+0130 -> i + U+0307); Java's
+    simple mapping gives plain 'i'."""
+    if cp == 0x130:
+        return 0x69
+    low = chr(cp).lower()
+    return ord(low) if len(low) == 1 else cp
+
+
+def _fold_tag(s: str) -> str:
+    return "".join(chr(_cp_lower(ord(c))) for c in s)
+
+
+class _Seg:
+    """TextSegment twin (jflex :234-269 over OpenStringBuilder): ``buf``
+    holds UTF-16 units, ``pos`` is the next-read index; ``reset`` (len=0,
+    pos kept) vs ``clear`` (both) vs ``restart`` (pos only) as in Java."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self) -> None:
+        self.buf: list[int] = []
+        self.pos = 0
+
+
+def _utf16(cp: int) -> tuple[int, ...]:
+    if cp < 0x10000:
+        return (cp,)
+    cp -= 0x10000
+    return (0xD800 | (cp >> 10), 0xDC00 | (cp & 0x3FF))
+
+
+class _Scanner:
+    def __init__(self, units: list[int], escaped_tags: Iterable[str] | None
+                 ) -> None:
+        (self.lexmap, cmap, self.rowmap, self.trans, self.action_tab,
+         self.attr, self.entities) = _tables()
+        self.u = units
+        self.n = len(units)
+        import numpy as np
+        arr = np.asarray(units, dtype=np.int64) if units else np.zeros(
+            0, dtype=np.int64)
+        self.cls = cmap[arr].tolist() if self.n else []
+        self.specials = np.flatnonzero(
+            (arr == 38) | (arr == 60)).tolist() if self.n else []
+        # ctor tag routing (jflex :179-197)
+        self.escape_br = self.escape_script = self.escape_style = False
+        self.escaped_tags: set[str] | None = None
+        for tag in (escaped_tags or ()):
+            lt = tag.lower()
+            if lt == "br":
+                self.escape_br = True
+            elif lt == "script":
+                self.escape_script = True
+            elif lt == "style":
+                self.escape_style = True
+            else:
+                if self.escaped_tags is None:
+                    self.escaped_tags = set()
+                self.escaped_tags.add(_fold_tag(tag))
+        self.lex = _YYINITIAL
+        self.sr = 0         # zzStartRead
+        self.mk = 0         # zzMarkedPos
+        self.yychar = 0
+        self.at_eof = False
+        self.eof_rv = -1
+        self.input_start = 0
+        self.cum_diff = 0
+        self.restore = 0
+        self.prev_restore = 0
+        self.inseg = _Seg()
+        self.entseg = _Seg()
+        self.outseg = self.inseg
+        self.out: list[int] = []
+        self.corr = OffsetCorrector()
+
+    # -- helpers ----------------------------------------------------------
+    def _contains_tag(self, sr: int, mk: int) -> bool:
+        if self.escaped_tags is None:
+            return False
+        # CharArraySet(ignoreCase=true).contains — codepoint simple-lower
+        i = sr
+        u = self.u
+        cps = []
+        while i < mk:
+            c = u[i]
+            if 0xD800 <= c < 0xDC00 and i + 1 < mk and \
+                    0xDC00 <= u[i + 1] < 0xE000:
+                cp = 0x10000 + ((c - 0xD800) << 10) + (u[i + 1] - 0xDC00)
+                i += 2
+            else:
+                cp = c
+                i += 1
+            cps.append(_cp_lower(cp))
+        probe = "".join(
+            "".join(map(chr, _utf16(cp))) for cp in cps)
+        return probe in self.escaped_tags
+
+    def _char_ref(self, cp: int) -> None:
+        """shared tail of actions 6/32: codePoint -> entitySegment,
+        CHARACTER_REFERENCE_TAIL."""
+        self.outseg = self.entseg
+        self.entseg.buf = []
+        self.entseg.pos = 0
+        if 0xD800 <= cp <= 0xDFFF:
+            self.entseg.buf.append(_REPLACEMENT)
+        else:
+            self.entseg.buf.extend(_utf16(cp))
+        self.lex = _CHARACTER_REFERENCE_TAIL
+
+    # -- the generated nextChar() loop (java :5680-5764) ------------------
+    def next_char(self) -> int:
+        u, cls, n = self.u, self.cls, self.n
+        trans, rowmap, attr = self.trans, self.rowmap, self.attr
+        action_tab, lexmap = self.action_tab, self.lexmap
+        while True:
+            self.yychar += self.mk - self.sr
+            self.sr = self.mk
+            if self.lex == _YYINITIAL:
+                # bulk-echo the run up to the next '&'/'<' (see docstring)
+                cur = self.sr
+                j = bisect_left(self.specials, cur)
+                stop = self.specials[j] if j < len(self.specials) else n
+                if stop > cur:
+                    self.out.extend(u[cur:stop])
+                    self.yychar += stop - cur
+                    self.sr = self.mk = stop
+            sr = self.sr
+            state = lexmap[self.lex]
+            zz_action = state if (attr[state] & 1) else -1
+            marked = sr
+            cur = sr
+            hit_eof = False
+            while True:
+                if cur >= n:
+                    hit_eof = True
+                    break
+                # Character.codePointAt twin: pair surrogates, else the
+                # lone unit IS the codepoint
+                c = cls[cur]
+                cp_units = 1
+                if 0xD800 <= u[cur] < 0xDC00 and cur + 1 < n and \
+                        0xDC00 <= u[cur + 1] < 0xE000:
+                    cp = 0x10000 + ((u[cur] - 0xD800) << 10) + \
+                        (u[cur + 1] - 0xDC00)
+                    c = self._cls_cp(cp)
+                    cp_units = 2
+                nxt = trans[rowmap[state] + c]
+                if nxt == -1:
+                    break
+                cur += cp_units
+                state = nxt
+                a = attr[state]
+                if a & 1:
+                    zz_action = state
+                    marked = cur
+                    if a & 8:
+                        break
+            self.mk = marked
+            if hit_eof and sr == cur:
+                self.at_eof = True
+                self._do_eof()
+                return self.eof_rv
+            act = action_tab[zz_action] if zz_action >= 0 else -1
+            rv = self._dispatch(act, sr)
+            if rv is not None:
+                return rv
+
+    def _cls_cp(self, cp: int) -> int:
+        # supplementary codepoint class (rare path; cls[] is per-unit)
+        t = _tables()
+        return int(t[1][cp])
+
+    # -- the 54 user actions (java :5768-6393, numbers = ZZ_ACTION) -------
+    def _dispatch(self, act: int, sr: int):
+        u = self.u
+        mk = self.mk
+        ln = mk - sr
+        inseg, entseg = self.inseg, self.entseg
+        out_count = len(self.out)
+        if act == 15:                      # [^] in comment/script/style/...
+            return None
+        if act == 1 or act == 21:          # [^] echo (YYINITIAL / CDATA)
+            if ln == 1:
+                return u[sr]
+            seg = self.outseg
+            seg.buf.extend(u[sr:mk])
+            ch = seg.buf[seg.pos]
+            seg.pos += 1
+            return ch
+        if act == 2:                       # '&'
+            self.input_start = self.yychar
+            inseg.buf = [38]
+            inseg.pos = 0
+            self.lex = _AMPERSAND
+            return None
+        if act == 3:                       # '<'
+            self.input_start = self.yychar
+            inseg.buf = [60]
+            inseg.pos = 0
+            self.lex = _LEFT_ANGLE_BRACKET
+            return None
+        if act == 4:                       # xstate catch-all: abort, echo
+            self.mk = sr                   # yypushback(yylength())
+            self.outseg = inseg
+            inseg.pos = 0                  # outputSegment.restart()
+            self.lex = _YYINITIAL
+            seg = self.outseg
+            ch = seg.buf[seg.pos]
+            seg.pos += 1
+            return ch
+        if act == 5:                       # '#'
+            inseg.buf.append(35)
+            self.lex = _NUMERIC_CHARACTER
+            return None
+        if act == 6:                       # decimal char ref
+            inseg.buf.extend(u[sr:mk])
+            if ln <= 7:
+                cp = int("".join(map(chr, u[sr:mk])))
+                if cp <= 0x10FFFF:
+                    self._char_ref(cp)
+                    return None
+            self.outseg = inseg
+            self.lex = _YYINITIAL
+            ch = inseg.buf[inseg.pos]
+            inseg.pos += 1
+            return ch
+        if act == 7:                       # ';' closes a char ref
+            seg = self.outseg
+            self.cum_diff += len(inseg.buf) + ln - len(seg.buf)
+            self.corr.add(out_count + len(seg.buf), self.cum_diff)
+            self.lex = _YYINITIAL
+            ch = seg.buf[seg.pos]
+            seg.pos += 1
+            return ch
+        if act == 8:                       # '<' \s+
+            inseg.buf.extend(u[sr:mk])
+            self.lex = _LEFT_ANGLE_BRACKET_SPACE
+            return None
+        if act == 9:                       # '<!'
+            inseg.buf.append(33)
+            self.lex = _BANG
+            return None
+        if act == 10:                      # '</'
+            inseg.buf.append(47)
+            self.lex = _LEFT_ANGLE_BRACKET_SLASH
+            return None
+        if act == 11 or act == 12:         # start-tag Name / InlineElement
+            inseg.buf.extend(u[sr:mk])
+            if self._contains_tag(sr, mk):
+                self.lex = _START_TAG_TAIL_INCLUDE
+            else:
+                self.lex = (_START_TAG_TAIL_SUBSTITUTE if act == 11
+                            else _START_TAG_TAIL_EXCLUDE)
+            return None
+        if act == 13:                      # BANG [^]
+            inseg.buf.extend(u[sr:mk])
+            return None
+        if act == 14:                      # BANG '>' / '<?...?>' — exclude
+            self.cum_diff += len(inseg.buf) + ln
+            self.corr.add(out_count, self.cum_diff)
+            inseg.buf = []
+            inseg.pos = 0
+            self.lex = _YYINITIAL
+            return None
+        if act == 16:
+            self.restore = _SCRIPT_COMMENT
+            self.lex = _DOUBLE_QUOTED_STRING
+            return None
+        if act == 17:
+            self.restore = _SCRIPT_COMMENT
+            self.lex = _SINGLE_QUOTED_STRING
+            return None
+        if act == 18:                      # '</' \s+
+            inseg.buf.extend(u[sr:mk])
+            return None
+        if act == 19 or act == 20:         # end-tag Name / InlineElement
+            inseg.buf.extend(u[sr:mk])
+            if self._contains_tag(sr, mk):
+                self.lex = _END_TAG_TAIL_INCLUDE
+            else:
+                self.lex = (_END_TAG_TAIL_SUBSTITUTE if act == 19
+                            else _END_TAG_TAIL_EXCLUDE)
+            return None
+        if act == 22:
+            self.prev_restore = self.restore
+            self.restore = _SERVER_SIDE_INCLUDE
+            self.lex = _DOUBLE_QUOTED_STRING
+            return None
+        if act == 23:
+            self.prev_restore = self.restore
+            self.restore = _SERVER_SIDE_INCLUDE
+            self.lex = _SINGLE_QUOTED_STRING
+            return None
+        if act == 24:                      # quote closes
+            self.lex = self.restore
+            self.restore = self.prev_restore
+            return None
+        if act == 25:                      # *_TAG_TAIL_INCLUDE '>'
+            inseg.buf.extend(u[sr:mk])
+            self.outseg = inseg
+            self.lex = _YYINITIAL
+            ch = inseg.buf[inseg.pos]
+            inseg.pos += 1
+            return ch
+        if act == 26 or act == 28:         # end/start tag tail substitute
+            self.cum_diff += len(inseg.buf) + ln - 1
+            self.corr.add(out_count + 1, self.cum_diff)
+            inseg.buf = []
+            inseg.pos = 0
+            self.lex = _YYINITIAL
+            return _NL
+        if act == 27:                      # START_TAG_TAIL_EXCLUDE '>'
+            self.cum_diff += len(inseg.buf) + ln
+            self.corr.add(out_count, self.cum_diff)
+            inseg.buf = []
+            inseg.pos = 0
+            self.outseg = inseg
+            self.lex = _YYINITIAL
+            return None
+        if act == 29:
+            self.restore = _STYLE_COMMENT
+            self.lex = _DOUBLE_QUOTED_STRING
+            return None
+        if act == 30:
+            self.restore = _STYLE_COMMENT
+            self.lex = _SINGLE_QUOTED_STRING
+            return None
+        if act == 31:                      # named entity
+            inseg.buf.extend(u[sr:mk])
+            entseg.buf = [ord(self.entities["".join(map(chr, u[sr:mk]))])]
+            entseg.pos = 0
+            self.outseg = entseg
+            self.lex = _CHARACTER_REFERENCE_TAIL
+            return None
+        if act == 32:                      # hex char ref
+            inseg.buf.extend(u[sr:mk])
+            if ln <= 6:
+                cp = int("".join(map(chr, u[sr + 1:mk])), 16)
+                if cp <= 0x10FFFF:
+                    self._char_ref(cp)
+                    return None
+            self.outseg = inseg
+            self.lex = _YYINITIAL
+            ch = inseg.buf[inseg.pos]
+            inseg.pos += 1
+            return ch
+        if act == 33:                      # BANG '--'
+            if len(inseg.buf) > 2:
+                inseg.buf.extend(u[sr:mk])
+            else:
+                self.lex = _COMMENT
+            return None
+        if act == 34 or act == 37:         # <br...> / </br> -> '\n'
+            self.lex = _YYINITIAL
+            if self.escape_br:
+                inseg.buf.extend(u[sr:mk])
+                self.outseg = inseg
+                ch = inseg.buf[inseg.pos]
+                inseg.pos += 1
+                return ch
+            self.cum_diff += len(inseg.buf) + ln - 1
+            self.corr.add(out_count + 1, self.cum_diff)
+            del inseg.buf[:]               # inputSegment.reset(): pos kept
+            return _NL
+        if act == 35:                      # COMMENT '-->'
+            self.cum_diff += self.yychar - self.input_start + ln
+            self.corr.add(out_count, self.cum_diff)
+            inseg.buf = []
+            inseg.pos = 0
+            self.lex = _YYINITIAL
+            return None
+        if act == 36:
+            self.lex = _SCRIPT
+            return None
+        if act == 38:                      # CDATA ']]>'
+            self.cum_diff += ln
+            self.corr.add(out_count, self.cum_diff)
+            self.lex = _YYINITIAL
+            return None
+        if act == 39:                      # SSI '-->'
+            self.lex = self.restore
+            return None
+        if act == 40:
+            self.lex = _STYLE
+            return None
+        if act == 41:
+            self.lex = _SCRIPT_COMMENT
+            return None
+        if act == 42:
+            self.lex = _STYLE_COMMENT
+            return None
+        if act == 43:
+            self.restore = _COMMENT
+            self.lex = _SERVER_SIDE_INCLUDE
+            return None
+        if act == 44:
+            self.restore = _SCRIPT_COMMENT
+            self.lex = _SERVER_SIDE_INCLUDE
+            return None
+        if act == 45:
+            self.restore = _STYLE_COMMENT
+            self.lex = _SERVER_SIDE_INCLUDE
+            return None
+        if act == 46 or act == 47:         # <style...> / <script...>
+            escape = self.escape_style if act == 46 else self.escape_script
+            self.lex = _STYLE if act == 46 else _SCRIPT
+            if escape:
+                inseg.buf.extend(u[sr:mk])
+                self.outseg = inseg
+                self.input_start += 1 + ln
+                ch = inseg.buf[inseg.pos]
+                inseg.pos += 1
+                return ch
+            return None
+        if act == 48:                      # BANG '[CDATA['
+            if len(inseg.buf) > 2:
+                inseg.buf.extend(u[sr:mk])
+            else:
+                self.cum_diff += len(inseg.buf) + ln
+                self.corr.add(out_count, self.cum_diff)
+                inseg.buf = []
+                inseg.pos = 0
+                self.lex = _CDATA
+            return None
+        if act == 49 or act == 50:         # </style> / </script>
+            escape = self.escape_style if act == 49 else self.escape_script
+            inseg.buf = []
+            inseg.pos = 0
+            self.lex = _YYINITIAL
+            self.cum_diff += self.yychar - self.input_start
+            corr_pos = out_count
+            if escape:
+                inseg.buf.extend(u[sr:mk])
+                self.outseg = inseg
+                rv = inseg.buf[inseg.pos]
+                inseg.pos += 1
+            else:
+                self.cum_diff += ln - 1
+                corr_pos += 1
+                rv = _NL
+            self.corr.add(corr_pos, self.cum_diff)
+            return rv
+        if 51 <= act <= 54:                # paired UTF-16 surrogate refs
+            return self._surrogate_pair(act, sr)
+        raise RuntimeError(f"htmlstrip: no action for state (act={act})")
+
+    def _surrogate_pair(self, act: int, sr: int):
+        """actions 51-54 (java :6259-6391): '&#...;&#...;' high+low
+        surrogate pairs in the four dec/hex combinations.  On a failed
+        surrogate-range check: consume only '#' and rescan as a numeric
+        char ref (yypushback(yylength()-1))."""
+        u, mk = self.u, self.mk
+        ln = mk - sr
+        txt = "".join(map(chr, u[sr:mk]))
+        inseg, entseg = self.inseg, self.entseg
+        if act == 54:                      # hex high + hex low
+            hi = int(txt[2:6], 16)
+            lo = int(txt[10:14], 16)
+            ok = True
+        elif act == 52:                    # dec high + hex low
+            hi = int(txt[1:6]) & 0xFFFF
+            lo = int(txt[10:14], 16)
+            ok = 0xD800 <= hi <= 0xDBFF
+        elif act == 53:                    # hex high + dec low
+            hi = int(txt[2:6], 16)
+            lo = int(txt[9:14]) & 0xFFFF
+            ok = 0xDC00 <= lo <= 0xDFFF
+        else:                              # 51: dec high + dec low
+            hi = int(txt[1:6]) & 0xFFFF
+            lo = int(txt[9:14]) & 0xFFFF
+            ok = (0xD800 <= hi <= 0xDBFF) and (0xDC00 <= lo <= 0xDFFF)
+        if ok:
+            entseg.buf = [lo]
+            entseg.pos = 0
+            self.outseg = entseg
+            self.cum_diff += len(inseg.buf) + ln - 2
+            self.corr.add(len(self.out) + 2, self.cum_diff)
+            inseg.buf = []
+            inseg.pos = 0
+            self.lex = _YYINITIAL
+            return hi
+        self.mk = sr + 1                   # yypushback(yylength() - 1)
+        inseg.buf.append(35)
+        self.lex = _NUMERIC_CHARACTER
+        return None
+
+    # -- %eof block (java :5620-5666) --------------------------------------
+    def _do_eof(self) -> None:
+        lex = self.lex
+        inseg = self.inseg
+        out_count = len(self.out)
+        if lex in _EOF_EXCLUDE:
+            self.cum_diff += self.yychar - self.input_start
+            self.corr.add(out_count, self.cum_diff)
+            seg = self.outseg
+            seg.buf = []
+            seg.pos = 0
+            self.eof_rv = -1
+        elif lex == _CHARACTER_REFERENCE_TAIL:
+            seg = self.outseg
+            self.cum_diff += len(inseg.buf) - len(seg.buf)
+            self.corr.add(out_count + len(seg.buf), self.cum_diff)
+            if seg.pos < len(seg.buf):
+                self.eof_rv = seg.buf[seg.pos]
+                seg.pos += 1
+            else:
+                self.eof_rv = -1
+        elif lex in _EOF_INCLUDE:
+            self.outseg = inseg
+            if inseg.pos < len(inseg.buf):
+                self.eof_rv = inseg.buf[inseg.pos]
+                inseg.pos += 1
+            else:
+                self.eof_rv = -1
+        else:
+            self.eof_rv = -1
+
+    # -- the read() driver (java :200-212) ---------------------------------
+    def run(self) -> tuple[list[int], OffsetCorrector]:
+        out = self.out
+        while True:
+            seg = self.outseg
+            if seg.pos < len(seg.buf):
+                out.extend(seg.buf[seg.pos:])
+                seg.pos = len(seg.buf)
+            if self.at_eof:
+                break
+            ch = self.next_char()
+            if ch >= 0:
+                out.append(ch)
+        return out, self.corr
+
+
+def html_strip(text: str, escaped_tags: Iterable[str] | None = None
+               ) -> tuple[str, OffsetCorrector]:
+    """Strip HTML from ``text``; returns (stripped text, corrector).
+
+    The corrector maps OUTPUT UTF-16 offsets to input UTF-16 offsets
+    (``correct()``), exactly like the Java filter; use
+    :func:`correct_codepoint` for the repo-wide codepoint convention.
+    ``escaped_tags``: tag names (case-insensitive) whose start/end tags
+    pass through unstripped; BR/SCRIPT/STYLE route to their dedicated
+    escape flags (jflex :179-197).
+    """
+    if not text:
+        return "", OffsetCorrector()
+    import array
+    units = array.array("H")
+    units.frombytes(text.encode("utf-16-le", "surrogatepass"))
+    out, corr = _Scanner(list(units), escaped_tags).run()
+    stripped = array.array("H", out).tobytes().decode(
+        "utf-16-le", "surrogatepass")
+    return stripped, corr
+
+
+def correct_codepoint(out_text: str, in_text: str, corr: OffsetCorrector,
+                      cp_off: int) -> int:
+    """Map an output CODEPOINT offset to an input codepoint offset through
+    a UTF-16 corrector (both texts needed to convert at the boundaries)."""
+    u16_off = len(out_text[:cp_off].encode("utf-16-le", "surrogatepass")
+                  ) // 2
+    in_u16 = corr.correct(u16_off)
+    # count codepoints in the input's first in_u16 UTF-16 units
+    acc = 0
+    for i, ch in enumerate(in_text):
+        w = 2 if ord(ch) > 0xFFFF else 1
+        if acc + w > in_u16:
+            return i
+        acc += w
+        if acc == in_u16:
+            return i + 1
+    return len(in_text)

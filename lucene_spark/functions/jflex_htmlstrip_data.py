@@ -1,0 +1,956 @@
+"""Machine-extracted JFlex DFA tables for HTMLSTRIP.
+
+Source: reference lucene/analysis/common/src/java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.java (JFlex 1.9.1 generated;
+packed ZZ_* table strings decoded to uint16 units, zlib+base85).
+Regenerate with tools/jflex_extract.py. DO NOT EDIT BY HAND.
+"""
+
+LEXSTATE = [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22]
+
+CMAP_TOP_B85 = (
+    'c-lqKhf=~&5QX6+1eBtHf{3CR6&v>6vG<0(_uik%$8`MT?o4L#&7PavuW1;D$p;HQ*zhBO5|'
+    'ko{5W<L{4CRO-rt{;dK&7@5NTLcUR3nWV)asZF>QEmtj4ZVQjwQJfO>R!h*yf_toGrCQ*Jwo'
+    '>+R=eLI`h)k<;YrY?naO1Ui6_K0~o{*hB1Os9XEz?OkfgIm`1^rb!RY(Im}}Li&(-kR<MdSt'
+    'm~W&Y+}o8`(&SO?4anrgWhj9O132LIbPn!fxgipj#BdfSo=?M-kncz7L@jRLh1!B^(<Go#tm'
+    '+D%{#x;dpzJ#+fR75CBMX}KeESbOzIonlafC&Qa>Z!xxWJ8|GD44mXZAfFW?`C'
+)
+
+CMAP_BLOCKS_B85 = (
+    'c-oy=J8xV?6u!^h+4Ziy_WBvW6UT{TCw}DNB)swtNr)7QhZG7L1V|(bAPNc^6bXS85Df)F2v'
+    'MNav<M0cNI^$|=qUIFNHmmuGxMFfXD4e1MbXK(ckVpSoX0n3t{X{`lu4S508{rbgXE9`zigX'
+    '*Tf_hMcO7CN4M-C*0BJ$mkU_{0qyrho*b!hCG71@kj6)_MlMp-C6l4!%8ZrZ!h0H<bAq$X2j'
+    '^7K}2U&vbhb%)5Kn_AyAcr8UkTu9*jyVEZhipJLAzP56T(?U+200En0ojI}gq(t$hCBgz67m'
+    '$+e;V=(<P792<Q(KY<O1X(<PzjE<XOlS$W_QS$aAogx9c8agE};ObTPDb*V%c3?eoN6(=NP`'
+    'z|vh<+4`#sPw4SoSUgGI#yln4GN7HaP<?7)jDd%{J@yzSK2N+yEUDXlJ}+}#nQsMXfQMaNB#'
+    'aNcelOZ~+iyDYd$D@W0tcMV2|U<Elo;6Mx_h5d&sUY6b?Q=c*bQ?Re70kArC&$wcMdqs@i*~'
+    '%z>W3xwBr`>yTN%1j?0v9#$CG~(;((VYa^RKQ*0~TzPgC61bg!O8@Im%8RB(b1fEcHj1cS22'
+    '7YfDb+i3Dp|77SQ$8N&8g*r>oHovaPb&M#+_JV|pUUnD?O5rM?GUq~Q;l}pNvEt2W-4CFuzo'
+    'df&iC~wj_W}uiDLtMSGqLR9@1TODI@zBj?WcJEDZ&nE1NVz9`ufTlz(<wzn^~$pLg?3+7s_4'
+    '_^8G>5IYon&Z6AURJ-)g$u|XkldJs|$}TmoDS6ake-rsYIIY9EWxr`OZ(VUlPCkt7-U%^Y*}'
+    'LCb&0Xxg)4KJ@F0q|$TbpD0t-TU>ssB2{@e;T7KK^XdcbT%q2<<k>bsEZt8DlF~d0dP5*m|T'
+    'E^2X0=_pw1eGU{7$F3APk|3IIZk#lA;YHzCfgeNoAzlu%GEj~6E_<n-=iM|7B9~y-(#0N`^*'
+    'HLx$l!5E*d&8VHIO+YFGfExpI<>%KhPhJlyx1q_`!=u@a!t-Hzo%uj*HZatmF?G6K4uYb>-L'
+    'rCdGUXa8{+e+sQo-KryUy1+YY(oCB7HlxSjgvVK<MhVf=os@%;d~xZT4qo{LAK-_{o`)i)10'
+    '=G%`s|C_)Kg*v;la7I_0EdIJl9ah*^Y<`L7mDErz#!Jij%8#E@v1#>O<GOpuYd+@<s!q=-az'
+    '-6@bNiT@4P0n~P8QqL-}3h${y#@vTz9paalR|qcbL9taes4;W2%~F&DAOX{Ssr=aIEmP{k_E'
+    'fG-#96;BW6=;h{0ccj|Ji%GX@k?<e4CbvBQy*vM2JD9<K}#Te(=@AwY2O0L><?ILwWyN5Tce'
+    'gp32khoh*$r^izan%ie@$JK0udU8YJMU44hB0S&_L<OM*MrT7cWXU$^~2avb$H2GD^$&H<Mu'
+    'stTxWm54>@n4_@}iCx13aWf+6l>!f|kA>&L|f7YC`++uDDMF;)xlQRPvgcqCKzk(U)ml!^;q'
+    'p&h1KFFycY1^!L{d<r}dJi<BK^m~UfpSgSxyBX$`Q88zd8^rz8+s^Zbibv6XgPfMCx>E8)@_'
+    '&+C)#CoPSi3hBCyg+#@~D;&j+o*3nvqx9%<b6_`<^ET$<O+HD#JX!tyFc#AbDMMH&I<t<9fN'
+    'OpSBcl=IUNmsyasAPlj5>+o=q7s_(1o7LEO4a5eC<=g4<e%@OPTE$uzQ_}V1i;TmrOmpONfH'
+    'Y(NmAvxQQYL|3}yUA^!J!@_`-zK>A`*rMn?VzfQJD9se%&GSzd3Hgq^AWJi{nUBB6snfl!}I'
+    '4Rebdi|V&{EaU&dMNM*0u2{~&NL@O|J##`?!x_pXY!O~o1WF5f*z&e4v`^mWO$Ox0RO+4K<b'
+    '>%f!VchXPrApLD~=qunh<71rXwVm$^wP*3sT69+t-kab!;X0f1XCs?5)%@0Gm&lhjzCRP)Co'
+    '=A}2>D-~JF}{W5+5!oTh7u)VwV}_#uVd6>(Zs2ZGChHcm=o(Jj!;#CDxpB=0D&%O;uxzv(Ei'
+    'Y*~030-1*k~)s7wFz7Dhh7{6Q8mCx+BCGv^f0je|5bId+fo26>K4UQ|qcOIV`zLu);ZXfrZa'
+    '{U(TeLLsb9ctTD)wWIQyw0(u(!Y3&dwBJ&s{cJazVDXd+%v4j{XT7;++(hd&<<sf4gDGmynB'
+    't3b5rF@+xI^ACb~4-86<U)ae2MLT2k_1fMb`*ukElO-+qGUY{u_Ug^H&&#>s2sJKH|SdB0J%'
+    'JfL){t8Wd$wbS9eGA`GpkHl{p(8u2qcg|OP*vorMUEOi_tFysyz9H&9sW@qzeQf+)>Eq{R)+'
+    '~9S@04|Q))^H`wP=n7a-kku#&%A9ZWqjzFY)_z;9IP9eg^(X|NaKN4E$d0dp^YYbvLfMr}+E'
+    'S2JPBlJhasJs4>QyUH?1!@&n%4bo_0H?`r-odnUT$&j9~rJpMx-vU+Wj3x~P3eg6r+Pv7F&Q'
+    'lmA3O}gQHe4xH3)o5#@;%SaLea^i50r(>Iy8O_$!`}QZR866|L*n3UbRRa+`<aMq%IJ<F{a)'
+    'a`cuMh?{$BsM&yr(X@Z~o1b4%sTAaOjzoX_JMA$}9b2bp@-G5WjvPA_}$chD^2_jgjc2Uqvm'
+    'U&t+X%nI;APhMAiC3c&Rawd(=@@8b`w9nrtie2th`6K3k6vpF<C=QAp^b@^@qq}IS+AjeA0I'
+    'u*1uy*^C>)cKK-y1f8^UUkN++D}lk^cegP`g+'
+)
+
+ACTION_B85 = (
+    'c-nPU+jg5U5JUoj4aTMscADZQse4abyZ6UF_y51BD>0IersnvpN4sLRms!DWQ54Gmv`8sZiJ'
+    '0QaV-39#S&6JgT9MA%b+M6ux8BIQ^ZJav*tR0Q?C%5zk!NCe>l+a(>rwWstVdbT`i$<3z1R;'
+    'Tw<6BxInd>DC;JXx$iKr0`Vr5(6uI}YMqk@Q@dsD}XZxdg6%xhe|4J$>B&zkb{l#;gppNM3a'
+    '`uy~oR3?-#+h%tuD!q0-%6+4`klyo@2`pvl3_ZhiRXQUZpFvxPd*nHci!)Oj55aj1pJJC6}~'
+    '4Wu<|%TpP(P12mIn=sCeetujjL@WIWedW_XGDsNyU9tW-6}T_N5IacYm>WC|R9mkx#A&GAa$'
+    '0RJugx9}ejGsF(hHNYOvH^3f#4e*F~6P|B@p<f;RTA&7Y@Na<{xWai2@CNyB=v<SXANWZ7TZ'
+    '(70xKrd$Q$Io;1{m_JX#arxTA(Hl56Hs;N8--{N8-~0$1L6tk)I;JM1F(w6w_p!pO9<Xf6Qh'
+    'f&9I@~1-n}4ts>me9Wd0}U{?#hSA-k7Lxy@E>}r7<MYu!#7B~X)nLlIJ(u@r>%RSxsfo8g=c'
+    'fdfi-DmZr`)-J@U{?!#D#8uwXn-T?Xn`8ICcbOZc^(44YvQ#gop}#Du8F^zbmmuO_P|fNTRq'
+    'j=X79;M<S*1~fZ-ij(f$hc?SOmay#wyE`8mp$F6XNzo%vMRJ1pgCfE}=+{Vnpdz%k4F?!Rx4'
+    'A-ke?8uOzwp3=LF`Oq0Jr+AMh<Y}{cyTpE%)c=a?YJnF;cz^Ysn)<7=dy&3fhWZ-pYN7Ay>V'
+    'EiErhC+1<zb3_>auTVn$JGdQ(tP*xo>$tPVu}@UrjpKpVxH;e`n0~1^NYgx)+>>&hkie%JFn'
+    '|?m6lX{{fPYI*b'
+)
+
+ROWMAP_B85 = (
+    'c-mds0a)F2z4-C(IR}Y|h>(bgkdSZ@5)l#+ArjG|wQFX}Y<bPR%goHYW@c;cnyqD~X5L-1MT'
+    'E3yEh6F)t+j}VcDZYp*5dBcBBHe>5z!)|MRZ@k|BwIE^Z)leujli19q@2?|9<Cl)DWWoZDuc'
+    'X)F(pN#R*E2A>77cvQi;jOApJmriJh@GgMs=!gj_fNDpBf10<jH|GJV6=4r?XVK<YMJvoHi8'
+    '74b3gstpng|?@J@CdV1XN9nXqZB?hgqs*7Ejxs(=wyM$r-g7ICn?Vf;SNT~d3p%fae(t|%ne'
+    '}=r>VIxgq<9tC@+MY8On>FcltB_{xe+d+{GeI`61lT6dRry!kvtgTM)wa1@U8h%~jf;6@UGs'
+    '>+{U|tSt=T9wrL^{`V+;b_lm{kc^@bw$RNvnx7NG1Dv9wIE1?xD~=zRcTos8(8n5^O5*SLSj'
+    'peN_u2Jx-E%{@_qp-;xLHyfpKmn}k$G_l*IXR`**<e={oGRa_wV(P^E8#u3*l~#kY66cjr0>'
+    'P(H47|qke<7I6>+2<KN+J=3%lb^hHla{JodW))#1u8LBEZ#yAC+YK#GrRl2H*n~A#WaGs~(h'
+    '5BNWvTA)XO!kXBmi?^IR--RwseZA(I7(ryz8EC!GJVm>0*!V0;w0rS(HA4+)a#1_oM+=p^~G'
+    'sw8uZ06ie9EKhDdMJ30*AG^m0ux#fBzLF-q>`nxdCg+MBh+8EUW45EB%)XorJjyh1y4bB^X#'
+    '?X<>SpE4_68Ml0wIYwTae&}P3O|Q}pXQ|t$7mic%YMpS1%yylyk0n}OqYI{~+!X&V?>3K+|5'
+    '|O(|JwMbvzfijQU4Fx-~^>t>Vm^$y-pYOuuSV!nqY>i*K2}t3a-`!10>&|2|C^oH~xS7j@q9'
+    '0XAN88zIU6GTjIXU-l!3V$-YJ->}Q3xH)(`fs;|`uM=5->Mi?Y*t48Q#fyTFJgp-tCrx8ZT`'
+    'A3a#fb(p;UL%~Q=B*mx7)3W|gdx)3rV+YWr0GVDFvW&{(g>sEZqo?8tkV8=jc|tAn>4}%#qW'
+    'q4y~R98#?3mRn{zb3Qzx9F;ud`{M&7&hK_6>ux>X;XrS9EcYmQTLo7b8{WWGlq?0Zk#!jjo?'
+    'yGEF%@}Kp=5%TZQ2mOTi>f^of*X%XtsJ}D*>s{svO5dlG_r-s9*vz_1EA+5T>-)9B3{`jk{l'
+    '2x`d7Od|Xodlj+ciT6^E7-=A0Lb#KWUcj&<De0e@Gwf|4{t8te9;(HNq^_{}NxfJItdL-lG!'
+    '+N&B!)=wyM$dv(G|%0HqLM#$Nv6Ao~mjUUwsr>WVk6OK{zF`axYex5^S`h8lVi$$6~t`(-(a'
+    'KGopD7l}|3cak-{(x3E^T7K1(t~<og5rm?!a*`V8Fv@`tXrJBIY;xun&A``pVACt<UJC9zZ='
+    '$PpSi}Sf7K3WsoSF+j#Kh)+TjqHk7|c~EYb35-7rn%W4hr8`Jd4Z{hx^!na%8Fj{48)<+JhM'
+    '`-EBAp&1U7^*O!J!!oU%@#7vgXQ=wTRv4$CD}Juq%mI>*>*ewI`F5D|G<0i*$?o_$mwiDq43'
+    'oVte%@Qn{jAXTMX%!*<L5qWR`+OzqdoESFZ_~j7$j}KZs=rz#xLuJlawFO4I|`yMK>Ja{8!?'
+    'iXJfB+INclnb<J1x!!e5b^urM8U(*g<EYj4k9j4gub?q=p?tpgaWtH}S*A8c>9n{TW{JbX2;'
+    '%{h&gWrgsTgH%X=;j>F-_#AKs5qz_#>o4YX6R#$O^5WtS?a#67mibMST7tR^E-NBA4{|h>xF'
+    '45zpEFHkU!!zr+*}VJ;L`i!(Qg7AJq&eDE+=(I84@<Ug%+YEdJWoAL!)=@pGLqtBz=faSHxJ'
+    'FAR_z*UNbPd^^l}8vau+Oj34KD-4tU!}vLGHTSbZ+cB*$OZ9*0grgKrXoNx1exwmPS)lQ_Mm'
+    'S0Nk2S&wIVUv20nW4WC;H$tHIv%l7)AfB4TeZRsSUbVr0IXO!4w;&w81F3KaH=0>&;$PX+Nb'
+    '8&QSX^eK0}sv^F?M#?N)}^Z2^xHqX&KqYX|`@e6G*M&7K~n?Baq^h<60GQLjEnsul3!Es7{r'
+    'H^05ugf7b^NdE=#}X~S)(F#7p4A9P$bUj3^gj`QFxt#s=H}wpto}C|;RL1g@#}V*d6=x<>Vz'
+    'Jae;Z$0tqVF~hN|CbgmDTM<LhplIY9FFI-!Gk8qR5iNy`495r)ZLim%PB=6+Ua`=dsfrFuEO'
+    'Zg-eRDg2X87$j}Q>p>?AH2zs9oTU7Gd~M%hj*#;gt#E+zY+Q}6`#t7qYW}Jhj#0Fx7lugxn_'
+    'lQ*@o$OH6cXWnrr3~3ggY4}H<<|6)5|LDsYG~`Gt{Of!aYo+MfZzDD83*OZn+@(9VNm+=Zy4'
+    '3*g|)D^m|H#bI#3AN`wbEMMXv;+{GAqPfmmz=wppdnThZiXQ_KiBHYVyO0p8+Rt}N*)I_+3e'
+    'Js(Eod^#xP36-P;ckwQpOXkT(w`Gu>pnO?JrOpumpSTl6JZx8D7`QdZsRand5Lf>JuK7uj6`'
+    '^t8LILVVLRg#JTnotF+j2)5w0wV?iGp9;XF^nvl3x9lav)E!tD%`{p>{8%6?X8D@ue%n5FtT'
+    'iLisC6c#7KO$?HDQ6gMLCkq!v_nJg#EJ=j>I7#_)6X6a<$SF;P>q?`0Wg;AKKF`LB6JZahsV'
+    'Pf@on_H|G!c$D7d<Z#Zf1z|@<h0rE*5FJL?2ACVS_#xCHMLIpqEwJEA+t`YG0raCMd4d1_#N'
+    'wR2Ot}?$YQ!tcxmLR7LkPZ8%rFP#cVqR~_B6^---4)~e&*|E3pdgtOGuXoTaGyg0fK>g2^9M'
+    '`o=~YNLC-R-Bh=qx-*JF4GIsm&J`#)@g<#<iA8S^b`F<m(A>Du0DD{(9BCU^U~=4sT=3g2Hk'
+    'L&td~Xa9ol)Bc36H{+)-<zewd-^<@#Zqf~M%+tDz<hk-S_(mq+h88gib$JbE9}QL~PiY>rzi'
+    'yFyD0lii{v_On9UE40MyE28%$J+<noHM(bO%DM2BnqrW&w&*=fS8cjtp)KyQ@m0FwB;^}*#R'
+    'xgCj_&u`dbO@N&&KxXy-!>1+G>y95B2pLeR1qHakE96^u-YAuhkb_EYh@DUre##AN0j2xmW6'
+    'oURG&;oxV6j?N$0>g5uZfi-TlbtuMMcNAnxB^@iwuL|e`kTeQU(d2iGeeXOzR8clJQx;Mo=-'
+    ')kPH<XTN}h|D)@ihV56vQ<k=Q~8$YeOF6w(GvOBX^DQqKWd4+%u#>6jyOT-TQ$UCvTo1}JuI'
+    '(leVcxmq3TBcFiycgX@>!l+q6Rm^EA9&GfYx;lU^7m`yH{Z>}Q3xn>E8M)$i2HJEI*yFV2Ox'
+    '=!HSj-sSg6Ckr&*suNC9{%)NxLe6a(;Q;5^_@3AvPE&KcJ~&3vKWl>_((lj)T`bb{UTrYNhC'
+    '8*vD7o*`#=2fsX}?P!oT2vp`e5Sy(LSP)yEVc=GCrUYx;aPlc8zd~iVy08G4gikgFe>S^dWt'
+    '$J4@Y8eQ=zTf6)hr$h=1%>|=?R59@<zD(}?>N67z(Ht1g${lneOyZ--wHmetZK1cmW^}-2Cc'
+    'Sk#tW_D|4cl@56^)cPh!!oV+Mf;R)?$ZrbACIq}?dCWI_iKj%lAqAdC*t?}4s)J{2lVqmw1;'
+    'WPx$MDcH`CFBIwJd__!`@4?q`LzPwI%-PsZ0+^}|}?D21QW5rd>Xq9Zz4pz&XI#7WBc=!g+='
+    '{!K?5;5-{2jdnO4J*p#WKCL5;QS_LO7$W^MI--k3n)b%~#Qo+J8$Rnb`)s^hjGDO}es+3U?T'
+    'Gh{_Ro2}I74lxo|x#2A5;8!J#mnXE<MrBIhr5W)8p}ea_aGTC#mR;_maEJG4j5kE&5pdLj3i'
+    'c_Gyc=)P2!&<2WTf+TswIU-Es~#}Y03wY5LqVW!Q>FYAjVUyk>g`~w=JpYRoZeI?#;_L_6l_'
+    'xf5+Q2N#QF}InA$?DS+JuK7uH7zmowRk70>W}xJ?fvmCG;S7rT~iE@9MIH2{Pi8?JPrS@DJC'
+    'f!)DpvFe?v#?XN5L9<s-}v#d}lrH+95O3J=CR)J^6fY2VTko!^T0ss*$0ke)b6`M34-?f5Yx'
+    'X3k+vae(t|{EnVDP0et;hwU7Wcdui^@%~lxU2QQ$`iQpZ8i~Jt(QNvjwwPjro$5|T$^Cx3Gh'
+    'c7^vP%1yKjRFwKhPBu6x&N~;UF3Il`V90F4~dCHN~lQ6?THV7$eWFa07j;vB~@SW1OYVd-1&'
+    '-r^LQ^D~HIO&=LDsTG#R;Eip~yaUF4l{2yzG{vXHx@@X@BnWO$E`r*V+;@!S<Qa>D?jCcDiJ'
+    'KeSPuuQAn>|th3#(RI2_sZ>zQ!u3+21weiuB3x`8th2BPsN`RCe5;+Y3FD0wLffTd#~Ecepa'
+    'UAdqCUI{VtiM+U~O>+J9!E&jNn8c9@$OB+dK7RdljI<1e+t$zR6%W%+6SFhb6+w8H_;v(f!<'
+    '52vYdpWMl@U&ni7k<UUmGer6m@#l`K%`O(7h_CIYIo&YDhTrJsH}N$-YUa-ChF(@_|84a7LO'
+    'bReY8SM_1jWD84hP9t)XrkOYj&IGX#Tz552vU&rya(~`-67qV~tHq@lN@ed6v3A>gSK~XPM('
+    '>$+Cu)<7@YjnfWIjv5%!c#n*7lijJ73^3OWr$e*LnELu9RCHe_}@tUxgIqFxn#EI2-?=1bRm'
+    'N-n-nvUpUnO2`$A7<un$xs!NVLRg?+Aou#Adw8)7$BKUhAZh{o`zI1>}Ha(v}CxQVX`kshOH'
+    'MwduKB2cV3|_JsBQJk9N>xn02mxQZnq|D1{l(UYZOyWhBEOX-`gutLS9m$?;<vGn3&yPE!7q'
+    'WVnM7a<Y=)Iu2w-du%eC&x&@}WZ3xBXn#$HJx@)B)6`@q!%mJ-^tAZvZ#IWW&q;=>>B@;diz'
+    'UONbJNq4;eMvrkedv5GMXEGPD_T|3zOk`dRe7CFBu-?47JZlhI^QxI6oO~;UF2$OolCVbB^Y'
+    'MWO#s6R6Hvg?qZC*!eqFCKGxXu>|}V1v(yzO!@V4*<T=saoD8=<Cm9ZrS)2^lu#Y8LE=q=nm'
+    '|j;|k_>lqg#70w!;S0uiT(xnX7(~i{l(EvoeaA!PKFbdmL<b&94?E`S<g#`Yw2N`*79U{m>H'
+    '@r(a$CEdHj-Sr`C|ybQ=RCy?$5H!8{EW8d^6=*$Z^UFxi!{t?Xxowo7%y?4{AZtfML&ag@Rr'
+    'YUqXWdC*L&))Ad7(D)(^agy?y_<ToAv@dJPU+277OB~=l8*BB$X=*Nu?c^9mb^2jwUHVHjL>'
+    'G%R)$6A|+J!abyy2x9VwBv5_<X(D%PQ?J(-3E<ZPXAGjq$no<<TyzrI%}ojHc)_o}QZY#JQ&'
+    'UnryyYQ=ForSyRpNwK-<yU7;)bSYuO5^jS_@E!v{)724uBC9S&R5Sg#k)hna@R$I<Xw6tl9X'
+    ')0f(D~^!AQB(92UahHDM|-TUoad--*AyoxeT}9#OqTo1we+w|>udGI3{`&4?Tl04ezJ`LlI|'
+    'B*(!o3puZ#9z9lg%aOqqMZ?F^Icez5iR(dSJaIj_7v+LN{9{_qI1RC_IUydnB*svqaVEn3<V'
+    'Uz>ww+8eb*Ckr%Qqn~S{9a~S%<!{mwBX5d6(`w20x$ggb&eap=+4$!8`rTumre>?2wnqE6rk'
+    'so3qA7+*zfMndu}G8a@qVV*aJ_yQCHJk-KCY#=YKc|aZ_pBFsC}E3n4tK^_<Fs?JV=IXa|_*'
+    '^qj{TtI7P+Vqup6UZ`TibH|d8y*4Xq8?QoX5oBdoIr{ta5;m|vyU0Of4=!bnQ(ef_sFioZF_'
+    'im2d8egON@753f?~eb2oXzZIj{5g#hZFCK_Fnzmt{)DQ<@&vr9+qjnLqE(=^<MojPQjh}xii'
+    '{>HRPOppN8mQo`$>h!z5+z*U$Uo>vGu4zFR}=XN9&8Xop#<UE@1AO5q1}!ysupG(#r~>l#0#'
+    '8%|QbQ#0#E$Z?Hd#{tf>@t$ax)yqA4q2|MS;n;`cbJ4weVTkmP=!Gs8Y1*ZiUGaHpSG3FO=A'
+    '*h{l-%8#p_kR&(Pv3N>&JBSv1nJ-j&tpO+F^p?k4K+7wexZ9ka2%}oo+F^IY;v+^usAC9*Fi'
+    '_{XC!_@*dRBgVE<z4LPqp7=4D-k^94AoP8+1mg_#LC5}_#?{_PQ$n@B2*vHbRqR+Bgat%MkG'
+    '?lKyyE#Js9v#t7@VL$FWsZ8++AdB|`e_YucwN?GI--YVT0f&BW~g$FZD*W<&+3Q)k{ueNgLx'
+    'W0ry(ZSm38W<Guo$h<edHaXouF)=e5Mj=cC<NPhEOqmg>j#wC*T{-O+BWtL|vG)mFE*z7XxR'
+    '`uc*tScpFNF6zrQdmkq$|Dv|mjgZq5?Wr2;iS|sL_2{f8+AX#AC7p5lOVQ4#FW2r)j#2bwov'
+    'j-p{Xn!c>g_<h7j~J8G<`*LOtGO?YmAcnRjtv>D(!tb<4j+)C+h5LI%9(3evNUEjIZm9Zq9u'
+    '@ZoGLwW1OPGec&#}$Q#rbeXOzR8@l2wb*}e&IX)D9*3#8Cb;Thv59*42EYb2UO)*X7Ax&|F{'
+    'BLWD{%^<sq2OlruA8I&JG$ZorNg@7Fj?Q#6g@1{I-)6NsQR9!7^h%VQw*$2eqUE~Fi*pnu9&'
+    '3EJ>hnS$v)yWWIrpk{YSiKK4Q*NJ+7nic;`H77XGJ>7$ogzyoX+8cCtX@5B0;zAI6U<Kc*i>'
+    '$oVhraDek{oY2ffytkg7h<DYRAI1CXPV*Q=?j<)fMEZ~8ufN*tVv#1lkNcTo!%sBBD7llGp_'
+    'f(K|64Phq4uO+n4tK7^uj?hrsCaai`hLD?>pzr=AUZjr_mnc|2Hd6>4q`#eipldzMsW=%$m8'
+    '$_4*iRsdK&F%W+C(w8J4Xf8l$wkELJ4`%KHMewe26m+@|Mw|Rv8(;A}xbiD6`U+IXw%u(+e-'
+    '*qN_%n7sf*S;r*$vW$6=wX@GC*u9+;V0sqXy%D{FRF5X*v>cwzw!Su@SFJSlkOK+(!u<E{Q0'
+    'Eex4L5Tw{c%(3)*6s?B8kYcX4O?%@x|*V;*6a>fcA7L-b`HrO>_QCI(6SgRbagfySkHf4a{+'
+    'N%<dj#Rxgey5Iok+34Q1htt%otnW$Yv6XmdDf+Xf{v7WKLuUH<_`UgRvx`NV{-P_U*x-J4C!'
+    '^&4RabwFchO#RmG-sxcl@Y%hFbTwdzkoJ^t(=l;*biraFC2dDr})U5$&9*aL&0onF<eZii%V'
+    '!+{GAqX{m4neQDAAV=AmUZ@M5A9^))^>8Wrp$0>PID%{E;GBZ-)8un#G?}MqZ<lOS)RCtJKD'
+    'l=2zZjO-ulvKEp{&mrRz`U8g%u)Z;*e*^`nw<)_ahR;9MemWRaP8Alp@(H!b5h~qocKIrRy{'
+    'oxwlhvaZYpeJfaHa#aOH*Zx#Pm<Ju(&MFO2TXsnC#@3cH!4>=~(WJHuq>r@~hDv$C%3nW^vy'
+    'vs4$P!j5%EDSTEc+{7Shg{g2=VRUa!g-+)M8lRmC_i^&s@wvPx74Be!oady%bsXS48;et6Pj'
+    'P%cT^!w;Q=#Uf=>D1tJ1<IwV-%I7!p#hk{@hf!nl2V;Dous^nPS7msc<Kw7f1KoRLCt$h3n~'
+    'MmG<YQ!lRs_wmcQ?VWK>K4T~?)5(mlHpe4FFNAvS_#Hr^;_a7})Xo)fMUZ5rVSYuPAjyOx*r'
+    '8?p`B~?1Aita~Ra?X6Ame|J<E!8?=n#vdH=tc2sb;QiC(GvZH7wd?<%u!#fq1x!apd;tf%c6'
+    'UMmM+s0S#{AhuBAFHu}terw6t!9s`}^}*He9Tjd?xlHTBZ?y4q$AkZg#q7j2mx%+v5PJ*}Ih'
+    'tTDb`Za0U?ez~sL&kAi#nqrpf%k{)j3Y+!BU~~NXr(L0`E8?HI(_FaXe*t7*hj9'
+)
+
+TRANS_B85 = (
+    'c-pj`cYxf)*~T@aRrT46F*Yk5Trdgk&NiWh7Sl}cy@LrI6KWs?LQNpF5LzgqcSs<V5IUhl=!'
+    '6zR55=K{-XWClZPM+mH0zVj-yeI=yfd12N2Aeb%5Qa^({hxPI8D;jSpu}-^g?(JXExF~;nN4'
+    '7@4;s-_>6}S#?LMKefazUKJ&n5Uii!hpZVdl0DSu4GXS3n@R<moNs?zl`23Lkx@0c|pM~MG2'
+    'z(ZW&yV1<7<?9o&l2!iQt~YYpC7|#GJKYX&ob~?7Cy_tXL<NcfzJwZ?27U|E5T=FX9UDW&MN'
+    'R1(^k!OcGA_rGwSN_S;O%uye1rvx|Y<(+VEKiKI_6~J@~8-pAF!%p`+m#<!l6>jp4Hi9FO*<'
+    'lvg>M!Dn-^w}A6qOU`*lzSf$dFHY-q0%uFmt>7A>PKB$9x;0$EEg|hE5Z=ZaNxCiMK-~^%5p'
+    '{d`KGYrHv!fid6V&)mqz-p>Mw3o+Jknj@^Hccj3ZLEJvpanD03Xvp_k_=0@c9{(3+=rrpK|t'
+    'r&(Fo)7tVc}od1k`O`D-FOq)%vk(bx$FDhQ2{kmMAUsSw4`;}gwMV$RXe+hTj{@@$y_5i8(1'
+    'L1QJv@{GK40j6ZA#hi)JxT1|{CXVfj3xaQ+!?697JI7Lhlzc-*uR16k9vgDBlck4BPH!9Njn'
+    'lgM@!l<lJ;9kI|e?-!X4QQ{;@2-llF6*oX7F-IYHXbiPV0!avTVs1m}YKd&tQ;7wO4xkD;Cd'
+    'Z5H)Z_@JH!^@I8c(bM6&qMjk?XTs+!xa%=|Hk1MN9Px23)HmvRaJQqLFFr1S-U0POC$xN5Kz'
+    'fnb7t?nvMBz&$&!uoB%k%nD7B1&m(2t=05qh8Y{C|QPVSCN|JT8Hrlj~xf#W$bNW#aqt{QQ@'
+    'f^F$w9_CJ%oD21<(`neK%Zq%!wmqWc;{QO1E?HXqc>0jj>u9bST*H1&vaf+PFN^<<H#<^$tu'
+    'M<64G`ptP!{-M0+$ixkiQ+ZBIX}mxDee}k+YuE08?-glTjhIhkbLKg-X`f-FSkqF9TIn^=v|'
+    '_B!_y4)9=In_@0GIsUG%>E+{&-X{qT7}(k_C}gW~rg_&hA(N8m|>`Y3$<A#sn%d0i_0E`fW7'
+    'buObk_elEV@MJQ}!TLmAr(B*V;qw&L703Tm^l8zvI?nfB690_U@g?wiR<84NQr73;^8%&uef'
+    'FZnza-!JZzq<r^YwVStxjH|`0O0{_*cY!HE;h*m7ZH?dwGrS0sijklJ+0DA6{>3cW=n?Z??6'
+    'Ax8(S@CGNkX?@;<W6n?j(Zr<ytoA;@1l-x^M-S9p0LR&k%ntUne13BhH_<SVy+{aP}pNO6eB'
+    'b@eo?^F1ECiVY0jI7$r^M$1iektGcReoRcegD6_&G7MGJEM&Bvz=K;zoB>>6Rkx0EtSOw9ow'
+    'cjCTfv>C;hCW;tm^?pNkH(iM8mQTl5@t;2hQh-%2S*tC6IbM=KcNsh}huKSy0SuA#<?kM_9P'
+    'AzYr%Qyk|je(na~A2lR(XK+kp@f(sI$?>s@#aCy1k0rlH_6Rkr<jd^YEXR+K@kEatpV^}<$B'
+    '!htCoflK_jL6iKwXYhBaH9hxRKWSMSGMQXIzs}s%1UCN!QAiaAG}f7RA0si_WTi(lK(aW>YT'
+    'dSV$j7_3hTk=Ucv?uixxyq|~z~{yXCXYx!Gk=h@276XsNE8`4xQN!qLUIXs8rvBaE;@BKct2'
+    'I==CeJ;gggq>l;>Bx8(zi*n{SJULankMBj(|Mdc9?p4gxPPWexd!8Ax90o4;<z6u9&^tF_Xg'
+    '^`r0xuki7b9YvgecI=U1`#>WuHP<oC#40Pde@a{sVBo8|ZsGGFMC<1>4d<@k|g_vhux?4GXv'
+    '=YhH$P$P`*;JA@puge6uf7-9f1l6)0KasALE8)a?+$7~v+=9@aP=6@bXd#JT7|OK>)w5gSc;'
+    'E7Ue7zP`Bc)zF@!J_6Sj+pPw)6T?+j-5nKW}#F$47VRU)-+!!(xSgWhlpE+9GuP;%YqU5(>x'
+    '9YttME?IjgIKXJZ=x|G;c#s0C_hr_(efwA~x@Vhj8P?r(?6|Qwa8(A8@dot7&r_U~aIp4Anw'
+    ';X&>mlr)6*F_-Ta*%IX$j9lN?`X+41>#nK59*4d$Ko0a<XZvqO@Vxz&iRgoc^&FX(r>LS{nj'
+    'edZ>_2}r}|$_ZN}pUm5Odix`tXz#)DguuBkR4y&Y!L^gI!NYpYdA*O7j5UA3-^cQ%yy*(B2S'
+    ')Kt>-6_4XKQ0vL~W<mL$pOJ2;CX2l(=|<vjW3@WzCW_}hn<~Ekn~A@d94^o1im%rea@-}(9-'
+    '=(2+)~bCBkAY2QrpRS@i=L!;&Ip3&`0w5ttI)hd6X9A^ZSX~gmfFlbC7M-`lQ>b6{H@x9NR0'
+    'NTkas|y`!AhPEyXDWvum~v#g9Kw~+7Q_-Rs(UBvGOQohX2#_wm#Jm#m0=Zm|__1R5nnTM?<%'
+    'JsIpT1xW!qU%Yy8#0FG^V&nsYfmZnUW&)kKa+CpE#=uq+SAYFI_xX?o`yc2{jW{>3pGW?yX('
+    'qz#X8VZhj?DgOTF>++D~zN*k5VmdS=(<78y5htCo{`;r8%LX&(oG&jaNe93<a;u(ZiT6qo5x'
+    'iT{=4IY_R}ujL#*leT}Dob%ywEwgok-$?us;%9Tkb$F!2?;zLeC@F_|zDrBJd*X97$+NB4d|'
+    'w<bKC|;aM#}zMssF5f9xLDVJGoDelYGa^eRKkR=ZR9z6Xbl?R3oMCRx#T6Ns8A;exIN3>c)4'
+    'SEPcf((ubU)e!z1Y#dD6+WDYWD2Q-IipJz-R!aSqZF`jK%$FsAL{fB%mk=eF+!)UTkr{{#*W'
+    '`|wJ@tZp4IG*PLWykxHK3a~?>@jkja?Vg*p6^VWA83h(xghlo?Q^uU@0gYBvsE@G&TQLQ*p>'
+    '9z<oL`UXF0w{%ACzZGJ9m#<Ihp%@#k3QEThOim#&f9W{>Dv{!JaT{F^%Cy3UEt>u5vgS=$iL'
+    'v(8uM-0ples%x9Oprg%QU~O|T*%wlMxNUaRTK<dL<}Md?nWK$pJ8p#aI4<ACis!hO(7eoTi}'
+    'xj7cdgG&^L7v!^}4CiUdr;1CHqqHkNL)l?RG6M&+Xhc8^3oBUdNTO&7Y(%y-fPu%cVc-Q}gr'
+    'stMpTUR=k#Ug&cn+9bY~d_)*7P;78WEz$|26mCwU6+cxJKP4?9^hIiZSu<IOXZ^xVi@f@n`c'
+    'wf>-%kh~#Mvha?U!?CD%*W?>jr2R+=diPq{a2OEEi&6Sr*I{GHaR}C$61c=k@9Bqx6B^d_4s'
+    'R*dHl83x!x$UucPbZw%H@PmVa-@EdSolxUO@_>pR-d_15;o^V1uYIVZkB+2+JC**DVpxovjS'
+    'TArKQ=5#l8nX4|)cH9Ei<G6j_+|k}|wzhZG)?QH~qh9tlu6J4fv1H#u^I+~b*mk>?kLS2<n;'
+    'lu^vRVHZbo7VV&+y#pZ_=;aD&roU``rfZe=?Mb=X|j-H@v+tH%vkK`F@9tQ*j=6C-_(v;(7i'
+    'T8}r1w3iHGiRQ5;22hIua0UuK!p67zGF=xEDFlS6b*~i~yjC-H-l`BhMdB60P_e)>-fb^9Q('
+    'mWt?9+LUPLyGs69;W%G22Dgal(FunGQZ;EA5q!-aD7Q%L&l=Z$k=it8UOSA;87W){zL4GolJ'
+    'SW|Cp5jVi`AYsW#?48JXu@;_S$KF=}DngHgLkI_G~%<}H^vtH}IlBbop3e#$?kyk9z-$Z<;>'
+    'WB;GX_g^CEPv`T-RV6(ecW)x|JRYC_OUk)}%y+WmZ<YDkGisE4FMrRoa($kY`R120Uwd5YZx'
+    '8YJyqwn_GRJvA)+w)&`g&LPe19Ti`-}5E&`rf(Hh=ay=D(vwvw3YcALHxsqCA6NQklQlsMl='
+    'X`)?`#i86oTJvA4!Uu?b}FU!366*=z*<b1!D^LSkH|3u~{uPVO&ujSWcw2Y&9o%c-D(>AW&n'
+    ')j)sjZas+X7V4^D;inH{;zke;lFNO!{;@xH`Ewot@;hxFBwDScvEqC-cp0({WIVmeG~4{GvG'
+    'erbnbi3qWiD>J9s|fw%KF5&J_mN&u5*%y7?FxyJzcencaPz{_T!)ep`+0I`$tNLynrk*pc^h'
+    '{+q8cX7=c=<$0&0JnvY`6H9r`vH9E9u{nSLyRyFdUdO)EV0=&4?|Z-F``)*HA78HzI_7#G&@'
+    '(IH{zY-W^^x>LAItv6C(_nGQOtULS~}+CG393+>+GLd*V%bJ`ExbKSYQ5Jjcpraj+HUx($@S'
+    'uCUx8Fv0cZUgX`I|&R`vTjEn)Zb@j~dzHa_S$N7Ar#&#V;4vu9;&0q|}{=V$+|E1M`EZ=XA@'
+    'xHK*@p!-HE7`C4U&lVqV0=&4`u)0NO#ij)AMto+bYTtr_R=+QP3gDGao>pjEqwRT*U-7|{!X'
+    '4rJXRWASWCaFbS+&|`dxCIquExvr@~r1f4|l%w~ez#7uMwOEnSn>lzy)q=W4ba@clzy)93H^'
+    'G~dg<-itKQsVI*TLd|2cNb?vg(lObwW>z59V@0==XXnzg-nW5_jaHViz$WsH&A6)Fcr8Ismg'
+    'BQ$Fmo_Hn(y(E`UrUzuOMTn^*h!RvwSNV>xiTDdXk@?-A%orvA+0(l<x)^8_Xi-J&R_BYP8s'
+    '+^*HM~)U4WEhniK7?8*Ra=$H(^hP2Ma&*w4P1J&|ej*aK{Y`XLLor3atjMeK~`+i<WbKC4@*'
+    'JtH8Z9Xf<Y1^|>%d<M;Gcw!8W<;_MIBEv#jXkoLXVz<AUEh;EdTl;~XV+uxd-b|)uU_Li)&T'
+    'F->v?&vUh|$&uU!9L&Fj~5(0x$8E-<Gy*9GR(BfIWp@8Otx*?Ty%b?u{hUBYd%ZGE(sXHd59'
+    'pV_uO|47zJM$KS7rbqU-&GVe6%U*Y%9-Qa*>4d`HP`}$G{hn5&bBT^8ZRPQElO|&O(6?jW9@'
+    '6h?MfwBLc}QD%{Jf-z*xb*}NBu06M`PdHB%L4o82Bt8+E3cb;|E9+v3=;@F>ep)1g%IXicTV'
+    'J<?#!WCSr3Lekf&dHTJ(v(uK4lU08Gx(pDb7C}|?L4}Co5?IHb<R-}uGE>7CY<Ch>!#O5+As'
+    'ejIU(YjZZ_vn7CH=y<~S^D|O($6m~{ru9>&o8aF7XEFNv6py>vz9R@UPkVpWi-$Emlb<iJx9'
+    'rX$?LQmIN5sf>|*P-{&93+UQ_HB6Y3YwkTlfgG~3I=vvKJ2BCe|`dM)cXc?E5blUL9|zVEW4'
+    '_B!(MeXx=q%AO0a4Xv!rwW5`&Z{~6MDw@|3R+TzkRkup+L0-e!oz}p(PTAI7*R)pC=9<=On)'
+    '?X6Cs&tybFy-2%*FR+Y~0IhXxqJ<f~}o3A-tAGACoA&w(cVxw0l9v)aWDl-d{&Iq_5C&|Hnp'
+    'uv97lD7b)1<Sr5YNYnODg8X(<3kMFR1LC4hSi+I0uLm87`AG4A4HOu0jDttfpHL=k*ZEWqEQ'
+    'n0nN34}K#ACoA&8Pw?}hTRJ~rbeH~ec9$vr`-2x>Ca-L|J%aa|D|ASXG;ig1$DY5`4}Lb3Uz'
+    'AQy`W=i^sQW{TT7i{pZOE%JEtg@#>U)t#ztSejkT{$!Pd^U5Z;b_Orr4iP^a4(b}#6d8htqT'
+    '%{xH3xi8n!KgULYzN582Pr=sCP7vN1>U1aaF+e&E>eRG*LC4g1R&br}qIYHPL;9JYYW}^#t}'
+    '<uXO>fV<hotYWL+Ss<N`JQ)J@1yIzPL%chgPI}ita_)%Hw}VnuzT~zm0i&NcYx?bRW^5leY5'
+    'seMu9sxexz^=6S+?mOgp^LZ3Va%CDSXYDId0=t`t5h<8B~Nw<$l59}C|9!O(Sp8Fi6c`kFX)'
+    'Z4*&R_lEJ5N*!q57A>w`s3o5%H9tr)DNS*23%*<L*dz2y}xy(-)8-l?l=1LZ;bxDvu`er<Lv'
+    '!%Lj5w@>q`8gx>=*|^`#G2&aa`Y?fv?<M!)Vt|E!$D;5$(dhtF?d+_s_a?5~Ss$c?-9r<&}I'
+    '@!kSG0_wbaf9y)X&Uz%AM|*$o==T1;v+pjBTes-iw`#JtkoY5@&a3y$zVz|RISR_!-tQ~j-t'
+    'W86e=Fx`_)gSg;PYFk^R0Dfe_k9jZ_~BE)nso2b%1&-)Oq#(+LeBv^>=U{?au>Ow?7X$`}X2'
+    'EeaEhSuO@p(i9Z(Vyn5g5%QHYZ$3a=!p9>A${#<aOe^<`&@SUh9z~@A$^IbImX6z*Cn=<{q^'
+    '!X>tb9O)J<M-FRUx|J9Dbk0Zp<Ehwa~~cXeg3J|K0gIpJEuYT59DJKg-?fiKFzRuLC4g1mhd'
+    'y;47fJ@Owsb3h>hpUnbzk@3buC6g7Dc;cW0500n&4zeoea<bWDwB7C(2-r8*u1b*!B8v?4uU'
+    'bbrzo#JiwLo{rC`3*Z^IB9xJzO|kI|yRh&KOF?-J>7vp#BwQ~VTr1hs8C)y5SlYzJv_@E*`|'
+    's@x&i(gxc<z5F^|PAv8@Mk}FVTwhQqez>w(|HtktSlB&zsBg=M6qz2K)BQ^S+(?^20Qaw<nS'
+    'Q8R8CuV-Kge0n#fV?(mX6|4QofUFi3)uhOIr^dG2KQGckMt404p+REdvAx*?K`|Q8weKz*dg'
+    'Z<;RdH=}$;n5n$w3A4$gSeyN*kdSefb@EZJEo-Hyn*^n7y1so-!-WV<wm`c`V{5dBziMxE04'
+    'd0G!fhE_x_gmd)Utn_A$5SeGK<0$7>unP9nVx;*N)7PoTH~(%T{Kgp$7J4(fZ9^f}zO+$n1j'
+    'cS+xKxAZ+`UsD`cp4zo9&}5$q_ZsRwP&d{45?A^p)_b82+WV^IbbDXb+3ys`vS)Vf7c|*tO8'
+    'h<WOsL+k_|iWq=kHL~_C9NQ-QH)p(Dx|kKKM@5`{DBdT$gjDk9iRKm;E4(`<&S5n;t6kO(`h'
+    '%FAwWAWL|)M)ab(a`ohxjwWjn7<+w-0eiW`(weh)f{vmUKi=|yXCeJMFV;+~jX0UJ4(%-~J|'
+    'MY~le@emD&XW*+O8h)Yeg;VY32oxZ()eD`F~jHwmGiWo*wzO&sNee+e2Qxo+z&oe(hoj6!+x'
+    '+y;pd>vHkAJDdC|dsQA=MJ8-3#o*1j<XTRSg8_$Bf4BKa90{WsLvi>2|spks#72P@}gsI$TT'
+    'w?TdGEAT0<MQ|VdYDpjb+6?>PCWWU%ooy|B>wiQC`(!QsY;5$)uUq@&6m0Fh0pT~r&l}`tfb'
+    '=b>vo}iPdqKwxqyJaV+fZkNeSd@c`~SkHxYoe^|2rl9|GP8n|C<zk59(|e%}oFMnt6f`WUcx'
+    'G%{<tL6919Jf25h2yodTTO}ZTP6R00kpQ)TrL_Z~M<?)}9CSsfY`saDSj{W#xANob!hjO2Jp'
+    'T;rUB+@S-?mjs7eu^6){R-mlFX>zVXY{S33*)_qO2>Pe(jSuJz83o%INza<7r9^jR`w$vp}w'
+    '+7`W^MPaL>7{inNu-YqAruedv!dZx5;KD$<6iN7~BcebPj1E<@n1+@&urjuW5g+COr>C!j9t'
+    '^s8n+t(?&9H~R2HrJp}kxA);L^ux-DTumCoxs8B)818X<L0#&TM?yO4C`fNYI)-O~^nXDeJ_'
+    'F&=5I-x_#WQgHvt+Z5fw*TO?m796=fuZs?g$ExbrmW1(aIS|b_?P$Pm-sX_uIws><eA{QqK1'
+    'R)Nh?W*zD7lGdt8ndw+j~q#a@O_b&9=%4xy5qb6`ZDdfX&FVx@5kdFQL9FUGWC#3g5I)=Xo>'
+    '90Wjz6#;FAbvd5<*RV~Yh<&|4RNnQ+;sVl>Eh%2P`?=dfvZTlKUdB?WVaw5^CWqCc^_XKcfa'
+    '1X-{pL-L;cq2ug(5nIrBn2v_Bh;m9%4xXM+p<yK?4(b4Q&Y&SwG0hv9yxzqcVB`}zS$N1Xua'
+    '6CoYLlOX-SP`~fsx(~$v5bE+BIR0I-Sr>x1cOmXQ`HuI*$HGv*7+%Cxq}=x_XHl|S5RZ8hNu'
+    'P!0nLl!wBVEi*MdzjX#U*|TiC@Cy_vv8&zND)<o(o#~`q+3jEalps4Jp{#`7xwVcG(YxmxDS'
+    ')UE1v<EynkPjv2-?NIA>66Wg9Y4SMD*3%-kM4g3sR&MiKJmUn0L3~Ew%in|!73(pgLJ~T;Ja'
+    '24r_qAQWM^7xfW6R~}G24UVF(p6kVx~k}Eq^&%Db<#v^eip1D&jNhTtSQf*6}3xae}3M?#`9'
+    '?{*Y<o$!Pd^&5MIYcACoA&E?ld%4Z9a~OpWIrKhM^48}j_q@=S}3XW;s-?HQPYt(^@Zydkvn'
+    '4X8{5q#L>8JM3Q2F*TmAyq2`FyBa;?JD+Wv<j*#KhDG$8Xp(N~D$>nFHz#f7@mr84V!QOr8w'
+    'KZs`ZSaqbxSCB>=vJmTjkHjKGLaOo|_|GoX=>|2--2~){r*R_30V-9JDpmpSb)?+(vX;(pDb'
+    '79cdzV@p-&`{ygq8(sn33t6h3dKMQ3-eFn}Ibw@}W?G8T2cPe>~?`(OFPaE=cob&7=$F=+Ts'
+    'hj1G4L`fOoqkf%&gbxM`E!_`w=H_6HA#1O73m(Ldy=;D_`OIIv0ZvT&k1EieHrQp^=D8&iCc'
+    'V*@0~x#`$+fc@{FIu#d(@0Z9!W={W+w~0rfs7mA8j<UzeZXzYyJzw3Wy2Pnw8b96S6nA3O9J'
+    'X$KU>6)ue_UV}2Bz6$4xdLX3D<qnQH4k{UQ9BdhL95UoF2j@9dj%)YvD>us@8-9N6cKS(4JI'
+    '4%%<zogO8_Y+~-zMqdt|I-7=n<r?JpM@1L~NJF5)+_osBc64pdJPFGrwCLa~z$IIr>PC=`tP'
+    '}aB=>rN#}#MfcjfV8-RMBK;`WrJ=W#1#_vRrBW>mJ$CD;v7soj#<l~$^Bkjb(7|5mZ&%012)'
+    'OX-qQBQ)j1>M2%(eF#fM<-jxN2d&Ve8hQ9mE+odoaScvW5drM+)h6!DDz&YyS(Oly4y>8&S$'
+    'u@i}q3anUa2{q@N|}XSuU=8FLlq;`Z@YLgTG_=$O&9#!u#WOgU%6wQ3)$-6LuD7-KaT##=C+'
+    'g8D-}7e41fJ`A4^>B~Smj=e5`bkqysa}lIt_+m(37OwMh5WWOHm%=q&4vt@*Y}P+Q-0~2fBH'
+    'uAZeEbQnGlnm76)BI!lyf=REr`cFNuG}5u0M<JN8>du<FD8luU+BV#%n3q+PM<KS7HAMV<8M'
+    '*4Rv#+VfTWLsWA@Z@!elwY{cV1En~dc7!zLO+Qx(_*xLCkgs+8j|0|Vgfb=>T8<}=5=$IPgO'
+    '&%Lv@2*xd-Yl+z*vFX(jWf|+3(gny2Dhiic+!<|DeH~UuG+_|j~L_C&ar24?ZrOsOlaJR_WB'
+    'ZkgWIezw)AC;3UgB^Yx}tMQDfZd!uS*Bt?-?wx4`Fba35^!X5&%i+zN5Ub#WeN-X`PC=V*MY'
+    'WxN?1<I~%%<I@yuP3zrvxSe}|Jl?(2tv}wqOUAo*yE7W^HYt1$l&5`cJ5|QpsQ0>x^zWkgk+'
+    '$;q`$-eAd0hN}%j4n)jd3xL2OomA!Q*2sW8T;pBR^~%Bd1_%TK9hhzNffP%H!@w-I+D+Zc_L'
+    'k@V)KpVLQm!9`!Mo$Kj8QK0(^b<DVo=#OCq&Q?3@ZjnA7Dz7yuW#c_I*^ifEwGG6~@h4FgX+'
+    'Ffz1-rdL3mB##>zN_d|@v}qab;NA$0P`}ii+eLXCwNBY2GeOSp=E9m8*_<gt#gSKY)yME&$*'
+    'p@;5;{Z-mO13c|qnTFS;|Dn=~o>5|pQX9<q<jjZpvXD$<ulUm<Pf@vo95V)Gp4HJ9fw(~UU{'
+    'kKO+R_btz5w9HRpV?Oh`bv~1Vt!eM+4fviSC%|*0H{F>vM`}{|E%@H{b=Cu99)|k1%X6mxio'
+    'QeI%H!W9O~mH8)O)TLwaulP6n-A=&ElM@N%|(FRhe78Utw-lwkBMhS9SOCL8bW_r~g`XAMtZ'
+    'Q<@M=oo~N7-!7lC(^8D>1na90H^FA%}xY(HYeQcfgrC@8?_xr@{WI%Wx`Keof9{HKfBR_X%G'
+    '>>dj_zNgc`<(F@na84j=_=B%ME^(H%HzK#O~mH;<~J_SH@`LJn>^3@4(?l?cWRkS#>U*!Y1r'
+    'nTDcG9!KUKpm;beF|s~a<GKHH?Q+enS|`x9l(jM`}M{MHloNn3e*K$?in^WLzbMQ!umCWSwR'
+    'd$TzIZIbH7VwL8>QDf-y;Ih4j;vBfUkGN4~F3stG5IsixoLG6^gXiQU8a(G7(O|o$!N1AsX^'
+    'a)+x%o&rZloMHN{$;P$Bk;tMr*;H^W$ct-<SuVLvzh0=`0OJI$CsA(pDZnhBOh|rFrv(aK5O'
+    '^z`cSxTca1WIKLj-$mZ95q~jX)x%UMw?tN&|bHFd^?BMqTXlEBvd3#7(4W3sgqA6)BkMAW-#'
+    '4gV1=V)Ye`aUCV&PL~a-=(?!@{o?Y9Fz&Q56W~&+giZ)8pXAMxf<nb0plA(T?^nmb2n7M$M+'
+    'jq{@C#IgGQ&Hl+w-hgyO!BeH|g8bp*7pfc_749_Xj4uNSzo?!Y=P)PMVW#Mj1pMCaN<aj(g~'
+    'u8`2W0@~L|{5*|jjkN<`)*zsNfU>r)OMGLjOSsPU5S|~}H0lCS|NU^?uZQ>>Xr8P|AAxf~9c'
+    'U=h38E88TY3B>(nM@?y<ovcf7|-N;N1L&jecV;ezS}FL6b-qf_8c{9D57J4UjGjakrGr*%xW'
+    '>oc&gsZ)(!Ju-^m!82%CDyVdQSvlr*qw|AXeYqD>b_<O{D5bo<bb9Cl@Sr>zHwsUWH!ZC|OJ'
+    'uU(F8-|x`C{msiDrYIOTM+MpCX(*bIpaRpT~xjv(jPatE+&gEP1?%immy8WcAdNFyIGfoa-l'
+    '8<^>;U<-Q)5c?;fe&<)M5Sp3+dHyp90(7ul^menrwGw{gv2rG}C<2AAf0ymk;9YYi(mY-<fE'
+    '*xFeI(pPPuk4Y3>4W2Wr7<MlxuVt*>sI!*gI}gaUSOe+;!)t=i2cRw<ba7oklSWY2sB1M8>D'
+    'r>}khb#pbxD)lHrGOmYZec8U9-?+KP>TgiT#gSYabbNuAKGYJllE8N2NWWt`FB6b%TZ?<#h<'
+    'iM|KP1@wi0NT__9RkN=SG+z9exc;kj5<+T;%Y(jP`kKdFu$!%N**sRfzbr&sbDY3EkvU$U{_'
+    'L73Foh=}JODNwK)IJ7Cw`z><uzNvyeP?Q;&iYQ^JcVll&>uY|>lIbkM*dl{ANntvk89Ew@Y='
+    '#P!tgdw-ha8BYZ}G1hiAL4J!rC@mH3y$o(}D(&Kd^)E`W7gC}%sH`aHHfsORmW9bkBeh9c!T'
+    'vvPJMy9MzsXd>w@oipy)zCh*cA>FCLb+NPPG}2ZczYA$1w(Gn|-_80{C>QFkP=7B%+Dk6afn'
+    'SpP-3`iz;oTdGl-F6H4#;lh@q3acxs7Wodo`4-!MHRZ=CzgBSc~~t!?qTaf~}ps(MJP)Orr4'
+    '5p<mnEuzNvyt!LjxowXj{c}=dxFQ6_kydU^{4d>)8uA6Am7SuKB{`lRvt|EE>X)BLEkTl6{b'
+    'FHYjrt^B&H62a%>k|Kh*l*QZ8_Ir@qMU=^JlmP*H>EwG9t_tT^^k@l<#ih697=Wz;_<jd(p@'
+    'ME-;Zy}cm4|UWBAt%MapYW$~lbeRvv#iX_DKxPVyV**A9?1HC}6qjkT#G8n(5m6m0Dr3F${c'
+    '`HrOaF+h4W^lPTw3(D(X$297!e+ABaxTXO8+IzB|Q+4g={gS=?4{5zZlYWNl2XKur{5vS`hi'
+    '>PZPjPML<F0Enn(U7y{tL0cg?3bDjfa0X#CjZ*vz;IR6xTMOo=<>wfZ-Dxij>zBlyef<Er@q'
+    'P6G?aJoRL5HjLO$T`uhgg#mS<lkhb#pQ%MuCUFUQ9Zr0PFT&RD5`uiNxzHoVs;0vkW)1iDAK'
+    'BJ*Xc^yhQXOi8@<If^ZavRs2&Tc4KqjG7zfY+X4W3B3(hHb4X1smqvkbWMmi%g>M`OvSOYuG'
+    'RkZ}3{!1&umuVZQT?T#E~#E--u%`1}Uy;#(Kjl{D#mP}iszHx%h5qL-4k^7ucJCb?~{r4`q_'
+    '?CWR=t)oqlV<yOY;RGsEowc*<H*3oI6P#!J?-q1}+XL!laJ^A4Zzxh;$AWnV*)532;}S`Cp)'
+    '7nqx>Cj~AU}q$Y$#G*n^VqJWViD8t4WjG#&x8>K)-gPtU2;pTx_h}UDL3w-KAh_=dTdH7RvN'
+    'jY99ln*FnE#+Axo8@cQ8OjXLXtffM3<75cTXp=zzInd^LmoXU-|)^($-b=@RuT{p>E*G;k}c'
+    'C#FJvmAGe9CwQxcZ;zmrkuaQ_Z2x_UhBG5*1V?B8kv?guh>{4yRBhcBTK>7#OL1L=={A1ues'
+    'gPsK4fRXM@+=?rO|v&8<n{yBn#ozBaDGYksKrG!*H*qJJlC<?;8CCSvp2-2Dw+n|q+qzBb2e'
+    'QV&8~<uy7j>u#~JPWMp5woaFVt%*~97`~_Yn;KsGd!#Y5*8Z9leiZ7ao$Hyi!Rw2t|7h@9;A'
+    '5hXleY5sCrA^qd5!SNh8DH05jH7&M`N*)wZbOpBal{Q&G4zl(ANyh7^LEQVRs+@thnxo=|2!'
+    'Zxb8be)>y0YP_8pi1J~U&>DTbgKz+KQNdG1J3~4Kmf0i^6+gyKqE?<Ad^~S-qzUT9`K3?0Kz'
+    'k&SFB+?h)dd?61$^sNOK>8xYEzl^g0lq|QfV`&nZ&}+LTnp5)z84$ofiE{~>wziQ+Ia=SuQu'
+    '2Zh97}@1obuO179hP?*$z*jCDsCYc?jftvNPmo$)_#Op#sZb;s8m#dXIw8Z%mVY*P45X!~XB'
+    'k8kDckA0+XH#qITjn1`6b3O1KV?EHN^`}R{@8Y!1*F*YlgV&|r6MdhwmB)WTnutBPrugBI*A'
+    'z9ye*}GFmiOaEmM=E)f70m8pHe#3!Kb2w>yld58e?N^^0S6*Z88O$S*Fh$Hjdw?<G*MOf6ep'
+    'De9g0u^s6DRh5oPdS}5oJTH@P%ebdPN#D>3b8#aF_*siRt&g}Ks;<~AQT{fY0*{O2ORJq<$s'
+    'qOdFV##<tm-Rci2JP#-t2fMb-qooMYSORZ<9H(|tUN`kMP1TX9^W8M#2#Gp^}KA&cRZ=@b*='
+    ';RI&R>pj`d(IYrL_sCLDUUHQ^L&`5lR8`%MY2ImceJ##-~>`tAtNzP{Vz4Rw82Q~XFz8Tm(f'
+    'S>D+2(eyffq@<ne!?So**M~XpXipV<&FW=-V#D7U&*m=$+bq)#Gi}YfxRz{RuTE&adIvdX2Y'
+    'OzxjcfbW*Q9+}<AyOeT>JKQ@2QRUb#E7JY~z{~uiaR<9vB|yDbm?RTcoW#J|RuS<~8ut!!_{'
+    'Y+I6p&tzGw#&f#&|oL=X;wz-zv=k*($-FCDVr%9iOdO`i3$7`B%iH;|2<?(ZqCSnh+M}OZN>'
+    'Uy-M_#b$UJnuYSmM=E)&+B#OPbnSiU_MWEtZ8dmr;d$v?fE_1x^@aSbAk(aw%;@PbbP-z{Pp'
+    'qyFIz9~Bc0$4Z5@50S9Kko^G@<q!PkOb<|j7%{m`@dOTl(!U4CY-?HAYF?Q8l8t?BP0$Lu55'
+    'dmn21J+(MZ-V0z|2(C^09>Km1bB|zOYJ-||0@T&Qa7{40h^I&w75x!uE014{G!c7nzhH4M+b'
+    '<YTx`fxchroLPOM0qfFG0)xKy2(MEalnu6H>65Mg6g7`)wWXS4@UyV)cEB!M%Z{J^S9kGTu='
+    '41~kPl>nS7ua$c4<Hhe7ab^1t2JNFi*cvbfnIPVIcD)?H_%lyQKzm+_jzZ7h<Ob5)g{f^>3g'
+    'nh3gp}md+<d_5KdBHaB3sv9G@MV7l#;I`a+xJY4X|(T|xL{)&*Q9vuR)On*;Z;3Fx|-<fq^&'
+    '%D4bntx-alE>!~K)uzQ<Z#w(rqLy0*t@>v)}eBIZ8Cx?aD*upUqAxSI4+s29}rJYEl9UvvY~'
+    'Rvy10X(IOEUdBe=Q1>!4#cvGH#4PV7UY0L5@^9*O=1(ad>tHiab?k>|+2e?fJ(0~l+nz`YHZ'
+    '!<ec(&hl`gHu3-thNYw(_#QmOj#{-q7}7w)U#-!EoN6c&gxQ8!z({8~(QSZ2nTPUD?x_+51A'
+    'p{TlmzP(u4b$H+0q$n`#k+I~+h2AcPgShs^~)4soSLBrf%x`5iCCY=g(wLM%D4DaA6(j7&2B'
+    '5mdIJCi125AHQh^Rm6B@ua(Wo%>I`fAmvNb?ifF*;|T@y{KJ1+g?-(Hgn#)dA8pe^Iq5P@Jy'
+    '_}$2GXGw1;QkSK8AX>b{bu_`N)3<o}tM<&6y=dwZQeQqs<SseQbv`%;|u=bkF~+Skkc#D>3L'
+    'cs742*k+kdoN0Sy#XT(hK3PKhWN2R_@#}bOyS4VheA!!raU5Lx_Wic&8}0jTF4)+{H7Q=Z{o'
+    '#6G_?Mm{JwWt8(pDaS5NRSd@4X%D;ocknHv15d-=le`=&wY7?JY@rV7T}70Gu=Go$xsf%8B8'
+    '_y<Spt53IOXW#9WsXzvT{+a&&Ou^)iCth49E?_6X34V1I}y*GEjF-Jfh90~P?;iEi7%6lv@_'
+    '8_|j@h)g0=`Ni!vg@dKL%C3o@whI2D|#$xE06yjX(G1k+(qBbdK{Ds^?0biyKtSe!FwimOZ}'
+    'bz<-_oao+9OaIe3PX-OA&CPnzU5?!lexDcQ4gY5#=x;$ma(?iA0qcb9^#ol_zGG!K1DqVONQ'
+    'KGH$E7nJt~PxtEV4f@XgaxKn)y1?+6;PZZ{iwAHG1j_IL)kzQOS)L+2Tl5^#Rvv#YX_DLK-e'
+    'PeN(7vyj(7qzt4@vx;Vn14IFEM-HpK{K_^K5(H(j(FyP|t_!je3EnNO@lm@{`?ycswqVbQj9'
+    'P_v54TofqNyA%ri+b-{*`y-IlYklo7TFC|TK8~4@z2;)cI$JDYn85?_<fAVa5nJL)XxeT8vP'
+    '`=BkeGHKP*&E+s_k!|%=@nj`{nEgB68m`Qv!0Z_!K!<W=DsKIHR7J%Ri5hDE7Y?87aRM9S9`'
+    'Yo!W3-n`~}jl@z@WBzlQNI>R;jB`AcbhFX)(I>`N-=T5n?8o@9gfA<=i?T?n!-=@s`SZ}4Wc'
+    'FWIE<joxBi_9u(KRj}_(CbTz+_REdYwe}j#y-VfX1ou|^zUB?C7H!|xbe-uCz8RjMsJB2p{S'
+    'ESA_*S?U(;*%ADQ|;x)Z4M|hja|z3F-fV`g$Grt+20!cKA9R{|4Et_dwhmxSk;2@uv8=7uPY'
+    'cKg9KkhLU|t=nu(mK|JP3B)x1evq|Cmz0}yZe7nK>9&girPY>w>o+5ov^dZt#9{(_DBDPEWp'
+    '*!I302}<f1=L48-Y0!j^dF?HJpM7#MC@$;6!#-1w(XtrKF;Hw>exfovM(AN`>0QNwtdtTZ2r'
+    'yulb-GUTD(vDl&3}ifA(qr>CJebw(NH!#XZ{cyia@8_INS<6VcVhAMTS?`|XNtuei9MYu_hM'
+    'XrCDE&)|ISqPALZKiGU<9Q229|FyqE<BJCGd7(ao^LgwWaej{DGMDu^vRirl^Q4K`oqNtr$('
+    'I^?%wI{H{fhQFdq`jKcyIGX(U(YDdHlag6S0TBPyMo2eV@8)f7!lA-QCwKUY$K}w!h8yt=S*'
+    ';5B2uG&Hd(Az5cHI%db`5U*^2iCBEI)f4t03Z1{WKv-wNGcIg=OgZc*c-B4x>zXi_<4P%{|w'
+    '-?@|a18x_`|qH9+Vj(-$flsa?QtLQU(t6+TY3Duq)Bd<@1YleQ)S;jPiX%f?NI#OUu&Pd^PP'
+    '^+Z$o{yzt=IAXUY3epBVnYQ>0us&~KC7%HuyGO~h`<JMC5J|M(cnUi`=2(DvfXeydg7hqved'
+    'q|#nKr#HpNSK<@*hKKu`F&h)`saKr|DBH`o^8np_eO8MvV0(=Cd%H1Q&R}qF|MPrrzkDzMi^'
+    '_ZXocBwKZ};_;m-&eefB*Ar{!*}AI_7KeGrP2tZ=lQ={ucVG*}bgHtixjunxs#`T%nvnXj1q'
+    ')=*!x9gE>6juSDGk`X5xsSENc*leY4BmoyREC63_${LPZbzg0tR_{=wWqCROWj}J%_u`})gI'
+    'f998%meSghQ8`xAGGicvB5t?zKwrK!RGha#J=tQpv+f{@U`gw4`0#a&zP?$`>kM+ttihs(yz'
+    'v5U^=EfPrs{Uf4IM0?e~f{#-qq#*!hlx_ztw^hx2)X+G;(H!+hT@^j&_x@m{HZkN2ukoBjyW'
+    'S$swMqRTp(>{cE>D`_HjCo9sFe5t{POz^nPP9UD3hjfh3Ou}rUV@X?i{5aA??4k1|v-{Qgk}'
+    '@vD&X#od)$;4GDs2DIQwFnw{X;!w#pFa1zrQONlKNG-5YF4{tAejN{LD{m_?y$W`Afle=@|5'
+    'b+6Tve56X<;x%^&Ge<m_4O$twjHroE%*ClALUXvnIhC1HoK45Oq?~}Ij_#coaxn0h_6n{r+='
+    'Ux)xUeI1j{Cro7Z|Qs|wQ}Zx`fPtM^<?R{=Y?yJ;rV<;%5?*M5816eegV=%?1ucWAyxW+--g'
+    '1_^!r0&Xv%({TjXc#`3L+e3=XF+FFq!C>=T)e;r>q8#_~+?tFt_1433@S>F#TyUxy1~dnNIQ'
+    '9Ov-(pg|^QlHcEz!CBC+%HVL`ANs1`Yau`L6C3^(_HF)Buw6Q45f~q>ChcTVC^LqC1bx+NUR'
+    'Gw-;W0x^(h>e*7Ivsf;l=#a;Dpxpm@_~<2Kpb=#eGG(gy@o_tvr4y(nM^R_@fiyyVmje_sOU'
+    '~_L)nXEV?vlE014>G!Z-Fm5~3L*v2X`H?gd*I+!Ib98zp>OUwB-ZYc$u-|e=%Z+pKvb5T=#E'
+    '&Bh%MXlh^n2Rd=eRz?HD$l#3UyZ54bWHn{eoM{%kV~od8+99-Rph7aTvkF{7TTM``FuugwH|'
+    '+EzONtp9=PY)-?g}<$BYT;%FsukuHq}w&t2A4$!_KGtC1#RcQRg0$(I^T*Hn+&>{Q}_dPrCI'
+    'nI&37bWPG$9={f8BKFX^u(kc_Tv!>;WoN>=`&!4Z!<ezXt)~pu4Eu+AteMGot?T!9<+;}LtM'
+    'Xi&cYR+Kd~M)oeqzJlhQ7@o%q8La?&z@})Q#ZSjiJmK-UOZxJHl9Y=CNl@3hxeWwEcYtyAWf'
+    'eNs$Fb-PGqkU^CIpNn3gR7NkjTmosa{cPH3+wS;&zw09Lhi}`i9w9fyj0rw=-XZ!!v*j@VVt'
+    '>D^Ycq-1paKGDS-J0xH9{&^4MC^wA4@gz|zkr9rzHQ?VjeRS7Cqt2Yv*+K|ufoo8`rhJWs>e'
+    'RBp9$}VurYYs`PCV`GIq|+-*xx3y<dmtWBV845Bcliaead<-41?#S9WekzbZS&d3W+v!Pm}y'
+    '<|j7%P4jL3Qm|b*W)~PA9U$%Gr%+}L?+Sg@0bW*S*5R>!P0}eamJJ(4o^Lll<N5kXclSAM55'
+    'JT3Gx@qb{eI(J6-N-Cq)G39=QHYFK673_6WyD%mB;TxnutBf=>6OuDx;?<eqX<l=lzAB<%^B'
+    '{`}v*uQ%c7=*xy$joSznUFE&`eU-~xIF9n<5wQ+!Nd)KW`#~<hqpCLTR&lti!(u4h>v4w~DR'
+    'oOz$d#JApzJBFreqzJluYH?87$bYGu!=LAcPw&<cFr*&&T*U^GfuAeIBNSnwcd5Yd?f2(aBb'
+    'ST$<sZPn>?M`pe8*S>gsT~CK&#WuSky&J(9GQ#~($Sh&{+q9_?og<#^I#{7$Ztxyax8s)Mi8'
+    '!c4{nV|lD^V=Pm!`F$?G^KI{4W`^@P7;jW(HwSsi<9$0Xd4fMwUQ$#1iM}%OpX6tGW5dVq{Z'
+    '1b#X(w-avR{?A<h-Z&s^IHXKl2kC{!a64{!*~bGSNGzX9@#aWHasjXF~kvoN~;Z^t@mjS=s8'
+    '0r!UMX+$V7D+d0xJympS%1smJACdF%aI$RG7pW!RgGeyrLZRPQ2lO|#_Q+kfiOldg_T6}Meo'
+    'dZpX1D%JC8C{F(G&xbY51<~}8Pa)#Go7c=&XBs!wGciJ>I3zBY}=3z!xzFh;#x>YCiEgmN4*'
+    '%^6{KVMQb@lJ`jP7){6~oY6V%1^aQqEqvt9;qH$dEt@*OvdkISLXG5lv=kuoC+^-6XN;xSJm'
+    '=|yJqO26M=GjAsTu}ONBuSl;J{R?R;kH3aA5!)q}^LDt$P^aU&W3X=E+-~uT%;&X!#(egXUg'
+    'z6+(AzwGca0{!8QLJ~_2Bn5sI%Ltygj5h_{@6VD0&lVE04dKG!eVVncm`OoN1qt_BX$iL3N2'
+    'geFJ$rWR&1sQE!DZ-Q^APskiw>KJ|9LoKL;OA1a^9dG7R8!N*;GmOnQ9-0gSzNlEYbnCU<z-'
+    'Vn-w;d^~W%DgN1B)gTz-$$C{HZraE`>KP5)xx*N1`qpyZ{uN8u(k6bru)J{;aU+q(@-Dw`$&'
+    'uNy`aqDJ_66W>in&6w!Z4%aJ8_tvBBd0!?&@xDcIV14ALL>*$;;AfpVfg0p)+JG`<(qCqGa6'
+    'b=Y4U<6Go!?R;-SeDC6N4C)tR$F(@#&i})!oTuR48f1k7=PCG}e?oghecD%~%&b5^O*Zt;a9'
+    'y8*c9x}AVRcPTI3?}mTA%UlT<f!bRjyTYx~~jB&-<B=*zom&Z}XLc&3V5X7Go=%tgkvaS}km'
+    'BY_PO1`8Jj|1zQta`EQ^7U|2&xjQTRP>o>fz_+C(Ecwh0gXdQ-E)naDLd0u``)GES^X>VdJz'
+    'V%hVI^SBxpW4~h?!I30>#(wHzYb$e^6S@SVvEe}fBcNO?Gqn19+!F7*L~H&&1zv`V}qT2!?&'
+    '@sDcIWi8vXmo#&P&g=u=VOf;Nd-jPC_yX7_Dhi`HRwi=6C#{c=wB9lt6ktI2-XZ{$AS^RxW1'
+    ';pctd<|hT4%YbFC$LgxeT&&6FG8bEiA1!BFksoak<B2R}@&6VKo%#I0ug-jy@tAhrv%9Yk{W'
+    '|<8+y4`t?hl6(EwZQ|`5BAaXQW}?PEPeZkNJu3gz@_r+Bk+k@f9hvrEnd|ZsqZxktVr~{OIS'
+    'xkq&aFT3FK9U{AmBZR}|ZwsyY6=bX=eFuV`k^QixWzTnH!_+C(EUcZKMV|CV**|cwjVI5>%w'
+    'Q#Jl!M%R#+ql;hY^Y1@j|2Ae9r1euq$=nmEynkP`s7CkbvRoaPg`VN?JR9VEG^oR_~{pWvR8'
+    '+h<^MA|$mBwu2mNhaZs3f7?`Z@hNWDOjG9LoxOLhz5UC<;?ufoNeOm0fr$&dztogoc_stl<n'
+    'I|`KHCk`?nvEge(VDpuN&3Ta(t<SSEW7rd@4rWyghZ-B)>d3&xt)^gW;uuE-><7b(!uSxi3G'
+    'KSiFN^O5WnOlcK#SJlWmPRcwVa*hcd6|yeAc2cZmh$Sjt;7`q-Ct9og?k;Yu2C+m&*2>Fdji'
+    '26V&BTi+t;BLB_ZCi4Pn5%53S_Ky@&xTDa5L;8e#2HcmAKTRV&3m@z;Ojl<7FpNiUoHi=q{?'
+    '*(N(HVL$79X__mq^3bRliC|pWl}ZSa|Dgt$DBcyKQ{dI1vWn^*jxrIdp#~zRc2644wf0zI;>'
+    '_nM~bXwgLq2h4vYU6X6St7_k!wtWf}WuXDhq=nk%ToYO=ks_!|=phsi8*pW}m!`|LB)FmERl'
+    'x|q+b0xGgqb3+@)@b?2n${Z)$Gi0~&_<2Z^+(uS&-avIQo?5ug*x)?p3v8Tc3buCUhx7#k_J'
+    'iSL@c$R%vl#k<`Ag$_L76Wd2%0sxQs%%W1ge8C)xwO%24gxgura17*xH!{=?ezz2g6@LIZ=N'
+    'I<)2g<-wW!KpM`=tOskDuEpnxHZZ#op747B3&z55E?$zN_`Trab@~_a|p<NC#uz@oLf0F_24'
+    'Rz5#kur+`?UU>l#JiwLo?eAPHTl<+w3F9dEU@#Miw9MCO-=R^finCo8Du_U!`D)Q%~uLG=S4'
+    '2FK0C@h-;V>;!G~&LK4XIsogCO0(G+Y=%;3@i`@!&zFg`?G2HN#Tep!4kD6^@{23oWZo2qKD'
+    'pyiw@zi;qdVWD<}abq2BbGe{8w^_zj+L_JnzLpQ_FraL22;)Z7DM4M<v&fRJ5M(TApZKtGrp'
+    '$4!7^n^&R14!78%*d*fsF}G!G^pLUK!`;9)~}LJ{5HpXp^YL_+C(EQCAJLXdM={$bYUDl=Gj'
+    'f2UYn`P4*fvZp?hF8D#lm!_QiQ%})w8mjTOOk3m(Hc~6r$W!|$67g^41A{W^pb`crB;{V+mI'
+    '?K3rP@QEg;|%Q_V|QQc1a-Jbwx@}|DZy~~$0B37ZjdpSeMZ{#CH!TPlWbCWy&yH1$lZNrs!+'
+    '!@dPvs~6zK+{8<Mv2_>D*tv0Y*<=L8>n`23DR)QtmXFgFq1l(dz{Z$_Gkow1q7I!<ikGMN$E'
+    'JWw5crWWQhHW<w<0vn^5g3bT0YRka(|LvIp-73(c|33`q)L_O8XxTd+i~MJK-mQab{3xbl+8'
+    'y*hMD~XaUbXj3+BnoAD{5y@6Jk)&{w18xozzzAv8Ly`?F=jQnQ-5<|NpoHedg&<w}HMNb=yF'
+    'Z-qm2;j_g(*zddOpb|=r;lzgeduO94kn?0DA#~#uh0_G-n6y1rmmB;T)nutAg26kFdoq;W5S'
+    'MB_3cVD{%b$D8~f9)%StHu7I9#?C!tUnF<yRxgh236Tr&bwQn3chv^GC#55Z;!y{F9qABW6%'
+    '%ko^b45P-YDO48}o6!1!S1akfng9|vu;{hg)95KpK{k$XqoJK#QGAJLzaw(|IWNt4_z=W~ni'
+    'Kee;D39-3oA1i*=3+gbq{C^t<*<Ki{Kz$DKy*`{j*T;Tv?J>N6ph&rHpzk5OmB$}Inuy&Xt`'
+    '~XR;{R<N8s~dpFf`7$?7gZ*#@C+zpr8sT%;~=u9|!yF6S>pjzTefx8y_50=Z(uaVLNNw-Pa*'
+    'O9d?=R)5IVC)?|1L^B^~TXwcu46aH0Dl@sQ?zYbKv*I_~CCpP>Y9@zZBoE-WpJmxnrJ~}gNY'
+    'fxqk9|?WcnSNGg*5Pr@P13D`#XyT}@lip)!4RKEoNkl!=s=MkBl=s?Rvv#WX(F~u%<;ugH>l'
+    'To1Ejx$^EuxyvdPB<8JpZkdVFB#mM`-0eYTqPJb!@n1n_$i^ywE<d3#7t446qiN%Z%mtvvo@'
+    '(nRbc4}D6I@z8xn+NnV&EA0{|eFKyU^?Ep0)YG6$fAj}A>OTZUj{5YVoTEM?7%E52dCm+}!N'
+    '*xamOnQ9oE>!fNlBT-hBgA}#sB}wjP<#J5+>Uv)|Xl9*kH5I3v6t53bv;I>v?{FEO7h(_+-}'
+    'mf}lR@ePO_?_eH^sSnno<FNXPAJJ)@k&#XD>C4nNnRP>Letvvouq>0$fgkKgg6MlKn&V(}y{'
+    'pX+|Y`7NQJ2v?6D*_uIo`S9E|C?S3b6(Vq-S+>3%FOvy!OUXLn-snp>Zbi2$A9ygYe)S{zzq'
+    '5|qJJfA<?+{&CSo(2eqEqNZESjz!WTflRAkhfq*p;&6;}QFVCbxR+54D_oO*X3Hw0C9cTT@s'
+    '{NV2m-W0aK>bs#kx%nG|s@y#1y(v%yUpEJtpV;tsOJMVtg6#^2&whwspQ$W=@x9h|jz1xepN'
+    '<zl_%6~q@5MHGf4Elgd}#kIz#~4Vz1=W>3-E}K{GujBUiMbFJ{Z0Y$E$cBirzum%H!`OO>(>'
+    'ZcL7C4-~O9`gnko13_pyw|J&eqGS_*(xB1%vXe&?`?Y}F)|B;FMq~HF#0vBv%51$k+{cflW4'
+    'Brzd(tAb!PTI=j?;}mbF7o{M2SuL$fncaSzoz&H1CR8fAj=aQc^?is^QNS+Fr>)A7ylRX&^Z'
+    '1_f@&Op8G~<U`0aik4eI<JfbAFjjO%CLc%5eMZv%>azWsLr3H>gB_<iw%zZv<8euq=<UESvI'
+    '2;iQ8HrD<d1N<EU>SKZV8-rJ<jj%orZ4mVd98>vtEbEh`tvvoI(j>R*u=eG@1K{^kPxqN`pY'
+    'C(LqW&{r?*3`ff04HG_-9BHvCBC7rttOY5SaQR*KX(O6XNN8IR^Df;p6f5KXv$clfQ@d3D>f'
+    'n&3`W7w730sHs1%E@BioFI%4>RK#@Kt`XXs7kAI0Y5j*4ZnQ<@v59t|m`Tq`v&gGYJ^>!w|+'
+    '{ep79k!qC_kC7;4i1;~ufwXBbM)o!I{paS?(CA@jU|62sLGOa-d6)v@by}d`H2mG(*v8o6l_'
+    '=6boPUs^vvbki|<vov+W77?Pz}?@%S#xI`3sR8F=VR;C^i9<G&V$eh$y%<G&`RPm>};`Z`=6'
+    '48IX5(l<rlB5mdIZ<8juUCzoExpg}ypAaXH_P22V%<1tvf$O|q+T`h>PlLK>XYKKStD@?low'
+    'bMlIA9)63#<JO)CGp$MNS1i?}@%o+REcUAWg(BGVULiFzz1>nQ_+?|1pfEP(KN>Jh74Y)1Wh'
+    'NN}32)iEMcBe`pVlZT~E&#<rJn>2|K&?&tGbj6B;Tf{b-%-*}y7E-znX*6pl(LaaR6BgGH?j'
+    '$#7+Hl^OXqD{6Q`VVMh?c6=G^{8J4CU-vzwGq~@;CiF}59>L=V_Cl@ZRPRbkS4iZhd(c8<N3'
+    'YFV*+Nr#{^ujsNV+6qJJmqgs81NUXh)MUB;d_g*i`$z?m0WZ#!e25Mz$^IPs%}8OPtm)M3U='
+    'CLR2R{RXe@hMblJ?Yz1VHsAk^a0G?DP?5T#K4~kD4@eWSGgh6s@8bU+pE0W*hC^r7%UE+er('
+    'W(O3hVIhY~wMLJ$?=jmw&IrZ<n*><?q@Z4{difN$<v2$6-~zn)8kbRl!$JnE8nfe<MSizZ7g'
+    '&cy0EB?C{KGzKiemwe#Ky@!n|9Cw}l<jCI}%Y;xhs83p%aJ2O5IaN63Q$&3#mV+3_EAdGAit'
+    '`CN12^HyR(OF4bdHfjCB)7}?@gmD@XU7v_$I+e$_s=>WzmvAk`;AS;9QswLi+27T|0gf%LP0'
+    'x!?t;yX+CsuFkA=Fx@VHQs&Mw*_ZRPO^X(D!!`%c3m_uU%~mHXBdKS$`1&KYKTVk2)~*qJva'
+    'W!{^4>Ei!h9~$rdy|5bZUB+tLS#P_axxzZ!INM7F8UM|`@jA_1hP=pe+xhW?_;Iu+iy!=L!B'
+    'qOaM!k0xo4h&nztG0oS#;#hQRfa#7JXT2Bdp(tHi-IzP?63pIuB_pkDr$`$?ZB!b~!K3@8z8'
+    'mFb6#);Ce-!FJwM@e$fR;TX}pxX(DzRkKGgwI~@XhUF4tb+;zg-wa3ToLT!s}{GCW0j@sn3p'
+    '-sTGY-hM9gq*f&(9UrCVDtSy5w0VKCxwc1g6M*ztvvpRq>0!Wzs)Rk@qgCOnBQI~96G;U#$V'
+    'gn?Q$Orhjkcmw$}<+@i{nLCcF;QT+UmUzw32fXuAhUdOLHxUcihEDl&nKz;(y)qM;&X{urJE'
+    'WViD8#YmIfM#gyYP<61$T6p8w;FFgKZG3VHwsw|;^rb@fgW++F0n#6beWb<sUQp(uCx^`%JT'
+    '&u*ONXk1i`K$A#|9g{OlV`HQ?RwOETk_NvL6iJ4dp~#9?HLLX?!oJPkyF^by#d0b6w=2?Ywn'
+    'DyfxZeh@S(+KF+VhRlCG#4|3bke?lKL$ZiMDR`5M5LVH79DO9A)5W#bm>=wkkph=!yg`GCJ?'
+    'Ub~WGhQXMbH=NNRXJl#_G+Or{Hz{kK4Qby8llZs3O46Op13~q%pB^Pq3Yn8wXn*u!8WfI+Sq'
+    '1zroy=)>$-NxelUE5KR~(;wCg>CviM$5W~$c>wP+otTGe8h%lT@4C-AAl@Eze#ti>Cz7gpzu'
+    '%XnZrYuw$}`e7Y*ne9E``G>keSeH>QGSC}_83WxXK5Tq6^T!*7s)J+J!Y0QC%e--DW0_O1we'
+    'uSYZxSM_$l*JnPet7n+9YZ*z891k>diteT8E)7a?6{C<=pZXVO4Hflf7lw$bD=TX8B{o&(zT'
+    '7Ck30!fMu`8POHkCvdKy_r(B2UEoY69=WP&ki)<=$xC6Bq+^xgv3~m`8Yv*sf`}#>(hv#Mca'
+    'PhZ6I2>-b$Odl{W^8buk%oCYxnbse;dun-!HjSFJA#?p-7ZwZ`MSi9GQS%eyzlm*jrUE#*3S'
+    'IMB!$SAPNMJ&aBt1uV19VVus%P$Q^@@A&f$#s;U<Nrg{i>`A0IHkjJivxNPjB2D`_i_-;Fd8'
+    'n>pj%L*|V42-`Vh=4<za`<{7YEevsNFvoj^Hs%<fZBS<mKt25o+6L<NaDSk_2=%r=gE{8C!<'
+    'oe~Hz~Xi)J^;Qolgyzl}7z}$XxTjqQ4+*<?;KGCSo)1ynm=gZM<`n!aIhGm2l5Z(!C+A3jh4'
+    'eaOnJV*}JHV>~nV?2ZU7^YEC~}{2;@AqwwNY-;0e5_T`Wt^+FsY!aa}SgW$P%PSD9>7nx~0g'
+    'Pkyg?eQ_F7YA%#9`w{=uWu$Mne|{O=OEMVI~Txr90GNCC_Gy+{HsurGV2R{F4--Jhvzi3FHU'
+    '#qoblb=s24-IP!9{aE)Ey{4QVTnKY}z78}48FZq_5AT&PDu{aplU7YEGlUM%%{G?Wj+$ApTM'
+    '`Ecl?$ZqBF$C4(wjV$=@LM80DOB^pV;jzJx9~asf@)T_C91rOygy>@ug-?WW(eZ}e3(Ac8Nn'
+    'ssE-FGgNYw>%i3k;tOJ}-m1xI94KTa(@l{Q>GJp&~t1^fb~|9{&f@B)3h*y~v{5`SyhPcC@b'
+    '$KgjW;UR{f6_l1#%J_gQnkdt?vtE4@ko&nbz^~_L_GG7kQVzOHhkH;mF?m}7ke!N=BcsAt6@'
+    'HwF(Wo91kNwQmc{CT8FZX@4)K0G&=r`N*B#|Be>L1<&@Q?TKlfb@%?d>2yt7$Chk9N%I0f-<'
+    '*%Nmz&551i{jFAY~Ft;4*V{C)X5-fgV<AH(XbdKqJG=hVCV`cqhkduRKWK+Pony~vzj7WQ{#'
+    '%P$YBvgMrj&!H;#x+2W{#D>2sLz}-8Y?qEfKd9*EDkw9CuZA{xJIr<Pc;rj#aqva<{4ZgDSH'
+    '}FBuqtEDdH))!g0E}C%uj6iyDqf(OTl*O81!>*z<#cWGGq7#sFQmGF7tFL`|y}}X4RRC9~d$'
+    'de`DC4i7$IMevyYS=DR7Z!qRg(radKm^-~^mwN>BEUzK$)=kNL5_njR0&0)X6dp{O1?~Qs3w'
+    'ngke;krH+m@N3MVO17flYLvL3_rJrnUC1;bw_CPm4Y1%i$}-%_0CXraO7Ip@YrC<?+R@!c?!'
+    '06?#6p4WIq^Q9iCaJ_rjRx?$Y>PP-fWw9%|8g40|UBeqY#c@ZQf!+q)m)G5i30_jAD@2mWAK'
+    'l>^sgKLpSG%*VrFmOnQ9JQCXcq+kbR*W=JtCC<B?IY-WW=zR2}VRb&bjBB>D(cOLhBdo((i='
+    'RNvB<8xvIX@QmcjcKM53BObocD=P6?{DzW`1JB-&3K@UkbKM$Dp4#h5h^|lo`WM!@ck(+zWU'
+    '-GL7}v>mu*`udu%>*ZfRam22j_&xWet>$x!V6C3`X4{iQZuw6O^{k$iBUVt)V_(iCb_W~~S7'
+    '}4Qz*vv;Wi#;%84*R9BJBMBNj`AXdUCj6IunND;>7R<uBEFF2ton}hs(f`h^Ud!d?_`f(4*L'
+    'zp_)B4oQD4FP6ZBQMu3rWwfBafll|R;GPY;#h=RaZQBQ|`!9@>1RU<boupz(fvBUByivKAgW'
+    'Hu&W?LmR)Gf~}pmApCa7elWZ*Jf~6r3(xPjO5=M$nVWtm)S~sc=}z|e-JCsU#@G#|eL*~i--'
+    'qvZ!$J1=gUal&Ci_EperG;D3bXvN;pgMf<_GSLFyQ;37W=F!vBl+_GqS})XL3IYt24P}EUlf'
+    '#?e6Q-T6{0tBSSTlINu^$`&rJ`mNT@US7vBA?-vr^?(54i^Aj8Xz6x#rpudCrY;?$eP|?r-p'
+    'v)Nl8t#SBa4+ET$kEl~eT$6kH#uWl&eDEcnWg2t-${JCFDJ_U#D+f=+5DwoyL1ftnLT7bI_j'
+    'se8})*6nWsqEhsXXhlgs??z>wMBM%11CEqhmVk^3#?^P(!uFsEbM6yZpx_{<MheOGl=rnj6k'
+    '=66AN@~(c=Z*Z-1hs?F229Smt!gZZHG?~{Zs>-}-vg1e@env!@kJ#|l6WM&FU<bqEZt;E{8L'
+    '19lRtp0g8_eve$i~dVGXT!13F)&$><7aaz;haPbks*$jPC_yR(IA&i`HXxJ9*bJQNO{pPLQ@'
+    'Y8^mLHEPVHbaFBN$7ggn5HQBRAjoe2o%JRpCpCq#RNx=@tuE*P|N<3>hTZ=qvkpoSmsvIci?'
+    'Tu8y*BnviCpP@e8QJ_npAovkm9igX9A_?@T6}M=ol8xKOGSGL@q_O=tn=PolV62C5!z!r+d4'
+    'VqwB3D^ZJit<kE2PE|N0(W9}LeGDbn$xbCb66`0tY@xn0h=7MW8!<C+lTiuN)vcHP70cfQtn'
+    'f3V5ILf-{-(ay=@|My0n61H=)&|iei(o7M~avrD)49|=G7>-{>=O=CD@e7b9Vi)<;{;0^O4n'
+    '#xcQ#Hj;h&<AXQI;n*@=l66^QNTCr83vaZ0bN|E_K1E8kbtel-ik8yPqFMb@*1c*9bFCm3`x'
+    'Nnz^iNkvFw-t_g9jXs;!Hkbyp!xbk}M0yeo==!2n+wKKEG#iA}8nau3E)J9krfi{S`XrxFN7'
+    'X1-vE014{G|BBc>}WaH%J041AY@*1gOKYLb@7Nf(j`QfByHvKOOYmGmvN&_;YHISFrr0H)6R'
+    'z`#D}82vG|!HyeIPPb$CycCxyNlu4OxGIyvIB&BAup)CZgI|E1wNVtAQIkxmv}mb8_}FGre)'
+    'opGkjY%*&)P>C~LJ{me_TE>am8PjqfQ=&SoD%(>-R(uW)mtC#HUY2vA<?mA62HNhKlHSfnA`'
+    '`g>lpl2`_^bf!1j8%Bm~-2(lZ`AgjCLk6Atn;-?Ir)TknKI7f2zYm&QFXW>q=10LB`T|c7*R'
+    '(8Ls6j&~7ojYNSY+y@Tff*)527K@&-L>74QXtf<qVT&Sx@To-GIu1VU;<JTfh#CDyX>AP9ih'
+    'H{~<1NFBvq)iK%rJE-8yDpRu!|O$glzC0)=g4m5@f(mPxs7b*hLIAM(<QEs8O_*WIyZ`JOlJ'
+    'zVb~c9eO(OI$iNc%0d}m|B?geFLbhD@qGwM6L%eB}X>H@=CfY05bF7^nKztp7XLBEE&Wu!>A'
+    '5}iug%Hy{tO>*00PK#`)oi|O0H${6d@q=6~>OQp?Q(u@>xJThU2f0<(*<0EJ>Naq_QMZj0Df'
+    '6CiPmvAd13E5|bQj9P_v1cN#_b_LhIfb*DKo6lcFAt#@jH<wxsAN#&M@C&zEume8XJu3w8+M'
+    '|reH(+g7lw4`F5f9F+jR&G`_=zIcvlm?QT&Wjy7=i$2ml_GHD$K)#PFMJ-(gn=pIqVj`or68'
+    'FAWPQ72bwvYbDQ`i=MV9zrafCcOaW5~zDe%oOe;`g77&9=|VXBK9B;`ip3&JgBDl{os0LdH0'
+    'X9e6f-Lmr-Z_l+v*d4v16-Q>uj%jSa5!z{tjxreO2?g%66@4~C~V+TS(o)A0vK!{=2Gi85Zb'
+    'kMz)JXdLUWqN*G#=lyl03ce1DGC#55@9@axF9q8bE_P<KwMFLD&eSHv)S`Wy<iA+#J>lBadA'
+    '~EWxU9c{Ytzo?o)nsl?n%@JHR+*HS4Y4#!SIohB0Wm<Xwp_5e++3N_8_nO+bH98$CDl#buzr'
+    'n;QlUB9W1XFJ~uXa-s2)0&zpkH@31~TLZ+3&H+${xvu0lS1b9AH=Y$8@+!G@^n|o3;R5n*r{'
+    'O==W<Ucve^2UabQ=(2EDQPF$dumjb?d80uMXKQI4^iePHvF9)+5Dwon`J^acjoZMMGn}`8Yj'
+    'dWqm9R)?iI0(Ty}My*cUz-#`JLQ+nMD{!ggla1smJACZ%=&*8{_6MT+!n(Q`;!dHlJgiP+39'
+    'pBFK|T!-^5XOQ{**39KHv&wAlKrJr!{HQvYTgJ`WncVKaE{N(dzHDC!?P|CzZzn5!VU)4Led'
+    '2@D@H<S7IOBksk7X8kpcV&wQB<7+E@O1<3~+Z}7e{rNVz#dnf5T;mJNe{GqKr@OBc1N++?UB'
+    'Nt0D8gCS%O+&VEDQ$BG;(^R)w3w)WB}V{7|_TdmLB{xPb?+?H{(cHY+R=TA``c9-ot;C_3B*'
+    'w>lO@fKNHJHwk0!;AJ^;s@W&Jl*H_Y}a9OP3BiQm%(*z=Yf&=Wi@$VtcSPZyZ<hAd^tQPF#P'
+    '9;>*xy6D@j{<{8glh*clVdEG=`v1Eoyx)ltR-kI%W=s+{m&qM>ubWvs8A5ia*}O;m?9X8Vzl'
+    '73*j?>~S4Nx11m5_aQS=%e*ObwF9-7+P_BCnc6bu)y~s)_jPSlhtFmEDY(YN<#0PW-|M1`^X'
+    '(HKoQB_FGQb(b%WNxiyaTlu-s_|43~w1<Yv*^n`??{j!vnMZy!aa~_uI)9-xy_VaUbcJK<B<'
+    'p?pO_()iwEGe%CT{vCNP%8#`d-VsDBvF1AmY)B3#Z%~3U8wv2hTv$A$Sw?uWgTee?^`)wBDR'
+    '%bSYTjXHv{B1(~?HD;`Ou+B*9TV_-nd|VhCa())D7en;EHCo9tR~C*4sofP6wmEec=lrWwut'
+    'NKcF{XXTY3DQq>0!W&&wPvGra?)Jnvmm#`BKPnc1q0@7>YR8Q(Ha*UtBr`?x2n!wIwfu_)Hj'
+    'aJb<*d~G@V%kR%+9+p{AW?~0w@v!$s)p^)5Ue(URcK7x7s194p_E&I?hs)4*GP?Ig8Kc`LJ~'
+    '$1(!{m1}{+78^W^e~;@wfL!)%n{pHrCGGcK7u_EtZ#U6{(rR>~?a&59VBOAL*1p=e|s4SPhx'
+    '8HQ8Q%H!m}-%zrZ1I$&j5AIh25KH){{v#t+E)mYauUe(UI+WkCIi<xD+Cu)$+8qI8ew#cyB+'
+    '1Z5HS+qxqAAI-glz`vkTZe@;SzDO%!1ZkBaFMlTH91_YhgIRbXO%ks2V83mKNfKvJudnLX)B'
+    'L^k~9%JV{w^bWgd5+l*N52XK}~pylYiH_n*<w`P?$b*3RaZ`*^w*<I8puv0@$7XMTsy>i#RL'
+    '&gzyiwsuapyRT<zaldTO8L64X{}!3sXLIJZoUMJXGF!`epO^S{UoS+NpV;vCVr27|g6+~V=m'
+    '!=3yaZ*&@W0`{7$5m`Jo0t*IN&0C`*P0SmNT}mRAy{B@2e8u?(4NE^Aj8Xrbjk^DcCL@gMQ|'
+    'V*w25U%ou(h>SVr%%e;Y<eRxbTv%1U$4-A<Jek1D61ed+*w#Wk)^SxP#CFb-=5$n3*3%SCo@'
+    '7k@(`j+#@{4U#04)(2_gJs@z;fQ%x)VCoG^}ldk7miF8_MOTstS0+iiO>AJ7iB(T!`J(f%@_'
+    '1dQ7|kX7w^{(go_>IXtl7hvBA=Q7};3b6m0E$1mTY(_JiTmVVsBh2|VLJDvj?2Wrp|DNQ>5E'
+    'csn`R&vFiydDqF(_CAMr41WRNJvkcWV85))!D_O<g6DAN<9|_>KQ{b)9ohV(U<YK^<8W0a&b'
+    '6GmMb5Rzhkldup?##^Mx6Ft)X9#TyrvWP8}GzinRqu%x?|Wws$%8_wWv$l%HtcPiP(e8rxy>'
+    'E`P3Be$BjI15NG*fBYzlo=1(ad>mZ6%2REvP1&s}MG>&cTXbLvJ({n`3elUEk*ZzJ_pN{W|h'
+    'tH&rj58*+k91T#G*-14S7lW>?<}z@_!=E&eqzJltg+2s3brfk>&)h7i(IRnn@xzDMSCO3KTY'
+    'g!p--ywPF3b@S;xS&Y3Fb^i%br8GirmHbQILpY;a95JT_LO<3wjCZRPPT(nRb*CO3&QCU-n('
+    '8h3KK%-QzFs)N_n!r;aRvpYv@V|G)p`Mt4o#>lO5_&mS;9kR>>_r=W`Ebt(I`@PuC-_8{emA'
+    '};#KR#AQ{<-5UZ*2JZe%$FJCGF&Qe-KyYcRBAou`2kQH_rUThQIk@o4*unvrNd}&K#z=$okr'
+    'O;)Hl&wDB0!?;^I5y{^s-`@$f@7#Xg8JD0p$)XpWlU}GECq<HNXfa`(b{#cO?h)y7F<?$0q6'
+    'S0|5o)jaaT*ekRDZF5u8XWPS5p#&B*ZDo9Ka3UWLZS<kw(|HzNE5ML;*<Xd_ugI+zXKL^(U`'
+    'gAABiqT+REb>Cr!l8cxL2-C$_Q7%vCNCs}81F3#S|#T=SB#jcZQ9*3Mn{Kc`}33_1LIV}SHl'
+    'zZaCb=^w{h^#6yOo*d7Zn=X3?Z;_cU&%1P7jk(5jOhY|M{2{km?LELYcDu+|+qvz8xNUleGM'
+    'vwa)K=^9*~obha^Em6h5K)i{dS#$BW6%hmxX%`b-7rPUKFq{Pj)MhpF*05-N}GAC0}YV--kx'
+    'rW)CG!xQBFwm|5c$MOPwi<?$<%CSnhr8($@^&W)Gx-gaiZyRTK_It)77heyg_(XoH1$D*73_'
+    'iAx}SKfQ|xGL|>dDn<l!PlB`<|j7%trgq+rC_^s4EjM`8;)HE%8cQ4<6cmICbH>G3ZDRNwEd'
+    'mZ#}b39N%6NLsO!bt2dpo;0ck6b-;gxP?Q*8Q_<m|T&z=y^j`nflXTi7*x9$@EKFGtvco^z)'
+    'kcs!<{JB0hhHH=EO=3mLbpvBsvRirlW~7PO4PxPuQD;7WpfVf3c|0^WzU;l%MK0c+e~Y*ZTh'
+    'HmIh>t@f_KB?aaNoaeWAwL-t26p#Y`vY&@9t}>xDM~n_UYmef1fox?thTApBndfW$U+&tFrZ'
+    '+_b0I`_}V7U{KSU8ZDX6i6l|A{*$&1>XG=TT9?Fd29iXo|JIcz;I=tTkG)aFPFGgC2i7)5%%'
+    'inu_A$;HMl0L|-t6Cg*Iip_wZs|+ld+(L>_IFI1EOk?u;k1pNR+X9Ma*i6A<s#R+W8B}B-`y'
+    '#$%I|XConuw-H7(Bk#D>3JVw=AdY?qEfKUYNT=ciC+4DSkU@d}s=;qmo2<93d?DeP?8#ty4W'
+    '>~1+n%<OI*-n5*BEq@>Ebx{5{C4G<yRkaw)a{jaYovSy(_r53T?eAVSImM>%cxfA#s4DY-<%'
+    '}ZofJJ6*x46G68@GF0m5t-Pd&H{XYtK0I6C3{aif#U&Z-RDxd&GWjkJ!)8pv)NF8`|~l(5~_'
+    'LdJJDXqt_HJEp6lSR3$F1oY7-0t`5sp&Y6|JC-FWg|7b}c<gHXKeyN<TDt{N@gYdnxOM3e|2'
+    '~7s5DXdG{#{8(ttW7!pgRD)FN7*Ot@5-J0Jg&-}aNd1mRq*wTIP()5{`QM){@}R<WqMrvJT8'
+    '9rhcaXMm(Z>shjxv}*W+W_`In|JA88x&qAD>b<@^gXCv~`ta%P0z$Hp85GX`b<e|M-H#Q|}3'
+    'j-rfnurn0heH|FrVKUf$5w6Q{*^5rL<DfWWJNm>2r{Q;)+(*W3Fwao@AHqZDHV%%fa~ow$g`'
+    'L^x?(2}a4g<pWbkX6m9-TbNp>f8O^pS25>fD#fny4Z38733L?|Nevg1LdR|Cig&Li{SuScpF'
+    '14C*ryzmBUh5@no&osY2lIV`TjTCn{-+;8g=t1z><iz54AXD$+AF3|o^;_+Q#8-)B`xH=4l$'
+    '!I9&aJbIx{Klukczha}{Klsd|KHkA<=lP)&q@p*5px|KDS8xXD~~^#G!Z*vIGBAX{(sy-hU1'
+    'txV>rg=oJ3Ww<G1n9xsEb6!_IV+`#3hP!-lZ^wJ6q6eO9E5@n}-`cX4X)9N$K~AN(!tgZGdg'
+    '7b~_!PatjO@h6fdV!OnNoC;%=?;?KR7V1ec^CQ0(J(;wX$Dcx)h@EjI$Z1S$V@h~``&3~?2H'
+    '6rVyhv>DC8xzUz9a>k|EK34V%+QH@bzB%|Mz5m<@8vK{{QeRXT&q+SIXXZR%BPo^PX9eeZll'
+    'FX5CEuAwN*<oohCRrpUS2`I&_H8MI?KpPi_!*5hQ(_uKg!<(vh5Nc;cT?TMKMKs_6-6Y4p!B'
+    'HcM;J(uiO9)BKbB6cT>)0BLv!QPCDxy_CuUZaQf{Fs@K3q&s@ZRPP7ktSjfo!_}QuFmh2aW{'
+    '5$r@OC9YOz3U&l)R(3BvxN9us78IG5%ePC0k;$I9Fd=lzq!xBI#*&iurNzsqBrzZ7hjjzK@D'
+    'e}>N$P-YBY3G=*hu|E?Tp(cg<ppCY_zb_>gLX#r1hk8}aeZbYCe<5w<@z;<hxn0f{72gGD=Z'
+    'X^IiqM`z{QRyKKg9prdXP&}&R?NE2iYVa&Y$b!TBuJ9Ul%J<t{dp*$ZqBFH;^V`H;73>R;c*'
+    'Dt%t@a-53vzQ7U`KV3AL<=f9~E<HYIT7ayZy_KD2QaNl)kW2J76tFuyNjFX*{>h9~7THF=e^'
+    'NGK2qv7&bgUr+4a^|U=ak{lK<HUJyllXRDx5t^E*zk8pZ1b0b?b0!Kf}a6tCwD=aF?=`lRRe'
+    'KWX4c^`SxwT@<Hd;0S}^9lNK|Ae?g8HzzBg8+%xNj-?_{^~`1?qc+(s7be$hdOOAD738ywdI'
+    'v5n(O!Pd@$5Pm3TKN!9a=Fq4Q$9<&5_+C)v#~y+6tImxv=kciUV1xXa7A7n<7_xuFHiiu5wo'
+    'v}ZApCgDejXzhW`OhwDF0)n@x7ov`FS#~!>rlZv?4cV=h715($HQ~{2VOy2~i#X%q5;}kZ)7'
+    'YQ_!Xd8MnasF?`QIp}nC#9V=4aYgNv_$ZkQr3!3EVRTwjqZ%au#d8}u;@L11Q=CL%{&q;jd='
+    'lMAE5gWc<h;6=7usJVsSM}L2=5<~ao@<c*(!zAb1_Sm|Y-7Muur)D3|Bl%YhL4H{NMD9_y>@'
+    'AQFDSETuf$rk4tu6*v0mjI8ozJ!cwrrmiYC_LvR;j=b6I8Fl%2`y?(4N$j2GK$!B`7*dR&*~'
+    'Dzak#$yu>J@nPf0nA3V)c&$O+OAEsl8_d@mv5onHIS#a`?I8Rn&NU+rUjTh7>RV8b?MmZ&L7'
+    '6psJJzCgShFJE^<N9$^-g8JOOyRBT&K*(dvTUOHvGIF+x(<pa~ZJg^%yf%nddT@GUmDJa8Kn'
+    '-7IIGwVv~^JVP0vV7OV6@T%A=a<B05>Qg>e;*5aPn-d6lgkB7rI6&b3Ja)zqUNW;9Hd=+y#%'
+    '(0aH-|eAtIv>Z?Ih`_=#?I(;_w`9F=7;TFVs991Pmvq?H0Or;#D~s(nM_f}lQ3^l_J31{%9D'
+    'H+SLaE}m=8Nk(%skRwb&H4_k#Mb&!80fmM?O?rB8h5+?UC|WZVOD0cHR9Zm8VDmvMFOp^Qzi'
+    'GY{Q;eN~I0V0%BP|N5*%k;C|3&SCV451som84Xoy|G%6~D1RrzK`@UTFX{i++O<d9agFh_=O'
+    'p(g^Bp<F5@+UeBrdAC+A6vzi+EHKZ!79qbdg#WkG6=nbv=WMQl*Njc8OOLuXu)Pi%2S>nrKy'
+    '3BYG<prBXskoBH<meY4N(v-dtZd!PH)Z-0AcerN7H_wV<cncK_gRZ`~d&*S~yJ($MdJxr$8z'
+    'kguo#%;+*%UVvXqVrjQW~}pBH^aQ$WSIV}@{Z`Nl9xRw{dKN8^NJ_8_!<!6E3t0UJep@s&O8'
+    'd1QaghQ#BrKGEmN&$rftay%UVvVqH;=qW~y__W@By6UfNp8dzt{$o&$=Ib4JyeOLfQej}aE8'
+    ')>+~>sJ;v`lUy;ka>#iQ${|avv&MX!o&)pf_L(@A)(Frgbo(a|Isa@yJ0bVvoZ>E^`tr|AGR'
+    '@q|Ko>wL11+)68f~0@S7099K4sn%;oWfk+unY>hQk=~EQFNIHI%Koxo0?6Ehtyj^*PetlDeC'
+    'epEfCv?d7woad$jFdKv9_<6NDE;PIyM9-s)>D^!g|RClnyiCCEFF&U|y&z6M!dEz}GoF{f5H'
+    'c!l`E<jm4B~%=_#WevTF4P@4FS{TgCEMh@>0Y4v^2<yz$=u2??+u|0v&1^1OsfmbquYz}DZ='
+    '~UalJnG^-myjcDfic!IbP&C1sWV9F@OYaDsUCi}E9qa>XSOpDX%uzi_5FnCrffl2LMf5uQI9'
+    'Cm}V9bhFO;L6voOg(H-Ma?W^vP<?r2CK+UIWtI<sP-a<Toi#4Q_F<qi32vW^*Hn!U#A8yU+d'
+    'qNGS?S@B38rMFZa%pb{Q2Y*#O9M3)enL>hT{mRmd`DoBO%07V$JKI*F7yGRnd8*or!WDnUdT'
+    '2Gew=-&7o{fXHf3{IU7D}I||~nHeU`F&e;ZYJs47QJFYJkoP<&GIX4458mbJiYfaP3_UD8BI'
+    'o?AcHpk;-9}3FhdKgqZxy5%3g!oFVo01DMkItxOH(PYS4-w843(6IBeYx}>m6Q`U`|?NBOt_'
+    'Eg+2nS~FHfCsXOr8>Pt6FmfB$gYKf3)0P=v<{K9aCw`X5DDnA)FHx|v}(qbw++)b$m3-#KkQ'
+    'f7>ACI~jJCiTVb&MLp-#|NBYf&b*#;HnC<ebf;ugkH&4G+m8W7xJ>Y|gdNlWIKo0|H(z`_xc'
+    'TA}VAy;yqyFPyF5wfQS|+!aJs$d(EeSbS<Xq1EAAiH;icf;LT+x>ahBL)5&yyh~pXB;FlQS|'
+    'm?Y~*gD&4#=oKqH*Q|kJ9>DL+dG(8uP_RR}B*Hn$C;4xOuJa<bjx*Y7xb2l9$j8Da5P~+1;5'
+    'iS>eI$_83KZCF^bxQW<&n5Z$4l_CDZ8JG<SB=jE&H<k#_-w+C>3<GkA+;~}YfIi&4w3P>Ia@'
+    'g2D=6R7^&aWpDYbqcAtkS~^FW**_hmgRTmd|7Z(h#|$FSz}|GBsyb^8QRgewG}N7ym_&nGOT'
+    'u5v=o+}!_-c<7w)1u%S0=*#)S8KIx!g^-dpa(#>7cHtc*drZmB{JEb0n*q1tv3s6O?`2ymDJ'
+    '$~lSpN6J_v7zwkm<clM<rz>{`|)O{_bt~yO+rHUY4PfvH^c?;eWsK0RHZkGQH>FR~|Eau)gn'
+    '^4(l<$2;x0vpAQ`Nmj`pb7*hOdt{XVsNcW{(&-+B<d3S{)GhDVG?t0BHiT0X#*_TRxo$F;#@'
+    '#GfYNf6>Iv2KcY%{<yion8OieFrD(eHY|?>w2E>=;x+W-r=!5a{L=`Kh*v67Vxx#^KJjU1zP'
+    'iGgxX_zx%NM?{R&zJuUCR66Lw7hD+voz`@MA6*ADyW1^MW@UI23l_4^|!?;_cLJ6>mTThzUH'
+    '{hdRN3!(1CH?d~DzEHf}Q*c}8_N!=K)mSC?YQm1`e+^+Fwd;Yu*5iS{ZfFlYqyAIz9M*UmRL'
+    'kVnvZq7;vLzvV-|QW`-?JUg`+hyddEY+YI_!IgdESuZp>sU}l^4$3dOyvspYD3vVK2QPFMWZ'
+    '`vmoc3g%Hx-E3&<J)p#QwV|8C%d+!=ogYC;NrelQhO}M``z8MtZYQeV<c1-_U2@6xF_|tyxo'
+    'Zq3D1ong{fw!y1w*h<AZx?(AVaN2pldzE5=S{c8lP-twp<ORH>_HdgL6<U5Nyiq~Ix|c0lx@'
+    '!%$H%xY>wfk$@U+9B?q`o-&FBBSa6jtyyFn373%-Z2WBT7qSV&!Y+3X9u-vK_fm;F8%-plrR'
+    '(P1Ck&++~wKb-3$fl=QFNA<^3{9V8I?0+xgXgqeOWO|DKx(4F?SD$Yh_Fe~beIUup<@y*<v*'
+    'hWzKI#XJkLveJKNRhk^0H@0f1T^YQ1Rpz-&zRql~^}v9?hds^Lzx?S+~!`bN*NuqxrRGlIHE'
+    'Ye(Fb!pX&EbKNjtq^0H@1f1T^&Q1Rpz-`No2E3t0UJep@2FwZA&opt+@xJ{M;uk(zo`)EEd`'
+    '>*b|k_Y>|=fGf}*Z2O3>+!nFeJaWy=IO@+<8I;FoACZitbgnGl==OVesA+!<888sxg6NT)c9'
+    '$frtvelUzdaJZ+<q~-^{2!Px>pK&q2kJTU_Tuh^xeUd?b%mpRb=6ue0ZkX5x3|mOpv{g#6JG'
+    '>#T919%BOY==NFjrU<`)V}%R7{S%1n%dUe=FwK|k_cp(1yiN8nSIDvVCG6MjFXL~ofS$Mcm1'
+    'u7>qx!2j2B<hLf@=BP;#m(No)YVEs?)qx73E#}eN^@?Q@kC&@8o|L@kAUqtdZ#{9?XUW560)'
+    '6g#DMnTwhD_bGSaqcrv5<I<A-Ub>pS@J(F)ldnUZ>H>JPM^)17bTYMXXd?nURnn&}j6rOM6I'
+    '_vg#aGh7;IoJ~2l;-cap2~NPr{eccz8CGC@Uq{R{yNtW3{P(HZ3^<0ST|`N&9h2)eu(R=+ds'
+    'l}UM1^1DL9(f!yb(LO`5@8&&7xEdVJ4Gx;~G)+>fI?BA$M_;9}v@dNKAn%~%h|?<?_hkp2F~'
+    'CC1-iA7i!n7#c6dX&NuXX{*8ZIDQiCab#5gRQfBPpBawa;@TYKDzP3P$!F2$>(2#y{zxXCM{'
+    'ao}TY?@*iFMZ4itWpVXDjhc5&i<l4O_ka6Nv21Y=cZN&70}>H-2gS4fZjn<@ni-{kr`t?4O3'
+    '7zi~yhzmZY>YaBOJ99Np<bBkw3kf+3Yoa!`xMMe1+elLanixi#h_W<~rDb~fT8GYY47*-eWO'
+    'wh$X-5S=!gSmc_q_MePi~D6%E#0rxuQFP_D;zvc|AwvOD;>`I)csDw@H+hJ1Rd_v$YBjWnCr'
+    'Jmnx5;k1xMBH{r<o;#vkYs&g7Zlvb_T}wBEKgK0lAe+Lm>o@0$d5ZTmZ;ZM&iy(>3q4k($@1'
+    'Tf=%c%=7ys?acN0c)sl>?K#^z+SRgQ4PB6i*7XI_ub=ms$@$r>6isYvZq>LB_h(&?uM^F_4s'
+    '1QX4*1&u>*R0y18x)Dz8-iR?GpSWVaN3ECM=|`G&yTo_ZtK~P5vjN$(I=28>`cAh|uXitsU0'
+    'revX+Wt<Uv(LA{Me(f%n~b;E#X4_I5W?()6QHmtV1F+p4UwBN==o%-h_oyzq_+{dHp(SE(V$'
+    'LQUzaPTz!8@3j%v@B~p_no}qwd_p^TGppCHzn%gza;5mt~Uves(<@6_Fkj0yM&XF87^CYtD!'
+    'aP#h&LH)=O5VwUqDuv${U~tI>yD(O&7g@#aX~=+l0i6ZGfblJqCnoAG>GO!{rMwWzBHw+z&S'
+    'yxbP)Unq4eQCHf!RW<&O`?IcTw~6lE2DYZ%2K*k_Hu>9b!EK`3|B!98Pw-a4j_Lm=VIg&;Yg'
+    'rGv@0;~>?Z1q!U1GFjtk&Hhp>=(Fbw{LL{&$jI=6Z*q-bSP7=M>$yGa_5P3fiL6%9=J)Nm}R'
+    'Xi2U*z{M}_Ty`E#*dZ8`j;<Ba>RP?y~+Tgg{9lQR=j9vX>)Z3!RsJ!fdrN7SgKf{w-d<TMjC'
+    'Du)vNAv6wp4)Mqb^8un=Up&P^QVoa>tp4%j1SA&_*g}aPj477K1~@@-5BBh@4@w7Dbsu79+f'
+    'nXxGBP4-;2MyN~YI+cKcr3mU~WFyZ5T-d*02#d!Bn=IB4z*{_Fpp(bs=ow$V}!mugi!xy6^Y'
+    'LVP9GO`1pZ>=T}5Ybmwov?dV8Y5uhPRQ*2GmTPZWyZ5N5YybY>wZFQa@cHJ;pohJl%x%SAPk'
+    'iV6fy8UmSS#h)#PtCj&!%64-0RzTtGd2*g(EXu_O-7%?)kXzdHKU0_w!ou$Gz{^3?K7@x#lO'
+    'GLtJOAxg(q_?s=G-^RO!%nc=d}QI&K&`Hyw~y>7hKmVIB=_Pa{jj{be@zZT{AyZdB%@9+IT_'
+    'J=&-'
+)
+
+ATTRIBUTE_B85 = (
+    'c-qZW%Wi`(5VVcK5D1{=b!b}kP^rD-7kcjhe^DJ6CuW4}fIzJxWwPGg*|9VBNeH1uAudANPt'
+    'koVi;Wlim>|ESdY4y(nqpUfjrVr;b?vJ|X}Npc1GU8?`V4-5BUf5f9x8B^T~<J=z)XSpeOy3'
+    '8iTLbs7>~=v1!6Op)$2_>UU};q*0{a=7AM{eIpDl=eFS>ct;cDQ;uDw?X6UJb@7{U(+%2#sY'
+    'y)*p_cjurfzQAVP?3&D*K^{30#;O)5|5^Qy>k6Apg*Dfj_yD{ab4j)XA||kje6_e$9|OoK1o'
+    '>pbG{~Uj_h+o^IQ5qw=`#NK3(a&4DFA7SkSyIqDTHwUlKXLDzHB@@jm3_k3%GWnYkY`^W7P{'
+    '_hau$O6zi^x`y6$*0;2;Umw(`7oJ;2{HFpK>)Xuqk6frf=JTce(u|zX53!*ReE'
+)
+
+# Named character entities (HTMLCharacterEntities.jflex static block:
+# entity -> single char; 6 upper-case variants accepted).
+ENTITIES = {
+    'AElig': 'Æ',
+    'AMP': '&',
+    'Aacute': 'Á',
+    'Acirc': 'Â',
+    'Agrave': 'À',
+    'Alpha': 'Α',
+    'Aring': 'Å',
+    'Atilde': 'Ã',
+    'Auml': 'Ä',
+    'Beta': 'Β',
+    'COPY': '©',
+    'Ccedil': 'Ç',
+    'Chi': 'Χ',
+    'Dagger': '‡',
+    'Delta': 'Δ',
+    'ETH': 'Ð',
+    'Eacute': 'É',
+    'Ecirc': 'Ê',
+    'Egrave': 'È',
+    'Epsilon': 'Ε',
+    'Eta': 'Η',
+    'Euml': 'Ë',
+    'GT': '>',
+    'Gamma': 'Γ',
+    'Iacute': 'Í',
+    'Icirc': 'Î',
+    'Igrave': 'Ì',
+    'Iota': 'Ι',
+    'Iuml': 'Ï',
+    'Kappa': 'Κ',
+    'LT': '<',
+    'Lambda': 'Λ',
+    'Mu': 'Μ',
+    'Ntilde': 'Ñ',
+    'Nu': 'Ν',
+    'OElig': 'Œ',
+    'Oacute': 'Ó',
+    'Ocirc': 'Ô',
+    'Ograve': 'Ò',
+    'Omega': 'Ω',
+    'Omicron': 'Ο',
+    'Oslash': 'Ø',
+    'Otilde': 'Õ',
+    'Ouml': 'Ö',
+    'Phi': 'Φ',
+    'Pi': 'Π',
+    'Prime': '″',
+    'Psi': 'Ψ',
+    'QUOT': '"',
+    'REG': '®',
+    'Rho': 'Ρ',
+    'Scaron': 'Š',
+    'Sigma': 'Σ',
+    'THORN': 'Þ',
+    'Tau': 'Τ',
+    'Theta': 'Θ',
+    'Uacute': 'Ú',
+    'Ucirc': 'Û',
+    'Ugrave': 'Ù',
+    'Upsilon': 'Υ',
+    'Uuml': 'Ü',
+    'Xi': 'Ξ',
+    'Yacute': 'Ý',
+    'Yuml': 'Ÿ',
+    'Zeta': 'Ζ',
+    'aacute': 'á',
+    'acirc': 'â',
+    'acute': '´',
+    'aelig': 'æ',
+    'agrave': 'à',
+    'alefsym': 'ℵ',
+    'alpha': 'α',
+    'amp': '&',
+    'and': '∧',
+    'ang': '∠',
+    'apos': "'",
+    'aring': 'å',
+    'asymp': '≈',
+    'atilde': 'ã',
+    'auml': 'ä',
+    'bdquo': '„',
+    'beta': 'β',
+    'brvbar': '¦',
+    'bull': '•',
+    'cap': '∩',
+    'ccedil': 'ç',
+    'cedil': '¸',
+    'cent': '¢',
+    'chi': 'χ',
+    'circ': 'ˆ',
+    'clubs': '♣',
+    'cong': '≅',
+    'copy': '©',
+    'crarr': '↵',
+    'cup': '∪',
+    'curren': '¤',
+    'dArr': '⇓',
+    'dagger': '†',
+    'darr': '↓',
+    'deg': '°',
+    'delta': 'δ',
+    'diams': '♦',
+    'divide': '÷',
+    'eacute': 'é',
+    'ecirc': 'ê',
+    'egrave': 'è',
+    'empty': '∅',
+    'emsp': '\u2003',
+    'ensp': '\u2002',
+    'epsilon': 'ε',
+    'equiv': '≡',
+    'eta': 'η',
+    'eth': 'ð',
+    'euml': 'ë',
+    'euro': '€',
+    'exist': '∃',
+    'fnof': 'ƒ',
+    'forall': '∀',
+    'frac12': '½',
+    'frac14': '¼',
+    'frac34': '¾',
+    'frasl': '⁄',
+    'gamma': 'γ',
+    'ge': '≥',
+    'gt': '>',
+    'hArr': '⇔',
+    'harr': '↔',
+    'hearts': '♥',
+    'hellip': '…',
+    'iacute': 'í',
+    'icirc': 'î',
+    'iexcl': '¡',
+    'igrave': 'ì',
+    'image': 'ℑ',
+    'infin': '∞',
+    'int': '∫',
+    'iota': 'ι',
+    'iquest': '¿',
+    'isin': '∈',
+    'iuml': 'ï',
+    'kappa': 'κ',
+    'lArr': '⇐',
+    'lambda': 'λ',
+    'lang': '〈',
+    'laquo': '«',
+    'larr': '←',
+    'lceil': '⌈',
+    'ldquo': '“',
+    'le': '≤',
+    'lfloor': '⌊',
+    'lowast': '∗',
+    'loz': '◊',
+    'lrm': '\u200e',
+    'lsaquo': '‹',
+    'lsquo': '‘',
+    'lt': '<',
+    'macr': '¯',
+    'mdash': '—',
+    'micro': 'µ',
+    'middot': '·',
+    'minus': '−',
+    'mu': 'μ',
+    'nabla': '∇',
+    'nbsp': ' ',
+    'ndash': '–',
+    'ne': '≠',
+    'ni': '∋',
+    'not': '¬',
+    'notin': '∉',
+    'nsub': '⊄',
+    'ntilde': 'ñ',
+    'nu': 'ν',
+    'oacute': 'ó',
+    'ocirc': 'ô',
+    'oelig': 'œ',
+    'ograve': 'ò',
+    'oline': '‾',
+    'omega': 'ω',
+    'omicron': 'ο',
+    'oplus': '⊕',
+    'or': '∨',
+    'ordf': 'ª',
+    'ordm': 'º',
+    'oslash': 'ø',
+    'otilde': 'õ',
+    'otimes': '⊗',
+    'ouml': 'ö',
+    'para': '¶',
+    'part': '∂',
+    'permil': '‰',
+    'perp': '⊥',
+    'phi': 'φ',
+    'pi': 'π',
+    'piv': 'ϖ',
+    'plusmn': '±',
+    'pound': '£',
+    'prime': '′',
+    'prod': '∏',
+    'prop': '∝',
+    'psi': 'ψ',
+    'quot': '"',
+    'rArr': '⇒',
+    'radic': '√',
+    'rang': '〉',
+    'raquo': '»',
+    'rarr': '→',
+    'rceil': '⌉',
+    'rdquo': '”',
+    'real': 'ℜ',
+    'reg': '®',
+    'rfloor': '⌋',
+    'rho': 'ρ',
+    'rlm': '\u200f',
+    'rsaquo': '›',
+    'rsquo': '’',
+    'sbquo': '‚',
+    'scaron': 'š',
+    'sdot': '⋅',
+    'sect': '§',
+    'shy': '\xad',
+    'sigma': 'σ',
+    'sigmaf': 'ς',
+    'sim': '∼',
+    'spades': '♠',
+    'sub': '⊂',
+    'sube': '⊆',
+    'sum': '∑',
+    'sup': '⊃',
+    'sup1': '¹',
+    'sup2': '²',
+    'sup3': '³',
+    'supe': '⊇',
+    'szlig': 'ß',
+    'tau': 'τ',
+    'there4': '∴',
+    'theta': 'θ',
+    'thetasym': 'ϑ',
+    'thinsp': '\u2009',
+    'thorn': 'þ',
+    'tilde': '˜',
+    'times': '×',
+    'trade': '™',
+    'uArr': '⇑',
+    'uacute': 'ú',
+    'uarr': '↑',
+    'ucirc': 'û',
+    'ugrave': 'ù',
+    'uml': '¨',
+    'upsih': 'ϒ',
+    'upsilon': 'υ',
+    'uuml': 'ü',
+    'weierp': '℘',
+    'xi': 'ξ',
+    'yacute': 'ý',
+    'yen': '¥',
+    'yuml': 'ÿ',
+    'zeta': 'ζ',
+    'zwj': '\u200d',
+    'zwnj': '\u200c',
+}

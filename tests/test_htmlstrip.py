@@ -1,0 +1,125 @@
+"""HTMLStripCharFilter replay (functions/htmlstrip.py).
+
+The correctness instrument is the compiled-reference fuzz
+(tools/tok_parity.py mode ``htmlstrip``: 4k randomized HTML-soup cases x
+output units + every correctOffset, 0 mismatches); these tests pin
+representative behaviors and the chain integration so regressions
+surface without the Java toolchain.
+"""
+from __future__ import annotations
+
+import pytest
+
+from lucene_spark.functions.htmlstrip import (
+    correct_codepoint, html_strip,
+)
+
+# goldens verified against the compiled reference class via the parity
+# harness (never hand-guessed)
+GOLDENS = [
+    ("hello world", "hello world"),
+    ("<b>bold</b> text", "bold text"),
+    ("<div class='x'>content</div>", "\ncontent\n"),
+    ("&amp; &lt; &gt; &copy; &hellip;", "& < > © …"),
+    ("&AMP;&LT;&GT;&COPY;&QUOT;&REG;", "&<>©\"®"),
+    ("&#66;&#x43;d", "BCd"),
+    ("a<br>b</br>c", "a\nb\nc"),
+    ("<script>var x = '</div>';</script>after", "\nafter"),
+    ("<style>.a { color: red }</style>after", "\nafter"),
+    ("<!-- a comment -->text", "text"),
+    ("<![CDATA[raw <b> text]]>end", "raw <b> textend"),
+    ("<?xml version='1.0'?>doc", "doc"),
+    ("bare & ampersand x", "bare & ampersand x"),
+    ("&unknown; stays", "&unknown; stays"),
+    # numeric refs: surrogate range -> U+FFFD; beyond max -> literal
+    ("&#xD800;x", "�x"),
+    ("&#1114112;x", "&#1114112;x"),
+    # paired surrogate refs, all four dec/hex forms -> U+10000
+    ("&#xD800;&#xDC00;.", "\U00010000."),
+    ("&#55296;&#56320;.", "\U00010000."),
+    ("&#55296;&#xDC00;.", "\U00010000."),
+    ("&#xD800;&#56320;.", "\U00010000."),
+    # failed low-surrogate range check (57999 > 0xDFFF) -> each ref
+    # decoded separately: lone high surrogate -> U+FFFD, 57999 -> U+E28F
+    ("&#55349;&#57999;.", "�."),
+    # unterminated structures at EOF: tag states drop input (Exclude),
+    # bracket-only states echo it (Include)
+    ("tail<", "tail<"),
+    ("tail&", "tail&"),
+    ("tail&am", "tail&am"),
+    ("<b", ""),
+    # the tail state's [^] catch-all fires on ' ' before EOF -> echo
+    ("<div x", "<div x"),
+    ("<script>never closed", ""),
+    # EOF in CHARACTER_REFERENCE_TAIL: char ref allowed without ';'
+    ("x&#66", "xB"),
+    ("x&copy", "x©"),
+    # supplementary chars pass through (and in refs)
+    ("&#x1F600;!", "\U0001F600!"),
+    ("a\U0001F600b", "a\U0001F600b"),
+    # server-side include inside a comment, quoted strings
+    ("<!--#include file='x.html' -->ssi", "ssi"),
+    ("<!-- <!--#exec cmd=\"a --> b\" --> -->done", "done"),
+    # bang constructs
+    ("<!DOCTYPE html>x", "x"),
+    # chars between "<!" and "[CDATA[" make it a plain bang construct,
+    # dropped at its '>'
+    ("<!x[CDATA[y]]>z", "z"),
+    # open-tag attributes with '>' inside quotes
+    ("<p onclick='x>y'>q</p>", "\nq\n"),
+    ("<a href=\"q>r\">s</a>", "s"),
+]
+
+
+@pytest.mark.parametrize("raw,expect", GOLDENS)
+def test_goldens(raw, expect):
+    out, _ = html_strip(raw)
+    assert out == expect
+
+
+def test_escaped_tags():
+    # BR/SCRIPT/STYLE route to dedicated flags; others via CharArraySet
+    out, _ = html_strip("a<br>b", ["br"])
+    assert out == "a<br>b"
+    # escapeSCRIPT/STYLE preserve the TAGS only — the element body is
+    # still dropped (SCRIPT state [^] ignores; verified vs the compiled
+    # reference)
+    out, _ = html_strip("<script>x</script>y", ["SCRIPT"])
+    assert out == "<script></script>y"
+    out, _ = html_strip("<style>x</style>y", ["style"])
+    assert out == "<style></style>y"
+    out, _ = html_strip("<b>x</b> <div>y</div>", ["b"])
+    assert out == "<b>x</b> \ny\n"
+    # case-insensitive (Character.toLowerCase fold)
+    out, _ = html_strip("<DIV>y</DIV>", ["div"])
+    assert out == "<DIV>y</DIV>"
+
+
+def test_corrections_map_output_to_input():
+    raw = "<b>bold</b> &amp; x"
+    out, corr = html_strip(raw)
+    assert out == "bold & x"
+    # 'bold' starts at input offset 3
+    assert corr.correct(0) == 3
+    # 'x' (output offset 7) maps back to its input offset
+    assert raw[corr.correct(7)] == "x"
+
+
+def test_correct_codepoint_with_supplementary():
+    raw = "\U0001F600<b>q</b>"
+    out, corr = html_strip(raw)
+    assert out == "\U0001F600q"
+    # output codepoint 1 ('q') -> input codepoint 4 ('q' after emoji+tag)
+    cp = correct_codepoint(out, raw, corr, 1)
+    assert raw[cp] == "q"
+
+
+def test_chain_registered():
+    from lucene_spark.functions import analysis as an
+    from lucene_spark.functions.charfilter import register_charfilter_chains
+
+    register_charfilter_chains()
+    assert "html_standard" in an.STREAM_SCALARS
+    terms, _pos, _dl = an.STREAM_SCALARS["html_standard"](
+        "<b>Hello</b> &amp; World")
+    assert terms == ["hello", "world"]

@@ -186,6 +186,38 @@ public abstract class CharFilter extends Reader {
   }
 }
 """,
+    "org/apache/lucene/analysis/CharArraySet.java": """
+package org.apache.lucene.analysis;
+public class CharArraySet {
+  private final java.util.HashSet<String> set = new java.util.HashSet<>();
+  private final boolean ignoreCase;
+  public CharArraySet(int size, boolean ignoreCase) { this.ignoreCase = ignoreCase; }
+  private String fold(String s) {
+    if (!ignoreCase) return s;
+    StringBuilder b = new StringBuilder();
+    int i = 0;
+    while (i < s.length()) {
+      int cp = s.codePointAt(i);
+      b.appendCodePoint(Character.toLowerCase(cp));
+      i += Character.charCount(cp);
+    }
+    return b.toString();
+  }
+  public void add(String s) { set.add(fold(s)); }
+  public boolean contains(char[] buf, int off, int len) {
+    return set.contains(fold(new String(buf, off, len)));
+  }
+}
+""",
+    "org/apache/lucene/analysis/CharArrayMap.java": """
+package org.apache.lucene.analysis;
+public class CharArrayMap<V> {
+  private final java.util.HashMap<String, V> map = new java.util.HashMap<>();
+  public CharArrayMap(int size, boolean ignoreCase) {}
+  public void put(String k, V v) { map.put(k, v); }
+  public V get(char[] buf, int off, int len) { return map.get(new String(buf, off, len)); }
+}
+""",
     "org/apache/lucene/util/IgnoreRandomChains.java": """
 package org.apache.lucene.util;
 public @interface IgnoreRandomChains { String reason(); }
@@ -357,6 +389,21 @@ public class Main {
           for (int i = 0; i <= sb.length() + 2; i++) {
             res.append(':').append(cf.correctOffset(i));
           }
+        } else if (f[0].equals("htmlstrip")) {
+          String rawTags = unb64(f[1]);
+          java.util.Set<String> tags = rawTags.isEmpty() ? null
+              : new HashSet<>(Arrays.asList(rawTags.split("\\u0001", -1)));
+          String text = unb64(f[2]);
+          org.apache.lucene.analysis.CharFilter cf =
+              new org.apache.lucene.analysis.charfilter.HTMLStripCharFilter(
+                  new StringReader(text), tags);
+          StringBuilder sb = new StringBuilder();
+          int c;
+          while ((c = cf.read()) != -1) sb.append((char) c);
+          res.append(hexUnits(sb.toString()));
+          for (int i = 0; i <= sb.length() + 2; i++) {
+            res.append(':').append(cf.correctOffset(i));
+          }
         } else if (f[0].equals("prep")) {
           boolean all = f[1].equals("1");
           Pattern p = Pattern.compile(unb64(f[2]));
@@ -391,6 +438,8 @@ REF_FILES = [
     "minhash/MinHashFilter.java",
     "charfilter/BaseCharFilter.java",
     "pattern/PatternReplaceCharFilter.java",
+    "charfilter/HTMLStripCharFilter.java",
+    "util/OpenStringBuilder.java",
 ]
 
 #: suggest-module spell distances, compiled with their own tiny shims
@@ -586,6 +635,42 @@ def fuzz(n: int) -> None:
         lines.append("\t".join(["prep", "1" if allm else "0", b64(pat),
                                 b64(repl), b64(tok)]))
 
+    # --- htmlstrip (output UTF-16 units + every correctOffset)
+    hs_tags = [None, None, None, ["br"], ["script", "style"], ["b", "foo"],
+               ["BR", "DIV", "span"], ["naïve"], ["İ"], ["b", "br", "script"]]
+    hs_pieces = [
+        "<b>", "</b>", "<div>", "</div>", '<span class="x">',
+        "<img src='y'/>", "<foo>", "</foo>", "<naïve>", "</naïve>", "<İ>",
+        "<br>", "<br/>", "</br>", "<br style=compact>", "<BR >",
+        "<script>", "</script>", '<script type="text/x">', "<style>",
+        "</style>", "<SCRIPT a=b>", "</ script >", "</sCrIpT>",
+        "<!-- comment -->", "<!--", "-->", "<!-- <div> &amp; -->",
+        "<!--#include virtual='a' -->", "<!-- <!--#exec cmd=\"l\" --> -->",
+        "<![CDATA[", "]]>", "<![CDATA[x <b> ]]>", "<!x[CDATA[y]]>",
+        "<!DOCTYPE html>", "<!foo bar>", "<!>", "<!---->",
+        "<?php x ?>", "<?xml version='1.0'?>",
+        "&amp;", "&lt;", "&copy;", "&hellip;", "&AMP;", "&unknown;", "&amp",
+        "&", "&#", "&#;", "&#x;", "&#66;", "&#x43;", "&#X43;", "&#1114111;",
+        "&#1114112;", "&#xD800;", "&#55296;", "&#56320;", "&#x10FFFF;",
+        "&#xD835;&#xDD0A;", "&#55349;&#56586;", "&#55349;&#xDD0A;",
+        "&#xD835;&#56586;", "&#55349;&#57999;", "&#55296;&#55296;",
+        "&#56999;&#xDC00;", "&#99999999999;", "&#xABCDEF01;",
+        "abc", " ", "x<y", "a&b", "naïve 東京", "\U0001F600", "\n", "'",
+        '"', ">", "]]", "--", "<", "<<", "< div>", "</ b>", "</ div >",
+        "<a", "<a hr", "&#6", "&#x4", "tail",
+        "<p onclick='x>y'>", '<a href="q>r">', "<a b='c' d=\"e\">",
+        "<script><!-- var a='</script>'; --></script>",
+        "<style><!-- .c { } --></style>", "<script>if (a<b) { }</script>",
+        "<style>s '\\'' q</style>", "<!--# '\\'' \"x\" -->",
+    ]
+    for _ in range(n):
+        tags = rng.choice(hs_tags)
+        text = "".join(rng.choice(hs_pieces)
+                       for _ in range(rng.randrange(0, 8)))
+        cases.append(("htmlstrip", tags, text))
+        lines.append("\t".join([
+            "htmlstrip", b64("\x01".join(tags) if tags else ""), b64(text)]))
+
     got = run_java(lines)
     assert len(got) == len(cases), (len(got), len(cases))
     bad = 0
@@ -595,7 +680,7 @@ def fuzz(n: int) -> None:
             bad += 1
             continue
         toks = [t.split(":") for t in out.split(" ") if t]
-        if case[0] not in ("minhash", "prc", "dist", "sweet"):
+        if case[0] not in ("minhash", "prc", "dist", "sweet", "htmlstrip"):
             jterms = [base64.b64decode(t[0]).decode() for t in toks]
         if case[0] in ("path", "rpath"):
             _m, delim, repl, skip, text = case
@@ -679,6 +764,18 @@ def fuzz(n: int) -> None:
                 text, pat, repl.replace("$1", "\\1").replace("$2", "\\2"))
             mycorr = [corr.correct(i) for i in range(len(mytext) + 3)]
             ok = jout == mytext and jcorr == mycorr
+        elif case[0] == "htmlstrip":
+            _m, tags, text = case
+            from lucene_spark.functions.htmlstrip import html_strip
+            parts = out.split(":")
+            jhex = parts[0]
+            jcorr = [int(x) for x in parts[1:]]
+            mytext, corr = html_strip(text, tags)
+            myunits = mytext.encode("utf-16-be", "surrogatepass").hex()
+            mycorr = [corr.correct(i) for i in range(len(myunits) // 4 + 3)]
+            ok = jhex == myunits and jcorr == mycorr
+            if not ok:
+                print("  mine:", repr(mytext), mycorr[:20])
         elif case[0] == "minhash":
             _m, hc, bc, hss, rot, toksin = case
             from lucene_spark.functions.minhash import minhash_terms
