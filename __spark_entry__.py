@@ -1165,6 +1165,17 @@ def _sweetspot_sim_df(spark, sf_dir):
     return _similarity_df(spark, sf_dir, SweetSpotSim(*SWEETSPOT_DEMO))
 
 
+def _sweetspot_hyper_df(spark, sf_dir):
+    """SweetSpotSimilarity with the hyperbolicTf tf function
+    (misc/SweetSpotSimilarity.java:160-179, default hyper factors) —
+    live on this corpus's 1..~30 tf spread around the xoffset=10
+    midpoint."""
+    from lucene_spark.functions.similarity import SWEETSPOT_DEMO, SweetSpotSim
+
+    sim = SweetSpotSim(*SWEETSPOT_DEMO[:3], tf_mode="hyperbolic")
+    return _similarity_df(spark, sf_dir, sim)
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2484,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_common_terms"] = _common_terms_df
     out["high_freq_terms"] = _high_freq_terms_df
     out["sweetspot_sim_topk"] = _sweetspot_sim_df
+    out["sweetspot_hyper_topk"] = _sweetspot_hyper_df
     for _mk, _ma, _mast in (
         ("bm25_scandinavian_norm_chain", "standard_scandinavian_normalized",
          _SCAND_NORM_AST),
@@ -2999,6 +3011,10 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["high_freq_terms"] = _HIGH_FREQ_SQL
     out["sweetspot_sim_topk"] = sqlgen.topk_sql(
         parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="sweetspot",
+    )
+    out["sweetspot_hyper_topk"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SIM_AST)), _QUERY_K,
+        similarity="sweetspot_hyper",
     )
     # char filters: the oracle applies the same pre-tokenization rewrite
     # to the text column (sequential replace == greedy simultaneous here:

@@ -114,20 +114,31 @@ class SweetSpotSim(ClassicSim):
     ClassicSimilarity whose lengthNorm has a [min, max] plateau of 1.0
     with sqrt falloff at steepness ``s`` (:110-120), and whose tf is the
     baselineTf function (:132-147): freq <= min scores the flat base,
-    above it ``(float) sqrt(freq + base^2 - min)``. idf and the
-    two-multiply score shape are inherited from TFIDFSimilarity. Float32
-    op boundaries replayed exactly (the float multiply before the +1.0f,
-    the double sqrt, the final casts)."""
+    above it ``(float) sqrt(freq + base^2 - min)``; tf_mode="hyperbolic"
+    selects the hyperbolicTf convenience function instead (:160-179, the
+    subclass hook). idf and the two-multiply score shape are inherited
+    from TFIDFSimilarity. Float32 op boundaries replayed exactly (the
+    float multiply before the +1.0f, the double sqrt, the final casts)."""
 
     name = "sweetspot"
 
     def __init__(self, ln_min: int = 1, ln_max: int = 1,
                  ln_steep: float = 0.5, tf_base: float = 0.0,
-                 tf_min: float = 0.0) -> None:
+                 tf_min: float = 0.0, tf_mode: str = "baseline",
+                 hyper_min: float = 0.0, hyper_max: float = 2.0,
+                 hyper_base: float = 1.3, hyper_xoffset: float = 10.0
+                 ) -> None:
+        if tf_mode not in ("baseline", "hyperbolic"):
+            raise ValueError(f"unknown tf_mode {tf_mode!r}")
         self.ln_min, self.ln_max = int(ln_min), int(ln_max)
         self.ln_steep = np.float32(ln_steep)
         self.tf_base = np.float32(tf_base)
         self.tf_min = np.float32(tf_min)
+        self.tf_mode = tf_mode
+        self.hyper_min = np.float32(hyper_min)
+        self.hyper_max = np.float32(hyper_max)
+        self.hyper_base = float(hyper_base)      # double in the reference
+        self.hyper_xoffset = np.float32(hyper_xoffset)
         t = np.zeros(256, dtype=np.float32)
         for i in range(1, 256):
             t[i] = self._length_norm(int(LENGTH_TABLE[i]))
@@ -142,15 +153,38 @@ class SweetSpotSim(ClassicSim):
         inner = np.float32(inner + np.float32(1.0))
         return np.float32(1.0 / math.sqrt(float(inner)))
 
+    def _hyperbolic_tf(self, f: np.ndarray) -> np.ndarray:
+        """hyperbolicTf (``misc/SweetSpotSimilarity.java:160-179``):
+        min + (max-min)/2 * (tanh-shaped curve in base^x) with the exact
+        Java op order — (freq - xoffset) in FLOAT then widened to double,
+        (max-min)/2.0f in float then promoted by the double multiply, the
+        (float) cast before the final min + add; NaN (inf/inf overflow at
+        large |x|) -> max, freq == 0 -> 0."""
+        mn, mx = self.hyper_min, self.hyper_max
+        x = (f - self.hyper_xoffset).astype(np.float64)
+        with np.errstate(over="ignore", invalid="ignore"):
+            px = np.power(self.hyper_base, x)
+            nx = np.power(self.hyper_base, -x)
+            half = np.float32(np.float32(mx - mn) / np.float32(2.0))
+            res = (np.float64(half) * ((px - nx) / (px + nx) + 1.0)
+                   ).astype(np.float32)
+        res = mn + res
+        res = np.where(np.isnan(res), mx, res)
+        return np.where(f == np.float32(0.0), np.float32(0.0), res)
+
     def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
               weight_f32: np.float32) -> np.ndarray:
         f = np.asarray(freqs, dtype=np.float32)
-        # baselineTf: ((freq + base*base) - min), float ops then double sqrt
-        b2 = np.float32(self.tf_base * self.tf_base)
-        arg = (f + b2) - self.tf_min  # elementwise float32 throughout
-        above = np.sqrt(arg.astype(np.float64)).astype(np.float32)
-        tf = np.where(f <= self.tf_min, self.tf_base, above)
-        tf = np.where(f == np.float32(0.0), np.float32(0.0), tf)
+        if self.tf_mode == "hyperbolic":
+            tf = self._hyperbolic_tf(f)
+        else:
+            # baselineTf: ((freq + base*base) - min), float ops then
+            # double sqrt
+            b2 = np.float32(self.tf_base * self.tf_base)
+            arg = (f + b2) - self.tf_min  # elementwise float32 throughout
+            above = np.sqrt(arg.astype(np.float64)).astype(np.float32)
+            tf = np.where(f <= self.tf_min, self.tf_base, above)
+            tf = np.where(f == np.float32(0.0), np.float32(0.0), tf)
         raw = tf.astype(np.float32) * np.float32(weight_f32)
         norm = self.norm_table[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
         return (raw * norm).astype(np.float32)

@@ -520,6 +520,40 @@ def _sweetspot_leaf_score(weight_expr: str, freq_expr: str,
     return f"(({tf} * {weight_expr}) * {norm})"
 
 
+def _sweetspot_hyper_leaf_score(weight_expr: str, freq_expr: str,
+                                dl_expr: str) -> str:
+    """SweetSpotSimilarity with the hyperbolicTf convenience function
+    (misc/SweetSpotSimilarity.java:160-179, default factors min=0 max=2
+    base=1.3 xoffset=10): min + (float)((max-min)/2.0f * (tanh-shaped
+    base^x curve + 1.0d)) over x = (double)(freq - xoffset); NaN (inf/inf
+    at large |x|) -> max, freq == 0 -> 0. lengthNorm/idf as sweetspot."""
+    import numpy as np
+
+    from lucene_spark.functions.similarity import SWEETSPOT_DEMO
+
+    ln_min, ln_max, ln_steep = SWEETSPOT_DEMO[:3]
+    hy_min, hy_max, hy_base, hy_xoff = 0.0, 2.0, 1.3, 10.0
+    half = float(np.float32(np.float32(hy_max - hy_min) / np.float32(2.0)))
+    x = (f"CAST(CAST(CAST({freq_expr} AS REAL) - CAST({hy_xoff!r} AS REAL)"
+         f" AS REAL) AS DOUBLE)")
+    curve = (f"((pow({hy_base!r}, {x}) - pow({hy_base!r}, -({x}))) / "
+             f"(pow({hy_base!r}, {x}) + pow({hy_base!r}, -({x}))) + 1.0)")
+    r0 = f"CAST(CAST({half!r} AS DOUBLE) * {curve} AS REAL)"
+    result = f"CAST(CAST({hy_min!r} AS REAL) + {r0} AS REAL)"
+    tf = (f"CASE WHEN CAST({freq_expr} AS REAL) = CAST(0 AS REAL) "
+          f"THEN CAST(0 AS REAL) "
+          f"WHEN isnan({result}) THEN CAST({hy_max!r} AS REAL) "
+          f"ELSE {result} END")
+    ql = _quantized_len(dl_expr)
+    inner = (
+        f"CAST(CAST({ln_steep!r} AS REAL) * CAST(abs(({ql}) - {ln_min}) "
+        f"+ abs(({ql}) - {ln_max}) - {ln_max - ln_min} AS REAL) AS REAL)"
+        f" + CAST(1 AS REAL)"
+    )
+    norm = f"CAST(1.0 / sqrt(CAST({inner} AS DOUBLE)) AS REAL)"
+    return f"(({tf} * {weight_expr}) * {norm})"
+
+
 def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
                     dl_expr: str, k1: float, b: float) -> str:
     if similarity == "bm25":
@@ -528,6 +562,8 @@ def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
         return _classic_leaf_score(weight_expr, freq_expr, dl_expr)
     if similarity == "sweetspot":
         return _sweetspot_leaf_score(weight_expr, freq_expr, dl_expr)
+    if similarity == "sweetspot_hyper":
+        return _sweetspot_hyper_leaf_score(weight_expr, freq_expr, dl_expr)
     if similarity == "boolean":
         # BooleanSimilarity.java:52-55 — score == boost; idf below is 1
         return f"CAST({weight_expr} AS REAL)"
@@ -537,7 +573,7 @@ def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
 def _sim_idf_expr(similarity: str) -> str:
     if similarity == "bm25":
         return _idf_expr()
-    if similarity in ("classic", "sweetspot"):
+    if similarity in ("classic", "sweetspot", "sweetspot_hyper"):
         return _classic_idf_expr()
     if similarity == "boolean":
         return "CAST(1 AS REAL)"

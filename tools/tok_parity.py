@@ -373,9 +373,14 @@ public class Main {
           float tfMin = Float.parseFloat(f[5]);
           ss.setLengthNormFactors(lnMin, lnMax, steep);
           ss.setBaselineTfFactors(tfBase, tfMin);
-          int x = Integer.parseInt(f[6]);
+          ss.setHyperbolicTfFactors(Float.parseFloat(f[6]),
+              Float.parseFloat(f[7]), Double.parseDouble(f[8]),
+              Float.parseFloat(f[9]));
+          int x = Integer.parseInt(f[10]);
           res.append(Float.floatToIntBits(ss.lengthNorm(x))).append(':')
-             .append(Float.floatToIntBits(ss.baselineTf((float) x)));
+             .append(Float.floatToIntBits(ss.baselineTf((float) x)))
+             .append(':')
+             .append(Float.floatToIntBits(ss.hyperbolicTf((float) x)));
         } else if (f[0].equals("prc")) {
           Pattern p = Pattern.compile(unb64(f[1]));
           String repl = unb64(f[2]);
@@ -605,11 +610,17 @@ def fuzz(n: int) -> None:
         steep = rng.choice([0.25, 0.5, 1.0, 0.3])
         tf_base = rng.choice([0.0, 1.0, 1.5, 2.0])
         tf_min = rng.choice([0.0, 2.0, 5.0, 6.5])
+        hy_min = rng.choice([0.0, 0.0, 0.5, 1.0])
+        hy_max = hy_min + rng.choice([2.0, 1.0, 3.3])
+        hy_base = rng.choice([1.3, 1.3, 1.1, 2.0, 1.000001])
+        hy_xoff = rng.choice([10.0, 0.0, 5.0, 100.0])
         x = rng.randrange(0, 300)
-        cases.append(("sweet", ln_min, ln_max, steep, tf_base, tf_min, x))
+        cases.append(("sweet", ln_min, ln_max, steep, tf_base, tf_min,
+                      hy_min, hy_max, hy_base, hy_xoff, x))
         lines.append("\t".join(["sweet", str(ln_min), str(ln_max),
                                 repr(steep), repr(tf_base), repr(tf_min),
-                                str(x)]))
+                                repr(hy_min), repr(hy_max), repr(hy_base),
+                                repr(hy_xoff), str(x)]))
 
     # --- prc (PatternReplaceCharFilter: output text + every correctOffset)
     prc_pats = [(r"dup", ""), (r"(aa)\s+(bb)", "$1#$2"),
@@ -729,14 +740,18 @@ def fuzz(n: int) -> None:
             mybits = struct.unpack("<i", np.float32(v).tobytes())[0]
             ok = jbits == mybits
         elif case[0] == "sweet":
-            _m, ln_min, ln_max, steep, tf_base, tf_min, x = case
+            (_m, ln_min, ln_max, steep, tf_base, tf_min,
+             hy_min, hy_max, hy_base, hy_xoff, x) = case
             import struct
 
             import numpy as np
 
             from lucene_spark.functions.similarity import SweetSpotSim
             ss = SweetSpotSim(ln_min, ln_max, steep, tf_base, tf_min)
-            jln, jtf = (int(v) for v in out.split(":"))
+            hs = SweetSpotSim(ln_min, ln_max, steep, tf_mode="hyperbolic",
+                              hyper_min=hy_min, hyper_max=hy_max,
+                              hyper_base=hy_base, hyper_xoffset=hy_xoff)
+            jln, jtf, jhy = (int(v) for v in out.split(":"))
 
             def fbits(v):
                 return struct.unpack("<i", np.float32(v).tobytes())[0]
@@ -751,7 +766,8 @@ def fuzz(n: int) -> None:
                 import math as _math
                 mytf = fbits(f(_math.sqrt(float(
                     (f(x) + f(ss.tf_base * ss.tf_base)) - ss.tf_min))))
-            ok = jln == myln and jtf == mytf
+            myhy = fbits(hs._hyperbolic_tf(np.asarray([x], np.float32))[0])
+            ok = jln == myln and jtf == mytf and jhy == myhy
         elif case[0] == "prc":
             _m, pat, repl, text = case
             from lucene_spark.functions.charfilter import (
