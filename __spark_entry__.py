@@ -1748,6 +1748,20 @@ def _freetext_suggest_df(spark, sf_dir):
     return freetext_suggest(spark, docs, _FREETEXT_KEY, 10)
 
 
+def _freetext_indexed_df(spark, sf_dir):
+    """Persisted-model path: build the gram-table artifact once (range-
+    sorted parquet + manifest totTokens), serve the lookup from it — must
+    match the corpus-scan oracle exactly."""
+    from lucene_spark.operators.freetext import (
+        build_freetext_model, freetext_suggest_indexed,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model_dir = _cache_dir(sf_dir, "freetext_model")
+    build_freetext_model(spark, docs, model_dir)
+    return freetext_suggest_indexed(spark, model_dir, _FREETEXT_KEY, 10)
+
+
 _FREETEXT_SQL = """
 WITH rawt AS (
   SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
@@ -2492,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_replace_char", _PRC_AST)
     out["bm25_htmlstrip_chain"] = _htmlstrip_chain_df
     out["suggest_freetext"] = _freetext_suggest_df
+    out["suggest_freetext_indexed"] = _freetext_indexed_df
     out["bm25_common_terms"] = _common_terms_df
     out["high_freq_terms"] = _high_freq_terms_df
     out["sweetspot_sim_topk"] = _sweetspot_sim_df
@@ -3006,6 +3021,8 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_auto_stop"] = sqlgen.auto_stop_topk_sql(
         _AUTO_STOP_TERMS, _QUERY_K, 0.4)
     out["suggest_freetext"] = _FREETEXT_SQL
+    # the persisted-model path must reproduce the corpus-scan LM exactly
+    out["suggest_freetext_indexed"] = _FREETEXT_SQL
     out["bm25_common_terms"] = sqlgen.common_terms_topk_sql(
         _COMMON_TERMS, _QUERY_K, _COMMON_TERMS_MTF)
     out["high_freq_terms"] = _HIGH_FREQ_SQL

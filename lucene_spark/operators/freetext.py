@@ -26,8 +26,21 @@ Lookup (:480-720, stupid backoff, Brants et al. 2007):
     ``num`` (:700-714).
 
 The whole lookup is DataFrame filters over the two count tables (the
-prefix filter pushes down; collects are <= num rows)."""
+prefix filter pushes down; collects are <= num rows).
+
+Scale path: ``build_freetext_model`` persists the two gram tables once
+(the reference's FST build, :200-330) as range-partitioned parquet sorted
+by gram — every lookup prefix/equality filter then prunes to one or two
+files via row-group min/max stats — with totTokens and an input
+fingerprint (row count) in a manifest written atomically LAST;
+``freetext_suggest_indexed`` serves lookups from the artifact without
+touching the corpus. Same-params rebuilds over changed data rebuild (the
+fingerprint check), task retries are idempotent (overwrite + manifest
+last)."""
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -72,12 +85,10 @@ def _scored(df: DataFrame, backoff: float, ctx: int) -> DataFrame:
     )
 
 
-def freetext_suggest(spark: SparkSession, docs: DataFrame, key: str,
-                     num: int = 10, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """-> DataFrame(suggestion string, score long), grams=2."""
-    uni, big = gram_counts(docs, id_col, text_col)
-    uni = uni.cache()
+def _lookup_rows(uni: DataFrame, big: DataFrame, tot_cb, key: str,
+                 num: int) -> list:
+    """Shared stupid-backoff lookup over (unigram, bigram) count tables;
+    ``tot_cb()`` supplies totTokens only when the unigram pass runs."""
     parts = [w for w in key.split(" ") if w]
     ended = key.endswith(" ") or key == ""
     rows: list = []
@@ -110,16 +121,87 @@ def freetext_suggest(spark: SparkSession, docs: DataFrame, key: str,
                 seen.update(r["suggestion"].split(" ")[-1] for r in got)
             backoff *= ALPHA
         if partial:
-            tot = int(uni.agg(F.sum("cnt")).collect()[0][0] or 0)
+            tot = int(tot_cb())
             if tot:
                 comp = uni.filter(F.col("gram").startswith(partial))
                 if seen:
                     comp = comp.filter(~F.col("gram").isin(sorted(seen)))
                 comp = comp.orderBy(F.desc("cnt"), F.asc("gram")).limit(num)
                 rows.extend(_scored(comp, backoff, tot).collect())
-    uni.unpersist()
+    return rows
+
+
+def _final_df(spark: SparkSession, rows: list, num: int) -> DataFrame:
     data = sorted(
         ((r["suggestion"], int(r["score"])) for r in rows),
         key=lambda t: (-t[1], t[0]),
     )[:num]
     return spark.createDataFrame(data or [], "suggestion string, score long")
+
+
+def freetext_suggest(spark: SparkSession, docs: DataFrame, key: str,
+                     num: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """-> DataFrame(suggestion string, score long), grams=2 (oracle mode:
+    recomputes the LM from ``docs``; use the persisted model at scale)."""
+    uni, big = gram_counts(docs, id_col, text_col)
+    uni = uni.cache()
+    rows = _lookup_rows(
+        uni, big, lambda: uni.agg(F.sum("cnt")).collect()[0][0] or 0,
+        key, num)
+    uni.unpersist()
+    return _final_df(spark, rows, num)
+
+
+def build_freetext_model(spark: SparkSession, docs: DataFrame,
+                         model_dir: str, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         gram_files: int = 8) -> dict:
+    """Persist the 2-gram LM once (the reference FST build analog):
+
+      model_dir/uni/, model_dir/big/  — (gram, cnt) parquet,
+        repartitionByRange(gram) + sortWithinPartitions so every lookup's
+        gram prefix/equality filter prunes to ~1 file via row-group stats
+        (repartitionByRange, not repartition: hash placement would spread
+        a prefix's grams across every file);
+      model_dir/manifest.json         — grams/separator params, totTokens
+        (no per-lookup corpus scan), and the input fingerprint (doc count)
+        so same-params rebuilds over CHANGED data rebuild.
+
+    Written atomically LAST — a matching manifest short-circuits."""
+    mpath = os.path.join(model_dir, "manifest.json")
+    n_docs = docs.count()
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if m.get("n_docs") == n_docs and m.get("grams") == 2:
+            return m
+    os.makedirs(model_dir, exist_ok=True)
+    uni, big = gram_counts(docs, id_col, text_col)
+    tot = int(uni.agg(F.sum("cnt")).collect()[0][0] or 0)
+    for name, df in (("uni", uni), ("big", big)):
+        (df.repartitionByRange(gram_files, "gram")
+         .sortWithinPartitions("gram")
+         .write.mode("overwrite")
+         .parquet(os.path.join(model_dir, name)))
+    manifest = {"grams": 2, "separator": " ", "tot_tokens": tot,
+                "n_docs": n_docs}
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def freetext_suggest_indexed(spark: SparkSession, model_dir: str, key: str,
+                             num: int = 10) -> DataFrame:
+    """Lookup against a persisted model — no corpus access; totTokens from
+    the manifest, gram filters pushed down to the range-sorted parquet."""
+    with open(os.path.join(model_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    uni = spark.read.parquet(os.path.join(model_dir, "uni"))
+    big = spark.read.parquet(os.path.join(model_dir, "big"))
+    rows = _lookup_rows(uni, big, lambda: m["tot_tokens"], key, num)
+    return _final_df(spark, rows, num)

@@ -72,3 +72,45 @@ def test_num_truncation(spark, docs_df):
     # b*: bar(4), boo(2), baz(1) -> top-1 = bar (backoff 1.0, no context)
     assert [(r["suggestion"], r["score"]) for r in got] == [
         ("bar", _score(1.0, 4, 14))]
+
+
+def test_persisted_model_matches_inmemory(spark, docs_df, tmp_path):
+    from lucene_spark.operators.freetext import (
+        build_freetext_model, freetext_suggest_indexed,
+    )
+
+    model_dir = str(tmp_path / "ft_model")
+    m = build_freetext_model(spark, docs_df, model_dir)
+    assert m["tot_tokens"] == sum(len(t.split()) for _, t in DOCS)
+    assert m["n_docs"] == len(DOCS)
+    for key in ["foo ", "foo b", "b", "", "zzz", "bar boo "]:
+        mem = [(r.suggestion, r.score)
+               for r in freetext_suggest(spark, docs_df, key, 10).collect()]
+        idx = [(r.suggestion, r.score)
+               for r in freetext_suggest_indexed(
+                   spark, model_dir, key, 10).collect()]
+        assert idx == mem, key
+
+
+def test_persisted_model_fingerprint(spark, docs_df, tmp_path):
+    """Matching manifest short-circuits; CHANGED input (different doc
+    count) rebuilds rather than serving the stale artifact."""
+    import os
+
+    from lucene_spark.operators.freetext import (
+        build_freetext_model, freetext_suggest_indexed,
+    )
+
+    model_dir = str(tmp_path / "ft_model2")
+    build_freetext_model(spark, docs_df, model_dir)
+    mtime = os.path.getmtime(os.path.join(model_dir, "manifest.json"))
+    build_freetext_model(spark, docs_df, model_dir)  # short-circuit
+    assert os.path.getmtime(
+        os.path.join(model_dir, "manifest.json")) == mtime
+    grown = spark.createDataFrame(
+        DOCS + [(3, "qux foo qux")], "doc_id long, text string")
+    m2 = build_freetext_model(spark, grown, model_dir)
+    assert m2["n_docs"] == len(DOCS) + 1
+    got = [r.suggestion for r in freetext_suggest_indexed(
+        spark, model_dir, "qux ", 5).collect()]
+    assert got == ["qux foo"]
