@@ -1687,6 +1687,59 @@ def _htmlstrip_chain_df(spark, sf_dir):
     return _orig(s, hits).select("doc_id", "score").orderBy(
         F.desc("score"), F.asc("doc_id"))
 
+#: sandbox/misc-search wave: CoveringQuery (per-doc minimumNumberMatch
+#: LongValuesSource -> SQL expr over the metadata row), Diversified top-k
+#: (per-key hit cap), DocValuesStats (stats over matching docs' values,
+#: NULLs = the reference's missing counter), MultiRangeQuery (OR of
+#: ranges, constant score). conv_id == zero-padded doc_id, so the engine
+#: exprs over conv_id equal the oracle exprs over doc_id.
+_COVERING_TERMS = ("merge", "scan", "value", "group")
+_DIVERSIFIED_AST = {"bool": {"should": [{"term": "merge"},
+                                        {"term": "scan"}]}}
+_DVSTATS_AST = {"bool": {"must": [{"term": "merge"}]}}
+_MULTI_RANGE_STR = (("000000000010", "000000000050"),
+                    ("000000000040", "000000000090"),
+                    (None, "000000000005"))
+
+
+def _covering_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search_covering(
+        [TermQuery(t) for t in _COVERING_TERMS],
+        "pmod(cast(conv_id as bigint), 3) + 1", _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
+def _diversified_df(spark, sf_dir):
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_DIVERSIFIED_AST)))
+    hits = s.search_diversified(
+        q, "pmod(cast(conv_id as bigint), 37)", 2, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
+def _dv_stats_df(spark, sf_dir):
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_DVSTATS_AST)))
+    return s.doc_values_stats(
+        q, "nullif(pmod(cast(conv_id as bigint), 7), 0)")
+
+
+def _multi_range_df(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    hits = s.search_multi_range("conv_id", list(_MULTI_RANGE_STR), 25)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 def _high_freq_terms_df(spark, sf_dir):
     """HighFreqTerms (misc/HighFreqTerms.java) over the default index —
     top-25 by doc_freq, both stats verified."""
@@ -2509,6 +2562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_freetext_indexed"] = _freetext_indexed_df
     out["bm25_common_terms"] = _common_terms_df
     out["high_freq_terms"] = _high_freq_terms_df
+    out["covering_query"] = _covering_df
+    out["search_diversified"] = _diversified_df
+    out["doc_values_stats"] = _dv_stats_df
+    out["multi_range_query"] = _multi_range_df
     out["sweetspot_sim_topk"] = _sweetspot_sim_df
     out["sweetspot_hyper_topk"] = _sweetspot_hyper_df
     for _mk, _ma, _mast in (
@@ -3026,6 +3083,37 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_common_terms"] = sqlgen.common_terms_topk_sql(
         _COMMON_TERMS, _QUERY_K, _COMMON_TERMS_MTF)
     out["high_freq_terms"] = _HIGH_FREQ_SQL
+    out["covering_query"] = sqlgen.covering_topk_sql(
+        _COVERING_TERMS, _QUERY_K, "(doc_id % 3) + 1")
+    out["search_diversified"] = sqlgen.diversified_topk_sql(
+        parse_query(json.dumps(_DIVERSIFIED_AST)), _QUERY_K,
+        "doc_id % 37", 2)
+    # stats derived from EXACT integer sums with the same scalar formula
+    # on both sides (see IndexSearcher.doc_values_stats)
+    out["doc_values_stats"] = """
+WITH hits AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM documents) WHERE t = 'merge' GROUP BY doc_id
+),
+vals AS (SELECT nullif(doc_id % 7, 0) AS v FROM hits)
+SELECT count(v) AS "count", count(*) - count(v) AS missing,
+       min(v) AS "min", max(v) AS "max", CAST(sum(v) AS BIGINT) AS "sum",
+       CAST(sum(v) AS DOUBLE) / count(v) AS mean,
+       CAST(sum(v*v) AS DOUBLE) / count(v)
+         - (CAST(sum(v) AS DOUBLE) / count(v))
+         * (CAST(sum(v) AS DOUBLE) / count(v)) AS variance,
+       sqrt(CAST(sum(v*v) AS DOUBLE) / count(v)
+         - (CAST(sum(v) AS DOUBLE) / count(v))
+         * (CAST(sum(v) AS DOUBLE) / count(v))) AS stdev
+FROM vals
+""".strip()
+    out["multi_range_query"] = """
+SELECT doc_id, CAST(1.0 AS REAL) AS score FROM documents
+WHERE (doc_id BETWEEN 10 AND 50) OR (doc_id BETWEEN 40 AND 90)
+   OR (doc_id <= 5)
+ORDER BY score DESC, doc_id ASC LIMIT 25
+""".strip()
     out["sweetspot_sim_topk"] = sqlgen.topk_sql(
         parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="sweetspot",
     )

@@ -693,6 +693,79 @@ LIMIT {k}
 """.strip()
 
 
+def covering_topk_sql(terms: tuple[str, ...], k: int, min_match_sql: str,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """CoveringQuery twin (sandbox/search/CoveringQuery.java +
+    CoveringScorer.java:99-216): term clauses match independently; a doc
+    matches iff its clause count >= max(1, ``min_match_sql``) — a per-doc
+    expression over ``doc_id`` (the LongValuesSource analog; NULL = never
+    matches, via SQL NULL comparison); score = double-sum of matching
+    clause scores cast REAL."""
+    values = ", ".join(
+        f"({cid}, '{t}', CAST(1.0 AS REAL))" for cid, t in enumerate(terms))
+    score = _leaf_score("(cl.boost * cl.idf)", "tf.freq", "dl.dl", 1.2, 0.75)
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col, (), ())},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+clauses(clause_id, term, boost) AS (VALUES {values}),
+leaf_df AS (
+  SELECT cl.clause_id, cl.term, cl.boost,
+         {_idf_expr().replace('ldf.df', 'coalesce(df.df, 0)')} AS idf
+  FROM clauses cl LEFT JOIN df ON df.term = cl.term, consts c
+),
+scored AS (
+  SELECT tf.doc_id, cl.clause_id, {score} AS score
+  FROM tf
+  JOIN leaf_df cl ON cl.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, consts c
+),
+agg AS (
+  SELECT doc_id, sum(CAST(score AS DOUBLE)) AS s, count(*) AS n
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(s AS REAL) AS score
+FROM agg
+WHERE n >= CASE WHEN ({min_match_sql}) IS NULL THEN NULL
+            ELSE greatest(CAST({min_match_sql} AS BIGINT), 1) END
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def diversified_topk_sql(q: Query, k: int, key_sql: str, max_per_key: int,
+                         table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DiversifiedTopDocsCollector twin
+    (misc/search/DiversifiedTopDocsCollector.java:55-150): rank the
+    query's hits (score desc, doc asc) within each ``key_sql`` group
+    (NULL/missing keys map to key 0, :141-146), keep ranks <=
+    max_per_key, global top-k."""
+    base = topk_sql(q, 1 << 31, table, id_col, text_col)
+    base = base[: base.rindex("LIMIT")].strip()
+    return f"""
+WITH hits AS (
+{base}
+),
+keyed AS (
+  SELECT doc_id, score,
+         coalesce(CAST({key_sql} AS BIGINT), 0) AS div_key FROM hits
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY div_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id, score FROM ranked
+WHERE rn <= {max_per_key}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def auto_stop_topk_sql(terms: tuple[str, ...], k: int,
                        max_percent_docs: float = 0.4,
                        table: str = "documents", id_col: str = "doc_id",

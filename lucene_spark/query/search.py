@@ -1741,6 +1741,164 @@ class IndexSearcher:
 
         return self.search_intervals(contained_by(little, big), k, pivot, boost)
 
+    def search_covering(self, queries: list, min_match_expr: str,
+                        k: int = 10) -> DataFrame:
+        """CoveringQuery (``sandbox/search/CoveringQuery.java:40-120``,
+        ``CoveringScorer.java:99-216``): like a SHOULD-only BooleanQuery
+        whose minimumNumberShouldMatch is PER-DOC — a LongValuesSource,
+        here a SQL expression over the docmap metadata row. A doc matches
+        iff its clause-match count >= max(1, minimumNumberMatch(doc))
+        (:132-138; a missing/NULL value means the doc can never match);
+        score = double-sum of the MATCHING clauses' scores -> float32
+        (:208-216, same boundary as the pure-disjunction Boolean path).
+
+        Plan: per-clause scored sets union into ONE groupBy(doc_id)
+        (count + double sum), then a doc_id join against the docmap for
+        the min-match value — no driver-side collection; the clause cap
+        is the same TooManyClauses guard as BooleanQuery."""
+        if len(queries) > self.max_clause_count:
+            raise TooManyClauses(
+                f"CoveringQuery over {len(queries)} clauses exceeds "
+                f"maxClauseCount={self.max_clause_count}")
+        dfs = []
+        for q in queries:
+            q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(q)))
+            d = self._execute(q, np.float32(1.0))
+            if d is not None:
+                dfs.append(d.select("doc_id", "score"))
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionAll(d)
+        agg = u.groupBy("doc_id").agg(
+            F.sum(F.col("score").cast("double")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        # NULL must propagate (missing value -> minMatch = Long.MAX_VALUE,
+        # :136-138) — greatest() would IGNORE the null and yield 1
+        v = F.expr(min_match_expr).cast("long")
+        mm = self.docmap().select(
+            "doc_id",
+            F.when(v.isNotNull(), F.greatest(v, F.lit(1))).alias("mm"),
+        )
+        hits = (
+            agg.join(mm, "doc_id")
+            .filter(F.col("n") >= F.col("mm"))
+            .select("doc_id", _f32(F.col("s")).alias("score"))
+        )
+        return self._live(hits).orderBy(
+            F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_diversified(self, query: Query, key_expr: str,
+                           max_hits_per_key: int, k: int = 10) -> DataFrame:
+        """DiversifiedTopDocsCollector analog
+        (``misc/search/DiversifiedTopDocsCollector.java:55-150``): top-k
+        where at most ``max_hits_per_key`` hits share a key (the
+        reference's NumericDocValues key source = a SQL expression over
+        the docmap row; a NULL/missing key maps to key 0, :141-146). The
+        reference's streaming heap-with-per-key-cap maintains the
+        max-weight feasible set under a partition-matroid constraint
+        whose weights (score, -doc) are all distinct, so its result
+        equals this closed form: rank hits (score desc, doc asc) within
+        each key, keep ranks <= max_hits_per_key, then global top-k
+        (exchange argument). Verified against a transcription of the
+        collector loop in tests.
+
+        Plan: one scored pass + ONE window over the hit set keyed by the
+        diversity key (the hit set, not the corpus), then the global
+        top-k — both shuffles are on the matched docs only."""
+        from pyspark.sql import Window
+
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        keyed = scored.join(
+            self.docmap().select(
+                "doc_id",
+                F.coalesce(F.expr(key_expr).cast("long"),
+                           F.lit(0)).alias("div_key")),
+            "doc_id",
+        )
+        w = Window.partitionBy("div_key").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(max_hits_per_key))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_multi_range(self, field: str, ranges: list[tuple], k: int = 10,
+                           boost: float = 1.0) -> DataFrame:
+        """MultiRangeQuery / SortedNumericDocValuesMultiRangeQuery analog
+        (``sandbox/search/MultiRangeQuery.java:47-260``): a doc matches if
+        the field value falls in ANY of the [lower, upper] ranges
+        (inclusive, None = open end); constant score like the reference's
+        ConstantScoreWeight. The reference merges overlapping ranges at
+        rewrite (:169-200) to shrink the points-tree visit — a no-op under
+        OR semantics; here Catalyst pushes the disjunctive range predicate
+        into the docmap parquet scan, so merging is unnecessary."""
+        dm = self.docmap()
+        if field not in dm.columns:
+            raise ValueError(f"unknown metadata field {field!r}")
+        c = F.col(field)
+        cond = F.lit(False)
+        for lo, hi in ranges:
+            r = F.lit(True)
+            if lo is not None:
+                r = r & (c >= lo)
+            if hi is not None:
+                r = r & (c <= hi)
+            cond = cond | r
+        hits = dm.filter(cond).select(
+            "doc_id", F.lit(float(boost)).cast("float").alias("score"))
+        return self._live(hits).orderBy(
+            F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def doc_values_stats(self, query: Query, field_expr: str) -> DataFrame:
+        """DocValuesStats analog (``misc/search/DocValuesStats.java:29-162``
+        + ``DocValuesStatsCollector.java``): one row of statistics over a
+        numeric docvalue (a SQL expression over the docmap row) across the
+        query's matching docs — count, missing (matching docs with a NULL
+        value), min, max, sum, mean, variance, stdev. The reference
+        accumulates mean/variance with Welford's recurrence in doubles;
+        here mean = sum/count and variance = sumsq/count - mean^2 are
+        derived from EXACT integer sums (deterministic across engines,
+        double-rounding-equal to Welford), population variance as the
+        reference (:127-129 variance/count)."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            empty = self.spark.range(1).select(
+                F.lit(0).alias("count"), F.lit(0).alias("missing"))
+            return empty
+        vals = scored.select("doc_id").join(
+            self.docmap().select(
+                "doc_id", F.expr(field_expr).cast("long").alias("v")),
+            "doc_id",
+        )
+        return vals.agg(
+            F.count("v").alias("count"),
+            (F.count("*") - F.count("v")).alias("missing"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.sum("v").alias("sum"),
+            (F.sum("v").cast("double") / F.count("v")).alias("mean"),
+            (
+                F.sum(F.col("v") * F.col("v")).cast("double") / F.count("v")
+                - (F.sum("v").cast("double") / F.count("v"))
+                * (F.sum("v").cast("double") / F.count("v"))
+            ).alias("variance"),
+            F.sqrt(
+                F.sum(F.col("v") * F.col("v")).cast("double") / F.count("v")
+                - (F.sum("v").cast("double") / F.count("v"))
+                * (F.sum("v").cast("double") / F.count("v"))
+            ).alias("stdev"),
+        )
+
     def search_intervals(
         self,
         source,

@@ -1,0 +1,190 @@
+"""Sandbox/misc-search wave: CoveringQuery, DiversifiedTopDocsCollector,
+DocValuesStats, MultiRangeQuery (query/search.py methods + sqlgen twins;
+oracle entries covering_query / search_diversified / doc_values_stats /
+multi_range_query carry the engine-vs-DuckDB gate — these tests pin the
+reference semantics the entries can't reach: per-doc min-match edges,
+the collector-loop equivalence, NULL keys/values, overlapping ranges)."""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.query.ast import TermQuery
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    rng = random.Random(7)
+    vocab = ["merge", "scan", "value", "group", "table", "row"]
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randrange(3, 12)))
+        rows.append((f"{i:012d}", 0, "doc", text, None, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path_factory.mktemp("sandboxq") / "idx")
+    build_index(spark, df, d, IndexConfig(num_segments=2, term_buckets=4))
+    merge_index(spark, d)
+    return IndexSearcher(spark, d)
+
+
+def _brute_scores(searcher, terms):
+    """(doc_id -> per-clause score) via single-term searches (the leaf
+    scores the covering sum is made of)."""
+    per_doc: dict[int, list[float]] = {}
+    for t in terms:
+        for r in searcher.search(TermQuery(t), 10_000).collect():
+            per_doc.setdefault(r.doc_id, []).append(r.score)
+    return per_doc
+
+
+def test_covering_per_doc_min_match(searcher):
+    terms = ["merge", "scan", "value", "group"]
+    got = searcher.search_covering(
+        [TermQuery(t) for t in terms],
+        "pmod(cast(conv_id as bigint), 3) + 1", 1_000).collect()
+    per_doc = _brute_scores(searcher, terms)
+    expect = []
+    for doc, scores in per_doc.items():
+        mm = max(doc % 3 + 1, 1)
+        if len(scores) >= mm:
+            expect.append((doc, np.float32(sum(np.float64(s)
+                                               for s in scores))))
+    expect.sort(key=lambda t: (-t[1], t[0]))
+    assert [(r.doc_id, np.float32(r.score)) for r in got] == expect
+    assert any(len(per_doc[d]) < 4 for d, _ in expect), "edge not live"
+
+
+def test_covering_null_min_match_never_matches(searcher):
+    # NULL LongValuesSource value -> minMatch = Long.MAX_VALUE
+    # (CoveringScorer.java:136-138): the doc can never match
+    got = searcher.search_covering(
+        [TermQuery("merge")],
+        "nullif(pmod(cast(conv_id as bigint), 2), 1)", 1_000).collect()
+    assert all(r.doc_id % 2 == 0 for r in got)
+    assert got, "even docs should still match"
+
+
+def test_covering_clause_cap(searcher):
+    from lucene_spark.query.search import TooManyClauses
+
+    with pytest.raises(TooManyClauses):
+        searcher.search_covering(
+            [TermQuery(f"t{i}") for i in range(1025)], "1", 5)
+
+
+def _reference_diversified(hits, keys, num_hits, max_per_key):
+    """Transcription of DiversifiedTopDocsCollector.insert
+    (DiversifiedTopDocsCollector.java:130-170): stream docs in docID
+    order through the global queue + per-key queues with
+    insertWithOverflow/remove, KEY_COMPARATOR = (score asc, doc desc).
+    ``hits`` = [(doc, score)] in doc order; ``keys[doc]`` may be None
+    (-> key 0)."""
+    def less(a, b):  # KEY_COMPARATOR.compare(a, b) < 0
+        return (a[0], -a[1]) < (b[0], -b[1])
+
+    glob: list[tuple[float, int]] = []   # (score, doc) min-heap by less
+    per_key: dict[int, list[tuple[float, int]]] = {}
+
+    def heap_key(e):
+        return (e[0], -e[1])
+
+    for doc, score in hits:
+        e = (score, doc)
+        if len(glob) >= num_hits and heap_key(e) < min(
+                heap_key(x) for x in glob):
+            continue
+        key = keys.get(doc) or 0
+        q = per_key.setdefault(key, [])
+        if len(q) >= max_per_key:
+            worst = min(q, key=heap_key)
+            if heap_key(e) <= heap_key(worst):
+                continue  # per-key insertWithOverflow rejects
+            q.remove(worst)
+            q.append(e)
+            glob.remove(worst)
+            glob.append(e)
+        else:
+            q.append(e)
+            glob.append(e)
+            if len(glob) > num_hits:
+                worst = min(glob, key=heap_key)
+                glob.remove(worst)
+                wk = keys.get(worst[1]) or 0
+                per_key[wk].remove(worst)
+    return sorted(((d, s) for s, d in glob), key=lambda t: (-t[1], t[0]))
+
+
+def test_diversified_equals_collector_transcription():
+    """The window closed form == the reference's streaming algorithm on
+    randomized inputs (distinct (score, doc) weights -> unique optimum)."""
+    rng = random.Random(20260819)
+    for _ in range(300):
+        n = rng.randrange(0, 40)
+        hits = [(doc, round(rng.random() * 5, 3)) for doc in range(n)]
+        keys = {doc: (None if rng.random() < 0.15
+                      else rng.randrange(0, 6)) for doc in range(n)}
+        k = rng.randrange(1, 12)
+        cap = rng.randrange(1, 4)
+        ref = _reference_diversified(hits, keys, k, cap)
+        # closed form: rank within key, keep <= cap, global top-k
+        ranked: dict[int, list[tuple[float, int]]] = {}
+        for doc, score in hits:
+            ranked.setdefault(keys.get(doc) or 0, []).append((score, doc))
+        kept = []
+        for group in ranked.values():
+            group.sort(key=lambda t: (-t[0], t[1]))
+            kept.extend(group[:cap])
+        closed = sorted(((d, s) for s, d in kept),
+                        key=lambda t: (-t[1], t[0]))[:k]
+        assert ref == closed
+
+
+def test_diversified_engine(searcher):
+    got = searcher.search_diversified(
+        TermQuery("merge"), "pmod(cast(conv_id as bigint), 5)", 1, 1_000
+    ).collect()
+    keys = [r.doc_id % 5 for r in got]
+    assert len(keys) == len(set(keys)), "cap=1 must dedup keys"
+    # null key -> key 0 bucket shares the cap with real zeros
+    got0 = searcher.search_diversified(
+        TermQuery("merge"),
+        "nullif(pmod(cast(conv_id as bigint), 5), 1)", 1, 1_000).collect()
+    zeroish = [r.doc_id for r in got0 if r.doc_id % 5 in (0, 1)]
+    assert len(zeroish) <= 1
+
+
+def test_doc_values_stats(searcher):
+    row = searcher.doc_values_stats(
+        TermQuery("merge"),
+        "nullif(pmod(cast(conv_id as bigint), 7), 0)").collect()[0]
+    docs = [r.doc_id for r in searcher.search(
+        TermQuery("merge"), 10_000).collect()]
+    vals = [d % 7 for d in docs if d % 7 != 0]
+    assert row["count"] == len(vals)
+    assert row["missing"] == len(docs) - len(vals)
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+    assert row["sum"] == sum(vals)
+    mean = sum(vals) / len(vals)
+    var = sum(v * v for v in vals) / len(vals) - mean * mean
+    assert row["mean"] == pytest.approx(mean, abs=0)
+    assert row["variance"] == pytest.approx(var, rel=1e-12)
+
+
+def test_multi_range(searcher):
+    got = searcher.search_multi_range(
+        "conv_id",
+        [("000000000010", "000000000020"),
+         ("000000000015", "000000000030"), (None, "000000000002")],
+        1_000).collect()
+    ids = sorted(r.doc_id for r in got)
+    assert ids == [0, 1, 2] + list(range(10, 31))
+    assert all(r.score == 1.0 for r in got)
