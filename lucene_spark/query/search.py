@@ -1760,21 +1760,36 @@ class IndexSearcher:
             raise TooManyClauses(
                 f"CoveringQuery over {len(queries)} clauses exceeds "
                 f"maxClauseCount={self.max_clause_count}")
-        dfs = []
-        for q in queries:
-            q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(q)))
-            d = self._execute(q, np.float32(1.0))
-            if d is not None:
-                dfs.append(d.select("doc_id", "score"))
-        if not dfs:
-            return self.spark.createDataFrame([], "doc_id long, score float")
-        u = dfs[0]
-        for d in dfs[1:]:
-            u = u.unionAll(d)
-        agg = u.groupBy("doc_id").agg(
-            F.sum(F.col("score").cast("double")).alias("s"),
-            F.count("*").alias("n"),
-        )
+        qs = [rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(q)))
+              for q in queries]
+        if all(isinstance(q, (TermQuery, BoostQuery))
+               and isinstance(getattr(q, "query", q), TermQuery)
+               for q in qs):
+            # all-term fast path: ONE pushed-down postings scan for every
+            # clause (the flat-Boolean scan), not one scan per clause
+            bq = BooleanQuery(should=list(qs))
+            scored = self._scan_and_score(self._clauses_of(
+                bq, np.float32(1.0)))
+            agg = scored.groupBy("doc_id").agg(
+                F.sum(F.col("score").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+        else:
+            dfs = []
+            for q in qs:
+                d = self._execute(q, np.float32(1.0))
+                if d is not None:
+                    dfs.append(d.select("doc_id", "score"))
+            if not dfs:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score float")
+            u = dfs[0]
+            for d in dfs[1:]:
+                u = u.unionAll(d)
+            agg = u.groupBy("doc_id").agg(
+                F.sum(F.col("score").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
         # NULL must propagate (missing value -> minMatch = Long.MAX_VALUE,
         # :136-138) — greatest() would IGNORE the null and yield 1
         v = F.expr(min_match_expr).cast("long")
