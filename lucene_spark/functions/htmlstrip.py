@@ -30,11 +30,21 @@ EOF when YYEOF is read with no units consumed (then the %eof block,
 ``read()`` driver (:200-212) that drains ``outputSegment`` before each
 ``nextChar`` call.
 
-Fast path (exact): in YYINITIAL every unit other than '&'/'<' is a
-1-codepoint catch-all echo ([^], action 1), so runs between specials are
-bulk-copied; supplementary pairs echo identically (the segment append in
-action 1's else-branch is invisible — every later reader of the segment
-clears it first).
+Fast paths (both exact):
+
+  - YYINITIAL: every unit other than '&'/'<' is a 1-codepoint catch-all
+    echo ([^], action 1), so runs between specials are bulk-copied;
+    supplementary pairs echo identically (the segment append in action
+    1's else-branch is invisible — every later reader of the segment
+    clears it first);
+  - COMMENT/SCRIPT/STYLE/*_COMMENT/SSI/quoted strings: units whose
+    1-codepoint match from the state is an immediate-final no-op
+    (ATTRIBUTE bits 1|8 set and the action is the empty ``{ }``) are
+    bulk-SKIPPED via a per-state 65536-entry unit table derived from the
+    DFA itself (surrogate units excluded — a pair is ONE codepoint and
+    must go through the real walk); each skipped unit replays its
+    action-15 match exactly, so large <script> bodies cost one numpy
+    scan instead of a Python loop per char.
 """
 from __future__ import annotations
 
@@ -83,6 +93,12 @@ _EOF_INCLUDE = frozenset((
 
 _TABLES = None
 
+#: states whose catch-all is the no-op action 15 — eligible for the
+#: unit-table bulk skip (CDATA's catch-all ECHOES, so it stays out)
+_SKIP_STATES = (_COMMENT, _SCRIPT, _STYLE, _SCRIPT_COMMENT, _STYLE_COMMENT,
+                _SERVER_SIDE_INCLUDE, _SINGLE_QUOTED_STRING,
+                _DOUBLE_QUOTED_STRING)
+
 
 def _tables():
     global _TABLES
@@ -100,14 +116,34 @@ def _tables():
             cmap_blocks[cps & 255],
             cmap_blocks[cmap_top[cps >> 8] | (cps & 255)],
         ).astype(np.int32)
+        lexstate = list(d.LEXSTATE)
+        rowmap = _unpack_rowmap(d.ROWMAP_B85)
+        trans = _unpack_cv(d.TRANS_B85, delta=-1)
+        action = _unpack_cv(d.ACTION_B85)
+        attr = _unpack_cv(d.ATTRIBUTE_B85)
+        # per-state per-unit bulk-skip tables (see module docstring):
+        # unit u skips in state S iff its 1-cp match is immediate-final
+        # (attr 1|8) with the no-op action, and u is not a surrogate
+        units = np.arange(0x10000, dtype=np.int64)
+        ucls = cmap[units]
+        not_surr = (units < 0xD800) | (units > 0xDFFF)
+        skip_units = {}
+        for lex in _SKIP_STATES:
+            t = trans[rowmap[lexstate[lex]] + ucls]
+            ok = (t != -1)
+            tt = np.where(ok, t, 0)
+            ok &= (attr[tt] & 9) == 9
+            ok &= action[tt] == 15
+            skip_units[lex] = ok & not_surr
         _TABLES = (
-            list(d.LEXSTATE),
+            lexstate,
             cmap,
-            _unpack_rowmap(d.ROWMAP_B85).tolist(),
-            _unpack_cv(d.TRANS_B85, delta=-1).tolist(),
-            _unpack_cv(d.ACTION_B85).tolist(),
-            _unpack_cv(d.ATTRIBUTE_B85).tolist(),
+            rowmap.tolist(),
+            trans.tolist(),
+            action.tolist(),
+            attr.tolist(),
             d.ENTITIES,
+            skip_units,
         )
     return _TABLES
 
@@ -150,15 +186,17 @@ class _Scanner:
     def __init__(self, units: list[int], escaped_tags: Iterable[str] | None
                  ) -> None:
         (self.lexmap, cmap, self.rowmap, self.trans, self.action_tab,
-         self.attr, self.entities) = _tables()
+         self.attr, self.entities, self.skip_units) = _tables()
         self.u = units
         self.n = len(units)
         import numpy as np
         arr = np.asarray(units, dtype=np.int64) if units else np.zeros(
             0, dtype=np.int64)
+        self.u_np = arr
         self.cls = cmap[arr].tolist() if self.n else []
         self.specials = np.flatnonzero(
             (arr == 38) | (arr == 60)).tolist() if self.n else []
+        self._np = np
         # ctor tag routing (jflex :179-197)
         self.escape_br = self.escape_script = self.escape_style = False
         self.escaped_tags: set[str] | None = None
@@ -241,6 +279,22 @@ class _Scanner:
                     self.out.extend(u[cur:stop])
                     self.yychar += stop - cur
                     self.sr = self.mk = stop
+            elif self.lex in self.skip_units:
+                # bulk-skip no-op catch-all runs (comments/scripts/styles/
+                # SSI/quoted strings — see docstring; exact per unit)
+                sv = self.skip_units[self.lex]
+                np = self._np
+                cur = self.sr
+                while cur < n:
+                    chunk = self.u_np[cur:cur + 8192]
+                    bad = np.flatnonzero(~sv[chunk])
+                    if bad.size:
+                        cur += int(bad[0])
+                        break
+                    cur += int(chunk.size)
+                if cur > self.sr:
+                    self.yychar += cur - self.sr
+                    self.sr = self.mk = cur
             sr = self.sr
             state = lexmap[self.lex]
             zz_action = state if (attr[state] & 1) else -1
