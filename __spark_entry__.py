@@ -1733,6 +1733,19 @@ def _dv_stats_df(spark, sf_dir):
         q, "nullif(pmod(cast(conv_id as bigint), 7), 0)")
 
 
+def _phrase_wildcard_df(spark, sf_dir):
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+    exact phrase "merge s*" — the multi-term slot expands from the term
+    dictionary (budget 128 > the live 's' vocabulary, so the oracle's
+    LIKE-derived set is identical)."""
+    from lucene_spark.query.ast import PrefixQuery
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search_phrase_wildcard(["merge", PrefixQuery("s")], _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 def _multi_range_df(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     hits = s.search_multi_range("conv_id", list(_MULTI_RANGE_STR), 25)
@@ -2566,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_diversified"] = _diversified_df
     out["doc_values_stats"] = _dv_stats_df
     out["multi_range_query"] = _multi_range_df
+    out["phrase_wildcard"] = _phrase_wildcard_df
     out["sweetspot_sim_topk"] = _sweetspot_sim_df
     out["sweetspot_hyper_topk"] = _sweetspot_hyper_df
     for _mk, _ma, _mast in (
@@ -3083,6 +3097,8 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["bm25_common_terms"] = sqlgen.common_terms_topk_sql(
         _COMMON_TERMS, _QUERY_K, _COMMON_TERMS_MTF)
     out["high_freq_terms"] = _HIGH_FREQ_SQL
+    out["phrase_wildcard"] = sqlgen.phrase_wildcard_topk_sql(
+        [("terms", ["merge"]), ("like", "s%")], _QUERY_K)
     out["covering_query"] = sqlgen.covering_topk_sql(
         _COVERING_TERMS, _QUERY_K, "(doc_id % 3) + 1")
     out["search_diversified"] = sqlgen.diversified_topk_sql(

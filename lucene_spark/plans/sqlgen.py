@@ -1176,6 +1176,79 @@ LIMIT {k}
 """.strip()
 
 
+def phrase_wildcard_topk_sql(
+    slots: list,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """PhraseWildcardQuery twin (sandbox/search/PhraseWildcardQuery.java):
+    like multi_phrase_topk_sql, but a slot may be ("like", pattern) — its
+    term set is derived from the corpus vocabulary IN SQL (the engine
+    expands the same set from term_dict when the expansion budget is not
+    exceeded). idf = REAL cast of the DOUBLE sum over all collected terms
+    (order-exact for these few-dozen f32 addends). Literal slots are
+    ("terms", [t, ...])."""
+    L = len(slots)
+    conds = []
+    idf_terms = []
+    mt_ctes = []
+    mt_from = ""
+    one_idf = ("CAST(CAST(ln(1 + (c.dc - df.df + 0.5) / (df.df + 0.5))"
+               " AS REAL) AS DOUBLE)")
+    for j, (kind, payload) in enumerate(slots):
+        if kind == "terms":
+            alts = ", ".join(f"'{t}'" for t in payload)
+            conds.append(f"toks[i + {j}] IN ({alts})")
+            for t in payload:
+                idf_terms.append(
+                    f"coalesce((SELECT {one_idf} FROM df, consts c"
+                    f" WHERE df.term = '{t}'), 0)")
+        elif kind == "like":
+            # DuckDB forbids subqueries inside lambdas: materialize the
+            # matching vocabulary as a LIST and probe it per position.
+            mt_ctes.append(
+                f"mt{j} AS (SELECT list(term) AS ts FROM df"
+                f" WHERE term LIKE '{payload}')")
+            mt_from += f", mt{j}"
+            conds.append(f"list_contains(mt{j}.ts, toks[i + {j}])")
+            idf_terms.append(
+                f"coalesce((SELECT sum({one_idf}) FROM df, consts c"
+                f" WHERE df.term LIKE '{payload}'), 0)")
+        else:
+            raise ValueError(f"unknown slot kind {kind!r}")
+    cond = " AND ".join(conds)
+    idf_sum = " + ".join(idf_terms)
+    mt_block = ",\n".join(mt_ctes)
+    if mt_block:
+        mt_block += ",\n"
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+{mt_block}tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, greatest(len(toks) - {L} + 2, 1)),
+                         i -> {cond})) AS freq
+  FROM tokarr{mt_from}
+),
+w AS (
+  SELECT CAST({idf_sum} AS REAL) AS v
+)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def synonym_topk_sql(
     terms: list[str],
     k: int,

@@ -1873,6 +1873,62 @@ class IndexSearcher:
         return self._live(hits).orderBy(
             F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_phrase_wildcard(self, positions: list, k: int = 10,
+                               max_multi_term_expansions: int = 128
+                               ) -> DataFrame:
+        """PhraseWildcardQuery analog
+        (``sandbox/search/PhraseWildcardQuery.java:60-210``): an exact
+        phrase whose positions may be multi-term (Prefix/Wildcard/Regexp/
+        TermRange) queries. Single-term positions are checked FIRST — any
+        absent term early-stops to no matches (:114-124); then the
+        expansion budget is split across multi-term positions in order,
+        maxExpansionsForTerm = remaining // remainingMultiTerms
+        (:126-147), TRUNCATING in term order (the reference caps, it does
+        not throw); zero expansions for a position also early-stops. The
+        collected per-position term sets then score exactly like
+        MultiPhraseQuery (TermsData -> the same PhraseWeight; idf =
+        f32(double sum over ALL collected terms)). slop is not exposed:
+        the engine's multi-term slots are exact-phrase (the reference
+        default is slop=0 too).
+
+        ``positions``: str (a single term) or a multi-term Query
+        (PrefixQuery/WildcardQuery/...) per phrase slot."""
+        if not positions:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        empty = lambda: self.spark.createDataFrame(  # noqa: E731
+            [], "doc_id long, score float")
+        single = [p for p in positions if isinstance(p, str)]
+        multi = [p for p in positions if not isinstance(p, str)]
+        if single:
+            stats = self.term_stats(single)
+            if any(t not in stats for t in single):
+                return empty()
+        if len(positions) == 1:
+            if multi:
+                return self.search(multi[0], k)
+            return self.search(TermQuery(single[0]), k)
+        remaining = int(max_multi_term_expansions)
+        remaining_multi = len(multi)
+        slots: list[tuple[str, ...]] = []
+        for p in positions:
+            if isinstance(p, str):
+                slots.append((p,))
+                continue
+            budget = remaining // remaining_multi
+            cond = self._multi_term_cond(p)
+            if cond is None:
+                raise TypeError(
+                    f"{type(p).__name__} is not a multi-term position")
+            rows = (self.term_dict.filter(cond).select("term")
+                    .orderBy("term").limit(max(budget, 0)).collect())
+            if not rows:
+                return empty()
+            terms = sorted(r[0] for r in rows)
+            remaining -= len(terms)
+            remaining_multi -= 1
+            slots.append(tuple(terms))
+        return self.search(MultiPhraseQuery(tuple(slots)), k)
+
     def doc_values_stats(self, query: Query, field_expr: str) -> DataFrame:
         """DocValuesStats analog (``misc/search/DocValuesStats.java:29-162``
         + ``DocValuesStatsCollector.java``): one row of statistics over a

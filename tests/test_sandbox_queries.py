@@ -188,3 +188,45 @@ def test_multi_range(searcher):
     ids = sorted(r.doc_id for r in got)
     assert ids == [0, 1, 2] + list(range(10, 31))
     assert all(r.score == 1.0 for r in got)
+
+
+def test_phrase_wildcard(searcher):
+    from lucene_spark.query.ast import MultiPhraseQuery, PrefixQuery
+
+    # full-budget expansion == MultiPhraseQuery over the matching vocab
+    got = searcher.search_phrase_wildcard(
+        ["merge", PrefixQuery("s")], 1_000).collect()
+    vocab = sorted(
+        r["term"] for r in searcher.term_dict.select("term").collect()
+        if r["term"].startswith("s"))
+    want = searcher.search(
+        MultiPhraseQuery((("merge",), tuple(vocab))), 1_000).collect()
+    assert [(r.doc_id, r.score) for r in got] == \
+        [(r.doc_id, r.score) for r in want]
+    assert got, "phrase should match on this corpus"
+
+    # absent single term -> early stop (PhraseWildcardQuery.java:118-124)
+    assert searcher.search_phrase_wildcard(
+        ["zzzmissing", PrefixQuery("s")], 10).count() == 0
+    # zero expansions -> early stop
+    assert searcher.search_phrase_wildcard(
+        ["merge", PrefixQuery("zzz")], 10).count() == 0
+
+
+def test_phrase_wildcard_budget_split(searcher):
+    from lucene_spark.query.ast import PrefixQuery
+
+    # budget 3 split over two multi-terms: first gets 3//2=1 term,
+    # second gets (3-1)//1=2 terms — truncation in term order
+    got = searcher.search_phrase_wildcard(
+        [PrefixQuery("m"), PrefixQuery("s")], 1_000,
+        max_multi_term_expansions=3)
+    vocab = sorted(
+        r["term"] for r in searcher.term_dict.select("term").collect())
+    m1 = [t for t in vocab if t.startswith("m")][:1]
+    s2 = [t for t in vocab if t.startswith("s")][:2]
+    from lucene_spark.query.ast import MultiPhraseQuery
+    want = searcher.search(
+        MultiPhraseQuery((tuple(m1), tuple(s2))), 1_000)
+    assert [(r.doc_id, r.score) for r in got.collect()] == \
+        [(r.doc_id, r.score) for r in want.collect()]
