@@ -1746,6 +1746,30 @@ def _phrase_wildcard_df(spark, sf_dir):
         F.desc("score"), F.asc("doc_id"))
 
 
+def _term_automaton_query():
+    """scan (ANY)? (merge|join) — branching dests + an ANY gap, so it runs
+    the path-counting scorer (sandbox/search/TermAutomatonScorer.java),
+    not a sausage rewrite."""
+    from lucene_spark.query.termautomaton import TermAutomaton
+
+    ta = TermAutomaton()
+    s1, s2, acc = ta.create_state(), ta.create_state(), ta.create_state()
+    ta.add_transition(0, s1, "scan")
+    ta.add_any_transition(s1, s2)
+    for s in (s1, s2):
+        ta.add_transition(s, acc, "merge")
+        ta.add_transition(s, acc, "join")
+    ta.set_accept(acc, True)
+    return ta.finish()
+
+
+def _term_automaton_df(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    hits = s.search_term_automaton(_term_automaton_query(), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 def _multi_range_df(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     hits = s.search_multi_range("conv_id", list(_MULTI_RANGE_STR), 25)
@@ -2580,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_values_stats"] = _dv_stats_df
     out["multi_range_query"] = _multi_range_df
     out["phrase_wildcard"] = _phrase_wildcard_df
+    out["term_automaton"] = _term_automaton_df
     out["sweetspot_sim_topk"] = _sweetspot_sim_df
     out["sweetspot_hyper_topk"] = _sweetspot_hyper_df
     for _mk, _ma, _mast in (
@@ -3099,6 +3124,10 @@ ORDER BY t.score DESC, t.doc_id ASC
     out["high_freq_terms"] = _HIGH_FREQ_SQL
     out["phrase_wildcard"] = sqlgen.phrase_wildcard_topk_sql(
         [("terms", ["merge"]), ("like", "s%")], _QUERY_K)
+    _ta = _term_automaton_query()
+    _ta_arcs, _ta_any, _ta_acc = _ta.arc_rows()
+    out["term_automaton"] = sqlgen.term_automaton_topk_sql(
+        _ta_arcs, _ta_any, _ta_acc, _ta.terms, _QUERY_K)
     out["covering_query"] = sqlgen.covering_topk_sql(
         _COVERING_TERMS, _QUERY_K, "(doc_id % 3) + 1")
     out["search_diversified"] = sqlgen.diversified_topk_sql(

@@ -1249,6 +1249,83 @@ LIMIT {k}
 """.strip()
 
 
+def term_automaton_topk_sql(
+    arcs: list,
+    anyarcs: list,
+    accepts: list,
+    idf_terms: list,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """TermAutomatonQuery twin (``sandbox/search/TermAutomatonScorer
+    .java:215-340``): path-counting DFA simulation as a RECURSIVE CTE —
+    one row per det-level path prefix; freq = rows landing on an accept
+    state (accepts are only reachable by token steps, so every accept row
+    IS an accept event). The transition tables come from the engine's
+    determinized automaton (``TermAutomaton.arc_rows()``) — the DFA is
+    part of the query specification, like the analyzer constants other
+    oracles embed; EXECUTION is independent (DuckDB walks the raw token
+    stream). A registered-term position steps BOTH by its term arc and by
+    the ANY arc (the scorer's ANY-advance fork); an unregistered position
+    steps by ANY only — the ``s.lbl IS NULL OR s.lbl = t.term`` join
+    replays exactly that. idf = f32(double sum over registered terms with
+    df > 0, registration order).
+
+    ``arcs``: (src, term, dest) token steps; ``anyarcs``: (src, dest);
+    ``accepts``: accept state ids; ``idf_terms``: registered terms."""
+    one_idf = ("CAST(CAST(ln(1 + (c.dc - df.df + 0.5) / (df.df + 0.5))"
+               " AS REAL) AS DOUBLE)")
+    idf_sum = " + ".join(
+        f"coalesce((SELECT {one_idf} FROM df, consts c"
+        f" WHERE df.term = '{t}'), 0)"
+        for t in idf_terms
+    )
+    step_rows = [f"({s}, '{t}', {d})" for s, t, d in arcs]
+    step_rows += [f"({s}, CAST(NULL AS VARCHAR), {d})" for s, d in anyarcs]
+    steps_values = ", ".join(step_rows)
+    accept_list = ", ".join(str(a) for a in accepts)
+    init = ", ".join(f"('{t}', {d})" for s, t, d in arcs if s == 0)
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+WITH RECURSIVE {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+),
+tokarr AS (
+  SELECT {id_col} AS doc_id, {TOKEN_SQL.format(col=text_col)} AS toks FROM {table}
+),
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
+  FROM tokarr
+),
+steps(src, lbl, dest) AS (SELECT * FROM (VALUES {steps_values}) v),
+paths AS (
+  SELECT t.doc_id, t.ord, i.dest AS state
+  FROM tokpos t JOIN (VALUES {init}) i(lbl, dest) ON i.lbl = t.term
+  UNION ALL
+  SELECT p.doc_id, t.ord, s.dest AS state
+  FROM paths p
+  JOIN tokpos t ON t.doc_id = p.doc_id AND t.ord = p.ord + 1
+  JOIN steps s ON s.src = p.state AND (s.lbl IS NULL OR s.lbl = t.term)
+),
+pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM paths WHERE state IN ({accept_list})
+  GROUP BY doc_id
+),
+w AS (
+  SELECT CAST({idf_sum} AS REAL) AS v
+)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def synonym_topk_sql(
     terms: list[str],
     k: int,

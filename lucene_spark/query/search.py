@@ -1929,6 +1929,111 @@ class IndexSearcher:
             slots.append(tuple(terms))
         return self.search(MultiPhraseQuery(tuple(slots)), k)
 
+    def search_term_automaton(self, ta, k: int = 10) -> DataFrame:
+        """TermAutomatonQuery analog (``sandbox/search/TermAutomatonQuery
+        .java:83``, ``TermAutomatonScorer.java:215-340``): a proximity
+        query expressed as an automaton whose transitions are terms — the
+        generalization of Phrase/MultiPhrase/SpanNear. Replays the
+        reference rewrite (:493-573): empty det -> no docs; a "sausage"
+        -> MultiPhraseQuery semantics where an ANY position is SKIPPED
+        but still advances the phrase position (a one-token gap); any
+        other shape runs the path-counting scorer: freq = number of
+        accept-state events over det-level paths (multiset state sets —
+        a registered-term position forks token-step AND ANY-step), score
+        = BM25 over the summed idf of ALL registered terms with df > 0,
+        like a phrase. Candidates = docs holding >= 1 registered term
+        (the reference acts as a disjunction, :68-73); matching runs in
+        one positions scan + one groupBy + an Arrow-batched per-doc
+        simulation (see ``query/termautomaton.py``).
+
+        ``ta``: a finished :class:`TermAutomaton`."""
+        if not getattr(ta, "finished", False):
+            raise ValueError("call TermAutomaton.finish() first")
+        empty = lambda: self.spark.createDataFrame(  # noqa: E731
+            [], "doc_id long, score float")
+        if ta.det_empty:
+            return empty()
+        slots = ta.sausage()
+        if slots is not None:
+            if all(sl is not None for sl in slots):
+                return self.search(
+                    MultiPhraseQuery(tuple(tuple(sl) for sl in slots)), k)
+            return self._gapped_multi_phrase(slots, k)
+        reg = ta.terms  # registration order (TermAutomatonWeight:379-389)
+        stats = self.term_stats(reg)
+        present = [t for t in reg if t in stats]
+        if not present:
+            return empty()
+        idfs = [self.sim.idf(stats[t][0], self.doc_count) for t in present]
+        w = self._multi_term_weight(np.float32(1.0), idfs)
+        tids = [ta._term_to_id[t] for t in present]
+        n_s = len(present)
+        j = self._slot_position_frame(
+            [(t,) for t in present], require_all=False)
+
+        def simulate(batches):
+            for pdf in batches:
+                docs_out = pdf["doc_id"].to_numpy(np.int64)
+                freqs = np.zeros(len(pdf), dtype=np.float64)
+                cols = [pdf[f"p{i}"].to_numpy(object) for i in range(n_s)]
+                for r in range(len(pdf)):
+                    ev: dict[int, list[int]] = {}
+                    for i in range(n_s):
+                        arr = cols[i][r]
+                        if arr is None:
+                            continue
+                        for p in arr:
+                            ev.setdefault(int(p), []).append(tids[i])
+                    if ev:
+                        freqs[r] = ta.doc_freq(sorted(ev.items()))
+                yield pd.DataFrame({"doc_id": docs_out, "freq": freqs})
+
+        matched = j.mapInPandas(
+            simulate, schema="doc_id long, freq double"
+        ).filter(F.col("freq") > 0)
+        hits = self._score_freq_frame(matched, w)
+        return self._live(hits).orderBy(
+            F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _gapped_multi_phrase(self, slots: list, k: int) -> DataFrame:
+        """MultiPhraseQuery with EXPLICIT positions (``MultiPhraseQuery
+        .Builder.add(terms, pos)``) as produced by the TermAutomatonQuery
+        sausage rewrite: ``slots[i] is None`` = a skipped position the
+        phrase bridges with exactly one arbitrary token. Matching: slot j
+        must contain ``start + offset_j``; idf sums over the ADDED
+        (non-gap) slots only, slot-then-term order — exactly what the
+        reference's rewrite feeds MultiPhraseQuery."""
+        real = [(i, tuple(sl)) for i, sl in enumerate(slots)
+                if sl is not None]
+        empty = lambda: self.spark.createDataFrame(  # noqa: E731
+            [], "doc_id long, score float")
+        if not real:
+            return empty()
+        stats = self.term_stats([t for _, sl in real for t in sl])
+        present_slots = [tuple(t for t in sl if t in stats)
+                         for _, sl in real]
+        if any(not sl for sl in present_slots):
+            return empty()
+        idfs = [self.sim.idf(stats[t][0], self.doc_count)
+                for _, sl in real for t in sl if t in stats]
+        w = self._multi_term_weight(np.float32(1.0), idfs)
+        offs = [i - real[0][0] for i, _ in real]
+        j = self._slot_position_frame(present_slots)
+        n_slots = len(present_slots)
+
+        def adjacency(x):  # single-arg: pyspark inspects the arity
+            c = F.lit(True)
+            for i in range(1, n_slots):
+                c = c & F.array_contains(F.col(f"p{i}"), x + offs[i])
+            return c
+
+        freq = F.size(F.filter(F.col("p0"), adjacency)).cast("double")
+        matched = j.select("doc_id", freq.alias("freq")).filter(
+            F.col("freq") > 0)
+        hits = self._score_freq_frame(matched, w)
+        return self._live(hits).orderBy(
+            F.desc("score"), F.asc("doc_id")).limit(k)
+
     def doc_values_stats(self, query: Query, field_expr: str) -> DataFrame:
         """DocValuesStats analog (``misc/search/DocValuesStats.java:29-162``
         + ``DocValuesStatsCollector.java``): one row of statistics over a

@@ -1,0 +1,265 @@
+"""TermAutomatonQuery analog — a proximity query expressed as an automaton
+whose transitions are TERMS (``sandbox/search/TermAutomatonQuery.java:83``).
+
+Build with :meth:`TermAutomaton.create_state` /
+:meth:`TermAutomaton.add_transition` / :meth:`TermAutomaton.add_any_transition`
+/ :meth:`TermAutomaton.set_accept`, then call :meth:`TermAutomaton.finish`
+(validates + determinizes, ``TermAutomatonQuery.java:140-209``) and pass the
+finished automaton to ``IndexSearcher.search_term_automaton``.
+
+Semantics replayed exactly from the reference:
+
+- ``finish`` rejects a leading ANY (no ANY arc out of state 0,
+  ``:155-161``), a trailing ANY (no ANY arc into an accept state,
+  ``:163-172``) and an automaton accepting the empty string (``:206-208``);
+  ANY arcs are expanded to match every registered term id INCLUDING the
+  ANY id itself (``int termCount = termToID.size()`` counts the null key,
+  ``:174-199``) BEFORE determinization.
+- Matching counts PATHS, not positions (``TermAutomatonScorer.java:
+  215-340``): the per-position state sets are multisets (``PosState.add``
+  never dedups), a new path starts from state 0 at every occurrence of a
+  registered term (``:314-323``), and ``freq`` increments every time a
+  TOKEN step lands on an accept state (ANY steps cannot reach an accept —
+  the trailing-ANY validation guarantees it). Positions holding a
+  registered term are stepped BOTH by the term's id and — during the next
+  event's ANY-advance (``:260-287``) — by the ANY id; the two successor
+  det states are distinct paths. Gap positions (no registered term) step
+  by ANY only; the scorer never sees the actual gap tokens, so ANY
+  matches position UNITS.
+- ``rewrite`` (``TermAutomatonQuery.java:493-573``): empty det -> match
+  no docs; a "sausage" (linear chain of same-dest transition groups
+  ending exactly at the single accept) -> MultiPhraseQuery, where a
+  position whose transition group covers ANY is SKIPPED but still
+  advances the phrase position (a gap the phrase must bridge with exactly
+  one arbitrary token); everything else runs the path-counting scorer.
+- Scoring: BM25 over the summed idf of ALL registered terms present in
+  the index (df > 0), registration order (``TermAutomatonWeight:379-399``
+  — order-exact anyway: double sums of few f32 idfs), ``score(freq,
+  norm)`` like a phrase.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+class TermAutomaton:
+    """Builder + determinized runtime for a term automaton. State 0 is
+    always the initial state (``TermAutomatonQuery.java:99-102``)."""
+
+    def __init__(self) -> None:
+        self._n_states = 1
+        self._accept: set[int] = set()
+        self._arcs: list[tuple[int, int, int]] = []  # (src, dst, label_id)
+        self._term_to_id: dict[str | None, int] = {}
+        self._id_to_term: dict[int, str | None] = {}
+        self.any_id = -1
+        self.finished = False
+        # after finish():
+        self.det_trans: dict[tuple[int, int], int] = {}  # (state, tid) -> state
+        self.det_any: dict[int, int] = {}                # state --ANY--> state
+        self.det_accept: set[int] = set()
+        self.det_empty = False
+        self.n_det_states = 0
+
+    # ------------------------------------------------------------ build
+    def create_state(self) -> int:
+        s = self._n_states
+        self._n_states += 1
+        return s
+
+    def set_accept(self, state: int, accept: bool = True) -> None:
+        if accept:
+            self._accept.add(state)
+        else:
+            self._accept.discard(state)
+
+    def _term_id(self, term: str | None) -> int:
+        if term not in self._term_to_id:
+            tid = len(self._term_to_id)
+            self._term_to_id[term] = tid
+            self._id_to_term[tid] = term
+            if term is None:
+                self.any_id = tid
+        return self._term_to_id[term]
+
+    def add_transition(self, src: int, dst: int, term: str) -> None:
+        if term is None:
+            raise ValueError("term should not be null")
+        self._arcs.append((src, dst, self._term_id(term)))
+
+    def add_any_transition(self, src: int, dst: int) -> None:
+        self._arcs.append((src, dst, self._term_id(None)))
+
+    @property
+    def terms(self) -> list[str]:
+        """Registered terms (non-ANY), registration order — the idf set."""
+        return [t for t in self._term_to_id if t is not None]
+
+    # ----------------------------------------------------------- finish
+    def finish(self) -> "TermAutomaton":
+        """Validate + determinize (``TermAutomatonQuery.java:140-209``)."""
+        if self.any_id != -1:
+            for src, dst, lab in self._arcs:
+                if lab == self.any_id and src == 0:
+                    raise ValueError(
+                        "automaton cannot lead with an ANY transition")
+                if lab == self.any_id and dst in self._accept:
+                    raise ValueError(
+                        "automaton cannot end with an ANY transition")
+        if 0 in self._accept:
+            raise ValueError("cannot accept the empty string")
+
+        # NFA step with the reference's ANY expansion: an ANY arc matches
+        # every term id (including the ANY id itself).
+        by_src: dict[int, list[tuple[int, int]]] = {}
+        for src, dst, lab in self._arcs:
+            by_src.setdefault(src, []).append((lab, dst))
+
+        def nfa_step(states: frozenset, label: int) -> frozenset:
+            out = set()
+            for s in states:
+                for lab, dst in by_src.get(s, ()):
+                    if lab == label or lab == self.any_id:
+                        out.add(dst)
+            return frozenset(out)
+
+        labels = sorted({lab for _, _, lab in self._arcs})
+        start = frozenset({0})
+        idx = {start: 0}
+        order = [start]
+        trans: dict[tuple[int, int], int] = {}
+        qi = 0
+        while qi < len(order):
+            cur = order[qi]
+            qi += 1
+            for lab in labels:
+                dest = nfa_step(cur, lab)
+                if not dest:
+                    continue
+                if dest not in idx:
+                    idx[dest] = len(order)
+                    order.append(dest)
+                trans[(idx[cur], lab)] = idx[dest]
+        accepts = {i for st, i in idx.items() if st & self._accept}
+
+        # Remove dead states (cannot reach an accept) — Operations.
+        # removeDeadStates; transitions into dead states are dropped.
+        rev: dict[int, set[int]] = {}
+        for (s, _l), d in trans.items():
+            rev.setdefault(d, set()).add(s)
+        live = set(accepts)
+        stack = list(accepts)
+        while stack:
+            s = stack.pop()
+            for p in rev.get(s, ()):
+                if p not in live:
+                    live.add(p)
+                    stack.append(p)
+        self.det_empty = 0 not in live
+        self.det_trans = {}
+        self.det_any = {}
+        for (s, lab), d in trans.items():
+            if s in live and d in live:
+                if lab == self.any_id:
+                    self.det_any[s] = d
+                else:
+                    self.det_trans[(s, lab)] = d
+        self.det_accept = accepts & live
+        self.n_det_states = len(live)
+        self.finished = True
+        return self
+
+    # ---------------------------------------------------------- rewrite
+    def sausage(self) -> list[tuple[str, ...] | None] | None:
+        """Replay ``TermAutomatonQuery.rewrite``'s MultiPhraseQuery
+        extraction (``:509-568``): returns one entry per phrase position —
+        a tuple of terms, or ``None`` for a skipped ANY position (a gap
+        the phrase bridges with exactly one arbitrary token) — or ``None``
+        (the Python one) when the det automaton is not a sausage."""
+        assert self.finished and not self.det_empty
+        out_by_state: dict[int, list[tuple[int, int]]] = {}
+        for (s, lab), d in self.det_trans.items():
+            out_by_state.setdefault(s, []).append((lab, d))
+        for s, d in self.det_any.items():
+            out_by_state.setdefault(s, []).append((self.any_id, d))
+        state = 0
+        slots: list[tuple[str, ...] | None] = []
+        while True:
+            out = sorted(out_by_state.get(state, []))
+            if not out:
+                if state not in self.det_accept:
+                    return None
+                return slots
+            if state in self.det_accept:
+                return None
+            dests = {d for _, d in out}
+            if len(dests) != 1:
+                return None
+            labs = [lab for lab, _ in out]
+            if self.any_id in labs:
+                slots.append(None)
+            else:
+                slots.append(tuple(self._id_to_term[lab] for lab in labs))
+            state = dests.pop()
+
+    # ---------------------------------------------------------- matching
+    def doc_freq(self, events: list[tuple[int, list[int]]]) -> int:
+        """Path-count freq for ONE document (``TermAutomatonScorer.
+        countMatches``, ``:215-340``). ``events`` = ascending (position,
+        [term ids at that position]) for REGISTERED terms only; gap
+        positions between events are ANY-stepped implicitly."""
+        freq = 0
+        active: dict[int, Counter] = {}
+        last = None
+        for pos, tids in events:
+            if last is not None:
+                if self.any_id != -1:
+                    # advance states from last -> pos via ANY (:260-287);
+                    # states ENTERING an event position step ANY too — the
+                    # reference's intentional path fork beside the token step
+                    lp = last
+                    while lp < pos:
+                        cur = active.get(lp)
+                        if not cur and lp > last:
+                            break  # petered out (:266-270)
+                        if cur:
+                            nxt = active.setdefault(lp + 1, Counter())
+                            for s, c in cur.items():
+                                d = self.det_any.get(s)
+                                if d is not None:
+                                    nxt[d] += c
+                        lp += 1
+                # positions before the current event are never read again
+                for k in [k for k in active if k < pos]:
+                    del active[k]
+            cur = active.get(pos)
+            nxt = active.setdefault(pos + 1, Counter())
+            for tid in tids:
+                if cur:
+                    for s, c in cur.items():
+                        d = self.det_trans.get((s, tid))
+                        if d is not None:
+                            nxt[d] += c
+                            if d in self.det_accept:
+                                freq += c
+                d0 = self.det_trans.get((0, tid))
+                if d0 is not None:
+                    nxt[d0] += 1
+                    if d0 in self.det_accept:
+                        freq += 1
+            last = pos
+        return freq
+
+    # ------------------------------------------------------------ oracle
+    def arc_rows(self) -> tuple[list[tuple[int, str, int]],
+                                list[tuple[int, int]], list[int]]:
+        """Det tables for the SQL twin: (term arcs (src, term, dest),
+        ANY arcs (src, dest), accept states)."""
+        assert self.finished
+        arcs = sorted(
+            (s, self._id_to_term[lab], d)
+            for (s, lab), d in self.det_trans.items()
+        )
+        anyarcs = sorted(self.det_any.items())
+        return arcs, anyarcs, sorted(self.det_accept)

@@ -1,0 +1,239 @@
+"""TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:83 +
+TermAutomatonScorer.java:215-340): path-counting semantics vs an
+independent brute-force path enumerator, the sausage rewrites (plain and
+gapped MultiPhraseQuery), and the finish() validations. The oracle entry
+``term_automaton`` carries the engine-vs-DuckDB recursive-CTE gate."""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.query.ast import MultiPhraseQuery
+from lucene_spark.query.termautomaton import TermAutomaton
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    rng = random.Random(11)
+    vocab = ["merge", "scan", "value", "group", "table", "row", "join"]
+    rows = []
+    for i in range(80):
+        text = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randrange(3, 14)))
+        rows.append((f"{i:012d}", 0, "doc", text, None, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path_factory.mktemp("taq") / "idx")
+    build_index(spark, df, d, IndexConfig(num_segments=2, term_buckets=4))
+    merge_index(spark, d)
+    return IndexSearcher(spark, d)
+
+
+def _doc_tokens(searcher) -> dict[int, list[str]]:
+    """Reconstruct per-doc token sequences from the positions table
+    (vocab-only corpus: standard analyzer is the identity, positions are
+    dense ordinals)."""
+    rows = searcher.positions_table().select(
+        "term", "doc_id", "positions").collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        for p in r.positions:
+            by_doc.setdefault(r.doc_id, {})[int(p)] = r.term
+    return {d: [m[i] for i in range(len(m))] for d, m in by_doc.items()}
+
+
+def _brute_freq(tokens: list[str], ta: TermAutomaton) -> int:
+    """Independent path enumeration replaying the scorer's structure: a
+    path starts at every registered-token position via step(0, term); at
+    each later position it forks token-step (registered tokens) and
+    ANY-step; freq counts token steps landing on an accept."""
+    reg = {t: ta._term_to_id[t] for t in ta.terms}
+    freq = 0
+    n = len(tokens)
+    for start in range(n):
+        tid = reg.get(tokens[start])
+        if tid is None:
+            continue
+        d0 = ta.det_trans.get((0, tid))
+        if d0 is None:
+            continue
+        if d0 in ta.det_accept:
+            freq += 1
+        stack = [(start + 1, d0)]
+        while stack:
+            pos, s = stack.pop()
+            if pos >= n:
+                continue
+            tid2 = reg.get(tokens[pos])
+            if tid2 is not None:
+                d = ta.det_trans.get((s, tid2))
+                if d is not None:
+                    if d in ta.det_accept:
+                        freq += 1
+                    stack.append((pos + 1, d))
+            d = ta.det_any.get(s)
+            if d is not None:
+                stack.append((pos + 1, d))
+    return freq
+
+
+def _branching_any_automaton() -> TermAutomaton:
+    """scan (ANY)? (merge|join) — branching dests => NOT a sausage."""
+    ta = TermAutomaton()
+    s1, s2, acc = ta.create_state(), ta.create_state(), ta.create_state()
+    ta.add_transition(0, s1, "scan")
+    ta.add_any_transition(s1, s2)
+    for s in (s1, s2):
+        ta.add_transition(s, acc, "merge")
+        ta.add_transition(s, acc, "join")
+    ta.set_accept(acc, True)
+    return ta.finish()
+
+
+def test_direct_scorer_vs_brute_force(searcher):
+    ta = _branching_any_automaton()
+    assert ta.sausage() is None
+    got = searcher.search_term_automaton(ta, 1_000).collect()
+
+    toks = _doc_tokens(searcher)
+    stats = searcher.term_stats(ta.terms)
+    idfs = [searcher.sim.idf(stats[t][0], searcher.doc_count)
+            for t in ta.terms if t in stats]
+    w = searcher._multi_term_weight(np.float32(1.0), idfs)
+    norms = {r.doc_id: r.norm_byte
+             for r in searcher.docmap().select("doc_id", "norm_byte").collect()}
+    expect = []
+    for doc, tokens in toks.items():
+        f = _brute_freq(tokens, ta)
+        if f > 0:
+            s = searcher.sim.score(
+                np.array([f], np.float64),
+                np.array([norms[doc]], np.int64), w)[0]
+            expect.append((doc, np.float32(s)))
+    expect.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r.doc_id, np.float32(r.score)) for r in got] == expect
+    assert expect, "automaton should match on this corpus"
+
+
+def test_sausage_rewrites_to_multi_phrase(searcher):
+    # scan -> (merge|join): a sausage, no ANY
+    ta = TermAutomaton()
+    s1, acc = ta.create_state(), ta.create_state()
+    ta.add_transition(0, s1, "scan")
+    ta.add_transition(s1, acc, "merge")
+    ta.add_transition(s1, acc, "join")
+    ta.set_accept(acc, True)
+    ta.finish()
+    assert ta.sausage() == [("scan",), ("merge", "join")]
+    got = searcher.search_term_automaton(ta, 1_000).collect()
+    want = searcher.search(
+        MultiPhraseQuery((("scan",), ("merge", "join"))), 1_000).collect()
+    assert [(r.doc_id, r.score) for r in got] == \
+        [(r.doc_id, r.score) for r in want]
+    assert got
+
+
+def test_gapped_sausage(searcher):
+    # scan ANY merge: MultiPhraseQuery with a skipped position at 1
+    ta = TermAutomaton()
+    s1, s2, acc = ta.create_state(), ta.create_state(), ta.create_state()
+    ta.add_transition(0, s1, "scan")
+    ta.add_any_transition(s1, s2)
+    ta.add_transition(s2, acc, "merge")
+    ta.set_accept(acc, True)
+    ta.finish()
+    assert ta.sausage() == [("scan",), None, ("merge",)]
+    got = searcher.search_term_automaton(ta, 1_000).collect()
+
+    toks = _doc_tokens(searcher)
+    stats = searcher.term_stats(["scan", "merge"])
+    w = searcher._multi_term_weight(np.float32(1.0), [
+        searcher.sim.idf(stats["scan"][0], searcher.doc_count),
+        searcher.sim.idf(stats["merge"][0], searcher.doc_count)])
+    norms = {r.doc_id: r.norm_byte
+             for r in searcher.docmap().select("doc_id", "norm_byte").collect()}
+    expect = []
+    for doc, tokens in toks.items():
+        f = sum(1 for i in range(len(tokens) - 2)
+                if tokens[i] == "scan" and tokens[i + 2] == "merge")
+        if f > 0:
+            s = searcher.sim.score(
+                np.array([f], np.float64),
+                np.array([norms[doc]], np.int64), w)[0]
+            expect.append((doc, np.float32(s)))
+    expect.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r.doc_id, np.float32(r.score)) for r in got] == expect
+    assert expect
+
+
+def test_finish_validations():
+    ta = TermAutomaton()
+    s1 = ta.create_state()
+    ta.add_any_transition(0, s1)
+    ta.add_transition(s1, s1, "x")
+    ta.set_accept(s1, True)
+    with pytest.raises(ValueError, match="lead with an ANY"):
+        ta.finish()
+
+    ta = TermAutomaton()
+    s1, acc = ta.create_state(), ta.create_state()
+    ta.add_transition(0, s1, "x")
+    ta.add_any_transition(s1, acc)
+    ta.set_accept(acc, True)
+    with pytest.raises(ValueError, match="end with an ANY"):
+        ta.finish()
+
+    ta = TermAutomaton()
+    ta.add_transition(0, ta.create_state(), "x")
+    ta.set_accept(0, True)
+    with pytest.raises(ValueError, match="empty string"):
+        ta.finish()
+
+
+def test_empty_and_absent_terms(searcher):
+    # accept unreachable -> det_empty -> no hits
+    ta = TermAutomaton()
+    s1, acc = ta.create_state(), ta.create_state()
+    ta.add_transition(0, s1, "scan")
+    ta.set_accept(acc, True)
+    ta.finish()
+    assert ta.det_empty
+    assert searcher.search_term_automaton(ta, 10).count() == 0
+
+    # a registered-but-absent term contributes no idf and no events;
+    # the automaton still matches through the present branch
+    ta = _branching_any_automaton()
+    ta2 = TermAutomaton()
+    s1, s2, acc = ta2.create_state(), ta2.create_state(), ta2.create_state()
+    ta2.add_transition(0, s1, "scan")
+    ta2.add_any_transition(s1, s2)
+    for s in (s1, s2):
+        ta2.add_transition(s, acc, "merge")
+        ta2.add_transition(s, acc, "join")
+        ta2.add_transition(s, acc, "zzzmissing")
+    ta2.set_accept(acc, True)
+    ta2.finish()
+    got = searcher.search_term_automaton(ta2, 1_000).collect()
+    want = searcher.search_term_automaton(ta, 1_000).collect()
+    assert [(r.doc_id, r.score) for r in got] == \
+        [(r.doc_id, r.score) for r in want]
+
+    # all terms absent -> no candidates
+    ta3 = TermAutomaton()
+    s1, s4, acc = (ta3.create_state(), ta3.create_state(),
+                   ta3.create_state())
+    ta3.add_transition(0, s1, "qqq")
+    ta3.add_any_transition(s1, s4)
+    ta3.add_transition(s1, acc, "www")
+    ta3.add_transition(s4, acc, "www")
+    ta3.set_accept(acc, True)
+    ta3.finish()
+    assert ta3.sausage() is None
+    assert searcher.search_term_automaton(ta3, 10).count() == 0
