@@ -43,6 +43,45 @@ from __future__ import annotations
 from collections import Counter
 
 
+def token_stream_to_term_automaton(
+    tokens, preserve_position_increments: bool = True
+) -> "TermAutomaton":
+    """TokenStreamToTermAutomatonQuery analog (``sandbox/search/
+    TokenStreamToTermAutomatonQuery.java:56-113``): build a finished
+    :class:`TermAutomaton` from a token GRAPH — ``tokens`` is an iterable
+    of ``(term, position_increment, position_length)`` (the posIncr/
+    posLength attributes a SynonymGraphFilter emits). States are position
+    ids; each token adds an arc pos -> pos+posLength; the literal term
+    ``"*"`` adds an ANY arc (:94-98); a hole (posIncr > 1) raises unless
+    ``preserve_position_increments=False`` collapses it to 1 (:73-80);
+    the single accept state is the highest created state (:109)."""
+    ta = TermAutomaton()
+    pos = -1
+    state = 0  # states created so far - 1 (state 0 pre-exists)
+    empty = True
+    for term, pos_inc, pos_len in tokens:
+        empty = False
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term")
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + pos_len
+        while state < end_pos:
+            ta.create_state()
+            state += 1
+        if term == "*":
+            ta.add_any_transition(pos, end_pos)
+        else:
+            ta.add_transition(pos, end_pos, term)
+    if empty:
+        raise ValueError("empty token stream")
+    ta.set_accept(state, True)
+    return ta.finish()
+
+
 class TermAutomaton:
     """Builder + determinized runtime for a term automaton. State 0 is
     always the initial state (``TermAutomatonQuery.java:99-102``)."""

@@ -237,3 +237,47 @@ def test_empty_and_absent_terms(searcher):
     ta3.finish()
     assert ta3.sausage() is None
     assert searcher.search_term_automaton(ta3, 10).count() == 0
+
+
+def test_token_stream_to_automaton(searcher):
+    from lucene_spark.query.termautomaton import (
+        token_stream_to_term_automaton)
+
+    # synonym graph: ("scan" spanning 2 positions) | ("merge" "join"),
+    # then "row" — matches "scan row" and "merge join row"
+    ta = token_stream_to_term_automaton([
+        ("scan", 1, 2), ("merge", 0, 1), ("join", 1, 1), ("row", 1, 1)])
+    got = searcher.search_term_automaton(ta, 1_000).collect()
+    toks = _doc_tokens(searcher)
+    matched = {d for d, tokens in toks.items()
+               if any(tokens[i:i + 2] == ["scan", "row"]
+                      or tokens[i:i + 3] == ["merge", "join", "row"]
+                      for i in range(len(tokens)))}
+    assert {r.doc_id for r in got} == matched
+    assert matched
+    # freq identity vs the brute path enumerator
+    stats = searcher.term_stats(ta.terms)
+    idfs = [searcher.sim.idf(stats[t][0], searcher.doc_count)
+            for t in ta.terms if t in stats]
+    w = searcher._multi_term_weight(np.float32(1.0), idfs)
+    norms = {r.doc_id: r.norm_byte
+             for r in searcher.docmap().select(
+                 "doc_id", "norm_byte").collect()}
+    for r in got:
+        f = _brute_freq(toks[r.doc_id], ta)
+        s = searcher.sim.score(np.array([f], np.float64),
+                               np.array([norms[r.doc_id]], np.int64), w)[0]
+        assert np.float32(r.score) == np.float32(s)
+
+    # '*' literal = ANY arc; holes raise unless collapsed
+    ta2 = token_stream_to_term_automaton(
+        [("scan", 1, 1), ("*", 1, 1), ("row", 1, 1)])
+    assert ta2.sausage() == [("scan",), None, ("row",)]
+    with pytest.raises(ValueError, match="holes"):
+        token_stream_to_term_automaton([("scan", 1, 1), ("row", 2, 1)])
+    ta3 = token_stream_to_term_automaton(
+        [("scan", 1, 1), ("row", 2, 1)],
+        preserve_position_increments=False)
+    assert ta3.sausage() == [("scan",), ("row",)]
+    with pytest.raises(ValueError, match="empty"):
+        token_stream_to_term_automaton([])
