@@ -1176,6 +1176,34 @@ def _sweetspot_hyper_df(spark, sf_dir):
     return _similarity_df(spark, sf_dir, sim)
 
 
+#: SimilarityBase-family entries (functions/simbase.py): the same shared
+#: index scored under each stats-based model; every config is
+#: compiled-parity fuzzed (tools/sim_parity.py, 40k cases bit-exact) and
+#: the oracle replays the exact double pipeline with one REAL cast
+#: (plans/sqlgen.py _stats_sim_leaf_score)
+_STATS_SIM_SPECS = (
+    ("lm_dirichlet_topk", "lm_dirichlet"),
+    ("lm_jelinek_mercer_topk", "lm_jelinek_mercer"),
+    ("indri_dirichlet_topk", "indri_dirichlet"),
+    ("dfi_chisquared_topk", "dfi_chisquared"),
+    ("axiomatic_f1log_topk", "axiomatic_f1log"),
+    ("axiomatic_f2exp_topk", "axiomatic_f2exp"),
+    ("axiomatic_f3exp_topk", "axiomatic_f3exp"),
+    ("dfr_sim_topk", "dfr"),
+    ("ib_sim_topk", "ib_ll_ttf_h1"),
+    ("raw_tf_topk", "raw_tf"),
+)
+
+
+def _stats_sim_entry(spec: str):
+    def run(spark, sf_dir):
+        return _similarity_df(spark, sf_dir, spec)
+    run.__doc__ = (
+        f"SimilarityBase family, config {spec!r} "
+        "(core/search/similarities; see functions/simbase.py)")
+    return run
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2629,6 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
+    for _sk, _ss in _STATS_SIM_SPECS:
+        out[_sk] = _stats_sim_entry(_ss)
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -3233,6 +3263,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
     out["boolean_sim_topk"] = sqlgen.topk_sql(
         parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity="boolean",
     )
+    for _sk, _ss in _STATS_SIM_SPECS:
+        out[_sk] = sqlgen.topk_sql(
+            parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity=_ss,
+        )
     out["facet_ranges"] = sqlgen.facet_ranges_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FACET_RANGES,
     )

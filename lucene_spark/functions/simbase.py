@@ -1,0 +1,577 @@
+"""SimilarityBase family — the stats-based scoring models of
+``core/search/similarities`` re-expressed as vectorized numpy scorers.
+
+Reference semantics (independent implementations, cited for parity):
+
+  - ``similarities/SimilarityBase.java:56-100,180-199`` — each term gets a
+    ``BasicStats`` filled from collection + term statistics
+    (numberOfDocuments = docCount, numberOfFieldTokens = sumTotalTermFreq,
+    avgFieldLength = sumTotalTermFreq / (double) docCount, docFreq,
+    totalTermFreq, boost) and a ``BasicSimScorer`` whose
+    ``score(freq, norm)`` is ``(float) score(stats, freq,
+    LENGTH_TABLE[norm & 0xFF])`` — ALL arithmetic in double, ONE final
+    float cast. Multi-term scorers (phrase/synonym span weights) are
+    ``MultiSimilarity.MultiSimScorer``s: the per-term float scores summed
+    in double, final float cast (``MultiSimilarity.java:66-73``).
+  - Because these models need (docFreq, totalTermFreq) at SCORE time, the
+    engine's scalar ``weight = boost * idf`` channel cannot carry them;
+    the searcher detects ``stats_based`` similarities and passes opaque
+    :class:`TermWeight` / :class:`MultiWeight` objects instead (built at
+    weight time, exactly where the reference builds BasicStats).
+
+Models:
+
+  - DFR (``DFRSimilarity.java:108-115``): score = boost *
+    basicModel(tfn, aeTimes1pTfn) over tfn = normalization.tfn.
+    Basic models G / I(F) / I(n) / I(ne); after effects B / L;
+    normalizations H1 / H2 / H3 / Z / none — formulas transcribed from
+    each class (float hyper-parameters promoted exactly where Java does;
+    H3's ``(F + 1F) / (T + 1F)`` inner ratio is FLOAT arithmetic,
+    ``NormalizationH3.java:46-50``).
+  - IB (``IBSimilarity.java:72-76``): boost * distribution(tfn, lambda);
+    distributions LL / SPL, lambdas DF / TTF (float results with the
+    nextDown/nextUp == 1 guards, ``LambdaDF.java:29-35``).
+  - LM Dirichlet (``LMDirichletSimilarity.java:73-80``): clamp-at-zero,
+    collection probability (ttf+1)/(T+1) (``LMSimilarity.java:
+    DefaultCollectionModel``).
+  - LM Jelinek-Mercer (``LMJelinekMercerSimilarity.java:60-66``): note
+    ``(1 - lambda)`` is a FLOAT subtract.
+  - Indri Dirichlet (``IndriDirichletSimilarity.java:61-66``): collection
+    probability ttf/(double)T (no +1), score = log((freq + mu*p) /
+    (docLen + mu)) — the reference applies NO boost in score() (only in
+    explain), and scores can be negative; both quirks preserved.
+  - DFI (``DFISimilarity.java:57-70``): expected = (ttf+1)*docLen/(T+1);
+    freq <= expected scores 0; else boost * log2(measure + 1) with
+    independence ChiSquared / Standardized / Saturated.
+  - Axiomatic F1EXP/F1LOG/F2EXP/F2LOG/F3EXP/F3LOG (``Axiomatic.java:
+    118-127`` + the six subclasses): (tf*ln*tfln*idf - gamma) * boost,
+    max(0, .).
+  - RawTF (``RawTFSimilarity.java:38-48``): boost * freq, a float
+    multiply — fits the engine's scalar-weight contract directly.
+  - MultiSimilarity (``MultiSimilarity.java:47-79``): double-sum of the
+    sub-similarities' float scores per term.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+#: docLen exactly as BasicSimScorer.getLengthValue sees it: the byte4
+#: int as a float32 (LENGTH_TABLE is float[] in the reference), widened
+#: to double — exact (byte4 values carry <= 4 mantissa bits)
+_LEN_D = LENGTH_TABLE.astype(np.float32).astype(np.float64)
+
+_LOG_2 = math.log(2)  # SimilarityBase.LOG_2 — precomputed double
+
+
+def _log2(x: np.ndarray | float):
+    """SimilarityBase.log2: Math.log(x) / LOG_2 (division, not log2())."""
+    return np.log(x) / _LOG_2
+
+
+class TermWeight:
+    """Per-term BasicStats binding (boost double, docFreq, totalTermFreq).
+    Opaque to the engine: built by ``term_weight`` where the reference
+    builds BasicStats, consumed only by the owning similarity's score."""
+
+    __slots__ = ("boost", "df", "ttf")
+
+    def __init__(self, boost: float, df: int, ttf: int):
+        self.boost = float(boost)
+        self.df = int(df)
+        self.ttf = int(ttf)
+
+
+class MultiWeight:
+    """MultiSimScorer analog: one TermWeight per query term; score =
+    double-sum of the per-term float32 scores, final float32 cast."""
+
+    __slots__ = ("subs",)
+
+    def __init__(self, subs: list[TermWeight]):
+        self.subs = list(subs)
+
+
+class StatsSimBase:
+    """Shared plumbing: collection binding, weight construction, the
+    MultiWeight sum, the final float32 cast. Subclasses implement
+    ``_score_term(freqs_f64, doclen_f64, tw) -> f64`` (boost included)."""
+
+    stats_based = True
+
+    def __init__(self) -> None:
+        self.N: int | None = None   # numberOfDocuments
+        self.T: int | None = None   # numberOfFieldTokens
+        self.avgfl: float = 0.0     # avgFieldLength, DOUBLE (not f32 avgdl)
+
+    def bind_collection(self, doc_count: int, sum_ttf: int) -> None:
+        """fillBasicStats' collection half (SimilarityBase.java:88-95);
+        the searcher calls this once with its (possibly composite)
+        collection statistics."""
+        self.N = int(doc_count)
+        self.T = int(sum_ttf)
+        self.avgfl = self.T / float(self.N)
+
+    # scalar contract stubs — stats-based sims never use the idf channel
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def multi_idf(self, idfs: list[np.float32]) -> np.float32:
+        return np.float32(1.0)
+
+    def term_weight(self, boost: float, df: int, ttf: int) -> TermWeight:
+        if self.N is None:
+            raise ValueError(
+                f"{type(self).__name__} not bound to a collection — "
+                "construct via IndexSearcher(similarity=...) or call "
+                "bind_collection(doc_count, sum_ttf)")
+        return TermWeight(boost, df, ttf)
+
+    def multi_weight(self, boost: float,
+                     pairs: list[tuple[int, int]]) -> MultiWeight:
+        return MultiWeight(
+            [self.term_weight(boost, df, ttf) for df, ttf in pairs])
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight) -> np.ndarray:
+        n = len(np.asarray(freqs))
+        if isinstance(weight, MultiWeight):
+            acc = np.zeros(n, dtype=np.float64)
+            for tw in weight.subs:
+                acc += self.score(freqs, norm_bytes, tw).astype(np.float64)
+            return acc.astype(np.float32)
+        if not isinstance(weight, TermWeight):
+            # absent-term clause: the engine materializes weight f32(0)
+            return np.zeros(n, dtype=np.float32)
+        # SimScorer.score(float freq, long norm): freq arrives as FLOAT
+        # (sloppy freqs are float32) then widens to double for score()
+        f = (np.asarray(freqs, dtype=np.float64)
+             .astype(np.float32).astype(np.float64))
+        dl = _LEN_D[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            out = self._score_term(f, dl, weight)
+        return np.asarray(out, dtype=np.float64).astype(np.float32)
+
+    def _score_term(self, f: np.ndarray, dl: np.ndarray,
+                    tw: TermWeight) -> np.ndarray:
+        raise NotImplementedError
+
+
+# --------------------------------------------------------------- DFR
+
+class DFRSim(StatsSimBase):
+    """DFRSimilarity(basicModel, afterEffect, normalization).
+
+    ``basic_model``: "g" | "if" | "in" | "ine";  ``after_effect``:
+    "b" | "l";  ``normalization``: "h1" | "h2" | "h3" | "z" | "none"
+    with hyper-parameters ``c`` (H1/H2, float, default 1), ``mu`` (H3,
+    float, default 800), ``z`` (Z, float, default 0.30)."""
+
+    def __init__(self, basic_model: str = "ine", after_effect: str = "b",
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30) -> None:
+        super().__init__()
+        if basic_model not in ("g", "if", "in", "ine"):
+            raise ValueError(f"unknown basic model {basic_model!r}")
+        if after_effect not in ("b", "l"):
+            raise ValueError(f"unknown after effect {after_effect!r}")
+        if normalization not in ("h1", "h2", "h3", "z", "none"):
+            raise ValueError(f"unknown normalization {normalization!r}")
+        if not math.isfinite(c) or c < 0:
+            raise ValueError(f"illegal c value: {c}")
+        if not math.isfinite(mu) or mu < 0:
+            raise ValueError(f"illegal mu value: {mu}")
+        if math.isnan(z) or z <= 0 or z >= 0.5:
+            raise ValueError(f"illegal z value: {z}")
+        self.basic_model = basic_model
+        self.after_effect = after_effect
+        self.normalization = normalization
+        # float hyper-parameters, stored f32 like the Java fields
+        self.c = np.float32(c)
+        self.mu = np.float32(mu)
+        self.z = np.float32(z)
+        self.name = f"dfr_{basic_model}_{after_effect}_{normalization}"
+
+    def _tfn(self, f: np.ndarray, dl: np.ndarray,
+             tw: TermWeight) -> np.ndarray:
+        nz = self.normalization
+        if nz == "none":
+            return f
+        if nz == "h1":            # tf * c * (avgfl / len)
+            return (f * float(self.c)) * (self.avgfl / dl)
+        if nz == "h2":            # tf * log2(1 + c * avgfl / len)
+            return f * _log2(1.0 + float(self.c) * self.avgfl / dl)
+        if nz == "h3":
+            # (tf + mu * ((F + 1F) / (T + 1F))) / (len + mu) * mu —
+            # the inner ratio AND its mu multiply are FLOAT ops
+            # (NormalizationH3.java:46-50: long + 1F promotes to float)
+            r = np.float32(np.float32(tw.ttf) + np.float32(1.0)) / np.float32(
+                np.float32(self.T) + np.float32(1.0))
+            inner = np.float32(self.mu * r)
+            return (f + float(inner)) / (dl + float(self.mu)) * float(self.mu)
+        # z: tf * pow(avgfl / len, z)
+        return f * np.power(self.avgfl / dl, float(self.z))
+
+    def _ae_times_1p_tfn(self, tw: TermWeight) -> float:
+        if self.after_effect == "l":
+            return 1.0
+        fv = tw.ttf + 1   # long F = ttf + 1
+        nv = tw.df + 1    # long n = df + 1
+        return (fv + 1.0) / nv
+
+    def _bm(self, tfn: np.ndarray, ae: float, tw: TermWeight) -> np.ndarray:
+        bm = self.basic_model
+        n_docs = self.N
+        if bm == "g":
+            fv = float(tw.ttf + 1)
+            lam = fv / (float(n_docs) + fv)
+            a = _log2(lam + 1.0)
+            b = _log2((1.0 + lam) / lam)
+            return (b - (b - a) / (1.0 + tfn)) * ae
+        if bm == "if":
+            a = _log2(1.0 + (n_docs + 1) / (tw.ttf + 0.5))
+        elif bm == "in":
+            a = _log2((n_docs + 1) / (tw.df + 0.5))
+        else:  # ine
+            ne = n_docs * (1.0 - math.pow(
+                (n_docs - 1) / float(n_docs), float(tw.ttf)))
+            a = _log2((n_docs + 1) / (ne + 0.5))
+        return a * ae * (1.0 - 1.0 / (1.0 + tfn))
+
+    def _score_term(self, f, dl, tw):
+        tfn = self._tfn(f, dl, tw)
+        ae = self._ae_times_1p_tfn(tw)
+        return tw.boost * self._bm(tfn, ae, tw)
+
+
+# ---------------------------------------------------------------- IB
+
+class IBSim(StatsSimBase):
+    """IBSimilarity(distribution, lambda, normalization).
+
+    ``distribution``: "ll" | "spl";  ``lam``: "df" | "ttf";
+    normalization as :class:`DFRSim`."""
+
+    def __init__(self, distribution: str = "spl", lam: str = "df",
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30) -> None:
+        super().__init__()
+        if distribution not in ("ll", "spl"):
+            raise ValueError(f"unknown distribution {distribution!r}")
+        if lam not in ("df", "ttf"):
+            raise ValueError(f"unknown lambda {lam!r}")
+        self._norm = DFRSim("ine", "b", normalization, c=c, mu=mu, z=z)
+        self.distribution = distribution
+        self.lam = lam
+        self.name = f"ib_{distribution}_{lam}_{normalization}"
+
+    def bind_collection(self, doc_count: int, sum_ttf: int) -> None:
+        super().bind_collection(doc_count, sum_ttf)
+        self._norm.bind_collection(doc_count, sum_ttf)
+
+    def _lambda(self, tw: TermWeight) -> float:
+        if self.lam == "df":
+            lv = np.float32((tw.df + 1.0) / (self.N + 1.0))
+            if lv == np.float32(1.0):
+                lv = np.nextafter(lv, np.float32(0.0), dtype=np.float32)
+        else:
+            lv = np.float32((tw.ttf + 1.0) / (self.N + 1.0))
+            if lv == np.float32(1.0):
+                lv = np.nextafter(lv, np.float32(2.0), dtype=np.float32)
+        return float(lv)
+
+    def _score_term(self, f, dl, tw):
+        tfn = self._norm._tfn(f, dl, tw)
+        lam = self._lambda(tw)
+        if self.distribution == "ll":
+            dist = -np.log(lam / (tfn + lam))
+        else:
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            q = np.where(q == 1.0, math.nextafter(1.0, 0.0), q)
+            p = np.power(lam, q)
+            bumped = math.nextafter(lam, 2.0) if lam < 1 \
+                else math.nextafter(lam, 0.0)
+            p = np.where(p == lam, bumped, p)
+            dist = -np.log((p - lam) / (1.0 - lam))
+        return tw.boost * dist
+
+
+# ---------------------------------------------------------------- LM
+
+class LMDirichletSim(StatsSimBase):
+    """LMDirichletSimilarity(mu=2000): boost * (log(1 + freq/(mu*p)) +
+    log(mu/(docLen+mu))), clamped at 0; p = (ttf+1)/(T+1)."""
+
+    def __init__(self, mu: float = 2000.0) -> None:
+        super().__init__()
+        if not math.isfinite(mu) or mu <= 0:
+            raise ValueError(f"illegal mu value: {mu}")
+        self.mu = np.float32(mu)
+        self.name = "lm_dirichlet"
+
+    def _score_term(self, f, dl, tw):
+        p = (tw.ttf + 1.0) / (self.T + 1.0)
+        mu = float(self.mu)
+        s = tw.boost * (np.log(1.0 + f / (mu * p)) + np.log(mu / (dl + mu)))
+        return np.where(s > 0.0, s, 0.0)
+
+
+class LMJelinekMercerSim(StatsSimBase):
+    """LMJelinekMercerSimilarity(lambda=0.1): boost * log(1 +
+    ((1-lambda)*freq/docLen) / (lambda*p)); (1 - lambda) is a FLOAT
+    subtract (LMJelinekMercerSimilarity.java:60-66)."""
+
+    def __init__(self, lam: float = 0.1) -> None:
+        super().__init__()
+        if not (0.0 < lam <= 1.0):
+            raise ValueError(f"lambda must be in (0, 1], got {lam}")
+        self.lam = np.float32(lam)
+        self.name = "lm_jelinek_mercer"
+
+    def _score_term(self, f, dl, tw):
+        p = (tw.ttf + 1.0) / (self.T + 1.0)
+        one_minus = float(np.float32(np.float32(1.0) - self.lam))
+        return tw.boost * np.log(
+            1.0 + (one_minus * f / dl) / (float(self.lam) * p))
+
+
+class IndriDirichletSim(StatsSimBase):
+    """IndriDirichletSimilarity(mu=2000): log((freq + mu*p)/(docLen+mu)).
+    The reference applies NO boost inside score()
+    (IndriDirichletSimilarity.java:61-66 — boost appears only in
+    explain), and scores are routinely NEGATIVE; both preserved.
+
+    ``collection_model``: "indri" (p = ttf/(double)T, the no-arg
+    constructor's model) or "default" (p = (ttf+1)/(T+1)) — a reference
+    QUIRK: ``IndriDirichletSimilarity(float mu)`` calls the bare
+    ``super()`` and therefore inherits LMSimilarity's
+    DefaultCollectionModel, NOT the Indri model; only the no-arg
+    constructor installs IndriCollectionModel."""
+
+    def __init__(self, mu: float = 2000.0,
+                 collection_model: str = "indri") -> None:
+        super().__init__()
+        if not math.isfinite(mu) or mu <= 0:
+            raise ValueError(f"illegal mu value: {mu}")
+        if collection_model not in ("indri", "default"):
+            raise ValueError(f"unknown collection model {collection_model!r}")
+        self.mu = np.float32(mu)
+        self.collection_model = collection_model
+        self.name = "indri_dirichlet"
+
+    def _score_term(self, f, dl, tw):
+        if self.collection_model == "indri":
+            p = tw.ttf / float(self.T)
+        else:
+            p = (tw.ttf + 1.0) / (self.T + 1.0)
+        mu = float(self.mu)
+        return np.log((f + mu * p) / (dl + mu))
+
+
+# --------------------------------------------------------------- DFI
+
+class DFISim(StatsSimBase):
+    """DFISimilarity(independence): "chisquared" | "standardized" |
+    "saturated"."""
+
+    def __init__(self, independence: str = "chisquared") -> None:
+        super().__init__()
+        if independence not in ("chisquared", "standardized", "saturated"):
+            raise ValueError(f"unknown independence {independence!r}")
+        self.independence = independence
+        self.name = f"dfi_{independence}"
+
+    def _score_term(self, f, dl, tw):
+        expected = (tw.ttf + 1) * dl / (self.T + 1)
+        if self.independence == "chisquared":
+            m = (f - expected) * (f - expected) / expected
+        elif self.independence == "standardized":
+            m = (f - expected) / np.sqrt(expected)
+        else:
+            m = (f - expected) / expected
+        s = tw.boost * _log2(m + 1.0)
+        return np.where(f <= expected, 0.0, s)
+
+
+# --------------------------------------------------------- Axiomatic
+
+class AxiomaticSim(StatsSimBase):
+    """Axiomatic F1EXP/F1LOG/F2EXP/F2LOG/F3EXP/F3LOG
+    (``Axiomatic.java:118-127``): (tf * ln * tfln * idf - gamma) * boost,
+    max(0, .). Defaults s=0.25, queryLen=1, k=0.35 (floats promoted)."""
+
+    def __init__(self, variant: str = "f2exp", s: float = 0.25,
+                 query_len: int = 1, k: float = 0.35) -> None:
+        super().__init__()
+        variant = variant.lower()
+        if variant not in ("f1exp", "f1log", "f2exp", "f2log",
+                           "f3exp", "f3log"):
+            raise ValueError(f"unknown axiomatic variant {variant!r}")
+        if not math.isfinite(s) or s < 0 or s > 1:
+            raise ValueError(f"illegal s value: {s}")
+        if not math.isfinite(k) or k < 0 or k > 1:
+            raise ValueError(f"illegal k value: {k}")
+        if query_len < 0:
+            raise ValueError(f"illegal query length value: {query_len}")
+        self.variant = variant
+        self.s = np.float32(s)
+        self.k = np.float32(k)
+        self.query_len = int(query_len)
+        self.name = f"axiomatic_{variant}"
+
+    def _score_term(self, f, dl, tw):
+        v = self.variant
+        s = float(self.s)
+        kf = float(self.k)
+        # tf component
+        if v in ("f1exp", "f1log", "f3exp", "f3log"):
+            f1 = f + 1.0   # freq += 1
+            tf = 1.0 + np.log(1.0 + np.log(f1))
+        else:
+            tf = 1.0
+        # ln component
+        if v in ("f1exp", "f1log"):
+            ln = (self.avgfl + s) / (self.avgfl + dl * s)
+        else:
+            ln = 1.0
+        # tfln component
+        if v in ("f2exp", "f2log"):
+            tfln = f / (f + s + s * dl / self.avgfl)
+        else:
+            tfln = 1.0
+        # idf component
+        if v.endswith("exp"):
+            idf = math.pow((self.N + 1.0) / tw.df, kf)
+        else:
+            idf = math.log((self.N + 1.0) / tw.df)
+        # gamma component
+        if v in ("f3exp", "f3log"):
+            gamma = (dl - self.query_len) * s * self.query_len / self.avgfl
+        else:
+            gamma = 0.0
+        score = (tf * ln * tfln * idf - gamma) * tw.boost
+        return np.maximum(0.0, score)
+
+
+# ------------------------------------------------------------ RawTF
+
+class RawTFSim:
+    """RawTFSimilarity: score(freq, norm) = boost * freq, a FLOAT
+    multiply (``RawTFSimilarity.java:38-48``) — fits the engine's scalar
+    weight channel (idf == 1, weight == f32(boost))."""
+
+    name = "raw_tf"
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def multi_idf(self, idfs: list[np.float32]) -> np.float32:
+        return np.float32(1.0)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight_f32: np.float32) -> np.ndarray:
+        return (np.asarray(freqs, dtype=np.float64).astype(np.float32)
+                * np.float32(weight_f32)).astype(np.float32)
+
+
+# --------------------------------------------------------- MultiSim
+
+class _MultiSimWeight:
+    __slots__ = ("subs",)
+
+    def __init__(self, subs: list):
+        self.subs = list(subs)   # one opaque weight per sub-similarity
+
+
+class MultiSim:
+    """MultiSimilarity(sims): per (freq, norm) the sub-similarities'
+    float32 scores summed in double, final float32 cast
+    (``MultiSimilarity.java:66-73``). Subs may mix scalar-weight sims
+    (BM25/Classic/Boolean/SweetSpot/RawTF) and stats-based sims."""
+
+    stats_based = True
+
+    def __init__(self, sims: list) -> None:
+        if not sims:
+            raise ValueError("MultiSim requires at least one sub-similarity")
+        self.sims = list(sims)
+        self.name = "multi(" + ",".join(
+            getattr(s, "name", type(s).__name__) for s in sims) + ")"
+        self._N: int | None = None
+
+    def bind_collection(self, doc_count: int, sum_ttf: int) -> None:
+        self._N = int(doc_count)
+        for s in self.sims:
+            if hasattr(s, "bind_collection"):
+                s.bind_collection(doc_count, sum_ttf)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def multi_idf(self, idfs: list[np.float32]) -> np.float32:
+        return np.float32(1.0)
+
+    def _sub_weight(self, sub, boost: float, df: int, ttf: int):
+        if getattr(sub, "stats_based", False):
+            return sub.term_weight(boost, df, ttf)
+        return np.float32(np.float32(boost) * sub.idf(df, self._N))
+
+    def term_weight(self, boost: float, df: int, ttf: int) -> _MultiSimWeight:
+        if self._N is None:
+            raise ValueError("MultiSim not bound to a collection")
+        return _MultiSimWeight(
+            [self._sub_weight(s, boost, df, ttf) for s in self.sims])
+
+    def multi_weight(self, boost: float,
+                     pairs: list[tuple[int, int]]) -> _MultiSimWeight:
+        if self._N is None:
+            raise ValueError("MultiSim not bound to a collection")
+        subs = []
+        for s in self.sims:
+            if getattr(s, "stats_based", False):
+                subs.append(s.multi_weight(boost, pairs))
+            else:
+                idfs = [s.idf(df, self._N) for df, _ in pairs]
+                subs.append(np.float32(np.float32(boost) * s.multi_idf(idfs)))
+        return _MultiSimWeight(subs)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight) -> np.ndarray:
+        n = len(np.asarray(freqs))
+        if not isinstance(weight, _MultiSimWeight):
+            return np.zeros(n, dtype=np.float32)
+        acc = np.zeros(n, dtype=np.float64)
+        for sub, w in zip(self.sims, weight.subs):
+            acc += sub.score(freqs, norm_bytes, w).astype(np.float64)
+        return acc.astype(np.float32)
+
+
+# -------------------------------------------------------- registry
+
+#: string spec -> zero-collection-arg constructor (defaults per the
+#: reference's parameter-free constructors); parameterized configs are
+#: constructed directly and passed as objects
+SPECS = {
+    "dfr": lambda: DFRSim("ine", "b", "h2"),
+    "dfr_g_l_h1": lambda: DFRSim("g", "l", "h1"),
+    "dfr_if_b_h3": lambda: DFRSim("if", "b", "h3"),
+    "ib_spl_df_h2": lambda: IBSim("spl", "df", "h2"),
+    "ib_ll_ttf_h1": lambda: IBSim("ll", "ttf", "h1"),
+    "lm_dirichlet": LMDirichletSim,
+    "lm_jelinek_mercer": LMJelinekMercerSim,
+    "indri_dirichlet": IndriDirichletSim,
+    "dfi_chisquared": lambda: DFISim("chisquared"),
+    "dfi_standardized": lambda: DFISim("standardized"),
+    "dfi_saturated": lambda: DFISim("saturated"),
+    "axiomatic_f1exp": lambda: AxiomaticSim("f1exp"),
+    "axiomatic_f1log": lambda: AxiomaticSim("f1log"),
+    "axiomatic_f2exp": lambda: AxiomaticSim("f2exp"),
+    "axiomatic_f2log": lambda: AxiomaticSim("f2log"),
+    "axiomatic_f3exp": lambda: AxiomaticSim("f3exp", query_len=1),
+    "axiomatic_f3log": lambda: AxiomaticSim("f3log", query_len=1),
+    "raw_tf": RawTFSim,
+}

@@ -208,9 +208,24 @@ class BooleanSim:
 
 
 def make_similarity(spec, avgdl_f32: np.float32,
-                    k1: float | None = None, b: float | None = None):
-    """Resolve a similarity spec: "bm25" (default) | "classic" | "boolean"
-    or an already-constructed similarity object (duck-typed)."""
+                    k1: float | None = None, b: float | None = None,
+                    doc_count: int | None = None,
+                    sum_ttf: int | None = None):
+    """Resolve a similarity spec: "bm25" (default) | "classic" |
+    "boolean" | a ``simbase.SPECS`` name (the SimilarityBase family —
+    "lm_dirichlet", "dfi_chisquared", "axiomatic_f2exp", ...) or an
+    already-constructed similarity object (duck-typed). Stats-based
+    similarities are bound to the collection statistics
+    (``bind_collection``) when ``doc_count``/``sum_ttf`` are given —
+    the searcher passes its (possibly composite) statistics here."""
+    sim = _resolve(spec, avgdl_f32, k1, b)
+    if doc_count is not None and hasattr(sim, "bind_collection"):
+        sim.bind_collection(int(doc_count), int(sum_ttf))
+    return sim
+
+
+def _resolve(spec, avgdl_f32: np.float32,
+             k1: float | None = None, b: float | None = None):
     if spec is None or spec == "bm25":
         return BM25Sim(avgdl_f32, k1, b)
     if k1 is not None or b is not None:
@@ -219,6 +234,11 @@ def make_similarity(spec, avgdl_f32: np.float32,
         return ClassicSim()
     if spec == "boolean":
         return BooleanSim()
+    if isinstance(spec, str):
+        from lucene_spark.functions import simbase
+
+        if spec in simbase.SPECS:
+            return simbase.SPECS[spec]()
     if not isinstance(spec, str):
         # duck-typed custom scorer: the engine calls all four members
         # (phrase/synonym paths need multi_idf; the pruned-path guards

@@ -554,6 +554,123 @@ def _sweetspot_hyper_leaf_score(weight_expr: str, freq_expr: str,
     return f"(({tf} * {weight_expr}) * {norm})"
 
 
+# ------------------------------------------------- SimilarityBase twins
+
+#: Math.log(2) as the exact double literal (SimilarityBase.LOG_2 — log2
+#: is a DIVISION by this constant, not a native log2)
+_LN2 = "0.6931471805599453"
+
+#: float hyper-parameters exactly as the double widening of their f32
+#: fields sees them
+_F32 = {
+    "lmjm_lam": "0.10000000149011612",       # (double) 0.1f
+    "lmjm_1m": "0.8999999761581421",         # (double) (1 - 0.1f), f32 sub
+    "ax_k": "0.3499999940395355",            # (double) 0.35f
+    "nextup_1f": "1.0000001192092896",       # Math.nextUp(1.0f)
+}
+
+
+def _log2_sql(x: str) -> str:
+    return f"(ln({x}) / {_LN2})"
+
+
+def _stats_sim_leaf_score(similarity: str, freq_expr: str,
+                          dl_expr: str) -> str:
+    """SimilarityBase family leaf scores (functions/simbase.py twins) —
+    DOUBLE arithmetic throughout with ONE final REAL cast, exactly
+    BasicSimScorer.score's (float) boundary (SimilarityBase.java:193-196).
+    References cl.boost / cl.df / cl.ttf (leaf_df) and c.dc / c.sttf /
+    c.avgfl_d (consts); docLen is the byte4-quantized length as a DOUBLE,
+    avgFieldLength the EXACT double sttf/dc (never the f32 avgdl)."""
+    f = f"CAST({freq_expr} AS DOUBLE)"
+    d = f"CAST({_quantized_len(dl_expr)} AS DOUBLE)"
+    boost = "CAST(cl.boost AS DOUBLE)"
+    avgfl = "c.avgfl_d"
+    if similarity == "lm_dirichlet":
+        # LMDirichletSimilarity.java:73-80, mu = 2000, p = (ttf+1)/(T+1)
+        p = "((cl.ttf + 1.0) / (c.sttf + 1.0))"
+        raw = (f"({boost} * (ln(1 + {f} / (2000.0 * {p})) "
+               f"+ ln(2000.0 / ({d} + 2000.0))))")
+        return f"CAST(CASE WHEN {raw} > 0 THEN {raw} ELSE 0.0 END AS REAL)"
+    if similarity == "lm_jelinek_mercer":
+        # LMJelinekMercerSimilarity.java:60-66, lambda = 0.1f; (1-lambda)
+        # is a FLOAT subtract
+        p = "((cl.ttf + 1.0) / (c.sttf + 1.0))"
+        raw = (f"({boost} * ln(1 + ({_F32['lmjm_1m']} * {f} / {d}) "
+               f"/ ({_F32['lmjm_lam']} * {p})))")
+        return f"CAST({raw} AS REAL)"
+    if similarity == "indri_dirichlet":
+        # IndriDirichletSimilarity.java:61-66 — IndriCollectionModel
+        # p = ttf/(double)T; NO boost in score(); negative scores kept
+        p = "(cl.ttf / CAST(c.sttf AS DOUBLE))"
+        return f"CAST(ln(({f} + 2000.0 * {p}) / ({d} + 2000.0)) AS REAL)"
+    if similarity.startswith("dfi_"):
+        # DFISimilarity.java:57-70: expected = (ttf+1)*docLen/(T+1);
+        # freq <= expected scores 0; else boost * log2(measure + 1)
+        e = f"(((cl.ttf + 1) * {d}) / (c.sttf + 1))"
+        kind = similarity[4:]
+        if kind == "chisquared":
+            m = f"(({f} - {e}) * ({f} - {e}) / {e})"
+        elif kind == "standardized":
+            m = f"(({f} - {e}) / sqrt({e}))"
+        else:
+            m = f"(({f} - {e}) / {e})"
+        raw = f"({boost} * {_log2_sql(f'({m} + 1.0)')})"
+        return (f"CAST(CASE WHEN {f} <= {e} THEN 0.0 ELSE {raw} END "
+                f"AS REAL)")
+    if similarity.startswith("axiomatic_"):
+        # Axiomatic.java:118-127: (tf * ln * tfln * idf - gamma) * boost,
+        # Math.max(0, .); defaults s=0.25f, queryLen=1, k=0.35f
+        v = similarity[len("axiomatic_"):]
+        tf = (f"(1 + ln(1 + ln({f} + 1.0)))"
+              if v in ("f1exp", "f1log", "f3exp", "f3log") else "1.0")
+        lnc = (f"(({avgfl} + 0.25) / ({avgfl} + {d} * 0.25))"
+               if v in ("f1exp", "f1log") else "1.0")
+        tfln = (f"({f} / ({f} + 0.25 + 0.25 * {d} / {avgfl}))"
+                if v in ("f2exp", "f2log") else "1.0")
+        idf = (f"pow((c.dc + 1.0) / cl.df, {_F32['ax_k']})"
+               if v.endswith("exp") else "ln((c.dc + 1.0) / cl.df)")
+        gamma = (f"((({d} - 1) * 0.25) / {avgfl})"
+                 if v in ("f3exp", "f3log") else "0.0")
+        raw = f"((({tf} * {lnc} * {tfln} * {idf}) - {gamma}) * {boost})"
+        return f"CAST(greatest(CAST(0 AS DOUBLE), {raw}) AS REAL)"
+    if similarity == "dfr":
+        # DFRSimilarity(I(ne), B, H2 c=1): tfn = tf*log2(1 + avgfl/len);
+        # ae*(1+tfn) = (F+1+1.0)/(n+1); ne = N*(1-((N-1)/N)^F);
+        # A = log2((N+1)/(ne+0.5)); score = boost*A*ae*(1 - 1/(1+tfn))
+        tfn = f"({f} * {_log2_sql(f'(1.0 + 1.0 * {avgfl} / {d})')})"
+        ae = "((cl.ttf + 1 + 1.0) / (cl.df + 1))"
+        ne = ("(c.dc * (1.0 - pow((c.dc - 1) / CAST(c.dc AS DOUBLE), "
+              "CAST(cl.ttf AS DOUBLE))))")
+        a = _log2_sql(f"((c.dc + 1) / ({ne} + 0.5))")
+        raw = f"({a} * {ae} * (1.0 - 1.0 / (1.0 + {tfn})))"
+        return f"CAST({boost} * {raw} AS REAL)"
+    if similarity == "ib_ll_ttf_h1":
+        # IBSimilarity(LL, TTF, H1 c=1): lambda = f32((ttf+1)/(N+1))
+        # (nextUp if == 1f, LambdaTTF.java:29-35); tfn = (tf*c)*(avgfl/len);
+        # dist = -ln(lambda/(tfn+lambda))
+        lam_r = "CAST((cl.ttf + 1.0) / (c.dc + 1.0) AS REAL)"
+        lam = (f"CAST(CASE WHEN {lam_r} = CAST(1 AS REAL) "
+               f"THEN CAST({_F32['nextup_1f']} AS REAL) ELSE {lam_r} END "
+               f"AS DOUBLE)")
+        tfn = f"(({f} * 1.0) * ({avgfl} / {d}))"
+        raw = f"(-ln({lam} / ({tfn} + {lam})))"
+        return f"CAST({boost} * {raw} AS REAL)"
+    if similarity == "raw_tf":
+        # RawTFSimilarity.java:38-48: boost * freq, one float multiply
+        return f"(cl.boost * CAST({freq_expr} AS REAL))"
+    raise ValueError(f"unknown stats similarity {similarity!r}")
+
+
+STATS_SIMS = (
+    "lm_dirichlet", "lm_jelinek_mercer", "indri_dirichlet",
+    "dfi_chisquared", "dfi_standardized", "dfi_saturated",
+    "axiomatic_f1exp", "axiomatic_f1log", "axiomatic_f2exp",
+    "axiomatic_f2log", "axiomatic_f3exp", "axiomatic_f3log",
+    "dfr", "ib_ll_ttf_h1", "raw_tf",
+)
+
+
 def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
                     dl_expr: str, k1: float, b: float) -> str:
     if similarity == "bm25":
@@ -567,6 +684,8 @@ def _sim_leaf_score(similarity: str, weight_expr: str, freq_expr: str,
     if similarity == "boolean":
         # BooleanSimilarity.java:52-55 — score == boost; idf below is 1
         return f"CAST({weight_expr} AS REAL)"
+    if similarity in STATS_SIMS:
+        return _stats_sim_leaf_score(similarity, freq_expr, dl_expr)
     raise ValueError(f"unknown similarity {similarity!r}")
 
 
@@ -577,6 +696,8 @@ def _sim_idf_expr(similarity: str) -> str:
         return _classic_idf_expr()
     if similarity == "boolean":
         return "CAST(1 AS REAL)"
+    if similarity in STATS_SIMS:
+        return "CAST(1 AS REAL)"  # stats sims score from cl.df/cl.ttf
     raise ValueError(f"unknown similarity {similarity!r}")
 
 
@@ -659,20 +780,24 @@ def topk_sql(
     return f"""
 WITH {corpus_override or corpus_ctes(table, id_col, text_col, stop, vocab_map, synonyms, drop_where)},
 consts AS (
-  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc FROM st
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc,
+         st.sttf AS sttf, st.sttf / CAST(st.dc AS DOUBLE) AS avgfl_d FROM st
 ),
 clauses(clause_id, kind, term, boost) AS (VALUES {values}),
 leaf_df AS (
   SELECT cl.clause_id, cl.kind, cl.term, cl.boost,
          {_sim_idf_expr(similarity).replace('ldf.df', 'coalesce(df.df, 0)')} AS idf,
-         coalesce(df.df, 0) AS df
-  FROM clauses cl LEFT JOIN df ON df.term = cl.term, consts c
+         coalesce(df.df, 0) AS df, coalesce(tt.ttf, 0) AS ttf
+  FROM clauses cl LEFT JOIN df ON df.term = cl.term
+  LEFT JOIN (SELECT term, CAST(sum(freq) AS BIGINT) AS ttf
+             FROM tf GROUP BY term) tt ON tt.term = cl.term, consts c
 ),
 scored AS (
   SELECT tf.doc_id, cl.clause_id, cl.kind,
          {score.replace('ldf.idf', 'cl.idf')} AS score
   FROM tf
-  JOIN (SELECT clause_id, kind, term, boost, idf FROM leaf_df) cl ON cl.term = tf.term
+  JOIN (SELECT clause_id, kind, term, boost, idf, df, ttf FROM leaf_df) cl
+    ON cl.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id, consts c
 ),
 agg AS (

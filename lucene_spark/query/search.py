@@ -166,7 +166,9 @@ class IndexSearcher:
         self.avgdl = bm25.avgdl(self.sum_ttf, self.doc_count)
         from lucene_spark.functions.similarity import make_similarity
 
-        self.sim = make_similarity(similarity, self.avgdl, k1, b)
+        self.sim = make_similarity(similarity, self.avgdl, k1, b,
+                                   doc_count=self.doc_count,
+                                   sum_ttf=self.sum_ttf)
         self.k1 = getattr(self.sim, "k1", np.float32(bm25.K1_DEFAULT))
         self.b = getattr(self.sim, "b", np.float32(bm25.B_DEFAULT))
         #: BM25 norm-inverse cache; None for non-BM25 similarities (the
@@ -628,10 +630,7 @@ class IndexSearcher:
         stats = self.term_stats([term])
         if term not in stats:
             return self._empty_hits()
-        w = self._multi_term_weight(
-            np.float32(boost),
-            [self.sim.idf(stats[term][0], self.doc_count)],
-        )
+        w = self._multi_term_weight(np.float32(boost), [stats[term]])
         rows = self.positions_table().filter(
             (F.col("term_bucket") == term_bucket_of(term, self.buckets))
             & (F.col("term") == term)
@@ -657,9 +656,7 @@ class IndexSearcher:
         if not present:
             return self._empty_hits()
         w = self._multi_term_weight(
-            np.float32(boost),
-            [self.sim.idf(stats[t][0], self.doc_count) for t in present],
-        )
+            np.float32(boost), [stats[t] for t in present])
         buckets = sorted({term_bucket_of(t, self.buckets) for t in present})
         rows = self.positions_table().filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
@@ -681,10 +678,7 @@ class IndexSearcher:
         stats = self.term_stats([include])
         if include not in stats:
             return self._empty_hits()
-        w = self._multi_term_weight(
-            np.float32(boost),
-            [self.sim.idf(stats[include][0], self.doc_count)],
-        )
+        w = self._multi_term_weight(np.float32(boost), [stats[include]])
         pos = self.positions_table()
         inc = pos.filter(
             (F.col("term_bucket") == term_bucket_of(include, self.buckets))
@@ -995,7 +989,14 @@ class IndexSearcher:
                 acc += np.float64(np.float32(s))
             details.append({
                 "kind": c.kind, "term": c.term, "freq": freq,
-                "weight": float(c.weight), "norm_byte": nb,
+                # stats-based similarities carry an opaque TermWeight —
+                # surface its fields instead of a scalar
+                "weight": (float(c.weight) if np.isscalar(c.weight)
+                           else {a: getattr(c.weight, a)
+                                 for a in getattr(c.weight, "__slots__", ())
+                                 if not isinstance(getattr(c.weight, a),
+                                                   list)}),
+                "norm_byte": nb,
                 "field_len": int(norm_row[0]["field_len"]),
                 "score": s,
             })
@@ -1964,8 +1965,8 @@ class IndexSearcher:
         present = [t for t in reg if t in stats]
         if not present:
             return empty()
-        idfs = [self.sim.idf(stats[t][0], self.doc_count) for t in present]
-        w = self._multi_term_weight(np.float32(1.0), idfs)
+        w = self._multi_term_weight(
+            np.float32(1.0), [stats[t] for t in present])
         tids = [ta._term_to_id[t] for t in present]
         n_s = len(present)
         j = self._slot_position_frame(
@@ -2014,9 +2015,9 @@ class IndexSearcher:
                          for _, sl in real]
         if any(not sl for sl in present_slots):
             return empty()
-        idfs = [self.sim.idf(stats[t][0], self.doc_count)
-                for _, sl in real for t in sl if t in stats]
-        w = self._multi_term_weight(np.float32(1.0), idfs)
+        w = self._multi_term_weight(
+            np.float32(1.0),
+            [stats[t] for _, sl in real for t in sl if t in stats])
         offs = [i - real[0][0] for i, _ in real]
         j = self._slot_position_frame(present_slots)
         n_slots = len(present_slots)
@@ -2236,6 +2237,12 @@ class IndexSearcher:
         Regexp patterns needing the automaton layer: ``cond`` is then a
         sound SUPERSET pushdown (every ``&`` weakened to ``|``) and the
         per-term frame is re-verified exactly before scoring."""
+        if hasattr(self.sim, "term_weight"):
+            # stats-based similarities need each expanded term's
+            # totalTermFreq, which block metadata alone cannot supply —
+            # route through the driver-bounded SHOULD rewrite instead
+            # (TooManyClauses-capped, full TermStatistics per clause)
+            return None
         boost = np.float32(1.0)
         if isinstance(q, BoostQuery) and not isinstance(q.query, BoostQuery):
             inner = q.query
@@ -2798,10 +2805,32 @@ class IndexSearcher:
             self._positions = self.spark.read.parquet(p)
         return self._positions
 
-    def _multi_term_weight(self, boost: np.float32, idfs: list[np.float32]) -> np.float32:
-        """float32(boost * multi_idf) — the phrase/synonym idf accumulation
+    def _term_weight1(self, boost, df: int, ttf: int):
+        """Per-term clause weight. Scalar similarities: float32(boost *
+        idf) (BM25Similarity.java:97). Stats-based similarities
+        (functions/simbase.py): an opaque TermWeight binding (df, ttf) —
+        built exactly where the reference builds BasicStats
+        (SimilarityBase.java:56-67); every score path passes it through
+        to sim.score unchanged."""
+        tw = getattr(self.sim, "term_weight", None)
+        if tw is not None:
+            return tw(float(boost), int(df), int(ttf))
+        return np.float32(np.float32(boost) * self.sim.idf(df, self.doc_count))
+
+    def _multi_term_weight(self, boost: np.float32,
+                           pairs: list[tuple[int, int]]):
+        """Multi-term (phrase/span/synonym-fold) weight over the clause
+        terms' (doc_freq, total_term_freq) stats. Scalar similarities:
+        float32(boost * multi_idf) — the idf accumulation
         (BM25Similarity.java:161-170 / TFIDFSimilarity.java:392-401:
-        Σ_double of f32 idfs, cast f32; BooleanSimilarity: 1.0)."""
+        Σ_double of f32 idfs, cast f32; BooleanSimilarity: 1.0).
+        Stats-based similarities: a MultiWeight — the per-term scores
+        summed in double, final f32 (MultiSimilarity.MultiSimScorer,
+        exactly how SimilarityBase scores multi-term weights)."""
+        mw = getattr(self.sim, "multi_weight", None)
+        if mw is not None:
+            return mw(float(boost), [(int(d), int(t)) for d, t in pairs])
+        idfs = [self.sim.idf(int(d), self.doc_count) for d, _ in pairs]
         return np.float32(np.float32(boost) * self.sim.multi_idf(idfs))
 
     def _score_freq_frame(self, matched: DataFrame, w: np.float32) -> DataFrame:
@@ -2834,9 +2863,7 @@ class IndexSearcher:
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return None
-        w = self._multi_term_weight(
-            boost, [self.sim.idf(stats[t][0], self.doc_count) for t in terms]
-        )
+        w = self._multi_term_weight(boost, [stats[t] for t in terms])
         return self._phrase_core([(t,) for t in terms], int(q.slop), w)
 
     def _multi_phrase(self, q: MultiPhraseQuery, boost: np.float32) -> DataFrame | None:
@@ -2852,13 +2879,8 @@ class IndexSearcher:
             return None  # a slot with no existing alternative kills the phrase
         # idf sum over ALL existing terms, slot-then-term order, skipping
         # absent and counting duplicates once per occurrence in the arrays
-        idfs = [
-            self.sim.idf(stats[t][0], self.doc_count)
-            for sl in slots
-            for t in sl
-            if t in stats
-        ]
-        w = self._multi_term_weight(boost, idfs)
+        w = self._multi_term_weight(
+            boost, [stats[t] for sl in slots for t in sl if t in stats])
         return self._phrase_core(present_slots, 0, w)
 
     def _slot_position_frame(
@@ -3013,9 +3035,7 @@ class IndexSearcher:
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return None
-        w = self._multi_term_weight(
-            boost, [self.sim.idf(stats[t][0], self.doc_count) for t in terms]
-        )
+        w = self._multi_term_weight(boost, [stats[t] for t in terms])
         if q.in_order:
             # ordered spans may NOT reorder — keep the in-order greedy
             # matcher (PhraseQuery slop uses the reordering sloppy matcher)
@@ -3063,8 +3083,11 @@ class IndexSearcher:
         present = [t for t in terms if t in stats]
         if not present:
             return None
+        # pseudo-term statistics: df = max, ttf = SUM over present terms
+        # (SynonymQuery.java:211-228)
         df_blend = max(stats[t][0] for t in present)
-        w = np.float32(np.float32(boost) * self.sim.idf(df_blend, self.doc_count))
+        ttf_blend = sum(stats[t][1] for t in present)
+        w = self._term_weight1(boost, df_blend, ttf_blend)
         # one postings scan; FREQS (not scores) summed per doc
         buckets = sorted({term_bucket_of(t, self.buckets) for t in present})
         scan = (
@@ -3160,7 +3183,7 @@ class IndexSearcher:
                     else (df_ttf[0] if df_ttf else 0)
                 )
                 w = (
-                    bm25.weight(float(b), self.sim.idf(df, self.doc_count))
+                    self._term_weight1(b, df, df_ttf[1])
                     if df_ttf
                     else np.float32(0.0)
                 )

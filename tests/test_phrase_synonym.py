@@ -330,9 +330,7 @@ def test_sloppy_phrase_semantics(spark, tmp_path):
     stats = s.term_stats(["alpha", "beta"])
     import numpy as _np
     w = s._multi_term_weight(
-        _np.float32(1.0),
-        [bm25.idf(stats[t][0], s.doc_count) for t in ("alpha", "beta")],
-    )
+        _np.float32(1.0), [stats[t] for t in ("alpha", "beta")])
     flen4 = 6
     nb = int(int_to_byte4_np(_np.array([flen4]))[0])
     expect = bm25.score(_np.array([1.5]), _np.array([nb]), w, s.cache)[0]

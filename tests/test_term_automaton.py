@@ -104,9 +104,8 @@ def test_direct_scorer_vs_brute_force(searcher):
 
     toks = _doc_tokens(searcher)
     stats = searcher.term_stats(ta.terms)
-    idfs = [searcher.sim.idf(stats[t][0], searcher.doc_count)
-            for t in ta.terms if t in stats]
-    w = searcher._multi_term_weight(np.float32(1.0), idfs)
+    w = searcher._multi_term_weight(
+        np.float32(1.0), [stats[t] for t in ta.terms if t in stats])
     norms = {r.doc_id: r.norm_byte
              for r in searcher.docmap().select("doc_id", "norm_byte").collect()}
     expect = []
@@ -154,9 +153,8 @@ def test_gapped_sausage(searcher):
 
     toks = _doc_tokens(searcher)
     stats = searcher.term_stats(["scan", "merge"])
-    w = searcher._multi_term_weight(np.float32(1.0), [
-        searcher.sim.idf(stats["scan"][0], searcher.doc_count),
-        searcher.sim.idf(stats["merge"][0], searcher.doc_count)])
+    w = searcher._multi_term_weight(
+        np.float32(1.0), [stats["scan"], stats["merge"]])
     norms = {r.doc_id: r.norm_byte
              for r in searcher.docmap().select("doc_id", "norm_byte").collect()}
     expect = []
@@ -257,9 +255,8 @@ def test_token_stream_to_automaton(searcher):
     assert matched
     # freq identity vs the brute path enumerator
     stats = searcher.term_stats(ta.terms)
-    idfs = [searcher.sim.idf(stats[t][0], searcher.doc_count)
-            for t in ta.terms if t in stats]
-    w = searcher._multi_term_weight(np.float32(1.0), idfs)
+    w = searcher._multi_term_weight(
+        np.float32(1.0), [stats[t] for t in ta.terms if t in stats])
     norms = {r.doc_id: r.norm_byte
              for r in searcher.docmap().select(
                  "doc_id", "norm_byte").collect()}
