@@ -1204,6 +1204,31 @@ def _stats_sim_entry(spec: str):
     return run
 
 
+#: SimpleQueryParser entry (queryparser/simple/SimpleQueryParser.java):
+#: the human-friendly syntax parsed by query/simpleparser.py (state
+#: machine fuzz-verified tree-for-tree vs the compiled reference class,
+#: tools/simpleqp_parity.py) — this string exercises +, |, a phrase and
+#: a trailing-* prefix, producing the right-leaning
+#: {SHOULD [bool(MUST scan, MUST merge), "scan merge", mer*]} tree
+_SIMPLE_QP_QUERY = 'scan + merge | "scan merge" | mer*'
+
+
+def _simple_qp_df(spark, sf_dir):
+    """SimpleQueryParser over the shared index: parse + search; the
+    oracle combines the three children with the SHOULD double-sum fold
+    (sqlgen.should_sum_sql)."""
+    from lucene_spark.functions.analysis import analyze_one_chain
+    from lucene_spark.query.simpleparser import SimpleQueryParser
+
+    s = _searcher(spark, sf_dir)
+    p = SimpleQueryParser(
+        analyze=lambda t: analyze_one_chain(t, "simple")[0])
+    hits = s.search(p.parse(_SIMPLE_QP_QUERY), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2659,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["boolean_sim_topk"] = _boolean_sim_df
     for _sk, _ss in _STATS_SIM_SPECS:
         out[_sk] = _stats_sim_entry(_ss)
+    out["simple_query_parser"] = _simple_qp_df
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -3267,6 +3293,13 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
         out[_sk] = sqlgen.topk_sql(
             parse_query(json.dumps(_SIM_AST)), _QUERY_K, similarity=_ss,
         )
+    out["simple_query_parser"] = sqlgen.should_sum_sql([
+        sqlgen.topk_sql(parse_query(json.dumps(
+            {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}})),
+            1 << 30),
+        sqlgen.phrase_topk_sql(["scan", "merge"], 1 << 30),
+        sqlgen.prefix_topk_sql("mer", 1 << 30),
+    ], _QUERY_K)
     out["facet_ranges"] = sqlgen.facet_ranges_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FACET_RANGES,
     )

@@ -818,6 +818,36 @@ LIMIT {k}
 """.strip()
 
 
+def should_sum_sql(children: list[str], k: int) -> str:
+    """Pure-disjunction combiner over complete child SELECTs: each child
+    is any generator's full top-k statement (its trailing ORDER BY/LIMIT
+    is stripped so EVERY matching doc flows through); score = the
+    engine's SHOULD fold — per-child float32 scores summed in DOUBLE,
+    one final REAL cast (DisjunctionSumScorer boundaries). Used for
+    parser-produced nested trees (e.g. SimpleQueryParser's right-leaning
+    ``a + b | "p q" | pre*`` shape) whose children the existing
+    generators already score exactly."""
+    stripped = [c[: c.rindex("ORDER BY")].strip() for c in children]
+    ctes = ",\n".join(
+        f"c{i} AS (\n{sql}\n)" for i, sql in enumerate(stripped))
+    union = " UNION ".join(
+        f"SELECT doc_id FROM c{i}" for i in range(len(children)))
+    joins = "".join(
+        f" LEFT JOIN c{i} ON c{i}.doc_id = u.doc_id"
+        for i in range(len(children)))
+    total = " + ".join(
+        f"coalesce(CAST(c{i}.score AS DOUBLE), 0)"
+        for i in range(len(children)))
+    return f"""
+WITH {ctes},
+u AS ({union})
+SELECT u.doc_id AS doc_id, CAST({total} AS REAL) AS score
+FROM u{joins}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def covering_topk_sql(terms: tuple[str, ...], k: int, min_match_sql: str,
                       table: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text") -> str:

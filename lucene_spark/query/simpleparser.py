@@ -1,0 +1,344 @@
+"""SimpleQueryParser — the human-friendly, never-fails query syntax of
+``queryparser/simple/SimpleQueryParser.java`` re-expressed over the
+engine AST.
+
+Syntax (``SimpleQueryParser.java:36-100``): ``+`` AND, ``|`` OR, ``-``
+NOT (prefix), ``"..."`` phrase (``~N`` slop), ``term*`` prefix,
+``term~N`` fuzzy, ``( )`` precedence, ``\\`` escape, whitespace
+delimits; any syntax error is silently repaired (unmatched ``(``/``"``
+dropped, stray ``)`` ignored). ``*`` alone = MatchAllDocs; an empty
+parse = MatchNoDocs.
+
+Semantics transcribed from the parse state machine (``:178-533``),
+fuzz-verified tree-for-tree against the COMPILED reference class
+(tools/simpleqp_parity.py):
+
+  - operators apply to the NEXT token; a ``+``/``|`` before any token,
+    or a second operator in a row, is ignored (``:189-210``);
+  - ``-`` counts are taken mod 2 and survive ONLY immediately before a
+    token — any other character (even whitespace) resets them
+    (``:212-219,232-235``);
+  - the tree grows right-leaning: an operator CHANGE wraps the current
+    top in a new parent (``buildQueryTree``, ``:449-489``), so
+    ``a + b | c`` is ``(((a AND b)) OR c)``;
+  - a negated token becomes ``{MUST_NOT branch, SHOULD MatchAllDocs}``
+    (``:453-459``) — the MatchAll keeps the clause scoring 1.0 for
+    every surviving doc, exactly the reference's shape;
+  - ``~`` fuzziness: empty -> 2, non-numeric -> 0, negative -> 0,
+    capped at 2 (LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE),
+    0 -> plain term query (``:412-419,495-533``);
+  - ``"..."~`` with the tilde as the LAST character keeps slop 0
+    (``consumePhrase``'s hasSlop needs a char after the tilde);
+  - fuzzy/prefix terms are NORMALIZED, not tokenized
+    (``newFuzzyQuery``/``newPrefixQuery`` call analyzer.normalize);
+    plain terms run the full chain (``createBooleanQuery``) — several
+    analyzed tokens become a Boolean of the default operator, phrases
+    a PhraseQuery (``QueryBuilder`` semantics, single field weight 1).
+
+The ``flags`` bitmask enables individual operators exactly like the
+reference constants (AND_OPERATOR..NEAR_OPERATOR); -1 = everything.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+)
+
+AND_OPERATOR = 1 << 0
+NOT_OPERATOR = 1 << 1
+OR_OPERATOR = 1 << 2
+PREFIX_OPERATOR = 1 << 3
+PHRASE_OPERATOR = 1 << 4
+PRECEDENCE_OPERATORS = 1 << 5
+ESCAPE_OPERATOR = 1 << 6
+WHITESPACE_OPERATOR = 1 << 7
+FUZZY_OPERATOR = 1 << 8
+NEAR_OPERATOR = 1 << 9
+
+_MAX_FUZZINESS = 2   # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
+_WS = (" ", "\t", "\n", "\r")
+
+
+def _std_analyze(text: str) -> list[str]:
+    from lucene_spark.functions.analysis import analyze_one
+
+    return analyze_one(text)[0]
+
+
+def _std_normalize(text: str) -> str:
+    from lucene_spark.functions.analysis import java_lower
+
+    return java_lower(text)
+
+
+@dataclass
+class _State:
+    data: str
+    index: int
+    length: int
+    current_op: str | None = None    # "must" | "should"
+    previous_op: str | None = None
+    not_count: int = 0
+    top: Query | None = None
+
+
+class SimpleQueryParser:
+    """Single-field SimpleQueryParser over a pluggable analysis chain.
+
+    ``analyze(text) -> list[str]`` replays createBooleanQuery/
+    createPhraseQuery tokenization; ``normalize(text) -> str`` the
+    filter-only normalize used by fuzzy/prefix terms."""
+
+    def __init__(self, flags: int = -1, default_operator: str = "should",
+                 analyze=None, normalize=None):
+        if default_operator not in ("should", "must"):
+            raise ValueError(
+                "invalid operator: only SHOULD or MUST are allowed")
+        self.flags = flags
+        self.default_operator = default_operator
+        self.analyze = analyze or _std_analyze
+        self.normalize = normalize or _std_normalize
+
+    # ------------------------------------------------------------ parse
+
+    def parse(self, query_text: str) -> Query:
+        if query_text.strip() == "*":
+            return MatchAllDocsQuery()
+        state = _State(query_text, 0, len(query_text))
+        self._parse_sub_query(state)
+        if state.top is None:
+            return MatchNoDocsQuery()
+        return state.top
+
+    def _parse_sub_query(self, state: _State) -> None:
+        while state.index < state.length:
+            c = state.data[state.index]
+            if c == "(" and self.flags & PRECEDENCE_OPERATORS:
+                self._consume_sub_query(state)
+            elif c == ")" and self.flags & PRECEDENCE_OPERATORS:
+                state.index += 1   # extraneous — ignored
+            elif c == '"' and self.flags & PHRASE_OPERATOR:
+                self._consume_phrase(state)
+            elif c == "+" and self.flags & AND_OPERATOR:
+                if state.current_op is None and state.top is not None:
+                    state.current_op = "must"
+                state.index += 1
+            elif c == "|" and self.flags & OR_OPERATOR:
+                if state.current_op is None and state.top is not None:
+                    state.current_op = "should"
+                state.index += 1
+            elif c == "-" and self.flags & NOT_OPERATOR:
+                state.not_count += 1
+                state.index += 1
+                continue   # do NOT reset the not counter
+            elif c in _WS and self.flags & WHITESPACE_OPERATOR:
+                state.index += 1
+            else:
+                self._consume_token(state)
+            state.not_count = 0
+
+    def _consume_sub_query(self, state: _State) -> None:
+        start = state.index + 1
+        state.index = start
+        precedence = 1
+        escaped = False
+        while state.index < state.length:
+            if not escaped:
+                c = state.data[state.index]
+                if c == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    state.index += 1
+                    continue
+                elif c == "(":
+                    precedence += 1
+                elif c == ")":
+                    precedence -= 1
+                    if precedence == 0:
+                        break
+            escaped = False
+            state.index += 1
+        if state.index == state.length:
+            # no closing paren: the '(' is extraneous — re-parse after it
+            state.index = start
+        elif state.index == start:
+            # '()' — the pending operation would have applied to it
+            state.current_op = None
+            state.index += 1
+        else:
+            sub = _State(state.data, start, state.index)
+            self._parse_sub_query(sub)
+            self._build_query_tree(state, sub.top)
+            state.index += 1
+
+    def _consume_phrase(self, state: _State) -> None:
+        start = state.index + 1
+        state.index = start
+        buf: list[str] = []
+        escaped = False
+        has_slop = False
+        while state.index < state.length:
+            if not escaped:
+                c = state.data[state.index]
+                if c == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    state.index += 1
+                    continue
+                elif c == '"':
+                    if (state.length > state.index + 1
+                            and state.data[state.index + 1] == "~"
+                            and self.flags & NEAR_OPERATOR):
+                        state.index += 1
+                        if state.length > state.index + 1:
+                            has_slop = True
+                        break
+                    break
+            escaped = False
+            buf.append(state.data[state.index])
+            state.index += 1
+        if state.index == state.length:
+            state.index = start
+        elif state.index == start:
+            state.current_op = None
+            state.index += 1
+        else:
+            phrase = "".join(buf)
+            slop = self._parse_fuzziness(state) if has_slop else 0
+            self._build_query_tree(state, self._new_phrase_query(phrase, slop))
+            state.index += 1
+
+    def _token_finished(self, state: _State) -> bool:
+        c = state.data[state.index]
+        return bool(
+            (c == '"' and self.flags & PHRASE_OPERATOR)
+            or (c == "|" and self.flags & OR_OPERATOR)
+            or (c == "+" and self.flags & AND_OPERATOR)
+            or (c == "(" and self.flags & PRECEDENCE_OPERATORS)
+            or (c == ")" and self.flags & PRECEDENCE_OPERATORS)
+            or (c in _WS and self.flags & WHITESPACE_OPERATOR)
+        )
+
+    def _consume_token(self, state: _State) -> None:
+        buf: list[str] = []
+        escaped = False
+        prefix = False
+        fuzzy = False
+        while state.index < state.length:
+            if not escaped:
+                c = state.data[state.index]
+                if c == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    prefix = False
+                    state.index += 1
+                    continue
+                elif self._token_finished(state):
+                    break
+                elif buf and c == "~" and self.flags & FUZZY_OPERATOR:
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and c == "*" \
+                    and bool(self.flags & PREFIX_OPERATOR)
+            escaped = False
+            buf.append(state.data[state.index])
+            state.index += 1
+        if buf:
+            if fuzzy and self.flags & FUZZY_OPERATOR:
+                token = "".join(buf)
+                fuzziness = min(self._parse_fuzziness(state), _MAX_FUZZINESS)
+                if fuzziness == 0:
+                    branch = self._new_default_query(token)
+                else:
+                    branch = self._new_fuzzy_query(token, fuzziness)
+            elif prefix:
+                branch = self._new_prefix_query("".join(buf[:-1]))
+            else:
+                branch = self._new_default_query("".join(buf))
+            self._build_query_tree(state, branch)
+
+    def _parse_fuzziness(self, state: _State) -> int:
+        if state.index >= state.length or state.data[state.index] != "~":
+            return 0
+        chars: list[str] = []
+        while state.index < state.length:
+            state.index += 1
+            if state.index < state.length:
+                if self._token_finished(state):
+                    break
+                chars.append(state.data[state.index])
+        text = "".join(chars)
+        if text == "":
+            return 2   # automatic fuzziness
+        # Integer.parseInt semantics: NO whitespace stripping (python
+        # int() would accept "2\t"), optional sign, digits only
+        import re
+
+        if re.fullmatch(r"[+-]?[0-9]+", text):
+            fuzziness = int(text)
+        else:
+            fuzziness = 0   # swallowed NumberFormatException
+        return max(fuzziness, 0)
+
+    # ------------------------------------------------------- tree build
+
+    def _build_query_tree(self, state: _State, branch: Query | None) -> None:
+        if branch is None:
+            return
+        if state.not_count % 2 == 1:
+            branch = BooleanQuery(
+                must_not=[branch], should=[MatchAllDocsQuery()])
+        if state.top is None:
+            state.top = branch
+        else:
+            if state.current_op is None:
+                state.current_op = self.default_operator
+            if state.previous_op != state.current_op:
+                # operational change: new parent node (right-leaning tree)
+                parent = BooleanQuery()
+                self._add_clause(parent, state.top, state.current_op)
+                state.top = parent
+            self._add_clause(state.top, branch, state.current_op)
+            state.previous_op = state.current_op
+        state.current_op = None
+
+    @staticmethod
+    def _add_clause(bq: BooleanQuery, q: Query, occur: str) -> None:
+        (bq.must if occur == "must" else bq.should).append(q)
+
+    # ------------------------------------------------- factory methods
+
+    def _new_default_query(self, text: str) -> Query | None:
+        """createBooleanQuery(field, text, defaultOperator): the analysis
+        chain may split the raw token into several terms
+        (``QueryBuilder.java`` createFieldQuery BOOLEAN mode)."""
+        toks = self.analyze(text)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(toks[0])
+        occur = self.default_operator
+        if occur == "must":
+            return BooleanQuery(must=[TermQuery(t) for t in toks])
+        return BooleanQuery(should=[TermQuery(t) for t in toks])
+
+    def _new_phrase_query(self, text: str, slop: int) -> Query | None:
+        toks = self.analyze(text)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(toks[0])
+        return PhraseQuery(tuple(toks), slop=int(slop))
+
+    def _new_fuzzy_query(self, text: str, fuzziness: int) -> Query:
+        return FuzzyQuery(self.normalize(text), max_edits=int(fuzziness))
+
+    def _new_prefix_query(self, text: str) -> Query:
+        return PrefixQuery(self.normalize(text))

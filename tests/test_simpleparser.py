@@ -1,0 +1,149 @@
+"""SimpleQueryParser (query/simpleparser.py): javadoc-example goldens,
+flag gating, error-repair quirks, and engine execution of the parser's
+characteristic shapes (right-leaning trees, the MUST_NOT + MatchAll
+wrapper). Tree-level parity evidence lives in tools/simpleqp_parity.py
+(compiled reference class, 16k randomized cases, 0 mismatches)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.query import simpleparser as sp
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+from lucene_spark.query.search import IndexSearcher
+
+
+def _p(flags: int = -1, op: str = "should") -> sp.SimpleQueryParser:
+    return sp.SimpleQueryParser(
+        flags=flags, default_operator=op,
+        analyze=lambda t: [x for x in t.strip().lower().split() if x],
+        normalize=str.lower)
+
+
+def test_javadoc_examples():
+    p = _p()
+    assert p.parse("term1") == TermQuery("term1")
+    assert p.parse("token1+token2") == BooleanQuery(
+        must=[TermQuery("token1"), TermQuery("token2")])
+    assert p.parse("token1|token2") == BooleanQuery(
+        should=[TermQuery("token1"), TermQuery("token2")])
+    # right-to-left precedence: a | b + c == ((a OR b) AND c)
+    assert p.parse("token1 | token2 + token3") == BooleanQuery(must=[
+        BooleanQuery(should=[TermQuery("token1"), TermQuery("token2")]),
+        TermQuery("token3"),
+    ])
+    assert p.parse("token1 + (token2 | token3)") == BooleanQuery(must=[
+        TermQuery("token1"),
+        BooleanQuery(should=[TermQuery("token2"), TermQuery("token3")]),
+    ])
+    assert p.parse('"term1 term2"~5') == PhraseQuery(
+        ("term1", "term2"), slop=5)
+    assert p.parse("term1*") == PrefixQuery("term1")
+    assert p.parse("term~1") == FuzzyQuery("term", max_edits=1)
+    assert p.parse("*") == MatchAllDocsQuery()
+    assert p.parse("") == MatchNoDocsQuery()
+
+
+def test_escaping_rules():
+    p = _p()
+    assert p.parse(r"\-term1") == TermQuery("-term1")
+    assert p.parse("term-1") == TermQuery("term-1")
+    assert p.parse(r"term\-1") == TermQuery("term-1")
+    assert p.parse(r"term1\*") == TermQuery("term1*")
+    assert p.parse("term*1") == TermQuery("term*1")
+    assert p.parse(r"term\*1") == TermQuery("term*1")
+
+
+def test_not_wrapper_shape():
+    p = _p()
+    assert p.parse("-term1") == BooleanQuery(
+        must_not=[TermQuery("term1")], should=[MatchAllDocsQuery()])
+    # double negation cancels
+    assert p.parse("--term1") == TermQuery("term1")
+
+
+def test_error_repair():
+    p = _p()
+    assert p.parse("(a") == TermQuery("a")       # unmatched ( dropped
+    assert p.parse("a)") == TermQuery("a")       # stray ) ignored
+    # unmatched quote: the '"' itself is consumed, the rest re-parsed
+    # (consumePhrase resets index to start, which is PAST the quote)
+    assert p.parse('"unclosed a') == BooleanQuery(
+        should=[TermQuery("unclosed"), TermQuery("a")])
+    assert p.parse("a~") == FuzzyQuery("a", max_edits=2)   # auto ~2
+    assert p.parse("a~9") == FuzzyQuery("a", max_edits=2)  # capped
+    assert p.parse("a~x") == TermQuery("a")      # NaN fuzziness -> 0
+    assert p.parse("a~-3") == TermQuery("a")     # negative -> 0
+    # tilde as last phrase char: slop stays 0
+    assert p.parse('"a b"~') == PhraseQuery(("a", "b"), slop=0)
+
+
+def test_flag_gating():
+    no_fuzzy = _p(flags=-1 & ~sp.FUZZY_OPERATOR)
+    assert no_fuzzy.parse("a~2") == TermQuery("a~2")
+    no_phrase = _p(flags=-1 & ~sp.PHRASE_OPERATOR)
+    assert no_phrase.parse('"a b"') == BooleanQuery(
+        should=[TermQuery('"a'), TermQuery('b"')])
+    no_not = _p(flags=-1 & ~sp.NOT_OPERATOR)
+    assert no_not.parse("-a") == TermQuery("-a")
+
+
+def test_default_operator_must():
+    p = _p(op="must")
+    assert p.parse("a b") == BooleanQuery(
+        must=[TermQuery("a"), TermQuery("b")])
+    with pytest.raises(ValueError):
+        sp.SimpleQueryParser(default_operator="filter")
+
+
+def test_multi_token_analysis_split():
+    # the analyzer may split one raw token into several terms
+    p = sp.SimpleQueryParser(
+        analyze=lambda t: [x for x in t.lower().replace("-", " ").split()
+                           if x],
+        normalize=str.lower)
+    assert p.parse(r"state\-machine") == BooleanQuery(
+        should=[TermQuery("state"), TermQuery("machine")])
+
+
+def test_engine_executes_not_wrapper(built_index, spark):
+    """{MUST_NOT term, SHOULD MatchAll} — every doc NOT containing the
+    term matches with score 1.0 (the MatchAll SHOULD)."""
+    s = IndexSearcher(spark, built_index)
+    p = sp.SimpleQueryParser()
+    q = p.parse("-be")
+    got = s.search(q, 10_000).collect()
+    assert got
+    with_term = {r.doc_id for r in s.search(TermQuery("be"), 10_000).collect()}
+    got_ids = {r.doc_id for r in got}
+    assert not (got_ids & with_term)
+    assert all(np.float32(r.score) == np.float32(1.0) for r in got)
+    assert len(got_ids) == s.doc_count - len(with_term)
+
+
+def test_engine_executes_right_leaning_tree(built_index, spark):
+    """a + b | c: disjunction-sum of the (a AND b) conjunction and c."""
+    s = IndexSearcher(spark, built_index)
+    p = sp.SimpleQueryParser()
+    got = {r.doc_id: np.float32(r.score)
+           for r in s.search(p.parse("ba + be | bi"), 2000).collect()}
+    assert got
+    conj = {r.doc_id: np.float32(r.score) for r in s.search(
+        BooleanQuery(must=[TermQuery("ba"), TermQuery("be")]), 10**6
+    ).collect()}
+    term = {r.doc_id: np.float32(r.score)
+            for r in s.search(TermQuery("bi"), 10**6).collect()}
+    assert set(got) == set(conj) | set(term)
+    for doc, sc in got.items():
+        exp = np.float64(conj.get(doc, np.float32(0.0))) + \
+            np.float64(term.get(doc, np.float32(0.0)))
+        assert sc == np.float32(exp)

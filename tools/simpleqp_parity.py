@@ -1,0 +1,391 @@
+"""Compiled-reference parity fuzz for query/simpleparser.py.
+
+Compiles the reference's SimpleQueryParser.java UNMODIFIED against ~120
+lines of shims (QueryBuilder with a deterministic whitespace+lowercase
+tokenizer, s-expression-printing stub query classes), then fuzzes the
+Python parser tree-for-tree over randomized operator-soup strings ×
+flag combinations × default operators. The comparison is the FULL parse
+tree (occurs, nesting, slop, fuzziness, prefix/phrase/term splits, NOT
+wrappers, MatchAll/MatchNo) — the state machine's error-repair quirks
+(unmatched parens/quotes, operator eating after phrase slop, not-count
+resets) are exactly what this pins.
+
+Run: python tools/simpleqp_parity.py [n_cases]   (default 4000 per cfg)
+"""
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucene_spark.query import simpleparser as sp  # noqa: E402
+from lucene_spark.query.ast import (  # noqa: E402
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+
+ROOT = "/tmp/sqpparity"
+SRC = os.path.join(ROOT, "src")
+REF = ("/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+       "queryparser/simple/SimpleQueryParser.java")
+
+SHIMS = {
+    "org/apache/lucene/util/BytesRef.java": """
+package org.apache.lucene.util;
+public class BytesRef {
+  public final String s;
+  public BytesRef(String s) { this.s = s; }
+  @Override public String toString() { return s; }
+}
+""",
+    "org/apache/lucene/util/automaton/LevenshteinAutomata.java": """
+package org.apache.lucene.util.automaton;
+public class LevenshteinAutomata {
+  public static final int MAXIMUM_SUPPORTED_DISTANCE = 2;
+}
+""",
+    "org/apache/lucene/index/Term.java": """
+package org.apache.lucene.index;
+import org.apache.lucene.util.BytesRef;
+public class Term {
+  public final String field; public final String text;
+  public Term(String f, String t) { field = f; text = t; }
+  public Term(String f, BytesRef t) { field = f; text = t.s; }
+}
+""",
+    "org/apache/lucene/analysis/Analyzer.java": """
+package org.apache.lucene.analysis;
+import java.util.Locale;
+import org.apache.lucene.util.BytesRef;
+public class Analyzer {
+  public BytesRef normalize(String field, String text) {
+    return new BytesRef(text.toLowerCase(Locale.ROOT));
+  }
+}
+""",
+    "org/apache/lucene/search/Query.java": """
+package org.apache.lucene.search;
+public abstract class Query {}
+""",
+    "org/apache/lucene/search/TermQuery.java": """
+package org.apache.lucene.search;
+import org.apache.lucene.index.Term;
+public class TermQuery extends Query {
+  final Term t;
+  public TermQuery(Term t) { this.t = t; }
+  @Override public String toString() { return "(t " + t.text + ")"; }
+}
+""",
+    "org/apache/lucene/search/PhraseQuery.java": """
+package org.apache.lucene.search;
+public class PhraseQuery extends Query {
+  final String[] terms; final int slop;
+  public PhraseQuery(int slop, String field, String... terms) {
+    this.slop = slop; this.terms = terms;
+  }
+  @Override public String toString() {
+    return "(p " + slop + " " + String.join(" ", terms) + ")";
+  }
+}
+""",
+    "org/apache/lucene/search/PrefixQuery.java": """
+package org.apache.lucene.search;
+import org.apache.lucene.index.Term;
+public class PrefixQuery extends Query {
+  final Term t;
+  public PrefixQuery(Term t) { this.t = t; }
+  @Override public String toString() { return "(pre " + t.text + ")"; }
+}
+""",
+    "org/apache/lucene/search/FuzzyQuery.java": """
+package org.apache.lucene.search;
+import org.apache.lucene.index.Term;
+public class FuzzyQuery extends Query {
+  final Term t; final int d;
+  public FuzzyQuery(Term t, int d) { this.t = t; this.d = d; }
+  @Override public String toString() { return "(f " + d + " " + t.text + ")"; }
+}
+""",
+    "org/apache/lucene/search/BoostQuery.java": """
+package org.apache.lucene.search;
+public class BoostQuery extends Query {
+  final Query q; final float b;
+  public BoostQuery(Query q, float b) { this.q = q; this.b = b; }
+  @Override public String toString() { return "(boost " + b + " " + q + ")"; }
+}
+""",
+    "org/apache/lucene/search/MatchAllDocsQuery.java": """
+package org.apache.lucene.search;
+public class MatchAllDocsQuery extends Query {
+  public static final MatchAllDocsQuery INSTANCE = new MatchAllDocsQuery();
+  @Override public String toString() { return "(all)"; }
+}
+""",
+    "org/apache/lucene/search/MatchNoDocsQuery.java": """
+package org.apache.lucene.search;
+public class MatchNoDocsQuery extends Query {
+  public MatchNoDocsQuery(String reason) {}
+  @Override public String toString() { return "(none)"; }
+}
+""",
+    "org/apache/lucene/search/BooleanClause.java": """
+package org.apache.lucene.search;
+public class BooleanClause {
+  public enum Occur { MUST, SHOULD, MUST_NOT, FILTER }
+  final Query q; final Occur o;
+  public BooleanClause(Query q, Occur o) { this.q = q; this.o = o; }
+  public Query query() { return q; }
+  public Occur occur() { return o; }
+}
+""",
+    "org/apache/lucene/search/BooleanQuery.java": """
+package org.apache.lucene.search;
+import java.util.ArrayList;
+import java.util.Iterator;
+import java.util.List;
+public class BooleanQuery extends Query implements Iterable<BooleanClause> {
+  final List<BooleanClause> cl; final int msm;
+  BooleanQuery(List<BooleanClause> cl, int msm) { this.cl = cl; this.msm = msm; }
+  public List<BooleanClause> clauses() { return cl; }
+  public int getMinimumNumberShouldMatch() { return msm; }
+  public Iterator<BooleanClause> iterator() { return cl.iterator(); }
+  @Override public String toString() {
+    StringBuilder sb = new StringBuilder("(b ").append(msm);
+    String[] kinds = {"MUST", "SHOULD", "MUST_NOT"};
+    for (String k : kinds) {
+      for (BooleanClause c : cl) {
+        if (c.occur().name().equals(k)) {
+          sb.append(" [").append(k).append(' ').append(c.query()).append(']');
+        }
+      }
+    }
+    return sb.append(')').toString();
+  }
+  public static class Builder {
+    final List<BooleanClause> cl = new ArrayList<>();
+    int msm = 0;
+    public Builder setMinimumNumberShouldMatch(int m) { msm = m; return this; }
+    public Builder add(BooleanClause c) { cl.add(c); return this; }
+    public Builder add(Query q, BooleanClause.Occur o) {
+      cl.add(new BooleanClause(q, o)); return this;
+    }
+    public BooleanQuery build() { return new BooleanQuery(cl, msm); }
+  }
+}
+""",
+    "org/apache/lucene/util/QueryBuilder.java": """
+package org.apache.lucene.util;
+import java.util.ArrayList;
+import java.util.List;
+import java.util.Locale;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.index.Term;
+import org.apache.lucene.search.BooleanClause;
+import org.apache.lucene.search.BooleanQuery;
+import org.apache.lucene.search.PhraseQuery;
+import org.apache.lucene.search.Query;
+import org.apache.lucene.search.TermQuery;
+public class QueryBuilder {
+  final Analyzer analyzer;
+  public QueryBuilder(Analyzer a) { analyzer = a; }
+  public Analyzer getAnalyzer() { return analyzer; }
+  static List<String> toks(String text) {
+    List<String> out = new ArrayList<>();
+    for (String t : text.trim().toLowerCase(Locale.ROOT).split("\\\\s+")) {
+      if (!t.isEmpty()) out.add(t);
+    }
+    return out;
+  }
+  public Query createBooleanQuery(String field, String text,
+                                  BooleanClause.Occur op) {
+    List<String> ts = toks(text);
+    if (ts.isEmpty()) return null;
+    if (ts.size() == 1) return new TermQuery(new Term(field, ts.get(0)));
+    BooleanQuery.Builder b = new BooleanQuery.Builder();
+    for (String t : ts) b.add(new TermQuery(new Term(field, t)), op);
+    return b.build();
+  }
+  public Query createPhraseQuery(String field, String text, int slop) {
+    List<String> ts = toks(text);
+    if (ts.isEmpty()) return null;
+    if (ts.size() == 1) return new TermQuery(new Term(field, ts.get(0)));
+    return new PhraseQuery(slop, field, ts.toArray(new String[0]));
+  }
+}
+""",
+}
+
+MAIN = r"""
+package org.apache.lucene.queryparser.simple;
+import java.io.BufferedReader;
+import java.io.InputStreamReader;
+import java.util.Base64;
+import java.nio.charset.StandardCharsets;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.search.BooleanClause;
+public class SqpParityMain {
+  public static void main(String[] a) throws Exception {
+    BufferedReader r = new BufferedReader(new InputStreamReader(System.in));
+    StringBuilder out = new StringBuilder();
+    String line;
+    while ((line = r.readLine()) != null) {
+      if (line.isEmpty()) continue;
+      String[] p = line.split("\t", -1);
+      int flags = Integer.parseInt(p[0]);
+      SimpleQueryParser sqp =
+          new SimpleQueryParser(new Analyzer(),
+              java.util.Collections.singletonMap("text", 1.0F), flags);
+      if (p[1].equals("must")) {
+        sqp.setDefaultOperator(BooleanClause.Occur.MUST);
+      }
+      String q = new String(Base64.getDecoder().decode(p[2]),
+                            StandardCharsets.UTF_8);
+      String tree = sqp.parse(q).toString();
+      out.append(Base64.getEncoder().encodeToString(
+          tree.getBytes(StandardCharsets.UTF_8))).append('\n');
+    }
+    System.out.print(out);
+  }
+}
+"""
+
+
+def compile_harness() -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(SRC)
+    srcs = []
+    for rel, body in SHIMS.items():
+        p = os.path.join(SRC, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(body)
+        srcs.append(p)
+    d = os.path.join(SRC, "org/apache/lucene/queryparser/simple")
+    os.makedirs(d, exist_ok=True)
+    shutil.copyfile(REF, os.path.join(d, "SimpleQueryParser.java"))
+    mp = os.path.join(d, "SqpParityMain.java")
+    with open(mp, "w") as fh:
+        fh.write(MAIN)
+    srcs += [os.path.join(d, "SimpleQueryParser.java"), mp]
+    subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-d", ROOT] + srcs, check=True)
+
+
+# --------------------------------------------------- python serializer
+
+def _ws_analyze(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split() if t]
+
+
+def _ser(q) -> str:
+    if q is None:
+        return "null"
+    if isinstance(q, TermQuery):
+        return f"(t {q.term})"
+    if isinstance(q, PhraseQuery):
+        return f"(p {q.slop} " + " ".join(q.terms) + ")"
+    if isinstance(q, PrefixQuery):
+        return f"(pre {q.prefix})"
+    if isinstance(q, FuzzyQuery):
+        return f"(f {q.max_edits} {q.term})"
+    if isinstance(q, MatchAllDocsQuery):
+        return "(all)"
+    if isinstance(q, MatchNoDocsQuery):
+        return "(none)"
+    if isinstance(q, BooleanQuery):
+        parts = [f"(b {q.min_should_match}"]
+        for kind, group in (("MUST", q.must), ("SHOULD", q.should),
+                            ("MUST_NOT", q.must_not)):
+            for c in group:
+                parts.append(f" [{kind} {_ser(c)}]")
+        return "".join(parts) + ")"
+    raise TypeError(type(q))
+
+
+FLAG_SETS = [
+    -1,
+    -1 & ~sp.AND_OPERATOR,
+    -1 & ~sp.OR_OPERATOR,
+    -1 & ~sp.NOT_OPERATOR,
+    -1 & ~sp.PREFIX_OPERATOR,
+    -1 & ~sp.PHRASE_OPERATOR,
+    -1 & ~sp.PRECEDENCE_OPERATORS,
+    -1 & ~sp.ESCAPE_OPERATOR,
+    -1 & ~sp.WHITESPACE_OPERATOR,
+    -1 & ~sp.FUZZY_OPERATOR,
+    -1 & ~sp.NEAR_OPERATOR,
+    -1 & ~(sp.FUZZY_OPERATOR | sp.NEAR_OPERATOR | sp.PRECEDENCE_OPERATORS),
+    sp.AND_OPERATOR | sp.OR_OPERATOR | sp.WHITESPACE_OPERATOR,
+]
+
+ALPHA = (list("ab12") + list('+|-"()\\~* ') + ["  ", "\t", "\n",
+         "word", "xy", "~2", "~-1", "~9", "*", '"', "(", ")", "\\+",
+         "\\-", "\\*", "\\\\", "\\a"])
+
+
+def gen_query(rng: random.Random) -> str:
+    n = rng.randint(1, 14)
+    return "".join(rng.choice(ALPHA) for _ in range(n))
+
+
+def main() -> None:
+    n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    rng = random.Random(20260819)
+    compile_harness()
+    import base64
+
+    cases = []
+    for flags in FLAG_SETS:
+        for _ in range(n_per // len(FLAG_SETS) + 1):
+            op = rng.choice(["should", "must"])
+            cases.append((flags, op, gen_query(rng)))
+    # plus the documented javadoc examples, all-flags
+    for q in ['-term1', r'\-term1', 'term-1', r'term\-1', 'term1*',
+              r'term1\*', 'term*1', r'term\*1', '"term1 term2"~5',
+              'token1+token2', 'token1|token2', 'token1 + (token2 | token3)',
+              'token1 | token2 + token3', '*', '', '   ', '()', '(a',
+              'a)', '"unclosed', 'a~', 'a~x', 'a~-3', '"a b"~', '--a',
+              '---a', '+a', '|a', 'a++b', 'a+|b', '"a b"~2+c', 'a~1c',
+              '(a+(b|c))-d', '\\', 'a\\']:
+        cases.append((-1, "should", q))
+        cases.append((-1, "must", q))
+
+    lines = []
+    for flags, op, q in cases:
+        b = base64.b64encode(q.encode("utf-8")).decode("ascii")
+        lines.append(f"{flags}\t{op}\t{b}")
+    proc = subprocess.run(
+        ["java", "-cp", ROOT,
+         "org.apache.lucene.queryparser.simple.SqpParityMain"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True,
+        check=True)
+    got = [base64.b64decode(x).decode("utf-8")
+           for x in proc.stdout.split()]
+    assert len(got) == len(cases), (len(got), len(cases))
+    bad = 0
+    for (flags, op, q), jtree in zip(cases, got):
+        parser = sp.SimpleQueryParser(
+            flags=flags, default_operator=op,
+            analyze=_ws_analyze, normalize=str.lower)
+        ptree = _ser(parser.parse(q))
+        if ptree != jtree:
+            bad += 1
+            if bad <= 15:
+                print(f"MISMATCH flags={flags} op={op} q={q!r}\n"
+                      f"  java: {jtree}\n  py:   {ptree}")
+    print(f"{len(cases)} cases, {bad} mismatches")
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
