@@ -1229,6 +1229,76 @@ def _simple_qp_df(spark, sf_dir):
     )
 
 
+#: drill-sideways dimensions over docmap expressions: (name, expr,
+#: drill values) — AND across dims, OR within a dim, FILTER occur
+def _DRILL_DIMS():
+    return [
+        ("len8", F.expr("field_len div 8"), ["2", "3"]),
+        ("len3", F.expr("field_len % 3"), ["1"]),
+    ]
+
+
+def _drill_down_df(spark, sf_dir):
+    """DrillDownQuery (facet/DrillDownQuery.java): base term query +
+    FILTER dims — hits keep base scores."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    out = s.drill_down(TermQuery(_FACET_TERM), _DRILL_DIMS(), _QUERY_K)
+    return _orig(s, out).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
+def _drill_sideways_df(spark, sf_dir):
+    """DrillSideways (facet/DrillSideways.java): per-dim counts with all
+    OTHER dims' drill-downs applied."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.drill_sideways(TermQuery(_FACET_TERM), _DRILL_DIMS())
+
+
+def _facet_long_values_df(spark, sf_dir):
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java):
+    per-long-value hit counts."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.facet_long_values(TermQuery(_FACET_TERM), "field_len")
+
+
+def _all_groups_df(spark, sf_dir):
+    """AllGroupsCollector (grouping/AllGroupsCollector.java): distinct
+    group values among matches."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.all_groups(TermQuery(_FACET_TERM), F.expr("field_len % 5"))
+
+
+def _distinct_values_df(spark, sf_dir):
+    """DistinctValuesCollector (grouping/DistinctValuesCollector.java):
+    top groups by head hit, then per-group distinct counts."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.distinct_values(
+        TermQuery(_FACET_TERM), F.expr("field_len div 8"),
+        F.expr("field_len % 4"), top_groups=8)
+
+
+def _grouped_range_df(spark, sf_dir):
+    """LongRangeGroupSelector/LongRangeFactory (grouping/LongRange
+    Factory.java): top-k per fixed-width bin incl. the below-min /
+    above-max catch-alls."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.search_grouped_range(
+        TermQuery(_FACET_TERM), "field_len", lo=8, width=8, hi=32,
+        k_per_group=2)
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2685,6 +2755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for _sk, _ss in _STATS_SIM_SPECS:
         out[_sk] = _stats_sim_entry(_ss)
     out["simple_query_parser"] = _simple_qp_df
+    out["facet_drill_down"] = _drill_down_df
+    out["facet_drill_sideways"] = _drill_sideways_df
+    out["facet_long_values"] = _facet_long_values_df
+    out["all_groups"] = _all_groups_df
+    out["distinct_values"] = _distinct_values_df
+    out["search_grouped_range"] = _grouped_range_df
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -2905,7 +2981,82 @@ FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
 WHERE (d.fl // 8) = 2
 GROUP BY d.fl ORDER BY count DESC, value ASC
 """.strip()
+    _dimA = "CAST(d.fl // 8 AS VARCHAR)"
+    _dimB = "CAST(d.fl % 3 AS VARCHAR)"
+    _dimA_in = f"{_dimA} IN ('2', '3')"
+    _dimB_in = f"{_dimB} IN ('1')"
+    out["facet_drill_down"] = f"""
+SELECT t.doc_id AS doc_id, t.score AS score
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+WHERE {_dimA_in} AND {_dimB_in}
+ORDER BY t.score DESC, t.doc_id ASC LIMIT {_QUERY_K}
+""".strip()
+    out["facet_drill_sideways"] = f"""
+SELECT dim, value, count FROM (
+  SELECT 'len8' AS dim, {_dimA} AS value, CAST(count(*) AS BIGINT) AS count
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+  WHERE {_dimB_in} GROUP BY 2
+  UNION ALL
+  SELECT 'len3' AS dim, {_dimB} AS value, CAST(count(*) AS BIGINT) AS count
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+  WHERE {_dimA_in} GROUP BY 2
+) ORDER BY dim ASC, count DESC, value ASC
+""".strip()
+    out["facet_long_values"] = f"""
+SELECT CAST(d.fl AS BIGINT) AS value, CAST(count(*) AS BIGINT) AS count
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+GROUP BY 1 ORDER BY value ASC
+""".strip()
+    out["all_groups"] = f"""
+SELECT DISTINCT CAST(d.fl % 5 AS VARCHAR) AS value
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+ORDER BY value ASC
+""".strip()
+    out["distinct_values"] = f"""
+WITH j AS (
+  SELECT t.doc_id, t.score, CAST(d.fl // 8 AS VARCHAR) AS g,
+         CAST(d.fl % 4 AS VARCHAR) AS v
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+),
+heads AS (
+  SELECT g, score AS hs, doc_id AS hd FROM (
+    SELECT g, score, doc_id,
+           row_number() OVER (PARTITION BY g
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM j) WHERE rn = 1
+  ORDER BY hs DESC, hd ASC LIMIT 8
+)
+SELECT CAST(row_number() OVER (ORDER BY h.hs DESC, h.hd ASC) AS INT) AS rank,
+       j.g AS value, CAST(count(DISTINCT j.v) AS BIGINT) AS ndv
+FROM j JOIN heads h ON h.g = j.g
+GROUP BY j.g, h.hs, h.hd
+ORDER BY rank
+""".strip()
+    out["search_grouped_range"] = f"""
+WITH j AS (
+  SELECT t.doc_id, t.score,
+         CASE WHEN d.fl < 8 THEN (-9223372036854775807 - 1)
+              WHEN d.fl >= 32 THEN 32
+              ELSE 8 + CAST(floor((d.fl - 8) / 8.0) AS BIGINT) * 8 END
+           AS range_lo,
+         CASE WHEN d.fl < 8 THEN 8
+              WHEN d.fl >= 32 THEN 9223372036854775807
+              ELSE 16 + CAST(floor((d.fl - 8) / 8.0) AS BIGINT) * 8 END
+           AS range_hi
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+)
+SELECT CAST(range_lo AS BIGINT) AS range_lo,
+       CAST(range_hi AS BIGINT) AS range_hi, doc_id, score,
+       CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY range_lo
+                               ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM j
+) WHERE rnk <= 2
+ORDER BY range_lo, rank
+""".strip()
     out["search_sorted"] = f"""
+
 SELECT t.doc_id AS doc_id, CAST(d.fl AS INT) AS field_len, t.score AS score
 FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
 ORDER BY d.fl DESC, t.doc_id ASC LIMIT {_SORT_K}

@@ -517,6 +517,208 @@ class IndexSearcher:
             F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)")
         )
 
+    def drill_down(self, query: Query,
+                   dims: list[tuple[str, object, list[str]]],
+                   k: int = 10) -> DataFrame:
+        """DrillDownQuery analog (``facet/DrillDownQuery.java:39-66``):
+        base query + one FILTER clause per dimension (OR within a
+        dimension's values, AND across dimensions; drill-down terms are
+        Occur.FILTER so they never contribute score — hits keep the BASE
+        query's scores exactly). ``dims`` is [(name, column-or-expr,
+        [drill values])]; values compare as strings. DF(doc_id, score)
+        top-k (score desc, doc asc)."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self._empty_hits()
+        j = scored.join(self._dim_frame(dims), "doc_id")
+        for name, _, values in dims:
+            j = j.filter(F.col(f"__dim_{name}").isin([str(v) for v in values]))
+        return (
+            j.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        )
+
+    def _dim_frame(self, dims) -> DataFrame:
+        cols = [
+            (F.col(c) if isinstance(c, str) else c)
+            .cast("string").alias(f"__dim_{name}")
+            for name, c, _ in dims
+        ]
+        return self.docmap().select("doc_id", *cols)
+
+    def drill_sideways(self, query: Query,
+                       dims: list[tuple[str, object, list[str]]]
+                       ) -> DataFrame:
+        """DrillSideways analog (``facet/DrillSideways.java:33-56``):
+        for each drilled dimension, facet counts computed with every
+        OTHER dimension's drill-down applied (plus the base query) — the
+        "near miss" counts that keep a dimension's alternatives visible
+        after the user drills into it. One scored pass is shared by all
+        dimensions (the reference's standard implementation also scores
+        once, collecting per-dimension sideways FacetsCollectors); each
+        dimension then costs one groupBy over the joined hit set. NULL
+        dimension values are not counted (no facet ordinal).
+        DF(dim string, value string, count long), ordered
+        (dim asc, count desc, value asc)."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        empty = self.spark.createDataFrame(
+            [], "dim string, value string, count long")
+        if scored is None:
+            return empty
+        j = scored.select("doc_id").join(self._dim_frame(dims), "doc_id")
+        frames = []
+        for name, _, _ in dims:
+            side = j
+            for oname, _, ovalues in dims:
+                if oname != name:
+                    side = side.filter(
+                        F.col(f"__dim_{oname}").isin(
+                            [str(v) for v in ovalues]))
+            frames.append(
+                side.filter(F.col(f"__dim_{name}").isNotNull())
+                .groupBy(F.col(f"__dim_{name}").alias("value"))
+                .count()
+                .select(F.lit(name).alias("dim"), "value",
+                        F.col("count").cast("long").alias("count"))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.orderBy("dim", F.desc("count"), F.asc("value"))
+
+    def facet_long_values(self, query: Query, field) -> DataFrame:
+        """LongValueFacetCounts analog (``facet/LongValueFacetCounts
+        .java``): hit counts per distinct long value of a numeric docmap
+        field/expression (getAllChildren surface). NULLs skipped.
+        DF(value long, count long) ordered value asc."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "value long, count long")
+        col = (F.col(field) if isinstance(field, str) else field)
+        dm = self.docmap().select("doc_id", col.cast("long").alias("value"))
+        return (
+            scored.select("doc_id").join(dm, "doc_id")
+            .filter(F.col("value").isNotNull())
+            .groupBy("value").count()
+            .select("value", F.col("count").cast("long").alias("count"))
+            .orderBy("value")
+        )
+
+    def all_groups(self, query: Query, field) -> DataFrame:
+        """AllGroupsCollector analog (``grouping/AllGroupsCollector
+        .java``): the distinct group values among matching docs (the
+        collector's getGroups set; NULL = the null group, skipped here
+        as the engine's groupBy facets do). DF(value string) asc."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "value string")
+        col = (F.col(field) if isinstance(field, str) else field)
+        dm = self.docmap().select("doc_id", col.cast("string").alias("value"))
+        return (
+            scored.select("doc_id").join(dm, "doc_id")
+            .filter(F.col("value").isNotNull())
+            .select("value").distinct().orderBy("value")
+        )
+
+    def distinct_values(self, query: Query, group_field, value_field,
+                        top_groups: int = 10) -> DataFrame:
+        """DistinctValuesCollector analog (``grouping/DistinctValues
+        Collector.java:30-50``): first pass picks the top N groups by
+        group head (best hit: score desc, doc asc — FirstPassGrouping
+        Collector with relevance sort), second pass collects the SET of
+        distinct ``value_field`` values per selected group. Emitted as
+        (rank, value group, ndv distinct-count), ordered by head rank —
+        one extra groupBy over the same joined hit set."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        empty = self.spark.createDataFrame(
+            [], "rank int, value string, ndv long")
+        if scored is None:
+            return empty
+        gcol = (F.col(group_field) if isinstance(group_field, str)
+                else group_field)
+        vcol = (F.col(value_field) if isinstance(value_field, str)
+                else value_field)
+        dm = self.docmap().select(
+            "doc_id", gcol.cast("string").alias("value"),
+            vcol.cast("string").alias("v"))
+        j = scored.join(dm, "doc_id").filter(F.col("value").isNotNull())
+        heads = (
+            j.groupBy("value")
+            .agg(F.max(F.struct(F.col("score"),
+                                (-F.col("doc_id")).alias("nd"))).alias("h"))
+            .select("value", F.col("h.score").alias("hs"),
+                    (-F.col("h.nd")).alias("hd"))
+            .orderBy(F.desc("hs"), F.asc("hd")).limit(int(top_groups))
+        )
+        ndv = (
+            j.join(F.broadcast(heads.select("value", "hs", "hd")), "value")
+            .groupBy("value", "hs", "hd")
+            .agg(F.countDistinct("v").cast("long").alias("ndv"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc("hs"), F.asc("hd"))
+        return (
+            ndv.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "value", "ndv").orderBy("rank")
+        )
+
+    #: LongRange sentinel bounds (Long.MIN_VALUE / Long.MAX_VALUE)
+    _LONG_MIN = -(1 << 63)
+    _LONG_MAX = (1 << 63) - 1
+
+    def search_grouped_range(self, query: Query, field, lo: int,
+                             width: int, hi: int,
+                             k_per_group: int = 3) -> DataFrame:
+        """Top-k hits per numeric range group — the LongRangeGroupSelector
+        / LongRangeFactory analog (``grouping/LongRangeFactory.java:
+        30-55``): values below ``lo`` fall in (Long.MIN_VALUE, lo),
+        values >= ``hi`` in (hi, Long.MAX_VALUE), everything else in the
+        fixed-width bucket [lo + floor((v-lo)/width)*width, +width).
+        DF(range_lo long, range_hi long, doc_id, score, rank), ordered
+        (range_lo, rank)."""
+        from pyspark.sql.window import Window
+
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame(
+                [], "range_lo long, range_hi long, doc_id long, "
+                    "score float, rank int")
+        col = (F.col(field) if isinstance(field, str) else field)
+        dm = self.docmap().select("doc_id", col.cast("long").alias("v"))
+        lo_l, w_l, hi_l = int(lo), int(width), int(hi)
+        bucket_lo = F.lit(lo_l) + F.floor(
+            (F.col("v") - F.lit(lo_l)) / F.lit(w_l)).cast("long") * F.lit(w_l)
+        range_lo = (
+            F.when(F.col("v") < lo_l, F.lit(self._LONG_MIN))
+            .when(F.col("v") >= hi_l, F.lit(hi_l))
+            .otherwise(bucket_lo)
+        ).cast("long")
+        range_hi = (
+            F.when(F.col("v") < lo_l, F.lit(lo_l))
+            .when(F.col("v") >= hi_l, F.lit(self._LONG_MAX))
+            .otherwise(bucket_lo + F.lit(w_l))
+        ).cast("long")
+        j = (
+            scored.join(dm, "doc_id").filter(F.col("v").isNotNull())
+            .withColumn("range_lo", range_lo)
+            .withColumn("range_hi", range_hi)
+        )
+        w = Window.partitionBy("range_lo").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= int(k_per_group))
+            .select("range_lo", "range_hi", "doc_id", "score", "rank")
+            .orderBy("range_lo", "rank")
+        )
+
     def term_vector(self, doc_id: int, with_offsets: bool = False) -> DataFrame:
         """Per-doc term vector — the TermVectors analog (term vectors are
         index artifacts storing one doc's (term, freq, positions);

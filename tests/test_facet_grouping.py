@@ -1,0 +1,128 @@
+"""Drill-down/sideways facets and grouping-module breadth
+(search.py drill_down/drill_sideways/facet_long_values/all_groups/
+distinct_values/search_grouped_range) vs brute-force replays on the
+shared fixture index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.query.ast import TermQuery
+from lucene_spark.query.search import IndexSearcher
+
+Q = TermQuery("ba")
+
+
+@pytest.fixture(scope="module")
+def s(built_index, spark):
+    return IndexSearcher(spark, built_index)
+
+
+@pytest.fixture(scope="module")
+def truth(s):
+    """(doc_id -> (score, field_len)) for the base query's matches."""
+    hits = {r.doc_id: np.float32(r.score)
+            for r in s.search(Q, 10**6).collect()}
+    fl = {r.doc_id: r.field_len
+          for r in s.docmap().select("doc_id", "field_len").collect()}
+    return {d: (sc, fl[d]) for d, sc in hits.items()}
+
+
+def DIMS():
+    return [("len8", F.expr("field_len div 8"), ["2", "3"]),
+            ("len3", F.expr("field_len % 3"), ["1"])]
+
+
+def test_drill_down_hits_keep_base_scores(s, truth):
+    got = s.drill_down(Q, DIMS(), 50).collect()
+    assert got
+    exp = [(d, sc) for d, (sc, fl) in truth.items()
+           if str(fl // 8) in ("2", "3") and str(fl % 3) == "1"]
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r.doc_id, np.float32(r.score)) for r in got] == exp[:50]
+
+
+def test_drill_sideways_counts(s, truth):
+    got = {(r.dim, r.value): r["count"]
+           for r in s.drill_sideways(Q, DIMS()).collect()}
+    assert got
+    exp: dict[tuple[str, str], int] = {}
+    for d, (sc, fl) in truth.items():
+        if str(fl % 3) == "1":       # other dim (len3) applied for len8
+            k = ("len8", str(fl // 8))
+            exp[k] = exp.get(k, 0) + 1
+        if str(fl // 8) in ("2", "3"):   # other dim (len8) for len3
+            k = ("len3", str(fl % 3))
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_facet_long_values(s, truth):
+    got = {r.value: r["count"]
+           for r in s.facet_long_values(Q, "field_len").collect()}
+    exp: dict[int, int] = {}
+    for _, (_, fl) in truth.items():
+        exp[fl] = exp.get(fl, 0) + 1
+    assert got == exp
+
+
+def test_all_groups(s, truth):
+    got = [r.value for r in
+           s.all_groups(Q, F.expr("field_len % 5")).collect()]
+    exp = sorted({str(fl % 5) for _, (_, fl) in truth.items()})
+    assert got == exp
+
+
+def test_distinct_values(s, truth):
+    got = [(r.rank, r.value, r.ndv)
+           for r in s.distinct_values(
+               Q, F.expr("field_len div 8"), F.expr("field_len % 4"),
+               top_groups=5).collect()]
+    assert got
+    groups: dict[str, list] = {}
+    for d, (sc, fl) in truth.items():
+        groups.setdefault(str(fl // 8), []).append((d, sc, fl))
+    heads = sorted(
+        ((max(((sc, -d) for d, sc, _ in rows)), g)
+         for g, rows in groups.items()),
+        key=lambda x: (-x[0][0], -x[0][1]))[:5]
+    exp = []
+    for rank, ((hs, nd), g) in enumerate(heads, 1):
+        ndv = len({fl % 4 for _, _, fl in groups[g]})
+        exp.append((rank, g, ndv))
+    assert got == exp
+
+
+def test_grouped_range_bins(s, truth):
+    lo, width, hi = 8, 8, 32
+    got = s.search_grouped_range(Q, "field_len", lo, width, hi,
+                                 k_per_group=2).collect()
+    assert got
+    LMIN, LMAX = -(1 << 63), (1 << 63) - 1
+
+    def bin_of(v):
+        if v < lo:
+            return (LMIN, lo)
+        if v >= hi:
+            return (hi, LMAX)
+        b = lo + (v - lo) // width * width
+        return (b, b + width)
+
+    by_bin: dict[tuple, list] = {}
+    for d, (sc, fl) in truth.items():
+        by_bin.setdefault(bin_of(fl), []).append((d, sc))
+    exp = []
+    for b in sorted(by_bin):
+        rows = sorted(by_bin[b], key=lambda x: (-x[1], x[0]))[:2]
+        for rank, (d, sc) in enumerate(rows, 1):
+            exp.append((b[0], b[1], d, sc, rank))
+    assert [(r.range_lo, r.range_hi, r.doc_id, np.float32(r.score), r.rank)
+            for r in got] == exp
+
+
+def test_drill_down_empty_dims_is_base(s, truth):
+    got = {r.doc_id: np.float32(r.score)
+           for r in s.drill_down(Q, [], 10**6).collect()}
+    assert got == {d: sc for d, (sc, _) in truth.items()}
