@@ -1299,6 +1299,43 @@ def _grouped_range_df(spark, sf_dir):
         k_per_group=2)
 
 
+def _grouped_facets_df(spark, sf_dir):
+    """GroupFacetCollector (grouping/GroupFacetCollector.java): facet
+    counts counting each group once per value."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.grouped_facet_counts(
+        TermQuery(_FACET_TERM), F.expr("field_len % 7"),
+        F.expr("field_len div 8"))
+
+
+#: DoubleRange inclusive-flag combos live on the corpus dl spread
+_DRANGES = [("mid_in", 8.0, True, 16.0, True),
+            ("mid_ex", 8.0, False, 24.0, False),
+            ("low", 0.0, True, 12.0, False)]
+
+
+def _double_ranges_df(spark, sf_dir):
+    """DoubleRangeFacetCounts (facet/range/DoubleRange.java): overlapping
+    double ranges with min/maxInclusive flags."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.facet_double_ranges(TermQuery(_FACET_TERM), "field_len",
+                                 _DRANGES)
+
+
+def _dynamic_ranges_df(spark, sf_dir):
+    """DynamicRangeUtil (facet/range/DynamicRangeUtil.java): equal-weight
+    dynamic ranges (unit weights -> count-balanced buckets)."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.facet_dynamic_ranges(TermQuery(_FACET_TERM), "field_len",
+                                  top_n=5)
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2761,6 +2798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["all_groups"] = _all_groups_df
     out["distinct_values"] = _distinct_values_df
     out["search_grouped_range"] = _grouped_range_df
+    out["grouped_facets"] = _grouped_facets_df
+    out["facet_double_ranges"] = _double_ranges_df
+    out["facet_dynamic_ranges"] = _dynamic_ranges_df
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -2981,7 +3021,40 @@ FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
 WHERE (d.fl // 8) = 2
 GROUP BY d.fl ORDER BY count DESC, value ASC
 """.strip()
+    out["grouped_facets"] = f"""
+SELECT CAST(d.fl // 8 AS VARCHAR) AS value,
+       CAST(count(DISTINCT d.fl % 7) AS BIGINT) AS count
+FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+GROUP BY 1 ORDER BY count DESC, value ASC
+""".strip()
+    _dr_conds = []
+    for _lbl, _lo, _loin, _hi, _hiin in _DRANGES:
+        _c = (f"CAST(d.fl AS DOUBLE) {'>=' if _loin else '>'} {_lo!r} AND "
+              f"CAST(d.fl AS DOUBLE) {'<=' if _hiin else '<'} {_hi!r}")
+        _dr_conds.append(f"SELECT '{_lbl}' AS label, "
+                         f"CAST(coalesce(sum(CASE WHEN {_c} THEN 1 ELSE 0 "
+                         f"END), 0) AS BIGINT) AS count "
+                         f"FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)")
+    out["facet_double_ranges"] = " UNION ALL ".join(_dr_conds)
+    out["facet_dynamic_ranges"] = f"""
+WITH j AS (
+  SELECT CAST(d.fl AS BIGINT) AS v
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+),
+n AS (SELECT count(*) AS len FROM j),
+c AS (SELECT CAST(ceil(n.len / CAST(least(5, n.len) AS DOUBLE)) AS BIGINT)
+        AS sz FROM n),
+ord AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM j)
+SELECT CAST(count(*) AS BIGINT) AS count,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(min(v) AS BIGINT) AS min, CAST(max(v) AS BIGINT) AS max,
+       CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*) AS avg
+FROM ord, c
+GROUP BY (rn - 1) // c.sz
+ORDER BY min ASC, count DESC
+""".strip()
     _dimA = "CAST(d.fl // 8 AS VARCHAR)"
+
     _dimB = "CAST(d.fl % 3 AS VARCHAR)"
     _dimA_in = f"{_dimA} IN ('2', '3')"
     _dimB_in = f"{_dimB} IN ('1')"

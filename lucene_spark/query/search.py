@@ -719,6 +719,142 @@ class IndexSearcher:
             .orderBy("range_lo", "rank")
         )
 
+    def grouped_facet_counts(self, query: Query, group_field, facet_field,
+                             prefix: str | None = None) -> DataFrame:
+        """GroupFacetCollector analog (``grouping/GroupFacetCollector
+        .java:30``, TermGroupFacetCollector): facet counts where each
+        GROUP is counted at most once per facet value — count = number
+        of distinct groups having >= 1 matching doc with that value.
+        ``prefix`` keeps only facet values starting with it (the
+        facetPrefix argument). NULL facet values skipped (missing
+        ordinal). DF(value string, count long), count desc / value asc."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "value string, count long")
+        gcol = (F.col(group_field) if isinstance(group_field, str)
+                else group_field)
+        fcol = (F.col(facet_field) if isinstance(facet_field, str)
+                else facet_field)
+        dm = self.docmap().select(
+            "doc_id", gcol.cast("string").alias("g"),
+            fcol.cast("string").alias("value"))
+        j = (scored.select("doc_id").join(dm, "doc_id")
+             .filter(F.col("value").isNotNull()))
+        if prefix is not None:
+            j = j.filter(F.col("value").startswith(prefix))
+        return (
+            j.groupBy("value")
+            .agg(F.countDistinct("g").cast("long").alias("count"))
+            .orderBy(F.desc("count"), F.asc("value"))
+        )
+
+    def facet_double_ranges(self, query: Query, field,
+                            ranges: list[tuple[str, float, bool, float,
+                                               bool]]) -> DataFrame:
+        """DoubleRangeFacetCounts analog (``facet/range/DoubleRange
+        .java:28-60`` — min/maxInclusive flags; overlapping ranges each
+        counted independently). ``ranges`` = [(label, min, min_incl,
+        max, max_incl)]. DF(label string, count long) in input order."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame(
+                [(lbl, 0) for lbl, *_ in ranges], "label string, count long")
+        col = (F.col(field) if isinstance(field, str) else field)
+        dm = self.docmap().select("doc_id", col.cast("double").alias("v"))
+        j = scored.select("doc_id").join(dm, "doc_id")
+        aggs = []
+        for i, (_, lo, lo_in, hi, hi_in) in enumerate(ranges):
+            c = (F.col("v") >= float(lo)) if lo_in else (F.col("v") > float(lo))
+            c &= (F.col("v") <= float(hi)) if hi_in else (F.col("v") < float(hi))
+            aggs.append(
+                F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+                .cast("long").alias(f"c{i}"))
+        one = j.agg(*aggs)
+        pairs = ", ".join(
+            f"'{lbl}', c{i}" for i, (lbl, *_) in enumerate(ranges))
+        return one.select(
+            F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)"))
+
+    def facet_dynamic_ranges(self, query: Query, field, top_n: int,
+                             weight_field=None) -> DataFrame:
+        """DynamicRangeUtil analog (``facet/range/DynamicRangeUtil.java``
+        computeDynamicNumericRanges): sort matches by (value, weight)
+        and greedily cut a range every time the accumulated weight
+        reaches ``totalWeight / min(topN, len)`` — equal-weight ranges.
+        ``weight_field`` None = unit weights (count-balanced ranges).
+
+        The reference materializes long[totalHits] in RAM; here the
+        sequential greedy runs on the driver over the DISTINCT
+        (value, weight) pairs with their multiplicities (one groupBy) —
+        elements inside a run are identical, so each run is consumed
+        arithmetically (ceil((target-accu)/w) at a time) and the result
+        is element-for-element identical to the reference's scan while
+        the driver holds only |value domain x weight domain| rows.
+        DF(count long, weight long, min long, max long, avg double),
+        range order."""
+        import math as _m
+
+        empty = self.spark.createDataFrame(
+            [], "count long, weight long, min long, max long, avg double")
+        if top_n <= 0:
+            return empty
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return empty
+        col = (F.col(field) if isinstance(field, str) else field)
+        sel = ["doc_id", col.cast("long").alias("v")]
+        if weight_field is not None:
+            wcol = (F.col(weight_field) if isinstance(weight_field, str)
+                    else weight_field)
+            sel.append(wcol.cast("long").alias("w"))
+        dm = self.docmap().select(*sel)
+        j = scored.select("doc_id").join(dm, "doc_id")
+        if weight_field is None:
+            j = j.withColumn("w", F.lit(1).cast("long"))
+        runs = (
+            j.groupBy("v", "w").count()
+            .orderBy("v", "w").collect()
+        )
+        if not runs:
+            return empty
+        total_len = sum(int(r["count"]) for r in runs)
+        total_weight = sum(int(r["w"]) * int(r["count"]) for r in runs)
+        target = total_weight / min(int(top_n), total_len)  # double
+        out = []
+        count = 0
+        accu = 0
+        vsum = 0
+        vmin = None
+        for r in runs:
+            v, w, n = int(r["v"]), int(r["w"]), int(r["count"])
+            while n > 0:
+                if vmin is None:
+                    vmin = v
+                if w > 0 and accu < target:
+                    need = _m.ceil((target - accu) / w)
+                    take = min(n, max(int(need), 1))
+                else:
+                    # zero-weight elements can never reach the target —
+                    # they all join the current range (the reference
+                    # scans past them one by one without emitting)
+                    take = n if w == 0 else 1
+                count += take
+                accu += take * w
+                vsum += take * v
+                n -= take
+                if accu >= target:
+                    out.append((count, accu, vmin, v, vsum / count))
+                    count = accu = vsum = 0
+                    vmin = None
+        if count > 0:
+            out.append((count, accu, vmin, int(runs[-1]["v"]),
+                        vsum / count))
+        return self.spark.createDataFrame(
+            out, "count long, weight long, min long, max long, avg double")
+
     def term_vector(self, doc_id: int, with_offsets: bool = False) -> DataFrame:
         """Per-doc term vector — the TermVectors analog (term vectors are
         index artifacts storing one doc's (term, freq, positions);

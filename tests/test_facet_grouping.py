@@ -126,3 +126,83 @@ def test_drill_down_empty_dims_is_base(s, truth):
     got = {r.doc_id: np.float32(r.score)
            for r in s.drill_down(Q, [], 10**6).collect()}
     assert got == {d: sc for d, (sc, _) in truth.items()}
+
+
+def test_grouped_facet_counts(s, truth):
+    got = {r.value: r["count"]
+           for r in s.grouped_facet_counts(
+               Q, F.expr("field_len % 7"), F.expr("field_len div 8")
+           ).collect()}
+    exp: dict[str, set] = {}
+    for d, (_, fl) in truth.items():
+        exp.setdefault(str(fl // 8), set()).add(str(fl % 7))
+    assert got == {k: len(v) for k, v in exp.items()}
+
+
+def test_grouped_facet_prefix(s, truth):
+    got = {r.value: r["count"]
+           for r in s.grouped_facet_counts(
+               Q, F.expr("field_len % 7"), F.expr("field_len div 8"),
+               prefix="1").collect()}
+    assert got
+    assert all(v.startswith("1") for v in got)
+
+
+def test_facet_double_ranges_inclusive_flags(s, truth):
+    rng = [("in_in", 10.0, True, 20.0, True),
+           ("ex_ex", 10.0, False, 20.0, False)]
+    got = {r.label: r["count"]
+           for r in s.facet_double_ranges(Q, "field_len", rng).collect()}
+    fls = [fl for _, (_, fl) in truth.items()]
+    assert got["in_in"] == sum(1 for v in fls if 10.0 <= v <= 20.0)
+    assert got["ex_ex"] == sum(1 for v in fls if 10.0 < v < 20.0)
+    assert got["in_in"] >= got["ex_ex"]
+
+
+def _greedy_reference(pairs, top_n):
+    """Literal transcription of DynamicRangeUtil.computeDynamicNumeric
+    Ranges (sort by (value, weight); emit on accuWeight >= target)."""
+    pairs = sorted(pairs)
+    if not pairs or top_n == 0:
+        return []
+    total_w = sum(w for _, w in pairs)
+    target = total_w / min(top_n, len(pairs))
+    out = []
+    accu = vsum = count = 0
+    min_idx = 0
+    for i, (v, w) in enumerate(pairs):
+        accu += w
+        vsum += v
+        count += 1
+        if accu >= target:
+            out.append((count, accu, pairs[min_idx][0], v, vsum / count))
+            accu = vsum = count = 0
+            min_idx = i + 1
+    if min_idx < len(pairs):
+        out.append((count, accu, pairs[min_idx][0], pairs[-1][0],
+                    vsum / count))
+    return out
+
+
+def test_dynamic_ranges_unit_weights(s, truth):
+    got = [(r["count"], r.weight, r["min"], r["max"], r.avg)
+           for r in s.facet_dynamic_ranges(Q, "field_len",
+                                           top_n=4).collect()]
+    pairs = [(fl, 1) for _, (_, fl) in truth.items()]
+    assert sorted(got) == sorted(_greedy_reference(pairs, 4))
+
+
+def test_dynamic_ranges_weighted(s, truth):
+    got = [(r["count"], r.weight, r["min"], r["max"], r.avg)
+           for r in s.facet_dynamic_ranges(
+               Q, "field_len", top_n=3,
+               weight_field=F.expr("field_len % 4 + 1")).collect()]
+    pairs = [(fl, fl % 4 + 1) for _, (_, fl) in truth.items()]
+    assert sorted(got) == sorted(_greedy_reference(pairs, 3))
+
+
+def test_dynamic_ranges_more_buckets_than_topn_possible(s):
+    # topN > number of matches: target = total/len -> one range per
+    # element group boundary; must not crash and must cover all matches
+    got = s.facet_dynamic_ranges(Q, "field_len", top_n=10**6).collect()
+    assert sum(r["count"] for r in got) > 0
