@@ -1336,6 +1336,19 @@ def _dynamic_ranges_df(spark, sf_dir):
                                   top_n=5)
 
 
+#: surround query-language entries (queryparser/surround; see
+#: query/surround.py — parser fuzzed tree-for-tree vs the compiled
+#: reference, tools/surround_parity.py, 30k cases)
+def _surround_entry(query_string: str):
+    def run(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        out = s.search_surround(query_string, _QUERY_K)
+        return _orig(s, out).select("doc_id", "score").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+    run.__doc__ = f"surround syntax: {query_string!r}"
+    return run
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2801,6 +2814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["grouped_facets"] = _grouped_facets_df
     out["facet_double_ranges"] = _double_ranges_df
     out["facet_dynamic_ranges"] = _dynamic_ranges_df
+    out["surround_w"] = _surround_entry("scan w merge")
+    out["surround_n"] = _surround_entry("scan 4n merge")
+    out["surround_bool"] = _surround_entry("and(scan, mer*)")
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -3021,7 +3037,18 @@ FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
 WHERE (d.fl // 8) = 2
 GROUP BY d.fl ORDER BY count DESC, value ASC
 """.strip()
+    # surround: 'scan w merge' == ordered adjacent spans == PhraseQuery
+    # scoring (slop 0, sloppyFreq 1); 'scan 4n merge' == unordered
+    # span-near slop 3; 'and(scan, mer*)' == MUST(term, prefix-expansion)
+    out["surround_w"] = sqlgen.phrase_topk_sql(["scan", "merge"], _QUERY_K)
+    out["surround_n"] = sqlgen.span_near_unordered_sql(
+        ["scan", "merge"], 3, _QUERY_K)
+    out["surround_bool"] = sqlgen.must_sum_sql([
+        sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1 << 30),
+        sqlgen.prefix_topk_sql("mer", 1 << 30),
+    ], _QUERY_K)
     out["grouped_facets"] = f"""
+
 SELECT CAST(d.fl // 8 AS VARCHAR) AS value,
        CAST(count(DISTINCT d.fl % 7) AS BIGINT) AS count
 FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)

@@ -848,6 +848,28 @@ LIMIT {k}
 """.strip()
 
 
+def must_sum_sql(children: list[str], k: int) -> str:
+    """Pure-conjunction combiner over complete child SELECTs (trailing
+    ORDER BY/LIMIT stripped): docs present in EVERY child; score = the
+    engine's MUST fold — per-child float32 scores summed in DOUBLE, one
+    final REAL cast (ConjunctionScorer boundaries)."""
+    stripped = [c[: c.rindex("ORDER BY")].strip() for c in children]
+    ctes = ",\n".join(
+        f"c{i} AS (\n{sql}\n)" for i, sql in enumerate(stripped))
+    joins = "".join(
+        f" JOIN c{i} ON c{i}.doc_id = c0.doc_id"
+        for i in range(1, len(children)))
+    total = " + ".join(
+        f"CAST(c{i}.score AS DOUBLE)" for i in range(len(children)))
+    return f"""
+WITH {ctes}
+SELECT c0.doc_id AS doc_id, CAST({total} AS REAL) AS score
+FROM c0{joins}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def covering_topk_sql(terms: tuple[str, ...], k: int, min_match_sql: str,
                       table: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text") -> str:

@@ -855,6 +855,42 @@ class IndexSearcher:
         return self.spark.createDataFrame(
             out, "count long, weight long, min long, max long, avg double")
 
+    def search_surround(self, query, k: int = 10) -> DataFrame:
+        """Surround query-language search (``queryparser/surround``; see
+        query/surround.py): parse + compile + execute. Single-term
+        distance operators compile to the engine's SpanNearQuery AST and
+        compose inside booleans; multi-alternative distances (prefix /
+        truncated / OR operands — SpanNearClauseFactory's SpanOr) run
+        the ordered greedy matcher over per-slot alternatives with the
+        span weight accumulated over all present slot terms (slot-then-
+        term order, SpanWeight.buildSimWeight). DF(doc_id, score) top-k."""
+        from lucene_spark.query.surround import (
+            _DistancePlan, compile_surround, parse_surround,
+        )
+
+        tree = parse_surround(query) if isinstance(query, str) else query
+        plan = compile_surround(tree, self)
+        if not isinstance(plan, _DistancePlan):
+            return self.search(plan, k)
+        if not plan.ordered:
+            raise ValueError(
+                "unordered distance with multi-alternative operands is "
+                "not supported (single-term N compiles to SpanNearQuery)")
+        stats = self.term_stats([t for sl in plan.slots for t in sl])
+        present_slots = [tuple(t for t in sl if t in stats)
+                         for sl in plan.slots]
+        if any(not sl for sl in present_slots):
+            return self._empty_hits()
+        w = self._multi_term_weight(
+            np.float32(plan.weight),
+            [stats[t] for sl in plan.slots for t in sl if t in stats])
+        hits = self._phrase_core(present_slots, plan.slop, w,
+                                 matcher="ordered")
+        if hits is None:
+            return self._empty_hits()
+        return self._live(hits).orderBy(
+            F.desc("score"), F.asc("doc_id")).limit(int(k))
+
     def term_vector(self, doc_id: int, with_offsets: bool = False) -> DataFrame:
         """Per-doc term vector — the TermVectors analog (term vectors are
         index artifacts storing one doc's (term, freq, positions);

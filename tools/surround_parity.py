@@ -1,0 +1,328 @@
+"""Compiled-reference parity fuzz for query/surround.py.
+
+Compiles the reference surround parser UNMODIFIED — the JavaCC-generated
+``surround/parser`` package, the ``charstream`` package, and the REAL
+``surround/query`` classes (their validation logic — distance-subquery
+rules, truncation minimums, boost checks — is part of what's verified)
+— against small stubs for the Lucene query/index/spans types their
+makeLuceneQuery bodies reference but the parse path never executes.
+Fuzzes the Python parser string-for-string on SrndQuery.toString over
+randomized operator-soup inputs (ParseException/TokenMgrError == the
+Python parser's SurroundParseError).
+
+Run: python tools/surround_parity.py [n_cases]   (default 20000)
+"""
+from __future__ import annotations
+
+import base64
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucene_spark.query import surround as sur  # noqa: E402
+
+ROOT = "/tmp/surparity"
+SRC = os.path.join(ROOT, "src")
+QP = "/root/reference/lucene/queryparser/src/java/org/apache/lucene/queryparser"
+
+STUBS = {
+    "org/apache/lucene/util/BytesRef.java": """
+package org.apache.lucene.util;
+public class BytesRef implements Comparable<BytesRef> {
+  public final String s;
+  public BytesRef(String s) { this.s = s; }
+  public String utf8ToString() { return s; }
+  public int compareTo(BytesRef o) { return s.compareTo(o.s); }
+  public static BytesRef deepCopyOf(BytesRef o) { return o; }
+}
+""",
+    "org/apache/lucene/util/automaton/Operations.java": """
+package org.apache.lucene.util.automaton;
+public class Operations {
+  public static final int DEFAULT_DETERMINIZE_WORK_LIMIT = 10000;
+}
+""",
+    "org/apache/lucene/util/automaton/CompiledAutomaton.java": """
+package org.apache.lucene.util.automaton;
+import org.apache.lucene.index.Terms;
+import org.apache.lucene.index.TermsEnum;
+import java.io.IOException;
+public class CompiledAutomaton {
+  public CompiledAutomaton(Object a) {}
+  public CompiledAutomaton(Object a, boolean x, boolean y, boolean z) {}
+  public TermsEnum getTermsEnum(Terms t) throws IOException { return null; }
+}
+""",
+    "org/apache/lucene/index/Term.java": """
+package org.apache.lucene.index;
+import org.apache.lucene.util.BytesRef;
+public class Term {
+  final String f; final String t;
+  public Term(String f, String t) { this.f = f; this.t = t; }
+  public Term(String f, BytesRef t) { this.f = f; this.t = t.s; }
+  public String field() { return f; }
+  public String text() { return t; }
+  public BytesRef bytes() { return new BytesRef(t); }
+}
+""",
+    "org/apache/lucene/index/IndexReader.java": """
+package org.apache.lucene.index;
+public abstract class IndexReader {}
+""",
+    "org/apache/lucene/index/Terms.java": """
+package org.apache.lucene.index;
+import java.io.IOException;
+public abstract class Terms {
+  public abstract TermsEnum iterator() throws IOException;
+}
+""",
+    "org/apache/lucene/index/TermsEnum.java": """
+package org.apache.lucene.index;
+import java.io.IOException;
+import org.apache.lucene.util.BytesRef;
+public abstract class TermsEnum {
+  public static enum SeekStatus { END, FOUND, NOT_FOUND }
+  public abstract BytesRef next() throws IOException;
+  public boolean seekExact(BytesRef b) throws IOException { return false; }
+  public SeekStatus seekCeil(BytesRef b) throws IOException { return SeekStatus.END; }
+  public BytesRef term() throws IOException { return null; }
+}
+""",
+    "org/apache/lucene/index/MultiTerms.java": """
+package org.apache.lucene.index;
+import java.io.IOException;
+public class MultiTerms {
+  public static Terms getTerms(IndexReader r, String f) throws IOException {
+    return null;
+  }
+}
+""",
+    "org/apache/lucene/search/QueryVisitor.java": """
+package org.apache.lucene.search;
+public class QueryVisitor {
+  public void visitLeaf(Query q) {}
+}
+""",
+    "org/apache/lucene/search/Query.java": """
+package org.apache.lucene.search;
+public abstract class Query {
+  public String toString(String field) { return ""; }
+  public void visit(QueryVisitor v) {}
+  public Query rewrite(IndexSearcher s) throws java.io.IOException {
+    return this;
+  }
+  protected int classHash() { return getClass().hashCode(); }
+  protected boolean sameClassAs(Object o) {
+    return o != null && getClass() == o.getClass();
+  }
+}
+""",
+    "org/apache/lucene/search/TermQuery.java": """
+package org.apache.lucene.search;
+import org.apache.lucene.index.Term;
+public class TermQuery extends Query {
+  public TermQuery(Term t) {}
+}
+""",
+    "org/apache/lucene/search/PrefixQuery.java": """
+package org.apache.lucene.search;
+import org.apache.lucene.index.Term;
+public class PrefixQuery extends Query {
+  public PrefixQuery(Term t) {}
+  public static Object toAutomaton(org.apache.lucene.util.BytesRef b) {
+    return null;
+  }
+}
+""",
+    "org/apache/lucene/search/WildcardQuery.java": """
+package org.apache.lucene.search;
+import org.apache.lucene.index.Term;
+public class WildcardQuery extends Query {
+  public WildcardQuery(Term t) {}
+  public static Object toAutomaton(Term t, int limit) { return null; }
+}
+""",
+    "org/apache/lucene/search/BoostQuery.java": """
+package org.apache.lucene.search;
+public class BoostQuery extends Query {
+  public BoostQuery(Query q, float b) {}
+}
+""",
+    "org/apache/lucene/search/MatchNoDocsQuery.java": """
+package org.apache.lucene.search;
+public class MatchNoDocsQuery extends Query {
+  public static final MatchNoDocsQuery INSTANCE = new MatchNoDocsQuery();
+  public MatchNoDocsQuery() {}
+  public MatchNoDocsQuery(String reason) {}
+}
+""",
+    "org/apache/lucene/search/IndexSearcher.java": """
+package org.apache.lucene.search;
+public class IndexSearcher {
+  public static int getMaxClauseCount() { return 1024; }
+  public org.apache.lucene.index.IndexReader getIndexReader() {
+    return null;
+  }
+}
+""",
+    "org/apache/lucene/search/BooleanClause.java": """
+package org.apache.lucene.search;
+public class BooleanClause {
+  public enum Occur { MUST, SHOULD, MUST_NOT, FILTER }
+}
+""",
+    "org/apache/lucene/search/BooleanQuery.java": """
+package org.apache.lucene.search;
+public class BooleanQuery extends Query {
+  public static class Builder {
+    public Builder add(Query q, BooleanClause.Occur o) { return this; }
+    public BooleanQuery build() { return new BooleanQuery(); }
+  }
+  public static class TooManyClauses extends RuntimeException {}
+}
+""",
+    "org/apache/lucene/queries/spans/SpanQuery.java": """
+package org.apache.lucene.queries.spans;
+import org.apache.lucene.search.Query;
+public abstract class SpanQuery extends Query {}
+""",
+    "org/apache/lucene/queries/spans/SpanTermQuery.java": """
+package org.apache.lucene.queries.spans;
+import org.apache.lucene.index.Term;
+public class SpanTermQuery extends SpanQuery {
+  public SpanTermQuery(Term t) {}
+}
+""",
+    "org/apache/lucene/queries/spans/SpanOrQuery.java": """
+package org.apache.lucene.queries.spans;
+public class SpanOrQuery extends SpanQuery {
+  public SpanOrQuery(SpanQuery... clauses) {}
+}
+""",
+    "org/apache/lucene/queries/spans/SpanNearQuery.java": """
+package org.apache.lucene.queries.spans;
+public class SpanNearQuery extends SpanQuery {
+  public SpanNearQuery(SpanQuery[] clauses, int slop, boolean inOrder) {}
+}
+""",
+}
+
+MAIN = r"""
+package org.apache.lucene.queryparser.surround.parser;
+import java.io.BufferedReader;
+import java.io.InputStreamReader;
+import java.nio.charset.StandardCharsets;
+import java.util.Base64;
+public class SurParityMain {
+  public static void main(String[] a) throws Exception {
+    BufferedReader r = new BufferedReader(new InputStreamReader(System.in));
+    StringBuilder out = new StringBuilder();
+    String line;
+    while ((line = r.readLine()) != null) {
+      String q = new String(Base64.getDecoder().decode(line.trim()),
+                            StandardCharsets.UTF_8);
+      String res;
+      try {
+        res = QueryParser.parse(q).toString();
+      } catch (ParseException | TokenMgrError e) {
+        res = " ERROR";
+      } catch (Exception e) {
+        res = " ERROR";
+      }
+      out.append(Base64.getEncoder().encodeToString(
+          res.getBytes(StandardCharsets.UTF_8))).append('\n');
+    }
+    System.out.print(out);
+  }
+}
+"""
+
+
+def compile_harness() -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(SRC)
+    srcs = []
+    for rel, body in STUBS.items():
+        p = os.path.join(SRC, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(body)
+        srcs.append(p)
+    for sub in ("surround/parser", "surround/query", "charstream"):
+        d = os.path.join(SRC, "org/apache/lucene/queryparser", sub)
+        os.makedirs(d, exist_ok=True)
+        sdir = os.path.join(QP, sub)
+        for fn in os.listdir(sdir):
+            if fn.endswith(".java") and fn != "package-info.java":
+                shutil.copyfile(os.path.join(sdir, fn), os.path.join(d, fn))
+                srcs.append(os.path.join(d, fn))
+    mp = os.path.join(
+        SRC, "org/apache/lucene/queryparser/surround/parser/SurParityMain.java")
+    with open(mp, "w") as fh:
+        fh.write(MAIN)
+    srcs.append(mp)
+    subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-d", ROOT] + srcs, check=True)
+
+
+ALPHA = (list("abc3") + list('(),:^"?* \t') + ["and", "AND", "or", "not",
+         "w", "W", "n", "3w", "12n", "99w", "1w", "abcd", "ab",
+         "abc*", "a?cd*", "ab?", '"a b"', '"ab"*', '"abc d"*', "^2",
+         "^2.5", "^0.25", "f:", "  ", "xyz", "*ab"])
+
+
+def gen_query(rng: random.Random) -> str:
+    n = rng.randint(1, 12)
+    return " ".join(rng.choice(ALPHA) for _ in range(n)) if rng.random() < 0.5 \
+        else "".join(rng.choice(ALPHA) for _ in range(n))
+
+
+def _py_parse(q: str) -> str:
+    try:
+        return sur.to_string(sur.parse_surround(q))
+    except sur.SurroundParseError:
+        return " ERROR"
+    except RecursionError:
+        return " ERROR"
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    rng = random.Random(20260819)
+    compile_harness()
+    cases = [gen_query(rng) for _ in range(n)]
+    cases += ["scan w merge", "3W(a, bcd*)", "a AND b OR c", "not(ab, cd)",
+              "f:a or b", '"q t" 2n x', "abc*", "a?bc*", "term^2^3.5",
+              "ab*", "a*", "aa?", "and(a)", "and(a, b)", "w(a, b, c)",
+              "a w (b or cde*)", "a w (b and c)", "(a)", "", "   ",
+              "a ^2", "a^ 2", "a^x", "a^0", "f1:f2:abc", "99w", "100w",
+              "1w", "a NOT b NOT c", '"unclosed', '"escaped \\" quote"',
+              "*", "?", "a,,b", "()", "(a", "a)", "12N(a, b)"]
+    lines = [base64.b64encode(q.encode("utf-8")).decode("ascii")
+             for q in cases]
+    proc = subprocess.run(
+        ["java", "-cp", ROOT,
+         "org.apache.lucene.queryparser.surround.parser.SurParityMain"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True,
+        check=True)
+    got = [base64.b64decode(x).decode("utf-8")
+           for x in proc.stdout.split()]
+    assert len(got) == len(cases), (len(got), len(cases))
+    bad = 0
+    for q, jtree in zip(cases, got):
+        ptree = _py_parse(q)
+        if ptree != jtree:
+            bad += 1
+            if bad <= 15:
+                print(f"MISMATCH q={q!r}\n  java: {jtree!r}\n  py:   {ptree!r}")
+    print(f"{len(cases)} cases, {bad} mismatches")
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
