@@ -1349,6 +1349,37 @@ def _surround_entry(query_string: str):
     return run
 
 
+#: range-on-range: doc range = [fl, fl + fl % 5]; three query ranges
+_ROR_RANGES = [("low", 0, 12), ("mid", 13, 25), ("wide", 5, 60)]
+
+
+def _range_on_range_df(spark, sf_dir):
+    """RangeOnRangeFacetCounts (facet/rangeonrange/): INTERSECTS counts
+    of the doc range [fl, fl + fl % 5] vs three query ranges."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.facet_range_on_range(
+        TermQuery(_FACET_TERM), F.col("field_len"),
+        F.expr("field_len + field_len % 5"), _ROR_RANGES,
+        query_type="intersects")
+
+
+#: facet sets: two 2-dim sets per doc; one exact + one range matcher
+def _facet_sets_df(spark, sf_dir):
+    """MatchingFacetSetsCounts (facet/facetset/): per-set match counting
+    over two derived 2-dim sets per doc."""
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.facet_matching_sets(
+        TermQuery(_FACET_TERM),
+        sets=[(F.expr("field_len % 4"), F.expr("field_len div 8")),
+              (F.expr("field_len % 3"), F.expr("field_len div 4"))],
+        matchers=[("exact_1_2", "exact", (1, 2)),
+                  ("rng", "range", [(0, 2), (1, 3)])])
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2817,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["surround_w"] = _surround_entry("scan w merge")
     out["surround_n"] = _surround_entry("scan 4n merge")
     out["surround_bool"] = _surround_entry("and(scan, mer*)")
+    out["facet_range_on_range"] = _range_on_range_df
+    out["facet_matching_sets"] = _facet_sets_df
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -3047,7 +3080,36 @@ GROUP BY d.fl ORDER BY count DESC, value ASC
         sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1 << 30),
         sqlgen.prefix_topk_sql("mer", 1 << 30),
     ], _QUERY_K)
+    _ror_conds = []
+    for _lbl, _qlo, _qhi in _ROR_RANGES:
+        _c = (f"d.fl <= {_qhi} AND (d.fl + d.fl % 5) >= {_qlo}")
+        _ror_conds.append(
+            f"SELECT '{_lbl}' AS label, CAST(coalesce(sum(CASE WHEN {_c} "
+            f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS count "
+            f"FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)")
+    out["facet_range_on_range"] = " UNION ALL ".join(_ror_conds)
+    out["facet_matching_sets"] = f"""
+WITH j AS (
+  SELECT t.doc_id, d.fl % 4 AS a1, d.fl // 8 AS b1,
+         d.fl % 3 AS a2, d.fl // 4 AS b2
+  FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+)
+SELECT 'exact_1_2' AS label,
+       CAST(coalesce(sum((CASE WHEN a1 = 1 AND b1 = 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a2 = 1 AND b2 = 2 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS count
+FROM j
+UNION ALL
+SELECT 'rng' AS label,
+       CAST(coalesce(sum(
+           (CASE WHEN a1 BETWEEN 0 AND 2 AND b1 BETWEEN 1 AND 3
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN a2 BETWEEN 0 AND 2 AND b2 BETWEEN 1 AND 3
+                 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS count
+FROM j
+""".strip()
     out["grouped_facets"] = f"""
+
 
 SELECT CAST(d.fl // 8 AS VARCHAR) AS value,
        CAST(count(DISTINCT d.fl % 7) AS BIGINT) AS count

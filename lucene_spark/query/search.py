@@ -568,25 +568,31 @@ class IndexSearcher:
         if scored is None:
             return empty
         j = scored.select("doc_id").join(self._dim_frame(dims), "doc_id")
-        frames = []
+        # ONE pass over the hit set: stack each dimension's (dim, value)
+        # pair gated on the OTHER dims' drill filters as a boolean column,
+        # then a single groupBy(dim, value) — the plan scores the base
+        # query once and shuffles once regardless of dimension count
+        # (a per-dim groupBy loop would rescan the postings N times)
+        arms = []
         for name, _, _ in dims:
-            side = j
+            other_ok = F.lit(True)
             for oname, _, ovalues in dims:
                 if oname != name:
-                    side = side.filter(
-                        F.col(f"__dim_{oname}").isin(
-                            [str(v) for v in ovalues]))
-            frames.append(
-                side.filter(F.col(f"__dim_{name}").isNotNull())
-                .groupBy(F.col(f"__dim_{name}").alias("value"))
-                .count()
-                .select(F.lit(name).alias("dim"), "value",
-                        F.col("count").cast("long").alias("count"))
-            )
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out.orderBy("dim", F.desc("count"), F.asc("value"))
+                    other_ok = other_ok & F.col(f"__dim_{oname}").isin(
+                        [str(v) for v in ovalues])
+            arms.append(F.struct(
+                F.lit(name).alias("dim"),
+                F.col(f"__dim_{name}").alias("value"),
+                other_ok.alias("ok")))
+        exploded = j.select(
+            F.explode(F.array(*arms)).alias("a")
+        ).select("a.dim", "a.value", "a.ok")
+        return (
+            exploded.filter(F.col("ok") & F.col("value").isNotNull())
+            .groupBy("dim", "value").count()
+            .select("dim", "value", F.col("count").cast("long").alias("count"))
+            .orderBy("dim", F.desc("count"), F.asc("value"))
+        )
 
     def facet_long_values(self, query: Query, field) -> DataFrame:
         """LongValueFacetCounts analog (``facet/LongValueFacetCounts
@@ -776,6 +782,110 @@ class IndexSearcher:
             f"'{lbl}', c{i}" for i, (lbl, *_) in enumerate(ranges))
         return one.select(
             F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)"))
+
+    def facet_range_on_range(self, query: Query, lo_field, hi_field,
+                             ranges: list[tuple[str, int, int]],
+                             query_type: str = "intersects") -> DataFrame:
+        """RangeOnRangeFacetCounts analog (``facet/rangeonrange/
+        RangeOnRangeFacetCounts.java:75-130``): docs carry a RANGE
+        [lo_field, hi_field]; each query range counts the docs whose
+        range relates to it per ``query_type`` — "intersects"
+        (doc.min <= q.max and doc.max >= q.min), "within"
+        (q.min <= doc.min and doc.max <= q.max), "contains"
+        (doc.min <= q.min and q.max <= doc.max), "crosses" (intersects
+        and neither within nor contains) — RangeFieldQuery.QueryType
+        semantics, single dimension. NULL endpoints = missing (not
+        counted). ``ranges`` = [(label, min, max)] inclusive bounds.
+        DF(label string, count long) in input order."""
+        if query_type not in ("intersects", "within", "contains",
+                              "crosses"):
+            raise ValueError(f"unknown query type {query_type!r}")
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame(
+                [(lbl, 0) for lbl, _, _ in ranges], "label string, count long")
+        lo = (F.col(lo_field) if isinstance(lo_field, str)
+              else lo_field).cast("long")
+        hi = (F.col(hi_field) if isinstance(hi_field, str)
+              else hi_field).cast("long")
+        dm = self.docmap().select("doc_id", lo.alias("dlo"), hi.alias("dhi"))
+        j = (scored.select("doc_id").join(dm, "doc_id")
+             .filter(F.col("dlo").isNotNull() & F.col("dhi").isNotNull()))
+
+        def rel(qlo: int, qhi: int):
+            inter = (F.col("dlo") <= qhi) & (F.col("dhi") >= qlo)
+            within = (F.col("dlo") >= qlo) & (F.col("dhi") <= qhi)
+            contains = (F.col("dlo") <= qlo) & (F.col("dhi") >= qhi)
+            return {"intersects": inter, "within": within,
+                    "contains": contains,
+                    "crosses": inter & ~within & ~contains}[query_type]
+
+        aggs = [
+            F.coalesce(F.sum(F.when(rel(int(lo_), int(hi_)), 1)
+                             .otherwise(0)), F.lit(0))
+            .cast("long").alias(f"c{i}")
+            for i, (_, lo_, hi_) in enumerate(ranges)
+        ]
+        one = j.agg(*aggs)
+        pairs = ", ".join(
+            f"'{lbl}', c{i}" for i, (lbl, _, _) in enumerate(ranges))
+        return one.select(
+            F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)"))
+
+    def facet_matching_sets(self, query: Query,
+                            sets: list[tuple],
+                            matchers: list[tuple]) -> DataFrame:
+        """MatchingFacetSetsCounts analog (``facet/facetset/
+        MatchingFacetSetsCounts.java:88-120``): each doc carries one or
+        more d-dimensional long SETS (``sets`` = list of d-tuples of
+        docmap columns/exprs, one tuple per per-doc set); each matcher
+        counts MATCHING SETS (a doc with two matching sets for the same
+        matcher counts twice — the reference increments per set).
+        ``matchers`` = [(label, "exact", (v1..vd))] or
+        [(label, "range", [(lo, hi)] per dim, inclusive)] —
+        Exact/RangeFacetSetMatcher. DF(label string, count long) in
+        matcher order."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame(
+                [(m[0], 0) for m in matchers], "label string, count long")
+        d = len(sets[0])
+        if any(len(t) != d for t in sets):
+            raise ValueError("all sets must have the same dimension count")
+        arms = []
+        for si, t in enumerate(sets):
+            arms.append(F.struct(*[
+                (F.col(c) if isinstance(c, str) else c)
+                .cast("long").alias(f"v{i}") for i, c in enumerate(t)]))
+        j = (
+            scored.select("doc_id")
+            .join(self.docmap().select(
+                "doc_id", F.array(*arms).alias("__sets")), "doc_id")
+            .select(F.explode("__sets").alias("s"))
+        )
+        aggs = []
+        for mi, m in enumerate(matchers):
+            kind = m[1]
+            if kind == "exact":
+                cond = F.lit(True)
+                for i, v in enumerate(m[2]):
+                    cond = cond & (F.col(f"s.v{i}") == int(v))
+            elif kind == "range":
+                cond = F.lit(True)
+                for i, (lo, hi) in enumerate(m[2]):
+                    cond = cond & (F.col(f"s.v{i}") >= int(lo)) & (
+                        F.col(f"s.v{i}") <= int(hi))
+            else:
+                raise ValueError(f"unknown matcher kind {kind!r}")
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+                .cast("long").alias(f"c{mi}"))
+        one = j.agg(*aggs)
+        pairs = ", ".join(f"'{m[0]}', c{i}" for i, m in enumerate(matchers))
+        return one.select(
+            F.expr(f"stack({len(matchers)}, {pairs}) as (label, count)"))
 
     def facet_dynamic_ranges(self, query: Query, field, top_n: int,
                              weight_field=None) -> DataFrame:

@@ -206,3 +206,40 @@ def test_dynamic_ranges_more_buckets_than_topn_possible(s):
     # element group boundary; must not crash and must cover all matches
     got = s.facet_dynamic_ranges(Q, "field_len", top_n=10**6).collect()
     assert sum(r["count"] for r in got) > 0
+
+
+def test_range_on_range_query_types(s, truth):
+    rng = [("q", 10, 20)]
+    res = {}
+    for qt in ("intersects", "within", "contains", "crosses"):
+        res[qt] = {r.label: r["count"] for r in s.facet_range_on_range(
+            Q, F.col("field_len"), F.expr("field_len + field_len % 5"),
+            rng, query_type=qt).collect()}["q"]
+    exp = {"intersects": 0, "within": 0, "contains": 0, "crosses": 0}
+    for _, (_, fl) in truth.items():
+        dlo, dhi = fl, fl + fl % 5
+        inter = dlo <= 20 and dhi >= 10
+        within = dlo >= 10 and dhi <= 20
+        contains = dlo <= 10 and dhi >= 20
+        exp["intersects"] += inter
+        exp["within"] += within
+        exp["contains"] += contains
+        exp["crosses"] += inter and not within and not contains
+    assert res == exp
+    assert res["crosses"] == (res["intersects"] - res["within"]
+                              - res["contains"])
+
+
+def test_matching_sets_counts_per_set(s, truth):
+    got = {r.label: r["count"] for r in s.facet_matching_sets(
+        Q,
+        sets=[(F.expr("field_len % 4"), F.expr("field_len div 8")),
+              (F.expr("field_len % 3"), F.expr("field_len div 4"))],
+        matchers=[("e", "exact", (1, 2)), ("r", "range", [(0, 2), (1, 3)])],
+    ).collect()}
+    exp = {"e": 0, "r": 0}
+    for _, (_, fl) in truth.items():
+        for a, b in ((fl % 4, fl // 8), (fl % 3, fl // 4)):
+            exp["e"] += (a == 1 and b == 2)
+            exp["r"] += (0 <= a <= 2 and 1 <= b <= 3)
+    assert got == exp
