@@ -1380,6 +1380,17 @@ def _facet_sets_df(spark, sf_dir):
                   ("rng", "range", [(0, 2), (1, 3)])])
 
 
+def _complex_phrase_df(spark, sf_dir):
+    """ComplexPhraseQueryParser (queryparser/complexPhrase): classic
+    syntax with an alternatives group inside the phrase; the slop=0
+    phrase expands to MultiPhraseQuery and composes under AND."""
+    s = _searcher(spark, sf_dir)
+    out = s.search_complex_phrase(
+        'scan AND "(merge table) scan"', _QUERY_K)
+    return _orig(s, out).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 _PARENT_AST = {"bool": {"must": [{"term": "scan"}], "should": [{"term": "merge"}]}}
 _PARENT_K, _PARENT_CHUNK = 15, 20
 
@@ -2850,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["surround_bool"] = _surround_entry("and(scan, mer*)")
     out["facet_range_on_range"] = _range_on_range_df
     out["facet_matching_sets"] = _facet_sets_df
+    out["complex_phrase_parser"] = _complex_phrase_df
     out["facet_ranges"] = _facet_ranges_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
@@ -3108,7 +3120,13 @@ SELECT 'rng' AS label,
                  THEN 1 ELSE 0 END)), 0) AS BIGINT) AS count
 FROM j
 """.strip()
+    out["complex_phrase_parser"] = sqlgen.must_sum_sql([
+        sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1 << 30),
+        sqlgen.multi_phrase_topk_sql([["merge", "table"], ["scan"]],
+                                     1 << 30),
+    ], _QUERY_K)
     out["grouped_facets"] = f"""
+
 
 
 SELECT CAST(d.fl // 8 AS VARCHAR) AS value,

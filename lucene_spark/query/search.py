@@ -965,6 +965,78 @@ class IndexSearcher:
         return self.spark.createDataFrame(
             out, "count long, weight long, min long, max long, avg double")
 
+    def search_complex_phrase(self, query, k: int = 10,
+                              in_order: bool = True,
+                              default_operator: str = "OR") -> DataFrame:
+        """ComplexPhraseQueryParser search (``queryparser/complexPhrase``;
+        see query/complexphrase.py): classic syntax whose quoted phrases
+        may embed prefixes/wildcards/fuzzies/(a b) groups. slop=0
+        phrases expand to MultiPhraseQuery and compose anywhere in the
+        boolean tree; a slop>0 phrase runs the span matcher standalone
+        (ordered greedy for in_order, the 2-term nearest-occurrence
+        matcher otherwise). DF(doc_id, score) top-k."""
+        from lucene_spark.query.complexphrase import (
+            ComplexPhraseQuery, ComplexPhraseQueryParser,
+            expand_complex_phrase,
+        )
+
+        if isinstance(query, str):
+            parser = ComplexPhraseQueryParser(
+                analyzer=self.manifest["config"].get("analyzer", "simple"),
+                default_operator=default_operator, in_order=in_order)
+            query = parser.parse(query)
+
+        def resolve(q):
+            if isinstance(q, ComplexPhraseQuery):
+                return expand_complex_phrase(q, self)
+            if isinstance(q, BoostQuery):
+                return BoostQuery(resolve(q.query), q.boost)
+            if isinstance(q, BooleanQuery):
+                out = BooleanQuery(
+                    [resolve(c) for c in q.must],
+                    [resolve(c) for c in q.should],
+                    [resolve(c) for c in q.filter],
+                    [resolve(c) for c in q.must_not],
+                    q.min_should_match)
+                for group in (out.must, out.should, out.filter,
+                              out.must_not):
+                    if any(isinstance(c, ComplexPhraseQuery)
+                           for c in group):
+                        raise ValueError(
+                            "slop>0 complex phrases execute standalone "
+                            "(documented divergence)")
+                return out
+            return q
+
+        q = resolve(query)
+        if isinstance(q, ComplexPhraseQuery):
+            # literal slots, slop>0: the span-near matcher
+            stats = self.term_stats(
+                [t for sl in q.slots for t in sl])
+            present = [tuple(t for t in sl if t in stats)
+                       for sl in q.slots]
+            if any(not sl for sl in present):
+                return self._empty_hits()
+            w = self._multi_term_weight(
+                np.float32(1.0),
+                [stats[t] for sl in q.slots for t in sl if t in stats])
+            if q.in_order:
+                hits = self._phrase_core(present, int(q.slop), w,
+                                         matcher="ordered")
+            else:
+                if any(len(sl) != 1 for sl in present) or len(present) != 2:
+                    raise ValueError(
+                        "unordered complex phrases support exactly two "
+                        "single-term positions (documented divergence)")
+                return self.search(SpanNearQuery(
+                    tuple(sl[0] for sl in present), int(q.slop),
+                    in_order=False), k)
+            if hits is None:
+                return self._empty_hits()
+            return self._live(hits).orderBy(
+                F.desc("score"), F.asc("doc_id")).limit(int(k))
+        return self.search(q, k)
+
     def search_surround(self, query, k: int = 10) -> DataFrame:
         """Surround query-language search (``queryparser/surround``; see
         query/surround.py): parse + compile + execute. Single-term

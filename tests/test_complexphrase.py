@@ -1,0 +1,98 @@
+"""ComplexPhraseQueryParser (query/complexphrase.py): phrase-body
+syntax, expansion compile, and engine execution vs brute replays."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    MultiPhraseQuery,
+    PhraseQuery,
+    TermQuery,
+)
+from lucene_spark.query.complexphrase import (
+    ComplexPhraseQuery,
+    ComplexPhraseQueryParser,
+    expand_complex_phrase,
+)
+from lucene_spark.query.search import IndexSearcher
+
+
+def _p(**kw):
+    return ComplexPhraseQueryParser(**kw)
+
+
+def test_phrase_body_syntax():
+    p = _p()
+    q = p.parse('"(merge table) scan"')
+    assert q == ComplexPhraseQuery((("merge", "table"), ("scan",)), 0, True)
+    q = p.parse('"merge scan"~3')
+    assert q == ComplexPhraseQuery((("merge",), ("scan",)), 3, True)
+    # plain phrases still work through the subclass (single-alt slots)
+    q = p.parse('"ba be"')
+    assert q == ComplexPhraseQuery((("ba",), ("be",)), 0, True)
+    # a one-term phrase collapses to TermQuery (classic behavior)
+    assert p.parse('"ba"') == TermQuery("ba")
+    with pytest.raises(ValueError, match="mix"):
+        p.parse('"(ab cd*) x"')
+
+
+def test_unordered_flag():
+    q = _p(in_order=False).parse('"ba be"~2')
+    assert q == ComplexPhraseQuery((("ba",), ("be",)), 2, False)
+
+
+def test_expand_prefix_slot(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    q = _p().parse('"ba bo*"')
+    out = expand_complex_phrase(q, s)
+    assert isinstance(out, MultiPhraseQuery)
+    assert out.slots[0] == ("ba",)
+    assert all(t.startswith("bo") for t in out.slots[1])
+    assert len(out.slots[1]) > 1
+
+
+def test_engine_group_phrase_matches_multiphrase(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    got = [(r.doc_id, np.float32(r.score)) for r in
+           s.search_complex_phrase('"(ba bo) be"', 100).collect()]
+    exp = [(r.doc_id, np.float32(r.score)) for r in
+           s.search(MultiPhraseQuery((("ba", "bo"), ("be",))), 100).collect()]
+    assert got and got == exp
+
+
+def test_engine_composes_in_boolean(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    got = {r.doc_id: np.float32(r.score) for r in
+           s.search_complex_phrase('bi AND "ba be"', 10**6).collect()}
+    assert got
+    term = {r.doc_id: np.float32(r.score)
+            for r in s.search(TermQuery("bi"), 10**6).collect()}
+    ph = {r.doc_id: np.float32(r.score)
+          for r in s.search(PhraseQuery(("ba", "be")), 10**6).collect()}
+    assert set(got) == set(term) & set(ph)
+    for d, sc in got.items():
+        assert sc == np.float32(np.float64(term[d]) + np.float64(ph[d]))
+
+
+def test_engine_slop_ordered(built_index, spark):
+    """'\"ba be\"~2' == SpanNear(ordered, slop 2) == the engine's
+    in-order span near over the same terms."""
+    from lucene_spark.query.ast import SpanNearQuery
+
+    s = IndexSearcher(spark, built_index)
+    got = [(r.doc_id, np.float32(r.score)) for r in
+           s.search_complex_phrase('"ba be"~3', 100).collect()]
+    exp = [(r.doc_id, np.float32(r.score)) for r in
+           s.search(SpanNearQuery(("ba", "be"), 3, in_order=True),
+                    100).collect()]
+    assert got and got == exp
+
+
+def test_slop_inside_boolean_raises(built_index, spark):
+    s = IndexSearcher(spark, built_index)
+    with pytest.raises(ValueError, match="standalone"):
+        s.search_complex_phrase('bi AND "ba be"~2', 5)
