@@ -689,6 +689,41 @@ def _facet_taxonomy_df(spark, sf_dir):
     return out.select("value", F.col("count").cast("long").alias("count"))
 
 
+def _facet_assoc_pairs():
+    """Two association slots per doc (IntAssociationFacetField analog):
+    (field_len % 5 -> field_len) and (field_len % 3 -> field_len div 2)."""
+    return [
+        (F.expr("cast(field_len % 5 as string)"), F.col("field_len")),
+        (F.expr("cast(field_len % 3 as string)"), F.expr("field_len div 2")),
+    ]
+
+
+def _facet_assoc_sum_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    out = s.facet_associations(TermQuery(_FACET_TERM), _facet_assoc_pairs(),
+                               agg="sum")
+    return out.select("label", F.col("value").cast("long").alias("value"),
+                      F.col("count").cast("long").alias("count"))
+
+
+def _facet_assoc_max_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    pairs = [
+        (F.expr("cast(field_len % 5 as string)"),
+         F.col("field_len") * F.lit(0.5)),
+        (F.expr("cast(field_len % 3 as string)"),
+         F.col("field_len") * F.lit(0.25)),
+    ]
+    out = s.facet_associations(TermQuery(_FACET_TERM), pairs, agg="max",
+                               float_values=True)
+    return out.select("label", F.col("value").cast("float").alias("value"),
+                      F.col("count").cast("long").alias("count"))
+
+
 def _sorted_df(spark, sf_dir):
     from lucene_spark.query.ast import TermQuery
 
@@ -2741,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_counts"] = _facet_df
     out["search_grouped"] = _grouped_df
     out["facet_taxonomy"] = _facet_taxonomy_df
+    out["facet_assoc_sum"] = _facet_assoc_sum_df
+    out["facet_assoc_max"] = _facet_assoc_max_df
     out["search_sorted"] = _sorted_df
     out["search_sorted_indexed"] = _sorted_indexed_df
     out["explain_score"] = _explain_df
@@ -3081,6 +3118,32 @@ SELECT CAST(d.fl AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS count
 FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
 WHERE (d.fl // 8) = 2
 GROUP BY d.fl ORDER BY count DESC, value ASC
+""".strip()
+    out["facet_assoc_sum"] = f"""
+WITH j AS (
+  SELECT t.doc_id, d.fl FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+), p AS (
+  SELECT CAST(fl % 5 AS VARCHAR) AS label, CAST(fl AS BIGINT) AS v FROM j
+  UNION ALL
+  SELECT CAST(fl % 3 AS VARCHAR) AS label, CAST(fl // 2 AS BIGINT) AS v FROM j
+)
+SELECT label, CAST(sum(v) AS BIGINT) AS value,
+       CAST(count(*) AS BIGINT) AS count
+FROM p GROUP BY label ORDER BY value DESC, label ASC
+""".strip()
+    out["facet_assoc_max"] = f"""
+WITH j AS (
+  SELECT t.doc_id, d.fl FROM ({_base}) t JOIN ({_fl}) d USING (doc_id)
+), p AS (
+  SELECT CAST(fl % 5 AS VARCHAR) AS label,
+         CAST(fl AS DOUBLE) * 0.5 AS v FROM j
+  UNION ALL
+  SELECT CAST(fl % 3 AS VARCHAR) AS label,
+         CAST(fl AS DOUBLE) * 0.25 AS v FROM j
+)
+SELECT label, CAST(max(v) AS REAL) AS value,
+       CAST(count(*) AS BIGINT) AS count
+FROM p GROUP BY label ORDER BY value DESC, label ASC
 """.strip()
     # surround: 'scan w merge' == ordered adjacent spans == PhraseQuery
     # scoring (slop 0, sloppyFreq 1); 'scan 4n merge' == unordered

@@ -480,6 +480,57 @@ class IndexSearcher:
             .orderBy(F.desc("count"), F.asc("value"))
         )
 
+    def facet_associations(self, query: Query,
+                           pairs: list[tuple], agg: str = "sum",
+                           float_values: bool = False) -> DataFrame:
+        """Association facets — the ``TaxonomyFacetIntAssociations`` /
+        ``TaxonomyFacetFloatAssociations`` analog
+        (``facet/taxonomy/TaxonomyFacetIntAssociations.java:63-97``:
+        each matching doc carries (ordinal, value) association pairs —
+        ``IntAssociationFacetField`` — and per ordinal the values are
+        folded with ``AssociationAggregationFunction`` SUM or MAX
+        (``AssociationAggregationFunction.java:30-56``) while ``count``
+        increments once per PAIR, not per doc). ``pairs`` is
+        [(label column/expr, value column/expr)] — the association
+        fields a doc would have been indexed with; a NULL label means
+        the doc has no pair for that slot (skipped, like a doc absent
+        from the ordinal's postings). ``float_values`` selects the
+        Float flavor (values aggregate as double→f32 for MAX — exact;
+        SUM stays exact for integer values, which is the Int flavor).
+        DF(label string, value long|float, count long), value desc /
+        label asc (TopOrdAndIntQueue keeps largest values; ties by
+        taxonomy ord ≅ label here). One explode + one groupBy — the
+        shuffle is bounded by matches × len(pairs)."""
+        if agg not in ("sum", "max"):
+            raise ValueError(f"unknown aggregation {agg!r}")
+        vt = "double" if float_values else "long"
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        out_vt = "float" if float_values else "long"
+        if scored is None:
+            return self.spark.createDataFrame(
+                [], f"label string, value {out_vt}, count long")
+        structs = [
+            F.struct(
+                (F.col(l) if isinstance(l, str) else l)
+                .cast("string").alias("label"),
+                (F.col(v) if isinstance(v, str) else v)
+                .cast(vt).alias("v"),
+            )
+            for l, v in pairs
+        ]
+        dm = self.docmap().select(
+            "doc_id", F.explode(F.array(*structs)).alias("p")
+        ).filter(F.col("p.label").isNotNull())
+        aggc = (F.sum("p.v") if agg == "sum" else F.max("p.v"))
+        return (
+            scored.select("doc_id").join(dm, "doc_id")
+            .groupBy(F.col("p.label").alias("label"))
+            .agg(aggc.cast(out_vt).alias("value"),
+                 F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("value"), F.asc("label"))
+        )
+
     def facet_ranges(
         self, query: Query, field: str,
         ranges: list[tuple[str, int, int]],

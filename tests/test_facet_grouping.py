@@ -243,3 +243,36 @@ def test_matching_sets_counts_per_set(s, truth):
             exp["e"] += (a == 1 and b == 2)
             exp["r"] += (0 <= a <= 2 and 1 <= b <= 3)
     assert got == exp
+
+
+def test_facet_associations_sum_and_max(s, truth):
+    """TaxonomyFacetIntAssociations replay: SUM/MAX per label, count per
+    PAIR, NULL labels skipped (a doc with no association for the slot)."""
+    pairs = [
+        (F.expr("cast(field_len % 5 as string)"), F.col("field_len")),
+        # NULL label for even field_len — slot absent for those docs
+        (F.expr("case when field_len % 2 = 1 then cast(field_len % 3 as string) end"),
+         F.expr("field_len div 2")),
+    ]
+    exp_sum: dict[str, int] = {}
+    exp_max: dict[str, int] = {}
+    exp_cnt: dict[str, int] = {}
+    for _, (_, fl) in truth.items():
+        for lbl, v in ((str(fl % 5), fl),
+                       (str(fl % 3) if fl % 2 == 1 else None, fl // 2)):
+            if lbl is None:
+                continue
+            exp_sum[lbl] = exp_sum.get(lbl, 0) + v
+            exp_max[lbl] = max(exp_max.get(lbl, v), v)
+            exp_cnt[lbl] = exp_cnt.get(lbl, 0) + 1
+    got = s.facet_associations(Q, pairs, agg="sum").collect()
+    assert {r.label: r.value for r in got} == exp_sum
+    assert {r.label: r["count"] for r in got} == exp_cnt
+    # value desc, label asc ordering (TopOrdAndIntQueue largest-first)
+    assert [(r.value, r.label) for r in got] == sorted(
+        [(v, l) for l, v in exp_sum.items()], key=lambda x: (-x[0], x[1]))
+    gmax = {r.label: r.value for r in
+            s.facet_associations(Q, pairs, agg="max").collect()}
+    assert gmax == exp_max
+    with pytest.raises(ValueError):
+        s.facet_associations(Q, pairs, agg="min")
