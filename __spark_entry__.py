@@ -856,6 +856,26 @@ def _highlight_offsets_df(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _highlight_unified_df(spark, sf_dir):
+    """UnifiedHighlighter analog (WholeBreakIterator, maxPassages=1): the
+    single whole-doc passage scored with PassageScorer's BM25-ish formula
+    and formatted with DefaultPassageFormatter <b> tags — both replayed
+    closed-form by the SQL twin (per-term tf from the token replay, exact
+    float32 op order with one REAL cast per Java float boundary)."""
+    from lucene_spark.operators.uhighlight import highlight_unified
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+
+    s = _offsets_searcher(spark, sf_dir)
+    q = BooleanQuery(must=[TermQuery(t) for t in _HL_TERMS])
+    hits = s.search(q, _HL_K)
+    src = _documents_as_transcripts(spark, sf_dir)
+    hl = highlight_unified(s, hits, src, _HL_TERMS, max_passages=1)
+    return hl.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "score",
+        "psg_score", "snippet"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _payload_searcher(spark, sf_dir):
     """Index with per-occurrence float payloads (IndexConfig.payloads;
     DelimitedPayloadTokenFilter corpus synthesized deterministically:
@@ -2783,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["explain_score"] = _explain_df
     out["highlight"] = _highlight_df
     out["highlight_offsets"] = _highlight_offsets_df
+    out["highlight_unified"] = _highlight_unified_df
     out["payload_score_sum"] = _payload_score_df("sum")
     out["payload_score_max"] = _payload_score_df("max")
     out["bm25_delimited_tf"] = _delimited_tf_df
@@ -3323,6 +3344,57 @@ FROM ({_hl_base}) t JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id ASC
 """.strip()
     out["highlight_offsets"] = out["highlight"]
+    # UnifiedHighlighter whole-break single passage: PassageScorer closed
+    # form (PassageScorer.java:34-105) — tf/weight/norm with one REAL cast
+    # per Java float boundary; the two per-term f32 contributions are exact
+    # in the f64 sum (order-free), norm(0) is a constant folded in numpy
+    import numpy as _np
+    _K1 = repr(float(_np.float32(1.2)))
+    _K1P1 = repr(float(_np.float32(_np.float32(1.2) + _np.float32(1.0))))
+    _NORM0 = repr(float(
+        _np.float32(1.0) + _np.float32(1.0)
+        / _np.float32(_np.log(_np.float64(_np.float32(87.0))))))
+
+    def _psg_contrib(freq: str) -> str:
+        # every decimal literal goes through DOUBLE: DuckDB's direct
+        # DECIMAL->FLOAT cast is lossy (1.2000000476837158 -> 1.19999992…)
+        # while DECIMAL->DOUBLE is exact; f64 ops over f32 inputs with one
+        # REAL cast per Java float boundary replay the f32 chain
+        k1 = f"CAST({_K1} AS DOUBLE)"
+        k1p1 = f"CAST({_K1P1} AS DOUBLE)"
+        dr = "CAST(CAST(length(d.text) AS DOUBLE) / 87.0 AS REAL)"
+        nrm = (f"CAST({k1} * CAST(CAST(0.25 AS DOUBLE) + "
+               f"CAST(CAST(0.75 AS DOUBLE) * {dr} AS REAL) "
+               f"AS REAL) AS REAL)")
+        tfq = f"CAST({freq} / CAST({freq} + {nrm} AS REAL) AS REAL)"
+        nd = f"CAST(CAST(1.0 AS DOUBLE) + {dr} AS REAL)"
+        # (numDocs + 0.5D)/(ttf + 0.5D) is DOUBLE math in Java — keep the
+        # SQL in DOUBLE too (DECIMAL + REAL degrades to FLOAT in DuckDB)
+        half = "CAST(0.5 AS DOUBLE)"
+        wt = (f"CAST({k1p1} * CAST(ln(CAST(1.0 AS DOUBLE) + "
+              f"({nd} + {half}) / ({freq} + {half}))"
+              f" AS REAL) AS REAL)")
+        return f"CAST({tfq} * {wt} AS REAL)"
+
+    _toks_hl = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+                "'[a-z0-9]+')) AS term FROM documents")
+    out["highlight_unified"] = f"""
+WITH tfh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN term = '{_HL_TERMS[0]}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f0,
+         CAST(sum(CASE WHEN term = '{_HL_TERMS[1]}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f1
+  FROM ({_toks_hl}) GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id, t.score AS score,
+       CAST(({_psg_contrib('tfh.f0')} + {_psg_contrib('tfh.f1')})
+            * CAST({_NORM0} AS DOUBLE) AS REAL) AS psg_score,
+       regexp_replace(d.text, '(?i){_hl_pat}', '<b>\\0</b>', 'g') AS snippet
+FROM ({_hl_base}) t JOIN documents d USING (doc_id)
+JOIN tfh USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
+""".strip()
     # payload sums/maxes: values are multiples of 0.25 with small per-doc
     # counts, so the float64 SQL sum cast REAL equals the engine's float32
     # position-order accumulation exactly

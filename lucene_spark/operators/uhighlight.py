@@ -1,0 +1,367 @@
+"""UnifiedHighlighter analog — BM25-weighted passage selection + formatting.
+
+Replays the reference's postings-offsets highlighting pipeline exactly:
+
+- ``FieldHighlighter.highlightOffsetsEnums`` (``highlighter/src/java/org/
+  apache/lucene/search/uhighlight/FieldHighlighter.java:105-170``): walk the
+  merged match stream ordered by (startOffset, endOffset, term) —
+  ``OffsetsEnum.compareTo`` (``OffsetsEnum.java:49-74``) — cutting a new
+  passage whenever a match starts at/after the current passage's end; the
+  passage span comes from the BreakIterator (preceding/following of the
+  match CENTER, clamped to [lastPassageEnd, contentLength] and widened to
+  cover the match). A bounded priority queue keeps the ``max_passages``
+  best passages by (score, then smaller startOffset evicted first), and
+  the survivors are re-sorted by startOffset (``UnifiedHighlighter``'s
+  DEFAULT_PASSAGE_SORT_COMPARATOR).
+- ``PassageScorer`` (``PassageScorer.java:34-105``): per unique term in the
+  passage (first-occurrence order), ``tf(freqInPassage, passageLen) *
+  weight(contentLength, freqInDoc)`` accumulated in double with each
+  product rounded to float32 first (Java ``double += float * float``),
+  then ``* norm(passageStart)`` and one final float32 cast. Defaults
+  k1=1.2, b=0.75, pivot=87 (:37-40).
+- ``DefaultPassageFormatter.format`` (``DefaultPassageFormatter.java:63-
+  105``): matches wrapped in pre/post tags with the overlapping-match
+  lookahead merge, passages joined by the ellipsis only when disconnected,
+  match ends clamped to the passage end.
+- Break iterators: ``CustomSeparatorBreakIterator`` (``CustomSeparator
+  BreakIterator.java:41-132``) including its CharacterIterator stepping
+  quirks (the forward scan starts at pos+1 and the backward scan at pos-1,
+  so a separator AT the probe position is skipped — JDK-8015110 notes
+  preserved), and ``WholeBreakIterator``. The reference DEFAULT
+  (``BreakIterator.getSentenceInstance(Locale.ROOT)``,
+  ``UnifiedHighlighter.java:113``) is locale/ICU-bound — a documented gap
+  of the same class as Thai/Lao dictionary segmentation; callers pick a
+  separator (sentence-final '.' or '\\n') or whole-text breaking.
+
+Offsets run in codepoint units (identical to UTF-16 units on BMP-only
+text, which is what the stored-offsets build guarantees exactness for).
+
+Scale: passage construction is O(matches-in-doc) Python per HIT row — the
+work is k × (query terms' occurrences), never corpus-scale; the positions
+read prunes to (query-term buckets × top-k docs) exactly like
+``highlight_hits_offsets``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DONE = -1
+
+_F32 = np.float32
+_F64 = np.float64
+
+
+class WholeBreakIterator:
+    """uhighlight/WholeBreakIterator.java — boundaries at {0, end} only."""
+
+    def set_text(self, content: str) -> None:
+        self._end = len(content)
+
+    def preceding(self, pos: int) -> int:
+        if pos < 0 or pos > self._end:
+            raise ValueError("offset out of bounds")
+        return DONE if pos == 0 else 0
+
+    def following(self, pos: int) -> int:
+        if pos < 0 or pos > self._end:
+            raise ValueError("offset out of bounds")
+        return DONE if pos == self._end else self._end
+
+
+class CustomSeparatorBreakIterator:
+    """uhighlight/CustomSeparatorBreakIterator.java:41-132 — breaks AFTER
+    each separator char. The scans replay the reference's
+    CharacterIterator stepping exactly: ``following(pos)`` examines chars
+    at pos+1..end-1 and ``preceding(pos)`` chars at pos-1..0, returning
+    sepIndex+1 (so a separator at the probe position itself is skipped,
+    matching the compiled class)."""
+
+    def __init__(self, separator: str) -> None:
+        if len(separator) != 1:
+            raise ValueError("separator must be a single char")
+        self.sep = separator
+        self._content = ""
+
+    def set_text(self, content: str) -> None:
+        self._content = content
+
+    def following(self, pos: int) -> int:
+        c, end = self._content, len(self._content)
+        if pos < 0 or pos > end:
+            raise ValueError("offset out of bounds")
+        if pos == end:
+            return DONE
+        idx = c.find(self.sep, pos + 1)
+        return idx + 1 if idx != -1 else end
+
+    def preceding(self, pos: int) -> int:
+        c = self._content
+        if pos < 0 or pos > len(c):
+            raise ValueError("offset out of bounds")
+        if pos == 0:
+            return DONE
+        idx = c.rfind(self.sep, 0, pos)
+        return idx + 1 if idx != -1 else 0
+
+
+class PassageScorer:
+    """PassageScorer.java:34-105 — float32 op order preserved."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75,
+                 pivot: float = 87.0) -> None:
+        self.k1 = _F32(k1)
+        self.b = _F32(b)
+        self.pivot = _F32(pivot)
+
+    def weight(self, content_length: int, total_term_freq: int) -> np.float32:
+        # float numDocs = 1 + contentLength / pivot  (float math)
+        num_docs = _F32(1) + _F32(content_length) / self.pivot
+        # (k1 + 1) * (float) Math.log(1 + (numDocs + 0.5D) / (ttf + 0.5D))
+        inner = 1.0 + (float(num_docs) + 0.5) / (total_term_freq + 0.5)
+        return (self.k1 + _F32(1)) * _F32(np.log(_F64(inner)))
+
+    def tf(self, freq: int, passage_len: int) -> np.float32:
+        norm = self.k1 * ((_F32(1) - self.b)
+                          + self.b * (_F32(passage_len) / self.pivot))
+        return _F32(freq) / (_F32(freq) + norm)
+
+    def norm(self, passage_start: int) -> np.float32:
+        # 1 + 1 / (float) Math.log(pivot + passageStart)
+        return _F32(1) + _F32(1) / _F32(
+            np.log(_F64(self.pivot + _F32(passage_start))))
+
+    def score(self, passage: "Passage", content_length: int) -> np.float32:
+        # BytesRefHash iteration = first-occurrence order of terms
+        order: list[str] = []
+        freq_in_passage: dict[str, int] = {}
+        freq_in_doc: dict[str, int] = {}
+        for (_, _, term, fid) in passage.matches:
+            if term not in freq_in_passage:
+                order.append(term)
+                freq_in_passage[term] = 0
+                freq_in_doc[term] = fid
+            freq_in_passage[term] += 1
+        total = _F64(0.0)
+        plen = passage.length()
+        for t in order:
+            # double += float * float — product rounds to f32 first
+            total += _F64(self.tf(freq_in_passage[t], plen)
+                          * self.weight(content_length, freq_in_doc[t]))
+        return _F32(total * _F64(self.norm(passage.start)))
+
+
+class Passage:
+    """uhighlight/Passage.java — span + matches in stream order."""
+
+    __slots__ = ("start", "end", "score", "matches")
+
+    def __init__(self) -> None:
+        self.start = -1
+        self.end = -1
+        self.score = _F32(0.0)
+        # (matchStart, matchEnd, term, freqInDoc) in insertion order
+        self.matches: list[tuple[int, int, str, int]] = []
+
+    def length(self) -> int:
+        return self.end - self.start
+
+
+def highlight_offsets_enums(matches, content_length: int, break_iterator,
+                            scorer: PassageScorer, max_passages: int
+                            ) -> list[Passage]:
+    """FieldHighlighter.highlightOffsetsEnums:105-170 replay. ``matches``
+    is the merged stream of (start, end, term, freqInDoc) — the caller
+    sorts by (start, end, term) per OffsetsEnum.compareTo."""
+    if not matches:
+        return []
+    queue: list[Passage] = []  # bounded; min = (score, startOffset)
+
+    def queue_min(q: list[Passage]) -> Passage:
+        return min(q, key=lambda p: (p.score, p.start))
+
+    def maybe_add(passage: Passage) -> Passage:
+        if passage.start == -1:
+            return passage
+        passage.score = scorer.score(passage, content_length)
+        if (len(queue) == max_passages
+                and passage.score < queue_min(queue).score):
+            passage.__init__()  # reset, can't compete
+            return passage
+        queue.append(passage)
+        if len(queue) > max_passages:
+            evicted = queue_min(queue)
+            queue.remove(evicted)
+            evicted.__init__()
+            return evicted
+        return Passage()
+
+    passage = Passage()
+    last_passage_end = 0
+    for (start, end, term, fid) in matches:
+        if start < content_length and end > content_length:
+            continue
+        if start >= passage.end:
+            passage = maybe_add(passage)
+            if start >= content_length:
+                break
+            center = start + (end - start) // 2
+            passage.start = min(
+                start,
+                max(break_iterator.preceding(max(start + 1, center)),
+                    last_passage_end),
+            )
+            last_passage_end = max(
+                end,
+                min(break_iterator.following(min(end - 1, center)),
+                    content_length),
+            )
+            passage.end = last_passage_end
+        passage.matches.append((start, end, term, fid))
+    maybe_add(passage)
+    # DEFAULT_PASSAGE_SORT_COMPARATOR: by startOffset ascending
+    return sorted(queue, key=lambda p: p.start)
+
+
+def summary_passages_no_highlight(content: str, break_iterator,
+                                  max_passages: int) -> list[Passage]:
+    """FieldHighlighter.getSummaryPassagesNoHighlight:82-103 — the first
+    ``max_passages`` BreakIterator segments, no matches, score 0."""
+    passages: list[Passage] = []
+    pos = 0
+    while len(passages) < max_passages:
+        nxt = break_iterator.following(pos)
+        if nxt == DONE:
+            break
+        p = Passage()
+        p.start, p.end = pos, nxt
+        passages.append(p)
+        pos = nxt
+    return passages
+
+
+def format_passages(passages: list[Passage], content: str,
+                    pre: str = "<b>", post: str = "</b>",
+                    ellipsis: str = "... ") -> str:
+    """DefaultPassageFormatter.format:63-105 (escape=false flavor)."""
+    out: list[str] = []
+    pos = 0
+    for passage in passages:
+        if out and passage.start != pos:
+            out.append(ellipsis)
+        pos = passage.start
+        i = 0
+        n = len(passage.matches)
+        while i < n:
+            start = passage.matches[i][0]
+            out.append(content[pos:start])
+            end = passage.matches[i][1]
+            # expand past overlapping matches
+            while i + 1 < n and passage.matches[i + 1][0] < end:
+                i += 1
+                end = max(end, passage.matches[i][1])
+            end = min(end, passage.end)
+            out.append(pre)
+            out.append(content[start:end])
+            out.append(post)
+            pos = end
+            i += 1
+        out.append(content[pos:max(pos, passage.end)])
+        pos = passage.end
+    return "".join(out)
+
+
+def _doc_matches(starts, ends, terms, freqs):
+    """Merge per-term offset arrays into the OffsetsEnum stream order."""
+    merged = []
+    for ss, ee, t, f in zip(starts, ends, terms, freqs):
+        f = int(f)
+        for s, e in zip(ss, ee):
+            if s >= 0:
+                merged.append((int(s), int(e), t, f))
+    merged.sort(key=lambda m: (m[0], m[1], m[2]))
+    return merged
+
+
+def highlight_unified(
+    searcher,
+    hits: DataFrame,
+    source: DataFrame,
+    terms: list[str],
+    max_passages: int = 1,
+    break_iterator=None,
+    scorer: PassageScorer | None = None,
+    max_no_highlight_passages: int = -1,
+) -> DataFrame:
+    """UnifiedHighlighter.highlight analog over the stored postings
+    offsets: hits(doc_id, score) -> DF(doc_id, score, conv_id, turn_idx,
+    psg_score float, snippet string). ``psg_score`` is the TOP passage's
+    PassageScorer score (f32; 0 when the doc fell back to the no-highlight
+    summary). Requires an offsets index (IndexConfig.offsets=True)."""
+    pos = searcher.positions_table()
+    if "starts" not in pos.columns:
+        raise ValueError(
+            "index built without offsets (IndexConfig.offsets=True required)"
+        )
+    from lucene_spark.index.merge import term_bucket_of
+
+    bi = break_iterator if break_iterator is not None else WholeBreakIterator()
+    sc = scorer if scorer is not None else PassageScorer()
+    mnp = max_passages if max_no_highlight_passages == -1 \
+        else max_no_highlight_passages
+
+    buckets = sorted({term_bucket_of(t, searcher.buckets) for t in terms})
+    per_doc = (
+        pos.filter(F.col("term_bucket").isin(buckets)
+                   & F.col("term").isin(list(terms)))
+        .join(F.broadcast(hits.select("doc_id")), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("starts").alias("t_starts"),
+            F.collect_list("ends").alias("t_ends"),
+            F.collect_list("term").alias("t_terms"),
+            F.collect_list(F.size("positions")).alias("t_freqs"),
+        )
+    )
+    dm = searcher.docmap().select("doc_id", "conv_id", "turn_idx")
+    src = source.select("conv_id", "turn_idx", "text")
+    joined = (
+        F.broadcast(hits.select("doc_id", "score"))
+        .join(dm, "doc_id")
+        .join(src, ["conv_id", "turn_idx"])
+        .join(per_doc, "doc_id", "left")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "score", "conv_id", "turn_idx"]].copy()
+            psg_scores, snippets = [], []
+            for text, ss, ee, tt, ff in zip(
+                pdf["text"], pdf["t_starts"], pdf["t_ends"],
+                pdf["t_terms"], pdf["t_freqs"],
+            ):
+                text = text or ""
+                bi.set_text(text)
+                matches = (_doc_matches(ss, ee, tt, ff)
+                           if ss is not None else [])
+                passages = highlight_offsets_enums(
+                    matches, len(text), bi, sc, max_passages)
+                if not passages:
+                    passages = summary_passages_no_highlight(text, bi, mnp)
+                psg_scores.append(
+                    float(max((p.score for p in passages),
+                              default=np.float32(0.0))))
+                snippets.append(format_passages(passages, text)
+                                if passages else None)
+            out["psg_score"] = np.array(psg_scores, dtype=np.float32)
+            out["snippet"] = snippets
+            yield out
+
+    return joined.mapInPandas(
+        run,
+        schema=("doc_id long, score float, conv_id string, turn_idx int, "
+                "psg_score float, snippet string"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,336 @@
+"""UnifiedHighlighter analog (operators/uhighlight.py) vs a literal
+transcription of the reference control flow (FieldHighlighter.java:105-170,
+PassageScorer.java:34-105, DefaultPassageFormatter.java:63-105,
+CustomSeparatorBreakIterator.java:41-132) — randomized equivalence on the
+pure passage machinery, plus a Spark end-to-end drive on an offsets index."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.operators.uhighlight import (
+    DONE,
+    CustomSeparatorBreakIterator,
+    Passage,
+    PassageScorer,
+    WholeBreakIterator,
+    format_passages,
+    highlight_offsets_enums,
+    summary_passages_no_highlight,
+)
+
+F32 = np.float32
+F64 = np.float64
+
+
+# ---------------------------------------------------------------- reference
+# Literal transcriptions (independent of the engine implementations).
+
+class RefCustomSeparatorBI:
+    """CustomSeparatorBreakIterator.java:41-132 via explicit char stepping
+    (text.next() examines pos+1.., text.previous() examines pos-1..0)."""
+
+    def __init__(self, sep):
+        self.sep = sep
+
+    def set_text(self, content):
+        self.c = content
+
+    def following(self, pos):
+        end = len(self.c)
+        if pos == end:
+            return DONE
+        i = pos
+        while i + 1 < end:
+            i += 1
+            if self.c[i] == self.sep:
+                return i + 1
+        return end
+
+    def preceding(self, pos):
+        if pos == 0:
+            return DONE
+        i = pos
+        while i - 1 >= 0:
+            i -= 1
+            if self.c[i] == self.sep:
+                return i + 1
+        return 0
+
+
+class RefWholeBI:
+    def set_text(self, content):
+        self.n = len(content)
+
+    def preceding(self, pos):
+        return DONE if pos == 0 else 0
+
+    def following(self, pos):
+        return DONE if pos == self.n else self.n
+
+
+def ref_score(matches, start, end, content_length, k1, b, pivot):
+    """PassageScorer.score:76-105 transcription."""
+    k1, b, pivot = F32(k1), F32(b), F32(pivot)
+    order, fip, fid = [], {}, {}
+    for (ms, me, term, f) in matches:
+        if term not in fip:
+            order.append(term)
+            fip[term] = 0
+            fid[term] = f
+        fip[term] += 1
+    score = F64(0.0)
+    for t in order:
+        # tf(freqInPassage, passage.getLength())
+        norm = k1 * ((F32(1) - b) + b * (F32(end - start) / pivot))
+        tf = F32(fip[t]) / (F32(fip[t]) + norm)
+        # weight(contentLength, freqInDoc)
+        num_docs = F32(1) + F32(content_length) / pivot
+        w = (k1 + F32(1)) * F32(
+            np.log(F64(1.0 + (float(num_docs) + 0.5) / (fid[t] + 0.5))))
+        score += F64(tf * w)
+    nrm = F32(1) + F32(1) / F32(np.log(F64(pivot + F32(start))))
+    return F32(score * F64(nrm))
+
+
+def ref_highlight(matches, content_length, bi, max_passages,
+                  k1=1.2, b=0.75, pivot=87.0):
+    """FieldHighlighter.highlightOffsetsEnums:105-170 transcription with an
+    explicit (score, startOffset) min-queue."""
+    if not matches:
+        return []
+    queue = []  # list of dicts
+
+    def maybe_add(p):
+        if p["start"] == -1:
+            return p
+        p["score"] = ref_score(p["matches"], p["start"], p["end"],
+                               content_length, k1, b, pivot)
+        if queue and len(queue) == max_passages:
+            peek = min(queue, key=lambda x: (x["score"], x["start"]))
+            if p["score"] < peek["score"]:
+                return {"start": -1, "end": -1, "matches": []}
+        queue.append(p)
+        if len(queue) > max_passages:
+            out = min(queue, key=lambda x: (x["score"], x["start"]))
+            queue.remove(out)
+            return {"start": -1, "end": -1, "matches": []}
+        return {"start": -1, "end": -1, "matches": []}
+
+    passage = {"start": -1, "end": -1, "matches": []}
+    last_passage_end = 0
+    for (start, end, term, f) in matches:
+        if start < content_length and end > content_length:
+            continue
+        if start >= passage["end"]:
+            passage = maybe_add(passage)
+            if start >= content_length:
+                break
+            center = start + (end - start) // 2
+            passage["start"] = min(
+                start, max(bi.preceding(max(start + 1, center)),
+                           last_passage_end))
+            last_passage_end = max(
+                end, min(bi.following(min(end - 1, center)), content_length))
+            passage["end"] = last_passage_end
+        passage["matches"].append((start, end, term, f))
+    maybe_add(passage)
+    return sorted(queue, key=lambda x: x["start"])
+
+
+def ref_format(passages, content, pre="<b>", post="</b>", ellipsis="... "):
+    """DefaultPassageFormatter.format:63-105 transcription."""
+    sb = ""
+    pos = 0
+    for p in passages:
+        if sb and p["start"] != pos:
+            sb += ellipsis
+        pos = p["start"]
+        i = 0
+        ms = p["matches"]
+        while i < len(ms):
+            start = ms[i][0]
+            sb += content[pos:start]
+            end = ms[i][1]
+            while i + 1 < len(ms) and ms[i + 1][0] < end:
+                i += 1
+                end = max(end, ms[i][1])
+            end = min(end, p["end"])
+            sb += pre + content[start:end] + post
+            pos = end
+            i += 1
+        sb += content[pos:max(pos, p["end"])]
+        pos = p["end"]
+    return sb
+
+
+# ------------------------------------------------------------------- tests
+
+def _gen_case(rng):
+    words = ["scan", "merge", "plan", "table", "alpha", "b", "xy"]
+    seps = rng.choice([".", "\n"])
+    n = rng.randrange(1, 40)
+    toks, parts = [], []
+    for _ in range(n):
+        w = rng.choice(words)
+        toks.append(w)
+        parts.append(w)
+        parts.append(seps if rng.random() < 0.25 else " ")
+    content = "".join(parts).rstrip()
+    terms = rng.sample(words, rng.randrange(1, 4))
+    matches = []
+    for t in set(terms):
+        spans = [(m.start(), m.end())
+                 for m in re.finditer(r"(?<![a-z])%s(?![a-z])" % t, content)]
+        for s, e in spans:
+            matches.append((s, e, t, len(spans)))
+    matches.sort(key=lambda m: (m[0], m[1], m[2]))
+    return content, seps, matches
+
+
+def test_fuzz_vs_transcription():
+    rng = random.Random(20260819)
+    checked = 0
+    for _ in range(500):
+        content, sep, matches = _gen_case(rng)
+        if not matches:
+            continue
+        mp = rng.randrange(1, 4)
+        if rng.random() < 0.2:
+            bi_e, bi_r = WholeBreakIterator(), RefWholeBI()
+        else:
+            bi_e = CustomSeparatorBreakIterator(sep)
+            bi_r = RefCustomSeparatorBI(sep)
+        bi_e.set_text(content)
+        bi_r.set_text(content)
+        got = highlight_offsets_enums(matches, len(content), bi_e,
+                                      PassageScorer(), mp)
+        exp = ref_highlight(matches, len(content), bi_r, mp)
+        assert [(p.start, p.end, p.matches) for p in got] == \
+               [(p["start"], p["end"], p["matches"]) for p in exp]
+        assert [p.score for p in got] == [p["score"] for p in exp]
+        assert format_passages(got, content) == ref_format(exp, content)
+        checked += 1
+    assert checked > 400
+
+
+def test_break_iterator_quirks():
+    """The reference's CharacterIterator stepping skips a separator AT the
+    probe position (JDK-8015110 comments preserved in the Java)."""
+    bi = CustomSeparatorBreakIterator(".")
+    bi.set_text("a.b.c")
+    # following(1): '.' at index 1 itself is skipped; next '.' at 3 -> 4
+    assert bi.following(1) == 4
+    # preceding(2): '.' at index 1 (= pos-1) IS seen -> boundary 2
+    assert bi.preceding(2) == 2
+    assert bi.preceding(0) == DONE
+    assert bi.following(5) == DONE
+    assert bi.following(4) == 5  # no further separator -> end
+    w = WholeBreakIterator()
+    w.set_text("abc")
+    assert w.preceding(0) == DONE and w.preceding(2) == 0
+    assert w.following(3) == DONE and w.following(1) == 3
+
+
+def test_formatter_overlap_merge_and_ellipsis():
+    content = "aaaa. bbbb. cccc. dddd"
+    p1, p2 = Passage(), Passage()
+    p1.start, p1.end = 0, 5
+    p1.matches = [(0, 3, "aaa", 1), (2, 4, "aab", 1)]  # overlapping
+    p2.start, p2.end = 12, 22
+    p2.matches = [(12, 16, "cccc", 1)]
+    out = format_passages([p1, p2], content)
+    # overlap merged into one tag; disconnected passages joined by "... "
+    assert out == "<b>aaaa</b>.... <b>cccc</b>. dddd"
+
+
+def test_match_straddling_content_end_is_skipped():
+    bi = WholeBreakIterator()
+    bi.set_text("abcd")
+    got = highlight_offsets_enums([(2, 6, "cdxx", 1)], 4, bi,
+                                  PassageScorer(), 2)
+    assert got == []
+
+
+def test_summary_fallback():
+    content = "one. two. three."
+    bi = CustomSeparatorBreakIterator(".")
+    bi.set_text(content)
+    ps = summary_passages_no_highlight(content, bi, 2)
+    assert [(p.start, p.end) for p in ps] == [(0, 4), (4, 9)]
+    assert format_passages(ps, content) == "one. two."
+
+
+def test_eviction_keeps_best_scores():
+    """With max_passages=1 only the highest-(score, start) passage stays."""
+    content = "scan aaa. merge scan scan."
+    bi = CustomSeparatorBreakIterator(".")
+    bi.set_text(content)
+    matches = []
+    for t in ("scan", "merge"):
+        spans = [(m.start(), m.end()) for m in re.finditer(t, content)]
+        matches += [(s, e, t, len(spans)) for s, e in spans]
+    matches.sort(key=lambda m: (m[0], m[1], m[2]))
+    all_p = highlight_offsets_enums(matches, len(content), bi,
+                                    PassageScorer(), 4)
+    top = highlight_offsets_enums(matches, len(content), bi,
+                                  PassageScorer(), 1)
+    assert len(top) == 1 and len(all_p) == 2
+    best = max(all_p, key=lambda p: (p.score, -p.start))
+    assert (top[0].start, top[0].end, top[0].score) == \
+           (best.start, best.end, best.score)
+
+
+def test_spark_end_to_end(spark, tmp_path):
+    """highlight_unified over a real offsets index: snippets equal the
+    driver-side replay fed with independently regex-derived matches."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.uhighlight import highlight_unified
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "scan the merge plan. then scan again. done now",
+        "merge scan merge. nothing else",
+        "a scan. with one merge word. and more scan text here",
+        "unrelated words only",
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "uh")
+    sdf = spark.createDataFrame(rows)
+    build_index(spark, sdf, idx,
+                IndexConfig(num_segments=2, term_buckets=2,
+                            analyzer="simple", offsets=True))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    terms = ["scan", "merge"]
+    hits = s.search(BooleanQuery(must=[TermQuery(t) for t in terms]), 10)
+    out = highlight_unified(
+        s, hits, sdf, terms, max_passages=2,
+        break_iterator=CustomSeparatorBreakIterator("."),
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        text = texts[int(r.conv_id[1:])]
+        matches = []
+        for t in terms:
+            spans = [(m.start(), m.end())
+                     for m in re.finditer(r"(?<![a-z])%s(?![a-z])" % t, text)]
+            matches += [(st, en, t, len(spans)) for st, en in spans]
+        matches.sort(key=lambda m: (m[0], m[1], m[2]))
+        bi = RefCustomSeparatorBI(".")
+        bi.set_text(text)
+        exp = ref_highlight(matches, len(text), bi, 2)
+        assert r.snippet == ref_format(exp, text)
+        assert F32(r.psg_score) == max(p["score"] for p in exp)
