@@ -2448,6 +2448,64 @@ def _syn_chain_df(spark, sf_dir):
     )
 
 
+def _phonetic_searcher(spark, sf_dir, chain, suffix):
+    """Index built with a phonetic filter chain (``analysis/phonetic``):
+    codes stacked at posIncr 0 over the simple base — PhoneticFilter /
+    DoubleMetaphoneFilter inject=true semantics."""
+    from lucene_spark.functions.analysis import register_chain
+    from lucene_spark.functions.phonetic import (DoubleMetaphoneInjector,
+                                                 PhoneticInjector)
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    syn = (DoubleMetaphoneInjector() if chain == "simple_dmetaphone"
+           else PhoneticInjector("soundex"))
+    register_chain(chain, base="simple", synonyms=syn)
+    index_dir = _index_dir_for(sf_dir) + suffix
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer=chain)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _phonetic_chain_df(spark, sf_dir):
+    """Soundex PhoneticFilter(inject=true) chain: the query hits via the
+    STACKED code M620 (soundex('merge') — reachable only through the
+    filter) plus the original term 'scan'; norms must discount the
+    stacked overlaps exactly like the synonym chain."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _phonetic_searcher(spark, sf_dir, "simple_soundex", "_soundex")
+    ast = {"bool": {"must": [{"term": "M620"}], "should": [{"term": "scan"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _dmetaphone_chain_df(spark, sf_dir):
+    """DoubleMetaphoneFilter(inject=true): 'merge' stacks BOTH its primary
+    (MRJ) and alternate (MRK) codes — the two clauses reach the same docs
+    through different stacked terms, so their df/tf must agree with the
+    SQL replay independently."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _phonetic_searcher(spark, sf_dir, "simple_dmetaphone", "_dmeta")
+    ast = {"bool": {"must": [{"term": "MRJ"}], "should": [{"term": "MRK"},
+                                                          {"term": "FLTR"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2899,6 +2957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[_mk] = _misc_chain_entry(_ma, _mast)
     out["bm25_folded_chain"] = _folded_chain_df
     out["bm25_synonym_chain"] = _syn_chain_df
+    out["bm25_phonetic_chain"] = _phonetic_chain_df
+    out["bm25_dmetaphone_chain"] = _dmetaphone_chain_df
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
@@ -3744,6 +3804,23 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
                       "should": [{"term": "join"}]}})), _QUERY_K,
         synonyms=tuple((a, b) for a, syns in sorted(_SYN_MAP.items())
                        for b in syns),
+    )
+    from lucene_spark.functions.phonetic import (DoubleMetaphoneInjector,
+                                                 PhoneticInjector)
+    _sx = PhoneticInjector("soundex")
+    out["bm25_phonetic_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "M620"}],
+                      "should": [{"term": "scan"}]}})), _QUERY_K,
+        synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _sx.get(w, ())),
+    )
+    _dmj = DoubleMetaphoneInjector()
+    out["bm25_dmetaphone_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "MRJ"}],
+                      "should": [{"term": "MRK"}, {"term": "FLTR"}]}})),
+        _QUERY_K,
+        synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _dmj.get(w, ())),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,

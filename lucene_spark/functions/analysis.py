@@ -873,7 +873,16 @@ def register_chain(name: str, base: str = "simple",
     it through the task closure, so executors never need the registration."""
     if base not in ("standard", "simple"):
         raise ValueError(f"unknown base tokenizer {base!r}")
-    CHAIN_FILTERS[name] = (stop_set, transform, dict(synonyms) if synonyms else None)
+    # synonyms: a dict term -> stacked terms, or any object with a
+    # dict-like .get(term, default) (dynamic producers — e.g. the phonetic
+    # injectors, which encode rather than enumerate); must be picklable
+    if synonyms is None:
+        syn_spec = None
+    elif isinstance(synonyms, dict):
+        syn_spec = dict(synonyms)
+    else:
+        syn_spec = synonyms
+    CHAIN_FILTERS[name] = (stop_set, transform, syn_spec)
     CHAIN_BASE[name] = base
     RAW_TOKENIZERS[name] = RAW_TOKENIZERS[base]
 

@@ -1,0 +1,1100 @@
+"""Phonetic encoders — the ``lucene/analysis/phonetic`` module's encoder set
+(PhoneticFilterFactory supports Soundex / RefinedSoundex / Metaphone /
+DoubleMetaphone / Caverphone2 / ColognePhonetic / Nysiis from Apache
+commons-codec; see ``analysis/phonetic/src/java/.../PhoneticFilterFactory
+.java`` and ``PhoneticFilter.java:30-75``, ``DoubleMetaphoneFilter.java:
+29-100``).
+
+Each encoder is a from-scratch Python implementation of the PUBLIC
+algorithm (Russell/NARA soundex, Philips Metaphone & Double Metaphone,
+Hood Caverphone 2.0, the Kölner Phonetik, Taft NYSIIS) matched
+behavior-for-behavior against the compiled commons-codec classes by the
+fuzz harness in tests/test_phonetic.py (tools/phonetic_fuzz.py) — the
+round-4 compiled-parity protocol; never hand-guessed goldens.
+
+Encoders return '' like their Java twins on input with no encodable
+letters; ``None`` marks inputs where the Java encoder THROWS
+(PhoneticFilter catches and passes the original token through).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# --------------------------------------------------------------- utilities
+
+_ASCII_UPPER = {chr(c): chr(c) for c in range(65, 91)}
+
+
+def _clean(value: str) -> str:
+    """SoundexUtils.clean: keep only LETTERS (java Character.isLetter),
+    uppercase (java toUpperCase)."""
+    if not value:
+        return ""
+    out = []
+    for ch in value:
+        if unicodedata.category(ch).startswith("L"):
+            out.append(ch.upper())
+    return "".join(out)
+
+
+# ----------------------------------------------------------------- Soundex
+
+_SOUNDEX_MAP = "01230120022455012623010202"  # A..Z
+
+
+def _soundex_map(ch: str):
+    idx = ord(ch) - 65
+    if idx < 0 or idx >= 26:
+        return None  # java throws IllegalArgumentException
+    return _SOUNDEX_MAP[idx]
+
+
+def soundex(value: str):
+    """commons-codec Soundex (US_ENGLISH, specialCaseHW): 4-char code;
+    H/W are skipped without resetting the last digit, vowels reset it."""
+    if value is None:
+        return None
+    value = _clean(value)
+    if not value:
+        return value
+    out = ["0", "0", "0", "0"]
+    first = value[0]
+    code = _soundex_map(first)
+    if code is None:
+        return None
+    out[0] = first
+    count = 1
+    last_digit = code
+    for ch in value[1:]:
+        if count >= 4:
+            break
+        if ch in ("H", "W"):
+            continue
+        digit = _soundex_map(ch)
+        if digit is None:
+            return None
+        if digit != "0" and digit != last_digit:
+            out[count] = digit
+            count += 1
+        last_digit = digit
+    return "".join(out)
+
+
+# --------------------------------------------------------- RefinedSoundex
+
+_REFINED_MAP = "01360240043788015936020505"
+
+
+def refined_soundex(value: str):
+    """commons-codec RefinedSoundex: first letter + full-length code with
+    consecutive duplicates collapsed (zeros kept)."""
+    if value is None:
+        return None
+    value = _clean(value)
+    if not value:
+        return value
+    out = [value[0]]
+    last = "*"
+    for ch in value:
+        idx = ord(ch) - 65
+        # non-A..Z letters behave as code NUL: nothing appended, but the
+        # duplicate-collapse state updates (so X in "öx" still emits)
+        code = _REFINED_MAP[idx] if 0 <= idx < 26 else "\0"
+        if code != last:
+            if code != "\0":
+                out.append(code)
+            last = code
+    return "".join(out)
+
+
+# ------------------------------------------------------------- Caverphone2
+
+_C2_VOWELS = "aeiou"
+
+
+def caverphone2(value: str):
+    """Caverphone 2.0 (David Hood, 2004) — the exact published rewrite
+    sequence, 10-char '1'-padded code (commons-codec Caverphone2)."""
+    if value is None:
+        return None
+    txt = value.lower()
+    txt = "".join(c for c in txt if "a" <= c <= "z")
+    # 2. remove final e
+    if txt.endswith("e"):
+        txt = txt[:-1]
+    # 3. initial patterns
+    for pre, rep in (("cough", "cou2f"), ("rough", "rou2f"),
+                     ("tough", "tou2f"), ("enough", "enou2f"),
+                     ("trough", "trou2f"), ("gn", "2n")):
+        if txt.startswith(pre):
+            txt = rep + txt[len(pre):]
+    # 4. final mb -> m2
+    if txt.endswith("mb"):
+        txt = txt[:-2] + "m2"
+    # 5. replacements
+    for a, b in (("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"),
+                 ("tch", "2ch"), ("c", "k"), ("q", "k"), ("x", "k"),
+                 ("v", "f"), ("dg", "2g"), ("tio", "sio"), ("tia", "sia"),
+                 ("d", "t"), ("ph", "fh"), ("b", "p"), ("sh", "s2"),
+                 ("z", "s")):
+        txt = txt.replace(a, b)
+    # 6. vowels: initial -> A, else -> 3
+    if txt and txt[0] in _C2_VOWELS:
+        txt = "A" + txt[1:]
+    txt = "".join("3" if c in _C2_VOWELS else c for c in txt)
+    # 7. j/y
+    txt = txt.replace("j", "y")
+    if txt.startswith("y3"):
+        txt = "Y3" + txt[2:]
+    if txt.startswith("y"):
+        txt = "A" + txt[1:]
+    txt = txt.replace("y", "3")
+    # 8. consonant groups
+    txt = txt.replace("3gh3", "3kh3")
+    txt = txt.replace("gh", "22")
+    txt = txt.replace("g", "k")
+    for c, r in (("s", "S"), ("t", "T"), ("p", "P"), ("k", "K"),
+                 ("f", "F"), ("m", "M"), ("n", "N")):
+        # runs of one or more -> single upper
+        out = []
+        i = 0
+        while i < len(txt):
+            if txt[i] == c:
+                j = i
+                while j < len(txt) and txt[j] == c:
+                    j += 1
+                out.append(r)
+                i = j
+            else:
+                out.append(txt[i])
+                i += 1
+        txt = "".join(out)
+    txt = txt.replace("w3", "W3")
+    txt = txt.replace("wh3", "Wh3")
+    if txt.endswith("w"):
+        txt = txt[:-1] + "3"
+    txt = txt.replace("w", "2")
+    if txt.startswith("h"):
+        txt = "A" + txt[1:]
+    txt = txt.replace("h", "2")
+    txt = txt.replace("r3", "R3")
+    if txt.endswith("r"):
+        txt = txt[:-1] + "3"
+    txt = txt.replace("r", "2")
+    txt = txt.replace("l3", "L3")
+    if txt.endswith("l"):
+        txt = txt[:-1] + "3"
+    txt = txt.replace("l", "2")
+    # 9. drop 2s; final 3 -> A; drop 3s
+    txt = txt.replace("2", "")
+    if txt.endswith("3"):
+        txt = txt[:-1] + "A"
+    txt = txt.replace("3", "")
+    # 10. pad to 10 with '1'
+    return (txt + "1" * 10)[:10]
+
+
+# --------------------------------------------------------- ColognePhonetic
+
+_COLOGNE_AEIJOUY = set("AEIJOUY")
+
+
+def cologne_phonetic(value: str):
+    """Kölner Phonetik (Postel 1969) as implemented by commons-codec
+    ColognePhonetic — structure transcribed from the compiled class's
+    bytecode (javap -c): preprocess = toUpperCase(GERMAN) + ÄÖÜ fold with
+    every other char KEPT, so the "next" context peeks the RAW neighbor;
+    non-A..Z chars are skipped WITHOUT updating lastChar; H emits
+    CHAR_IGNORE into the output buffer — never stored, but it resets the
+    duplicate collapse ("ashcraft" keeps both 8s); the "initial C" branch
+    tests OUTPUT EMPTY (so "hhclx" codes C as onset); lastChar updates on
+    every letter INCLUDING H."""
+    if value is None:
+        return None
+    text = value.upper()  # string-level, ß -> SS like toUpperCase(GERMAN)
+    chars = [
+        {"Ä": "A", "Ö": "O", "Ü": "U"}.get(ch, ch) for ch in text
+    ]
+    n = len(chars)
+    code: list[str] = []
+    last_char = "-"
+    last_code = "/"
+    for i, ch in enumerate(chars):
+        if not ("A" <= ch <= "Z"):
+            continue  # skipped: lastChar and lastCode unaffected
+        nxt = chars[i + 1] if i + 1 < n else "-"
+        if ch in _COLOGNE_AEIJOUY:
+            c = "0"
+        elif ch == "B" or (ch == "P" and nxt != "H"):
+            c = "1"
+        elif ch in ("D", "T") and nxt not in ("C", "S", "Z"):
+            c = "2"
+        elif ch in ("F", "P", "V", "W"):
+            c = "3"
+        elif ch in ("G", "K", "Q"):
+            c = "4"
+        elif ch == "X" and last_char not in ("C", "K", "Q"):
+            c = "48"
+        elif ch in ("S", "Z"):
+            c = "8"
+        elif ch == "C":
+            if not code:
+                c = "4" if nxt in set("AHKLOQRUX") else "8"
+            elif last_char in ("S", "Z"):
+                c = "8"
+            else:
+                c = "4" if nxt in set("AHKOQUX") else "8"
+        elif ch in ("D", "T", "X"):
+            c = "8"
+        elif ch == "H":
+            c = "-"
+        elif ch == "L":
+            c = "5"
+        elif ch in ("M", "N"):
+            c = "6"
+        elif ch == "R":
+            c = "7"
+        else:
+            c = ""
+        for d in c:
+            if d != "-" and d != last_code and (d != "0" or not code):
+                code.append(d)
+            last_code = d
+        last_char = ch
+    return "".join(code)
+
+
+# ------------------------------------------------------------------ NYSIIS
+
+_NY_VOWELS = set("AEIOU")
+
+
+def _ny_is_vowel(c: str) -> bool:
+    return c in _NY_VOWELS
+
+
+def nysiis(value: str, strict: bool = True):
+    """NYSIIS (Taft 1970) as implemented by commons-codec Nysiis."""
+    if value is None:
+        return None
+    s = _clean(value)
+    if not s:
+        return s
+    # first characters
+    if s.startswith("MAC"):
+        s = "MCC" + s[3:]
+    elif s.startswith("KN"):
+        s = "NN" + s[2:]
+    elif s.startswith("K"):
+        s = "C" + s[1:]
+    elif s.startswith("PH") or s.startswith("PF"):
+        s = "FF" + s[2:]
+    elif s.startswith("SCH"):
+        s = "SSS" + s[3:]
+    # last characters
+    if s.endswith("EE") or s.endswith("IE"):
+        s = s[:-2] + "Y"
+    elif s[-2:] in ("DT", "RT", "RD", "NT", "ND"):
+        s = s[:-2] + "D"
+    key = [s[0]]
+    chars = list(s)
+    i = 1
+    n = len(chars)
+    while i < n:
+        nxt = chars[i + 1] if i + 1 < n else None
+        prv = chars[i - 1]
+        cur = chars[i]
+        if cur == "E" and nxt == "V":
+            repl = ["A", "F"]
+        elif cur in _NY_VOWELS:
+            repl = ["A"]
+        elif cur == "Q":
+            repl = ["G"]
+        elif cur == "Z":
+            repl = ["S"]
+        elif cur == "M":
+            repl = ["N"]
+        elif cur == "K":
+            repl = ["N"] if nxt == "N" else ["C"]
+        elif cur == "S" and nxt == "C" and i + 2 < n and chars[i + 2] == "H":
+            repl = ["S", "S", "S"]
+        elif cur == "P" and nxt == "H":
+            repl = ["F", "F"]
+        elif cur == "H" and (not _ny_is_vowel(prv)
+                             or nxt is None or not _ny_is_vowel(nxt)):
+            # end-of-string counts as a non-vowel neighbor
+            repl = [prv]
+        elif cur == "W" and _ny_is_vowel(prv):
+            repl = [prv]
+        else:
+            repl = [cur]
+        # write back the replacement over the string, advance by len(repl)
+        for j, rc in enumerate(repl):
+            if i + j < n:
+                chars[i + j] = rc
+        if repl[-1] != key[-1]:
+            # append the (possibly transcoded) char if != last key char
+            pass
+        if chars[i] != key[-1]:
+            key.append(chars[i])
+        i += 1
+    # the three trailing removals run inside ONE len>1 gate evaluated at
+    # entry — "as" drains to "" while "a"/"sz" keep their single char
+    # (behavior pinned by the compiled-class probes)
+    if len(key) > 1:
+        if key[-1] == "S":
+            key.pop()
+        if len(key) > 2 and key[-2:] == ["A", "Y"]:
+            del key[-2]
+        if key and key[-1] == "A":
+            key.pop()
+    out = "".join(key)
+    return out[:6] if strict else out
+
+# --------------------------------------------------------------- Metaphone
+
+_MP_VOWELS = "AEIOU"
+_MP_FRONTV = "EIY"
+_MP_VARSON = "CSPTG"
+
+
+def metaphone(value: str, max_code_len: int = 4):
+    """Classic Metaphone (Philips 1990) as implemented by commons-codec
+    Metaphone (VOWELS/FRONTV/VARSON tables, initial-cluster rewrites,
+    4-char default cap). No input cleaning: the Java encoder uppercases
+    and walks whatever it is given."""
+    if value is None:
+        return None
+    if len(value) == 0:
+        return ""
+    if len(value) == 1:
+        return value.upper()
+    inwd = value.upper()
+    # initial 2-char exceptions
+    c0, c1 = inwd[0], inwd[1]
+    if c0 in ("K", "G", "P"):
+        local = inwd[1:] if c1 == "N" else inwd
+    elif c0 == "A":
+        local = inwd[1:] if c1 == "E" else inwd
+    elif c0 == "W":
+        if c1 == "R":
+            local = inwd[1:]
+        elif c1 == "H":
+            local = "W" + inwd[2:]
+        else:
+            local = inwd
+    elif c0 == "X":
+        local = "S" + inwd[1:]
+    else:
+        local = inwd
+    wdsz = len(local)
+    code: list[str] = []
+    n = 0
+    while len(code) < max_code_len and n < wdsz:
+        symb = local[n]
+        prev = local[n - 1] if n > 0 else None
+        nxt = local[n + 1] if n + 1 < wdsz else None
+        if symb != "C" and prev == symb:
+            pass  # duplicate letters (except C) are silent
+        elif symb in _MP_VOWELS:
+            if n == 0:
+                code.append(symb)
+        elif symb == "B":
+            if not (n > 0 and n + 1 == wdsz and prev == "M"):
+                code.append("B")
+        elif symb == "C":
+            if prev == "S" and nxt is not None and nxt in _MP_FRONTV:
+                pass  # SCI/SCE/SCY: C discarded
+            elif local[n:n + 3] == "CIA":
+                code.append("X")
+            elif nxt is not None and nxt in _MP_FRONTV:
+                code.append("S")
+            elif prev == "S" and nxt == "H":
+                code.append("K")  # SCH -> K
+            elif nxt == "H":
+                # initial CH with a VOWEL at index 2 is hard ("chianti"
+                # -> K); otherwise X
+                if n == 0 and wdsz >= 3 and local[2] in _MP_VOWELS:
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif symb == "D":
+            if (n + 2 < wdsz and nxt == "G"
+                    and local[n + 2] in _MP_FRONTV):
+                code.append("J")
+                n += 2
+            else:
+                code.append("T")
+        elif symb == "G":
+            if n + 2 == wdsz and nxt == "H":
+                pass  # GH at end: silent
+            elif (n + 2 < wdsz and nxt == "H"
+                    and local[n + 2] not in _MP_VOWELS):
+                pass  # GH before consonant: silent
+            elif n > 0 and (local[n:n + 2] == "GN"
+                            or local[n:n + 4] == "GNED"):
+                pass  # silent G in GN/GNED
+            else:
+                hard = prev == "G"
+                if (nxt is not None and nxt in _MP_FRONTV) and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif symb == "H":
+            if n + 1 == wdsz:
+                pass  # terminal H
+            elif n > 0 and prev in _MP_VARSON:
+                pass
+            elif nxt in _MP_VOWELS:
+                code.append("H")
+        elif symb in ("F", "J", "L", "M", "N", "R"):
+            code.append(symb)
+        elif symb == "K":
+            if n > 0:
+                if prev != "C":
+                    code.append("K")
+            else:
+                code.append("K")
+        elif symb == "P":
+            code.append("F" if nxt == "H" else "P")
+        elif symb == "Q":
+            code.append("K")
+        elif symb == "S":
+            if (local[n:n + 2] == "SH" or local[n:n + 3] == "SIO"
+                    or local[n:n + 3] == "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif symb == "T":
+            if local[n:n + 3] == "TIA" or local[n:n + 3] == "TIO":
+                code.append("X")
+            elif local[n:n + 3] == "TCH":
+                pass  # silent
+            elif local[n:n + 2] == "TH":
+                code.append("0")
+            else:
+                code.append("T")
+        elif symb == "V":
+            code.append("F")
+        elif symb in ("W", "Y"):
+            if nxt is not None and nxt in _MP_VOWELS:
+                code.append(symb)
+        elif symb == "X":
+            code.append("K")
+            code.append("S")
+        elif symb == "Z":
+            code.append("S")
+        n += 1
+        if len(code) > max_code_len:
+            del code[max_code_len:]
+    return "".join(code)
+
+# --------------------------------------------------------- DoubleMetaphone
+
+_DM_VOWELS = "AEIOUY"
+_DM_SILENT_START = ("GN", "KN", "PN", "WR", "PS")
+_DM_L_R_N_M_B_H_F_V_W_SPACE = ("L", "R", "N", "M", "B", "H", "F", "V", "W",
+                               " ")
+_DM_ES_EP_EB_EL_EY_IB_IL_IN_IE_EI_ER = ("ES", "EP", "EB", "EL", "EY", "IB",
+                                        "IL", "IN", "IE", "EI", "ER")
+_DM_L_T_K_S_N_M_B_Z = ("L", "T", "K", "S", "N", "M", "B", "Z")
+
+
+class _DMResult:
+    """DoubleMetaphoneResult: both codes capped at max_len during append."""
+
+    __slots__ = ("primary", "alternate", "max_len")
+
+    def __init__(self, max_len: int) -> None:
+        self.primary: list[str] = []
+        self.alternate: list[str] = []
+        self.max_len = max_len
+
+    def append(self, p: str, a: str | None = None) -> None:
+        self.append_primary(p)
+        self.append_alternate(a if a is not None else p)
+
+    def append_primary(self, v: str) -> None:
+        room = self.max_len - len(self.primary)
+        if len(v) <= room:
+            self.primary.extend(v)
+        else:
+            self.primary.extend(v[:room])
+
+    def append_alternate(self, v: str) -> None:
+        room = self.max_len - len(self.alternate)
+        if len(v) <= room:
+            self.alternate.extend(v)
+        else:
+            self.alternate.extend(v[:room])
+
+    def complete(self) -> bool:
+        return (len(self.primary) >= self.max_len
+                and len(self.alternate) >= self.max_len)
+
+
+def _dm_char(v: str, i: int) -> str:
+    return v[i] if 0 <= i < len(v) else "\0"
+
+
+def _dm_contains(v: str, start: int, length: int, *criteria: str) -> bool:
+    if start < 0 or start + length > len(v):
+        return False
+    target = v[start:start + length]
+    return target in criteria
+
+
+def _dm_vowel(c: str) -> bool:
+    return c in _DM_VOWELS
+
+
+def _dm_slavo_germanic(v: str) -> bool:
+    return "W" in v or "K" in v or "CZ" in v or "WITZ" in v
+
+
+def double_metaphone(value: str, alternate: bool = False,
+                     max_code_len: int = 4):
+    """Double Metaphone (Lawrence Philips, C/C++ Users Journal 2000) as
+    implemented by commons-codec DoubleMetaphone — every handler and
+    condition transcribed from the published implementation and
+    fuzz-verified against the compiled class (tools/phonetic_fuzz.py)."""
+    if value is None:
+        return None
+    value = value.strip()
+    if not value:
+        return None
+    value = value.upper()
+    slavo = _dm_slavo_germanic(value)
+    index = 1 if value.startswith(_DM_SILENT_START) else 0
+    r = _DMResult(max_code_len)
+    n = len(value)
+    while not r.complete() and index <= n - 1:
+        ch = value[index]
+        if ch in "AEIOUY":
+            if index == 0:
+                r.append("A")
+            index += 1
+        elif ch == "B":
+            r.append("P")
+            index += 2 if _dm_char(value, index + 1) == "B" else 1
+        elif ch == "Ç":  # Ç
+            r.append("S")
+            index += 1
+        elif ch == "C":
+            index = _dm_handle_c(value, r, index)
+        elif ch == "D":
+            if _dm_contains(value, index, 2, "DG"):
+                if _dm_contains(value, index + 2, 1, "I", "E", "Y"):
+                    r.append("J")
+                    index += 3
+                else:
+                    r.append("TK")
+                    index += 2
+            elif _dm_contains(value, index, 2, "DT", "DD"):
+                r.append("T")
+                index += 2
+            else:
+                r.append("T")
+                index += 1
+        elif ch == "F":
+            r.append("F")
+            index += 2 if _dm_char(value, index + 1) == "F" else 1
+        elif ch == "G":
+            index = _dm_handle_g(value, r, index, slavo)
+        elif ch == "H":
+            if ((index == 0 or _dm_vowel(_dm_char(value, index - 1)))
+                    and _dm_vowel(_dm_char(value, index + 1))):
+                r.append("H")
+                index += 2
+            else:
+                index += 1
+        elif ch == "J":
+            index = _dm_handle_j(value, r, index, slavo)
+        elif ch == "K":
+            r.append("K")
+            index += 2 if _dm_char(value, index + 1) == "K" else 1
+        elif ch == "L":
+            if _dm_char(value, index + 1) == "L":
+                if _dm_condition_l0(value, index):
+                    r.append_primary("L")
+                else:
+                    r.append("L")
+                index += 2
+            else:
+                r.append("L")
+                index += 1
+        elif ch == "M":
+            r.append("M")
+            index += 2 if _dm_condition_m0(value, index) else 1
+        elif ch == "N":
+            r.append("N")
+            index += 2 if _dm_char(value, index + 1) == "N" else 1
+        elif ch == "Ñ":  # Ñ
+            r.append("N")
+            index += 1
+        elif ch == "P":
+            if _dm_char(value, index + 1) == "H":
+                r.append("F")
+                index += 2
+            else:
+                r.append("P")
+                index += 2 if _dm_contains(value, index + 1, 1, "P",
+                                           "B") else 1
+        elif ch == "Q":
+            r.append("K")
+            index += 2 if _dm_char(value, index + 1) == "Q" else 1
+        elif ch == "R":
+            if (index == n - 1 and not slavo
+                    and _dm_contains(value, index - 2, 2, "IE")
+                    and not _dm_contains(value, index - 4, 2, "ME", "MA")):
+                r.append_alternate("R")
+            else:
+                r.append("R")
+            index += 2 if _dm_char(value, index + 1) == "R" else 1
+        elif ch == "S":
+            index = _dm_handle_s(value, r, index, slavo)
+        elif ch == "T":
+            index = _dm_handle_t(value, r, index)
+        elif ch == "V":
+            r.append("F")
+            index += 2 if _dm_char(value, index + 1) == "V" else 1
+        elif ch == "W":
+            index = _dm_handle_w(value, r, index)
+        elif ch == "X":
+            if index == 0:
+                r.append("S")
+                index += 1
+            else:
+                if not (index == n - 1
+                        and (_dm_contains(value, index - 3, 3, "IAU", "EAU")
+                             or _dm_contains(value, index - 2, 2, "AU",
+                                             "OU"))):
+                    r.append("KS")
+                index += 2 if _dm_contains(value, index + 1, 1, "C",
+                                           "X") else 1
+        elif ch == "Z":
+            if _dm_char(value, index + 1) == "H":
+                r.append("J")
+                index += 2
+            else:
+                if (_dm_contains(value, index + 1, 2, "ZO", "ZI", "ZA")
+                        or (slavo and index > 0
+                            and _dm_char(value, index - 1) != "T")):
+                    r.append("S", "TS")
+                else:
+                    r.append("S")
+                index += 2 if _dm_char(value, index + 1) == "Z" else 1
+        else:
+            index += 1
+    code = r.alternate if alternate else r.primary
+    return "".join(code)
+
+
+def double_metaphone_both(value: str):
+    p = double_metaphone(value, False)
+    a = double_metaphone(value, True)
+    return None if p is None else (p, a)
+
+
+def _dm_condition_c0(value: str, index: int) -> bool:
+    if _dm_contains(value, index, 4, "CHIA"):
+        return True
+    if index <= 1:
+        return False
+    if _dm_vowel(_dm_char(value, index - 2)):
+        return False
+    if not _dm_contains(value, index - 1, 3, "ACH"):
+        return False
+    c = _dm_char(value, index + 2)
+    return (c != "I" and c != "E") or _dm_contains(value, index - 2, 6,
+                                                   "BACHER", "MACHER")
+
+
+def _dm_handle_c(value: str, r: _DMResult, index: int) -> int:
+    if _dm_condition_c0(value, index):
+        r.append("K")
+        index += 2
+    elif index == 0 and _dm_contains(value, index, 6, "CAESAR"):
+        r.append("S")
+        index += 2
+    elif _dm_contains(value, index, 2, "CH"):
+        index = _dm_handle_ch(value, r, index)
+    elif (_dm_contains(value, index, 2, "CZ")
+          and not _dm_contains(value, index - 2, 4, "WICZ")):
+        r.append("S", "X")
+        index += 2
+    elif _dm_contains(value, index + 1, 3, "CIA"):
+        r.append("X")
+        index += 3
+    elif (_dm_contains(value, index, 2, "CC")
+          and not (index == 1 and _dm_char(value, 0) == "M")):
+        return _dm_handle_cc(value, r, index)
+    elif _dm_contains(value, index, 2, "CK", "CG", "CQ"):
+        r.append("K")
+        index += 2
+    elif _dm_contains(value, index, 2, "CI", "CE", "CY"):
+        if _dm_contains(value, index, 3, "CIO", "CIE", "CIA"):
+            r.append("S", "X")
+        else:
+            r.append("S")
+        index += 2
+    else:
+        r.append("K")
+        if _dm_contains(value, index + 1, 2, " C", " Q", " G"):
+            index += 3
+        elif (_dm_contains(value, index + 1, 1, "C", "K", "Q")
+              and not _dm_contains(value, index + 1, 2, "CE", "CI")):
+            index += 2
+        else:
+            index += 1
+    return index
+
+
+def _dm_handle_cc(value: str, r: _DMResult, index: int) -> int:
+    if (_dm_contains(value, index + 2, 1, "I", "E", "H")
+            and not _dm_contains(value, index + 2, 2, "HU")):
+        if ((index == 1 and _dm_char(value, index - 1) == "A")
+                or _dm_contains(value, index - 1, 5, "UCCEE", "UCCES")):
+            r.append("KS")
+        else:
+            r.append("X")
+        index += 3
+    else:
+        r.append("K")
+        index += 2
+    return index
+
+
+def _dm_condition_ch0(value: str, index: int) -> bool:
+    if index != 0:
+        return False
+    if not (_dm_contains(value, index + 1, 5, "HARAC", "HARIS")
+            or _dm_contains(value, index + 1, 3, "HOR", "HYM", "HIA",
+                            "HEM")):
+        return False
+    return not _dm_contains(value, 0, 5, "CHORE")
+
+
+def _dm_condition_ch1(value: str, index: int) -> bool:
+    return ((_dm_contains(value, 0, 4, "VAN ", "VON ")
+             or _dm_contains(value, 0, 3, "SCH"))
+            or _dm_contains(value, index - 2, 6, "ORCHES", "ARCHIT",
+                            "ORCHID")
+            or _dm_contains(value, index + 2, 1, "T", "S")
+            or ((_dm_contains(value, index - 1, 1, "A", "O", "U", "E")
+                 or index == 0)
+                and (_dm_contains(value, index + 2, 1,
+                                  *_DM_L_R_N_M_B_H_F_V_W_SPACE)
+                     or index + 1 == len(value) - 1)))
+
+
+def _dm_handle_ch(value: str, r: _DMResult, index: int) -> int:
+    if index > 0 and _dm_contains(value, index, 4, "CHAE"):
+        r.append("K", "X")
+        return index + 2
+    if _dm_condition_ch0(value, index):
+        r.append("K")
+        return index + 2
+    if _dm_condition_ch1(value, index):
+        r.append("K")
+        return index + 2
+    if index > 0:
+        if _dm_contains(value, 0, 2, "MC"):
+            r.append("K")
+        else:
+            r.append("X", "K")
+    else:
+        r.append("X")
+    return index + 2
+
+
+def _dm_handle_g(value: str, r: _DMResult, index: int, slavo: bool) -> int:
+    nxt = _dm_char(value, index + 1)
+    if nxt == "H":
+        return _dm_handle_gh(value, r, index)
+    if nxt == "N":
+        if index == 1 and _dm_vowel(_dm_char(value, 0)) and not slavo:
+            r.append("KN", "N")
+        elif (not _dm_contains(value, index + 2, 2, "EY") and nxt != "Y"
+              and not slavo):
+            r.append("N", "KN")
+        else:
+            r.append("KN")
+        return index + 2
+    if _dm_contains(value, index + 1, 2, "LI") and not slavo:
+        r.append("KL", "L")
+        return index + 2
+    if index == 0 and (nxt == "Y" or _dm_contains(
+            value, index + 1, 2, *_DM_ES_EP_EB_EL_EY_IB_IL_IN_IE_EI_ER)):
+        r.append("K", "J")
+        return index + 2
+    if ((_dm_contains(value, index + 1, 2, "ER") or nxt == "Y")
+            and not _dm_contains(value, 0, 6, "DANGER", "RANGER", "MANGER")
+            and not _dm_contains(value, index - 1, 1, "E", "I")
+            and not _dm_contains(value, index - 1, 3, "RGY", "OGY")):
+        r.append("K", "J")
+        return index + 2
+    if (_dm_contains(value, index + 1, 1, "E", "I", "Y")
+            or _dm_contains(value, index - 1, 4, "AGGI", "OGGI")):
+        if (_dm_contains(value, 0, 4, "VAN ", "VON ")
+                or _dm_contains(value, 0, 3, "SCH")
+                or _dm_contains(value, index + 1, 2, "ET")):
+            r.append("K")
+        elif _dm_contains(value, index + 1, 3, "IER"):
+            r.append("J")
+        else:
+            r.append("J", "K")
+        return index + 2
+    if nxt == "G":
+        r.append("K")
+        return index + 2
+    r.append("K")
+    return index + 1
+
+
+def _dm_handle_gh(value: str, r: _DMResult, index: int) -> int:
+    if index > 0 and not _dm_vowel(_dm_char(value, index - 1)):
+        r.append("K")
+        return index + 2
+    if index == 0:
+        if _dm_char(value, index + 2) == "I":
+            r.append("J")
+        else:
+            r.append("K")
+        return index + 2
+    if ((index > 1 and _dm_contains(value, index - 2, 1, "B", "H", "D"))
+            or (index > 2 and _dm_contains(value, index - 3, 1, "B", "H",
+                                           "D"))
+            or (index > 3 and _dm_contains(value, index - 4, 1, "B", "H"))):
+        return index + 2
+    if (index > 2 and _dm_char(value, index - 1) == "U"
+            and _dm_contains(value, index - 3, 1, "C", "G", "L", "R", "T")):
+        r.append("F")
+    elif index > 0 and _dm_char(value, index - 1) != "I":
+        r.append("K")
+    return index + 2
+
+
+def _dm_handle_j(value: str, r: _DMResult, index: int, slavo: bool) -> int:
+    if (_dm_contains(value, index, 4, "JOSE")
+            or _dm_contains(value, 0, 4, "SAN ")):
+        if ((index == 0 and _dm_char(value, index + 4) == " ")
+                or len(value) == 4 or _dm_contains(value, 0, 4, "SAN ")):
+            r.append("H")
+        else:
+            r.append("J", "H")
+        index += 1
+        return index
+    if index == 0 and not _dm_contains(value, index, 4, "JOSE"):
+        r.append("J", "A")
+    elif (_dm_vowel(_dm_char(value, index - 1)) and not slavo
+          and (_dm_char(value, index + 1) == "A"
+               or _dm_char(value, index + 1) == "O")):
+        r.append("J", "H")
+    elif index == len(value) - 1:
+        r.append("J", " ")
+    elif (not _dm_contains(value, index + 1, 1, *_DM_L_T_K_S_N_M_B_Z)
+          and not _dm_contains(value, index - 1, 1, "S", "K", "L")):
+        r.append("J")
+    index += 2 if _dm_char(value, index + 1) == "J" else 1
+    return index
+
+
+def _dm_condition_l0(value: str, index: int) -> bool:
+    if (index == len(value) - 3
+            and _dm_contains(value, index - 1, 4, "ILLO", "ILLA", "ALLE")):
+        return True
+    return ((_dm_contains(value, len(value) - 2, 2, "AS", "OS")
+             or _dm_contains(value, len(value) - 1, 1, "A", "O"))
+            and _dm_contains(value, index - 1, 4, "ALLE"))
+
+
+def _dm_condition_m0(value: str, index: int) -> bool:
+    if _dm_char(value, index + 1) == "M":
+        return True
+    return (_dm_contains(value, index - 1, 3, "UMB")
+            and (index + 1 == len(value) - 1
+                 or _dm_contains(value, index + 2, 2, "ER")))
+
+
+def _dm_handle_s(value: str, r: _DMResult, index: int, slavo: bool) -> int:
+    if _dm_contains(value, index - 1, 3, "ISL", "YSL"):
+        return index + 1
+    if index == 0 and _dm_contains(value, index, 5, "SUGAR"):
+        r.append("X", "S")
+        return index + 1
+    if _dm_contains(value, index, 2, "SH"):
+        if _dm_contains(value, index + 1, 4, "HEIM", "HOEK", "HOLM",
+                        "HOLZ"):
+            r.append("S")
+        else:
+            r.append("X")
+        return index + 2
+    if (_dm_contains(value, index, 3, "SIO", "SIA")
+            or _dm_contains(value, index, 4, "SIAN")):
+        if slavo:
+            r.append("S")
+        else:
+            r.append("S", "X")
+        return index + 3
+    if ((index == 0
+         and _dm_contains(value, index + 1, 1, "M", "N", "L", "W"))
+            or _dm_contains(value, index + 1, 1, "Z")):
+        r.append("S", "X")
+        return index + (2 if _dm_contains(value, index + 1, 1, "Z") else 1)
+    if _dm_contains(value, index, 2, "SC"):
+        return _dm_handle_sc(value, r, index)
+    if (index == len(value) - 1
+            and _dm_contains(value, index - 2, 2, "AI", "OI")):
+        r.append_alternate("S")
+    else:
+        r.append("S")
+    return index + (2 if _dm_contains(value, index + 1, 1, "S", "Z") else 1)
+
+
+def _dm_handle_sc(value: str, r: _DMResult, index: int) -> int:
+    if _dm_char(value, index + 2) == "H":
+        if _dm_contains(value, index + 3, 2, "OO", "ER", "EN", "UY", "ED",
+                        "EM"):
+            if _dm_contains(value, index + 3, 2, "ER", "EN"):
+                r.append("X", "SK")
+            else:
+                r.append("SK")
+        else:
+            if (index == 0 and not _dm_vowel(_dm_char(value, 3))
+                    and _dm_char(value, 3) != "W"):
+                r.append("X", "S")
+            else:
+                r.append("X")
+        return index + 3
+    if _dm_contains(value, index + 2, 1, "I", "E", "Y"):
+        r.append("S")
+        return index + 3
+    r.append("SK")
+    return index + 3
+
+
+def _dm_handle_t(value: str, r: _DMResult, index: int) -> int:
+    if _dm_contains(value, index, 4, "TION"):
+        r.append("X")
+        return index + 3
+    if _dm_contains(value, index, 3, "TIA", "TCH"):
+        r.append("X")
+        return index + 3
+    if (_dm_contains(value, index, 2, "TH")
+            or _dm_contains(value, index, 3, "TTH")):
+        if (_dm_contains(value, index + 2, 2, "OM", "AM")
+                or _dm_contains(value, 0, 4, "VAN ", "VON ")
+                or _dm_contains(value, 0, 3, "SCH")):
+            r.append("T")
+        else:
+            r.append("0", "T")
+        return index + 2
+    r.append("T")
+    return index + (2 if _dm_contains(value, index + 1, 1, "T", "D") else 1)
+
+
+def _dm_handle_w(value: str, r: _DMResult, index: int) -> int:
+    if _dm_contains(value, index, 2, "WR"):
+        r.append("R")
+        return index + 2
+    if (index == 0 and (_dm_vowel(_dm_char(value, index + 1))
+                        or _dm_contains(value, index, 2, "WH"))):
+        if _dm_vowel(_dm_char(value, index + 1)):
+            r.append("A", "F")
+        else:
+            r.append("A")
+        return index + 1
+    if ((index == len(value) - 1 and _dm_vowel(_dm_char(value, index - 1)))
+            or _dm_contains(value, index - 1, 5, "EWSKI", "EWSKY", "OWSKI",
+                            "OWSKY")
+            or _dm_contains(value, 0, 3, "SCH")):
+        r.append_alternate("F")
+        return index + 1
+    if _dm_contains(value, index, 4, "WICZ", "WITZ"):
+        r.append("TS", "FX")
+        return index + 4
+    return index + 1
+
+# ------------------------------------------------------- Lucene filter layer
+
+#: encoder registry (PhoneticFilterFactory's name -> encoder map)
+ENCODERS = {
+    "soundex": soundex,
+    "refined_soundex": refined_soundex,
+    "metaphone": metaphone,
+    "double_metaphone": double_metaphone,
+    "caverphone": caverphone2,
+    "cologne": cologne_phonetic,
+    "nysiis": nysiis,
+}
+
+
+class PhoneticInjector:
+    """``PhoneticFilter(encoder, inject=true)`` as a chain synonyms slot
+    (``analysis/phonetic/.../PhoneticFilter.java:30-75``): for each token
+    the encoding is STACKED at the same position (posIncr-0, exactly the
+    filter's phonetic+original pair — which of the two carries the
+    increment does not change tf/df/positions/norms). The encoding is
+    skipped when it fails (Java throws -> caught), is empty, or equals
+    the token verbatim."""
+
+    def __init__(self, encoder: str) -> None:
+        if encoder not in ENCODERS:
+            raise ValueError(f"unknown phonetic encoder {encoder!r}")
+        self.encoder = encoder
+
+    def get(self, term: str, default=()):
+        try:
+            v = ENCODERS[self.encoder](term)
+        except Exception:  # noqa: BLE001 — Java catches Exception too
+            return default
+        if v is None or v == "" or v == term:
+            return default
+        return (v,)
+
+
+class PhoneticReplace:
+    """``PhoneticFilter(encoder, inject=false)`` as a chain transform:
+    the token is REPLACED by its encoding (original kept on failure /
+    empty / identical encoding)."""
+
+    def __init__(self, encoder: str) -> None:
+        if encoder not in ENCODERS:
+            raise ValueError(f"unknown phonetic encoder {encoder!r}")
+        self.encoder = encoder
+
+    def __call__(self, term: str) -> str:
+        try:
+            v = ENCODERS[self.encoder](term)
+        except Exception:  # noqa: BLE001
+            return term
+        if v is None or v == "" or v == term:
+            return term
+        return v
+
+
+class DoubleMetaphoneInjector:
+    """``DoubleMetaphoneFilter(maxCodeLength, inject=true)``
+    (``DoubleMetaphoneFilter.java:29-100``): stacks the PRIMARY code when
+    nonempty and != token, and the ALTERNATE when additionally != primary
+    (the filter's exact emission conditions; original token always kept
+    in inject mode)."""
+
+    def __init__(self, max_code_len: int = 4) -> None:
+        if max_code_len < 1:
+            raise ValueError("maxCodeLength must be >=1")
+        self.max_code_len = max_code_len
+
+    def get(self, term: str, default=()):
+        p = double_metaphone(term, False, self.max_code_len)
+        a = double_metaphone(term, True, self.max_code_len)
+        out = []
+        if p and p != term:
+            out.append(p)
+        if a and a != p and p != term:
+            out.append(a)
+        return tuple(out) if out else default

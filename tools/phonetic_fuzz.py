@@ -1,0 +1,195 @@
+"""Fuzz lucene_spark.functions.phonetic against the compiled commons-codec
+encoders (the jar ships with pyspark). Round-4 compiled-parity protocol:
+goldens are printed FROM the reference classes, never hand-guessed.
+
+Usage: python tools/phonetic_fuzz.py [encoder ...] [--n 20000]
+Builds /tmp/phonetic/Harness.java on demand.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+import string
+import subprocess
+import sys
+
+HARNESS_DIR = "/tmp/phonetic"
+HARNESS = r"""
+import org.apache.commons.codec.language.*;
+import java.io.*;
+
+public class Harness {
+    public static void main(String[] args) throws Exception {
+        String enc = args[0];
+        BufferedReader in = new BufferedReader(new InputStreamReader(System.in, "UTF-8"));
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        String line;
+        Soundex sx = new Soundex();
+        RefinedSoundex rs = new RefinedSoundex();
+        Metaphone mp = new Metaphone();
+        DoubleMetaphone dm = new DoubleMetaphone();
+        Caverphone2 cv = new Caverphone2();
+        ColognePhonetic cp = new ColognePhonetic();
+        Nysiis ny = new Nysiis();
+        while ((line = in.readLine()) != null) {
+            String r;
+            try {
+                switch (enc) {
+                    case "soundex": r = sx.encode(line); break;
+                    case "refined": r = rs.encode(line); break;
+                    case "metaphone": r = mp.encode(line); break;
+                    case "dmetaphone": r = dm.doubleMetaphone(line) + "\t" + dm.doubleMetaphone(line, true); break;
+                    case "caverphone": r = cv.encode(line); break;
+                    case "cologne": r = cp.encode(line); break;
+                    case "nysiis": r = ny.encode(line); break;
+                    default: throw new IllegalArgumentException(enc);
+                }
+            } catch (Exception e) {
+                r = "!ERR";
+            }
+            out.println(r == null ? "!NULL" : r);
+        }
+    }
+}
+"""
+
+
+def _jar() -> str:
+    cands = glob.glob(
+        "/opt/spark-*/jars/commons-codec-*.jar"
+    ) or glob.glob(
+        os.path.join(os.path.dirname(os.__file__),
+                     "site-packages/pyspark/jars/commons-codec-*.jar")
+    )
+    if not cands:
+        raise RuntimeError("commons-codec jar not found")
+    return cands[0]
+
+
+def ensure_harness() -> str:
+    os.makedirs(HARNESS_DIR, exist_ok=True)
+    src = os.path.join(HARNESS_DIR, "Harness.java")
+    cls = os.path.join(HARNESS_DIR, "Harness.class")
+    cur = open(src).read() if os.path.exists(src) else ""
+    if cur != HARNESS or not os.path.exists(cls):
+        with open(src, "w") as f:
+            f.write(HARNESS)
+        subprocess.run(["javac", "-encoding", "UTF-8", "-cp", _jar(), src],
+                       check=True, cwd=HARNESS_DIR)
+    return HARNESS_DIR
+
+
+def java_encode(encoder: str, words: list[str]) -> list[str]:
+    d = ensure_harness()
+    p = subprocess.run(
+        ["java", "-cp", f"{_jar()}:{d}", "Harness", encoder],
+        input="\n".join(words).encode(), capture_output=True, check=True)
+    return p.stdout.decode().splitlines()
+
+
+def gen_words(n: int, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    clusters = ["sch", "gh", "cz", "witz", "mac", "kn", "ph", "pf", "th",
+                "ch", "ck", "dg", "tio", "tia", "ough", "mb", "wr", "ps",
+                "gn", "x", "qu", "tch", "sh", "wh", "ee", "ie", "dt", "rt",
+                "rd", "nt", "nd", "ev", "ay", "y", "san", "von", "ella",
+                "iss", "ier", "er", "en", "ger", "bacher", "mann", "sky"]
+    accents = "éüçñöäàèùâêîôûëïœæß"
+    names = ["smith", "schmidt", "thompson", "robert", "rupert", "ashcraft",
+             "tymczak", "pfister", "honeyman", "jose", "gough", "knight",
+             "wright", "psalm", "xavier", "czech", "michael", "wichita",
+             "caesar", "chianti", "mcknight", "ghislane", "island",
+             "sugar", "isle", "agnize", "cagney", "edge", "bacher",
+             "filipowicz", "rogier", "hochmeier", "accola", "zhao",
+             "jankelowicz", "mcjames", "dumb", "thumb", "school", "wachtler",
+             "arnow", "uomo", "vasserman", "yankelovich", "llewellyn"]
+    words = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.2:
+            words.append(rng.choice(names))
+        elif r < 0.55:
+            # cluster-stacked pseudo-names
+            k = rng.randrange(1, 5)
+            w = "".join(rng.choice(clusters) for _ in range(k))
+            if rng.random() < 0.3:
+                w = rng.choice(string.ascii_lowercase) + w
+            words.append(w)
+        elif r < 0.8:
+            words.append("".join(
+                rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randrange(1, 12))))
+        elif r < 0.9:
+            w = "".join(rng.choice(string.ascii_lowercase + accents)
+                        for _ in range(rng.randrange(1, 10)))
+            words.append(w)
+        else:
+            w = "".join(rng.choice(string.ascii_letters + "0123456789-' ")
+                        for _ in range(rng.randrange(0, 10)))
+            words.append(w.replace("\n", " ") or "a")
+    # never feed empty/whitespace-only lines (readLine round-trip)
+    return [w if w.strip() else "a" for w in words]
+
+
+def run(encoder: str, n: int) -> int:
+    import lucene_spark.functions.phonetic as ph
+
+    fns = {
+        "soundex": ph.soundex,
+        "refined": ph.refined_soundex,
+        "metaphone": getattr(ph, "metaphone", None),
+        "dmetaphone": getattr(ph, "double_metaphone_both", None),
+        "caverphone": ph.caverphone2,
+        "cologne": ph.cologne_phonetic,
+        "nysiis": ph.nysiis,
+    }
+    fn = fns[encoder]
+    if fn is None:
+        print(f"{encoder}: not implemented yet")
+        return 1
+    words = gen_words(n)
+    expected = java_encode(encoder, words)
+    bad = 0
+    for w, exp in zip(words, expected):
+        try:
+            got = fn(w)
+        except Exception as e:  # noqa: BLE001
+            got = f"!EXC:{e}"
+        if encoder == "dmetaphone":
+            got = "\t".join("!NULL" if g is None else g for g in got) \
+                if got is not None else "!NULL"
+        elif got is None:
+            got = "!ERR"
+        if got != exp:
+            bad += 1
+            if bad <= 10:
+                print(f"  MISMATCH {w!r}: java={exp!r} py={got!r}")
+    print(f"{encoder}: {len(words) - bad}/{len(words)} match")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    argv = sys.argv[1:]
+    args: list[str] = []
+    n = 20000
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--n"):
+            if "=" in a:
+                n = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                n = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
+    encs = args or ["soundex", "refined", "metaphone", "dmetaphone",
+                    "caverphone", "cologne", "nysiis"]
+    rc = 0
+    for e in encs:
+        rc |= run(e, n)
+    sys.exit(rc)
