@@ -2506,6 +2506,39 @@ def _dmetaphone_chain_df(spark, sf_dir):
     )
 
 
+_XML_QUERY = """
+<BooleanQuery fieldName="text">
+  <Clause occurs="must"><TermQuery>hash</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery boost="2.0">scan</TermQuery></Clause>
+  <Clause occurs="should"><TermsQuery>dup merge</TermsQuery></Clause>
+  <Clause occurs="mustNot"><TermQuery>vector</TermQuery></Clause>
+</BooleanQuery>
+"""
+_XML_EQUIV_AST = {
+    "bool": {
+        "must": [{"term": "hash"}],
+        "should": [
+            {"term": "scan", "boost": 2.0},
+            {"bool": {"should": [{"term": "dup"}, {"term": "merge"}]}},
+        ],
+        "must_not": [{"term": "vector"}],
+    }
+}
+
+
+def _xml_parser_df(spark, sf_dir):
+    """CoreParser (queryparser/xml) analog: Boolean XML with inherited
+    fieldName, clause occurs routing, a boost attribute, and an analyzed
+    TermsQuery — must hash-match the equivalent hand-built AST's oracle."""
+    from lucene_spark.query.xmlparser import execute_xml
+
+    s = _searcher(spark, sf_dir)
+    hits = execute_xml(s, _XML_QUERY, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2959,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_phonetic_chain"] = _phonetic_chain_df
     out["bm25_dmetaphone_chain"] = _dmetaphone_chain_df
+    out["xml_query_parser"] = _xml_parser_df
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
@@ -3805,6 +3839,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
         synonyms=tuple((a, b) for a, syns in sorted(_SYN_MAP.items())
                        for b in syns),
     )
+    out["xml_query_parser"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_XML_EQUIV_AST)), _QUERY_K)
     from lucene_spark.functions.phonetic import (DoubleMetaphoneInjector,
                                                  PhoneticInjector)
     _sx = PhoneticInjector("soundex")

@@ -1,0 +1,331 @@
+"""XML query parser — the ``queryparser/xml`` CoreParser analog.
+
+Builds engine queries from the reference's XML query syntax
+(``queryparser/xml/CoreParser.java:87-135`` builder registry):
+
+- query factory elements -> the repo's Query AST: ``TermQuery``
+  (``builders/TermQueryBuilder.java`` — raw term, NOT analyzed, fieldName
+  inheritable, boost wrap), ``TermsQuery`` (analyzed text -> SHOULD
+  TermQueries with minimumNumberShouldMatch —
+  ``builders/TermsQueryBuilder.java``), ``MatchAllDocsQuery``,
+  ``BooleanQuery`` (``builders/BooleanQueryBuilder.java`` — <Clause
+  occurs=...> children; a missing/invalid ``occurs`` THROWS in the
+  reference, replayed as ValueError), ``RangeQuery`` (string
+  TermRangeQuery), ``PointRangeQuery`` (numeric range over a metadata
+  field; missing bound = open), ``DisjunctionMaxQuery`` (tieBreaker),
+  ``ConstantScoreQuery``, ``UserQuery`` (classic QueryParser on the
+  text — ``builders/UserInputQueryBuilder.java``), ``BoostingTermQuery``
+  (payload-scored span term — executed via the payload surface).
+- span elements (``SpanTerm/SpanOr/SpanOrTerms/SpanFirst/SpanNot/
+  SpanNear``): the engine's span surface takes TERM operands
+  (IndexSearcher.span_first/span_or/span_not, SpanNearQuery AST), so
+  span elements parse to a ``SpanOp`` descriptor executed by
+  ``execute_xml``; span composition beyond term operands raises with a
+  pointer to the intervals module (the repo's composable position
+  surface) — a documented divergence. ``SpanPositionRange`` maps to
+  the generalized positional window only when start == 0 (SpanFirst).
+
+Field routing follows the classic parser: fieldName "text" (the default
+field) targets the inverted text; metadata fieldNames map to docmap
+predicates (FieldEqualsQuery / FieldRangeQuery); unknown fields raise —
+same contract as ``query/parser.py`` field routing.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FieldEqualsQuery,
+    FieldRangeQuery,
+    MatchAllDocsQuery,
+    Query,
+    SpanNearQuery,
+    TermQuery,
+    TermRangeQuery,
+)
+
+#: metadata fields the docmap carries (mirrors query/parser.py routing)
+METADATA_FIELDS = ("role", "tool", "turn_idx", "field_len")
+
+
+class XmlParserError(ValueError):
+    """ParserException analog."""
+
+
+class SpanOp:
+    """Top-level span element descriptor: (kind, payload). Executed by
+    ``execute_xml`` against the IndexSearcher span surface."""
+
+    def __init__(self, kind: str, **kw) -> None:
+        self.kind = kind
+        self.kw = kw
+
+    def __repr__(self) -> str:  # tree-exactness in tests
+        items = ",".join(f"{k}={self.kw[k]!r}" for k in sorted(self.kw))
+        return f"SpanOp({self.kind},{items})"
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, SpanOp) and other.kind == self.kind
+                and other.kw == self.kw)
+
+
+def _attr(e: ET.Element, name: str, default=None):
+    v = e.get(name)
+    return default if v is None or v == "" else v
+
+
+def _attr_inherited(e: ET.Element, parents: list[ET.Element], name: str,
+                    required: bool = False):
+    """DOMUtils.getAttributeWithInheritance: walk ancestors upward."""
+    for node in [e] + parents[::-1]:
+        v = node.get(name)
+        if v is not None and v != "":
+            return v
+    if required:
+        raise XmlParserError(f"Error: {name} attribute undefined")
+    return None
+
+
+def _text(e: ET.Element, required: bool = True) -> str:
+    t = "".join(e.itertext()).strip()
+    if required and not t:
+        raise XmlParserError(
+            f"Error: Element <{e.tag}> has no text")
+    return t
+
+
+def _boost_wrap(q: Query, e: ET.Element) -> Query:
+    b = float(_attr(e, "boost", "1.0"))
+    return BoostQuery(q, b) if b != 1.0 else q
+
+
+def _analyze(text: str, analyzer: str) -> list[str]:
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    terms, _, _ = analyze_one_chain(text, analyzer)
+    return terms
+
+
+def parse_xml(xml: str, default_field: str = "text",
+              analyzer: str = "simple"):
+    """CoreParser.parse analog: XML string -> Query AST or SpanOp."""
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as ex:
+        raise XmlParserError(f"Error parsing XML stream: {ex}") from ex
+    return _build(root, [], default_field, analyzer)
+
+
+def _build(e: ET.Element, parents: list[ET.Element], default_field: str,
+           analyzer: str):
+    tag = e.tag
+    if tag == "TermQuery":
+        field = _attr_inherited(e, parents, "fieldName", required=True)
+        value = _text(e)
+        if field == default_field:
+            q: Query = TermQuery(value)
+        elif field in METADATA_FIELDS:
+            q = FieldEqualsQuery(field, value)
+        else:
+            raise XmlParserError(f"unknown fieldName {field!r}")
+        return _boost_wrap(q, e)
+    if tag == "TermsQuery":
+        field = _attr_inherited(e, parents, "fieldName", required=True)
+        if field != default_field:
+            raise XmlParserError("TermsQuery analyzes text fields only")
+        msm = int(_attr(e, "minimumNumberShouldMatch", "0"))
+        terms = _analyze(_text(e), analyzer)
+        q = BooleanQuery(should=[TermQuery(t) for t in terms],
+                         min_should_match=msm)
+        return _boost_wrap(q, e)
+    if tag == "MatchAllDocsQuery":
+        return MatchAllDocsQuery()
+    if tag == "BooleanQuery":
+        msm = int(_attr(e, "minimumNumberShouldMatch", "0"))
+        bq = BooleanQuery(min_should_match=msm)
+        for child in e:
+            if child.tag != "Clause":
+                continue
+            occurs = child.get("occurs")
+            subs = list(child)
+            if not subs:
+                raise XmlParserError("Error: Clause has no child query")
+            sub = _build(subs[0], parents + [e, child], default_field,
+                         analyzer)
+            if isinstance(sub, SpanOp):
+                raise XmlParserError(
+                    "span queries cannot nest in BooleanQuery clauses; "
+                    "use the intervals module for positional composition")
+            low = (occurs or "").lower()
+            if occurs is None or low == "should":
+                # the reference THROWS on a missing occurs (DOM empty
+                # string falls through every branch) — replayed: only an
+                # explicit value is accepted
+                if occurs is None:
+                    raise XmlParserError(
+                        'Invalid value for "occurs" attribute of clause:')
+                bq.should.append(sub)
+            elif low == "must":
+                bq.must.append(sub)
+            elif low == "mustnot":
+                bq.must_not.append(sub)
+            elif occurs == "filter":
+                bq.filter.append(sub)
+            else:
+                raise XmlParserError(
+                    f'Invalid value for "occurs" attribute of clause:'
+                    f"{occurs}")
+        return _boost_wrap(bq, e)
+    if tag == "RangeQuery":
+        field = _attr_inherited(e, parents, "fieldName")
+        lower = e.get("lowerTerm") or ""
+        upper = e.get("upperTerm") or ""
+        inc_l = (_attr(e, "includeLower", "true") or "").lower() != "false"
+        inc_u = (_attr(e, "includeUpper", "true") or "").lower() != "false"
+        if field != "text":
+            raise XmlParserError("RangeQuery targets the text field; use "
+                                 "PointRangeQuery for numeric metadata")
+        return TermRangeQuery(lower or None, upper or None, inc_l, inc_u)
+    if tag == "PointRangeQuery":
+        field = _attr_inherited(e, parents, "fieldName", required=True)
+        if field not in METADATA_FIELDS:
+            raise XmlParserError(f"unknown fieldName {field!r}")
+        lo = _attr(e, "lowerTerm")
+        hi = _attr(e, "upperTerm")
+        typ = (_attr(e, "type", "int") or "int").lower()
+        cast = float if typ in ("float", "double") else int
+        return FieldRangeQuery(
+            field,
+            None if lo is None else cast(lo),
+            None if hi is None else cast(hi),
+        )
+    if tag == "DisjunctionMaxQuery":
+        tie = float(_attr(e, "tieBreaker", "0.0"))
+        disjuncts = [
+            _build(c, parents + [e], default_field, analyzer) for c in e
+        ]
+        if any(isinstance(d, SpanOp) for d in disjuncts):
+            raise XmlParserError("span queries cannot nest in "
+                                 "DisjunctionMaxQuery")
+        return _boost_wrap(DisjunctionMaxQuery(tuple(disjuncts), tie), e)
+    if tag == "ConstantScoreQuery":
+        subs = list(e)
+        if not subs:
+            raise XmlParserError("Error: ConstantScoreQuery missing child")
+        sub = _build(subs[0], parents + [e], default_field, analyzer)
+        if isinstance(sub, SpanOp):
+            raise XmlParserError("span queries cannot nest in "
+                                 "ConstantScoreQuery")
+        return _boost_wrap(ConstantScoreQuery(sub), e)
+    if tag == "UserQuery":
+        from lucene_spark.query.parser import QueryParser
+
+        return _boost_wrap(QueryParser(analyzer=analyzer).parse(_text(e)),
+                           e)
+    if tag == "BoostingTermQuery":
+        field = _attr_inherited(e, parents, "fieldName", required=True)
+        if field != default_field:
+            raise XmlParserError("BoostingTermQuery targets the text field")
+        return SpanOp("boosting_term", term=_text(e),
+                      boost=float(_attr(e, "boost", "1.0")))
+    # ---- span family -------------------------------------------------
+    if tag == "SpanTerm":
+        _attr_inherited(e, parents, "fieldName", required=True)
+        return SpanOp("term", term=_text(e))
+    if tag == "SpanOr":
+        clauses = [_build(c, parents + [e], default_field, analyzer)
+                   for c in e]
+        terms = _span_terms(clauses, "SpanOr")
+        return SpanOp("or", terms=terms)
+    if tag == "SpanOrTerms":
+        _attr_inherited(e, parents, "fieldName", required=True)
+        return SpanOp("or", terms=tuple(_analyze(_text(e), analyzer)))
+    if tag == "SpanFirst":
+        end = int(_attr(e, "end", "1"))
+        subs = [_build(c, parents + [e], default_field, analyzer)
+                for c in e]
+        (term,) = _span_terms(subs, "SpanFirst")
+        return SpanOp("first", term=term, end=end)
+    if tag == "SpanNot":
+        include = exclude = None
+        for c in e:
+            if c.tag == "Include":
+                include = _build(list(c)[0], parents + [e, c],
+                                 default_field, analyzer)
+            elif c.tag == "Exclude":
+                exclude = _build(list(c)[0], parents + [e, c],
+                                 default_field, analyzer)
+        if include is None or exclude is None:
+            raise XmlParserError("SpanNot needs Include and Exclude")
+        (inc,) = _span_terms([include], "SpanNot/Include")
+        (exc,) = _span_terms([exclude], "SpanNot/Exclude")
+        return SpanOp("not", include=inc, exclude=exc)
+    if tag == "SpanNear":
+        slop = e.get("slop")
+        if slop is None:
+            raise XmlParserError("Error: SpanNear missing slop property")
+        in_order = (_attr(e, "inOrder", "true") or "").lower() != "false"
+        clauses = [_build(c, parents + [e], default_field, analyzer)
+                   for c in e]
+        terms = _span_terms(clauses, "SpanNear")
+        return SpanOp("near", query=SpanNearQuery(terms, int(slop),
+                                                  in_order))
+    if tag == "SpanPositionRange":
+        start = int(_attr(e, "start", "0"))
+        end = int(_attr(e, "end", "1"))
+        if start != 0:
+            raise XmlParserError(
+                "SpanPositionRange with start > 0 is not supported; the "
+                "intervals module covers positional windows")
+        subs = [_build(c, parents + [e], default_field, analyzer)
+                for c in e]
+        (term,) = _span_terms(subs, "SpanPositionRange")
+        return SpanOp("first", term=term, end=end)
+    raise XmlParserError(
+        f"Error: No QueryObjectBuilder defined for node {tag}")
+
+
+def _span_terms(clauses, where: str) -> tuple[str, ...]:
+    terms = []
+    for c in clauses:
+        if not (isinstance(c, SpanOp) and c.kind == "term"):
+            raise XmlParserError(
+                f"{where}: only SpanTerm operands are supported (the "
+                "engine's span surface takes term operands; compose "
+                "positions with the intervals module)")
+        terms.append(c.kw["term"])
+    return tuple(terms)
+
+
+def execute_xml(searcher, xml: str, k: int = 10,
+                default_field: str = "text", analyzer: str = "simple"):
+    """Parse + run: AST queries through ``searcher.search``; SpanOps
+    through the span/payload surfaces. DF(doc_id, score) top-k."""
+    from lucene_spark.query.ast import rewrite_fixpoint
+
+    q = parse_xml(xml, default_field, analyzer)
+    if isinstance(q, SpanOp):
+        if q.kind == "term":
+            return searcher.search(
+                rewrite_fixpoint(TermQuery(q.kw["term"])), k)
+        if q.kind == "or":
+            return searcher.span_or(list(q.kw["terms"]), k)
+        if q.kind == "first":
+            return searcher.span_first(q.kw["term"], q.kw["end"], k)
+        if q.kind == "not":
+            return searcher.span_not(q.kw["include"], q.kw["exclude"], k)
+        if q.kind == "near":
+            return searcher.search(rewrite_fixpoint(q.kw["query"]), k)
+        if q.kind == "boosting_term":
+            # BoostingTermBuilder: PayloadScoreQuery(span, Average,
+            # FLOAT_DECODER) — 3-arg ctor => includeSpanScore=true
+            return searcher.payload_score(
+                q.kw["term"], k, func="avg", include_span_score=True,
+                boost=q.kw["boost"])
+        raise XmlParserError(f"unknown span op {q.kind}")
+    return searcher.search(rewrite_fixpoint(q), k)

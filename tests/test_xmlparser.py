@@ -1,0 +1,181 @@
+"""XML query parser (query/xmlparser.py — queryparser/xml CoreParser
+analog): tree-exact builds vs hand-built ASTs, attribute semantics
+replayed from the reference builders, span routing, and execute_xml
+equivalence on the shared fixture index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.query.ast import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FieldEqualsQuery,
+    FieldRangeQuery,
+    MatchAllDocsQuery,
+    SpanNearQuery,
+    TermQuery,
+    TermRangeQuery,
+)
+from lucene_spark.query.xmlparser import (
+    SpanOp,
+    XmlParserError,
+    execute_xml,
+    parse_xml,
+)
+
+
+def test_term_query_and_boost():
+    assert parse_xml('<TermQuery fieldName="text">scan</TermQuery>') == \
+        TermQuery("scan")
+    # the raw term is NOT analyzed (TermQueryBuilder passes bytes through)
+    assert parse_xml('<TermQuery fieldName="text">SCAN</TermQuery>') == \
+        TermQuery("SCAN")
+    q = parse_xml('<TermQuery fieldName="text" boost="2.5">scan</TermQuery>')
+    assert q == BoostQuery(TermQuery("scan"), 2.5)
+    # boost == 1.0 is NOT wrapped
+    q = parse_xml('<TermQuery fieldName="text" boost="1.0">scan</TermQuery>')
+    assert q == TermQuery("scan")
+    # metadata field -> docmap equality
+    assert parse_xml('<TermQuery fieldName="role">user</TermQuery>') == \
+        FieldEqualsQuery("role", "user")
+    with pytest.raises(XmlParserError):
+        parse_xml('<TermQuery fieldName="nope">x</TermQuery>')
+    with pytest.raises(XmlParserError):  # fieldName required
+        parse_xml("<TermQuery>x</TermQuery>")
+    with pytest.raises(XmlParserError):  # blank text
+        parse_xml('<TermQuery fieldName="text">  </TermQuery>')
+
+
+def test_boolean_query_occurs_and_inheritance():
+    xml = """
+    <BooleanQuery fieldName="text" minimumNumberShouldMatch="1">
+      <Clause occurs="must"><TermQuery>a</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>b</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>c</TermQuery></Clause>
+      <Clause occurs="filter"><TermQuery>d</TermQuery></Clause>
+    </BooleanQuery>"""
+    q = parse_xml(xml)
+    assert q == BooleanQuery(must=[TermQuery("a")], should=[TermQuery("b")],
+                             must_not=[TermQuery("c")],
+                             filter=[TermQuery("d")], min_should_match=1)
+    # occurs is case-insensitive except the exact "filter" (the
+    # reference's equalsIgnoreCase vs equals split)
+    assert parse_xml(
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="MUSTNOT"><TermQuery>x</TermQuery></Clause>'
+        "</BooleanQuery>") == BooleanQuery(must_not=[TermQuery("x")])
+    with pytest.raises(XmlParserError):
+        parse_xml('<BooleanQuery fieldName="text">'
+                  '<Clause occurs="FILTER"><TermQuery>x</TermQuery></Clause>'
+                  "</BooleanQuery>")
+    # a MISSING occurs throws (DOM empty-string falls through every
+    # branch in BooleanQueryBuilder.getOccursValue)
+    with pytest.raises(XmlParserError):
+        parse_xml('<BooleanQuery fieldName="text">'
+                  "<Clause><TermQuery>x</TermQuery></Clause>"
+                  "</BooleanQuery>")
+
+
+def test_terms_query_analyzes():
+    q = parse_xml('<TermsQuery fieldName="text" '
+                  'minimumNumberShouldMatch="2">Dup, merge-scan</TermsQuery>')
+    assert q == BooleanQuery(
+        should=[TermQuery("dup"), TermQuery("merge"), TermQuery("scan")],
+        min_should_match=2)
+
+
+def test_range_queries():
+    q = parse_xml('<RangeQuery fieldName="text" lowerTerm="m" '
+                  'upperTerm="q" includeUpper="false"/>')
+    assert q == TermRangeQuery("m", "q", True, False)
+    q = parse_xml('<PointRangeQuery fieldName="turn_idx" lowerTerm="2" '
+                  'upperTerm="5"/>')
+    assert q == FieldRangeQuery("turn_idx", 2, 5)
+    # missing bound = open (the builder's MIN/MAX_VALUE sentinel)
+    q = parse_xml('<PointRangeQuery fieldName="turn_idx" lowerTerm="3" '
+                  'type="long"/>')
+    assert q == FieldRangeQuery("turn_idx", 3, None)
+
+
+def test_dismax_constant_score_matchall_userquery():
+    xml = """
+    <DisjunctionMaxQuery fieldName="text" tieBreaker="0.3">
+      <TermQuery>scan</TermQuery>
+      <ConstantScoreQuery boost="0.5"><TermQuery>merge</TermQuery></ConstantScoreQuery>
+    </DisjunctionMaxQuery>"""
+    q = parse_xml(xml)
+    assert q == DisjunctionMaxQuery(
+        (TermQuery("scan"),
+         BoostQuery(ConstantScoreQuery(TermQuery("merge")), 0.5)), 0.3)
+    assert parse_xml("<MatchAllDocsQuery/>") == MatchAllDocsQuery()
+    # UserQuery routes through the classic parser
+    from lucene_spark.query.parser import QueryParser
+
+    q = parse_xml('<UserQuery fieldName="text">scan AND merge</UserQuery>')
+    assert q == QueryParser(analyzer="simple").parse("scan AND merge")
+    with pytest.raises(XmlParserError):
+        parse_xml("<NoSuchQuery/>")
+
+
+def test_span_elements():
+    assert parse_xml('<SpanTerm fieldName="text">scan</SpanTerm>') == \
+        SpanOp("term", term="scan")
+    assert parse_xml(
+        '<SpanOr fieldName="text"><SpanTerm>a</SpanTerm>'
+        "<SpanTerm>b</SpanTerm></SpanOr>") == SpanOp("or", terms=("a", "b"))
+    assert parse_xml(
+        '<SpanOrTerms fieldName="text">Dup merge</SpanOrTerms>') == \
+        SpanOp("or", terms=("dup", "merge"))
+    assert parse_xml(
+        '<SpanFirst fieldName="text" end="3"><SpanTerm>a</SpanTerm>'
+        "</SpanFirst>") == SpanOp("first", term="a", end=3)
+    assert parse_xml(
+        '<SpanNot fieldName="text"><Include><SpanTerm>a</SpanTerm>'
+        "</Include><Exclude><SpanTerm>b</SpanTerm></Exclude></SpanNot>") == \
+        SpanOp("not", include="a", exclude="b")
+    q = parse_xml('<SpanNear fieldName="text" slop="3" inOrder="false">'
+                  "<SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>")
+    assert q == SpanOp("near", query=SpanNearQuery(("a", "b"), 3, False))
+    with pytest.raises(XmlParserError):  # slop is mandatory
+        parse_xml('<SpanNear fieldName="text"><SpanTerm>a</SpanTerm>'
+                  "</SpanNear>")
+    # SpanPositionRange: start=0 == SpanFirst; start>0 unsupported
+    assert parse_xml(
+        '<SpanPositionRange fieldName="text" start="0" end="4">'
+        "<SpanTerm>a</SpanTerm></SpanPositionRange>") == \
+        SpanOp("first", term="a", end=4)
+    with pytest.raises(XmlParserError):
+        parse_xml('<SpanPositionRange fieldName="text" start="1" end="4">'
+                  "<SpanTerm>a</SpanTerm></SpanPositionRange>")
+    # spans cannot nest into the scoring factory elements
+    with pytest.raises(XmlParserError):
+        parse_xml('<BooleanQuery fieldName="text"><Clause occurs="must">'
+                  "<SpanTerm>a</SpanTerm></Clause></BooleanQuery>")
+
+
+def test_execute_xml_matches_direct(built_index, spark):
+    from lucene_spark.query.ast import rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    xml = """
+    <BooleanQuery fieldName="text">
+      <Clause occurs="must"><TermQuery>ba</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery boost="2.0">ca</TermQuery></Clause>
+    </BooleanQuery>"""
+    got = execute_xml(s, xml, 20).collect()
+    direct = s.search(rewrite_fixpoint(BooleanQuery(
+        must=[TermQuery("ba")],
+        should=[BoostQuery(TermQuery("ca"), 2.0)])), 20).collect()
+    assert [(r.doc_id, np.float32(r.score)) for r in got] == \
+           [(r.doc_id, np.float32(r.score)) for r in direct]
+    # span routing: SpanOr XML == searcher.span_or
+    got = execute_xml(s, '<SpanOr fieldName="text"><SpanTerm>ba</SpanTerm>'
+                         "<SpanTerm>ca</SpanTerm></SpanOr>", 15).collect()
+    direct = s.span_or(["ba", "ca"], 15).collect()
+    assert [(r.doc_id, np.float32(r.score)) for r in got] == \
+           [(r.doc_id, np.float32(r.score)) for r in direct]
