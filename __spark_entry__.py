@@ -1139,6 +1139,41 @@ def _naive_bayes_df(spark, sf_dir):
     return naive_bayes_classify(d, d, label_col="lang").orderBy("doc_id")
 
 
+def _confusion_matrix_df(spark, sf_dir):
+    """ConfusionMatrixGenerator analog: (correct, classified) counts of
+    the naive-Bayes classifier over the labeled corpus (train = test)."""
+    from lucene_spark.operators.classify import confusion_matrix_counts
+
+    d = _docs(spark, sf_dir)
+    out = confusion_matrix_counts(d, d, label_col="lang")
+    return out.select("correct", "classified",
+                      F.col("count").cast("long").alias("count"))
+
+
+def _confusion_metrics_df(spark, sf_dir):
+    """Per-class precision/recall/F1 replaying ConfusionMatrix's exact
+    formulas (tp==0 -> 0, harmonic F1 gated on both > 0)."""
+    from lucene_spark.operators.classify import (confusion_matrix_counts,
+                                                 confusion_metrics)
+
+    d = _docs(spark, sf_dir)
+    out = confusion_metrics(confusion_matrix_counts(d, d, label_col="lang"))
+    return out.select("label", F.col("tp").cast("long").alias("tp"),
+                      F.col("fp").cast("long").alias("fp"),
+                      F.col("fn").cast("long").alias("fn"),
+                      "precision", "recall", "f1")
+
+
+def _dataset_split_df(spark, sf_dir):
+    """DatasetSplitter analog: deterministic global-alternating 3-way
+    split per class group (test 0.2 / cv 0.3)."""
+    from lucene_spark.operators.classify import dataset_split
+
+    d = _docs(spark, sf_dir).filter(F.col("lang").isNotNull())
+    out = dataset_split(d, 0.2, 0.3, class_col="lang", order_col="doc_id")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def _monitor_df(spark, sf_dir):
     """Monitor/percolator analog: which registered queries match each doc
     (presearcher term join + exact clause-presence evaluation)."""
@@ -3019,6 +3054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["function_score"] = _function_score_df
     out["monitor_match"] = _monitor_df
     out["naive_bayes"] = _naive_bayes_df
+    out["confusion_matrix"] = _confusion_matrix_df
+    out["confusion_metrics"] = _confusion_metrics_df
+    out["dataset_split"] = _dataset_split_df
     out["bm25_combined_field"] = _combined_field_df
     out["term_stats"] = _term_stats_df
     out["norms"] = _norms_df
@@ -3891,6 +3929,76 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
     out["monitor_match"] = monitor_match_sql(_monitor_queries())
     from lucene_spark.operators.classify import naive_bayes_sql
     out["naive_bayes"] = naive_bayes_sql(label_col="lang")
+    _cm_counts = f"""
+WITH preds AS (
+{naive_bayes_sql(label_col="lang")}
+)
+SELECT d.lang AS correct, p.label AS classified,
+       CAST(count(*) AS BIGINT) AS count
+FROM preds p JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.text IS NOT NULL
+GROUP BY d.lang, p.label
+""".strip()
+    out["confusion_matrix"] = (_cm_counts
+                               + "\nORDER BY correct, classified")
+    # f1 derived from the SAME double precision/recall values
+    out["confusion_metrics"] = f"""
+WITH cm AS (
+{_cm_counts}
+), rowt AS (
+  SELECT correct AS label, CAST(sum(count) AS BIGINT) AS row_total,
+         CAST(sum(CASE WHEN classified = correct THEN count ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM cm GROUP BY correct
+), colt AS (
+  SELECT classified AS label, CAST(sum(count) AS BIGINT) AS col_total
+  FROM cm GROUP BY classified
+), m AS (
+  SELECT r.label AS label, r.tp AS tp,
+         CAST(coalesce(c.col_total, 0) - r.tp AS BIGINT) AS fp,
+         CAST(r.row_total - r.tp AS BIGINT) AS fn,
+         CASE WHEN r.tp > 0 THEN CAST(r.tp AS DOUBLE)
+                   / CAST(coalesce(c.col_total, 0) AS DOUBLE)
+              ELSE 0.0 END AS precision,
+         CASE WHEN r.row_total > 0
+              THEN CAST(r.tp AS DOUBLE) / CAST(r.row_total AS DOUBLE)
+              ELSE 0.0 END AS recall
+  FROM rowt r LEFT JOIN colt c USING (label)
+)
+SELECT label, tp, fp, fn, precision, recall,
+       CASE WHEN precision > 0 AND recall > 0
+            THEN 2.0 * precision * recall / (precision + recall)
+            ELSE 0.0 END AS f1
+FROM m ORDER BY label
+""".strip()
+    out["dataset_split"] = """
+WITH base AS (
+  SELECT doc_id, lang,
+         min(doc_id) OVER (PARTITION BY lang) AS gmin,
+         count(*) OVER (PARTITION BY lang) AS gsize
+  FROM documents WHERE lang IS NOT NULL
+), b AS (
+  SELECT *, row_number() OVER (ORDER BY gmin, lang, doc_id) - 1 AS bpos
+  FROM base
+), e AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, bpos % 2
+                               ORDER BY bpos) AS erank
+  FROM b
+), t AS (
+  SELECT *, (bpos % 2 = 0
+             AND (erank - 1) < gsize * CAST(0.2 AS DOUBLE)) AS is_test
+  FROM e
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, is_test
+                               ORDER BY bpos) AS rrank
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN is_test THEN 'test'
+            WHEN (rrank - 1) < gsize * CAST(0.3 AS DOUBLE) THEN 'cv'
+            ELSE 'train' END AS split
+FROM r ORDER BY doc_id
+""".strip()
     out["bm25_with_deletes"] = (
         "SELECT * FROM (\n"
         + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)

@@ -232,3 +232,132 @@ def knn_classify(
         raise ValueError(f"doc {doc_id}: no labeled neighbors")
     r = rows[0]
     return str(r["label"]), int(r["votes"]), float(r["ssum"])
+
+
+def confusion_matrix_counts(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    classifier=None,
+) -> DataFrame:
+    """ConfusionMatrixGenerator analog (``classification/utils/
+    ConfusionMatrixGenerator.java:40-115``): classify every labeled test
+    doc and count (correct, classified) pairs. Docs without a class or
+    without text are skipped like the reference (its TermRangeQuery over
+    the class field only matches docs carrying one; null text is
+    skipped). ``classifier`` defaults to ``naive_bayes_classify``.
+    DF(correct string, classified string, count long), ordered by
+    (correct, classified). One groupBy over the k-class prediction
+    frame — the heavy lifting is the classifier itself."""
+    clf = classifier if classifier is not None else naive_bayes_classify
+    evald = test.filter(F.col(label_col).isNotNull()
+                        & F.col(text_col).isNotNull())
+    preds = clf(train, evald, label_col=label_col, id_col=id_col,
+                text_col=text_col)
+    truth = evald.select(F.col(id_col).alias("doc_id"),
+                         F.col(label_col).alias("correct"))
+    return (
+        preds.select("doc_id", F.col("label").alias("classified"))
+        .join(truth, "doc_id")
+        .groupBy("correct", "classified")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("correct", "classified")
+    )
+
+
+def confusion_metrics(counts: DataFrame) -> DataFrame:
+    """Per-class precision/recall/F1 from a confusion-counts frame,
+    replaying ``ConfusionMatrixGenerator.ConfusionMatrix`` exactly:
+    precision(k) = tp / (all docs CLASSIFIED as k) with 0 when tp == 0
+    (:141-158), recall(k) = tp / (row total) (:160-175), F1 = harmonic
+    mean, 0 unless both > 0 (:177-182). Classes = the CORRECT-side keys
+    (the reference's linearizedMatrix key set). All inputs are exact
+    integers, so the double divisions replay bit-for-bit in SQL.
+    DF(label, tp long, fp long, fn long, precision double, recall
+    double, f1 double) ordered by label."""
+    row_tot = counts.groupBy(F.col("correct").alias("label")).agg(
+        F.sum("count").alias("row_total"),
+        F.sum(F.when(F.col("classified") == F.col("correct"),
+                     F.col("count")).otherwise(F.lit(0))).alias("tp"),
+    )
+    col_tot = counts.groupBy(F.col("classified").alias("label")).agg(
+        F.sum("count").alias("col_total"))
+    j = row_tot.join(col_tot, "label", "left").select(
+        "label",
+        F.col("tp").cast("long").alias("tp"),
+        (F.coalesce(F.col("col_total"), F.lit(0)) - F.col("tp"))
+        .cast("long").alias("fp"),
+        (F.col("row_total") - F.col("tp")).cast("long").alias("fn"),
+        F.when(F.col("tp") > 0,
+               F.col("tp").cast("double")
+               / F.coalesce(F.col("col_total"), F.lit(0)).cast("double"))
+        .otherwise(F.lit(0.0)).alias("precision"),
+        F.when(F.col("row_total") > 0,
+               F.col("tp").cast("double") / F.col("row_total").cast("double"))
+        .otherwise(F.lit(0.0)).alias("recall"),
+    )
+    f1 = F.when(
+        (F.col("precision") > 0) & (F.col("recall") > 0),
+        2.0 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return j.withColumn("f1", f1).orderBy("label")
+
+
+def dataset_split(
+    df: DataFrame,
+    test_ratio: float,
+    cv_ratio: float,
+    class_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """DatasetSplitter analog (``classification/utils/DatasetSplitter
+    .java:94-122``): deterministic 3-way split. The reference walks
+    class groups in INDEXORDER (groups by first doc, docs by index
+    order) with a GLOBAL alternating counter b: a doc goes to TEST when
+    b is even and the group's test quota (totalHits * testRatio) is
+    unfilled, else to CV until its quota fills, else TRAIN. The
+    sequential quota-fill over an ordered stream is a prefix rank, so
+    the whole walk is window functions — no driver state, no RNG,
+    engine/partitioning/retry-invariant. DF(<order_col>, split string
+    in {train, test, cv}).
+
+    Scale: the global counter b decomposes as group_offset + rank-within
+    -group, so the only UNpartitioned window runs over |classes| rows
+    (the per-group size frame); every corpus-sized window is partitioned
+    by class — no single-partition sort of the data at any size."""
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(class_col).agg(
+        F.min(order_col).alias("_gmin"),
+        F.count(F.lit(1)).alias("_gsize"),
+    )
+    w_g = Window.orderBy("_gmin").rowsBetween(
+        Window.unboundedPreceding, -1)
+    sizes = sizes.withColumn(
+        "_goff", F.coalesce(F.sum("_gsize").over(w_g), F.lit(0)))
+    base = df.join(F.broadcast(sizes), class_col)
+    w_in = Window.partitionBy(class_col).orderBy(F.asc(order_col))
+    base = base.withColumn(
+        "_b", F.col("_goff") + F.row_number().over(w_in) - 1)
+    # test: even-b docs fill the quota in order
+    w_even = Window.partitionBy(class_col, F.col("_b") % 2 == 0) \
+        .orderBy("_b")
+    base = base.withColumn("_erank", F.row_number().over(w_even))
+    is_test = ((F.col("_b") % 2 == 0)
+               & ((F.col("_erank") - 1)
+                  < F.col("_gsize") * F.lit(float(test_ratio))))
+    base = base.withColumn("_is_test", is_test)
+    # cv: remaining docs (in order) fill the cv quota
+    w_rest = Window.partitionBy(class_col, "_is_test").orderBy("_b")
+    base = base.withColumn("_rrank", F.row_number().over(w_rest))
+    is_cv = (~F.col("_is_test")
+             & ((F.col("_rrank") - 1)
+                < F.col("_gsize") * F.lit(float(cv_ratio))))
+    return base.select(
+        order_col,
+        F.when(F.col("_is_test"), F.lit("test"))
+        .when(is_cv, F.lit("cv")).otherwise(F.lit("train")).alias("split"),
+    )

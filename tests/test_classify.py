@@ -122,3 +122,115 @@ def test_knn_classify_majority(spark, class_docs, tmp_path_factory):
     # the NULL-labeled row (doc 7) must never vote or win
     assert label in ("lab_ab", "lab_xy")
     assert 1 <= votes <= 7 and ssum > 0
+
+
+def test_confusion_matrix_and_metrics(spark, class_docs):
+    """ConfusionMatrix replay: counts vs a driver recount of the engine's
+    own predictions, and the exact metric formulas incl. the reference's
+    quirky getAccuracy tn counting (ConfusionMatrixGenerator.java:141-215)."""
+    from lucene_spark.operators.classify import (confusion_matrix_counts,
+                                                 confusion_metrics,
+                                                 naive_bayes_classify)
+
+    sdf = spark.createDataFrame(class_docs)
+    preds = {r.doc_id: r.label
+             for r in naive_bayes_classify(sdf, sdf, label_col="lang")
+             .collect()}
+    exp: dict[tuple[str, str], int] = {}
+    for r in class_docs.itertuples():
+        if r.lang is None or r.text is None:
+            continue
+        key = (r.lang, preds[r.doc_id])
+        exp[key] = exp.get(key, 0) + 1
+    cm = confusion_matrix_counts(sdf, sdf, label_col="lang")
+    got = {(r.correct, r.classified): r["count"] for r in cm.collect()}
+    assert got == exp
+
+    met = {r.label: r for r in confusion_metrics(cm).collect()}
+    classes = sorted({c for c, _ in exp})
+    for k in classes:
+        tp = exp.get((k, k), 0)
+        den = sum(v for (c, p), v in exp.items() if p == k)
+        fn = sum(v for (c, p), v in exp.items() if c == k and p != k)
+        precision = tp / den if tp > 0 else 0.0
+        recall = tp / (tp + fn) if tp + fn > 0 else 0.0
+        f1 = (2 * precision * recall / (precision + recall)
+              if precision > 0 and recall > 0 else 0.0)
+        assert met[k].tp == tp and met[k].fp == den - tp and met[k].fn == fn
+        assert met[k].precision == precision
+        assert met[k].recall == recall and met[k].f1 == f1
+    # the reference's overall accuracy (its idiosyncratic tn loop),
+    # transcribed literally and checked against the counts frame
+    tp = tn = tfp = fn = 0.0
+    matrix: dict[str, dict[str, int]] = {}
+    for (c, p), v in exp.items():
+        matrix.setdefault(c, {})[p] = v
+    for klass, row in matrix.items():
+        for p, v in row.items():
+            if p == klass:
+                tp += v
+            else:
+                fn += v
+        for values in matrix.values():
+            if klass in values:
+                tfp += values[klass]
+            else:
+                tn += 1
+    acc = (tp + tn) / (tfp + fn + tn)
+    assert 0.0 <= acc <= 1.0
+    diag = sum(v for (c, p), v in exp.items() if c == p)
+    assert tp == diag
+
+
+def test_dataset_split_replays_reference_walk(spark, class_docs):
+    """DatasetSplitter.split: the global alternating counter + per-group
+    quota walk (DatasetSplitter.java:94-122), transcribed literally and
+    compared doc-for-doc with the window implementation."""
+    from lucene_spark.operators.classify import dataset_split
+
+    labeled = class_docs[class_docs["lang"].notna()]
+    test_ratio, cv_ratio = 0.2, 0.3
+    # literal sequential transcription
+    groups: dict[str, list[int]] = {}
+    for r in labeled.sort_values("doc_id").itertuples():
+        groups.setdefault(r.lang, []).append(r.doc_id)
+    ordered = sorted(groups.values(), key=lambda g: g[0])
+    exp = {}
+    b = 0
+    for g in ordered:
+        test_size = len(g) * test_ratio
+        cv_size = len(g) * cv_ratio
+        tc = cvc = 0
+        for d in g:
+            if b % 2 == 0 and tc < test_size:
+                exp[d] = "test"
+                tc += 1
+            elif cvc < cv_size:
+                exp[d] = "cv"
+                cvc += 1
+            else:
+                exp[d] = "train"
+            b += 1
+    sdf = spark.createDataFrame(labeled)
+    got = {r.doc_id: r.split
+           for r in dataset_split(sdf, test_ratio, cv_ratio,
+                                  class_col="lang").collect()}
+    assert got == exp
+    # integral quota boundary: ratio * size hitting an exact integer
+    got2 = {r.doc_id: r.split
+            for r in dataset_split(sdf, 0.5, 0.25,
+                                   class_col="lang").collect()}
+    exp2 = {}
+    b = 0
+    for g in ordered:
+        ts_, cs_ = len(g) * 0.5, len(g) * 0.25
+        tc = cvc = 0
+        for d in g:
+            if b % 2 == 0 and tc < ts_:
+                exp2[d] = "test"; tc += 1
+            elif cvc < cs_:
+                exp2[d] = "cv"; cvc += 1
+            else:
+                exp2[d] = "train"
+            b += 1
+    assert got2 == exp2
