@@ -2486,16 +2486,19 @@ def _syn_chain_df(spark, sf_dir):
 def _phonetic_searcher(spark, sf_dir, chain, suffix):
     """Index built with a phonetic filter chain (``analysis/phonetic``):
     codes stacked at posIncr 0 over the simple base — PhoneticFilter /
-    DoubleMetaphoneFilter inject=true semantics."""
+    DoubleMetaphoneFilter / DaitchMokotoffSoundexFilter inject=true
+    semantics."""
     from lucene_spark.functions.analysis import register_chain
-    from lucene_spark.functions.phonetic import (DoubleMetaphoneInjector,
+    from lucene_spark.functions.phonetic import (DaitchMokotoffInjector,
+                                                 DoubleMetaphoneInjector,
                                                  PhoneticInjector)
     from lucene_spark.index.build import IndexConfig, build_index, load_manifest
     from lucene_spark.index.merge import merge_index
     from lucene_spark.query.search import IndexSearcher
 
-    syn = (DoubleMetaphoneInjector() if chain == "simple_dmetaphone"
-           else PhoneticInjector("soundex"))
+    syn = {"simple_dmetaphone": DoubleMetaphoneInjector,
+           "simple_dmsoundex": DaitchMokotoffInjector,
+           "simple_soundex": lambda: PhoneticInjector("soundex")}[chain]()
     register_chain(chain, base="simple", synonyms=syn)
     index_dir = _index_dir_for(sf_dir) + suffix
     m = load_manifest(index_dir)
@@ -2534,6 +2537,22 @@ def _dmetaphone_chain_df(spark, sf_dir):
     s = _phonetic_searcher(spark, sf_dir, "simple_dmetaphone", "_dmeta")
     ast = {"bool": {"must": [{"term": "MRJ"}], "should": [{"term": "MRK"},
                                                           {"term": "FLTR"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _dmsoundex_chain_df(spark, sf_dir):
+    """DaitchMokotoffSoundexFilter(inject=true): 'customer' forks on its
+    initial C into BOTH 443690 and 543690 — the two stacked branch codes
+    reach the same docs; 'join' adds a second forked word."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _phonetic_searcher(spark, sf_dir, "simple_dmsoundex", "_dmsx")
+    ast = {"bool": {"must": [{"term": "443690"}],
+                    "should": [{"term": "543690"}, {"term": "160000"}]}}
     q = rewrite_fixpoint(parse_query(json.dumps(ast)))
     hits = s.search(q, _QUERY_K)
     return _orig(s, hits).select("doc_id", "score").orderBy(
@@ -3027,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_synonym_chain"] = _syn_chain_df
     out["bm25_phonetic_chain"] = _phonetic_chain_df
     out["bm25_dmetaphone_chain"] = _dmetaphone_chain_df
+    out["bm25_dmsoundex_chain"] = _dmsoundex_chain_df
     out["xml_query_parser"] = _xml_parser_df
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
@@ -3895,6 +3915,15 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
                       "should": [{"term": "MRK"}, {"term": "FLTR"}]}})),
         _QUERY_K,
         synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _dmj.get(w, ())),
+    )
+    from lucene_spark.functions.phonetic import DaitchMokotoffInjector
+    _dms = DaitchMokotoffInjector()
+    out["bm25_dmsoundex_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "443690"}],
+                      "should": [{"term": "543690"}, {"term": "160000"}]}})),
+        _QUERY_K,
+        synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _dms.get(w, ())),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,

@@ -1098,3 +1098,157 @@ class DoubleMetaphoneInjector:
         if a and a != p and p != term:
             out.append(a)
         return tuple(out) if out else default
+
+# ---------------------------------------------------- Daitch-Mokotoff soundex
+
+
+def _dms_tables():
+    from lucene_spark.functions.dmsoundex_data import FOLDINGS, RULES
+
+    by_first: dict[str, list] = {}
+    for pattern, at_start, before_vowel, default in RULES:
+        by_first.setdefault(pattern[0], []).append((
+            pattern,
+            tuple(at_start.split("|")),
+            tuple(before_vowel.split("|")),
+            tuple(default.split("|")),
+        ))
+    for lst in by_first.values():
+        # rules sorted by pattern length DESC (longest match wins)
+        lst.sort(key=lambda r: -len(r[0]))
+    return by_first, FOLDINGS
+
+
+_DMS_RULES, _DMS_FOLDINGS = _dms_tables()
+_DMS_MAX = 6
+_DMS_VOWELS = set("aeiou")
+
+
+class _DMSBranch:
+    """DaitchMokotoffSoundex.Branch (bytecode-transcribed): 6-digit code
+    builder; a replacement is appended unless the PREVIOUS replacement
+    string ends with it (duplicate folding), with an m↔n force override;
+    lastReplacement always updates."""
+
+    __slots__ = ("code", "last")
+
+    def __init__(self, code: str = "", last=None) -> None:
+        self.code = code
+        self.last = last
+
+    def process(self, replacement: str, force: bool) -> None:
+        append = (self.last is None or not self.last.endswith(replacement)
+                  or force)
+        if append and len(self.code) < _DMS_MAX:
+            self.code = (self.code + replacement)[:_DMS_MAX]
+        self.last = replacement
+
+    def finished(self) -> str:
+        return self.code.ljust(_DMS_MAX, "0")
+
+
+def _dms_cleanup(value: str, folding: bool) -> str:
+    out = []
+    for ch in value:
+        if ch.isspace() or not unicodedata.category(ch).startswith("L"):
+            continue
+        low = ch.lower()
+        # Character.toLowerCase is per-codepoint: İ -> i (not i+U+0307)
+        c = low if len(low) == 1 else ("i" if ch == "İ" else low[0])
+        if folding:
+            c = _DMS_FOLDINGS.get(c, c)
+        out.append(c)
+    return "".join(out)
+
+
+def daitch_mokotoff_branches(value: str, branching: bool = True,
+                             folding: bool = True):
+    """commons-codec DaitchMokotoffSoundex.soundex(value, branching)
+    (bytecode-transcribed main loop): longest-pattern rule per position
+    with at-start / before-vowel / default replacement selection,
+    '|'-alternatives forking branches, per-branch duplicate folding with
+    the m↔n force, LinkedHashSet order-preserving dedup by CODE, 6-digit
+    '0'-padded codes. Letters with no rule (unfolded accents) do NOT
+    update lastChar — the reference's early continue."""
+    if value is None:
+        return None
+    inp = _dms_cleanup(value, folding)
+    branches = [_DMSBranch()]
+    last_char = "\0"
+    index = 0
+    n = len(inp)
+    while index < n:
+        ch = inp[index]
+        context = inp[index:]
+        rules = _DMS_RULES.get(ch)
+        if rules is None:
+            index += 1
+            continue
+        for pattern, at_start, before_vowel, default in rules:
+            if not context.startswith(pattern):
+                continue
+            plen = len(pattern)
+            if last_char == "\0":
+                replacements = at_start
+            elif plen < len(context) and context[plen] in _DMS_VOWELS:
+                replacements = before_vowel
+            else:
+                replacements = default
+            fork = len(replacements) > 1 and branching
+            next_branches: list[_DMSBranch] = []
+            force = ((last_char == "m" and ch == "n")
+                     or (last_char == "n" and ch == "m"))
+            for branch in branches:
+                for repl in replacements:
+                    nb = (_DMSBranch(branch.code, branch.last)
+                          if fork else branch)
+                    nb.process(repl, force)
+                    if not branching:
+                        break
+                    next_branches.append(nb)
+            if branching:
+                seen: dict[str, _DMSBranch] = {}
+                for b in next_branches:
+                    seen.setdefault(b.code, b)
+                branches = list(seen.values())
+            index += plen - 1
+            break
+        last_char = ch
+        index += 1
+    # final dedup mirrors the LinkedHashSet state (codes may collide
+    # only via the padded form when branching was off mid-way)
+    out, seen_codes = [], set()
+    for b in branches:
+        c = b.finished()
+        if c not in seen_codes:
+            seen_codes.add(c)
+            out.append(c)
+    return out
+
+
+def daitch_mokotoff(value: str):
+    """soundex(String): all branch codes joined by '|'."""
+    b = daitch_mokotoff_branches(value, branching=True)
+    return None if b is None else "|".join(b)
+
+
+def daitch_mokotoff_encode(value: str):
+    """encode(String): the no-branching single code."""
+    b = daitch_mokotoff_branches(value, branching=False)
+    return None if b is None else b[0]
+
+
+class DaitchMokotoffInjector:
+    """``DaitchMokotoffSoundexFilter(inject=true)``
+    (``analysis/phonetic/.../DaitchMokotoffSoundexFilter.java:36-66``):
+    EVERY branch code is stacked at posIncr 0 after the original token —
+    no equality/emptiness gate (the filter's regex matcher emits all
+    '[^|]+' groups unconditionally)."""
+
+    def get(self, term: str, default=()):
+        return tuple(daitch_mokotoff_branches(term, branching=True))
+
+
+def daitch_mokotoff_both(value: str):
+    s = daitch_mokotoff(value)
+    return None if s is None else (s, daitch_mokotoff_encode(value))

@@ -33,6 +33,7 @@ public class Harness {
         Caverphone2 cv = new Caverphone2();
         ColognePhonetic cp = new ColognePhonetic();
         Nysiis ny = new Nysiis();
+        DaitchMokotoffSoundex dms = new DaitchMokotoffSoundex();
         while ((line = in.readLine()) != null) {
             String r;
             try {
@@ -44,6 +45,7 @@ public class Harness {
                     case "caverphone": r = cv.encode(line); break;
                     case "cologne": r = cp.encode(line); break;
                     case "nysiis": r = ny.encode(line); break;
+                    case "dmsoundex": r = dms.soundex(line) + "\t" + dms.encode(line); break;
                     default: throw new IllegalArgumentException(enc);
                 }
             } catch (Exception e) {
@@ -144,6 +146,7 @@ def run(encoder: str, n: int) -> int:
         "caverphone": ph.caverphone2,
         "cologne": ph.cologne_phonetic,
         "nysiis": ph.nysiis,
+        "dmsoundex": getattr(ph, "daitch_mokotoff_both", None),
     }
     fn = fns[encoder]
     if fn is None:
@@ -157,7 +160,7 @@ def run(encoder: str, n: int) -> int:
             got = fn(w)
         except Exception as e:  # noqa: BLE001
             got = f"!EXC:{e}"
-        if encoder == "dmetaphone":
+        if encoder in ("dmetaphone", "dmsoundex"):
             got = "\t".join("!NULL" if g is None else g for g in got) \
                 if got is not None else "!NULL"
         elif got is None:
@@ -188,7 +191,7 @@ if __name__ == "__main__":
             args.append(a)
         i += 1
     encs = args or ["soundex", "refined", "metaphone", "dmetaphone",
-                    "caverphone", "cologne", "nysiis"]
+                    "caverphone", "cologne", "nysiis", "dmsoundex"]
     rc = 0
     for e in encs:
         rc |= run(e, n)
