@@ -263,6 +263,10 @@ def _span_hits_df(make_hits):
 
 _span_first_df = _span_hits_df(
     lambda s: s.span_first(_SPAN_FIRST[0], _SPAN_FIRST[1], _QUERY_K))
+_SPAN_POSRANGE = ("scan", 3, 17)
+_span_posrange_df = _span_hits_df(
+    lambda s: s.span_position_range(_SPAN_POSRANGE[0], _SPAN_POSRANGE[1],
+                                    _SPAN_POSRANGE[2], _QUERY_K))
 _span_or_df = _span_hits_df(lambda s: s.span_or(_SPAN_OR, _QUERY_K))
 _span_not_df = _span_hits_df(
     lambda s: s.span_not(_SPAN_NOT[0], _SPAN_NOT[1], _QUERY_K,
@@ -2902,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phrase_slop"] = _phrase_slop_df
     out["bm25_span_near_unord"] = _span_near_df
     out["span_first"] = _span_first_df
+    out["span_position_range"] = _span_posrange_df
     out["span_or"] = _span_or_df
     out["span_not"] = _span_not_df
     out["multi_index_search"] = _multi_index_df
@@ -3132,6 +3137,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["span_first"] = sqlgen.span_first_sql(
         _SPAN_FIRST[0], _SPAN_FIRST[1], _QUERY_K
+    )
+    out["span_position_range"] = sqlgen.span_position_range_sql(
+        _SPAN_POSRANGE[0], _SPAN_POSRANGE[1], _SPAN_POSRANGE[2], _QUERY_K
     )
     out["span_or"] = sqlgen.span_or_sql(_SPAN_OR, _QUERY_K)
     out["span_not"] = sqlgen.span_not_sql(

@@ -2277,3 +2277,25 @@ WHERE pf.freq > 0
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def span_position_range_sql(term: str, start: int, end: int, k: int,
+                            table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """SpanPositionRangeQuery twin: term spans with start <= p < end."""
+    score = _leaf_score("w.v", "pf.freq", "dl.dl")
+    return f"""
+{_span_pos_ctes(table, id_col, text_col)},
+pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM pos WHERE term = '{term}'
+    AND p >= {int(start)} AND p < {int(end)} GROUP BY doc_id
+),
+w AS (SELECT {_span_idf_sql([term])} AS v FROM consts c)
+SELECT pf.doc_id AS doc_id, CAST({score} AS REAL) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id, consts c, w
+WHERE pf.freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

@@ -1249,6 +1249,30 @@ class IndexSearcher:
         )
         return self._span_topk(matched, w, k)
 
+    def span_position_range(self, term: str, start: int, end: int,
+                            k: int = 10, boost: float = 1.0) -> DataFrame:
+        """SpanPositionRangeQuery analog (``queries/spans/
+        SpanPositionRangeQuery.java:30-45`` accept: spans with
+        startPosition() >= start AND endPosition() <= end — for a term
+        span at p that is start <= p < end; SpanFirst == the start=0
+        case). Same pruned one-scan plan and span weight as
+        ``span_first``. DF(doc_id, score) top-k."""
+        stats = self.term_stats([term])
+        if term not in stats:
+            return self._empty_hits()
+        w = self._multi_term_weight(np.float32(boost), [stats[term]])
+        lo, hi = F.lit(int(start)), F.lit(int(end))
+        rows = self.positions_table().filter(
+            (F.col("term_bucket") == term_bucket_of(term, self.buckets))
+            & (F.col("term") == term)
+        )
+        matched = rows.select(
+            "doc_id",
+            F.size(F.filter("positions", lambda p: (p >= lo) & (p < hi)))
+            .cast("double").alias("freq"),
+        )
+        return self._span_topk(matched, w, k)
+
     def span_or(self, terms: list[str], k: int = 10,
                 boost: float = 1.0) -> DataFrame:
         """SpanOrQuery analog (``queries/spans/SpanOrQuery.java:42``): the

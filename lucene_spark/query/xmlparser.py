@@ -23,7 +23,7 @@ Builds engine queries from the reference's XML query syntax
   ``execute_xml``; span composition beyond term operands raises with a
   pointer to the intervals module (the repo's composable position
   surface) — a documented divergence. ``SpanPositionRange`` maps to
-  the generalized positional window only when start == 0 (SpanFirst).
+  ``IndexSearcher.span_position_range``.
 
 Field routing follows the classic parser: fieldName "text" (the default
 field) targets the inverted text; metadata fieldNames map to docmap
@@ -278,14 +278,10 @@ def _build(e: ET.Element, parents: list[ET.Element], default_field: str,
     if tag == "SpanPositionRange":
         start = int(_attr(e, "start", "0"))
         end = int(_attr(e, "end", "1"))
-        if start != 0:
-            raise XmlParserError(
-                "SpanPositionRange with start > 0 is not supported; the "
-                "intervals module covers positional windows")
         subs = [_build(c, parents + [e], default_field, analyzer)
                 for c in e]
         (term,) = _span_terms(subs, "SpanPositionRange")
-        return SpanOp("first", term=term, end=end)
+        return SpanOp("posrange", term=term, start=start, end=end)
     raise XmlParserError(
         f"Error: No QueryObjectBuilder defined for node {tag}")
 
@@ -319,6 +315,9 @@ def execute_xml(searcher, xml: str, k: int = 10,
             return searcher.span_first(q.kw["term"], q.kw["end"], k)
         if q.kind == "not":
             return searcher.span_not(q.kw["include"], q.kw["exclude"], k)
+        if q.kind == "posrange":
+            return searcher.span_position_range(
+                q.kw["term"], q.kw["start"], q.kw["end"], k)
         if q.kind == "near":
             return searcher.search(rewrite_fixpoint(q.kw["query"]), k)
         if q.kind == "boosting_term":

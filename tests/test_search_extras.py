@@ -952,3 +952,45 @@ def test_offsets_standard_chain_all_rows(spark, tmp_path):
         s, hits, src, ["scan"], window=1_000_000).collect()}
     assert a[0] == b[0]
     assert b[2].count("<em>") == 1  # offsets know Ÿscan is not a match
+
+
+def test_span_position_range_semantics(spark, tmp_path):
+    """SpanPositionRangeQuery: start <= p < end window; start=0 is
+    bit-identical to SpanFirst (SpanFirstQuery extends
+    SpanPositionRangeQuery with start=0)."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "aa bb aa cc aa",    # aa at 0,2,4
+        "bb bb aa",          # aa at 2
+        "cc dd",             # no aa
+        "aa aa bb",          # aa at 0,1
+    ]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "spanpr")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=2, term_buckets=2, analyzer="simple"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+
+    got = {r["doc_id"] for r in s.span_position_range("aa", 1, 3, 10).collect()}
+    assert got == {0, 1, 3}          # p in {2}, {2}, {1}
+    got = {r["doc_id"] for r in s.span_position_range("aa", 3, 9, 10).collect()}
+    assert got == {0}                # only p=4
+    assert s.span_position_range("aa", 2, 2, 10).count() == 0
+    # start=0 == span_first, scores included
+    import numpy as np
+    a = [(r.doc_id, np.float32(r.score))
+         for r in s.span_position_range("aa", 0, 3, 10).collect()]
+    b = [(r.doc_id, np.float32(r.score))
+         for r in s.span_first("aa", 3, 10).collect()]
+    assert a == b

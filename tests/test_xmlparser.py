@@ -143,14 +143,10 @@ def test_span_elements():
     with pytest.raises(XmlParserError):  # slop is mandatory
         parse_xml('<SpanNear fieldName="text"><SpanTerm>a</SpanTerm>'
                   "</SpanNear>")
-    # SpanPositionRange: start=0 == SpanFirst; start>0 unsupported
     assert parse_xml(
-        '<SpanPositionRange fieldName="text" start="0" end="4">'
+        '<SpanPositionRange fieldName="text" start="1" end="4">'
         "<SpanTerm>a</SpanTerm></SpanPositionRange>") == \
-        SpanOp("first", term="a", end=4)
-    with pytest.raises(XmlParserError):
-        parse_xml('<SpanPositionRange fieldName="text" start="1" end="4">'
-                  "<SpanTerm>a</SpanTerm></SpanPositionRange>")
+        SpanOp("posrange", term="a", start=1, end=4)
     # spans cannot nest into the scoring factory elements
     with pytest.raises(XmlParserError):
         parse_xml('<BooleanQuery fieldName="text"><Clause occurs="must">'
