@@ -2564,6 +2564,22 @@ def _dmsoundex_chain_df(spark, sf_dir):
     )
 
 
+_FLT_FIELDS = [("mrege scan", 1, 1)]  # 'mrege' = 1 OSA transposition
+_FLT_K_TERMS = 10
+
+
+def _fuzzy_like_this_df(spark, sf_dir):
+    """FuzzyLikeThisQuery analog: the transposed 'mrege' reaches 'merge'
+    through the OSA expansion; variants score boost² x classic idf and
+    execute as df=1-override BM25 clauses."""
+    s = _searcher(spark, sf_dir)
+    hits = s.search_fuzzy_like_this(_FLT_FIELDS, _QUERY_K,
+                                    max_num_terms=_FLT_K_TERMS)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _XML_QUERY = """
 <BooleanQuery fieldName="text">
   <Clause occurs="must"><TermQuery>hash</TermQuery></Clause>
@@ -3053,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_dmetaphone_chain"] = _dmetaphone_chain_df
     out["bm25_dmsoundex_chain"] = _dmsoundex_chain_df
     out["xml_query_parser"] = _xml_parser_df
+    out["fuzzy_like_this"] = _fuzzy_like_this_df
     out["bm25_custom_sim"] = _custom_sim_df
     out["classic_sim_topk"] = _classic_sim_df
     out["boolean_sim_topk"] = _boolean_sim_df
@@ -3907,6 +3924,16 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
     )
     out["xml_query_parser"] = sqlgen.topk_sql(
         parse_query(json.dumps(_XML_EQUIV_AST)), _QUERY_K)
+    from lucene_spark.functions.analysis import analyze_one_chain as _aoc
+    _flt_sources = []
+    _flt_seen = set()
+    for _qs, _me, _pl in _FLT_FIELDS:
+        for _t in _aoc(_qs, "simple")[0]:
+            if _t not in _flt_seen:
+                _flt_seen.add(_t)
+                _flt_sources.append((_t, _me, _pl))
+    out["fuzzy_like_this"] = sqlgen.fuzzy_like_this_sql(
+        _flt_sources, _QUERY_K, max_num_terms=_FLT_K_TERMS)
     from lucene_spark.functions.phonetic import (DoubleMetaphoneInjector,
                                                  PhoneticInjector)
     _sx = PhoneticInjector("soundex")

@@ -2299,3 +2299,84 @@ WHERE pf.freq > 0
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def fuzzy_like_this_sql(
+    sources: list[tuple[str, int, int]],
+    k: int,
+    max_num_terms: int = 25,
+    max_variants_per_term: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """FuzzyLikeThisQuery twin. ``sources`` = the DISTINCT analyzed source
+    terms with (term, max_edits, prefix_len) — the caller analyzes the
+    query strings (static). OSA expansion via damerau_levenshtein
+    (max_edits<=1 enforced — the spellcheck twin's provable-equality
+    bound), per-source variant caps, ClassicSimilarity idf on the source
+    df (mean variant df fallback, integer division), global top
+    max_num_terms by (score desc, term asc), each variant scored as a
+    BM25 leaf with the ARTIFICIAL df=1 and boost = the variant score."""
+    exps, scs = [], []
+    for i, (src, max_edits, prefix_len) in enumerate(sources):
+        if max_edits > 1:
+            raise ValueError("osa twin supports max_edits<=1")
+        pref = (f"AND term >= '{src[:prefix_len]}' "
+                f"AND starts_with(term, '{src[:prefix_len]}') "
+                if prefix_len > 0 else "")
+        in_dist = (f"abs(length(term) - {len(src)}) <= {max_edits} {pref}"
+                   f"AND damerau_levenshtein(term, '{src}') <= {max_edits}")
+        exps.append(f"""
+exp{i} AS (
+  SELECT term, df,
+         CASE WHEN damerau_levenshtein(term, '{src}') = 0
+              THEN CAST(1.0 AS REAL)
+              ELSE CAST(CAST(1.0 AS DOUBLE)
+                   - CAST(CAST(damerau_levenshtein(term, '{src}') AS DOUBLE)
+                          / least(length(term), {len(src)}) AS REAL)
+                   AS REAL) END AS boost
+  FROM df WHERE {in_dist}
+  ORDER BY boost DESC, term ASC
+  LIMIT {max_variants_per_term}
+),
+src{i} AS (
+  SELECT coalesce(
+    (SELECT df FROM df WHERE term = '{src}'),
+    (SELECT CAST(sum(df) // count(*) AS BIGINT) FROM df WHERE {in_dist})
+  ) AS df0
+)""".strip())
+        scs.append(
+            f"SELECT e.term AS term,\n"
+            f"       CAST(CAST(e.boost * e.boost AS REAL)\n"
+            f"            * CAST(ln((c.dc + 1) / CAST(s.df0 + 1 AS DOUBLE))"
+            f" + 1.0 AS REAL) AS REAL) AS w\n"
+            f"FROM exp{i} e, src{i} s, consts c"
+        )
+    union = "\nUNION ALL\n".join(scs)
+    # BM25 leaf with ARTIFICIAL df = 1 (newTermQuery's TermStates)
+    idf1 = "CAST(ln(1 + (c.dc - 1 + 0.5) / (1 + 0.5)) AS REAL)"
+    score = _leaf_score(f"CAST(sel.w * {idf1} AS REAL)", "tf.freq", "dl.dl")
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+consts AS (
+  SELECT CAST(st.sttf / CAST(st.dc AS DOUBLE) AS REAL) AS avgdl, st.dc AS dc
+  FROM st
+),
+{",".join(exps)},
+allv AS (
+{union}
+),
+sel AS (
+  SELECT term, w FROM allv ORDER BY w DESC, term ASC LIMIT {max_num_terms}
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf JOIN sel ON sel.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, consts c
+)
+SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS REAL) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

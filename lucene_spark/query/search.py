@@ -2958,6 +2958,104 @@ class IndexSearcher:
             _f32(F.sum(F.col("score").cast("double"))).alias("score")
         )
 
+    def search_fuzzy_like_this(
+        self, fields: list[tuple[str, int, int]], k: int = 10,
+        max_num_terms: int = 25, ignore_tf: bool = False,
+        max_variants_per_term: int = 50,
+    ) -> DataFrame:
+        """FuzzyLikeThisQuery analog (``sandbox/queries/FuzzyLikeThisQuery
+        .java:150-290``). ``fields`` = [(query_string, max_edits,
+        prefix_length)] over the text field (the reference's addTerms
+        calls). Per DISTINCT analyzed source term (first-occurrence
+        order): OSA fuzzy expansion — transpositions=true like the
+        reference's FuzzyTermsEnum — capped at ``max_variants_per_term``
+        by (boost desc, term asc), boost = 1f exact match else
+        f32(1 - f32(ed)/f32(min(lens))) (``FuzzyTermsEnum.java:250-257``);
+        variant score = f32(f32(boost²) * ClassicSimilarity.idf(df_src,
+        N)) where df_src is the SOURCE term's df, falling back to the
+        mean variant df when absent (:195-199; the reference averages
+        over its boost-pruned enumeration, we average the full
+        in-distance set — documented divergence reachable only for
+        absent query terms). The global top ``max_num_terms`` variants
+        by (score desc, term asc) become SHOULD clauses
+        BoostQuery(TermQuery(variant, df_override=1), score) — the
+        ARTIFICIAL df=ttf=1 TermStates of newTermQuery (:219-236) — or
+        ConstantScore clauses when ``ignore_tf``. Expansion is
+        driver-bounded (<= 50 rows x query terms collected); scoring
+        runs the ordinary distributed Boolean path."""
+        from lucene_spark.functions.analysis import analyze_one_chain
+
+        analyzer = self.manifest["config"].get("analyzer", "standard")
+        n_docs = self.doc_count
+        candidates: list[tuple[np.float32, str, str]] = []
+        seen: set[str] = set()
+        for qs, max_edits, prefix_len in fields:
+            toks, _, _ = analyze_one_chain(qs or "", analyzer)
+            for src in toks:
+                if src in seen:
+                    continue
+                seen.add(src)
+                tl = len(src)
+                cand = self.term_dict.select("term", "doc_freq").filter(
+                    F.abs(F.length("term") - F.lit(tl)) <= max_edits
+                )
+                if prefix_len > 0:
+                    cand = cand.filter(
+                        F.col("term").startswith(src[:prefix_len]))
+                # OSA exact pass over a classic-levenshtein pre-gate
+                # (one transposition costs <= 2 classic edits)
+                cand = cand.filter(
+                    F.levenshtein("term", F.lit(src)) <= 2 * max_edits)
+                qt, me = src, max_edits
+
+                @F.pandas_udf("long")
+                def _osa(terms: pd.Series) -> pd.Series:
+                    from lucene_spark.functions.spell import (
+                        osa_distance_series,
+                    )
+
+                    return pd.Series(osa_distance_series(terms, qt))
+
+                rows = (
+                    cand.withColumn("_d", _osa(F.col("term")))
+                    .filter(F.col("_d") <= me)
+                    .collect()
+                )
+                if not rows:
+                    continue
+                df_src = next(
+                    (int(r["doc_freq"]) for r in rows if r["term"] == src),
+                    0,
+                )
+                if df_src == 0:
+                    df_src = (sum(int(r["doc_freq"]) for r in rows)
+                              // len(rows))
+                idf = np.float32(
+                    np.log((n_docs + 1) / np.float64(df_src + 1)) + 1.0)
+                scored = []
+                for r in rows:
+                    ed = int(r["_d"])
+                    if ed == 0:
+                        b = np.float32(1.0)
+                    else:
+                        m = min(len(r["term"]), tl)
+                        b = np.float32(1.0) - np.float32(ed) / np.float32(m)
+                    scored.append((b, r["term"]))
+                scored.sort(key=lambda x: (-float(x[0]), x[1]))
+                for b, v in scored[:max_variants_per_term]:
+                    candidates.append(
+                        (np.float32(np.float32(b * b) * idf), v, src))
+        if not candidates:
+            return self._empty_hits()
+        candidates.sort(key=lambda x: (-float(x[0]), x[1]))
+        clauses: list[Query] = []
+        for score, v, _src in candidates[:max_num_terms]:
+            tq: Query = TermQuery(v, df_override=1)
+            if ignore_tf:
+                tq = ConstantScoreQuery(tq)
+            clauses.append(BoostQuery(tq, float(score)))
+        return self.search(BooleanQuery(should=clauses), k)
+
     def _expand_multi_term(self, q: Query) -> Query:
         """MultiTermQuery rewrite against term_dict with predicate pushdown
         (PrefixQuery/WildcardQuery/TermRangeQuery/TermInSetQuery ->

@@ -448,3 +448,80 @@ def test_spell_distance_reference_goldens():
     assert ngram_similarity("a", "") == np.float32(0.0)
     # short-string arm: positional char matches / max length
     assert ngram_similarity("a", "ab") == np.float32(0.5)
+
+
+def test_fuzzy_like_this(spark, built_index):
+    """FuzzyLikeThisQuery replay on the fixture index: expansion scores
+    (boost² x classic idf), df=1-override clause weights, the absent-term
+    mean-df fallback, and ignore_tf constant scoring — checked against a
+    literal driver recomputation over the collected term dictionary."""
+    import numpy as np
+    from lucene_spark.functions.spell import osa_distance
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    vocab = {r["term"]: int(r["doc_freq"])
+             for r in s.term_dict.select("term", "doc_freq").collect()}
+    n_docs = s.doc_count
+
+    def replay(fields, max_num_terms):
+        cands = []
+        seen = set()
+        for qs, me, pl in fields:
+            import re
+            for src in re.findall(r"[a-z0-9]+", qs.lower()):
+                if src in seen:
+                    continue
+                seen.add(src)
+                rows = [(t, df, osa_distance(t, src))
+                        for t, df in vocab.items()
+                        if abs(len(t) - len(src)) <= me
+                        and (pl == 0 or t.startswith(src[:pl]))]
+                rows = [(t, df, d) for t, df, d in rows if d <= me]
+                if not rows:
+                    continue
+                df_src = vocab.get(src, 0)
+                if df_src == 0:
+                    df_src = sum(df for _, df, _ in rows) // len(rows)
+                idf = np.float32(
+                    np.log((n_docs + 1) / np.float64(df_src + 1)) + 1.0)
+                sc = []
+                for t, df, d in rows:
+                    b = (np.float32(1.0) if d == 0 else np.float32(1.0)
+                         - np.float32(d) / np.float32(min(len(t), len(src))))
+                    sc.append((b, t))
+                sc.sort(key=lambda x: (-float(x[0]), x[1]))
+                for b, t in sc[:50]:
+                    cands.append((np.float32(np.float32(b * b) * idf), t, src))
+        cands.sort(key=lambda x: (-float(x[0]), x[1]))
+        return cands[:max_num_terms]
+
+    # the shared fixture analyzer is "standard"; pick a 2-letter-ish probe
+    some = sorted(vocab)[5]
+    probe = some[:-1] + some[-1] + "x"  # likely-absent term near `some`
+    fields = [(f"{some} {probe}", 1, 1)]
+    exp = replay(fields, 8)
+    got = s.search_fuzzy_like_this(fields, 10, max_num_terms=8)
+    assert got.count() > 0
+    # clause equivalence: rebuild the expected AST and compare hits
+    from lucene_spark.query.ast import (BooleanQuery, BoostQuery,
+                                        ConstantScoreQuery, TermQuery)
+    ast = BooleanQuery(should=[
+        BoostQuery(TermQuery(v, df_override=1), float(sc))
+        for sc, v, _ in exp
+    ])
+    direct = s.search(ast, 10).collect()
+    mine = got.collect()
+    assert [(r.doc_id, np.float32(r.score)) for r in mine] == \
+           [(r.doc_id, np.float32(r.score)) for r in direct]
+    # ignore_tf: constant-score clauses
+    got_itf = s.search_fuzzy_like_this(fields, 10, max_num_terms=8,
+                                       ignore_tf=True)
+    ast_itf = BooleanQuery(should=[
+        BoostQuery(ConstantScoreQuery(TermQuery(v, df_override=1)),
+                   float(sc))
+        for sc, v, _ in exp
+    ])
+    direct_itf = s.search(ast_itf, 10).collect()
+    assert [(r.doc_id, np.float32(r.score)) for r in got_itf.collect()] == \
+           [(r.doc_id, np.float32(r.score)) for r in direct_itf]
