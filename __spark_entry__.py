@@ -1210,6 +1210,16 @@ def _facet_ranges_df(spark, sf_dir):
     return s.facet_ranges(q, "field_len", _FACET_RANGES).orderBy("label")
 
 
+def _facet_histogram_df(spark, sf_dir):
+    """HistogramCollector analog: matching-doc counts per
+    floorDiv(field_len, 4) bucket (sandbox/facet/plain/histograms)."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])))
+    return s.facet_histogram(q, "field_len", 4)
+
+
 def _term_vector_df(spark, sf_dir):
     """TermVectors analog: one doc's (term, freq, positions) served from
     the positions table (positions joined to a string for hash compare)."""
@@ -3092,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_matching_sets"] = _facet_sets_df
     out["complex_phrase_parser"] = _complex_phrase_df
     out["facet_ranges"] = _facet_ranges_df
+    out["facet_histogram"] = _facet_histogram_df
     out["term_vector"] = _term_vector_df
     out["function_score"] = _function_score_df
     out["monitor_match"] = _monitor_df
@@ -3981,6 +3992,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
         sqlgen.phrase_topk_sql(["scan", "merge"], 1 << 30),
         sqlgen.prefix_topk_sql("mer", 1 << 30),
     ], _QUERY_K)
+    out["facet_histogram"] = sqlgen.facet_histogram_sql(
+        parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), 4)
     out["facet_ranges"] = sqlgen.facet_ranges_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _FACET_RANGES,
     )

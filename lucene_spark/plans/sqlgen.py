@@ -1801,6 +1801,56 @@ hits AS (
 """.strip()
 
 
+def facet_histogram_sql(
+    q: Query,
+    bucket_width: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """HistogramCollector twin: matching-doc counts per
+    ``floorDiv(field_len, bucket_width)`` bucket. floorDiv replayed with
+    the positive-remainder identity (DuckDB ``%`` also follows the
+    dividend's sign), exact because the adjusted numerator is a multiple
+    of the width."""
+    clauses, msm = _flat_clauses(q)
+    n_must = sum(1 for c in clauses if c[1] == "must")
+    n_filter = sum(1 for c in clauses if c[1] == "filter")
+    values = ", ".join(
+        f"({cid}, '{kind}', '{term}')" for cid, kind, term, _ in clauses
+    )
+    if n_must + n_filter == 0:
+        msm_cond = f"should_n >= {max(msm, 1)}"
+    elif msm > 0:
+        msm_cond = f"should_n >= {msm}"
+    else:
+        msm_cond = "TRUE"
+    w = int(bucket_width)
+    return f"""
+WITH {corpus_ctes(table, id_col, text_col)},
+clauses(clause_id, kind, term) AS (VALUES {values}),
+matched AS (
+  SELECT tf.doc_id, cl.kind FROM tf JOIN clauses cl ON cl.term = tf.term
+),
+agg AS (
+  SELECT doc_id,
+    count(CASE WHEN kind = 'must' THEN 1 END) AS must_n,
+    count(CASE WHEN kind = 'should' THEN 1 END) AS should_n,
+    count(CASE WHEN kind = 'filter' THEN 1 END) AS filter_n,
+    count(CASE WHEN kind = 'must_not' THEN 1 END) AS not_n
+  FROM matched GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id FROM agg
+  WHERE must_n = {n_must} AND filter_n = {n_filter} AND not_n = 0 AND {msm_cond}
+)
+SELECT CAST((dl.dl - ((dl.dl % {w}) + {w}) % {w}) / {w} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS count
+FROM hits JOIN dl ON dl.doc_id = hits.doc_id
+GROUP BY 1 ORDER BY bucket
+""".strip()
+
+
 def term_vector_sql(
     orig_doc_id: int,
     table: str = "documents",

@@ -568,6 +568,54 @@ class IndexSearcher:
             F.expr(f"stack({len(ranges)}, {pairs}) as (label, count)")
         )
 
+    def facet_histogram(self, query: Query, field: str, bucket_width: int,
+                        max_buckets: int = 1024) -> DataFrame:
+        """HistogramCollector analog (``sandbox/facet/plain/histograms/
+        HistogramCollector.java:155-171`` naive arm + ``HistogramCollector
+        Manager.java:63-97``): matching-doc counts per bucket
+        ``floorDiv(value, bucket_width)`` over a numeric docmap field —
+        bucket k covers [k*width, (k+1)*width). NULL-valued docs are
+        skipped (advanceExact false). bucket_width < 2 / max_buckets < 1
+        raise like the manager ctor; more than max_buckets distinct
+        buckets raises like checkMaxBuckets (:361-368 — a runtime check on
+        the reduced result there and here). DF(bucket long, count long)
+        bucket asc. Scale: hit set -> docmap join -> groupBy(bucket) with
+        map-side partial agg; the shuffle carries <= max_buckets groups
+        per task (the point-tree bulk arm is an IO shortcut Catalyst's
+        scan pruning plays instead)."""
+        if bucket_width < 2:
+            raise ValueError(
+                f"bucketWidth must be at least 2, got: {bucket_width}")
+        if max_buckets < 1:
+            raise ValueError(
+                f"maxBuckets must be at least 1, got: {max_buckets}")
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        scored = self._live(self._execute(q, np.float32(1.0)))
+        if scored is None:
+            return self.spark.createDataFrame([], "bucket long, count long")
+        w = int(bucket_width)
+        v = F.col(field).cast("long")
+        # floorDiv: subtract the POSITIVE remainder first — `DIV` truncates
+        # but the numerator is an exact multiple, so truncation == floor
+        # (never `%`: Spark % follows the dividend's sign)
+        dm = (
+            self.docmap().where(v.isNotNull())
+            .select("doc_id",
+                    F.expr(f"(CAST({field} AS BIGINT) - pmod(CAST({field} AS"
+                           f" BIGINT), {w})) DIV {w}").alias("bucket"))
+        )
+        out = (
+            scored.select("doc_id").join(dm, "doc_id")
+            .groupBy("bucket").agg(F.count("*").cast("long").alias("count"))
+            .orderBy(F.asc("bucket"))
+        )
+        n_buckets = out.limit(max_buckets + 1).count()
+        if n_buckets > max_buckets:
+            raise ValueError(
+                f"Collected {n_buckets} buckets, which is more than the "
+                f"configured max number of buckets: {max_buckets}")
+        return out
+
     def drill_down(self, query: Query,
                    dims: list[tuple[str, object, list[str]]],
                    k: int = 10) -> DataFrame:

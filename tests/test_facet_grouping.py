@@ -276,3 +276,31 @@ def test_facet_associations_sum_and_max(s, truth):
     assert gmax == exp_max
     with pytest.raises(ValueError):
         s.facet_associations(Q, pairs, agg="min")
+
+
+def test_facet_histogram_counts(s, truth):
+    """HistogramCollector naive arm: bucket = floorDiv(field_len, w),
+    one count per matching doc (single-valued field)."""
+    got = {r.bucket: r["count"] for r in s.facet_histogram(Q, "field_len", 4).collect()}
+    exp: dict[int, int] = {}
+    for _d, (_sc, fl) in truth.items():
+        b = fl // 4  # python // IS floorDiv
+        exp[b] = exp.get(b, 0) + 1
+    assert got == exp
+
+
+def test_facet_histogram_validation(s):
+    with pytest.raises(ValueError, match="bucketWidth must be at least 2"):
+        s.facet_histogram(Q, "field_len", 1)
+    with pytest.raises(ValueError, match="maxBuckets must be at least 1"):
+        s.facet_histogram(Q, "field_len", 4, max_buckets=0)
+
+
+def test_facet_histogram_max_buckets_runtime(s):
+    """checkMaxBuckets fires on the REDUCED bucket count (manager :97)."""
+    n = s.facet_histogram(Q, "field_len", 4).count()
+    assert n > 1
+    with pytest.raises(ValueError, match="more than the configured max"):
+        s.facet_histogram(Q, "field_len", 4, max_buckets=n - 1)
+    # exactly max_buckets is fine
+    assert s.facet_histogram(Q, "field_len", 4, max_buckets=n).count() == n
