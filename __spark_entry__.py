@@ -2574,6 +2574,89 @@ def _dmsoundex_chain_df(spark, sf_dir):
     )
 
 
+#: dictionary for the DictionaryCompoundWordTokenFilter chain — subword
+#: fragments of the documents vocabulary (customer/window/table/value/...)
+_DCOMPOUND_DICT = ("cust", "tom", "om", "er", "wind", "ow", "dow", "tab",
+                   "ab", "le", "val", "ue")
+
+#: inline vowel-break hyphenation grammar (TeX-style: a1 = break after a)
+#: for the HyphenationCompoundWordTokenFilter chain — self-contained, no
+#: external pattern files
+_HCOMPOUND_XML = (
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<hyphenation-info>\n"
+    "<hyphen-char value=\"-\"/>\n<classes>\n"
+    + "\n".join(c for c in "abcdefghijklmnopqrstuvwxyz0123456789")
+    + "\n</classes>\n<patterns>\na1 e1 i1 o1 u1\n</patterns>\n"
+    "</hyphenation-info>\n"
+)
+_HCOMPOUND_DICT = ("cust", "wind", "val")
+
+
+def _compound_injector(chain):
+    from lucene_spark.functions.compound import (
+        DictionaryCompoundInjector, HyphenationCompoundInjector)
+
+    if chain == "simple_dcompound":
+        return DictionaryCompoundInjector(_DCOMPOUND_DICT)
+    return HyphenationCompoundInjector(_HCOMPOUND_XML, _HCOMPOUND_DICT)
+
+
+def _compound_searcher(spark, sf_dir, chain, suffix):
+    """Index built with a compound-word decomposition chain
+    (``analysis-common/.../compound``): subwords stacked at posIncr 0 over
+    the simple base, counted in tf/df, discounted from norms — the
+    CompoundWordTokenFilterBase emission contract."""
+    from lucene_spark.functions.analysis import register_chain
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    register_chain(chain, base="simple", synonyms=_compound_injector(chain))
+    index_dir = _index_dir_for(sf_dir) + suffix
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer=chain)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _dcompound_chain_df(spark, sf_dir):
+    """DictionaryCompoundWordTokenFilter chain: 'cust' exists only via the
+    customer -> cust stack and 'dow' only via window -> dow; 'er' is
+    stacked from SEVERAL distinct words (customer/merge/order/filter), so
+    its blended df must match the SQL replay exactly."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _compound_searcher(spark, sf_dir, "simple_dcompound", "_dcomp")
+    ast = {"bool": {"must": [{"term": "cust"}],
+                    "should": [{"term": "dow"}, {"term": "er"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _hcompound_chain_df(spark, sf_dir):
+    """HyphenationCompoundWordTokenFilter chain (vowel-break grammar +
+    dictionary): 'cust' is reachable only through the genitive one-char-
+    shorter retry ('custo' fails, 'cust' matches — ref decompose
+    :242-249); 'wind'/'val' through plain hyphen-aligned matches."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _compound_searcher(spark, sf_dir, "simple_hcompound", "_hcomp")
+    ast = {"bool": {"must": [{"term": "wind"}],
+                    "should": [{"term": "cust"}, {"term": "val"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _FLT_FIELDS = [("mrege scan", 1, 1)]  # 'mrege' = 1 OSA transposition
 _FLT_K_TERMS = 10
 
@@ -3078,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_phonetic_chain"] = _phonetic_chain_df
     out["bm25_dmetaphone_chain"] = _dmetaphone_chain_df
     out["bm25_dmsoundex_chain"] = _dmsoundex_chain_df
+    out["bm25_dcompound_chain"] = _dcompound_chain_df
+    out["bm25_hcompound_chain"] = _hcompound_chain_df
     out["xml_query_parser"] = _xml_parser_df
     out["fuzzy_like_this"] = _fuzzy_like_this_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -3970,6 +4055,22 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
                       "should": [{"term": "543690"}, {"term": "160000"}]}})),
         _QUERY_K,
         synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _dms.get(w, ())),
+    )
+    _dci = _compound_injector("simple_dcompound")
+    out["bm25_dcompound_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "cust"}],
+                      "should": [{"term": "dow"}, {"term": "er"}]}})),
+        _QUERY_K,
+        synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _dci.get(w, ())),
+    )
+    _hci = _compound_injector("simple_hcompound")
+    out["bm25_hcompound_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "wind"}],
+                      "should": [{"term": "cust"}, {"term": "val"}]}})),
+        _QUERY_K,
+        synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _hci.get(w, ())),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,

@@ -1,0 +1,428 @@
+"""Compound-word decomposition filters (``analysis-common/.../compound``).
+
+Two decomposers, both emitted through the analysis chains' synonyms slot
+(the original token passes through; subwords stack at the same position
+with posIncr 0, counted in tf/df and discounted from the length norm —
+exactly the reference filters' CompoundToken emission):
+
+- ``dictionary_decompose``: brute-force substring scan against a word
+  dictionary (ref ``compound/DictionaryCompoundWordTokenFilter.java:76-105``
+  over the base gating of ``compound/CompoundWordTokenFilterBase.java:
+  101-125`` — only tokens >= min_word_size decompose; each start position
+  scans subword lengths min..max; only_longest_match keeps the longest
+  match PER START; only_longest_no_subwords additionally skips the matched
+  span, superseding only_longest_match).
+
+- ``hyphenation_decompose``: Liang/TeX hyphenation points from a FOP-style
+  pattern XML, optionally intersected with a dictionary (ref
+  ``compound/HyphenationCompoundWordTokenFilter.java:185-253``), including
+  the reference's exact quirks: the whole-token (and length-1 genitive)
+  dictionary short-circuit when not calcSubMatches, the longest-first
+  scan from each hyphen point, the one-char-shorter genitive retry, and
+  the consumed-point bookkeeping for no_sub_matches /
+  no_overlapping_matches.
+
+The hyphenation engine replays ``compound/hyphenation/HyphenationTree.java``
+(hyphenate + searchPatterns value maxing) and ``PatternParser.java``
+(classes / exceptions / patterns SAX grammar, interletter-value
+extraction) over plain Python dicts instead of the ternary tree — the
+tree is a lookup structure, not semantics. Pattern matching is
+prefix-exact like ``hstrcmp`` (HyphenationTree.java:71-82): a pattern
+applies at position i iff it is a substring of the padded word starting
+at i. Both decomposers are fuzz-verified against the COMPILED reference
+classes over the reference's own Danish grammar (tools/tok_parity.py
+modes dcomp/hcomp).
+"""
+from __future__ import annotations
+
+import xml.sax
+from io import StringIO
+
+DEFAULT_MIN_WORD_SIZE = 5
+DEFAULT_MIN_SUBWORD_SIZE = 2
+DEFAULT_MAX_SUBWORD_SIZE = 15
+
+
+def dictionary_decompose(term: str, dictionary, min_word_size: int = DEFAULT_MIN_WORD_SIZE,
+                         min_subword_size: int = DEFAULT_MIN_SUBWORD_SIZE,
+                         max_subword_size: int = DEFAULT_MAX_SUBWORD_SIZE,
+                         only_longest_match: bool = False,
+                         no_subwords: bool = False) -> tuple[str, ...]:
+    """DictionaryCompoundWordTokenFilter.decompose (ref :76-105) + the
+    base class min-word gate (CompoundWordTokenFilterBase.java:112).
+    Returns the stacked subwords in emission order (original excluded —
+    it always passes through)."""
+    n = len(term)
+    if n < min_word_size:
+        return ()
+    only_longest = only_longest_match or no_subwords
+    out: list[str] = []
+    i = 0
+    while i <= n - min_subword_size:
+        longest: str | None = None
+        for j in range(min_subword_size, max_subword_size + 1):
+            if i + j > n:
+                break
+            cand = term[i:i + j]
+            if cand in dictionary:
+                if only_longest:
+                    if longest is None or len(longest) < j:
+                        longest = cand
+                else:
+                    out.append(cand)
+        if longest is not None:
+            out.append(longest)
+            if no_subwords:
+                i += len(longest) - 1
+        i += 1
+    return tuple(out)
+
+
+class _Hyphen:
+    """PatternParser's exception-element marker (hyphenation/Hyphen.java)."""
+
+    __slots__ = ("pre", "no", "post")
+
+    def __init__(self, pre, no=None, post=None):
+        self.pre, self.no, self.post = pre, no, post
+
+
+class HyphenationTree:
+    """hyphenation/HyphenationTree.java over dicts: classmap (char ->
+    normalized char), stoplist (exceptions), patterns (letter string ->
+    interletter digit values)."""
+
+    def __init__(self):
+        self.classmap: dict[str, str] = {}
+        self.stoplist: dict[str, list] = {}
+        self.patterns: dict[str, tuple[int, ...]] = {}
+        # patterns bucketed by first char for the per-position scan
+        self._by_first: dict[str, list[tuple[str, tuple[int, ...]]]] = {}
+
+    def add_class(self, chargroup: str) -> None:
+        if chargroup:
+            equiv = chargroup[0]
+            for ch in chargroup:
+                self.classmap[ch] = equiv
+
+    def add_exception(self, word: str, hyphenated: list) -> None:
+        self.stoplist[word] = hyphenated
+
+    def add_pattern(self, pattern: str, ivalue: str) -> None:
+        vals = tuple(ord(c) - ord("0") for c in ivalue)
+        self.patterns[pattern] = vals
+        self._by_first.setdefault(pattern[:1], []).append((pattern, vals))
+
+    def hyphenate(self, word: str, remain: int = 1, push: int = 1):
+        """HyphenationTree.hyphenate(char[], ...) (ref :158-247): returns
+        the hyphenation-point index list [0, p1..pk, len] (indices into
+        the ORIGINAL word per the reference's iIgnoreAtBeginning shift,
+        final entry = normalized letter count — the reference's own
+        convention), or None."""
+        norm: list[str] = []
+        ignore_begin = 0
+        end_of_letters = False
+        for ch in word:
+            nc = self.classmap.get(ch)
+            if nc is None:
+                if not norm:
+                    ignore_begin += 1
+                else:
+                    end_of_letters = True
+            else:
+                if end_of_letters:
+                    return None
+                norm.append(nc)
+        ln = len(norm)
+        if ln < remain + push:
+            return None
+        sw = "".join(norm)
+        result: list[int] = []
+        hw = self.stoplist.get(sw)
+        if hw is not None:
+            # exception arm: breaks at cumulative part lengths (ref :203-216)
+            j = 0
+            for item in hw:
+                if isinstance(item, str):
+                    j += len(item)
+                    if remain <= j < ln - push:
+                        result.append(j + ignore_begin)
+        else:
+            padded = "." + sw + "."
+            il = [0] * (ln + 3)
+            for i in range(ln + 1):
+                for pat, vals in self._by_first.get(padded[i], ()):
+                    if padded.startswith(pat, i):
+                        for k, v in enumerate(vals):
+                            if i + k < len(il) and v > il[i + k]:
+                                il[i + k] = v
+            for i in range(ln):
+                if (il[i + 1] & 1) == 1 and remain <= i <= ln - push:
+                    result.append(i + ignore_begin)
+        if result:
+            return [0] + result + [ln]
+        return None
+
+
+def _get_interletter_values(pat: str) -> str:
+    """PatternParser.getInterletterValues (ref :169-183): one digit per
+    letter gap including the leading gap, digits consume the following
+    letter slot."""
+    word = pat + "a"
+    il = []
+    i = 0
+    while i < len(word):
+        c = word[i]
+        if c.isdigit():
+            il.append(c)
+            i += 1
+        else:
+            il.append("0")
+        i += 1
+    return "".join(il)
+
+
+class _PatternHandler(xml.sax.ContentHandler):
+    """PatternParser's SAX grammar (ref :186-263) including the readToken
+    cross-chunk accumulation and the <hyphen> interleave in exceptions."""
+
+    _CLASSES, _EXCEPTIONS, _PATTERNS, _HYPHEN = 1, 2, 3, 4
+
+    def __init__(self, tree: HyphenationTree):
+        super().__init__()
+        self.tree = tree
+        self.curr = 0
+        self.token: list[str] = []
+        self.exception: list = []
+        self.hyphen_char = "-"
+
+    def _flush_word(self, word: str) -> None:
+        if self.curr == self._CLASSES:
+            self.tree.add_class(word)
+        elif self.curr == self._EXCEPTIONS:
+            self.exception.append(word)
+            self.exception = self._normalize_exception(self.exception)
+            self.tree.add_exception(
+                self._exception_word(self.exception), list(self.exception))
+            self.exception.clear()
+        elif self.curr == self._PATTERNS:
+            pat = "".join(c for c in word if not c.isdigit())
+            self.tree.add_pattern(pat, _get_interletter_values(word))
+
+    def _normalize_exception(self, ex: list) -> list:
+        res: list = []
+        for item in ex:
+            if isinstance(item, str):
+                buf = []
+                for c in item:
+                    if c != self.hyphen_char:
+                        buf.append(c)
+                    else:
+                        res.append("".join(buf))
+                        buf = []
+                        res.append(_Hyphen(self.hyphen_char))
+                if buf:
+                    res.append("".join(buf))
+            else:
+                res.append(item)
+        return res
+
+    def _exception_word(self, ex: list) -> str:
+        out = []
+        for item in ex:
+            if isinstance(item, str):
+                out.append(item)
+            elif item.no is not None:
+                out.append(item.no)
+        return "".join(out)
+
+    def startElement(self, name, attrs):
+        local = name.rsplit(":", 1)[-1]
+        if local == "hyphen-char":
+            h = attrs.get("value")
+            if h is not None and len(h) == 1:
+                self.hyphen_char = h
+        elif local == "classes":
+            self.curr = self._CLASSES
+        elif local == "patterns":
+            self.curr = self._PATTERNS
+        elif local == "exceptions":
+            self.curr = self._EXCEPTIONS
+            self.exception = []
+        elif local == "hyphen":
+            if self.token:
+                self.exception.append("".join(self.token))
+            self.exception.append(_Hyphen(
+                attrs.get("pre"), attrs.get("no"), attrs.get("post")))
+            self.curr = self._HYPHEN
+        self.token.clear()
+
+    def endElement(self, name):
+        if self.token:
+            word = "".join(self.token)
+            if self.curr == self._CLASSES:
+                self.tree.add_class(word)
+            elif self.curr == self._EXCEPTIONS:
+                self.exception.append(word)
+                self.exception = self._normalize_exception(self.exception)
+                self.tree.add_exception(
+                    self._exception_word(self.exception), list(self.exception))
+            elif self.curr == self._PATTERNS:
+                pat = "".join(c for c in word if not c.isdigit())
+                self.tree.add_pattern(pat, _get_interletter_values(word))
+            if self.curr != self._HYPHEN:
+                self.token.clear()
+        self.curr = self._EXCEPTIONS if self.curr == self._HYPHEN else 0
+
+    def characters(self, content):
+        # readToken (ref :57-98): whitespace-separated words, partial
+        # tokens accumulate across characters() events
+        buf = content
+        while True:
+            i = 0
+            while i < len(buf) and buf[i].isspace():
+                i += 1
+            if i > 0:
+                buf = buf[i:]
+                if self.token:
+                    self._flush_word("".join(self.token))
+                    self.token.clear()
+                    continue
+            j = 0
+            while j < len(buf) and not buf[j].isspace():
+                j += 1
+            self.token.append(buf[:j])
+            buf = buf[j:]
+            if buf:
+                self._flush_word("".join(self.token))
+                self.token.clear()
+            else:
+                return
+
+
+def parse_hyphenation_xml(text: str) -> HyphenationTree:
+    """Load a FOP-style hyphenation grammar (classes/exceptions/patterns)
+    from an XML string — PatternParser.parse over our dict-backed tree."""
+    tree = HyphenationTree()
+    handler = _PatternHandler(tree)
+    parser = xml.sax.make_parser()
+    parser.setContentHandler(handler)
+    # the grammars reference an external hyphenation.dtd; never resolve it
+    parser.setFeature(xml.sax.handler.feature_external_ges, False)
+    parser.parse(StringIO(text))
+    return tree
+
+
+def hyphenation_decompose(term: str, tree: HyphenationTree, dictionary=None,
+                          min_word_size: int = DEFAULT_MIN_WORD_SIZE,
+                          min_subword_size: int = DEFAULT_MIN_SUBWORD_SIZE,
+                          max_subword_size: int = DEFAULT_MAX_SUBWORD_SIZE,
+                          only_longest_match: bool = False,
+                          no_sub_matches: bool = False,
+                          no_overlapping_matches: bool = False) -> tuple[str, ...]:
+    """HyphenationCompoundWordTokenFilter.decompose (ref :185-253)."""
+    if len(term) < min_word_size:
+        return ()
+    calc_sub = not only_longest_match and not no_sub_matches \
+        and not no_overlapping_matches
+    if dictionary is not None and not calc_sub and (
+            term in dictionary
+            or (len(term) > 1 and term[:-1] in dictionary)):
+        return ()
+    hyp = tree.hyphenate(term, 1, 1)
+    if hyp is None:
+        return ()
+    max_sub = min(max_subword_size, len(term) - 1)
+    consumed = -1
+    out: list[str] = []
+    i = 0
+    while i < len(hyp):
+        if no_overlapping_matches:
+            i = max(i, consumed)
+        start = hyp[i]
+        until = max(consumed, i) if no_sub_matches else i
+        for j in range(len(hyp) - 1, until, -1):
+            part_len = hyp[j] - start
+            if part_len > max_sub:
+                continue
+            if part_len < min_subword_size:
+                break
+            part = term[start:start + part_len]
+            if dictionary is None or part in dictionary:
+                out.append(part)
+                consumed = j
+                if not calc_sub:
+                    break
+            elif term[start:start + part_len - 1] in dictionary:
+                # genitive-'s retry one char shorter (ref :242-249)
+                out.append(term[start:start + part_len - 1])
+                consumed = j
+                if not calc_sub:
+                    break
+        i += 1
+    return tuple(out)
+
+
+class DictionaryCompoundInjector:
+    """Chain synonyms slot for DictionaryCompoundWordTokenFilter:
+    subwords stack at the original token's position."""
+
+    def __init__(self, dictionary, min_word_size: int = DEFAULT_MIN_WORD_SIZE,
+                 min_subword_size: int = DEFAULT_MIN_SUBWORD_SIZE,
+                 max_subword_size: int = DEFAULT_MAX_SUBWORD_SIZE,
+                 only_longest_match: bool = False,
+                 no_subwords: bool = False):
+        self.dictionary = frozenset(dictionary)
+        self.min_word_size = min_word_size
+        self.min_subword_size = min_subword_size
+        self.max_subword_size = max_subword_size
+        self.only_longest_match = only_longest_match
+        self.no_subwords = no_subwords
+
+    def get(self, term: str, default=()):
+        out = dictionary_decompose(
+            term, self.dictionary, self.min_word_size, self.min_subword_size,
+            self.max_subword_size, self.only_longest_match, self.no_subwords)
+        return out if out else default
+
+
+class HyphenationCompoundInjector:
+    """Chain synonyms slot for HyphenationCompoundWordTokenFilter."""
+
+    def __init__(self, grammar_xml: str, dictionary=None,
+                 min_word_size: int = DEFAULT_MIN_WORD_SIZE,
+                 min_subword_size: int = DEFAULT_MIN_SUBWORD_SIZE,
+                 max_subword_size: int = DEFAULT_MAX_SUBWORD_SIZE,
+                 only_longest_match: bool = False,
+                 no_sub_matches: bool = False,
+                 no_overlapping_matches: bool = False):
+        self.grammar_xml = grammar_xml
+        self._tree = None
+        self.dictionary = None if dictionary is None else frozenset(dictionary)
+        self.min_word_size = min_word_size
+        self.min_subword_size = min_subword_size
+        self.max_subword_size = max_subword_size
+        self.only_longest_match = only_longest_match
+        self.no_sub_matches = no_sub_matches
+        self.no_overlapping_matches = no_overlapping_matches
+
+    @property
+    def tree(self) -> HyphenationTree:
+        # parsed lazily so the injector pickles as the XML string and
+        # rebuilds per executor
+        if self._tree is None:
+            self._tree = parse_hyphenation_xml(self.grammar_xml)
+        return self._tree
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_tree"] = None
+        return d
+
+    def get(self, term: str, default=()):
+        out = hyphenation_decompose(
+            term, self.tree, self.dictionary, self.min_word_size,
+            self.min_subword_size, self.max_subword_size,
+            self.only_longest_match, self.no_sub_matches,
+            self.no_overlapping_matches)
+        return out if out else default

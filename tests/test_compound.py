@@ -1,0 +1,165 @@
+"""Compound-word decomposition (functions/compound.py): the reference's
+own TestCompoundWordTokenFilter expectations replayed over the Danish
+grammar shipped in the reference test tree, plus grammar-parser and
+injector unit checks. Compiled-class parity: tools/tok_parity.py modes
+dcomp/hcomp fuzz both decomposers (terms + posIncr) against the compiled
+DictionaryCompoundWordTokenFilter / HyphenationCompoundWordTokenFilter."""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lucene_spark.functions.compound import (
+    DictionaryCompoundInjector,
+    HyphenationCompoundInjector,
+    dictionary_decompose,
+    hyphenation_decompose,
+    parse_hyphenation_xml,
+)
+
+_DA_XML = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+           "lucene/analysis/compound/da_UTF8.xml")
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(_DA_XML), reason="reference grammar not available")
+
+
+@pytest.fixture(scope="module")
+def da_tree():
+    with open(_DA_XML, encoding="utf-8") as fh:
+        return parse_hyphenation_xml(fh.read())
+
+
+@needs_ref
+def test_hyphenation_da_reference_golden(da_tree):
+    # TestCompoundWordTokenFilter.testHyphenationCompoundWordsDA
+    assert hyphenation_decompose(
+        "læsehest", da_tree, {"læse", "hest"}) == ("læse", "hest")
+    # words below min_word_size pass through undecomposed
+    for w in ("min", "som", "er", "af", "en"):
+        assert hyphenation_decompose(w, da_tree, {"læse", "hest"}) == ()
+
+
+@needs_ref
+def test_hyphenation_longest_match_golden(da_tree):
+    # testHyphenationCompoundWordsDELongestMatch: "basket" is NOT added
+    # because the longest-match scan consumes basketball first
+    dic = {"basketball", "basket", "ball", "kurv"}
+    assert hyphenation_decompose(
+        "basketballkurv", da_tree, dic, 5, 2, 40, True
+    ) == ("basketball", "ball", "kurv")
+
+
+@needs_ref
+def test_hyphenation_only_subword_windows(da_tree):
+    # testHyphenationOnly: dictionary-less decomposition bounded by the
+    # min/max subword window
+    assert hyphenation_decompose(
+        "basketballkurv", da_tree, None, 5, 2, 4
+    ) == ("ba", "sket", "ball", "bal", "kurv")
+    assert hyphenation_decompose(
+        "basketballkurv", da_tree, None, 5, 4, 6
+    ) == ("basket", "sket", "ball", "lkurv", "kurv")
+    assert hyphenation_decompose(
+        "basketballkurv", da_tree, None, 5, 4, 10
+    ) == ("basketball", "basketbal", "basket", "sketball", "sketbal",
+          "sket", "ballkurv", "ball", "lkurv", "kurv")
+
+
+@needs_ref
+def test_hyphenation_non_letter_paths(da_tree):
+    # leading non-letters are ignored (iIgnoreAtBeginning); a letter AFTER
+    # an interior non-letter aborts hyphenation (ref HyphenationTree.java
+    # hyphenate normalization)
+    assert hyphenation_decompose("basket0ball", da_tree, None, 5, 2, 4) == ()
+    # trailing non-letters only shorten the letter span
+    assert hyphenation_decompose(
+        "basketballkurv9", da_tree, None, 5, 2, 4
+    ) == ("ba", "sket", "ball", "bal", "kurv")
+
+
+def test_dictionary_decompose_se_golden():
+    # testDumbCompoundWordsSE (dictionary is case-insensitive in the
+    # reference test; our chains run post-lowercase, so both sides lower)
+    dic = {w.lower() for w in (
+        "Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar", "Pelar",
+        "Glas", "Ögon", "Fodral", "Bas", "Fiol", "Makare", "Gesäll", "Sko",
+        "Vind", "Rute", "Torkare", "Blad")}
+    cases = {
+        "bildörr": ("bil", "dörr"),
+        "bilmotor": ("bil", "motor"),
+        "biltak": ("bil", "tak"),
+        "slagborr": ("slag", "borr"),
+        "hammarborr": ("hammar", "borr"),
+        "pelarborr": ("pelar", "borr"),
+        "glasögonfodral": ("glas", "ögon", "fodral"),
+        "basfiolsfodral": ("bas", "fiol", "fodral"),
+        "basfiolsfodralmakaregesäll": ("bas", "fiol", "fodral", "makare",
+                                       "gesäll"),
+        "skomakare": ("sko", "makare"),
+        "vindrutetorkare": ("vind", "rute", "torkare"),
+        "vindrutetorkarblad": ("vind", "rute", "blad"),
+        "abba": (),  # below min_word_size
+    }
+    for word, want in cases.items():
+        assert dictionary_decompose(word, dic) == want, word
+
+
+def test_dictionary_decompose_longest_no_subwords():
+    # testDumbCompoundWordsSELongestMatch: Fiolsfodral wins over Fiols,
+    # and the matched span is skipped (onlyLongestMatchIgnoreSubwords)
+    dic = {w.lower() for w in (
+        "Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar", "Pelar",
+        "Glas", "Ögon", "Fodral", "Bas", "Fiols", "Makare", "Gesäll",
+        "Sko", "Vind", "Rute", "Torkare", "Blad", "Fiolsfodral")}
+    assert dictionary_decompose(
+        "basfiolsfodralmakaregesäll", dic, no_subwords=True
+    ) == ("bas", "fiolsfodral", "makare", "gesäll")
+
+
+def test_injectors_stack_only_on_match():
+    dic = DictionaryCompoundInjector({"wind", "dow"})
+    assert dic.get("window") == ("wind", "dow")
+    assert dic.get("merge", ()) == ()
+    # injector is usable as a chain synonyms slot: .get with default
+    assert dic.get("tiny", ("fallback",)) == ("fallback",)
+
+
+def test_hyphenation_injector_inline_grammar_pickles():
+    import pickle
+
+    xml = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<hyphenation-info>\n"
+        "<hyphen-char value=\"-\"/>\n<classes>\n"
+        + "\n".join(c for c in "abcdefghijklmnopqrstuvwxyz")
+        + "\n</classes>\n<patterns>\na1 e1 i1 o1 u1\n</patterns>\n"
+        "</hyphenation-info>\n"
+    )
+    inj = HyphenationCompoundInjector(xml, {"cust", "wind", "val"})
+    # vowel-break grammar: cu|sto|me|r -> "custo" fails, genitive retry
+    # one char shorter hits "cust" (ref decompose :242-249)
+    assert inj.get("customer") == ("cust",)
+    assert inj.get("window") == ("wind",)
+    assert inj.get("value") == ("val",)
+    assert inj.get("merge", ()) == ()
+    # round-trips through pickle (executors re-parse the XML lazily)
+    inj2 = pickle.loads(pickle.dumps(inj))
+    assert inj2.get("customer") == ("cust",)
+
+
+def test_exception_grammar_arm():
+    # exceptions short-circuit the pattern walk (HyphenationTree.java
+    # hyphenate stoplist arm): hyphen positions come from the declared
+    # split, not from patterns
+    xml = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<hyphenation-info>\n"
+        "<classes>\na\nb\nc\nd\ne\nf\ng\n</classes>\n"
+        "<exceptions>\nab-cdefg\n</exceptions>\n"
+        "<patterns>\nc1 e1\n</patterns>\n</hyphenation-info>\n"
+    )
+    tree = parse_hyphenation_xml(xml)
+    # exception word splits only at the declared hyphen
+    assert tree.hyphenate("abcdefg") == [0, 2, 7]
+    # non-exception words use the patterns (break after c and e)
+    assert tree.hyphenate("bcdefgа".replace("а", "a")) == [0, 2, 4, 7]

@@ -282,6 +282,22 @@ public class Main {
       return true;
     }
   }
+  static final Map<String,
+      org.apache.lucene.analysis.compound.hyphenation.HyphenationTree>
+      TREES = new HashMap<>();
+  static org.apache.lucene.analysis.compound.hyphenation.HyphenationTree
+      loadTree(String path) throws Exception {
+    org.apache.lucene.analysis.compound.hyphenation.HyphenationTree t =
+        TREES.get(path);
+    if (t == null) {
+      t = new org.apache.lucene.analysis.compound.hyphenation
+          .HyphenationTree();
+      t.loadPatterns(new org.xml.sax.InputSource(
+          new File(path).toURI().toASCIIString()));
+      TREES.put(path, t);
+    }
+    return t;
+  }
   static String hexUnits(String s) {
     StringBuilder b = new StringBuilder();
     for (int i = 0; i < s.length(); i++) b.append(String.format("%04x", (int) s.charAt(i)));
@@ -419,6 +435,51 @@ public class Main {
             if (res.length() > 0) res.append(' ');
             res.append(b64(ts.termAtt.toString()));
           }
+        } else if (f[0].equals("dcomp")) {
+          String rawDict = unb64(f[1]);
+          CharArraySet dict = new CharArraySet(16, false);
+          if (!rawDict.isEmpty())
+            for (String w : rawDict.split("\\u0001", -1)) dict.add(w);
+          int minWord = Integer.parseInt(f[2]);
+          int minSub = Integer.parseInt(f[3]);
+          int maxSub = Integer.parseInt(f[4]);
+          boolean noSubwords = f[5].equals("1");
+          String tok = unb64(f[6]);
+          TokenStream ts = new org.apache.lucene.analysis.compound
+              .DictionaryCompoundWordTokenFilter(
+                  new OneToken(tok), dict, minWord, minSub, maxSub,
+                  noSubwords);
+          while (ts.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(b64(ts.termAtt.toString())).append(':')
+               .append(ts.posAtt.getPositionIncrement());
+          }
+        } else if (f[0].equals("hcomp")) {
+          String xmlPath = unb64(f[1]);
+          org.apache.lucene.analysis.compound.hyphenation.HyphenationTree
+              tree = loadTree(xmlPath);
+          String rawDict = unb64(f[2]);
+          CharArraySet dict = null;
+          if (!rawDict.isEmpty()) {
+            dict = new CharArraySet(16, false);
+            for (String w : rawDict.split("\\u0001", -1)) dict.add(w);
+          }
+          int minWord = Integer.parseInt(f[3]);
+          int minSub = Integer.parseInt(f[4]);
+          int maxSub = Integer.parseInt(f[5]);
+          boolean olm = f[6].equals("1");
+          boolean noSubM = f[7].equals("1");
+          boolean noOverl = f[8].equals("1");
+          String tok = unb64(f[9]);
+          TokenStream ts = new org.apache.lucene.analysis.compound
+              .HyphenationCompoundWordTokenFilter(
+                  new OneToken(tok), tree, dict, minWord, minSub, maxSub,
+                  olm, noSubM, noOverl);
+          while (ts.incrementToken()) {
+            if (res.length() > 0) res.append(' ');
+            res.append(b64(ts.termAtt.toString())).append(':')
+               .append(ts.posAtt.getPositionIncrement());
+          }
         } else {
           res.append("ERR unknown mode");
         }
@@ -445,7 +506,22 @@ REF_FILES = [
     "pattern/PatternReplaceCharFilter.java",
     "charfilter/HTMLStripCharFilter.java",
     "util/OpenStringBuilder.java",
+    "compound/CompoundWordTokenFilterBase.java",
+    "compound/DictionaryCompoundWordTokenFilter.java",
+    "compound/HyphenationCompoundWordTokenFilter.java",
+    "compound/hyphenation/ByteVector.java",
+    "compound/hyphenation/CharVector.java",
+    "compound/hyphenation/Hyphen.java",
+    "compound/hyphenation/Hyphenation.java",
+    "compound/hyphenation/HyphenationTree.java",
+    "compound/hyphenation/PatternConsumer.java",
+    "compound/hyphenation/PatternParser.java",
+    "compound/hyphenation/TernaryTree.java",
 ]
+
+#: hyphenation grammars live in the reference's own test tree
+COMPOUND_TEST = ("/root/reference/lucene/analysis/common/src/test/org/"
+                 "apache/lucene/analysis/compound")
 
 #: suggest-module spell distances, compiled with their own tiny shims
 SPELL_REF = "/root/reference/lucene/suggest/src/java/org/apache/lucene/search/suggest"
@@ -509,6 +585,15 @@ def build() -> None:
         with open(src_path, encoding="utf-8") as fh:
             with open(dst, "w", encoding="utf-8") as oh:
                 oh.write(fh.read())
+    # PatternParser resolves the hyphenation DTD as a classpath resource
+    dtd_dst = os.path.join(
+        ROOT, "org/apache/lucene/analysis/compound/hyphenation")
+    os.makedirs(dtd_dst, exist_ok=True)
+    with open(os.path.join(COMPOUND_TEST, "hyphenation.dtd"),
+              encoding="utf-8") as fh:
+        with open(os.path.join(dtd_dst, "hyphenation.dtd"), "w",
+                  encoding="utf-8") as oh:
+            oh.write(fh.read())
     srcs = []
     for base, _dirs, files in os.walk(PKG):
         srcs += [os.path.join(base, x) for x in files if x.endswith(".java")]
@@ -537,6 +622,7 @@ def fuzz(n: int) -> None:
     alpha = "ab/.x/"  # delimiter-heavy
     cases: list[tuple] = []
     lines: list[str] = []
+    _HTREES: dict = {}
 
     # --- path / rpath
     for _ in range(n):
@@ -682,6 +768,57 @@ def fuzz(n: int) -> None:
         lines.append("\t".join([
             "htmlstrip", b64("\x01".join(tags) if tags else ""), b64(text)]))
 
+    # --- dcomp (DictionaryCompoundWordTokenFilter: brute-force substring
+    # decompose; the public ctor exposes noSubwords which supersedes
+    # onlyLongestMatch)
+    comp_parts = ["dam", "schiff", "wein", "schwein", "rind", "fleisch",
+                  "ueber", "wachung", "fluss", "donau", "pf", "au", "ss",
+                  "amp", "dampf", "basket", "ball", "kurv"]
+    for _ in range(n):
+        dwords = rng.sample(comp_parts, rng.randrange(1, 9))
+        tok = "".join(rng.choice(comp_parts)
+                      for _ in range(rng.randrange(1, 5)))
+        minw = rng.choice([0, 2, 5, 5, 8])
+        mins = rng.choice([0, 1, 2, 2, 3])
+        maxs = rng.choice([4, 6, 15, 15, 40])
+        nosub = rng.random() < 0.3
+        cases.append(("dcomp", tuple(dwords), minw, mins, maxs, nosub, tok))
+        lines.append("\t".join(["dcomp", b64("\x01".join(dwords)),
+                                str(minw), str(mins), str(maxs),
+                                "1" if nosub else "0", b64(tok)]))
+
+    # --- hcomp (HyphenationCompoundWordTokenFilter over the reference's
+    # own Danish grammar + the LUCENE-8124 regression grammar)
+    import os as _os
+    h_xmls = [_os.path.join(COMPOUND_TEST, "da_UTF8.xml"),
+              _os.path.join(COMPOUND_TEST, "hyphenation-LUCENE-8124.xml")]
+    da_parts = ["min", "veninde", "som", "er", "lidt", "af", "en",
+                "læsehest", "basket", "ball", "kurv", "basketball",
+                "gen", "nem", "snit", "abe", "hoved", "åben", "køre",
+                "sø", "ø"]
+    for _ in range(n):
+        xml_path = rng.choice(h_xmls + [h_xmls[0]])
+        use_dict = rng.random() < 0.6
+        dwords = rng.sample(da_parts, rng.randrange(1, 10)) if use_dict \
+            else []
+        nparts = rng.randrange(1, 4)
+        tok = "".join(rng.choice(da_parts) for _ in range(nparts))
+        if rng.random() < 0.15:  # non-letter normalization paths
+            pos = rng.randrange(0, len(tok) + 1)
+            tok = tok[:pos] + rng.choice("0-'9") + tok[pos:]
+        minw = rng.choice([0, 2, 5, 5])
+        mins = rng.choice([0, 1, 2, 2, 4])
+        maxs = rng.choice([4, 6, 15, 15])
+        olm = rng.random() < 0.25
+        nosubm = rng.random() < 0.25
+        noover = rng.random() < 0.25
+        cases.append(("hcomp", xml_path, tuple(dwords), minw, mins, maxs,
+                      olm, nosubm, noover, tok))
+        lines.append("\t".join([
+            "hcomp", b64(xml_path), b64("\x01".join(dwords)), str(minw),
+            str(mins), str(maxs), "1" if olm else "0",
+            "1" if nosubm else "0", "1" if noover else "0", b64(tok)]))
+
     got = run_java(lines)
     assert len(got) == len(cases), (len(got), len(cases))
     bad = 0
@@ -802,6 +939,30 @@ def fuzz(n: int) -> None:
             jraw = [t[0] for t in toks]
             ok = (jraw == [t for t, _ in mine]
                   and jincs == [i for _, i in mine])
+        elif case[0] == "dcomp":
+            _m, dwords, minw, mins, maxs, nosub, tok = case
+            from lucene_spark.functions.compound import dictionary_decompose
+            mine = (tok,) + dictionary_decompose(
+                tok, frozenset(dwords), minw, mins, maxs, False, nosub)
+            jincs = [int(t[1]) for t in toks]
+            ok = (jterms == list(mine)
+                  and jincs == [1] + [0] * (len(mine) - 1))
+        elif case[0] == "hcomp":
+            (_m, xml_path, dwords, minw, mins, maxs, olm, nosubm, noover,
+             tok) = case
+            from lucene_spark.functions.compound import (
+                hyphenation_decompose, parse_hyphenation_xml)
+            tree = _HTREES.get(xml_path)
+            if tree is None:
+                with open(xml_path, encoding="utf-8") as fh:
+                    tree = parse_hyphenation_xml(fh.read())
+                _HTREES[xml_path] = tree
+            mine = (tok,) + hyphenation_decompose(
+                tok, tree, frozenset(dwords) if dwords else None,
+                minw, mins, maxs, olm, nosubm, noover)
+            jincs = [int(t[1]) for t in toks]
+            ok = (jterms == list(mine)
+                  and jincs == [1] + [0] * (len(mine) - 1))
         else:
             _m, pat, repl, allm, tok = case
             pyrepl = repl.replace("$1", "\\1")
