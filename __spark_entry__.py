@@ -2657,6 +2657,47 @@ def _hcompound_chain_df(spark, sf_dir):
     )
 
 
+def _beidermorse_searcher(spark, sf_dir):
+    """Index built with a Beider-Morse chain (``analysis/phonetic/.../
+    BeiderMorseFilter.java:30-100``): the engine output's ``([^()|-]+)``
+    matches REPLACE the token — first code at the original position, the
+    rest stacked at posIncr 0, original dropped."""
+    from lucene_spark.functions.analysis import register_chain
+    from lucene_spark.functions.beidermorse import BeiderMorseMulti
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    register_chain("simple_beidermorse", base="simple",
+                   synonyms=BeiderMorseMulti())
+    index_dir = _index_dir_for(sf_dir) + "_bm"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple_beidermorse")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _beidermorse_chain_df(spark, sf_dir):
+    """BeiderMorseFilter chain: 'kustomi' is customer's FIRST code (the
+    replacement — 'customer' itself is no longer searchable); 'zon' is
+    stacked from BOTH join and scan (blended df); 'window' survives only
+    through its own stack (the raw word is among window's later codes)."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _beidermorse_searcher(spark, sf_dir)
+    ast = {"bool": {"must": [{"term": "kustomi"}],
+                    "should": [{"term": "zon"}, {"term": "window"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _FLT_FIELDS = [("mrege scan", 1, 1)]  # 'mrege' = 1 OSA transposition
 _FLT_K_TERMS = 10
 
@@ -3163,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_dmsoundex_chain"] = _dmsoundex_chain_df
     out["bm25_dcompound_chain"] = _dcompound_chain_df
     out["bm25_hcompound_chain"] = _hcompound_chain_df
+    out["bm25_beidermorse_chain"] = _beidermorse_chain_df
     out["xml_query_parser"] = _xml_parser_df
     out["fuzzy_like_this"] = _fuzzy_like_this_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -4071,6 +4113,23 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
                       "should": [{"term": "cust"}, {"term": "val"}]}})),
         _QUERY_K,
         synonyms=tuple((w, c) for w in _DOC_VOCAB for c in _hci.get(w, ())),
+    )
+    # BeiderMorse replace+stack = vocab_map (token -> first code) plus
+    # stacking keyed on the FIRST code; exact because the first codes are
+    # injective over the corpus vocabulary (pinned in
+    # tests/test_entries_contract.py)
+    from lucene_spark.functions.beidermorse import BeiderMorseMulti
+    _bmm = BeiderMorseMulti()
+    _bm_parts = {w: _bmm.get(w, ()) for w in _DOC_VOCAB}
+    out["bm25_beidermorse_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "kustomi"}],
+                      "should": [{"term": "zon"}, {"term": "window"}]}})),
+        _QUERY_K,
+        vocab_map=tuple((w, p[0]) for w, p in sorted(_bm_parts.items())
+                        if p),
+        synonyms=tuple((p[0], s) for _w, p in sorted(_bm_parts.items())
+                       if p for s in p[1:]),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(
         parse_query(json.dumps(_BM25_QUERIES["bm25_conj"])), _QUERY_K,

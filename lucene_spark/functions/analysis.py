@@ -943,10 +943,25 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
         keep = [(i, xform(t)) for i, t in keep]
     flen = len(keep)
     if synonyms:
-        stacked = [
-            (i, s) for i, t in keep for s in synonyms.get(t, ())
-        ]
-        keep = keep + stacked
+        if getattr(synonyms, "replaces", False):
+            # REPLACE+stack producer (BeiderMorseFilter semantics): the
+            # first emission takes the token's position, the rest stack at
+            # posIncr 0, the original is dropped; no emission -> the token
+            # passes through. flen is unchanged (one posIncr>0 per source).
+            new_keep, stacked = [], []
+            for i, t in keep:
+                parts = synonyms.get(t, ())
+                if parts:
+                    new_keep.append((i, parts[0]))
+                    stacked.extend((i, p) for p in parts[1:])
+                else:
+                    new_keep.append((i, t))
+            keep = new_keep + stacked
+        else:
+            stacked = [
+                (i, s) for i, t in keep for s in synonyms.get(t, ())
+            ]
+            keep = keep + stacked
     return [t for _, t in keep], [i for i, _ in keep], flen
 
 # raw tokenization without lowercasing or the max-token-length filter, plus

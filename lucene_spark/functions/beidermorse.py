@@ -1,0 +1,655 @@
+"""Beider-Morse Phonetic Matching (BMPM) engine — the last documented gap
+of the phonetic module.
+
+Replays commons-codec's ``org.apache.commons.codec.language.bm`` package
+(PhoneticEngine / Rule / Lang / Languages, transcribed from the compiled
+classes in the commons-codec jar that ships with pyspark — the same
+bytecode-transcription protocol as ColognePhonetic / DaitchMokotoff in
+functions/phonetic.py), driving the rule/language RESOURCES read straight
+out of that jar at runtime (``org/apache/commons/codec/language/bm/*.txt``)
+— no data files are copied into this repo, and the engine is fuzz-verified
+against the jar's own compiled ``BeiderMorseEncoder`` / ``PhoneticEngine``
+(tools/phonetic_fuzz.py bm modes).
+
+Lucene-side consumer: ``BeiderMorseFilter``
+(``analysis/phonetic/src/java/.../BeiderMorseFilter.java:30-100``) splits
+the engine output on ``([^()|-]+)``, REPLACES the token with the first
+code, and stacks the remaining codes at posIncr 0 (no match -> the token
+passes through). Exposed here as :class:`BeiderMorseMulti` — a chain
+``synonyms`` producer with ``replaces = True``.
+
+Faithfully-kept quirks (all bytecode-verified):
+
+- unmatched characters are DROPPED in the main RULES phase but echoed in
+  the final-rules phases;
+- ``words2.size()==1`` in the non-concat path takes the first word of the
+  ORIGINAL list (prefixes included) — the upstream behavior, kept;
+- ``PhonemeBuilder.apply`` stops adding once ``maxPhonemes`` (20) distinct
+  phoneme objects accumulate (object identity — no text dedup);
+- ``applyFinalRules`` dedups BY PHONEME TEXT in a TreeMap ordered by
+  ``Rule$Phoneme.COMPARATOR`` (char-by-char, shorter-prefix-first), merging
+  language sets of equal-text phonemes;
+- ``ANY_LANGUAGE.merge(x) == x`` (so merging ANY with NO yields NO);
+- Java ``String.split`` semantics (trailing empty strings removed, the
+  empty input yielding ``[""]``) wherever the engine splits.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+import sys
+import zipfile
+from functools import lru_cache
+
+# --------------------------------------------------------------------------
+# resource loading from the pyspark-bundled commons-codec jar
+
+
+def _codec_jar() -> str:
+    cands = glob.glob("/opt/spark-*/jars/commons-codec-*.jar") or glob.glob(
+        os.path.join(os.path.dirname(os.__file__),
+                     "site-packages/pyspark/jars/commons-codec-*.jar"))
+    if not cands:
+        try:
+            import pyspark
+
+            cands = glob.glob(os.path.join(
+                os.path.dirname(pyspark.__file__),
+                "jars/commons-codec-*.jar"))
+        except ImportError:
+            pass
+    if not cands:
+        raise RuntimeError("commons-codec jar not found")
+    return sorted(cands)[0]
+
+
+@lru_cache(maxsize=None)
+def _resource(name: str) -> str:
+    """Read ``org/apache/commons/codec/language/bm/<name>`` from the jar."""
+    with zipfile.ZipFile(_codec_jar()) as zf:
+        with zf.open(f"org/apache/commons/codec/language/bm/{name}") as fh:
+            return fh.read().decode("utf-8")
+
+
+#: Java regex \s is ASCII-only (no Unicode whitespace without UNICODE flag)
+_JAVA_SPACES = r"[ \t\n\x0b\f\r]+"
+
+
+def _java_split(pat: str, s: str) -> list[str]:
+    """Java ``Pattern.split`` with limit 0: trailing empties removed;
+    the empty input yields [""]."""
+    if s == "":
+        return [""]
+    parts = re.split(pat, s)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def _strip_comments(lines):
+    """The shared ResourceConstants comment grammar: /* ... */ blocks
+    (start = line startswith; end = line endswith), // suffixes, trim."""
+    in_ext = False
+    for raw in lines:
+        line = raw
+        if in_ext:
+            if line.endswith("*/"):
+                in_ext = False
+            continue
+        if line.startswith("/*"):
+            in_ext = True
+            continue
+        cmt = line.find("//")
+        if cmt >= 0:
+            line = line[:cmt]
+        line = line.strip()
+        if not line:
+            continue
+        yield line
+
+
+# --------------------------------------------------------------------------
+# LanguageSet (Languages$LanguageSet + the NO/ANY singletons)
+
+
+class _LanguageSet:
+    __slots__ = ()
+
+
+class _AnyLanguage(_LanguageSet):
+    def contains(self, lang):
+        return True
+
+    def is_empty(self):
+        return False
+
+    def is_singleton(self):
+        return False
+
+    def merge(self, other):
+        # Languages$2.merge returns the OTHER set (ANY.merge(NO) == NO)
+        return other
+
+    def restrict_to(self, other):
+        return other
+
+    def __repr__(self):
+        return "ANY_LANGUAGE"
+
+
+class _NoLanguages(_LanguageSet):
+    def contains(self, lang):
+        return False
+
+    def is_empty(self):
+        return True
+
+    def is_singleton(self):
+        return False
+
+    def merge(self, other):
+        return other
+
+    def restrict_to(self, other):
+        return self
+
+    def __repr__(self):
+        return "NO_LANGUAGES"
+
+
+ANY_LANGUAGE = _AnyLanguage()
+NO_LANGUAGES = _NoLanguages()
+
+
+class SomeLanguages(_LanguageSet):
+    __slots__ = ("languages",)
+
+    def __init__(self, languages: frozenset):
+        self.languages = frozenset(languages)
+
+    def contains(self, lang):
+        return lang in self.languages
+
+    def get_any(self):
+        # Java iterates a HashSet — order-defined only for singletons,
+        # the sole call site
+        return next(iter(self.languages))
+
+    def is_empty(self):
+        return not self.languages
+
+    def is_singleton(self):
+        return len(self.languages) == 1
+
+    def merge(self, other):
+        if other is NO_LANGUAGES:
+            return self
+        if other is ANY_LANGUAGE:
+            return other
+        return lang_set(self.languages | other.languages)
+
+    def restrict_to(self, other):
+        if other is NO_LANGUAGES:
+            return other
+        if other is ANY_LANGUAGE:
+            return self
+        return lang_set(self.languages & other.languages)
+
+    def __repr__(self):
+        return f"Languages({sorted(self.languages)})"
+
+
+def lang_set(languages) -> _LanguageSet:
+    s = frozenset(languages)
+    return NO_LANGUAGES if not s else SomeLanguages(s)
+
+
+@lru_cache(maxsize=None)
+def _languages(name_type: str) -> frozenset:
+    """{nt}_languages.txt: the per-nametype language universe."""
+    out = set()
+    for line in _strip_comments(
+            ln.strip() for ln in
+            _resource(f"{name_type}_languages.txt").splitlines()):
+        out.add(line)
+    return frozenset(out)
+
+
+# --------------------------------------------------------------------------
+# Lang (language guessing from {nt}_lang.txt)
+
+
+class _LangRule:
+    __slots__ = ("pattern", "languages", "accept")
+
+    def __init__(self, pattern, languages, accept):
+        self.pattern = pattern
+        self.languages = languages
+        self.accept = accept
+
+
+@lru_cache(maxsize=None)
+def _lang_rules(name_type: str) -> tuple:
+    rules = []
+    for line in (ln for ln in _strip_comments(
+            _resource(f"{name_type}_lang.txt").splitlines())):
+        parts = re.split(_JAVA_SPACES, line)
+        if len(parts) != 3:
+            raise ValueError(f"Malformed line {line!r} in {name_type}_lang")
+        rules.append(_LangRule(
+            re.compile(parts[0]), frozenset(parts[1].split("+")),
+            parts[2] == "true"))
+    return tuple(rules)
+
+
+def guess_languages(name_type: str, input_: str) -> _LanguageSet:
+    """Lang.guessLanguages: every matching accept-rule intersects, every
+    matching reject-rule subtracts; empty result widens to ANY."""
+    text = input_.lower()
+    langs = set(_languages(name_type))
+    for rule in _lang_rules(name_type):
+        if rule.pattern.search(text):
+            if rule.accept:
+                langs &= rule.languages
+            else:
+                langs -= rule.languages
+    ls = lang_set(langs)
+    return ANY_LANGUAGE if ls is NO_LANGUAGES else ls
+
+
+# --------------------------------------------------------------------------
+# Rule / Phoneme
+
+
+class Phoneme:
+    __slots__ = ("text", "languages")
+
+    def __init__(self, text: str, languages: _LanguageSet):
+        self.text = text
+        self.languages = languages
+
+    def append(self, s: str) -> "Phoneme":
+        self.text += s
+        return self
+
+    def merge_with_language(self, other_langs) -> "Phoneme":
+        return Phoneme(self.text, self.languages.merge(other_langs))
+
+    def get_phonemes(self):
+        return (self,)
+
+
+class PhonemeList:
+    __slots__ = ("phonemes",)
+
+    def __init__(self, phonemes):
+        self.phonemes = phonemes
+
+    def get_phonemes(self):
+        return self.phonemes
+
+
+def _contains(chars: str, ch: str) -> bool:
+    return ch in chars
+
+
+def _make_rpattern(regex: str):
+    """Rule.pattern(String): the hand-rolled matcher closures for the
+    common shapes, java.util.regex fallback otherwise (Rule$2 — find())."""
+    starts = regex.startswith("^")
+    ends = regex.endswith("$")
+    content = regex[(1 if starts else 0):
+                    (len(regex) - 1 if ends else len(regex))]
+    if "[" not in content:
+        if starts and ends:
+            if content == "":
+                return lambda s: len(s) == 0
+            return lambda s, c=content: s == c
+        if (starts or ends) and content == "":
+            return lambda s: True
+        if starts:
+            return lambda s, c=content: s.startswith(c)
+        if ends:
+            return lambda s, c=content: s.endswith(c)
+    elif content.startswith("[") and content.endswith("]"):
+        boxed = content[1:-1]
+        if "[" not in boxed:
+            negate = boxed.startswith("^")
+            if negate:
+                boxed = boxed[1:]
+            should = not negate
+            if starts and ends:
+                return (lambda s, b=boxed, m=should:
+                        len(s) == 1 and _contains(b, s[0]) == m)
+            if starts:
+                return (lambda s, b=boxed, m=should:
+                        len(s) > 0 and _contains(b, s[0]) == m)
+            if ends:
+                return (lambda s, b=boxed, m=should:
+                        len(s) > 0 and _contains(b, s[-1]) == m)
+    compiled = re.compile(regex)
+    return lambda s, p=compiled: p.search(s) is not None
+
+
+def _parse_phoneme(ph: str) -> Phoneme:
+    open_ = ph.find("[")
+    if open_ >= 0:
+        if not ph.endswith("]"):
+            raise ValueError(
+                "Phoneme expression contains a '[' but does not end in ']'")
+        before = ph[:open_]
+        in_ = ph[open_ + 1:len(ph) - 1]
+        langs = frozenset(_java_split(r"[+]", in_))
+        return Phoneme(before, lang_set(langs))
+    return Phoneme(ph, ANY_LANGUAGE)
+
+
+def _parse_phoneme_expr(ph: str):
+    if ph.startswith("("):
+        if not ph.endswith(")"):
+            raise ValueError("Phoneme starting with '(' must end with ')'")
+        phs = []
+        body = ph[1:-1]
+        # Java split semantics: "" yields [""], trailing empties removed
+        parts = _java_split(r"[|]", body)
+        for part in parts:
+            phs.append(_parse_phoneme(part))
+        # the explicit empty-alternative cases (bytecode-verbatim
+        # condition structure; the first arm is unreachable in practice)
+        if ((len(parts) > 1 and len(parts[0]) != 0
+             and body.startswith("|"))
+                or (len(parts) > 0 and len(parts[-1]) != 0
+                    and body.endswith("|"))):
+            phs.append(Phoneme("", ANY_LANGUAGE))
+        return PhonemeList(phs)
+    return _parse_phoneme(ph)
+
+
+class Rule:
+    __slots__ = ("pattern", "lcontext", "rcontext", "phoneme")
+
+    def __init__(self, pattern, lcontext, rcontext, phoneme):
+        self.pattern = pattern
+        self.lcontext = _make_rpattern(lcontext + "$")
+        self.rcontext = _make_rpattern("^" + rcontext)
+        self.phoneme = phoneme
+
+    def matches(self, input_: str, i: int) -> bool:
+        ipl = i + len(self.pattern)
+        if ipl > len(input_):
+            return False
+        if input_[i:ipl] != self.pattern:
+            return False
+        if not self.rcontext(input_[ipl:]):
+            return False
+        return self.lcontext(input_[:i])
+
+
+def _strip_quotes(s: str) -> str:
+    if s.startswith('"'):
+        s = s[1:]
+    if s.endswith('"'):
+        s = s[:-1]
+    return s
+
+
+def _parse_rules(lines, location: str) -> dict:
+    """Rule.parseRules: map first-pattern-char -> ordered rule list;
+    ``#include x`` splices the parsed map of ``x.txt`` via putAll
+    (replacing per-key lists, verbatim)."""
+    out: dict[str, list[Rule]] = {}
+    in_ext = False
+    for raw in lines:
+        line = raw
+        if in_ext:
+            if line.endswith("*/"):
+                in_ext = False
+            continue
+        if line.startswith("/*"):
+            in_ext = True
+            continue
+        cmt = line.find("//")
+        if cmt >= 0:
+            line = line[:cmt]
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("#include"):
+            inc = line[len("#include"):].strip()
+            if " " in inc:
+                raise ValueError(f"Malformed import {raw!r} in {location}")
+            out.update(_parse_rules(
+                _resource(f"{inc}.txt").splitlines(),
+                f"{location}->{inc}"))
+            continue
+        parts = re.split(_JAVA_SPACES, line)
+        if len(parts) != 4:
+            raise ValueError(
+                f"Malformed rule statement split into {len(parts)} "
+                f"parts: {raw!r} in {location}")
+        pat = _strip_quotes(parts[0])
+        rule = Rule(pat, _strip_quotes(parts[1]), _strip_quotes(parts[2]),
+                    _parse_phoneme_expr(_strip_quotes(parts[3])))
+        out.setdefault(pat[0:1], []).append(rule)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _rules(name_type: str, rule_type: str, lang: str) -> dict:
+    name = f"{name_type}_{rule_type}_{lang}.txt"
+    return _parse_rules(_resource(name).splitlines(), name)
+
+
+def _rules_for(name_type: str, rule_type: str, langs: _LanguageSet) -> dict:
+    if langs.is_singleton():
+        return _rules(name_type, rule_type, langs.get_any())
+    return _rules(name_type, rule_type, "any")
+
+
+# --------------------------------------------------------------------------
+# PhoneticEngine
+
+NAME_PREFIXES = {
+    "ash": frozenset(["bar", "ben", "da", "de", "van", "von"]),
+    "sep": frozenset(["al", "el", "da", "dal", "de", "del", "dela",
+                      "de la", "della", "des", "di", "do", "dos", "du",
+                      "van", "von"]),
+    "gen": frozenset(["da", "dal", "de", "del", "dela", "de la", "della",
+                      "des", "di", "do", "dos", "du", "van", "von"]),
+}
+
+DEFAULT_MAX_PHONEMES = 20
+
+
+def _java_trim(s: str) -> str:
+    """Java String.trim: strips chars <= U+0020 from both ends."""
+    start, end = 0, len(s)
+    while start < end and s[start] <= " ":
+        start += 1
+    while end > start and s[end - 1] <= " ":
+        end -= 1
+    return s[start:end]
+
+
+class _PhonemeBuilder:
+    __slots__ = ("phonemes",)
+
+    def __init__(self, phonemes):
+        # LinkedHashSet of Phonemes WITHOUT equals() == an ordered list of
+        # distinct objects (no text dedup — verbatim)
+        self.phonemes = phonemes
+
+    @classmethod
+    def empty(cls, languages):
+        return cls([Phoneme("", languages)])
+
+    def append(self, s):
+        for ph in self.phonemes:
+            ph.append(s)
+
+    def apply(self, expr, max_phonemes):
+        new = []
+        done = False
+        for left in self.phonemes:
+            if done:
+                break
+            for right in expr.get_phonemes():
+                langs = left.languages.restrict_to(right.languages)
+                if not langs.is_empty():
+                    if len(new) < max_phonemes:
+                        new.append(Phoneme(left.text + right.text, langs))
+                        if len(new) >= max_phonemes:
+                            done = True
+                            break
+        self.phonemes = new
+
+    def make_string(self):
+        return "|".join(ph.text for ph in self.phonemes)
+
+
+def _apply_rules_at(rules, input_, builder, i, max_phonemes):
+    """PhoneticEngine$RulesApplication.invoke: try the first-char bucket's
+    rules in order; apply the first full match. Returns (new_i, found)."""
+    found = False
+    pattern_len = 1
+    bucket = rules.get(input_[i:i + 1])
+    if bucket is not None:
+        for rule in bucket:
+            pattern_len = len(rule.pattern)
+            if rule.matches(input_, i):
+                builder.apply(rule.phoneme, max_phonemes)
+                found = True
+                break
+    if not found:
+        pattern_len = 1
+    return i + pattern_len, found
+
+
+class PhoneticEngine:
+    """commons-codec PhoneticEngine (bytecode-transcribed)."""
+
+    def __init__(self, name_type: str = "gen", rule_type: str = "approx",
+                 concat: bool = True,
+                 max_phonemes: int = DEFAULT_MAX_PHONEMES):
+        if rule_type == "rules":
+            raise ValueError("ruleType must not be rules")
+        if name_type not in NAME_PREFIXES:
+            raise ValueError(f"unknown name type {name_type!r}")
+        if rule_type not in ("approx", "exact"):
+            raise ValueError(f"unknown rule type {rule_type!r}")
+        self.name_type = name_type
+        self.rule_type = rule_type
+        self.concat = concat
+        self.max_phonemes = max_phonemes
+
+    def _apply_final_rules(self, builder, final_rules):
+        if not final_rules:
+            return builder
+        # TreeMap<Phoneme>(COMPARATOR-on-text): dedup by text, merge
+        # languages, iterate in text order
+        by_text: dict[str, Phoneme] = {}
+        for phoneme in builder.phonemes:
+            sub = _PhonemeBuilder.empty(phoneme.languages)
+            text = phoneme.text
+            i = 0
+            while i < len(text):
+                new_i, found = _apply_rules_at(
+                    final_rules, text, sub, i, self.max_phonemes)
+                if not found:
+                    sub.append(text[i:i + 1])
+                i = new_i
+            for p in sub.phonemes:
+                existing = by_text.get(p.text)
+                if existing is not None:
+                    by_text[p.text] = existing.merge_with_language(
+                        p.languages)
+                else:
+                    by_text[p.text] = p
+        ordered = [by_text[t] for t in sorted(by_text)]
+        return _PhonemeBuilder(ordered)
+
+    def encode(self, input_: str, language_set: _LanguageSet | None = None):
+        if language_set is None:
+            language_set = guess_languages(self.name_type, input_)
+        rules = _rules_for(self.name_type, "rules", language_set)
+        final_rules1 = _rules(self.name_type, self.rule_type, "common")
+        final_rules2 = _rules_for(self.name_type, self.rule_type,
+                                  language_set)
+        input_ = _java_trim(input_.lower().replace("-", " "))
+        if self.name_type == "gen":
+            if input_.startswith("d'"):
+                remainder = input_[2:]
+                combined = "d" + remainder
+                return (f"({self.encode(remainder)})-"
+                        f"({self.encode(combined)})")
+            for prefix in NAME_PREFIXES[self.name_type]:
+                if input_.startswith(prefix + " "):
+                    remainder = input_[len(prefix) + 1:]
+                    combined = prefix + remainder
+                    return (f"({self.encode(remainder)})-"
+                            f"({self.encode(combined)})")
+        words = _java_split(_JAVA_SPACES, input_)
+        words2: list[str] = []
+        if self.name_type == "sep":
+            # drop anything before an apostrophe in each word, then drop
+            # the prefixes (QUOTE.split with limit -1 keeps trailing
+            # empties — Python's re.split matches that)
+            for word in words:
+                words2.append(re.split(r"'", word)[-1])
+            words2 = [w for w in words2
+                      if w not in NAME_PREFIXES[self.name_type]]
+        elif self.name_type == "ash":
+            words2 = [w for w in words
+                      if w not in NAME_PREFIXES[self.name_type]]
+        else:
+            words2 = list(words)
+        if self.concat:
+            input_ = " ".join(words2)
+        elif len(words2) == 1:
+            # upstream quirk: takes the FIRST of the ORIGINAL word list
+            input_ = words[0]
+        elif words2:
+            return "-".join(self.encode(word) for word in words2)
+        builder = _PhonemeBuilder.empty(language_set)
+        i = 0
+        while i < len(input_):
+            i, _found = _apply_rules_at(
+                rules, input_, builder, i, self.max_phonemes)
+        builder = self._apply_final_rules(builder, final_rules1)
+        builder = self._apply_final_rules(builder, final_rules2)
+        return builder.make_string()
+
+
+# --------------------------------------------------------------------------
+# Lucene BeiderMorseFilter surface
+
+_TOKEN_RE = re.compile(r"[^()|-]+")
+
+
+def bm_parts(term: str, engine: PhoneticEngine) -> tuple[str, ...]:
+    """The BeiderMorseFilter token emission for one input token: the
+    ``([^()|-]+)`` matches over the engine output. Empty -> the token
+    passes through unchanged (no-match contract of the filter)."""
+    return tuple(_TOKEN_RE.findall(engine.encode(term)))
+
+
+class BeiderMorseMulti:
+    """Chain ``synonyms`` producer with REPLACE semantics
+    (``replaces = True``): ``get(term)`` returns the full emission — the
+    first code takes the original token's position, the rest stack at
+    posIncr 0, and the original term is dropped (BeiderMorseFilter
+    behavior). Returns ``default`` when the engine produced no codes
+    (token passes through)."""
+
+    replaces = True
+
+    def __init__(self, name_type: str = "gen", rule_type: str = "approx",
+                 concat: bool = True,
+                 max_phonemes: int = DEFAULT_MAX_PHONEMES):
+        self.engine = PhoneticEngine(name_type, rule_type, concat,
+                                     max_phonemes)
+
+    def get(self, term: str, default=()):
+        out = bm_parts(term, self.engine)
+        return out if out else default

@@ -738,7 +738,46 @@ def _build_segment_frame(
     else:
         flen = np.bincount(row_of, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4_np(flen).astype(np.int64)
-    if synonyms and codes.size:
+    if synonyms and codes.size and getattr(synonyms, "replaces", False):
+        # REPLACE+stack producer (BeiderMorseFilter semantics): per unique
+        # term the first emission REPLACES the token at its position, the
+        # rest stack at posIncr 0, and no-emission terms pass through.
+        # flen (computed above) is untouched: one posIncr>0 token per
+        # source either way.
+        assert tf_flat is None, (
+            "synonym expansion is unsupported on tf-override chains"
+        )
+        parts_per_u = [synonyms.get(u, ()) for u in uniques]
+        # stacked pairs keyed on the ORIGINAL unique index (two originals
+        # may share a first code but carry different stacks)
+        pairs = [
+            (i, s) for i, p in enumerate(parts_per_u) for s in p[1:]
+        ]
+        add_r, add_p = [], []
+        for orig_i, _ in pairs:
+            m = codes == orig_i
+            add_r.append(row_of[m])
+            add_p.append(pos_raw[m])
+        xformed = np.array(
+            [p[0] if p else u for u, p in zip(uniques, parts_per_u)],
+            dtype=object)
+        all_terms = np.concatenate([
+            xformed, np.array([s for _, s in pairs], dtype=object)
+        ]) if pairs else xformed
+        remap, uniques = pd.factorize(all_terms, sort=True)
+        codes = remap[: len(xformed)][codes]
+        if pairs:
+            syn_codes = remap[len(xformed):]
+            add_c = [
+                np.full(len(r), syn_codes[k], dtype=codes.dtype)
+                for k, r in enumerate(add_r)
+            ]
+            codes = np.concatenate([codes] + add_c)
+            row_of = np.concatenate([row_of] + add_r)
+            pos_raw = np.concatenate([pos_raw] + add_p)
+            o = np.lexsort((pos_raw, codes.astype(np.int64) * n + row_of))
+            codes, row_of, pos_raw = codes[o], row_of[o], pos_raw[o]
+    elif synonyms and codes.size:
         assert tf_flat is None, (
             "synonym expansion is unsupported on tf-override chains"
         )

@@ -1,0 +1,121 @@
+"""Beider-Morse engine (functions/beidermorse.py): goldens generated FROM
+the compiled commons-codec PhoneticEngine (tools/phonetic_fuzz.py bm
+modes, which also fuzz 20k words/config at 0 mismatches), filter-emission
+semantics, and the replace+stack chain slot."""
+from __future__ import annotations
+
+import pickle
+
+from lucene_spark.functions.analysis import analyze_one_chain, register_chain
+from lucene_spark.functions.beidermorse import (
+    ANY_LANGUAGE,
+    NO_LANGUAGES,
+    BeiderMorseMulti,
+    PhoneticEngine,
+    bm_parts,
+    guess_languages,
+    lang_set,
+)
+
+# printed from the compiled commons-codec 1.19 classes — NEVER hand-edit
+_GEN_APPROX = [
+    ("angelo", "YngYlo|Yngilo|agilo|angYlo|angilo|aniilo|anilo|anxilo|"
+               "anzilo|ogilo|ongYlo|ongilo|oniilo|onilo|onxilo|onzilo"),
+    ("d'angelo", "(YngYlo|Yngilo|agilo|angYlo|angilo|aniilo|anilo|anxilo|"
+                 "anzilo|ogilo|ongYlo|ongilo|oniilo|onilo|onxilo|onzilo)-"
+                 "(dYngYlo|dYngilo|dagilo|dangYlo|dangilo|daniilo|danilo|"
+                 "danxilo|danzilo|dogilo|dongYlo|dongilo|doniilo|donilo|"
+                 "donxilo|donzilo)"),
+    ("del toro", "(tYro|toro|turo)-(dltYro|dltoro|dlturo)"),
+    ("schwarz", "svYrts|svarts|svorts"),
+    ("tymczak", "tQmtsink|tQmtsok|tQmtsonk|timtsink|timtsok|timtsonk"),
+    ("björk", "biYrk|bzYrk"),
+    ("x", "S|g|gS|gs|k|ks|s"),
+    ("zzz", "|ds|dsts|dzds|dzdsts|s|sS|ss|sts|ststs|ts|tsts|tststs|zds|"
+            "zdsts"),
+    ("smith", "zmit"),
+    ("llewellyn", "lYvln|linvln|livln|lonvln"),
+    ("caesar", "kDsar|kDsor|kYsar|kYsor|kYzar|kYzor|kaisar|kaisor|kaizar|"
+               "kaizor|koisar|koisor|koizar|koizor"),
+]
+
+_OTHER_CONFIGS = [
+    ("ash", "approx", True, "van helsing", "Ylznk|ilznk|xilznk"),
+    ("ash", "approx", True, "ben gurion", "gQrion|gurion|gurn|urion|urn"),
+    ("sep", "approx", True, "d'angelo",
+     "anhila|anhilu|anzila|anzilu|nhila|nhilu|nzila|nzilu"),
+    ("sep", "approx", True, "de la cruz", "lakruS|lakrus|lakruts"),
+    ("gen", "exact", True, "schwarz", "Svarts"),
+    ("gen", "exact", True, "björk", "bZYrk|bjYrk"),
+    # non-concat single-word quirk + the multi-word '-' join
+    ("gen", "approx", False, "ben gurion",
+     "bn|vn-gQrion|gurion|gurn|urion|urn"),
+    ("gen", "approx", False, "müller-lüdenscheidt",
+     "mlYr|mlir|mulir-lQdnzDt|lQdnzat|lQdnzit|ludnzDt|ludnzat|ludnzit"),
+]
+
+
+def test_gen_approx_goldens():
+    e = PhoneticEngine()
+    for word, want in _GEN_APPROX:
+        assert e.encode(word) == want, word
+
+
+def test_other_config_goldens():
+    for nt, rt, concat, word, want in _OTHER_CONFIGS:
+        e = PhoneticEngine(nt, rt, concat)
+        assert e.encode(word) == want, (nt, rt, concat, word)
+
+
+def test_language_guessing():
+    # tsch is distinctively German; the guessed set drives which
+    # per-language rule file applies
+    ls = guess_languages("gen", "deutsch")
+    assert ls.contains("german")
+    # no rule survives -> ANY
+    assert guess_languages("gen", "zzzqqq") is not NO_LANGUAGES
+
+
+def test_language_set_algebra():
+    some = lang_set({"german", "french"})
+    other = lang_set({"german"})
+    assert some.restrict_to(other).languages == frozenset({"german"})
+    assert some.restrict_to(ANY_LANGUAGE) is some
+    assert some.restrict_to(NO_LANGUAGES) is NO_LANGUAGES
+    assert some.merge(NO_LANGUAGES) is some
+    assert some.merge(ANY_LANGUAGE) is ANY_LANGUAGE
+    # the upstream quirk: ANY.merge(x) returns x — even NO
+    assert ANY_LANGUAGE.merge(NO_LANGUAGES) is NO_LANGUAGES
+    assert NO_LANGUAGES.merge(some) is some
+
+
+def test_bm_parts_filter_emission():
+    e = PhoneticEngine()
+    # single token: parts = the |-separated codes
+    parts = bm_parts("smith", e)
+    assert parts == ("zmit",)
+    # digits produce no codes -> empty (token passes through in the chain)
+    assert bm_parts("1234", e) == ()
+    m = BeiderMorseMulti()
+    assert m.replaces is True
+    assert m.get("smith") == ("zmit",)
+    assert m.get("1234", ("fallback",)) == ("fallback",)
+    # pickles (executors rebuild the rule caches from the jar lazily)
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.get("smith") == ("zmit",)
+
+
+def test_replace_stack_chain_roundtrip():
+    register_chain("simple_bm_test", base="simple",
+                   synonyms=BeiderMorseMulti())
+    toks, pos, flen = analyze_one_chain("smith 1234 caesar",
+                                        "simple_bm_test")
+    # smith -> zmit (replaced), 1234 passes through, caesar -> 14 codes
+    # (first replaces at position 2, 13 stack)
+    assert flen == 3
+    assert ("zmit", 0) in zip(toks, pos)
+    assert ("1234", 1) in zip(toks, pos)
+    assert ("kDsar", 2) in zip(toks, pos)
+    assert ("smith", 0) not in zip(toks, pos)  # original dropped
+    assert ("koizor", 2) in zip(toks, pos)     # stacked at source position
+    assert len(toks) == 3 + 13

@@ -44,6 +44,23 @@ def test_doc_vocab_matches_corpus():
     assert vocab == sorted(entry._DOC_VOCAB)
 
 
+def test_beidermorse_first_codes_injective():
+    """bm25_beidermorse_chain's oracle realizes replace+stack as
+    vocab_map (word -> first code) + synonyms keyed ON the first code.
+    That replay is exact ONLY while the first codes are injective over
+    the corpus vocabulary (two words sharing a first code with different
+    stacks would cross-stack in SQL) and no word encodes to nothing."""
+    from lucene_spark.functions.beidermorse import BeiderMorseMulti
+
+    bm = BeiderMorseMulti()
+    parts = {w: bm.get(w, ()) for w in entry._DOC_VOCAB}
+    assert all(parts.values()), [w for w, p in parts.items() if not p]
+    firsts = {}
+    for w, p in parts.items():
+        other = firsts.setdefault(p[0], w)
+        assert other == w or parts[other] == p, (w, other, p[0])
+
+
 def test_english_oracle_stems_every_rewriting_word():
     from lucene_spark.functions.porter import stem
 

@@ -34,6 +34,26 @@ public class Harness {
         ColognePhonetic cp = new ColognePhonetic();
         Nysiis ny = new Nysiis();
         DaitchMokotoffSoundex dms = new DaitchMokotoffSoundex();
+        org.apache.commons.codec.language.bm.PhoneticEngine bmGen =
+            new org.apache.commons.codec.language.bm.PhoneticEngine(
+                org.apache.commons.codec.language.bm.NameType.GENERIC,
+                org.apache.commons.codec.language.bm.RuleType.APPROX, true);
+        org.apache.commons.codec.language.bm.PhoneticEngine bmAsh =
+            new org.apache.commons.codec.language.bm.PhoneticEngine(
+                org.apache.commons.codec.language.bm.NameType.ASHKENAZI,
+                org.apache.commons.codec.language.bm.RuleType.APPROX, true);
+        org.apache.commons.codec.language.bm.PhoneticEngine bmSep =
+            new org.apache.commons.codec.language.bm.PhoneticEngine(
+                org.apache.commons.codec.language.bm.NameType.SEPHARDIC,
+                org.apache.commons.codec.language.bm.RuleType.APPROX, true);
+        org.apache.commons.codec.language.bm.PhoneticEngine bmExact =
+            new org.apache.commons.codec.language.bm.PhoneticEngine(
+                org.apache.commons.codec.language.bm.NameType.GENERIC,
+                org.apache.commons.codec.language.bm.RuleType.EXACT, true);
+        org.apache.commons.codec.language.bm.PhoneticEngine bmNoConcat =
+            new org.apache.commons.codec.language.bm.PhoneticEngine(
+                org.apache.commons.codec.language.bm.NameType.GENERIC,
+                org.apache.commons.codec.language.bm.RuleType.APPROX, false);
         while ((line = in.readLine()) != null) {
             String r;
             try {
@@ -46,6 +66,11 @@ public class Harness {
                     case "cologne": r = cp.encode(line); break;
                     case "nysiis": r = ny.encode(line); break;
                     case "dmsoundex": r = dms.soundex(line) + "\t" + dms.encode(line); break;
+                    case "bm": r = bmGen.encode(line); break;
+                    case "bm_ash": r = bmAsh.encode(line); break;
+                    case "bm_sep": r = bmSep.encode(line); break;
+                    case "bm_exact": r = bmExact.encode(line); break;
+                    case "bm_noconcat": r = bmNoConcat.encode(line); break;
                     default: throw new IllegalArgumentException(enc);
                 }
             } catch (Exception e) {
@@ -148,6 +173,17 @@ def run(encoder: str, n: int) -> int:
         "nysiis": ph.nysiis,
         "dmsoundex": getattr(ph, "daitch_mokotoff_both", None),
     }
+    if encoder.startswith("bm"):
+        from lucene_spark.functions.beidermorse import PhoneticEngine
+
+        eng = {
+            "bm": PhoneticEngine("gen", "approx", True),
+            "bm_ash": PhoneticEngine("ash", "approx", True),
+            "bm_sep": PhoneticEngine("sep", "approx", True),
+            "bm_exact": PhoneticEngine("gen", "exact", True),
+            "bm_noconcat": PhoneticEngine("gen", "approx", False),
+        }[encoder]
+        fns[encoder] = eng.encode
     fn = fns[encoder]
     if fn is None:
         print(f"{encoder}: not implemented yet")
