@@ -2698,6 +2698,79 @@ def _beidermorse_chain_df(spark, sf_dir):
     )
 
 
+#: Hunspell chain grammar (our own, authored for this corpus; goldens for
+#: it printed from the COMPILED reference Dictionary+Stemmer — see
+#: tests/test_hunspell.py). customer -SFX-> custom; scan -PFX-> can;
+#: filter has TWO stems (dictionary word 'filter' + 'filt'/E) so the
+#: second stacks at posIncr 0; merge/row stem to themselves through the
+#: dictionary; every other corpus word is unknown and passes through
+#: (HunspellStemFilter.java:34-78 no-stem contract).
+_HUNSPELL_AFF = b"""SET UTF-8
+PFX P Y 1
+PFX P 0 s .
+SFX E Y 2
+SFX E 0 er .
+SFX E e er e
+SFX S Y 1
+SFX S 0 s .
+"""
+_HUNSPELL_DIC = b"""6
+can/P
+custom/E
+filter
+filt/E
+merge/ES
+row/S
+"""
+
+
+def _hunspell_injector():
+    from lucene_spark.functions.hunspell import HunspellStemInjector
+
+    return HunspellStemInjector(_HUNSPELL_AFF, [_HUNSPELL_DIC])
+
+
+def _hunspell_searcher(spark, sf_dir):
+    """Index built with a Hunspell stemming chain (analysis-common
+    ``hunspell/HunspellStemFilter.java:34-78``): the Stemmer's unique
+    stems REPLACE the token — first stem at the original position, the
+    rest stacked at posIncr 0, unknown words pass through."""
+    from lucene_spark.functions.analysis import register_chain
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    register_chain("simple_hunspell", base="simple",
+                   synonyms=_hunspell_injector())
+    index_dir = _index_dir_for(sf_dir) + "_hun"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple_hunspell")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _hunspell_chain_df(spark, sf_dir):
+    """HunspellStemFilter chain: 'custom' is reachable only through the
+    SFX strip of 'customer' (the surface form is replaced); 'can' only
+    through the PFX strip of 'scan'; 'filt' exists only as the stacked
+    SECOND stem of 'filter' (whose first stem — the dictionary word
+    itself — keeps the original position)."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _hunspell_searcher(spark, sf_dir)
+    ast = {"bool": {"must": [{"term": "custom"}],
+                    "should": [{"term": "can"}, {"term": "filt"}]}}
+    q = rewrite_fixpoint(parse_query(json.dumps(ast)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _FLT_FIELDS = [("mrege scan", 1, 1)]  # 'mrege' = 1 OSA transposition
 _FLT_K_TERMS = 10
 
@@ -3205,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_dcompound_chain"] = _dcompound_chain_df
     out["bm25_hcompound_chain"] = _hcompound_chain_df
     out["bm25_beidermorse_chain"] = _beidermorse_chain_df
+    out["bm25_hunspell_chain"] = _hunspell_chain_df
     out["xml_query_parser"] = _xml_parser_df
     out["fuzzy_like_this"] = _fuzzy_like_this_df
     out["bm25_custom_sim"] = _custom_sim_df
@@ -4129,6 +4203,22 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
         vocab_map=tuple((w, p[0]) for w, p in sorted(_bm_parts.items())
                         if p),
         synonyms=tuple((p[0], s) for _w, p in sorted(_bm_parts.items())
+                       if p for s in p[1:]),
+    )
+    # Hunspell replace+stack, same replay shape as BeiderMorse: vocab_map
+    # (word -> first stem) + stacking keyed on the first stem; exact
+    # because effective first stems are injective over the corpus
+    # vocabulary (pinned in tests/test_entries_contract.py)
+    _hun = _hunspell_injector()
+    _hun_stems = {w: _hun.get(w, ()) for w in _DOC_VOCAB}
+    out["bm25_hunspell_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(
+            {"bool": {"must": [{"term": "custom"}],
+                      "should": [{"term": "can"}, {"term": "filt"}]}})),
+        _QUERY_K,
+        vocab_map=tuple((w, p[0]) for w, p in sorted(_hun_stems.items())
+                        if p),
+        synonyms=tuple((p[0], s) for _w, p in sorted(_hun_stems.items())
                        if p for s in p[1:]),
     )
     out["bm25_custom_sim"] = sqlgen.topk_sql(

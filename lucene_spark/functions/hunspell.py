@@ -1,0 +1,1156 @@
+"""Hunspell dictionary-stemmer engine — the last analysis-common package.
+
+Replays the reference's hunspell STEM path (ref
+``analysis-common/.../hunspell/``): ``Dictionary.java`` .aff/.dic parsing
+(flag strategies, AF/AM aliases, PFX/SFX rules with conditions and
+continuation classes, IGNORE/ICONV/OCONV, hidden capitalized entries),
+``AffixCondition.java`` condition compilation (strip-aware splitting,
+substring fast paths, regex fallback with literal '-'),
+``Stemmer.java`` affix removal (two-stage suffixes / complex prefixes,
+cross-product checks, circumfix/needaffix gating, case variation incl.
+sharp-s and apostrophe title-casing) and ``HunspellStemFilter.java``
+emission (first stem REPLACES the token, the rest stack at posIncr 0 —
+the same replace+stack chain slot as BeiderMorse).
+
+The engine is CODE, not data: .aff/.dic contents are constructor
+parameters (the reference's own test grammars drive the parity fuzz —
+tools/hunspell_fuzz.py runs this port against the COMPILED reference
+classes over every stemming-relevant test dictionary).
+
+The spell/suggest surfaces (``Hunspell.java`` compound checking,
+``Suggester.java``) are out of scope — ``HunspellStemFilter`` is the
+analyzer-chain consumer and uses only ``Stemmer``.
+
+Python-vs-Java notes: flags are Java chars modeled as ints;
+``Character.toLowerCase/toUpperCase`` are per-char SIMPLE mappings
+(``İ`` lowers to ``i``, ``ß`` has no single-char upper) — see
+``_char_lower``/``_char_upper``; entry sorting is plain code-point order
+(== the reference's UTF-8 offline sort order).
+"""
+from __future__ import annotations
+
+import re
+
+FLAG_UNSET = 0
+DEFAULT_FLAGS = 65510
+HIDDEN_FLAG = 65511  # 'ONLYUPCASEFLAG'
+MAX_PROLOGUE = 30 * 1024
+FLAG_SEPARATOR = "\x1f"
+MORPH_SEPARATOR = "\x1e"
+
+_CHARSET_ALIASES = {"microsoft-cp1251": "windows-1251",
+                    "TIS620-2533": "TIS-620"}
+
+
+def _codec(name: str) -> str:
+    name = _CHARSET_ALIASES.get(name, name)
+    # Java lacks ISO8859-14 (hand-rolled decoder there); Python has it
+    try:
+        b"".decode(name)
+        return name
+    except LookupError:
+        return name.replace("ISO8859", "iso8859-").replace("--", "-")
+
+
+def _char_lower(ch: str) -> str:
+    """Character.toLowerCase: simple 1:1 mapping (İ -> i, not i+dot)."""
+    if ch == "İ":
+        return "i"
+    low = ch.lower()
+    return low if len(low) == 1 else ch
+
+
+def _char_upper(ch: str) -> str:
+    """Character.toUpperCase: simple 1:1 mapping (ß stays ß)."""
+    up = ch.upper()
+    return up if len(up) == 1 else ch
+
+
+def _is_upper(ch: str) -> bool:
+    return ch.isupper()
+
+
+def _char_case(ch: str) -> int:
+    """WordCase.charCase: 1=UPPER, -1=LOWER (with an upper counterpart),
+    0=NEUTRAL."""
+    if _is_upper(ch):
+        return 1
+    if ch.islower() and _char_upper(ch) != ch:
+        return -1
+    return 0
+
+
+# WordCase values
+UPPER, TITLE, LOWER, MIXED, NEUTRAL = "UPPER", "TITLE", "LOWER", "MIXED", \
+    "NEUTRAL"
+
+
+def word_case(word: str) -> str:
+    """WordCase.caseOf (ref WordCase.java)."""
+    start = _char_case(word[0])
+    seen_upper = seen_lower = False
+    for ch in word[1:]:
+        cc = _char_case(ch)
+        seen_upper = seen_upper or cc == 1
+        seen_lower = seen_lower or cc == -1
+        if seen_upper and seen_lower:
+            break
+    if seen_lower and seen_upper:
+        return MIXED
+    if start == -1:
+        return MIXED if seen_upper else LOWER
+    if start == 1:
+        return UPPER if not seen_lower else TITLE
+    return LOWER if seen_lower else (UPPER if seen_upper else NEUTRAL)
+
+
+def _java_split_ws(line: str) -> list[str]:
+    """Java line.split("\\s+"): leading empty kept, trailing removed."""
+    if line == "":
+        return [""]
+    parts = re.split(r"\s+", line)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+# --------------------------------------------------------------------------
+# flag parsing strategies (Dictionary$*FlagParsingStrategy)
+
+
+def _flags_simple(raw: str) -> tuple[int, ...]:
+    return tuple(ord(c) for c in raw)
+
+
+def _flags_default_as_utf8(raw: str) -> tuple[int, ...]:
+    return tuple(ord(c) for c in
+                 raw.encode("latin-1", "replace").decode("utf-8", "replace"))
+
+
+def _flags_num(raw: str) -> tuple[int, ...]:
+    out = []
+    group = ""
+    for i in range(len(raw) + 1):
+        if i == len(raw) or raw[i] == ",":
+            if group:
+                flag = int(group)
+                if flag >= DEFAULT_FLAGS:
+                    raise ValueError(f"Num flag out of range: {flag}")
+                out.append(flag)
+                group = ""
+        elif "0" <= raw[i] <= "9":
+            group += raw[i]
+    return tuple(out)
+
+
+def _flags_long(raw: str) -> tuple[int, ...]:
+    out = []
+    for i in range(len(raw) // 2):
+        f1, f2 = ord(raw[i * 2]), ord(raw[i * 2 + 1])
+        if f1 >= 256 or f2 >= 256:
+            raise ValueError(f"LONG flags must be double ASCII: {raw}")
+        out.append(f1 << 8 | f2)
+    return tuple(out)
+
+
+# --------------------------------------------------------------------------
+# ConvTable (ICONV/OCONV): longest-match-at-position, replacements never
+# rescanned (ref ConvTable.java applyMappings)
+
+
+class ConvTable:
+    def __init__(self, mappings: dict[str, str]):
+        self.mappings = dict(mappings)
+        self.first_chars = {k[0] for k in mappings}
+        self.max_len = max((len(k) for k in mappings), default=0)
+
+    def might_replace_char(self, ch: str) -> bool:
+        # the reference uses a first-char hash (false positives possible);
+        # exact membership is observationally equivalent — cleanInput is
+        # a no-op exactly when no mapping applies
+        return ch in self.first_chars
+
+    def apply(self, s: str) -> str:
+        out = []
+        i = 0
+        n = len(s)
+        while i < n:
+            ch = s[i]
+            if ch not in self.first_chars:
+                out.append(ch)
+                i += 1
+                continue
+            best_end = -1
+            best = None
+            for j in range(i + 1, min(n, i + self.max_len) + 1):
+                rep = self.mappings.get(s[i:j])
+                if rep is not None:
+                    best_end, best = j, rep
+            if best_end >= 0:
+                out.append(best)
+                i = best_end
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# AffixCondition (ref AffixCondition.java)
+
+ALWAYS_TRUE = ("T",)
+ALWAYS_FALSE = ("F",)
+ALWAYS_TRUE_KEY = ".*"
+
+
+def _is_regexp(condition: str) -> bool:
+    return "[" in condition or "." in condition or "-" in condition
+
+
+def _skip_char_pattern(condition: str, pos: int) -> int:
+    if condition[pos] == "[":
+        pos = condition.index("]", pos + 1)
+    return pos + 1
+
+
+def _count_char_patterns(condition: str) -> int:
+    n = 0
+    i = 0
+    while i < len(condition):
+        i = _skip_char_pattern(condition, i)
+        n += 1
+    return n
+
+
+def _skip_char_patterns(condition: str, count: int) -> int:
+    pos = 0
+    for _ in range(count):
+        pos = _skip_char_pattern(condition, pos)
+    return pos
+
+
+def _escape_dash(regex: str) -> str:
+    if "-" not in regex:
+        return regex
+    out = []
+    i = 0
+    while i < len(regex):
+        c = regex[i]
+        if c == "-":
+            out.append("\\-")
+        else:
+            out.append(c)
+            if c == "\\" and i + 1 < len(regex):
+                out.append(regex[i + 1])
+                i += 1
+        i += 1
+    return "".join(out)
+
+
+def _java_fullmatch(pattern: str, s: str) -> bool:
+    return re.fullmatch(pattern, s) is not None
+
+
+def condition_unique_key(kind: str, strip: str, condition: str) -> str:
+    if (condition == "."
+            or (kind == "PREFIX" and strip.startswith(condition))
+            or (kind == "SUFFIX" and strip.endswith(condition)
+                and not _is_regexp(condition))):
+        return ALWAYS_TRUE_KEY
+    return f"{condition} {kind} {strip}"
+
+
+def compile_condition(kind: str, strip: str, condition: str):
+    """Returns a tuple: ("T",) / ("F",) / ("SUB", forSuffix, text) /
+    ("RE", forSuffix, compiled, charCount)."""
+    if not _is_regexp(condition):
+        if kind == "SUFFIX" and condition.endswith(strip):
+            return ("SUB", True, condition[:len(condition) - len(strip)])
+        if kind == "PREFIX" and condition.startswith(strip):
+            return ("SUB", False, condition[len(strip):])
+        return ALWAYS_FALSE
+    last_bracket = condition.rfind("[")
+    if last_bracket >= 0 and condition.find("]", last_bracket + 1) < 0:
+        condition = condition + "]"
+    try:
+        chars = _count_char_patterns(condition)
+        if chars <= len(strip):
+            regex = ".*" + condition if kind == "PREFIX" else condition + ".*"
+            return ALWAYS_TRUE if _java_fullmatch(regex, strip) \
+                else ALWAYS_FALSE
+        if kind == "PREFIX":
+            split = _skip_char_patterns(condition, len(strip))
+            if not _java_fullmatch(condition[:split], strip):
+                return ALWAYS_FALSE
+            return ("RE", False,
+                    re.compile(_escape_dash(condition[split:]), re.DOTALL),
+                    chars - len(strip))
+        split = _skip_char_patterns(condition, chars - len(strip))
+        if not _java_fullmatch(condition[split:], strip):
+            return ALWAYS_FALSE
+        return ("RE", True,
+                re.compile(_escape_dash(condition[:split]), re.DOTALL),
+                chars - len(strip))
+    except re.error:
+        return ALWAYS_FALSE
+
+
+def condition_accepts(cond, stem: str) -> bool:
+    tag = cond[0]
+    if tag == "T":
+        return True
+    if tag == "F":
+        return False
+    if tag == "SUB":
+        _, for_suffix, text = cond
+        if len(stem) < len(text):
+            return False
+        return stem.endswith(text) if for_suffix else stem.startswith(text)
+    _, for_suffix, rx, char_count = cond
+    if len(stem) < char_count:
+        return False
+    seg = stem[len(stem) - char_count:] if for_suffix else stem[:char_count]
+    return rx.fullmatch(seg) is not None
+
+
+# --------------------------------------------------------------------------
+# Dictionary
+
+
+class _Affix:
+    __slots__ = ("flag", "strip", "cond", "append_flags", "cross")
+
+    def __init__(self, flag, strip, cond, append_flags, cross):
+        self.flag = flag                  # int
+        self.strip = strip                # str
+        self.cond = cond                  # compiled condition or None
+        self.append_flags = append_flags  # frozenset[int]
+        self.cross = cross                # bool
+
+
+class HunspellDictionary:
+    """.aff/.dic parser + word/affix store (ref Dictionary.java)."""
+
+    def __init__(self, aff: bytes, dics: list[bytes],
+                 ignore_case: bool = False):
+        self.ignore_case = ignore_case
+        self.complex_prefixes = False
+        self.circumfix = FLAG_UNSET
+        self.keepcase = FLAG_UNSET
+        self.force_ucase = FLAG_UNSET
+        self.needaffix = FLAG_UNSET
+        self.forbiddenword = FLAG_UNSET
+        self.onlyincompound = FLAG_UNSET
+        self.compound_flag = FLAG_UNSET
+        self.compound_begin = FLAG_UNSET
+        self.compound_middle = FLAG_UNSET
+        self.compound_end = FLAG_UNSET
+        self.compound_permit = FLAG_UNSET
+        self.compound_forbid = FLAG_UNSET
+        self.no_suggest = FLAG_UNSET
+        self.sub_standard = FLAG_UNSET
+        self.check_sharp_s = False
+        self.full_strip = False
+        self.language = None
+        self.alternate_casing = False
+        self.ignore: str | None = None
+        self.iconv: ConvTable | None = None
+        self.oconv: ConvTable | None = None
+        self.prefix_map: dict[str, list[int]] = {}
+        self.suffix_map: dict[str, list[int]] = {}
+        self.affixes: list[_Affix] = []
+        self.second_stage_prefix_flags: set[int] = set()
+        self.second_stage_suffix_flags: set[int] = set()
+        self.morph_data: list[str] = [""]
+        self.has_custom_morph = False
+        self._aliases: list[str] = []
+        self._morph_aliases: list[str] = []
+        self._parse_flags = _flags_simple
+
+        enc = "latin-1"
+        body = aff
+        if aff.startswith(b"\xef\xbb\xbf"):
+            enc = "utf-8"
+            body = aff[3:]
+        self._read_config(body[:MAX_PROLOGUE - 1], enc)
+        self._read_affix(body)
+        self._read_dics(dics)
+
+    # -- config prologue (readConfig)
+
+    def _read_config(self, prologue: bytes, stream_enc: str) -> None:
+        # the main decoder defaults to ISO-8859-1 even under a UTF-8 BOM
+        # (the BOM only selects the PROLOGUE scan charset) — Dictionary.java
+        # decoder field + readConfig
+        self.encoding = "latin-1"
+        flag_line = None
+        charset_found = flag_found = False
+        for line in prologue.decode(stream_enc, "replace").splitlines():
+            if not line.strip():
+                continue
+            first = re.split(r"\s", line)[0]
+            if first == "SET":
+                self.encoding = _codec(_java_split_ws(line.strip())[1])
+                charset_found = True
+            elif first == "FLAG":
+                flag_line = line
+                flag_found = True
+            else:
+                continue
+            if charset_found and flag_found:
+                break
+        if flag_found:
+            ftype = _java_split_ws(flag_line.strip())[1]
+            if ftype == "num":
+                self._parse_flags = _flags_num
+            elif ftype == "UTF-8":
+                if self.encoding in ("latin-1", "ISO-8859-1"):
+                    self._parse_flags = _flags_default_as_utf8
+                else:
+                    self._parse_flags = _flags_simple
+            elif ftype == "long":
+                self._parse_flags = _flags_long
+            else:
+                raise ValueError(f"Unknown flag type: {ftype}")
+
+    def _parse_flag(self, raw: str) -> int:
+        return self._parse_flags(raw)[0]
+
+    # -- .aff (readAffixFile)
+
+    def _read_affix(self, body: bytes) -> None:
+        lines = body.decode(self.encoding, "replace").splitlines()
+        self._patterns: list = [None]
+        seen_patterns = {ALWAYS_TRUE_KEY: 0}
+        it = iter(enumerate(lines, 1))
+        af_header_seen = am_header_seen = False
+        for lineno, raw in it:
+            line = raw
+            if lineno == 1 and line.startswith("﻿"):
+                line = line[1:]
+            line = line.strip()
+            if not line:
+                continue
+            first = re.split(r"\s", line)[0]
+            if first == "AF":
+                args = _java_split_ws(line)
+                if not af_header_seen:
+                    af_header_seen = True  # first AF line = alias count
+                else:
+                    self._aliases.append(args[1] if len(args) > 1 else "")
+            elif first == "AM":
+                if not am_header_seen:
+                    am_header_seen = True  # first AM line = alias count
+                else:
+                    self._morph_aliases.append(line[2:])
+            elif first in ("PFX", "SFX"):
+                self._parse_affix_block(line, it, first == "PFX",
+                                        seen_patterns)
+            elif line == "COMPLEXPREFIXES":
+                self.complex_prefixes = True
+            elif first == "CIRCUMFIX":
+                self.circumfix = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "KEEPCASE":
+                self.keepcase = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "FORCEUCASE":
+                self.force_ucase = self._parse_flag(_java_split_ws(line)[1])
+            elif first in ("NEEDAFFIX", "PSEUDOROOT"):
+                self.needaffix = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "ONLYINCOMPOUND":
+                self.onlyincompound = self._parse_flag(
+                    _java_split_ws(line)[1])
+            elif first == "CHECKSHARPS":
+                self.check_sharp_s = True
+            elif first == "IGNORE":
+                self.ignore = "".join(sorted(_java_split_ws(line)[1]))
+            elif first in ("ICONV", "OCONV"):
+                num = int(_java_split_ws(line)[1])
+                mappings = {}
+                for _ in range(num):
+                    _, conv = next(it)
+                    parts = _java_split_ws(conv.strip())
+                    mappings[parts[1]] = parts[2]
+                if first == "ICONV":
+                    self.iconv = ConvTable(mappings)
+                else:
+                    self.oconv = ConvTable(mappings)
+            elif first == "FULLSTRIP":
+                self.full_strip = True
+            elif first == "LANG":
+                self.language = _java_split_ws(line)[1]
+                code = self.language.split("_")[0]
+                self.alternate_casing = code in ("tr", "az")
+            elif first == "FORBIDDENWORD":
+                self.forbiddenword = self._parse_flag(
+                    _java_split_ws(line)[1])
+            elif first == "NOSUGGEST":
+                self.no_suggest = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "SUBSTANDARD":
+                self.sub_standard = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "COMPOUNDFLAG":
+                self.compound_flag = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "COMPOUNDBEGIN":
+                self.compound_begin = self._parse_flag(
+                    _java_split_ws(line)[1])
+            elif first == "COMPOUNDMIDDLE":
+                self.compound_middle = self._parse_flag(
+                    _java_split_ws(line)[1])
+            elif first == "COMPOUNDEND":
+                self.compound_end = self._parse_flag(_java_split_ws(line)[1])
+            elif first == "COMPOUNDPERMITFLAG":
+                self.compound_permit = self._parse_flag(
+                    _java_split_ws(line)[1])
+            elif first == "COMPOUNDFORBIDFLAG":
+                self.compound_forbid = self._parse_flag(
+                    _java_split_ws(line)[1])
+            elif first in ("REP", "MAP", "COMPOUNDRULE",
+                           "CHECKCOMPOUNDPATTERN", "BREAK"):
+                # suggester/compound data: consume the block lines so the
+                # directive payload is never misread as other directives
+                num = int(_java_split_ws(line)[1])
+                for _ in range(num):
+                    next(it, None)
+
+    def _parse_affix_block(self, header, it, is_prefix, seen_patterns):
+        args = _java_split_ws(header)
+        cross = args[2] == "Y"
+        num_lines = int(args[3])
+        target = self.prefix_map if is_prefix else self.suffix_map
+        stage = self.second_stage_prefix_flags if is_prefix \
+            else self.second_stage_suffix_flags
+        kind = "PREFIX" if is_prefix else "SUFFIX"
+        for _ in range(num_lines):
+            _, line = next(it)
+            rule_args = _java_split_ws(line.strip())
+            if rule_args[1] != args[1]:
+                raise ValueError(
+                    f"Affix rule mismatch. Header: {header}; rule: {line}")
+            flag = self._parse_flag(rule_args[1])
+            strip = "" if rule_args[2] == "0" else rule_args[2]
+            affix_arg = rule_args[3]
+            append_flags: tuple[int, ...] = ()
+            flag_sep = affix_arg.rfind("/")
+            if flag_sep != -1:
+                flag_part = affix_arg[flag_sep + 1:]
+                affix_arg = affix_arg[:flag_sep]
+                if self._aliases:
+                    flag_part = self._aliases[int(flag_part) - 1]
+                append_flags = self._parse_flags(flag_part)
+                stage.update(append_flags)
+            if affix_arg == "0":
+                affix_arg = ""
+            condition = rule_args[4] if len(rule_args) > 4 else "."
+            key = condition_unique_key(kind, strip, condition)
+            pattern_index = seen_patterns.get(key)
+            if pattern_index is None:
+                pattern_index = len(self._patterns)
+                seen_patterns[key] = pattern_index
+                self._patterns.append(
+                    compile_condition(kind, strip, condition))
+            cond = None if pattern_index == 0 \
+                else self._patterns[pattern_index]
+            if self._needs_input_cleaning(affix_arg):
+                affix_arg = self._clean_input(affix_arg)
+            affix_id = len(self.affixes)
+            self.affixes.append(_Affix(
+                flag, strip, cond, frozenset(append_flags), cross))
+            target.setdefault(affix_arg, []).append(affix_id)
+
+    # -- input cleaning (Dictionary.needsInputCleaning/cleanInput)
+
+    def may_need_input_cleaning(self) -> bool:
+        return self.ignore_case or self.ignore is not None \
+            or self.iconv is not None
+
+    def _needs_input_cleaning(self, s: str) -> bool:
+        if self.may_need_input_cleaning():
+            for ch in s:
+                if (self.ignore is not None and ch in self.ignore) \
+                        or (self.ignore_case
+                            and self.case_fold(ch) != ch) \
+                        or (self.iconv is not None
+                            and self.iconv.might_replace_char(ch)):
+                    return True
+        return False
+
+    def _clean_input(self, s: str) -> str:
+        out = []
+        for ch in s:
+            if self.ignore is not None and ch in self.ignore:
+                continue
+            if self.ignore_case and self.iconv is None:
+                ch = self.case_fold(ch)
+            out.append(ch)
+        res = "".join(out)
+        if self.iconv is not None:
+            res = self.iconv.apply(res)
+            if self.ignore_case:
+                res = "".join(self.case_fold(c) for c in res)
+        return res
+
+    def case_fold(self, ch: str) -> str:
+        if self.alternate_casing:
+            if ch == "I":
+                return "ı"
+            if ch == "İ":
+                return "i"
+        return _char_lower(ch)
+
+    def is_dot_i_case_change_disallowed(self, word: str) -> bool:
+        return word[0] == "İ" and not self.alternate_casing
+
+    # -- .dic (mergeDictionaries + readSortedDictionaries)
+
+    @staticmethod
+    def _index_of_space_or_tab(text: str, start: int) -> int:
+        p1 = text.find("\t", start)
+        p2 = text.find(" ", start)
+        if p1 >= 0 and p2 >= 0:
+            return min(p1, p2)
+        return max(p1, p2)
+
+    @classmethod
+    def _morph_boundary(cls, line: str) -> int:
+        end = cls._index_of_space_or_tab(line, 0)
+        if end == -1:
+            return len(line)
+        while 0 <= end < len(line):
+            if line[end] == "\t" or (
+                    end > 0 and end + 3 < len(line)
+                    and line[end + 1].isalpha() and line[end + 2].isalpha()
+                    and line[end + 3] == ":"):
+                break
+            end = cls._index_of_space_or_tab(line, end + 1)
+        if end == -1:
+            return len(line)
+        return end
+
+    @classmethod
+    def _unescape_entry(cls, entry: str) -> str:
+        out = []
+        end = cls._morph_boundary(entry)
+        i = 0
+        while i < end:
+            ch = entry[i]
+            if ch == "\\" and i + 1 < len(entry):
+                out.append(entry[i + 1])
+                i += 1
+            elif ch == "/" and i > 0:
+                out.append(FLAG_SEPARATOR)
+            elif ch not in (FLAG_SEPARATOR, MORPH_SEPARATOR):
+                out.append(ch)
+            i += 1
+        out.append(MORPH_SEPARATOR)
+        for ch in entry[end:]:
+            if ch not in (FLAG_SEPARATOR, MORPH_SEPARATOR):
+                out.append(ch)
+        return "".join(out)
+
+    def _split_morph_data(self, morph: str) -> list[str]:
+        if self._morph_aliases:
+            try:
+                morph = self._morph_aliases[int(morph.strip()) - 1]
+            except ValueError:
+                pass
+        if not morph.strip():
+            return []
+        result = []
+        start = 0
+        for i in range(len(morph) + 1):
+            if i == len(morph) or morph[i].isspace():
+                if (i - start > 3 and morph[start].isalpha()
+                        and morph[start + 1].isalpha()
+                        and morph[start + 2] == ":"):
+                    result.append(morph[start:i])
+                start = i + 1
+        return result
+
+    def _read_dics(self, dics: list[bytes]) -> None:
+        entries: list[str] = []
+        for dic in dics:
+            lines = dic.decode(self.encoding, "replace").splitlines()
+            for line in lines[1:]:
+                if not line or line[0] == "#" or line[0] == "\t":
+                    continue
+                line = self._unescape_entry(line)
+                if not self.has_custom_morph:
+                    morph_start = line.find(MORPH_SEPARATOR)
+                    if morph_start >= 0:
+                        data = line[morph_start + 1:]
+                        self.has_custom_morph = any(
+                            not s.startswith("ph:")
+                            for s in self._split_morph_data(data))
+                self._add_normalized(line, entries)
+        entries.sort()
+        self._build_words(entries)
+
+    def _add_normalized(self, line: str, entries: list[str]) -> None:
+        flag_sep = line.find(FLAG_SEPARATOR)
+        morph_sep = line.find(MORPH_SEPARATOR)
+        sep = morph_sep if flag_sep < 0 else flag_sep
+        if sep == 0:
+            return
+        before = line[:sep]
+        if self._needs_input_cleaning(before):
+            written = self._clean_input(before) + line[sep:]
+        else:
+            written = line
+        sep = len(written) - (len(line) - sep)
+        entries.append(written)
+        wc = word_case(written[:sep])
+        if wc == MIXED or (wc == UPPER and flag_sep > 0):
+            word, after = written[:sep], written[sep:]
+            hidden = (_char_upper(word[0])
+                      + "".join(self.case_fold(c) for c in word[1:])
+                      + FLAG_SEPARATOR + chr(HIDDEN_FLAG)
+                      + (after[1:] if after[:1] == FLAG_SEPARATOR
+                         else after))
+            entries.append(hidden)
+
+    def _build_words(self, entries: list[str]) -> None:
+        # word -> list of (sorted flags tuple, morphDataId)
+        self.words: dict[str, list[tuple[tuple[int, ...], int]]] = {}
+        morph_indices: dict[str, int] = {}
+        groups: dict[str, list[tuple[tuple[int, ...], int]]] = {}
+        order: list[str] = []
+        for line in entries:
+            flag_sep = line.find(FLAG_SEPARATOR)
+            end = line.find(MORPH_SEPARATOR)
+            if flag_sep == -1:
+                flags: tuple[int, ...] = ()
+                entry = line[:end]
+            else:
+                hidden = line[flag_sep + 1:flag_sep + 2] == chr(HIDDEN_FLAG)
+                flag_part = line[flag_sep + (2 if hidden else 1):end].strip()
+                if self._aliases and flag_part:
+                    flag_part = self._aliases[int(flag_part) - 1]
+                flags = self._parse_flags(flag_part)
+                if hidden:
+                    flags = flags + (HIDDEN_FLAG,)
+                entry = line[:flag_sep]
+            if not entry:
+                continue
+            morph_id = 0
+            if end + 1 < len(line):
+                fields = [d for d in self._split_morph_data(line[end + 1:])
+                          if not d.startswith("ph:")]
+                if fields:
+                    fields.sort()
+                    joined = " ".join(fields)
+                    morph_id = morph_indices.get(joined)
+                    if morph_id is None:
+                        morph_id = len(self.morph_data)
+                        morph_indices[joined] = morph_id
+                        self.morph_data.append(joined)
+            if entry not in groups:
+                order.append(entry)
+            groups.setdefault(entry, []).append(
+                (tuple(sorted(flags)), morph_id))
+        for word in order:
+            group = groups[word]
+            has_non_hidden = any(HIDDEN_FLAG not in f for f, _ in group)
+            forms = []
+            for flags, morph_id in group:
+                if has_non_hidden and len(group) > 1 \
+                        and HIDDEN_FLAG in flags:
+                    continue  # flushGroup hidden-drop quirk
+                forms.append((flags, morph_id))
+            self.words[word] = forms
+
+    # -- flag helpers
+
+    def lookup_word(self, word: str):
+        return self.words.get(word)
+
+    @staticmethod
+    def has_flag(flags: tuple[int, ...], flag: int) -> bool:
+        return flag != FLAG_UNSET and flag in flags
+
+    def affix(self, affix_id: int) -> _Affix:
+        return self.affixes[affix_id]
+
+    def is_flag_appended_by_affix(self, affix_id: int, flag: int) -> bool:
+        if affix_id < 0 or flag == FLAG_UNSET:
+            return False
+        return flag in self.affixes[affix_id].append_flags
+
+    def is_second_stage_prefix(self, flag: int) -> bool:
+        return flag in self.second_stage_prefix_flags
+
+    def is_second_stage_suffix(self, flag: int) -> bool:
+        return flag in self.second_stage_suffix_flags
+
+
+# --------------------------------------------------------------------------
+# Stemmer (ref Stemmer.java, WordContext.SIMPLE_WORD path)
+
+
+class HunspellStemmer:
+    def __init__(self, dictionary: HunspellDictionary):
+        self.d = dictionary
+
+    # -- public API
+
+    def stem(self, word: str) -> list[str]:
+        out: list[str] = []
+
+        def processor(stem, _entry_id, morph_id, *_affixes):
+            out.append(self._new_stem(stem, morph_id))
+            return True
+
+        self._analyze(word, processor)
+        return out
+
+    def unique_stems(self, word: str) -> list[str]:
+        stems = self.stem(word)
+        if len(stems) < 2:
+            return stems
+        seen = set()
+        deduped = []
+        for s in stems:
+            key = s.lower() if self.d.ignore_case else s
+            if key not in seen:
+                seen.add(key)
+                deduped.append(s)
+        return deduped
+
+    # -- internals
+
+    def _new_stem(self, stem: str, morph_id: int) -> str:
+        exception = None
+        if morph_id > 0:
+            # Stemmer.stemException verbatim (incl. its start+3 indexing
+            # off the " st:" match position)
+            data = self.d.morph_data[morph_id]
+            start = 0 if data.startswith("st:") else data.find(" st:")
+            if start >= 0:
+                next_space = data.find(" ", start + 3)
+                exception = data[start + 3:
+                                 next_space if next_space >= 0 else None]
+        text = exception if exception is not None else stem
+        if self.d.oconv is not None:
+            return self.d.oconv.apply(text)
+        return text
+
+    def _analyze(self, word: str, processor) -> None:
+        if self.d.may_need_input_cleaning() \
+                and self.d._needs_input_cleaning(word):
+            word = self.d._clean_input(word)
+        if not word:
+            return
+        if not self._do_stem(word, processor):
+            return
+        wc = self._case_of(word)
+        if wc in (UPPER, TITLE):
+            self._vary_case(
+                word, wc,
+                lambda variant, _oc: self._do_stem(variant, processor))
+
+    def _case_of(self, word: str) -> str:
+        if self.d.ignore_case or not word or word[0].islower():
+            return MIXED
+        return word_case(word)
+
+    def _vary_case(self, word: str, wc: str, processor) -> bool:
+        title = None
+        if wc == UPPER:
+            title = word[0] + "".join(self.d.case_fold(c) for c in word[1:])
+            apos = self._capitalize_after_apostrophe(title)
+            if apos is not None and not processor(apos, wc):
+                return False
+            if not processor(title, wc):
+                return False
+            if self.d.check_sharp_s and not self._vary_sharp_s(
+                    title, processor):
+                return False
+        if self.d.is_dot_i_case_change_disallowed(word):
+            return True
+        base = title if title is not None else word
+        lower = self.d.case_fold(base[0]) + base[1:]
+        if not processor(lower, wc):
+            return False
+        if wc == UPPER and self.d.check_sharp_s \
+                and not self._vary_sharp_s(lower, processor):
+            return False
+        return True
+
+    @staticmethod
+    def _capitalize_after_apostrophe(word: str):
+        for i in range(1, len(word) - 1):
+            if word[i] == "'":
+                nxt = word[i + 1]
+                upper = _char_upper(nxt)
+                if upper != nxt:
+                    return word[:i + 1] + upper + word[i + 2:]
+        return None
+
+    def _vary_sharp_s(self, word: str, processor) -> bool:
+        length = len(word)
+
+        def find_ss(start):
+            for i in range(start, length - 1):
+                if word[i] == "s" and word[i + 1] == "s":
+                    return i
+            return -1
+
+        def replace_ss(start, depth):
+            if depth > 5:
+                return [word[start:]]
+            ss = find_ss(start)
+            if ss < 0:
+                return None
+            prefix = word[start:ss]
+            tails = replace_ss(ss + 2, depth + 1)
+            if tails is None:
+                tails = [word[ss + 2:]]
+            out = []
+            for t in tails:
+                out.append(prefix + "ss" + t)
+                out.append(prefix + "ß" + t)
+            return out
+
+        result = replace_ss(0, 0)
+        if result is None:
+            return True
+        for s in result:
+            if s != word and not processor(s, None):
+                return False
+        return True
+
+    def _do_stem(self, word: str, processor) -> bool:
+        d = self.d
+        forms = d.lookup_word(word)
+        if forms is not None:
+            for flags, morph_id in forms:
+                if d.has_flag(flags, d.needaffix):
+                    continue
+                # SIMPLE_WORD context: onlyincompound roots are skipped
+                if d.has_flag(flags, d.onlyincompound):
+                    continue
+                if not processor(word, flags, morph_id, -1, -1, -1, -1):
+                    return False
+
+        def stem_candidate(cand, last_affix, outer_prefix, inner_prefix,
+                           outer_suffix, inner_suffix):
+            cforms = d.lookup_word(cand)
+            if cforms is None:
+                return True
+            flag = d.affix(last_affix).flag
+            prefix_id = inner_prefix if inner_prefix >= 0 else outer_prefix
+            for flags, morph_id in cforms:
+                if d.has_flag(flags, flag) \
+                        or d.is_flag_appended_by_affix(prefix_id, flag):
+                    if inner_prefix < 0 and outer_prefix >= 0:
+                        prefix_flag = d.affix(outer_prefix).flag
+                        if not d.has_flag(flags, prefix_flag) \
+                                and not d.is_flag_appended_by_affix(
+                                    last_affix, prefix_flag):
+                            continue
+                    if d.has_flag(flags, d.onlyincompound):
+                        continue
+                    if not processor(cand, flags, morph_id, outer_prefix,
+                                     inner_prefix, outer_suffix,
+                                     inner_suffix):
+                        return False
+            return True
+
+        return self._remove_affixes(word, True, -1, -1, -1, stem_candidate)
+
+    def _remove_affixes(self, word: str, do_prefix: bool, outer_prefix: int,
+                        inner_prefix: int, outer_suffix: int,
+                        processor) -> bool:
+        d = self.d
+        length = len(word)
+        if do_prefix and d.prefix_map:
+            limit = length + 1 if d.full_strip else length
+            for i in range(0, limit):
+                ids = d.prefix_map.get(word[:i])
+                if not ids:
+                    continue
+                for prefix in ids:
+                    if prefix == outer_prefix:
+                        continue
+                    if self._is_affix_compatible(prefix, True, outer_prefix,
+                                                 outer_suffix):
+                        stripped = self._strip_affix(word, i, prefix, True)
+                        if stripped is None:
+                            continue
+                        if not self._apply_affix(
+                                stripped, prefix, True, outer_prefix,
+                                inner_prefix, outer_suffix, processor):
+                            return False
+        if d.suffix_map:
+            limit = 0 if d.full_strip else 1
+            for i in range(length, limit - 1, -1):
+                ids = d.suffix_map.get(word[i:])
+                if not ids:
+                    continue
+                for suffix in ids:
+                    if suffix == outer_suffix:
+                        continue
+                    if self._is_affix_compatible(suffix, False, outer_prefix,
+                                                 outer_suffix):
+                        stripped = self._strip_affix(
+                            word, length - i, suffix, False)
+                        if stripped is None:
+                            continue
+                        if not self._apply_affix(
+                                stripped, suffix, False, outer_prefix,
+                                inner_prefix, outer_suffix, processor):
+                            return False
+        return True
+
+    def _strip_affix(self, word: str, affix_len: int, affix_id: int,
+                     is_prefix: bool):
+        d = self.d
+        aff = d.affix(affix_id)
+        de_affixed_len = len(word) - affix_len
+        strip = aff.strip
+        if len(strip) + de_affixed_len == 0:
+            return None
+        if aff.cond is not None:
+            stem_part = word[affix_len:] if is_prefix \
+                else word[:de_affixed_len]
+            if not condition_accepts(aff.cond, stem_part):
+                return None
+        if not strip:
+            return word[affix_len:] if is_prefix else word[:de_affixed_len]
+        if is_prefix:
+            return strip + word[affix_len:]
+        return word[:de_affixed_len] + strip
+
+    def _is_affix_compatible(self, affix_id: int, is_prefix: bool,
+                             outer_prefix: int, outer_suffix: int) -> bool:
+        d = self.d
+        aff = d.affix(affix_id)
+        previous_was_prefix = outer_suffix < 0 and outer_prefix >= 0
+        # SIMPLE_WORD context
+        if d.onlyincompound != FLAG_UNSET \
+                and d.onlyincompound in aff.append_flags:
+            return False
+        if outer_prefix == -1 and outer_suffix == -1:
+            return True
+        if aff.cross:
+            if previous_was_prefix:
+                return True
+            if outer_suffix >= 0:
+                prev_flag = d.affix(outer_suffix).flag
+                return prev_flag in aff.append_flags
+        return False
+
+    def _apply_affix(self, word: str, affix_id: int, prefix: bool,
+                     outer_prefix: int, inner_prefix: int, outer_suffix: int,
+                     processor) -> bool:
+        d = self.d
+        prefix_id = inner_prefix if inner_prefix >= 0 else outer_prefix
+        previous_affix = outer_suffix if outer_suffix >= 0 else prefix_id
+        inner_suffix = -1
+        if prefix:
+            if outer_prefix < 0:
+                outer_prefix = affix_id
+            else:
+                inner_prefix = affix_id
+        else:
+            if outer_suffix < 0:
+                outer_suffix = affix_id
+            else:
+                inner_suffix = affix_id
+        skip_lookup = self._needs_another_affix(
+            affix_id, previous_affix, not prefix, prefix_id)
+        if not skip_lookup and not processor(
+                word, affix_id, outer_prefix, inner_prefix, outer_suffix,
+                inner_suffix):
+            return False
+        if inner_suffix >= 0:
+            return True
+        recursion_depth = (1 if outer_suffix >= 0 else 0) + \
+            (2 if inner_prefix >= 0 else (1 if outer_prefix >= 0 else 0)) - 1
+        aff = d.affix(affix_id)
+        if aff.cross and recursion_depth <= 1:
+            flag = aff.flag
+            if recursion_depth == 0:
+                if prefix:
+                    # after the first prefix: ALWAYS recurse into suffixes;
+                    # also into prefixes when COMPLEXPREFIXES + 2nd-stage
+                    do_prefix = d.complex_prefixes \
+                        and d.is_second_stage_prefix(flag)
+                elif not d.complex_prefixes \
+                        and d.is_second_stage_suffix(flag):
+                    do_prefix = False
+                else:
+                    return True
+            else:
+                if prefix and d.complex_prefixes:
+                    do_prefix = True
+                elif prefix or d.complex_prefixes \
+                        or not d.is_second_stage_suffix(flag):
+                    return True
+                else:
+                    do_prefix = False
+            return self._remove_affixes(
+                word, do_prefix, outer_prefix, inner_prefix, outer_suffix,
+                processor)
+        return True
+
+    def _needs_another_affix(self, affix_id: int, previous_affix: int,
+                             is_suffix: bool, prefix_id: int) -> bool:
+        d = self.d
+        circumfix = d.circumfix
+        if is_suffix:
+            if d.is_flag_appended_by_affix(prefix_id, circumfix) \
+                    != d.is_flag_appended_by_affix(affix_id, circumfix):
+                return True
+        if d.is_flag_appended_by_affix(affix_id, d.needaffix):
+            return (not is_suffix
+                    or previous_affix < 0
+                    or d.is_flag_appended_by_affix(previous_affix,
+                                                   d.needaffix))
+        return False
+
+
+# --------------------------------------------------------------------------
+# chain slot (HunspellStemFilter semantics: replace + stack)
+
+
+class HunspellStemInjector:
+    """Chain ``synonyms`` producer with ``replaces = True``: the first
+    stem takes the token's position, the rest stack at posIncr 0; unknown
+    words pass through unchanged (HunspellStemFilter.java:34-78,
+    dedup=true default)."""
+
+    replaces = True
+
+    def __init__(self, aff: bytes, dics: list[bytes],
+                 ignore_case: bool = False, dedup: bool = True,
+                 longest_only: bool = False):
+        self.aff = aff
+        self.dics = list(dics)
+        self.ignore_case = ignore_case
+        self.dedup = dedup and not longest_only
+        self.longest_only = longest_only
+        self._stemmer = None
+
+    @property
+    def stemmer(self) -> HunspellStemmer:
+        if self._stemmer is None:
+            self._stemmer = HunspellStemmer(
+                HunspellDictionary(self.aff, self.dics, self.ignore_case))
+        return self._stemmer
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_stemmer"] = None
+        return d
+
+    def get(self, term: str, default=()):
+        st = self.stemmer
+        stems = st.unique_stems(term) if self.dedup else st.stem(term)
+        if not stems:
+            return default
+        if self.longest_only and len(stems) > 1:
+            # length desc, ties broken text-descending (the filter's
+            # comparator); stable two-pass sort
+            stems = sorted(stems, reverse=True)
+            stems.sort(key=len, reverse=True)
+            return (stems[0],)
+        return tuple(stems)

@@ -61,6 +61,20 @@ def test_beidermorse_first_codes_injective():
         assert other == w or parts[other] == p, (w, other, p[0])
 
 
+def test_hunspell_first_stems_injective():
+    """bm25_hunspell_chain's oracle uses the same replay as BeiderMorse:
+    vocab_map (word -> first stem) + synonyms keyed ON the first stem.
+    Exact only while EFFECTIVE first stems (the word itself when no stem
+    is produced) are injective over the corpus vocabulary, or collisions
+    share identical stem tuples."""
+    inj = entry._hunspell_injector()
+    parts = {w: inj.get(w, (w,)) for w in entry._DOC_VOCAB}
+    firsts = {}
+    for w, p in parts.items():
+        other = firsts.setdefault(p[0], w)
+        assert other == w or parts[other] == p, (w, other, p[0])
+
+
 def test_english_oracle_stems_every_rewriting_word():
     from lucene_spark.functions.porter import stem
 

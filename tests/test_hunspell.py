@@ -1,0 +1,193 @@
+"""Hunspell engine (functions/hunspell.py): goldens printed FROM the
+compiled reference Dictionary+Stemmer (tools/hunspell_fuzz.py harness,
+which also fuzzes every stemming-relevant reference test grammar at 0
+mismatches — 164 configs x ~80k words), injector emission semantics,
+and the replace+stack chain slot."""
+from __future__ import annotations
+
+import os
+import pickle
+
+import pytest
+
+from lucene_spark.functions.analysis import analyze_one_chain, register_chain
+from lucene_spark.functions.hunspell import (
+    HunspellDictionary,
+    HunspellStemInjector,
+    HunspellStemmer,
+)
+
+_REF = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/hunspell")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_REF), reason="reference grammars not available")
+
+# printed from the compiled reference classes (HunFuzz harness) — NEVER
+# hand-edit. Each row: (grammar base name, word, full stem list in the
+# reference's order+multiplicity).
+_GOLDENS = [
+    # base affixation: dictionary word + SFX/PFX strips, homonym double
+    ("base", "created", ["created", "create"]),
+    ("base", "create", ["create"]),
+    ("base", "imply", ["imply"]),
+    ("base", "convey", ["convey"]),
+    # circumfix gating: the suffixed form maps back to the root
+    ("circumfix", "nagy", ["nagy"]),
+    ("circumfix", "nagyobb", ["nagy"]),
+    # COMPLEXPREFIXES two-stage prefix chains
+    ("complexprefix", "foo", ["foo"]),
+    ("complexprefix", "foosuf", ["foo"]),
+    ("complexprefix", "ptwofoo", ["foo"]),
+    # affix CONDITION matching (strip-aware)
+    ("condition", "hello", ["hello"]),
+    ("condition", "tried", ["try"]),
+    ("condition", "worked", ["work"]),
+    ("condition", "rework", ["work"]),
+    ("condition", "forceucase", []),
+    # ICONV input conversion
+    ("conv", "drink", ["drInk"]),
+    ("conv", "drinkable", ["drInk"]),
+    ("conv", "drunk", []),
+    # IGNORE character stripping
+    ("ignore", "drink", ["drink"]),
+    ("ignore", "dr-ank", ["drank"]),
+    ("ignore", "dr-ankable", ["drank"]),
+    ("ignore", "xmpl", []),
+    # LANG tr_TR alternate casing (dotted/dotless i)
+    ("dotless_i", "iç", ["iç"]),
+    ("dotless_i", "İç", ["iç"]),
+    ("dotless_i", "IÇ", []),
+    ("dotless_i", "İÇ", ["iç"]),
+    ("dotless_i", "ıç", []),
+    ("dotless_i", "IŞIK", ["ışık"]),
+    ("dotless_i", "Işık", ["ışık"]),
+    ("dotless_i", "Diyarbakır", ["Diyarbakır"]),
+    ("dotless_i", "DİYARBAKIR", ["Diyarbakır"]),
+    ("dotless_i", "diyarbakır", []),
+    ("alternate-casing", "drink", ["drink"]),
+    ("alternate-casing", "drinki", ["drink"]),
+    ("alternate-casing", "idrink", ["drink"]),
+    # CHECKSHARPS ß/SS upper-case variation
+    ("checksharps", "müßig", ["müßig"]),
+    ("checksharps", "MÜSSIG", ["müßig"]),
+    ("checksharps", "Ausstoß", ["Ausstoß"]),
+    ("checksharps", "AUSSTOSS", ["Ausstoß"]),
+    ("checksharps", "Abstoß.", ["Abstoß."]),
+    ("checksharps", "ABSTOSS.", ["Abstoß."]),
+    # FLAG long / FLAG num strategies
+    ("flaglong", "foos", ["foo"]),
+    ("flagnum", "foos", ["foo"]),
+    # FULLSTRIP (strip == whole word)
+    ("fullstrip", "as", ["a"]),
+    ("fullstrip", "beer", ["beer"]),
+    # NEEDAFFIX: bare 'walk' is affix-only, suffixed forms stem
+    ("needaffix", "drink", ["drink"]),
+    ("needaffix", "drinks", ["drink"]),
+    ("needaffix", "walk", []),
+    ("needaffix", "walks", ["walk"]),
+    ("needaffix", "prewalk", ["walk"]),
+    # morphological data does not split stems; homonyms emit twice
+    ("morph", "drink", ["drink"]),
+    ("morph", "drinkable", ["drink"]),
+    ("morph", "drinks", []),
+    ("homonyms", "work", ["work", "work"]),
+    ("homonyms", "works", ["work", "work"]),
+    # AF/AM aliases route to st: overrides
+    ("morphalias", "feet", ["foot"]),
+    ("morphalias", "work", ["workverb", "worknoun"]),
+    ("morphalias", "works", ["workverb", "worknoun"]),
+    ("morphalias", "feetscratcher", ["foot"]),
+    ("morphalias", "simplenouns", ["simplenoun"]),
+    # escaped slashes in .dic entries
+    ("escaped", "work", ["work"]),
+    ("escaped", "works", ["work"]),
+    ("escaped", "works/", []),
+    # two-stage suffixes
+    ("twosuffixes", "drinkable", ["drink"]),
+    ("twosuffixes", "drinks", ["drink"]),
+    # case variation incl. apostrophe title-casing and ALLCAPS keepcase
+    ("allcaps", "OpenOffice.org", ["OpenOffice.org"]),
+    ("allcaps", "OPENOFFICE.ORG", ["Openoffice.org"]),
+    ("allcaps", "UNICEF", ["UNICEF", "Unicef"]),
+    ("allcaps", "UNICEF's", ["UNICEF"]),
+    ("allcaps", "L'Afrique", ["Afrique"]),
+]
+
+
+def _stemmer(base: str, ignore_case: bool = False) -> HunspellStemmer:
+    aff = open(os.path.join(_REF, base + ".aff"), "rb").read()
+    dic = open(os.path.join(_REF, base + ".dic"), "rb").read()
+    return HunspellStemmer(HunspellDictionary(aff, [dic], ignore_case))
+
+
+def test_reference_goldens():
+    stemmers: dict[str, HunspellStemmer] = {}
+    for base, word, want in _GOLDENS:
+        if base not in stemmers:
+            stemmers[base] = _stemmer(base)
+        assert stemmers[base].stem(word) == want, (base, word)
+
+
+def test_broken_aff_rejected_like_reference():
+    # the reference Dictionary ctor throws on broken.aff; so must we
+    with pytest.raises(Exception):
+        _stemmer("broken")
+
+
+# ---- the entry grammar (authored; goldens below printed from the
+# compiled class against this exact .aff/.dic) ----------------------------
+
+def _entry_injector(**kw) -> HunspellStemInjector:
+    import __spark_entry__ as entry
+
+    return HunspellStemInjector(
+        entry._HUNSPELL_AFF, [entry._HUNSPELL_DIC], **kw)
+
+
+_ENTRY_GOLDENS = [
+    ("customer", ["custom"]),
+    ("filter", ["filter", "filt"]),
+    ("merge", ["merge"]),
+    ("merges", ["merge"]),
+    ("row", ["row"]),
+    ("rows", ["row"]),
+    ("scan", ["can"]),
+    ("scans", []),
+    ("order", []),
+    ("spark", []),
+    ("customers", []),
+]
+
+
+def test_entry_grammar_goldens():
+    st = _entry_injector().stemmer
+    for word, want in _ENTRY_GOLDENS:
+        assert st.stem(word) == want, word
+
+
+def test_injector_semantics():
+    inj = _entry_injector()
+    assert inj.replaces is True
+    # unknown word -> default (token passes through in the chain)
+    assert inj.get("spark") == ()
+    assert inj.get("spark", ("spark",)) == ("spark",)
+    assert inj.get("filter") == ("filter", "filt")
+    # longestOnly picks by length desc (filter > filt), emits one stem
+    assert _entry_injector(longest_only=True).get("filter") == ("filter",)
+    # executors get the injector through the task closure -> picklable,
+    # and the lazily-built stemmer must not ride along
+    rt = pickle.loads(pickle.dumps(inj))
+    assert rt.get("customer") == ("custom",)
+
+
+def test_chain_replace_stack_semantics():
+    register_chain("simple_hunspell_t", base="simple",
+                   synonyms=_entry_injector())
+    toks, pos, flen = analyze_one_chain(
+        "customer filter scan merge spark", "simple_hunspell_t")
+    # first stems take the source positions (order preserved), the second
+    # stem of 'filter' stacks at its position; field_len counts sources
+    assert toks == ["custom", "filter", "can", "merge", "spark", "filt"]
+    assert pos == [0, 1, 2, 3, 4, 1]
+    assert flen == 5

@@ -1,0 +1,217 @@
+"""Compiled-reference parity fuzz for functions/hunspell.py.
+
+Builds the reference lucene-core + hunspell package on JDK 17
+(tools/build_ref_core.py), then runs the REAL Dictionary + Stemmer
+against the Python port over every stemming-relevant (.aff, .dic) pair
+in the reference's own hunspell test tree, comparing the full stem
+LISTS (order + multiplicity) for:
+
+- every dictionary word (and its case variants),
+- dictionary words with every affix append attached on either side,
+- random mutations (junk suffixes/prefixes, case flips, digits).
+
+Pairs whose .aff the reference itself rejects (broken*.aff) must raise
+on BOTH sides. Run: python tools/hunspell_fuzz.py [n_extra_per_dict]
+"""
+from __future__ import annotations
+
+import os
+import random
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.build_ref_core import build  # noqa: E402
+
+TESTDIR = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+           "lucene/analysis/hunspell")
+HARNESS_DIR = "/tmp/hunharness_auto"
+
+HARNESS = r'''
+package org.apache.lucene.analysis.hunspell;
+
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.*;
+import java.util.*;
+import org.apache.lucene.store.ByteBuffersDirectory;
+import org.apache.lucene.util.CharsRef;
+
+public class HunFuzz {
+  public static void main(String[] args) throws Exception {
+    Stemmer st;
+    PrintStream out = new PrintStream(System.out, true, "UTF-8");
+    try {
+      Dictionary dict = new Dictionary(new ByteBuffersDirectory(), "tmp",
+          Files.newInputStream(Path.of(args[0])),
+          Collections.singletonList(Files.newInputStream(Path.of(args[1]))),
+          args[2].equals("1"));
+      st = new Stemmer(dict);
+    } catch (Throwable e) {
+      out.println("!DICTERR " + e.getClass().getSimpleName());
+      return;
+    }
+    out.println("!OK");
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      StringBuilder sb = new StringBuilder();
+      try {
+        for (CharsRef ref : st.stem(line)) {
+          if (sb.length() > 0) sb.append('');
+          sb.append(ref.toString());
+        }
+      } catch (Throwable e) {
+        sb.setLength(0);
+        sb.append("!EXC ").append(e.getClass().getSimpleName());
+      }
+      out.println(sb);
+    }
+  }
+}
+'''
+
+
+def ensure_harness() -> str:
+    core = build()
+    os.makedirs(
+        os.path.join(HARNESS_DIR, "org/apache/lucene/analysis/hunspell"),
+        exist_ok=True)
+    src = os.path.join(
+        HARNESS_DIR, "org/apache/lucene/analysis/hunspell/HunFuzz.java")
+    cur = open(src).read() if os.path.exists(src) else ""
+    if cur != HARNESS or not os.path.exists(src.replace(".java", ".class")):
+        with open(src, "w") as fh:
+            fh.write(HARNESS)
+        subprocess.run(
+            ["javac", "-encoding", "UTF-8", "-cp", core, "-d", HARNESS_DIR,
+             src], check=True)
+    return core
+
+
+def java_stem(core, aff, dic, ignore_case, words):
+    p = subprocess.run(
+        ["java", "-cp", f"{core}:{HARNESS_DIR}",
+         "org.apache.lucene.analysis.hunspell.HunFuzz", aff, dic,
+         "1" if ignore_case else "0"],
+        input="\n".join(words) + "\n" if words else "",
+        capture_output=True, text=True)
+    lines = p.stdout.splitlines()
+    if not lines:
+        raise RuntimeError(f"no output: {p.stderr[-500:]}")
+    return lines[0], lines[1:]
+
+
+def gen_words(aff_path, dic_path, n_extra, rng):
+    dic_lines = open(dic_path, "rb").read().decode("latin-1").splitlines()
+    roots = []
+    for ln in dic_lines[1:]:
+        if not ln or ln[0] in "#\t":
+            continue
+        w = re.split(r"[/\t ]", ln)[0].replace("\\", "")
+        if w:
+            roots.append(w)
+    appends = set()
+    for ln in open(aff_path, "rb").read().decode("latin-1").splitlines():
+        parts = ln.split()
+        if len(parts) >= 4 and parts[0] in ("PFX", "SFX"):
+            app = parts[3].split("/")[0]
+            if app not in ("0", "Y", "N") and len(app) <= 12:
+                appends.add((parts[0] == "PFX", app))
+    words = []
+    for r in roots[:200]:
+        words.append(r)
+        words.append(r.upper())
+        words.append(r[:1].upper() + r[1:])
+        words.append(r.lower())
+    app_list = sorted(appends)
+    for r in roots[:80]:
+        for is_pfx, app in app_list[:40]:
+            words.append(app + r if is_pfx else r + app)
+    for _ in range(n_extra):
+        r = rng.choice(roots) if roots else "word"
+        mode = rng.random()
+        if mode < 0.3 and app_list:
+            is_pfx, app = rng.choice(app_list)
+            w = (app + r) if is_pfx else (r + app)
+            if rng.random() < 0.5 and app_list:
+                is_pfx2, app2 = rng.choice(app_list)
+                w = (app2 + w) if is_pfx2 else (w + app2)
+        elif mode < 0.5:
+            w = r + rng.choice(["s", "e", "en", "er", "able", "x", "0"])
+        elif mode < 0.7:
+            w = "".join(c.upper() if rng.random() < 0.4 else c for c in r)
+        elif mode < 0.8:
+            w = r[:-1] if len(r) > 1 else r
+        else:
+            w = "".join(rng.choice("abcdefgszß'")
+                        for _ in range(rng.randrange(1, 10)))
+        words.append(w)
+    # the harness is line-based
+    return [w for w in dict.fromkeys(words) if w and "\n" not in w]
+
+
+def run(n_extra: int) -> int:
+    from lucene_spark.functions.hunspell import (HunspellDictionary,
+                                                 HunspellStemmer)
+
+    core = ensure_harness()
+    rng = random.Random(20260820)
+    affs = sorted(f for f in os.listdir(TESTDIR) if f.endswith(".aff"))
+    total_words = 0
+    bad = 0
+    tested = 0
+    for aff_name in affs:
+        base = aff_name[:-4]
+        dic_path = os.path.join(TESTDIR, base + ".dic")
+        aff_path = os.path.join(TESTDIR, aff_name)
+        if not os.path.exists(dic_path):
+            continue
+        for ignore_case in (False, True):
+            words = gen_words(aff_path, dic_path, n_extra, rng)
+            status, jout = java_stem(core, aff_path, dic_path, ignore_case,
+                                     words)
+            aff_b = open(aff_path, "rb").read()
+            dic_b = open(dic_path, "rb").read()
+            if status.startswith("!DICTERR"):
+                try:
+                    HunspellDictionary(aff_b, [dic_b], ignore_case)
+                except Exception:
+                    continue  # both sides reject — pass
+                print(f"MISMATCH {base} ic={ignore_case}: java rejects "
+                      f"({status}), python accepts")
+                bad += 1
+                continue
+            try:
+                st = HunspellStemmer(
+                    HunspellDictionary(aff_b, [dic_b], ignore_case))
+            except Exception as e:  # noqa: BLE001
+                print(f"MISMATCH {base} ic={ignore_case}: python rejects "
+                      f"({type(e).__name__}: {e}), java accepts")
+                bad += 1
+                continue
+            tested += 1
+            for w, j in zip(words, jout):
+                total_words += 1
+                if j.startswith("!EXC"):
+                    continue  # reference-side runtime error — skip
+                jstems = j.split("\x01") if j else []
+                try:
+                    mine = st.stem(w)
+                except Exception as e:  # noqa: BLE001
+                    mine = [f"!PYEXC {type(e).__name__}: {e}"]
+                if mine != jstems:
+                    bad += 1
+                    if bad <= 20:
+                        print(f"MISMATCH {base} ic={ignore_case} {w!r}: "
+                              f"java={jstems} py={mine}")
+    print(f"{tested} dict configs, {total_words} words, {bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    sys.exit(run(n))
