@@ -1633,6 +1633,43 @@ def _expunged_df(spark, sf_dir):
     )
 
 
+def _bp_searcher(spark: SparkSession, sf_dir: str):
+    """Index built fresh, merged, then BP-REORDERED (recursive graph
+    bisection, ``misc/index/BPIndexReorderer.java`` analog in
+    index/bp.py): docIDs are permuted within their segment ranges and
+    every postings/positions/docmap table is rewritten executor-side.
+    Collection/term stats are untouched, so scores are IDENTICAL to the
+    un-reordered build — the oracle is the plain top-k SQL."""
+    from lucene_spark.index.bp import reorder_index
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_bp"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("bp_reordered"):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        reorder_index(spark, index_dir, min_doc_freq=2,
+                      min_partition_size=8)
+    return IndexSearcher(spark, index_dir)
+
+
+def _bp_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _bp_searcher(spark, sf_dir)
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 _WORKLOAD = {
     "w_term": {"bool": {"must": [{"term": "dup"}]}},
     "w_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
@@ -3150,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_many_batch"] = _search_many_df
     out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_post_expunge"] = _expunged_df
+    out["bm25_post_bp"] = _bp_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -4338,6 +4376,11 @@ FROM r ORDER BY doc_id
              f"WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM})")
     out["bm25_post_expunge"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K, table=_surv,
+    )
+    # BP reordering is score-invariant (docIDs move, stats don't): the
+    # oracle is the plain un-reordered top-k
+    out["bm25_post_bp"] = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": "scan"})), _QUERY_K,
     )
     out["search_many_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query, t.* FROM (\n"

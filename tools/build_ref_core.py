@@ -30,6 +30,10 @@ import sys
 REF_CORE = "/root/reference/lucene/core/src/java"
 REF_HUNSPELL = ("/root/reference/lucene/analysis/common/src/java/org/"
                 "apache/lucene/analysis/hunspell")
+REF_MISC_INDEX = "/root/reference/lucene/misc/src/java/org/apache/lucene/misc/index"
+# only the BP reordering classes (the rest of misc/index pulls module deps)
+MISC_FILES = ("AbstractBPReorderer.java", "IndexReorderer.java",
+              "BPIndexReorderer.java")
 SRC = "/tmp/lucsrc_auto"
 OUT = "/tmp/lucore"
 MARKER = os.path.join(OUT, "org/apache/lucene/analysis/hunspell/"
@@ -112,6 +116,15 @@ def build(force: bool = False) -> str:
     shutil.copytree(
         REF_HUNSPELL,
         os.path.join(SRC, "org/apache/lucene/analysis/hunspell"))
+    misc_dst = os.path.join(SRC, "org/apache/lucene/misc/index")
+    os.makedirs(misc_dst)
+    for f in MISC_FILES:
+        shutil.copy(os.path.join(REF_MISC_INDEX, f), misc_dst)
+    # SPI registrations (Codec/PostingsFormat/... lookups at runtime)
+    os.makedirs(OUT, exist_ok=True)
+    shutil.copytree(
+        os.path.join(os.path.dirname(REF_CORE), "resources/META-INF"),
+        os.path.join(OUT, "META-INF"), dirs_exist_ok=True)
     # FFM exclusions + the FSDirectory fallback
     for name in FFM_EXCLUDE:
         p = os.path.join(SRC, f"org/apache/lucene/store/{name}.java")
