@@ -1670,6 +1670,47 @@ def _bp_df(spark, sf_dir):
     )
 
 
+#: TREC-style quality workload: 4 quality queries incl. a zero-result one
+#: (q_none retrieves nothing but HAS judgments — the reference records a
+#: zero QualityStats row). Relevance rule is corpus-derived and
+#: engine-free: a doc is relevant for a query iff its raw text contains
+#: the query's pivot word >= _QUALITY_TF times (substring count via the
+#: length/replace identity — replayed verbatim in the DuckDB twin).
+_QUALITY_ASTS = {
+    "q_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
+    "q_dup": {"term": "dup"},
+    "q_none": {"term": "zzz-absent"},
+    "q_scan": {"term": "scan"},
+}
+_QUALITY_REL = {"q_conj": "merge", "q_dup": "dup", "q_none": "scan",
+                "q_scan": "scan"}
+_QUALITY_TF = 3
+_QUALITY_TOPK = 10
+
+
+def _quality_df(spark, sf_dir):
+    """QualityBenchmark analog: the whole quality workload in ONE batched
+    postings scan, judged against corpus-derived qrels; per-query
+    precision points / AvP / MRR / recall (QualityStats.java:26-127)."""
+    from lucene_spark.operators.quality import quality_benchmark
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+
+    s = _searcher(spark, sf_dir)
+    queries = {n: rewrite_fixpoint(parse_query(json.dumps(a)))
+               for n, a in _QUALITY_ASTS.items()}
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    judgments = None
+    for q in sorted(_QUALITY_REL):
+        w = _QUALITY_REL[q]
+        cnt = (F.length("text")
+               - F.length(F.expr(f"replace(text, '{w}', '')"))) / len(w)
+        part = docs.filter(cnt >= _QUALITY_TF).select(
+            F.lit(q).alias("query"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("doc_name"))
+        judgments = part if judgments is None else judgments.unionByName(part)
+    return quality_benchmark(s, queries, judgments, _QUALITY_TOPK)
+
+
 _WORKLOAD = {
     "w_term": {"bool": {"must": [{"term": "dup"}]}},
     "w_conj": {"bool": {"must": [{"term": "scan"}, {"term": "merge"}]}},
@@ -3188,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_post_expunge"] = _expunged_df
     out["bm25_post_bp"] = _bp_df
+    out["quality_eval"] = _quality_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -4382,6 +4424,93 @@ FROM r ORDER BY doc_id
     out["bm25_post_bp"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K,
     )
+    # quality harness: per-query searches replayed with the standard
+    # top-k twin, QualityStats arithmetic replayed with window cumsum +
+    # ordered list_reduce (the reference's sequential float64
+    # pReleventSum), REAL casts on every metric
+    _q_res = "\n  UNION ALL\n".join(
+        f"  SELECT '{q}' AS query, doc_id, score FROM (\n"
+        + sqlgen.topk_sql(parse_query(json.dumps(_QUALITY_ASTS[q])),
+                          _QUALITY_TOPK)
+        + "\n) t_" + q
+        for q in sorted(_QUALITY_ASTS)
+    )
+    _q_rel = "\n  UNION ALL\n".join(
+        f"  SELECT '{q}' AS query, doc_id FROM documents WHERE "
+        f"(length(text) - length(replace(text, '{w}', ''))) / {len(w)}"
+        f" >= {_QUALITY_TF}"
+        for q, w in sorted(_QUALITY_REL.items())
+    )
+    _q_names = ", ".join(f"'{q}'" for q in sorted(_QUALITY_ASTS))
+    _q_pat = ",\n".join(
+        f"  CAST(CAST(CASE WHEN num_points >= {n} THEN g{n} ELSE num_good "
+        f"END AS DOUBLE) / {n} AS REAL) AS p_at_{n}"
+        for n in (1, 5, 10, 20)
+    )
+    _q_gs = ",\n".join(
+        f"    CAST(coalesce(sum(rel) FILTER (WHERE rank <= {n}), 0) "
+        f"AS BIGINT) AS g{n}"
+        for n in (1, 5, 10, 20)
+    )
+    out["quality_eval"] = f"""
+WITH res AS (
+{_q_res}
+),
+ranked AS (
+  SELECT query, doc_id, row_number() OVER (
+    PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rank
+  FROM res
+),
+rel AS (
+{_q_rel}
+),
+mg AS (SELECT query, CAST(count(*) AS BIGINT) AS max_good FROM rel GROUP BY query),
+judged AS (
+  SELECT r.query, r.rank,
+         CASE WHEN g.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM ranked r LEFT JOIN rel g ON g.query = r.query AND g.doc_id = r.doc_id
+),
+cum AS (
+  SELECT query, rank, rel,
+         sum(rel) OVER (PARTITION BY query ORDER BY rank) AS good
+  FROM judged
+),
+per AS (
+  SELECT query,
+    CAST(count(*) AS BIGINT) AS num_points,
+    CAST(sum(rel) AS BIGINT) AS num_good,
+    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        coalesce(list(CAST(good AS DOUBLE) / rank ORDER BY rank)
+                 FILTER (WHERE rel = 1), [])),
+      (acc, x) -> acc + x) AS avp_sum,
+{_q_gs}
+  FROM cum GROUP BY query
+),
+base AS (SELECT unnest([{_q_names}]) AS query),
+t AS (
+  SELECT b.query,
+    coalesce(num_points, 0) AS num_points,
+    coalesce(num_good, 0) AS num_good,
+    coalesce(max_good, 0) AS max_good,
+    first_rel, coalesce(avp_sum, 0.0) AS avp_sum,
+    coalesce(g1, 0) AS g1, coalesce(g5, 0) AS g5,
+    coalesce(g10, 0) AS g10, coalesce(g20, 0) AS g20
+  FROM base b LEFT JOIN per USING (query) LEFT JOIN mg USING (query)
+)
+SELECT query, num_points, num_good, max_good,
+{_q_pat},
+  CAST(CASE WHEN max_good = 0 THEN 0.0
+       ELSE avp_sum / CAST(max_good AS DOUBLE) END AS REAL) AS avg_precision,
+  CAST(CASE WHEN first_rel <= 5 THEN CAST(1.0 AS DOUBLE) / first_rel
+       ELSE 0.0 END AS REAL) AS mrr,
+  CAST(CASE WHEN max_good <= 0 THEN
+         (CASE WHEN num_points > 0
+               THEN CAST(num_good AS DOUBLE) / num_points ELSE 0.0 END)
+       ELSE CAST(num_good AS DOUBLE) / max_good END AS REAL) AS recall
+FROM t ORDER BY query
+""".strip()
     out["search_many_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query, t.* FROM (\n"
         + sqlgen.topk_sql(parse_query(json.dumps(ast)), _QUERY_K)

@@ -1,0 +1,216 @@
+"""Search-quality evaluation harness (TREC-style relevance metrics).
+
+Replays the reference's quality benchmark semantics
+(``benchmark/src/java/org/apache/lucene/benchmark/quality/``):
+
+- ``QualityStats`` (``QualityStats.java:26-127``): per-query precision
+  points, average precision over recall points, MRR, recall.
+  * ``addResult`` walks ranks 1..numPoints; ``pAt[n] = goodSoFar/n``.
+  * ``getPrecisionAt(n)`` for ``n > numPoints`` extrapolates to
+    ``numPoints * pAt[numPoints] / n`` = ``numGood / n``
+    (``QualityStats.java:116-123``); n is capped at MAX_POINTS=20.
+  * MRR is set only when the FIRST relevant doc lands at rank <= 5
+    (``QualityStats.java:91-93``).
+  * ``getAvp`` = sum over relevant ranks of (goodSoFar/rank), divided by
+    maxGoodPoints; 0 when maxGoodPoints == 0 (``QualityStats.java:121``).
+  * recall = numGood/maxGood, or the last precision point when
+    maxGood <= 0 (``QualityStats.java:103``).
+- ``TrecJudge`` (``trec/TrecJudge.java:90-115``): a judgment set is the
+  SET of relevant doc names per query; ``maxRecall`` = its size —
+  including relevant docs the search never returned.
+- ``QualityBenchmark.execute`` (``QualityBenchmark.java:95-120``): run
+  each quality query at ``maxResults``, judge the ranked hits.
+- ``QualityStats.average`` (``QualityStats.java:195-236``): metrics
+  averaged over queries WITH positive judgments only (m), precision
+  points averaged at their extrapolated values.
+
+Spark-first shape: the reference loops queries one at a time; here the
+whole workload executes as ONE batched ``search_many`` postings scan,
+then every metric is a JVM expression — one window cumsum + one groupBy
+per the workload, no Python row path. Float64 accumulation that the
+reference performs sequentially (``pReleventSum += p``) is replayed as an
+ordered ``F.aggregate`` fold over the rank-sorted contribution list, so a
+DuckDB twin using an ordered ``list_reduce`` is bit-identical.
+
+TREC file parsing (``TrecTopicsReader``/``QRels`` formats) is out of
+scope: judgments arrive as a DataFrame — the Spark-native qrels carrier.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+#: the reference computes pAt[1..MAX_POINTS]; we materialize this subset
+#: as columns (any n in 1..20 is valid — QualityStats.java:28)
+PRECISION_POINTS = (1, 5, 10, 20)
+MAX_POINTS = 20  # QualityStats.MAX_POINTS
+
+
+def quality_stats(
+    results: DataFrame,
+    judgments: DataFrame,
+    query_names: list[str] | None = None,
+    precision_points: tuple[int, ...] = PRECISION_POINTS,
+) -> DataFrame:
+    """Per-query QualityStats over pre-ranked results.
+
+    ``results``: DF(query string, doc_name string, rank int) — rank is
+    1-based in the searcher's return order. ``judgments``: DF(query
+    string, doc_name string) listing the RELEVANT docs per query (the
+    TrecJudge set; docs absent from results still count toward
+    maxGoodPoints). ``query_names`` adds queries that produced no result
+    rows (they get the zero stats the reference records).
+
+    Returns one row per query:
+    (query, num_points, num_good, max_good bigint; p_at_<n>...,
+    avg_precision, mrr, recall float) ordered by query.
+    """
+    for n in precision_points:
+        if not (1 <= n <= MAX_POINTS):
+            raise ValueError(
+                f"precision point {n} outside [1, {MAX_POINTS}]")
+    spark = results.sparkSession
+    rel = (
+        judgments.select(
+            F.col("query").cast("string").alias("query"),
+            F.col("doc_name").cast("string").alias("doc_name"),
+        ).distinct()
+    )
+    max_good = rel.groupBy("query").agg(
+        F.count("*").cast("long").alias("max_good"))
+
+    r = (
+        results.select(
+            F.col("query").cast("string").alias("query"),
+            F.col("doc_name").cast("string").alias("doc_name"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .join(rel.withColumn("rel", F.lit(1)), ["query", "doc_name"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    )
+    win = Window.partitionBy("query").orderBy("rank")
+    r = r.withColumn("good", F.sum("rel").over(win))
+
+    # pReleventSum: sequential float64 accumulation in RANK order
+    # (QualityStats.addResult) — ordered fold, never a reorderable SUM
+    contribs = F.sort_array(F.collect_list(F.when(
+        F.col("rel") == 1,
+        F.struct(F.col("rank").alias("r"),
+                 (F.col("good").cast("double") / F.col("rank")).alias("c")),
+    )))
+    aggs = [
+        F.count("*").cast("long").alias("num_points"),
+        F.sum("rel").cast("long").alias("num_good"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.aggregate(contribs, F.lit(0.0),
+                    lambda acc, s: acc + s["c"]).alias("avp_sum"),
+    ]
+    for n in precision_points:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= n, F.col("rel")).otherwise(0))
+            .cast("long").alias(f"_g{n}"))
+    per = r.groupBy("query").agg(*aggs)
+
+    names = {row["query"] for row in rel.select("query").distinct().collect()}
+    # result-side names come from the caller (query_names) — never collect
+    # the (small) per-query frame just for its keys when names are given
+    if query_names is not None:
+        names |= set(query_names)
+        base = spark.createDataFrame([(q,) for q in sorted(names)],
+                                     "query string")
+    else:
+        base = (results.select("query").unionByName(rel.select("query"))
+                .distinct())
+
+    out = (
+        base.join(per, "query", "left")
+        .join(max_good, "query", "left")
+        .withColumn("num_points", F.coalesce("num_points", F.lit(0)))
+        .withColumn("num_good", F.coalesce("num_good", F.lit(0)))
+        .withColumn("max_good", F.coalesce("max_good", F.lit(0)))
+    )
+    np_, ng, mg = F.col("num_points"), F.col("num_good"), F.col("max_good")
+    cols = [F.col("query"), np_, ng, mg]
+    for n in precision_points:
+        p = F.when(np_ >= n, F.coalesce(F.col(f"_g{n}"), F.lit(0)))\
+             .otherwise(ng).cast("double") / F.lit(float(n))
+        cols.append(p.cast("float").alias(f"p_at_{n}"))
+    avp = F.when(mg == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("avp_sum"), F.lit(0.0)) / mg.cast("double"))
+    mrr = F.when(F.col("first_rel") <= 5,
+                 F.lit(1.0) / F.col("first_rel").cast("double"))\
+           .otherwise(F.lit(0.0))
+    recall = F.when(
+        mg <= 0,
+        F.when(np_ > 0, ng.cast("double") / np_.cast("double"))
+         .otherwise(F.lit(0.0)),
+    ).otherwise(ng.cast("double") / mg.cast("double"))
+    cols += [avp.cast("float").alias("avg_precision"),
+             mrr.cast("float").alias("mrr"),
+             recall.cast("float").alias("recall")]
+    return out.select(*cols).orderBy("query")
+
+
+def quality_benchmark(
+    searcher,
+    queries: dict,
+    judgments: DataFrame,
+    max_results: int = 1000,
+    precision_points: tuple[int, ...] = PRECISION_POINTS,
+) -> DataFrame:
+    """QualityBenchmark.execute analog: run the whole quality workload as
+    ONE batched postings scan (``search_many``), judge against
+    ``judgments`` = DF(query, doc_name) relevant pairs, return per-query
+    QualityStats rows (see :func:`quality_stats`).
+
+    ``doc_name`` is the searcher's external document name — the docmap
+    ``conv_id`` (the reference's docNameField stored field,
+    ``QualityBenchmark.java:74-78``). Rank order is the searcher's
+    (score desc, doc_id asc) on INTERNAL ids, fixed before the name join.
+    """
+    hits = searcher.search_many(queries, max_results)
+    rank_win = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    ranked = hits.withColumn("rank", F.row_number().over(rank_win))
+    dm = searcher.docmap().select(
+        "doc_id", F.col("conv_id").cast("string").alias("doc_name"))
+    results = ranked.join(dm, "doc_id").select("query", "doc_name", "rank")
+    return quality_stats(results, judgments,
+                         query_names=list(queries.keys()),
+                         precision_points=precision_points)
+
+
+def quality_average(stats: DataFrame,
+                    precision_points: tuple[int, ...] = PRECISION_POINTS,
+                    ) -> DataFrame:
+    """QualityStats.average analog (``QualityStats.java:195-236``): one
+    row averaging the per-query stats. Metrics average over queries with
+    POSITIVE judgments only (m = #{max_good > 0}); precision points
+    average at their (already extrapolated) values; counts average too
+    (the reference divides numPoints/numGood/maxGood by m). All float64
+    sums fold in query order so a DuckDB ordered list_reduce twin is
+    bit-identical."""
+    good = stats.filter(F.col("max_good") > 0)
+
+    def fold(col):
+        lst = F.sort_array(F.collect_list(
+            F.struct(F.col("query").alias("q"),
+                     F.col(col).cast("double").alias("v"))))
+        return F.aggregate(lst, F.lit(0.0), lambda acc, s: acc + s["v"])
+
+    aggs = [F.count("*").cast("long").alias("m")]
+    for c in ("num_points", "num_good", "max_good",
+              "avg_precision", "mrr", "recall"):
+        aggs.append(fold(c).alias(f"_s_{c}"))
+    for n in precision_points:
+        aggs.append(fold(f"p_at_{n}").alias(f"_s_p{n}"))
+    agg = good.agg(*aggs)
+    m = F.col("m").cast("double")
+    cols = [F.col("m").alias("num_queries")]
+    for c in ("num_points", "num_good", "max_good"):
+        cols.append((F.col(f"_s_{c}") / m).cast("float").alias(f"avg_{c}"))
+    for n in precision_points:
+        cols.append((F.col(f"_s_p{n}") / m).cast("float").alias(f"p_at_{n}"))
+    for c in ("avg_precision", "mrr", "recall"):
+        cols.append((F.col(f"_s_{c}") / m).cast("float").alias(c))
+    return agg.select(*cols)

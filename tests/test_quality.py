@@ -1,0 +1,190 @@
+"""Quality-benchmark metrics (operators/quality.py) vs a scalar reference
+transcribed straight from QualityStats.java — randomized ranked lists
+covering every arm (no results, zero judgments, first-relevant > 5,
+precision-point extrapolation), plus the batched end-to-end path."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.quality import (
+    PRECISION_POINTS, quality_average, quality_benchmark, quality_stats,
+)
+
+
+def ref_stats(ranked_names, relevant, max_good, points=PRECISION_POINTS):
+    """Scalar QualityStats.addResult walk (QualityStats.java:80-127)."""
+    num_points = 0
+    num_good = 0
+    p_rel_sum = 0.0
+    mrr = 0.0
+    recall = 0.0
+    p_at = {}
+    for n, name in enumerate(ranked_names, 1):
+        rel = name in relevant
+        if rel:
+            num_good += 1
+            if num_good == 1 and n <= 5:
+                mrr = 1.0 / n
+        num_points = n
+        p = num_good / n
+        if rel:
+            p_rel_sum += p
+        p_at[n] = p
+        recall = p if max_good <= 0 else num_good / max_good
+
+    def get_p(n):
+        if n > num_points:
+            return (num_points * p_at.get(num_points, 0.0)) / n \
+                if num_points else 0.0
+        return p_at[n]
+
+    out = {"num_points": num_points, "num_good": num_good,
+           "max_good": max_good}
+    for n in points:
+        out[f"p_at_{n}"] = np.float32(get_p(n))
+    out["avg_precision"] = np.float32(
+        0.0 if max_good == 0 else p_rel_sum / max_good)
+    out["mrr"] = np.float32(mrr)
+    out["recall"] = np.float32(recall)
+    return out
+
+
+def _spark_stats(spark, cases, judged):
+    """cases: {query: ranked name list}; judged: {query: relevant set}."""
+    res_rows = [(q, nm, i + 1) for q, names in cases.items()
+                for i, nm in enumerate(names)]
+    jud_rows = [(q, nm) for q, rel in judged.items() for nm in sorted(rel)]
+    results = spark.createDataFrame(
+        res_rows or [("_", "_", 1)], "query string, doc_name string, rank int"
+    )
+    if not res_rows:
+        results = results.filter("1=0")
+    judgments = spark.createDataFrame(
+        jud_rows or [("_", "_")], "query string, doc_name string")
+    if not jud_rows:
+        judgments = judgments.filter("1=0")
+    df = quality_stats(results, judgments,
+                       query_names=sorted(set(cases) | set(judged)))
+    return {r["query"]: r.asDict() for r in df.collect()}
+
+
+def test_quality_stats_randomized_vs_reference(spark):
+    rng = np.random.default_rng(11)
+    cases, judged = {}, {}
+    for i in range(40):
+        q = f"q{i:02d}"
+        n_res = int(rng.integers(0, 30))
+        names = [f"d{j}" for j in rng.permutation(60)[:n_res]]
+        pool = {f"d{j}" for j in rng.integers(0, 60, size=rng.integers(0, 25))}
+        cases[q] = names
+        judged[q] = pool
+    # targeted arms
+    cases["z_empty"] = []                      # judged, never retrieved
+    judged["z_empty"] = {"d1", "d2"}
+    cases["z_nojudge"] = ["d1", "d2", "d3"]    # maxGood == 0 arm
+    judged["z_nojudge"] = set()
+    cases["z_late"] = [f"x{i}" for i in range(8)] + ["d5"]  # first rel @9>5
+    judged["z_late"] = {"d5"}
+
+    got = _spark_stats(spark, cases, judged)
+    assert set(got) == set(cases)
+    for q in cases:
+        want = ref_stats(cases[q], judged[q], len(judged[q]))
+        row = got[q]
+        for k, v in want.items():
+            if isinstance(v, np.float32):
+                assert np.float32(row[k]) == v, (q, k, row[k], v)
+            else:
+                assert row[k] == v, (q, k, row[k], v)
+    assert got["z_late"]["mrr"] == np.float32(0.0)
+    assert got["z_empty"]["num_points"] == 0
+    assert got["z_empty"]["recall"] == np.float32(0.0)
+    assert got["z_nojudge"]["avg_precision"] == np.float32(0.0)
+
+
+def test_quality_average_matches_reference(spark):
+    cases = {
+        "a": ["d1", "d2", "d3", "d4"],
+        "b": ["d9", "d1"],
+        "c": ["d7"],          # no judgments -> excluded from averages
+    }
+    judged = {"a": {"d2", "d4", "d8"}, "b": {"d1"}, "c": set()}
+    got = _spark_stats(spark, cases, judged)
+    avg = quality_average(
+        quality_stats(
+            spark.createDataFrame(
+                [(q, nm, i + 1) for q, names in cases.items()
+                 for i, nm in enumerate(names)],
+                "query string, doc_name string, rank int"),
+            spark.createDataFrame(
+                [(q, nm) for q, rel in judged.items() for nm in sorted(rel)],
+                "query string, doc_name string"),
+            query_names=list(cases),
+        )
+    ).collect()[0]
+    # QualityStats.average: m = queries with maxGood > 0, in query order
+    good = [got["a"], got["b"]]
+    assert avg["num_queries"] == 2
+    for col in ("num_points", "num_good", "max_good"):
+        assert np.float32(avg[f"avg_{col}"]) == np.float32(
+            sum(float(g[col]) for g in good) / 2)
+    for col in ([f"p_at_{n}" for n in PRECISION_POINTS]
+                + ["avg_precision", "mrr", "recall"]):
+        assert np.float32(avg[col]) == np.float32(
+            sum(float(g[col]) for g in good) / 2), col
+
+
+def test_quality_benchmark_end_to_end(spark, built_index):
+    """Batched search_many path == per-query search + scalar reference."""
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+    import json
+
+    s = IndexSearcher(spark, built_index)
+    asts = {
+        "hot": {"term": "ba"},
+        "conj": {"bool": {"must": [{"term": "ba"}, {"term": "be"}]}},
+        "none": {"term": "zzzz"},
+    }
+    queries = {n: rewrite_fixpoint(parse_query(json.dumps(a)))
+               for n, a in asts.items()}
+    # quality_benchmark names docs by conv_id (the docNameField analog);
+    # relevant = every 3rd conversation — several turns can share a
+    # relevant name, which the reference counts per returned hit too
+    dmc = {r["doc_id"]: r["conv_id"]
+           for r in s.docmap().select("doc_id", "conv_id").collect()}
+    rel_convs = {c for c in set(dmc.values())
+                 if int(c.rsplit("-", 1)[1]) % 3 == 0}
+    judged = {"hot": rel_convs, "conj": rel_convs, "none": set()}
+    judgments = spark.createDataFrame(
+        [(q, c) for q, rel in judged.items() for c in sorted(rel)],
+        "query string, doc_name string")
+
+    k = 15
+    got = {r["query"]: r.asDict()
+           for r in quality_benchmark(s, queries, judgments, k).collect()}
+    assert set(got) == set(queries)
+    for name, q in queries.items():
+        hits = s.search(q, k).collect()
+        ranked = [dmc[r["doc_id"]] for r in hits]
+        want = ref_stats(ranked, judged[name], len(judged[name]))
+        for kk, v in want.items():
+            if isinstance(v, np.float32):
+                assert np.float32(got[name][kk]) == v, (name, kk)
+            else:
+                assert got[name][kk] == v, (name, kk)
+    assert got["hot"]["num_points"] == k  # hot term fills max_results
+
+
+def test_quality_stats_rejects_bad_points(spark):
+    import pyspark
+    results = spark.createDataFrame([("q", "d", 1)],
+                                    "query string, doc_name string, rank int")
+    with pytest.raises(ValueError, match="precision point"):
+        quality_stats(results, results.select("query", "doc_name"),
+                      precision_points=(0,))
+    with pytest.raises(ValueError, match="precision point"):
+        quality_stats(results, results.select("query", "doc_name"),
+                      precision_points=(21,))
+    del pyspark
