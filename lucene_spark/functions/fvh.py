@@ -1,0 +1,575 @@
+"""FastVectorHighlighter core — a faithful port of the reference's
+``highlighter/src/java/org/apache/lucene/search/vectorhighlight`` package
+(public Apache Lucene source), fuzz-verified byte-for-byte against the
+COMPILED reference classes (tools/fvh_fuzz.py).
+
+Ported pieces and their sources:
+
+- ``FieldQuery.java:66-94,104-201`` — flatten (Boolean non-prohibited
+  clauses, DisMax, Term, Synonym->Terms, Phrase len-1 demotion,
+  ConstantScore unwrap, boost folding), expand (overlapping-phrase
+  merges incl. the boost!=1 -> BoostQuery(pq, 1f) wrapper quirk that
+  only affects set identity), QueryPhraseMap trie with
+  ``markTerminal``'s max-boost fold and termOrPhraseNumber counter.
+- ``FieldTermStack.java:60-130`` — term-vector TermInfos restricted to
+  the query term set, weight = f32(ln(numDocs/(df+1)) + 1.0), stable
+  position sort with same-position tokens linked into a ring.
+- ``FieldPhraseList.java:62-185`` — the longest-phrase greedy walk over
+  the stack (ring probing at each step), terminal/slop validation,
+  backtracking re-search, addIfNoOverlap boost accumulation.
+- ``BaseFragListBuilder.java:46-122`` — margin/fragCharSize windowing,
+  acceptPhrase, the center-recalculation. Simple vs Weighted
+  ``FieldFragList.add`` (``SimpleFieldFragList.java:40-53``,
+  ``WeightedFieldFragList.java:40-80``: distinct-term boost,
+  length/sqrt(length) norm — all float32 op-ordered).
+- ``BaseFragmentsBuilder.java:134-258`` + ``SimpleBoundaryScanner.java``
+  + ``ScoreOrderFragmentsBuilder.java:52-71`` — boundary-adjusted
+  fragment source, per-seqnum colored tags, score-ordered selection.
+
+Everything here is per-document work over the TOP-K result set only —
+the Spark side (operators/fvh.py) joins k hit rows to the positions
+artifact; no corpus-scale Python ever runs.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+f32 = np.float32
+
+DEFAULT_MARGIN = 6  # BaseFragListBuilder.MARGIN_DEFAULT
+DEFAULT_BOUNDARY_CHARS = frozenset(".,!? \t\n")  # SimpleBoundaryScanner
+DEFAULT_MAX_SCAN = 20
+
+
+# --------------------------------------------------------------- FieldQuery
+
+def _flatten(q, boost: float, out: list) -> None:
+    """FieldQuery.flatten (FieldQuery.java:104-165) over the engine AST.
+    ``out`` is an ordered LinkedHashSet analog of flat-query keys:
+    ("T", term, boost) / ("P", terms, slop, boost, wrapped)."""
+    from lucene_spark.query.ast import (
+        BooleanQuery, BoostQuery, ConstantScoreQuery, DisjunctionMaxQuery,
+        PhraseQuery, SynonymQuery, TermQuery,
+    )
+
+    while isinstance(q, BoostQuery):
+        boost = float(f32(f32(boost) * f32(q.boost)))
+        q = q.query
+    if isinstance(q, BooleanQuery):
+        # non-prohibited clauses in declaration order (BooleanClause
+        # iteration = MUST, SHOULD, FILTER here; MUST_NOT skipped)
+        for c in list(q.must) + list(q.should) + list(
+                getattr(q, "filter", ()) or ()):
+            _flatten(c, boost, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for c in q.disjuncts:
+            _flatten(c, boost, out)
+    elif isinstance(q, TermQuery):
+        key = ("T", q.term, float(f32(boost)))
+        if key not in out:
+            out.append(key)
+    elif isinstance(q, SynonymQuery):
+        # SynonymQuery.Builder SORTS its terms (SynonymQuery.java:105) —
+        # flatten order fixes termOrPhraseNumber, i.e. colored-tag seqnums
+        for t in sorted(q.terms, key=lambda s: s.encode("utf-8")):
+            _flatten(TermQuery(t), boost, out)
+    elif isinstance(q, PhraseQuery):
+        if len(q.terms) == 1:
+            _flatten(TermQuery(q.terms[0]), boost, out)
+            return
+        key = ("P", tuple(q.terms), int(q.slop), float(f32(boost)), False)
+        # LinkedHashSet.add of a dup is a no-op but flatten uses plain
+        # add here (no contains check) — set semantics dedup anyway
+        if key not in out:
+            out.append(key)
+    elif isinstance(q, ConstantScoreQuery):
+        _flatten(q.query, boost, out)
+    # else: discard (FieldQuery.java:163 "else discard queries");
+    # multi-term queries must be rewritten/expanded BEFORE this layer
+
+
+def _expand(flat: list) -> list:
+    """FieldQuery.expand (FieldQuery.java:176-261): iterate flat queries
+    consuming each (so i pairs only with later j), emitting merged
+    phrases for overlapping phrase pairs with equal slop. Insertion
+    order — q0, merges(q0,*), q1, merges(q1,*), ... — is load-bearing:
+    it fixes termOrPhraseNumber (colored-tag seqnums)."""
+    out: list = []
+
+    def check_overlap(src, dest, slop, boost):
+        # FieldQuery.java:235-261 — the SRC's boost decides the
+        # BoostQuery(pq, 1f) wrapper, which only affects set identity
+        for i in range(1, len(src)):
+            overlap = True
+            for j in range(i, len(src)):
+                if (j - i) < len(dest) and src[j] != dest[j - i]:
+                    overlap = False
+                    break
+            if overlap and len(src) - i < len(dest):
+                merged = tuple(src) + tuple(dest[len(src) - i:])
+                key = ("P", merged, slop, 1.0, boost != 1.0)
+                if key not in out:
+                    out.append(key)
+
+    n = len(flat)
+    for i in range(n):
+        qi = flat[i]
+        # LinkedHashSet.add: a later flat query equal to an earlier merge
+        # keeps the merge's position
+        if qi not in out:
+            out.append(qi)
+        if qi[0] != "P":
+            continue
+        for j in range(i + 1, n):
+            qj = flat[j]
+            if qj[0] != "P":
+                continue
+            if qi[2] != qj[2]:  # slop mismatch (FieldQuery.java:213)
+                continue
+            check_overlap(qi[1], qj[1], qi[2], qi[3])
+            check_overlap(qj[1], qi[1], qj[2], qj[3])
+    return out
+
+
+class _Node:
+    """QueryPhraseMap (FieldQuery.java:372-478)."""
+
+    __slots__ = ("sub", "terminal", "slop", "boost", "num")
+
+    def __init__(self):
+        self.sub: dict[str, _Node] = {}
+        self.terminal = False
+        self.slop = 0
+        self.boost = f32(0.0)
+        self.num = 0
+
+
+class FieldQuery:
+    """FieldQuery analog over the engine AST. ``phrase_highlight=False``
+    additionally registers every phrase term as a standalone terminal
+    (FieldQuery.java:88-92). fieldMatch collapses to one root map — the
+    engine indexes a single text field."""
+
+    def __init__(self, query, phrase_highlight: bool = True):
+        flat: list = []
+        _flatten(query, 1.0, flat)
+        expanded = _expand(flat)
+        self.root = _Node()
+        self.term_set: set[str] = set()
+        self._counter = 0
+        for key in expanded:
+            if key[0] == "T":
+                _, term, boost = key
+                self.term_set.add(term)
+                self._add_term(term, f32(boost))
+            else:
+                _, terms, slop, boost, _wrapped = key
+                self.term_set.update(terms)
+                node = self.root
+                for t in terms:
+                    node = node.sub.setdefault(t, _Node())
+                self._mark(node, slop, f32(boost))
+                if not phrase_highlight:
+                    for t in terms:
+                        self._add_term(t, f32(boost))
+
+    def _add_term(self, term: str, boost):
+        node = self.root.sub.setdefault(term, _Node())
+        self._mark(node, 0, boost)
+
+    def _mark(self, node: _Node, slop: int, boost):
+        node.terminal = True
+        node.slop = slop
+        node.boost = max(node.boost, f32(boost))
+        node.num = self._counter
+        self._counter += 1
+
+    def get_field_term_map(self, term: str):
+        return self.root.sub.get(term)
+
+    def search_phrase(self, candidate: list) -> _Node | None:
+        node = self.root
+        for ti in candidate:
+            node = node.sub.get(ti.text)
+            if node is None:
+                return None
+        return node if _is_valid(node, candidate) else None
+
+
+def _is_valid(node: _Node, candidate: list) -> bool:
+    """QueryPhraseMap.isValidTermOrPhrase (FieldQuery.java:461-477)."""
+    if not node.terminal:
+        return False
+    if len(candidate) == 1:
+        return True
+    pos = candidate[0].position
+    for ti in candidate[1:]:
+        if abs(ti.position - pos - 1) > node.slop:
+            return False
+        pos = ti.position
+    return True
+
+
+# ----------------------------------------------------------- FieldTermStack
+
+class TermInfo:
+    """FieldTermStack.TermInfo: same-position tokens form a ring via
+    ``next`` (FieldTermStack.java:108-130)."""
+
+    __slots__ = ("text", "start", "end", "position", "weight", "next")
+
+    def __init__(self, text, start, end, position, weight):
+        self.text = text
+        self.start = int(start)
+        self.end = int(end)
+        self.position = int(position)
+        self.weight = weight
+        self.next = self
+
+
+def term_weight(num_docs: int, doc_freq: int):
+    """FieldTermStack.java:90-92: (float)(log(numDocs/(double)(df+1))+1.0)."""
+    return f32(math.log(num_docs / float(doc_freq + 1)) + 1.0)
+
+
+def build_term_stack(occurrences: list[tuple[str, int, int, int]],
+                     weights: dict) -> list[TermInfo]:
+    """occurrences: (term, position, start_offset, end_offset) in any
+    order. The reference builds its termList in TermsEnum BYTE order then
+    stable-sorts by position (FieldTermStack.java:79-106), so within a
+    position the ring order is term byte order — replayed here with a
+    (position, utf-8 key) sort; same-(term, position) duplicates keep
+    input (posting) order. Ring linking per FieldTermStack.java:108-130.
+    Returns the stack as a list of ring heads in position order."""
+    infos = [TermInfo(t, s, e, p, weights[t]) for t, p, s, e in occurrences]
+    infos.sort(key=lambda ti: (ti.position, ti.text.encode("utf-8")))
+    stack: list[TermInfo] = []
+    prev = first = None
+    cur_pos = -1
+    for ti in infos:
+        if ti.position == cur_pos:
+            prev.next = ti
+            prev = ti
+        else:
+            if prev is not None:
+                prev.next = first
+            prev = first = ti
+            cur_pos = ti.position
+            stack.append(ti)
+    if prev is not None:
+        prev.next = first
+    return stack
+
+
+# ---------------------------------------------------------- FieldPhraseList
+
+class WeightedPhraseInfo:
+    """FieldPhraseList.WeightedPhraseInfo (FieldPhraseList.java:188-258):
+    adjacent-position terms merge into one Toff."""
+
+    __slots__ = ("toffs", "boost", "seqnum", "terms_infos")
+
+    def __init__(self, terms: list[TermInfo], boost, seqnum: int):
+        self.boost = f32(boost)
+        self.seqnum = seqnum
+        self.terms_infos = list(terms)
+        ti = terms[0]
+        self.toffs: list[list[int]] = [[ti.start, ti.end]]
+        pos = ti.position
+        for ti in terms[1:]:
+            if ti.position - pos == 1:
+                self.toffs[-1][1] = ti.end
+            else:
+                self.toffs.append([ti.start, ti.end])
+            pos = ti.position
+
+    @property
+    def start(self) -> int:
+        return self.toffs[0][0]
+
+    @property
+    def end(self) -> int:
+        return self.toffs[-1][1]
+
+    def overlaps(self, other: "WeightedPhraseInfo") -> bool:
+        so, eo, oso, oeo = self.start, self.end, other.start, other.end
+        return ((so <= oso < eo) or (so < oeo <= eo)
+                or (oso <= so < oeo) or (oso < eo <= oeo))
+
+    def text(self) -> str:
+        return "".join(ti.text for ti in self.terms_infos)
+
+
+def field_phrase_list(stack: list[TermInfo], fq: FieldQuery,
+                      phrase_limit: int = 2 ** 31 - 1,
+                      ) -> list[WeightedPhraseInfo]:
+    """FieldPhraseList.java:62-120 — the greedy longest-phrase walk."""
+    stack = list(stack)
+    phrases: list[WeightedPhraseInfo] = []
+
+    def add_if_no_overlap(wpi: WeightedPhraseInfo):
+        for exist in phrases:
+            if exist.overlaps(wpi):
+                exist.terms_infos.extend(wpi.terms_infos)
+                exist.boost = f32(exist.boost + wpi.boost)
+                return
+        phrases.append(wpi)
+
+    while stack and len(phrases) < phrase_limit:
+        candidate: list[TermInfo] = []
+        first = ti = stack.pop(0)
+        curr = fq.get_field_term_map(ti.text)
+        while curr is None and ti.next is not first:
+            ti = ti.next
+            curr = fq.get_field_term_map(ti.text)
+        if curr is None:
+            continue
+        candidate.append(ti)
+        while True:
+            nxt = None
+            ti = None
+            if stack:
+                first = ti = stack.pop(0)
+                nxt = curr.sub.get(ti.text)
+                while nxt is None and ti.next is not first:
+                    ti = ti.next
+                    nxt = curr.sub.get(ti.text)
+            if ti is None or nxt is None:
+                if ti is not None:
+                    stack.insert(0, ti)
+                if _is_valid(curr, candidate):
+                    add_if_no_overlap(WeightedPhraseInfo(
+                        candidate, curr.boost, curr.num))
+                else:
+                    while len(candidate) > 1:
+                        stack.insert(0, candidate.pop())
+                        curr = fq.search_phrase(candidate)
+                        if curr is not None:
+                            add_if_no_overlap(WeightedPhraseInfo(
+                                candidate, curr.boost, curr.num))
+                            break
+                break
+            else:
+                candidate.append(ti)
+                curr = nxt
+    return phrases
+
+
+# ------------------------------------------------------------- FragList
+
+class SubInfo:
+    __slots__ = ("text", "toffs", "seqnum", "boost")
+
+    def __init__(self, text, toffs, seqnum, boost):
+        self.text = text
+        self.toffs = toffs
+        self.seqnum = seqnum
+        self.boost = f32(boost)
+
+
+class WeightedFragInfo:
+    __slots__ = ("start", "end", "sub_infos", "total_boost")
+
+    def __init__(self, start, end, sub_infos, total_boost):
+        self.start = start
+        self.end = end
+        self.sub_infos = sub_infos
+        self.total_boost = f32(total_boost)
+
+
+def _add_weighted(frag_infos, start, end, wpil):
+    """WeightedFieldFragList.add (WeightedFieldFragList.java:40-80)."""
+    temp = []
+    distinct: set[str] = set()
+    length = 0
+    for pi in wpil:
+        total = f32(0.0)
+        for ti in pi.terms_infos:
+            if ti.text not in distinct:
+                distinct.add(ti.text)
+                total = f32(total + f32(ti.weight * pi.boost))
+            length += 1
+        temp.append(SubInfo(pi.text(), pi.toffs, pi.seqnum, total))
+    norm = f32(length * f32(1.0 / f32(math.sqrt(length))))
+    total_boost = f32(0.0)
+    real = []
+    for s in temp:
+        b = f32(s.boost * norm)
+        real.append(SubInfo(s.text, s.toffs, s.seqnum, b))
+        total_boost = f32(total_boost + b)
+    frag_infos.append(WeightedFragInfo(start, end, real, total_boost))
+
+
+def _add_simple(frag_infos, start, end, wpil):
+    """SimpleFieldFragList.add (SimpleFieldFragList.java:40-53)."""
+    total_boost = f32(0.0)
+    subs = []
+    for pi in wpil:
+        subs.append(SubInfo(pi.text(), pi.toffs, pi.seqnum, pi.boost))
+        total_boost = f32(total_boost + pi.boost)
+    frag_infos.append(WeightedFragInfo(start, end, subs, total_boost))
+
+
+def create_field_frag_list(phrases: list[WeightedPhraseInfo],
+                           frag_char_size: int,
+                           weighted: bool = True,
+                           margin: int = DEFAULT_MARGIN,
+                           ) -> list[WeightedFragInfo]:
+    """BaseFragListBuilder.createFieldFragList
+    (BaseFragListBuilder.java:46-106) with the Simple/Weighted add."""
+    min_frag_char_size = max(1, margin * 3)
+    if frag_char_size < min_frag_char_size:
+        raise ValueError(
+            f"fragCharSize({frag_char_size}) is too small. It must be "
+            f"{min_frag_char_size} or higher.")
+
+    def accept(pi: WeightedPhraseInfo, match_len: int) -> bool:
+        return len(pi.toffs) <= 1 or match_len <= frag_char_size
+
+    add = _add_weighted if weighted else _add_simple
+    frag_infos: list[WeightedFragInfo] = []
+    queue = list(phrases)
+    qi = 0
+    start_offset = 0
+    while qi < len(queue):
+        pi = queue[qi]
+        if pi.start < start_offset:
+            qi += 1
+            continue
+        wpil = []
+        cur_start = pi.start
+        cur_end = pi.end
+        span_start = max(cur_start - margin, start_offset)
+        span_end = max(cur_end, span_start + frag_char_size)
+        qi += 1
+        if accept(pi, cur_end - cur_start):
+            wpil.append(pi)
+        while qi < len(queue):
+            pi = queue[qi]
+            if pi.end <= span_end:
+                cur_end = pi.end
+                qi += 1
+                if accept(pi, cur_end - cur_start):
+                    wpil.append(pi)
+            else:
+                break
+        if not wpil:
+            continue
+        match_len = cur_end - cur_start
+        new_margin = max(0, (frag_char_size - match_len) // 2)
+        span_start = cur_start - new_margin
+        if span_start < start_offset:
+            span_start = start_offset
+        span_end = span_start + max(match_len, frag_char_size)
+        start_offset = span_end
+        add(frag_infos, span_start, span_end, wpil)
+    return frag_infos
+
+
+# --------------------------------------------------------- FragmentsBuilder
+
+def _find_start(text: str, start: int, max_scan: int,
+                boundary: frozenset) -> int:
+    """SimpleBoundaryScanner.findStartOffset over text+separator."""
+    if start > len(text) or start < 1:
+        return start
+    offset, count = start, max_scan
+    while offset > 0 and count > 0:
+        if text[offset - 1] in boundary:
+            return offset
+        offset -= 1
+        count -= 1
+    if offset == 0:
+        return 0
+    return start
+
+
+def _find_end(text: str, start: int, max_scan: int,
+              boundary: frozenset) -> int:
+    if start > len(text) or start < 0:
+        return start
+    offset, count = start, max_scan
+    while offset < len(text) and count > 0:
+        if text[offset] in boundary:
+            return offset
+        offset += 1
+        count -= 1
+    return start
+
+
+def create_fragments(text: str, frag_infos: list[WeightedFragInfo],
+                     max_num_fragments: int,
+                     pre_tags: tuple[str, ...] = ("<b>",),
+                     post_tags: tuple[str, ...] = ("</b>",),
+                     score_order: bool = True,
+                     max_scan: int = DEFAULT_MAX_SCAN,
+                     boundary: frozenset = DEFAULT_BOUNDARY_CHARS,
+                     multi_valued_separator: str = " ",
+                     ) -> list[str]:
+    """BaseFragmentsBuilder.createFragments + makeFragment +
+    getFragmentSourceMSO (BaseFragmentsBuilder.java:134-258) for the
+    single-stored-value case; ScoreOrderFragmentsBuilder sorts by
+    (totalBoost desc, startOffset asc), SimpleFragmentsBuilder keeps
+    frag order."""
+    if max_num_fragments < 0:
+        raise ValueError(
+            f"maxNumFragments({max_num_fragments}) must be positive number.")
+    if not frag_infos:
+        return []
+    infos = list(frag_infos)
+    if score_order:
+        infos.sort(key=lambda fi: (-float(fi.total_boost), fi.start))
+    buffer = text + multi_valued_separator
+    buffer_len = len(text)  # trailing separator ignored (tokenized field)
+    out = []
+    for fi in infos[:max_num_fragments]:
+        eo = (buffer_len if buffer_len < fi.end
+              else _find_end(buffer, fi.end, max_scan, boundary))
+        mso = _find_start(buffer, fi.start, max_scan, boundary)
+        src = buffer[mso:eo]
+        frag = []
+        idx = 0
+        for sub in fi.sub_infos:
+            for ts, te in sub.toffs:
+                frag.append(src[idx:ts - mso])
+                frag.append(pre_tags[sub.seqnum % len(pre_tags)])
+                frag.append(src[ts - mso:te - mso])
+                frag.append(post_tags[sub.seqnum % len(post_tags)])
+                idx = te - mso
+        frag.append(src[idx:])
+        out.append("".join(frag))
+    return out
+
+
+def best_fragments(text: str,
+                   occurrences: list[tuple[str, int, int, int]],
+                   weights: dict,
+                   query,
+                   frag_char_size: int = 100,
+                   max_num_fragments: int = 3,
+                   *,
+                   phrase_highlight: bool = True,
+                   weighted: bool = False,
+                   score_order: bool = True,
+                   phrase_limit: int = 2 ** 31 - 1,
+                   margin: int = DEFAULT_MARGIN,
+                   pre_tags: tuple[str, ...] = ("<b>",),
+                   post_tags: tuple[str, ...] = ("</b>",),
+                   ) -> list[str]:
+    """FastVectorHighlighter.getBestFragments for one document
+    (FastVectorHighlighter.java:110-160; the reference DEFAULT is
+    SimpleFragListBuilder + ScoreOrderFragmentsBuilder — weighted=True
+    selects WeightedFragListBuilder instead)."""
+    fq = query if isinstance(query, FieldQuery) else FieldQuery(
+        query, phrase_highlight)
+    occ = [o for o in occurrences if o[0] in fq.term_set]
+    if not occ:
+        return []
+    stack = build_term_stack(occ, weights)
+    phrases = field_phrase_list(stack, fq, phrase_limit)
+    frag_infos = create_field_frag_list(
+        phrases, frag_char_size, weighted=weighted, margin=margin)
+    return create_fragments(text, frag_infos, max_num_fragments,
+                            pre_tags, post_tags, score_order)

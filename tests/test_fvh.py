@@ -1,0 +1,174 @@
+"""FastVectorHighlighter (functions/fvh.py + operators/fvh.py): goldens
+printed FROM the compiled reference harness (tools/fvh_fuzz.py — which
+also fuzzes 400 random corpora × queries × params at 0 mismatches),
+plus the Spark plumbing parity test."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.fvh import (
+    FieldQuery, best_fragments, build_term_stack, term_weight,
+)
+from lucene_spark.query.ast import (
+    BooleanQuery, BoostQuery, PhraseQuery, TermQuery,
+)
+
+
+def _tokenize(doc: str):
+    """The harness whitespace tokenizer (no tilde tokens here)."""
+    occ, i, pos = [], 0, 0
+    while i < len(doc):
+        while i < len(doc) and doc[i] == " ":
+            i += 1
+        if i >= len(doc):
+            break
+        s = i
+        while i < len(doc) and doc[i] != " ":
+            i += 1
+        occ.append((doc[s:i], pos, s, i))
+        pos += 1
+    return occ
+
+
+def _run(query, docs, **kw):
+    occs = [_tokenize(d) for d in docs]
+    df: dict[str, int] = {}
+    for occ in occs:
+        for t in {o[0] for o in occ}:
+            df[t] = df.get(t, 0) + 1
+    terms = {o[0] for occ in occs for o in occ}
+    fq = FieldQuery(query, kw.get("phrase_highlight", True))
+    weights = {t: term_weight(len(docs), df.get(t, 0))
+               for t in terms | fq.term_set}
+    return [best_fragments(d, o, weights, query, **kw)
+            for d, o in zip(docs, occs)]
+
+
+# printed from the compiled FastVectorHighlighter (tools/fvh_fuzz.py
+# harness) — NEVER hand-edit
+def test_golden_term():
+    got = _run(TermQuery("scan"),
+               ["the quick scan runs a scan over rows", "no match here", ""],
+               frag_char_size=100, max_num_fragments=3,
+               pre_tags=("<b0>",), post_tags=("</b0>",))
+    assert got == [["the quick <b0>scan</b0> runs a <b0>scan</b0> over rows"],
+                   [], []]
+
+
+def test_golden_phrase_two_fragments():
+    got = _run(PhraseQuery(("fast", "scan")),
+               ["a fast scan beats a slow scan, fast scan wins again and again"],
+               frag_char_size=30, max_num_fragments=2,
+               pre_tags=("<b0>",), post_tags=("</b0>",))
+    assert got == [["a <b0>fast scan</b0> beats a slow scan,",
+                    " <b0>fast scan</b0> wins again and again"]]
+
+
+def test_golden_weighted_multitag():
+    q = BooleanQuery(should=(BoostQuery(TermQuery("scan"), 2.0),
+                             PhraseQuery(("merge", "sort"))))
+    got = _run(q, ["scan then merge sort then scan again. merge sort! "
+                   "ends with scan"],
+               frag_char_size=24, max_num_fragments=3, weighted=True,
+               pre_tags=("<b0>", "<b1>", "<b2>"),
+               post_tags=("</b0>", "</b1>", "</b2>"))
+    assert got == [["<b0>scan</b0> then <b1>merge sort</b1> then",
+                    "then <b0>scan</b0> again. merge sort",
+                    "ends with <b0>scan</b0>"]]
+
+
+def test_golden_overlapping_phrase_expand():
+    # FieldQuery.expand merges "a b"+"b c" -> "a b c": one merged span
+    q = BooleanQuery(should=(PhraseQuery(("a", "b")),
+                             PhraseQuery(("b", "c"))))
+    got = _run(q, ["x a b c y a b z b c w"],
+               frag_char_size=20, max_num_fragments=2, margin=0,
+               pre_tags=("<b0>",), post_tags=("</b0>",))
+    assert got == [["x <b0>a b c</b0> y <b0>a b</b0> z <b0>b c</b0> w"]]
+
+
+def test_golden_phrase_highlight_off():
+    # phraseHighlight=False registers phrase terms standalone
+    got = _run(PhraseQuery(("big", "scan"), 1),
+               ["big fat scan and big scan and scan big"],
+               frag_char_size=18, max_num_fragments=1, weighted=True,
+               phrase_highlight=False,
+               pre_tags=("<b0>",), post_tags=("</b0>",))
+    assert got == [["<b0>big</b0> fat <b0>scan</b0> and big"]]
+
+
+def test_stack_ring_order():
+    # same-position tokens ring in term BYTE order regardless of input
+    w = {"a": np.float32(1.0), "b": np.float32(1.0)}
+    stack = build_term_stack([("b", 0, 0, 3), ("a", 0, 0, 3)], w)
+    assert len(stack) == 1 and stack[0].text == "a"
+    assert stack[0].next.text == "b" and stack[0].next.next is stack[0]
+
+
+def test_frag_char_size_guard():
+    with pytest.raises(ValueError, match="too small"):
+        _run(TermQuery("x"), ["x y"], frag_char_size=5, max_num_fragments=1)
+
+
+def test_fvh_spark_plumbing(spark, small_corpus, tmp_path_factory):
+    """fvh_highlight_hits == the scalar pipeline fed from the same
+    positions rows (the Spark layer adds only the join/groupBy)."""
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.fvh import fvh_highlight_hits
+    from lucene_spark.query.search import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("fvhidx") / "idx")
+    sdf = spark.createDataFrame(small_corpus)
+    build_index(spark, sdf, d, IndexConfig(
+        num_segments=3, term_buckets=8, hot_term_df=64, offsets=True))
+    merge_index(spark, d)
+    s = IndexSearcher(spark, d)
+
+    q = BooleanQuery(should=(TermQuery("ba"), PhraseQuery(("ba", "be"))))
+    hits = s.search(q, 12)
+    out = fvh_highlight_hits(
+        s, hits, sdf, q, frag_char_size=40, max_num_fragments=2,
+        weighted=True).collect()
+    assert len(out) == 12
+    # scalar replay from the positions artifact
+    fq = FieldQuery(q)
+    ids = [r["doc_id"] for r in out]
+    pos = (s.positions_table()
+           .filter(F_col_isin_terms(sorted(fq.term_set)))
+           .collect())
+    num_docs = int(s.doc_count)
+    dfs = {r["term"]: int(r["doc_freq"]) for r in s.term_dict.filter(
+        s.term_dict.term.isin(sorted(fq.term_set))).collect()}
+    weights = {t: term_weight(num_docs, dfs.get(t, 0)) for t in fq.term_set}
+    texts = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in sdf.collect()}
+    dm = {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+          for r in s.docmap().select(
+              "doc_id", "conv_id", "turn_idx").collect()}
+    occ_by_doc: dict[int, list] = {}
+    for r in pos:
+        if r["doc_id"] not in ids:
+            continue
+        for p, st, en in zip(r["positions"], r["starts"], r["ends"]):
+            occ_by_doc.setdefault(r["doc_id"], []).append(
+                (r["term"], int(p), int(st), int(en)))
+    n_nonempty = 0
+    for row in out:
+        did = row["doc_id"]
+        occ = occ_by_doc.get(did, [])
+        want = best_fragments(
+            texts[dm[did]], occ, weights, fq, frag_char_size=40,
+            max_num_fragments=2, weighted=True) if occ else []
+        assert list(row["fragments"]) == want, did
+        n_nonempty += bool(want)
+    assert n_nonempty > 0
+    del pd
+
+
+def F_col_isin_terms(terms):
+    from pyspark.sql import functions as F
+    return F.col("term").isin(terms)

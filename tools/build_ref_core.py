@@ -34,6 +34,15 @@ REF_MISC_INDEX = "/root/reference/lucene/misc/src/java/org/apache/lucene/misc/in
 # only the BP reordering classes (the rest of misc/index pulls module deps)
 MISC_FILES = ("AbstractBPReorderer.java", "IndexReorderer.java",
               "BPIndexReorderer.java")
+REF_VHL = ("/root/reference/lucene/highlighter/src/java/org/apache/"
+           "lucene/search/vectorhighlight")
+# FieldQuery's single queries-module dependency (core-only imports itself)
+REF_FSQ = ("/root/reference/lucene/queries/src/java/org/apache/lucene/"
+           "queries/function/FunctionScoreQuery.java")
+# vectorhighlight's only highlight-package deps
+REF_HL = ("/root/reference/lucene/highlighter/src/java/org/apache/lucene/"
+          "search/highlight")
+HL_FILES = ("Encoder.java", "DefaultEncoder.java")
 SRC = "/tmp/lucsrc_auto"
 OUT = "/tmp/lucore"
 MARKER = os.path.join(OUT, "org/apache/lucene/analysis/hunspell/"
@@ -120,6 +129,15 @@ def build(force: bool = False) -> str:
     os.makedirs(misc_dst)
     for f in MISC_FILES:
         shutil.copy(os.path.join(REF_MISC_INDEX, f), misc_dst)
+    shutil.copytree(
+        REF_VHL, os.path.join(SRC, "org/apache/lucene/search/vectorhighlight"))
+    fsq_dst = os.path.join(SRC, "org/apache/lucene/queries/function")
+    os.makedirs(fsq_dst)
+    shutil.copy(REF_FSQ, fsq_dst)
+    hl_dst = os.path.join(SRC, "org/apache/lucene/search/highlight")
+    os.makedirs(hl_dst)
+    for f in HL_FILES:
+        shutil.copy(os.path.join(REF_HL, f), hl_dst)
     # SPI registrations (Codec/PostingsFormat/... lookups at runtime)
     os.makedirs(OUT, exist_ok=True)
     shutil.copytree(

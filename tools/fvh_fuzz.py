@@ -1,0 +1,465 @@
+"""Compiled-reference parity fuzz for lucene_spark/functions/fvh.py.
+
+Builds lucene-core + the vectorhighlight package (tools/build_ref_core.py),
+then compares ``best_fragments`` against the real
+``FastVectorHighlighter.getBestFragments`` byte-for-byte over random
+corpora × random queries × parameter sweeps:
+
+- whitespace tokenization with char offsets; tokens containing '~' are
+  split into stacked same-position terms (posIncr 0, shared offsets) to
+  exercise the FieldTermStack same-position ring;
+- queries: terms (boosted), phrases (slop 0-2, incl. overlapping pairs
+  that trigger FieldQuery.expand), booleans, dismax, synonym, constant
+  score, nested boosts;
+- params: fragCharSize, maxNumFragments, Simple vs Weighted frag lists,
+  phraseHighlight on/off, ScoreOrder vs source-order fragments, margin,
+  phraseLimit, multi-colored tag arrays.
+
+Run: python tools/fvh_fuzz.py [n_cases]
+"""
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.build_ref_core import build  # noqa: E402
+
+HARNESS_DIR = "/tmp/fvhharness_auto"
+
+HARNESS = r'''
+package org.apache.lucene.search.vectorhighlight;
+
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.*;
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.analysis.tokenattributes.*;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.search.highlight.DefaultEncoder;
+import org.apache.lucene.store.ByteBuffersDirectory;
+
+public class FvhFuzz {
+
+  /** whitespace tokenizer WITH offsets; "a~b" emits a then b stacked at
+   * the same position, both spanning the whole raw token. */
+  static final class TildeTokenizer extends Tokenizer {
+    private final CharTermAttribute termAtt = addAttribute(CharTermAttribute.class);
+    private final OffsetAttribute offAtt = addAttribute(OffsetAttribute.class);
+    private final PositionIncrementAttribute posAtt =
+        addAttribute(PositionIncrementAttribute.class);
+    private char[] buf = new char[65536];
+    private int len = -1, pos = 0;
+    private String pending = null;
+    private int pendStart, pendEnd;
+
+    @Override
+    public boolean incrementToken() throws IOException {
+      if (pending != null) {
+        clearAttributes();
+        termAtt.setEmpty().append(pending);
+        offAtt.setOffset(correctOffset(pendStart), correctOffset(pendEnd));
+        posAtt.setPositionIncrement(0);
+        pending = null;
+        return true;
+      }
+      if (len < 0) {
+        len = 0;
+        int n;
+        while ((n = input.read(buf, len, buf.length - len)) > 0) {
+          len += n;
+          if (len == buf.length) {
+            char[] nb = new char[buf.length * 2];
+            System.arraycopy(buf, 0, nb, 0, len);
+            buf = nb;
+          }
+        }
+      }
+      while (pos < len && buf[pos] == ' ') pos++;
+      if (pos >= len) return false;
+      int start = pos;
+      while (pos < len && buf[pos] != ' ') pos++;
+      String tok = new String(buf, start, pos - start);
+      clearAttributes();
+      int tilde = tok.indexOf('~');
+      if (tilde > 0 && tilde < tok.length() - 1) {
+        termAtt.setEmpty().append(tok.substring(0, tilde));
+        pending = tok.substring(tilde + 1);
+        pendStart = start;
+        pendEnd = pos;
+      } else {
+        termAtt.setEmpty().append(tok);
+      }
+      offAtt.setOffset(correctOffset(start), correctOffset(pos));
+      posAtt.setPositionIncrement(1);
+      return true;
+    }
+
+    @Override
+    public void reset() throws IOException {
+      super.reset();
+      len = -1;
+      pos = 0;
+      pending = null;
+    }
+  }
+
+  static int qpos;
+  static String[] qtoks;
+
+  static Query parseQuery() {
+    String t = qtoks[qpos++];
+    if (!t.equals("(")) throw new RuntimeException("expected ( got " + t);
+    String kind = qtoks[qpos++];
+    Query q;
+    switch (kind) {
+      case "T": {
+        String w = qtoks[qpos++];
+        float boost = Float.parseFloat(qtoks[qpos++]);
+        q = new TermQuery(new Term("text", w));
+        if (boost != 1f) q = new BoostQuery(q, boost);
+        break;
+      }
+      case "P": {
+        int slop = Integer.parseInt(qtoks[qpos++]);
+        float boost = Float.parseFloat(qtoks[qpos++]);
+        PhraseQuery.Builder b = new PhraseQuery.Builder();
+        while (!qtoks[qpos].equals(")")) b.add(new Term("text", qtoks[qpos++]));
+        b.setSlop(slop);
+        q = b.build();
+        if (boost != 1f) q = new BoostQuery(q, boost);
+        break;
+      }
+      case "SYN": {
+        SynonymQuery.Builder b = new SynonymQuery.Builder("text");
+        while (!qtoks[qpos].equals(")")) b.addTerm(new Term("text", qtoks[qpos++]));
+        q = b.build();
+        break;
+      }
+      case "B": {
+        float boost = Float.parseFloat(qtoks[qpos++]);
+        q = new BoostQuery(parseQuery(), boost);
+        break;
+      }
+      case "CS": {
+        q = new ConstantScoreQuery(parseQuery());
+        break;
+      }
+      case "AND": case "OR": {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        while (!qtoks[qpos].equals(")"))
+          b.add(parseQuery(), kind.equals("AND")
+              ? BooleanClause.Occur.MUST : BooleanClause.Occur.SHOULD);
+        q = b.build();
+        break;
+      }
+      case "DM": {
+        List<Query> ds = new ArrayList<>();
+        while (!qtoks[qpos].equals(")")) ds.add(parseQuery());
+        q = new DisjunctionMaxQuery(ds, 0.1f);
+        break;
+      }
+      default: throw new RuntimeException("bad kind " + kind);
+    }
+    if (!qtoks[qpos++].equals(")")) throw new RuntimeException("expected )");
+    return q;
+  }
+
+  public static void main(String[] args) throws Exception {
+    PrintStream out = new PrintStream(System.out, true, "UTF-8");
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    String[] ps = in.readLine().trim().split(" ");
+    int fragCharSize = Integer.parseInt(ps[0]);
+    int maxNumFragments = Integer.parseInt(ps[1]);
+    boolean weighted = ps[2].equals("1");
+    boolean phraseHighlight = ps[3].equals("1");
+    boolean scoreOrder = ps[4].equals("1");
+    int margin = Integer.parseInt(ps[5]);
+    int phraseLimit = Integer.parseInt(ps[6]);
+    int numTags = Integer.parseInt(ps[7]);
+    qtoks = in.readLine().trim().split(" ");
+    qpos = 0;
+    Query query = parseQuery();
+    int numDocs = Integer.parseInt(in.readLine().trim());
+
+    Analyzer analyzer = new Analyzer() {
+      @Override
+      protected TokenStreamComponents createComponents(String fieldName) {
+        return new TokenStreamComponents(new TildeTokenizer());
+      }
+    };
+    FieldType ft = new FieldType(TextField.TYPE_STORED);
+    ft.setStoreTermVectors(true);
+    ft.setStoreTermVectorPositions(true);
+    ft.setStoreTermVectorOffsets(true);
+    ft.freeze();
+    ByteBuffersDirectory dir = new ByteBuffersDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(analyzer);
+    cfg.setMaxBufferedDocs(10_000_000);
+    cfg.setRAMBufferSizeMB(512);
+    String[] docs = new String[numDocs];
+    try (IndexWriter w = new IndexWriter(dir, cfg)) {
+      for (int i = 0; i < numDocs; ++i) {
+        docs[i] = in.readLine();
+        if (docs[i] == null) docs[i] = "";
+        Document d = new Document();
+        d.add(new Field("text", docs[i], ft));
+        w.addDocument(d);
+      }
+      w.commit();
+    }
+    String[] preTags = new String[numTags];
+    String[] postTags = new String[numTags];
+    for (int i = 0; i < numTags; ++i) {
+      preTags[i] = "<b" + i + ">";
+      postTags[i] = "</b" + i + ">";
+    }
+    FragListBuilder flb = weighted
+        ? new WeightedFragListBuilder(margin) : new SimpleFragListBuilder(margin);
+    FragmentsBuilder fb = scoreOrder
+        ? new ScoreOrderFragmentsBuilder() : new SimpleFragmentsBuilder();
+    try (DirectoryReader reader = DirectoryReader.open(dir)) {
+      FastVectorHighlighter h =
+          new FastVectorHighlighter(phraseHighlight, true, flb, fb);
+      h.setPhraseLimit(phraseLimit);
+      FieldQuery fq = h.getFieldQuery(query, reader);
+      for (int d = 0; d < numDocs; ++d) {
+        String[] frags = h.getBestFragments(
+            fq, reader, d, "text", fragCharSize, maxNumFragments,
+            flb, fb, preTags, postTags, new DefaultEncoder());
+        out.println("D " + (frags == null ? 0 : frags.length));
+        if (frags != null) for (String f : frags) out.println("F\t" + f);
+      }
+    }
+  }
+}
+'''
+
+
+def ensure_harness() -> str:
+    core = build()
+    pkg = os.path.join(HARNESS_DIR, "org/apache/lucene/search/vectorhighlight")
+    os.makedirs(pkg, exist_ok=True)
+    src = os.path.join(pkg, "FvhFuzz.java")
+    cur = open(src).read() if os.path.exists(src) else ""
+    if cur != HARNESS or not os.path.exists(src.replace(".java", ".class")):
+        with open(src, "w") as fh:
+            fh.write(HARNESS)
+        subprocess.run(
+            ["javac", "-encoding", "UTF-8", "-cp", core, "-d", HARNESS_DIR,
+             src], check=True)
+    return core
+
+
+# ------------------------------------------------------------ generation
+
+def gen_corpus(rng: random.Random):
+    vocab_n = rng.randrange(4, 30)
+    vocab = [f"w{j}" * rng.randrange(1, 3) for j in range(vocab_n)]
+    docs = []
+    for _ in range(rng.randrange(1, 12)):
+        k = rng.randrange(0, 40)
+        toks = []
+        for _ in range(k):
+            w = rng.choice(vocab)
+            r = rng.random()
+            if r < 0.06:
+                w = w + rng.choice([".", ",", "!", "?"])  # boundary chars
+            elif r < 0.10:
+                w = f"{w}~{rng.choice(vocab)}"  # stacked same-position pair
+            toks.append(w)
+        sep = "  " if rng.random() < 0.1 else " "
+        docs.append(sep.join(toks))
+    return vocab, docs
+
+
+def tokenize(doc: str):
+    """The harness TildeTokenizer replayed: (term, position, start, end)."""
+    occ = []
+    i, n, pos = 0, len(doc), 0
+    while i < n:
+        while i < n and doc[i] == " ":
+            i += 1
+        if i >= n:
+            break
+        start = i
+        while i < n and doc[i] != " ":
+            i += 1
+        tok = doc[start:i]
+        tilde = tok.find("~")
+        if 0 < tilde < len(tok) - 1:
+            occ.append((tok[:tilde], pos, start, i))
+            occ.append((tok[tilde + 1:], pos, start, i))
+        else:
+            occ.append((tok, pos, start, i))
+        pos += 1
+    return occ
+
+
+BOOSTS = [1.0, 1.0, 1.0, 2.0, 0.5, 3.5, 0.25]
+
+
+def gen_query(rng: random.Random, vocab, docs):
+    """Returns (engine AST, s-expression string)."""
+    from lucene_spark.query import ast
+
+    def word():
+        if rng.random() < 0.15:
+            return "zzabsent"
+        return rng.choice(vocab)
+
+    def adjacent_run(k):
+        toks = [t for d in docs for t, *_ in [(x, ) for x in d.split()] if t]
+        flat = [w for d in docs for w in d.split() if "~" not in w]
+        del toks
+        if len(flat) < k:
+            return [word() for _ in range(k)]
+        i = rng.randrange(0, len(flat) - k + 1)
+        return flat[i:i + k]
+
+    def term():
+        b = rng.choice(BOOSTS)
+        w = word()
+        q = ast.TermQuery(w)
+        return (ast.BoostQuery(q, b) if b != 1.0 else q), f"( T {w} {b} )"
+
+    def phrase():
+        slop = rng.choice([0, 0, 0, 1, 2])
+        b = rng.choice(BOOSTS)
+        k = rng.choice([2, 2, 3])
+        ws = adjacent_run(k) if rng.random() < 0.8 else [
+            word() for _ in range(k)]
+        q = ast.PhraseQuery(tuple(ws), slop)
+        s = f"( P {slop} {b} {' '.join(ws)} )"
+        return (ast.BoostQuery(q, b) if b != 1.0 else q), s
+
+    def overlapping_phrases():
+        ws = adjacent_run(3)
+        slop = rng.choice([0, 0, 1])
+        q1 = ast.PhraseQuery(tuple(ws[:2]), slop)
+        q2 = ast.PhraseQuery(tuple(ws[1:]), slop)
+        s = (f"( OR ( P {slop} 1.0 {ws[0]} {ws[1]} ) "
+             f"( P {slop} 1.0 {ws[1]} {ws[2]} ) )")
+        return ast.BooleanQuery(should=(q1, q2)), s
+
+    def syn():
+        ws = [word() for _ in range(rng.choice([2, 3]))]
+        return ast.SynonymQuery(tuple(ws)), f"( SYN {' '.join(ws)} )"
+
+    def compound(depth):
+        kind = rng.choice(["AND", "OR", "DM", "B", "CS"])
+        if kind in ("AND", "OR", "DM"):
+            n = rng.randrange(1, 4)
+            subs = [gen(depth + 1) for _ in range(n)]
+            qs, ss = zip(*subs)
+            s = f"( {kind} {' '.join(ss)} )"
+            if kind == "AND":
+                return ast.BooleanQuery(must=tuple(qs)), s
+            if kind == "OR":
+                return ast.BooleanQuery(should=tuple(qs)), s
+            return ast.DisjunctionMaxQuery(tuple(qs), 0.1), s
+        if kind == "B":
+            b = rng.choice(BOOSTS)
+            q, s = gen(depth + 1)
+            return ast.BoostQuery(q, b), f"( B {b} {s} )"
+        q, s = gen(depth + 1)
+        return ast.ConstantScoreQuery(q), f"( CS {s} )"
+
+    def gen(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.35:
+            return term()
+        if r < 0.6:
+            return phrase()
+        if r < 0.68:
+            return overlapping_phrases()
+        if r < 0.75:
+            return syn()
+        return compound(depth)
+
+    return gen()
+
+
+def run(n_cases: int) -> int:
+    from lucene_spark.functions.fvh import best_fragments, term_weight
+
+    core = ensure_harness()
+    rng = random.Random(20260821)
+    bad = total = 0
+    for ci in range(n_cases):
+        vocab, docs = gen_corpus(rng)
+        query, sexpr = gen_query(rng, vocab, docs)
+        margin = rng.choice([6, 6, 6, 0, 2, 10])
+        frag_char_size = rng.randrange(max(1, margin * 3), 140)
+        max_frags = rng.choice([1, 1, 2, 3, 5])
+        weighted = rng.random() < 0.5
+        phrase_hl = rng.random() < 0.8
+        score_order = rng.random() < 0.8
+        phrase_limit = rng.choice([2 ** 31 - 1] * 4 + [1, 2, 5])
+        n_tags = rng.choice([1, 1, 1, 3])
+        pre = tuple(f"<b{i}>" for i in range(n_tags))
+        post = tuple(f"</b{i}>" for i in range(n_tags))
+
+        inp = (f"{frag_char_size} {max_frags} {int(weighted)} "
+               f"{int(phrase_hl)} {int(score_order)} {margin} "
+               f"{phrase_limit} {n_tags}\n{sexpr}\n{len(docs)}\n"
+               + "\n".join(docs) + "\n")
+        p = subprocess.run(
+            ["java", "-cp", f"{core}:{HARNESS_DIR}",
+             "org.apache.lucene.search.vectorhighlight.FvhFuzz"],
+            input=inp, capture_output=True, text=True)
+        if p.returncode != 0:
+            print(f"case {ci}: harness failed: {p.stderr[-500:]}")
+            bad += 1
+            continue
+        want: list[list[str]] = []
+        for line in p.stdout.splitlines():
+            if line.startswith("D "):
+                want.append([])
+            elif line.startswith("F\t"):
+                want[-1].append(line[2:])
+
+        # python side
+        occs = [tokenize(d) for d in docs]
+        df: dict[str, int] = {}
+        for occ in occs:
+            for t in {o[0] for o in occ}:
+                df[t] = df.get(t, 0) + 1
+        num_docs = len(docs)
+        weights = {t: term_weight(num_docs, df.get(t, 0)) for t in
+                   {o[0] for occ in occs for o in occ} | set(vocab)
+                   | {"zzabsent"}}
+        total += 1
+        for d in range(num_docs):
+            mine = best_fragments(
+                docs[d], occs[d], weights, query,
+                frag_char_size=frag_char_size,
+                max_num_fragments=max_frags,
+                phrase_highlight=phrase_hl, weighted=weighted,
+                score_order=score_order, phrase_limit=phrase_limit,
+                margin=margin, pre_tags=pre, post_tags=post)
+            if mine != want[d]:
+                bad += 1
+                if bad <= 8:
+                    print(f"MISMATCH case {ci} doc {d} q={sexpr} "
+                          f"frag={frag_char_size} max={max_frags} "
+                          f"w={weighted} ph={phrase_hl} so={score_order} "
+                          f"margin={margin} lim={phrase_limit} "
+                          f"tags={n_tags}")
+                    print(f"  text: {docs[d]!r}")
+                    print(f"  java: {want[d]!r}")
+                    print(f"  mine: {mine!r}")
+                break
+    print(f"{total} cases, {bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+    sys.exit(run(n))
