@@ -365,6 +365,12 @@ _SUG_FUZZY = ("spork", 10)          # 1 edit from "spark", first char exact
 _SUG_INFIX = ("customer lin", 10)   # whole-token "customer" + prefix "lin"
 _WORDBREAK = ("tablescan", 5)       # -> "table scan"
 _WORDCOMBINE = (("cust", "omer"), 5)  # -> "customer"
+#: document completion family probes (suggest/.../document package)
+_SUG_REGEX = ("(the|a|join) [a-z]{2,4} .*", 10)  # RegexCompletionQuery
+#: ContextQuery: exact "en" boost 2 shadows prefix "e" boost 3 on 'en'
+#: (longest spec wins, ContextQuery.java:290); "es" keeps the prefix boost
+_SUG_CONTEXT = ("the", (("en", 2.0, True), ("e", 3.0, False)), 10)
+_SUG_STOP = ("the fast k", ("the", "a"), 10)  # SuggestStopFilter trailing keep
 
 
 def _suggest_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +400,41 @@ def _suggest_analyzing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.suggesters import suggest_analyzing
     return suggest_analyzing(
         _suggest_dict(spark, sf_dir), _SUG_ANALYZING[0], _SUG_ANALYZING[1])
+
+
+def _suggest_regex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexCompletionQuery analog: Lucene-RegExp pattern prefix-matches
+    the analyzed form (translated by query/regexp.py, same body on both
+    engines); score = weight."""
+    from lucene_spark.operators.suggesters import suggest_regex
+    return suggest_regex(
+        _suggest_dict(spark, sf_dir), _SUG_REGEX[0], _SUG_REGEX[1])
+
+
+def _suggest_context_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContextQuery analog over a ContextSuggestField dictionary (one
+    entry per (suggestion, lang)): longest-spec boost, float32
+    CompletionScorer.score combination."""
+    from lucene_spark.operators.suggesters import (
+        build_context_suggest_dict, suggest_context,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cd = build_context_suggest_dict(docs, weight_col="n_chars",
+                                    context_col="lang")
+    key, specs, k = _SUG_CONTEXT
+    return suggest_context(cd, key, list(specs), k)
+
+
+def _suggest_stop_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuggestStopFilter analog: dictionary analysis drops all stopwords;
+    the lookup key keeps a TRAILING stopword as a live prefix."""
+    from lucene_spark.operators.suggesters import (
+        build_suggest_dict_stop, suggest_analyzing_stop,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    key, stop, k = _SUG_STOP
+    d = build_suggest_dict_stop(docs, frozenset(stop), weight_col="n_chars")
+    return suggest_analyzing_stop(d, key, frozenset(stop), k)
 
 
 def _suggest_fuzzy_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3249,6 +3290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["more_like_this"] = _mlt_df
     out["suggest_prefix"] = _suggest_df
     out["suggest_analyzing"] = _suggest_analyzing_df
+    out["suggest_regex"] = _suggest_regex_df
+    out["suggest_context"] = _suggest_context_df
+    out["suggest_stop"] = _suggest_stop_df
     out["suggest_fuzzy"] = _suggest_fuzzy_df
     out["suggest_infix"] = _suggest_infix_df
     out["spellcheck_wordbreak"] = _wordbreak_df
@@ -3516,6 +3560,14 @@ GROUP BY term ORDER BY weight DESC, term ASC LIMIT {_SUGGEST_K}
         _SUG_FUZZY[0], _SUG_FUZZY[1], weight_col="n_chars")
     out["suggest_infix"] = suggesters.suggest_infix_sql(
         _SUG_INFIX[0], _SUG_INFIX[1], weight_col="n_chars")
+    out["suggest_regex"] = suggesters.suggest_regex_sql(
+        _SUG_REGEX[0], _SUG_REGEX[1], weight_col="n_chars")
+    out["suggest_context"] = suggesters.suggest_context_sql(
+        _SUG_CONTEXT[0], list(_SUG_CONTEXT[1]), _SUG_CONTEXT[2],
+        weight_col="n_chars", context_col="lang")
+    out["suggest_stop"] = suggesters.suggest_analyzing_stop_sql(
+        _SUG_STOP[0], frozenset(_SUG_STOP[1]), _SUG_STOP[2],
+        weight_col="n_chars")
     out["spellcheck_wordbreak"] = sqlgen.wordbreak_sql(
         _WORDBREAK[0], _WORDBREAK[1])
     out["spellcheck_wordcombine"] = sqlgen.wordcombine_sql(

@@ -316,3 +316,263 @@ SELECT surface AS suggestion, weight FROM sdict
 WHERE {" AND ".join(conds)}
 ORDER BY weight DESC, suggestion ASC LIMIT {k}
 """.strip()
+
+
+# ------------------------------------------- document completion family
+
+def suggest_regex(dict_df: DataFrame, pattern: str, k: int = 10) -> DataFrame:
+    """RegexCompletionQuery analog (``suggest/.../document/
+    RegexCompletionQuery.java:31-56``): the Lucene-RegExp pattern matches a
+    PREFIX of the analyzed form ("regular expression as the prefix of the
+    query term"); score = weight (CompletionWeight.boost() == 0 ->
+    CompletionScorer.score returns the weight, :98-106). The pattern goes
+    through the engine's RegExp translation (query/regexp.py); top-level
+    intersection (`&`) cannot anchor a SHARED prefix across two regex
+    probes, so it raises the translator's UnsupportedRegexpError — the one
+    divergence, documented."""
+    from lucene_spark.query.regexp import (
+        UnsupportedRegexpError, translate_regexp,
+    )
+
+    bodies = translate_regexp(pattern)
+    if len(bodies) != 1:
+        raise UnsupportedRegexpError(
+            "top-level intersection is not supported in prefix-matching "
+            "completion queries")
+    return (
+        dict_df.filter(F.col("joined").rlike("^(?:" + bodies[0] + ")"))
+        .select(F.col("surface").alias("suggestion"), "weight")
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def build_context_suggest_dict(
+    df: DataFrame,
+    text_col: str = "text",
+    weight_col: str | None = None,
+    context_col: str = "lang",
+) -> DataFrame:
+    """ContextSuggestField dictionary (``suggest/.../document/
+    ContextSuggestField.java``): ONE completion entry per (suggestion,
+    context) — the reference indexes each context as its own FST path.
+    DF(surface, context, tokens, joined, weight); duplicate (surface,
+    context) pairs merge with summed weight."""
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    return (
+        df.select(F.col(text_col).alias("surface"),
+                  F.col(context_col).cast("string").alias("context"),
+                  w.alias("w"))
+        .groupBy("surface", "context")
+        .agg(F.sum("w").alias("weight"))
+        .select(
+            "surface", "context",
+            F.regexp_extract_all(
+                F.lower(F.col("surface")), F.lit(_TOKEN_RE), 0
+            ).alias("tokens"),
+            "weight",
+        )
+        .withColumn("joined", F.array_join("tokens", " "))
+    )
+
+
+def suggest_context(
+    cdict: DataFrame,
+    key: str,
+    contexts: list[tuple[str, float, bool]] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ContextQuery over a PrefixCompletionQuery (``suggest/.../document/
+    ContextQuery.java:180-341``): entries filtered by context —
+    ``contexts`` = [(value, boost, exact)] specs; ``None`` or empty = all
+    contexts (the documented default) with boost 0. The boost for an entry
+    is the LONGEST matching spec's (setNextMatch walks contextLengths
+    descending, :285-306); final score replays ``CompletionScorer.score``
+    (:98-106): boost==0 -> weight, weight==0 -> boost, else the float32
+    product weight*boost (ContextCompletionWeight.boost() =
+    ctx + inner where the prefix inner boost is 0, :338-341).
+
+    DF(suggestion, context, weight, score float) ranked score desc,
+    suggestion asc, context asc."""
+    akey = " ".join(_analyze_key(key))
+    if not akey:
+        return cdict.sparkSession.createDataFrame(
+            [], "suggestion string, context string, weight long, score float")
+    out = cdict.filter(F.col("joined").startswith(akey))
+    if contexts:
+        for v, b, _e in contexts:
+            if b < 0:
+                raise ValueError("'boost' must be >= 0")
+        # longest spec first (ContextQuery.java:290 contextLengths desc)
+        specs = sorted(contexts, key=lambda s: -len(s[0]))
+        match = None
+        boost = F.lit(0.0)
+        for v, b, exact in specs:
+            m = (F.col("context") == v) if exact \
+                else F.col("context").startswith(v)
+            match = m if match is None else (match | m)
+        for v, b, exact in reversed(specs):  # shortest applied first,
+            m = (F.col("context") == v) if exact \
+                else F.col("context").startswith(v)
+            boost = F.when(m, F.lit(float(b))).otherwise(boost)
+        out = out.filter(match).withColumn("_boost", boost)
+    else:
+        out = out.withColumn("_boost", F.lit(0.0))
+    w32 = F.col("weight").cast("float")
+    b32 = F.col("_boost").cast("float")
+    score = (
+        F.when(b32 == 0.0, w32)
+        .when(w32 == 0.0, b32)
+        .otherwise(w32 * b32)
+        .cast("float")
+    )
+    return (
+        out.select(F.col("surface").alias("suggestion"), "context",
+                   "weight", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("suggestion"), F.asc("context"))
+        .limit(k)
+    )
+
+
+def analyze_suggest_key(key: str, stop: frozenset[str] | None = None
+                        ) -> list[str]:
+    """Lookup-key analysis with SuggestStopFilter semantics
+    (``suggest/.../analyzing/SuggestStopFilter.java:30-60``): stopwords
+    are dropped EXCEPT a trailing one — the user may be mid-typing a word
+    that merely starts like a stopword, so the final token survives as a
+    prefix."""
+    toks = _analyze_key(key)
+    if not stop or not toks:
+        return toks
+    kept = [t for t in toks[:-1] if t not in stop]
+    kept.append(toks[-1])
+    return kept
+
+
+def suggest_analyzing_stop(
+    dict_df: DataFrame, key: str, stop: frozenset[str], k: int = 10
+) -> DataFrame:
+    """AnalyzingSuggester with a stop-filtered analysis chain: dictionary
+    side drops ALL stopwords (plain StopFilter — ``dict_df`` must be built
+    with ``build_suggest_dict_stop``); the lookup key keeps a trailing
+    stopword (SuggestStopFilter)."""
+    akey = " ".join(analyze_suggest_key(key, stop))
+    if not akey:
+        return dict_df.sparkSession.createDataFrame(
+            [], "suggestion string, weight long")
+    return (
+        dict_df.filter(F.col("joined").startswith(akey))
+        .select(F.col("surface").alias("suggestion"), "weight")
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def build_suggest_dict_stop(
+    df: DataFrame,
+    stop: frozenset[str],
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``build_suggest_dict`` with an index-side StopFilter: stopwords are
+    removed from the analyzed form entirely (the CompletionAnalyzer-with-
+    StopFilter configuration the reference pairs with SuggestStopFilter)."""
+    base = build_suggest_dict(df, text_col, weight_col)
+    toks = F.filter("tokens", lambda t: ~t.isin(*sorted(stop)))
+    return (
+        base.withColumn("tokens", toks)
+        .withColumn("joined", F.array_join("tokens", " "))
+    )
+
+
+def suggest_regex_sql(
+    pattern: str, k: int = 10, table: str = "documents",
+    text_col: str = "text", weight_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``suggest_regex`` (same translated body, RE2 side)."""
+    from lucene_spark.query.regexp import translate_regexp
+
+    bodies = translate_regexp(pattern)
+    assert len(bodies) == 1
+    body = bodies[0].replace("'", "''")
+    return f"""
+WITH {_dict_cte(table, text_col, weight_col)}
+SELECT surface AS suggestion, weight FROM sdict
+WHERE regexp_matches(joined, '^(?:{body})')
+ORDER BY weight DESC, suggestion ASC LIMIT {k}
+""".strip()
+
+
+def suggest_context_sql(
+    key: str,
+    contexts: list[tuple[str, float, bool]] | None,
+    k: int = 10, table: str = "documents",
+    text_col: str = "text", weight_col: str | None = None,
+    context_col: str = "lang",
+) -> str:
+    """DuckDB twin of ``build_context_suggest_dict`` + ``suggest_context``
+    (REAL casts at every Java float boundary)."""
+    akey = " ".join(_analyze_key(key)).replace("'", "''")
+    w = weight_col if weight_col is not None else "1"
+    if contexts:
+        specs = sorted(contexts, key=lambda s: -len(s[0]))
+        match = " OR ".join(
+            (f"context = '{v}'" if exact else f"starts_with(context, '{v}')")
+            for v, _b, exact in specs)
+        boost = "CAST(0.0 AS REAL)"
+        for v, b, exact in reversed(specs):
+            cond = (f"context = '{v}'" if exact
+                    else f"starts_with(context, '{v}')")
+            boost = f"CASE WHEN {cond} THEN CAST({float(b)} AS REAL) ELSE {boost} END"
+        ctx_where = f" AND ({match})"
+    else:
+        boost = "CAST(0.0 AS REAL)"
+        ctx_where = ""
+    return f"""
+WITH cdict AS (
+  SELECT surface, context,
+         array_to_string(regexp_extract_all(lower(surface), '{_TOKEN_RE}'),
+                         ' ') AS joined,
+         weight
+  FROM (SELECT {text_col} AS surface, CAST({context_col} AS VARCHAR) AS context,
+               CAST(SUM({w}) AS BIGINT) AS weight
+        FROM {table} GROUP BY {text_col}, {context_col})
+),
+matched AS (
+  SELECT surface AS suggestion, context, weight, {boost} AS b
+  FROM cdict
+  WHERE starts_with(joined, '{akey}'){ctx_where}
+)
+SELECT suggestion, context, weight,
+       CASE WHEN b = CAST(0.0 AS REAL) THEN CAST(weight AS REAL)
+            WHEN CAST(weight AS REAL) = CAST(0.0 AS REAL) THEN b
+            ELSE CAST(CAST(weight AS REAL) * b AS REAL) END AS score
+FROM matched
+ORDER BY score DESC, suggestion ASC, context ASC LIMIT {k}
+""".strip()
+
+
+def suggest_analyzing_stop_sql(
+    key: str, stop: frozenset[str], k: int = 10, table: str = "documents",
+    text_col: str = "text", weight_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``build_suggest_dict_stop`` + the SuggestStopFilter
+    lookup."""
+    akey = " ".join(analyze_suggest_key(key, stop)).replace("'", "''")
+    w = weight_col if weight_col is not None else "1"
+    stop_list = ", ".join(f"'{s}'" for s in sorted(stop))
+    return f"""
+WITH sdict AS (
+  SELECT surface,
+         array_to_string(list_filter(
+           regexp_extract_all(lower(surface), '{_TOKEN_RE}'),
+           t -> t NOT IN ({stop_list})), ' ') AS joined,
+         weight
+  FROM (SELECT {text_col} AS surface, CAST(SUM({w}) AS BIGINT) AS weight
+        FROM {table} GROUP BY {text_col})
+)
+SELECT surface AS suggestion, weight FROM sdict
+WHERE starts_with(joined, '{akey}')
+ORDER BY weight DESC, suggestion ASC LIMIT {k}
+""".strip()

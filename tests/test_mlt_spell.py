@@ -525,3 +525,77 @@ def test_fuzzy_like_this(spark, built_index):
     direct_itf = s.search(ast_itf, 10).collect()
     assert [(r.doc_id, np.float32(r.score)) for r in got_itf.collect()] == \
            [(r.doc_id, np.float32(r.score)) for r in direct_itf]
+
+
+# ------------------------------------- document completion family (r4)
+
+def test_document_completion_family(spark, corpus_docs):
+    """RegexCompletionQuery / ContextQuery / SuggestStopFilter analogs:
+    engine == DuckDB twin, plus the reference's semantics arms (longest
+    context spec wins, trailing stopword kept, intersection rejected)."""
+    from lucene_spark.operators.suggesters import (
+        analyze_suggest_key, build_context_suggest_dict,
+        build_suggest_dict, build_suggest_dict_stop, suggest_context,
+        suggest_context_sql, suggest_regex, suggest_regex_sql,
+        suggest_analyzing_stop, suggest_analyzing_stop_sql,
+    )
+    from lucene_spark.query.regexp import UnsupportedRegexpError
+
+    cdocs = corpus_docs.copy()
+    cdocs["lang"] = [("en", "es", "de")[i % 3] for i in range(len(cdocs))]
+    docs = spark.createDataFrame(cdocs)
+
+    def duck(sql):
+        con = duckdb.connect()
+        con.register("documents", cdocs)
+        return con.execute(sql).fetchall()
+
+    # regex prefix completion: engine == twin, non-empty
+    first = cdocs["text"].iloc[0].split()[0].lower()
+    pat = f"({first[:2]}|zz)[a-z]*( [a-z]+)*"
+    sdict = build_suggest_dict(docs, text_col="text")
+    got = [(r.suggestion, r.weight)
+           for r in suggest_regex(sdict, pat, 10).collect()]
+    assert got == duck(suggest_regex_sql(pat, 10)) and got
+    with pytest.raises(UnsupportedRegexpError, match="intersection"):
+        suggest_regex(sdict, "ab&a[b]", 10)
+
+    # context query: exact spec shadows a shorter prefix spec on the same
+    # context; prefix spec still boosts the other context; scores are
+    # weight*boost in float32
+    cdict = build_context_suggest_dict(docs, text_col="text",
+                                       context_col="lang")
+    key = first[:2]
+    specs = [("en", 2.0, True), ("e", 3.0, False)]
+    got = [(r.suggestion, r.context, r.weight, np.float32(r.score))
+           for r in suggest_context(cdict, key, specs, 50).collect()]
+    want = [(s, c, w, np.float32(sc)) for s, c, w, sc in duck(
+        suggest_context_sql(key, specs, 50, context_col="lang"))]
+    assert got == want and got
+    by_ctx = {}
+    for _s, c, w, sc in got:
+        by_ctx.setdefault(c, []).append((w, sc))
+    assert all(sc == np.float32(np.float32(w) * np.float32(2.0))
+               for w, sc in by_ctx.get("en", []))
+    assert all(sc == np.float32(np.float32(w) * np.float32(3.0))
+               for w, sc in by_ctx.get("es", []))
+    assert "de" not in by_ctx  # filtered out
+    # no specs -> all contexts pass the filter, score == weight (boost 0)
+    all_ctx = suggest_context(cdict, key, None, 50).collect()
+    assert len(all_ctx) >= len(got)
+    assert all(np.float32(r.score) == np.float32(float(r.weight))
+               for r in all_ctx)
+
+    # SuggestStopFilter: trailing stopword survives as a prefix
+    toks = cdocs["text"].iloc[0].lower().split()
+    stop = frozenset([toks[0]])
+    kept = analyze_suggest_key(f"{toks[0]} x {toks[0]}", stop)
+    assert kept == ["x", toks[0]]
+    sdict_stop = build_suggest_dict_stop(docs, stop, text_col="text")
+    nonstop = [t for t in toks if t not in stop]
+    key2 = " ".join(nonstop[:1] + [nonstop[1][:1]]) if len(nonstop) > 1 \
+        else nonstop[0]
+    got = [(r.suggestion, r.weight)
+           for r in suggest_analyzing_stop(sdict_stop, key2, stop,
+                                           10).collect()]
+    assert got == duck(suggest_analyzing_stop_sql(key2, stop, 10)) and got
