@@ -1704,6 +1704,31 @@ def _expunged_df(spark, sf_dir):
     )
 
 
+_FM_PARAMS = ("field_len", "v % 7 = 3", 1.5, 20)   # FunctionMatchQuery
+_FR_PARAMS = ("field_len", 40.0, 80.0, 20)          # FunctionRangeQuery
+
+
+def _function_match_df(spark, sf_dir):
+    """FunctionMatchQuery: docs whose value passes a DoublePredicate,
+    constant score = boost."""
+    s = _searcher(spark, sf_dir)
+    value, pred, boost, k = _FM_PARAMS
+    hits = s.function_match(value, pred, k=k, boost=boost)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
+def _function_range_df(spark, sf_dir):
+    """FunctionRangeQuery: docs whose value lies in [lower, upper); the
+    score IS the float32 value."""
+    s = _searcher(spark, sf_dir)
+    value, lo, hi, k = _FR_PARAMS
+    hits = s.function_range(value, lower=lo, upper=hi,
+                            include_upper=False, k=k)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 def _bp_searcher(spark: SparkSession, sf_dir: str):
     """Index built fresh, merged, then BP-REORDERED (recursive graph
     bisection, ``misc/index/BPIndexReorderer.java`` analog in
@@ -3304,6 +3329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_post_expunge"] = _expunged_df
     out["bm25_post_bp"] = _bp_df
     out["quality_eval"] = _quality_df
+    out["function_match"] = _function_match_df
+    out["function_range"] = _function_range_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -4713,6 +4740,22 @@ SELECT query, num_points, num_good, max_good,
                THEN CAST(num_good AS DOUBLE) / num_points ELSE 0.0 END)
        ELSE CAST(num_good AS DOUBLE) / max_good END AS REAL) AS recall
 FROM t ORDER BY query
+""".strip()
+    # FunctionMatch / FunctionRange: the value source is the per-doc
+    # token count (field_len); match is constant-score, range scores the
+    # float32 value itself (ValueSourceScorer.java:85-92)
+    out["function_match"] = f"""
+WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}
+SELECT doc_id, CAST({_FM_PARAMS[2]} AS REAL) AS score FROM dl
+WHERE CAST(dl AS DOUBLE) % 7 = 3
+ORDER BY score DESC, doc_id ASC LIMIT {_FM_PARAMS[3]}
+""".strip()
+    out["function_range"] = f"""
+WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')}
+SELECT doc_id, CAST(CAST(dl AS DOUBLE) AS REAL) AS score FROM dl
+WHERE CAST(dl AS DOUBLE) >= {_FR_PARAMS[1]}
+  AND CAST(dl AS DOUBLE) < {_FR_PARAMS[2]}
+ORDER BY score DESC, doc_id ASC LIMIT {_FR_PARAMS[3]}
 """.strip()
     out["search_many_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query, t.* FROM (\n"

@@ -1438,6 +1438,62 @@ class IndexSearcher:
             )
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def function_match(self, value: str, predicate: str, k: int = 10,
+                       boost: float = 1.0) -> DataFrame:
+        """FunctionMatchQuery analog (``queries/function/FunctionMatchQuery
+        .java:39-95``): every document whose DoubleValuesSource value
+        satisfies a DoublePredicate matches, at CONSTANT score = boost
+        (ConstantScoreWeight). ``value`` is a SQL expression over the
+        docmap columns evaluated in DOUBLE and exposed to ``predicate`` as
+        ``v``; a NULL value means advanceExact()==false — no match. The
+        reference is an index linear scan; here it is one pushed-down
+        docmap scan (no postings read)."""
+        dm = self.docmap().select(
+            "doc_id", F.expr(value).cast("double").alias("v"))
+        out = self._live(
+            dm.filter(F.col("v").isNotNull()).filter(F.expr(predicate)))
+        return (
+            out.select("doc_id",
+                       F.lit(float(np.float32(boost))).cast("float")
+                       .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def function_range(self, value: str, lower: float | None = None,
+                       upper: float | None = None,
+                       include_lower: bool = True,
+                       include_upper: bool = True, k: int = 10) -> DataFrame:
+        """FunctionRangeQuery analog (``queries/function/FunctionRangeQuery
+        .java:32-36`` + ``ValueSourceScorer.java:85-92``): matches docs
+        whose value lies in the range; the SCORE IS the float32 value
+        (-Inf mapped to -Float.MAX_VALUE). Docs without a value read
+        0.0 — the classic FieldCache/FunctionValues default the reference
+        range-scorer sees. A NaN value NEVER matches: the reference's
+        range comparisons are Java double >=/<=, false for NaN — but
+        Spark SQL orders NaN ABOVE every value, so the exclusion must be
+        explicit. One docmap scan, no postings."""
+        v = F.coalesce(F.expr(value).cast("double"), F.lit(0.0))
+        cond = ~F.isnan(v)
+        if lower is not None:
+            cond = cond & ((v >= float(lower)) if include_lower
+                           else (v > float(lower)))
+        if upper is not None:
+            cond = cond & ((v <= float(upper)) if include_upper
+                           else (v < float(upper)))
+        score32 = v.cast("float")
+        score = F.when(
+            F.isnan(score32) | (score32 == F.lit(float("-inf"))),
+            F.lit(float(-np.finfo(np.float32).max)).cast("float"),
+        ).otherwise(score32)
+        dm = self.docmap().withColumn("_frq_score", score)
+        out = self._live(dm.filter(cond))
+        return (
+            out.select("doc_id", F.col("_frq_score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_grouped(self, query: Query, field: str, k_per_group: int = 3) -> DataFrame:
         """Top-k hits per metadata-field group — the grouping-module analog
         (``lucene/grouping`` ≅ window rank per group). DF(value, doc_id,

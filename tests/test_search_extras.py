@@ -994,3 +994,50 @@ def test_span_position_range_semantics(spark, tmp_path):
     b = [(r.doc_id, np.float32(r.score))
          for r in s.span_first("aa", 3, 10).collect()]
     assert a == b
+
+
+def test_function_match_and_range(spark, built_index):
+    """FunctionMatchQuery / FunctionRangeQuery analogs: constant score &
+    NULL-no-match; value-as-score with the NaN -> -Float.MAX_VALUE clamp
+    and missing -> 0.0 FieldCache default."""
+    import numpy as np
+
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    dm = {r["doc_id"]: r["field_len"] for r in
+          s.docmap().select("doc_id", "field_len").collect()}
+
+    hits = s.function_match("field_len", "v % 5 = 2", k=10_000, boost=2.5)
+    rows = hits.collect()
+    assert rows and all(np.float32(r["score"]) == np.float32(2.5)
+                        for r in rows)
+    assert {r["doc_id"] for r in rows} == {d for d, fl in dm.items()
+                                           if fl % 5 == 2}
+    # NULL value -> advanceExact false -> no match
+    odd = s.function_match("IF(doc_id % 2 = 0, NULL, field_len)",
+                           "v >= 0", k=10_000)
+    assert all(r["doc_id"] % 2 == 1 for r in odd.collect())
+
+    rng = s.function_range("field_len", lower=10.0, upper=20.0,
+                           include_upper=False, k=10_000).collect()
+    assert rng and all(10 <= dm[r["doc_id"]] < 20 for r in rng)
+    assert all(np.float32(r["score"]) == np.float32(float(dm[r["doc_id"]]))
+               for r in rng)
+    scores = [r["score"] for r in rng]
+    assert scores == sorted(scores, reverse=True)
+    # NaN value never matches (Java double comparisons are false for NaN;
+    # Spark orders NaN above everything — the engine excludes explicitly)
+    assert s.function_range("CAST('NaN' AS DOUBLE)", lower=0.0,
+                            k=10).collect() == []
+    assert s.function_range("CAST('NaN' AS DOUBLE)", k=10).collect() == []
+    # -Infinity matches an unbounded range and clamps to -Float.MAX_VALUE
+    ninf = s.function_range("CAST('-Infinity' AS DOUBLE)", k=5).collect()
+    assert len(ninf) == 5 and all(
+        np.float32(r["score"]) == np.float32(-np.finfo(np.float32).max)
+        for r in ninf)
+    # missing value reads 0.0 (FieldCache default)
+    mr = s.function_range("IF(doc_id % 2 = 0, NULL, field_len)",
+                          lower=0.0, upper=0.0, k=10_000).collect()
+    assert mr and all(r["doc_id"] % 2 == 0 for r in mr)
+    assert all(np.float32(r["score"]) == np.float32(0.0) for r in mr)
