@@ -2151,6 +2151,48 @@ _HTML_AST = {"bool": {"must": [{"term": "bradley"}],
                       "should": [{"term": "merge"}]}}
 
 
+#: wikipedia chain (functions/wikipedia.py — the jflex WikipediaTokenizer
+#: replay, compiled-parity fuzzed): the entry decorates every doc with a
+#: deterministic wiki-markup wrapper (heading, bold, category, internal
+#: link); every wrapper token carries posIncr 1, so the oracle is the
+#: plain SIMPLE tokenization of the closed-form "rendered" text — "beta"
+#: is reachable ONLY through internal-link markup consumption
+_WIKI_WRAP_PRE = "== heading here == '''bold''' "
+_WIKI_WRAP_SUF = " [[Category:catwiki]] [[alpha|beta]] end"
+_WIKI_STRIPPED_SQL = "'heading here bold ' || text || ' catwiki alpha beta end'"
+_WIKI_AST = {"bool": {"must": [{"term": "scan"}],
+                      "should": [{"term": "beta"}]}}
+
+
+def _wikipedia_chain_df(spark, sf_dir):
+    """BM25 over an index built with the wikipedia chain
+    (WikipediaTokenizer TOKENS_ONLY -> lower) on the markup-decorated
+    corpus."""
+    from lucene_spark.index.build import (
+        IndexConfig, build_index, load_manifest,
+    )
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_wikipedia"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        tdf = _documents_as_transcripts(spark, sf_dir).withColumn(
+            "text",
+            F.concat(F.lit(_WIKI_WRAP_PRE), F.col("text"),
+                     F.lit(_WIKI_WRAP_SUF)))
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="wikipedia")
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+    s = IndexSearcher(spark, index_dir)
+    q = rewrite_fixpoint(parse_query(json.dumps(_WIKI_AST)))
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+
+
 def _htmlstrip_chain_df(spark, sf_dir):
     """BM25 over an index built with the html_standard chain
     (HTMLStripCharFilter -> standard tokenize -> lower) on the
@@ -3423,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_pattern_replace_char_chain"] = _misc_chain_entry(
         "pattern_replace_char", _PRC_AST)
     out["bm25_htmlstrip_chain"] = _htmlstrip_chain_df
+    out["bm25_wikipedia_chain"] = _wikipedia_chain_df
     out["suggest_freetext"] = _freetext_suggest_df
     out["suggest_freetext_indexed"] = _freetext_indexed_df
     out["bm25_common_terms"] = _common_terms_df
@@ -4401,6 +4444,11 @@ ORDER BY score DESC, doc_id ASC LIMIT 25
     out["bm25_htmlstrip_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_HTML_AST)), _QUERY_K,
         text_col=_HTML_STRIPPED_SQL)
+    # wikipedia: the wrapper "renders" to a closed-form plain text (every
+    # token posIncr 1 — see _WIKI_WRAP_*)
+    out["bm25_wikipedia_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_WIKI_AST)), _QUERY_K,
+        text_col=_WIKI_STRIPPED_SQL)
     # minhash: bottom-5 sketch terms; the vocab->hash map is computed by
     # the Python murmur port and replayed as an inline VALUES join
     out["bm25_minhash_chain"] = sqlgen.topk_sql(

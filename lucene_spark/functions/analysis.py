@@ -1265,6 +1265,8 @@ def _fill_stream_chains():
     register_pattern_path_chains()
     register_minhash_chains()
     register_charfilter_chains()
+    from lucene_spark.functions.wikipedia import register_wikipedia_chain
+    register_wikipedia_chain()
 
 
 _fill_stream_chains()

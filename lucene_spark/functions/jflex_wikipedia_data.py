@@ -1,0 +1,70 @@
+"""Machine-extracted JFlex DFA tables for WIKIPEDIA.
+
+Source: reference lucene/analysis/common/src/java/org/apache/lucene/analysis/wikipedia/WikipediaTokenizerImpl.java (JFlex 1.9.1 generated;
+packed ZZ_* table strings decoded to uint16 units, zlib+base85).
+Regenerate with tools/jflex_extract.py. DO NOT EDIT BY HAND.
+"""
+
+LEXSTATE = [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9]
+
+CMAP_TOP_B85 = (
+    'c-ke5I}U&_48@$%0)>9U$jHoXxc^~zQU=RTQq_P0W{{FB7In685v#?06Z=p*RP`ZFi*7e`d3'
+    '<uy?uDt@AGQAMIo@43^#@Gm0rv'
+)
+
+CMAP_BLOCKS_B85 = (
+    'c-mc$Hx9x;5JhLf1d}m2=VXq6kStEX5vULaHMCUJ9EApIj>1uRyDSJH>-o*h?jPB%h$!=f;8'
+    'Tai`_|eHM7W{rD8!iPIu0%*Ajvz0(>9ZVEaXg9NuIoi3v}8=CfX%?zieHxu0qXb>d=5Dv`p4'
+    '9^EPy#3%c(?9|q<Rlnh~H&&Du;sjS#vF*70k_D*?x|4h#E_TKvN=OcE1`sd&I*80xAfW>R&%'
+    'ZB|I@#Tac^Z~xAx!mxA`I5|l`UTv#6Fm'
+)
+
+ACTION_B85 = (
+    'c-l>mhYo`<3`9*Q(7j7HbkX_$pV#MbLRIv1=fpWDshKq_Vl`@wtQlP8ThcakaIRg|u{4oS<$'
+    'KVF0Su)h7{i2&7^e7{bPfwxl5FUTNv><i=yAV+t@6Fz!5$8(kJ1wzIj?qKz?u8GGIF^5X~9n'
+    '|oL9AHU&CHxH@Nd7KQGl+hMp?>p?O)IS=~!C>&fd~U#j2mfv^1l)x8GR'
+)
+
+ROWMAP_B85 = (
+    'c-lqLAy6AZ00q#cP1B<d?NL&iG8GXB1Oib}fj}TCDi9SBhzLXkA_5VCKtv!S5D|z7L<9m6fr'
+    'vmvAR-VE2t))T0uh0TKp=QG%M3U3=I`$9-R=AfA-mS8(4@zhWG;l?RB6#?Li#R*O=`3mFs1Z'
+    '9?%96Ly6iAyMmZPP|H(!!-pl4);}OrSeF)({M_h16E+4`MyZN~PSYGDi^Y^mwF|KF+81Hey6'
+    '%Q1X5Vn$de_x(*%_G0&L-@-9XWZ~K|MtGsPa*7Z_$pgFm$!t^dZR*<9%GV%-l)=|&xCYAZ`2'
+    'mzIofi-l+qWyQK!R@8Rf6~qCuAt&#a|-O5=Hs<OO%+7USB6+~t@{?kRlJ4||+&#RJ79{jksJ'
+    'QtTw_;oA5yn-_J&0cYG4<2Rn<>UaHc$T_!!WxXuNJr&uc$C%`YZm80t&xEw38)~!}Fs1ZUFV'
+    'yKUWJY;KFEr>fT6z0t{ka#r!({0'
+)
+
+TRANS_B85 = (
+    'c-ozq_j?;f5Qg_;^2D)ar5MLSIHCxlh$IRS2QUzaUPE!*jd6*cI6xA5F(jdPgH6ZuZaSv@f6'
+    'UIlcV6kvksf~7=iA%;zS+6motcx?nr0K2v^hhuMViHowDl$>{RXo^`Wv;M(f%gw2c}ipnbO)'
+    'sy;-nbn#C=m*(@!5K1(qp&kYs4c68Y)UHE)9x-7bI++v6LVEbE5qx1ul)3LyuBis&Y;q$qQY'
+    'xMa%;pTLHg`YEP70;LVx0tW8W1laOwK~L)Jlc?x7ym65sx$>pQ$Q1P3a8OrSVL2cG=bTs+y)'
+    'tIP)!j{$SI;J@q7{Ml;D?CADHbPrzCr^LvW|;g~hToi@T&<Ec_j!wPTlPKNHPg3YH_>ZH(Y<'
+    'd9v6kZI86e=(mV{JAS#?YY|&U=QGl8(7wHcM(<U#;uX@m<P43>cPVF`U|_BkJ6&kH&~(YIwR'
+    'n}BsKu+L?UmLoZJ)Gj=!ZUBtM}Xauut!|v)3B=(585uSh9FMK81F}ce|nL-K^bK@7-Esb{iE'
+    '#ziy=8=Iu?J=T{s0wn(2=Y-eBEbv^^S7<0JV9%d5uZnNS|5-CRG%<;4Ev+%R<v+!@0RgA{w9'
+    '>pBG9J(C39J(C7SMr*5{uX)XIDf6;t#S*E#+}pUv7d*Zho9%nZsQIV;1}Q*;1}Q*;NK3v2)_'
+    'uw2)_uw$Q|1+QD`)79KQs=1iu8o#2MUC*BNZXc9Y_rymJ{{8C@A&8C@Bl?vm)VcsK9TgYE#j'
+    '1L%6t^>P+{@cQBP!|Q`L0B;c95WFFHgYbsojldg$Hv(@2-Uz(f`w{5;J;ci>^Bs(jq6^1I(T'
+    '&!nODXSOIiI+Glk&!}KgRr+R6ILA&iFXv<I=Y{!TWSG-_864^OMXUWd0!YldL<%zD&bA1n&^'
+    'M!|-OR_W20BBk+zy``n^<pYj58KRNjUi4y-jkD@<{{#ey{hW;FfcO2eyl|M-_{orY0`XTP?!'
+    '}#}zR8F%>zJD|^-#a^xQF9)bXtVeP_MVh403*6iFBW>ptDW*5J+XLbRDO3w?4-!mN%6D7?}g'
+    'v%@q6L-R`BiGDXklw8e=Otzt5`~eX$q}Yeq_IMt7CA->Vn>b!Z1X?SQ8pKs!*St*+yPo_^5t'
+    'doY$0l53r>AM(~8s#8Dg>4!c2F#6$0zfNQQsVF9D<)+HqF$;ed{w(}i__MKG<9vDgf90vwv<'
+    '=FAM(RS`hKqr{S~HSzQ<L7&6JCCrV4V}fn}~8$6JsfJQqkt6l|7zBb5b;uvApH>_!Q5+?jX8'
+    'TiTSQlH|6Q3Jlzz!sfgEzuYvmdEd6OuKkfND9m`kiupOA^81uD<ytU)Gw{q?06V^WLt$jGAU'
+    's?NwXlzA0<E=e|cBVobzssxV|5oz8`;K^#eESmLJYh_|oDh>oy_kyEh02`pN<vOJ=H-NAF@1'
+    'aw{QW!b?LmFDrcrCltNL57y4JK(TihPJMh&m$+u-%YZvz)^Z-}R^#yGog$}cmEbNDsKnarV|'
+    'LqCWAvr(+4YUCHUFK_9$VREi`yJntAQ-8u5<#_S>lqTmp-T=IKO-K`mjyDA_9;a!}+wq3s#d'
+    'CC;vvs_Ac=Pb)tIj^Ow*YSe-oh&OX5hu+$$baC1HLP_AiO*8>Ar{et4YV+kDmSe<+LB@ovuH'
+    'Ze|VZ){*nBuviPytSP}2_-mOJ=i|`iVEy7z&$bWtgn)l)_eg=(+xx=r=3tsMspG{Wr6XNDme'
+    'm{Q3w`qLulYT=w8=v!?p0wxtYsQ4L@ddf?OZL9@-nl#S6~EQKHd__H;Xi_J&347_%!aD(h{`'
+    ';(dc3<l@;!EbFk2Lt@M{U(61pXHOXz+?_mkPF__O>vwD^nOrNI0e@oU+0{{#Gnz2D6)#Xor8'
+    'X8pDf%rbVCv9pYwW$Y}=FKml{V&^aN@!uLZDR^rHQ}9#Rv$#INp8HMn5BC0*+hELp7eEwY'
+)
+
+ATTRIBUTE_B85 = (
+    'c-l>kTN1z^2m^!I7rj95f6@ktjz8?MKnMVa2RCcd#6xuP-Fzc2-JN6`4#U@dxyr+G!P?2L{m'
+    'gRp^$Y8NC?lQgZsz2C&P-Y9zO8rmKb^P%QU'
+)

@@ -1,0 +1,472 @@
+"""WikipediaTokenizer — wiki-markup-aware tokenization, a table-driven
+replay of the reference's jflex scanner + wrapper:
+
+- ``analysis/wikipedia/WikipediaTokenizerImpl.java`` (JFlex 1.9.1
+  generated): tables machine-extracted to ``jflex_wikipedia_data.py``
+  (tools/jflex_extract.py); the maximal-munch loop runs here with the
+  STATEFUL action bodies (cases 1-46 of the generated switch,
+  ``WikipediaTokenizerImpl.java:906-1343``) transcribed as closures over
+  (currentTokType, numBalanced, positionInc, numLinkToks,
+  numWikiTokensSeen) — the scanner is resumable because the wrapper's
+  collapse loops re-enter it and push back.
+- ``analysis/wikipedia/WikipediaTokenizer.java:100-333``: TOKENS_ONLY /
+  UNTOKENIZED_ONLY / BOTH output modes; untokenized runs of one type
+  collapse into a single token with original inter-token whitespace
+  re-synthesized as ' ' * (gap) then trimmed, flagged
+  UNTOKENIZED_TOKEN_FLAG; the first-token positionIncrement-0 fix; the
+  post-collapse pushback (yypushback(yylength)).
+
+Offsets and the collapse gap arithmetic count UTF-16 units exactly like
+the Java scanner (``yychar``); the scan itself walks codepoints (the DFA
+maps codepoints to classes). Fuzz-verified token-for-token (term, type,
+posIncr, offsets, flags) against the COMPILED reference class over random
+wiki-markup corpora in all three modes — tools/wikipedia_fuzz.py.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+# token type ids (WikipediaTokenizer.java:56-74)
+ALPHANUM, APOSTROPHE, ACRONYM, COMPANY, EMAIL, HOST, NUM, CJ = range(8)
+INTERNAL_LINK, EXTERNAL_LINK, CITATION, CATEGORY = 8, 9, 10, 11
+BOLD, ITALICS, BOLD_ITALICS, HEADING, SUB_HEADING = 12, 13, 14, 15, 16
+EXTERNAL_LINK_URL = 17
+
+TOKEN_TYPES = (
+    "<ALPHANUM>", "<APOSTROPHE>", "<ACRONYM>", "<COMPANY>", "<EMAIL>",
+    "<HOST>", "<NUM>", "<CJ>", "il", "el", "ci", "c", "b", "i", "bi",
+    "h", "sh", "elu",
+)
+
+# lexical state constants (WikipediaTokenizerImpl.java:37-47)
+YYINITIAL = 0
+CATEGORY_STATE = 2
+INTERNAL_LINK_STATE = 4
+EXTERNAL_LINK_STATE = 6
+TWO_SINGLE_QUOTES_STATE = 8
+THREE_SINGLE_QUOTES_STATE = 10
+FIVE_SINGLE_QUOTES_STATE = 12
+DOUBLE_EQUALS_STATE = 14
+DOUBLE_BRACE_STATE = 16
+STRING = 18
+
+# output modes (WikipediaTokenizer.java:76-107)
+TOKENS_ONLY = 0
+UNTOKENIZED_ONLY = 1
+BOTH = 2
+UNTOKENIZED_TOKEN_FLAG = 1
+
+
+@lru_cache(maxsize=1)
+def _tables():
+    from lucene_spark.functions import jflex_wikipedia_data as d
+    from lucene_spark.functions.jflex import (
+        _unpack_cv, _unpack_rowmap,
+    )
+
+    cmap_top = _unpack_cv(d.CMAP_TOP_B85)
+    cmap_blocks = _unpack_cv(d.CMAP_BLOCKS_B85)
+    cps = np.arange(0x110000, dtype=np.int64)
+    cmap = np.where(
+        cps < 256,
+        cmap_blocks[cps & 255],
+        cmap_blocks[cmap_top[cps >> 8] | (cps & 255)],
+    ).astype(np.int32)
+    return (
+        list(d.LEXSTATE),
+        cmap,
+        _unpack_rowmap(d.ROWMAP_B85).tolist(),
+        _unpack_cv(d.TRANS_B85, delta=-1).tolist(),
+        _unpack_cv(d.ACTION_B85).tolist(),
+        _unpack_cv(d.ATTRIBUTE_B85).tolist(),
+    )
+
+
+class WikipediaScanner:
+    """Resumable getNextToken over one text (the WikipediaTokenizerImpl
+    instance analog). Positions are codepoint indices internally; yychar/
+    yylength speak UTF-16 units like the Java scanner."""
+
+    def __init__(self, text: str):
+        lexstate, cmap, rowmap, trans, action, attr = _tables()
+        self._lexstate = lexstate
+        self._rowmap = rowmap
+        self._trans = trans
+        self._action = action
+        self._attr = attr
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+            np.int64) if text else np.zeros(0, dtype=np.int64)
+        self.cls = cmap[cps].tolist() if text else []
+        # u16[i] = UTF-16 offset of codepoint i; u16[n] = total units
+        w = (1 + (cps > 0xFFFF).astype(np.int64))
+        self.u16 = np.concatenate(([0], np.cumsum(w))).tolist()
+        self.text = text
+        self.n = len(self.cls)
+        self.pos = 0
+        self.lex = YYINITIAL
+        self.start = 0
+        # token state (WikipediaTokenizerImpl.java:534-543 + reset())
+        self.current_tok_type = 0
+        self.num_balanced = 0
+        self.position_inc = 1
+        self.num_link_toks = 0
+        self.num_wiki_tokens_seen = 0
+
+    # ---- accessors mirroring the Impl
+    def yychar(self) -> int:
+        return self.u16[self.start]
+
+    def yylength_u16(self) -> int:
+        return self.u16[self.pos] - self.u16[self.start]
+
+    def yytext(self) -> str:
+        return self.text[self.start:self.pos]
+
+    def yypushback_all(self) -> None:
+        """yypushback(yylength()) — the only pushback the wrapper uses."""
+        self.pos = self.start
+
+    def get_next_token(self) -> int | None:
+        """-> token type id, or None at EOF. Non-returning actions loop."""
+        trans, rowmap, attr, action_tab = (
+            self._trans, self._rowmap, self._attr, self._action)
+        cls, n = self.cls, self.n
+        while True:
+            if self.pos >= n:
+                return None
+            start = self.pos
+            # ZZ_LEXSTATE is indexed by the lexical-state CONSTANT itself
+            state = self._lexstate[self.lex]
+            act_state = state if (attr[state] & 1) else -1
+            marked = start
+            cur = start
+            while cur < n:
+                nxt = trans[rowmap[state] + cls[cur]]
+                if nxt == -1:
+                    break
+                cur += 1
+                state = nxt
+                a = attr[state]
+                if a & 1:
+                    act_state = state
+                    marked = cur
+                    if a & 8:
+                        break
+            if act_state < 0:
+                raise RuntimeError(
+                    f"wikipedia scanner: no match at codepoint {start}")
+            self.start = start
+            self.pos = marked
+            ret = self._dispatch(action_tab[act_state])
+            if ret is not None:
+                return ret
+
+    def _dispatch(self, case: int) -> int | None:
+        """The generated switch (WikipediaTokenizerImpl.java:906-1343).
+        Cases 47-92 are the jflex fall-through no-ops."""
+        s = self
+        if case == 1:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+        elif case == 2:
+            s.position_inc = 1
+            return ALPHANUM
+        elif case == 3:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+            s.current_tok_type = EXTERNAL_LINK_URL
+            s.lex = EXTERNAL_LINK_STATE
+        elif case == 4:
+            s.position_inc = 1
+            return CJ
+        elif case == 5:
+            s.position_inc = 1
+        elif case == 6:
+            s.lex = CATEGORY_STATE
+            s.num_wiki_tokens_seen += 1
+            return s.current_tok_type
+        elif case == 7:
+            s.lex = INTERNAL_LINK_STATE
+            s.num_wiki_tokens_seen += 1
+            return s.current_tok_type
+        elif case == 8:
+            pass  # ignore
+        elif case == 9:
+            s.position_inc = 0 if s.num_link_toks == 0 else 1
+            s.num_wiki_tokens_seen += 1
+            s.current_tok_type = EXTERNAL_LINK
+            s.lex = EXTERNAL_LINK_STATE
+            s.num_link_toks += 1
+            return s.current_tok_type
+        elif case == 10:
+            s.num_link_toks = 0
+            s.position_inc = 0
+            s.lex = YYINITIAL
+        elif case == 11:
+            s.current_tok_type = BOLD
+            s.lex = THREE_SINGLE_QUOTES_STATE
+        elif case == 12:
+            s.current_tok_type = ITALICS
+            s.num_wiki_tokens_seen += 1
+            s.lex = STRING
+            return s.current_tok_type
+        elif case == 13:
+            s.current_tok_type = EXTERNAL_LINK
+            s.num_wiki_tokens_seen = 0
+            s.lex = EXTERNAL_LINK_STATE
+        elif case == 14:
+            s.lex = STRING
+            s.num_wiki_tokens_seen += 1
+            return s.current_tok_type
+        elif case == 15:
+            s.current_tok_type = HEADING
+            s.lex = DOUBLE_EQUALS_STATE
+            s.num_wiki_tokens_seen += 1
+            return s.current_tok_type
+        elif case == 16:
+            s.current_tok_type = SUB_HEADING
+            s.num_wiki_tokens_seen = 0
+            s.lex = STRING
+        elif case == 17:
+            s.lex = DOUBLE_BRACE_STATE
+            s.num_wiki_tokens_seen = 0
+            return s.current_tok_type
+        elif case == 18:
+            pass  # ignore STRING
+        elif case == 19:
+            s.lex = STRING
+            s.num_wiki_tokens_seen += 1
+            return s.current_tok_type
+        elif case == 20:
+            s.num_balanced = 0
+            s.num_wiki_tokens_seen = 0
+            s.current_tok_type = EXTERNAL_LINK
+            s.lex = EXTERNAL_LINK_STATE
+        elif case == 21:
+            s.lex = STRING
+            return s.current_tok_type
+        elif case == 22:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+            if s.num_balanced == 0:
+                s.num_balanced += 1
+                s.lex = TWO_SINGLE_QUOTES_STATE
+            else:
+                s.num_balanced = 0
+        elif case == 23:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+            s.lex = DOUBLE_EQUALS_STATE
+        elif case == 24:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+            s.current_tok_type = INTERNAL_LINK
+            s.lex = INTERNAL_LINK_STATE
+        elif case == 25:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+            s.current_tok_type = CITATION
+            s.lex = DOUBLE_BRACE_STATE
+        elif case == 26:
+            s.lex = YYINITIAL
+        elif case == 27:
+            s.num_link_toks = 0
+            s.lex = YYINITIAL
+        elif case in (28, 29):
+            s.current_tok_type = INTERNAL_LINK
+            s.num_wiki_tokens_seen = 0
+            s.lex = INTERNAL_LINK_STATE
+        elif case == 30:
+            s.lex = YYINITIAL
+        elif case == 31:
+            s.num_balanced = 0
+            s.current_tok_type = ALPHANUM
+            s.lex = YYINITIAL  # end italics
+        elif case == 32:
+            s.num_balanced = 0
+            s.num_wiki_tokens_seen = 0
+            s.current_tok_type = INTERNAL_LINK
+            s.lex = INTERNAL_LINK_STATE
+        elif case == 33:
+            s.position_inc = 1
+            return NUM
+        elif case == 34:
+            s.position_inc = 1
+            return COMPANY
+        elif case == 35:
+            s.position_inc = 1
+            return APOSTROPHE
+        elif case == 36:
+            s.position_inc = 1
+            return HOST
+        elif case == 37:
+            s.current_tok_type = BOLD_ITALICS
+            s.lex = FIVE_SINGLE_QUOTES_STATE
+        elif case in (38, 39, 42):
+            s.num_balanced = 0
+            s.current_tok_type = ALPHANUM
+            s.lex = YYINITIAL  # end bold / sub header / bold italics
+        elif case == 40:
+            s.position_inc = 1
+            return ACRONYM
+        elif case == 41:
+            s.position_inc = 1
+            return EMAIL
+        elif case == 43:
+            s.position_inc = 1
+            s.num_wiki_tokens_seen += 1
+            s.lex = EXTERNAL_LINK_STATE
+            return s.current_tok_type
+        elif case == 44:
+            s.num_wiki_tokens_seen = 0
+            s.position_inc = 1
+            s.current_tok_type = CATEGORY
+            s.lex = CATEGORY_STATE
+        elif case == 45:
+            s.current_tok_type = CATEGORY
+            s.num_wiki_tokens_seen = 0
+            s.lex = CATEGORY_STATE
+        elif case == 46:
+            s.num_balanced = 0
+            s.num_wiki_tokens_seen = 0
+            s.current_tok_type = CATEGORY
+            s.lex = CATEGORY_STATE
+        elif 47 <= case <= 92:
+            pass  # jflex fall-through pairs
+        else:
+            raise RuntimeError(f"wikipedia scanner: unknown action {case}")
+        return None
+
+
+def wikipedia_tokenize(
+    text: str,
+    token_output: int = TOKENS_ONLY,
+    untokenized_types: frozenset[str] = frozenset(),
+) -> list[tuple[str, str, int, int, int, int]]:
+    """WikipediaTokenizer.incrementToken replayed to completion:
+    [(term, type, posIncr, startOffset, endOffset, flags)] with offsets in
+    UTF-16 units (the Java OffsetAttribute contract)."""
+    if token_output not in (TOKENS_ONLY, UNTOKENIZED_ONLY, BOTH):
+        raise ValueError(
+            "tokenOutput must be TOKENS_ONLY, UNTOKENIZED_ONLY or BOTH")
+    sc = WikipediaScanner(text)
+    out: list[tuple[str, str, int, int, int, int]] = []
+    first = True
+    while True:
+        tok = sc.get_next_token()
+        if tok is None:
+            return out
+        type_ = TOKEN_TYPES[tok]
+        saved: list[tuple[str, str, int, int, int, int]] = []
+        if token_output == TOKENS_ONLY or type_ not in untokenized_types:
+            # setupToken(): plain token
+            term = sc.yytext()
+            start = sc.yychar()
+            cur = (term, type_, 0, start, start + sc.yylength_u16(), 0)
+        else:
+            # collapse (WikipediaTokenizer.java:215-300): accumulate same-
+            # type run with gap whitespace, trim, flag; BOTH also saves
+            # the individual tokens
+            buffer = sc.yytext()
+            the_start = sc.yychar()
+            last_pos = the_start + sc.yylength_u16()
+            num_seen = 0
+            if token_output == BOTH:
+                t0 = sc.yytext()
+                saved.append((t0, type_, 0, the_start,
+                              the_start + sc.yylength_u16(), 0))
+            while True:
+                tmp = sc.get_next_token()
+                if tmp is None:
+                    at_eof = True
+                    break
+                if tmp != tok or sc.num_wiki_tokens_seen <= num_seen:
+                    at_eof = False
+                    break
+                curr_pos = sc.yychar()
+                buffer += " " * (curr_pos - last_pos)
+                t = sc.yytext()
+                buffer += t
+                if token_output == BOTH:
+                    saved.append((t, type_, sc.position_inc, curr_pos,
+                                  curr_pos + sc.yylength_u16(), 0))
+                num_seen += 1
+                last_pos = curr_pos + sc.yylength_u16()
+            trimmed = _java_trim(buffer)
+            cur = (trimmed, type_, 0, the_start,
+                   the_start + _u16len(trimmed), UNTOKENIZED_TOKEN_FLAG)
+            if not at_eof:
+                sc.yypushback_all()
+        posinc = sc.position_inc
+        if first and posinc == 0:
+            posinc = 1  # don't emit posinc=0 for the first token
+        out.append((cur[0], cur[1], posinc, cur[3], cur[4], cur[5]))
+        first = False
+        out.extend(saved)
+
+
+def _u16len(s: str) -> int:
+    return sum(2 if ord(c) > 0xFFFF else 1 for c in s)
+
+
+def _java_trim(s: str) -> str:
+    """String.trim(): strips chars <= U+0020 (NOT Unicode whitespace)."""
+    i, j = 0, len(s)
+    while i < j and ord(s[i]) <= 0x20:
+        i += 1
+    while j > i and ord(s[j - 1]) <= 0x20:
+        j -= 1
+    return s[i:j]
+
+
+# --------------------------------------------------------------- chain slot
+
+def wikipedia_terms_one(text: str):
+    """Scalar oracle for the 'wikipedia' chain: -> (terms, positions,
+    field_len). Terms = TOKENS_ONLY stream lowered with the Java-parity
+    lowercase; positions = running posIncr sum, field_len = #posIncr>0."""
+    from lucene_spark.functions.analysis import java_lower
+
+    stream = wikipedia_tokenize(text, TOKENS_ONLY)
+    terms, pos, p = [], [], -1
+    for term, _type, inc, _s, _e, _f in stream:
+        p += inc
+        terms.append(java_lower(term))
+        pos.append(p)
+    flen = sum(1 for tok in stream if tok[2] > 0)
+    return terms, pos, flen
+
+
+def _wiki_stream_series(texts):
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import java_lower
+
+    toks: list[list[str]] = []
+    incs: list[list[int]] = []
+    for text in texts.fillna(""):
+        stream = wikipedia_tokenize(text, TOKENS_ONLY)
+        toks.append([java_lower(t) for t, *_ in stream])
+        incs.append([tok[2] for tok in stream])
+    return pd.Series(toks, index=texts.index), pd.Series(
+        incs, index=texts.index)
+
+
+def _raise_raw(texts):
+    raise RuntimeError(
+        "the wikipedia chain tokenizes through STREAM_TOKENIZERS")
+
+
+def register_wikipedia_chain() -> None:
+    """Chain 'wikipedia' = WikipediaTokenizer(TOKENS_ONLY) -> LowerCase —
+    a stream-structural chain (posIncr carried; markup consumed)."""
+    from lucene_spark.functions import analysis as an
+
+    an.STREAM_TOKENIZERS["wikipedia"] = _wiki_stream_series
+    an.STREAM_SCALARS["wikipedia"] = wikipedia_terms_one
+    an.CHAIN_FILTERS["wikipedia"] = (None, None, None)
+    an.CHAIN_BASE["wikipedia"] = "stream"
+    an.RAW_TOKENIZERS["wikipedia"] = (_raise_raw, None)
+    an.CHAIN_LOWER["wikipedia"] = str  # lowered inside the stream

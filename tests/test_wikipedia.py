@@ -1,0 +1,102 @@
+"""WikipediaTokenizer (functions/wikipedia.py): goldens printed FROM the
+compiled reference class (tools/wikipedia_fuzz.py harness — which also
+fuzzes 800 random markup corpora × all three output modes at 0
+mismatches), plus the engine chain round-trip."""
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lucene_spark.functions.wikipedia import (
+    BOTH, TOKENS_ONLY, UNTOKENIZED_ONLY, wikipedia_terms_one,
+    wikipedia_tokenize,
+)
+
+# printed from the compiled WikipediaTokenizer — NEVER hand-edit
+_GOLDENS = [
+    (TOKENS_ONLY, frozenset(),
+     "link to [[page title|display text]] in '''bold''' here",
+     [('link', '<ALPHANUM>', 1, 0, 4, 0), ('to', '<ALPHANUM>', 1, 5, 7, 0),
+      ('page', 'il', 1, 10, 14, 0), ('title', 'il', 1, 15, 20, 0),
+      ('display', 'il', 1, 21, 28, 0), ('text', 'il', 1, 29, 33, 0),
+      ('in', '<ALPHANUM>', 1, 36, 38, 0), ('bold', 'b', 1, 42, 46, 0),
+      ('here', '<ALPHANUM>', 1, 50, 54, 0)]),
+    (UNTOKENIZED_ONLY, frozenset({"c", "il"}),
+     "[[Category:big cats]] see [[lion king]] and [[tiger]] done",
+     [('big cats', 'c', 1, 11, 19, 1), ('see', '<ALPHANUM>', 1, 22, 25, 0),
+      ('lion king', 'il', 1, 28, 37, 1), ('and', '<ALPHANUM>', 1, 40, 43, 0),
+      ('tiger', 'il', 1, 46, 51, 1), ('done', '<ALPHANUM>', 1, 54, 58, 0)]),
+    (BOTH, frozenset({"b", "h"}),
+     "==A Big Heading== then '''bold words here''' end",
+     [('A Big Heading', 'h', 1, 2, 15, 1), ('A', 'h', 0, 2, 3, 0),
+      ('Big', 'h', 1, 4, 7, 0), ('Heading', 'h', 1, 8, 15, 0),
+      ('then', '<ALPHANUM>', 1, 18, 22, 0),
+      ('bold words here', 'b', 1, 26, 41, 1), ('bold', 'b', 0, 26, 30, 0),
+      ('words', 'b', 1, 31, 36, 0), ('here', 'b', 1, 37, 41, 0),
+      ('end', '<ALPHANUM>', 1, 45, 48, 0)]),
+    (TOKENS_ONLY, frozenset(),
+     "e=mc2 see http://example.com/x?y=1 and bob@example.com 3.14 AT&T",
+     [('e', '<ALPHANUM>', 1, 0, 1, 0), ('mc2', '<ALPHANUM>', 1, 2, 5, 0),
+      ('see', '<ALPHANUM>', 1, 6, 9, 0), ('http', '<ALPHANUM>', 1, 10, 14, 0),
+      ('example.com', '<HOST>', 1, 17, 28, 0), ('x', '<ALPHANUM>', 1, 29, 30, 0),
+      ('y', '<ALPHANUM>', 1, 31, 32, 0), ('1', '<ALPHANUM>', 1, 33, 34, 0),
+      ('and', '<ALPHANUM>', 1, 35, 38, 0),
+      ('bob@example.com', '<EMAIL>', 1, 39, 54, 0),
+      ('3.14', '<NUM>', 1, 55, 59, 0), ('AT&T', '<COMPANY>', 1, 60, 64, 0)]),
+    (UNTOKENIZED_ONLY, frozenset({"el", "elu"}),
+     "[http://foo.example click me now] after",
+     [('http://foo.example', 'elu', 1, 1, 19, 1),
+      ('click me now', 'el', 1, 20, 32, 1),
+      ('after', '<ALPHANUM>', 1, 34, 39, 0)]),
+]
+
+
+@pytest.mark.parametrize("mode,untok,text,want", _GOLDENS)
+def test_reference_goldens(mode, untok, text, want):
+    assert wikipedia_tokenize(text, mode, untok) == want
+
+
+def test_scalar_chain_oracle():
+    terms, pos, flen = wikipedia_terms_one(
+        "== Heading == '''Bold''' [[A Link|Shown]] plain")
+    assert terms == ["heading", "bold", "a", "link", "shown", "plain"]
+    assert pos == [0, 1, 2, 3, 4, 5]
+    assert flen == 6
+
+
+def test_bad_mode_rejected():
+    with pytest.raises(ValueError, match="tokenOutput"):
+        wikipedia_tokenize("x", 7)
+
+
+def test_wikipedia_chain_engine_roundtrip(spark, small_corpus,
+                                          tmp_path_factory):
+    """Index built with the wikipedia chain on markup-decorated text:
+    markup-only terms are reachable, markup syntax chars are not."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("wikiidx") / "idx")
+    sdf = spark.createDataFrame(small_corpus).withColumn(
+        "text", F.concat(F.lit("== topz == [[Category:catz]] '''"),
+                         F.col("text"), F.lit("''' [[linka|lshown]]")))
+    build_index(spark, sdf, d, IndexConfig(
+        num_segments=3, term_buckets=8, hot_term_df=64,
+        analyzer="wikipedia"))
+    merge_index(spark, d)
+    s = IndexSearcher(spark, d)
+    n = s.doc_count
+    for term in ("topz", "catz", "linka", "lshown", "ba"):
+        hits = s.search(rewrite_fixpoint(parse_query(
+            json.dumps({"term": term}))), 5)
+        assert hits.count() > 0, term
+    # markup characters never become terms
+    td = {r["term"] for r in s.term_dict.select("term").collect()}
+    assert not any("[" in t or "=" in t or "'" in t for t in td)
+    # wrapper terms appear in every doc
+    cat_df = s.term_dict.filter(F.col("term") == "catz").collect()
+    assert cat_df and cat_df[0]["doc_freq"] == n

@@ -30,6 +30,8 @@ import sys
 REF_CORE = "/root/reference/lucene/core/src/java"
 REF_HUNSPELL = ("/root/reference/lucene/analysis/common/src/java/org/"
                 "apache/lucene/analysis/hunspell")
+REF_WIKIPEDIA = ("/root/reference/lucene/analysis/common/src/java/org/"
+                 "apache/lucene/analysis/wikipedia")
 REF_MISC_INDEX = "/root/reference/lucene/misc/src/java/org/apache/lucene/misc/index"
 # only the BP reordering classes (the rest of misc/index pulls module deps)
 MISC_FILES = ("AbstractBPReorderer.java", "IndexReorderer.java",
@@ -125,6 +127,13 @@ def build(force: bool = False) -> str:
     shutil.copytree(
         REF_HUNSPELL,
         os.path.join(SRC, "org/apache/lucene/analysis/hunspell"))
+    shutil.copytree(
+        REF_WIKIPEDIA,
+        os.path.join(SRC, "org/apache/lucene/analysis/wikipedia"))
+    # the factory needs analysis-common's TokenizerFactory SPI — not core
+    os.remove(os.path.join(
+        SRC, "org/apache/lucene/analysis/wikipedia/"
+             "WikipediaTokenizerFactory.java"))
     misc_dst = os.path.join(SRC, "org/apache/lucene/misc/index")
     os.makedirs(misc_dst)
     for f in MISC_FILES:

@@ -1,0 +1,186 @@
+"""Compiled-reference parity fuzz for lucene_spark/functions/wikipedia.py.
+
+Builds lucene-core + the analysis-common wikipedia package
+(tools/build_ref_core.py), then compares ``wikipedia_tokenize`` against
+the real WikipediaTokenizer token-for-token — (term, type, posIncr,
+startOffset, endOffset, flags) — over random wiki-markup corpora in all
+three output modes (TOKENS_ONLY / UNTOKENIZED_ONLY / BOTH with random
+untokenized-type sets).
+
+Run: python tools/wikipedia_fuzz.py [n_cases]
+"""
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.build_ref_core import build  # noqa: E402
+
+HARNESS_DIR = "/tmp/wikiharness_auto"
+
+HARNESS = r'''
+package org.apache.lucene.analysis.wikipedia;
+
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.*;
+import org.apache.lucene.analysis.tokenattributes.*;
+
+public class WikiFuzz {
+  public static void main(String[] args) throws Exception {
+    PrintStream out = new PrintStream(System.out, true, "UTF-8");
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      if (line.isEmpty()) continue;
+      // mode \t comma-untokenized-types \t escaped text
+      String[] parts = line.split("\t", 3);
+      int mode = Integer.parseInt(parts[0]);
+      Set<String> untok = new HashSet<>();
+      if (!parts[1].isEmpty())
+        untok.addAll(Arrays.asList(parts[1].split(",")));
+      String text = parts[2].replace("\\n", "\n").replace("\\t", "\t")
+          .replace("\\\\", "\\");
+      WikipediaTokenizer t = new WikipediaTokenizer(mode, untok);
+      t.setReader(new StringReader(text));
+      CharTermAttribute term = t.getAttribute(CharTermAttribute.class);
+      TypeAttribute type = t.getAttribute(TypeAttribute.class);
+      PositionIncrementAttribute pi =
+          t.getAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = t.getAttribute(OffsetAttribute.class);
+      FlagsAttribute fl = t.getAttribute(FlagsAttribute.class);
+      t.reset();
+      StringBuilder sb = new StringBuilder();
+      while (t.incrementToken()) {
+        sb.append("T\t").append(term.toString().replace("\\", "\\\\")
+            .replace("\n", "\\n").replace("\t", "\\t"))
+          .append('\t').append(type.type())
+          .append('\t').append(pi.getPositionIncrement())
+          .append('\t').append(off.startOffset())
+          .append('\t').append(off.endOffset())
+          .append('\t').append(fl.getFlags()).append('\n');
+      }
+      t.end();
+      t.close();
+      sb.append("END\n");
+      out.print(sb);
+    }
+  }
+}
+'''
+
+
+def ensure_harness() -> str:
+    core = build()
+    pkg = os.path.join(HARNESS_DIR, "org/apache/lucene/analysis/wikipedia")
+    os.makedirs(pkg, exist_ok=True)
+    src = os.path.join(pkg, "WikiFuzz.java")
+    cur = open(src).read() if os.path.exists(src) else ""
+    if cur != HARNESS or not os.path.exists(src.replace(".java", ".class")):
+        with open(src, "w") as fh:
+            fh.write(HARNESS)
+        subprocess.run(
+            ["javac", "-encoding", "UTF-8", "-cp", core, "-d", HARNESS_DIR,
+             src], check=True)
+    return core
+
+
+WORDS = ("foo bar baz alpha beta x1 42 3.14 AT&T a.b.c. o'neil wiki-text "
+         "U.S.A. bob@example.com example.com big scan 一二 カタ").split()
+MARKUP = [
+    ("[[", "]]"), ("[[Category:", "]]"), ("[[link|", "]]"),
+    ("[http://foo.com ", "]"), ("[https://a.b/c?d=1 ", "]"),
+    ("'''", "'''"), ("''", "''"), ("'''''", "'''''"),
+    ("==", "=="), ("===", "==="), ("{{", "}}"), ("<!--", "-->"),
+]
+TYPES = ["<ALPHANUM>", "<NUM>", "il", "el", "elu", "c", "b", "i", "bi",
+         "h", "sh", "ci", "<HOST>", "<EMAIL>"]
+
+
+def gen_text(rng: random.Random) -> str:
+    parts = []
+    for _ in range(rng.randrange(0, 14)):
+        r = rng.random()
+        if r < 0.45:
+            parts.append(rng.choice(WORDS))
+        elif r < 0.85:
+            a, b = rng.choice(MARKUP)
+            inner = " ".join(rng.choice(WORDS)
+                             for _ in range(rng.randrange(0, 4)))
+            if rng.random() < 0.15:
+                b = ""  # unbalanced
+            parts.append(a + inner + b)
+        elif r < 0.92:
+            parts.append(rng.choice(["|", "=", "]]", "}}", "''", ":",
+                                     "[[", "{{", "==", "*", "#"]))
+        else:
+            a, b = rng.choice(MARKUP)
+            c, d = rng.choice(MARKUP)
+            parts.append(a + c + rng.choice(WORDS) + d + b)  # nested
+    sep = rng.choice([" ", " ", "  ", "\n"])
+    return sep.join(parts)
+
+
+def run(n_cases: int) -> int:
+    from lucene_spark.functions.wikipedia import wikipedia_tokenize
+
+    core = ensure_harness()
+    rng = random.Random(20260822)
+    cases = []
+    for _ in range(n_cases):
+        mode = rng.choice([0, 0, 1, 2])
+        if mode == 0:
+            untok = []
+        else:
+            untok = rng.sample(TYPES, rng.randrange(1, 6))
+        cases.append((mode, untok, gen_text(rng)))
+
+    inp = "".join(
+        f"{m}\t{','.join(u)}\t" + t.replace("\\", "\\\\")
+        .replace("\n", "\\n").replace("\t", "\\t") + "\n"
+        for m, u, t in cases)
+    p = subprocess.run(
+        ["java", "-cp", f"{core}:{HARNESS_DIR}",
+         "org.apache.lucene.analysis.wikipedia.WikiFuzz"],
+        input=inp, capture_output=True, text=True)
+    if p.returncode != 0:
+        print("harness failed:", p.stderr[-800:])
+        return 1
+    want_all: list[list[tuple]] = [[]]
+    for line in p.stdout.splitlines():
+        if line == "END":
+            want_all.append([])
+        elif line.startswith("T\t"):
+            term, type_, pi, so, eo, fl = line[2:].split("\t")
+            term = (term.replace("\\n", "\n").replace("\\t", "\t")
+                    .replace("\\\\", "\\"))
+            want_all[-1].append(
+                (term, type_, int(pi), int(so), int(eo), int(fl)))
+    want_all.pop()
+    assert len(want_all) == len(cases), (len(want_all), len(cases))
+
+    bad = 0
+    for ci, ((mode, untok, text), want) in enumerate(zip(cases, want_all)):
+        mine = wikipedia_tokenize(text, mode, frozenset(untok))
+        if mine != want:
+            bad += 1
+            if bad <= 8:
+                print(f"MISMATCH case {ci} mode={mode} untok={untok}")
+                print(f"  text: {text!r}")
+                for i, (a, b) in enumerate(zip(mine, want)):
+                    if a != b:
+                        print(f"  tok {i}: mine={a!r} java={b!r}")
+                        break
+                print(f"  lens: mine={len(mine)} java={len(want)}")
+    print(f"{len(cases)} cases, {bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    sys.exit(run(n))
