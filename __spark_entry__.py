@@ -1704,6 +1704,18 @@ def _expunged_df(spark, sf_dir):
     )
 
 
+def _profile_df(spark, sf_dir):
+    """Query profiler: per-leaf postings volume + per-operator doc counts
+    for the mixed Boolean. ``blocks`` is an engine blocking artifact
+    (segment-dependent), so the entry exposes the SQL-predictable columns;
+    blocks is asserted in pytest instead."""
+    s = _searcher(spark, sf_dir)
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    q = rewrite_fixpoint(parse_query(json.dumps(_BM25_QUERIES["bm25_mixed"])))
+    return s.profile(q).select("seq", "node", "detail", "docs", "ttf") \
+        .orderBy("seq")
+
+
 _FM_PARAMS = ("field_len", "v % 7 = 3", 1.5, 20)   # FunctionMatchQuery
 _FR_PARAMS = ("field_len", 40.0, 80.0, 20)          # FunctionRangeQuery
 
@@ -3373,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_eval"] = _quality_df
     out["function_match"] = _function_match_df
     out["function_range"] = _function_range_df
+    out["query_profile"] = _profile_df
     out["bm25_multi_phrase"] = _multi_phrase_df
     out["bm25_synonym"] = _synonym_df
     out["bm25_dismax"] = _dismax_df
@@ -4788,6 +4801,56 @@ SELECT query, num_points, num_good, max_good,
                THEN CAST(num_good AS DOUBLE) / num_points ELSE 0.0 END)
        ELSE CAST(num_good AS DOUBLE) / max_good END AS REAL) AS recall
 FROM t ORDER BY query
+""".strip()
+    # query profiler: leaf df/ttf from the token replay; operator counts
+    # from per-doc presence of the four terms (must hash; should dup,
+    # scan; must_not vector; msm 0)
+    out["query_profile"] = f"""
+WITH {sqlgen.corpus_ctes('documents', 'doc_id', 'text')},
+pres AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS m_hash,
+         max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS m_dup,
+         max(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS m_scan,
+         max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS m_vec
+  FROM tf WHERE term IN ('hash', 'dup', 'scan', 'vector')
+  GROUP BY doc_id
+),
+leafstats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(freq) AS BIGINT) AS ttf
+  FROM tf WHERE term IN ('hash', 'dup', 'scan', 'vector') GROUP BY term
+),
+ops AS (
+  SELECT CAST(count(*) AS BIGINT) AS candidates,
+         CAST(coalesce(sum(m_hash), 0) AS BIGINT) AS must_pass,
+         CAST(coalesce(sum(m_hash), 0) AS BIGINT) AS msm_pass,
+         CAST(coalesce(sum(CASE WHEN m_hash = 1 AND m_vec = 1
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS excluded,
+         CAST(coalesce(sum(CASE WHEN m_hash = 1 AND m_vec = 0
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched
+  FROM pres
+)
+SELECT * FROM (
+  SELECT 0 AS seq, 'leaf:must' AS node, 'hash' AS detail,
+         coalesce(df, 0) AS docs, coalesce(ttf, 0) AS ttf
+  FROM (SELECT 1) one LEFT JOIN leafstats ON term = 'hash'
+  UNION ALL
+  SELECT 1, 'leaf:should', 'dup', coalesce(df, 0), coalesce(ttf, 0)
+  FROM (SELECT 1) one LEFT JOIN leafstats ON term = 'dup'
+  UNION ALL
+  SELECT 2, 'leaf:should', 'scan', coalesce(df, 0), coalesce(ttf, 0)
+  FROM (SELECT 1) one LEFT JOIN leafstats ON term = 'scan'
+  UNION ALL
+  SELECT 3, 'leaf:must_not', 'vector', coalesce(df, 0), coalesce(ttf, 0)
+  FROM (SELECT 1) one LEFT JOIN leafstats ON term = 'vector'
+  UNION ALL
+  SELECT 4, 'candidates', '', candidates, NULL FROM ops
+  UNION ALL SELECT 5, 'must_pass', '', must_pass, NULL FROM ops
+  UNION ALL SELECT 6, 'msm_pass', '', msm_pass, NULL FROM ops
+  UNION ALL SELECT 7, 'excluded', '', excluded, NULL FROM ops
+  UNION ALL SELECT 8, 'matched', '', matched, NULL FROM ops
+) t ORDER BY seq
 """.strip()
     # FunctionMatch / FunctionRange: the value source is the per-doc
     # token count (field_len); match is constant-score, range scores the

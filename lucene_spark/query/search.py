@@ -1438,6 +1438,92 @@ class IndexSearcher:
             )
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def profile(self, query: Query) -> DataFrame:
+        """Query profiler analog (``sandbox/search/QueryProfilerIndexSearcher
+        .java`` + ``QueryProfilerBreakdown``): a per-operator execution
+        breakdown of one query. The reference instruments one execution
+        with per-node nanosecond timers; on Spark the operator wall-times
+        live in the Spark UI/driver metrics, so the analog reports the
+        DETERMINISTIC breakdown those timings derive from — per-leaf
+        postings volume (doc_freq / blocks / total_term_freq) and
+        per-operator candidate/survivor doc counts, all from ONE postings
+        scan + one aggregation (flat Boolean/term queries).
+
+        Rows in fixed order: one ``leaf:<kind>`` row per clause (detail =
+        term, docs = df, blocks = postings blocks, ttf), then operator
+        rows ``candidates`` (distinct docs any clause touched, the
+        disjunctive scan frontier), ``must_pass`` (all MUST+FILTER
+        clauses matched), ``msm_pass`` (+minimum-should-match),
+        ``excluded`` (killed by MUST_NOT after msm_pass), ``matched``
+        (final live hits)."""
+        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
+        if isinstance(q, TermQuery):
+            q = BooleanQuery(must=[q])
+        if not (isinstance(q, BooleanQuery) and self._is_flat(q)):
+            raise ValueError("profile supports flat Boolean/term queries")
+        clauses = self._clauses_of(q, np.float32(1.0))
+        stats = {
+            r["term"]: (int(r["doc_freq"]), int(r["num_blocks"]),
+                        int(r["total_term_freq"]))
+            for r in self.term_dict.filter(
+                F.col("term").isin(sorted({c.term for c in clauses})))
+            .select("term", "doc_freq", "num_blocks",
+                    "total_term_freq").collect()
+        }
+        leaf_rows = [
+            (i, f"leaf:{c.kind}", c.term,
+             stats.get(c.term, (0, 0, 0))[0],
+             stats.get(c.term, (0, 0, 0))[1],
+             stats.get(c.term, (0, 0, 0))[2])
+            for i, c in enumerate(clauses)
+        ]
+
+        n_must = sum(1 for c in clauses if c.kind == "must")
+        n_filter = sum(1 for c in clauses if c.kind == "filter")
+        msm = q.min_should_match
+        scored = self._live(self._scan_and_score(clauses))
+        kinds = {c.clause_id: c.kind for c in clauses}
+        kind_expr = F.create_map(
+            *[x for cid, kd in kinds.items()
+              for x in (F.lit(cid), F.lit(kd))])[F.col("clause_id")]
+        agg = (
+            scored.withColumn("kind", kind_expr)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.when(F.col("kind") == "must", 1)).alias("mn"),
+                F.count(F.when(F.col("kind") == "should", 1)).alias("sn"),
+                F.count(F.when(F.col("kind") == "filter", 1)).alias("fn"),
+                F.count(F.when(F.col("kind") == "must_not", 1)).alias("nn"),
+            )
+        )
+        req = (F.col("mn") == n_must) & (F.col("fn") == n_filter)
+        if n_must + n_filter == 0:
+            msm_c = req & (F.col("sn") >= max(msm, 1))
+        elif msm > 0:
+            msm_c = req & (F.col("sn") >= msm)
+        else:
+            msm_c = req
+        row = agg.agg(
+            F.count("*").alias("candidates"),
+            F.sum(req.cast("long")).alias("must_pass"),
+            F.sum(msm_c.cast("long")).alias("msm_pass"),
+            F.sum((msm_c & (F.col("nn") > 0)).cast("long")).alias("excluded"),
+            F.sum((msm_c & (F.col("nn") == 0)).cast("long")).alias("matched"),
+        ).collect()[0]
+        base = len(leaf_rows)
+        op_rows = [
+            (base + i, node, "", int(row[col] or 0), None, None)
+            for i, (node, col) in enumerate((
+                ("candidates", "candidates"), ("must_pass", "must_pass"),
+                ("msm_pass", "msm_pass"), ("excluded", "excluded"),
+                ("matched", "matched"),
+            ))
+        ]
+        return self.spark.createDataFrame(
+            leaf_rows + op_rows,
+            "seq int, node string, detail string, docs long, blocks long, "
+            "ttf long").orderBy("seq")
+
     def function_match(self, value: str, predicate: str, k: int = 10,
                        boost: float = 1.0) -> DataFrame:
         """FunctionMatchQuery analog (``queries/function/FunctionMatchQuery

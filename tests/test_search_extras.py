@@ -1041,3 +1041,48 @@ def test_function_match_and_range(spark, built_index):
                           lower=0.0, upper=0.0, k=10_000).collect()
     assert mr and all(r["doc_id"] % 2 == 0 for r in mr)
     assert all(np.float32(r["score"]) == np.float32(0.0) for r in mr)
+
+
+def test_query_profile(spark, built_index):
+    """Profiler breakdown: leaf df/blocks/ttf match the term dictionary,
+    operator counts match brute-force set algebra, msm arm, flat guard."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    s = IndexSearcher(spark, built_index)
+    td = {r["term"]: (r["doc_freq"], r["num_blocks"], r["total_term_freq"])
+          for r in s.term_dict.filter(
+              F.col("term").isin(["ba", "be", "bi"])).collect()}
+    def doc_set(term):
+        from lucene_spark.query.ast import TermQuery
+        return {r["doc_id"] for r in s.search(TermQuery(term), 10_000)
+                .collect()}
+
+    d_ba, d_be, d_bi = doc_set("ba"), doc_set("be"), doc_set("bi")
+    ast = {"bool": {"must": [{"term": "ba"}],
+                    "should": [{"term": "be"}, {"term": "bi"}],
+                    "min_should_match": 1}}
+    prof = {(r["node"], r["detail"]): r.asDict() for r in s.profile(
+        rewrite_fixpoint(parse_query(json.dumps(ast)))).collect()}
+    for t, kind in (("ba", "leaf:must"), ("be", "leaf:should"),
+                    ("bi", "leaf:should")):
+        row = prof[(kind, t)]
+        assert (row["docs"], row["blocks"], row["ttf"]) == td[t], t
+    assert prof[("candidates", "")]["docs"] == len(d_ba | d_be | d_bi)
+    assert prof[("must_pass", "")]["docs"] == len(d_ba)
+    assert prof[("msm_pass", "")]["docs"] == len(d_ba & (d_be | d_bi))
+    assert prof[("excluded", "")]["docs"] == 0
+    assert prof[("matched", "")]["docs"] == len(d_ba & (d_be | d_bi))
+
+    # bare term query profiles as a single-must boolean
+    one = s.profile(rewrite_fixpoint(parse_query('{"term": "ba"}')))
+    rows = {r["node"]: r["docs"] for r in one.collect()}
+    assert rows["leaf:must"] == td["ba"][0] == rows["matched"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="flat"):
+        s.profile(rewrite_fixpoint(parse_query('{"phrase": ["ba", "be"]}')))
