@@ -111,16 +111,14 @@ def quality_stats(
             .cast("long").alias(f"_g{n}"))
     per = r.groupBy("query").agg(*aggs)
 
-    names = {row["query"] for row in rel.select("query").distinct().collect()}
-    # result-side names come from the caller (query_names) — never collect
-    # the (small) per-query frame just for its keys when names are given
+    # stats are reported for EXECUTED queries only (QualityBenchmark
+    # iterates its qualityQueries; judgments for queries outside the
+    # workload are ignored, TrecJudge.validateData merely warns)
     if query_names is not None:
-        names |= set(query_names)
-        base = spark.createDataFrame([(q,) for q in sorted(names)],
-                                     "query string")
+        base = spark.createDataFrame(
+            [(q,) for q in sorted(set(query_names))], "query string")
     else:
-        base = (results.select("query").unionByName(rel.select("query"))
-                .distinct())
+        base = results.select("query").distinct()
 
     out = (
         base.join(per, "query", "left")

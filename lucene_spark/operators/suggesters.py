@@ -438,15 +438,22 @@ def suggest_context(
 def analyze_suggest_key(key: str, stop: frozenset[str] | None = None
                         ) -> list[str]:
     """Lookup-key analysis with SuggestStopFilter semantics
-    (``suggest/.../analyzing/SuggestStopFilter.java:30-60``): stopwords
-    are dropped EXCEPT a trailing one — the user may be mid-typing a word
-    that merely starts like a stopword, so the final token survives as a
-    prefix."""
-    toks = _analyze_key(key)
-    if not stop or not toks:
-        return toks
-    kept = [t for t in toks[:-1] if t not in stop]
-    kept.append(toks[-1])
+    (``suggest/.../analyzing/SuggestStopFilter.java:30-115``): stopwords
+    are dropped EXCEPT a trailing one that is NOT followed by a token
+    separator — 'find the' keeps 'the' (the user is mid-word), while
+    'find the ' (trailing space = finalEndOffset > endOffset) drops it."""
+    import re
+
+    if not stop:
+        return _analyze_key(key)
+    lowered = key.lower()
+    matches = list(re.finditer(_TOKEN_RE, lowered))
+    if not matches:
+        return []
+    kept = [m.group(0) for m in matches[:-1] if m.group(0) not in stop]
+    last = matches[-1]
+    if last.group(0) not in stop or last.end() == len(lowered):
+        kept.append(last.group(0))
     return kept
 
 

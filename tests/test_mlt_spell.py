@@ -586,11 +586,14 @@ def test_document_completion_family(spark, corpus_docs):
     assert all(np.float32(r.score) == np.float32(float(r.weight))
                for r in all_ctx)
 
-    # SuggestStopFilter: trailing stopword survives as a prefix
+    # SuggestStopFilter: trailing stopword survives as a prefix ONLY when
+    # not followed by a separator ('find the' vs 'find the ')
     toks = cdocs["text"].iloc[0].lower().split()
     stop = frozenset([toks[0]])
     kept = analyze_suggest_key(f"{toks[0]} x {toks[0]}", stop)
     assert kept == ["x", toks[0]]
+    assert analyze_suggest_key(f"{toks[0]} x {toks[0]} ", stop) == ["x"]
+    assert analyze_suggest_key(f"{toks[0]} x {toks[0]}!", stop) == ["x"]
     sdict_stop = build_suggest_dict_stop(docs, stop, text_col="text")
     nonstop = [t for t in toks if t not in stop]
     key2 = " ".join(nonstop[:1] + [nonstop[1][:1]]) if len(nonstop) > 1 \
