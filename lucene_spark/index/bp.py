@@ -471,19 +471,32 @@ def reorder_index(
             nb = np.concatenate(norms) if len(norms) > 1 else norms[0]
             srt = np.argsort(d, kind="stable")
             d, f, nb = d[srt], f[srt], nb[srt]
-            for bid, start in enumerate(range(0, d.size, BLOCK_SIZE)):
-                db = d[start:start + BLOCK_SIZE]
-                fb = f[start:start + BLOCK_SIZE]
-                nbb = nb[start:start + BLOCK_SIZE]
-                imp_f, imp_n = competitive_impacts(fb, nbb)
-                rows.append({
-                    "term": term, "segment_id": seg, "block_id": bid,
-                    "first_doc": int(db[0]), "last_doc": int(db[-1]),
-                    "num_docs": int(db.size), "ttf": int(fb.sum()),
-                    "data": encode_block(db, fb, int(db[0]), nbb),
-                    "impact_freqs": imp_f, "impact_norms": imp_n,
-                    part_col: part,
-                })
+            # split merged (cross-segment) lists at segment-range
+            # boundaries: the permutation clusters docs WITHIN ranges, so
+            # a block spanning two ranges would carry one huge delta that
+            # sets the FOR width for all 256 values — the reference's
+            # per-segment block layout never pays that jump, and neither
+            # should the rewrite (hot-term pass-through rows are already
+            # single-range; the split is a no-op there)
+            rngs = np.searchsorted(bounds, d, side="right")
+            cuts = (np.flatnonzero(np.diff(rngs)) + 1).tolist()
+            bid = 0
+            for db_r, fb_r, nb_r in zip(
+                    np.split(d, cuts), np.split(f, cuts), np.split(nb, cuts)):
+                for start in range(0, db_r.size, BLOCK_SIZE):
+                    db = db_r[start:start + BLOCK_SIZE]
+                    fb = fb_r[start:start + BLOCK_SIZE]
+                    nbb = nb_r[start:start + BLOCK_SIZE]
+                    imp_f, imp_n = competitive_impacts(fb, nbb)
+                    rows.append({
+                        "term": term, "segment_id": seg, "block_id": bid,
+                        "first_doc": int(db[0]), "last_doc": int(db[-1]),
+                        "num_docs": int(db.size), "ttf": int(fb.sum()),
+                        "data": encode_block(db, fb, int(db[0]), nbb),
+                        "impact_freqs": imp_f, "impact_norms": imp_n,
+                        part_col: part,
+                    })
+                    bid += 1
 
         cur_key = None
         docs: list = []

@@ -1,0 +1,137 @@
+"""BP doc-ID reordering evidence at scale (BENCH.md).
+
+Builds an index over a CLUSTERED corpus whose arrival order interleaves
+topics (the workload BP exists for — Dhulipala et al.'s recursive graph
+bisection re-clusters docIDs so same-topic docs get adjacent ids and
+d-gaps shrink), runs ``reorder_index``, and reports:
+
+  - postings payload bytes before/after (the re-encoded blocks carry
+    smaller deltas -> fewer FOR bits / denser bitset blocks);
+  - a hot two-term conjunction's latency before/after;
+  - rewrite wall time (the whole executor-side pipeline: permutation
+    tasks + postings/positions/docmap rewrite + term_dict).
+
+The driver corpus (Zipf draws, no topical structure) is the null case —
+run with --null to confirm ~0% there (expected, documented).
+
+Run: python tools/bp_evidence.py [n_convs] [--null]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for base, _d, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(base, f))
+    return total
+
+
+def clustered_corpus(n_convs: int):
+    """Interleaved-topic transcripts: conv i belongs to topic i%8; each
+    topic has a private 40-word vocab plus a shared tail."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(404)
+    n_topics = 16
+    vocabs = [[f"t{t}w{j}" for j in range(60)] for t in range(n_topics)]
+    shared = [f"sh{j}" for j in range(20)]
+    rows = []
+    for i in range(n_convs):
+        topic = i % n_topics  # interleaved arrival -> worst-case layout
+        nt = int(rng.integers(2, 6))
+        for turn in range(nt):
+            k = int(rng.integers(6, 24))
+            words = [
+                vocabs[topic][int(rng.integers(0, 60))]
+                if rng.random() < 0.95 else shared[int(rng.integers(0, 20))]
+                for _ in range(k)
+            ]
+            rows.append((f"conv-{i:07d}", turn, "user", " ".join(words),
+                         None, "2026-01-01 00:00:00"))
+    return pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.bp import reorder_index
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+    from lucene_spark.session import get_spark
+
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 30_000
+    null_case = "--null" in sys.argv
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark(app_name="bp-evidence", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+
+    if null_case:
+        from lucene_spark.sources.transcripts import generate_pandas
+        pdf = generate_pandas(n_convs=n_convs, seed=42, vocab_size=800,
+                              max_turns=6)
+        probe = ("ba", "be")
+    else:
+        pdf = clustered_corpus(n_convs)
+        probe = ("t0w0", "t0w1")
+
+    d = os.path.join(tempfile.mkdtemp(), "idx")
+    t0 = time.time()
+    build_index(spark, spark.createDataFrame(pdf), d,
+                IndexConfig(num_segments=cpus, term_buckets=16,
+                            hot_term_df=1 << 30, positions=False))
+    merge_index(spark, d)
+    build_s = time.time() - t0
+    n_docs = len(pdf)
+
+    def bench_search():
+        s = IndexSearcher(spark, d)
+        q = BooleanQuery(must=[TermQuery(probe[0]), TermQuery(probe[1])])
+        s.search(q, 10).collect()  # warm
+        t = time.time()
+        for _ in range(3):
+            s.search(q, 10).collect()
+        return (time.time() - t) / 3
+
+    bytes_before = dir_bytes(os.path.join(d, "postings"))
+    lat_before = bench_search()
+
+    t0 = time.time()
+    reorder_index(spark, d, min_doc_freq=16, min_partition_size=32)
+    reorder_s = time.time() - t0
+    spark.catalog.clearCache()
+
+    bytes_after = dir_bytes(os.path.join(d, "postings"))
+    lat_after = bench_search()
+
+    print(json.dumps({
+        "case": "null" if null_case else "clustered",
+        "docs": n_docs,
+        "build_s": round(build_s, 2),
+        "reorder_s": round(reorder_s, 2),
+        "postings_bytes_before": bytes_before,
+        "postings_bytes_after": bytes_after,
+        "bytes_saved_pct": round(100 * (1 - bytes_after / bytes_before), 2),
+        "conj_latency_before_s": round(lat_before, 3),
+        "conj_latency_after_s": round(lat_after, 3),
+    }))
+    shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
