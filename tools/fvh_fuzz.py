@@ -150,11 +150,13 @@ public class FvhFuzz {
         q = new ConstantScoreQuery(parseQuery());
         break;
       }
-      case "AND": case "OR": {
+      case "AND": case "OR": case "FILT": {
         BooleanQuery.Builder b = new BooleanQuery.Builder();
-        while (!qtoks[qpos].equals(")"))
-          b.add(parseQuery(), kind.equals("AND")
-              ? BooleanClause.Occur.MUST : BooleanClause.Occur.SHOULD);
+        BooleanClause.Occur occ = kind.equals("AND")
+            ? BooleanClause.Occur.MUST
+            : kind.equals("OR") ? BooleanClause.Occur.SHOULD
+            : BooleanClause.Occur.FILTER;
+        while (!qtoks[qpos].equals(")")) b.add(parseQuery(), occ);
         q = b.build();
         break;
       }
@@ -353,8 +355,8 @@ def gen_query(rng: random.Random, vocab, docs):
         return ast.SynonymQuery(tuple(ws)), f"( SYN {' '.join(ws)} )"
 
     def compound(depth):
-        kind = rng.choice(["AND", "OR", "DM", "B", "CS"])
-        if kind in ("AND", "OR", "DM"):
+        kind = rng.choice(["AND", "OR", "DM", "B", "CS", "FILT"])
+        if kind in ("AND", "OR", "DM", "FILT"):
             n = rng.randrange(1, 4)
             subs = [gen(depth + 1) for _ in range(n)]
             qs, ss = zip(*subs)
@@ -363,6 +365,8 @@ def gen_query(rng: random.Random, vocab, docs):
                 return ast.BooleanQuery(must=tuple(qs)), s
             if kind == "OR":
                 return ast.BooleanQuery(should=tuple(qs)), s
+            if kind == "FILT":
+                return ast.BooleanQuery(filter=tuple(qs)), s
             return ast.DisjunctionMaxQuery(tuple(qs), 0.1), s
         if kind == "B":
             b = rng.choice(BOOSTS)

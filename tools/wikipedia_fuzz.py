@@ -91,7 +91,8 @@ def ensure_harness() -> str:
 
 
 WORDS = ("foo bar baz alpha beta x1 42 3.14 AT&T a.b.c. o'neil wiki-text "
-         "U.S.A. bob@example.com example.com big scan 一二 カタ").split()
+         "U.S.A. bob@example.com example.com big scan 一二 カタ "
+         "\U0001F600ok e\U0001D400f \U00020000\U00020001").split()
 MARKUP = [
     ("[[", "]]"), ("[[Category:", "]]"), ("[[link|", "]]"),
     ("[http://foo.com ", "]"), ("[https://a.b/c?d=1 ", "]"),
