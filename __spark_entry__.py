@@ -931,6 +931,34 @@ def _highlight_fvh_df(spark, sf_dir):
     )
 
 
+_FVH_PHRASE = ("scan", "merge")
+
+
+def _highlight_fvh_phrase_df(spark, sf_dir):
+    """FastVectorHighlighter over a PHRASE query: FieldPhraseList's
+    longest-phrase walk emits exact adjacency pairs whose adjacent
+    positions merge into ONE tagged span (WeightedPhraseInfo
+    Toffs merging, FieldPhraseList.java:242-258); the weighted frag
+    boost sums BOTH terms' idf weights once per fragment. Fully
+    SQL-replayable for a 2-term exact phrase."""
+    from lucene_spark.operators.fvh import fvh_highlight_hits
+    from lucene_spark.query.ast import PhraseQuery
+
+    s = _offsets_searcher(spark, sf_dir)
+    q = PhraseQuery(_FVH_PHRASE)
+    hits = s.search(q, _FVH_K)
+    src = _documents_as_transcripts(spark, sf_dir)
+    hl = fvh_highlight_hits(
+        s, hits, src, q, frag_char_size=_FVH_FRAG,
+        max_num_fragments=_FVH_MAXFRAGS, weighted=True)
+    return (
+        hl.select(
+            F.col("conv_id").cast("long").alias("doc_id"), "score",
+            F.posexplode("fragments").alias("frag_idx", "fragment"))
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("frag_idx"))
+    )
+
+
 def _highlight_unified_df(spark, sf_dir):
     """UnifiedHighlighter analog (WholeBreakIterator, maxPassages=1): the
     single whole-doc passage scored with PassageScorer's BM25-ish formula
@@ -3413,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["highlight"] = _highlight_df
     out["highlight_offsets"] = _highlight_offsets_df
     out["highlight_fvh"] = _highlight_fvh_df
+    out["highlight_fvh_phrase"] = _highlight_fvh_phrase_df
     out["highlight_unified"] = _highlight_unified_df
     out["payload_score_sum"] = _payload_score_df("sum")
     out["payload_score_max"] = _payload_score_df("max")
@@ -4715,6 +4744,133 @@ FROM r ORDER BY doc_id
     out["bm25_post_bp"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K,
     )
+    # FVH phrase twin: matches = exact adjacency pairs (the 2-term walk
+    # emits precisely those) merged into one span; weighted frag boost
+    # = f32(w_t0 + w_t1) * norm, counted once per fragment; same
+    # recursive frag walk / boundary scan / tag rendering
+    _fp0, _fp1 = _FVH_PHRASE
+    _fw = ("CAST(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) "
+           "/ ((SELECT count(*) FROM documents "
+           "WHERE (' ' || text || ' ') LIKE '% {t} %') + 1)) "
+           "+ 1.0 AS REAL)")
+    _fp_boost = ("CAST((" + _fw.format(t=_fp0) + " + "
+                 + _fw.format(t=_fp1) + ") AS REAL)")
+    out["highlight_fvh_phrase"] = f"""
+WITH RECURSIVE top AS (
+  SELECT doc_id, score FROM (
+{sqlgen.phrase_topk_sql(list(_FVH_PHRASE), _FVH_K)}
+) tq
+),
+tok AS (
+  SELECT d.doc_id, d.text,
+         unnest(string_split(d.text, ' ')) AS w,
+         unnest(range(len(string_split(d.text, ' ')))) AS p
+  FROM documents d JOIN top USING (doc_id)
+),
+offs AS (
+  SELECT doc_id, w, p,
+         CAST(coalesce(sum(length(w) + 1) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS s
+  FROM tok
+),
+m AS (
+  SELECT a.doc_id, a.s AS s,
+         CAST(b.s + {len(_fp1)} AS INT) AS e
+  FROM (SELECT doc_id, p, s FROM offs WHERE w = '{_fp0}') a
+  JOIN (SELECT doc_id, p, s FROM offs WHERE w = '{_fp1}') b
+    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+),
+rec AS (
+  SELECT doc_id, 0 AS iter, 0 AS so, CAST(NULL AS INT) AS fs,
+         CAST(NULL AS INT) AS fe, CAST(NULL AS INT) AS first_s,
+         CAST(NULL AS INT) AS last_e, CAST(NULL AS INT) AS n
+  FROM top
+  UNION ALL
+  SELECT r.doc_id, r.iter + 1, nf.fe, nf.fs, nf.fe, nf.first_s,
+         nf.last_e, nf.n
+  FROM rec r CROSS JOIN LATERAL (
+    SELECT b.first_s, b.last_e, b.n,
+           greatest(b.first_s - greatest(0,
+             ({_FVH_FRAG} - (b.last_e - b.first_s)) // 2), r.so) AS fs,
+           greatest(b.first_s - greatest(0,
+             ({_FVH_FRAG} - (b.last_e - b.first_s)) // 2), r.so)
+             + greatest(b.last_e - b.first_s, {_FVH_FRAG}) AS fe
+    FROM (
+      SELECT a.first_s,
+             (SELECT max(e) FROM m WHERE m.doc_id = r.doc_id
+                AND m.s >= a.first_s AND m.e <= a.span_end) AS last_e,
+             (SELECT CAST(count(*) AS INT) FROM m
+                WHERE m.doc_id = r.doc_id
+                AND m.s >= a.first_s AND m.e <= a.span_end) AS n
+      FROM (
+        SELECT f.first_s,
+               greatest(f.first_e,
+                        greatest(f.first_s - 6, r.so) + {_FVH_FRAG})
+                 AS span_end
+        FROM (
+          SELECT m.s AS first_s, m.e AS first_e FROM m
+          WHERE m.doc_id = r.doc_id AND m.s >= r.so
+          ORDER BY m.s LIMIT 1
+        ) f
+      ) a
+    ) b
+  ) nf
+),
+sel AS (
+  SELECT doc_id, fs, fe, first_s, last_e, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY
+           CAST({_fp_boost}
+             * CAST((2 * n) * CAST(1.0 /
+                 CAST(sqrt(CAST(2 * n AS DOUBLE)) AS REAL)
+                             AS REAL) AS REAL) AS REAL) DESC,
+           fs ASC) AS rk
+  FROM rec WHERE iter > 0
+),
+bnd AS (
+  SELECT s2.doc_id, s2.rk, s2.fs, s2.fe, s2.first_s, s2.last_e,
+         d.text || ' ' AS buffer, length(d.text) AS L,
+    CASE WHEN s2.fs < 1 OR s2.fs > length(d.text) + 1 THEN s2.fs
+         WHEN strpos(reverse(substr(d.text || ' ',
+                greatest(s2.fs - 19, 1),
+                s2.fs - greatest(s2.fs - 19, 1) + 1)), ' ') > 0
+           THEN s2.fs - strpos(reverse(substr(d.text || ' ',
+                greatest(s2.fs - 19, 1),
+                s2.fs - greatest(s2.fs - 19, 1) + 1)), ' ') + 1
+         WHEN s2.fs <= 20 THEN 0
+         ELSE s2.fs END AS mso,
+    CASE WHEN length(d.text) < s2.fe THEN length(d.text)
+         WHEN strpos(substr(d.text || ' ', s2.fe + 1,
+                least(20, length(d.text) + 1 - s2.fe)), ' ') > 0
+           THEN s2.fe + strpos(substr(d.text || ' ', s2.fe + 1,
+                least(20, length(d.text) + 1 - s2.fe)), ' ') - 1
+         ELSE s2.fe END AS eo
+  FROM sel s2 JOIN documents d USING (doc_id)
+  WHERE s2.rk <= {_FVH_MAXFRAGS}
+),
+pieces AS (
+  SELECT b.doc_id, b.rk, b.mso,
+         substr(b.buffer, b.mso + 1, b.eo - b.mso) AS src,
+         m.s, m.e,
+         coalesce(lag(m.e) OVER (PARTITION BY b.doc_id, b.rk
+                                 ORDER BY m.s), b.mso) AS prev_e
+  FROM bnd b JOIN m ON m.doc_id = b.doc_id
+       AND m.s >= b.first_s AND m.e <= b.last_e
+),
+built AS (
+  SELECT doc_id, rk, min(mso) AS mso, any_value(src) AS src,
+         max(e) AS tail_e,
+         string_agg(substr(src, prev_e - mso + 1, s - prev_e) || '<b>' ||
+                    substr(src, s - mso + 1, e - s) || '</b>',
+                    '' ORDER BY s) AS body
+  FROM pieces GROUP BY doc_id, rk
+)
+SELECT t.doc_id, t.score, CAST(b.rk - 1 AS INT) AS frag_idx,
+       b.body || substr(b.src, b.tail_e - b.mso + 1) AS fragment
+FROM built b JOIN top t USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC, frag_idx ASC
+""".strip()
     # quality harness: per-query searches replayed with the standard
     # top-k twin, QualityStats arithmetic replayed with window cumsum +
     # ordered list_reduce (the reference's sequential float64
