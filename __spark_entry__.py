@@ -3114,6 +3114,20 @@ def _dedup_jaccard(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _dedup_components_df(spark, sf_dir):
+    """Connected components over the n-gram Jaccard near-dup pairs:
+    (doc_id, component=min id) — the pair->cluster step a dedup pipeline
+    needs before choosing canonical docs."""
+    from lucene_spark.operators.dedup import (
+        dedup_components, ngram_jaccard_pairs,
+    )
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), _JACCARD_N, _JACCARD_T,
+        max_shingle_df=_JACCARD_MAX_DF,
+    )
+    return dedup_components(pairs).orderBy("doc_id")
+
+
 def _dedup_minhash(spark, sf_dir):
     from lucene_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_docs(spark, sf_dir), **_MINHASH).orderBy("doc_a", "doc_b")
@@ -3586,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-data pipeline operators
     out["dedup_exact"] = _dedup_exact
     out["dedup_ngram_jaccard"] = _dedup_jaccard
+    out["dedup_components"] = _dedup_components_df
     out["dedup_minhash_lsh"] = _dedup_minhash
     out["dedup_simhash"] = _dedup_simhash
     out["dedup_embedding"] = _dedup_embedding
@@ -5056,6 +5071,9 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql(
         _JACCARD_N, _JACCARD_T, max_shingle_df=_JACCARD_MAX_DF
     )
+    out["dedup_components"] = dedup.dedup_components_sql(
+        dedup.ngram_jaccard_sql(
+            _JACCARD_N, _JACCARD_T, max_shingle_df=_JACCARD_MAX_DF))
     out["dedup_minhash_lsh"] = dedup.minhash_lsh_sql(**_MINHASH)
     out["dedup_simhash"] = dedup.simhash_pairs_sql(_SIMHASH_K)
     out["dedup_embedding"] = dedup.embedding_dup_sql(_EMB_T)

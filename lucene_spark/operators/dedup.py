@@ -798,3 +798,82 @@ def embedding_dup_pairs_ann(
         )
         .filter(F.col("cosine") >= float(threshold))
     )
+
+
+# ------------------------------------------------------ connected components
+
+def dedup_components(pairs: DataFrame, id_a: str = "doc_a",
+                     id_b: str = "doc_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the
+    clustering step every dedup pipeline needs after pair generation
+    (A~B and B~C must land in ONE group even when A~C was never emitted,
+    so the canonical-doc choice is per component, not per pair).
+
+    -> DF(doc_id long, component long) where component = the MINIMUM doc
+    id in the component (the conventional canonical representative —
+    ``doc_id != component`` selects the rows to drop).
+
+    Scale shape: iterative min-label propagation — the standard
+    large-graph CC on Spark. Each round is one edge-keyed join + one
+    groupBy (two shuffles), labels monotonically decrease, convergence
+    in O(component diameter) rounds (near-dup components are shallow —
+    dozens of rounds covers pathological chains). The driver only runs
+    the per-round convergence COUNT; ``localCheckpoint`` caps lineage so
+    round N's plan doesn't replay rounds 1..N-1. Raises after
+    ``max_iters`` non-converged rounds (never silently truncates)."""
+    e = pairs.select(F.col(id_a).cast("long").alias("a"),
+                     F.col(id_b).cast("long").alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (edges.select("a").distinct()
+              .select(F.col("a").alias("n"), F.col("a").alias("l"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.select(F.col("n").alias("b"),
+                                     F.col("l").alias("lb")), "b")
+            .groupBy("a").agg(F.min("lb").alias("nl"))
+            .withColumnRenamed("a", "n")
+        )
+        new = (
+            labels.join(nbr_min, "n", "left")
+            .select("n", F.least(
+                F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("n", F.col("l").alias("old")), "n")
+            .filter(F.col("l") < F.col("old")).count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("n").alias("doc_id"),
+                                 F.col("l").alias("component"))
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iters} rounds")
+
+
+def dedup_components_sql(pairs_sql: str, id_a: str = "doc_a",
+                         id_b: str = "doc_b") -> str:
+    """DuckDB twin: transitive reach via a recursive CTE (UNION dedups
+    states, so the walk terminates), component = min reachable node."""
+    return f"""
+WITH RECURSIVE pr AS (
+{pairs_sql}
+),
+ed AS (
+  SELECT {id_a} AS a, {id_b} AS b FROM pr
+  UNION
+  SELECT {id_b} AS a, {id_a} AS b FROM pr
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM ed) t
+  UNION
+  SELECT r.n, ed.b FROM reach r JOIN ed ON ed.a = r.m
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS component
+FROM reach GROUP BY n ORDER BY doc_id
+""".strip()

@@ -767,3 +767,57 @@ def test_hnsw_quantized_graph(spark, embs, tmp_path):
     assert set(gotf) <= set(
         r.vec_id for r in embs.filter(flt).select("vec_id").collect())
     assert len(set(gotf) & set(want)) / 10 >= 0.8
+
+
+def test_dedup_components(spark):
+    """Connected components: chains, stars, self-contained cliques, and
+    isolated pairs vs a scalar union-find; convergence in O(diameter)."""
+    import random
+
+    from lucene_spark.operators.dedup import dedup_components
+
+    rng = random.Random(9)
+    edges = set()
+    # a long chain (forces multiple propagation rounds)
+    for i in range(30):
+        edges.add((100 + i, 101 + i))
+    # a star
+    for i in range(8):
+        edges.add((500, 510 + i))
+    # random sparse pairs
+    for _ in range(40):
+        a, b = rng.randrange(0, 80), rng.randrange(0, 80)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in dedup_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        # path-compress to the true min representative
+        root = find(n)
+        want[n] = root
+    # union-find roots are the min by construction (always parent max->min)
+    assert got == want
+    # canonical representative is the component minimum
+    comps: dict = {}
+    for n, c in got.items():
+        comps.setdefault(c, []).append(n)
+    for c, members in comps.items():
+        assert c == min(members)
+
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_components(pairs, max_iters=1)
