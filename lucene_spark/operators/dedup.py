@@ -848,6 +848,10 @@ def dedup_components(pairs: DataFrame, id_a: str = "doc_a",
             new.join(labels.select("n", F.col("l").alias("old")), "n")
             .filter(F.col("l") < F.col("old")).count()
         )
+        # the superseded round's checkpoint blocks are dead after the
+        # convergence count — release them (50 rounds × a nodes-sized
+        # frame would otherwise pile up in storage memory)
+        labels.unpersist()
         labels = new
         if changed == 0:
             return labels.select(F.col("n").alias("doc_id"),
