@@ -371,6 +371,9 @@ _SUG_REGEX = ("(the|a|join) [a-z]{2,4} .*", 10)  # RegexCompletionQuery
 #: (longest spec wins, ContextQuery.java:290); "es" keeps the prefix boost
 _SUG_CONTEXT = ("the", (("en", 2.0, True), ("e", 3.0, False)), 10)
 _SUG_STOP = ("the fast k", ("the", "a"), 10)  # SuggestStopFilter trailing keep
+#: BlendedInfixSuggester: infix match re-scored by earliest matched-token
+#: position (linear 1-0.1p blender)
+_SUG_BLENDED = ("customer lin", "linear", 10)
 
 
 def _suggest_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +438,16 @@ def _suggest_stop_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, stop, k = _SUG_STOP
     d = build_suggest_dict_stop(docs, frozenset(stop), weight_col="n_chars")
     return suggest_analyzing_stop(d, key, frozenset(stop), k)
+
+
+def _suggest_blended_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester analog: infix matches re-scored by the
+    position of the earliest matched token (weight quirks + Java long
+    truncation replayed)."""
+    from lucene_spark.operators.suggesters import suggest_blended_infix
+    key, blender, k = _SUG_BLENDED
+    return suggest_blended_infix(_suggest_dict(spark, sf_dir), key, k,
+                                 blender=blender)
 
 
 def _suggest_fuzzy_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3414,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_regex"] = _suggest_regex_df
     out["suggest_context"] = _suggest_context_df
     out["suggest_stop"] = _suggest_stop_df
+    out["suggest_blended_infix"] = _suggest_blended_df
     out["suggest_fuzzy"] = _suggest_fuzzy_df
     out["suggest_infix"] = _suggest_infix_df
     out["spellcheck_wordbreak"] = _wordbreak_df
@@ -3694,6 +3708,9 @@ GROUP BY term ORDER BY weight DESC, term ASC LIMIT {_SUGGEST_K}
         weight_col="n_chars", context_col="lang")
     out["suggest_stop"] = suggesters.suggest_analyzing_stop_sql(
         _SUG_STOP[0], frozenset(_SUG_STOP[1]), _SUG_STOP[2],
+        weight_col="n_chars")
+    out["suggest_blended_infix"] = suggesters.suggest_blended_infix_sql(
+        _SUG_BLENDED[0], _SUG_BLENDED[2], blender=_SUG_BLENDED[1],
         weight_col="n_chars")
     out["spellcheck_wordbreak"] = sqlgen.wordbreak_sql(
         _WORDBREAK[0], _WORDBREAK[1])

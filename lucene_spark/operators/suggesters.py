@@ -583,3 +583,137 @@ SELECT surface AS suggestion, weight FROM sdict
 WHERE starts_with(joined, '{akey}')
 ORDER BY weight DESC, suggestion ASC LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------- blended infix suggester
+
+_LINEAR_COEF = 0.10  # BlendedInfixSuggester.LINEAR_COEF
+
+
+def suggest_blended_infix(
+    dict_df: DataFrame,
+    key: str,
+    k: int = 10,
+    blender: str = "linear",
+    num_factor: int = 10,
+    exponent: float = 2.0,
+) -> DataFrame:
+    """BlendedInfixSuggester lookup (``suggest/.../analyzing/
+    BlendedInfixSuggester.java:49-347``): the infix match set, re-scored
+    by the POSITION of the earliest matched token in the suggestion —
+    coefficient = 1-0.1·p (linear), 1/(1+p) (reciprocal) or 1/(1+p)^e
+    (exp_reciprocal); position = min position over whole-token matches
+    and prefix-token prefix matches (:318-347, min over first
+    occurrences == min over all occurrences). Weight quirks replayed:
+    0 -> 1, |w| < 1/0.1 -> (long)(w*10.0) (:265-270); score =
+    (long)(w · coefficient) with Java's truncation toward zero.
+    ``num_factor``: the reference ponderates only the top
+    num·numFactor candidates BY RAW WEIGHT (its recall knob) — the
+    truncation is replayed with the deterministic (weight desc, surface
+    asc) order. DF(suggestion, weight, position int, score long) ranked
+    score desc, suggestion asc."""
+    ktoks = _analyze_key(key)
+    if not ktoks:
+        return dict_df.sparkSession.createDataFrame(
+            [], "suggestion string, weight long, position int, score long")
+    whole, prefix = ktoks[:-1], ktoks[-1]
+    cond = F.exists("tokens", lambda t: t.startswith(F.lit(prefix)))
+    for tok in whole:
+        cond = cond & F.array_contains("tokens", tok)
+    cand = (
+        dict_df.filter(cond)
+        .orderBy(F.desc("weight"), F.asc("surface"))
+        .limit(k * num_factor)
+    )
+
+    def match(t):
+        m = t.startswith(F.lit(prefix))
+        if whole:
+            m = m | t.isin(*whole)
+        return m
+
+    pos = F.array_min(F.zip_with(
+        "tokens", F.sequence(F.lit(0), F.size("tokens") - F.lit(1)),
+        lambda t, i: F.when(match(t), i)))
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(_LINEAR_COEF) * pos.cast("double")
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (F.lit(1.0) + pos.cast("double"))
+    elif blender == "exp_reciprocal":
+        coef = F.lit(1.0) / F.pow(F.lit(1.0) + pos.cast("double"),
+                                  F.lit(float(exponent)))
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    w0 = F.when(F.col("weight") == 0, F.lit(1).cast("long")) \
+          .otherwise(F.col("weight"))
+    w0 = F.when((w0 < F.lit(1.0 / _LINEAR_COEF))
+                & (w0 > F.lit(-1.0 / _LINEAR_COEF)),
+                (w0.cast("double") * F.lit(1.0 / _LINEAR_COEF))
+                .cast("long")).otherwise(w0)
+    score = (w0.cast("double") * coef).cast("long")  # Java (long) truncation
+    return (
+        cand.select(
+            F.col("surface").alias("suggestion"), "weight",
+            pos.cast("int").alias("position"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def suggest_blended_infix_sql(
+    key: str, k: int = 10, blender: str = "linear", num_factor: int = 10,
+    exponent: float = 2.0, table: str = "documents",
+    text_col: str = "text", weight_col: str | None = None,
+) -> str:
+    """DuckDB twin (trunc() replays Java's (long) cast — DuckDB CAST
+    rounds; position from unnest + generate_subscripts)."""
+    ktoks = [t.replace("'", "''") for t in _analyze_key(key)]
+    whole, prefix = ktoks[:-1], ktoks[-1]
+    conds = [f"len(list_filter(tokens, t -> starts_with(t, '{prefix}'))) > 0"]
+    conds += [f"list_contains(tokens, '{t}')" for t in whole]
+    mtok = f"starts_with(tok, '{prefix}')"
+    if whole:
+        mtok += " OR tok IN (" + ", ".join(f"'{t}'" for t in whole) + ")"
+    if blender == "linear":
+        coef = f"(1.0 - {_LINEAR_COEF!r} * CAST(position AS DOUBLE))"
+    elif blender == "reciprocal":
+        coef = "(1.0 / (1.0 + CAST(position AS DOUBLE)))"
+    elif blender == "exp_reciprocal":
+        coef = (f"(1.0 / pow(1.0 + CAST(position AS DOUBLE), "
+                f"{float(exponent)!r}))")
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    return f"""
+WITH {_dict_cte(table, text_col, weight_col)},
+cand AS (
+  SELECT surface, tokens, weight FROM sdict
+  WHERE {" AND ".join(conds)}
+  ORDER BY weight DESC, surface ASC LIMIT {k * num_factor}
+),
+tokpos AS (
+  SELECT surface, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS pos1
+  FROM cand
+),
+minpos AS (
+  SELECT surface, CAST(min(pos1) - 1 AS INT) AS position
+  FROM tokpos WHERE {mtok} GROUP BY surface
+),
+scored AS (
+  SELECT c.surface AS suggestion, c.weight, m.position,
+         CAST(trunc(
+           CAST(CASE
+             WHEN (CASE WHEN c.weight = 0 THEN 1 ELSE c.weight END)
+                  < {1.0 / _LINEAR_COEF!r}
+              AND (CASE WHEN c.weight = 0 THEN 1 ELSE c.weight END)
+                  > {-1.0 / _LINEAR_COEF!r}
+             THEN CAST(trunc(
+               CAST(CASE WHEN c.weight = 0 THEN 1 ELSE c.weight END
+                    AS DOUBLE) * {1.0 / _LINEAR_COEF!r}) AS BIGINT)
+             ELSE (CASE WHEN c.weight = 0 THEN 1 ELSE c.weight END)
+           END AS DOUBLE) * {coef}) AS BIGINT) AS score
+  FROM cand c JOIN minpos m USING (surface)
+)
+SELECT suggestion, weight, position, score FROM scored
+ORDER BY score DESC, suggestion ASC LIMIT {k}
+""".strip()

@@ -602,3 +602,43 @@ def test_document_completion_family(spark, corpus_docs):
            for r in suggest_analyzing_stop(sdict_stop, key2, stop,
                                            10).collect()]
     assert got == duck(suggest_analyzing_stop_sql(key2, stop, 10)) and got
+
+
+def test_blended_infix_suggester(spark, corpus_docs):
+    """BlendedInfixSuggester: all three blenders vs the DuckDB twin +
+    scalar re-derivation; weight quirks (0 -> 1, |w| < 10 -> w*10) and
+    the Java (long) truncation."""
+    import math
+
+    from lucene_spark.operators.suggesters import (
+        build_suggest_dict, suggest_blended_infix,
+        suggest_blended_infix_sql,
+    )
+
+    docs = spark.createDataFrame(corpus_docs)
+    sdict = build_suggest_dict(docs, text_col="text")
+    toks = corpus_docs["text"].iloc[0].lower().split()
+    key = f"{toks[1]} {toks[0][:2]}"
+
+    for blender in ("linear", "reciprocal", "exp_reciprocal"):
+        got = [(r.suggestion, r.weight, r.position, r.score)
+               for r in suggest_blended_infix(
+                   sdict, key, 10, blender=blender).collect()]
+        con = duckdb.connect()
+        con.register("documents", corpus_docs)
+        want = con.execute(suggest_blended_infix_sql(
+            key, 10, blender=blender)).fetchall()
+        assert got == [tuple(w) for w in want] and got, blender
+        # scalar re-derivation of the score law (weight=1 -> small-weight
+        # arm: 1*10, then blender)
+        for _sug, w, p, sc in got:
+            w0 = 1 if w == 0 else w
+            if -10 < w0 < 10:
+                w0 = int(w0 * 10.0)
+            coef = {"linear": 1.0 - 0.10 * p,
+                    "reciprocal": 1.0 / (1.0 + p),
+                    "exp_reciprocal": 1.0 / (1.0 + p) ** 2.0}[blender]
+            assert sc == int(w0 * coef) or sc == math.trunc(w0 * coef)
+
+    with pytest.raises(ValueError, match="blender"):
+        suggest_blended_infix(sdict, key, 5, blender="bogus")
