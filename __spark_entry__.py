@@ -1757,6 +1757,14 @@ def _profile_df(spark, sf_dir):
         .orderBy("seq")
 
 
+def _quality_avg_df(spark, sf_dir):
+    """QualityStats.average analog: one row averaging the per-query stats
+    over positively-judged queries, float64 sums folded in query order so
+    the twin's ordered list_reduce is bit-identical."""
+    from lucene_spark.operators.quality import quality_average
+    return quality_average(_quality_df(spark, sf_dir))
+
+
 _FM_PARAMS = ("field_len", "v % 7 = 3", 1.5, 20)   # FunctionMatchQuery
 _FR_PARAMS = ("field_len", 40.0, 80.0, 20)          # FunctionRangeQuery
 
@@ -3439,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_post_expunge"] = _expunged_df
     out["bm25_post_bp"] = _bp_df
     out["quality_eval"] = _quality_df
+    out["quality_eval_average"] = _quality_avg_df
     out["function_match"] = _function_match_df
     out["function_range"] = _function_range_df
     out["query_profile"] = _profile_df
@@ -5039,6 +5048,36 @@ SELECT * FROM (
   UNION ALL SELECT 7, 'excluded', '', excluded, NULL FROM ops
   UNION ALL SELECT 8, 'matched', '', matched, NULL FROM ops
 ) t ORDER BY seq
+""".strip()
+    # quality average: per-metric float64 folds in query order over
+    # positively-judged queries (QualityStats.average:195-236)
+    def _qa_fold(col):
+        return ("CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"coalesce(list(CAST({col} AS DOUBLE) ORDER BY query) "
+                "FILTER (WHERE max_good > 0), [])), "
+                "(a, x) -> a + x) / m AS REAL)")
+
+    _qa_cols = ", ".join(
+        [f"{_qa_fold(c)} AS avg_{c}"
+         for c in ("num_points", "num_good", "max_good")]
+        + [f"{_qa_fold(f'p_at_{n}')} AS p_at_{n}" for n in (1, 5, 10, 20)]
+        + [f"{_qa_fold(c)} AS {c}"
+           for c in ("avg_precision", "mrr", "recall")]
+    )
+    out["quality_eval_average"] = f"""
+WITH q AS (
+{out["quality_eval"]}
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (WHERE max_good > 0) AS BIGINT)
+           AS num_queries,
+         CAST(count(*) FILTER (WHERE max_good > 0) AS DOUBLE) AS m,
+         {_qa_cols}
+  FROM q
+)
+SELECT num_queries, avg_num_points, avg_num_good, avg_max_good,
+       p_at_1, p_at_5, p_at_10, p_at_20, avg_precision, mrr, recall
+FROM agg
 """.strip()
     # FunctionMatch / FunctionRange: the value source is the per-doc
     # token count (field_len); match is constant-score, range scores the
