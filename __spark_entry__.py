@@ -2059,6 +2059,15 @@ _CLASSIC_AST = {"bool": {"must": [{"term": "merge"}], "should": [{"term": "scan"
 #: through validation like russian/bulgarian); real URLs/emails pinned in
 #: tests/test_jflex.py
 _UAX29_AST = {"bool": {"must": [{"term": "value"}], "should": [{"term": "group"}]}}
+#: thai: ThaiAnalyzer (functions/thaibreak.py — the JDK dictionary-based
+#: break iterator replayed from bytecode + LowerCase + DecimalDigit + TH
+#: stops). On this [a-z ]-only corpus the word breaker's letter-run tokens
+#: equal the simple tokens and the all-Thai stop set never fires, so the
+#: oracle is a plain plumb-through; the dictionary segmentation, digit
+#: fold, stop order, and 1024-unit windowing are pinned against the
+#: COMPILED reference ThaiTokenizer in tests/test_thai.py +
+#: tools/thai_parity.py (6,500+ fuzzed streams, terms+offsets)
+_THAI_AST = {"bool": {"must": [{"term": "window"}], "should": [{"term": "part"}]}}
 
 
 #: shingle chains (functions/shingle.py — ShingleFilter 2/2 + unigrams):
@@ -2588,6 +2597,10 @@ def _classic_chain_df(spark, sf_dir):
 
 def _uax29_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "uax29_urlemail", _UAX29_AST)
+
+
+def _thai_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "thai", _THAI_AST)
 
 
 def _french_chain_df(spark, sf_dir):
@@ -3519,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"bm25_{_a}_chain"] = _snowball_chain_entry(_a)
     out["bm25_classic_chain"] = _classic_chain_df
     out["bm25_uax29_chain"] = _uax29_chain_df
+    out["bm25_thai_chain"] = _thai_chain_df
     out["bm25_shingle_chain"] = _shingle_chain_df
     out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
     out["bm25_word_delimiter_chain"] = _wdgf_chain_df
@@ -4377,6 +4391,11 @@ ORDER BY t.score DESC, t.doc_id ASC
     )
     out["bm25_uax29_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_UAX29_AST)), _QUERY_K,
+    )
+    # thai: all-Thai stop set + decimal fold are no-ops on [a-z ] text;
+    # dictionary segmentation pinned vs the compiled class (test_thai.py)
+    out["bm25_thai_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_THAI_AST)), _QUERY_K,
     )
     # word_delimiter chains: identity on this delimiter-free corpus
     out["bm25_word_delimiter_chain"] = sqlgen.topk_sql(

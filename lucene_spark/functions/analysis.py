@@ -933,6 +933,12 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
         raw = uax29_tokens(text or "")
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)
                 if len(t) <= MAX_TOKEN_LENGTH]
+    elif base == "thai":
+        from lucene_spark.functions.thaibreak import thai_tokens
+
+        # no length skip: ThaiTokenizer has no maxTokenLength
+        raw = thai_tokens(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())
         keep = list(enumerate(raw))
@@ -1132,6 +1138,22 @@ def _findall_uax29_lazy(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(uax29_tokens)
 
 
+def _findall_thai_lazy(texts: pd.Series) -> pd.Series:
+    """ThaiTokenizer per row (functions/thaibreak.py — the JDK's
+    dictionary-based break iterator replayed from bytecode, compiled-class
+    fuzz-identical incl. the 1024-char windowing). No >255 skip: the
+    reference tokenizer has no maxTokenLength."""
+    from lucene_spark.functions.thaibreak import thai_tokens
+
+    return texts.fillna("").map(thai_tokens)
+
+
+def _thai_transform(token: str) -> str:
+    from lucene_spark.functions.normalizers import decimal_fold
+
+    return decimal_fold(token)
+
+
 RAW_TOKENIZERS["cjk"] = (_findall_cjk_lazy, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["brazilian"] = (_findall_standard, MAX_TOKEN_LENGTH)
 RAW_TOKENIZERS["galician"] = (_findall_standard, MAX_TOKEN_LENGTH)
@@ -1233,6 +1255,22 @@ def _fill_snowball_chains():
     CHAIN_BASE["telugu"] = "standard"
     RAW_TOKENIZERS["telugu"] = (_findall_standard, MAX_TOKEN_LENGTH)
     CHAIN_LOWER["telugu"] = str
+
+    # Thai (th/ThaiAnalyzer.java:95-102 — ThaiTokenizer -> Lower ->
+    # DecimalDigit -> Stop): dictionary word segmentation replayed from the
+    # JDK break iterator (functions/thaibreak.py). The reference tests stop
+    # membership AFTER DecimalDigitFilter; NormalizedStopSet realizes the
+    # order (decimal_fold is identity on the all-Thai stop list, kept for
+    # exactness).
+    from lucene_spark.functions.normalizers import (
+        NormalizedStopSet, decimal_fold,
+    )
+    from lucene_spark.functions.thaibreak import TH_STOP_RAW
+
+    CHAIN_FILTERS["thai"] = (
+        NormalizedStopSet(TH_STOP_RAW, decimal_fold), _thai_transform, None)
+    CHAIN_BASE["thai"] = "thai"
+    RAW_TOKENIZERS["thai"] = (_findall_thai_lazy, None)
 
 
 _fill_snowball_chains()

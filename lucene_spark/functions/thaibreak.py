@@ -1,0 +1,673 @@
+"""JDK dictionary-based Thai word segmentation — ThaiTokenizer parity.
+
+Reference chain (public Apache Lucene source):
+  ``analysis/common/src/java/org/apache/lucene/analysis/th/ThaiTokenizer.java:34-110``
+  — sentence BreakIterator (Locale.ROOT) windows a 1024-char buffer, a word
+  BreakIterator (locale ``th``) splits each sentence, and only boundaries
+  whose first codepoint ``isLetterOrDigit`` become tokens;
+  ``th/ThaiAnalyzer.java:95-102`` — ThaiTokenizer -> LowerCaseFilter ->
+  DecimalDigitFilter -> StopFilter(stopwords.txt).
+
+The JRE side of the reference (``BreakIterator.getWordInstance(th)``) is the
+JDK's dictionary-based break iterator, which this module replays exactly:
+
+  - the state tables and the Thai trie dictionary are read at runtime FROM
+    THE LOCAL JDK (``jimage extract`` of ``sun/text/resources/**`` out of
+    ``$JAVA_HOME/lib/modules``) — the same runtime-resource protocol as the
+    Beider-Morse rules read from the pyspark-bundled commons-codec jar; no
+    data files are copied into this repo. A JDK without the ``th`` locale
+    data raises the reference's own UnsupportedOperationException message
+    (``ThaiTokenizer.java:73-76`` DBBI_AVAILABLE check).
+  - ``sun.text.RuleBasedBreakIterator.handleNext`` (forward DFA over a
+    CompactByteArray category map + state table with lookahead/end-state
+    bookkeeping) and ``sun.text.DictionaryBasedBreakIterator
+    .divideUpDictionaryRange`` (depth-first trie walk with possible-break /
+    wrong-break backtracking stacks) were transcribed FROM BYTECODE
+    (``javap -p -c`` on this JDK's classes — no JDK source is shipped in
+    this environment). Quirks preserved verbatim:
+      * the trie-walk ``state`` is NOT reset after a dead-end backtrack
+        (only the ``state==0`` entry arm re-enters at the root; the
+        off-the-end arm resumes with the stale state — bytecode truth,
+        there is no ``istore`` of the state var in the error block);
+      * the final stack entry is popped and replaced by the range end;
+      * ``getNext()`` at the last character reports DONE without moving
+        the iterator index;
+      * a literal U+FFFF character reads as the DONE sentinel (the JDK's
+        own CharacterIterator limitation);
+      * ``bestBreakPositions`` is aliased (not copied) when "blessing" the
+        farthest-reaching segmentation.
+  - Lucene's ``SegmentingTokenizerBase`` 1024-char windowing with safe-end
+    splitting (CR/LF/NEL/LS/PS) is replayed so texts longer than one window
+    chunk identically (``util/SegmentingTokenizerBase.java:120-168``), and
+    ``CharArrayIterator``'s relative coordinates (begin index 0) match.
+
+Everything operates in UTF-16 code units (Java ``char`` semantics);
+surrogate pairs combine to codepoints exactly where the JDK combines them.
+
+Parity: ``tools/thai_parity.py`` compiles the UNMODIFIED reference
+ThaiTokenizer + SegmentingTokenizerBase + CharArrayIterator against the
+attribute shims and fuzzes this module over random Thai/mixed text
+(terms AND offsets); ``tests/test_thai.py`` pins the reference's own
+TestThaiAnalyzer goldens.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+
+DONE = -1
+_DONE_CHAR = 0xFFFF
+
+_CACHE_DIR = "/tmp/lucene_spark_jdkbreak"
+
+#: resource name -> module inside the jimage
+_RESOURCES = {
+    "WordBreakIteratorData_th": "jdk.localedata/sun/text/resources/ext",
+    "thai_dict": "jdk.localedata/sun/text/resources/ext",
+    "SentenceBreakIteratorData": "java.base/sun/text/resources",
+}
+
+
+class ThaiSegmentationUnavailable(RuntimeError):
+    """Raised when the runtime JDK has no Thai break data (the reference
+    throws UnsupportedOperationException from the ThaiTokenizer ctor)."""
+
+
+def _load_resources() -> dict[str, bytes]:
+    """Extract the three break resources from the local JDK's jimage,
+    caching the raw bytes under /tmp (keyed by java.home so a JDK upgrade
+    refreshes them)."""
+    java_home = os.environ.get("JAVA_HOME", "")
+    modules = os.path.join(java_home, "lib", "modules")
+    tag = java_home.strip("/").replace("/", "_") or "nojdk"
+    cache = os.path.join(_CACHE_DIR, tag)
+    out: dict[str, bytes] = {}
+    if all(os.path.exists(os.path.join(cache, n)) for n in _RESOURCES):
+        for n in _RESOURCES:
+            with open(os.path.join(cache, n), "rb") as f:
+                out[n] = f.read()
+        return out
+    jimage = os.path.join(java_home, "bin", "jimage")
+    if not (os.path.exists(jimage) and os.path.exists(modules)):
+        raise ThaiSegmentationUnavailable(
+            "This JRE does not have support for Thai segmentation "
+            f"(no jimage/modules under {java_home!r})")
+    tmp = cache + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pat = "|".join(_RESOURCES)
+    res = subprocess.run(
+        [jimage, "extract", "--include", f"regex:.*({pat})$",
+         "--dir", tmp, modules],
+        capture_output=True, text=True)
+    if res.returncode != 0:
+        raise ThaiSegmentationUnavailable(
+            f"jimage extract failed: {res.stderr.strip()[:200]}")
+    os.makedirs(cache, exist_ok=True)
+    for name, mod in _RESOURCES.items():
+        src = os.path.join(tmp, mod, name)
+        if not os.path.exists(src):
+            raise ThaiSegmentationUnavailable(
+                "This JRE does not have support for Thai segmentation "
+                f"(missing {mod}/{name})")
+        with open(src, "rb") as f:
+            out[name] = f.read()
+        with open(os.path.join(cache, name), "wb") as f:
+            f.write(out[name])
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ------------------------------------------------------- binary table parse
+
+class _Reader:
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+
+    def u8(self) -> int:
+        v = self.b[self.pos]
+        self.pos += 1
+        return v
+
+    def i32(self) -> int:
+        v = struct.unpack_from(">i", self.b, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def i64(self) -> int:
+        v = struct.unpack_from(">q", self.b, self.pos)[0]
+        self.pos += 8
+        return v
+
+    def shorts(self, n: int) -> np.ndarray:
+        v = np.frombuffer(self.b, dtype=">i2", count=n, offset=self.pos)
+        self.pos += 2 * n
+        return v.astype(np.int64)
+
+    def bytes_(self, n: int) -> bytes:
+        v = self.b[self.pos:self.pos + n]
+        self.pos += n
+        return v
+
+    def ints(self, n: int) -> np.ndarray:
+        v = np.frombuffer(self.b, dtype=">i4", count=n, offset=self.pos)
+        self.pos += 4 * n
+        return v.astype(np.int64)
+
+
+class _CompactByteArray:
+    """``sun.text.CompactByteArray``: two-level 512x128 block map over the
+    BMP; ``elementAt(c) = values[(indices[c >> 7] & 0xFFFF) + (c & 0x7F)]``
+    (signed byte result)."""
+
+    __slots__ = ("indices", "values")
+
+    def __init__(self, indices: np.ndarray, values: bytes):
+        self.indices = indices & 0xFFFF
+        self.values = np.frombuffer(values, dtype=np.int8).astype(np.int64)
+
+    def element_at(self, c: int) -> int:
+        return int(self.values[int(self.indices[c >> 7]) + (c & 0x7F)])
+
+
+class _SupplementaryData:
+    """``sun.text.SupplementaryCharacterData``: sorted int[] of
+    ``(codepoint << 8) | value`` range starts; binary search; value 255
+    decodes to -1 (IGNORE)."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, table: np.ndarray):
+        self.table = table
+
+    def get_value(self, cp: int) -> int:
+        dt = self.table
+        lo, hi = 0, len(dt) - 1
+        while True:
+            mid = (lo + hi) // 2
+            start = int(dt[mid]) >> 8
+            end = int(dt[mid + 1]) >> 8
+            if cp < start:
+                hi = mid
+            elif cp > end - 1:
+                lo = mid
+            else:
+                v = int(dt[mid]) & 0xFF
+                return -1 if v == 255 else v
+
+
+_BI_LABEL = b"BIdata\x00"
+
+
+class _RBBIData:
+    """Parsed BreakIteratorData file (``RuleBasedBreakIterator.setupTables``
+    byte layout: 7 lengths + checksum, then the raw arrays)."""
+
+    __slots__ = ("state_table", "end_states", "lookahead_states",
+                 "category_map", "suppl_map", "additional", "num_categories")
+
+    def __init__(self, raw: bytes):
+        if raw[:7] != _BI_LABEL:
+            raise ValueError("wrong magic number in break data")
+        if raw[7] != 1:
+            raise ValueError(f"unsupported break data version {raw[7]}")
+        (length,) = struct.unpack_from(">i", raw, 8)
+        if 12 + length != len(raw):
+            raise ValueError("wrong break data length")
+        r = _Reader(raw)
+        r.pos = 12
+        st_len = r.i32()
+        bst_len = r.i32()
+        es_len = r.i32()
+        las_len = r.i32()
+        cat_len = r.i32()
+        suppl_len = r.i32()
+        add_len = r.i32()
+        r.i64()  # checksum
+        self.state_table = r.shorts(st_len)
+        r.shorts(bst_len)  # backwards table: forward-only engine
+        self.end_states = np.frombuffer(
+            r.bytes_(es_len), dtype=np.uint8).astype(bool)
+        self.lookahead_states = np.frombuffer(
+            r.bytes_(las_len), dtype=np.uint8).astype(bool)
+        idx = r.shorts(512)
+        vals = r.bytes_(cat_len)
+        self.category_map = _CompactByteArray(idx, vals)
+        self.suppl_map = _SupplementaryData(r.ints(suppl_len))
+        self.additional = r.bytes_(add_len) if add_len > 0 else b""
+        assert r.pos == len(raw)
+        self.num_categories = len(self.state_table) // len(self.end_states)
+
+
+class _BreakDictionary:
+    """``sun.text.BreakDictionary``: column-compressed trie transition
+    table. ``getNextState(row, col)``: populated cells read
+    ``table[rowIndex[row]*numCols + col + rowIndexShifts[row]]``; -1 is the
+    end-of-word state, 0 the error state."""
+
+    __slots__ = ("column_map", "suppl_map", "num_cols", "table", "row_index",
+                 "row_flags", "row_flags_index", "row_shifts")
+
+    def __init__(self, raw: bytes):
+        r = _Reader(raw)
+        if r.i32() != 1:
+            raise ValueError("unsupported dictionary version")
+        if r.i32() + r.pos != len(raw):
+            raise ValueError("dictionary size is wrong")
+        idx = r.shorts(r.i32())
+        vals = r.bytes_(r.i32())
+        self.column_map = _CompactByteArray(idx, vals)
+        self.num_cols = r.i32()
+        r.i32()  # numColGroups (unused by lookups)
+        self.row_index = r.shorts(r.i32())
+        self.row_flags_index = r.shorts(r.i32())
+        self.row_flags = r.ints(r.i32())
+        self.row_shifts = np.frombuffer(
+            r.bytes_(r.i32()), dtype=np.int8).astype(np.int64)
+        self.table = r.shorts(r.i32())
+        self.suppl_map = _SupplementaryData(r.ints(r.i32()))
+        assert r.pos == len(raw)
+
+    def next_state_from_char(self, row: int, cp: int) -> int:
+        if cp < 0x10000:
+            col = self.column_map.element_at(cp)
+        else:
+            col = self.suppl_map.get_value(cp)
+        return self.next_state(row, col)
+
+    def next_state(self, row: int, col: int) -> int:
+        fi = int(self.row_flags_index[row])
+        if fi < 0:
+            populated = col == -fi
+        else:
+            populated = bool(
+                (int(self.row_flags[fi + (col >> 5)]) >> (col & 31)) & 1)
+        if not populated:
+            return 0
+        return int(self.table[int(self.row_index[row]) * self.num_cols
+                              + col + int(self.row_shifts[row])])
+
+
+# ------------------------------------------------------------ the iterators
+
+def _is_high(u: int) -> bool:
+    return 0xD800 <= u <= 0xDBFF
+
+
+def _is_low(u: int) -> bool:
+    return 0xDC00 <= u <= 0xDFFF
+
+
+class _RuleBreaker:
+    """Forward-only ``sun.text.RuleBasedBreakIterator`` over a UTF-16 unit
+    window (CharArrayIterator coordinates: begin index 0, end index =
+    window length)."""
+
+    def __init__(self, data: _RBBIData):
+        self.d = data
+        self.units: list[int] = []
+        self.end = 0
+        self.index = 0
+
+    # CharacterIterator analog -------------------------------------------
+    def set_text(self, units: list[int], length: int) -> None:
+        self.units = units
+        self.end = length
+        self.index = 0  # RBBI.setText ends with text.first()
+
+    def _char_at(self, i: int) -> int:
+        return self.units[i] if i < self.end else _DONE_CHAR
+
+    def _get_current(self) -> int:
+        c = self._char_at(self.index)
+        if _is_high(c) and self.index < self.end:
+            c2 = self._char_at(self.index + 1)
+            if _is_low(c2):
+                return 0x10000 + ((c - 0xD800) << 10) + (c2 - 0xDC00)
+        return c
+
+    def _cp_count(self) -> int:
+        c = self._char_at(self.index)
+        if _is_high(c) and self.index < self.end and _is_low(
+                self._char_at(self.index + 1)):
+            return 2
+        return 1
+
+    def _get_next(self) -> int:
+        """Advance one codepoint and return the new current codepoint;
+        reports DONE_CHAR **without moving** when that would pass the end
+        (bytecode: RuleBasedBreakIterator.getNext)."""
+        i = self.index
+        if i == self.end:
+            return _DONE_CHAR
+        i += self._cp_count()
+        if i >= self.end:
+            return _DONE_CHAR
+        self.index = i
+        return self._get_current()
+
+    def _get_next_index(self) -> int:
+        nxt = self.index + self._cp_count()
+        return self.end if nxt > self.end else nxt
+
+    # BreakIterator analog ------------------------------------------------
+    def current(self) -> int:
+        return self.index
+
+    def next(self) -> int:
+        return self.handle_next()
+
+    def lookup_category(self, c: int) -> int:
+        if c < 0x10000:
+            return self.d.category_map.element_at(c)
+        return self.d.suppl_map.get_value(c)
+
+    def handle_next(self) -> int:
+        if self.index == self.end:
+            return DONE
+        d = self.d
+        st = d.state_table
+        es = d.end_states
+        las = d.lookahead_states
+        ncat = d.num_categories
+        result = self._get_next_index()
+        lookahead_result = 0
+        state = 1  # START_STATE
+        c = self._get_current()
+        while c != _DONE_CHAR and state != 0:
+            category = self.lookup_category(c)
+            if category != -1:
+                state = int(st[state * ncat + category])
+            if las[state]:
+                if es[state]:
+                    result = lookahead_result
+                else:
+                    lookahead_result = self._get_next_index()
+            elif es[state]:
+                result = self._get_next_index()
+            c = self._get_next()
+        if c == _DONE_CHAR and lookahead_result == self.end:
+            result = lookahead_result
+        self.index = result
+        return result
+
+
+class _DictBreaker(_RuleBreaker):
+    """``sun.text.DictionaryBasedBreakIterator``: rule-based boundaries,
+    with ranges containing >1 dictionary character subdivided by a
+    depth-first walk of the trie."""
+
+    def __init__(self, data: _RBBIData, dictionary: _BreakDictionary):
+        super().__init__(data)
+        self.dictionary = dictionary
+        flags = data.additional
+        self.category_flags = [b == 1 for b in flags]
+        self.dict_char_count = 0
+        self.cached: list[int] | None = None
+        self.pos_in_cache = 0
+
+    def set_text(self, units: list[int], length: int) -> None:
+        super().set_text(units, length)
+        self.cached = None
+        self.dict_char_count = 0
+        self.pos_in_cache = 0
+
+    def lookup_category(self, c: int) -> int:
+        category = super().lookup_category(c)
+        if category != -1 and self.category_flags[category]:
+            self.dict_char_count += 1
+        return category
+
+    def handle_next(self) -> int:
+        if self.cached is None or self.pos_in_cache == len(self.cached) - 1:
+            start_pos = self.index
+            self.dict_char_count = 0
+            result = _RuleBreaker.handle_next(self)
+            if self.dict_char_count > 1 and result - start_pos > 1:
+                self._divide_up(start_pos, result)
+            else:
+                self.cached = None
+                return result
+        if self.cached is not None:
+            self.pos_in_cache += 1
+            self.index = self.cached[self.pos_in_cache]
+            return self.cached[self.pos_in_cache]
+        return -9999  # unreachable (bytecode keeps the arm; so do we)
+
+    def _divide_up(self, start_pos: int, end_pos: int) -> None:
+        dictionary = self.dictionary
+        self.index = start_pos
+        c = self._get_current()
+        category = self.lookup_category(c)
+        while category == -1 or not self.category_flags[category]:
+            c = self._get_next()
+            category = self.lookup_category(c)
+        current_breaks: list[int] = []
+        possible_breaks: list[int] = []
+        wrong_breaks: list[int] = []
+        state = 0
+        farthest = self.index
+        best_breaks: list[int] | None = None
+        c = self._get_current()
+        while True:
+            if dictionary.next_state(state, 0) == -1:
+                possible_breaks.append(self.index)
+            state = dictionary.next_state_from_char(state, c)
+            if state == -1:
+                current_breaks.append(self.index)
+                break
+            if state == 0 or self.index >= end_pos:
+                if self.index > farthest:
+                    farthest = self.index
+                    best_breaks = list(current_breaks)
+                while possible_breaks and possible_breaks[-1] in wrong_breaks:
+                    possible_breaks.pop()
+                if not possible_breaks:
+                    if best_breaks is not None:
+                        current_breaks = best_breaks  # ALIASED, as in Java
+                        if farthest < end_pos:
+                            self.index = farthest + 1
+                        else:
+                            break
+                    else:
+                        if ((not current_breaks
+                             or current_breaks[-1] != self.index)
+                                and self.index != start_pos):
+                            current_breaks.append(self.index)
+                        self._get_next()
+                        current_breaks.append(self.index)
+                else:
+                    popped = possible_breaks.pop()
+                    while current_breaks and popped < current_breaks[-1]:
+                        wrong_breaks.append(current_breaks.pop())
+                    current_breaks.append(popped)
+                    self.index = current_breaks[-1]
+                # NOTE: `state` deliberately NOT reset here — bytecode truth
+                c = self._get_current()
+                if self.index >= end_pos:
+                    break
+            else:
+                c = self._get_next()
+        if current_breaks:
+            current_breaks.pop()
+        current_breaks.append(end_pos)
+        self.cached = [start_pos] + current_breaks
+        self.pos_in_cache = 0
+
+
+# ------------------------------------------------- tokenizer (Lucene side)
+
+_BUFFERMAX = 1024
+_SAFE_ENDS = frozenset((0x000D, 0x000A, 0x0085, 0x2028, 0x2029))
+
+_ENGINES: dict[int, tuple[_RuleBreaker, _DictBreaker]] = {}
+
+
+def _engines() -> tuple[_RuleBreaker, _DictBreaker]:
+    """Per-process singletons (one sentence + one word breaker), like the
+    reference's cloned protos; keyed by pid so forked Spark workers never
+    share mutable iterator state with the parent."""
+    pid = os.getpid()
+    got = _ENGINES.get(pid)
+    if got is None:
+        res = _load_resources()
+        sent = _RuleBreaker(_RBBIData(res["SentenceBreakIteratorData"]))
+        word = _DictBreaker(_RBBIData(res["WordBreakIteratorData_th"]),
+                            _BreakDictionary(res["thai_dict"]))
+        _ENGINES.clear()
+        _ENGINES[pid] = (sent, word)
+        got = _ENGINES[pid]
+    return got
+
+
+def _to_units(text: str) -> list[int]:
+    return np.frombuffer(
+        text.encode("utf-16-be", "surrogatepass"), dtype=">u2"
+    ).astype(np.int64).tolist()
+
+
+def _from_units(units: list[int]) -> str:
+    return np.asarray(units, dtype=">u2").tobytes().decode(
+        "utf-16-be", "surrogatepass")
+
+
+def _is_letter_or_digit(cp: int) -> bool:
+    """Java Character.isLetterOrDigit: L* categories or Nd."""
+    import unicodedata
+
+    cat = unicodedata.category(chr(cp))
+    return cat[0] == "L" or cat == "Nd"
+
+
+def _code_point_at(buf: list[int], i: int, limit: int) -> int:
+    c = buf[i]
+    if _is_high(c) and i + 1 < limit and _is_low(buf[i + 1]):
+        return 0x10000 + ((c - 0xD800) << 10) + (buf[i + 1] - 0xDC00)
+    return c
+
+
+def thai_tokens_offsets(text: str) -> list[tuple[str, int, int]]:
+    """ThaiTokenizer replay: -> [(term, start, end)] with offsets in UTF-16
+    units, including SegmentingTokenizerBase's 1024-unit windowing."""
+    sent_iter, word_iter = _engines()
+    units = _to_units(text or "")
+    n = len(units)
+    out: list[tuple[str, int, int]] = []
+
+    pos = 0            # reader position
+    buffer: list[int] = []
+    length = 0
+    usable = 0
+    offset = 0
+    sent_start = sent_end = 0
+
+    def refill() -> None:
+        nonlocal pos, buffer, length, usable, offset
+        offset += usable
+        leftover = length - usable
+        buffer = buffer[usable:usable + leftover]
+        requested = _BUFFERMAX - leftover
+        take = min(requested, n - pos)
+        buffer.extend(units[pos:pos + take])
+        pos += take
+        length = leftover + take
+        if take < requested:
+            usable = length
+        else:
+            usable = -1
+            for i in range(length - 1, -1, -1):
+                if buffer[i] in _SAFE_ENDS:
+                    usable = i + 1
+                    break
+            if usable < 0:
+                usable = length
+        sent_iter.set_text(buffer, max(0, usable))
+
+    def increment_word() -> bool:
+        start = word_iter.current()
+        if start == DONE:
+            return False
+        end = word_iter.next()
+        while end != DONE and not _is_letter_or_digit(
+                _code_point_at(buffer, sent_start + start, sent_end)):
+            start = end
+            end = word_iter.next()
+        if end == DONE:
+            return False
+        term = _from_units(buffer[sent_start + start:sent_start + end])
+        out.append((term, offset + sent_start + start,
+                    offset + sent_start + end))
+        return True
+
+    def increment_sentence() -> bool:
+        nonlocal sent_start, sent_end
+        if length == 0:
+            return False
+        while True:
+            start = sent_iter.current()
+            if start == DONE:
+                return False
+            end = sent_iter.next()
+            if end == DONE:
+                return False
+            sent_start, sent_end = start, end
+            word_iter.set_text(buffer[sent_start:sent_end],
+                               sent_end - sent_start)
+            if increment_word():
+                return True
+
+    first = True
+    while True:
+        if first or length == 0 or not increment_word():
+            first = False
+            advanced = increment_sentence()
+            while not advanced:
+                refill()
+                if length <= 0:
+                    return out
+                advanced = increment_sentence()
+    return out
+
+
+def thai_tokens(text: str) -> list[str]:
+    """Raw-tokenizer surface for the analysis registry (terms only)."""
+    return [t for t, _, _ in thai_tokens_offsets(text)]
+
+
+# ------------------------------------------------------------- chain layer
+
+#: ThaiAnalyzer stop set — machine-extracted from the reference resource
+#: ``analysis/common/src/resources/org/apache/lucene/analysis/th/
+#: stopwords.txt`` (115 words; WordlistLoader.getWordSet '#'-comment
+#: semantics — a blank line would load as "" in the reference and can
+#: never match a non-empty token, so none are kept).
+TH_STOP_RAW = frozenset((
+    "ไว้", "ไม่", "ไป", "ได้", "ให้", "ใน",
+    "โดย", "แห่ง", "แล้ว", "และ", "แรก", "แบบ",
+    "แต่", "เอง", "เห็น", "เลย", "เริ่ม", "เรา",
+    "เมื่อ", "เพื่อ", "เพราะ", "เป็นการ", "เป็น", "เปิดเผย",
+    "เปิด", "เนื่องจาก", "เดียวกัน", "เดียว", "เช่น", "เฉพาะ",
+    "เคย", "เข้า", "เขา", "อีก", "อาจ", "อะไร",
+    "ออก", "อย่าง", "อยู่", "อยาก", "หาก", "หลาย",
+    "หลังจาก", "หลัง", "หรือ", "หนึ่ง", "ส่วน", "ส่ง",
+    "สุด", "สําหรับ", "ว่า", "วัน", "ลง", "ร่วม",
+    "ราย", "รับ", "ระหว่าง", "รวม", "ยัง", "มี",
+    "มาก", "มา", "พร้อม", "พบ", "ผ่าน", "ผล",
+    "บาง", "น่า", "นี้", "นํา", "นั้น", "นัก",
+    "นอกจาก", "ทุก", "ที่สุด", "ที่", "ทําให้", "ทํา",
+    "ทาง", "ทั้งนี้", "ทั้ง", "ถ้า", "ถูก", "ถึง",
+    "ต้อง", "ต่างๆ", "ต่าง", "ต่อ", "ตาม", "ตั้งแต่",
+    "ตั้ง", "ด้าน", "ด้วย", "ดัง", "ซึ่ง", "ช่วง",
+    "จึง", "จาก", "จัด", "จะ", "คือ", "ความ",
+    "ครั้ง", "คง", "ขึ้น", "ของ", "ขอ", "ขณะ",
+    "ก่อน", "ก็", "การ", "กับ", "กัน", "กว่า",
+    "กล่าว",
+))

@@ -1,0 +1,156 @@
+# -*- coding: utf-8 -*-
+"""ThaiAnalyzer chain: JDK dictionary-based segmentation parity.
+
+Goldens come from two authoritative sources:
+  - the reference's own TestThaiAnalyzer.java expectations (terms, offsets,
+    position increments with the real stop set);
+  - outputs printed from the COMPILED reference ThaiTokenizer (the
+    tools/thai_parity.py harness — never hand-guessed), including the
+    1024-unit window-truncation case where a word straddling the buffer
+    boundary splits and its orphaned combining vowel is dropped.
+
+The full randomized parity sweep lives in tools/thai_parity.py
+(6,500+ streams, terms+offsets, zero mismatches).
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+from lucene_spark.functions.analysis import analyze_one_chain
+from lucene_spark.functions.thaibreak import (
+    TH_STOP_RAW,
+    thai_tokens,
+    thai_tokens_offsets,
+)
+
+
+def test_reference_offsets_golden():
+    # TestThaiAnalyzer.testOffsets (empty stop set = raw tokenizer+lower)
+    assert thai_tokens_offsets("การที่ได้ต้องแสดงว่างานดี") == [
+        ("การ", 0, 3), ("ที่", 3, 6), ("ได้", 6, 9), ("ต้อง", 9, 13),
+        ("แสดง", 13, 17), ("ว่า", 17, 20), ("งาน", 20, 23), ("ดี", 23, 25),
+    ]
+
+
+def test_reference_stopwords_golden():
+    # TestThaiAnalyzer.testStopWords: default stop set drops 5 of 8;
+    # positions are the pre-stop ordinals (posIncr 5,2,1 in the reference)
+    toks, pos, flen = analyze_one_chain("การที่ได้ต้องแสดงว่างานดี", "thai")
+    assert toks == ["แสดง", "งาน", "ดี"]
+    assert pos == [4, 6, 7]  # posIncr = 5, 2, 1
+    assert flen == 3
+
+
+def test_reference_mixed_golden():
+    # TestThaiAnalyzer.testReusableTokenStream + testDigits + twoSentences,
+    # exact output printed from the compiled reference tokenizer
+    mix = ("This is a test. การที่ได้ต้องแสดงว่างานดี ๑๒๓๔ "
+           "บริษัทชื่อ XY&Z - คุยกับ xyz@demo.com")
+    assert thai_tokens_offsets(mix) == [
+        ("This", 0, 4), ("is", 5, 7), ("a", 8, 9), ("test", 10, 14),
+        ("การ", 16, 19), ("ที่", 19, 22), ("ได้", 22, 25), ("ต้อง", 25, 29),
+        ("แสดง", 29, 33), ("ว่า", 33, 36), ("งาน", 36, 39), ("ดี", 39, 41),
+        ("๑๒๓๔", 42, 46), ("บริษัท", 47, 53), ("ชื่อ", 53, 57),
+        ("XY", 58, 60), ("Z", 61, 62), ("คุย", 65, 68), ("กับ", 68, 71),
+        ("xyz", 72, 75), ("demo.com", 76, 84),
+    ]
+    # full chain: lowercase + Thai-digit fold + the reference stop set
+    # (การ/ที่/ได้/ต้อง/ว่า/กับ are stops; English words are not)
+    toks, _, _ = analyze_one_chain(mix, "thai")
+    assert toks == ["this", "is", "a", "test", "แสดง", "งาน", "ดี",
+                    "1234", "บริษัท", "ชื่อ", "xy", "z", "คุย", "xyz",
+                    "demo.com"]
+
+
+def test_window_split_golden():
+    """25-unit phrase x 120 = 3000 units with no safe-end chars: the
+    1024-unit window truncates mid-word — ('ด', 1023, 1024) followed by a
+    dropped orphan combining vowel at 1024 (compiled-class output)."""
+    long_text = ("การที่ได้ต้อง" "แสดงว่างานดี") * 120
+    toks = thai_tokens_offsets(long_text)
+    assert len(toks) == 960
+    counts = pd.Series([t for t, _, _ in toks]).value_counts().to_dict()
+    assert counts == {"การ": 120, "ที่": 120, "ได้": 120, "ต้อง": 120,
+                      "แสดง": 120, "ว่า": 120, "งาน": 120, "ดี": 119, "ด": 1}
+    window_edge = [t for t in toks if 1020 <= t[1] <= 1026]
+    assert window_edge == [("งาน", 1020, 1023), ("ด", 1023, 1024),
+                           ("การ", 1025, 1028)]
+    assert toks[-1] == ("ดี", 2998, 3000)
+
+
+def test_safe_end_windows_match_flat():
+    """Newlines are safe ends: a >1024-unit text WITH newlines segments
+    each line exactly like segmenting the lines independently."""
+    line = "การที่ได้ต้องแสดงว่างานดีมาก"
+    text = "\n".join([line] * 60)
+    toks = [t for t, _, _ in thai_tokens_offsets(text)]
+    per_line = thai_tokens(line)
+    assert toks == per_line * 60
+
+
+def test_stop_set_and_digits():
+    assert len(TH_STOP_RAW) == 115
+    toks, _, _ = analyze_one_chain("๑๒๓๔", "thai")
+    assert toks == ["1234"]  # DecimalDigitFilter golden (testDigits)
+    # stop membership is tested post-fold (NormalizedStopSet): a stopword
+    # is dropped whether or not it needs folding
+    toks, _, _ = analyze_one_chain("ไม่ดี", "thai")
+    assert toks == ["ดี"]
+
+
+def test_empty_and_edge_inputs():
+    assert thai_tokens("") == []
+    assert thai_tokens("   ") == []
+    assert thai_tokens(".,!?") == []
+    assert analyze_one_chain(None, "thai")[0] == []
+    # lone surrogate + U+FFFF (DONE sentinel quirk) must not crash
+    assert isinstance(thai_tokens("ไทย\ud800ไทย"), list)
+    assert isinstance(thai_tokens("ไทย￿ไทย"), list)
+
+
+def test_vectorized_matches_scalar():
+    from lucene_spark.functions.analysis import RAW_TOKENIZERS
+
+    texts = ["การที่ได้ต้องแสดงว่างานดี", "abc ไทย 123", "", None,
+             "๑๒๓๔ mixed ด้วย"]
+    fn, max_len = RAW_TOKENIZERS["thai"]
+    assert max_len is None  # ThaiTokenizer has no >255 skip
+    vec = fn(pd.Series(texts)).tolist()
+    for t, v in zip(texts, vec):
+        assert list(v) == thai_tokens(t or ""), repr(t)
+
+
+def test_thai_chain_engine_roundtrip(spark, tmp_path):
+    """thai chain through the real build path: vocabulary terms and field
+    lengths match the scalar oracle, and a Thai term is searchable."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import parse_query, rewrite_fixpoint
+    from lucene_spark.query.search import IndexSearcher
+
+    rows = [
+        ("c1", 0, "user", None, 1000, "การที่ได้ต้องแสดงว่างานดี"),
+        ("c1", 1, "user", None, 1001, "บริษัทชื่อ XY&Z - คุยกับ xyz@demo.com"),
+        ("c2", 0, "user", None, 1002, "This is a test. ๑๒๓๔ งานดีมาก"),
+        ("c2", 1, "user", None, 1003, "ascii only turn"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "role", "tool", "ts", "text"]))
+    path = str(tmp_path / "thai_idx")
+    build_index(spark, df, path,
+                IndexConfig(num_segments=2, term_buckets=4, analyzer="thai"))
+    merge_index(spark, path)
+    s = IndexSearcher(spark, path)
+    fl = {(r["conv_id"], r["turn_idx"]): r["field_len"]
+          for r in s.docmap().select(
+              "conv_id", "turn_idx", "field_len").collect()}
+    for conv, turn, _, _, _, text in rows:
+        toks, _, flen = analyze_one_chain(text, "thai")
+        assert fl[(conv, turn)] == flen, (conv, turn, toks)
+    hits = s.search(rewrite_fixpoint(parse_query('{"term": "งาน"}')), 5)
+    by_doc = {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+              for r in s.docmap().select(
+                  "doc_id", "conv_id", "turn_idx").collect()}
+    got = {by_doc[r["doc_id"]] for r in hits.collect()}
+    assert got == {("c1", 0), ("c2", 0)}

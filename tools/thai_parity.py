@@ -1,0 +1,230 @@
+"""Compiled-reference parity fuzz for functions/thaibreak.py.
+
+Compiles the reference's ThaiTokenizer + SegmentingTokenizerBase +
+CharArrayIterator UNMODIFIED (package-intact) against the attribute shims
+(the same standalone-compile protocol as tools/tok_parity.py), then fuzzes
+``thai_tokens_offsets`` against the compiled tokenizer over random
+Thai/mixed text — terms AND offsets. Because the compiled classes call the
+real ``java.text.BreakIterator``, a pass here pins the WHOLE stack: the
+bytecode-transcribed RuleBased/DictionaryBased iterators, the thai_dict
+trie walk, and the 1024-char windowing.
+
+Inputs deliberately include: real Thai words, random Thai character soup
+(forcing dictionary dead-ends + backtracking), ASCII/CJK/emoji mix, lone
+surrogates, U+FFFF, newlines (safe ends), and >1024-unit texts with and
+without safe break chars (window-split behavior).
+
+Run: python tools/thai_parity.py [n_cases] [seed]   (default 3000, 42)
+"""
+from __future__ import annotations
+
+import base64
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/thaitokparity"
+PKG = os.path.join(ROOT, "src")
+REF = "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
+
+SHIMS = {
+    "org/apache/lucene/analysis/tokenattributes/CharTermAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class CharTermAttribute implements CharSequence {
+  private final StringBuilder sb = new StringBuilder();
+  public void copyBuffer(char[] buf, int off, int len) { sb.setLength(0); sb.append(buf, off, len); }
+  public int length() { return sb.length(); }
+  public char charAt(int i) { return sb.charAt(i); }
+  public CharSequence subSequence(int s, int e) { return sb.subSequence(s, e); }
+  @Override public String toString() { return sb.toString(); }
+}
+""",
+    "org/apache/lucene/analysis/tokenattributes/OffsetAttribute.java": """
+package org.apache.lucene.analysis.tokenattributes;
+public class OffsetAttribute {
+  private int s, e;
+  public void setOffset(int s, int e) { this.s = s; this.e = e; }
+  public int startOffset() { return s; }
+  public int endOffset() { return e; }
+}
+""",
+    "org/apache/lucene/analysis/Tokenizer.java": """
+package org.apache.lucene.analysis;
+import java.io.Reader;
+import org.apache.lucene.util.AttributeFactory;
+import org.apache.lucene.analysis.tokenattributes.*;
+public abstract class Tokenizer {
+  protected Reader input;
+  public static final AttributeFactory DEFAULT_TOKEN_ATTRIBUTE_FACTORY = new AttributeFactory();
+  public CharTermAttribute termAtt = new CharTermAttribute();
+  public OffsetAttribute offsetAtt = new OffsetAttribute();
+  protected Tokenizer() {}
+  protected Tokenizer(AttributeFactory f) {}
+  public void setReader(Reader r) { input = r; }
+  protected int correctOffset(int o) { return o; }
+  @SuppressWarnings("unchecked")
+  public <T> T addAttribute(Class<T> cls) {
+    if (cls == CharTermAttribute.class) return (T) termAtt;
+    if (cls == OffsetAttribute.class) return (T) offsetAtt;
+    throw new RuntimeException("no attr " + cls);
+  }
+  public abstract boolean incrementToken() throws java.io.IOException;
+  public void reset() throws java.io.IOException {}
+  public void end() throws java.io.IOException {}
+  public void clearAttributes() {}
+}
+""",
+    "org/apache/lucene/util/AttributeFactory.java": """
+package org.apache.lucene.util;
+public class AttributeFactory {}
+""",
+}
+
+MAIN = """
+import java.io.StringReader;
+import java.nio.charset.StandardCharsets;
+import java.util.Base64;
+import org.apache.lucene.analysis.th.ThaiTokenizer;
+import org.apache.lucene.analysis.tokenattributes.*;
+
+public class ThaiMain {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      String text = new String(Base64.getDecoder().decode(line), StandardCharsets.UTF_8);
+      ThaiTokenizer tok = new ThaiTokenizer();
+      tok.setReader(new StringReader(text));
+      tok.reset();
+      CharTermAttribute term = tok.addAttribute(CharTermAttribute.class);
+      OffsetAttribute off = tok.addAttribute(OffsetAttribute.class);
+      StringBuilder sb = new StringBuilder();
+      while (tok.incrementToken()) {
+        if (sb.length() > 0) sb.append('\\t');
+        sb.append(Base64.getEncoder().encodeToString(
+            term.toString().getBytes(StandardCharsets.UTF_8)));
+        sb.append(':').append(off.startOffset()).append(':').append(off.endOffset());
+      }
+      System.out.println(sb);
+    }
+  }
+}
+"""
+
+REF_FILES = [
+    ("th/ThaiTokenizer.java", "org/apache/lucene/analysis/th/ThaiTokenizer.java"),
+    ("util/SegmentingTokenizerBase.java",
+     "org/apache/lucene/analysis/util/SegmentingTokenizerBase.java"),
+    ("util/CharArrayIterator.java",
+     "org/apache/lucene/analysis/util/CharArrayIterator.java"),
+]
+
+
+def build() -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(PKG, exist_ok=True)
+    for rel, out in SHIMS.items():
+        path = os.path.join(PKG, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(out)
+    for src, dst in REF_FILES:
+        path = os.path.join(PKG, dst)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(os.path.join(REF, src), encoding="utf-8") as f:
+            body = f.read()
+        # mechanical javac-17 fix: `catch (Exception _)` is a Java 21+
+        # unnamed variable (CharArrayIterator's HAS_BUGGY_BREAKITERATORS
+        # probe) — rename only, no semantic change
+        body = body.replace("catch (Exception _)", "catch (Exception __e)")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(body)
+    with open(os.path.join(PKG, "ThaiMain.java"), "w") as f:
+        f.write(MAIN)
+    files = []
+    for base, _, names in os.walk(PKG):
+        files += [os.path.join(base, n) for n in names if n.endswith(".java")]
+    subprocess.run(["javac", "-encoding", "UTF-8", "-d", ROOT] + files,
+                   check=True, capture_output=True)
+
+
+THAI_WORDS = ["ภาษา", "ไทย", "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า",
+              "งาน", "ดี", "ประโยค", "แรก", "สอง", "มาก", "น้ำ", "ใจ",
+              "คน", "รัก", "เรียน", "หนังสือ", "กรุงเทพมหานคร", "สวัสดี",
+              "ครับ", "ค่ะ", "ไม่", "เป็น", "ไร", "อร่อย", "เชียงใหม่"]
+THAI_CHARS = [chr(c) for c in range(0x0E01, 0x0E5C)
+              if c not in (0x0E3B, 0x0E3C, 0x0E3D, 0x0E3E)]
+OTHER = ["abc", "Hello World", "123", "12.5", "x@y.com", " ", "  ", ".",
+         "!", "?", ",", "-", "\n", "\r\n", "\t", "", "日本語です", "한국어",
+         "Ωμέγα", "señor", "\U0001F600", "\U00020000", "\ud800", "￿",
+         "ແມ່ນແລ້ว", "মাংলা", "«»", "--"]
+
+
+def rand_text(rng: random.Random) -> str:
+    kind = rng.random()
+    if kind < 0.05:
+        # long no-safe-end runs to force mid-window truncation
+        return "".join(rng.choice(THAI_WORDS) for _ in range(rng.randint(250, 500)))
+    if kind < 0.10:
+        # long WITH newlines (safe ends inside windows)
+        return "\n".join(
+            "".join(rng.choice(THAI_WORDS) for _ in range(rng.randint(20, 60)))
+            for _ in range(rng.randint(5, 12)))
+    n = rng.randint(0, 40)
+    parts = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.45:
+            parts.append(rng.choice(THAI_WORDS))
+        elif r < 0.65:
+            parts.append("".join(rng.choice(THAI_CHARS)
+                                 for _ in range(rng.randint(1, 6))))
+        else:
+            parts.append(rng.choice(OTHER))
+    return "".join(parts)
+
+
+def main() -> None:
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    build()
+    from lucene_spark.functions.thaibreak import thai_tokens_offsets
+
+    rng = random.Random(seed)
+    cases = [rand_text(rng) for _ in range(n_cases)]
+    inp = "\n".join(
+        base64.b64encode(c.encode("utf-8", "surrogatepass")).decode()
+        for c in cases)
+    res = subprocess.run(["java", "ThaiMain"], input=inp, cwd=ROOT,
+                         capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(res.stderr[:500])
+    jlines = res.stdout.split("\n")
+    bad = 0
+    for i, (c, jl) in enumerate(zip(cases, jlines)):
+        jtoks = []
+        if jl:
+            for part in jl.split("\t"):
+                b64, s, e = part.rsplit(":", 2)
+                jtoks.append((base64.b64decode(b64).decode(
+                    "utf-8", "surrogatepass"), int(s), int(e)))
+        mine = thai_tokens_offsets(c)
+        if mine != jtoks:
+            bad += 1
+            if bad <= 3:
+                print("MISMATCH", i, repr(c)[:100])
+                print("  java:", jtoks[:12])
+                print("  mine:", mine[:12])
+    print(f"{n_cases - bad}/{n_cases} token streams identical "
+          f"(terms+offsets, seed={seed})")
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
