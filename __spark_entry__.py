@@ -3265,6 +3265,21 @@ def _chunk(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+_PACK_SEQ_LEN = 512
+
+
+def _pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (textprep.pack_sequences): the
+    GPT-style pretraining batch shaper — global token stream cut into
+    fixed windows, crossing docs sliced into both neighbors. The Spark
+    side runs the scale-shaped two-phase cumulative sum; the oracle is
+    one exact window cumsum."""
+    from lucene_spark.operators.textprep import pack_sequences
+    return pack_sequences(
+        _docs(spark, sf_dir), _PACK_SEQ_LEN
+    ).orderBy("seq_id", "doc_id")
+
+
 def _redact(spark, sf_dir):
     from lucene_spark.operators.textprep import redact_pii
     return redact_pii(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -3652,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_repetition"] = _repetition
     out["text_dup_segments"] = _dup_segments
     out["chunk_documents"] = _chunk
+    out["pack_sequences"] = _pack_sequences
     out["redact_pii"] = _redact
     out["decontaminate"] = _decontaminate
     out["stratified_sample"] = _strat_sample
@@ -5170,6 +5186,7 @@ WHERE term = '{_POSTINGS_TERM}' ORDER BY doc_id
     out["chunk_documents"] = textprep.chunk_documents_sql(
         _CHUNK_MAX, _CHUNK_OVERLAP
     )
+    out["pack_sequences"] = textprep.pack_sequences_sql(_PACK_SEQ_LEN)
     out["redact_pii"] = textprep.redact_pii_sql()
     out["decontaminate"] = textprep.decontaminate_sql(
         _DECON_WHERE, n=_DECON_N, min_hits=1

@@ -305,3 +305,118 @@ def stratified_sample_sql(
         f" / CAST({float(1 << 32)!r} AS DOUBLE))"
     )
     return f"SELECT {select} FROM {table} WHERE {u} < {float(fraction)!r}"
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    offset_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batch shaper: documents are concatenated in deterministic ``id_col``
+    order into one global token stream, which is cut into fixed
+    ``seq_len`` windows. A document crossing a cut contributes a slice to
+    both neighboring sequences — no padding, no dropped tokens (contrast
+    ``chunk_documents``, which windows WITHIN one doc). Tokens are the
+    shared simple-analyzer tokens (``dedup.tokens_col``), the same count
+    ``token_count``/quality use.
+
+    -> DF(seq_id long, doc_id, tok_start long, tok_end long): the
+    doc-LOCAL token slice [tok_start, tok_end) lands in global sequence
+    ``seq_id`` (global token window [seq_id*L, (seq_id+1)*L)). Empty docs
+    emit nothing (also keeps Spark's descending ``sequence(a, b<a)`` from
+    ever firing).
+
+    Scale shape: the global running offset is a TWO-PHASE cumulative sum —
+    per-bucket totals (bucket = order-aligned ``floor(doc_id / width)``
+    block) collected to the driver as <= ``offset_buckets`` prefix rows
+    and broadcast back, plus a WITHIN-bucket window — so no
+    single-partition global window at 10^12 docs; everything else is JVM
+    expressions (one explode per crossing doc).
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    hi_row = base.agg(F.max("doc_id").alias("m"), F.min("doc_id").alias("lo")
+                      ).collect()[0]
+    if hi_row["m"] is None:
+        return docs.sparkSession.createDataFrame(
+            [], "seq_id long, doc_id long, tok_start long, tok_end long")
+    lo, hi = int(hi_row["lo"]), int(hi_row["m"])
+    width = max(1, (hi - lo + offset_buckets) // offset_buckets)
+    b = base.withColumn(
+        "bucket", F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width)))
+    # phase 1: per-bucket totals -> exclusive bucket prefixes (driver holds
+    # only offset_buckets rows)
+    totals = {int(r["bucket"]): int(r["bn"])
+              for r in b.groupBy("bucket").agg(F.sum("n").alias("bn")).collect()}
+    acc = 0
+    pref = []
+    for k in sorted(totals):
+        pref.append((k, acc))
+        acc += totals[k]
+    pref_df = docs.sparkSession.createDataFrame(
+        pref, "bucket long, boff long")
+    # phase 2: within-bucket running sum + bucket prefix = exact global
+    # exclusive offset S for every doc
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    s = (
+        b.join(F.broadcast(pref_df), "bucket")
+        .withColumn("S", F.col("boff") + F.sum("n").over(w) - F.col("n"))
+    )
+    L = F.lit(int(seq_len))
+    seq_id = F.explode(F.sequence(
+        F.floor(F.col("S") / L),
+        F.floor((F.col("S") + F.col("n") - F.lit(1)) / L))).alias("seq_id")
+    out = s.select("doc_id", "n", "S", seq_id)
+    return out.select(
+        F.col("seq_id").cast("long"),
+        "doc_id",
+        F.greatest(F.lit(0), F.col("seq_id") * L - F.col("S"))
+         .cast("long").alias("tok_start"),
+        F.least(F.col("n"), (F.col("seq_id") + F.lit(1)) * L - F.col("S"))
+         .cast("long").alias("tok_end"),
+    )
+
+
+def pack_sequences_sql(
+    seq_len: int = 2048,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: one ordered window cumsum (exact twin of the two-phase
+    Spark sum) + a lateral generate_series over the crossed windows."""
+    L = int(seq_len)
+    return f"""
+WITH toks AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce({text_col}, '')),
+                                     '{TOKEN_RE_SQL}')) AS BIGINT) AS n
+  FROM {table}
+),
+pos AS (
+  SELECT doc_id, n,
+         -- sum(BIGINT) is HUGEINT in DuckDB; range() needs BIGINT args
+         CAST(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS s
+  FROM toks WHERE n > 0
+)
+SELECT CAST(g AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(GREATEST(0, g * {L} - s) AS BIGINT) AS tok_start,
+       CAST(LEAST(n, (g + 1) * {L} - s) AS BIGINT) AS tok_end
+FROM pos, unnest(range(s // {L}, (s + n - 1) // {L} + 1)) AS t(g)
+ORDER BY seq_id, doc_id
+""".strip()

@@ -821,3 +821,51 @@ def test_dedup_components(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         dedup_components(pairs, max_iters=1)
+
+
+def test_pack_sequences(spark):
+    """Concat-and-chunk packing: exact slices, full middles, bucket-count
+    invariance (the two-phase cumsum must not depend on bucketing)."""
+    import pandas as pd
+
+    from lucene_spark.operators.textprep import pack_sequences
+
+    rows = [
+        (10, "a b c d e"),          # 5 toks, offsets 0..5
+        (11, ""),                   # empty -> emits nothing
+        (12, "f g h i j k l"),      # 7 toks, offsets 5..12
+        (13, "m n"),                # 2 toks, offsets 12..14
+        (14, "o p q r s t u v w"),  # 9 toks, offsets 14..23
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = pack_sequences(docs, seq_len=4).orderBy("seq_id", "doc_id")
+    got = [(r.seq_id, r.doc_id, r.tok_start, r.tok_end)
+           for r in out.collect()]
+    # stream: doc10[0:5) doc12[5:12) doc13[12:14) doc14[14:23); L=4
+    assert got == [
+        (0, 10, 0, 4),
+        (1, 10, 4, 5), (1, 12, 0, 3),
+        (2, 12, 3, 7),
+        (3, 13, 0, 2), (3, 14, 0, 2),
+        (4, 14, 2, 6),
+        (5, 14, 6, 9),
+    ]
+    # invariants: middles full, every doc's slices partition [0, n)
+    tot = {}
+    for sid, d, a, b in got:
+        tot[sid] = tot.get(sid, 0) + (b - a)
+    assert all(tot[s] == 4 for s in sorted(tot)[:-1])
+    assert tot[max(tot)] == 23 - 5 * 4
+    # bucket-count invariance: 1 bucket (pure window) == many buckets
+    for nb in (1, 3, 64):
+        alt = pack_sequences(docs, seq_len=4, offset_buckets=nb)
+        assert sorted(
+            (r.seq_id, r.doc_id, r.tok_start, r.tok_end)
+            for r in alt.collect()) == got, nb
+
+    # empty input
+    empty = pack_sequences(docs.filter("doc_id < 0"), seq_len=4)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "seq_id", "doc_id", "tok_start", "tok_end"]
