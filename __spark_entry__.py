@@ -1745,6 +1745,47 @@ def _expunged_df(spark, sf_dir):
     )
 
 
+def _snapshot_search_df(spark, sf_dir):
+    """Point-in-time commit read (index/snapshot.py — the
+    SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit) analog):
+    the index is snapshotted, then the LIVE index is tombstoned and
+    EXPUNGED (the destructive rewrite-and-swap path); the entry searches
+    the SNAPSHOT, which must still equal the full-corpus oracle —
+    hard-linked commit files survive the swap."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.index.snapshot import list_snapshots, snapshot_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_snapshotted"
+    m = load_manifest(index_dir)
+    tags = [s["tag"] for s in list_snapshots(index_dir)]
+    if m is None or not m.get("expunged") or "pre_delete" not in tags:
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(index_dir + ".snapshots", ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        snapshot_index(spark, index_dir, "pre_delete")
+        s0 = IndexSearcher(spark, index_dir)
+        victims = s0.docmap().select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig")
+        ).filter(F.pmod(F.col("orig"), F.lit(_DELETE_MOD)) == _DELETE_REM)
+        delete_docs(spark, index_dir, victims.select("doc_id"))
+        expunge_deletes(spark, index_dir)
+    snap = [s for s in list_snapshots(index_dir) if s["tag"] == "pre_delete"]
+    s = IndexSearcher(spark, snap[0]["path"])
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 def _profile_df(spark, sf_dir):
     """Query profiler: per-leaf postings volume + per-operator doc counts
     for the mixed Boolean. ``blocks`` is an engine blocking artifact
@@ -3473,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_many_batch"] = _search_many_df
     out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_post_expunge"] = _expunged_df
+    out["snapshot_search"] = _snapshot_search_df
     out["bm25_post_bp"] = _bp_df
     out["quality_eval"] = _quality_df
     out["quality_eval_average"] = _quality_avg_df
@@ -4818,6 +4860,11 @@ FROM r ORDER BY doc_id
     # BP reordering is score-invariant (docIDs move, stats don't): the
     # oracle is the plain un-reordered top-k
     out["bm25_post_bp"] = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": "scan"})), _QUERY_K,
+    )
+    # snapshot read: the pinned pre-delete commit must score like the
+    # FULL corpus even after the live index was tombstoned + expunged
+    out["snapshot_search"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K,
     )
     # FVH phrase twin: matches = exact adjacency pairs (the 2-term walk

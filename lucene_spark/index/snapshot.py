@@ -1,0 +1,132 @@
+"""Index commit snapshots + rollback — the SnapshotDeletionPolicy analog.
+
+Reference semantics (public Apache Lucene source):
+  - ``core/index/SnapshotDeletionPolicy.java:41-60`` — ``snapshot()`` pins
+    a commit point so its files survive later merges/deletes;
+    ``release()`` lets them be collected again.
+  - ``core/index/PersistentSnapshotDeletionPolicy.java`` — snapshots
+    persisted on disk so they survive process restarts.
+  - ``core/index/DirectoryReader.java:241`` — ``open(IndexCommit)`` reads
+    a pinned point-in-time commit regardless of later index mutations.
+  - ``core/index/IndexWriter.java`` rollback — restore the last/previous
+    committed state.
+
+Spark-native realization: an index directory here is a self-contained,
+RELOCATABLE commit (relative-path manifest + parquet artifact dirs), so a
+snapshot is a HARD-LINKED copy of the tree under
+``<index_dir>.snapshots/<tag>/`` — O(#files) metadata, zero data copy,
+exactly the file-retention Lucene's deletion policy provides: later
+mutations (tombstone deletes, expungeDeletes, BP rewrites, NRT appends)
+swap directory *names*, but the snapshot's links keep the old inodes
+alive. ``IndexSearcher`` opens a snapshot path directly — that is
+``DirectoryReader.open(IndexCommit)``. ``rollback_index`` re-links a
+snapshot into a staging dir and atomically swaps it live (crash-safe via
+``atomic.swap_dir``, the two-phase-commit discipline every mutation here
+uses). On an object store (immutable blobs), the same operator maps to
+manifest-pointer copies instead of hard links — the layout is already
+manifest-last, so only ``_link_tree`` changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+SNAPSHOT_SUFFIX = ".snapshots"
+
+
+def _snap_root(index_dir: str) -> str:
+    return index_dir.rstrip("/") + SNAPSHOT_SUFFIX
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every file of ``src`` under ``dst`` (copy as fallback for
+    filesystems without link support); directory structure is recreated."""
+    for base, dirs, names in os.walk(src):
+        rel = os.path.relpath(base, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for n in names:
+            s = os.path.join(base, n)
+            d = os.path.join(out, n)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def snapshot_index(spark: SparkSession, index_dir: str, tag: str) -> str:
+    """Pin the index's current commit under ``tag``; returns the snapshot
+    path (a complete, directly-searchable index directory). Publication is
+    atomic (stage + rename); re-snapshotting an existing tag raises, like
+    the reference's one-commit-per-snapshot bookkeeping."""
+    if not tag or "/" in tag or tag.startswith("."):
+        raise ValueError(f"bad snapshot tag {tag!r}")
+    from lucene_spark.index.build import load_manifest
+
+    m = load_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no index manifest under {index_dir}")
+    root = _snap_root(index_dir)
+    final = os.path.join(root, tag)
+    if os.path.exists(final):
+        raise FileExistsError(f"snapshot {tag!r} already exists")
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".tmp-{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    _link_tree(index_dir, tmp)
+    os.rename(tmp, final)
+    return final
+
+
+def list_snapshots(index_dir: str) -> list[dict]:
+    """-> [{tag, path, generation, merged}] sorted by tag (the persisted
+    snapshot registry — PersistentSnapshotDeletionPolicy's getSnapshots)."""
+    root = _snap_root(index_dir)
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for tag in sorted(os.listdir(root)):
+        if tag.startswith("."):
+            continue
+        mp = os.path.join(root, tag, "manifest.json")
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as f:
+            m = json.load(f)
+        out.append({
+            "tag": tag,
+            "path": os.path.join(root, tag),
+            "generation": m.get("generation"),
+            "merged": m.get("merged"),
+        })
+    return out
+
+
+def release_snapshot(index_dir: str, tag: str) -> None:
+    """Drop the pin — the snapshot's links go away and any inodes no
+    longer referenced by the live index are reclaimed by the filesystem
+    (the reference's ``release()`` + deletion-policy file collection)."""
+    path = os.path.join(_snap_root(index_dir), tag)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no snapshot {tag!r} under {index_dir}")
+    shutil.rmtree(path)
+
+
+def rollback_index(spark: SparkSession, index_dir: str, tag: str) -> None:
+    """Atomically restore the live index to snapshot ``tag`` (the
+    IndexWriter.rollback / restore-commit flow). The snapshot itself is
+    left intact; the swap is crash-safe and replay-idempotent via the
+    shared two-phase rename (``atomic.swap_dir``)."""
+    from lucene_spark.index.atomic import swap_dir
+
+    snap = os.path.join(_snap_root(index_dir), tag)
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(f"no snapshot {tag!r} under {index_dir}")
+    tmp = index_dir.rstrip("/") + f".rollback-{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _link_tree(snap, tmp)
+    swap_dir(spark, tmp, index_dir)

@@ -1,0 +1,103 @@
+"""Commit snapshots + rollback (index/snapshot.py) — SnapshotDeletionPolicy
+/ DirectoryReader.open(IndexCommit) / IndexWriter.rollback analogs.
+
+The load-bearing property: a snapshot is a hard-linked commit, so LATER
+MUTATIONS THAT REWRITE AND SWAP INDEX ARTIFACTS (tombstone deletes +
+expungeDeletes here — the swap path every rewrite shares) must leave the
+snapshot's point-in-time results bit-identical, and rollback must restore
+them on the live path.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import IndexConfig, build_index
+from lucene_spark.index.deletes import delete_docs, expunge_deletes
+from lucene_spark.index.merge import merge_index
+from lucene_spark.index.snapshot import (
+    list_snapshots,
+    release_snapshot,
+    rollback_index,
+    snapshot_index,
+)
+from lucene_spark.query.ast import TermQuery
+from lucene_spark.query.search import IndexSearcher
+from lucene_spark.sources.transcripts import generate_pandas
+
+
+def _top(searcher, term, k=25):
+    return [(r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search(TermQuery(term), k).collect()]
+
+
+def test_snapshot_survives_expunge_and_rollback(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    pdf = generate_pandas(n_convs=40, seed=11)
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(num_segments=3, term_buckets=4))
+    merge_index(spark, idx)
+    s0 = IndexSearcher(spark, idx)
+    term = s0.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    before = _top(s0, term)
+
+    snap_path = snapshot_index(spark, idx, "v1")
+    assert list_snapshots(idx) == [{
+        "tag": "v1", "path": snap_path,
+        "generation": list_snapshots(idx)[0]["generation"], "merged": True,
+    }]
+    with pytest.raises(FileExistsError):
+        snapshot_index(spark, idx, "v1")
+
+    # mutate the live index: tombstones THEN expunge (expunge rewrites
+    # postings/docmap and swaps directories — the destructive path)
+    victims = [d for d, _ in before[:3]]
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(int(d),) for d in victims], "doc_id long"))
+    expunge_deletes(spark, idx)
+    live = IndexSearcher(spark, idx)
+    assert not {d for d, _ in _top(live, term)} & set(victims)
+
+    # the pinned commit still reads bit-identically (point-in-time open)
+    s_snap = IndexSearcher(spark, snap_path)
+    assert _top(s_snap, term) == before
+
+    # rollback: live index == the pinned commit again, snapshot intact
+    rollback_index(spark, idx, "v1")
+    s_back = IndexSearcher(spark, idx)
+    assert _top(s_back, term) == before
+    assert not s_back.has_deletes
+    assert os.path.isdir(snap_path)
+
+    # release drops the pin
+    release_snapshot(idx, "v1")
+    assert list_snapshots(idx) == []
+    with pytest.raises(FileNotFoundError):
+        release_snapshot(idx, "v1")
+    with pytest.raises(FileNotFoundError):
+        rollback_index(spark, idx, "v1")
+
+
+def test_snapshot_tag_validation_and_missing_index(spark, tmp_path):
+    idx = str(tmp_path / "noidx")
+    with pytest.raises(FileNotFoundError):
+        snapshot_index(spark, idx, "v1")
+    pdf = generate_pandas(n_convs=6, seed=3)
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(num_segments=1, term_buckets=2))
+    merge_index(spark, idx)
+    for bad in ("", "a/b", ".hidden"):
+        with pytest.raises(ValueError):
+            snapshot_index(spark, idx, bad)
+    # snapshots are real indexes: two tags, independent lifecycles
+    p1 = snapshot_index(spark, idx, "a")
+    p2 = snapshot_index(spark, idx, "b")
+    assert [s["tag"] for s in list_snapshots(idx)] == ["a", "b"]
+    release_snapshot(idx, "a")
+    assert [s["tag"] for s in list_snapshots(idx)] == ["b"]
+    assert IndexSearcher(spark, p2).doc_count == IndexSearcher(
+        spark, idx).doc_count
+    assert not os.path.exists(p1)
