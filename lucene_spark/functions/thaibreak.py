@@ -97,7 +97,9 @@ def _load_resources() -> dict[str, bytes]:
         raise ThaiSegmentationUnavailable(
             "This JRE does not have support for Thai segmentation "
             f"(no jimage/modules under {java_home!r})")
-    tmp = cache + ".tmp"
+    # per-pid staging: concurrent cold-cache workers (forked local[N]
+    # executors) must not rmtree each other's in-flight extract
+    tmp = f"{cache}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pat = "|".join(_RESOURCES)
@@ -117,8 +119,12 @@ def _load_resources() -> dict[str, bytes]:
                 f"(missing {mod}/{name})")
         with open(src, "rb") as f:
             out[name] = f.read()
-        with open(os.path.join(cache, name), "wb") as f:
+        # atomic publish: another worker's all-exists fast path must never
+        # observe a partially written cache file
+        part = os.path.join(cache, f".{name}.{os.getpid()}")
+        with open(part, "wb") as f:
             f.write(out[name])
+        os.replace(part, os.path.join(cache, name))
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 

@@ -58,13 +58,20 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def _check_tag(tag: str) -> None:
+    # every tag-derived path is inside the snapshot root; reject
+    # separators and dot-prefixes so a tag can never traverse out of it
+    # (release/rollback rmtree/swap on this path)
+    if not tag or "/" in tag or os.sep in tag or tag.startswith("."):
+        raise ValueError(f"bad snapshot tag {tag!r}")
+
+
 def snapshot_index(spark: SparkSession, index_dir: str, tag: str) -> str:
     """Pin the index's current commit under ``tag``; returns the snapshot
     path (a complete, directly-searchable index directory). Publication is
     atomic (stage + rename); re-snapshotting an existing tag raises, like
     the reference's one-commit-per-snapshot bookkeeping."""
-    if not tag or "/" in tag or tag.startswith("."):
-        raise ValueError(f"bad snapshot tag {tag!r}")
+    _check_tag(tag)
     from lucene_spark.index.build import load_manifest
 
     m = load_manifest(index_dir)
@@ -110,6 +117,7 @@ def release_snapshot(index_dir: str, tag: str) -> None:
     """Drop the pin — the snapshot's links go away and any inodes no
     longer referenced by the live index are reclaimed by the filesystem
     (the reference's ``release()`` + deletion-policy file collection)."""
+    _check_tag(tag)
     path = os.path.join(_snap_root(index_dir), tag)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no snapshot {tag!r} under {index_dir}")
@@ -123,6 +131,7 @@ def rollback_index(spark: SparkSession, index_dir: str, tag: str) -> None:
     shared two-phase rename (``atomic.swap_dir``)."""
     from lucene_spark.index.atomic import swap_dir
 
+    _check_tag(tag)
     snap = os.path.join(_snap_root(index_dir), tag)
     if not os.path.isdir(snap):
         raise FileNotFoundError(f"no snapshot {tag!r} under {index_dir}")

@@ -347,6 +347,10 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(tokens_col(text_col)).cast("long").alias("n"),
     ).filter(F.col("n") > 0)
+    # materialize (doc_id, n) once — three downstream jobs (min/max agg,
+    # bucket totals, the returned frame) must not re-scan and re-tokenize
+    # the full text column each
+    base = base.localCheckpoint(eager=True)
     hi_row = base.agg(F.max("doc_id").alias("m"), F.min("doc_id").alias("lo")
                       ).collect()[0]
     if hi_row["m"] is None:
@@ -368,8 +372,12 @@ def pack_sequences(
     pref_df = docs.sparkSession.createDataFrame(
         pref, "bucket long, boff long")
     # phase 2: within-bucket running sum + bucket prefix = exact global
-    # exclusive offset S for every doc
-    w = Window.partitionBy("bucket").orderBy("doc_id")
+    # exclusive offset S for every doc. ROWS frame, not the orderBy
+    # default RANGE: duplicate doc_ids must still get an exclusive
+    # running prefix (RANGE would give peers the same cumsum and emit
+    # overlapping slices), and the DuckDB twin is ROWS BETWEEN
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     s = (
         b.join(F.broadcast(pref_df), "bucket")
         .withColumn("S", F.col("boff") + F.sum("n").over(w) - F.col("n"))

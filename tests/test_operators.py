@@ -869,3 +869,29 @@ def test_pack_sequences(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == [
         "seq_id", "doc_id", "tok_start", "tok_end"]
+
+
+def test_pack_sequences_duplicate_ids(spark):
+    """Duplicate doc_ids must still produce an exclusive running prefix
+    (ROWS frame, not RANGE): the packed stream stays gap- and
+    overlap-free even though the order among peers is ambiguous."""
+    import pandas as pd
+
+    from lucene_spark.operators.textprep import pack_sequences
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(1, "a b c"), (1, "d e f g"), (2, "h i")],
+        columns=["doc_id", "text"]))
+    got = [(r.seq_id, r.doc_id, r.tok_start, r.tok_end)
+           for r in pack_sequences(docs, seq_len=4).collect()]
+    # total tokens = 9 -> seqs 0,1 full (4 each) + tail of 1
+    tot = {}
+    for sid, d, a, b in got:
+        assert b > a
+        tot[sid] = tot.get(sid, 0) + (b - a)
+    assert tot == {0: 4, 1: 4, 2: 1}
+    # each row's slice lengths per doc partition its token count
+    per_doc = {}
+    for sid, d, a, b in got:
+        per_doc.setdefault((d, a, b), 0)
+    assert sum(b - a for _, a, b in per_doc) == 9
