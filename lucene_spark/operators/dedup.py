@@ -263,6 +263,11 @@ def minhash_lsh_pairs(
     plan in tests/test_dedup.py).
     Returns DF(doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    if num_perm % bands != 0:
+        # a non-divisor would silently drop the trailing num_perm % bands
+        # permutations here while the SQL twin's i // r banding would use
+        # them in an extra band — refuse rather than diverge
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     r = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
     banded = sigs.select(
@@ -302,8 +307,13 @@ def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """DF(doc_id, simhash long): Charikar sign-fingerprint over unique-token
-    md5 hashes weighted by term frequency."""
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    md5 hashes weighted by term frequency. Token-less docs emit NO row —
+    a signature over zero features is meaningless, pairing all
+    punctuation-only docs as hamming-0 "near-dups" of each other would be
+    wrong, and the SQL twin (unnest of an empty list) drops them too."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    ).filter(F.size("t") > 0)
 
     def sh_batches(batches):
         for pdf in batches:
@@ -311,8 +321,6 @@ def simhash64(
             for doc_id, t in zip(pdf["doc_id"].to_numpy(), pdf["t"].to_numpy(object)):
                 t = np.asarray(t, dtype=object)
                 if t.size == 0:
-                    ids.append(doc_id)
-                    out.append(0)
                     continue
                 uniq, counts = np.unique(t, return_counts=True)
                 h1, _ = _md5_u64_pair(uniq)
@@ -486,6 +494,8 @@ def minhash_lsh_sql(num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
     """SQL twin of minhash_lsh_pairs: replays signatures (same double-hash
     modular arithmetic), banding (same md5 over comma-joined int64 values),
     candidate join, and exact-Jaccard verification."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     r = num_perm // bands
     return f"""
 WITH {_shingles_cte(table, id_col, text_col, shingle_n)},

@@ -117,13 +117,18 @@ def build_suggest_index(
 
     wcols = [F.col(text_col)] + (
         [F.col(weight_col)] if weight_col is not None else [])
-    # bit_xor: order-independent content fold, no ANSI int64 overflow
+    # two order-independent folds: bit_xor alone cancels rows with even
+    # multiplicity (['a','a']->0 == ['b','b']->0 would serve a stale
+    # dict), so a decimal SUM of the same hashes (multiplicity-sensitive,
+    # cannot overflow, still one aggregate job) is mixed in
     agg = df.select(
         F.count("*").alias("n"),
         F.bit_xor(F.xxhash64(*wcols)).alias("h"),
+        F.sum(F.xxhash64(*wcols).cast("decimal(38,0)")).alias("hs"),
     ).first()
     n_rows = int(agg["n"])
-    fp = int(agg["h"] or 0) & 0xFFFFFFFFFFFFFFFF
+    fp = ((int(agg["h"] or 0) ^ (int(agg["hs"] or 0) * 0x9E3779B97F4A7C15))
+          & 0xFFFFFFFFFFFFFFFF)
     gen = f"dict_{fp:016x}"
     prev = load_manifest_if(index_dir)
     if (prev is not None
@@ -524,6 +529,7 @@ def suggest_context_sql(
     w = weight_col if weight_col is not None else "1"
     if contexts:
         specs = sorted(contexts, key=lambda s: -len(s[0]))
+        specs = [(v.replace("'", "''"), b, exact) for v, b, exact in specs]
         match = " OR ".join(
             (f"context = '{v}'" if exact else f"starts_with(context, '{v}')")
             for v, _b, exact in specs)
@@ -568,7 +574,8 @@ def suggest_analyzing_stop_sql(
     lookup."""
     akey = " ".join(analyze_suggest_key(key, stop)).replace("'", "''")
     w = weight_col if weight_col is not None else "1"
-    stop_list = ", ".join(f"'{s}'" for s in sorted(stop))
+    stop_list = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in sorted(stop))
     return f"""
 WITH sdict AS (
   SELECT surface,
