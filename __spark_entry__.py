@@ -2501,7 +2501,10 @@ def _freetext_indexed_df(spark, sf_dir):
 _FREETEXT_SQL = """
 WITH rawt AS (
   SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS ord
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM (SELECT doc_id,
+               regexp_extract_all(
+                 replace(replace(lower(text), 'i̇', 'i'), 'ς', 'σ'),
+                 '[a-z0-9]+') AS toks
         FROM documents)
 ),
 uni AS (SELECT term AS gram, count(*) AS cnt FROM rawt GROUP BY term),

@@ -39,7 +39,6 @@ fingerprint check), task retries are idempotent (overwrite + manifest
 last)."""
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -52,10 +51,17 @@ _MAX_LONG_D = float(2 ** 63)  # (double) Long.MAX_VALUE rounds up to 2^63
 def gram_counts(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """(unigram_counts, bigram_counts) — columns (gram, cnt)."""
+    # Spark lower() (Java full mappings) vs DuckDB lower() (utf8proc)
+    # diverge in exactly two classes (İ -> i+U+0307 vs i, Final_Sigma):
+    # fold both AFTER lower on BOTH sides (the langid.py discipline) so
+    # the twin tokenizes 'İstanbul' identically
+    lowered = F.replace(
+        F.replace(F.lower(F.col(text_col)), F.lit("i̇"), F.lit("i")),
+        F.lit("ς"), F.lit("σ"))
     toks = docs.select(
         F.col(id_col).alias("did"),
         F.posexplode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            F.regexp_extract_all(lowered, F.lit("[a-z0-9]+"), 0)
         ).alias("ord", "term"),
     )
     uni = toks.groupBy(F.col("term").alias("gram")).agg(
@@ -159,7 +165,7 @@ def build_freetext_model(spark: SparkSession, docs: DataFrame,
                          gram_files: int = 8) -> dict:
     """Persist the 2-gram LM once (the reference FST build analog):
 
-      model_dir/uni/, model_dir/big/  — (gram, cnt) parquet,
+      model_dir/lm_<fp>/uni/, .../big/ — (gram, cnt) parquet,
         repartitionByRange(gram) + sortWithinPartitions so every lookup's
         gram prefix/equality filter prunes to ~1 file via row-group stats
         (repartitionByRange, not repartition: hash placement would spread
@@ -168,30 +174,35 @@ def build_freetext_model(spark: SparkSession, docs: DataFrame,
         (no per-lookup corpus scan), and the input fingerprint (doc count)
         so same-params rebuilds over CHANGED data rebuild.
 
-    Written atomically LAST — a matching manifest short-circuits."""
-    mpath = os.path.join(model_dir, "manifest.json")
+    Written atomically LAST into a fingerprint-named GENERATION directory
+    (the index/artifact.py contract) — a crashed rebuild over changed data
+    leaves the committed generation fully readable, and a matching
+    manifest short-circuits."""
+    from lucene_spark.index.artifact import (
+        load_manifest_if, prune_generations, write_manifest_atomic,
+    )
+
     n_docs = docs.count()
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            m = json.load(fh)
-        if m.get("n_docs") == n_docs and m.get("grams") == 2:
-            return m
+    prev = load_manifest_if(model_dir)
+    if (prev is not None and prev.get("n_docs") == n_docs
+            and prev.get("grams") == 2
+            and os.path.isdir(os.path.join(model_dir,
+                                           prev.get("data", "")))):
+        return prev
     os.makedirs(model_dir, exist_ok=True)
+    gen = f"lm_{n_docs}"
     uni, big = gram_counts(docs, id_col, text_col)
     tot = int(uni.agg(F.sum("cnt")).collect()[0][0] or 0)
     for name, df in (("uni", uni), ("big", big)):
         (df.repartitionByRange(gram_files, "gram")
          .sortWithinPartitions("gram")
          .write.mode("overwrite")
-         .parquet(os.path.join(model_dir, name)))
-    manifest = {"grams": 2, "separator": " ", "tot_tokens": tot,
-                "n_docs": n_docs}
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mpath)
+         .parquet(os.path.join(model_dir, gen, name)))
+    manifest = write_manifest_atomic(model_dir, {
+        "format": "freetext_v1", "data": gen, "grams": 2, "separator": " ",
+        "tot_tokens": tot, "n_docs": n_docs,
+    })
+    prune_generations(model_dir, keep=gen, prefix="lm_")
     return manifest
 
 
@@ -199,9 +210,11 @@ def freetext_suggest_indexed(spark: SparkSession, model_dir: str, key: str,
                              num: int = 10) -> DataFrame:
     """Lookup against a persisted model — no corpus access; totTokens from
     the manifest, gram filters pushed down to the range-sorted parquet."""
-    with open(os.path.join(model_dir, "manifest.json")) as fh:
-        m = json.load(fh)
-    uni = spark.read.parquet(os.path.join(model_dir, "uni"))
-    big = spark.read.parquet(os.path.join(model_dir, "big"))
+    from lucene_spark.index.artifact import data_path, read_manifest
+
+    m = read_manifest(model_dir, ("freetext_v1",))
+    base = data_path(model_dir, m, "lm_0")
+    uni = spark.read.parquet(os.path.join(base, "uni"))
+    big = spark.read.parquet(os.path.join(base, "big"))
     rows = _lookup_rows(uni, big, lambda: m["tot_tokens"], key, num)
     return _final_df(spark, rows, num)

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import hashlib
 import heapq
-import json
 import math
 import os
 
@@ -425,6 +424,7 @@ def hnsw_ann_topk_indexed(
     filter=None,
     embeddings: DataFrame | None = None,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k over the persisted per-partition graphs:
     DF(vec_id, cosine double) ordered (cosine desc, vec_id asc). Each
@@ -482,7 +482,7 @@ def hnsw_ann_topk_indexed(
                 cand = embeddings.join(
                     surv_j.withColumnRenamed("vec_id", id_col)
                     if id_col != "vec_id" else surv_j, id_col)
-                return cosine_topk(cand, query_vec, k, id_col)
+                return cosine_topk(cand, query_vec, k, id_col, vec_col)
             cand = graph.join(surv_j, "vec_id").select("vec_id", "embedding")
             return cosine_topk(cand, query_vec, k)
         graph = graph.join(
@@ -516,5 +516,5 @@ def hnsw_ann_topk_indexed(
         cand = base.join(
             F.broadcast(cand_ids.withColumnRenamed("vec_id", id_col)
                         if id_col != "vec_id" else cand_ids), id_col)
-        return cosine_topk(cand, query_vec, k, id_col)
+        return cosine_topk(cand, query_vec, k, id_col, vec_col)
     return per_part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -43,7 +43,6 @@ broadcast semi join. No stage materializes more than C driver-side rows.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np

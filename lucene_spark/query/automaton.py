@@ -160,11 +160,32 @@ def star(a):
     return ("star", a)
 
 
+def _ast_size(a, cap: int) -> int:
+    """Node count of an AST, short-circuiting once past ``cap`` (keeps the
+    guard itself O(cap) even against adversarial nesting)."""
+    total = 1
+    stack = [a]
+    while stack and total <= cap:
+        node = stack.pop()
+        kind = node[0]
+        if kind in ("concat", "union"):
+            stack.extend(node[1])
+            total += len(node[1])
+        elif kind in ("star", "plus", "opt"):
+            stack.append(node[1])
+            total += 1
+    return total
+
+
 def _repeat(a, n, m):
     """a{n,m} desugared; m == -1 means unbounded. Bounded by _MAX_DESUGAR
-    copies (the reference's determinize-work-limit analog)."""
+    TOTAL desugared nodes (copies × node-size of the operand — a per-copy
+    bound alone would let chained repetitions like a{200}{200}{200} grow
+    exponentially past the guard); the reference's determinize-work-limit
+    analog."""
     copies = n + (0 if m == -1 else (m - n))
-    if copies > _MAX_DESUGAR:
+    if copies > _MAX_DESUGAR or (
+            copies * _ast_size(a, _MAX_DESUGAR) > _MAX_DESUGAR):
         raise UnsupportedRegexpError(
             f"repetition {{{n},{m}}} exceeds the automaton size bound "
             f"({_MAX_DESUGAR}) — the reference's determinizeWorkLimit throws "
