@@ -173,8 +173,12 @@ def detect_language(
     docstring). ``score`` is the winning integer profile score (0 for the
     script-unique tier, where the script itself is the evidence); ties
     break (score desc, lang desc — the fixed struct-sort order mirrored by
-    the SQL twin); documents with no letters are 'und'."""
-    t = F.col(text_col)
+    the SQL twin); documents with no letters are 'und'. NULL text counts
+    as empty (without the coalesce, every script count is NULL, the
+    ``n == 0`` und-guard evaluates NULL and falls through, and the struct
+    sort would pick an arbitrary script under engine-specific NULL
+    ordering)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
         name: F.length(F.regexp_replace(
             t, f"[^{_java_class(ranges)}]", "")).cast("long")
@@ -263,6 +267,7 @@ def detect_language_sql(
 ) -> str:
     """DuckDB twin of ``detect_language`` — same integer scoring, same
     struct-sort tie-breaks, RE2 character classes for the script counts."""
+    text_col = f"coalesce({text_col}, '')"  # NULL text == empty, both sides
     counts = ", ".join(
         f"length(regexp_replace({text_col}, '[^{_re2_class(ranges)}]', '', "
         f"'g')) AS c_{name}"

@@ -161,3 +161,16 @@ def test_langid_lower_divergence_classes(spark):
           for r in con.execute(detect_language_sql()).fetchall()}
     assert got == dk
     assert got[0][0] == "tr" and got[1][0] == "el"
+
+
+def test_null_and_empty_text_is_und(spark):
+    import pandas as pd
+
+    from lucene_spark.operators.langid import detect_language
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [None, "", "12 - 34 !!"]}))
+    rows = {r["doc_id"]: (r["lang"], r["script"], r["score"])
+            for r in detect_language(docs).collect()}
+    assert rows == {1: ("und", "none", 0), 2: ("und", "none", 0),
+                    3: ("und", "none", 0)}
