@@ -125,7 +125,12 @@ def naive_bayes_classify(
     return (
         allsc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "label", F.col("score").cast("double"))
+        # round(6) on BOTH sides: the score is a float64 sum of arbitrary
+        # doubles (not f32-valued terms), so bitwise equality across
+        # engine summation orders is not guaranteed — the quality_scores
+        # discipline
+        .select("doc_id", "label",
+                F.round(F.col("score").cast("double"), 6).alias("score"))
     )
 
 
@@ -187,7 +192,7 @@ ranked AS (
                             ORDER BY score DESC, label ASC) AS rn
   FROM allsc
 )
-SELECT doc_id, label, CAST(score AS DOUBLE) AS score
+SELECT doc_id, label, round(CAST(score AS DOUBLE), 6) AS score
 FROM ranked WHERE rn = 1 ORDER BY doc_id
 """.strip()
 
@@ -330,6 +335,11 @@ def dataset_split(
     by class — no single-partition sort of the data at any size."""
     from pyspark.sql.window import Window
 
+    # the reference walks per-class TermQuery hits, so unlabeled (NULL
+    # class) docs never enter any group; drop them BEFORE sizing — the
+    # later equi-join drops their rows anyway, and counting them in the
+    # global offsets would shift every following group's alternation
+    df = df.filter(F.col(class_col).isNotNull())
     sizes = df.groupBy(class_col).agg(
         F.min(order_col).alias("_gmin"),
         F.count(F.lit(1)).alias("_gsize"),

@@ -173,7 +173,16 @@ def detect_language(
     docstring). ``score`` is the winning integer profile score (0 for the
     script-unique tier, where the script itself is the evidence); ties
     break (score desc, lang desc — the fixed struct-sort order mirrored by
-    the SQL twin); documents with no letters are 'und'. NULL text counts
+    the SQL twin); documents with no letters are 'und'.
+
+    Plan note: the single projection carries ~600 regexp/length
+    sub-expressions (10 script counts + every profile n-gram), which
+    exceeds janino's 64 KB per-method limit — Spark logs one
+    CodeGenerator ERROR and disables WHOLE-STAGE fusion for this plan,
+    falling back to per-expression codegen (still JVM-side, still
+    columnar-batched; no Python involved). Expected and benign.
+
+    NULL text counts
     as empty (without the coalesce, every script count is NULL, the
     ``n == 0`` und-guard evaluates NULL and falls through, and the struct
     sort would pick an arbitrary script under engine-specific NULL

@@ -19,7 +19,7 @@ from lucene_spark.operators.dedup import (
     _shingles_cte,
     _JACCARD_TAIL,
 )
-from lucene_spark.operators.textstats import quality_scores, language_id, LANG_PROFILES
+from lucene_spark.operators.textstats import quality_scores, language_id
 
 
 def clean_corpus(
@@ -73,9 +73,6 @@ def clean_corpus_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin of clean_corpus (no language filter variant)."""
-    from lucene_spark.operators.textstats import EN_STOPWORDS
-
-    stop = ",".join(f"'{w}'" for w in EN_STOPWORDS)
     return f"""
 WITH {_shingles_cte(table, id_col, text_col, jaccard_n)},
 {_JACCARD_TAIL},
