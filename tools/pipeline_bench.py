@@ -1,0 +1,59 @@
+"""Training-pipeline operator throughput at a chosen SF (default sf0.1).
+
+Complements bench.py (BM25 hot path): wall-times the §2.11 pipeline
+operators over the documents corpus — dedup family, packing, language id,
+quality/stats — each as one action on a fresh plan (no reuse between
+measurements beyond the shared session and the parquet page cache).
+
+Prints one JSON line: {"sf": ..., "n_docs": N, "ops": {name: sec}}.
+Run on an idle box (same drift protocol as bench.py / BENCH.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lucene_spark.session import get_spark
+
+    spark = get_spark()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    from lucene_spark.operators import dedup, langid, textprep, textstats
+
+    ops = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        n = fn()
+        ops[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {ops[name]}s ({n} rows)", file=sys.stderr)
+
+    run("exact_dedup", lambda: dedup.exact_duplicates(docs).count())
+    run("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
+    run("simhash", lambda: dedup.simhash_pairs(docs).count())
+    run("ngram_jaccard",
+        lambda: dedup.ngram_jaccard_pairs(docs).count())
+    run("token_count", lambda: textstats.token_count(docs).count())
+    run("quality_scores", lambda: textstats.quality_scores(docs).count())
+    run("language_id", lambda: langid.detect_language(docs).count())
+    run("pack_sequences",
+        lambda: textprep.pack_sequences(docs, 2048).count())
+    run("chunk_documents",
+        lambda: textprep.chunk_documents(docs).count())
+    run("stratified_sample",
+        lambda: textprep.stratified_sample(docs, "lang", 0.25).count())
+
+    print(json.dumps({"sf": sf_dir, "n_docs": n_docs, "ops": ops}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
