@@ -1786,6 +1786,41 @@ def _snapshot_search_df(spark, sf_dir):
     )
 
 
+_SPLIT_AST = {"bool": {"must": [{"term": "merge"}],
+                       "should": [{"term": "window"}]}}
+
+
+def _split_search_df(spark, sf_dir):
+    """MultiPassIndexSplitter analog end-to-end (index/splitter.py): the
+    flat corpus index is hard-link-split into 2 sequential-range parts
+    (complement tombstones + expunge per part — the reference's one
+    rewrite pass per part), then recomposed with MultiIndexSearcher
+    (composite stats), which must equal the FLAT single-index oracle
+    bit-exactly."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.index.splitter import split_index
+    from lucene_spark.query.ast import parse_query
+    from lucene_spark.query.multi import MultiIndexSearcher
+
+    base = _index_dir_for(sf_dir) + "_splitsrc"
+    parts = [base + f"_part{i}" for i in range(2)]
+    manifests = [load_manifest(p) for p in parts]
+    if not all(m is not None and m.get("expunged") for m in manifests):
+        import shutil
+        for p in parts + [base]:
+            shutil.rmtree(p, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, base, cfg)
+        merge_index(spark, base)
+        split_index(spark, base, parts, mode="seq")
+    s = MultiIndexSearcher(spark, parts)
+    return _hits_to_orig(
+        s, s.search(parse_query(json.dumps(_SPLIT_AST)), _QUERY_K))
+
+
 def _profile_df(spark, sf_dir):
     """Query profiler: per-leaf postings volume + per-operator doc counts
     for the mixed Boolean. ``blocks`` is an engine blocking artifact
@@ -3518,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_post_expunge"] = _expunged_df
     out["snapshot_search"] = _snapshot_search_df
+    out["split_index_search"] = _split_search_df
     out["bm25_post_bp"] = _bp_df
     out["quality_eval"] = _quality_df
     out["quality_eval_average"] = _quality_avg_df
@@ -4869,6 +4905,10 @@ FROM r ORDER BY doc_id
     # FULL corpus even after the live index was tombstoned + expunged
     out["snapshot_search"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K,
+    )
+    # split + recompose: composite stats over the parts == the flat index
+    out["split_index_search"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_SPLIT_AST)), _QUERY_K,
     )
     # FVH phrase twin: matches = exact adjacency pairs (the 2-term walk
     # emits precisely those) merged into one span; weighted frag boost

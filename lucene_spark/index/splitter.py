@@ -1,0 +1,84 @@
+"""Index splitting — the MultiPassIndexSplitter analog.
+
+Reference semantics (public Apache Lucene source):
+  - ``misc/index/MultiPassIndexSplitter.java:33-60`` — splits an index
+    into N parts by marking every out-of-part document DELETED and writing
+    each part in its own pass ("multi-pass": one sweep per part); parts
+    are complete, independent indexes. Round-robin (``doc % n``) or
+    sequential-range assignment (``-seq``).
+  - ``misc/index/IndexSplitter.java`` — the segment-granularity variant of
+    the same idea.
+
+Spark-native realization, composed from machinery that already carries
+its own correctness evidence:
+
+  1. each part starts as a HARD-LINKED copy of the source commit
+     (``snapshot._link_tree`` — zero data copy, the source stays live);
+  2. the complement of the part's documents is tombstoned
+     (``deletes.delete_docs``) and EXPUNGED (``deletes.expunge_deletes``)
+     — the executor-side rewrite densely remaps docIDs and recomputes
+     per-part stats, exactly "a fresh build over the surviving corpus"
+     (its pinned equivalence);
+  3. the result is N self-contained indexes. Searching them as one again
+     is ``MultiIndexSearcher`` (composite stats), whose contract makes
+     the split/recompose round trip SCORE-IDENTICAL to the flat source —
+     asserted in tests/test_splitter.py.
+
+Cost shape matches the reference exactly: one full rewrite pass per part
+(N × expunge) — the "multi-pass" in the name — with each pass running as
+the executor-side streaming rewrite (no driver materialization).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def split_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dirs: list[str],
+    mode: str = "round_robin",
+) -> list[dict]:
+    """Split ``index_dir`` into ``len(out_dirs)`` independent indexes.
+
+    ``mode``: ``round_robin`` assigns doc i to part ``i % n`` (the
+    reference default); ``seq`` gives contiguous docID ranges (the
+    ``-seq`` flag). Returns the per-part manifests. Each ``out_dir`` must
+    not already exist (parts are commits, not in-place mutations)."""
+    from lucene_spark.index.build import load_manifest
+    from lucene_spark.index.deletes import delete_docs, expunge_deletes
+    from lucene_spark.index.snapshot import _link_tree
+    from lucene_spark.query.search import IndexSearcher
+
+    n = len(out_dirs)
+    if n < 1:
+        raise ValueError("need at least one output dir")
+    if mode not in ("round_robin", "seq"):
+        raise ValueError(f"unknown split mode {mode!r}")
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged"):
+        raise ValueError(f"{index_dir}: index not built+merged")
+    for out in out_dirs:
+        if os.path.exists(out):
+            raise FileExistsError(f"split target {out} already exists")
+
+    s = IndexSearcher(spark, index_dir)
+    doc_count = s.doc_count
+    per = -(-doc_count // n)  # ceil: seq ranges
+    results = []
+    for p, out in enumerate(out_dirs):
+        _link_tree(index_dir, out)
+        dm = IndexSearcher(spark, out).docmap().select("doc_id")
+        if mode == "round_robin":
+            keep = F.pmod(F.col("doc_id"), F.lit(n)) == p
+        else:
+            keep = (F.col("doc_id") >= p * per) & (
+                F.col("doc_id") < (p + 1) * per)
+        victims = dm.filter(~keep)
+        delete_docs(spark, out, victims)
+        results.append(expunge_deletes(spark, out))
+    return results

@@ -1,0 +1,113 @@
+"""MultiPassIndexSplitter analog (index/splitter.py).
+
+Load-bearing assertion: split parts recomposed through MultiIndexSearcher
+score BIT-IDENTICALLY to the flat source index (composite stats = summed
+part stats = the original totals; per-doc facts are part-local) — the
+reference's split-then-MultiReader round trip.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import IndexConfig, build_index
+from lucene_spark.index.check import check_index
+from lucene_spark.index.merge import merge_index
+from lucene_spark.index.splitter import split_index
+from lucene_spark.query.ast import BooleanQuery, PhraseQuery, TermQuery
+from lucene_spark.query.multi import MultiIndexSearcher
+from lucene_spark.query.search import IndexSearcher
+from lucene_spark.sources.transcripts import generate_pandas
+
+
+def _orig_top(searcher, q, k=20):
+    hits = searcher.search(q, k)
+    dm = searcher.docmap().select(
+        "doc_id", "conv_id", "turn_idx")
+    return [((r["conv_id"], r["turn_idx"]), np.float32(r["score"]))
+            for r in hits.join(dm, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+
+
+@pytest.fixture(scope="module")
+def split_setup(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("split")
+    idx = str(work / "flat")
+    pdf = generate_pandas(n_convs=30, seed=21)
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(num_segments=3, term_buckets=4))
+    merge_index(spark, idx)
+    parts = [str(work / f"part{i}") for i in range(3)]
+    split_index(spark, idx, parts, mode="round_robin")
+    return idx, parts
+
+
+def test_parts_are_complete_indexes(spark, split_setup):
+    idx, parts = split_setup
+    flat = IndexSearcher(spark, idx)
+    sizes = []
+    for p in parts:
+        s = IndexSearcher(spark, p)
+        check_index(spark, p)
+        sizes.append(s.doc_count)
+    assert sum(sizes) == flat.doc_count
+    # round robin: parts within 1 of each other
+    assert max(sizes) - min(sizes) <= 1
+    # disjoint coverage of the original (conv, turn) keys
+    keys = set()
+    for p in parts:
+        got = {(r["conv_id"], r["turn_idx"]) for r in
+               IndexSearcher(spark, p).docmap()
+               .select("conv_id", "turn_idx").collect()}
+        assert not (keys & got)
+        keys |= got
+    assert len(keys) == flat.doc_count
+
+
+def test_recomposed_scores_bit_identical(spark, split_setup):
+    idx, parts = split_setup
+    flat = IndexSearcher(spark, idx)
+    term = flat.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    multi = MultiIndexSearcher(spark, parts)
+    queries = [
+        TermQuery(term),
+        BooleanQuery(must=[TermQuery(term)], should=[TermQuery("scan")]),
+    ]
+    # multi re-bases docIDs by cumulative part sizes; map back to the
+    # original (conv, turn) keys through each part's docmap
+    sizes = [IndexSearcher(spark, p).doc_count for p in parts]
+    bases = [sum(sizes[:i]) for i in range(len(parts))]
+    maps = [
+        {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+         for r in IndexSearcher(spark, p).docmap()
+         .select("doc_id", "conv_id", "turn_idx").collect()}
+        for p in parts
+    ]
+
+    def unbase(doc_id):
+        for p in range(len(parts) - 1, -1, -1):
+            if doc_id >= bases[p]:
+                return maps[p][doc_id - bases[p]]
+        raise AssertionError(doc_id)
+
+    for q in queries:
+        want = _orig_top(flat, q)
+        got = [(unbase(r["doc_id"]), np.float32(r["score"]))
+               for r in multi.search(q, 20).collect()]
+        # exact per-document float32 score identity (not just the sets)
+        assert dict(got) == dict(want)
+
+
+def test_seq_mode_and_guards(spark, split_setup, tmp_path):
+    idx, parts = split_setup
+    out = [str(tmp_path / "s0"), str(tmp_path / "s1")]
+    split_index(spark, idx, out, mode="seq")
+    s0 = IndexSearcher(spark, out[0])
+    s1 = IndexSearcher(spark, out[1])
+    flat = IndexSearcher(spark, idx)
+    assert s0.doc_count + s1.doc_count == flat.doc_count
+    with pytest.raises(FileExistsError):
+        split_index(spark, idx, out)
+    with pytest.raises(ValueError):
+        split_index(spark, idx, [str(tmp_path / "x")], mode="nope")
