@@ -410,8 +410,7 @@ class IndexSearcher:
         """Pagination floor (IndexSearcher.java:576-588): hits strictly after
         (after_score, after_doc) in (score desc, doc asc) order."""
         a_score, a_doc = np.float32(after[0]), int(after[1])
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
         cond = (F.col("score") < float(a_score)) | (
@@ -433,8 +432,7 @@ class IndexSearcher:
         """Hit counts grouped by a metadata field — the facet-module analog
         (``lucene/facet`` taxonomy counts ≅ groupBy().count() over matches).
         DF(value string, count long) ordered count desc, value asc."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "value string, count long")
         dm = self.docmap().select("doc_id", F.col(field).cast("string").alias("value"))
@@ -458,8 +456,7 @@ class IndexSearcher:
         so level predicates push down to the metadata scan."""
         if len(drilldown) >= len(levels):
             raise ValueError("drilldown deeper than the taxonomy")
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "value string, count long")
         cols = [
@@ -504,8 +501,7 @@ class IndexSearcher:
         if agg not in ("sum", "max"):
             raise ValueError(f"unknown aggregation {agg!r}")
         vt = "double" if float_values else "long"
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         out_vt = "float" if float_values else "long"
         if scored is None:
             return self.spark.createDataFrame(
@@ -540,8 +536,7 @@ class IndexSearcher:
         each is counted independently, as in the reference). ``ranges`` is
         [(label, lo, hi)] with half-open [lo, hi) bounds over a numeric
         docmap field. DF(label string, count long) in input order."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame(
                 [(lbl, 0) for lbl, _, _ in ranges], "label string, count long"
@@ -589,8 +584,7 @@ class IndexSearcher:
         if max_buckets < 1:
             raise ValueError(
                 f"maxBuckets must be at least 1, got: {max_buckets}")
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "bucket long, count long")
         w = int(bucket_width)
@@ -626,8 +620,7 @@ class IndexSearcher:
         query's scores exactly). ``dims`` is [(name, column-or-expr,
         [drill values])]; values compare as strings. DF(doc_id, score)
         top-k (score desc, doc asc)."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self._empty_hits()
         j = scored.join(self._dim_frame(dims), "doc_id")
@@ -660,8 +653,7 @@ class IndexSearcher:
         dimension values are not counted (no facet ordinal).
         DF(dim string, value string, count long), ordered
         (dim asc, count desc, value asc)."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         empty = self.spark.createDataFrame(
             [], "dim string, value string, count long")
         if scored is None:
@@ -698,8 +690,7 @@ class IndexSearcher:
         .java``): hit counts per distinct long value of a numeric docmap
         field/expression (getAllChildren surface). NULLs skipped.
         DF(value long, count long) ordered value asc."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "value long, count long")
         col = (F.col(field) if isinstance(field, str) else field)
@@ -717,8 +708,7 @@ class IndexSearcher:
         .java``): the distinct group values among matching docs (the
         collector's getGroups set; NULL = the null group, skipped here
         as the engine's groupBy facets do). DF(value string) asc."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "value string")
         col = (F.col(field) if isinstance(field, str) else field)
@@ -738,8 +728,7 @@ class IndexSearcher:
         distinct ``value_field`` values per selected group. Emitted as
         (rank, value group, ndv distinct-count), ordered by head rank —
         one extra groupBy over the same joined hit set."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         empty = self.spark.createDataFrame(
             [], "rank int, value string, ndv long")
         if scored is None:
@@ -789,8 +778,7 @@ class IndexSearcher:
         (range_lo, rank)."""
         from pyspark.sql.window import Window
 
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame(
                 [], "range_lo long, range_hi long, doc_id long, "
@@ -833,8 +821,7 @@ class IndexSearcher:
         ``prefix`` keeps only facet values starting with it (the
         facetPrefix argument). NULL facet values skipped (missing
         ordinal). DF(value string, count long), count desc / value asc."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "value string, count long")
         gcol = (F.col(group_field) if isinstance(group_field, str)
@@ -861,8 +848,7 @@ class IndexSearcher:
         .java:28-60`` — min/maxInclusive flags; overlapping ranges each
         counted independently). ``ranges`` = [(label, min, min_incl,
         max, max_incl)]. DF(label string, count long) in input order."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame(
                 [(lbl, 0) for lbl, *_ in ranges], "label string, count long")
@@ -899,8 +885,7 @@ class IndexSearcher:
         if query_type not in ("intersects", "within", "contains",
                               "crosses"):
             raise ValueError(f"unknown query type {query_type!r}")
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame(
                 [(lbl, 0) for lbl, _, _ in ranges], "label string, count long")
@@ -945,8 +930,7 @@ class IndexSearcher:
         [(label, "range", [(lo, hi)] per dim, inclusive)] —
         Exact/RangeFacetSetMatcher. DF(label string, count long) in
         matcher order."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame(
                 [(m[0], 0) for m in matchers], "label string, count long")
@@ -1009,8 +993,7 @@ class IndexSearcher:
             [], "count long, weight long, min long, max long, avg double")
         if top_n <= 0:
             return empty
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return empty
         col = (F.col(field) if isinstance(field, str) else field)
@@ -1390,8 +1373,7 @@ class IndexSearcher:
         ...), evaluated in DOUBLE; final score = float32(factor * boost),
         with missing/negative/NaN factors scoring 0 exactly as the
         reference. ``boostByValue(q, field)`` ≡ value="score * <field>"."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
         j = scored.join(self.docmap().drop("norm_byte"), "doc_id")
@@ -1418,8 +1400,7 @@ class IndexSearcher:
         .java:101-106``): matches of ``boost_match`` have their score
         multiplied by ``boost_value`` (double multiply, one float32 cast);
         other docs keep their score unchanged."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
         bq = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(boost_match)))
@@ -1533,7 +1514,16 @@ class IndexSearcher:
         docmap columns evaluated in DOUBLE and exposed to ``predicate`` as
         ``v``; a NULL value means advanceExact()==false — no match. The
         reference is an index linear scan; here it is one pushed-down
-        docmap scan (no postings read)."""
+        docmap scan (no postings read).
+
+        NaN values REACH the predicate exactly as the reference feeds NaN
+        to the Java DoublePredicate (so ``isnan(v)`` predicates work) —
+        but comparison OPERATORS inside the predicate follow Spark SQL
+        semantics, where NaN orders above every double (``v >= 0`` is
+        TRUE for NaN; Java's ``>=`` is false). For Java comparison parity
+        write ``NOT isnan(v) AND <cmp>`` — the documented divergence;
+        ``function_range``, whose comparisons are built-in, excludes NaN
+        itself."""
         dm = self.docmap().select(
             "doc_id", F.expr(value).cast("double").alias("v"))
         out = self._live(
@@ -1586,8 +1576,7 @@ class IndexSearcher:
         score, rank), ordered (value, rank)."""
         from pyspark.sql.window import Window
 
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame(
                 [], "value string, doc_id long, score float, rank int")
@@ -2082,8 +2071,7 @@ class IndexSearcher:
         (total/avg); max is exact."""
         if score_mode not in ("max", "total", "avg"):
             raise ValueError(f"unknown score_mode {score_mode!r}")
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "conv_id string, score float")
         dm = self.docmap().select("doc_id", "conv_id")
@@ -2187,17 +2175,31 @@ class IndexSearcher:
             agg = vals.groupBy(from_field).agg(
                 (F.sum(F.col("score").cast("double")) / F.count("*"))
                 .cast("float").alias("score"))
-        # persist before the size probe: the count and the final join would
-        # otherwise each run the whole from-query pipeline (the aggregate is
-        # tiny — distinct join values)
-        agg = agg.withColumnRenamed(from_field, "_join_key").persist()
+        if "score" in to_df.columns:
+            # the output contract is (*to_df columns, score) — an existing
+            # score column would make the join ambiguous; fail clearly
+            raise ValueError(
+                "to_df already has a 'score' column — rename it before "
+                "search_joined")
+        # materialize before the size probe: the count and the final join
+        # would otherwise each run the whole from-query pipeline (the
+        # aggregate is tiny — distinct join values). localCheckpoint, not
+        # persist: lineage is cut, blocks are reclaimed by the
+        # ContextCleaner when the frame is released — repeated calls don't
+        # accumulate pinned storage
+        agg = (agg.withColumnRenamed(from_field, "_join_key")
+               .withColumnRenamed("score", "_join_score")
+               .localCheckpoint(eager=True))
         n_keys = agg.count()
         if n_keys == 0:
             return self.spark.createDataFrame([], empty_schema)
         if n_keys <= 2_000_000:
             agg = F.broadcast(agg)
-        joined = to_df.join(
-            agg, to_df[to_field] == agg["_join_key"]).drop("_join_key")
+        joined = (
+            to_df.join(agg, to_df[to_field] == agg["_join_key"])
+            .drop("_join_key")
+            .withColumnRenamed("_join_score", "score")
+        )
         order = [F.desc("score")]
         if to_id_col is not None:
             order.append(F.asc(to_id_col))
@@ -2647,8 +2649,7 @@ class IndexSearcher:
         top-k — both shuffles are on the matched docs only."""
         from pyspark.sql import Window
 
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
         keyed = scored.join(
@@ -2867,8 +2868,7 @@ class IndexSearcher:
         derived from EXACT integer sums (deterministic across engines,
         double-rounding-equal to Welford), population variance as the
         reference (:127-129 variance/count)."""
-        q = rewrite_fixpoint(self._expand_multi_term(rewrite_fixpoint(query)))
-        scored = self._live(self._execute(q, np.float32(1.0)))
+        scored = self._scored_all(query)
         if scored is None:
             empty = self.spark.range(1).select(
                 F.lit(0).alias("count"), F.lit(0).alias("missing"))
