@@ -52,11 +52,18 @@ def cosine_topk(
     qn = float(np.sqrt((q * q).sum()))
     qcol = F.array(*[F.lit(float(x)) for x in q])
     v = F.col(vec_col).cast("array<double>")
+    nrm = _norm(v)
     return (
         embeddings.select(
             F.col(id_col).alias("vec_id"),
-            (_dot(v, qcol) / (_norm(v) * F.lit(qn))).alias("cosine"),
+            (_dot(v, qcol) / (nrm * F.lit(qn))).alias("cosine"),
+            nrm.alias("_n"),
         )
+        # zero-magnitude vectors have no direction: 0/0 is NULL in Spark
+        # (sorts last) but NaN in DuckDB (sorts FIRST) — exclude them
+        # explicitly on both sides (the oracle twin carries `nrm > 0`)
+        .filter(F.col("_n") > 0)
+        .drop("_n")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
@@ -82,20 +89,25 @@ def lsh_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """DF(vec_id, code int): sign-bit LSH bucket code per vector (JVM-side;
-    planes are literals broadcast with the plan)."""
+    """DF(vec_id, code long): sign-bit LSH bucket code per vector (JVM-side;
+    planes are literals broadcast with the plan). LONG code, never int:
+    ``1 << 31`` would wrap an int32 negative while the driver-side qcode
+    stays a positive Python int, silently emptying every probe match."""
+    if not (1 <= num_planes <= 62):
+        raise ValueError(f"num_planes must be in [1, 62], got {num_planes}")
     first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"]) if first else 0
     planes = hyperplanes(num_planes, dim)
     v = F.col(vec_col).cast("array<double>")
     bits = [
-        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0,
+               F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         for p in range(num_planes)
     ]
     code = bits[0]
     for b in bits[1:]:
         code = code + b
-    return embeddings.select(F.col(id_col).alias("vec_id"), code.cast("int").alias("code"))
+    return embeddings.select(F.col(id_col).alias("vec_id"), code.cast("long").alias("code"))
 
 
 def lsh_ann_topk(
@@ -148,18 +160,28 @@ def build_ann_index(
       manifest.json (written atomically LAST)    — planes, centroids, params
 
     Queries then read bucket-pruned candidates from disk instead of
-    recomputing codes/centroids per call (round-1 gap). Idempotent: an
-    existing manifest with matching params short-circuits."""
+    recomputing codes/centroids per call (round-1 gap). Idempotent with an
+    INPUT fingerprint (count + dim, the hnsw/quantize discipline): a
+    matching manifest short-circuits, but a same-params rebuild over
+    CHANGED embeddings rebuilds — params-only matching would silently
+    serve stale codes for new/moved vectors."""
     import json
     import os
 
+    shape = embeddings.select(
+        F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n_vecs = int(shape["n"])
+    in_dim = int(shape["d"] or 0)
     mpath = os.path.join(index_dir, "manifest.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
             m = json.load(fh)
         if (m.get("num_planes") == num_planes
                 and m.get("n_centroids") == n_centroids
-                and m.get("seed") == seed):
+                and m.get("seed") == seed
+                and m.get("n_vecs") == n_vecs
+                and m.get("dim") == in_dim):
             return m
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -177,13 +199,12 @@ def build_ann_index(
         "vec_id", F.col("prediction").cast("int").alias("cell")
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "ivf_cells"))
 
-    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
     manifest = {
         "num_planes": num_planes,
         "n_centroids": n_centroids,
         "seed": seed,
-        "dim": dim,
+        "dim": in_dim,
+        "n_vecs": n_vecs,
         "centroids": [[float(x) for x in c] for c in model.clusterCenters()],
     }
     tmp = mpath + ".tmp"
@@ -214,7 +235,9 @@ def _filtered_ann(embeddings, bucket_ids, query_vec, k, id_col, vec_col,
     if n_match <= k:
         return cosine_topk(surv, query_vec, k, id_col, vec_col)
     cand = surv.join(bucket_ids, id_col)
-    if cand.count() < min(k, n_match):
+    # n_match > k here (the <= k arm returned), so the starvation bound
+    # is simply k
+    if cand.count() < k:
         return cosine_topk(surv, query_vec, k, id_col, vec_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -375,6 +398,7 @@ SELECT vec_id,
        / (sqrt(list_sum(list_transform(v, x -> x * x)))
           * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
 FROM p CROSS JOIN q
+WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """.strip()

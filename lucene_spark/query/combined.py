@@ -107,7 +107,12 @@ def combined_field_search(
     u = per_field[0]
     for d in per_field[1:]:
         u = u.unionByName(d)
-    cfreq = u.groupBy("term", "doc_id").agg(F.sum("wf").alias("cfreq"))
+    # materialize: the df collect below AND the final scoring plan both
+    # consume cfreq — without the checkpoint each would re-run the whole
+    # multi-field postings decode (the dominant per-query cost); blocks
+    # are reclaimed by the ContextCleaner when the frame is released
+    cfreq = (u.groupBy("term", "doc_id").agg(F.sum("wf").alias("cfreq"))
+             .localCheckpoint(eager=True))
 
     # per-term df of the pseudo-field (tiny collect: |terms| rows)
     dfs = {
