@@ -78,11 +78,32 @@ class ThaiSegmentationUnavailable(RuntimeError):
     throws UnsupportedOperationException from the ThaiTokenizer ctor)."""
 
 
+def _java_home() -> str:
+    """java.home of the runtime JDK: $JAVA_HOME when it points at a real
+    JDK image, else derived from ``which java`` (symlinks resolved, so
+    /usr/bin/java -> .../jdk-17/bin/java yields .../jdk-17) — a host that
+    launches the JVM via PATH without exporting JAVA_HOME still has the
+    break data; failing here just because the env var is unset would
+    refuse Thai analysis the reference tokenizer could serve."""
+    import shutil as _shutil
+
+    env = os.environ.get("JAVA_HOME", "")
+    if env and os.path.exists(os.path.join(env, "lib", "modules")):
+        return env
+    java = _shutil.which("java")
+    if java:
+        real = os.path.realpath(java)
+        cand = os.path.dirname(os.path.dirname(real))
+        if os.path.exists(os.path.join(cand, "lib", "modules")):
+            return cand
+    return env
+
+
 def _load_resources() -> dict[str, bytes]:
     """Extract the three break resources from the local JDK's jimage,
     caching the raw bytes under /tmp (keyed by java.home so a JDK upgrade
     refreshes them)."""
-    java_home = os.environ.get("JAVA_HOME", "")
+    java_home = _java_home()
     modules = os.path.join(java_home, "lib", "modules")
     tag = java_home.strip("/").replace("/", "_") or "nojdk"
     cache = os.path.join(_CACHE_DIR, tag)

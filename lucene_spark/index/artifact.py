@@ -75,6 +75,43 @@ def data_path(index_dir: str, manifest: dict, default: str) -> str:
     return os.path.join(index_dir, manifest.get("data", default))
 
 
+def generation_ok(index_dir: str, prev: dict) -> bool:
+    """True iff ``prev`` names a generation directory that exists.
+
+    The naive ``os.path.isdir(join(index_dir, prev.get("data", "")))``
+    pattern FAILS OPEN on pre-generation manifests: a missing ``data`` key
+    joins to ``index_dir`` itself (always a dir), so an old-format manifest
+    with matching params short-circuits the rebuild while readers that
+    require the format tag reject it — the artifact is wedged (build says
+    success, every lookup raises). Require the key explicitly."""
+    data = prev.get("data")
+    return bool(data) and os.path.isdir(os.path.join(index_dir, data))
+
+
+def content_fingerprint(df, cols) -> tuple[int, int]:
+    """(n_rows, 64-bit content fold) over ``df[cols]`` — order-independent
+    and multiplicity-sensitive, one aggregate job.
+
+    bit_xor alone is NOT a content fingerprint (even-multiplicity rows
+    cancel: ['a','a'] -> 0 == ['b','b'] -> 0 serves a stale artifact), so a
+    decimal(38,0) SUM of the same xxhash64 values (order-free, cannot
+    overflow) is mixed in.  Builders key their generation name on this so
+    same-params rebuilds over CHANGED data rebuild — params-only or
+    count-only matching silently serves stale state."""
+    from pyspark.sql import functions as F
+
+    wcols = [F.col(c) for c in cols]
+    agg = df.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*wcols)).alias("h"),
+        F.sum(F.xxhash64(*wcols).cast("decimal(38,0)")).alias("hs"),
+    ).first()
+    n_rows = int(agg["n"])
+    fp = ((int(agg["h"] or 0) ^ (int(agg["hs"] or 0) * 0x9E3779B97F4A7C15))
+          & 0xFFFFFFFFFFFFFFFF)
+    return n_rows, fp
+
+
 def prune_generations(index_dir: str, keep: str, prefix: str) -> None:
     """Best-effort removal of superseded generation directories (called
     AFTER the manifest commit; failures are ignored — stale generations

@@ -119,7 +119,13 @@ def naive_bayes_classify(
 
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    # the argmax window must order by the SAME stabilized key the output
+    # carries: two labels whose float64 sums differ only below the rounding
+    # threshold would otherwise pick different winners across engine
+    # summation orders (Spark vs DuckDB) even though both emit equal
+    # rounded scores
+    rscore = F.round(F.col("score").cast("double"), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc(rscore), F.asc("label"))
     # unordered: the window already shuffles on doc_id; a final global
     # sort would add a second full shuffle for no consumer benefit
     return (
@@ -129,8 +135,7 @@ def naive_bayes_classify(
         # doubles (not f32-valued terms), so bitwise equality across
         # engine summation orders is not guaranteed — the quality_scores
         # discipline
-        .select("doc_id", "label",
-                F.round(F.col("score").cast("double"), 6).alias("score"))
+        .select("doc_id", "label", rscore.alias("score"))
     )
 
 
@@ -187,9 +192,13 @@ prior_only AS (
 ),
 allsc AS (SELECT * FROM scored UNION ALL SELECT * FROM prior_only),
 ranked AS (
+  -- argmax over the ROUNDED score (then label): the same stabilized key
+  -- the Spark side uses, so sub-threshold float64 divergence between the
+  -- engines' summation orders cannot flip the winner
   SELECT doc_id, label, score,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, label ASC) AS rn
+                            ORDER BY round(CAST(score AS DOUBLE), 6) DESC,
+                                     label ASC) AS rn
   FROM allsc
 )
 SELECT doc_id, label, round(CAST(score AS DOUBLE), 6) AS score

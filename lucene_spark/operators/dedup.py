@@ -627,7 +627,7 @@ def embedding_dup_pairs(
     )
     thr = float(threshold)
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
         bi, bj = int(key[0]), int(key[1])

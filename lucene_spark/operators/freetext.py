@@ -171,26 +171,31 @@ def build_freetext_model(spark: SparkSession, docs: DataFrame,
         (repartitionByRange, not repartition: hash placement would spread
         a prefix's grams across every file);
       model_dir/manifest.json         — grams/separator params, totTokens
-        (no per-lookup corpus scan), and the input fingerprint (doc count)
-        so same-params rebuilds over CHANGED data rebuild.
+        (no per-lookup corpus scan), and the input fingerprint (content
+        fold over id+text, not doc count — a same-size changed corpus
+        must rebuild) so same-params rebuilds over CHANGED data rebuild.
 
     Written atomically LAST into a fingerprint-named GENERATION directory
     (the index/artifact.py contract) — a crashed rebuild over changed data
     leaves the committed generation fully readable, and a matching
     manifest short-circuits."""
     from lucene_spark.index.artifact import (
-        load_manifest_if, prune_generations, write_manifest_atomic,
+        content_fingerprint, generation_ok, load_manifest_if,
+        prune_generations, write_manifest_atomic,
     )
 
-    n_docs = docs.count()
+    # content fold, not doc-count: a changed corpus with the SAME doc count
+    # must rebuild (count-only fingerprints serve the stale model)
+    n_docs, fp = content_fingerprint(docs, (id_col, text_col))
     prev = load_manifest_if(model_dir)
-    if (prev is not None and prev.get("n_docs") == n_docs
+    if (prev is not None and prev.get("format") == "freetext_v1"
+            and prev.get("n_docs") == n_docs
+            and prev.get("fingerprint") == fp
             and prev.get("grams") == 2
-            and os.path.isdir(os.path.join(model_dir,
-                                           prev.get("data", "")))):
+            and generation_ok(model_dir, prev)):
         return prev
     os.makedirs(model_dir, exist_ok=True)
-    gen = f"lm_{n_docs}"
+    gen = f"lm_{fp:016x}"
     uni, big = gram_counts(docs, id_col, text_col)
     tot = int(uni.agg(F.sum("cnt")).collect()[0][0] or 0)
     for name, df in (("uni", uni), ("big", big)):
@@ -200,7 +205,7 @@ def build_freetext_model(spark: SparkSession, docs: DataFrame,
          .parquet(os.path.join(model_dir, gen, name)))
     manifest = write_manifest_atomic(model_dir, {
         "format": "freetext_v1", "data": gen, "grams": 2, "separator": " ",
-        "tot_tokens": tot, "n_docs": n_docs,
+        "tot_tokens": tot, "n_docs": n_docs, "fingerprint": fp,
     })
     prune_generations(model_dir, keep=gen, prefix="lm_")
     return manifest

@@ -252,9 +252,10 @@ def build_hnsw_index(
 
     Partition assignment is ``pmod(xxhash64(vec_id), num_parts)`` —
     deterministic, balanced, independent of input file layout. Idempotent:
-    an existing manifest with matching params AND matching input shape
-    (row count + dim — the cheap staleness fingerprint) short-circuits;
-    a changed input rebuilds instead of silently serving a stale graph.
+    an existing manifest with matching params AND matching input content
+    (a 64-bit fold over id+vector — same-count re-embeddings rebuild too)
+    short-circuits; any changed input rebuilds instead of silently
+    serving a stale graph.
 
     ``quantize=True`` stores int8 scalar-quantized codes instead of the
     float vectors (``Lucene104HnswScalarQuantizedVectorsFormat`` analog:
@@ -262,13 +263,17 @@ def build_hnsw_index(
     quantized scores, float rescore at query time — pass ``embeddings=``
     to ``hnsw_ann_topk_indexed``)."""
     from lucene_spark.index.artifact import (
-        load_manifest_if, prune_generations, write_manifest_atomic,
+        content_fingerprint, generation_ok, load_manifest_if,
+        prune_generations, write_manifest_atomic,
     )
 
     shape = embeddings.select(
         F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
     n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
+    # content fold over (id, vector), not count+dim: re-embedding the same
+    # corpus (same n, same dim, different vectors) must rebuild the graph
+    _, fp = content_fingerprint(embeddings, (id_col, vec_col))
     prev = load_manifest_if(index_dir)
     if (
         prev is not None
@@ -277,12 +282,13 @@ def build_hnsw_index(
         and prev.get("ef_construction") == ef_construction
         and prev.get("n_vecs") == n_vecs
         and prev.get("dim") == dim
+        and prev.get("fingerprint") == fp
         and bool(prev.get("quantized")) == quantize
-        and os.path.isdir(os.path.join(index_dir, prev.get("data", "")))
+        and generation_ok(index_dir, prev)
     ):
         return prev
-    gen = f"graph_{n_vecs}x{dim}_p{num_parts}m{m}e{ef_construction}" + (
-        "_q" if quantize else "")
+    gen = (f"graph_{fp:016x}_p{num_parts}m{m}e{ef_construction}"
+           + ("_q" if quantize else ""))
     os.makedirs(index_dir, exist_ok=True)
 
     scale = None
@@ -331,6 +337,7 @@ def build_hnsw_index(
         "ef_construction": ef_construction,
         "n_vecs": n_vecs,
         "dim": dim,
+        "fingerprint": fp,
         "metric": "cosine",
         "quantized": quantize,
         "scale": scale,

@@ -124,24 +124,28 @@ def build_quantized_codes(
     One pass computes the scale (JVM aggregate, partial-merged — no raw data
     shuffles), a second writes the codes (narrow map; norms computed JVM-side
     and handed to the Arrow packer so no Python summation order exists).
-    Idempotent with an input fingerprint (n_vecs + dim); rebuilds write a
+    Idempotent with an input CONTENT fingerprint (64-bit fold over
+    id+vector — a same-count re-embedding rebuilds); rebuilds write a
     FRESH generation directory and commit the manifest last (the
     index/artifact.py contract — a crashed rebuild never corrupts the
     committed codes)."""
     from lucene_spark.index.artifact import (
-        load_manifest_if, prune_generations, write_manifest_atomic,
+        content_fingerprint, generation_ok, load_manifest_if,
+        prune_generations, write_manifest_atomic,
     )
 
     shape = embeddings.select(
         F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
     n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
+    _, fp = content_fingerprint(embeddings, (id_col, vec_col))
     prev = load_manifest_if(index_dir)
     if (prev is not None and prev.get("n_vecs") == n_vecs
             and prev.get("dim") == dim
-            and os.path.isdir(os.path.join(index_dir, prev.get("data", "")))):
+            and prev.get("fingerprint") == fp
+            and generation_ok(index_dir, prev)):
         return prev
-    gen = f"codes_{n_vecs}x{dim}"
+    gen = f"codes_{fp:016x}"
     os.makedirs(index_dir, exist_ok=True)
 
     with_norm = _norm_frame(embeddings, id_col, vec_col)
@@ -170,7 +174,7 @@ def build_quantized_codes(
 
     manifest = write_manifest_atomic(index_dir, {
         "format": "sq8_v1", "data": gen, "scale": scale, "dim": dim,
-        "n_vecs": n_vecs, "qmax": _QMAX,
+        "n_vecs": n_vecs, "fingerprint": fp, "qmax": _QMAX,
     })
     prune_generations(index_dir, keep=gen, prefix="codes_")
     return manifest

@@ -161,18 +161,22 @@ def build_ann_index(
 
     Queries then read bucket-pruned candidates from disk instead of
     recomputing codes/centroids per call (round-1 gap). Idempotent with an
-    INPUT fingerprint (count + dim, the hnsw/quantize discipline): a
-    matching manifest short-circuits, but a same-params rebuild over
-    CHANGED embeddings rebuilds — params-only matching would silently
-    serve stale codes for new/moved vectors."""
+    input CONTENT fingerprint (64-bit fold over id+vector): a matching
+    manifest short-circuits, but ANY change to the embeddings — including
+    re-embedding the same corpus at the same count and dim — rebuilds;
+    count/dim-only matching would silently serve stale codes for
+    new/moved vectors."""
     import json
     import os
+
+    from lucene_spark.index.artifact import content_fingerprint
 
     shape = embeddings.select(
         F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
     n_vecs = int(shape["n"])
     in_dim = int(shape["d"] or 0)
+    _, fp = content_fingerprint(embeddings, (id_col, vec_col))
     mpath = os.path.join(index_dir, "manifest.json")
     if os.path.exists(mpath):
         with open(mpath) as fh:
@@ -181,6 +185,7 @@ def build_ann_index(
                 and m.get("n_centroids") == n_centroids
                 and m.get("seed") == seed
                 and m.get("n_vecs") == n_vecs
+                and m.get("fingerprint") == fp
                 and m.get("dim") == in_dim):
             return m
     from pyspark.ml.clustering import KMeans
@@ -205,6 +210,7 @@ def build_ann_index(
         "seed": seed,
         "dim": in_dim,
         "n_vecs": n_vecs,
+        "fingerprint": fp,
         "centroids": [[float(x) for x in c] for c in model.clusterCenters()],
     }
     tmp = mpath + ".tmp"

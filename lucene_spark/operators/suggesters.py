@@ -112,23 +112,12 @@ def build_suggest_index(
     import os
 
     from lucene_spark.index.artifact import (
-        load_manifest_if, prune_generations, write_manifest_atomic,
+        content_fingerprint, generation_ok, load_manifest_if,
+        prune_generations, write_manifest_atomic,
     )
 
-    wcols = [F.col(text_col)] + (
-        [F.col(weight_col)] if weight_col is not None else [])
-    # two order-independent folds: bit_xor alone cancels rows with even
-    # multiplicity (['a','a']->0 == ['b','b']->0 would serve a stale
-    # dict), so a decimal SUM of the same hashes (multiplicity-sensitive,
-    # cannot overflow, still one aggregate job) is mixed in
-    agg = df.select(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(*wcols)).alias("h"),
-        F.sum(F.xxhash64(*wcols).cast("decimal(38,0)")).alias("hs"),
-    ).first()
-    n_rows = int(agg["n"])
-    fp = ((int(agg["h"] or 0) ^ (int(agg["hs"] or 0) * 0x9E3779B97F4A7C15))
-          & 0xFFFFFFFFFFFFFFFF)
+    wcols = [text_col] + ([weight_col] if weight_col is not None else [])
+    n_rows, fp = content_fingerprint(df, wcols)
     gen = f"dict_{fp:016x}"
     prev = load_manifest_if(index_dir)
     if (prev is not None
@@ -136,7 +125,7 @@ def build_suggest_index(
             and prev.get("fingerprint") == fp
             and prev.get("weight_col") == weight_col
             and prev.get("text_col") == text_col
-            and os.path.isdir(os.path.join(index_dir, prev.get("data", "")))):
+            and generation_ok(index_dir, prev)):
         return prev
     os.makedirs(index_dir, exist_ok=True)
     d = build_suggest_dict(df, text_col, weight_col)

@@ -119,6 +119,90 @@ def _combine_req_opt(n_must: int, n_should: int, msm: int, must_s, should_s):
     )
 
 
+_DYN_REPLAY_SCHEMA = (
+    "kind int, seq long, count long, weight long, vmin long, vmax long, "
+    "avg double, s_count string, s_accu string, s_vsum string, s_vmin string")
+
+
+def _replay_dynamic_segment(runs, pid, target, count, accu, vsum, vmin):
+    """Replay the DynamicRangeUtil greedy over ONE range-segment of the
+    cached run table EXECUTOR-side (``facet_dynamic_ranges`` step 3): a
+    single-segment job whose task receives the carried scan state, runs
+    the identical per-run arithmetic (``ceil((target-accu)/w)`` elements
+    at a time), and returns the completed ranges plus the carry-out —
+    <= topN + 1 rows to the driver, never the segment's runs.
+
+    State ints travel as STRINGS (exact: python-int sums of longs can
+    exceed int64 — the reference accumulates in a long and would overflow
+    too, but the driver replay must match its own absorbed-segment
+    python-int arithmetic bit-for-bit). Returns (ranges, carry_out)."""
+    state_in = (count, accu, vsum, vmin)
+
+    def replay(batches):
+        import math
+
+        cnt, acc, vs, vm = state_in
+        seq = 0
+        rows = []
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            vv = pdf["v"].to_numpy()
+            ww = pdf["w"].to_numpy()
+            nn = pdf["n"].to_numpy()
+            for i in range(len(vv)):
+                v, w, n = int(vv[i]), int(ww[i]), int(nn[i])
+                while n > 0:
+                    if vm is None:
+                        vm = v
+                    if w > 0 and acc < target:
+                        need = math.ceil((target - acc) / w)
+                        take = min(n, max(int(need), 1))
+                    else:
+                        # zero-weight elements can never reach the
+                        # target — they all join the current range (the
+                        # reference scans past them without emitting)
+                        take = n if w == 0 else 1
+                    cnt += take
+                    acc += take * w
+                    vs += take * v
+                    n -= take
+                    if acc >= target:
+                        rows.append((0, seq, cnt, acc, vm, v, vs / cnt,
+                                     None, None, None, None))
+                        seq += 1
+                        cnt = acc = vs = 0
+                        vm = None
+        if seen:
+            rows.append((1, seq, None, None, None, None, None,
+                         str(cnt), str(acc), str(vs),
+                         "" if vm is None else str(vm)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "kind", "seq", "count", "weight", "vmin", "vmax", "avg",
+                "s_count", "s_accu", "s_vsum", "s_vmin"])
+
+    out = (
+        runs.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("pid") == int(pid))
+        .drop("pid")
+        .mapInPandas(replay, schema=_DYN_REPLAY_SCHEMA)
+        .collect()
+    )
+    ranges = []
+    state = state_in
+    for r in sorted(out, key=lambda r: (r["kind"], r["seq"])):
+        if r["kind"] == 0:
+            ranges.append((int(r["count"]), int(r["weight"]),
+                           int(r["vmin"]), int(r["vmax"]), float(r["avg"])))
+        else:
+            state = (int(r["s_count"]), int(r["s_accu"]), int(r["s_vsum"]),
+                     None if r["s_vmin"] == "" else int(r["s_vmin"]))
+    return ranges, state
+
+
 @dataclass
 class _Clause:
     clause_id: int
@@ -971,24 +1055,43 @@ class IndexSearcher:
             F.expr(f"stack({len(matchers)}, {pairs}) as (label, count)"))
 
     def facet_dynamic_ranges(self, query: Query, field, top_n: int,
-                             weight_field=None) -> DataFrame:
+                             weight_field=None,
+                             num_buckets: int = 32) -> DataFrame:
         """DynamicRangeUtil analog (``facet/range/DynamicRangeUtil.java``
         computeDynamicNumericRanges): sort matches by (value, weight)
         and greedily cut a range every time the accumulated weight
         reaches ``totalWeight / min(topN, len)`` — equal-weight ranges.
         ``weight_field`` None = unit weights (count-balanced ranges).
 
-        The reference materializes long[totalHits] in RAM; here the
-        sequential greedy runs on the driver over the DISTINCT
-        (value, weight) pairs with their multiplicities (one groupBy) —
-        elements inside a run are identical, so each run is consumed
-        arithmetically (ceil((target-accu)/w) at a time) and the result
-        is element-for-element identical to the reference's scan while
-        the driver holds only |value domain x weight domain| rows.
-        DF(count long, weight long, min long, max long, avg double),
-        range order."""
-        import math as _m
+        The reference materializes long[totalHits] in RAM. Here the scan
+        is decomposed so the DRIVER NEVER HOLDS THE VALUE DOMAIN (a
+        high-cardinality field — timestamps, lengths at corpus scale —
+        previously collected its whole distinct (value, weight) set):
 
+          1. one groupBy compresses matches to runs (v, w, n), range-
+             partitioned into ``num_buckets`` global (v, w)-ordered
+             segments; the driver collects only the per-segment
+             aggregates (count / Σw·n / Σv·n as decimal — exact — plus
+             min/max v): <= num_buckets rows.
+          2. the driver walks segments in order carrying the greedy's
+             state (count, accu, vsum, vmin). A segment whose total
+             weight cannot reach the target from the carried accu is
+             absorbed ARITHMETICALLY from its aggregates — no cut can
+             occur inside it, so the element scan over it is equivalent
+             to adding its totals (runs inside a range contribute only
+             count/weight/value sums).
+          3. only segments that contain a cut replay the run-level greedy
+             EXECUTOR-SIDE (one single-partition job each, <= the number
+             of emitted ranges, i.e. <= min(topN, len) jobs): the task
+             receives the carried state, runs the identical per-run
+             arithmetic (ceil((target-accu)/w) elements at a time), and
+             emits completed ranges plus the carry-out — <= topN + 1
+             rows back to the driver.
+
+        Element-for-element identical to the reference's scan by
+        construction (same greedy, same float arithmetic, segmented with
+        carried state). DF(count long, weight long, min long, max long,
+        avg double), range order."""
         empty = self.spark.createDataFrame(
             [], "count long, weight long, min long, max long, avg double")
         if top_n <= 0:
@@ -1007,43 +1110,56 @@ class IndexSearcher:
         if weight_field is None:
             j = j.withColumn("w", F.lit(1).cast("long"))
         runs = (
-            j.groupBy("v", "w").count()
-            .orderBy("v", "w").collect()
+            j.groupBy("v", "w").agg(F.count("*").alias("n"))
+            .repartitionByRange(int(num_buckets), "v", "w")
+            .sortWithinPartitions("v", "w")
+            .cache()
         )
-        if not runs:
-            return empty
-        total_len = sum(int(r["count"]) for r in runs)
-        total_weight = sum(int(r["w"]) * int(r["count"]) for r in runs)
-        target = total_weight / min(int(top_n), total_len)  # double
-        out = []
-        count = 0
-        accu = 0
-        vsum = 0
-        vmin = None
-        for r in runs:
-            v, w, n = int(r["v"]), int(r["w"]), int(r["count"])
-            while n > 0:
-                if vmin is None:
-                    vmin = v
-                if w > 0 and accu < target:
-                    need = _m.ceil((target - accu) / w)
-                    take = min(n, max(int(need), 1))
-                else:
-                    # zero-weight elements can never reach the target —
-                    # they all join the current range (the reference
-                    # scans past them one by one without emitting)
-                    take = n if w == 0 else 1
-                count += take
-                accu += take * w
-                vsum += take * v
-                n -= take
-                if accu >= target:
-                    out.append((count, accu, vmin, v, vsum / count))
-                    count = accu = vsum = 0
-                    vmin = None
-        if count > 0:
-            out.append((count, accu, vmin, int(runs[-1]["v"]),
-                        vsum / count))
+        try:
+            # segment aggregates: decimal(38,0) sums — the driver replay
+            # is exact python-int arithmetic like the reference's scan,
+            # so the absorbed totals must not wrap at long
+            summ = (
+                runs.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .agg(F.sum("n").alias("cnt"),
+                     F.sum(F.col("w").cast("decimal(19,0)")
+                           * F.col("n").cast("decimal(19,0)")).alias("ws"),
+                     F.sum(F.col("v").cast("decimal(19,0)")
+                           * F.col("n").cast("decimal(19,0)")).alias("vn"),
+                     F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+                .orderBy("pid").collect()
+            )
+            summ = [r for r in summ if int(r["cnt"]) > 0]
+            if not summ:
+                return empty
+            total_len = sum(int(r["cnt"]) for r in summ)
+            total_weight = sum(int(r["ws"]) for r in summ)
+            target = total_weight / min(int(top_n), total_len)  # double
+            out = []
+            count = 0
+            accu = 0
+            vsum = 0
+            vmin = None
+            for r in summ:
+                p_cnt, p_ws, p_vn = int(r["cnt"]), int(r["ws"]), int(r["vn"])
+                if accu + p_ws < target:
+                    # no cut can fall inside this segment: absorb its
+                    # totals (identical to scanning its elements)
+                    if vmin is None:
+                        vmin = int(r["vlo"])
+                    count += p_cnt
+                    accu += p_ws
+                    vsum += p_vn
+                    continue
+                ranges, (count, accu, vsum, vmin) = _replay_dynamic_segment(
+                    runs, int(r["pid"]), target, count, accu, vsum, vmin)
+                out.extend(ranges)
+            if count > 0:
+                out.append((count, accu, vmin, int(summ[-1]["vhi"]),
+                            vsum / count))
+        finally:
+            runs.unpersist()
         return self.spark.createDataFrame(
             out, "count long, weight long, min long, max long, avg double")
 

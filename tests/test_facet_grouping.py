@@ -201,6 +201,25 @@ def test_dynamic_ranges_weighted(s, truth):
     assert sorted(got) == sorted(_greedy_reference(pairs, 3))
 
 
+def test_dynamic_ranges_high_cardinality_unique_values(s, truth):
+    # every matching doc carries a UNIQUE value (and a varying weight):
+    # the distinct (value, weight) domain == the match count, the case
+    # whose whole domain the pre-r5 implementation collected to the
+    # driver. The segmented scan (summary rows + executor-side replay of
+    # cut segments) must still be element-for-element identical to the
+    # reference greedy.
+    vexpr = F.expr("doc_id * 131 + field_len")
+    wexpr = F.expr("doc_id % 7 + 1")
+    for top_n, buckets in ((4, 32), (7, 3), (50, 8)):
+        got = [(r["count"], r.weight, r["min"], r["max"], r.avg)
+               for r in s.facet_dynamic_ranges(
+                   Q, vexpr, top_n=top_n, weight_field=wexpr,
+                   num_buckets=buckets).collect()]
+        pairs = [(d * 131 + fl, d % 7 + 1)
+                 for d, (_, fl) in truth.items()]
+        assert got == _greedy_reference(pairs, top_n), (top_n, buckets)
+
+
 def test_dynamic_ranges_more_buckets_than_topn_possible(s):
     # topN > number of matches: target = total/len -> one range per
     # element group boundary; must not crash and must cover all matches
