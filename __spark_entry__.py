@@ -1745,6 +1745,97 @@ def _expunged_df(spark, sf_dir):
     )
 
 
+_SOFT_MOD, _SOFT_REM = 11, 5
+
+
+def _soft_deleted_searcher(spark: SparkSession, sf_dir: str):
+    """Soft-deletes entry (deletes.py soft_delete_docs — the
+    SoftDeletesDirectoryReaderWrapper analog): docs with doc_id % 11 == 5
+    are SOFT-tombstoned; the default reader excludes them exactly like
+    hard tombstones (stats keep counting them until merge, so the oracle
+    filters ids only), while they remain fully present in the index
+    (retention-through-merge pytest-pinned in test_soft_deletes.py)."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.deletes import soft_delete_docs
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_softdel"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("has_soft_deletes"):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        s0 = IndexSearcher(spark, index_dir)
+        victims = s0.docmap().select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig")
+        ).filter(F.pmod(F.col("orig"), F.lit(_SOFT_MOD)) == _SOFT_REM)
+        soft_delete_docs(spark, index_dir, victims.select("doc_id"))
+    return IndexSearcher(spark, index_dir)
+
+
+def _soft_deletes_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _soft_deleted_searcher(spark, sf_dir)
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+_UPDATE_MOD, _UPDATE_REM = 9, 4
+_UPDATE_PREFIX = "refresh update "
+
+
+def _updated_searcher(spark: SparkSession, sf_dir: str):
+    """updateDocuments atomic replace (index/update.py — the
+    ``IndexWriter.updateDocuments`` analog, IndexWriter.java:1488-1545):
+    docs with doc_id % 9 == 4 are re-submitted with MODIFIED text
+    ('refresh update ' prefixed) through ``update_docs`` (tombstone-by-key
+    + new segment in ONE manifest commit), then expunged. Must equal a
+    fresh build over the updated corpus, which the oracle expresses as a
+    CASE-modified source table."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.deletes import expunge_deletes
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.index.update import update_docs
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_updated"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("expunged"):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        batch = tdf.filter(
+            F.pmod(F.col("conv_id").cast("long"), F.lit(_UPDATE_MOD))
+            == _UPDATE_REM
+        ).withColumn("text", F.concat(F.lit(_UPDATE_PREFIX), F.col("text")))
+        update_docs(spark, index_dir, batch,
+                    key_cols=("conv_id", "turn_idx"), batch_id=1)
+        expunge_deletes(spark, index_dir)
+    return IndexSearcher(spark, index_dir)
+
+
+def _updated_df(spark, sf_dir):
+    from lucene_spark.query.ast import TermQuery
+
+    s = _updated_searcher(spark, sf_dir)
+    hits = s.search(TermQuery("scan"), _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 def _snapshot_search_df(spark, sf_dir):
     """Point-in-time commit read (index/snapshot.py — the
     SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit) analog):
@@ -3552,6 +3643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_many_batch"] = _search_many_df
     out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_post_expunge"] = _expunged_df
+    out["bm25_post_update"] = _updated_df
+    out["bm25_soft_deletes"] = _soft_deletes_df
     out["snapshot_search"] = _snapshot_search_df
     out["split_index_search"] = _split_search_df
     out["bm25_post_bp"] = _bp_df
@@ -4889,12 +4982,31 @@ FROM r ORDER BY doc_id
         + f"\n) t WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM}\n"
         f"ORDER BY score DESC, doc_id ASC LIMIT {_QUERY_K}"
     )
+    # soft deletes: default-reader exclusion == hard-tombstone shape
+    # (full-corpus stats, ids filtered); presence/retention is pinned in
+    # test_soft_deletes.py (not SQL-expressible as a second result set)
+    out["bm25_soft_deletes"] = (
+        "SELECT * FROM (\n"
+        + sqlgen.topk_sql(parse_query(json.dumps({"term": "scan"})), 1_000_000_000)
+        + f"\n) t WHERE doc_id % {_SOFT_MOD} <> {_SOFT_REM}\n"
+        f"ORDER BY score DESC, doc_id ASC LIMIT {_QUERY_K}"
+    )
     # post-expunge == fresh build over survivors: the oracle recomputes
     # EVERYTHING (stats included) over the filtered corpus
     _surv = (f"(SELECT doc_id, text FROM documents "
              f"WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM})")
     out["bm25_post_expunge"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K, table=_surv,
+    )
+    # atomic replace + expunge == fresh build over the UPDATED corpus: the
+    # oracle recomputes everything over a CASE-modified source table
+    _updtbl = (
+        f"(SELECT doc_id, CASE WHEN doc_id % {_UPDATE_MOD} = {_UPDATE_REM} "
+        f"THEN '{_UPDATE_PREFIX}' || text ELSE text END AS text "
+        f"FROM documents)"
+    )
+    out["bm25_post_update"] = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": "scan"})), _QUERY_K, table=_updtbl,
     )
     # BP reordering is score-invariant (docIDs move, stats don't): the
     # oracle is the plain un-reordered top-k

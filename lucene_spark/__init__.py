@@ -46,9 +46,12 @@ def __getattr__(name):
     if name == "build_doc_partitioned":
         from lucene_spark.index.doclayout import build_doc_partitioned
         return build_doc_partitioned
-    if name in ("delete_docs", "expunge_deletes"):
+    if name in ("delete_docs", "expunge_deletes", "soft_delete_docs"):
         from lucene_spark.index import deletes as _d
         return getattr(_d, name)
+    if name == "update_docs":
+        from lucene_spark.index.update import update_docs
+        return update_docs
     if name == "build_hnsw_index":
         from lucene_spark.operators.hnsw import build_hnsw_index
         return build_hnsw_index
@@ -66,6 +69,7 @@ __all__ = [
     "check_index", "IndexSearcher", "QueryParser", "get_spark",
     "combined_field_search", "TooManyClauses", "append_batch",
     "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
+    "update_docs", "soft_delete_docs",
     "build_doc_partitioned", "build_hnsw_index", "hnsw_ann_topk_indexed",
     "intervals",
 ]

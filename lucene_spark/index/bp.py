@@ -298,7 +298,8 @@ def reorder_index(
     manifest = load_manifest(index_dir)
     if manifest is None or not manifest.get("merged"):
         raise ValueError(f"{index_dir}: index not built+merged")
-    if manifest.get("has_deletes"):
+    if manifest.get("has_deletes") or manifest.get("has_soft_deletes"):
+        # the permutation would strand BOTH tombstone sets' docIDs
         raise ValueError("reorder_index requires an index without "
                          "tombstones — run expunge_deletes first")
     if manifest["config"].get("index_sort"):

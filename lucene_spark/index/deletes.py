@@ -9,10 +9,19 @@ segments (Lucene's docFreq/sumTotalTermFreq likewise ignore deletes; its
 surviving docs are therefore IDENTICAL before and after a delete, exactly
 as in the reference.
 
-Layout: ``deletes/`` parquet of doc_ids under the index dir (append-mode,
-distinct on read), manifest flag ``has_deletes`` + generation bump written
-last. Deletes are idempotent and replayable; a batch re-delivery appends
-the same ids and the distinct collapses them.
+Layout: the tombstone set is GENERATIONAL — each commit writes the full
+set to ``deletes_g<generation>/`` and the manifest names the live
+generation (``deletes_data``) alongside ``has_deletes``; both are
+committed in the same atomic manifest write. Readers resolve the set
+through their PINNED manifest, so (a) a staged-but-uncommitted tombstone
+batch is invisible by construction (the ``update_docs`` atomic-replace
+requirement) and (b) an open searcher never sees deletes committed after
+it was opened — the reference's commit-point/``liveDocs`` semantics,
+where each commit writes fresh ``.liv`` files and a ``DirectoryReader``
+keeps the ones of its own commit point. Legacy flat ``deletes/`` dirs
+(pre-generational manifests) remain readable and are migrated on the
+next delete commit. Deletes are idempotent and replayable; a batch
+re-delivery rewrites the same generation dir.
 """
 
 from __future__ import annotations
@@ -93,33 +102,163 @@ def _remap_batch(ids, bounds, below, load):
     return keep, new
 
 
+def stage_delete_generation(spark: SparkSession, index_dir: str,
+                            manifest: dict,
+                            extra: DataFrame | None) -> str | None:
+    """Write (current tombstone set ∪ ``extra``) to the NEXT delete
+    generation dir (``deletes_g<generation+1>``) WITHOUT committing —
+    the caller flips ``has_deletes``/``deletes_data`` in its own single
+    manifest write (``delete_docs``; ``update_docs`` folds this into the
+    same commit as its new segment). Returns the staged dir name, or
+    None when the combined set is empty. Idempotent: a replay overwrites
+    the same deterministic dir."""
+    parts = []
+    old = read_deletes(spark, index_dir, manifest)
+    if old is not None:
+        parts.append(old)
+    if extra is not None:
+        parts.append(extra.select(F.col("doc_id").cast("long")))
+    if not parts:
+        return None
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    full = full.distinct()
+    gen = f"deletes_g{int(manifest['generation']) + 1}"
+    full.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
+    # an all-unknown-ids batch still stages (unknown docs are ignored
+    # harmlessly at search/expunge); emptiness only matters for old=None
+    if old is None and extra is not None and full.limit(1).count() == 0:
+        return None
+    return gen
+
+
+def prune_delete_generations(index_dir: str, keep: str | None) -> None:
+    """Best-effort removal of superseded delete generations AFTER a
+    commit (stale generations are garbage, never corruption — but pinned
+    readers of older manifests lose their set; snapshot first for true
+    point-in-time reads, the same contract as every other artifact)."""
+    import shutil
+
+    try:
+        for name in os.listdir(index_dir):
+            if (name.startswith("deletes_g") and name != keep
+                    and os.path.isdir(os.path.join(index_dir, name))):
+                shutil.rmtree(os.path.join(index_dir, name),
+                              ignore_errors=True)
+        legacy = os.path.join(index_dir, DELETES_DIR)
+        if keep is not None and os.path.isdir(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
     """Tombstone the given docs (DF with a ``doc_id`` column); returns the
-    updated manifest. Docs unknown to the index are ignored harmlessly."""
+    updated manifest. Docs unknown to the index are ignored harmlessly.
+    One atomic commit: the new delete generation is staged first, the
+    manifest names it last."""
     manifest = load_manifest(index_dir)
     if manifest is None or not manifest.get("merged"):
         raise ValueError(f"{index_dir}: index not built+merged")
-    (
-        doc_ids.select(F.col("doc_id").cast("long"))
-        .distinct()
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, DELETES_DIR))
-    )
-    manifest["has_deletes"] = True
+    gen = stage_delete_generation(
+        spark, index_dir, manifest,
+        doc_ids.select(F.col("doc_id").cast("long")).distinct())
+    manifest["has_deletes"] = gen is not None or bool(
+        manifest.get("has_deletes"))
+    if gen is not None:
+        manifest["deletes_data"] = gen
     manifest["generation"] += 1
     write_manifest(index_dir, manifest)
+    prune_delete_generations(index_dir, manifest.get("deletes_data"))
     return manifest
 
 
-def read_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """DF(doc_id) of tombstones, or None when the index has none."""
+def soft_delete_docs(spark: SparkSession, index_dir: str,
+                     doc_ids: DataFrame) -> dict:
+    """SOFT-tombstone the given docs — the ``softUpdateDocument`` /
+    soft-deletes-field analog (``core/index/SoftDeletesRetentionMergePolicy
+    .java``, ``SoftDeletesDirectoryReaderWrapper``): the docs drop out of
+    default search results exactly like hard tombstones, but remain fully
+    present in the index — a reader opened with
+    ``IndexSearcher(..., include_soft_deletes=True)`` (the reference's
+    unwrapped reader) still sees them, and ``expunge_deletes`` can RETAIN
+    them through the rewrite via a retention predicate instead of purging.
+
+    Storage mirrors the hard set: a generational ``soft_deletes_g<N>``
+    dir named by the manifest (``soft_deletes_data``), committed in one
+    atomic manifest write."""
+    manifest = load_manifest(index_dir)
+    if manifest is None or not manifest.get("merged"):
+        raise ValueError(f"{index_dir}: index not built+merged")
+    parts = [doc_ids.select(F.col("doc_id").cast("long"))]
+    old = read_soft_deletes(spark, index_dir, manifest)
+    if old is not None:
+        parts.append(old)
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    gen = f"soft_deletes_g{int(manifest['generation']) + 1}"
+    full.distinct().write.mode("overwrite").parquet(
+        os.path.join(index_dir, gen))
+    manifest["has_soft_deletes"] = True
+    manifest["soft_deletes_data"] = gen
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    _prune_soft_generations(index_dir, gen)
+    return manifest
+
+
+def _prune_soft_generations(index_dir: str, keep: str | None) -> None:
+    import shutil
+
+    try:
+        for name in os.listdir(index_dir):
+            if (name.startswith("soft_deletes_g") and name != keep
+                    and os.path.isdir(os.path.join(index_dir, name))):
+                shutil.rmtree(os.path.join(index_dir, name),
+                              ignore_errors=True)
+    except OSError:
+        pass
+
+
+def read_soft_deletes(spark: SparkSession, index_dir: str,
+                      manifest: dict | None = None) -> DataFrame | None:
+    """DF(doc_id) of SOFT tombstones at the manifest's commit point, or
+    None."""
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    if manifest is None or not manifest.get("soft_deletes_data"):
+        return None
+    p = os.path.join(index_dir, manifest["soft_deletes_data"])
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
+def read_deletes(spark: SparkSession, index_dir: str,
+                 manifest: dict | None = None) -> DataFrame | None:
+    """DF(doc_id) of tombstones, or None when the index has none.
+
+    With a ``manifest``, the set is the one THAT COMMIT POINT named
+    (``deletes_data`` generation dir) — a pinned searcher passes its own
+    manifest and never sees later deletes or staged-uncommitted ones.
+    Without one (legacy callers), falls back to the live manifest, then
+    to the legacy flat ``deletes/`` dir."""
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    if manifest is not None and manifest.get("deletes_data"):
+        p = os.path.join(index_dir, manifest["deletes_data"])
+        if os.path.isdir(p):
+            return spark.read.parquet(p).select("doc_id").distinct()
     p = os.path.join(index_dir, DELETES_DIR)
     if not os.path.exists(p):
         return None
     return spark.read.parquet(p).select("doc_id").distinct()
 
 
-def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
+def expunge_deletes(spark: SparkSession, index_dir: str,
+                    soft_retention=None) -> dict:
     """forceMerge/expungeDeletes analog: rewrite the index WITHOUT the
     tombstoned docs, remapping docIDs densely like the reference's merge
     (``DocIDMerger.java:73-99``). The remap is order-preserving and
@@ -142,7 +281,17 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     After expunge, collection/term statistics EXCLUDE the deleted docs (the
     reference behaves identically after a merge), so scores equal a fresh
-    build over the surviving corpus — asserted bit-exactly in tests."""
+    build over the surviving corpus — asserted bit-exactly in tests.
+
+    SOFT deletes (``soft_delete_docs``) follow the
+    ``SoftDeletesRetentionMergePolicy`` contract: by default the merge
+    purges them like hard tombstones (the reference without the retention
+    policy); with ``soft_retention`` (a Column/SQL predicate over docmap
+    rows, e.g. ``F.col("ts") > cutoff``) the soft-deleted docs MATCHING
+    it are RETAINED through the rewrite — still excluded from default
+    search, still readable via ``include_soft_deletes=True`` — with their
+    ids remapped into the new dense docID space and re-committed as the
+    next soft generation."""
     import shutil
 
     import numpy as np
@@ -164,12 +313,36 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         import json as _json
 
         with open(commit_marker) as fh:
-            planned = [tuple(x) for x in _json.load(fh)]
-        return _finish_expunge(spark, index_dir, manifest, planned)
+            rec = _json.load(fh)
+        if isinstance(rec, dict):  # r5 format: swaps + soft carry-over
+            planned = [tuple(x) for x in rec["swaps"]]
+            soft_data = rec.get("soft_data")
+        else:  # legacy marker: a plain swap list
+            planned, soft_data = [tuple(x) for x in rec], None
+        return _finish_expunge(spark, index_dir, manifest, planned,
+                               soft_data)
 
-    dd = read_deletes(spark, index_dir)
-    if dd is None or not manifest.get("has_deletes"):
+    hard = (read_deletes(spark, index_dir, manifest)
+            if manifest.get("has_deletes") else None)
+    soft = (read_soft_deletes(spark, index_dir, manifest)
+            if manifest.get("has_soft_deletes") else None)
+    retained = None
+    if soft is not None and soft_retention is not None:
+        # retention predicate evaluates over the docmap ROW of each
+        # soft-deleted doc (the reference evaluates the retention query
+        # against the reader) — matches survive the merge, still soft
+        dm_rows = spark.read.parquet(
+            os.path.join(index_dir, "docmap")).join(soft, "doc_id")
+        pred = (F.expr(soft_retention) if isinstance(soft_retention, str)
+                else soft_retention)
+        retained = dm_rows.filter(pred).select("doc_id")
+        soft = soft.join(retained, "doc_id", "left_anti")  # the purge part
+    parts = [p for p in (hard, soft) if p is not None]
+    if not parts:
         return manifest
+    dd = parts[0]
+    for p in parts[1:]:
+        dd = dd.unionByName(p).distinct()
 
     # segment doc-ranges — the ONLY thing the driver materializes is
     # O(num_segments) metadata; the tombstone set itself never leaves the
@@ -211,9 +384,25 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         below[i] = acc
         acc += per_range.get(i, 0)
     if acc == 0:
-        shutil.rmtree(os.path.join(index_dir, DELETES_DIR))
+        shutil.rmtree(os.path.join(index_dir, DELETES_DIR),
+                      ignore_errors=True)
         manifest["has_deletes"] = False
+        manifest.pop("deletes_data", None)
+        prune_delete_generations(index_dir, keep=None)
         manifest["generation"] += 1
+        # no docID moved — retained soft deletes keep their ids; an
+        # all-bogus soft purge set clears like the hard one
+        if manifest.get("has_soft_deletes"):
+            if retained is not None and retained.limit(1).count() > 0:
+                gen = f"soft_deletes_g{int(manifest['generation'])}"
+                retained.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, gen))
+                manifest["soft_deletes_data"] = gen
+                _prune_soft_generations(index_dir, gen)
+            else:
+                manifest["has_soft_deletes"] = False
+                manifest.pop("soft_deletes_data", None)
+                _prune_soft_generations(index_dir, keep=None)
         # no docID moved: a doc-range layout stays byte-for-byte valid —
         # carry its generation stamp forward so it is not needlessly rebuilt
         if manifest.get("doc_layout"):
@@ -424,6 +613,33 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     )
     swaps.append((tmp, td_path))
 
+    # ---- retained soft deletes: remap into the post-purge docID space
+    # executor-side (same closed form and staged ranges as everything
+    # else) and commit as the NEXT soft generation. Written BEFORE the
+    # marker so the crash-resume path only has to re-point the manifest.
+    soft_data = None
+    if retained is not None:
+
+        def remap_soft(batches):
+            load = _range_delete_loader(staging)
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf
+                    continue
+                ids = pdf["doc_id"].to_numpy(np.int64)
+                keep, new = _remap_batch(ids, bounds, below, load)
+                out = pdf[keep].copy()
+                out["doc_id"] = new[keep]
+                yield out
+
+        gen = f"soft_deletes_g{int(manifest['generation']) + 1}"
+        (retained.mapInPandas(remap_soft, schema="doc_id long")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, gen)))
+        if spark.read.parquet(
+                os.path.join(index_dir, gen)).limit(1).count() > 0:
+            soft_data = gen
+
     # all rewrites staged — record the COMMIT INTENT durably, then swap.
     # A crash before the marker leaves the live index untouched (stale
     # .expunge dirs are simply overwritten next time); a crash after it is
@@ -432,15 +648,16 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     tmp_marker = commit_marker + ".tmp"
     with open(tmp_marker, "w") as fh:
-        _json.dump(swaps, fh)
+        _json.dump({"swaps": swaps, "soft_data": soft_data}, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp_marker, commit_marker)
-    return _finish_expunge(spark, index_dir, manifest, swaps)
+    return _finish_expunge(spark, index_dir, manifest, swaps, soft_data)
 
 
 def _finish_expunge(spark: SparkSession, index_dir: str, manifest: dict,
-                    swaps: list[tuple[str, str]]) -> dict:
+                    swaps: list[tuple[str, str]],
+                    soft_data: str | None = None) -> dict:
     """Swap the staged .expunge dirs in (skipping any a prior crashed
     attempt already swapped), recompute per-segment stats from the LIVE
     docmap, commit the manifest, and clear the tombstones + marker.
@@ -498,10 +715,21 @@ def _finish_expunge(spark: SparkSession, index_dir: str, manifest: dict,
     deletes_dir = os.path.join(index_dir, DELETES_DIR)
     if os.path.exists(deletes_dir):
         shutil.rmtree(deletes_dir)
+    prune_delete_generations(index_dir, keep=None)
     staging_dir = os.path.join(index_dir, STAGING_DIR)
     if os.path.exists(staging_dir):
         shutil.rmtree(staging_dir)
     manifest["has_deletes"] = False
+    manifest.pop("deletes_data", None)
+    # soft deletes: the purged part went with the rewrite; the retained
+    # part (already remapped, staged pre-marker) becomes the live set
+    if soft_data is not None:
+        manifest["has_soft_deletes"] = True
+        manifest["soft_deletes_data"] = soft_data
+    else:
+        manifest["has_soft_deletes"] = False
+        manifest.pop("soft_deletes_data", None)
+    _prune_soft_generations(index_dir, keep=soft_data)
     manifest["expunged"] = True
     manifest["generation"] += 1
     write_manifest(index_dir, manifest)

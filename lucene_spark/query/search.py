@@ -220,6 +220,7 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str,
                  k1: float | None = None, b: float | None = None,
                  similarity: str | object | None = None,
+                 include_soft_deletes: bool = False,
                  _stats_override: tuple[int, int] | None = None):
         """``k1``/``b`` expose the BM25Similarity constructor parameters
         (``BM25Similarity.java:97``); ``similarity`` selects the full
@@ -258,13 +259,28 @@ class IndexSearcher:
         #: BM25 norm-inverse cache; None for non-BM25 similarities (the
         #: impact upper-bound machinery derives from this closed form)
         self.cache = getattr(self.sim, "cache", None)
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        #: highest COMMITTED segment id — reads below filter to it so a
+        #: staged-but-uncommitted segment (an in-flight append/update's
+        #: published rows, or a crashed one's leftovers) is invisible:
+        #: readers see exactly the manifest's commit point (the
+        #: SegmentInfos contract; segment ids are assigned sequentially)
+        self.max_segment_id = max(int(k) for k in manifest["completed"])
+        self.postings = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .filter(F.col("segment_id") <= self.max_segment_id))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         self._docmap: DataFrame | None = None
         self._positions: DataFrame | None = None
         #: tombstone deletes (PendingDeletes analog): stats keep counting
-        #: deleted docs until merge (reference semantics), results drop them
-        self.has_deletes = bool(manifest.get("has_deletes"))
+        #: deleted docs until merge (reference semantics), results drop
+        #: them. Soft tombstones (soft_delete_docs) are excluded the same
+        #: way unless this reader opts into seeing them —
+        #: ``include_soft_deletes=True`` is the reference's UNwrapped
+        #: reader (no SoftDeletesDirectoryReaderWrapper)
+        self.include_soft_deletes = bool(include_soft_deletes)
+        self.has_deletes = bool(manifest.get("has_deletes")) or (
+            bool(manifest.get("has_soft_deletes"))
+            and not self.include_soft_deletes)
         self._deletes_df: DataFrame | None = None
         self._deletes_count: int | None = None
 
@@ -287,11 +303,31 @@ class IndexSearcher:
         if df is None or not self.has_deletes:
             return df
         if self._deletes_df is None:
-            from lucene_spark.index.deletes import read_deletes
-            self._deletes_df = read_deletes(self.spark, self.index_dir)
-            if self._deletes_df is None:
+            from lucene_spark.index.deletes import (
+                read_deletes, read_soft_deletes,
+            )
+
+            # the PINNED manifest resolves the tombstone set: this
+            # searcher sees its own commit point's deletes, never later
+            # or staged-uncommitted ones (liveDocs-per-commit semantics).
+            # Soft tombstones join the exclusion set unless this reader
+            # opted into them (include_soft_deletes).
+            parts = []
+            hard = read_deletes(self.spark, self.index_dir, self.manifest)
+            if hard is not None:
+                parts.append(hard)
+            if not self.include_soft_deletes:
+                soft = read_soft_deletes(self.spark, self.index_dir,
+                                         self.manifest)
+                if soft is not None:
+                    parts.append(soft)
+            if not parts:
                 self.has_deletes = False
                 return df
+            full = parts[0]
+            for p in parts[1:]:
+                full = full.unionByName(p).distinct()
+            self._deletes_df = full
             self._deletes_count = self._deletes_df.count()
         if self._deletes_count <= self.BROADCAST_DELETES_MAX:
             return df.join(F.broadcast(self._deletes_df), "doc_id", "left_anti")
@@ -315,7 +351,12 @@ class IndexSearcher:
 
     def docmap(self) -> DataFrame:
         if self._docmap is None:
-            self._docmap = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+            self._docmap = (
+                self.spark.read.parquet(
+                    os.path.join(self.index_dir, "docmap"))
+                # commit-point visibility: hive-partition pruning drops
+                # any staged-but-uncommitted segment's rows
+                .filter(F.col("segment") <= self.max_segment_id))
         return self._docmap
 
     def high_freq_terms(self, n: int = 100, by: str = "doc_freq"

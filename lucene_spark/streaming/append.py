@@ -58,7 +58,6 @@ def append_batch(
     manifest = load_manifest(index_dir)
     if manifest is None or not manifest.get("merged"):
         raise ValueError(f"{index_dir}: base index must be built+merged first")
-    config = IndexConfig(**manifest["config"])
 
     # exactly-once, layer 1: a batch whose manifest commit completed is
     # never re-applied (foreachBatch re-delivers the last UNcommitted batch
@@ -68,12 +67,33 @@ def append_batch(
     if batch_id is not None and str(batch_id) in manifest.get("applied_batches", []):
         return manifest
 
+    staged = stage_batch_segment(spark, batch_df, index_dir, manifest, batch_id)
+    if staged is None:
+        return manifest
+    commit_staged_segment(index_dir, manifest, staged, batch_id)
+    return manifest
+
+
+def stage_batch_segment(
+    spark: SparkSession, batch_df: DataFrame, index_dir: str,
+    manifest: dict, batch_id: int | None = None,
+) -> dict | None:
+    """Everything ``append_batch`` does EXCEPT the manifest commit: build
+    the new segment's artifacts, publish its posting/position rows, and
+    delta-merge term_dict — all invisible to readers (searchers filter to
+    committed segment ids; see ``IndexSearcher.max_segment_id``) until
+    ``commit_staged_segment`` writes the manifest. Split out so
+    ``update_docs`` can fold tombstones + a new segment into ONE commit
+    (``IndexWriter.updateDocuments``'s atomicity). Returns the staged-
+    segment descriptor, or None for an empty batch. Idempotent on replay
+    via the per-step ``_APPLIED_SEG`` markers."""
+    config = IndexConfig(**manifest["config"])
     next_sid = max(int(k) for k in manifest["completed"]) + 1
     doc_base = sum(int(v["num_docs"]) for v in manifest["completed"].values())
 
     n = batch_df.count()
     if n == 0:
-        return manifest
+        return None
     # one new segment per micro-batch (FlushByRamOrCountsPolicy analog:
     # batch == flush unit); large batches could repartition into several
     assigned = batch_df.select(
@@ -219,6 +239,18 @@ def append_batch(
         import shutil
         shutil.rmtree(layout_dir)
 
+    return {"rows": rows, "next_sid": next_sid, "doc_base": doc_base,
+            "n": int(n)}
+
+
+def commit_staged_segment(index_dir: str, manifest: dict, staged: dict,
+                          batch_id: int | None = None,
+                          write: bool = True) -> dict:
+    """Fold a ``stage_batch_segment`` result into the manifest and (by
+    default) commit it — the single atomic visibility flip. ``update_docs``
+    passes ``write=False`` to add its tombstone generation to the SAME
+    manifest before the one write."""
+    rows, next_sid = staged["rows"], staged["next_sid"]
     for r in rows:
         d = r.asDict()
         manifest["completed"][str(int(d["segment_id"]))] = {
@@ -230,12 +262,14 @@ def append_batch(
             "appended": True,
             "batch_id": batch_id,
         }
-    manifest["shards"][str(next_sid)] = {"offset": doc_base, "count": int(n)}
+    manifest["shards"][str(next_sid)] = {
+        "offset": staged["doc_base"], "count": staged["n"]}
     manifest["ordered"] = False  # appended docIDs are arrival-ordered
     if batch_id is not None:
         manifest.setdefault("applied_batches", []).append(str(batch_id))
     manifest["generation"] += 1
-    write_manifest(index_dir, manifest)
+    if write:
+        write_manifest(index_dir, manifest)
     return manifest
 
 

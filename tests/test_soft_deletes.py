@@ -1,0 +1,179 @@
+"""Soft deletes + retention (index/deletes.py soft_delete_docs /
+expunge_deletes(soft_retention=...)): soft-tombstoned docs vanish from
+default search but stay fully present (include_soft_deletes reader);
+expunge purges them by default (reference without the retention policy)
+or RETAINS the ones matching a retention predicate, remapped into the
+new docID space — the SoftDeletesRetentionMergePolicy contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+from lucene_spark.index.check import check_index
+from lucene_spark.index.deletes import (
+    delete_docs, expunge_deletes, soft_delete_docs,
+)
+from lucene_spark.index.merge import merge_index
+from lucene_spark.query.ast import MatchAllDocsQuery, TermQuery
+from lucene_spark.query.search import IndexSearcher
+from lucene_spark.sources.transcripts import generate_pandas
+
+CFG = dict(num_segments=2, term_buckets=4, hot_term_df=64)
+
+
+def _build(spark, idx, pdf):
+    build_index(spark, spark.createDataFrame(pdf), idx, IndexConfig(**CFG))
+    merge_index(spark, idx)
+
+
+def test_soft_delete_excluded_but_present(spark, tmp_path_factory):
+    pdf = generate_pandas(n_convs=25, seed=51, vocab_size=250, max_turns=6)
+    idx = str(tmp_path_factory.mktemp("soft") / "idx")
+    _build(spark, idx, pdf)
+    s0 = IndexSearcher(spark, idx)
+    term = s0.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    before = [(r["doc_id"], np.float32(r["score"]))
+              for r in s0.search(TermQuery(term), 30).collect()]
+    victims = [d for d, _ in before[:3]]
+    n_all = s0.doc_count
+
+    soft_delete_docs(spark, idx, spark.createDataFrame(
+        [(int(d),) for d in victims], "doc_id long"))
+
+    # default reader: excluded exactly like hard tombstones, survivor
+    # scores bit-identical (stats keep counting until merge)
+    s = IndexSearcher(spark, idx)
+    assert s.has_deletes
+    after = [(r["doc_id"], np.float32(r["score"]))
+             for r in s.search(TermQuery(term), 30).collect()]
+    assert not ({x[0] for x in after} & set(victims))
+    exp = [x for x in before if x[0] not in set(victims)]
+    assert after[: len(exp)] == exp
+    assert s.count(MatchAllDocsQuery()) == n_all - len(victims)
+
+    # unwrapped reader: soft-deleted docs are STILL PRESENT
+    s_raw = IndexSearcher(spark, idx, include_soft_deletes=True)
+    assert not s_raw.has_deletes
+    raw = [(r["doc_id"], np.float32(r["score"]))
+           for r in s_raw.search(TermQuery(term), 30).collect()]
+    assert raw == before
+    assert s_raw.count(MatchAllDocsQuery()) == n_all
+
+    # soft + hard compose: hard-delete one more, both sets excluded
+    extra_hard = after[0][0]
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(int(extra_hard),)], "doc_id long"))
+    s2 = IndexSearcher(spark, idx)
+    got = {r["doc_id"] for r in s2.search(TermQuery(term), 30).collect()}
+    assert not (got & (set(victims) | {extra_hard}))
+    # the include-soft reader still excludes the HARD tombstone
+    s2_raw = IndexSearcher(spark, idx, include_soft_deletes=True)
+    got_raw = {r["doc_id"]
+               for r in s2_raw.search(TermQuery(term), 30).collect()}
+    assert set(victims) <= got_raw and extra_hard not in got_raw
+
+
+def test_expunge_default_purges_soft(spark, tmp_path_factory):
+    pdf = generate_pandas(n_convs=20, seed=52, vocab_size=250, max_turns=5)
+    idx = str(tmp_path_factory.mktemp("softpurge") / "idx")
+    _build(spark, idx, pdf)
+    n = IndexSearcher(spark, idx).doc_count
+    soft_delete_docs(spark, idx, spark.createDataFrame(
+        [(2,), (7,), (11,)], "doc_id long"))
+    expunge_deletes(spark, idx)  # no retention: merge drops soft deletes
+    m = load_manifest(idx)
+    assert not m.get("has_soft_deletes") and "soft_deletes_data" not in m
+    assert check_index(spark, idx)["ok"]
+    s = IndexSearcher(spark, idx)
+    assert s.doc_count == n - 3
+    assert IndexSearcher(spark, idx, include_soft_deletes=True
+                         ).count(MatchAllDocsQuery()) == n - 3
+
+
+def test_expunge_retention_keeps_matching_soft(spark, tmp_path_factory):
+    """Retention predicate over docmap rows: matching soft-deleted docs
+    survive the rewrite (still soft-excluded, remapped ids); hard and
+    non-retained soft docs purge. The result must equal a fresh build
+    over (all - hard - non-retained-soft)."""
+    pdf = generate_pandas(n_convs=25, seed=53, vocab_size=250, max_turns=6)
+    root = tmp_path_factory.mktemp("softret")
+    idx, fresh = str(root / "idx"), str(root / "fresh")
+    _build(spark, idx, pdf)
+    s0 = IndexSearcher(spark, idx)
+    km = {int(r["doc_id"]): (r["conv_id"], int(r["turn_idx"]))
+          for r in s0.docmap().select(
+              "doc_id", "conv_id", "turn_idx").collect()}
+    n_all = s0.doc_count
+
+    soft_ids = [1, 4, 9, 14, 19]
+    hard_ids = [0, 6]
+    soft_delete_docs(spark, idx, spark.createDataFrame(
+        [(i,) for i in soft_ids], "doc_id long"))
+    delete_docs(spark, idx, spark.createDataFrame(
+        [(i,) for i in hard_ids], "doc_id long"))
+
+    # retain soft-deleted docs with even turn_idx
+    expunge_deletes(spark, idx, soft_retention="turn_idx % 2 = 0")
+    m = load_manifest(idx)
+    assert check_index(spark, idx)["ok"]
+    retained_keys = {km[i] for i in soft_ids if km[i][1] % 2 == 0}
+    purged_keys = ({km[i] for i in soft_ids if km[i][1] % 2 == 1}
+                   | {km[i] for i in hard_ids})
+    assert retained_keys, "fixture must actually retain something"
+    assert m.get("has_soft_deletes") and m.get("soft_deletes_data")
+
+    # physical presence: purged gone, retained present
+    s = IndexSearcher(spark, idx)
+    keys_now = {(r["conv_id"], int(r["turn_idx"]))
+                for r in s.docmap().select("conv_id", "turn_idx").collect()}
+    assert not (keys_now & purged_keys)
+    assert retained_keys <= keys_now
+    # default search still excludes the retained soft docs (remapped ids)
+    live_keys = {(r["conv_id"], int(r["turn_idx"]))
+                 for r in s._live(s.docmap()).collect()}
+    assert not (live_keys & retained_keys)
+    assert s.count(MatchAllDocsQuery()) == n_all - len(soft_ids) - len(
+        hard_ids)
+    # the unwrapped reader sees them again
+    s_raw = IndexSearcher(spark, idx, include_soft_deletes=True)
+    assert s_raw.count(MatchAllDocsQuery()) == (
+        n_all - len(purged_keys))
+
+    # scores of the DEFAULT reader == fresh build over (all - soft - hard)
+    # by (conv, turn) key — stats include the retained (present) docs, so
+    # build fresh over survivors-including-retained and soft-delete there
+    surv = pdf[~pdf.apply(
+        lambda r: (r["conv_id"], r["turn_idx"]) in purged_keys, axis=1)]
+    _build(spark, fresh, surv)
+    sf0 = IndexSearcher(spark, fresh)
+    fm = {(r["conv_id"], int(r["turn_idx"])): int(r["doc_id"])
+          for r in sf0.docmap().select(
+              "doc_id", "conv_id", "turn_idx").collect()}
+    soft_delete_docs(spark, fresh, spark.createDataFrame(
+        [(fm[k],) for k in retained_keys], "doc_id long"))
+    sf = IndexSearcher(spark, fresh)
+    term = sf.term_dict.orderBy(F.desc("doc_freq")).first()["term"]
+    ka = {(r["conv_id"], int(r["turn_idx"])): np.float32(r["score"])
+          for r in s.search(TermQuery(term), 10**6)
+          .join(s.docmap(), "doc_id")
+          .select("conv_id", "turn_idx", "score").collect()}
+    kb = {(r["conv_id"], int(r["turn_idx"])): np.float32(r["score"])
+          for r in sf.search(TermQuery(term), 10**6)
+          .join(sf.docmap(), "doc_id")
+          .select("conv_id", "turn_idx", "score").collect()}
+    assert ka == kb
+
+
+def test_bp_refuses_soft_tombstones(spark, tmp_path_factory):
+    from lucene_spark.index.bp import reorder_index
+
+    pdf = generate_pandas(n_convs=10, seed=54, vocab_size=150, max_turns=4)
+    idx = str(tmp_path_factory.mktemp("softbp") / "idx")
+    _build(spark, idx, pdf)
+    soft_delete_docs(spark, idx, spark.createDataFrame(
+        [(1,)], "doc_id long"))
+    with pytest.raises(ValueError, match="tombstones"):
+        reorder_index(spark, idx)
