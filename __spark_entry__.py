@@ -992,6 +992,29 @@ def _highlight_unified_df(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _highlight_unified_sentence_df(spark, sf_dir):
+    """UnifiedHighlighter with the reference's DEFAULT break iterator
+    (``BreakIterator.getSentenceInstance(Locale.ROOT)``, replayed from
+    the local JDK's own state table — operators/uhighlight.py
+    JdkSentenceBreakIterator). Rows-only: the JDK sentence DFA is not
+    SQL-expressible; break positions are compiled-class fuzzed
+    (tools/sentence_parity.py, 2x4010 cases 0 mismatches) and the
+    passage pipeline is the fully-oracled highlight_unified machinery."""
+    from lucene_spark.operators.uhighlight import highlight_unified
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+
+    s = _offsets_searcher(spark, sf_dir)
+    q = BooleanQuery(must=[TermQuery(t) for t in _HL_TERMS])
+    hits = s.search(q, _HL_K)
+    src = _documents_as_transcripts(spark, sf_dir)
+    hl = highlight_unified(s, hits, src, _HL_TERMS, max_passages=2,
+                           break_iterator="sentence")
+    return hl.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "score",
+        "psg_score", "snippet"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _payload_searcher(spark, sf_dir):
     """Index with per-occurrence float payloads (IndexConfig.payloads;
     DelimitedPayloadTokenFilter corpus synthesized deterministically:
@@ -3682,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["highlight_fvh"] = _highlight_fvh_df
     out["highlight_fvh_phrase"] = _highlight_fvh_phrase_df
     out["highlight_unified"] = _highlight_unified_df
+    out["highlight_unified_sentence"] = _highlight_unified_sentence_df
     out["payload_score_sum"] = _payload_score_df("sum")
     out["payload_score_max"] = _payload_score_df("max")
     out["bm25_delimited_tf"] = _delimited_tf_df

@@ -99,31 +99,31 @@ def _java_home() -> str:
     return env
 
 
-def _load_resources() -> dict[str, bytes]:
-    """Extract the three break resources from the local JDK's jimage,
-    caching the raw bytes under /tmp (keyed by java.home so a JDK upgrade
-    refreshes them)."""
+def _load_named(names: dict[str, str], label: str) -> dict[str, bytes]:
+    """Extract the given ``{resource name -> jimage module}`` set from the
+    local JDK's jimage, caching the raw bytes under /tmp (keyed by
+    java.home so a JDK upgrade refreshes them)."""
     java_home = _java_home()
     modules = os.path.join(java_home, "lib", "modules")
     tag = java_home.strip("/").replace("/", "_") or "nojdk"
     cache = os.path.join(_CACHE_DIR, tag)
     out: dict[str, bytes] = {}
-    if all(os.path.exists(os.path.join(cache, n)) for n in _RESOURCES):
-        for n in _RESOURCES:
+    if all(os.path.exists(os.path.join(cache, n)) for n in names):
+        for n in names:
             with open(os.path.join(cache, n), "rb") as f:
                 out[n] = f.read()
         return out
     jimage = os.path.join(java_home, "bin", "jimage")
     if not (os.path.exists(jimage) and os.path.exists(modules)):
         raise ThaiSegmentationUnavailable(
-            "This JRE does not have support for Thai segmentation "
+            f"This JRE does not have support for {label} "
             f"(no jimage/modules under {java_home!r})")
     # per-pid staging: concurrent cold-cache workers (forked local[N]
     # executors) must not rmtree each other's in-flight extract
     tmp = f"{cache}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pat = "|".join(_RESOURCES)
+    pat = "|".join(names)
     res = subprocess.run(
         [jimage, "extract", "--include", f"regex:.*({pat})$",
          "--dir", tmp, modules],
@@ -132,11 +132,11 @@ def _load_resources() -> dict[str, bytes]:
         raise ThaiSegmentationUnavailable(
             f"jimage extract failed: {res.stderr.strip()[:200]}")
     os.makedirs(cache, exist_ok=True)
-    for name, mod in _RESOURCES.items():
+    for name, mod in names.items():
         src = os.path.join(tmp, mod, name)
         if not os.path.exists(src):
             raise ThaiSegmentationUnavailable(
-                "This JRE does not have support for Thai segmentation "
+                f"This JRE does not have support for {label} "
                 f"(missing {mod}/{name})")
         with open(src, "rb") as f:
             out[name] = f.read()
@@ -148,6 +148,10 @@ def _load_resources() -> dict[str, bytes]:
         os.replace(part, os.path.join(cache, name))
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _load_resources() -> dict[str, bytes]:
+    return _load_named(_RESOURCES, "Thai segmentation")
 
 
 # ------------------------------------------------------- binary table parse
@@ -667,6 +671,73 @@ def thai_tokens_offsets(text: str) -> list[tuple[str, int, int]]:
 def thai_tokens(text: str) -> list[str]:
     """Raw-tokenizer surface for the analysis registry (terms only)."""
     return [t for t, _, _ in thai_tokens_offsets(text)]
+
+
+# ------------------------------------------- JDK sentence break (public)
+
+_SENT_ENGINE: dict[int, _RuleBreaker] = {}
+
+
+def _sentence_engine() -> _RuleBreaker:
+    """Per-process singleton for ``BreakIterator.getSentenceInstance
+    (Locale.ROOT)`` — the state table ships in java.base (extracted on
+    its own, so a JDK without the Thai locale module still serves it)."""
+    pid = os.getpid()
+    got = _SENT_ENGINE.get(pid)
+    if got is None:
+        res = _load_named(
+            {"SentenceBreakIteratorData": "java.base/sun/text/resources"},
+            "sentence break iteration")
+        got = _RuleBreaker(_RBBIData(res["SentenceBreakIteratorData"]))
+        _SENT_ENGINE.clear()
+        _SENT_ENGINE[pid] = got
+    return got
+
+
+def sentence_boundaries_units(units: list[int]) -> list[int]:
+    """ALL boundaries of the unit buffer in UTF-16 offsets: [0, ..., n].
+    (The parity fuzz compares THESE against the compiled JDK iterator's
+    own char offsets.)"""
+    eng = _sentence_engine()
+    eng.set_text(units, len(units))
+    bounds_u = [0]
+    while True:
+        b = eng.handle_next()
+        if b == DONE:
+            break
+        bounds_u.append(b)
+    if bounds_u[-1] != len(units):
+        bounds_u.append(len(units))
+    return bounds_u
+
+
+def sentence_boundaries(text: str) -> list[int]:
+    """ALL sentence boundaries of ``text`` per the JDK's Locale.ROOT
+    sentence ``RuleBasedBreakIterator`` (the ``UnifiedHighlighter``
+    default break iterator), as CODEPOINT offsets into the python str
+    (identical to UTF-16 offsets on BMP-only text; a boundary never
+    splits a surrogate pair, so the conversion is exact). Always starts
+    with 0 and ends with len(text); empty text -> [0].
+
+    Enumerating once and bisecting reproduces ``following``/``preceding``
+    exactly: for a rule-based iterator they are defined as the
+    smallest boundary > pos / largest boundary < pos."""
+    units = _to_units(text or "")
+    bounds_u = sentence_boundaries_units(units)
+    if len(units) == len(text):
+        return bounds_u  # BMP fast path: units == codepoints
+    # unit offset -> codepoint offset: subtract the number of surrogate
+    # PAIRS starting before the boundary (each collapses to 1 codepoint;
+    # a lone surrogate stays 1 unit = 1 codepoint, so only real pairs
+    # count). Boundaries never split a pair, so this is exact.
+    pair_starts = np.cumsum(np.fromiter(
+        ((1 if (_is_high(units[i]) and i + 1 < len(units)
+                and _is_low(units[i + 1])) else 0)
+         for i in range(len(units))), dtype=np.int64, count=len(units)))
+    out = []
+    for b in bounds_u:
+        out.append(int(b - (pair_starts[b - 1] if b > 0 else 0)))
+    return out
 
 
 # ------------------------------------------------------------- chain layer

@@ -27,11 +27,13 @@ Replays the reference's postings-offsets highlighting pipeline exactly:
   BreakIterator.java:41-132``) including its CharacterIterator stepping
   quirks (the forward scan starts at pos+1 and the backward scan at pos-1,
   so a separator AT the probe position is skipped — JDK-8015110 notes
-  preserved), and ``WholeBreakIterator``. The reference DEFAULT
+  preserved), ``WholeBreakIterator``, and — the reference DEFAULT
   (``BreakIterator.getSentenceInstance(Locale.ROOT)``,
-  ``UnifiedHighlighter.java:113``) is locale/ICU-bound — a documented gap
-  of the same class as Thai/Lao dictionary segmentation; callers pick a
-  separator (sentence-final '.' or '\\n') or whole-text breaking.
+  ``UnifiedHighlighter.java:113``) — ``JdkSentenceBreakIterator``,
+  replaying the JDK's own sentence rules from its jimage state table
+  (``functions/thaibreak.py`` runtime-resource protocol; break positions
+  fuzzed against the compiled JDK iterator by
+  ``tools/sentence_parity.py``). Pass ``break_iterator="sentence"``.
 
 Offsets run in codepoint units (identical to UTF-16 units on BMP-only
 text, which is what the stored-offsets build guarantees exactness for).
@@ -70,6 +72,46 @@ class WholeBreakIterator:
         if pos < 0 or pos > self._end:
             raise ValueError("offset out of bounds")
         return DONE if pos == self._end else self._end
+
+
+class JdkSentenceBreakIterator:
+    """``BreakIterator.getSentenceInstance(Locale.ROOT)`` — the reference
+    UnifiedHighlighter DEFAULT (``UnifiedHighlighter.java:113``).
+
+    Backed by the JDK's own sentence ``RuleBasedBreakIterator`` state
+    table, read at runtime from the local JDK's jimage and replayed by
+    the transcribed DFA (``functions/thaibreak.py`` — the proven
+    runtime-resource protocol; compiled-parity fuzzed in
+    ``tools/sentence_parity.py``). ``set_text`` enumerates ALL
+    boundaries once; ``following``/``preceding`` bisect — for a
+    rule-based iterator those are exactly the smallest boundary > pos /
+    largest boundary < pos. Offsets are codepoint (python str) units."""
+
+    def __init__(self) -> None:
+        self._bounds: list[int] = [0]
+        self._end = 0
+
+    def set_text(self, content: str) -> None:
+        from lucene_spark.functions.thaibreak import sentence_boundaries
+
+        self._bounds = sentence_boundaries(content)
+        self._end = len(content)
+
+    def following(self, pos: int) -> int:
+        import bisect
+
+        if pos < 0 or pos > self._end:
+            raise ValueError("offset out of bounds")
+        i = bisect.bisect_right(self._bounds, pos)
+        return self._bounds[i] if i < len(self._bounds) else DONE
+
+    def preceding(self, pos: int) -> int:
+        import bisect
+
+        if pos < 0 or pos > self._end:
+            raise ValueError("offset out of bounds")
+        i = bisect.bisect_left(self._bounds, pos)
+        return self._bounds[i - 1] if i > 0 else DONE
 
 
 class CustomSeparatorBreakIterator:
@@ -308,7 +350,15 @@ def highlight_unified(
         )
     from lucene_spark.index.merge import term_bucket_of
 
-    bi = break_iterator if break_iterator is not None else WholeBreakIterator()
+    # "sentence" selects the reference DEFAULT (JDK Locale.ROOT sentence
+    # rules); None keeps the whole-text iterator for backward compat with
+    # existing callers/oracles
+    if break_iterator == "sentence":
+        bi = JdkSentenceBreakIterator()
+    elif break_iterator is not None:
+        bi = break_iterator
+    else:
+        bi = WholeBreakIterator()
     sc = scorer if scorer is not None else PassageScorer()
     mnp = max_passages if max_no_highlight_passages == -1 \
         else max_no_highlight_passages

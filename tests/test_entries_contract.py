@@ -27,6 +27,10 @@ def test_oracle_keys_subset_of_queries():
         # identity pinned in test_operators.py
         "ann_ivf_quantized", "ann_hnsw_quantized",  # KMeans/graph state; the
         # quantization itself IS fully oracle-checked via ann_quantized_topk
+        "highlight_unified_sentence",  # JDK sentence DFA not SQL-expressible;
+        # break positions compiled-class fuzzed (tools/sentence_parity.py) and
+        # goldens pinned in test_uhighlight.py; passage pipeline shared with
+        # the fully-oracled highlight_unified
     }
 
 

@@ -286,6 +286,120 @@ def test_eviction_keeps_best_scores():
            (best.start, best.end, best.score)
 
 
+def test_jdk_sentence_break_iterator_goldens():
+    """JdkSentenceBreakIterator boundaries == the compiled JDK
+    ``BreakIterator.getSentenceInstance(Locale.ROOT)`` — goldens PRINTED
+    FROM the compiled class (tools/sentence_parity.py driver; the full
+    fuzz runs 2x4010 random cases with 0 mismatches). Note the JDK quirk
+    the goldens pin: '. ' followed by LOWERCASE does not break (treated
+    as abbreviation continuation) — 'Dr. Smith' stays split only after
+    'Dr. ' because the next word is capitalized."""
+    from lucene_spark.functions.thaibreak import sentence_boundaries
+    from lucene_spark.operators.uhighlight import JdkSentenceBreakIterator
+
+    goldens = {
+        "Hello world. This is a test! Is it? Yes.": [0, 13, 29, 36, 40],
+        "Dr. Smith went to Washington. He arrived at 3.14 p.m. sharp.":
+            [0, 4, 30, 60],
+        "One sentence only": [0, 17],
+        "Line one\nLine two.\nLine three": [0, 19, 29],
+        '"Quoted sentence." Next one here. (Parens too.) End':
+            [0, 19, 34, 48, 51],
+        "": [0],
+        "Multiple   spaces.   After punctuation!    Next": [0, 21, 43, 47],
+        "scan the merge plan. then scan again. done now": [0, 46],
+        "Scan the merge plan. Then scan again. Done now": [0, 21, 38, 46],
+    }
+    for text, exp in goldens.items():
+        assert sentence_boundaries(text) == exp, text
+
+    bi = JdkSentenceBreakIterator()
+    text = "Hello world. This is a test! Is it? Yes."
+    bi.set_text(text)
+    # following = smallest boundary > pos; preceding = largest < pos
+    assert bi.following(0) == 13
+    assert bi.following(13) == 29
+    assert bi.following(len(text)) == DONE
+    assert bi.preceding(0) == DONE
+    assert bi.preceding(14) == 13
+    assert bi.preceding(13) == 0
+    assert bi.preceding(len(text)) == 36
+
+
+def test_spark_end_to_end_sentence_mode(spark, tmp_path):
+    """highlight_unified(break_iterator='sentence') — the reference
+    DEFAULT BreakIterator — over a real offsets index: snippets equal the
+    reference replay fed with COMPILED-CLASS golden sentence boundaries
+    (so the test is independent of the python DFA)."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.operators.uhighlight import highlight_unified
+    from lucene_spark.query.ast import BooleanQuery, TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = [
+        "Scan the merge plan. Then scan again. Done now",
+        "Merge scan merge. Nothing else",
+        "A scan. With one merge word. And more scan text here",
+        "Unrelated words only",
+    ]
+    # printed from the compiled JDK class (tools/sentence_parity.py)
+    golden_bounds = {
+        texts[0]: [0, 21, 38, 46],
+        texts[1]: [0, 18, 30],
+        texts[2]: [0, 8, 29, 52],
+        texts[3]: [0, 20],
+    }
+
+    class GoldenBI:
+        def __init__(self, bounds):
+            self.b = bounds
+
+        def set_text(self, content):
+            pass
+
+        def following(self, pos):
+            nxt = [x for x in self.b if x > pos]
+            return nxt[0] if nxt else DONE
+
+        def preceding(self, pos):
+            prv = [x for x in self.b if x < pos]
+            return prv[-1] if prv else DONE
+
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "uhs")
+    sdf = spark.createDataFrame(rows)
+    build_index(spark, sdf, idx,
+                IndexConfig(num_segments=2, term_buckets=2,
+                            analyzer="simple", offsets=True))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    terms = ["scan", "merge"]
+    hits = s.search(BooleanQuery(must=[TermQuery(t) for t in terms]), 10)
+    out = highlight_unified(
+        s, hits, sdf, terms, max_passages=2, break_iterator="sentence",
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        text = texts[int(r.conv_id[1:])]
+        matches = []
+        for t in terms:
+            spans = [(m.start(), m.end())
+                     for m in re.finditer(r"(?<![a-z0-9])%s(?![a-z0-9])" % t,
+                                          text.lower())]
+            matches += [(st, en, t, len(spans)) for st, en in spans]
+        matches.sort(key=lambda m: (m[0], m[1], m[2]))
+        exp = ref_highlight(matches, len(text),
+                            GoldenBI(golden_bounds[text]), 2)
+        assert r.snippet == ref_format(exp, text), text
+        assert F32(r.psg_score) == max(p["score"] for p in exp)
+
+
 def test_spark_end_to_end(spark, tmp_path):
     """highlight_unified over a real offsets index: snippets equal the
     driver-side replay fed with independently regex-derived matches."""

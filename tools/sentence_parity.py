@@ -1,0 +1,154 @@
+"""Compiled-JDK parity fuzz for thaibreak.sentence_boundaries_units.
+
+Compiles a 20-line Java driver that prints every boundary of
+``java.text.BreakIterator.getSentenceInstance(Locale.ROOT)`` (base64
+strings on stdin, space-separated char offsets on stdout) and fuzzes the
+transcribed sentence DFA against it. A pass pins the whole
+UnifiedHighlighter default-break-iterator path: state-table parse, DFA
+replay (lookahead/end states), and the boundary-enumeration contract
+([0, ..., n] — the driver prints first()..last() the same way).
+
+Inputs deliberately include: multi-sentence English with ./!/?/... and
+quotes, abbreviation-ish dots, numbers, newlines/CR/NEL, Thai and CJK
+(no-space scripts), emoji (surrogate pairs), lone surrogates, U+FFFF
+(the CharacterIterator DONE sentinel quirk), leading/trailing
+whitespace, and empty-ish strings.
+
+Run: python tools/sentence_parity.py [n_cases] [seed]  (default 4000, 42)
+"""
+from __future__ import annotations
+
+import base64
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/sentparity"
+
+DRIVER = r"""
+import java.text.BreakIterator;
+import java.util.Base64;
+import java.util.Locale;
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+
+public class SentDriver {
+  public static void main(String[] args) throws Exception {
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.US_ASCII));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.US_ASCII));
+    BreakIterator bi = BreakIterator.getSentenceInstance(Locale.ROOT);
+    String line;
+    while ((line = in.readLine()) != null) {
+      // build the char[] by hand: String(bytes, UTF_16BE) replaces lone
+      // surrogates with U+FFFD, silently changing the input
+      byte[] raw = Base64.getDecoder().decode(line);
+      char[] cs = new char[raw.length / 2];
+      for (int i = 0; i < cs.length; i++)
+        cs[i] = (char)(((raw[2*i] & 0xFF) << 8) | (raw[2*i+1] & 0xFF));
+      String s = new String(cs);
+      bi.setText(s);
+      StringBuilder sb = new StringBuilder();
+      for (int b = bi.first(); b != BreakIterator.DONE; b = bi.next()) {
+        if (sb.length() > 0) sb.append(' ');
+        sb.append(b);
+      }
+      out.println(sb.toString());
+      out.flush();
+    }
+  }
+}
+"""
+
+
+def _compile() -> str:
+    os.makedirs(ROOT, exist_ok=True)
+    src = os.path.join(ROOT, "SentDriver.java")
+    with open(src, "w") as f:
+        f.write(DRIVER)
+    subprocess.run(["javac", "-encoding", "UTF-8", "-d", ROOT, src],
+                   check=True)
+    return ROOT
+
+
+def gen_cases(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    words = ["the", "cat", "Dr", "etc", "U.S", "v1.2", "hello", "WORLD",
+             "it's", "don't", "e.g", "1999", "3.14", "a"]
+    thai = "สวัสดีครับผมไปโรงเรียนแมวน้ำการทดลอง"
+    cjk = "日本語の文章。これはテストです中文句子"
+    enders = [". ", "! ", "? ", "... ", ".\n", "?\"  ", ".) ", ": ", "; ",
+              ".", "!", "\r\n", "", " ", " "]
+    extras = ["\U0001F600", "\U0001F914", "\ud800", "\udc00", "￿",
+              " ", "\t", "\"", "'", "(", ")", " "]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 6)
+        parts = []
+        for _ in range(k):
+            m = rng.randint(1, 7)
+            sent = " ".join(rng.choice(words) for _ in range(m))
+            if rng.random() < 0.3:
+                sent = rng.choice(["\"", "'", "("]) + sent
+            parts.append(sent + rng.choice(enders))
+        s = "".join(parts)
+        if rng.random() < 0.25:
+            i = rng.randint(0, len(thai) - 5)
+            s += thai[i:i + rng.randint(1, 12)]
+        if rng.random() < 0.2:
+            i = rng.randint(0, len(cjk) - 5)
+            s += cjk[i:i + rng.randint(1, 10)]
+        for _ in range(rng.randint(0, 3)):
+            e = rng.choice(extras)
+            i = rng.randint(0, len(s)) if s else 0
+            s = s[:i] + e + s[i:]
+        out.append(s)
+    out.extend(["", " ", ".", "a.", "Hello. World.", "a￿b. c.",
+                "No terminator at all", "..?!..", "\n\n\n",
+                "One. Two! Three? Four Five"])
+    return out
+
+
+def main(n: int = 4000, seed: int = 42) -> int:
+    from lucene_spark.functions.thaibreak import (
+        _to_units, sentence_boundaries_units,
+    )
+
+    cases = gen_cases(n, seed)
+    _compile()
+    payload = "\n".join(
+        base64.b64encode(c.encode("utf-16-be", "surrogatepass")).decode()
+        for c in cases) + "\n"
+    res = subprocess.run(
+        ["java", "-cp", ROOT, "SentDriver"], input=payload,
+        capture_output=True, text=True, check=True)
+    jlines = res.stdout.splitlines()
+    assert len(jlines) == len(cases), (len(jlines), len(cases))
+    bad = 0
+    for c, jl in zip(cases, jlines):
+        exp = [int(x) for x in jl.split()] if jl.strip() else [0]
+        # the driver prints first()..last(); our contract appends the end
+        # even when the DFA stopped early (U+FFFF sentinel) — normalize
+        # both to the full [0..n] closure for comparison
+        units = _to_units(c)
+        if exp[-1] != len(units):
+            exp = exp + [len(units)]
+        got = sentence_boundaries_units(units)
+        if got != exp:
+            bad += 1
+            if bad <= 10:
+                print("MISMATCH", repr(c))
+                print("  java:", exp)
+                print("  py:  ", got)
+    print(f"{len(cases)} cases, {bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sys.exit(main(n, seed))
