@@ -55,6 +55,9 @@ def __getattr__(name):
     if name == "build_hnsw_index":
         from lucene_spark.operators.hnsw import build_hnsw_index
         return build_hnsw_index
+    if name == "append_hnsw_batch":
+        from lucene_spark.operators.hnsw import append_hnsw_batch
+        return append_hnsw_batch
     if name == "hnsw_ann_topk_indexed":
         from lucene_spark.operators.hnsw import hnsw_ann_topk_indexed
         return hnsw_ann_topk_indexed
@@ -71,5 +74,6 @@ __all__ = [
     "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
     "update_docs", "soft_delete_docs",
     "build_doc_partitioned", "build_hnsw_index", "hnsw_ann_topk_indexed",
+    "append_hnsw_batch",
     "intervals",
 ]

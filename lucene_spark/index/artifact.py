@@ -88,6 +88,27 @@ def generation_ok(index_dir: str, prev: dict) -> bool:
     return bool(data) and os.path.isdir(os.path.join(index_dir, data))
 
 
+def content_fingerprint_parts(df, cols) -> tuple[int, int, int]:
+    """(n_rows, xor-fold, decimal-sum-fold) over ``df[cols]`` — the two
+    raw folds are COMBINABLE across disjoint row sets (xor composes by
+    xor, sum by addition), which is what lets an incremental append
+    derive the fingerprint of (old ∪ batch) without re-scanning old."""
+    from pyspark.sql import functions as F
+
+    wcols = [F.col(c) for c in cols]
+    agg = df.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*wcols)).alias("h"),
+        F.sum(F.xxhash64(*wcols).cast("decimal(38,0)")).alias("hs"),
+    ).first()
+    return int(agg["n"]), int(agg["h"] or 0), int(agg["hs"] or 0)
+
+
+def fold_fingerprint(h: int, hs: int) -> int:
+    """Fold the two combinable parts into the 64-bit manifest key."""
+    return (h ^ (hs * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+
+
 def content_fingerprint(df, cols) -> tuple[int, int]:
     """(n_rows, 64-bit content fold) over ``df[cols]`` — order-independent
     and multiplicity-sensitive, one aggregate job.
@@ -98,18 +119,8 @@ def content_fingerprint(df, cols) -> tuple[int, int]:
     overflow) is mixed in.  Builders key their generation name on this so
     same-params rebuilds over CHANGED data rebuild — params-only or
     count-only matching silently serves stale state."""
-    from pyspark.sql import functions as F
-
-    wcols = [F.col(c) for c in cols]
-    agg = df.select(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(*wcols)).alias("h"),
-        F.sum(F.xxhash64(*wcols).cast("decimal(38,0)")).alias("hs"),
-    ).first()
-    n_rows = int(agg["n"])
-    fp = ((int(agg["h"] or 0) ^ (int(agg["hs"] or 0) * 0x9E3779B97F4A7C15))
-          & 0xFFFFFFFFFFFFFFFF)
-    return n_rows, fp
+    n_rows, h, hs = content_fingerprint_parts(df, cols)
+    return n_rows, fold_fingerprint(h, hs)
 
 
 def prune_generations(index_dir: str, keep: str, prefix: str) -> None:

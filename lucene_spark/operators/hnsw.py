@@ -168,6 +168,45 @@ def _select_diverse(vecs, q, candidates, m):
     return out
 
 
+def _insert_loop(vecs, levels, adj, entry: int, start: int, m: int,
+                 ef_construction: int) -> int:
+    """The sequential HNSW insertion loop (paper Alg. 1 with Lucene's
+    diversity selection), inserting nodes ``start..len-1`` into the state
+    (``adj``, ``entry``); returns the final entry index. Shared verbatim
+    by the from-scratch build and the incremental append so an append of
+    monotonically-higher vec_ids is BIT-IDENTICAL to a full rebuild (same
+    insertion order, same md5 levels, same tie-breaks)."""
+
+    def _shrink(node: int, lc: int):
+        cap = m * 2 if lc == 0 else m
+        lst = adj[node][lc]
+        if len(lst) <= cap:
+            return
+        dd = 1.0 - vecs[lst] @ vecs[node]
+        cand = sorted(zip(dd.tolist(), lst))
+        adj[node][lc] = [nb for _, nb in _select_diverse(vecs, vecs[node], cand, cap)]
+
+    for i in range(start, len(levels)):
+        if entry < 0:
+            entry = i
+            continue
+        q = vecs[i]
+        lvl, top = levels[i], levels[entry]
+        eps = [entry]
+        for lc in range(top, lvl, -1):
+            eps = [_search_layer(vecs, adj, q, eps, 1, lc)[0][1]]
+        for lc in range(min(lvl, top), -1, -1):
+            w = _search_layer(vecs, adj, q, eps, ef_construction, lc)
+            for d, nb in _select_diverse(vecs, q, w, m):
+                adj[i][lc].append(nb)
+                adj[nb][lc].append(i)
+                _shrink(nb, lc)
+            eps = [e for _, e in w]
+        if lvl > top:
+            entry = i
+    return entry
+
+
 def _build_graph(
     pdf: pd.DataFrame, m: int, ef_construction: int,
     scale: float | None = None,
@@ -187,35 +226,7 @@ def _build_graph(
     adj: list[list[list[int]]] = [
         [[] for _ in range(levels[i] + 1)] for i in range(len(ids))
     ]
-    entry = -1  # index of current entry point (max level, first-inserted tie)
-
-    def _shrink(node: int, lc: int):
-        cap = m * 2 if lc == 0 else m
-        lst = adj[node][lc]
-        if len(lst) <= cap:
-            return
-        dd = 1.0 - vecs[lst] @ vecs[node]
-        cand = sorted(zip(dd.tolist(), lst))
-        adj[node][lc] = [nb for _, nb in _select_diverse(vecs, vecs[node], cand, cap)]
-
-    for i in range(len(ids)):
-        if entry < 0:
-            entry = i
-            continue
-        q = vecs[i]
-        lvl, top = levels[i], levels[entry]
-        eps = [entry]
-        for lc in range(top, lvl, -1):
-            eps = [_search_layer(vecs, adj, q, eps, 1, lc)[0][1]]
-        for lc in range(min(lvl, top), -1, -1):
-            w = _search_layer(vecs, adj, q, eps, ef_construction, lc)
-            for d, nb in _select_diverse(vecs, q, w, m):
-                adj[i][lc].append(nb)
-                adj[nb][lc].append(i)
-                _shrink(nb, lc)
-            eps = [e for _, e in w]
-        if lvl > top:
-            entry = i
+    _insert_loop(vecs, levels, adj, -1, 0, m, ef_construction)
 
     out = {
         "part": pdf["part"].to_numpy(),
@@ -263,8 +274,8 @@ def build_hnsw_index(
     quantized scores, float rescore at query time — pass ``embeddings=``
     to ``hnsw_ann_topk_indexed``)."""
     from lucene_spark.index.artifact import (
-        content_fingerprint, generation_ok, load_manifest_if,
-        prune_generations, write_manifest_atomic,
+        content_fingerprint_parts, fold_fingerprint, generation_ok,
+        load_manifest_if, prune_generations, write_manifest_atomic,
     )
 
     shape = embeddings.select(
@@ -272,8 +283,12 @@ def build_hnsw_index(
     ).first()
     n_vecs, dim = int(shape["n"]), int(shape["d"] or 0)
     # content fold over (id, vector), not count+dim: re-embedding the same
-    # corpus (same n, same dim, different vectors) must rebuild the graph
-    _, fp = content_fingerprint(embeddings, (id_col, vec_col))
+    # corpus (same n, same dim, different vectors) must rebuild the graph.
+    # The raw parts are kept in the manifest so append_hnsw_batch can
+    # combine them with a batch's parts — a later full build over the
+    # same (old ∪ batch) corpus then short-circuits on the appended index.
+    _, fph, fps = content_fingerprint_parts(embeddings, (id_col, vec_col))
+    fp = fold_fingerprint(fph, fps)
     prev = load_manifest_if(index_dir)
     if (
         prev is not None
@@ -338,12 +353,189 @@ def build_hnsw_index(
         "n_vecs": n_vecs,
         "dim": dim,
         "fingerprint": fp,
+        "fp_parts": [fph, fps],
         "metric": "cosine",
         "quantized": quantize,
         "scale": scale,
     })
     prune_generations(index_dir, keep=gen, prefix="graph")
     return manifest
+
+
+def append_hnsw_batch(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally insert a batch into the existing partition graphs —
+    the ``HnswGraphBuilder`` insert model on a committed index instead of
+    the O(full corpus) rebuild-per-refresh (the r4 VERDICT item): each
+    partition task reconstructs its graph state from the stored adjacency
+    rows and runs the SAME sequential insertion loop for just the new
+    vectors. Determinism is preserved (md5 levels, ascending-vec_id
+    insertion, vec_id tie-breaks), so for a batch whose vec_ids all
+    exceed the existing ones — the append-only id discipline — the result
+    is BIT-IDENTICAL to a from-scratch build over (old ∪ batch): the
+    oracle-by-construction the bit-identity pytest pins. Interleaved ids
+    still produce a valid graph (recall-tested), just not the rebuild's
+    exact adjacency.
+
+    Quantized indexes insert with the COMMITTED scale (codes must stay
+    mutually comparable); a periodic full rebuild re-estimates it — the
+    reference's ScalarQuantizer likewise re-derives quantiles only on
+    merge. Cost: O(batch · log n · M · ef) per partition plus one
+    rewrite of the graph parquet (new generation dir, manifest last);
+    no old vector is re-inserted. Replays of an already-applied batch
+    (content fingerprint recorded in ``manifest["appended"]``)
+    short-circuit; duplicate vec_ids raise."""
+    from lucene_spark.index.artifact import (
+        content_fingerprint_parts, data_path, fold_fingerprint,
+        prune_generations, read_manifest, write_manifest_atomic,
+    )
+
+    manifest = read_manifest(index_dir, ("hnsw_v1", "hnsw_sq8_v1"))
+    num_parts = int(manifest["num_parts"])
+    m = int(manifest["m"])
+    efc = int(manifest["ef_construction"])
+    quantize = bool(manifest.get("quantized"))
+    scale = float(manifest["scale"]) if quantize else None
+    dim = int(manifest["dim"])
+
+    shape = new_embeddings.select(
+        F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n_new = int(shape["n"])
+    if n_new == 0:
+        return manifest
+    if int(shape["d"] or 0) != dim:
+        raise ValueError(
+            f"batch dim {shape['d']} != index dim {dim}")
+    nb, bh, bhs = content_fingerprint_parts(new_embeddings,
+                                            (id_col, vec_col))
+    batch_tag = f"{fold_fingerprint(bh, bhs):016x}"
+    if batch_tag in manifest.get("appended", []):
+        return manifest  # exactly-once replay
+
+    graph = spark.read.parquet(data_path(index_dir, manifest, "graph"))
+    if quantize:
+        from lucene_spark.operators.quantize import (
+            _norm_frame, _quantize_rows,
+        )
+
+        def coder(it):
+            import pyarrow as pa
+
+            pa.set_cpu_count(1)
+            for pdf in it:
+                if pdf.empty:
+                    yield pd.DataFrame(
+                        {"vec_id": pd.Series(dtype=np.int64),
+                         "code": pd.Series(dtype=object)})
+                    continue
+                mat = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                codes = _quantize_rows(
+                    mat, pdf["nrm"].to_numpy(np.float64), scale)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "code": [c.tobytes() for c in codes]})
+
+        new_rows = (
+            _norm_frame(new_embeddings, id_col, vec_col)
+            .mapInPandas(coder, schema="vec_id long, code binary"))
+        payload = "code"
+    else:
+        new_rows = new_embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        payload = "embedding"
+    new_rows = new_rows.withColumn(
+        "part",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_parts)).cast("int")
+    ).withColumn("neighbors",
+                 F.lit(None).cast("array<array<long>>"))
+    combined = graph.select("part", "vec_id", payload, "neighbors"
+                            ).unionByName(
+        new_rows.select("part", "vec_id", payload, "neighbors"))
+
+    ml = 1.0 / math.log(m)
+
+    def inserter(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        if pdf.empty:
+            cols = ["part", "vec_id", payload, "neighbors"]
+            return pd.DataFrame({c: [] for c in cols})
+        is_old = pdf["neighbors"].notnull()
+        old = (pdf[is_old].sort_values("vec_id").reset_index(drop=True))
+        new = (pdf[~is_old].sort_values("vec_id").reset_index(drop=True))
+        if new.empty:
+            return pdf[["part", "vec_id", payload, "neighbors"]]
+        dup = set(old["vec_id"]) & set(new["vec_id"])
+        if dup:
+            raise ValueError(
+                f"append_hnsw_batch: vec_ids already indexed: "
+                f"{sorted(dup)[:5]} — use a rebuild (or update path)")
+        both = pd.concat([old, new], ignore_index=True)
+        ids = both["vec_id"].to_numpy(np.int64)
+        vecs = _unit_matrix(both, scale)
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        n_old = len(old)
+        # reconstruct builder state: stored adjacency (id-space -> index
+        # space) + levels; entry = min vec_id among max-level nodes ==
+        # first-inserted under ascending-id insertion
+        adj: list[list[list[int]]] = []
+        for i in range(n_old):
+            layers = old["neighbors"].iloc[i]
+            adj.append([[idx_of[int(x)] for x in layer]
+                        for layer in layers])
+        levels = [len(adj[i]) - 1 for i in range(n_old)]
+        entry = -1
+        if n_old:
+            top = max(levels)
+            entry = min(i for i in range(n_old) if levels[i] == top)
+        for i in range(n_old, len(ids)):
+            lvl = _level_for(int(ids[i]), ml)
+            levels.append(lvl)
+            adj.append([[] for _ in range(lvl + 1)])
+        _insert_loop(vecs, levels, adj, entry, n_old, m, efc)
+        return pd.DataFrame({
+            "part": both["part"].to_numpy(),
+            "vec_id": ids,
+            payload: both[payload],
+            "neighbors": [
+                [[int(ids[nb]) for nb in layer] for layer in adj[i]]
+                for i in range(len(ids))
+            ],
+        })[["part", "vec_id", payload, "neighbors"]]
+
+    gen_fph = int(manifest["fp_parts"][0]) ^ bh if manifest.get(
+        "fp_parts") else bh
+    gen_fps = (int(manifest["fp_parts"][1]) + bhs) if manifest.get(
+        "fp_parts") else bhs
+    fp = fold_fingerprint(gen_fph, gen_fps)
+    gen = (f"graph_{fp:016x}_p{num_parts}m{m}e{efc}"
+           + ("_q" if quantize else ""))
+    (combined.groupBy("part")
+     .applyInPandas(inserter,
+                    schema=GRAPH_SCHEMA_Q if quantize else GRAPH_SCHEMA)
+     .write.mode("overwrite").parquet(os.path.join(index_dir, gen)))
+
+    new_manifest = dict(manifest)
+    new_manifest.update({
+        "data": gen,
+        "n_vecs": int(manifest["n_vecs"]) + n_new,
+        # combined parts == what a full build over (old ∪ batch) computes,
+        # so a later build_hnsw_index over the same corpus short-circuits
+        "fingerprint": fp,
+        "fp_parts": [gen_fph, gen_fps],
+        "appended": list(manifest.get("appended", [])) + [batch_tag],
+    })
+    write_manifest_atomic(index_dir, new_manifest)
+    prune_generations(index_dir, keep=gen, prefix="graph")
+    return new_manifest
 
 
 def _search_graph(

@@ -545,6 +545,95 @@ def test_hnsw_recall_determinism_and_invariants(spark, embs, tmp_path):
     assert m2 == m
 
 
+def test_hnsw_incremental_append(spark, embs, tmp_path):
+    """append_hnsw_batch == from-scratch rebuild BIT-IDENTICALLY when the
+    batch's vec_ids all exceed the existing ones (same insertion order,
+    md5 levels, tie-breaks — the oracle-by-construction); recall holds;
+    replays short-circuit; duplicate ids raise; a later full build over
+    the combined corpus short-circuits on the appended index (combinable
+    fingerprint parts)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.operators.hnsw import (
+        append_hnsw_batch, build_hnsw_index, hnsw_ann_topk_indexed,
+    )
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    max_id = embs.agg(F.max("vec_id")).first()[0]
+    old = embs.filter(F.col("vec_id") <= max_id - 40)
+    batch = embs.filter(F.col("vec_id") > max_id - 40)
+    assert batch.count() >= 20
+
+    d_inc, d_full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_hnsw_index(old, d_inc, num_parts=2, m=8, ef_construction=64)
+    m1 = append_hnsw_batch(spark, batch, d_inc)
+    assert m1["n_vecs"] == embs.count()
+
+    build_hnsw_index(embs, d_full, num_parts=2, m=8, ef_construction=64)
+    rows_inc = sorted(
+        (r["part"], r["vec_id"], [list(l) for l in r["neighbors"]])
+        for r in spark.read.parquet(_gen_path(d_inc, "graph")).collect())
+    rows_full = sorted(
+        (r["part"], r["vec_id"], [list(l) for l in r["neighbors"]])
+        for r in spark.read.parquet(_gen_path(d_full, "graph")).collect())
+    assert rows_inc == rows_full  # bit-identity, graph for graph
+
+    # combined fingerprint == full-build fingerprint -> a rebuild over the
+    # same corpus short-circuits without touching the graph
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(d_full, "manifest.json")) as fh:
+        mf = _json.load(fh)
+    assert m1["fingerprint"] == mf["fingerprint"]
+    assert m1["fp_parts"] == mf["fp_parts"]
+    m_again = build_hnsw_index(embs, d_inc, num_parts=2, m=8,
+                               ef_construction=64)
+    assert m_again.get("appended") == m1["appended"]  # served, not rebuilt
+
+    # recall on the appended index
+    q = query_vector(embs, 5)
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, 10).collect()]
+    got = [r["vec_id"] for r in
+           hnsw_ann_topk_indexed(spark, d_inc, q, 10, ef_search=64).collect()]
+    assert len(set(exact) & set(got)) / 10 >= 0.9
+
+    # exactly-once replay: same batch fingerprint short-circuits
+    m2 = append_hnsw_batch(spark, batch, d_inc)
+    assert m2["appended"] == m1["appended"]
+    # duplicate ids (different content so the fingerprint differs) raise
+    dup = batch.withColumn(
+        "embedding", F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))"))
+    with pytest.raises(Exception, match="already indexed"):
+        append_hnsw_batch(spark, dup, d_inc)
+
+
+def test_hnsw_incremental_append_quantized(spark, embs, tmp_path):
+    """Quantized append: inserts with the COMMITTED scale, search recall
+    holds, replay short-circuits."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.operators.hnsw import (
+        append_hnsw_batch, build_hnsw_index, hnsw_ann_topk_indexed,
+    )
+    from lucene_spark.operators.similarity import cosine_topk, query_vector
+
+    max_id = embs.agg(F.max("vec_id")).first()[0]
+    old = embs.filter(F.col("vec_id") <= max_id - 40)
+    batch = embs.filter(F.col("vec_id") > max_id - 40)
+    d = str(tmp_path / "q")
+    m0 = build_hnsw_index(old, d, num_parts=2, m=8, ef_construction=64,
+                          quantize=True)
+    m1 = append_hnsw_batch(spark, batch, d)
+    assert m1["scale"] == m0["scale"]  # committed scale kept
+    assert m1["n_vecs"] == embs.count()
+    q = query_vector(embs, 5)
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, 10).collect()]
+    got = [r["vec_id"] for r in hnsw_ann_topk_indexed(
+        spark, d, q, 10, ef_search=64, embeddings=embs).collect()]
+    assert len(set(exact) & set(got)) / 10 >= 0.9
+
+
 # ------------------------------------------------------- filtered kNN
 
 def test_filtered_knn_exact_and_bucketed(spark, embs, tmp_path):
