@@ -2181,6 +2181,10 @@ _BRAZILIAN_AST = {"bool": {"must": [{"term": "filt"}], "should": [{"term": "merg
 _GALICIAN_AST = {"bool": {"must": [{"term": "tabl"}], "should": [{"term": "str"}]}}
 _PT_RSLP_AST = {"bool": {"must": [{"term": "merg"}], "should": [{"term": "vec"}]}}
 _DANISH_AST = {"bool": {"must": [{"term": "ord"}], "should": [{"term": "smal"}]}}
+#: polish (stempel): 'ć' is the stem of BOTH 'query' and 'value' on this
+#: corpus (trie patch-commands collide them) — the must term exercises the
+#: df-merging the collision causes; 'liny' = stem('line')
+_POLISH_AST = {"bool": {"must": [{"term": "ć"}], "should": [{"term": "liny"}]}}
 #: snowball analyzer-default chains; hy/et/ru are script-specific ->
 #: identity on this ASCII corpus (real text pinned in tests)
 _SNOWBALL_ASTS = {
@@ -2894,6 +2898,10 @@ def _pt_rslp_chain_df(spark, sf_dir):
 
 def _danish_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "danish", _DANISH_AST)
+
+
+def _polish_chain_df(spark, sf_dir):
+    return _lang_chain_df(spark, sf_dir, "polish", _POLISH_AST)
 
 
 def _append_search_df(spark, sf_dir):
@@ -3746,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_classic_chain"] = _classic_chain_df
     out["bm25_uax29_chain"] = _uax29_chain_df
     out["bm25_thai_chain"] = _thai_chain_df
+    out["bm25_polish_chain"] = _polish_chain_df
     out["bm25_shingle_chain"] = _shingle_chain_df
     out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
     out["bm25_word_delimiter_chain"] = _wdgf_chain_df
@@ -4513,6 +4522,7 @@ ORDER BY t.score DESC, t.doc_id ASC
     from lucene_spark.functions import snowball as _sb
     from lucene_spark.functions import snowball_chains as _sc
     from lucene_spark.functions import stemmers as _st
+    from lucene_spark.functions import stempel as _pl_stempel
     for _key, _ast, _stop, _tr in (
         ("bm25_french_chain", _FRENCH_AST, _st.FR_STOP_FULL,
          _st.french_chain_transform),
@@ -4564,6 +4574,8 @@ ORDER BY t.score DESC, t.doc_id ASC
          _gl.portuguese_rslp_stem),
         ("bm25_danish_chain", _DANISH_AST, _sb.DA_STOP,
          _sb.danish_stem),
+        ("bm25_polish_chain", _POLISH_AST, _pl_stempel.LazyPolishStop(),
+         _pl_stempel.polish_chain_transform),
         *(
             (f"bm25_{_a}_chain", _SNOWBALL_ASTS[_a], _stop_, _tr_)
             for _a, _stop_, _tr_ in (

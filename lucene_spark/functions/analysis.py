@@ -1272,6 +1272,21 @@ def _fill_snowball_chains():
     CHAIN_BASE["thai"] = "thai"
     RAW_TOKENIZERS["thai"] = (_findall_thai_lazy, None)
 
+    # Polish (stempel/PolishAnalyzer.java:134-141 — StandardTokenizer ->
+    # Lower -> Stop(stopwords.txt) -> StempelFilter(Egothor trie, min 3)):
+    # the patch-command table + stop file are the reference's own in-tree
+    # resources read AT RUNTIME (functions/stempel.py, the Thai/BeiderMorse
+    # protocol); the trie walk + Diff.apply are compiled-class fuzzed
+    # (tools/stempel_parity.py, 2x60k words 0 mismatches)
+    from lucene_spark.functions.stempel import (
+        LazyPolishStop, polish_chain_transform,
+    )
+
+    CHAIN_FILTERS["polish"] = (LazyPolishStop(), polish_chain_transform,
+                               None)
+    CHAIN_BASE["polish"] = "standard"
+    RAW_TOKENIZERS["polish"] = (_findall_standard, MAX_TOKEN_LENGTH)
+
 
 _fill_snowball_chains()
 

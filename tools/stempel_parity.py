@@ -1,0 +1,214 @@
+"""Compiled-reference parity fuzz for functions/stempel.py.
+
+Compiles the UNMODIFIED egothor read-path classes (Trie, MultiTrie,
+MultiTrie2, Row, Cell, Diff, Reduce is stubbed — build-time only) with
+tiny hppc shims (CharObjectHashMap / cursors, the tok_parity protocol),
+loads the in-tree ``stemmer_20000.tbl`` exactly like StempelStemmer.load,
+and fuzzes ``stempel_stem`` against the compiled
+``MultiTrie2.getLastOnPath`` + ``Diff.apply`` over Polish wordforms,
+accent-soup, ASCII and edge-case strings — both the COMMAND string and
+the final stem are compared.
+
+Run: python tools/stempel_parity.py [n_cases] [seed]  (default 60000, 42)
+"""
+from __future__ import annotations
+
+import base64
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/stempelparity"
+REF = "/root/reference/lucene/analysis/stempel/src/java/org/egothor/stemmer"
+TBL = ("/root/reference/lucene/analysis/stempel/src/resources/org/apache/"
+       "lucene/analysis/pl/stemmer_20000.tbl")
+
+SHIMS = {
+    "org/apache/lucene/internal/hppc/CharCursor.java": """
+package org.apache.lucene.internal.hppc;
+public class CharCursor { public char value; }
+""",
+    "org/apache/lucene/internal/hppc/ObjectCursor.java": """
+package org.apache.lucene.internal.hppc;
+public class ObjectCursor<T> { public T value; }
+""",
+    "org/apache/lucene/internal/hppc/CharObjectHashMap.java": """
+package org.apache.lucene.internal.hppc;
+import java.util.*;
+public class CharObjectHashMap<T> {
+  private final LinkedHashMap<Character, T> m = new LinkedHashMap<>();
+  public T put(char k, T v) { return m.put(k, v); }
+  public T get(char k) { return m.get(k); }
+  public int size() { return m.size(); }
+  public Iterable<CharCursor> keys() {
+    List<CharCursor> out = new ArrayList<>();
+    for (char c : m.keySet()) { CharCursor cc = new CharCursor(); cc.value = c; out.add(cc); }
+    return out;
+  }
+  public Iterable<ObjectCursor<T>> values() {
+    List<ObjectCursor<T>> out = new ArrayList<>();
+    for (T v : m.values()) { ObjectCursor<T> oc = new ObjectCursor<>(); oc.value = v; out.add(oc); }
+    return out;
+  }
+}
+""",
+    "org/egothor/stemmer/Reduce.java": """
+package org.egothor.stemmer;
+/** build-time only; stubbed so the read-path classes compile standalone */
+public class Reduce {
+  public Trie optimize(Trie orig) { return orig; }
+}
+""",
+}
+
+DRIVER = r"""
+import java.io.*;
+import java.util.Base64;
+import java.util.Locale;
+import org.egothor.stemmer.*;
+
+public class StempelDriver {
+  public static void main(String[] args) throws Exception {
+    DataInputStream in0 = new DataInputStream(
+        new BufferedInputStream(new FileInputStream(args[0])));
+    String method = in0.readUTF().toUpperCase(Locale.ROOT);
+    Trie stemmer = (method.indexOf('M') < 0)
+        ? new Trie(in0) : new MultiTrie2(in0);
+    in0.close();
+    BufferedReader in = new BufferedReader(new InputStreamReader(System.in, "US-ASCII"));
+    PrintWriter out = new PrintWriter(new OutputStreamWriter(System.out, "US-ASCII"));
+    String line;
+    while ((line = in.readLine()) != null) {
+      byte[] raw = Base64.getDecoder().decode(line);
+      char[] cs = new char[raw.length / 2];
+      for (int i = 0; i < cs.length; i++)
+        cs[i] = (char)(((raw[2*i] & 0xFF) << 8) | (raw[2*i+1] & 0xFF));
+      String word = new String(cs);
+      CharSequence cmd = stemmer.getLastOnPath(word);
+      StringBuilder sb = new StringBuilder(word);
+      String stem;
+      if (cmd == null) { stem = null; }
+      else {
+        Diff.apply(sb, cmd);
+        stem = sb.length() > 0 ? sb.toString() : null;
+      }
+      String c64 = cmd == null ? "~" : b64(cmd.toString());
+      String s64 = stem == null ? "~" : b64(stem);
+      out.println(c64 + " " + s64);
+      out.flush();
+    }
+  }
+  static String b64(String s) {
+    byte[] b = new byte[s.length() * 2];
+    for (int i = 0; i < s.length(); i++) {
+      b[2*i] = (byte)(s.charAt(i) >> 8); b[2*i+1] = (byte)(s.charAt(i) & 0xFF);
+    }
+    return Base64.getEncoder().encodeToString(b);
+  }
+}
+"""
+
+
+def _compile() -> None:
+    src = os.path.join(ROOT, "src")
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    for rel, body in SHIMS.items():
+        p = os.path.join(src, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(body)
+    for name in ("Trie", "MultiTrie", "MultiTrie2", "Row", "Cell", "Diff"):
+        dst = os.path.join(src, "org/egothor/stemmer", name + ".java")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(os.path.join(REF, name + ".java"), encoding="utf-8") as f:
+            body = f.read()
+        # the reference targets Java 21's unnamed catch variable `_`;
+        # this JDK 17 rejects the keyword — rename, zero semantic change
+        body = body.replace("Exception _)", "Exception ignored_)")
+        with open(dst, "w", encoding="utf-8") as f:
+            f.write(body)
+    with open(os.path.join(src, "StempelDriver.java"), "w") as f:
+        f.write(DRIVER)
+    files = []
+    for dirp, _, names in os.walk(src):
+        files += [os.path.join(dirp, n) for n in names if n.endswith(".java")]
+    subprocess.run(["javac", "-encoding", "UTF-8", "-d", ROOT] + files,
+                   check=True)
+
+
+PL = "aąbcćdeęfghijklłmnńoóprsśtuwyzźż"
+SUFFIXES = ["ować", "ami", "ach", "owie", "ego", "emu", "ymi", "ach",
+            "cie", "esz", "my", "cie", "ła", "ło", "li", "ły", "ie", "a",
+            "e", "y", "u", "ów", "om", "ość", "ości", "nie", "anie"]
+
+
+def gen_cases(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    out = ["", "a", "ab", "abc", "kot", "kotów", "domami", "najpiękniejszy",
+           "przyjaciółmi", "uczyliśmy", "zrobiwszy", "scan", "merge",
+           "window", "running", "xyzzy", "żółć", "***", "-a", "Ra"]
+    for _ in range(n):
+        k = rng.randint(1, 14)
+        w = "".join(rng.choice(PL) for _ in range(k))
+        if rng.random() < 0.5:
+            w += rng.choice(SUFFIXES)
+        if rng.random() < 0.1:
+            w = w.upper() if rng.random() < 0.5 else w.capitalize()
+        if rng.random() < 0.05:
+            w += rng.choice(["-", "'", "1", "ß", "é"])
+        out.append(w)
+    return out
+
+
+def _b64(s: str) -> str:
+    return base64.b64encode(s.encode("utf-16-be", "surrogatepass")).decode()
+
+
+def _unb64(s: str) -> str | None:
+    if s == "~":
+        return None
+    return base64.b64decode(s).decode("utf-16-be", "surrogatepass")
+
+
+def main(n: int = 60000, seed: int = 42) -> int:
+    from lucene_spark.functions.stempel import _stemmer, stempel_stem
+
+    cases = gen_cases(n, seed)
+    _compile()
+    payload = "\n".join(_b64(c) for c in cases) + "\n"
+    res = subprocess.run(
+        ["java", "-cp", ROOT, "StempelDriver", TBL], input=payload,
+        capture_output=True, text=True, check=True)
+    jlines = res.stdout.splitlines()
+    assert len(jlines) == len(cases), (len(jlines), len(cases))
+    eng = _stemmer()
+    bad = 0
+    for w, jl in zip(cases, jlines):
+        jc, js = jl.split(" ")
+        exp_cmd, exp_stem = _unb64(jc), _unb64(js)
+        got_cmd = eng.get_last_on_path(w) or None
+        # Java returns "" (non-null) for a caught-empty walk; stem() then
+        # applies the empty command -> word unchanged. Match that shape.
+        jraw_cmd = _unb64(jc)
+        got_stem = stempel_stem(w)
+        cmd_match = (got_cmd or None) == (jraw_cmd or None) or (
+            (got_cmd or "") == (jraw_cmd or ""))
+        if not cmd_match or got_stem != exp_stem:
+            bad += 1
+            if bad <= 10:
+                print("MISMATCH", repr(w))
+                print("  java cmd:", repr(exp_cmd), "stem:", repr(exp_stem))
+                print("  py   cmd:", repr(got_cmd), "stem:", repr(got_stem))
+    print(f"{len(cases)} cases, {bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sys.exit(main(n, seed))
