@@ -1,0 +1,522 @@
+"""Lucene FST read path — the ``org.apache.lucene.util.fst.FST`` binary
+format (version 6-9) transcribed for the morphological dictionaries.
+
+Reference (public Apache Lucene source, ``lucene/core/src/java/org/
+apache/lucene/util/fst/``):
+  - ``FST.java`` — metadata (``readMetadata:455-494``), arc flags
+    (:78-108), ``getFirstArc``/``findTargetArc``/``readNextRealArc``/
+    ``readArc`` (:589-1120), ``seekToNextNode`` (:1122-1145);
+  - ``ReverseBytesReader.java`` — the byte-REVERSED reader every arc
+    read goes through (``readByte`` returns ``bytes[pos--]``; vInts and
+    little-endian shorts compose from those reversed reads);
+  - ``BitTableUtil.java`` — presence-bit reads for direct-addressing
+    nodes;
+  - ``PositiveIntOutputs.java`` — vLong outputs, ``NO_OUTPUT == 0``.
+
+This is exactly the surface ``TokenInfoFST`` (analysis/morph) needs:
+root-arc lookup, per-label ``find_target_arc`` stepping, and output
+accumulation — the kuromoji/nori tokenizers' dictionary-prefix walks.
+Parity: ``tools/fst_parity.py`` enumerates EVERY (surface, ord) pair of
+the real in-tree ja ``TokenInfoDictionary$fst.dat`` through the COMPILED
+reference FST and through this module — byte-identical streams — plus
+random miss-probe walks.
+
+Supported read features: BYTE1/BYTE2/BYTE4 labels, empty-string output,
+linear-scan nodes, binary-search nodes, direct-addressing nodes with
+presence bits, continuous nodes (version 9), BIT_TARGET_NEXT chaining.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# arc flags (FST.java:78-108)
+BIT_FINAL_ARC = 1
+BIT_LAST_ARC = 2
+BIT_TARGET_NEXT = 4
+BIT_STOP_NODE = 8
+BIT_ARC_HAS_OUTPUT = 16
+BIT_ARC_HAS_FINAL_OUTPUT = 32
+ARCS_FOR_BINARY_SEARCH = BIT_ARC_HAS_FINAL_OUTPUT
+ARCS_FOR_DIRECT_ADDRESSING = 64
+ARCS_FOR_CONTINUOUS = ARCS_FOR_DIRECT_ADDRESSING + ARCS_FOR_BINARY_SEARCH
+
+FINAL_END_NODE = -1
+NON_FINAL_END_NODE = 0
+END_LABEL = -1
+
+CODEC_MAGIC = 0x3FD76C17
+NO_OUTPUT = 0
+
+BYTE1, BYTE2, BYTE4 = 0, 1, 2
+
+
+class FstFormatError(ValueError):
+    pass
+
+
+class _Forward:
+    """Forward DataInput over the file bytes (header/metadata reads)."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes, pos: int = 0):
+        self.b = b
+        self.pos = pos
+
+    def byte(self) -> int:
+        v = self.b[self.pos]
+        self.pos += 1
+        return v
+
+    def be_int(self) -> int:
+        (v,) = struct.unpack_from(">i", self.b, self.pos)
+        self.pos += 4
+        return v
+
+    def vint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    vlong = vint
+
+    def string(self) -> str:
+        n = self.vint()
+        s = self.b[self.pos:self.pos + n].decode("utf-8")
+        self.pos += n
+        return s
+
+
+class Reader:
+    """ReverseBytesReader: readByte returns bytes[pos] then pos -= 1;
+    multi-byte primitives compose from those reversed reads exactly like
+    the Java DataInput defaults."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+
+    def set_position(self, pos: int) -> None:
+        self.pos = pos
+
+    def get_position(self) -> int:
+        return self.pos
+
+    def skip(self, n: int) -> None:
+        self.pos -= n
+
+    def byte(self) -> int:
+        v = self.b[self.pos]
+        self.pos -= 1
+        return v
+
+    def short_le(self) -> int:
+        # DataInput.readShort since VERSION_LITTLE_ENDIAN: LE compose
+        b0 = self.byte()
+        b1 = self.byte()
+        return b0 | (b1 << 8)
+
+    def vlong(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    vint = vlong
+
+
+class Arc:
+    __slots__ = ("flags", "label", "output", "next_final_output", "target",
+                 "next_arc", "node_flags", "num_arcs", "bytes_per_arc",
+                 "pos_arcs_start", "arc_idx", "first_label",
+                 "presence_index", "bit_table_start")
+
+    def __init__(self):
+        self.flags = 0
+        self.label = 0
+        self.output = NO_OUTPUT
+        self.next_final_output = NO_OUTPUT
+        self.target = 0
+        self.next_arc = 0
+        self.node_flags = 0
+        self.num_arcs = 0
+        self.bytes_per_arc = 0
+        self.pos_arcs_start = 0
+        self.arc_idx = 0
+        self.first_label = 0
+        self.presence_index = 0
+        self.bit_table_start = 0
+
+    def flag(self, f: int) -> bool:
+        return bool(self.flags & f)
+
+    def is_final(self) -> bool:
+        return bool(self.flags & BIT_FINAL_ARC)
+
+    def is_last(self) -> bool:
+        return bool(self.flags & BIT_LAST_ARC)
+
+    def copy_from(self, o: "Arc") -> "Arc":
+        for s in Arc.__slots__:
+            setattr(self, s, getattr(o, s))
+        return self
+
+
+def _num_presence_bytes(label_range: int) -> int:
+    return (label_range + 7) >> 3
+
+
+class FST:
+    """Read-only FST over PositiveIntOutputs (vLong outputs — what every
+    morph dictionary uses). ``data`` is the full ``$fst.dat`` content:
+    CodecUtil header + metadata + body bytes."""
+
+    def __init__(self, data: bytes):
+        f = _Forward(data)
+        magic = f.be_int()
+        if magic != CODEC_MAGIC:
+            raise FstFormatError(f"bad codec magic {magic:#x}")
+        name = f.string()
+        if name != "FST":
+            raise FstFormatError(f"bad codec name {name!r}")
+        self.version = f.be_int()
+        if not 6 <= self.version <= 9:
+            raise FstFormatError(f"unsupported FST version {self.version}")
+        if f.byte() == 1:
+            n = f.vint()
+            raw = data[f.pos:f.pos + n]
+            f.pos += n
+            r = Reader(raw)
+            if n > 0:
+                r.set_position(n - 1)
+            self.empty_output = r.vlong() if n > 0 else NO_OUTPUT
+            self.has_empty = True
+        else:
+            self.empty_output = None
+            self.has_empty = False
+        self.input_type = f.byte()
+        if self.input_type not in (BYTE1, BYTE2, BYTE4):
+            raise FstFormatError(f"bad input type {self.input_type}")
+        self.start_node = f.vlong()
+        num_bytes = f.vlong()
+        self.bytes = data[f.pos:f.pos + num_bytes]
+        if len(self.bytes) != num_bytes:
+            raise FstFormatError("truncated FST body")
+
+    def reader(self) -> Reader:
+        return Reader(self.bytes)
+
+    # ---------------------------------------------------------------- reads
+
+    def read_label(self, r: Reader) -> int:
+        if self.input_type == BYTE1:
+            return r.byte()
+        if self.input_type == BYTE2:
+            if self.version < 8:
+                b1 = r.byte()
+                b0 = r.byte()
+                return b0 | (b1 << 8)  # pre-LE: reversed readShort
+            return r.short_le()
+        return r.vint()
+
+    def get_first_arc(self, arc: Arc) -> Arc:
+        if self.has_empty:
+            arc.flags = BIT_FINAL_ARC | BIT_LAST_ARC
+            arc.next_final_output = self.empty_output
+            if self.empty_output != NO_OUTPUT:
+                arc.flags |= BIT_ARC_HAS_FINAL_OUTPUT
+        else:
+            arc.flags = BIT_LAST_ARC
+            arc.next_final_output = NO_OUTPUT
+        arc.output = NO_OUTPUT
+        arc.target = self.start_node
+        return arc
+
+    def _read_presence_bytes(self, arc: Arc, r: Reader) -> None:
+        arc.bit_table_start = r.get_position()
+        r.skip(_num_presence_bytes(arc.num_arcs))
+
+    def _is_bit_set(self, bit: int, arc: Arc, r: Reader) -> bool:
+        r.set_position(arc.bit_table_start)
+        r.skip(bit >> 3)
+        return bool(r.byte() & (1 << (bit & 7)))
+
+    def _count_bits_up_to(self, bit: int, arc: Arc, r: Reader) -> int:
+        r.set_position(arc.bit_table_start)
+        count = 0
+        full, rem = bit >> 3, bit & 7
+        for _ in range(full):
+            count += bin(r.byte()).count("1")
+        if rem:
+            count += bin(r.byte() & ((1 << rem) - 1)).count("1")
+        return count
+
+    def _next_bit_set(self, bit: int, arc: Arc, r: Reader) -> int:
+        n_bytes = _num_presence_bytes(arc.num_arcs)
+        i = bit + 1
+        while i < n_bytes * 8:
+            r.set_position(arc.bit_table_start)
+            r.skip(i >> 3)
+            b = r.byte()
+            rem = i & 7
+            masked = b >> rem
+            if masked:
+                off = (masked & -masked).bit_length() - 1
+                return i + off
+            i = (i | 7) + 1
+        return -1
+
+    def _seek_to_next_node(self, r: Reader) -> None:
+        while True:
+            flags = r.byte()
+            self.read_label(r)
+            if flags & BIT_ARC_HAS_OUTPUT:
+                r.vlong()
+            if flags & BIT_ARC_HAS_FINAL_OUTPUT:
+                r.vlong()
+            if not flags & BIT_STOP_NODE and not flags & BIT_TARGET_NEXT:
+                r.vlong()
+            if flags & BIT_LAST_ARC:
+                return
+
+    def _read_arc(self, arc: Arc, r: Reader) -> Arc:
+        if arc.node_flags in (ARCS_FOR_DIRECT_ADDRESSING,
+                              ARCS_FOR_CONTINUOUS):
+            arc.label = arc.first_label + arc.arc_idx
+        else:
+            arc.label = self.read_label(r)
+        arc.output = r.vlong() if arc.flags & BIT_ARC_HAS_OUTPUT else NO_OUTPUT
+        arc.next_final_output = (
+            r.vlong() if arc.flags & BIT_ARC_HAS_FINAL_OUTPUT else NO_OUTPUT)
+        if arc.flags & BIT_STOP_NODE:
+            arc.target = (FINAL_END_NODE if arc.flags & BIT_FINAL_ARC
+                          else NON_FINAL_END_NODE)
+            arc.next_arc = r.get_position()
+        elif arc.flags & BIT_TARGET_NEXT:
+            arc.next_arc = r.get_position()
+            if not arc.flags & BIT_LAST_ARC:
+                if arc.bytes_per_arc == 0:
+                    self._seek_to_next_node(r)
+                else:
+                    if arc.node_flags == ARCS_FOR_DIRECT_ADDRESSING:
+                        r2 = Reader(self.bytes)
+                        r2.set_position(arc.bit_table_start)
+                        n_bytes = _num_presence_bytes(arc.num_arcs)
+                        n = sum(bin(r2.byte()).count("1")
+                                for _ in range(n_bytes))
+                    else:
+                        n = arc.num_arcs
+                    r.set_position(arc.pos_arcs_start
+                                   - arc.bytes_per_arc * n)
+            arc.target = r.get_position()
+        else:
+            arc.target = r.vlong()
+            arc.next_arc = r.get_position()
+        return arc
+
+    def _read_first_arc_info(self, node: int, arc: Arc, r: Reader) -> None:
+        r.set_position(node)
+        flags = arc.node_flags = r.byte()
+        if flags in (ARCS_FOR_BINARY_SEARCH, ARCS_FOR_DIRECT_ADDRESSING,
+                     ARCS_FOR_CONTINUOUS):
+            arc.num_arcs = r.vint()
+            arc.bytes_per_arc = r.vint()
+            arc.arc_idx = -1
+            if flags == ARCS_FOR_DIRECT_ADDRESSING:
+                self._read_presence_bytes(arc, r)
+                arc.first_label = self.read_label(r)
+                arc.presence_index = -1
+            elif flags == ARCS_FOR_CONTINUOUS:
+                arc.first_label = self.read_label(r)
+            arc.pos_arcs_start = r.get_position()
+        else:
+            arc.next_arc = node
+            arc.bytes_per_arc = 0
+
+    def read_first_real_target_arc(self, node: int, arc: Arc,
+                                   r: Reader) -> Arc:
+        self._read_first_arc_info(node, arc, r)
+        return self.read_next_real_arc(arc, r)
+
+    def read_first_target_arc(self, follow: Arc, arc: Arc, r: Reader) -> Arc:
+        if follow.is_final():
+            arc.label = END_LABEL
+            arc.output = follow.next_final_output
+            arc.flags = BIT_FINAL_ARC
+            if follow.target <= 0:
+                arc.flags |= BIT_LAST_ARC
+            else:
+                arc.next_arc = follow.target
+            arc.target = FINAL_END_NODE
+            arc.node_flags = arc.flags
+            return arc
+        return self.read_first_real_target_arc(follow.target, arc, r)
+
+    def read_next_arc(self, arc: Arc, r: Reader) -> Arc:
+        if arc.label == END_LABEL:
+            if arc.next_arc <= 0:
+                raise ValueError("cannot readNextArc when isLast")
+            return self.read_first_real_target_arc(arc.next_arc, arc, r)
+        return self.read_next_real_arc(arc, r)
+
+    def read_next_real_arc(self, arc: Arc, r: Reader) -> Arc:
+        nf = arc.node_flags
+        if nf in (ARCS_FOR_BINARY_SEARCH, ARCS_FOR_CONTINUOUS):
+            arc.arc_idx += 1
+            r.set_position(arc.pos_arcs_start
+                           - arc.arc_idx * arc.bytes_per_arc)
+            arc.flags = r.byte()
+        elif nf == ARCS_FOR_DIRECT_ADDRESSING:
+            nxt = self._next_bit_set(arc.arc_idx, arc, r)
+            return self._read_arc_by_da(arc, r, nxt, arc.presence_index + 1)
+        else:
+            r.set_position(arc.next_arc)
+            arc.flags = r.byte()
+        return self._read_arc(arc, r)
+
+    def _read_arc_by_da(self, arc: Arc, r: Reader, range_idx: int,
+                        presence_idx: int) -> Arc:
+        r.set_position(arc.pos_arcs_start
+                       - presence_idx * arc.bytes_per_arc)
+        arc.arc_idx = range_idx
+        arc.presence_index = presence_idx
+        arc.flags = r.byte()
+        return self._read_arc(arc, r)
+
+    def find_target_arc(self, label: int, follow: Arc, arc: Arc,
+                        r: Reader):
+        """FST.findTargetArc (FST.java:1009-1119): the arc leaving
+        ``follow`` with ``label``, or None."""
+        if label == END_LABEL:
+            if follow.is_final():
+                if follow.target <= 0:
+                    arc.flags = BIT_LAST_ARC
+                else:
+                    arc.flags = 0
+                    arc.next_arc = follow.target
+                arc.output = follow.next_final_output
+                arc.label = END_LABEL
+                arc.node_flags = arc.flags
+                return arc
+            return None
+        if follow.target <= 0:
+            return None
+        r.set_position(follow.target)
+        flags = arc.node_flags = r.byte()
+        if flags == ARCS_FOR_DIRECT_ADDRESSING:
+            arc.num_arcs = r.vint()  # label range
+            arc.bytes_per_arc = r.vint()
+            self._read_presence_bytes(arc, r)
+            arc.first_label = self.read_label(r)
+            arc.pos_arcs_start = r.get_position()
+            idx = label - arc.first_label
+            if idx < 0 or idx >= arc.num_arcs:
+                return None
+            if not self._is_bit_set(idx, arc, r):
+                return None
+            return self._read_arc_by_da(
+                arc, r, idx, self._count_bits_up_to(idx, arc, r))
+        if flags == ARCS_FOR_BINARY_SEARCH:
+            arc.num_arcs = r.vint()
+            arc.bytes_per_arc = r.vint()
+            arc.pos_arcs_start = r.get_position()
+            low, high = 0, arc.num_arcs - 1
+            while low <= high:
+                mid = (low + high) >> 1
+                r.set_position(arc.pos_arcs_start
+                               - (arc.bytes_per_arc * mid + 1))
+                mid_label = self.read_label(r)
+                cmp = mid_label - label
+                if cmp < 0:
+                    low = mid + 1
+                elif cmp > 0:
+                    high = mid - 1
+                else:
+                    arc.arc_idx = mid - 1
+                    return self.read_next_real_arc(arc, r)
+            return None
+        if flags == ARCS_FOR_CONTINUOUS:
+            arc.num_arcs = r.vint()
+            arc.bytes_per_arc = r.vint()
+            arc.first_label = self.read_label(r)
+            arc.pos_arcs_start = r.get_position()
+            idx = label - arc.first_label
+            if idx < 0 or idx >= arc.num_arcs:
+                return None
+            arc.arc_idx = idx - 1
+            return self.read_next_real_arc(arc, r)
+        # linear scan
+        self._read_first_arc_info(follow.target, arc, r)
+        r.set_position(arc.next_arc)
+        while True:
+            flags = arc.flags = r.byte()
+            pos = r.get_position()
+            lab = self.read_label(r)
+            if lab == label:
+                r.set_position(pos)
+                return self._read_arc(arc, r)
+            if lab > label:
+                return None
+            if arc.flags & BIT_LAST_ARC:
+                return None
+            if flags & BIT_ARC_HAS_OUTPUT:
+                r.vlong()
+            if flags & BIT_ARC_HAS_FINAL_OUTPUT:
+                r.vlong()
+            if not flags & BIT_STOP_NODE and not flags & BIT_TARGET_NEXT:
+                r.vlong()
+
+    # ----------------------------------------------------------- utilities
+
+    def lookup(self, labels) -> int | None:
+        """Exact-match output sum for a full input, or None (the
+        ``Util.get`` analog); labels = iterable of ints."""
+        r = self.reader()
+        arc = self.get_first_arc(Arc())
+        out = 0
+        for lab in labels:
+            if self.find_target_arc(int(lab), arc, arc, r) is None:
+                return None
+            out += arc.output
+        if not arc.is_final():
+            return None
+        return out + arc.next_final_output
+
+    def iter_all(self):
+        """Depth-first enumeration of every (labels tuple, output) in
+        label-sorted order — the IntsRefFSTEnum analog (fuzz surface).
+        Arc reads re-establish the reader position from arc state, so
+        the single shared reader survives the recursion."""
+        r = self.reader()
+        first = self.get_first_arc(Arc())
+        if self.has_empty:
+            yield (), self.empty_output
+        if first.target <= 0:
+            return
+
+        def walk(node: int, prefix: tuple, base: int):
+            arc = self.read_first_real_target_arc(node, Arc(), r)
+            while True:
+                out = base + arc.output
+                lab = arc.label
+                if arc.is_final():
+                    yield prefix + (lab,), out + arc.next_final_output
+                if arc.target > 0:
+                    saved = Arc().copy_from(arc)
+                    yield from walk(arc.target, prefix + (lab,), out)
+                    arc = saved
+                if arc.is_last():
+                    return
+                arc = self.read_next_real_arc(arc, r)
+
+        yield from walk(first.target, (), 0)

@@ -1,0 +1,134 @@
+"""Compiled-reference parity for functions/fstread.py.
+
+Enumerates EVERY (surface, output) pair of a Lucene FST through the
+COMPILED reference (``IntsRefFSTEnum`` over ``FST.readMetadata`` +
+``PositiveIntOutputs`` — /tmp/lucore, built by tools/build_ref_core.py)
+and through the python read path, and compares the streams
+byte-for-byte. Default target: the real in-tree kuromoji
+``TokenInfoDictionary$fst.dat`` (325k surface forms — every node
+encoding the writer emits: linear, binary-search, direct-addressing,
+continuous, BIT_TARGET_NEXT chains). Also probes 100k random
+NEAR-MISS lookups (mutated real surfaces) so the None path of
+``find_target_arc`` is exercised, not just hits.
+
+Run: python tools/fst_parity.py [fst_path]
+"""
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LUCORE = "/tmp/lucore"
+ROOT = "/tmp/fstparity"
+DEFAULT_FST = ("/root/reference/lucene/analysis/kuromoji/src/resources/org/"
+               "apache/lucene/analysis/ja/dict/TokenInfoDictionary$fst.dat")
+
+DRIVER = r"""
+import java.io.*;
+import java.nio.file.*;
+import org.apache.lucene.store.InputStreamDataInput;
+import org.apache.lucene.util.IntsRef;
+import org.apache.lucene.util.fst.*;
+
+public class FstDump {
+  public static void main(String[] args) throws Exception {
+    FST<Long> fst;
+    try (InputStream is = new BufferedInputStream(Files.newInputStream(Path.of(args[0])))) {
+      InputStreamDataInput in = new InputStreamDataInput(is);
+      fst = new FST<>(FST.readMetadata(in, PositiveIntOutputs.getSingleton()), in);
+    }
+    PrintWriter out = new PrintWriter(new BufferedWriter(
+        new OutputStreamWriter(System.out, "UTF-8"), 1 << 20));
+    IntsRefFSTEnum<Long> it = new IntsRefFSTEnum<>(fst);
+    IntsRefFSTEnum.InputOutput<Long> io;
+    StringBuilder sb = new StringBuilder();
+    while ((io = it.next()) != null) {
+      sb.setLength(0);
+      IntsRef r = io.input;
+      for (int i = 0; i < r.length; i++) {
+        if (i > 0) sb.append(',');
+        sb.append(r.ints[r.offset + i]);
+      }
+      sb.append(' ').append(io.output);
+      out.println(sb);
+    }
+    out.flush();
+  }
+}
+"""
+
+
+def main(fst_path: str = DEFAULT_FST) -> int:
+    from lucene_spark.functions.fstread import FST
+
+    os.makedirs(ROOT, exist_ok=True)
+    with open(os.path.join(ROOT, "FstDump.java"), "w") as f:
+        f.write(DRIVER)
+    subprocess.run(["javac", "-encoding", "UTF-8", "-cp", LUCORE, "-d",
+                    ROOT, os.path.join(ROOT, "FstDump.java")], check=True)
+    res = subprocess.run(
+        ["java", "-cp", f"{ROOT}:{LUCORE}", "FstDump", fst_path],
+        capture_output=True, text=True, check=True)
+    jlines = res.stdout.splitlines()
+
+    with open(fst_path, "rb") as f:
+        fst = FST(f.read())
+    bad = 0
+    n = 0
+    surfaces = []
+    it = fst.iter_all()
+    for jl in jlines:
+        labels_s, out_s = jl.rsplit(" ", 1)
+        exp = (tuple(int(x) for x in labels_s.split(",")) if labels_s
+               else (), int(out_s))
+        try:
+            got = next(it)
+        except StopIteration:
+            got = None
+        if got != exp:
+            bad += 1
+            if bad <= 5:
+                print("MISMATCH at", n, "java:", exp, "py:", got)
+        elif n % 37 == 0:
+            surfaces.append(exp[0])
+        n += 1
+    extra = sum(1 for _ in it)
+    if extra:
+        bad += extra
+        print(f"python enumerated {extra} EXTRA entries")
+    print(f"{n} entries compared, {bad} mismatches")
+
+    # near-miss probes: mutate real surfaces; both engines must agree on
+    # hit/miss and the output value (python lookup vs java-side absence
+    # is implied by enumeration equality, so miss-probes only need the
+    # python walk not to crash or false-positive)
+    rng = random.Random(42)
+    known = {tuple(s) for s in surfaces}
+    miss_bad = 0
+    for _ in range(100_000):
+        s = list(rng.choice(surfaces))
+        k = rng.randrange(3)
+        if k == 0 and s:
+            s[rng.randrange(len(s))] = rng.randint(0x20, 0x9FFF)
+        elif k == 1:
+            s.append(rng.randint(0x20, 0x9FFF))
+        elif s:
+            s.pop()
+        got = fst.lookup(s)
+        if tuple(s) not in known and got is not None:
+            # could legitimately hit another dictionary surface — verify
+            # by enumeration membership lazily via a second exact walk
+            # (fst.lookup is the only fast path; trust enumeration
+            # equality above and only flag IMPOSSIBLE outputs)
+            if not (0 <= got < n):
+                miss_bad += 1
+    print(f"miss-probes done, {miss_bad} impossible outputs")
+    return 1 if (bad or miss_bad) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else DEFAULT_FST))
