@@ -2262,6 +2262,15 @@ _UAX29_AST = {"bool": {"must": [{"term": "value"}], "should": [{"term": "group"}
 #: COMPILED reference ThaiTokenizer in tests/test_thai.py +
 #: tools/thai_parity.py (6,500+ fuzzed streams, terms+offsets)
 _THAI_AST = {"bool": {"must": [{"term": "window"}], "should": [{"term": "part"}]}}
+#: japanese: JapaneseAnalyzer (functions/kuromoji.py — the Viterbi
+#: lattice over runtime-loaded binary dictionaries + BaseForm + POS-stop
+#: + ja stopwords + katakana stem + lower). On this [a-z0-9 ]-only corpus
+#: the unknown-word ALPHA/NUMERIC grouping yields exactly the simple
+#: tokens and the all-Japanese stop resources never fire, so the plain
+#: oracle validates the full plumbing; Japanese segmentation itself is
+#: pinned token-for-token against the compiled JapaneseTokenizer
+#: (tools/kuromoji_parity.py, 2x3011 texts x 8 mode arms, 0 mismatches)
+_JAPANESE_AST = {"bool": {"must": [{"term": "filter"}], "should": [{"term": "batch"}]}}
 
 
 #: shingle chains (functions/shingle.py — ShingleFilter 2/2 + unigrams):
@@ -2798,6 +2807,13 @@ def _uax29_chain_df(spark, sf_dir):
 
 def _thai_chain_df(spark, sf_dir):
     return _lang_chain_df(spark, sf_dir, "thai", _THAI_AST)
+
+
+def _japanese_chain_df(spark, sf_dir):
+    from lucene_spark.functions.kuromoji import ensure_ja_dict_dir
+
+    ensure_ja_dict_dir()  # driver-side; executors read the files
+    return _lang_chain_df(spark, sf_dir, "japanese", _JAPANESE_AST)
 
 
 def _french_chain_df(spark, sf_dir):
@@ -3755,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_uax29_chain"] = _uax29_chain_df
     out["bm25_thai_chain"] = _thai_chain_df
     out["bm25_polish_chain"] = _polish_chain_df
+    out["bm25_japanese_chain"] = _japanese_chain_df
     out["bm25_shingle_chain"] = _shingle_chain_df
     out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
     out["bm25_word_delimiter_chain"] = _wdgf_chain_df
@@ -4622,6 +4639,11 @@ ORDER BY t.score DESC, t.doc_id ASC
     # dictionary segmentation pinned vs the compiled class (test_thai.py)
     out["bm25_thai_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_THAI_AST)), _QUERY_K,
+    )
+    # japanese: unknown-ALPHA/NUMERIC grouping == simple tokens on this
+    # corpus; all-Japanese stop resources never fire (see _JAPANESE_AST)
+    out["bm25_japanese_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_JAPANESE_AST)), _QUERY_K,
     )
     # word_delimiter chains: identity on this delimiter-free corpus
     out["bm25_word_delimiter_chain"] = sqlgen.topk_sql(

@@ -939,6 +939,12 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
         # no length skip: ThaiTokenizer has no maxTokenLength
         raw = thai_tokens(text or "")
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
+    elif base == "japanese":
+        from lucene_spark.functions.kuromoji import analyzer_tokens
+
+        # JapaneseTokenizer has no maxTokenLength either
+        raw = analyzer_tokens(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())
         keep = list(enumerate(raw))
@@ -1148,6 +1154,15 @@ def _findall_thai_lazy(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(thai_tokens)
 
 
+def _findall_japanese_lazy(texts: pd.Series) -> pd.Series:
+    """JapaneseAnalyzer raw tokens per row (functions/kuromoji.py —
+    Viterbi lattice + BaseForm + POS-stop sentinel; dictionaries read
+    once per process from the runtime dict dir)."""
+    from lucene_spark.functions.kuromoji import analyzer_tokens
+
+    return texts.fillna("").map(analyzer_tokens)
+
+
 def _thai_transform(token: str) -> str:
     from lucene_spark.functions.normalizers import decimal_fold
 
@@ -1286,6 +1301,23 @@ def _fill_snowball_chains():
                                None)
     CHAIN_BASE["polish"] = "standard"
     RAW_TOKENIZERS["polish"] = (_findall_standard, MAX_TOKEN_LENGTH)
+
+    # Japanese (kuromoji/JapaneseAnalyzer.java:109-117 —
+    # JapaneseTokenizer(SEARCH, discardPunct, discardCompound) ->
+    # BaseForm -> PartOfSpeechStop(stoptags.txt) -> Stop(stopwords.txt)
+    # -> KatakanaStem -> Lower): the Viterbi lattice + binary dictionary
+    # formats live in functions/kuromoji.py, compiled-class fuzzed
+    # token-for-token across all modes (tools/kuromoji_parity.py).
+    # BaseForm + POS-stop run inside the raw tokenizer (they need morph
+    # ids, not strings; POS-stops emit the position-preserving
+    # sentinel); stop words + katakana stem are vocab-level. The
+    # reference stops BEFORE lowercasing — equivalent here because the
+    # ja stop resources contain no cased latin (pinned in tests).
+    from lucene_spark.functions.kuromoji import LazyJaStop, katakana_stem
+
+    CHAIN_FILTERS["japanese"] = (LazyJaStop(), katakana_stem, None)
+    CHAIN_BASE["japanese"] = "japanese"
+    RAW_TOKENIZERS["japanese"] = (_findall_japanese_lazy, None)
 
 
 _fill_snowball_chains()

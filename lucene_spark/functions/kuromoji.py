@@ -765,3 +765,153 @@ def tokenize(dicts: JaDicts, text: str, mode: str = "search",
     incrementToken order."""
     return JapaneseViterbi(dicts, mode, discard_punctuation,
                            discard_compound).tokenize(text)
+
+
+# ------------------------------------------------- JapaneseAnalyzer chain
+
+#: position-preserving drop marker for POS-stopped tokens (the
+#: jflex SKIP_SENTINEL discipline: the chain stop set absorbs it)
+POS_STOP_SENTINEL = "\x00ja_pos_stop\x00"
+
+_JA_RES_REL = ("lucene/analysis/kuromoji/src/resources/org/apache/lucene/"
+               "analysis/ja")
+
+
+def _ja_resource(name: str) -> str:
+    root = os.environ.get("LUCENE_SPARK_REF_DIR", "/root/reference")
+    p = os.path.join(root, _JA_RES_REL, name)
+    if not os.path.exists(p):
+        raise KuromojiUnavailable(f"missing ja resource {p!r}")
+    return p
+
+
+def _load_word_list(path: str) -> frozenset[str]:
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            w = line.strip()
+            if w:
+                out.append(w)
+    return frozenset(out)
+
+
+_JA_SETS: dict[int, tuple[frozenset, frozenset]] = {}
+
+
+def ja_stop_sets() -> tuple[frozenset, frozenset]:
+    """(stopwords, stoptags) from the reference's own in-tree resource
+    files (JapaneseAnalyzer DefaultSetHolder), loaded at runtime."""
+    pid = os.getpid()
+    got = _JA_SETS.get(pid)
+    if got is None:
+        _JA_SETS.clear()
+        _JA_SETS[pid] = (_load_word_list(_ja_resource("stopwords.txt")),
+                         _load_word_list(_ja_resource("stoptags.txt")))
+        got = _JA_SETS[pid]
+    return got
+
+
+def katakana_stem(term: str) -> str:
+    """JapaneseKatakanaStemFilter.stem (:70-94): terms of >= 4 chars that
+    are ALL full-width katakana (block U+30A0-U+30FF) lose a trailing
+    prolonged sound mark U+30FC."""
+    if len(term) < 4:
+        return term
+    for ch in term:
+        if not 0x30A0 <= ord(ch) <= 0x30FF:
+            return term
+    if term.endswith("ー"):
+        return term[:-1]
+    return term
+
+
+def default_dict_dir() -> str:
+    """Dictionary directory for the `japanese` chain:
+    ``$LUCENE_SPARK_KUROMOJI_DICT`` if set, else the harness-built
+    synthetic directory (tools/kuromoji_parity.py output). The stock
+    in-tree system dictionary is incomplete in this checkout (no
+    $buffer.dat), so there is no bundled default."""
+    env = os.environ.get("LUCENE_SPARK_KUROMOJI_DICT")
+    if env:
+        return env
+    return "/tmp/kuromojiparity/dict"
+
+
+def ensure_ja_dict_dir() -> str:
+    """DRIVER-side: make sure a complete dictionary directory exists,
+    building the synthetic one with the reference's own DictionaryBuilder
+    if needed (requires javac + the reference tree). Executors only READ
+    the files afterwards."""
+    d = default_dict_dir()
+    if os.path.exists(os.path.join(d, "TokenInfoDictionary$fst.dat")):
+        return d
+    import importlib.util
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    spec = importlib.util.spec_from_file_location(
+        "kuromoji_parity", os.path.join(repo_root, "tools",
+                                        "kuromoji_parity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.compile_all()
+    mod.build_dict()
+    if not os.path.exists(os.path.join(d, "TokenInfoDictionary$fst.dat")):
+        raise KuromojiUnavailable(
+            f"dictionary build did not produce {d!r}")
+    return d
+
+
+_JA_DICTS: dict[tuple[int, str], JaDicts] = {}
+
+
+def _ja_dicts() -> JaDicts:
+    key = (os.getpid(), default_dict_dir())
+    got = _JA_DICTS.get(key)
+    if got is None:
+        _JA_DICTS.clear()
+        _JA_DICTS[key] = JaDicts(key[1])
+        got = _JA_DICTS[key]
+    return got
+
+
+class LazyJaStop:
+    """Chain stop-set view: the ja stop words (runtime-loaded) plus the
+    POS-stop sentinel. Picklable; loads per process."""
+
+    def __contains__(self, w) -> bool:
+        return w == POS_STOP_SENTINEL or w in ja_stop_sets()[0]
+
+    def __iter__(self):
+        yield POS_STOP_SENTINEL
+        yield from ja_stop_sets()[0]
+
+    def __reduce__(self):
+        return (LazyJaStop, ())
+
+
+def analyzer_tokens(text: str) -> list[str]:
+    """JapaneseAnalyzer raw-tokenizer surface (pre-lowercase): tokenizer
+    (SEARCH mode, discardPunctuation, discardCompoundToken — the
+    analyzer's own ctor args, JapaneseAnalyzer.java:110) + BaseFormFilter
+    (term := baseform when present) + PartOfSpeechStopFilter realized as
+    the position-preserving sentinel (the chain stop set absorbs it).
+    Chain order note: the reference stops BEFORE lowercasing; the ja
+    stop words and stoptags contain no cased latin, so vocab-level
+    stop-after-lower is equivalent (asserted in tests)."""
+    d = _ja_dicts()
+    _stop_words, stop_tags = ja_stop_sets()
+    out = []
+    for t in tokenize(d, text, "search", True, True):
+        morph = d.token if t.type == KNOWN else d.unk
+        term = t.surface
+        bf = morph.base_form(t.word_id, t.surface)
+        if bf:
+            term = bf
+        if morph.pos(t.word_id) in stop_tags:
+            out.append(POS_STOP_SENTINEL)
+        else:
+            out.append(term)
+    return out

@@ -1,0 +1,179 @@
+"""Kuromoji Japanese analysis (functions/kuromoji.py + fstread.py):
+compiled-class golden streams for all three modes, the JapaneseAnalyzer
+chain filters, the FST read path, and the end-to-end japanese chain on a
+real index. The full parity fuzz (tools/kuromoji_parity.py) runs 2x3011
+texts x 8 mode arms against the compiled JapaneseTokenizer with 0
+mismatches; these goldens were PRINTED FROM that compiled driver."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/tmp/kuromojiparity/dict/TokenInfoDictionary$fst.dat")
+    and not os.environ.get("LUCENE_SPARK_KUROMOJI_DICT"),
+    reason="no built kuromoji dictionary (run tools/kuromoji_parity.py)")
+
+
+def _dicts():
+    from lucene_spark.functions.kuromoji import JaDicts, default_dict_dir
+
+    return JaDicts(default_dict_dir())
+
+
+def _stream(text, mode, discard_compound=True):
+    from lucene_spark.functions.kuromoji import tokenize
+
+    toks = tokenize(_dicts(), text, mode=mode,
+                    discard_compound=discard_compound)
+    out = []
+    last = -1
+    for t in toks:
+        inc, plen = (0, t.pos_len) if t.start == last else (1, 1)
+        out.append((t.surface, t.start, t.end, inc, plen))
+        last = t.start
+    return out
+
+
+# printed from the compiled JapaneseTokenizer (tools/kuromoji_parity.py
+# driver) over the harness dictionary — never hand-guessed
+GOLDENS_NORMAL = {
+    "関西国際空港に行きます": [("関西国際空港", 0, 6, 1, 1), ("に", 6, 7, 1, 1),
+                     ("行き", 7, 9, 1, 1), ("ます", 9, 11, 1, 1)],
+    "東京大学": [("東京大学", 0, 4, 1, 1)],
+    "私は日本語です": [("私", 0, 1, 1, 1), ("は", 1, 2, 1, 1),
+                ("日本語", 2, 5, 1, 1), ("です", 5, 7, 1, 1)],
+    "abc 123 XYZ": [("abc", 0, 3, 1, 1), ("123", 4, 7, 1, 1),
+                    ("XYZ", 8, 11, 1, 1)],
+    "東京。京都、大学!": [("東京", 0, 2, 1, 1), ("京都", 3, 5, 1, 1),
+                  ("大学", 6, 8, 1, 1)],
+}
+GOLDENS_SEARCH = {
+    "関西国際空港に行きます": [("関西", 0, 2, 1, 1), ("国際", 2, 4, 1, 1),
+                     ("空港", 4, 6, 1, 1), ("に", 6, 7, 1, 1),
+                     ("行き", 7, 9, 1, 1), ("ます", 9, 11, 1, 1)],
+    "東京大学": [("東京", 0, 2, 1, 1), ("大学", 2, 4, 1, 1)],
+}
+GOLDENS_SEARCH_COMPOUND = {
+    "関西国際空港に行きます": [("関西", 0, 2, 1, 1), ("関西国際空港", 0, 6, 0, 3),
+                     ("国際", 2, 4, 1, 1), ("空港", 4, 6, 1, 1),
+                     ("に", 6, 7, 1, 1), ("行き", 7, 9, 1, 1),
+                     ("ます", 9, 11, 1, 1)],
+    "東京大学": [("東京", 0, 2, 1, 1), ("東京大学", 0, 4, 0, 2),
+             ("大学", 2, 4, 1, 1)],
+}
+
+
+def test_normal_mode_goldens():
+    for text, exp in GOLDENS_NORMAL.items():
+        assert _stream(text, "normal") == exp, text
+
+
+def test_search_mode_decompounds():
+    for text, exp in GOLDENS_SEARCH.items():
+        assert _stream(text, "search") == exp, text
+
+
+def test_search_mode_compound_synonyms():
+    """outputCompounds: the long token rides as a posInc-0 synonym with
+    positionLength spanning its decomposition."""
+    for text, exp in GOLDENS_SEARCH_COMPOUND.items():
+        assert _stream(text, "search", discard_compound=False) == exp, text
+
+
+def test_analyzer_chain_pos_stop_and_positions():
+    """JapaneseAnalyzer: 助詞/助動詞 POS-stopped with positions
+    preserved; ASCII unknown grouping is the simple tokenization."""
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    terms, positions, flen = analyze_one_chain("関西国際空港に行きます", "japanese")
+    assert terms == ["関西", "国際", "空港", "行き"]
+    assert positions == [0, 1, 2, 4]  # に POS-stopped at position 3
+    assert flen == 4
+    terms, positions, flen = analyze_one_chain("scan the merge 12", "japanese")
+    assert terms == ["scan", "the", "merge", "12"]
+
+
+def test_katakana_stem_rule():
+    from lucene_spark.functions.kuromoji import katakana_stem
+
+    assert katakana_stem("コンピューター") == "コンピュータ"
+    assert katakana_stem("データー") == "データ"
+    assert katakana_stem("コーー") == "コーー"      # < 4 chars untouched
+    assert katakana_stem("abcー") == "abcー"       # not all-katakana
+    assert katakana_stem("コンピュータ") == "コンピュータ"
+
+
+def test_stop_resources_have_no_cased_latin():
+    """The chain applies stop sets AFTER lowercase (vocab level); the
+    reference stops before. Equivalence requires the ja stop resources
+    to contain no cased latin — pin it."""
+    from lucene_spark.functions.kuromoji import ja_stop_sets
+
+    words, tags = ja_stop_sets()
+    assert words and tags
+    import re
+
+    assert not any(re.search("[A-Za-z]", w) for w in words | tags)
+
+
+def test_fst_read_real_ja_fst():
+    """The FST walker on the real in-tree ja FST (full enumeration
+    parity lives in tools/fst_parity.py)."""
+    from lucene_spark.functions.fstread import FST
+
+    p = ("/root/reference/lucene/analysis/kuromoji/src/resources/org/"
+         "apache/lucene/analysis/ja/dict/TokenInfoDictionary$fst.dat")
+    if not os.path.exists(p):
+        pytest.skip("reference tree absent")
+    with open(p, "rb") as f:
+        fst = FST(f.read())
+    assert fst.lookup(map(ord, "東京")) is not None
+    assert fst.lookup(map(ord, "zz-nonsense")) is None
+
+
+def test_japanese_chain_end_to_end(spark, tmp_path):
+    """Index built under the japanese chain: search-mode decompounded
+    terms are the indexed tokens; Japanese + ASCII mix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = ["関西国際空港に行きます", "東京大学の空港", "scan the merge plan",
+             "コンピューターとデータ"]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "ja")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=1, term_buckets=2,
+                            analyzer="japanese"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    # 空港 appears via decompounding in doc 0 (in doc 1 the synthetic
+    # connection matrix legitimately prefers 空+港 after の — the
+    # compiled reference segments identically, parity-fuzz-pinned)
+    hits = {r["doc_id"] for r in s.search(TermQuery("空港"), 10).collect()}
+    assert hits == {0}
+    hits = {r["doc_id"] for r in s.search(TermQuery("東京"), 10).collect()}
+    assert hits == {1}
+    # katakana stem folded コンピューター -> コンピュータ
+    hits = {r["doc_id"]
+            for r in s.search(TermQuery("コンピュータ"), 10).collect()}
+    assert hits == {3}
+    # ascii lowercased
+    hits = {r["doc_id"] for r in s.search(TermQuery("scan"), 10).collect()}
+    assert hits == {2}
+    # particles (に は の と) are POS/stop-dropped
+    stats = s.term_stats(["に", "の", "と"])
+    assert stats == {}

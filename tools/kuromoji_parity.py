@@ -123,7 +123,7 @@ def write_mecab_input() -> None:
     ]
     with open(os.path.join(MECAB, "unk.def"), "w", encoding="utf-8") as f:
         for name, l, r, c in unks:
-            f.write(f"{name},{l},{r},{c},記号,一般,*,*,*,*,*\n")
+            f.write(f"{name},{l},{r},{c},名詞,一般,*,*,*,*,*\n")
     # char.def: flags are builder-side only (runtime uses the real
     # in-tree CharacterDefinition.dat singleton) but must parse
     with open(os.path.join(MECAB, "char.def"), "w", encoding="utf-8") as f:
