@@ -1,0 +1,85 @@
+"""Per-chain INGEST tokenization throughput (the r4 VERDICT item: the
+cost of each opt-in parity chain made visible before a user picks one).
+
+Measures the build-path tokenizer function (RAW_TOKENIZERS[chain]) over
+the sf documents text as ONE single-threaded pandas pass — the per-row
+constant that multiplies across executor cores at scale. The vectorized
+`standard`/`simple` chains are the 100 TB default path; the jflex/DFA
+replay chains (html_standard, wikipedia, thai, japanese) interpret
+per-row Python for bit-parity and pay the constant shown here.
+
+Prints one JSON line: {"sf": ..., "n_docs": N, "chars": C,
+"chains": {name: {"sec": s, "rows_per_s": r, "kchars_per_s": k}}}.
+Run on an idle box (BENCH.md drift protocol; best-of-2 per chain).
+
+Run: python tools/chain_bench.py [chain ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_CHAINS = [
+    "standard", "simple", "english", "english_kstem", "classic",
+    "danish", "polish", "html_standard", "wikipedia", "minhash",
+    "thai", "japanese",
+]
+
+
+def main(chains: list[str]) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    import duckdb
+    import pandas as pd
+
+    texts = duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()["text"].fillna("")
+    n = len(texts)
+    chars = int(texts.str.len().sum())
+
+    from lucene_spark.functions.analysis import (
+        RAW_TOKENIZERS, STREAM_TOKENIZERS,
+    )
+
+    out = {}
+    for chain in chains:
+        if chain in STREAM_TOKENIZERS:
+            stream = STREAM_TOKENIZERS[chain]
+
+            def fn(s, _f=stream):
+                return _f(s)[0]
+        else:
+            fn = RAW_TOKENIZERS[chain][0]
+        if chain == "japanese":
+            from lucene_spark.functions.kuromoji import ensure_ja_dict_dir
+
+            ensure_ja_dict_dir()
+        try:
+            fn(texts.head(5))  # warm caches / dictionaries
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                res = fn(texts)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                assert len(res) == n
+            out[chain] = {
+                "sec": round(best, 3),
+                "rows_per_s": round(n / best, 1),
+                "kchars_per_s": round(chars / best / 1000, 1),
+            }
+            print(f"  {chain}: {best:.3f}s "
+                  f"({out[chain]['rows_per_s']} rows/s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - report and move on
+            out[chain] = {"error": str(e)[:120]}
+            print(f"  {chain}: ERROR {e}", file=sys.stderr)
+    print(json.dumps({"sf": os.path.basename(sf_dir), "n_docs": n,
+                      "chars": chars, "chains": out}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or DEFAULT_CHAINS)
