@@ -2271,6 +2271,12 @@ _THAI_AST = {"bool": {"must": [{"term": "window"}], "should": [{"term": "part"}]
 #: pinned token-for-token against the compiled JapaneseTokenizer
 #: (tools/kuromoji_parity.py, 2x3011 texts x 8 mode arms, 0 mismatches)
 _JAPANESE_AST = {"bool": {"must": [{"term": "filter"}], "should": [{"term": "batch"}]}}
+#: korean: KoreanAnalyzer (functions/nori.py — ko Viterbi lattice with
+#: DISCARD decompounding + POS-stop + reading-form + lower). Same
+#: plumb-through contract as japanese on this ASCII corpus; Korean
+#: segmentation pinned against the compiled KoreanTokenizer
+#: (tools/nori_parity.py, 2x2010 texts x 12 arms, 0 mismatches)
+_KOREAN_AST = {"bool": {"must": [{"term": "row"}], "should": [{"term": "spark"}]}}
 
 
 #: shingle chains (functions/shingle.py — ShingleFilter 2/2 + unigrams):
@@ -2814,6 +2820,13 @@ def _japanese_chain_df(spark, sf_dir):
 
     ensure_ja_dict_dir()  # driver-side; executors read the files
     return _lang_chain_df(spark, sf_dir, "japanese", _JAPANESE_AST)
+
+
+def _korean_chain_df(spark, sf_dir):
+    from lucene_spark.functions.nori import ensure_ko_dict_dir
+
+    ensure_ko_dict_dir()
+    return _lang_chain_df(spark, sf_dir, "korean", _KOREAN_AST)
 
 
 def _french_chain_df(spark, sf_dir):
@@ -3772,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_thai_chain"] = _thai_chain_df
     out["bm25_polish_chain"] = _polish_chain_df
     out["bm25_japanese_chain"] = _japanese_chain_df
+    out["bm25_korean_chain"] = _korean_chain_df
     out["bm25_shingle_chain"] = _shingle_chain_df
     out["bm25_shingle_stop_chain"] = _shingle_stop_chain_df
     out["bm25_word_delimiter_chain"] = _wdgf_chain_df
@@ -4644,6 +4658,9 @@ ORDER BY t.score DESC, t.doc_id ASC
     # corpus; all-Japanese stop resources never fire (see _JAPANESE_AST)
     out["bm25_japanese_chain"] = sqlgen.topk_sql(
         parse_query(json.dumps(_JAPANESE_AST)), _QUERY_K,
+    )
+    out["bm25_korean_chain"] = sqlgen.topk_sql(
+        parse_query(json.dumps(_KOREAN_AST)), _QUERY_K,
     )
     # word_delimiter chains: identity on this delimiter-free corpus
     out["bm25_word_delimiter_chain"] = sqlgen.topk_sql(

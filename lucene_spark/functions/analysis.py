@@ -945,6 +945,11 @@ def analyze_one_chain(text: str, analyzer: str) -> tuple[list[str], list[int], i
         # JapaneseTokenizer has no maxTokenLength either
         raw = analyzer_tokens(text or "")
         keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
+    elif base == "korean":
+        from lucene_spark.functions.nori import analyzer_tokens_ko
+
+        raw = analyzer_tokens_ko(text or "")
+        keep = [(i, java_lower(t)) for i, t in enumerate(raw)]
     else:
         raw = SIMPLE_RE.findall((text or "").lower())
         keep = list(enumerate(raw))
@@ -1154,6 +1159,13 @@ def _findall_thai_lazy(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(thai_tokens)
 
 
+def _findall_korean_lazy(texts: pd.Series) -> pd.Series:
+    """KoreanAnalyzer raw tokens per row (functions/nori.py)."""
+    from lucene_spark.functions.nori import analyzer_tokens_ko
+
+    return texts.fillna("").map(analyzer_tokens_ko)
+
+
 def _findall_japanese_lazy(texts: pd.Series) -> pd.Series:
     """JapaneseAnalyzer raw tokens per row (functions/kuromoji.py —
     Viterbi lattice + BaseForm + POS-stop sentinel; dictionaries read
@@ -1318,6 +1330,19 @@ def _fill_snowball_chains():
     CHAIN_FILTERS["japanese"] = (LazyJaStop(), katakana_stem, None)
     CHAIN_BASE["japanese"] = "japanese"
     RAW_TOKENIZERS["japanese"] = (_findall_japanese_lazy, None)
+
+    # Korean (nori/KoreanAnalyzer.java:72-79 — KoreanTokenizer(DISCARD
+    # decompound) -> PartOfSpeechStop(DEFAULT_STOP_TAGS) -> ReadingForm
+    # -> Lower): the ko Viterbi lattice (functions/nori.py) is
+    # compiled-class fuzzed token-for-token across all decompound modes
+    # (tools/nori_parity.py). POS-stop + reading-form run inside the raw
+    # tokenizer (morph-id-dependent); the chain has no word stop set
+    # beyond the sentinel.
+    from lucene_spark.functions.nori import LazyKoStop
+
+    CHAIN_FILTERS["korean"] = (LazyKoStop(), None, None)
+    CHAIN_BASE["korean"] = "korean"
+    RAW_TOKENIZERS["korean"] = (_findall_korean_lazy, None)
 
 
 _fill_snowball_chains()

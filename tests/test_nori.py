@@ -1,0 +1,141 @@
+"""Nori Korean analysis (functions/nori.py): compiled-class golden
+streams for all three decompound modes, the KoreanAnalyzer chain, and
+the end-to-end korean chain on a real index. The full parity fuzz
+(tools/nori_parity.py) runs 2x2010 texts x 12 arms against the compiled
+KoreanTokenizer with 0 mismatches; goldens PRINTED FROM that driver."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/tmp/noriparity/dict/TokenInfoDictionary$fst.dat")
+    and not os.environ.get("LUCENE_SPARK_NORI_DICT"),
+    reason="no built nori dictionary (run tools/nori_parity.py)")
+
+
+def _dicts():
+    from lucene_spark.functions.nori import KoDicts, default_ko_dict_dir
+
+    return KoDicts(default_ko_dict_dir())
+
+
+def _stream(text, mode):
+    from lucene_spark.functions.nori import tokenize_ko
+
+    return [(t.surface, t.start, t.end, t.pos_inc, t.pos_len)
+            for t in tokenize_ko(_dicts(), text, mode=mode)]
+
+
+GOLDENS = {
+    "none": {
+        "대학교는 학교이다": [("대학교", 0, 3, 1, 1), ("는", 3, 4, 1, 1),
+                      ("학교", 5, 7, 1, 1), ("이", 7, 8, 1, 1),
+                      ("다", 8, 9, 1, 1)],
+        "했다": [("했다", 0, 2, 1, 1)],
+    },
+    "discard": {
+        # the compound decomposes; the Inflect contraction expands
+        "대학교는 학교이다": [("대학", 0, 2, 1, 1), ("교", 2, 3, 1, 1),
+                      ("는", 3, 4, 1, 1), ("학교", 5, 7, 1, 1),
+                      ("이", 7, 8, 1, 1), ("다", 8, 9, 1, 1)],
+        "했다": [("하", 0, 2, 1, 1), ("았", 0, 2, 1, 1), ("다", 0, 2, 1, 1)],
+        # the lattice legitimately prefers the three known words over
+        # the expensive compound entry here
+        "한국사람학교": [("한국", 0, 2, 1, 1), ("사람", 2, 4, 1, 1),
+                   ("학교", 4, 6, 1, 1)],
+        "사람이 학교를 먹다": [("사람", 0, 2, 1, 1), ("이", 2, 3, 1, 1),
+                       ("학교", 4, 6, 1, 1), ("를", 6, 7, 1, 1),
+                       ("먹", 8, 9, 1, 1), ("다", 9, 10, 1, 1)],
+        "abc 123 서울": [("abc", 0, 3, 1, 1), ("123", 4, 7, 1, 1),
+                       ("서울", 8, 10, 1, 1)],
+    },
+    "mixed": {
+        # compound rides with posLength over its parts; first part inc 0
+        "대학교는 학교이다": [("대학교", 0, 3, 1, 2), ("대학", 0, 2, 0, 1),
+                      ("교", 2, 3, 1, 1), ("는", 3, 4, 1, 1),
+                      ("학교", 5, 7, 1, 1), ("이", 7, 8, 1, 1),
+                      ("다", 8, 9, 1, 1)],
+        "했다": [("했다", 0, 2, 1, 3), ("하", 0, 2, 0, 1),
+               ("았", 0, 2, 1, 1), ("다", 0, 2, 1, 1)],
+    },
+}
+
+
+def test_decompound_mode_goldens():
+    for mode, cases in GOLDENS.items():
+        for text, exp in cases.items():
+            assert _stream(text, mode) == exp, (mode, text)
+
+
+def test_analyzer_chain_pos_stop_and_reading():
+    from lucene_spark.functions.analysis import analyze_one_chain
+
+    # particles (JX/JKS/JKO) and endings (EP/EF) POS-stopped with
+    # positions preserved; compounds decomposed (DISCARD)
+    # 는 (JX), 이 (JKS), 다 (EF) all stop-tagged -> dropped
+    terms, positions, flen = analyze_one_chain("대학교는 학교이다", "korean")
+    assert terms == ["대학", "교", "학교"]
+    assert positions == [0, 1, 3]
+    # Inflect: only the VV stem survives the POS stop
+    terms, _, _ = analyze_one_chain("했다", "korean")
+    assert terms == ["하"]
+    # ASCII plumb-through
+    terms, _, _ = analyze_one_chain("scan the merge 12", "korean")
+    assert terms == ["scan", "the", "merge", "12"]
+
+
+def test_space_penalty_tags_pinned():
+    """The 3000-cost left-space-penalty tag set (ko/Viterbi.java
+    switch) — drift here silently changes segmentations."""
+    from lucene_spark.functions.nori import POS_ORD, _SPACE_PENALTY_TAGS
+
+    assert POS_ORD["JKS"] in _SPACE_PENALTY_TAGS
+    assert POS_ORD["NNG"] not in _SPACE_PENALTY_TAGS
+    assert len(_SPACE_PENALTY_TAGS) == 18
+
+
+def test_script_table_sane():
+    from lucene_spark.functions.nori import _script_of, _script_table
+
+    _, _, common, inherited = _script_table()
+    assert _script_of(ord("한")) == _script_of(ord("국"))  # Hangul
+    assert _script_of(ord("a")) == _script_of(ord("z"))   # Latin
+    assert _script_of(ord("a")) != _script_of(ord("한"))
+    assert _script_of(ord(" ")) == common
+    assert _script_of(0x0301) == inherited  # combining acute
+
+
+def test_korean_chain_end_to_end(spark, tmp_path):
+    import pandas as pd
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.ast import TermQuery
+    from lucene_spark.query.search import IndexSearcher
+
+    texts = ["대학교는 학교이다", "한국사람학교", "scan the merge plan"]
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts), "role": ["doc"] * len(texts),
+        "text": texts, "tool": [None] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    idx = str(tmp_path / "ko")
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(num_segments=1, term_buckets=2,
+                            analyzer="korean"))
+    merge_index(spark, idx)
+    s = IndexSearcher(spark, idx)
+    # 학교 directly in doc 0 and via the 3-word lattice path in doc 1
+    hits = {r["doc_id"] for r in s.search(TermQuery("학교"), 10).collect()}
+    assert hits == {0, 1}
+    # the decompound part 대학 is indexed for doc 0
+    hits = {r["doc_id"] for r in s.search(TermQuery("대학"), 10).collect()}
+    assert hits == {0}
+    # particles are POS-stopped
+    assert s.term_stats(["는", "를"]) == {}
+    hits = {r["doc_id"] for r in s.search(TermQuery("scan"), 10).collect()}
+    assert hits == {2}
