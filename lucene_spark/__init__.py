@@ -40,6 +40,9 @@ def __getattr__(name):
     if name == "stream_append":
         from lucene_spark.streaming.append import stream_append
         return stream_append
+    if name == "stream_update":
+        from lucene_spark.streaming.append import stream_update
+        return stream_update
     if name == "build_ann_index":
         from lucene_spark.operators.similarity import build_ann_index
         return build_ann_index
@@ -72,7 +75,7 @@ __all__ = [
     "check_index", "IndexSearcher", "QueryParser", "get_spark",
     "combined_field_search", "TooManyClauses", "append_batch",
     "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
-    "update_docs", "soft_delete_docs",
+    "update_docs", "soft_delete_docs", "stream_update",
     "build_doc_partitioned", "build_hnsw_index", "hnsw_ann_topk_indexed",
     "append_hnsw_batch",
     "intervals",

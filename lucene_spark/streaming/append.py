@@ -273,6 +273,43 @@ def commit_staged_segment(index_dir: str, manifest: dict, staged: dict,
     return manifest
 
 
+def stream_update(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    available_now: bool = True,
+):
+    """readStream(parquet transcripts) -> foreachBatch(update_docs): the
+    NRT UPSERT stream (re-crawled pages, corrected transcripts) — each
+    micro-batch atomically REPLACES docs sharing a key with the batch
+    and inserts the rest, one commit point per batch
+    (``index/update.py``; the ``IndexWriter.updateDocuments`` loop every
+    incremental-corpus pipeline runs). Exactly-once via the same
+    batch-id + marker discipline as ``stream_append``."""
+    from lucene_spark.index.update import update_docs
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        update_docs(spark, index_dir, batch_df, key_cols=key_cols,
+                    batch_id=batch_id)
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_append(
     spark: SparkSession,
     source_dir: str,

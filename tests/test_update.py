@@ -171,6 +171,33 @@ def test_update_insert_only_sets_no_deletes(spark, tmp_path_factory):
     assert s.doc_count == len(base) + len(extra)
 
 
+def test_stream_update_upsert_exactly_once(spark, tmp_path_factory, corpus):
+    """stream_update: micro-batched atomic upserts with exactly-once
+    replay (the NRT re-crawl loop)."""
+    import os
+
+    from lucene_spark.streaming.append import stream_update
+
+    base, repl, extra, batch = corpus
+    root = tmp_path_factory.mktemp("supd")
+    idx, src, ckpt = str(root / "idx"), str(root / "in"), str(root / "ck")
+    os.makedirs(src)
+    _build(spark, idx, base)
+    n_old = IndexSearcher(spark, idx).doc_count
+
+    spark.createDataFrame(batch).coalesce(1).write.parquet(src,
+                                                           mode="append")
+    stream_update(spark, src, idx, ckpt)
+    s = IndexSearcher(spark, idx)
+    assert s.count(MatchAllDocsQuery()) == n_old + len(batch) - len(repl)
+
+    # drained checkpoint: a re-run must change nothing
+    g = load_manifest(idx)["generation"]
+    stream_update(spark, src, idx, ckpt)
+    assert load_manifest(idx)["generation"] == g
+    assert check_index(spark, idx)["ok"]
+
+
 def test_pinned_searcher_does_not_see_later_deletes(spark, tmp_path_factory):
     """liveDocs-per-commit: a searcher opened before a delete keeps
     serving its own commit point's live set (the manifest-resolved
