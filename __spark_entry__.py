@@ -1859,6 +1859,55 @@ def _updated_df(spark, sf_dir):
     )
 
 
+_DV_MOD, _DV_REM = 3, 1
+
+
+def _dv_updated_searcher(spark: SparkSession, sf_dir: str):
+    """updateDocValues entry (index/update.py update_doc_values — the
+    IndexWriter.updateDocValues / BufferedUpdates analog): a NEW
+    metadata column is added post-build WITHOUT reindexing
+    (label = 'keep' iff doc_id % 3 == 1); scores must stay identical to
+    the plain index (postings/norms untouched) while the new column
+    filters — the oracle replays the label predicate on doc_id."""
+    from lucene_spark.index.build import IndexConfig, build_index, load_manifest
+    from lucene_spark.index.update import update_doc_values
+    from lucene_spark.index.merge import merge_index
+    from lucene_spark.query.search import IndexSearcher
+
+    index_dir = _index_dir_for(sf_dir) + "_dvup"
+    m = load_manifest(index_dir)
+    if m is None or not m.get("merged") or int(m.get("generation", 0)) < 1:
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tdf = _documents_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(num_segments=4, term_buckets=8, hot_term_df=4096,
+                          analyzer="simple", positions=False)
+        build_index(spark, tdf, index_dir, cfg)
+        merge_index(spark, index_dir)
+        s0 = IndexSearcher(spark, index_dir)
+        vals = s0.docmap().select("conv_id", "turn_idx").withColumn(
+            "label",
+            F.when(F.pmod(F.col("conv_id").cast("long"),
+                          F.lit(_DV_MOD)) == _DV_REM,
+                   F.lit("keep")).otherwise(F.lit("drop")))
+        update_doc_values(spark, index_dir, vals)
+    return IndexSearcher(spark, index_dir)
+
+
+def _dv_update_df(spark, sf_dir):
+    from lucene_spark.query.ast import (
+        BooleanQuery, FieldEqualsQuery, TermQuery,
+    )
+
+    s = _dv_updated_searcher(spark, sf_dir)
+    q = BooleanQuery(must=[TermQuery("scan")],
+                     filter=[FieldEqualsQuery("label", "keep")])
+    hits = s.search(q, _QUERY_K)
+    return _orig(s, hits).select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 def _snapshot_search_df(spark, sf_dir):
     """Point-in-time commit read (index/snapshot.py — the
     SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit) analog):
@@ -3704,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_with_deletes"] = _deletes_df_entry
     out["bm25_post_expunge"] = _expunged_df
     out["bm25_post_update"] = _updated_df
+    out["bm25_dv_update"] = _dv_update_df
     out["bm25_soft_deletes"] = _soft_deletes_df
     out["snapshot_search"] = _snapshot_search_df
     out["split_index_search"] = _split_search_df
@@ -5072,6 +5122,15 @@ FROM r ORDER BY doc_id
              f"WHERE doc_id % {_DELETE_MOD} <> {_DELETE_REM})")
     out["bm25_post_expunge"] = sqlgen.topk_sql(
         parse_query(json.dumps({"term": "scan"})), _QUERY_K, table=_surv,
+    )
+    # DV update: scores == the plain index (postings untouched), the new
+    # label column == a doc_id predicate the oracle replays directly
+    _dv_base = sqlgen.topk_sql(
+        parse_query(json.dumps({"term": "scan"})), 1_000_000_000)
+    out["bm25_dv_update"] = (
+        "SELECT * FROM (\n" + _dv_base
+        + f"\n) t WHERE doc_id % {_DV_MOD} = {_DV_REM}\n"
+        f"ORDER BY score DESC, doc_id ASC LIMIT {_QUERY_K}"
     )
     # atomic replace + expunge == fresh build over the UPDATED corpus: the
     # oracle recomputes everything over a CASE-modified source table

@@ -55,6 +55,9 @@ def __getattr__(name):
     if name == "update_docs":
         from lucene_spark.index.update import update_docs
         return update_docs
+    if name == "update_doc_values":
+        from lucene_spark.index.update import update_doc_values
+        return update_doc_values
     if name == "build_hnsw_index":
         from lucene_spark.operators.hnsw import build_hnsw_index
         return build_hnsw_index
@@ -76,6 +79,7 @@ __all__ = [
     "combined_field_search", "TooManyClauses", "append_batch",
     "stream_append", "build_ann_index", "delete_docs", "expunge_deletes",
     "update_docs", "soft_delete_docs", "stream_update",
+    "update_doc_values",
     "build_doc_partitioned", "build_hnsw_index", "hnsw_ann_topk_indexed",
     "append_hnsw_batch",
     "intervals",

@@ -96,3 +96,83 @@ def update_docs(
     write_manifest(index_dir, manifest)
     prune_delete_generations(index_dir, manifest.get("deletes_data"))
     return manifest
+
+
+#: docmap columns the engine owns — updating them would corrupt docID
+#: assignment or silently DIVERGE from the norms baked into the postings
+#: (field_len feeds SmallFloat norms at build time; a DV update cannot
+#: reach them, exactly as the reference's DV updates cannot change norms)
+_RESERVED_DV_COLS = frozenset(("doc_id", "segment", "field_len"))
+
+
+def update_doc_values(
+    spark: SparkSession,
+    index_dir: str,
+    values: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> dict:
+    """In-place doc-values update — the ``IndexWriter.updateDocValues`` /
+    ``BufferedUpdates`` analog (``core/index/IndexWriter.java:1894``,
+    ``core/index/BufferedUpdates.java``): re-label docs WITHOUT
+    reindexing. ``values`` carries the key columns plus the columns to
+    set; keyed docs get the new values (non-key columns coalesce over
+    the old ones — a NULL in ``values`` keeps the old value), unkeyed
+    docs keep theirs, and columns absent from the old docmap are ADDED
+    (NULL for unkeyed docs — the reference's "update a field no doc had
+    yet" arm).
+
+    Spark-first mechanics: the docmap IS a parquet side table, so the
+    update is one left join + a generation-swapped rewrite
+    (``atomic.swap_dir``: staged fully, swapped in, listing refreshed,
+    crash leaves the old table live) + a manifest bump. Scores are
+    UNAFFECTED by construction (postings/norms untouched — the
+    reference's DV-update property); every metadata surface (field
+    filters, facets, function scores, sort fields, grouping) sees the
+    new values on the next open. Reserved columns (docID assignment,
+    norms source) raise."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.atomic import recover_dir, swap_dir
+
+    manifest = load_manifest(index_dir)
+    if manifest is None or not manifest.get("merged"):
+        raise ValueError(f"{index_dir}: index not built+merged")
+    upd_cols = [c for c in values.columns if c not in key_cols]
+    if not upd_cols:
+        raise ValueError("values carries no non-key columns to update")
+    bad = set(upd_cols) & _RESERVED_DV_COLS
+    if bad:
+        raise ValueError(
+            f"cannot update engine-owned docmap columns {sorted(bad)}: "
+            "doc_id/segment drive docID assignment and field_len is the "
+            "norms source already baked into the postings (rebuild or "
+            "update_docs instead)")
+
+    dm_path = os.path.join(index_dir, "docmap")
+    recover_dir(dm_path)
+    dm = spark.read.parquet(dm_path)
+    missing = set(key_cols) - set(dm.columns)
+    if missing:
+        raise ValueError(f"key columns {sorted(missing)} not in docmap")
+    vals = values.select(
+        *key_cols, *[F.col(c).alias(f"__new_{c}") for c in upd_cols])
+    joined = dm.join(vals, on=list(key_cols), how="left")
+    out_cols = []
+    for c in dm.columns:
+        if c in upd_cols:
+            out_cols.append(
+                F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    for c in upd_cols:
+        if c not in dm.columns:
+            out_cols.append(F.col(f"__new_{c}").alias(c))
+    tmp = dm_path + ".dvup"
+    (joined.select(*out_cols)
+     .write.mode("overwrite").partitionBy("segment").parquet(tmp))
+    swap_dir(spark, tmp, dm_path)
+    manifest["generation"] += 1
+    write_manifest(index_dir, manifest)
+    return manifest

@@ -198,6 +198,62 @@ def test_stream_update_upsert_exactly_once(spark, tmp_path_factory, corpus):
     assert check_index(spark, idx)["ok"]
 
 
+def test_update_doc_values_relabels_without_reindex(spark,
+                                                    tmp_path_factory):
+    """updateDocValues analog: metadata columns change (and new columns
+    appear), scores stay BIT-IDENTICAL (postings/norms untouched),
+    metadata filters see the new values; reserved columns raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.update import update_doc_values
+    from lucene_spark.query.ast import (
+        BooleanQuery, FieldEqualsQuery, TermQuery,
+    )
+
+    base = generate_pandas(n_convs=15, seed=61, vocab_size=200,
+                           max_turns=5)
+    idx = str(tmp_path_factory.mktemp("dvup") / "idx")
+    _build(spark, idx, base)
+    s0 = IndexSearcher(spark, idx)
+    term = [r["term"] for r in
+            s0.term_dict.orderBy(F.desc("doc_freq")).limit(1).collect()][0]
+    before = [(r["doc_id"], np.float32(r["score"]))
+              for r in s0.search(TermQuery(term), 40).collect()]
+
+    # re-label: a NEW column + an updated role for even turns
+    vals = (s0.docmap()
+            .select("conv_id", "turn_idx")
+            .withColumn("label", F.when(F.col("turn_idx") % 2 == 0,
+                                        F.lit("even")).otherwise(
+                                            F.lit("odd")))
+            .withColumn("role", F.when(F.col("turn_idx") % 2 == 0,
+                                       F.lit("relabeled"))))
+    m = update_doc_values(spark, idx, vals)
+    assert m["generation"] > 0
+
+    s1 = IndexSearcher(spark, idx)
+    # scores bit-identical — the DV update never touches postings/norms
+    after = [(r["doc_id"], np.float32(r["score"]))
+             for r in s1.search(TermQuery(term), 40).collect()]
+    assert after == before
+    # the new column filters; NULL-in-values kept the old role for odds
+    evens = s1.search(BooleanQuery(must=[TermQuery(term)],
+                                   filter=[FieldEqualsQuery("label",
+                                                            "even")]), 100)
+    got = {r["doc_id"] for r in evens.collect()}
+    exp = {int(r["doc_id"]) for r in s1.docmap().filter(
+        F.col("label") == "even").select("doc_id").collect()}
+    assert got and got <= exp
+    roles = {r["role"] for r in s1.docmap().select("role").distinct()
+             .collect()}
+    assert "relabeled" in roles and len(roles) > 1
+    # reserved columns refuse
+    with _pytest.raises(ValueError, match="engine-owned"):
+        update_doc_values(spark, idx, vals.withColumn("field_len",
+                                                      F.lit(1)))
+
+
 def test_pinned_searcher_does_not_see_later_deletes(spark, tmp_path_factory):
     """liveDocs-per-commit: a searcher opened before a delete keeps
     serving its own commit point's live set (the manifest-resolved
