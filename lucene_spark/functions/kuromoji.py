@@ -288,6 +288,123 @@ class JaDicts:
             class_count)
 
 
+class UserDictionary:
+    """ja/dict/UserDictionary.java — custom phrase segmentation from CSV
+    (``surface,segmentation,readings,pos``): entries sorted by the RAW
+    first field, phrase ids = sorted rank (the FST ord), per-morph word
+    ids from CUSTOM_DICTIONARY_WORD_ID_OFFSET; fixed
+    leftId=rightId=5, wordCost=-100000 (``UserMorphData.java:26-28``).
+    The FST is an implementation detail — a char trie reproduces the
+    same prefix-walk finals in the same order."""
+
+    WORD_COST = -100000
+    LEFT_ID = 5
+    RIGHT_ID = 5
+    CUSTOM_OFFSET = 100_000_000
+
+    def __init__(self, text: str):
+        import re
+
+        entries = []
+        for line in text.splitlines():
+            line = re.sub(r"^#.*$", "", line)
+            if not line.strip():
+                continue
+            entries.append(_csv_parse(line))
+        if not entries:
+            raise ValueError("empty user dictionary")
+        entries.sort(key=lambda v: v[0])
+        self.segmentations: list[list[int]] = []
+        self.data: list[tuple[str, str]] = []  # (reading, pos) per morph
+        self.trie: dict = {}
+        word_id = self.CUSTOM_OFFSET
+        for ord_, values in enumerate(entries):
+            surface = re.sub(r"\s", "", values[0])
+            concat = re.sub(r"\s", "", values[1])
+            segmentation = re.split(" +", values[1])
+            readings = re.split(" +", values[2])
+            pos = values[3]
+            if len(segmentation) != len(readings):
+                raise RuntimeError(
+                    f"Illegal user dictionary entry {values[0]} - the "
+                    f"number of segmentations ({len(segmentation)}) does "
+                    f"not the match number of readings ({len(readings)})")
+            if surface != concat:
+                raise RuntimeError(
+                    f"Illegal user dictionary entry {values[0]} - the "
+                    f"concatenated segmentation ({concat}) does not match "
+                    f"the surface form ({surface})")
+            wid_len = [word_id] + [len(s) for s in segmentation]
+            for r in readings:
+                self.data.append((r, pos))
+                word_id += 1
+            node = self.trie
+            for ch in values[0]:  # RAW token, whitespace included
+                node = node.setdefault(ord(ch), {})
+            node[-1] = ord_  # final marker -> phrase id
+            self.segmentations.append(wid_len)
+
+    # ----- the Viterbi's per-position walk (base Viterbi.java:256-290)
+    def walk(self, char_at, pos: int):
+        """Yield (pos_ahead, phrase_id) for every final along the prefix
+        walk starting at ``pos`` (char_at(p) -> unit or -1)."""
+        node = self.trie
+        p = pos
+        while True:
+            ch = char_at(p)
+            if ch == -1:
+                return
+            node = node.get(ch)
+            if node is None:
+                return
+            if -1 in node:
+                yield p, node[-1]
+            p += 1
+
+    def lookup_segmentation(self, phrase_id: int) -> list[int]:
+        return self.segmentations[phrase_id]
+
+    # duck-typed MorphData for the lattice add()
+    def word_cost(self, word_id: int) -> int:
+        return self.WORD_COST
+
+    def left_id(self, word_id: int) -> int:
+        return self.LEFT_ID
+
+    def right_id(self, word_id: int) -> int:
+        return self.RIGHT_ID
+
+
+def _csv_parse(line: str) -> list[str]:
+    """analysis/util/CSVUtil.parse essentials: comma split honoring
+    double-quoted fields with "" escapes."""
+    out = []
+    cur = []
+    in_q = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if in_q:
+            if c == '"':
+                if i + 1 < len(line) and line[i + 1] == '"':
+                    cur.append('"')
+                    i += 1
+                else:
+                    in_q = False
+            else:
+                cur.append(c)
+        elif c == '"':
+            in_q = True
+        elif c == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
 _JA_PUNCT_CATS = frozenset((
     "Zs", "Zl", "Zp", "Cc", "Cf", "Pd", "Ps", "Pe", "Pc", "Po",
     "Sm", "Sc", "Sk", "So", "Pi", "Pf",
@@ -392,12 +509,15 @@ class JapaneseViterbi:
 
     def __init__(self, dicts: JaDicts, mode: str = "search",
                  discard_punctuation: bool = True,
-                 discard_compound: bool = True):
+                 discard_compound: bool = True,
+                 user_dict: UserDictionary | None = None):
         self.d = dicts
         self.search_mode = mode in ("search", "extended")
         self.extended_mode = mode == "extended"
         self.output_compounds = self.search_mode and not discard_compound
         self.discard_punct = discard_punctuation
+        self.user_dict = user_dict
+        self.output_longest_user_only = False  # ja keeps all user matches
 
     # --------------------------------------------------------------- main
 
@@ -444,6 +564,7 @@ class JapaneseViterbi:
     def _forward(self) -> None:
         d = self.d
         unknown_word_end_index = -1
+        user_word_max_pos_ahead = -1
         while self._char(self.pos) != -1:
             pos = self.pos
             pos_data = self._get(pos)
@@ -495,27 +616,48 @@ class JapaneseViterbi:
                 continue
 
             any_matches = False
-            # known dictionary matches (no user dict in this engine yet)
-            fst = d.fst
-            arc = fst.get_first_arc(self._arc)
-            r = self._fst_reader
-            output = 0
-            pos_ahead = pos
-            while True:
-                ch = self._char(pos_ahead)
-                if ch == -1:
-                    break
-                if fst.find_target_arc(ch, arc, arc, r) is None:
-                    break
-                output += arc.output
-                if arc.is_final():
-                    word_ids = d.token.lookup_word_ids(
-                        output + arc.next_final_output)
-                    for wid in word_ids:
-                        self._add(d.token, pos_data, pos, pos_ahead + 1,
-                                  wid, KNOWN, False)
-                        any_matches = True
-                pos_ahead += 1
+            # user dictionary first (base Viterbi.java:256-313): ANY user
+            # match suppresses the known-dict matching at this position
+            if self.user_dict is not None:
+                max_pos_ahead = 0
+                phrase_max = -1
+                for pos_ahead, phrase_id in self.user_dict.walk(
+                        self._char, pos):
+                    any_matches = True
+                    max_pos_ahead = pos_ahead
+                    phrase_max = phrase_id
+                    if not self.output_longest_user_only:
+                        self._add(self.user_dict, pos_data, pos,
+                                  pos_ahead + 1, phrase_id, USER, False)
+                if any_matches and max_pos_ahead > user_word_max_pos_ahead:
+                    if self.output_longest_user_only:
+                        self._add(self.user_dict, pos_data, pos,
+                                  max_pos_ahead + 1, phrase_max, USER,
+                                  False)
+                    user_word_max_pos_ahead = max(user_word_max_pos_ahead,
+                                                  max_pos_ahead)
+
+            if not any_matches:
+                fst = d.fst
+                arc = fst.get_first_arc(self._arc)
+                r = self._fst_reader
+                output = 0
+                pos_ahead = pos
+                while True:
+                    ch = self._char(pos_ahead)
+                    if ch == -1:
+                        break
+                    if fst.find_target_arc(ch, arc, arc, r) is None:
+                        break
+                    output += arc.output
+                    if arc.is_final():
+                        word_ids = d.token.lookup_word_ids(
+                            output + arc.next_final_output)
+                        for wid in word_ids:
+                            self._add(d.token, pos_data, pos,
+                                      pos_ahead + 1, wid, KNOWN, False)
+                            any_matches = True
+                    pos_ahead += 1
 
             if not self._should_skip_unknown(unknown_word_end_index,
                                              pos_data):
@@ -583,7 +725,9 @@ class JapaneseViterbi:
                         * SEARCH_MODE_OTHER_PENALTY)
         return 0
 
-    def _dict_for(self, type_: int) -> BinaryDict:
+    def _dict_for(self, type_: int):
+        if type_ == USER:
+            return self.user_dict
         return self.d.token if type_ == KNOWN else self.d.unk
 
     def _add(self, morph: BinaryDict, from_pos_data, word_pos: int,
@@ -679,7 +823,24 @@ class JapaneseViterbi:
 
             morph = self._dict_for(back_type)
 
-            if self.extended_mode and back_type == UNKNOWN:
+            if back_type == USER:
+                # expand the recorded phraseID into its segmentation
+                # (ViterbiNBest.java:400-433); tokens appended then the
+                # sublist REVERSED (incrementToken serves from the end)
+                wid_len = self.user_dict.lookup_segmentation(back_id)
+                word_id = wid_len[0]
+                current = 0
+                added = []
+                for j in range(1, len(wid_len)):
+                    ln = wid_len[j]
+                    start = current + back_pos
+                    added.append(Tok(
+                        "".join(map(chr, units[start:start + ln])),
+                        start, start + ln, word_id + j - 1, USER))
+                    current += ln
+                self.pending.extend(reversed(added))
+                back_count += len(wid_len) - 1
+            elif self.extended_mode and back_type == UNKNOWN:
                 unigram_count = 0
                 i = length - 1
                 while i >= 0:
@@ -760,11 +921,12 @@ class JapaneseViterbi:
 
 def tokenize(dicts: JaDicts, text: str, mode: str = "search",
              discard_punctuation: bool = True,
-             discard_compound: bool = True) -> list[Tok]:
+             discard_compound: bool = True,
+             user_dict: UserDictionary | None = None) -> list[Tok]:
     """JapaneseTokenizer surface: the emitted token stream in
     incrementToken order."""
     return JapaneseViterbi(dicts, mode, discard_punctuation,
-                           discard_compound).tokenize(text)
+                           discard_compound, user_dict).tokenize(text)
 
 
 # ------------------------------------------------- JapaneseAnalyzer chain

@@ -96,6 +96,31 @@ def test_analyzer_chain_pos_stop_and_positions():
     assert terms == ["scan", "the", "merge", "12"]
 
 
+def test_user_dictionary_segmentation():
+    """UserDictionary: custom phrase segmentation overrides the lattice
+    (user matches suppress known-dict matching at the position); the
+    phrase expands into its declared morphs. Uses the reference's own
+    test userdict.txt read at runtime; stream parity with the compiled
+    tokenizer is pinned by the ud=True fuzz arms."""
+    from lucene_spark.functions.kuromoji import UserDictionary, tokenize
+
+    p = ("/root/reference/lucene/analysis/kuromoji/src/test/org/apache/"
+         "lucene/analysis/ja/userdict.txt")
+    if not os.path.exists(p):
+        pytest.skip("reference tree absent")
+    with open(p, encoding="utf-8") as f:
+        ud = UserDictionary(f.read())
+    d = _dicts()
+    toks = tokenize(d, "日本経済新聞を読む", user_dict=ud)
+    assert [t.surface for t in toks][:3] == ["日本", "経済", "新聞"]
+    assert toks[0].type == 2  # USER
+    # validation errors replicate the reference messages
+    with pytest.raises(RuntimeError, match="number of segmentations"):
+        UserDictionary("ab,a b,onlyone,pos")
+    with pytest.raises(RuntimeError, match="concatenated segmentation"):
+        UserDictionary("abc,a b,r1 r2,pos")
+
+
 def test_katakana_stem_rule():
     from lucene_spark.functions.kuromoji import katakana_stem
 

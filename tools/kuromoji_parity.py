@@ -151,6 +151,12 @@ public class KuromojiDriver {
     Path d = Path.of(args[0]);
     String mode = args[1];
     boolean discardPunct = Boolean.parseBoolean(args[2]);
+    UserDictionary user = null;
+    if (args.length > 3 && !args[3].equals("-")) {
+      try (java.io.Reader r = Files.newBufferedReader(Path.of(args[3]))) {
+        user = UserDictionary.open(r);
+      }
+    }
     TokenInfoDictionary sys = new TokenInfoDictionary(
         d.resolve("TokenInfoDictionary$targetMap.dat"),
         d.resolve("TokenInfoDictionary$posDict.dat"),
@@ -179,7 +185,7 @@ public class KuromojiDriver {
       for (int i = 0; i < cs.length; i++)
         cs[i] = (char)(((raw[2*i] & 0xFF) << 8) | (raw[2*i+1] & 0xFF));
       JapaneseTokenizer tok = new JapaneseTokenizer(
-          AttributeFactory.DEFAULT_ATTRIBUTE_FACTORY, sys, unk, cc, null,
+          AttributeFactory.DEFAULT_ATTRIBUTE_FACTORY, sys, unk, cc, user,
           discardPunct, discardCompound, m);
       tok.setReader(new StringReader(new String(cs)));
       CharTermAttribute term = tok.getAttribute(CharTermAttribute.class);
@@ -298,7 +304,9 @@ def build_dict() -> None:
 
 
 WORDS = [e[0] for e in _entries()]
-EXTRA = ["みどり", "ひらがなだよ", "カタカナゴ", "ネコ", "abc", "XYZ",
+EXTRA = ["日本経済新聞", "朝青龍", "abcd", "abcdefg", "test#テスト",
+         "テスト#", "経済新聞", "関西国際",
+         "みどり", "ひらがなだよ", "カタカナゴ", "ネコ", "abc", "XYZ",
          "123", "4567", "漢字領域", "燃", "犬猫", " ", "  ", "。", "、",
          "!", "(", ")", ".", "-", "\n", "\t", "α", "д", "ー"]
 
@@ -324,13 +332,17 @@ def _unb64(s: str) -> str:
     return base64.b64decode(s).decode("utf-16-be", "surrogatepass")
 
 
-def py_stream(dicts, text, mode, discard_punct):
+UDICT = ("/root/reference/lucene/analysis/kuromoji/src/test/org/apache/"
+         "lucene/analysis/ja/userdict.txt")
+
+
+def py_stream(dicts, text, mode, discard_punct, user_dict=None):
     from lucene_spark.functions.kuromoji import tokenize
 
     discard_compound = mode != "searchc"
     m = "search" if mode == "searchc" else mode
     toks = tokenize(dicts, text, mode=m, discard_punctuation=discard_punct,
-                    discard_compound=discard_compound)
+                    discard_compound=discard_compound, user_dict=user_dict)
     out = []
     last_pos = -1
     for t in toks:
@@ -351,36 +363,45 @@ def main(n: int = 3000, seed: int = 42) -> int:
     dicts = JaDicts(DICT_OUT)
     texts = gen_texts(n, seed)
     payload = "\n".join(_b64(t) for t in texts) + "\n"
+    from lucene_spark.functions.kuromoji import UserDictionary
+
+    with open(UDICT, encoding="utf-8") as f:
+        py_udict = UserDictionary(f.read())
     total_bad = 0
-    for mode in ("normal", "search", "searchc", "extended"):
-        for discard_punct in (True, False):
-            res = subprocess.run(
-                ["java", "-cp", f"{OUT}:{LUCORE}:{JA_RES}",
-                 "KuromojiDriver", DICT_OUT, mode,
-                 "true" if discard_punct else "false"],
-                input=payload, capture_output=True, text=True, check=True)
-            jlines = res.stdout.splitlines()
-            assert len(jlines) == len(texts), (len(jlines), len(texts))
-            bad = 0
-            for text, jl in zip(texts, jlines):
-                exp = []
-                for part in jl.split("\t"):
-                    if not part:
-                        continue
-                    s, e, inc, plen, t64 = part.split(":")
-                    exp.append((int(s), int(e), int(inc), int(plen),
-                                _unb64(t64)))
-                got = py_stream(dicts, text, mode, discard_punct)
-                if got != exp:
-                    bad += 1
-                    if bad <= 3:
-                        print(f"MISMATCH mode={mode} dp={discard_punct} "
-                              f"text={text!r}")
-                        print("  java:", exp)
-                        print("  py:  ", got)
-            total_bad += bad
-            print(f"mode={mode:9s} discardPunct={discard_punct}: "
-                  f"{len(texts)} texts, {bad} mismatches")
+    for udict_path, py_ud in (("-", None), (UDICT, py_udict)):
+        for mode in ("normal", "search", "searchc", "extended"):
+            for discard_punct in (True, False):
+                res = subprocess.run(
+                    ["java", "-cp", f"{OUT}:{LUCORE}:{JA_RES}",
+                     "KuromojiDriver", DICT_OUT, mode,
+                     "true" if discard_punct else "false", udict_path],
+                    input=payload, capture_output=True, text=True,
+                    check=True)
+                jlines = res.stdout.splitlines()
+                assert len(jlines) == len(texts), (len(jlines), len(texts))
+                bad = 0
+                for text, jl in zip(texts, jlines):
+                    exp = []
+                    for part in jl.split("\t"):
+                        if not part:
+                            continue
+                        s, e, inc, plen, t64 = part.split(":")
+                        exp.append((int(s), int(e), int(inc), int(plen),
+                                    _unb64(t64)))
+                    got = py_stream(dicts, text, mode, discard_punct,
+                                    py_ud)
+                    if got != exp:
+                        bad += 1
+                        if bad <= 3:
+                            print(f"MISMATCH mode={mode} "
+                                  f"dp={discard_punct} "
+                                  f"ud={udict_path != '-'} text={text!r}")
+                            print("  java:", exp)
+                            print("  py:  ", got)
+                total_bad += bad
+                print(f"ud={udict_path != '-'!s:5s} mode={mode:9s} "
+                      f"discardPunct={discard_punct}: "
+                      f"{len(texts)} texts, {bad} mismatches")
     return 1 if total_bad else 0
 
 
